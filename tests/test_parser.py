@@ -1,0 +1,182 @@
+"""Grammar parity tests (modeled on reference pkg/parser/parser_test.go cases)."""
+
+import math
+
+import pytest
+
+from carbonapi_spark.parser import Expr, ExprType, ParseError, parse
+from carbonapi_spark.parser.dates import parse_at_time
+from carbonapi_spark.parser.globs import glob_matches, glob_to_regex
+from carbonapi_spark.parser.interval import interval_seconds
+
+
+def test_plain_name():
+    e = parse("servers.host01.cpu.load")
+    assert e.is_name() and e.target == "servers.host01.cpu.load"
+
+
+def test_glob_name():
+    e = parse("servers.*.cpu.{user,system}[0-9]?")
+    assert e.is_name()
+    assert e.target == "servers.*.cpu.{user,system}[0-9]?"
+
+
+def test_simple_func():
+    e = parse("sumSeries(servers.*.cpu)")
+    assert e.is_func() and e.target == "sumSeries"
+    assert len(e.args) == 1 and e.args[0].target == "servers.*.cpu"
+    assert e.arg_string == "servers.*.cpu"
+
+
+def test_nested_func_and_consts():
+    e = parse("scale(sumSeries(a.b, a.c), 2.5)")
+    assert e.target == "scale"
+    assert e.args[0].target == "sumSeries"
+    assert e.args[1].val == 2.5
+    assert e.to_string() == "scale(sumSeries(a.b,a.c),2.5)"
+
+
+def test_named_args():
+    e = parse("summarize(a.b, '1h', func='max', alignToFrom=true)")
+    assert e.args[1].val_str == "1h"
+    assert e.named_args["func"].val_str == "max"
+    assert e.named_args["alignToFrom"].is_bool() and e.named_args["alignToFrom"].val == 1.0
+    assert e.get_string(2, "sum", names=("func",)) == "max"
+    assert e.get_bool(3, False, names=("alignToFrom",)) is True
+
+
+def test_strings_both_quotes():
+    e = parse('alias(a.b, "cpu load")')
+    assert e.args[1].is_string() and e.args[1].val_str == "cpu load"
+
+
+def test_negative_and_float_consts():
+    e = parse("offset(a, -1.5)")
+    assert e.args[1].val == -1.5
+    e = parse("pow(a, 1e3)")
+    assert e.args[1].val == 1000.0
+
+
+def test_const_followed_by_letter_is_name():
+    e = parse("timeShift(a.b, -1d)")
+    assert e.args[1].is_name() and e.args[1].target == "-1d"
+    assert e.get_interval(1, -1) == -86400
+
+
+def test_pipe_syntax():
+    e = parse("a.b.c|scale(2)|alias('x')")
+    assert e.target == "alias"
+    inner = e.args[0]
+    assert inner.target == "scale"
+    assert inner.args[0].target == "a.b.c"
+    assert inner.args[1].val == 2.0
+    assert e.args[1].val_str == "x"
+
+
+def test_series_by_tag_is_opaque_name():
+    e = parse("seriesByTag('name=cpu.load', 'dc=~us.*')")
+    assert e.is_name()
+    assert e.target == "seriesByTag('name=cpu.load','dc=~us.*')"
+
+
+def test_braces_protect_commas():
+    e = parse("sum(a.{b,c}.d, e.f)")
+    assert [a.target for a in e.args] == ["a.{b,c}.d", "e.f"]
+
+
+def test_bool_args():
+    e = parse("f(a, true, False)")
+    assert e.args[1].is_bool() and e.args[1].val == 1.0
+    assert e.args[2].is_bool() and e.args[2].val == 0.0
+
+
+def test_tagged_name_in_string():
+    # bare `k=v` inside an arg list is a named arg (reference parser.go:764-771);
+    # tagged fetches go through seriesByTag — tagged names appear quoted
+    e = parse("f(cpu.load;dc=west)")
+    assert "cpu.load;dc" in e.named_args
+    e = parse("alias(a, 'cpu.load;dc=west;host=h1')")
+    assert e.args[1].val_str == "cpu.load;dc=west;host=h1"
+
+
+def test_name_may_end_with_equals():
+    e = parse("f(a.b=,c)")
+    assert e.args[0].target == "a.b="
+    assert e.args[1].target == "c"
+
+
+def test_trailing_garbage_rejected():
+    with pytest.raises(ParseError):
+        parse("a.b)")
+    with pytest.raises(ParseError):
+        parse("f(a")
+
+
+def test_empty_args():
+    e = parse("f()")
+    assert e.is_func() and e.args == []
+
+
+def test_node_or_tag_args():
+    e = parse("aliasByNode(a.b.c, 1, -1, 'dc')")
+    assert e.get_node_or_tag_args(1) == [1, -1, "dc"]
+
+
+def test_inf_arg():
+    e = parse("keepLastValue(a, inf)")
+    assert math.isinf(e.get_float(1))
+
+
+# ---------------------------------------------------------------- intervals
+@pytest.mark.parametrize("s,sign,want", [
+    ("1h", 1, 3600),
+    ("1h30m", 1, 5400),
+    ("-2d", 1, -172800),
+    ("1mon", 1, 2592000),
+    ("1y", 1, 31536000),
+    ("3", -1, pytest.raises(Exception)),
+])
+def test_interval(s, sign, want):
+    if not isinstance(want, int):
+        with want:
+            interval_seconds(s, sign)
+    else:
+        assert interval_seconds(s, sign) == want
+
+
+def test_interval_default_sign():
+    assert interval_seconds("1h", -1) == -3600
+    assert interval_seconds("+1h", -1) == 3600
+
+
+# ---------------------------------------------------------------- dates
+def test_at_time():
+    import datetime as dt
+    now = dt.datetime(2024, 6, 15, 10, 30, tzinfo=dt.timezone.utc)
+    assert parse_at_time("now", now=now) == int(now.timestamp())
+    assert parse_at_time("-1d", now=now) == int(now.timestamp()) - 86400
+    assert parse_at_time("midnight", now=now) == int(now.replace(hour=0, minute=0).timestamp())
+    assert parse_at_time("today-2d", now=now) == int(now.replace(hour=0, minute=0).timestamp()) - 2 * 86400
+    assert parse_at_time("20240102", now=now) == 1704153600
+    assert parse_at_time("00:00_20240102", now=now) == 1704153600
+    assert parse_at_time("1704067200", now=now) == 1704067200
+
+
+# ---------------------------------------------------------------- globs
+@pytest.mark.parametrize("pat,name,want", [
+    ("a.*.c", "a.b.c", True),
+    ("a.*.c", "a.b.d.c", False),  # * does not cross dots
+    ("a.b?.c", "a.b1.c", True),
+    ("a.b?.c", "a.b12.c", False),
+    ("a.{b,c}.d", "a.c.d", True),
+    ("a.{b,c}.d", "a.x.d", False),
+    ("a.[0-9].c", "a.5.c", True),
+    ("plain.name", "plain.name", True),
+    ("plain.name", "plain.namex", False),
+])
+def test_glob(pat, name, want):
+    assert glob_matches(pat, name) is want
+
+
+def test_glob_regex_escapes_dots():
+    assert glob_to_regex("a.b") == "^a\\.b$"
