@@ -1,0 +1,219 @@
+"""Series-to-series arithmetic (SURVEY §2.5): equi-joins on (series, ts).
+
+The reference's implicit join is a positional zip after alignment
+(``expr/helper/align.go:382``). Here it is a real relational join:
+
+- N:1 shapes (divideSeries, asPercent with a single total) broadcast the
+  one-series side,
+- positional list zips (divideSeriesLists & friends) join on the per-frame
+  series *rank* — order made explicit, as Spark requires,
+- grouped shapes (asPercent by nodes) join on the node key with a full
+  outer join to reproduce Graphite's MISSING-pad semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from carbonapi_spark.evaluator import eval_expr
+from carbonapi_spark.functions import register
+from carbonapi_spark.functions.helper import agg_key_expr, series_arg
+from carbonapi_spark.model.series import NAME, ORD, TS, VALUE, SeriesFrame, align
+
+V = F.col(VALUE)
+
+
+def _series_index(df):
+    """(ord, __idx): the series' 0-based position (by ord) — the explicit
+    rank that stands in for Go's list index."""
+    w = Window.orderBy(ORD)
+    return (df.select(ORD).distinct()
+            .withColumn("__idx", F.row_number().over(w) - 1))
+
+
+@register("divideSeries")
+def divide_series(ctx, exp, f, u):
+    """each dividend / the single divisor — divideSeries/function.go:32.
+
+    With 2+ args and a wildcard-multi divisor the reference errors; a single
+    divisor is broadcast-joined on ts."""
+    dividend = series_arg(ctx, exp, exp.args[0], f, u)
+    if len(exp.args) == 1:
+        raise ValueError("divideSeries: divisor required")
+    divisor = eval_expr(ctx, exp.args[1], f, u)
+    dividend, divisor = align([dividend, divisor])
+    den = divisor.df.select(F.col(TS).alias("__dts"), F.col(VALUE).alias("__den"))
+    df = (dividend.df
+          .join(F.broadcast(den), F.col(TS) == F.col("__dts"), "left")
+          .withColumn(VALUE, F.when(F.col("__den") != 0, V / F.col("__den")))
+          .drop("__dts", "__den"))
+    divisor_name = exp.args[1].to_string()
+    df = df.withColumn(NAME, F.format_string("divideSeries(%s,%s)",
+                                             F.col(NAME), F.lit(divisor_name)))
+    return dividend.with_df(df)
+
+
+_LIST_OPS = {
+    "divideSeriesLists": ("divideSeries", lambda a, b: F.when(b != 0, a / b)),
+    "diffSeriesLists": ("diffSeries", lambda a, b: a - b),
+    "multiplySeriesLists": ("multiplySeries", lambda a, b: a * b),
+    "sumSeriesLists": ("sumSeries", lambda a, b: a + b),
+    "powSeriesLists": ("powSeries", lambda a, b: F.pow(a, b)),
+}
+
+
+@register(*_LIST_OPS.keys(), "aggregateSeriesLists")
+def series_lists(ctx, exp, f, u):
+    """pairwise i-th vs i-th — seriesList/function.go:31; lists must have
+    equal lengths. Join key = (series rank, ts)."""
+    fa = series_arg(ctx, exp, exp.args[0], f, u)
+    fb = series_arg(ctx, exp, exp.args[1], f, u)
+    if exp.target == "aggregateSeriesLists":
+        func = exp.get_string(2)
+        name_fn = func.replace("Series", "") + "Series"
+        op = {
+            "sum": lambda a, b: a + b, "add": lambda a, b: a + b,
+            "diff": lambda a, b: a - b, "subtract": lambda a, b: a - b,
+            "multiply": lambda a, b: a * b,
+            "divide": lambda a, b: F.when(b != 0, a / b),
+            "pow": lambda a, b: F.pow(a, b),
+            "max": lambda a, b: F.greatest(a, b), "min": lambda a, b: F.least(a, b),
+        }.get(func)
+        if op is None:
+            raise ValueError(f"aggregateSeriesLists: unsupported function {func}")
+    else:
+        name_fn, op = _LIST_OPS[exp.target]
+
+    fa, fb = align([fa, fb])
+    ia, ib = _series_index(fa.df), _series_index(fb.df)
+    na, nb = ia.count(), ib.count()
+    if na != nb:
+        raise ValueError(
+            f"{exp.target}: seriesLists must have the same length ({na} vs {nb})")
+    a = (fa.df.join(F.broadcast(ia), ORD)
+         .select(F.col("__idx"), F.col(TS), F.col(NAME).alias("__na"),
+                 V.alias("__va")))
+    b = (fb.df.join(F.broadcast(ib), ORD)
+         .select(F.col("__idx"), F.col(TS), F.col(NAME).alias("__nb"),
+                 V.alias("__vb")))
+    name = F.format_string(f"{name_fn}(%s,%s)", F.col("__na"), F.col("__nb"))
+    df = (a.join(b, ["__idx", TS])
+          .select(name.alias(NAME), name.alias(ORD), F.col(TS),
+                  op(F.col("__va"), F.col("__vb")).cast("double").alias(VALUE)))
+    return fa.with_df(df)
+
+
+@register("asPercent", "pct")
+def as_percent(ctx, exp, f, u):
+    """% of total — asPercent/function.go:335-489, all four shapes:
+    (sl), (sl, N), (sl, totalSeries), (sl, None|total, *nodes)."""
+    frame = series_arg(ctx, exp, exp.args[0], f, u)
+    nodes = exp.get_node_or_tag_args(2) if len(exp.args) > 2 else []
+    total_arg = exp.args[1] if len(exp.args) > 1 else None
+
+    if nodes:
+        return _as_percent_by_nodes(ctx, exp, frame, total_arg, nodes, f, u)
+
+    if total_arg is not None and total_arg.is_const():
+        n = total_arg.val
+        nstr = total_arg.val_str
+        out = frame.map_value(lambda v: v / F.lit(n) * 100 if n != 0 else F.lit(None))
+        return out.map_name(lambda nm: F.format_string(
+            "asPercent(%s,%s)", nm, F.lit(nstr)))
+
+    if total_arg is None or (total_arg.is_name() and total_arg.target.lower() == "none"):
+        # total = per-ts sum of the list itself
+        tot = F.sum(V).over(Window.partitionBy(TS))
+        df = frame.df.withColumn(VALUE, F.when(tot != 0, V / tot * 100))
+        df = df.withColumn(NAME, F.format_string(
+            "asPercent(%s,sumSeries(%s))", F.col(NAME), F.lit(exp.args[0].to_string())))
+        return frame.with_df(df)
+
+    total = eval_expr(ctx, total_arg, f, u)
+    frame, total = align([frame, total])
+    # single total series: broadcast join on ts; multi without nodes sums them
+    tot_df = total.df.groupBy(TS).agg(F.sum(V).alias("__tot"),
+                                      F.count(F.lit(1)).alias("__n"))
+    multi = total.df.select(NAME).distinct().count() > 1
+    total_name = (f"sumSeries({total_arg.to_string()})" if multi
+                  else total_arg.to_string())
+    df = (frame.df.join(F.broadcast(tot_df), TS, "left")
+          .withColumn(VALUE, F.when(F.col("__tot") != 0, V / F.col("__tot") * 100))
+          .drop("__tot", "__n")
+          .withColumn(NAME, F.format_string("asPercent(%s,%s)", F.col(NAME),
+                                            F.lit(total_name))))
+    return frame.with_df(df)
+
+
+def _as_percent_by_nodes(ctx, exp, frame, total_arg, nodes, f, u):
+    """asPercent grouped by node key, with MISSING padding on both sides
+    (asPercent/function.go:400-430)."""
+    key = agg_key_expr(F.col(NAME), nodes)
+    if total_arg is None or (total_arg.is_name() and total_arg.target.lower() == "none"):
+        tot = (frame.df.withColumn("__key", key)
+               .groupBy("__key", TS).agg(F.sum(V).alias("__tot")))
+        df = (frame.df.withColumn("__key", key)
+              .join(tot, ["__key", TS], "left")
+              .withColumn(VALUE, F.when(F.col("__tot") != 0, V / F.col("__tot") * 100))
+              .withColumn(NAME, F.format_string("asPercent(%s,%s)", F.col(NAME),
+                                                F.col("__key")))
+              .drop("__key", "__tot"))
+        return frame.with_df(df)
+
+    total = eval_expr(ctx, total_arg, f, u)
+    frame2, total = align([frame, total])
+    tkey = agg_key_expr(F.col(NAME), nodes)
+    tot = (total.df.withColumn("__key", tkey)
+           .groupBy("__key", TS).agg(F.sum(V).alias("__tot"),
+                                     F.min(NAME).alias("__tname")))
+    num = frame2.df.withColumn("__key", key)
+    df = (num.join(tot, ["__key", TS], "full")
+          .withColumn(NAME, F.when(F.col(NAME).isNotNull() & F.col("__tname").isNotNull(),
+                                   F.format_string("asPercent(%s,%s)", F.col(NAME),
+                                                   F.col("__tname")))
+                      .when(F.col(NAME).isNotNull(),
+                            F.format_string("asPercent(%s,MISSING)", F.col(NAME)))
+                      .otherwise(F.format_string("asPercent(MISSING,%s)",
+                                                 F.col("__tname"))))
+          .withColumn(ORD, F.coalesce(F.col(ORD), F.col(NAME)))
+          .withColumn(VALUE,
+                      F.when(F.col("__tname").isNull() | F.col(NAME).rlike("MISSING"),
+                             F.lit(None).cast("double"))
+                      .when(F.col("__tot") != 0, V / F.col("__tot") * 100))
+          .drop("__key", "__tot", "__tname"))
+    return frame2.with_df(df)
+
+
+@register("weightedAverage")
+def weighted_average(ctx, exp, f, u):
+    """sum(avg*weight)/sum(weight) matched by node key
+    — weightedAverage/function.go:31."""
+    favg = series_arg(ctx, exp, exp.args[0], f, u)
+    fwgt = series_arg(ctx, exp, exp.args[1], f, u)
+    nodes = exp.get_node_or_tag_args(2)
+    favg, fwgt = align([favg, fwgt])
+    key = agg_key_expr(F.col(NAME), nodes)
+    a = favg.df.select(key.alias("__key"), F.col(TS), V.alias("__a"))
+    w = fwgt.df.select(key.alias("__key"), F.col(TS), V.alias("__w"))
+    prod = (a.join(w, ["__key", TS])
+            .groupBy(TS)
+            .agg(F.sum(F.col("__a") * F.col("__w")).alias("__num"),
+                 F.sum(F.when(F.col("__a").isNotNull(), F.col("__w"))).alias("__den")))
+    name = f"weightedAverage({exp.args[0].to_string()},{exp.args[1].to_string()},{','.join(str(n) for n in nodes)})"
+    df = prod.select(F.lit(name).alias(NAME), F.lit(name).alias(ORD), F.col(TS),
+                     F.when(F.col("__den") != 0,
+                            F.col("__num") / F.col("__den")).cast("double").alias(VALUE))
+    return favg.with_df(df)
+
+
+@register("fallbackSeries")
+def fallback_series(ctx, exp, f, u):
+    """if the first list is empty use the fallback — fallbackSeries/function.go:29.
+
+    The emptiness probe is the one place a driver-side count is semantically
+    required (the reference does the same list-length check)."""
+    frame = series_arg(ctx, exp, exp.args[0], f, u)
+    if frame.df.select(NAME).limit(1).count() == 0:
+        return series_arg(ctx, exp, exp.args[1], f, u)
+    return frame

@@ -1,0 +1,152 @@
+"""The series lake: Parquet-backed storage for the engine.
+
+Replaces the reference's remote-backend "zipper" fan-out
+(``zipper/protocols/*``): instead of N storage daemons answering glob
+fetches, we own a long Parquet table
+
+    name STRING, ts BIGINT, value DOUBLE
+
+(ideally written partitioned by a time bucket and sorted/bucketed by
+``name``). A fetch is then a *declarative scan*:
+
+- glob pattern  -> pushed-down predicate on ``name`` (equality / IN for
+  brace-only patterns, RLIKE otherwise — equality and IN reach the Parquet
+  row-group filters; RLIKE at minimum prunes via a pushed-down prefix
+  ``StartsWith`` we derive from the pattern),
+- [from, until) -> range predicate on ``ts`` (partition pruning when the
+  lake is laid out by time),
+- tag queries (``seriesByTag``) -> predicates over tags parsed from the
+  ``;k=v`` name suffix (``expr/tags/helper.go:160`` semantics).
+
+Fetched frames are densified so downstream operators see the reference's
+dense-vector invariant (gap == NULL row).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from carbonapi_spark.model.series import NAME, ORD, TS, VALUE, SeriesFrame
+from carbonapi_spark.parser.globs import glob_to_regex, has_wildcard
+
+
+def tags_expr(name: Column) -> Column:
+    """MAP<STRING,STRING> of graphite tags from ``base;k=v;k2=v2`` names.
+
+    The ``name`` tag always exists and holds the base (tags/helper.go:160).
+    """
+    parts = F.split(name, ";")
+    kvs = F.filter(F.slice(parts, 2, F.greatest(F.size(parts) - 1, F.lit(0))),
+                   lambda s: s.contains("="))
+    entries = F.transform(
+        kvs, lambda s: F.struct(F.split_part(s, F.lit("="), F.lit(1)).alias("key"),
+                                F.substring_index(s, "=", -1).alias("value")))
+    base_entry = F.array(F.struct(F.lit("name").alias("key"),
+                                  F.element_at(parts, 1).alias("value")))
+    return F.map_from_entries(F.concat(base_entry, entries))
+
+
+_TAG_TERM = re.compile(r"^\s*'([^']+)'\s*$|^\s*\"([^\"]+)\"\s*$")
+_TAG_EXPR = re.compile(r"^([^=!~]+)\s*(=~|!=~|!=|=)\s*(.*)$")
+
+
+def tag_predicate(spec: str, tags: Column) -> Column:
+    """One seriesByTag term -> boolean Column.
+
+    Grammar per ``expr/functions/seriesByTag/function.go:40``:
+    ``tag=value`` exact (empty value matches missing tag), ``tag!=value``,
+    ``tag=~regex`` (unanchored at end, anchored at start), ``tag!=~regex``.
+    """
+    m = _TAG_EXPR.match(spec)
+    if not m:
+        raise ValueError(f"bad seriesByTag term {spec!r}")
+    key, op, val = m.group(1).strip(), m.group(2), m.group(3).strip()
+    tag = tags.getItem(key)
+    if op == "=":
+        if val == "":
+            return tag.isNull() | (tag == "")
+        return tag == val
+    if op == "!=":
+        return tag.isNull() | (tag != val)
+    rx = val if val.startswith("^") else "^" + val
+    if op == "=~":
+        return tag.isNotNull() & tag.rlike(rx)
+    return tag.isNull() | ~tag.rlike(rx)
+
+
+def glob_prefix(pattern: str) -> str:
+    """Literal prefix before the first wildcard (for pushed-down StartsWith)."""
+    for i, c in enumerate(pattern):
+        if c in "*?[{":
+            return pattern[:i]
+    return pattern
+
+
+class SeriesLake:
+    """Fetch interface over a long (name, ts, value) DataFrame."""
+
+    def __init__(self, df: DataFrame, step: int = 60):
+        self.df = df
+        self.step = step
+
+    def _name_predicate(self, pattern: str) -> Column:
+        name = F.col(NAME)
+        if pattern.startswith("seriesByTag(") and pattern.endswith(")"):
+            inner = pattern[len("seriesByTag("):-1]
+            terms = []
+            for raw in _split_quoted_args(inner):
+                m = _TAG_TERM.match(raw)
+                term = (m.group(1) or m.group(2)) if m else raw.strip()
+                terms.append(tag_predicate(term, tags_expr(name)))
+            pred = terms[0]
+            for t in terms[1:]:
+                pred = pred & t
+            return pred
+        if not has_wildcard(pattern):
+            return name == pattern
+        pred = name.rlike(glob_to_regex(pattern))
+        prefix = glob_prefix(pattern)
+        if prefix:
+            # startswith IS pushed to Parquet (StringStartsWith filter);
+            # rlike is evaluated post-scan, so this prunes row groups.
+            pred = name.startswith(prefix) & pred
+        return pred
+
+    def fetch(self, spark, pattern: str, from_ts: int, until_ts: int,
+              *, densify: bool = True) -> SeriesFrame:
+        """Series matching *pattern* with buckets covering [from, until)."""
+        step = self.step
+        start = from_ts - from_ts % step
+        stop = until_ts + (-until_ts) % step
+        if stop <= start:
+            stop = start + step
+        df = (self.df
+              .where(self._name_predicate(pattern))
+              .where((F.col(TS) >= start) & (F.col(TS) < stop))
+              .select(F.col(NAME), F.col(NAME).alias(ORD), F.col(TS).cast("long"),
+                      F.col(VALUE).cast("double")))
+        frame = SeriesFrame(df, step, start, stop)
+        return frame.densify() if densify else frame
+
+
+def _split_quoted_args(s: str) -> list[str]:
+    """Split `'a','b'` arg text at top-level commas, respecting quotes."""
+    out, cur, q = [], [], ""
+    for ch in s:
+        if q:
+            if ch == q:
+                q = ""
+            cur.append(ch)
+        elif ch in "'\"":
+            q = ch
+            cur.append(ch)
+        elif ch == ",":
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur))
+    return out

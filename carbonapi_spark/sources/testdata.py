@@ -1,0 +1,81 @@
+"""Projections of the driver's synthetic tables into the series lake shape.
+
+``/root/testdata/sf*/events.parquet`` (event_id, ts, user_id, event_type,
+value, props) becomes two Graphite series families on a fixed hourly step
+(deterministic, so the DuckDB oracle can reproduce them exactly):
+
+- ``events.<event_type>``             value = sum(value) per hour   (depth 2)
+- ``events.u<user_id%10>.<event_type>`` value = sum(value) per hour (depth 3,
+  glob-able middle segment, 50 series)
+
+The projection is sparse (only buckets with events); ``SeriesLake.fetch``
+densifies to the request range, which introduces genuine NULL gaps.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from carbonapi_spark.sources.lake import SeriesLake
+
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+
+# [2024-01-01, 2024-01-31) UTC — the events table's hour-bucket coverage
+EVENTS_FROM = 1704067200
+EVENTS_UNTIL = 1706659200
+EVENTS_STEP = 3600
+
+
+def load_tables(spark: SparkSession, sf_dir: str,
+                names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
+    return {n: spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names}
+
+
+def events_series_df(spark: SparkSession, sf_dir: str,
+                     step: int = EVENTS_STEP) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    bucket = (F.unix_timestamp(F.date_trunc("hour", F.col("ts")))).alias("ts")
+    by_type = (ev.groupBy(F.concat(F.lit("events."), F.col("event_type")).alias("name"),
+                          bucket)
+                 .agg(F.sum("value").alias("value")))
+    by_user = (ev.groupBy(F.concat(F.lit("events.u"), (F.col("user_id") % 10).cast("string"),
+                                   F.lit("."), F.col("event_type")).alias("name"),
+                          bucket)
+                 .agg(F.sum("value").alias("value")))
+    return by_type.unionByName(by_user)
+
+
+def events_series_lake(spark: SparkSession, sf_dir: str,
+                       step: int = EVENTS_STEP) -> SeriesLake:
+    return SeriesLake(events_series_df(spark, sf_dir, step), step)
+
+
+# The same projection as DuckDB SQL, for __spark_entry__ oracles.
+ORACLE_EVENTS_CTE = """
+ev AS (
+  SELECT 'events.' || event_type AS name,
+         CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS ts,
+         SUM(value) AS value
+  FROM events GROUP BY 1, 2
+  UNION ALL
+  SELECT 'events.u' || CAST(user_id % 10 AS VARCHAR) || '.' || event_type AS name,
+         CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS ts,
+         SUM(value) AS value
+  FROM events GROUP BY 1, 2
+),
+spine AS (SELECT ts FROM generate_series({from_ts}, {until_ts} - {step}, {step}) g(ts)),
+names AS (SELECT DISTINCT name FROM ev WHERE {name_filter}),
+dense AS (
+  SELECT n.name, s.ts, e.value
+  FROM names n CROSS JOIN spine s
+  LEFT JOIN ev e ON e.name = n.name AND e.ts = s.ts
+)
+""".strip()
+
+
+def oracle_prefix(name_filter: str = "TRUE", from_ts: int = EVENTS_FROM,
+                  until_ts: int = EVENTS_UNTIL, step: int = EVENTS_STEP) -> str:
+    """WITH-clause body giving a densified `dense(name, ts, value)` CTE."""
+    return ORACLE_EVENTS_CTE.format(name_filter=name_filter, from_ts=from_ts,
+                                    until_ts=until_ts, step=step)
