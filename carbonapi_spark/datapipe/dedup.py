@@ -1,0 +1,130 @@
+"""Deduplication for training corpora: exact, MinHash+LSH, SimHash,
+n-gram Jaccard.
+
+Scale shape:
+- exact: one hash aggregation on the content key (map-side combine),
+- MinHash/LSH: shingle -> K minhashes -> B bands -> groupBy(band signature)
+  bucket join; candidate pairs are verified with exact Jaccard. Only
+  same-bucket pairs are compared, so the quadratic blowup is bounded by
+  bucket sizes — the standard way to near-dedup billions of docs.
+
+Hashes are portable polynomial hashes (no engine-internal hash()), so an
+external oracle can reproduce the exact-dup results; MinHash parameters are
+deterministic (seeded affine permutations over a Mersenne prime).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from carbonapi_spark.datapipe.text import tokens, _poly_hash
+
+# 31-bit Mersenne prime: keeps (a*h + b) inside int64 under ANSI mode
+MERSENNE = (1 << 31) - 1
+
+
+def exact_dedup(df: DataFrame, key_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """One row per distinct content: keeper id + duplicate count."""
+    return (df.groupBy(key_col)
+            .agg(F.min(id_col).alias("keeper_id"),
+                 F.count(F.lit(1)).alias("n_copies"))
+            .select("keeper_id", "n_copies"))
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of the lowercased token stream."""
+    toks = tokens(F.lower(text))
+    k = F.size(toks) - (n - 1)
+    grams = F.transform(F.sequence(F.lit(1), F.greatest(k, F.lit(0))),
+                        lambda i: F.array_join(F.slice(toks, i, n), " "))
+    return F.array_distinct(grams)
+
+
+def _affine_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for h_i(x) = (a*x + b) mod p."""
+    import random
+    rng = random.Random(seed)
+    return [(rng.randrange(1, MERSENNE), rng.randrange(0, MERSENNE))
+            for _ in range(num_hashes)]
+
+
+def minhash_signature(text: Column, num_hashes: int = 16,
+                      ngram: int = 3, seed: int = 42) -> Column:
+    """ARRAY<BIGINT> of minhashes over the shingle set."""
+    sh = shingles(text, ngram)
+    base = F.transform(sh, lambda s: _poly_hash(s, MERSENNE))
+    params = _affine_params(num_hashes, seed)
+    sigs = [
+        F.coalesce(
+            F.array_min(F.transform(base, lambda h: (h * a + b) % MERSENNE)),
+            F.lit(MERSENNE))
+        for (a, b) in params
+    ]
+    return F.array(*sigs)
+
+
+def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", num_hashes: int = 16,
+                           bands: int = 4, ngram: int = 3,
+                           seed: int = 42) -> DataFrame:
+    """Candidate near-duplicate pairs via banded LSH: docs sharing any band
+    signature. Returns (id_a, id_b) with id_a < id_b, distinct."""
+    rows = num_hashes // bands
+    sig = (df.select(F.col(id_col).alias("__id"),
+                     minhash_signature(F.col(text_col), num_hashes, ngram,
+                                       seed).alias("__sig")))
+    banded = sig.select(
+        "__id",
+        F.explode(F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.struct(b.alias("band"),
+                               F.slice("__sig", b * rows + 1, rows)
+                               .cast("array<string>").alias("key")))).alias("bk"))
+    banded = banded.select("__id", F.col("bk.band").alias("band"),
+                           F.array_join("bk.key", ",").alias("key"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.key") == F.col("b.key"))
+                    & (F.col("a.__id") < F.col("b.__id")))
+             .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+             .distinct())
+    return pairs
+
+
+def jaccard_verify(df: DataFrame, pairs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", ngram: int = 3,
+                   threshold: float = 0.8) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs; keeps pairs >= threshold."""
+    sh = df.select(F.col(id_col).alias("__id"),
+                   shingles(F.col(text_col), ngram).alias("__sh"))
+    j = (pairs
+         .join(sh.withColumnRenamed("__id", "id_a").withColumnRenamed("__sh", "sh_a"), "id_a")
+         .join(sh.withColumnRenamed("__id", "id_b").withColumnRenamed("__sh", "sh_b"), "id_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (j.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+            .where(F.col("jaccard") >= threshold))
+
+
+def simhash(text: Column, bits: int = 64) -> Column:
+    """SimHash of the token stream: sign-sum of per-token hash bits.
+
+    Bit i of the result = 1 iff sum over tokens of (+1 if token-hash bit i
+    set else -1) > 0. Distance between simhashes approximates cosine
+    similarity of the bag-of-words vectors."""
+    toks = tokens(F.lower(text))
+    th = F.transform(toks, lambda t: _poly_hash(t, MERSENNE))
+    mask = lambda i: F.pow(F.lit(2.0), i.cast("double")).cast("long")  # noqa: E731
+    bit_sums = F.transform(
+        F.sequence(F.lit(0), F.lit(bits - 1)),
+        lambda i: F.aggregate(
+            th, F.lit(0),
+            lambda acc, h: acc + F.when((h.bitwiseAND(mask(i))) != 0, 1).otherwise(-1)))
+    return F.aggregate(
+        F.zip_with(bit_sums, F.sequence(F.lit(0), F.lit(bits - 1)),
+                   lambda s, i: F.when(s > 0, mask(i)).otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"), lambda acc, x: acc.bitwiseOR(x))

@@ -1,0 +1,89 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute-force cosine top-k: exact baseline — a broadcast of the (tiny)
+  query set against a single pass over the corpus; dot products via
+  ``zip_with``/``aggregate`` higher-order functions (JVM-side, no Python),
+- LSH-bucketed variant (random hyperplane signatures) as the 100 TB path:
+  same idea as MinHash-LSH — only same-bucket vectors are compared.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                              F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    n = norm(a) * norm(b)
+    return F.when(n > 0, dot(a, b) / n)
+
+
+def _as_double(col: Column) -> Column:
+    return col.cast("array<double>")
+
+
+def brute_force_topk(corpus: DataFrame, query: DataFrame, k: int = 10,
+                     id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k cosine neighbors for every query vector.
+
+    Broadcast the query side; the corpus is scanned once. Output:
+    (query_id, neighbor_id, cos_sim), excluding self-matches."""
+    q = query.select(F.col(id_col).alias("query_id"),
+                     _as_double(F.col(vec_col)).alias("__qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      _as_double(F.col(vec_col)).alias("__cv"))
+    sims = (c.crossJoin(F.broadcast(q))
+            .where(F.col("neighbor_id") != F.col("query_id"))
+            .select("query_id", "neighbor_id",
+                    F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("cos_sim")))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(),
+                                               F.col("neighbor_id"))
+    return (sims.withColumn("__rk", F.row_number().over(w))
+            .where(F.col("__rk") <= k).drop("__rk"))
+
+
+def hyperplane_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane LSH signature: bit i = sign(dot(vec, plane_i))."""
+    bits = [F.when(dot(_as_double(vec), F.array(*[F.lit(p) for p in plane])) > 0,
+                   F.lit(1)).otherwise(F.lit(0))
+            for plane in planes]
+    return F.concat_ws("", *[b.cast("string") for b in bits])
+
+
+def random_planes(dim: int, n_planes: int = 12, seed: int = 42) -> list[list[float]]:
+    import random
+    rng = random.Random(seed)
+    return [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def lsh_topk(corpus: DataFrame, query: DataFrame, k: int = 10,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             dim: int = 64, n_planes: int = 8, seed: int = 42) -> DataFrame:
+    """Approximate top-k: compare only vectors sharing the hyperplane-LSH
+    bucket with the query. At 100 TB this replaces the full cross join with
+    a bucket-key equi-join (shuffle on the signature)."""
+    planes = random_planes(dim, n_planes, seed)
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      _as_double(F.col(vec_col)).alias("__cv"),
+                      hyperplane_signature(F.col(vec_col), planes).alias("__sig"))
+    q = query.select(F.col(id_col).alias("query_id"),
+                     _as_double(F.col(vec_col)).alias("__qv"),
+                     hyperplane_signature(F.col(vec_col), planes).alias("__sig"))
+    sims = (c.join(F.broadcast(q), "__sig")
+            .where(F.col("neighbor_id") != F.col("query_id"))
+            .select("query_id", "neighbor_id",
+                    F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("cos_sim")))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(),
+                                               F.col("neighbor_id"))
+    return (sims.withColumn("__rk", F.row_number().over(w))
+            .where(F.col("__rk") <= k).drop("__rk"))

@@ -1,0 +1,86 @@
+"""Text analysis for training-data pipelines: token counting, quality
+scoring, language ID, fingerprinting.
+
+Everything is built from JVM-side expressions (split/regexp/aggregate), so
+the scoring runs inside whole-stage codegen over the raw Parquet scan —
+no Python in the hot path, which is what makes it viable at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# A tiny per-language marker lexicon for the n-gram/stopword heuristic.
+# Deterministic and SQL-expressible (same lists are inlined in the DuckDB
+# oracle), which matters more here than linguistic perfection.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "les", "et", "est"],
+    "es": ["el", "los", "las", "es", "una"],
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization with empty-token filtering."""
+    return F.filter(F.split(text, r"\s+"), lambda t: t != "")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def word_set(text: Column) -> Column:
+    return F.array_distinct(tokens(F.lower(text)))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length/word/punctuation/stopword quality features per document."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_chars = F.length(t)
+    n_tokens = F.size(toks)
+    tok_chars = F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x))
+    avg_token_len = F.when(n_tokens > 0, tok_chars.cast("double") / n_tokens)
+    n_punct = F.length(t) - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    punct_ratio = F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(F.lit(0.0))
+    en_stop = LANG_MARKERS["en"]
+    stop_hits = F.size(F.filter(toks, lambda x: F.lower(x).isin(en_stop)))
+    stop_ratio = F.when(n_tokens > 0, stop_hits.cast("double") / n_tokens).otherwise(F.lit(0.0))
+    return df.select(
+        "doc_id",
+        n_chars.cast("long").alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round(F.coalesce(avg_token_len, F.lit(0.0)), 6).alias("avg_token_len"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+    )
+
+
+def lang_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-word hit count per language — the deterministic core of
+    n-gram language ID. argmax(lang) is a trivial greatest() on top."""
+    toks = word_set(F.col(text_col))
+    cols = [F.col("doc_id")]
+    for lang, markers in LANG_MARKERS.items():
+        cols.append(F.size(F.filter(toks, lambda x: x.isin(markers)))
+                    .cast("long").alias(f"score_{lang}"))
+    return df.select(*cols)
+
+
+def fingerprint(text: Column, modulus: int = 2147483647) -> Column:
+    """Deterministic rolling-hash document fingerprint (polynomial hash of
+    the token stream, base 31, SQL-portable — no engine hash() involved)."""
+    toks = tokens(F.lower(text))
+    tok_hash = lambda t: _poly_hash(t, modulus)  # noqa: E731
+    return F.aggregate(
+        toks, F.lit(0).cast("long"),
+        lambda acc, t: (acc * 131 + tok_hash(t)) % modulus)
+
+
+def _poly_hash(token: Column, modulus: int) -> Column:
+    """Polynomial char hash: sum(code*31^i) mod m, via aggregate over chars."""
+    chars = F.split(token, "")
+    return F.aggregate(
+        chars, F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + F.ascii(c)) % modulus)

@@ -1,0 +1,427 @@
+"""Driver-contract query catalog: every entry pairs a Spark query (through
+the real engine) with an ANSI-SQL DuckDB oracle over the same parquet
+tables. This is the correctness gate (CORRECTNESS_r{N}.json).
+
+Graphite queries run over the deterministic events->series projection
+(`sources/testdata.py`); the oracle reproduces projection + operator in
+pure SQL. Column names and value rounding (6 dp on doubles) are mirrored
+exactly — the driver hashes values after sorting columns by name.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from carbonapi_spark.evaluator import EvalContext, eval_target
+from carbonapi_spark.model.series import NAME, TS, VALUE
+from carbonapi_spark.sources.testdata import (
+    EVENTS_FROM,
+    EVENTS_STEP,
+    EVENTS_UNTIL,
+    events_series_lake,
+    oracle_prefix,
+)
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def _register(name: str, fn, oracle: str | None = None):
+    QUERIES[name] = fn
+    if oracle is not None:
+        ORACLES[name] = oracle
+
+
+def graphite_query(target: str, from_ts: int = EVENTS_FROM,
+                   until_ts: int = EVENTS_UNTIL):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        lake = events_series_lake(spark, sf_dir)
+        ctx = EvalContext(spark, lake, from_ts, until_ts)
+        frame = eval_target(ctx, target)
+        return frame.df.select(
+            F.col(NAME).alias("name"), F.col(TS).alias("ts"),
+            F.round(F.col(VALUE), 6).alias("value"))
+    q.__name__ = f"graphite[{target}]"
+    return q
+
+
+def _g(name: str, target: str, oracle_body: str, name_filter: str,
+       from_ts: int = EVENTS_FROM, until_ts: int = EVENTS_UNTIL):
+    """Register a graphite query + oracle; oracle_body SELECTs from `dense`."""
+    sql = f"WITH {oracle_prefix(name_filter, from_ts, until_ts)}\n{oracle_body}"
+    _register(name, graphite_query(target, from_ts, until_ts), sql)
+
+
+W_SERIES = "PARTITION BY name ORDER BY ts"
+
+# --------------------------------------------------------------------------
+# scans / fetch
+# --------------------------------------------------------------------------
+
+_g("fetch_glob", "events.u*.click",
+   "SELECT name, ts, round(value, 6) AS value FROM dense",
+   r"regexp_matches(name, '^events\.u[^.]*\.click$')")
+
+_g("fetch_exact", "events.purchase",
+   "SELECT name, ts, round(value, 6) AS value FROM dense",
+   "name = 'events.purchase'")
+
+# --------------------------------------------------------------------------
+# cross-series aggregation
+# --------------------------------------------------------------------------
+
+_g("sum_series", "sumSeries(events.u*.click)",
+   "SELECT 'sumSeries(events.u*.click)' AS name, ts, round(SUM(value), 6) AS value "
+   "FROM dense GROUP BY ts",
+   r"regexp_matches(name, '^events\.u[^.]*\.click$')")
+
+_g("avg_series", "averageSeries(events.u*.view)",
+   "SELECT 'averageSeries(events.u*.view)' AS name, ts, round(AVG(value), 6) AS value "
+   "FROM dense GROUP BY ts",
+   r"regexp_matches(name, '^events\.u[^.]*\.view$')")
+
+_g("max_series", "maxSeries(events.*)",
+   "SELECT 'maxSeries(events.*)' AS name, ts, round(MAX(value), 6) AS value "
+   "FROM dense GROUP BY ts",
+   r"regexp_matches(name, '^events\.[^.]*$')")
+
+_g("count_series", "countSeries(events.u*.error)",
+   "SELECT 'countSeries(events.u*.error)' AS name, ts, "
+   "round(CASE WHEN COUNT(value) > 0 THEN CAST(COUNT(value) AS DOUBLE) END, 6) AS value "
+   "FROM dense GROUP BY ts",
+   r"regexp_matches(name, '^events\.u[^.]*\.error$')")
+
+_g("group_by_node", "groupByNode(events.u*.*, 2, 'sum')",
+   "SELECT split_part(name, '.', 3) AS name, ts, round(SUM(value), 6) AS value "
+   "FROM dense GROUP BY 1, ts",
+   r"regexp_matches(name, '^events\.u[^.]*\.[^.]*$')")
+
+_g("percentile_of_series", "percentileOfSeries(events.u*.view, 75, true)",
+   "SELECT 'percentileOfSeries(events.u*.view,75,true)' AS name, ts, "
+   "round(quantile_cont(value, 0.75), 6) AS value FROM dense GROUP BY ts",
+   r"regexp_matches(name, '^events\.u[^.]*\.view$')")
+
+# --------------------------------------------------------------------------
+# per-point transforms
+# --------------------------------------------------------------------------
+
+_g("scale", "scale(events.click, 2.5)",
+   "SELECT 'scale(events.click,2.5)' AS name, ts, round(value * 2.5, 6) AS value "
+   "FROM dense",
+   "name = 'events.click'")
+
+_g("derivative", "derivative(events.click)",
+   f"SELECT 'derivative(events.click)' AS name, ts, "
+   f"round(value - lag(value) OVER ({W_SERIES}), 6) AS value FROM dense",
+   "name = 'events.click'")
+
+_g("non_negative_derivative", "nonNegativeDerivative(events.signup)",
+   f"SELECT 'nonNegativeDerivative(events.signup)' AS name, ts, "
+   f"round(CASE WHEN value - lag(value) OVER ({W_SERIES}) >= 0 "
+   f"THEN value - lag(value) OVER ({W_SERIES}) END, 6) AS value FROM dense",
+   "name = 'events.signup'")
+
+_g("integral", "integral(events.click)",
+   f"SELECT 'integral(events.click)' AS name, ts, "
+   f"round(CASE WHEN value IS NOT NULL THEN "
+   f"SUM(value) OVER ({W_SERIES} ROWS UNBOUNDED PRECEDING) END, 6) AS value "
+   f"FROM dense",
+   "name = 'events.click'")
+
+_g("transform_null", "transformNull(events.error, 0)",
+   "SELECT 'transformNull(events.error,0)' AS name, ts, "
+   "round(COALESCE(value, 0), 6) AS value FROM dense",
+   "name = 'events.error'")
+
+_g("keep_last_value", "keepLastValue(events.error, 3)",
+   """
+SELECT 'keepLastValue(events.error,3)' AS name, d.ts,
+       round(CASE WHEN d.value IS NOT NULL THEN d.value
+                  WHEN d.last_ts IS NOT NULL AND (d.ts - d.last_ts) / 3600 <= 3
+                       THEN lv.value END, 6) AS value
+FROM (SELECT name, ts, value,
+             max(CASE WHEN value IS NOT NULL THEN ts END)
+                 OVER (PARTITION BY name ORDER BY ts) AS last_ts
+      FROM dense) d
+LEFT JOIN dense lv ON lv.name = d.name AND lv.ts = d.last_ts
+""".strip(),
+   "name = 'events.error'")
+
+_g("invert", "invert(events.view)",
+   "SELECT 'invert(events.view)' AS name, ts, "
+   "round(CASE WHEN value != 0 THEN 1.0 / value END, 6) AS value FROM dense",
+   "name = 'events.view'")
+
+_g("offset_to_zero", "offsetToZero(events.purchase)",
+   "SELECT 'offsetToZero(events.purchase)' AS name, ts, "
+   "round(value - MIN(value) OVER (PARTITION BY name), 6) AS value FROM dense",
+   "name = 'events.purchase'")
+
+# --------------------------------------------------------------------------
+# alias family
+# --------------------------------------------------------------------------
+
+_g("alias_by_node", "aliasByNode(events.u*.signup, 1)",
+   "SELECT split_part(name, '.', 2) AS name, ts, round(value, 6) AS value FROM dense",
+   r"regexp_matches(name, '^events\.u[^.]*\.signup$')")
+
+_g("alias_sub", "aliasSub(events.u*.click, 'events.u(\\d+)', 'user\\1')",
+   "SELECT regexp_replace(name, 'events.u(\\d+)', 'user\\1') AS name, ts, "
+   "round(value, 6) AS value FROM dense",
+   r"regexp_matches(name, '^events\.u[^.]*\.click$')")
+
+# --------------------------------------------------------------------------
+# time buckets / windows
+# --------------------------------------------------------------------------
+
+_g("summarize_1d", "summarize(events.click, '1d')",
+   f"""
+, bucket_spine AS (
+  SELECT ts FROM generate_series({EVENTS_FROM}, {EVENTS_UNTIL}, 86400) g(ts)
+), agg AS (
+  SELECT ts - ts % 86400 AS bts, SUM(value) AS v FROM dense GROUP BY 1
+)
+SELECT 'summarize(events.click,''1d'')' AS name, b.ts, round(a.v, 6) AS value
+FROM bucket_spine b LEFT JOIN agg a ON a.bts = b.ts
+""".strip(),
+   "name = 'events.click'")
+
+_g("summarize_max", "summarize(events.view, '6h', 'max')",
+   f"""
+, bucket_spine AS (
+  SELECT ts FROM generate_series({EVENTS_FROM}, {EVENTS_UNTIL}, 21600) g(ts)
+), agg AS (
+  SELECT ts - ts % 21600 AS bts, MAX(value) AS v FROM dense GROUP BY 1
+)
+SELECT 'summarize(events.view,''6h'',''max'')' AS name, b.ts, round(a.v, 6) AS value
+FROM bucket_spine b LEFT JOIN agg a ON a.bts = b.ts
+""".strip(),
+   "name = 'events.view'")
+
+_g("hitcount_1d", "hitcount(events.view, '1d')",
+   f"""
+, bucket_spine AS (
+  SELECT ts FROM generate_series({EVENTS_FROM}, {EVENTS_UNTIL} - 86400, 86400) g(ts)
+), agg AS (
+  SELECT ts - ts % 86400 AS bts, SUM(value * 3600) AS v
+  FROM dense WHERE value IS NOT NULL GROUP BY 1
+)
+SELECT 'hitcount(events.view,''1d'')' AS name, b.ts, round(a.v, 6) AS value
+FROM bucket_spine b LEFT JOIN agg a ON a.bts = b.ts
+""".strip(),
+   "name = 'events.view'")
+
+_g("moving_average", "movingAverage(events.click, 6)",
+   f"SELECT 'movingAverage(events.click,6)' AS name, ts, "
+   f"round(AVG(value) OVER ({W_SERIES} ROWS BETWEEN 5 PRECEDING AND CURRENT ROW), 6) "
+   f"AS value FROM dense",
+   "name = 'events.click'")
+
+_g("moving_sum_interval", "movingSum(events.purchase, '12h')",
+   f"SELECT 'movingSum(events.purchase,''12h'')' AS name, ts, "
+   f"round(SUM(value) OVER ({W_SERIES} ROWS BETWEEN 11 PRECEDING AND CURRENT ROW), 6) "
+   f"AS value FROM dense",
+   "name = 'events.purchase'")
+
+_g("stdev", "stdev(events.click, 6)",
+   f"""
+SELECT 'stdev(events.click,6)' AS name, ts,
+       round(CASE WHEN value IS NOT NULL AND NOT (idx >= 5 AND nn < 5)
+                  THEN COALESCE(sd, 0) END, 6) AS value
+FROM (
+  SELECT name, ts, value,
+         row_number() OVER ({W_SERIES}) - 1 AS idx,
+         count(value) OVER ({W_SERIES} ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS nn,
+         stddev_pop(value) OVER ({W_SERIES} ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS sd
+  FROM dense)
+""".strip(),
+   "name = 'events.click'")
+
+# --------------------------------------------------------------------------
+# sorts / filters / top-k
+# --------------------------------------------------------------------------
+
+_g("highest_average", "highestAverage(events.u*.click, 3)",
+   """
+, sel AS (SELECT name FROM dense GROUP BY name
+          ORDER BY AVG(value) DESC NULLS LAST, name LIMIT 3)
+SELECT d.name, d.ts, round(d.value, 6) AS value
+FROM dense d JOIN sel USING (name)
+""".strip(),
+   r"regexp_matches(name, '^events\.u[^.]*\.click$')")
+
+_g("sort_limit", "limit(sortByTotal(events.u*.purchase), 2)",
+   """
+, sel AS (SELECT name FROM dense GROUP BY name
+          ORDER BY SUM(value) DESC NULLS LAST, name LIMIT 2)
+SELECT d.name, d.ts, round(d.value, 6) AS value
+FROM dense d JOIN sel USING (name)
+""".strip(),
+   r"regexp_matches(name, '^events\.u[^.]*\.purchase$')")
+
+_g("maximum_above", "maximumAbove(events.u*.view, 40)",
+   """
+, sel AS (SELECT name FROM dense GROUP BY name HAVING MAX(value) > 40)
+SELECT d.name, d.ts, round(d.value, 6) AS value
+FROM dense d JOIN sel USING (name)
+""".strip(),
+   r"regexp_matches(name, '^events\.u[^.]*\.view$')")
+
+_g("grep_filter", "grep(events.u*.error, 'u[0-4]')",
+   "SELECT name, ts, round(value, 6) AS value FROM dense "
+   "WHERE regexp_matches(name, 'u[0-4]')",
+   r"regexp_matches(name, '^events\.u[^.]*\.error$')")
+
+_g("remove_above_value", "removeAboveValue(events.click, 30)",
+   "SELECT 'removeAboveValue(events.click,30)' AS name, ts, "
+   "round(CASE WHEN value <= 30 THEN value END, 6) AS value FROM dense",
+   "name = 'events.click'")
+
+# --------------------------------------------------------------------------
+# joins
+# --------------------------------------------------------------------------
+
+_g("divide_series", "divideSeries(events.purchase, events.click)",
+   """
+SELECT 'divideSeries(events.purchase,events.click)' AS name, a.ts,
+       round(CASE WHEN b.value != 0 THEN a.value / b.value END, 6) AS value
+FROM (SELECT ts, value FROM dense WHERE name = 'events.purchase') a
+JOIN (SELECT ts, value FROM dense WHERE name = 'events.click') b USING (ts)
+""".strip(),
+   "name IN ('events.purchase', 'events.click')")
+
+_g("as_percent_total", "asPercent(events.u*.error)",
+   """
+SELECT 'asPercent(' || name || ',sumSeries(events.u*.error))' AS name, ts,
+       round(CASE WHEN SUM(value) OVER (PARTITION BY ts) != 0
+                  THEN value / SUM(value) OVER (PARTITION BY ts) * 100 END, 6) AS value
+FROM dense
+""".strip(),
+   r"regexp_matches(name, '^events\.u[^.]*\.error$')")
+
+# timeShift: engine runs over [from+1d, until) fetching the displaced window
+# [from, until-1d); the oracle densifies the displaced window and relabels.
+_register(
+    "time_shift",
+    graphite_query("timeShift(events.click, '-1d')",
+                   EVENTS_FROM + 86400, EVENTS_UNTIL),
+    f"""WITH {oracle_prefix("name = 'events.click'", EVENTS_FROM, EVENTS_UNTIL - 86400)}
+SELECT 'timeShift(events.click,''-1d'')' AS name, ts + 86400 AS ts,
+       round(value, 6) AS value
+FROM dense""")
+
+# --------------------------------------------------------------------------
+# training-data pipeline: documents / embeddings
+# --------------------------------------------------------------------------
+
+def _q_dedup_exact(spark, sf_dir):
+    from carbonapi_spark.datapipe.dedup import exact_dedup
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return exact_dedup(docs).select(
+        F.col("keeper_id").cast("long"), F.col("n_copies").cast("long"))
+
+
+_register("dedup_exact", _q_dedup_exact, """
+SELECT CAST(MIN(doc_id) AS BIGINT) AS keeper_id, CAST(COUNT(*) AS BIGINT) AS n_copies
+FROM documents GROUP BY text
+""".strip())
+
+
+def _q_token_count(spark, sf_dir):
+    from carbonapi_spark.datapipe.text import token_count
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id", token_count(F.col("text")).cast("long").alias("n_tokens"))
+
+
+_register("token_count", _q_token_count, r"""
+SELECT doc_id,
+       CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x != '')) AS BIGINT)
+           AS n_tokens
+FROM documents
+""".strip())
+
+
+def _q_doc_quality(spark, sf_dir):
+    from carbonapi_spark.datapipe.text import quality_features
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return quality_features(docs)
+
+
+_register("doc_quality", _q_doc_quality, r"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       round(CASE WHEN len(toks) > 0
+             THEN CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)
+             ELSE 0 END, 6) AS avg_token_len,
+       round(CAST(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS DOUBLE)
+             / NULLIF(length(text), 0), 6) AS punct_ratio,
+       round(CAST(len(list_filter(toks, x -> list_contains(['the','and','of','to','in'], lower(x)))) AS DOUBLE)
+             / NULLIF(len(toks), 0), 6) AS stopword_ratio
+FROM (SELECT doc_id, text,
+             list_filter(string_split_regex(text, '\s+'), x -> x != '') AS toks
+      FROM documents)
+""".strip())
+
+
+def _q_lang_scores(spark, sf_dir):
+    from carbonapi_spark.datapipe.text import lang_scores
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return lang_scores(docs)
+
+
+_register("lang_scores", _q_lang_scores, r"""
+SELECT doc_id,
+       CAST(len(list_intersect(ws, ['the','and','of','to','in'])) AS BIGINT) AS score_en,
+       CAST(len(list_intersect(ws, ['der','die','und','das','ist'])) AS BIGINT) AS score_de,
+       CAST(len(list_intersect(ws, ['le','la','les','et','est'])) AS BIGINT) AS score_fr,
+       CAST(len(list_intersect(ws, ['el','los','las','es','una'])) AS BIGINT) AS score_es
+FROM (SELECT doc_id,
+             list_distinct(list_filter(string_split_regex(lower(text), '\s+'), x -> x != '')) AS ws
+      FROM documents)
+""".strip())
+
+
+def _q_ann_topk(spark, sf_dir):
+    from carbonapi_spark.datapipe.similarity import brute_force_topk
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    query = emb.where(F.col("vec_id") < 5)
+    return brute_force_topk(emb, query, k=10)
+
+
+_register("ann_topk", _q_ann_topk, """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 5),
+     c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+     sims AS (
+       SELECT query_id, neighbor_id,
+              round(list_dot_product(qv, cv)
+                    / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))),
+                    6) AS cos_sim
+       FROM c, q WHERE neighbor_id != query_id)
+SELECT query_id, neighbor_id, cos_sim FROM sims
+QUALIFY row_number() OVER (PARTITION BY query_id
+                           ORDER BY cos_sim DESC, neighbor_id) <= 10
+""".strip())
+
+
+def _q_minhash_dedup(spark, sf_dir):
+    """Near-dup pairs via MinHash-LSH + exact Jaccard verify (rows-only
+    check: the banded-LSH bucketing is not reasonably expressible in
+    ANSI SQL)."""
+    from carbonapi_spark.datapipe.dedup import jaccard_verify, minhash_lsh_candidates
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = minhash_lsh_candidates(docs, num_hashes=16, bands=8, ngram=2)
+    return jaccard_verify(docs, pairs, ngram=2, threshold=0.2)
+
+
+_register("minhash_dedup", _q_minhash_dedup)  # rows-only
+
+
+def _q_simhash(spark, sf_dir):
+    from carbonapi_spark.datapipe.dedup import simhash
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id", simhash(F.col("text"), bits=32).alias("simhash"))
+
+
+_register("simhash", _q_simhash)  # rows-only (bit-twiddling oracle omitted)

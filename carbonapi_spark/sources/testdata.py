@@ -34,8 +34,15 @@ def load_tables(spark: SparkSession, sf_dir: str,
 
 def events_series_df(spark: SparkSession, sf_dir: str,
                      step: int = EVENTS_STEP) -> DataFrame:
+    # events.ts is TIMESTAMP(NANOS) parquet, which vanilla Spark rejects;
+    # read nanos as long and bucket with pure integer arithmetic (UTC).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    bucket = (F.unix_timestamp(F.date_trunc("hour", F.col("ts")))).alias("ts")
+    if dict(ev.dtypes).get("ts") == "bigint":
+        sec = F.floor(F.col("ts") / F.lit(1_000_000_000)).cast("long")
+    else:
+        sec = F.floor(F.col("ts").cast("double")).cast("long")
+    bucket = (sec - sec % F.lit(step)).alias("ts")
     by_type = (ev.groupBy(F.concat(F.lit("events."), F.col("event_type")).alias("name"),
                           bucket)
                  .agg(F.sum("value").alias("value")))
