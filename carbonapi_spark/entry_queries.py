@@ -411,7 +411,7 @@ def _q_minhash_dedup(spark, sf_dir):
     ANSI SQL)."""
     from carbonapi_spark.datapipe.dedup import jaccard_verify, minhash_lsh_candidates
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    pairs = minhash_lsh_candidates(docs, num_hashes=16, bands=8, ngram=2)
+    pairs = minhash_lsh_candidates(docs, num_hashes=16, bands=4, ngram=2)
     return jaccard_verify(docs, pairs, ngram=2, threshold=0.2)
 
 
