@@ -32,7 +32,9 @@ def load_all() -> None:
         alias,
         filters,
         joins,
+        misc,
         sortlimit,
+        stats,
         synth,
         timeshift,
         transform,

@@ -17,7 +17,6 @@ from carbonapi_spark.functions.helper import agg_key_expr, series_arg, series_ar
 from carbonapi_spark.model.consolidation import agg_column, percentile_column
 from carbonapi_spark.model.series import NAME, ORD, TS, VALUE, SeriesFrame
 
-V = F.col(VALUE)
 
 # ...Series aliases -> consolidation callback (aggregate/function.go:23-37)
 SERIES_ALIASES = {
@@ -39,6 +38,7 @@ SERIES_ALIASES = {
 def _aggregate_frames(frame: SeriesFrame, func: str, out_name: str,
                       xff: float = 0.0) -> SeriesFrame:
     """Fold all series in *frame* pointwise into one named series."""
+    V = F.col(VALUE)
     agg = agg_column(func, V, F.col(ORD), xff).cast("double").alias(VALUE)
     df = (frame.df.groupBy(TS).agg(agg)
           .select(F.lit(out_name).alias(NAME), F.lit(out_name).alias(ORD),
@@ -76,6 +76,7 @@ def aggregate(ctx, exp, f, u):
 @register("percentileOfSeries")
 def percentile_of_series(ctx, exp, f, u):
     """per-ts n-th percentile across series — percentileOfSeries/function.go:37."""
+    V = F.col(VALUE)
     frame = series_arg(ctx, exp, exp.args[0], f, u)
     n = exp.get_float(1)
     interpolate = exp.get_bool(2, False, names=("interpolate",))
@@ -91,6 +92,7 @@ def _grouped_aggregate(frame: SeriesFrame, key_col, callback: str,
                        name_fmt) -> SeriesFrame:
     """groupBy(key, ts) fold; output one series per key, named by *name_fmt*
     (a Column fn of the key)."""
+    V = F.col(VALUE)
     df = (frame.df
           .withColumn("__key", key_col)
           .groupBy("__key", TS)
@@ -163,6 +165,7 @@ def group_by_tags(ctx, exp, f, u):
 def count_values(ctx, exp, f, u):
     """histogram-as-series: one series per distinct int(value)
     — countValues/function.go:38 (carbonapi extension)."""
+    V = F.col(VALUE)
     frame = series_arg(ctx, exp, exp.args[0], f, u)
     limit = exp.get_int(1, 50, names=("valuesLimit",))
     bucket = F.floor(V).cast("long")

@@ -15,7 +15,6 @@ from carbonapi_spark.functions.helper import series_arg, wrap_name
 from carbonapi_spark.model.consolidation import agg_column
 from carbonapi_spark.model.series import NAME, ORD, TS, VALUE, SeriesFrame
 
-V = F.col(VALUE)
 
 _OPS = {
     "=": lambda c, n: c == n,
@@ -28,6 +27,7 @@ _OPS = {
 
 
 def _filter_by_agg(frame: SeriesFrame, func: str, op: str, threshold: float) -> SeriesFrame:
+    V = F.col(VALUE)
     if op not in _OPS:
         raise ValueError(f"unsupported operator {op!r}")
     per = frame.df.groupBy(ORD).agg(
@@ -95,6 +95,7 @@ def remove_value(ctx, exp, f, u):
 @register("removeAbovePercentile", "removeBelowPercentile")
 def remove_percentile(ctx, exp, f, u):
     """per-series percentile threshold then pointwise NaN."""
+    V = F.col(VALUE)
     n = exp.get_float(1)
     frame = series_arg(ctx, exp, exp.args[0], f, u)
     from carbonapi_spark.model.consolidation import percentile_column
@@ -112,6 +113,7 @@ def remove_percentile(ctx, exp, f, u):
 def remove_empty_series(ctx, exp, f, u):
     """drop all-NaN series; with xff, drop series whose non-null ratio is
     below it — removeEmptySeries/function.go:31."""
+    V = F.col(VALUE)
     frame = series_arg(ctx, exp, exp.args[0], f, u).densify()
     xff = exp.get_float(1, 0.0, names=("xFilesFactor",))
     per = frame.df.groupBy(ORD).agg(
@@ -126,6 +128,7 @@ def remove_empty_series(ctx, exp, f, u):
 @register("removeZeroSeries")
 def remove_zero_series(ctx, exp, f, u):
     """drop series whose every non-null value is 0 (carbonapi ext)."""
+    V = F.col(VALUE)
     frame = series_arg(ctx, exp, exp.args[0], f, u)
     per = frame.df.groupBy(ORD).agg(
         F.count(F.when(V != 0, 1)).alias("__nz"))
@@ -137,6 +140,7 @@ def remove_zero_series(ctx, exp, f, u):
 def average_outside_percentile(ctx, exp, f, u):
     """keep series whose average falls outside the [100-n, n] percentile
     band of all the averages — averageOutsidePercentile/function.go:29."""
+    V = F.col(VALUE)
     frame = series_arg(ctx, exp, exp.args[0], f, u)
     n = exp.get_float(1)
     lo_p, hi_p = min(n, 100 - n), max(n, 100 - n)
@@ -152,6 +156,7 @@ def average_outside_percentile(ctx, exp, f, u):
 @register("tukeyAbove", "tukeyBelow")
 def tukey(ctx, exp, f, u):
     """Tukey-fence outlier series by IQR rule — tukey/function.go:34."""
+    V = F.col(VALUE)
     frame = series_arg(ctx, exp, exp.args[0], f, u)
     basis = exp.get_string(1)
     n = exp.get_float(2, 1.5)

@@ -21,7 +21,6 @@ from carbonapi_spark.functions import register
 from carbonapi_spark.functions.helper import agg_key_expr, series_arg
 from carbonapi_spark.model.series import NAME, ORD, TS, VALUE, SeriesFrame, align
 
-V = F.col(VALUE)
 
 
 def _series_index(df):
@@ -38,6 +37,7 @@ def divide_series(ctx, exp, f, u):
 
     With 2+ args and a wildcard-multi divisor the reference errors; a single
     divisor is broadcast-joined on ts."""
+    V = F.col(VALUE)
     dividend = series_arg(ctx, exp, exp.args[0], f, u)
     if len(exp.args) == 1:
         raise ValueError("divideSeries: divisor required")
@@ -67,6 +67,7 @@ _LIST_OPS = {
 def series_lists(ctx, exp, f, u):
     """pairwise i-th vs i-th — seriesList/function.go:31; lists must have
     equal lengths. Join key = (series rank, ts)."""
+    V = F.col(VALUE)
     fa = series_arg(ctx, exp, exp.args[0], f, u)
     fb = series_arg(ctx, exp, exp.args[1], f, u)
     if exp.target == "aggregateSeriesLists":
@@ -108,6 +109,7 @@ def series_lists(ctx, exp, f, u):
 def as_percent(ctx, exp, f, u):
     """% of total — asPercent/function.go:335-489, all four shapes:
     (sl), (sl, N), (sl, totalSeries), (sl, None|total, *nodes)."""
+    V = F.col(VALUE)
     frame = series_arg(ctx, exp, exp.args[0], f, u)
     nodes = exp.get_node_or_tag_args(2) if len(exp.args) > 2 else []
     total_arg = exp.args[1] if len(exp.args) > 1 else None
@@ -149,6 +151,7 @@ def as_percent(ctx, exp, f, u):
 def _as_percent_by_nodes(ctx, exp, frame, total_arg, nodes, f, u):
     """asPercent grouped by node key, with MISSING padding on both sides
     (asPercent/function.go:400-430)."""
+    V = F.col(VALUE)
     key = agg_key_expr(F.col(NAME), nodes)
     if total_arg is None or (total_arg.is_name() and total_arg.target.lower() == "none"):
         tot = (frame.df.withColumn("__key", key)
@@ -189,6 +192,7 @@ def _as_percent_by_nodes(ctx, exp, frame, total_arg, nodes, f, u):
 def weighted_average(ctx, exp, f, u):
     """sum(avg*weight)/sum(weight) matched by node key
     — weightedAverage/function.go:31."""
+    V = F.col(VALUE)
     favg = series_arg(ctx, exp, exp.args[0], f, u)
     fwgt = series_arg(ctx, exp, exp.args[1], f, u)
     nodes = exp.get_node_or_tag_args(2)

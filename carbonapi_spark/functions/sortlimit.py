@@ -18,11 +18,11 @@ from carbonapi_spark.functions.helper import series_arg, series_args
 from carbonapi_spark.model.consolidation import agg_column
 from carbonapi_spark.model.series import NAME, ORD, TS, VALUE, SeriesFrame
 
-V = F.col(VALUE)
 
 
 def _per_series(frame: SeriesFrame, func: str):
     """One row per series: (ord, __agg)."""
+    V = F.col(VALUE)
     return frame.df.groupBy(ORD).agg(
         agg_column(func, V, F.col(TS), 0.0).cast("double").alias("__agg"))
 
@@ -120,6 +120,7 @@ def most_deviant(ctx, exp, f, u):
 
     Accepts (n, seriesList) or (seriesList, n) argument order like the
     reference."""
+    V = F.col(VALUE)
     if exp.args[0].is_const():
         n, series_idx = exp.get_int(0), 1
     else:

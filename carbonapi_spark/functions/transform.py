@@ -23,7 +23,6 @@ from carbonapi_spark.functions.helper import (
 )
 from carbonapi_spark.model.series import NAME, ORD, TS, VALUE
 
-V = F.col(VALUE)
 
 
 def _simple(ctx, exp, from_ts, until_ts):
@@ -146,6 +145,7 @@ def is_non_null(ctx, exp, f, u):
 def transform_null(ctx, exp, f, u):
     """NaN -> default — transformNull/function.go:35 (referenceSeries form
     joins against a mask of the reference's non-null points)."""
+    V = F.col(VALUE)
     default = exp.get_float(1, 0.0, names=("default",))
     frame = _simple(ctx, exp, f, u)
     ref_exp = exp.named_args.get("referenceSeries")
@@ -169,6 +169,7 @@ def transform_null(ctx, exp, f, u):
 @register("timeSlice")
 def time_slice(ctx, exp, f, u):
     """NULL outside [start, end] — timeSlice/function.go:44."""
+    V = F.col(VALUE)
     start = exp.get_interval(1, default_sign=-1)
     end = exp.get_interval(2, default_sign=-1, default=0)
     now = int(ctx.now.timestamp()) if ctx.now else u
@@ -184,6 +185,7 @@ def time_slice(ctx, exp, f, u):
 @register("offsetToZero")
 def offset_to_zero(ctx, exp, f, u):
     """v - min(series) — offsetToZero/function.go:31."""
+    V = F.col(VALUE)
     frame = _simple(ctx, exp, f, u)
     w = Window.partitionBy(ORD)
     df = frame.df.withColumn(VALUE, V - F.min(V).over(w))
@@ -193,6 +195,7 @@ def offset_to_zero(ctx, exp, f, u):
 @register("minMax")
 def min_max(ctx, exp, f, u):
     """(v-min)/(max-min), degenerate -> 0 — minMax/function.go:32."""
+    V = F.col(VALUE)
     frame = _simple(ctx, exp, f, u)
     w = Window.partitionBy(ORD)
     lo, hi = F.min(V).over(w), F.max(V).over(w)
@@ -207,12 +210,14 @@ def min_max(ctx, exp, f, u):
 @register("derivative")
 def derivative(ctx, exp, f, u):
     """v - prev, first point NaN — derivative/function.go:30."""
+    V = F.col(VALUE)
     frame = _simple(ctx, exp, f, u).densify()
     df = frame.df.withColumn(VALUE, V - F.lag(V).over(series_window()))
     return wrap_name("derivative", frame.with_df(df))
 
 
 def _nn_derivative_value(max_value: float | None, min_value: float | None):
+    V = F.col(VALUE)
     prev = F.lag(V).over(series_window())
     diff = V - prev
     out = F.when(diff >= 0, diff)
@@ -261,6 +266,7 @@ def per_second(ctx, exp, f, u):
 @register("delay")
 def delay(ctx, exp, f, u):
     """shift values by n steps — delay/function.go:30."""
+    V = F.col(VALUE)
     steps = exp.get_int(1)
     frame = _simple(ctx, exp, f, u).densify()
     df = frame.df.withColumn(VALUE, F.lag(V, steps).over(series_window()))
@@ -270,6 +276,7 @@ def delay(ctx, exp, f, u):
 @register("integral")
 def integral(ctx, exp, f, u):
     """running sum; NULL points stay NULL but don't reset — integral/function.go:30."""
+    V = F.col(VALUE)
     frame = _simple(ctx, exp, f, u).densify()
     w = series_window().rowsBetween(Window.unboundedPreceding, 0)
     df = frame.df.withColumn(VALUE, F.when(V.isNotNull(), F.sum(V).over(w)))
@@ -280,6 +287,7 @@ def integral(ctx, exp, f, u):
 def integral_by_interval(ctx, exp, f, u):
     """running sum resetting each bucket; NULL counts as 0 inside a bucket
     — integralByInterval/function.go:30."""
+    V = F.col(VALUE)
     interval = exp.get_interval(1)
     frame = _simple(ctx, exp, f, u).densify()
     bucket = F.col(TS) - ((F.col(TS) - f) % F.lit(interval))
@@ -293,6 +301,7 @@ def integral_by_interval(ctx, exp, f, u):
 def keep_last_value(ctx, exp, f, u):
     """forward-fill up to *limit* consecutive gaps — keepLastValue/function.go:31-88
     (fills the first `limit` points of longer gaps, carbonapi behavior)."""
+    V = F.col(VALUE)
     limit = exp.get_float(1, float("inf"), names=("limit",))
     frame = _simple(ctx, exp, f, u).densify()
     w = series_window().rowsBetween(Window.unboundedPreceding, 0)
@@ -310,6 +319,7 @@ def keep_last_value(ctx, exp, f, u):
 @register("interpolate")
 def interpolate(ctx, exp, f, u):
     """linear interpolation across gaps <= limit — interpolate/function.go:26."""
+    V = F.col(VALUE)
     limit = exp.get_float(1, float("inf"), names=("limit",))
     frame = _simple(ctx, exp, f, u).densify()
     w_back = series_window().rowsBetween(Window.unboundedPreceding, 0)
@@ -332,6 +342,7 @@ def interpolate(ctx, exp, f, u):
 @register("changed")
 def changed(ctx, exp, f, u):
     """1 when value differs from previous else 0 — changed/function.go:30."""
+    V = F.col(VALUE)
     frame = _simple(ctx, exp, f, u).densify()
     prev = F.lag(V).over(series_window())
     df = frame.df.withColumn(

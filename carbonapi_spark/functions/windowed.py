@@ -24,7 +24,6 @@ from carbonapi_spark.functions.helper import series_arg, series_window, wrap_nam
 from carbonapi_spark.model.consolidation import agg_column
 from carbonapi_spark.model.series import NAME, ORD, TS, VALUE, SeriesFrame
 
-V = F.col(VALUE)
 
 
 # ------------------------------------------------------------- summarize
@@ -38,6 +37,7 @@ def summarize(ctx, exp, f, u):
     unconditional `newStop += bucketSize`); alignToFrom=true buckets start
     at the series start. Point->bucket assignment is by timestamp
     (function.go:112-135's ceil arithmetic reduces to floor((ts-start)/sz))."""
+    V = F.col(VALUE)
     frame = series_arg(ctx, exp, exp.args[0], f, u).densify()
     bucket_size = exp.get_interval(1)
     func = exp.get_string(2, "sum", names=("func",))
@@ -78,6 +78,7 @@ def smart_summarize(ctx, exp, f, u):
     """summarize without gap padding; optional fetch-start alignment to
     s/min/h/d/w/mon/y boundary — smartSummarize/function.go:32
     (+ parser.go:300-330 start adjustment)."""
+    V = F.col(VALUE)
     bucket_size = exp.get_interval(1)
     func = exp.get_string(2, "sum", names=("func",))
     align_to = exp.get_string(3, "", names=("alignTo", "alignToFrom"))
@@ -132,6 +133,7 @@ def _align_start(start: int, align_to: str) -> int:
 def hitcount(ctx, exp, f, u):
     """sum(v*step) per bucket, spreading points that straddle bucket
     boundaries proportionally — hitcount/function.go:33-155."""
+    V = F.col(VALUE)
     bucket_size = exp.get_interval(1)
     align = exp.get_bool(2, False, names=("alignToInterval",))
     start = f
@@ -189,6 +191,7 @@ def moving(ctx, exp, f, u):
     extended series (the reference's skip-first-value loop reduces to
     exactly rowsBetween(-(N-1), 0); its first extended point never falls in
     any output window)."""
+    V = F.col(VALUE)
     arg1 = exp.args[1]
     if arg1.is_const():
         n_points = exp.get_int(1)
@@ -231,6 +234,7 @@ def moving(ctx, exp, f, u):
 def stdev(ctx, exp, f, u):
     """rolling population stddev of last N points (partial head windows
     allowed) — stdev/function.go:29-77."""
+    V = F.col(VALUE)
     frame = series_arg(ctx, exp, exp.args[0], f, u).densify()
     points = exp.get_int(1)
     tolerance = exp.get_float(2, 0.1)
@@ -251,6 +255,7 @@ def stdev(ctx, exp, f, u):
 def n_percentile(ctx, exp, f, u):
     """flat line at the series' n-th percentile (non-interpolated)
     — nPercentile/function.go:32."""
+    V = F.col(VALUE)
     frame = series_arg(ctx, exp, exp.args[0], f, u)
     n = exp.get_float(1)
     from carbonapi_spark.model.consolidation import percentile_column
@@ -264,6 +269,7 @@ def n_percentile(ctx, exp, f, u):
 @register("aggregateLine")
 def aggregate_line(ctx, exp, f, u):
     """flat line at the per-series aggregate — aggregateLine/function.go:32."""
+    V = F.col(VALUE)
     frame = series_arg(ctx, exp, exp.args[0], f, u)
     func = exp.get_string(1, "average")
     agg = agg_column(func, V, F.col(TS), 0.0).cast("double").alias("__a")
@@ -277,6 +283,7 @@ def linear_regression(ctx, exp, f, u):
     """least-squares line fit projected over the request range
     — linearRegression/function.go:33 (gonum polyfit deg 1 == regr_slope/
     regr_intercept, JVM-side)."""
+    V = F.col(VALUE)
     source_from = f
     source_until = u
     if len(exp.args) > 1:
