@@ -1,0 +1,162 @@
+"""Graphite-compatible HTTP API over the Spark engine.
+
+Routes (reference cmd/carbonapi/http/init.go:13-41):
+  /render                      target=&from=&until=&format=&maxDataPoints=
+  /metrics/find                query=&format=treejson|completer|json
+  /metrics/expand              query=
+  /tags/autoComplete/tags      tagPrefix=
+  /tags/autoComplete/values    tag=&valuePrefix=
+  /functions                   registered-function introspection
+  /version
+
+Implementation: stdlib ThreadingHTTPServer (no external web framework in
+the container); one shared SparkSession; per-request EvalContext; response
+cache keyed by the canonicalized form (render_handler.go:231-246).
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import urllib.parse
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from carbonapi_spark.evaluator import EvalContext, eval_target, render_context
+from carbonapi_spark.functions import REGISTRY
+from carbonapi_spark.model.series import combine
+from carbonapi_spark.render import metadata as meta
+from carbonapi_spark.render.cache import ExpireCache
+from carbonapi_spark.render.serialize import (
+    collect_series, render_csv, render_json, render_pickle, render_raw,
+)
+
+
+class GraphiteAPI:
+    def __init__(self, spark, lake, cache_ttl: int = 60):
+        self.spark = spark
+        self.lake = lake
+        self.cache = ExpireCache(default_ttl=cache_ttl)
+
+    # ------------------------------------------------------------ render
+    def render(self, params: dict) -> tuple[int, str, bytes]:
+        targets = params.get("target", [])
+        if not targets:
+            return 400, "text/plain", b"no target specified"
+        from_p = params.get("from", ["-24h"])[0]
+        until_p = params.get("until", ["now"])[0]
+        fmt = params.get("format", ["json"])[0]
+        mdp = int(params.get("maxDataPoints", ["0"])[0] or 0)
+        no_null = params.get("noNullPoints", [""])[0] in ("1", "true", "True")
+
+        cache_key = json.dumps([sorted(targets), from_p, until_p, fmt, mdp,
+                                no_null])
+        ctx = render_context(self.spark, self.lake, from_p, until_p)
+        cached = self.cache.get(cache_key)
+        if cached is not None:
+            return cached
+
+        series = []
+        frames = []
+        for target in targets:
+            frames.append(eval_target(ctx, target))
+        for frame in frames:
+            series.extend(collect_series(frame, mdp))
+
+        if fmt == "json":
+            body, ctype = render_json(series, no_null_points=no_null).encode(), \
+                "application/json"
+        elif fmt == "csv":
+            body, ctype = render_csv(series).encode(), "text/csv"
+        elif fmt == "raw":
+            body, ctype = render_raw(series).encode(), "text/plain"
+        elif fmt == "pickle":
+            body, ctype = render_pickle(series), "application/pickle"
+        else:
+            return 400, "text/plain", f"unsupported format {fmt}".encode()
+
+        resp = (200, ctype, body)
+        self.cache.put(cache_key, resp, self.cache.ttl_for(ctx.until_ts))
+        return resp
+
+    # ------------------------------------------------------------ find
+    def metrics_find(self, params: dict) -> tuple[int, str, bytes]:
+        query = params.get("query", [""])[0]
+        if not query:
+            return 400, "text/plain", b"missing query"
+        fmt = params.get("format", ["treejson"])[0]
+        entries = meta.find(self.lake, query)
+        if fmt == "completer":
+            payload = meta.find_completer(entries)
+        else:
+            payload = entries
+        return 200, "application/json", json.dumps(payload).encode()
+
+    def metrics_expand(self, params: dict) -> tuple[int, str, bytes]:
+        query = params.get("query", [""])[0]
+        if not query:
+            return 400, "text/plain", b"missing query"
+        return 200, "application/json", json.dumps(
+            {"results": meta.expand(self.lake, query)}).encode()
+
+    def tags_autocomplete(self, params: dict, values: bool) -> tuple[int, str, bytes]:
+        limit = int(params.get("limit", ["100"])[0])
+        if values:
+            tag = params.get("tag", [""])[0]
+            if not tag:
+                return 400, "text/plain", b"missing tag"
+            out = meta.tag_values(self.lake, tag,
+                                  params.get("valuePrefix", [""])[0], limit)
+        else:
+            out = meta.tag_names(self.lake, params.get("tagPrefix", [""])[0],
+                                 limit)
+        return 200, "application/json", json.dumps(out).encode()
+
+    def functions(self, params: dict) -> tuple[int, str, bytes]:
+        payload = {name: {"name": name, "function": name + "(seriesList)",
+                          "module": "carbonapi_spark.functions"}
+                   for name in sorted(REGISTRY)}
+        return 200, "application/json", json.dumps(payload).encode()
+
+    # ------------------------------------------------------------ server
+    def handler_class(self):
+        api = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def do_GET(self):  # noqa: N802
+                parsed = urllib.parse.urlparse(self.path)
+                params = urllib.parse.parse_qs(parsed.query)
+                try:
+                    if parsed.path == "/render":
+                        code, ctype, body = api.render(params)
+                    elif parsed.path in ("/metrics/find", "/metrics/find/"):
+                        code, ctype, body = api.metrics_find(params)
+                    elif parsed.path in ("/metrics/expand", "/metrics/expand/"):
+                        code, ctype, body = api.metrics_expand(params)
+                    elif parsed.path == "/tags/autoComplete/tags":
+                        code, ctype, body = api.tags_autocomplete(params, False)
+                    elif parsed.path == "/tags/autoComplete/values":
+                        code, ctype, body = api.tags_autocomplete(params, True)
+                    elif parsed.path == "/functions":
+                        code, ctype, body = api.functions(params)
+                    elif parsed.path == "/version":
+                        code, ctype, body = 200, "text/plain", b"carbonapi_spark 0.1"
+                    else:
+                        code, ctype, body = 404, "text/plain", b"not found"
+                except Exception as exc:  # noqa: BLE001
+                    code, ctype, body = 500, "text/plain", str(exc).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def log_message(self, *args):  # silence
+                pass
+
+        return Handler
+
+    def serve(self, host: str = "127.0.0.1", port: int = 8080):
+        server = ThreadingHTTPServer((host, port), self.handler_class())
+        thread = threading.Thread(target=server.serve_forever, daemon=True)
+        thread.start()
+        return server

@@ -1,0 +1,144 @@
+"""Serializer + metadata + HTTP API tests (e2e layer, reference
+cmd/mockbackend analog)."""
+
+import json
+import urllib.request
+
+import pytest
+
+from carbonapi_spark.evaluator import EvalContext, eval_target
+from carbonapi_spark.render.metadata import expand, find, tag_names, tag_values
+from carbonapi_spark.render.serialize import collect_series, render_csv, render_json, render_raw
+from tests.conftest import make_lake
+
+
+def _frame(spark, lake, target, f, u):
+    ctx = EvalContext(spark, lake, f, u)
+    return eval_target(ctx, target)
+
+
+def test_render_json_format(spark):
+    lake = make_lake(spark, {"m.a": [1.0, None, 3.0]}, 1, 0)
+    frame = _frame(spark, lake, "m.a", 0, 3)
+    out = json.loads(render_json(collect_series(frame)))
+    assert out == [{"target": "m.a",
+                    "datapoints": [[1.0, 0], [None, 1], [3.0, 2]],
+                    "tags": {"name": "m.a"}}]
+
+
+def test_render_json_no_null_points(spark):
+    lake = make_lake(spark, {"m.a": [1.0, None]}, 1, 0)
+    frame = _frame(spark, lake, "m.a", 0, 2)
+    out = json.loads(render_json(collect_series(frame), no_null_points=True))
+    assert out[0]["datapoints"] == [[1.0, 0]]
+
+
+def test_max_data_points_consolidation(spark):
+    lake = make_lake(spark, {"m.a": [float(i) for i in range(10)]}, 1, 0)
+    frame = _frame(spark, lake, "m.a", 0, 10)
+    series = collect_series(frame, max_data_points=5)
+    assert len(series[0].values) == 5
+    # default consolidation = average of each pair
+    assert series[0].values == [0.5, 2.5, 4.5, 6.5, 8.5]
+
+
+def test_series_order_follows_sort(spark):
+    lake = make_lake(spark, {"m.a": [1, 1], "m.b": [9, 9], "m.c": [5, 5]}, 1, 0)
+    frame = _frame(spark, lake, "sortByTotal(m.*)", 0, 2)
+    names = [s.name for s in collect_series(frame)]
+    assert names == ["m.b", "m.c", "m.a"]
+
+
+def test_render_csv_and_raw(spark):
+    lake = make_lake(spark, {"m.a": [1.5, None]}, 1, 0)
+    frame = _frame(spark, lake, "m.a", 0, 2)
+    series = collect_series(frame)
+    csv = render_csv(series)
+    assert '"m.a",1970-01-01 00:00:00,1.5' in csv
+    raw = render_raw(series)
+    assert raw == "m.a,0,2,1|1.5,None\n"
+
+
+def test_tagged_names_in_json(spark):
+    lake = make_lake(spark, {"cpu;host=h1;dc=west": [1.0],
+                             "cpu;host=h2;dc=east": [2.0]}, 1, 0)
+    frame = _frame(spark, lake, "seriesByTag('name=cpu', 'dc=west')", 0, 1)
+    out = json.loads(render_json(collect_series(frame)))
+    assert len(out) == 1
+    assert out[0]["tags"] == {"name": "cpu", "host": "h1", "dc": "west"}
+
+
+# ----------------------------------------------------------- metadata
+
+def test_find_tree(spark):
+    lake = make_lake(spark, {"servers.s1.cpu": [1], "servers.s2.cpu": [1],
+                             "apps.api.reqs": [1]}, 1, 0)
+    entries = find(lake, "*")
+    assert [(e["text"], e["leaf"]) for e in entries] == [("apps", 0), ("servers", 0)]
+    entries = find(lake, "servers.*")
+    assert [e["id"] for e in entries] == ["servers.s1", "servers.s2"]
+    entries = find(lake, "servers.s1.*")
+    assert entries[0]["leaf"] == 1
+
+
+def test_expand(spark):
+    lake = make_lake(spark, {"a.b.c": [1], "a.d.c": [1]}, 1, 0)
+    assert expand(lake, "a.*") == ["a.b", "a.d"]
+
+
+def test_tag_autocomplete(spark):
+    lake = make_lake(spark, {"cpu;host=h1": [1], "cpu;host=h2;dc=w": [1]}, 1, 0)
+    assert tag_names(lake) == ["dc", "host", "name"]
+    assert tag_values(lake, "host") == ["h1", "h2"]
+
+
+# ----------------------------------------------------------- HTTP e2e
+
+@pytest.fixture(scope="module")
+def server(spark):
+    from carbonapi_spark.render.api import GraphiteAPI
+    lake = make_lake(spark, {"web.host1.cpu": [1.0, 2.0, None, 4.0],
+                             "web.host2.cpu": [10.0, 20.0, 30.0, 40.0]}, 1, 0)
+    api = GraphiteAPI(spark, lake)
+    srv = api.serve(port=18321)
+    yield "http://127.0.0.1:18321"
+    srv.shutdown()
+
+
+def _get(url):
+    with urllib.request.urlopen(url, timeout=60) as resp:
+        return resp.status, resp.read()
+
+
+def test_http_render(server):
+    code, body = _get(f"{server}/render?target=sumSeries(web.*.cpu)"
+                      "&from=0&until=4&format=json")
+    assert code == 200
+    out = json.loads(body)
+    assert out[0]["target"] == "sumSeries(web.*.cpu)"
+    assert out[0]["datapoints"] == [[11.0, 0], [22.0, 1], [30.0, 2], [44.0, 3]]
+
+
+def test_http_find(server):
+    code, body = _get(f"{server}/metrics/find?query=web.*")
+    assert code == 200
+    assert [e["id"] for e in json.loads(body)] == ["web.host1", "web.host2"]
+
+
+def test_http_functions(server):
+    code, body = _get(f"{server}/functions")
+    payload = json.loads(body)
+    assert "sumSeries" in payload and "movingAverage" in payload
+
+
+def test_http_unknown_function_is_500(server):
+    code, _ = _get_no_raise(f"{server}/render?target=nosuchfunc(web.*.cpu)&from=0&until=4")
+    assert code == 500
+
+
+def _get_no_raise(url):
+    try:
+        with urllib.request.urlopen(url, timeout=60) as resp:
+            return resp.status, resp.read()
+    except urllib.error.HTTPError as e:
+        return e.code, e.read()
