@@ -1,0 +1,136 @@
+"""Tests for the training-data pipeline operators + streaming projection."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "en", "s", 44),
+        (1, "the quick brown fox jumps over the lazy dog", "en", "s", 44),  # exact dup
+        (2, "the quick brown fox jumps over a lazy dog", "en", "s", 42),  # near dup
+        (3, "der schnelle braune fuchs und das faule tier", "de", "s", 44),
+        (4, "completely different content about spark engines", "en", "s", 48),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+
+
+def test_exact_dedup(spark, docs):
+    from carbonapi_spark.datapipe.dedup import exact_dedup
+    out = {r["keeper_id"]: r["n_copies"] for r in exact_dedup(docs).collect()}
+    assert out[0] == 2  # doc 0 and 1 identical
+    assert out[2] == 1
+
+
+def test_minhash_finds_near_dup(spark, docs):
+    from carbonapi_spark.datapipe.dedup import jaccard_verify, minhash_lsh_candidates
+    pairs = minhash_lsh_candidates(docs, num_hashes=16, bands=8, ngram=2)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (0, 1) in got  # identical docs always collide
+    verified = jaccard_verify(docs, pairs, ngram=2, threshold=0.5)
+    vgot = {(r["id_a"], r["id_b"]): r["jaccard"] for r in verified.collect()}
+    assert vgot[(0, 1)] == 1.0
+    if (0, 2) in vgot:
+        assert 0.5 <= vgot[(0, 2)] < 1.0
+
+
+def test_simhash_similarity(spark, docs):
+    from carbonapi_spark.datapipe.dedup import simhash
+    out = {r["doc_id"]: r["sh"] for r in
+           docs.select("doc_id", simhash(F.col("text"), 32).alias("sh")).collect()}
+    assert out[0] == out[1]  # identical text -> identical simhash
+    assert out[0] != out[4]
+
+
+def test_lang_id_argmax(spark, docs):
+    from carbonapi_spark.datapipe.text import lang_scores
+    rows = {r["doc_id"]: r for r in lang_scores(docs).collect()}
+    assert rows[0]["score_en"] > rows[0]["score_de"]
+    assert rows[3]["score_de"] > rows[3]["score_en"]
+
+
+def test_fingerprint_deterministic(spark, docs):
+    from carbonapi_spark.datapipe.text import fingerprint
+    a = docs.select("doc_id", fingerprint(F.col("text")).alias("fp")).collect()
+    b = docs.select("doc_id", fingerprint(F.col("text")).alias("fp")).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    fps = {r["doc_id"]: r["fp"] for r in a}
+    assert fps[0] == fps[1] and fps[0] != fps[4]
+
+
+def test_ann_bruteforce_topk(spark):
+    from carbonapi_spark.datapipe.similarity import brute_force_topk
+    import numpy as np
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(20, 8).astype(float)
+    vecs[5] = vecs[0] * 2.0  # same direction as 0 -> cosine 1
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(20)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>")
+    out = brute_force_topk(df, df.where(F.col("vec_id") == 0), k=3)
+    top = out.orderBy(F.desc("cos_sim")).first()
+    assert top["neighbor_id"] == 5
+    assert top["cos_sim"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_lsh_topk_same_bucket_recall(spark):
+    from carbonapi_spark.datapipe.similarity import lsh_topk
+    import numpy as np
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(20, 8).astype(float)
+    vecs[5] = vecs[0] * 2.0
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(20)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>")
+    out = lsh_topk(df, df.where(F.col("vec_id") == 0), k=5, dim=8, n_planes=4)
+    ids = {r["neighbor_id"] for r in out.collect()}
+    assert 5 in ids  # parallel vector always lands in the same bucket
+
+
+def test_multimodal_features(spark):
+    from carbonapi_spark.datapipe.multimodal import extract_features, synth_media
+    media = synth_media(spark, 9)
+    feats = extract_features(media, dim=8).collect()
+    assert len(feats) == 9
+    assert all(len(r["feature"]) == 8 for r in feats)
+    assert all(r["n_bytes"] > 0 for r in feats)
+    with pytest.raises(NotImplementedError):
+        extract_features(media, decode_stub=False)
+
+
+def test_multimodal_frame_plan(spark):
+    from carbonapi_spark.datapipe.multimodal import frame_sample_plan, synth_media
+    media = synth_media(spark, 9)
+    plan = frame_sample_plan(media, every_ms=1000)
+    rows = plan.collect()
+    assert len(rows) == 3 * 4  # 3 videos x 4 frames (4000ms / 1000)
+    assert {r["frame_ms"] for r in rows} == {0, 1000, 2000, 3000}
+
+
+def test_stream_projection_batch_equivalence(spark):
+    """The streaming projection code path gives identical results when run
+    over a batch frame (unified API)."""
+    from carbonapi_spark.streaming.ingest import events_stream_to_series
+    import datetime as dt
+    rows = [(dt.datetime(2024, 1, 1, 0, 0, 5), "click", 1, 2.0),
+            (dt.datetime(2024, 1, 1, 0, 0, 55), "click", 2, 3.0),
+            (dt.datetime(2024, 1, 1, 0, 1, 10), "view", 1, 1.0)]
+    ev = spark.createDataFrame(
+        rows, "ts TIMESTAMP, event_type STRING, user_id LONG, value DOUBLE")
+    out = {(r["name"], r["ts"]): r["value"]
+           for r in events_stream_to_series(ev, step=60).collect()}
+    assert out[("events.click", 1704067200)] == 5.0
+    assert out[("events.view", 1704067260)] == 1.0
+
+
+def test_parse_carbon_lines(spark):
+    from carbonapi_spark.streaming.ingest import parse_carbon_lines
+    lines = spark.createDataFrame(
+        [("a.b.c 42.5 1704067200",), ("bad line",), ("x.y 1 1704067260",)],
+        "value STRING")
+    out = parse_carbon_lines(lines).collect()
+    got = {(r["name"], r["ts"], r["value"]) for r in out}
+    assert ("a.b.c", 1704067200, 42.5) in got
+    assert len(got) == 2
