@@ -30,6 +30,7 @@ def load_all() -> None:
     from carbonapi_spark.functions import (  # noqa: F401
         aggregate,
         alias,
+        extras,
         filters,
         joins,
         misc,

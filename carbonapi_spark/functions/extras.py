@@ -1,0 +1,217 @@
+"""Long-tail operators: SLO family, baselines, KS test, applyByNode
+rewrite, percentile band filter, and documented stubs for the
+config-gated external-lookup functions."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from carbonapi_spark.evaluator import EvalError, eval_expr
+from carbonapi_spark.functions import register
+from carbonapi_spark.functions.helper import series_arg
+from carbonapi_spark.model.consolidation import agg_column
+from carbonapi_spark.model.series import (
+    NAME, ORD, TS, VALUE, SERIES_SCHEMA, SeriesFrame, align, combine,
+)
+
+_SLO_METHODS = {
+    "above": lambda v, x: v > x,
+    "aboveOrEqual": lambda v, x: v >= x,
+    "below": lambda v, x: v < x,
+    "belowOrEqual": lambda v, x: v <= x,
+}
+
+
+@register("slo", "sloErrorBudget")
+def slo(ctx, exp, f, u):
+    """per-bucket fraction of points meeting the predicate; error budget =
+    (fraction - objective) * bucketSize — slo/function.go:29-230."""
+    V = F.col(VALUE)
+    frame = series_arg(ctx, exp, exp.args[0], f, u).densify()
+    bucket_size = exp.get_interval(1)
+    method = exp.get_string(2)
+    value = exp.get_float(3)
+    if method not in _SLO_METHODS:
+        raise EvalError(f"slo: unsupported method {method}")
+    is_budget = exp.target == "sloErrorBudget"
+    objective = exp.get_float(4) if is_budget else 0.0
+
+    op = {"above": V > value, "aboveOrEqual": V >= value,
+          "below": V < value, "belowOrEqual": V <= value}[method]
+    bucket = F.col(TS) - ((F.col(TS) - frame.start) % bucket_size)
+    matched = F.count(F.when(op, 1))
+    notnull = F.count(V)
+    frac = F.when(notnull > 0, matched.cast("double") / notnull)
+    out_val = (frac - objective) * bucket_size if is_budget else frac
+
+    interval_str = exp.args[1].val_str or exp.args[1].target
+    if is_budget:
+        suffix = f", {interval_str}, {method}, {exp.args[3].val_str}, {exp.args[4].val_str})"
+    else:
+        suffix = f", {interval_str}, {method}, {exp.args[3].val_str})"
+    df = (frame.df.groupBy(NAME, ORD, bucket.alias(TS))
+          .agg(out_val.cast("double").alias(VALUE))
+          .withColumn(NAME, F.concat(F.lit(exp.target + "("), F.col(NAME),
+                                     F.lit(suffix))))
+    n_buckets = (frame.stop - frame.start + bucket_size - 1) // bucket_size
+    out = SeriesFrame(df, bucket_size, frame.start,
+                      frame.start + n_buckets * bucket_size,
+                      frame.consolidation, frame.xff, dense=False)
+    return out.densify()
+
+
+@register("baseline", "baselineAberration")
+def baseline(ctx, exp, f, u):
+    """median across N same-time-previous-period windows; aberration is the
+    ratio of current to that baseline — baselines/function.go:30-160."""
+    V = F.col(VALUE)
+    unit = exp.get_interval(1, default_sign=-1)
+    start_i = exp.get_int(2)
+    end_i = exp.get_int(3)
+    is_aberration = exp.target == "baselineAberration"
+
+    current = series_arg(ctx, exp, exp.args[0], f, u).densify()
+    shifted = []
+    for i in range(start_i, end_i):
+        if i == 0:
+            continue
+        offs = i * unit
+        sub = eval_expr(ctx, exp.args[0], f + offs, u + offs)
+        df = sub.df.withColumn(TS, (F.col(TS) - offs).cast("long"))
+        shifted.append(SeriesFrame(df, sub.step, sub.start - offs,
+                                   sub.stop - offs, sub.consolidation,
+                                   sub.xff, sub.dense))
+    if not shifted:
+        raise EvalError("baseline: empty window range")
+    union = shifted[0].df
+    for s in shifted[1:]:
+        union = union.unionByName(s.df)
+    med = (union.groupBy(NAME, TS)
+           .agg(F.percentile(V, F.lit(0.5)).alias("__med")))
+    prefix = exp.target
+    if is_aberration:
+        cur = current.df
+        df = (cur.join(med, [NAME, TS], "left")
+              .withColumn(VALUE,
+                          F.when(F.col("__med").isNull(), None)
+                          .when(V.isNull(), None)
+                          .when(F.col("__med") != 0, V / F.col("__med"))
+                          .otherwise(V))
+              .drop("__med")
+              .withColumn(NAME, F.format_string(f"{prefix}(%s)", F.col(NAME))))
+        return current.with_df(df)
+    grid = current.df.select(NAME, ORD, TS)
+    df = (grid.join(med, [NAME, TS], "left")
+          .withColumn(VALUE, F.col("__med")).drop("__med")
+          .withColumn(NAME, F.format_string(f"{prefix}(%s)", F.col(NAME))))
+    return current.with_df(df)
+
+
+@register("kolmogorovSmirnovTest2", "ksTest2")
+def ks_test2(ctx, exp, f, u):
+    """rolling two-sample KS statistic of two series
+    — kolmogorovSmirnovTest2/function.go:32-85 (numpy kernel; window is the
+    previous windowSize points, first windowSize outputs NaN)."""
+    s1 = series_arg(ctx, exp, exp.args[0], f, u).densify()
+    s2 = eval_expr(ctx, exp.args[1], f, u)
+    n = exp.get_int(2)
+    s1, s2 = align([s1, s2])
+    b = s2.df.select(F.col(TS).alias("__ts2"), F.col(VALUE).alias("__v2"),
+                     F.col(NAME).alias("__n2"))
+    joined = s1.df.join(F.broadcast(b), F.col(TS) == F.col("__ts2"), "left")
+
+    n_str = exp.args[2].val_str
+
+    def apply(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(TS)
+        v1 = pdf[VALUE].to_numpy(dtype=float)
+        v2 = pdf["__v2"].to_numpy(dtype=float)
+        out = np.full(len(v1), np.nan)
+        for i in range(n, len(v1)):
+            w1 = v1[i - n:i]
+            w2 = v2[i - n:i]
+            out[i] = _ks_stat(w1, w2)
+        name2 = pdf["__n2"].dropna()
+        nm2 = name2.iloc[0] if len(name2) else ""
+        name = f"kolmogorovSmirnovTest2({pdf[NAME].iloc[0]},{nm2},{n_str})"
+        return pd.DataFrame({NAME: [name] * len(v1), ORD: [pdf[ORD].iloc[0]] * len(v1),
+                             TS: pdf[TS].to_numpy(), VALUE: out})
+
+    df = joined.groupBy(ORD).applyInPandas(apply, SERIES_SCHEMA)
+    return s1.with_df(df, dense=True)
+
+
+def _ks_stat(a: np.ndarray, b: np.ndarray) -> float:
+    """Two-sample KS D statistic (NaNs are sorted to the end like Go's
+    sort of NaN-containing data; windows are fixed-length as in the
+    reference's ring buffer)."""
+    a = np.sort(a)
+    b = np.sort(b)
+    na, nb = len(a), len(b)
+    if na == 0 or nb == 0:
+        return float("nan")
+    allv = np.concatenate([a, b])
+    cdf_a = np.searchsorted(a, allv, side="right") / na
+    cdf_b = np.searchsorted(b, allv, side="right") / nb
+    return float(np.max(np.abs(cdf_a - cdf_b)))
+
+
+@register("applyByNode")
+def apply_by_node(ctx, exp, f, u):
+    """for each node-prefix, instantiate the template ('%' -> prefix),
+    evaluate it, optionally alias — rewrite/applyByNode/function.go:31
+    (driver-side macro expansion, as in the reference's RewriteExpr)."""
+    from carbonapi_spark.parser import parse
+
+    frame = series_arg(ctx, exp, exp.args[0], f, u)
+    node = exp.get_int(1)
+    template = exp.get_string(2)
+    new_name = exp.get_string(3, "", names=("newName",))
+
+    base = F.split_part(F.col(NAME), F.lit(";"), F.lit(1))
+    parts = F.split(base, "\\.")
+    cnt = F.size(parts)
+    end = F.lit(node) + F.when(F.lit(node) < 0, cnt).otherwise(F.lit(0)) + 1
+    prefix = F.array_join(F.slice(parts, 1, end), ".")
+    prefixes = sorted(r[0] for r in frame.df.select(prefix).distinct().collect())
+
+    frames = []
+    for p in prefixes:
+        sub_target = template.replace("%", p)
+        sub = eval_expr(ctx, parse(sub_target), f, u)
+        if new_name:
+            label = new_name.replace("%", p)
+            sub = sub.map_name(lambda n, label=label: F.lit(label))
+        frames.append(sub)
+    if not frames:
+        return SeriesFrame.empty(ctx.spark, frame.step, frame.start, frame.stop)
+    return combine(frames)
+
+
+@register("removeBetweenPercentile")
+def remove_between_percentile(ctx, exp, f, u):
+    """keep series that stray outside the [n, 100-n] band of the per-ts
+    cross-series percentiles — removeBetweenPercentile/function.go:32."""
+    V = F.col(VALUE)
+    frame = series_arg(ctx, exp, exp.args[0], f, u).densify()
+    n = exp.get_float(1)
+    lo_p, hi_p = min(n, 100 - n) / 100, max(n, 100 - n) / 100
+    bands = (frame.df.groupBy(TS)
+             .agg(F.percentile(V, F.lit(lo_p)).alias("__lo"),
+                  F.percentile(V, F.lit(hi_p)).alias("__hi")))
+    outside = (frame.df.join(bands, TS)
+               .where((V < F.col("__lo")) | (V > F.col("__hi")))
+               .select(ORD).distinct())
+    return frame.with_df(frame.df.join(F.broadcast(outside), ORD, "left_semi"))
+
+
+@register("aliasByPostgres", "aliasByRedis", "graphiteWeb")
+def external_stub(ctx, exp, f, u):
+    """Config-gated external-lookup functions (aliasByPostgres/function.go:151,
+    aliasByRedis/function.go:167, graphiteWeb/function.go:77): out of scope —
+    they proxy to external services the engine does not own. Documented stub."""
+    raise EvalError(
+        f"{exp.target} requires an external service connection; not supported "
+        "in carbonapi_spark (see SURVEY.md §2.4)")

@@ -206,11 +206,48 @@ class Expr:
 # parsing
 # ----------------------------------------------------------------------
 
+# user-defined macro templates (reference pkg/parser/define.go:15-88; the
+# reference uses Go text/template — we take Python str.format templates with
+# the same data: {argString}, {args[i]}, {kwargs[name]})
+_DEFINES: dict[str, str] = {}
+
+
+def define(name: str, template: str) -> None:
+    _DEFINES[name] = template
+
+
+def undefine_all() -> None:
+    _DEFINES.clear()
+
+
 def parse(s: str) -> Expr:
     """Parse a complete target string; trailing garbage is an error."""
     exp, rest = _parse_expr(s)
     if rest.strip():
         raise ParseError(f"unparsed trailing input: {rest!r}")
+    return _expand_defines(exp)
+
+
+def _expand_defines(exp: Expr, depth: int = 0) -> Expr:
+    if depth > 10:
+        raise ParseError("define expansion too deep (recursive define?)")
+    if exp.etype in (ExprType.NAME, ExprType.FUNC) and exp.target in _DEFINES:
+        data = {
+            "argString": exp.arg_string,
+            "args": [a.to_string() for a in exp.args],
+            "kwargs": {k: v.to_string() for k, v in exp.named_args.items()},
+        }
+        try:
+            rendered = _DEFINES[exp.target].format_map(data)
+        except (KeyError, IndexError) as exc:
+            raise ParseError(f"define {exp.target}: bad template ref: {exc}") from exc
+        exp, rest = _parse_expr(rendered)
+        if rest.strip():
+            raise ParseError(f"define {exp.target}: trailing input {rest!r}")
+        return _expand_defines(exp, depth + 1)
+    exp.args = [_expand_defines(a, depth) for a in exp.args]
+    exp.named_args = {k: _expand_defines(v, depth)
+                      for k, v in exp.named_args.items()}
     return exp
 
 
