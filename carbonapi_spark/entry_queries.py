@@ -38,9 +38,10 @@ def graphite_query(target: str, from_ts: int = EVENTS_FROM,
         lake = events_series_lake(spark, sf_dir)
         ctx = EvalContext(spark, lake, from_ts, until_ts)
         frame = eval_target(ctx, target)
+        v = F.col(VALUE)
         return frame.df.select(
             F.col(NAME).alias("name"), F.col(TS).alias("ts"),
-            F.round(F.col(VALUE), 6).alias("value"))
+            F.round(F.when(~F.isnan(v), v), 6).alias("value"))
     q.__name__ = f"graphite[{target}]"
     return q
 
@@ -425,3 +426,258 @@ def _q_simhash(spark, sf_dir):
 
 
 _register("simhash", _q_simhash)  # rows-only (bit-twiddling oracle omitted)
+
+
+# --------------------------------------------------------------------------
+# round 1 expansion: deeper operator coverage with oracles
+# --------------------------------------------------------------------------
+
+_g("offset", "offset(events.error, 100)",
+   "SELECT 'offset(events.error,100)' AS name, ts, round(value + 100, 6) AS value "
+   "FROM dense",
+   "name = 'events.error'")
+
+_g("square_root", "squareRoot(events.view)",
+   "SELECT 'squareRoot(events.view)' AS name, ts, "
+   "round(CASE WHEN value >= 0 THEN sqrt(value) END, 6) AS value FROM dense",
+   "name = 'events.view'")
+
+_g("logarithm", "logarithm(events.click)",
+   "SELECT 'logarithm(events.click)' AS name, ts, "
+   "round(CASE WHEN value > 0 THEN log10(value) END, 6) AS value FROM dense",
+   "name = 'events.click'")
+
+_g("min_max", "minMax(events.purchase)",
+   """
+SELECT 'minMax(events.purchase)' AS name, ts,
+       round(CASE WHEN value IS NULL THEN NULL
+                  WHEN mx - mn != 0 THEN (value - mn) / (mx - mn)
+                  ELSE 0 END, 6) AS value
+FROM (SELECT name, ts, value,
+             MIN(value) OVER (PARTITION BY name) AS mn,
+             MAX(value) OVER (PARTITION BY name) AS mx
+      FROM dense)
+""".strip(),
+   "name = 'events.purchase'")
+
+_g("stddev_series", "stddevSeries(events.u*.view)",
+   "SELECT 'stddevSeries(events.u*.view)' AS name, ts, "
+   "round(stddev_pop(value), 6) AS value FROM dense GROUP BY ts",
+   r"regexp_matches(name, '^events\.u[^.]*\.view$')")
+
+_g("range_series", "rangeOfSeries(events.u*.click)",
+   "SELECT 'rangeOfSeries(events.u*.click)' AS name, ts, "
+   "round(MAX(value) - MIN(value), 6) AS value FROM dense GROUP BY ts",
+   r"regexp_matches(name, '^events\.u[^.]*\.click$')")
+
+_g("median_series", "medianSeries(events.u*.purchase)",
+   "SELECT 'medianSeries(events.u*.purchase)' AS name, ts, "
+   "round(quantile_cont(value, 0.5), 6) AS value FROM dense GROUP BY ts",
+   r"regexp_matches(name, '^events\.u[^.]*\.purchase$')")
+
+_g("last_series", "currentSeries(events.u*.error)",
+   "SELECT 'currentSeries(events.u*.error)' AS name, ts, "
+   "round(max_by(value, name) FILTER (value IS NOT NULL), 6) AS value "
+   "FROM dense GROUP BY ts",
+   r"regexp_matches(name, '^events\.u[^.]*\.error$')")
+
+_g("summarize_align_from", "summarize(events.view, '1d', 'sum', true)",
+   f"""
+, bucket_spine AS (
+  SELECT ts FROM generate_series({EVENTS_FROM}, {EVENTS_UNTIL} - 86400, 86400) g(ts)
+), agg AS (
+  SELECT ts - ((ts - {EVENTS_FROM}) % 86400) AS bts, SUM(value) AS v
+  FROM dense GROUP BY 1
+)
+SELECT 'summarize(events.view,''1d'',''sum'',true)' AS name, b.ts,
+       round(a.v, 6) AS value
+FROM bucket_spine b LEFT JOIN agg a ON a.bts = b.ts
+""".strip(),
+   "name = 'events.view'")
+
+_g("smart_summarize", "smartSummarize(events.click, '1d', 'max')",
+   f"""
+, bucket_spine AS (
+  SELECT ts FROM generate_series({EVENTS_FROM}, {EVENTS_UNTIL} - 86400, 86400) g(ts)
+), agg AS (
+  SELECT ts - ((ts - {EVENTS_FROM}) % 86400) AS bts, MAX(value) AS v
+  FROM dense GROUP BY 1
+)
+SELECT 'smartSummarize(events.click,''1d'',''max'')' AS name, b.ts,
+       round(a.v, 6) AS value
+FROM bucket_spine b LEFT JOIN agg a ON a.bts = b.ts
+""".strip(),
+   "name = 'events.click'")
+
+_g("moving_max", "movingMax(events.view, 4)",
+   f"SELECT 'movingMax(events.view,4)' AS name, ts, "
+   f"round(MAX(value) OVER ({W_SERIES} ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) "
+   f"AS value FROM dense",
+   "name = 'events.view'")
+
+_g("moving_median", "movingMedian(events.click, 5)",
+   f"SELECT 'movingMedian(events.click,5)' AS name, ts, "
+   f"round(quantile_cont(value, 0.5) OVER ({W_SERIES} ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) "
+   f"AS value FROM dense",
+   "name = 'events.click'")
+
+_g("pearson", "pearson(events.click, events.view, 24)",
+   """
+SELECT 'pearson(events.click,events.view,24)' AS name, a.ts,
+       round(corr(a.value, b.value)
+             OVER (ORDER BY a.ts ROWS BETWEEN 23 PRECEDING AND CURRENT ROW), 6)
+           AS value
+FROM (SELECT ts, value FROM dense WHERE name = 'events.click') a
+JOIN (SELECT ts, value FROM dense WHERE name = 'events.view') b USING (ts)
+""".strip(),
+   "name IN ('events.click', 'events.view')")
+
+_g("linear_regression", "linearRegression(events.purchase)",
+   """
+, fit AS (
+  SELECT name, regr_slope(value, ts) AS m, regr_intercept(value, ts) AS b
+  FROM dense GROUP BY name
+)
+SELECT 'linearRegression(events.purchase)' AS name, d.ts,
+       round(f.m * d.ts + f.b, 6) AS value
+FROM dense d JOIN fit f USING (name)
+""".strip(),
+   "name = 'events.purchase'")
+
+_g("n_percentile", "nPercentile(events.click, 95)",
+   """
+, pct AS (
+  SELECT name, arr[CAST(ceil((len(arr) - 1) * 0.95) AS INT) + 1] AS p
+  FROM (SELECT name, list_sort(list(value) FILTER (value IS NOT NULL)) AS arr
+        FROM dense GROUP BY name)
+)
+SELECT 'nPercentile(events.click,95)' AS name, d.ts, round(pct.p, 6) AS value
+FROM dense d JOIN pct USING (name)
+""".strip(),
+   "name = 'events.click'")
+
+_g("aggregate_line", "aggregateLine(events.view, 'avg')",
+   """
+, agg AS (SELECT name, AVG(value) AS a FROM dense GROUP BY name)
+SELECT 'aggregateLine(events.view,''avg'')' AS name, d.ts, round(agg.a, 6) AS value
+FROM dense d JOIN agg USING (name)
+""".strip(),
+   "name = 'events.view'")
+
+_g("integral_by_interval", "integralByInterval(events.click, '1d')",
+   """
+SELECT 'integralByInterval(events.click,''1d'')' AS name, ts,
+       round(SUM(COALESCE(value, 0)) OVER (
+           PARTITION BY name, ts - ((ts - {f}) % 86400)
+           ORDER BY ts ROWS UNBOUNDED PRECEDING), 6) AS value
+FROM dense
+""".strip().format(f=EVENTS_FROM),
+   "name = 'events.click'")
+
+_g("as_percent_nodes", "asPercent(events.u*.*, None, 2)",
+   """
+SELECT 'asPercent(' || name || ',' || split_part(name, '.', 3) || ')' AS name, ts,
+       round(CASE WHEN SUM(value) OVER (PARTITION BY split_part(name, '.', 3), ts) != 0
+                  THEN value / SUM(value) OVER (PARTITION BY split_part(name, '.', 3), ts) * 100
+             END, 6) AS value
+FROM dense
+""".strip(),
+   r"regexp_matches(name, '^events\.u[^.]*\.[^.]*$')")
+
+_g("weighted_average", "weightedAverage(events.u*.purchase, events.u*.view, 1)",
+   """
+, a AS (SELECT split_part(name, '.', 2) AS k, ts, value FROM dense
+        WHERE regexp_matches(name, '^events\\.u[^.]*\\.purchase$')),
+  w AS (SELECT split_part(name, '.', 2) AS k, ts, value FROM dense
+        WHERE regexp_matches(name, '^events\\.u[^.]*\\.view$'))
+SELECT 'weightedAverage(events.u*.purchase,events.u*.view,1)' AS name, a.ts,
+       round(CASE WHEN SUM(CASE WHEN a.value IS NOT NULL THEN w.value END) != 0
+                  THEN SUM(a.value * w.value)
+                       / SUM(CASE WHEN a.value IS NOT NULL THEN w.value END)
+             END, 6) AS value
+FROM a JOIN w ON a.k = w.k AND a.ts = w.ts
+GROUP BY a.ts
+""".strip(),
+   r"regexp_matches(name, '^events\.u[^.]*\.(purchase|view)$')")
+
+_g("reduce_series",
+   "reduceSeries(mapSeries(events.u*.*, 1), 'asPercent', 2, 'purchase', 'click')",
+   """
+, p AS (SELECT split_part(name, '.', 2) AS k, ts, value FROM dense
+        WHERE split_part(name, '.', 3) = 'purchase'),
+  c AS (SELECT split_part(name, '.', 2) AS k, ts, value FROM dense
+        WHERE split_part(name, '.', 3) = 'click')
+SELECT 'events.' || p.k || '.reduce.asPercent' AS name, p.ts,
+       round(CASE WHEN c.value != 0 THEN p.value / c.value * 100 END, 6) AS value
+FROM p JOIN c ON p.k = c.k AND p.ts = c.ts
+""".strip(),
+   r"regexp_matches(name, '^events\.u[^.]*\.[^.]*$')")
+
+_g("join_and", "join(events.u*.click, events.u0.click, 'AND')",
+   "SELECT name, ts, round(value, 6) AS value FROM dense "
+   "WHERE name = 'events.u0.click'",
+   r"regexp_matches(name, '^events\.u[^.]*\.click$')")
+
+_g("join_sub", "join(events.u*.error, events.u0.error, 'SUB')",
+   "SELECT name, ts, round(value, 6) AS value FROM dense "
+   "WHERE name != 'events.u0.error'",
+   r"regexp_matches(name, '^events\.u[^.]*\.error$')")
+
+_g("unique_group", "unique(group(events.click, events.click, events.view))",
+   "SELECT name, ts, round(value, 6) AS value FROM dense",
+   "name IN ('events.click', 'events.view')")
+
+_g("most_deviant", "mostDeviant(events.u*.view, 3)",
+   """
+, sel AS (SELECT name FROM dense GROUP BY name
+          ORDER BY var_pop(value) DESC NULLS LAST, name LIMIT 3)
+SELECT d.name, d.ts, round(d.value, 6) AS value FROM dense d JOIN sel USING (name)
+""".strip(),
+   r"regexp_matches(name, '^events\.u[^.]*\.view$')")
+
+_g("tukey_above", "tukeyAbove(events.u*.click, 'average', 0.2)",
+   """
+, per AS (SELECT name, AVG(value) AS a FROM dense GROUP BY name),
+  q AS (SELECT quantile_cont(a, 0.25) AS q1, quantile_cont(a, 0.75) AS q3 FROM per),
+  sel AS (SELECT name FROM per, q WHERE a >= q3 + 0.2 * (q3 - q1))
+SELECT d.name, d.ts, round(d.value, 6) AS value FROM dense d JOIN sel USING (name)
+""".strip(),
+   r"regexp_matches(name, '^events\.u[^.]*\.click$')")
+
+# timeStack: each copy fetches a displaced window, so the oracle's dense CTE
+# spans the full data range while only the OUTPUT is clipped to the request.
+_register(
+    "time_stack",
+    graphite_query("timeStack(events.click, '1d', 0, 3)",
+                   EVENTS_FROM + 2 * 86400, EVENTS_UNTIL),
+    f"""WITH {oracle_prefix("name = 'events.click'", EVENTS_FROM, EVENTS_UNTIL)}
+SELECT 'timeShift(events.click,1d,' || i || ')' AS name,
+       ts + i * 86400 AS ts, round(value, 6) AS value
+FROM dense, (SELECT unnest([0, 1, 2]) AS i) shifts
+WHERE ts + i * 86400 >= {EVENTS_FROM + 2 * 86400}
+  AND ts + i * 86400 < {EVENTS_UNTIL}""")
+
+_g("slo_1d", "slo(events.click, '1d', 'above', 20)",
+   f"""
+, bucket_spine AS (
+  SELECT ts FROM generate_series({EVENTS_FROM}, {EVENTS_UNTIL} - 86400, 86400) g(ts)
+), agg AS (
+  SELECT ts - ((ts - {EVENTS_FROM}) % 86400) AS bts,
+         CASE WHEN COUNT(value) > 0
+              THEN CAST(COUNT(CASE WHEN value > 20 THEN 1 END) AS DOUBLE) / COUNT(value)
+         END AS v
+  FROM dense GROUP BY 1
+)
+SELECT 'slo(events.click, 1d, above, 20)' AS name, b.ts, round(a.v, 6) AS value
+FROM bucket_spine b LEFT JOIN agg a ON a.bts = b.ts
+""".strip(),
+   "name = 'events.click'")
+
+# non-SQL-expressible kernels -> rows-only checks
+_register("ema", graphite_query("exponentialMovingAverage(events.click, '12h')",
+                                EVENTS_FROM + 43200, EVENTS_UNTIL))
+_register("holt_winters",
+          graphite_query("holtWintersForecast(events.click, '7d', '1d')",
+                         EVENTS_FROM + 7 * 86400, EVENTS_UNTIL))
+_register("ks_test",
+          graphite_query("kolmogorovSmirnovTest2(events.click, events.view, 24)"))
