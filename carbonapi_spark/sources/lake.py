@@ -85,11 +85,24 @@ def glob_prefix(pattern: str) -> str:
 
 
 class SeriesLake:
-    """Fetch interface over a long (name, ts, value) DataFrame."""
+    """Fetch interface over a long (name, ts, value) DataFrame.
 
-    def __init__(self, df: DataFrame, step: int = 60):
+    When the lake is written ``partitionBy(time_partition_col)`` (a coarse
+    time bucket like the day, ``ts - ts % 86400``), pass the column name and
+    bucket width: fetch() then adds an explicit predicate on it so Catalyst
+    prunes whole partition directories — the difference between scanning a
+    day and scanning 100 TB.
+    """
+
+    def __init__(self, df: DataFrame, step: int = 60,
+                 time_partition_col: str | None = None,
+                 time_partition_seconds: int = 86400):
         self.df = df
         self.step = step
+        self.time_partition_col = (
+            time_partition_col if time_partition_col and
+            time_partition_col in df.columns else None)
+        self.time_partition_seconds = time_partition_seconds
 
     def _name_predicate(self, pattern: str) -> Column:
         name = F.col(NAME)
@@ -124,9 +137,13 @@ class SeriesLake:
             stop = start + step
         df = (self.df
               .where(self._name_predicate(pattern))
-              .where((F.col(TS) >= start) & (F.col(TS) < stop))
-              .select(F.col(NAME), F.col(NAME).alias(ORD), F.col(TS).cast("long"),
-                      F.col(VALUE).cast("double")))
+              .where((F.col(TS) >= start) & (F.col(TS) < stop)))
+        if self.time_partition_col:
+            w = self.time_partition_seconds
+            df = df.where(F.col(self.time_partition_col)
+                          .between(start - start % w, stop - 1))
+        df = df.select(F.col(NAME), F.col(NAME).alias(ORD),
+                       F.col(TS).cast("long"), F.col(VALUE).cast("double"))
         frame = SeriesFrame(df, step, start, stop)
         return frame.densify() if densify else frame
 
