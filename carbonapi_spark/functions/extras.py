@@ -215,3 +215,117 @@ def external_stub(ctx, exp, f, u):
     raise EvalError(
         f"{exp.target} requires an external service connection; not supported "
         "in carbonapi_spark (see SURVEY.md §2.4)")
+
+
+@register("areaBetween")
+def area_between(ctx, exp, f, u):
+    """graph decorator: band between two series; values unchanged, names
+    wrapped — cairo areaBetween semantics."""
+    frame = series_arg(ctx, exp, exp.args[0], f, u)
+    return frame.map_name(lambda n: F.format_string("areaBetween(%s)", n))
+
+
+@register("compressPeriodicGaps")
+def compress_periodic_gaps(ctx, exp, f, u):
+    """detect a periodic sampling stride from the first two non-NaN points
+    and re-bucket to it with 'last' consolidation
+    — compressPeriodicGaps/function.go:31-110 (per-series numpy kernel)."""
+    import numpy as np
+    import pandas as pd
+    from carbonapi_spark.model.series import SERIES_SCHEMA
+
+    frame = series_arg(ctx, exp, exp.args[0], f, u).densify()
+    step = frame.step
+
+    def apply(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(TS)
+        vals = pdf[VALUE].to_numpy(dtype=float)
+        ts = pdf[TS].to_numpy()
+        name = "compressPeriodicGaps(" + pdf[NAME].iloc[0] + ")"
+        ord_ = pdf[ORD].iloc[0]
+        nn = np.flatnonzero(~np.isnan(vals))
+        interval = None
+        if len(nn) >= 2:
+            first, second = int(nn[0]), int(nn[1])
+            guess = second - first
+            third = second + guess
+            if guess > 1 and third <= len(vals) - 2 and not np.isnan(vals[third]) \
+                    and np.isnan(vals[third - 1]) and np.isnan(vals[third + 1]):
+                interval = guess * step
+        if interval is None:
+            return pd.DataFrame({NAME: [name] * len(ts), ORD: [ord_] * len(ts),
+                                 TS: ts, VALUE: vals})
+        new_start = int(ts[0] + nn[0] * step)
+        stop = int(ts[-1] + step)
+        buckets = list(range(new_start, stop, interval))
+        out = []
+        for b in buckets:
+            sel = vals[((ts >= b) & (ts < b + interval))]
+            sel = sel[~np.isnan(sel)]
+            out.append(sel[-1] if len(sel) else np.nan)
+        return pd.DataFrame({NAME: [name] * len(buckets),
+                             ORD: [ord_] * len(buckets),
+                             TS: buckets, VALUE: out})
+
+    df = frame.df.groupBy(ORD).applyInPandas(apply, SERIES_SCHEMA)
+    # step/range metadata reflects the detected interval only per series;
+    # frame-level meta keeps the original (mixed-output quirk of the ref too)
+    return frame.with_df(df, dense=False)
+
+
+@register("timeShiftByMetric")
+def time_shift_by_metric(ctx, exp, f, u):
+    """align 'version' series to the newest version by shifting time per
+    marker metrics — timeShiftByMetric/function.go:33-215.
+
+    Marker versions are the last dot-node matching (\\d+)_(\\d+); per major
+    version the latest mark wins; offset = (top mark's last-data position -
+    this mark's) * step. Metrics pick their offset via node[versionRank]
+    (exact then prefix match); unmatched series are dropped."""
+    import re as _re
+
+    metrics = series_arg(ctx, exp, exp.args[0], f, u).densify()
+    marks = eval_expr(ctx, exp.args[1], f, u).densify()
+    version_rank = exp.get_int(2)
+    step = metrics.step
+
+    mark_rows = (marks.df.where(F.col(VALUE).isNotNull())
+                 .groupBy(NAME).agg(F.max(TS).alias("__last")))
+    versions: dict[str, int] = {}
+    for r in mark_rows.collect():
+        mv = r[NAME].split(";")[0].split(".")[-1]
+        m = _re.match(r"^(\d+)_(\d+)$", mv)
+        if not m:
+            continue
+        pos = int(r["__last"])
+        versions[mv] = max(versions.get(mv, -1), pos)
+    if not versions:
+        raise EvalError("timeShiftByMetric: no valid marks")
+    # latest mark per major version
+    by_major: dict[int, tuple[int, str, int]] = {}
+    for mv, pos in versions.items():
+        major, minor = (int(x) for x in mv.split("_"))
+        cur = by_major.get(major)
+        if cur is None or minor > cur[0]:
+            by_major[major] = (minor, mv, pos)
+    newest = by_major[max(by_major)]
+    top_pos = newest[2]
+    offsets = {mv: top_pos - pos for mv, (mi, mv, pos) in
+               ((v[1], v) for v in by_major.values())}
+
+    rows = []
+    for mv, off in offsets.items():
+        rows.append((mv, off))
+    off_df = ctx.spark.createDataFrame(rows, "ver STRING, off BIGINT")
+
+    base = F.split_part(F.col(NAME), F.lit(";"), F.lit(1))
+    parts = F.split(base, "\\.")
+    ver = F.try_element_at(parts, F.lit(version_rank + 1))
+    tagged = metrics.df.withColumn("__ver", ver)
+    joined = tagged.join(F.broadcast(off_df),
+                         F.col("ver").startswith(F.col("__ver")), "inner")
+    df = (joined
+          .withColumn(TS, (F.col(TS) + F.col("off")).cast("long"))
+          .withColumn(NAME, F.format_string("timeShiftByMetric(%s)", F.col(NAME)))
+          .drop("__ver", "ver", "off"))
+    return metrics.with_df(df, dense=False)
