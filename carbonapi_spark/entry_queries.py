@@ -32,10 +32,24 @@ def _register(name: str, fn, oracle: str | None = None):
         ORACLES[name] = oracle
 
 
+# the lake projection is shared (and persisted) across catalog queries —
+# it IS the lake; each query still plans/executes its own operator pipeline
+_LAKE_CACHE: dict = {}
+
+
+def _cached_lake(spark: SparkSession, sf_dir: str):
+    key = (id(spark), sf_dir)
+    if key not in _LAKE_CACHE:
+        lake = events_series_lake(spark, sf_dir)
+        lake.df = lake.df.persist()
+        _LAKE_CACHE[key] = lake
+    return _LAKE_CACHE[key]
+
+
 def graphite_query(target: str, from_ts: int = EVENTS_FROM,
                    until_ts: int = EVENTS_UNTIL):
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
-        lake = events_series_lake(spark, sf_dir)
+        lake = _cached_lake(spark, sf_dir)
         ctx = EvalContext(spark, lake, from_ts, until_ts)
         frame = eval_target(ctx, target)
         v = F.col(VALUE)
@@ -681,3 +695,49 @@ _register("holt_winters",
                          EVENTS_FROM + 7 * 86400, EVENTS_UNTIL))
 _register("ks_test",
           graphite_query("kolmogorovSmirnovTest2(events.click, events.view, 24)"))
+
+
+# --------------------------------------------------------------------------
+# seriesByTag over a tagged projection (separate lake: plain-name globs must
+# not see tagged series, mirroring graphite's tagged-fetch isolation)
+# --------------------------------------------------------------------------
+
+def _q_series_by_tag(spark, sf_dir):
+    from carbonapi_spark.sources.lake import SeriesLake
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(ev.dtypes).get("ts") == "bigint":
+        sec = F.floor(F.col("ts") / F.lit(1_000_000_000)).cast("long")
+    else:
+        sec = F.floor(F.col("ts").cast("double")).cast("long")
+    tagged = (ev.groupBy(
+        F.concat(F.lit("events.value;type="), F.col("event_type"),
+                 F.lit(";user=u"), (F.col("user_id") % 10).cast("string")).alias("name"),
+        (sec - sec % F.lit(EVENTS_STEP)).alias("ts"))
+        .agg(F.sum("value").alias("value")))
+    lake = SeriesLake(tagged, EVENTS_STEP)
+    ctx = EvalContext(spark, lake, EVENTS_FROM, EVENTS_UNTIL)
+    frame = eval_target(ctx, "seriesByTag('name=events.value', 'type=click', 'user=~u[0-4]')")
+    v = F.col(VALUE)
+    return frame.df.select(F.col(NAME).alias("name"), F.col(TS).alias("ts"),
+                           F.round(F.when(~F.isnan(v), v), 6).alias("value"))
+
+
+_register("series_by_tag", _q_series_by_tag, f"""
+WITH ev AS (
+  SELECT 'events.value;type=' || event_type || ';user=u' || CAST(user_id % 10 AS VARCHAR) AS name,
+         CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS ts,
+         SUM(value) AS value
+  FROM events GROUP BY 1, 2
+),
+spine AS (SELECT ts FROM generate_series({EVENTS_FROM}, {EVENTS_UNTIL} - {EVENTS_STEP}, {EVENTS_STEP}) g(ts)),
+names AS (SELECT DISTINCT name FROM ev
+          WHERE regexp_matches(name, 'type=click')
+            AND regexp_matches(name, 'user=u[0-4]$')),
+dense AS (
+  SELECT n.name, s.ts, e.value
+  FROM names n CROSS JOIN spine s
+  LEFT JOIN ev e ON e.name = n.name AND e.ts = s.ts
+)
+SELECT name, ts, round(value, 6) AS value FROM dense
+""".strip())
