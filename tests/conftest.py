@@ -31,8 +31,10 @@ def make_lake(spark, series: dict[str, list], step: int = 1, start: int = 0) -> 
     for name, values in series.items():
         for i, v in enumerate(values):
             if v is None or (isinstance(v, float) and math.isnan(v)):
-                continue
-            rows.append((name, start + i * step, float(v)))
+                v = None  # stored as a NULL row: the series exists in the lake
+            else:
+                v = float(v)
+            rows.append((name, start + i * step, v))
     df = spark.createDataFrame(rows, "name STRING, ts BIGINT, value DOUBLE")
     return SeriesLake(df, step)
 
