@@ -92,20 +92,30 @@ class SeriesFrame:
     def densify(self, start: int | None = None, stop: int | None = None) -> "SeriesFrame":
         """Materialize NULL rows for every missing (series, bucket).
 
-        names x spine, spine broadcast (bounded by points-per-request, so
-        small), then a co-partitioned left join against the data: scales to
-        millions of series because the build side per join key stays tiny.
+        One hash aggregation by series (``ord``) collecting a ts->value map,
+        then an inline spine explode with map lookup. Exactly ONE shuffle —
+        and its partitioning (hash(ord)) is what downstream
+        ``Window.partitionBy(ord)`` operators need, so a fetch → densify →
+        window pipeline runs with no further exchange. Map size per series
+        is bounded by the request's point count.
         """
         start = self.start if start is None else start
         stop = self.stop if stop is None else stop
         if self.dense and start == self.start and stop == self.stop:
             return self
-        spark = self.df.sparkSession
-        spine = spark.range(start, stop, self.step).withColumnRenamed("id", TS)
-        names = self.df.select(NAME, ORD).distinct()
-        grid = names.join(F.broadcast(spine))
-        df = grid.join(self.df.select(NAME, TS, VALUE), [NAME, TS], "left") \
-                 .select(NAME, ORD, TS, VALUE)
+        if stop <= start:
+            return replace(self, start=start, stop=stop, dense=True)
+        per_series = (self.df
+                      .groupBy(ORD)
+                      .agg(F.first(NAME, ignorenulls=True).alias(NAME),
+                           F.map_from_entries(
+                               F.collect_list(F.struct(F.col(TS),
+                                                       F.col(VALUE)))).alias("__pts")))
+        spine = F.sequence(F.lit(start), F.lit(stop - self.step), F.lit(self.step))
+        df = (per_series
+              .select(NAME, ORD, F.explode(spine).alias(TS), F.col("__pts"))
+              .select(NAME, ORD, F.col(TS).cast("long"),
+                      F.try_element_at(F.col("__pts"), F.col(TS)).alias(VALUE)))
         return replace(self, df=df, start=start, stop=stop, dense=True)
 
     # ------------------------------------------------------------------

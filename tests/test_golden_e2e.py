@@ -35,7 +35,10 @@ def _load_case(name: str) -> dict:
 
 
 def _lake_from_listeners(spark, case) -> tuple[SeriesLake, int, int]:
-    rows = []
+    # the same metric may appear under several glob expressions: merge
+    # point-wise preferring non-NaN, like the reference's zipper merge
+    # (zipper/types/response.go:458) — lakes keep (name, ts) unique
+    points: dict[tuple, float | None] = {}
     min_start, max_stop, step0 = None, None, 60
     for listener in case.get("listeners", []):
         for block in (listener.get("expressions") or {}).values():
@@ -50,10 +53,12 @@ def _lake_from_listeners(spark, case) -> tuple[SeriesLake, int, int]:
                         v = None  # NULL row: all-NaN series still exist
                     else:
                         v = float(v)
-                    rows.append((name, ts, v))
+                    if points.get((name, ts)) is None:
+                        points[(name, ts)] = v
                 min_start = start if min_start is None else min(min_start, start)
                 stop = start + len(md["values"]) * step
                 max_stop = stop if max_stop is None else max(max_stop, stop)
+    rows = [(n, t, v) for (n, t), v in points.items()]
     df = spark.createDataFrame(rows, "name STRING, ts BIGINT, value DOUBLE")
     return SeriesLake(df, step0), min_start or 0, max_stop or 0
 
