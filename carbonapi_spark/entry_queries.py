@@ -741,3 +741,144 @@ dense AS (
 )
 SELECT name, ts, round(value, 6) AS value FROM dense
 """.strip())
+
+
+# --------------------------------------------------------------------------
+# round 1, batch 3: remaining oracle-checkable operators
+# --------------------------------------------------------------------------
+
+_g("per_second", "perSecond(events.click)",
+   f"SELECT 'perSecond(events.click)' AS name, ts, "
+   f"round(CASE WHEN value - lag(value) OVER ({W_SERIES}) >= 0 "
+   f"THEN (value - lag(value) OVER ({W_SERIES})) / 3600 END, 6) AS value FROM dense",
+   "name = 'events.click'")
+
+_g("delay", "delay(events.view, 2)",
+   f"SELECT 'delay(events.view,2)' AS name, ts, "
+   f"round(lag(value, 2) OVER ({W_SERIES}), 6) AS value FROM dense",
+   "name = 'events.view'")
+
+_g("changed", "changed(events.error)",
+   f"""
+SELECT 'changed(events.error)' AS name, ts,
+       round(CASE WHEN prev IS NULL AND value IS NULL THEN 0
+                  WHEN prev IS NULL OR value IS NULL THEN 1
+                  WHEN prev != value THEN 1 ELSE 0 END, 6) AS value
+FROM (SELECT name, ts, value, lag(value) OVER ({W_SERIES}) AS prev FROM dense)
+""".strip(),
+   "name = 'events.error'")
+
+_g("is_non_null", "isNonNull(events.error)",
+   "SELECT 'isNonNull(events.error)' AS name, ts, "
+   "round(CASE WHEN value IS NOT NULL THEN 1.0 ELSE 0.0 END, 6) AS value FROM dense",
+   "name = 'events.error'")
+
+_g("scale_to_seconds", "scaleToSeconds(events.click, 60)",
+   "SELECT 'scaleToSeconds(events.click,60)' AS name, ts, "
+   "round(value * 60.0 / 3600, 6) AS value FROM dense",
+   "name = 'events.click'")
+
+_g("sigmoid", "sigmoid(events.purchase)",
+   "SELECT 'sigmoid(events.purchase)' AS name, ts, "
+   "round(1.0 / (1.0 + exp(-value)), 6) AS value FROM dense",
+   "name = 'events.purchase'")
+
+_g("pow_transform", "pow(events.view, 2)",
+   "SELECT 'pow(events.view,2)' AS name, ts, round(pow(value, 2), 6) AS value "
+   "FROM dense",
+   "name = 'events.view'")
+
+_g("substr_name", "substr(events.u*.click, 1, 2)",
+   "SELECT split_part(name, '.', 2) AS name, ts, round(value, 6) AS value FROM dense",
+   r"regexp_matches(name, '^events\.u[^.]*\.click$')")
+
+_g("to_upper", "toUpperCase(events.signup)",
+   "SELECT upper(name) AS name, ts, round(value, 6) AS value FROM dense",
+   "name = 'events.signup'")
+
+_g("alias_literal", "alias(events.click, 'clicks per hour')",
+   "SELECT 'clicks per hour' AS name, ts, round(value, 6) AS value FROM dense",
+   "name = 'events.click'")
+
+_g("alias_by_metric", "aliasByMetric(events.u*.purchase)",
+   "SELECT split_part(name, '.', 3) AS name, ts, round(value, 6) AS value FROM dense",
+   r"regexp_matches(name, '^events\.u[^.]*\.purchase$')")
+
+_g("remove_below_percentile", "removeBelowPercentile(events.click, 50)",
+   """
+, pct AS (
+  SELECT name, arr[CAST(ceil((len(arr) - 1) * 0.5) AS INT) + 1] AS thr
+  FROM (SELECT name, list_sort(list(value) FILTER (value IS NOT NULL)) AS arr
+        FROM dense GROUP BY name)
+)
+SELECT 'removeBelowPercentile(events.click,50)' AS name, d.ts,
+       round(CASE WHEN d.value >= pct.thr THEN d.value END, 6) AS value
+FROM dense d JOIN pct USING (name)
+""".strip(),
+   "name = 'events.click'")
+
+_g("average_outside_percentile", "averageOutsidePercentile(events.u*.view, 80)",
+   """
+, per AS (SELECT name, AVG(value) AS a FROM dense GROUP BY name),
+  bounds AS (SELECT quantile_cont(a, 0.2) AS lo, quantile_cont(a, 0.8) AS hi FROM per),
+  sel AS (SELECT name FROM per, bounds WHERE a < lo OR a > hi)
+SELECT d.name, d.ts, round(d.value, 6) AS value FROM dense d JOIN sel USING (name)
+""".strip(),
+   r"regexp_matches(name, '^events\.u[^.]*\.view$')")
+
+_g("filter_series", "filterSeries(events.u*.purchase, 'sum', '>', 3000)",
+   """
+, sel AS (SELECT name FROM dense GROUP BY name HAVING SUM(value) > 3000)
+SELECT d.name, d.ts, round(d.value, 6) AS value FROM dense d JOIN sel USING (name)
+""".strip(),
+   r"regexp_matches(name, '^events\.u[^.]*\.purchase$')")
+
+_g("sort_by_name_rev", "limit(sortByName(events.u*.signup, false, true), 3)",
+   """
+, sel AS (SELECT DISTINCT name FROM dense ORDER BY name DESC LIMIT 3)
+SELECT d.name, d.ts, round(d.value, 6) AS value FROM dense d JOIN sel USING (name)
+""".strip(),
+   r"regexp_matches(name, '^events\.u[^.]*\.signup$')")
+
+_g("interpolate_all", "interpolate(events.error)",
+   f"""
+SELECT 'interpolate(events.error)' AS name, ts,
+       round(CASE WHEN value IS NOT NULL THEN value
+                  WHEN pts IS NOT NULL AND nts IS NOT NULL THEN
+                       pv + (nv - pv) * (ts - pts) / (nts - pts)
+             END, 6) AS value
+FROM (
+  SELECT name, ts, value,
+         max(CASE WHEN value IS NOT NULL THEN ts END)
+             OVER ({W_SERIES} ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pts,
+         min(CASE WHEN value IS NOT NULL THEN ts END)
+             OVER ({W_SERIES} ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nts
+  FROM dense) g
+LEFT JOIN (SELECT name AS n2, ts AS t2, value AS pv FROM dense) p
+       ON p.n2 = g.name AND p.t2 = g.pts
+LEFT JOIN (SELECT name AS n3, ts AS t3, value AS nv FROM dense) q
+       ON q.n3 = g.name AND q.t3 = g.nts
+""".strip(),
+   "name = 'events.error'")
+
+_g("group_union", "group(events.click, events.view)",
+   "SELECT name, ts, round(value, 6) AS value FROM dense",
+   "name IN ('events.click', 'events.view')")
+
+_g("remove_zero_series", "removeZeroSeries(events.u*.error)",
+   """
+, sel AS (SELECT name FROM dense GROUP BY name
+          HAVING COUNT(CASE WHEN value != 0 THEN 1 END) > 0)
+SELECT d.name, d.ts, round(d.value, 6) AS value FROM dense d JOIN sel USING (name)
+""".strip(),
+   r"regexp_matches(name, '^events\.u[^.]*\.error$')")
+
+_g("count_values", "countValues(isNonNull(events.u*.signup))",
+   """
+SELECT 'value_' || CAST(CAST(floor(present) AS BIGINT) AS VARCHAR) AS name,
+       ts, round(CAST(COUNT(*) AS DOUBLE), 6) AS value
+FROM (SELECT ts, CASE WHEN value IS NOT NULL THEN 1.0 ELSE 0.0 END AS present
+      FROM dense)
+GROUP BY floor(present), ts
+""".strip(),
+   r"regexp_matches(name, '^events\.u[^.]*\.signup$')")

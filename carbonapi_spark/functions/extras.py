@@ -329,3 +329,32 @@ def time_shift_by_metric(ctx, exp, f, u):
           .withColumn(NAME, F.format_string("timeShiftByMetric(%s)", F.col(NAME)))
           .drop("__ver", "ver", "off"))
     return metrics.with_df(df, dense=False)
+
+
+@register("aliasQuery")
+def alias_query(ctx, exp, f, u):
+    """regex-derive a new query per series, evaluate it, format its last
+    value into the new name — aliasQuery/function.go:26-95 (carbonapi ext;
+    inherently a driver-side loop of sub-queries, as in the reference)."""
+    import re as _re
+    from carbonapi_spark.parser import parse as _parse
+
+    frame = series_arg(ctx, exp, exp.args[0], f, u)
+    search = exp.get_string(1)
+    replace = exp.get_string(2)
+    new_name = exp.get_string(3)
+    replace_py = _re.sub(r"\\(\d+)", r"\\g<\1>", replace)
+
+    names = sorted(r[0] for r in frame.df.select(NAME).distinct().collect())
+    mapping = []
+    for n in names:
+        target = _re.sub(search, replace_py, n)
+        sub = eval_expr(ctx, _parse(target), f, u)
+        last = (sub.df.where(F.col(VALUE).isNotNull())
+                .orderBy(F.col(TS).desc()).limit(1).collect())
+        v = last[0][VALUE] if last else float("nan")
+        mapping.append((n, new_name % v))
+    map_df = ctx.spark.createDataFrame(mapping, "name STRING, __new STRING")
+    df = (frame.df.join(F.broadcast(map_df), NAME)
+          .withColumn(NAME, F.col("__new")).drop("__new"))
+    return frame.with_df(df)

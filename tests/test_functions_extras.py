@@ -85,3 +85,16 @@ def test_define_macro(spark):
         approx_list(values_of(res, "scaleToSeconds(m.a,60)"), [3600.0, 7200.0])
     finally:
         undefine_all()
+
+
+def test_alias_query(spark):
+    lake = make_lake(spark, {
+        "cpu.rack1.load": [1.0, 2.0],
+        "cpu.rack2.load": [3.0, 4.0],
+        "meta.rack1.cores": [8.0, 8.0],
+        "meta.rack2.cores": [16.0, 16.0],
+    }, 1, 0)
+    res = run(spark, lake,
+              r"aliasQuery(cpu.rack*.load, 'cpu\.(rack\d+)\.load', 'meta.\1.cores', 'load (%g cores)')",
+              0, 2)
+    assert set(res) == {"load (8 cores)", "load (16 cores)"}
