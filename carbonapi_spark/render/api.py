@@ -21,7 +21,10 @@ import threading
 import urllib.parse
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
-from carbonapi_spark.evaluator import EvalContext, eval_target, render_context
+from carbonapi_spark.evaluator import (
+    EvalContext, EvalError, eval_target, render_context,
+)
+from carbonapi_spark.parser import ParseError
 from carbonapi_spark.functions import REGISTRY
 from carbonapi_spark.model.series import combine
 from carbonapi_spark.render import metadata as meta
@@ -142,6 +145,10 @@ class GraphiteAPI:
                         code, ctype, body = 200, "text/plain", b"carbonapi_spark 0.1"
                     else:
                         code, ctype, body = 404, "text/plain", b"not found"
+                except (ParseError, EvalError) as exc:
+                    # bad target / unknown function -> client error, like the
+                    # reference's render_handler (http.StatusBadRequest)
+                    code, ctype, body = 400, "text/plain", str(exc).encode()
                 except Exception as exc:  # noqa: BLE001
                     code, ctype, body = 500, "text/plain", str(exc).encode()
                 self.send_response(code)

@@ -131,9 +131,9 @@ def test_http_functions(server):
     assert "sumSeries" in payload and "movingAverage" in payload
 
 
-def test_http_unknown_function_is_500(server):
+def test_http_unknown_function_is_400(server):
     code, _ = _get_no_raise(f"{server}/render?target=nosuchfunc(web.*.cpu)&from=0&until=4")
-    assert code == 500
+    assert code == 400
 
 
 def _get_no_raise(url):
