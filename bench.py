@@ -51,9 +51,13 @@ def main() -> None:
     total = round(sum(times.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({
-        "metric": "catalog_total_runtime",
-        "value": total,
+        # mean is count-invariant across rounds as the catalog grows;
+        # per-query detail and the total ride along
+        "metric": "mean_query_runtime",
+        "value": round(total / max(len(times), 1), 4),
         "unit": "sec",
+        "total_sec": total,
+        "n_queries": len(times),
         "queries": times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))

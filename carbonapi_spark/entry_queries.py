@@ -882,3 +882,104 @@ FROM (SELECT ts, CASE WHEN value IS NOT NULL THEN 1.0 ELSE 0.0 END AS present
 GROUP BY floor(present), ts
 """.strip(),
    r"regexp_matches(name, '^events\.u[^.]*\.signup$')")
+
+
+# --------------------------------------------------------------------------
+# round 1, batch 4: lang-id argmax, polyfit, tagged groupBy, rows-only extras
+# --------------------------------------------------------------------------
+
+def _q_lang_id(spark, sf_dir):
+    """argmax language over the marker scores (tie-break: en,de,fr,es)."""
+    from carbonapi_spark.datapipe.text import lang_scores
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    s = lang_scores(docs)
+    en, de, fr, es = (F.col(f"score_{l}") for l in ("en", "de", "fr", "es"))
+    lang = (F.when((en >= de) & (en >= fr) & (en >= es), "en")
+            .when((de >= fr) & (de >= es), "de")
+            .when(fr >= es, "fr").otherwise("es"))
+    return s.select("doc_id", lang.alias("pred_lang"))
+
+
+_register("lang_id", _q_lang_id, r"""
+SELECT doc_id,
+       CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+            WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+            WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS pred_lang
+FROM (SELECT doc_id,
+             len(list_intersect(ws, ['the','and','of','to','in'])) AS s_en,
+             len(list_intersect(ws, ['der','die','und','das','ist'])) AS s_de,
+             len(list_intersect(ws, ['le','la','les','et','est'])) AS s_fr,
+             len(list_intersect(ws, ['el','los','las','es','una'])) AS s_es
+      FROM (SELECT doc_id,
+                   list_distinct(list_filter(string_split_regex(lower(text), '\s+'),
+                                             x -> x != '')) AS ws
+            FROM documents))
+""".strip())
+
+_g("polyfit_linear", "polyfit(events.view)",
+   f"""
+, fit AS (
+  SELECT name, regr_slope(value, (ts - {EVENTS_FROM}) / 3600) AS m,
+         regr_intercept(value, (ts - {EVENTS_FROM}) / 3600) AS b
+  FROM dense GROUP BY name
+)
+SELECT 'polyfit(events.view)' AS name, d.ts,
+       round(f.m * ((d.ts - {EVENTS_FROM}) / 3600) + f.b, 6) AS value
+FROM dense d JOIN fit f USING (name)
+""".strip(),
+   "name = 'events.view'")
+
+
+def _q_group_by_tags(spark, sf_dir):
+    from carbonapi_spark.sources.lake import SeriesLake
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(ev.dtypes).get("ts") == "bigint":
+        sec = F.floor(F.col("ts") / F.lit(1_000_000_000)).cast("long")
+    else:
+        sec = F.floor(F.col("ts").cast("double")).cast("long")
+    tagged = (ev.groupBy(
+        F.concat(F.lit("events.value;type="), F.col("event_type"),
+                 F.lit(";user=u"), (F.col("user_id") % 10).cast("string")).alias("name"),
+        (sec - sec % F.lit(EVENTS_STEP)).alias("ts"))
+        .agg(F.sum("value").alias("value")))
+    lake = SeriesLake(tagged, EVENTS_STEP)
+    ctx = EvalContext(spark, lake, EVENTS_FROM, EVENTS_UNTIL)
+    frame = eval_target(ctx, "groupByTags(seriesByTag('name=events.value'), 'sum', 'type')")
+    v = F.col(VALUE)
+    return frame.df.select(F.col(NAME).alias("name"), F.col(TS).alias("ts"),
+                           F.round(F.when(~F.isnan(v), v), 6).alias("value"))
+
+
+_register("group_by_tags", _q_group_by_tags, f"""
+WITH ev AS (
+  SELECT 'events.value;type=' || event_type AS name,
+         CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS ts,
+         SUM(value) AS value
+  FROM events GROUP BY 1, 2
+),
+spine AS (SELECT ts FROM generate_series({EVENTS_FROM}, {EVENTS_UNTIL} - {EVENTS_STEP}, {EVENTS_STEP}) g(ts)),
+names AS (SELECT DISTINCT name FROM ev)
+SELECT n.name, s.ts, round(e.value, 6) AS value
+FROM names n CROSS JOIN spine s
+LEFT JOIN ev e ON e.name = n.name AND e.ts = s.ts
+""".strip())
+
+# rows-only: spectral + band kernels (non-SQL-expressible)
+_register("hw_bands",
+          graphite_query("holtWintersConfidenceBands(events.click, 3, '7d', '1d')",
+                         EVENTS_FROM + 7 * 86400, EVENTS_UNTIL))
+_register("low_pass", graphite_query("lowPass(events.click, 40)"))
+_register("fingerprints", lambda spark, sf_dir: (
+    spark.read.parquet(f"{sf_dir}/documents.parquet")
+    .select("doc_id", __import__("carbonapi_spark.datapipe.text", fromlist=["fingerprint"])
+            .fingerprint(F.col("text")).alias("fp"))))
+
+
+def _q_lsh_topk(spark, sf_dir):
+    from carbonapi_spark.datapipe.similarity import lsh_topk
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return lsh_topk(emb, emb.where(F.col("vec_id") < 5), k=10, dim=64, n_planes=6)
+
+
+_register("lsh_topk", _q_lsh_topk)  # rows-only (approximate by construction)
