@@ -35,15 +35,39 @@ SERIES_ALIASES = {
 }
 
 
+# folds where a missing row is indistinguishable from a NULL row: for these
+# the aggregation can consume the pre-densify (sparse) scan directly and the
+# densify shuffle of the full point set is skipped — the aggregated output
+# (1 row per bucket) is densified instead, which is orders of magnitude
+# smaller. Count/order-sensitive folds (avg_zero, multiply, first, last,
+# diff, xff-gated anything) still need the dense input.
+_NULL_SKIPPING = frozenset({
+    "sum", "total", "avg", "average", "max", "maximum", "min", "minimum",
+    "count", "range", "rangeOf", "stddev", "median",
+})
+
+
+def _agg_source(frame: SeriesFrame, func: str, xff: float):
+    if (frame.raw_df is not None and xff <= 0
+            and (func in _NULL_SKIPPING or func.startswith("p"))):
+        return frame.raw_df
+    return frame.df
+
+
 def _aggregate_frames(frame: SeriesFrame, func: str, out_name: str,
                       xff: float = 0.0) -> SeriesFrame:
     """Fold all series in *frame* pointwise into one named series."""
     V = F.col(VALUE)
     agg = agg_column(func, V, F.col(ORD), xff).cast("double").alias(VALUE)
-    df = (frame.df.groupBy(TS).agg(agg)
+    src = _agg_source(frame, func, xff)
+    used_raw = src is frame.raw_df
+    df = (src.groupBy(TS).agg(agg)
           .select(F.lit(out_name).alias(NAME), F.lit(out_name).alias(ORD),
                   F.col(TS), F.col(VALUE)))
-    return frame.with_df(df, dense=True)
+    out = frame.with_df(df, dense=not used_raw)
+    # sparse-source output may miss all-NULL buckets; densify the (tiny)
+    # aggregated result
+    return out.densify() if used_raw else out
 
 
 @register("aggregate", *SERIES_ALIASES.keys())
@@ -91,15 +115,19 @@ def percentile_of_series(ctx, exp, f, u):
 def _grouped_aggregate(frame: SeriesFrame, key_col, callback: str,
                        name_fmt) -> SeriesFrame:
     """groupBy(key, ts) fold; output one series per key, named by *name_fmt*
-    (a Column fn of the key)."""
+    (a Column fn of the key). NULL-skipping callbacks aggregate the sparse
+    scan directly (one shuffle); the per-key output is densified after."""
     V = F.col(VALUE)
-    df = (frame.df
+    src = _agg_source(frame, callback, 0.0)
+    used_raw = src is frame.raw_df
+    df = (src
           .withColumn("__key", key_col)
           .groupBy("__key", TS)
           .agg(agg_column(callback, V, F.col(ORD), 0.0).cast("double").alias(VALUE))
           .select(name_fmt(F.col("__key")).alias(NAME),
                   name_fmt(F.col("__key")).alias(ORD), F.col(TS), F.col(VALUE)))
-    return frame.with_df(df, dense=True)
+    out = frame.with_df(df, dense=not used_raw)
+    return out.densify() if used_raw else out
 
 
 @register("groupByNode", "groupByNodes")

