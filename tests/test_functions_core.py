@@ -309,3 +309,56 @@ def test_constant_line(spark):
     lake = make_lake(spark, {}, 1, 0)
     res = run(spark, lake, "constantLine(42.5)", 0, 100)
     assert [v for _, v in res["42.5"]] == [42.5, 42.5, 42.5]
+
+
+# ------------------------------------------------- alignment edge cases
+
+def test_summarize_coarse_step_to_finer_bucket(spark):
+    # reference summarize/function_test.go:52-66: step-10 series re-bucketed
+    # to 5s: values land in their own buckets, gaps are NaN
+    lake = make_lake(spark, {"metric1": [1, 2, 3, 4, 5]}, step=10, start=0)
+    res = run(spark, lake, "summarize(metric1, '5s')", 0, 50)
+    approx_list(values_of(res, "summarize(metric1,'5s')"),
+                [1, None, 2, None, 3, None, 4, None, 5, None, None])
+
+
+def test_mixed_step_lcm_alignment(spark):
+    # combining step-2 (summarize output) with step-1 series: LCM
+    # re-consolidation with 'average' (ScaleToCommonStep, align.go:76)
+    lake = make_lake(spark, {"m": [1, 2, 3, 4], "m2": [10, 20, 30, 40]}, 1, 0)
+    res = run(spark, lake, "sumSeries(summarize(m, '2s', 'avg'), m2)", 0, 4)
+    name = "sumSeries(summarize(m,'2s','avg'),m2)"
+    approx_list(values_of(res, name), [16.5, 38.5, None])
+
+
+def test_as_percent_nodes_missing_pad(spark):
+    # asPercent(sl, total, nodes): unmatched groups pad with MISSING
+    # (asPercent/function.go:400-430)
+    lake = make_lake(spark, {
+        "a.s1.used": [50.0], "a.s2.used": [30.0],
+        "t.s1.total": [100.0], "t.s3.total": [10.0],
+    }, 1, 0)
+    res = run(spark, lake, "asPercent(a.*.used, t.*.total, 1)", 0, 1)
+    assert "asPercent(a.s1.used,t.s1.total)" in res
+    approx_list(values_of(res, "asPercent(a.s1.used,t.s1.total)"), [50.0])
+    assert "asPercent(a.s2.used,MISSING)" in res
+    approx_list(values_of(res, "asPercent(a.s2.used,MISSING)"), [None])
+    assert "asPercent(MISSING,t.s3.total)" in res
+
+
+def test_divide_series_lists_length_mismatch(spark):
+    import pytest as _pytest
+    lake = make_lake(spark, {"a.x": [1], "a.y": [2], "b.x": [3]}, 1, 0)
+    with _pytest.raises(Exception, match="same length"):
+        run(spark, lake, "divideSeriesLists(a.*, b.*)", 0, 1)
+
+
+def test_weighted_average(spark):
+    lake = make_lake(spark, {
+        "avg.s1": [10.0, 20.0], "avg.s2": [30.0, 40.0],
+        "wgt.s1": [1.0, 1.0], "wgt.s2": [3.0, 1.0],
+    }, 1, 0)
+    res = run(spark, lake, "weightedAverage(avg.*, wgt.*, 1)", 0, 2)
+    name = "weightedAverage(avg.*,wgt.*,1)"
+    # ts0: (10*1 + 30*3)/(1+3) = 25; ts1: (20+40)/2 = 30
+    approx_list(values_of(res, name), [25.0, 30.0])
