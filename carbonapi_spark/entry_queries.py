@@ -983,3 +983,57 @@ def _q_lsh_topk(spark, sf_dir):
 
 
 _register("lsh_topk", _q_lsh_topk)  # rows-only (approximate by construction)
+
+
+# --------------------------------------------------------------------------
+# round 1, batch 5: embedding near-dup + vocabulary stats
+# --------------------------------------------------------------------------
+
+def _q_embedding_dedup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (threshold 0.9, exact).
+
+    Brute force is the oracle-checkable baseline; `lsh_topk` is the
+    bucketed scale path for the same computation."""
+    from carbonapi_spark.datapipe.similarity import dot, norm, _as_double
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .where(F.col("vec_id") < 300))  # bounded pair count per SF
+    # normalize once per vector: the pair join then needs a single dot
+    e = _as_double(F.col("embedding"))
+    unit = F.transform(e, lambda x: x / norm(e))
+    nv = emb.select(F.col("vec_id"), unit.alias("__u"))
+    a = nv.select(F.col("vec_id").alias("id_a"), F.col("__u").alias("__ua"))
+    b = nv.select(F.col("vec_id").alias("id_b"), F.col("__u").alias("__ub"))
+    return (a.join(b, F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b",
+                    F.round(dot(F.col("__ua"), F.col("__ub")), 6).alias("cos_sim"))
+            .where(F.col("cos_sim") >= 0.4))
+
+
+_register("embedding_dedup", _q_embedding_dedup, """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id < 300),
+     sims AS (
+       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              round(list_dot_product(a.e, b.e)
+                    / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
+                    6) AS cos_sim
+       FROM v a JOIN v b ON a.vec_id < b.vec_id)
+SELECT id_a, id_b, cos_sim FROM sims WHERE cos_sim >= 0.4
+""".strip())
+
+
+def _q_vocab_top(spark, sf_dir):
+    """Top-100 tokens by document frequency (tie-break alphabetical)."""
+    from carbonapi_spark.datapipe.text import word_set
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (docs.select(F.explode(word_set(F.col("text"))).alias("token"))
+            .groupBy("token").agg(F.count(F.lit(1)).alias("doc_freq"))
+            .orderBy(F.desc("doc_freq"), F.asc("token")).limit(100))
+
+
+_register("vocab_top", _q_vocab_top, r"""
+SELECT token, CAST(COUNT(*) AS BIGINT) AS doc_freq
+FROM (SELECT unnest(list_distinct(list_filter(
+                 string_split_regex(lower(text), '\s+'), x -> x != ''))) AS token
+      FROM documents)
+GROUP BY token ORDER BY doc_freq DESC, token LIMIT 100
+""".strip())
