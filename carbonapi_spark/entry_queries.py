@@ -1037,3 +1037,13 @@ FROM (SELECT unnest(list_distinct(list_filter(
       FROM documents)
 GROUP BY token ORDER BY doc_freq DESC, token LIMIT 100
 """.strip())
+
+
+_g("xff_aggregate", "aggregate(setXFilesFactor(events.u*.click, 0.5), 'sum')",
+   """
+SELECT 'sumSeries(setXFilesFactor(events.u*.click,0.5))' AS name, ts,
+       round(CASE WHEN CAST(COUNT(value) AS DOUBLE) / COUNT(*) >= 0.5
+                  THEN SUM(value) END, 6) AS value
+FROM dense GROUP BY ts
+""".strip(),
+   r"regexp_matches(name, '^events\.u[^.]*\.click$')")
