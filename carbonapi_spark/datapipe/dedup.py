@@ -34,11 +34,17 @@ def exact_dedup(df: DataFrame, key_col: str = "text",
 
 
 def shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of the lowercased token stream."""
+    """Distinct word n-gram shingles of the lowercased token stream.
+
+    Built as n shifted slices of the token array folded with ``zip_with``
+    — O(k) per doc, vs the O(k^2) of per-index ``slice`` inside a
+    ``transform``."""
     toks = tokens(F.lower(text))
-    k = F.size(toks) - (n - 1)
-    grams = F.transform(F.sequence(F.lit(1), F.greatest(k, F.lit(0))),
-                        lambda i: F.array_join(F.slice(toks, i, n), " "))
+    k = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    grams = F.slice(toks, 1, k)
+    for j in range(1, n):
+        grams = F.zip_with(grams, F.slice(toks, j + 1, k),
+                           lambda a, b: F.concat(a, F.lit(" "), b))
     return F.array_distinct(grams)
 
 
@@ -77,21 +83,21 @@ def minhash_signatures_df(df: DataFrame, text_col: str = "text",
     one hash aggregation computing all K permutation minima with map-side
     partial agg. Beats per-row array-HOF evaluation ~20x and is the shape
     that survives 100 TB (shuffle key = doc id, combiner-reduced)."""
+    from carbonapi_spark.datapipe import spread
+    df = spread(df)
+    # explode_outer keeps zero-shingle docs as a NULL row: min() skips it,
+    # coalesce supplies the degenerate signature — one pass, no anti-join
     exploded = (df.select(F.col(id_col).alias("__id"),
-                          F.explode(shingles(F.col(text_col), ngram)).alias("__s"))
+                          F.explode_outer(shingles(F.col(text_col), ngram))
+                          .alias("__s"))
                 .select("__id",
-                        (((F.xxhash64("__s") % MERSENNE) + MERSENNE) % MERSENNE)
-                        .alias("__h")))
+                        F.when(F.col("__s").isNotNull(),
+                               ((F.xxhash64("__s") % MERSENNE) + MERSENNE)
+                               % MERSENNE).alias("__h")))
     params = _affine_params(num_hashes, seed)
     aggs = [F.coalesce(F.min((F.col("__h") * a + b) % MERSENNE), F.lit(MERSENNE))
             .alias(f"__m{i}") for i, (a, b) in enumerate(params)]
     per_doc = exploded.groupBy("__id").agg(*aggs)
-    # docs with zero shingles still get a (degenerate) signature
-    empty = (df.select(F.col(id_col).alias("__id"))
-             .join(per_doc.select("__id"), "__id", "left_anti")
-             .select("__id", *[F.lit(MERSENNE).alias(f"__m{i}")
-                               for i in range(num_hashes)]))
-    per_doc = per_doc.unionByName(empty)
     return per_doc.select(
         "__id", F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]).alias("__sig"))
 
@@ -99,36 +105,62 @@ def minhash_signatures_df(df: DataFrame, text_col: str = "text",
 def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id", num_hashes: int = 16,
                            bands: int = 4, ngram: int = 3,
-                           seed: int = 42) -> DataFrame:
+                           seed: int = 42,
+                           max_bucket: int = 2000) -> DataFrame:
     """Candidate near-duplicate pairs via banded LSH: docs sharing any band
-    signature. Returns (id_a, id_b) with id_a < id_b, distinct."""
+    signature. Returns (id_a, id_b) with id_a < id_b, distinct.
+
+    Physical shape: ONE hash aggregation on (band, key) collecting bucket
+    members, then in-bucket pair generation with array HOFs — the signature
+    pipeline is computed once and shuffled once, vs twice for a self-join.
+    Buckets larger than ``max_bucket`` are truncated (sorted, so the kept
+    prefix is deterministic): a bucket of s docs emits s^2/2 pairs, and an
+    adversarial all-identical corpus would otherwise OOM a single task;
+    truncated duplicates still pair with the bucket's retained members."""
     rows = num_hashes // bands
     sig = minhash_signatures_df(df, text_col, id_col, num_hashes, ngram, seed)
     banded = sig.select(
         "__id",
         F.explode(F.transform(
             F.sequence(F.lit(0), F.lit(bands - 1)),
-            lambda b: F.struct(b.alias("band"),
-                               F.slice("__sig", b * rows + 1, rows)
-                               .cast("array<string>").alias("key")))).alias("bk"))
+            lambda b: F.struct(
+                b.alias("band"),
+                F.array_join(F.slice("__sig", b * rows + 1, rows)
+                             .cast("array<string>"), ",").alias("key"))))
+        .alias("bk"))
     banded = banded.select("__id", F.col("bk.band").alias("band"),
-                           F.array_join("bk.key", ",").alias("key"))
-    a = banded.alias("a")
-    b = banded.alias("b")
-    pairs = (a.join(b, (F.col("a.band") == F.col("b.band"))
-                    & (F.col("a.key") == F.col("b.key"))
-                    & (F.col("a.__id") < F.col("b.__id")))
-             .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
-             .distinct())
-    return pairs
+                           F.col("bk.key").alias("key"))
+    buckets = (banded.groupBy("band", "key")
+               .agg(F.slice(F.sort_array(F.collect_list("__id")),
+                            1, max_bucket).alias("ids"))
+               .where(F.size("ids") > 1))
+    n = F.size("ids")
+    pair_structs = F.flatten(F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.transform(
+            F.slice(F.col("ids"), i + 1, n - i),
+            lambda x: F.struct(F.element_at(F.col("ids"), i).alias("id_a"),
+                               x.alias("id_b")))))
+    return (buckets.select(F.explode(pair_structs).alias("p"))
+            .select("p.id_a", "p.id_b").distinct())
 
 
 def jaccard_verify(df: DataFrame, pairs: DataFrame, text_col: str = "text",
                    id_col: str = "doc_id", ngram: int = 3,
                    threshold: float = 0.8) -> DataFrame:
-    """Exact n-gram Jaccard over candidate pairs; keeps pairs >= threshold."""
-    sh = df.select(F.col(id_col).alias("__id"),
-                   shingles(F.col(text_col), ngram).alias("__sh"))
+    """Exact n-gram Jaccard over candidate pairs; keeps pairs >= threshold.
+
+    Shingles are only computed for docs that appear in a candidate pair
+    (semi-join first): candidates are a vanishing fraction of the corpus,
+    so this skips re-shingling almost everything. ``pairs`` is referenced
+    twice (ids + the verify join), so it is persisted here — it is the
+    candidate table, small by construction at any corpus scale."""
+    pairs = pairs.persist()
+    ids = (pairs.select(F.explode(F.array("id_a", "id_b")).alias(id_col))
+           .distinct())
+    sh = (df.join(ids, id_col, "left_semi")
+          .select(F.col(id_col).alias("__id"),
+                  shingles(F.col(text_col), ngram).alias("__sh")))
     j = (pairs
          .join(sh.withColumnRenamed("__id", "id_a").withColumnRenamed("__sh", "sh_a"), "id_a")
          .join(sh.withColumnRenamed("__id", "id_b").withColumnRenamed("__sh", "sh_b"), "id_b"))
