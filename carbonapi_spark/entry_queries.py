@@ -702,8 +702,15 @@ _register("ks_test",
 # not see tagged series, mirroring graphite's tagged-fetch isolation)
 # --------------------------------------------------------------------------
 
-def _q_series_by_tag(spark, sf_dir):
+def _tagged_lake(spark, sf_dir):
+    """Shared tagged projection of raw events (persisted per session):
+    name = events.value;type=<t>;user=u<user_id%10>, hourly sum buckets.
+    Grouping is on narrow raw columns; the tagged name string is
+    synthesized after the aggregation (40 rows/bucket, not per input row)."""
     from carbonapi_spark.sources.lake import SeriesLake
+    key = (id(spark), sf_dir, "tagged")
+    if key in _LAKE_CACHE:
+        return _LAKE_CACHE[key]
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     if dict(ev.dtypes).get("ts") == "bigint":
@@ -711,12 +718,19 @@ def _q_series_by_tag(spark, sf_dir):
     else:
         sec = F.floor(F.col("ts").cast("double")).cast("long")
     tagged = (ev.groupBy(
-        F.concat(F.lit("events.value;type="), F.col("event_type"),
-                 F.lit(";user=u"), (F.col("user_id") % 10).cast("string")).alias("name"),
+        F.col("event_type"), (F.col("user_id") % 10).alias("u"),
         (sec - sec % F.lit(EVENTS_STEP)).alias("ts"))
-        .agg(F.sum("value").alias("value")))
-    lake = SeriesLake(tagged, EVENTS_STEP)
-    ctx = EvalContext(spark, lake, EVENTS_FROM, EVENTS_UNTIL)
+        .agg(F.sum("value").alias("value"))
+        .select(F.concat(F.lit("events.value;type="), F.col("event_type"),
+                         F.lit(";user=u"), F.col("u").cast("string")).alias("name"),
+                "ts", "value"))
+    lake = SeriesLake(tagged.persist(), EVENTS_STEP)
+    _LAKE_CACHE[key] = lake
+    return lake
+
+
+def _q_series_by_tag(spark, sf_dir):
+    ctx = EvalContext(spark, _tagged_lake(spark, sf_dir), EVENTS_FROM, EVENTS_UNTIL)
     frame = eval_target(ctx, "seriesByTag('name=events.value', 'type=click', 'user=~u[0-4]')")
     v = F.col(VALUE)
     return frame.df.select(F.col(NAME).alias("name"), F.col(TS).alias("ts"),
@@ -931,20 +945,7 @@ FROM dense d JOIN fit f USING (name)
 
 
 def _q_group_by_tags(spark, sf_dir):
-    from carbonapi_spark.sources.lake import SeriesLake
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(ev.dtypes).get("ts") == "bigint":
-        sec = F.floor(F.col("ts") / F.lit(1_000_000_000)).cast("long")
-    else:
-        sec = F.floor(F.col("ts").cast("double")).cast("long")
-    tagged = (ev.groupBy(
-        F.concat(F.lit("events.value;type="), F.col("event_type"),
-                 F.lit(";user=u"), (F.col("user_id") % 10).cast("string")).alias("name"),
-        (sec - sec % F.lit(EVENTS_STEP)).alias("ts"))
-        .agg(F.sum("value").alias("value")))
-    lake = SeriesLake(tagged, EVENTS_STEP)
-    ctx = EvalContext(spark, lake, EVENTS_FROM, EVENTS_UNTIL)
+    ctx = EvalContext(spark, _tagged_lake(spark, sf_dir), EVENTS_FROM, EVENTS_UNTIL)
     frame = eval_target(ctx, "groupByTags(seriesByTag('name=events.value'), 'sum', 'type')")
     v = F.col(VALUE)
     return frame.df.select(F.col(NAME).alias("name"), F.col(TS).alias("ts"),
