@@ -112,7 +112,7 @@ _g("group_by_node", "groupByNode(events.u*.*, 2, 'sum')",
    r"regexp_matches(name, '^events\.u[^.]*\.[^.]*$')")
 
 _g("percentile_of_series", "percentileOfSeries(events.u*.view, 75, true)",
-   "SELECT 'percentileOfSeries(events.u*.view,75,true)' AS name, ts, "
+   "SELECT 'percentileOfSeries(events.u*.view, 75, true)' AS name, ts, "
    "round(quantile_cont(value, 0.75), 6) AS value FROM dense GROUP BY ts",
    r"regexp_matches(name, '^events\.u[^.]*\.view$')")
 
@@ -1042,7 +1042,7 @@ GROUP BY token ORDER BY doc_freq DESC, token LIMIT 100
 
 _g("xff_aggregate", "aggregate(setXFilesFactor(events.u*.click, 0.5), 'sum')",
    """
-SELECT 'sumSeries(setXFilesFactor(events.u*.click,0.5))' AS name, ts,
+SELECT 'sumSeries(setXFilesFactor(events.u*.click, 0.5))' AS name, ts,
        round(CASE WHEN CAST(COUNT(value) AS DOUBLE) / COUNT(*) >= 0.5
                   THEN SUM(value) END, 6) AS value
 FROM dense GROUP BY ts

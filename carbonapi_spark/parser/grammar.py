@@ -433,7 +433,10 @@ def _parse_arg_list(s: str) -> tuple[str, list[Expr], dict[str, Expr], str]:
         if not s:
             raise ParseError("missing closing paren")
         if s[0] == ")":
-            return ",".join(p.strip() for p in raw_parts), args, named, s[1:]
+            # verbatim raw spans (leading whitespace kept, parser.go:790-806):
+            # synthesized names must reproduce the reference byte-for-byte,
+            # e.g. diffSeries(time("t"), some.metric) keeps the space
+            return ",".join(raw_parts), args, named, s[1:]
         if s[0] != ",":
             raise ParseError(f"unexpected character {s[0]!r} in arg list")
         s = s[1:]

@@ -54,13 +54,13 @@ def test_aggregate_diff(spark):
     # diff = first - sum(rest non-null)  (consolidations.go:233-239)
     lake = make_lake(spark, {"m.a": [10, 10, None], "m.b": [3, None, 1]}, 1, 0)
     res = run(spark, lake, "diffSeries(m.a, m.b)", 0, 3)
-    approx_list(values_of(res, "diffSeries(m.a,m.b)"), [7, None, None])
+    approx_list(values_of(res, "diffSeries(m.a, m.b)"), [7, None, None])
 
 
 def test_aggregate_multiply_nan_propagates(spark):
     lake = make_lake(spark, {"m.a": [2, 2], "m.b": [3, None]}, 1, 0)
     res = run(spark, lake, "multiplySeries(m.a, m.b)", 0, 2)
-    approx_list(values_of(res, "multiplySeries(m.a,m.b)"), [6, None])
+    approx_list(values_of(res, "multiplySeries(m.a, m.b)"), [6, None])
 
 
 def test_count_series(spark):
@@ -91,7 +91,7 @@ def test_percentile_of_series(spark):
     lake = make_lake(spark, {f"m.{i}": [float(i)] for i in range(1, 11)}, 1, 0)
     res = run(spark, lake, "percentileOfSeries(m.*, 50)", 0, 1)
     # non-interpolated: element at ceil((n-1)*p/100) of sorted
-    approx_list(values_of(res, "percentileOfSeries(m.*,50)"), [6.0])
+    approx_list(values_of(res, "percentileOfSeries(m.*, 50)"), [6.0])
 
 
 # ----------------------------------------------------------- transforms
@@ -327,7 +327,7 @@ def test_mixed_step_lcm_alignment(spark):
     # re-consolidation with 'average' (ScaleToCommonStep, align.go:76)
     lake = make_lake(spark, {"m": [1, 2, 3, 4], "m2": [10, 20, 30, 40]}, 1, 0)
     res = run(spark, lake, "sumSeries(summarize(m, '2s', 'avg'), m2)", 0, 4)
-    name = "sumSeries(summarize(m,'2s','avg'),m2)"
+    name = "sumSeries(summarize(m, '2s', 'avg'), m2)"
     approx_list(values_of(res, name), [16.5, 38.5, None])
 
 

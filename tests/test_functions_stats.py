@@ -131,7 +131,7 @@ def test_consolidate_by_sets_meta(spark):
 def test_pow_series(spark):
     lake = make_lake(spark, {"m.a": [2, 3], "m.b": [3, 2]}, 1, 0)
     res = run(spark, lake, "powSeries(m.a, m.b)", 0, 2)
-    approx_list(values_of(res, "powSeries(m.a,m.b)"), [8, 9])
+    approx_list(values_of(res, "powSeries(m.a, m.b)"), [8, 9])
 
 
 def test_heat_map(spark):

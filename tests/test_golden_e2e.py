@@ -27,7 +27,8 @@ CASES_DIR = Path("/root/reference/cmd/mockbackend/testcases")
 # data-bearing cases whose queries exercise implemented, non-HTTP semantics
 # (consolidateBy / error-path cases assert only HTTP codes — not replayable
 # against an embedded engine)
-REPLAY = ["sortBy", "i484", "i589"]
+REPLAY = ["sortBy", "i484", "i517", "i545", "i565", "i589", "i598",
+          "i661", "pr743", "pr817"]
 
 
 def _load_case(name: str) -> dict:

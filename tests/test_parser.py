@@ -33,7 +33,9 @@ def test_nested_func_and_consts():
     assert e.target == "scale"
     assert e.args[0].target == "sumSeries"
     assert e.args[1].val == 2.5
-    assert e.to_string() == "scale(sumSeries(a.b,a.c),2.5)"
+    # raw arg spans are preserved verbatim (parser_test.go:102-105 keeps
+    # "metricA, metricB"), so the space after each comma survives
+    assert e.to_string() == "scale(sumSeries(a.b, a.c), 2.5)"
 
 
 def test_named_args():
@@ -76,7 +78,7 @@ def test_pipe_syntax():
 def test_series_by_tag_is_opaque_name():
     e = parse("seriesByTag('name=cpu.load', 'dc=~us.*')")
     assert e.is_name()
-    assert e.target == "seriesByTag('name=cpu.load','dc=~us.*')"
+    assert e.target == "seriesByTag('name=cpu.load', 'dc=~us.*')"
 
 
 def test_braces_protect_commas():
