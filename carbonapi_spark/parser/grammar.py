@@ -181,17 +181,21 @@ class Expr:
         return interval_seconds(s, default_sign)
 
     def get_node_or_tag_args(self, start: int = 1) -> list[int | str]:
-        """Mixed int node-index / string tag-name varargs (parser interface.go:60-63)."""
+        """Mixed int node-index / string tag-name varargs (parser
+        interface.go:60-63). Only consts and quoted strings are legal
+        (GetNodeOrTagArgs, parser.go:735-763) — a bare name is an error."""
         out: list[int | str] = []
         for a in self.args[start:]:
             if a.is_const():
                 out.append(int(a.val))
-            else:
-                s = a.val_str if a.is_string() else a.target
+            elif a.is_string():
                 try:
-                    out.append(int(s))
+                    out.append(int(a.val_str))
                 except ValueError:
-                    out.append(s)
+                    out.append(a.val_str)
+            else:
+                raise ParseError(
+                    f"{self.target}: node-or-tag arg must be int or string")
         return out
 
     # literal text of positional arg n as it appeared in the query

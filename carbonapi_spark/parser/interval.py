@@ -18,8 +18,12 @@ _UNITS = {
 }
 
 
-class IntervalError(ValueError):
-    pass
+from carbonapi_spark.parser.grammar import ParseError
+
+
+class IntervalError(ParseError):
+    """Malformed interval: a parse error (the reference 400s on these —
+    cmd/mockbackend/testcases/pr560)."""
 
 
 def interval_seconds(s: str, default_sign: int = 1) -> int:

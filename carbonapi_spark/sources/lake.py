@@ -24,10 +24,12 @@ dense-vector invariant (gap == NULL row).
 
 from __future__ import annotations
 
+import math
 import re
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from carbonapi_spark.model.consolidation import agg_column
 from carbonapi_spark.model.series import NAME, ORD, TS, VALUE, SeriesFrame
 from carbonapi_spark.parser.globs import glob_to_regex, has_wildcard
 
@@ -99,6 +101,12 @@ class SeriesLake:
                  time_partition_seconds: int = 86400):
         self.df = df
         self.step = step
+        # multi-resolution lake: an optional per-row ``step`` column (series
+        # written at different retentions/resolutions, like whisper archives
+        # or mixed backend steps). fetch() then rescales every matched series
+        # to the LCM step, mirroring the reference zipper's
+        # ScaleToCommonStep (expr/helper/align.go:76-189).
+        self.per_series_step = "step" in df.columns
         self.time_partition_col = (
             time_partition_col if time_partition_col and
             time_partition_col in df.columns else None)
@@ -131,6 +139,8 @@ class SeriesLake:
               *, densify: bool = True) -> SeriesFrame:
         """Series matching *pattern* with buckets covering [from, until)."""
         step = self.step
+        if self.per_series_step:
+            step = self._common_step(pattern, until_ts)
         start = from_ts - from_ts % step
         stop = until_ts + (-until_ts) % step
         if stop <= start:
@@ -142,10 +152,35 @@ class SeriesLake:
             w = self.time_partition_seconds
             df = df.where(F.col(self.time_partition_col)
                           .between(start - start % w, stop - 1))
-        df = df.select(F.col(NAME), F.col(NAME).alias(ORD),
-                       F.col(TS).cast("long"), F.col(VALUE).cast("double"))
+        if self.per_series_step:
+            # rescale every series to the LCM step: bucket each raw point
+            # and fold with the default consolidation (average, NULL-skipped
+            # — ScaleToCommonStep semantics, align.go:176-189)
+            bucket = (F.col(TS) - F.col(TS) % F.lit(step)).cast("long").alias(TS)
+            df = (df.groupBy(F.col(NAME), F.col(NAME).alias(ORD), bucket)
+                  .agg(agg_column("average", F.col(VALUE), F.col(TS), 0.0)
+                       .cast("double").alias(VALUE)))
+        else:
+            df = df.select(F.col(NAME), F.col(NAME).alias(ORD),
+                           F.col(TS).cast("long"), F.col(VALUE).cast("double"))
         frame = SeriesFrame(df, step, start, stop)
         return frame.densify() if densify else frame
+
+    def _common_step(self, pattern: str, until_ts: int) -> int:
+        """LCM of the steps of the series matching *pattern*.
+
+        One tiny pushed-down aggregate over the ``step`` column. A
+        production lake would keep (name, step) in a small series_meta
+        table instead of re-deriving it from the data scan; the plan shape
+        (scan → partial distinct → 1-row result) is the same either way.
+        """
+        rows = (self.df.where(self._name_predicate(pattern))
+                .where(F.col(TS) < until_ts)
+                .select("step").distinct().collect())
+        step = 1
+        for r in rows:
+            step = step * int(r[0]) // math.gcd(step, int(r[0]))
+        return step if rows else self.step
 
 
 def _split_quoted_args(s: str) -> list[str]:

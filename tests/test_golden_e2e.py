@@ -27,8 +27,14 @@ CASES_DIR = Path("/root/reference/cmd/mockbackend/testcases")
 # data-bearing cases whose queries exercise implemented, non-HTTP semantics
 # (consolidateBy / error-path cases assert only HTTP codes — not replayable
 # against an embedded engine)
-REPLAY = ["sortBy", "i484", "i517", "i545", "i565", "i589", "i598",
-          "i661", "pr743", "pr817"]
+REPLAY = ["sortBy", "i484", "i516", "i517", "i545", "i565", "i584", "i589",
+          "i598", "i661", "pr500", "pr529", "pr743", "pr817"]
+
+# the reference's render range defaults to [-1d, now] and the mockbackend
+# serves its canned data regardless; functions that fetch shifted ranges
+# (timeShift) therefore see data past the canned stop. Cases that depend on
+# that get an explicit range here: (from, until) to use for every query.
+RANGE_OVERRIDE = {"pr529": (3, 9)}
 
 
 def _load_case(name: str) -> dict:
@@ -40,14 +46,17 @@ def _lake_from_listeners(spark, case) -> tuple[SeriesLake, int, int]:
     # point-wise preferring non-NaN, like the reference's zipper merge
     # (zipper/types/response.go:458) — lakes keep (name, ts) unique
     points: dict[tuple, float | None] = {}
+    steps: dict[str, int] = {}
     min_start, max_stop, step0 = None, None, 60
     for listener in case.get("listeners", []):
         for block in (listener.get("expressions") or {}).values():
             for md in block.get("data", []):
                 name = md["metricName"]
                 step = md.get("step", 1)  # mockbackend default step is 1
-                start = md.get("startTime", 1)
+                # default startTime == step (cmd/mockbackend/render.go:113-116)
+                start = md.get("startTime", step)
                 step0 = step
+                steps[name] = step
                 for i, v in enumerate(md["values"]):
                     ts = start + i * step
                     if v is None or (isinstance(v, float) and math.isnan(v)):
@@ -59,6 +68,12 @@ def _lake_from_listeners(spark, case) -> tuple[SeriesLake, int, int]:
                 min_start = start if min_start is None else min(min_start, start)
                 stop = start + len(md["values"]) * step
                 max_stop = stop if max_stop is None else max(max_stop, stop)
+    if len(set(steps.values())) > 1:
+        # mixed resolutions -> multi-resolution lake with a step column
+        rows = [(n, t, v, steps[n]) for (n, t), v in points.items()]
+        df = spark.createDataFrame(
+            rows, "name STRING, ts BIGINT, value DOUBLE, step INT")
+        return SeriesLake(df), min_start or 0, max_stop or 0
     rows = [(n, t, v) for (n, t), v in points.items()]
     df = spark.createDataFrame(rows, "name STRING, ts BIGINT, value DOUBLE")
     return SeriesLake(df, step0), min_start or 0, max_stop or 0
@@ -74,12 +89,16 @@ def _expected_metrics(query: dict):
     return None
 
 
-def _targets_of(query: dict) -> list[str]:
+def _query_params(query: dict) -> tuple[list[str], int | None, int | None, int]:
+    """(targets, from, until, maxDataPoints) of a replayable query."""
     qs = urllib.parse.urlparse(query["URL"]).query
     params = urllib.parse.parse_qs(qs)
     if params.get("format", ["json"])[0] != "json":
-        return []
-    return params.get("target", [])
+        return [], None, None, 0
+    f = int(params["from"][0]) if "from" in params else None
+    u = int(params["until"][0]) if "until" in params else None
+    mdp = int(params.get("maxDataPoints", ["0"])[0])
+    return params.get("target", []), f, u, mdp
 
 
 @pytest.mark.parametrize("case_name", REPLAY)
@@ -89,14 +108,17 @@ def test_golden_case(spark, case_name):
     replayed = 0
     for query in case.get("test", {}).get("queries", []):
         want = _expected_metrics(query)
-        targets = _targets_of(query)
+        targets, q_from, q_until, mdp = _query_params(query)
         if want is None or not targets:
             continue
         got = []
-        ctx = EvalContext(spark, lake, start, stop)
+        f, u = RANGE_OVERRIDE.get(case_name, (q_from, q_until))
+        ctx = EvalContext(spark, lake,
+                          start if f is None else f,
+                          stop if u is None else u)
         for target in targets:
             frame = eval_target(ctx, target)
-            got.extend(json.loads(render_json(collect_series(frame))))
+            got.extend(json.loads(render_json(collect_series(frame, mdp))))
         want_set = {m["target"]: m["datapoints"] for m in want}
         got_set = {m["target"]: m["datapoints"] for m in got}
         assert set(got_set) == set(want_set), \

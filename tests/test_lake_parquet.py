@@ -37,3 +37,30 @@ def test_fetch_prunes_and_pushes(spark, parquet_lake):
 def test_fetch_densify_from_parquet(spark, parquet_lake):
     frame = parquet_lake.fetch(spark, "web.h1.cpu", 0, 86400)
     assert frame.df.count() == 24
+
+
+def test_multi_resolution_lake(spark, tmp_path_factory):
+    """Per-series steps rescale to the LCM at fetch (ScaleToCommonStep,
+    align.go:76-189): avg-consolidated buckets, NULL-only buckets stay NULL."""
+    path = str(tmp_path_factory.mktemp("lake") / "mixed")
+    rows = []
+    for i in range(12):  # fine.cpu at 60s: value == minute index
+        rows.append(("fine.cpu", i * 60, float(i), 60))
+    for i in range(4):  # coarse.cpu at 180s
+        rows.append(("coarse.cpu", i * 180, 10.0 * i, 180))
+    df = spark.createDataFrame(rows, "name STRING, ts BIGINT, value DOUBLE, step INT")
+    df.write.mode("overwrite").parquet(path)
+    lake = SeriesLake(spark.read.parquet(path))
+    frame = lake.fetch(spark, "*.cpu", 0, 720)
+    assert frame.step == 180
+    got = {(r["name"], r["ts"]): r["value"] for r in frame.df.collect()}
+    # fine series: avg of 3 raw points per 180s bucket
+    assert got[("fine.cpu", 0)] == pytest.approx(1.0)   # avg(0,1,2)
+    assert got[("fine.cpu", 180)] == pytest.approx(4.0)
+    assert got[("fine.cpu", 540)] == pytest.approx(10.0)
+    # coarse series passes through unchanged
+    assert got[("coarse.cpu", 360)] == pytest.approx(20.0)
+    # uniform-step pattern keeps its native resolution
+    fine_only = lake.fetch(spark, "fine.cpu", 0, 720)
+    assert fine_only.step == 60
+    assert fine_only.df.count() == 12

@@ -2,6 +2,7 @@
 cmd/mockbackend analog)."""
 
 import json
+import urllib.parse
 import urllib.request
 
 import pytest
@@ -142,3 +143,19 @@ def _get_no_raise(url):
             return resp.status, resp.read()
     except urllib.error.HTTPError as e:
         return e.code, e.read()
+
+
+def test_http_bad_targets_are_400(server):
+    """The reference's pr560 e2e case: malformed targets -> HTTP 400
+    (cmd/mockbackend/testcases/pr560/pr560.yaml)."""
+    bad = [
+        "aliasbyNode()",                     # unknown (case-sensitive) name
+        "aliasbyNode(web.host1.cpu)",
+        "aliasByNode(web.host1.cpu, abc)",   # node arg must be int/tag
+        "polyfit(web.host1.cpu, 2, '12dd')", # malformed interval
+        "devideSeries(web.host1.cpu)",       # typo'd function
+    ]
+    for target in bad:
+        code, _ = _get_no_raise(
+            f"{server}/render?target={urllib.parse.quote(target)}&from=0&until=4")
+        assert code == 400, target
