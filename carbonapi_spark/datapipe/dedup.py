@@ -86,20 +86,24 @@ def minhash_signatures_df(df: DataFrame, text_col: str = "text",
     from carbonapi_spark.datapipe import spread
     df = spread(df)
     # explode_outer keeps zero-shingle docs as a NULL row: min() skips it,
-    # coalesce supplies the degenerate signature — one pass, no anti-join
+    # coalesce supplies the degenerate signature — one pass, no anti-join.
+    # Expressions are built as single SQL strings: one parse round-trip
+    # instead of a py4j call per Column op (~0.5s less driver time).
+    p = MERSENNE
     exploded = (df.select(F.col(id_col).alias("__id"),
                           F.explode_outer(shingles(F.col(text_col), ngram))
                           .alias("__s"))
-                .select("__id",
-                        F.when(F.col("__s").isNotNull(),
-                               ((F.xxhash64("__s") % MERSENNE) + MERSENNE)
-                               % MERSENNE).alias("__h")))
+                .selectExpr("__id",
+                            f"if(__s is not null,"
+                            f" ((xxhash64(__s) % {p}L) + {p}L) % {p}L,"
+                            f" null) as __h"))
     params = _affine_params(num_hashes, seed)
-    aggs = [F.coalesce(F.min((F.col("__h") * a + b) % MERSENNE), F.lit(MERSENNE))
+    aggs = [F.expr(f"coalesce(min((__h * {a}L + {b}L) % {p}L), {p}L)")
             .alias(f"__m{i}") for i, (a, b) in enumerate(params)]
     per_doc = exploded.groupBy("__id").agg(*aggs)
-    return per_doc.select(
-        "__id", F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]).alias("__sig"))
+    return per_doc.selectExpr(
+        "__id",
+        "array(" + ",".join(f"__m{i}" for i in range(num_hashes)) + ") as __sig")
 
 
 def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
@@ -119,30 +123,23 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
     truncated duplicates still pair with the bucket's retained members."""
     rows = num_hashes // bands
     sig = minhash_signatures_df(df, text_col, id_col, num_hashes, ngram, seed)
-    banded = sig.select(
+    banded = sig.selectExpr(
         "__id",
-        F.explode(F.transform(
-            F.sequence(F.lit(0), F.lit(bands - 1)),
-            lambda b: F.struct(
-                b.alias("band"),
-                F.array_join(F.slice("__sig", b * rows + 1, rows)
-                             .cast("array<string>"), ",").alias("key"))))
-        .alias("bk"))
-    banded = banded.select("__id", F.col("bk.band").alias("band"),
-                           F.col("bk.key").alias("key"))
+        f"""explode(transform(sequence(0, {bands - 1}),
+              b -> struct(b as band,
+                          array_join(cast(slice(__sig, b * {rows} + 1, {rows})
+                                          as array<string>), ',') as key)))
+            as bk""").selectExpr("__id", "bk.band as band", "bk.key as key")
     buckets = (banded.groupBy("band", "key")
-               .agg(F.slice(F.sort_array(F.collect_list("__id")),
-                            1, max_bucket).alias("ids"))
+               .agg(F.expr(f"slice(sort_array(collect_list(__id)), 1, {max_bucket})")
+                    .alias("ids"))
                .where(F.size("ids") > 1))
-    n = F.size("ids")
-    pair_structs = F.flatten(F.transform(
-        F.sequence(F.lit(1), n - 1),
-        lambda i: F.transform(
-            F.slice(F.col("ids"), i + 1, n - i),
-            lambda x: F.struct(F.element_at(F.col("ids"), i).alias("id_a"),
-                               x.alias("id_b")))))
-    return (buckets.select(F.explode(pair_structs).alias("p"))
-            .select("p.id_a", "p.id_b").distinct())
+    return (buckets.selectExpr(
+        """explode(flatten(transform(sequence(1, size(ids) - 1),
+             i -> transform(slice(ids, i + 1, size(ids) - i),
+                            x -> struct(element_at(ids, i) as id_a,
+                                        x as id_b))))) as p""")
+        .select("p.id_a", "p.id_b").distinct())
 
 
 def jaccard_verify(df: DataFrame, pairs: DataFrame, text_col: str = "text",

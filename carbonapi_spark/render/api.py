@@ -30,7 +30,8 @@ from carbonapi_spark.model.series import combine
 from carbonapi_spark.render import metadata as meta
 from carbonapi_spark.render.cache import ExpireCache
 from carbonapi_spark.render.serialize import (
-    collect_series, render_csv, render_json, render_pickle, render_raw,
+    collect_series, render_csv, render_json, render_pickle,
+    render_protobuf_v2, render_protobuf_v3, render_raw,
 )
 
 
@@ -74,6 +75,10 @@ class GraphiteAPI:
             body, ctype = render_raw(series).encode(), "text/plain"
         elif fmt == "pickle":
             body, ctype = render_pickle(series), "application/pickle"
+        elif fmt in ("protobuf", "protobuf3", "carbonapi_v3_pb"):
+            body, ctype = render_protobuf_v3(series), "application/x-protobuf"
+        elif fmt in ("protobuf2", "carbonapi_v2_pb"):
+            body, ctype = render_protobuf_v2(series), "application/x-protobuf"
         else:
             return 400, "text/plain", f"unsupported format {fmt}".encode()
 
@@ -126,8 +131,26 @@ class GraphiteAPI:
 
         class Handler(BaseHTTPRequestHandler):
             def do_GET(self):  # noqa: N802
+                self._handle(urllib.parse.parse_qs(
+                    urllib.parse.urlparse(self.path).query))
+
+            def do_POST(self):  # noqa: N802
+                # form-encoded POST bodies merge with query params, like
+                # net/http's Request.Form (render_handler.go parses r.Form)
                 parsed = urllib.parse.urlparse(self.path)
                 params = urllib.parse.parse_qs(parsed.query)
+                n = int(self.headers.get("Content-Length") or 0)
+                ctype = self.headers.get("Content-Type", "")
+                if n and "application/x-www-form-urlencoded" in ctype:
+                    for k, v in urllib.parse.parse_qs(
+                            self.rfile.read(n).decode()).items():
+                        params.setdefault(k, []).extend(v)
+                elif n:
+                    self.rfile.read(n)
+                self._handle(params)
+
+            def _handle(self, params):
+                parsed = urllib.parse.urlparse(self.path)
                 try:
                     if parsed.path == "/render":
                         code, ctype, body = api.render(params)

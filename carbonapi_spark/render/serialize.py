@@ -132,3 +132,94 @@ def render_pickle(series: list[SeriesResult]) -> bytes:
         "step": s.step,
     } for s in series]
     return pickle.dumps(payload, protocol=2)
+
+
+# ----------------------------------------------------------------------
+# protobuf (carbonapi_v2_pb / carbonapi_v3_pb wire formats)
+# ----------------------------------------------------------------------
+# Hand-rolled proto3 encoding — the messages are simple enough (varints,
+# fixed64 packed, length-delimited) that a protobuf dependency isn't
+# warranted. Schemas:
+#   v3 MultiFetchResponse{ metrics=1 rep FetchResponse{ name=1,
+#     pathExpression=2, consolidationFunc=3, startTime=4, stopTime=5,
+#     stepTime=6, xFilesFactor=7 fixed32, highPrecisionTimestamps=8,
+#     values=9 packed fixed64, appliedFunctions=10 rep,
+#     requestStartTime=11, requestStopTime=12 } }
+#     (vendor/github.com/go-graphite/protocol/carbonapi_v3_pb)
+#   v2 FetchResponse{ name=1, startTime=2, stopTime=3, stepTime=4,
+#     values=5 packed fixed64, isAbsent=6 packed bool } — NaN encoded as
+#     (0.0, isAbsent=true), per MarshalProtobufV2 (types.go:235-266).
+
+import struct as _struct
+
+
+def _varint(n: int) -> bytes:
+    out = bytearray()
+    n &= (1 << 64) - 1
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        out.append(b | (0x80 if n else 0))
+        if not n:
+            return bytes(out)
+
+
+def _tag(field: int, wire: int) -> bytes:
+    return _varint(field << 3 | wire)
+
+
+def _len_delim(field: int, payload: bytes) -> bytes:
+    return _tag(field, 2) + _varint(len(payload)) + payload
+
+
+def _str(field: int, s: str) -> bytes:
+    return _len_delim(field, s.encode("utf-8")) if s else b""
+
+
+def _vint(field: int, n: int) -> bytes:
+    return _tag(field, 0) + _varint(n) if n else b""
+
+
+def _packed_f64(field: int, vals: list[float]) -> bytes:
+    if not vals:
+        return b""
+    return _len_delim(field, _struct.pack(f"<{len(vals)}d", *vals))
+
+
+def render_protobuf_v3(series: list[SeriesResult]) -> bytes:
+    """carbonapi_v3_pb MultiFetchResponse (MarshalProtobufV3, types.go:268)."""
+    out = bytearray()
+    for s in series:
+        m = bytearray()
+        m += _str(1, s.name)
+        m += _str(2, s.path_expression)
+        m += _str(3, "average")
+        m += _vint(4, s.start)
+        m += _vint(5, s.stop)
+        m += _vint(6, s.step)
+        m += _packed_f64(9, [math.nan if v is None else float(v)
+                             for v in s.values])
+        m += _vint(11, s.start)
+        m += _vint(12, s.stop)
+        out += _len_delim(1, bytes(m))
+    return bytes(out)
+
+
+def render_protobuf_v2(series: list[SeriesResult]) -> bytes:
+    """carbonapi_v2_pb MultiFetchResponse (MarshalProtobufV2, types.go:235):
+    NaN/None becomes value 0.0 with isAbsent[i]=true."""
+    out = bytearray()
+    for s in series:
+        m = bytearray()
+        m += _str(1, s.name)
+        m += _vint(2, s.start)
+        m += _vint(3, s.stop)
+        m += _vint(4, s.step)
+        absent = [v is None or (isinstance(v, float) and math.isnan(v))
+                  for v in s.values]
+        m += _packed_f64(5, [0.0 if a else float(v)
+                             for a, v in zip(absent, s.values)])
+        if s.values:
+            m += _len_delim(6, bytes(bytearray(1 if a else 0 for a in absent)))
+        out += _len_delim(1, bytes(m))
+    return bytes(out)

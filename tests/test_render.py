@@ -159,3 +159,78 @@ def test_http_bad_targets_are_400(server):
         code, _ = _get_no_raise(
             f"{server}/render?target={urllib.parse.quote(target)}&from=0&until=4")
         assert code == 400, target
+
+
+def _pb_fields(buf: bytes):
+    """Minimal proto3 wire decoder: yields (field, wire, value)."""
+    i = 0
+    while i < len(buf):
+        key, shift = 0, 0
+        while True:
+            b = buf[i]; i += 1
+            key |= (b & 0x7F) << shift; shift += 7
+            if not b & 0x80:
+                break
+        field, wire = key >> 3, key & 7
+        if wire == 0:
+            v, shift = 0, 0
+            while True:
+                b = buf[i]; i += 1
+                v |= (b & 0x7F) << shift; shift += 7
+                if not b & 0x80:
+                    break
+            yield field, wire, v
+        elif wire == 2:
+            ln, shift = 0, 0
+            while True:
+                b = buf[i]; i += 1
+                ln |= (b & 0x7F) << shift; shift += 7
+                if not b & 0x80:
+                    break
+            yield field, wire, buf[i:i + ln]; i += ln
+        else:
+            raise AssertionError(f"unexpected wire type {wire}")
+
+
+def test_protobuf_serializers():
+    import math as m
+    import struct
+    from carbonapi_spark.render.serialize import (
+        SeriesResult, render_protobuf_v2, render_protobuf_v3)
+    s = SeriesResult("web.cpu", 60, 240, 60, [1.5, None, 3.0], {"name": "web.cpu"})
+
+    v3 = render_protobuf_v3([s])
+    (f, w, metric), = list(_pb_fields(v3))
+    assert (f, w) == (1, 2)
+    fields = {fl: val for fl, _, val in _pb_fields(metric)}
+    assert fields[1] == b"web.cpu"
+    assert fields[4] == 60 and fields[5] == 240 and fields[6] == 60
+    vals = struct.unpack("<3d", fields[9])
+    assert vals[0] == 1.5 and m.isnan(vals[1]) and vals[2] == 3.0
+
+    v2 = render_protobuf_v2([s])
+    (f, w, metric), = list(_pb_fields(v2))
+    fields = {fl: val for fl, _, val in _pb_fields(metric)}
+    assert fields[2] == 60 and fields[3] == 240 and fields[4] == 60
+    assert struct.unpack("<3d", fields[5]) == (1.5, 0.0, 3.0)
+    assert list(fields[6]) == [0, 1, 0]  # isAbsent
+
+
+def test_http_post_render(server):
+    body = b"target=sumSeries(web.*.cpu)&from=0&until=4&format=json"
+    req = urllib.request.Request(
+        f"{server}/render", data=body, method="POST",
+        headers={"Content-Type": "application/x-www-form-urlencoded"})
+    with urllib.request.urlopen(req, timeout=60) as resp:
+        assert resp.status == 200
+        out = json.loads(resp.read())
+    assert out[0]["datapoints"] == [[11.0, 0], [22.0, 1], [30.0, 2], [44.0, 3]]
+
+
+def test_http_protobuf_format(server):
+    code, body = _get(f"{server}/render?target=web.host1.cpu"
+                      "&from=0&until=4&format=protobuf")
+    assert code == 200
+    (f, w, metric), = list(_pb_fields(body))
+    fields = {fl: val for fl, _, val in _pb_fields(metric)}
+    assert fields[1] == b"web.host1.cpu"
