@@ -1,0 +1,103 @@
+"""Scale smoke for the training-data pipeline: generate a synthetic corpus
+~100x the sf0.1 documents table and time dedup / similarity / text ops.
+
+The point is shape, not absolute speed: all of these are explode->agg or
+bucket-join pipelines whose shuffle volume is linear in corpus size with
+bounded per-key state, so time should scale ~linearly with rows on a fixed
+core count.
+
+Usage: python tools/scale_smoke_datapipe.py [n_docs] [n_vecs]
+Writes under .scratch/ (gitignored); prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DOCS = "/root/repo/.scratch/scale_docs"
+VECS = "/root/repo/.scratch/scale_vecs"
+
+WORDS = ("the quick brown fox jumps over lazy dog pack my box with five "
+         "dozen liquor jugs how vexingly daft zebras jump bright vixens "
+         "quiz sphinx of black quartz judge my vow").split()
+
+
+def main():
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 500_000
+    n_vecs = int(sys.argv[2]) if len(sys.argv) > 2 else 200_000
+    dim = 32
+
+    from pyspark.sql import SparkSession, functions as F
+
+    spark = (SparkSession.builder
+             .master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
+             .config("spark.sql.shuffle.partitions", "64")
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.driver.memory", "12g")
+             .config("spark.ui.enabled", "false")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    t0 = time.perf_counter()
+    if not os.path.exists(DOCS):
+        # ~40-word docs assembled from a rotating vocab window; every 50th
+        # doc repeats an earlier one verbatim (exact+near dup planted)
+        words = F.array(*[F.lit(w) for w in WORDS])
+        base = (spark.range(n_docs)
+                .select(F.col("id").alias("doc_id"),
+                        F.when(F.col("id") % 50 == 0, F.col("id") + 1)
+                        .otherwise(F.col("id")).alias("seed")))
+        text = F.array_join(
+            F.transform(F.sequence(F.lit(0), F.lit(39)),
+                        lambda i: F.element_at(
+                            words, (F.abs(F.xxhash64(F.col("seed") * 40 + i))
+                                    % len(WORDS)).cast("int") + 1)), " ")
+        base.select("doc_id", text.alias("text")) \
+            .repartition(64).write.mode("overwrite").parquet(DOCS)
+    if not os.path.exists(VECS):
+        vec = F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: F.sin(F.col("id") * 0.37 + i * 1.13).cast("float"))
+        (spark.range(n_vecs).select(F.col("id").alias("vec_id"),
+                                    vec.alias("embedding"))
+         .repartition(64).write.mode("overwrite").parquet(VECS))
+    gen_s = round(time.perf_counter() - t0, 2)
+
+    docs = spark.read.parquet(DOCS)
+    vecs = spark.read.parquet(VECS)
+
+    from carbonapi_spark.datapipe.dedup import (
+        exact_dedup, jaccard_verify, minhash_lsh_candidates, simhash)
+    from carbonapi_spark.datapipe.similarity import lsh_topk
+    from carbonapi_spark.datapipe.text import lang_scores, quality_features
+
+    times = {}
+
+    def case(name, fn):
+        t0 = time.perf_counter()
+        n = fn()
+        times[name] = {"sec": round(time.perf_counter() - t0, 2), "rows": n}
+
+    case("exact_dedup", lambda: exact_dedup(docs).count())
+    case("minhash_lsh_verify", lambda: jaccard_verify(
+        docs, minhash_lsh_candidates(docs, num_hashes=16, bands=4, ngram=3),
+        ngram=3, threshold=0.8).count())
+    case("simhash", lambda: docs.select(
+        simhash(F.col("text"), bits=32).alias("h")).count())
+    case("quality_features", lambda: quality_features(docs).count())
+    case("lang_scores", lambda: lang_scores(docs).count())
+    q = vecs.limit(8)
+    case("lsh_ann_topk", lambda: lsh_topk(vecs, q, k=10, dim=dim).count())
+
+    print(json.dumps({"n_docs": n_docs, "n_vecs": n_vecs, "gen_sec": gen_s,
+                      "cases": times}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
