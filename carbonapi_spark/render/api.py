@@ -119,6 +119,15 @@ class GraphiteAPI:
                                  limit)
         return 200, "application/json", json.dumps(out).encode()
 
+    def info(self, params: dict) -> tuple[int, str, bytes]:
+        targets = params.get("target", [])
+        if not targets:
+            return 400, "text/plain", b"no target specified"
+        payload = {}
+        for t in targets:
+            payload.update(meta.info(self.lake, t))
+        return 200, "application/json", json.dumps(payload).encode()
+
     def functions(self, params: dict) -> tuple[int, str, bytes]:
         payload = {name: {"name": name, "function": name + "(seriesList)",
                           "module": "carbonapi_spark.functions"}
@@ -164,6 +173,10 @@ class GraphiteAPI:
                         code, ctype, body = api.tags_autocomplete(params, True)
                     elif parsed.path == "/functions":
                         code, ctype, body = api.functions(params)
+                    elif parsed.path in ("/info", "/info/"):
+                        code, ctype, body = api.info(params)
+                    elif parsed.path == "/lb_check":
+                        code, ctype, body = 200, "text/plain", b"Ok\n"
                     elif parsed.path == "/version":
                         code, ctype, body = 200, "text/plain", b"carbonapi_spark 0.1"
                     else:

@@ -81,3 +81,32 @@ def tag_values(lake: SeriesLake, tag: str, value_prefix: str = "",
     if value_prefix:
         df = df.where(F.col("v").startswith(value_prefix))
     return [r["v"] for r in df.orderBy("v").limit(limit).collect()]
+
+
+def info(lake: SeriesLake, target: str) -> dict:
+    """Per-metric retention metadata (/info, cmd/carbonapi/http/
+    info_handlers.go; payload shape = carbonapi_v3_pb MetricsInfoResponse).
+
+    The reference proxies this to whisper-style backends; our lake's analog:
+    each matching series reports its step (per-series when the lake is
+    multi-resolution) and the lake's time span as a single retention archive.
+    """
+    df = lake.df.where(lake._name_predicate(target))
+    has_step = lake.per_series_step
+    aggs = [F.min("ts").alias("lo"), F.max("ts").alias("hi")]
+    if has_step:
+        aggs.append(F.max("step").alias("step"))
+    rows = df.groupBy(NAME).agg(*aggs).orderBy(NAME).collect()
+    out = {}
+    for r in rows:
+        step = int(r["step"]) if has_step else lake.step
+        retention = int(r["hi"]) - int(r["lo"]) + step
+        out[r[NAME]] = {
+            "name": r[NAME],
+            "consolidationFunc": "average",
+            "xFilesFactor": 0.0,
+            "maxRetention": retention,
+            "retentions": [{"secondsPerPoint": step,
+                            "numberOfPoints": retention // step}],
+        }
+    return out

@@ -234,3 +234,14 @@ def test_http_protobuf_format(server):
     (f, w, metric), = list(_pb_fields(body))
     fields = {fl: val for fl, _, val in _pb_fields(metric)}
     assert fields[1] == b"web.host1.cpu"
+
+
+def test_http_info_and_lb_check(server):
+    code, body = _get(f"{server}/info?target=web.host1.cpu")
+    assert code == 200
+    payload = json.loads(body)
+    e = payload["web.host1.cpu"]
+    assert e["retentions"][0]["secondsPerPoint"] == 1
+    assert e["retentions"][0]["numberOfPoints"] == 4
+    code, body = _get(f"{server}/lb_check")
+    assert code == 200 and body == b"Ok\n"
