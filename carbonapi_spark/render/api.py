@@ -108,15 +108,17 @@ class GraphiteAPI:
 
     def tags_autocomplete(self, params: dict, values: bool) -> tuple[int, str, bytes]:
         limit = int(params.get("limit", ["100"])[0])
+        exprs = params.get("expr", [])
         if values:
             tag = params.get("tag", [""])[0]
             if not tag:
                 return 400, "text/plain", b"missing tag"
             out = meta.tag_values(self.lake, tag,
-                                  params.get("valuePrefix", [""])[0], limit)
+                                  params.get("valuePrefix", [""])[0], limit,
+                                  exprs=exprs)
         else:
             out = meta.tag_names(self.lake, params.get("tagPrefix", [""])[0],
-                                 limit)
+                                 limit, exprs=exprs)
         return 200, "application/json", json.dumps(out).encode()
 
     def info(self, params: dict) -> tuple[int, str, bytes]:

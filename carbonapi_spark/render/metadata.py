@@ -65,18 +65,34 @@ def expand(lake: SeriesLake, query: str) -> list[str]:
     return [r["p"] for r in rows]
 
 
-def tag_names(lake: SeriesLake, prefix: str = "", limit: int = 100) -> list[str]:
+def _expr_filtered(lake: SeriesLake, exprs: list[str] | None):
+    """Restrict the lake to series matching every seriesByTag-style term
+    (the graphite-web autocomplete ``expr=`` params; the reference proxies
+    them verbatim to the backend's /tags endpoints,
+    zipper/types/interface.go:29-30)."""
+    from carbonapi_spark.sources.lake import tag_predicate
+
+    df = lake.df
+    for spec in exprs or []:
+        df = df.where(tag_predicate(spec, tags_expr(F.col(NAME))))
+    return df
+
+
+def tag_names(lake: SeriesLake, prefix: str = "", limit: int = 100,
+              exprs: list[str] | None = None) -> list[str]:
     tags = tags_expr(F.col(NAME))
-    df = lake.df.select(F.explode(F.map_keys(tags)).alias("k")).distinct()
+    df = (_expr_filtered(lake, exprs)
+          .select(F.explode(F.map_keys(tags)).alias("k")).distinct())
     if prefix:
         df = df.where(F.col("k").startswith(prefix))
     return [r["k"] for r in df.orderBy("k").limit(limit).collect()]
 
 
 def tag_values(lake: SeriesLake, tag: str, value_prefix: str = "",
-               limit: int = 100) -> list[str]:
+               limit: int = 100, exprs: list[str] | None = None) -> list[str]:
     tags = tags_expr(F.col(NAME))
-    df = (lake.df.select(tags.getItem(tag).alias("v"))
+    df = (_expr_filtered(lake, exprs)
+          .select(tags.getItem(tag).alias("v"))
           .where(F.col("v").isNotNull()).distinct())
     if value_prefix:
         df = df.where(F.col("v").startswith(value_prefix))

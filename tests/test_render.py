@@ -91,6 +91,10 @@ def test_tag_autocomplete(spark):
     lake = make_lake(spark, {"cpu;host=h1": [1], "cpu;host=h2;dc=w": [1]}, 1, 0)
     assert tag_names(lake) == ["dc", "host", "name"]
     assert tag_values(lake, "host") == ["h1", "h2"]
+    # expr= filters restrict the candidate series (graphite-web API)
+    assert tag_names(lake, exprs=["dc=w"]) == ["dc", "host", "name"]
+    assert tag_values(lake, "host", exprs=["dc=w"]) == ["h2"]
+    assert tag_values(lake, "host", exprs=["dc="]) == ["h1"]
 
 
 # ----------------------------------------------------------- HTTP e2e
