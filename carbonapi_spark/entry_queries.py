@@ -687,9 +687,61 @@ FROM bucket_spine b LEFT JOIN agg a ON a.bts = b.ts
 """.strip(),
    "name = 'events.click'")
 
-# non-SQL-expressible kernels -> rows-only checks
+# ewma HAS a closed form: y_k over the non-NaN prefix x_1..x_k is
+# (1-a)^(k-1) x_1 + a * sum_j (1-a)^(k-j) x_j  (j>=2) — the recursive pandas
+# kernel and this quadratic SQL window agree to double precision. NaN points
+# pass through as NULL without advancing state (ewma/function.go:50-60).
+_g("ewma_alpha", "ewma(events.click, 0.3)",
+   """
+, idx AS (SELECT name, ts, value,
+                 row_number() OVER (PARTITION BY name ORDER BY ts) AS k
+          FROM dense WHERE value IS NOT NULL)
+SELECT 'ewma(' || a.name || ',0.3)' AS name, a.ts,
+       round(SUM((CASE WHEN b.k = 1 THEN power(0.7, a.k - 1)
+                       ELSE 0.3 * power(0.7, a.k - b.k) END) * b.value), 6)
+       AS value
+FROM idx a JOIN idx b ON a.name = b.name AND b.k <= a.k
+GROUP BY a.name, a.ts
+UNION ALL
+SELECT 'ewma(' || name || ',0.3)' AS name, ts, NULL AS value
+FROM dense WHERE value IS NULL
+""".strip(),
+   "name = 'events.click'")
+
+# exponentialMovingAverage closed form (c = 2/(windowSize+1) — for string
+# windows windowSize is SECONDS (function.go:84-99), so c = 2/43201 here —
+# seeded with the mean of
+# the first window, output at T gated by x(T-step), state skipping NaN):
+# y(T) = (1-c)^m * seed + c * sum_i (1-c)^(m-i) x_i over the m non-NaN
+# points in [f, T). Matches kernels.ema_series to double precision.
+_EMA_F = EVENTS_FROM + 43200
 _register("ema", graphite_query("exponentialMovingAverage(events.click, '12h')",
-                                EVENTS_FROM + 43200, EVENTS_UNTIL))
+                                _EMA_F, EVENTS_UNTIL),
+          f"""WITH {oracle_prefix("name = 'events.click'", EVENTS_FROM, EVENTS_UNTIL)}
+, seed AS (SELECT name, avg(value) AS s FROM dense
+           WHERE ts < {_EMA_F} GROUP BY name)
+, idx AS (SELECT name, ts, value,
+                 row_number() OVER (PARTITION BY name ORDER BY ts) AS k
+          FROM dense WHERE ts >= {_EMA_F} AND value IS NOT NULL)
+, gates AS (SELECT name, ts + 3600 AS ts, value AS gate
+            FROM dense WHERE ts >= {_EMA_F})
+, m AS (SELECT g.name, g.ts, g.gate, count(i.ts) AS m
+        FROM gates g LEFT JOIN idx i ON i.name = g.name AND i.ts < g.ts
+        GROUP BY g.name, g.ts, g.gate)
+, contrib AS (SELECT m.name, m.ts, m.gate, m.m,
+                     sum((2.0/43201.0) * power(43199.0/43201.0, m.m - i.k) * i.value)
+                     AS body
+              FROM m LEFT JOIN idx i ON i.name = m.name AND i.ts < m.ts
+              GROUP BY m.name, m.ts, m.gate, m.m)
+SELECT 'exponentialMovingAverage(' || c.name || ',"12h")' AS name, c.ts,
+       CASE WHEN c.gate IS NOT NULL THEN
+            round(power(43199.0/43201.0, c.m) * s.s + coalesce(c.body, 0), 6)
+       END AS value
+FROM contrib c JOIN seed s USING (name)
+UNION ALL
+SELECT 'exponentialMovingAverage(' || name || ',"12h")' AS name,
+       {_EMA_F} AS ts, round(s, 6) AS value
+FROM seed""")
 _register("holt_winters",
           graphite_query("holtWintersForecast(events.click, '7d', '1d')",
                          EVENTS_FROM + 7 * 86400, EVENTS_UNTIL))
