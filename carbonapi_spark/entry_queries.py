@@ -1026,7 +1026,25 @@ _register("low_pass", graphite_query("lowPass(events.click, 40)"))
 _register("fingerprints", lambda spark, sf_dir: (
     spark.read.parquet(f"{sf_dir}/documents.parquet")
     .select("doc_id", __import__("carbonapi_spark.datapipe.text", fromlist=["fingerprint"])
-            .fingerprint(F.col("text")).alias("fp"))))
+            .fingerprint(F.col("text")).alias("fp"))),
+    # the rolling hash is SQL-portable by design: same fold, no engine hash()
+    r"""
+SELECT doc_id,
+  CASE WHEN len(toks) = 0 THEN 0 ELSE
+    list_reduce(
+      list_transform(toks, t ->
+        CASE WHEN len(regexp_split_to_array(t, '')) = 0 THEN 0 ELSE
+          list_reduce(
+            list_transform(regexp_split_to_array(t, ''), c -> CAST(ord(c) AS BIGINT)),
+            (a, x) -> (a * 31 + x) % 2147483647)
+        END),
+      (a, h) -> (a * 131 + h) % 2147483647)
+  END AS fp
+FROM (SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '')
+             AS toks
+      FROM documents)
+""".strip())
 
 
 def _q_lsh_topk(spark, sf_dir):
