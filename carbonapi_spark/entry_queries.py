@@ -1053,7 +1053,39 @@ def _q_lsh_topk(spark, sf_dir):
     return lsh_topk(emb, emb.where(F.col("vec_id") < 5), k=10, dim=64, n_planes=6)
 
 
-_register("lsh_topk", _q_lsh_topk)  # rows-only (approximate by construction)
+def _lsh_topk_oracle() -> str:
+    """The hyperplanes are deterministic (seed 42), so the 'approximate'
+    bucketing is exactly reproducible in SQL: interpolate the same planes
+    as literals and redo sign-signature + bucket join + top-k. Sign margins
+    are safe (min |dot| over sf0.01 corpus x planes ~ 6e-4 >> double eps)."""
+    from carbonapi_spark.datapipe.similarity import random_planes
+    planes = random_planes(64, 6, 42)
+    lits = ["[" + ",".join(repr(x) for x in p) + "]" for p in planes]
+    sig = " || ".join(
+        f"(CASE WHEN list_dot_product(v, {lit}) > 0 THEN '1' ELSE '0' END)"
+        for lit in lits)
+    return f"""
+WITH sigs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sigd AS (SELECT vec_id, v, {sig} AS sig FROM sigs),
+q AS (SELECT vec_id AS query_id, v AS qv, sig FROM sigd WHERE vec_id < 5),
+c AS (SELECT vec_id AS neighbor_id, v AS cv, sig FROM sigd),
+sims AS (SELECT q.query_id, c.neighbor_id,
+                round(CASE WHEN sqrt(list_dot_product(qv, qv))
+                                * sqrt(list_dot_product(cv, cv)) > 0
+                           THEN list_dot_product(qv, cv)
+                                / (sqrt(list_dot_product(qv, qv))
+                                   * sqrt(list_dot_product(cv, cv))) END, 6)
+                AS cos_sim
+         FROM c JOIN q USING (sig) WHERE neighbor_id != query_id)
+SELECT query_id, neighbor_id, cos_sim
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rk
+      FROM sims)
+WHERE rk <= 10
+""".strip()
+
+
+_register("lsh_topk", _q_lsh_topk, _lsh_topk_oracle())
 
 
 # --------------------------------------------------------------------------
