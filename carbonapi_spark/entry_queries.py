@@ -588,6 +588,21 @@ FROM dense
 """.strip().format(f=EVENTS_FROM),
    "name = 'events.click'")
 
+# positional zip: i-th series of list A pairs with i-th of list B (stable
+# glob-sorted order -> u0..u9 on both sides, so the pair key is the user)
+_g("diff_series_lists", "diffSeriesLists(events.u*.view, events.u*.click)",
+   """
+, v AS (SELECT split_part(name, '.', 2) AS u, ts, value FROM dense
+        WHERE split_part(name, '.', 3) = 'view'),
+  c AS (SELECT split_part(name, '.', 2) AS u, ts, value FROM dense
+        WHERE split_part(name, '.', 3) = 'click')
+SELECT 'diffSeries(events.' || v.u || '.view,events.' || v.u || '.click)'
+       AS name, v.ts,
+       round(v.value - c.value, 6) AS value
+FROM v JOIN c ON v.u = c.u AND v.ts = c.ts
+""".strip(),
+   r"regexp_matches(name, '^events\.u[^.]*\.(view|click)$')")
+
 _g("as_percent_nodes", "asPercent(events.u*.*, None, 2)",
    """
 SELECT 'asPercent(' || name || ',' || split_part(name, '.', 3) || ')' AS name, ts,
