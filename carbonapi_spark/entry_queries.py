@@ -1115,10 +1115,14 @@ def _q_embedding_dedup(spark, sf_dir):
     from carbonapi_spark.datapipe.similarity import dot, norm, _as_double
     emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
            .where(F.col("vec_id") < 300))  # bounded pair count per SF
-    # normalize once per vector: the pair join then needs a single dot
+    # normalize once per vector: the pair join then needs a single dot.
+    # norm is hoisted to its own column first — inside the transform lambda
+    # it would be re-evaluated per element (no CSE across lambda scopes)
     e = _as_double(F.col("embedding"))
-    unit = F.transform(e, lambda x: x / norm(e))
-    nv = emb.select(F.col("vec_id"), unit.alias("__u"))
+    nv = (emb.select(F.col("vec_id"), e.alias("__e"), norm(e).alias("__n"))
+          .select(F.col("vec_id"),
+                  F.transform(F.col("__e"),
+                              lambda x: x / F.col("__n")).alias("__u")))
     a = nv.select(F.col("vec_id").alias("id_a"), F.col("__u").alias("__ua"))
     b = nv.select(F.col("vec_id").alias("id_b"), F.col("__u").alias("__ub"))
     return (a.join(b, F.col("id_a") < F.col("id_b"))
