@@ -760,8 +760,36 @@ FROM seed""")
 _register("holt_winters",
           graphite_query("holtWintersForecast(events.click, '7d', '1d')",
                          EVENTS_FROM + 7 * 86400, EVENTS_UNTIL))
+# rolling two-sample KS D = max over thresholds t of |F1(t) - F2(t)| with
+# fixed-length windows (NaN entries count in the denominator but match no
+# threshold) — quadratic threshold-count formulation of kernels._ks_stat
 _register("ks_test",
-          graphite_query("kolmogorovSmirnovTest2(events.click, events.view, 24)"))
+          graphite_query("kolmogorovSmirnovTest2(events.click, events.view, 24)"),
+          f"""WITH {oracle_prefix("name IN ('events.click', 'events.view')", EVENTS_FROM, EVENTS_UNTIL)}
+, g AS (SELECT ts, row_number() OVER (ORDER BY ts) - 1 AS i
+        FROM (SELECT DISTINCT ts FROM dense))
+, s1 AS (SELECT g.i, d.value FROM dense d JOIN g USING (ts)
+         WHERE d.name = 'events.click')
+, s2 AS (SELECT g.i, d.value FROM dense d JOIN g USING (ts)
+         WHERE d.name = 'events.view')
+, win AS (SELECT o.i AS oi, w.i AS wi FROM g o
+          JOIN g w ON w.i BETWEEN o.i - 24 AND o.i - 1 WHERE o.i >= 24)
+, w1 AS (SELECT win.oi, s1.value FROM win JOIN s1 ON s1.i = win.wi)
+, w2 AS (SELECT win.oi, s2.value FROM win JOIN s2 ON s2.i = win.wi)
+, th AS (SELECT DISTINCT oi, value AS t
+         FROM (SELECT * FROM w1 UNION ALL SELECT * FROM w2)
+         WHERE value IS NOT NULL)
+, c1 AS (SELECT th.oi, th.t,
+                count(*) FILTER (WHERE w1.value <= th.t) AS c
+         FROM th JOIN w1 USING (oi) GROUP BY th.oi, th.t)
+, c2 AS (SELECT th.oi, th.t,
+                count(*) FILTER (WHERE w2.value <= th.t) AS c
+         FROM th JOIN w2 USING (oi) GROUP BY th.oi, th.t)
+, dmax AS (SELECT c1.oi, max(abs(c1.c / 24.0 - c2.c / 24.0)) AS d
+           FROM c1 JOIN c2 ON c1.oi = c2.oi AND c1.t = c2.t GROUP BY c1.oi)
+SELECT 'kolmogorovSmirnovTest2(events.click,events.view,24)' AS name, g.ts,
+       CASE WHEN g.i >= 24 THEN round(coalesce(dmax.d, 0), 6) END AS value
+FROM g LEFT JOIN dmax ON dmax.oi = g.i""")
 
 
 # --------------------------------------------------------------------------
