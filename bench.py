@@ -47,27 +47,38 @@ def main() -> None:
     from carbonapi_spark.entry_queries import _cached_lake
     _cached_lake(spark, sf_dir).df.count()
 
+    from pyspark.sql import functions as F
+
     times: dict[str, float] = {}
     for name, fn in QUERIES.items():
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
-        n = df.count()
+        # consume the VALUES, not just the row count: a bare count() lets
+        # Catalyst prune the projected columns, so map-only queries (scale,
+        # offset, sigmoid, ...) would be timed without their arithmetic
+        # cast to double: ANSI mode would throw on long-sum overflow
+        df.agg(F.sum(F.xxhash64(*df.columns).cast("double"))).collect()
         times[name] = round(time.perf_counter() - t0, 4)
-        _ = n
 
     total = round(sum(times.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(json.dumps({
-        # mean is count-invariant across rounds as the catalog grows;
-        # per-query detail and the total ride along
+    summary = {
+        # mean is count-invariant across rounds as the catalog grows
         "metric": "mean_query_runtime",
         "value": round(total / max(len(times), 1), 4),
         "unit": "sec",
         "total_sec": total,
         "n_queries": len(times),
-        "queries": times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }))
+    }
+    # per-query detail goes to a file + an EARLY stdout line; the compact
+    # summary must be the LAST line so a tail-capture always parses it
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json")
+    with open(detail_path, "w") as f:
+        json.dump({**summary, "queries": times}, f, indent=1, sort_keys=True)
+    print(json.dumps({"queries": times}))
+    print(json.dumps(summary))
     spark.stop()
 
 

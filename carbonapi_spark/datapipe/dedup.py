@@ -171,18 +171,75 @@ def jaccard_verify(df: DataFrame, pairs: DataFrame, text_col: str = "text",
 def simhash(text: Column, bits: int = 64) -> Column:
     """SimHash of the token stream: sign-sum of per-token hash bits.
 
-    Bit i of the result = 1 iff sum over tokens of (+1 if token-hash bit i
-    set else -1) > 0. Distance between simhashes approximates cosine
-    similarity of the bag-of-words vectors."""
+    Bit i of the result = 1 iff sum over tokens of (+1 if bit i of
+    xxhash64(token) is set else -1) > 0. Bits are sampled from the RAW
+    64-bit hash (an earlier revision folded hashes mod 2^31-1 first, which
+    zeroed bits 31-63 and collapsed the sketch to 31 bits). Hamming
+    distance between simhashes approximates cosine similarity of the
+    bag-of-words vectors."""
     toks = tokens(F.lower(text))
-    th = F.transform(toks, lambda t: ((F.xxhash64(t) % MERSENNE) + MERSENNE) % MERSENNE)
-    mask = lambda i: F.pow(F.lit(2.0), i.cast("double")).cast("long")  # noqa: E731
+    th = F.transform(toks, lambda t: F.xxhash64(t))
+    one = F.lit(1).cast("long")
+    idx = F.sequence(F.lit(0), F.lit(bits - 1))
     bit_sums = F.transform(
-        F.sequence(F.lit(0), F.lit(bits - 1)),
+        idx,
         lambda i: F.aggregate(
             th, F.lit(0),
-            lambda acc, h: acc + F.when((h.bitwiseAND(mask(i))) != 0, 1).otherwise(-1)))
+            lambda acc, h: acc + F.when(F.getbit(h, i) == 1, 1).otherwise(-1)))
+    # shiftleft(1L, i) sets bit i without the double-pow detour (pow(2, 63)
+    # does not round-trip through double); the Python shiftleft wrapper only
+    # takes int literals, so call the SQL function with a column arg
     return F.aggregate(
-        F.zip_with(bit_sums, F.sequence(F.lit(0), F.lit(bits - 1)),
-                   lambda s, i: F.when(s > 0, mask(i)).otherwise(F.lit(0).cast("long"))),
+        F.zip_with(bit_sums, idx,
+                   lambda s, i: F.when(s > 0, F.call_function("shiftleft", one, i))
+                   .otherwise(F.lit(0).cast("long"))),
         F.lit(0).cast("long"), lambda acc, x: acc.bitwiseOR(x))
+
+
+def simhash_df(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id", bits: int = 64,
+               out_col: str = "simhash") -> DataFrame:
+    """(id, simhash) via the scale-correct physical shape: explode tokens
+    to rows -> xxhash64 per row (whole-stage codegen) -> ONE hash
+    aggregation with map-side combine. Same sketch as :func:`simhash`
+    (bit i set iff #tokens with hash bit i set exceeds those without) but
+    far faster: the array-HOF form evaluates interpreted lambdas per
+    element, and this is the shape that survives a 100 TB corpus (shuffle
+    key = doc id, combiner-reduced).
+
+    The per-bit one-counts are packed 3-per-long (21-bit fields at
+    positions 0/21/42): sum of ``(h >>> i) & (1 | 1<<21 | 1<<42)``
+    accumulates bits i, i+21, i+42 at once, so the aggregate needs 22
+    sums instead of 64, and the largest accumulated field
+    ((2^21-1) * 2^42) stays inside a signed long, so ANSI mode cannot
+    overflow. Field width bounds a doc at 2^21-1 (~2M) tokens — split
+    longer docs upstream (chunking is standard for near-dup sketches
+    anyway)."""
+    from carbonapi_spark.datapipe.text import tokens
+    assert 0 < bits <= 64
+    mask = 1 | (1 << 21) | (1 << 42)
+    exploded = (df.select(F.col(id_col),
+                          F.explode_outer(tokens(F.lower(F.col(text_col))))
+                          .alias("__t"))
+                .selectExpr(id_col,
+                            "if(__t is not null, xxhash64(__t), null) as __h"))
+
+    def _field(b: int) -> tuple[int, int]:
+        # bit b lives in field j of packed sum i (b = i + 21*j, i <= 21)
+        return (21, 2) if b == 63 else (b % 21, b // 21)
+
+    shifts = sorted({_field(b)[0] for b in range(bits)})
+    aggs = [F.expr(f"sum(shiftrightunsigned(__h, {i}) & {mask}L)")
+            .alias(f"__p{i}") for i in shifts]
+    per_doc = exploded.groupBy(id_col).agg(
+        F.expr("count(__h)").alias("__n"), *aggs)
+    # ones-count for bit b is a 21-bit field of __p{i}; sign-sum > 0 iff
+    # 2*ones > n_tokens
+    def _bit(b: int) -> str:
+        i, j = _field(b)
+        return (f"if(2 * (shiftrightunsigned(__p{i}, {21 * j}) & 2097151L)"
+                f" > __n, shiftleft(cast(1 as bigint), {b}),"
+                f" cast(0 as bigint))")
+
+    combined = " | ".join(_bit(b) for b in range(bits))
+    return per_doc.selectExpr(id_col, f"({combined}) as {out_col}")

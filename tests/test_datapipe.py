@@ -134,3 +134,45 @@ def test_parse_carbon_lines(spark):
     got = {(r["name"], r["ts"], r["value"]) for r in out}
     assert ("a.b.c", 1704067200, 42.5) in got
     assert len(got) == 2
+
+
+def test_simhash_64bit_exact(spark, docs):
+    """simhash samples the raw 64-bit xxhash64: exact value parity with an
+    independent pure-Python XXH64, and the high 32 bits are exercised (a
+    prior revision folded hashes mod 2^31-1, zeroing bits 31-63)."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools.xxh64_ref import xxh64
+    from carbonapi_spark.datapipe.dedup import simhash
+
+    def ref(text, bits=64):
+        hs = [xxh64(t.encode()) for t in text.lower().split() if t]
+        out = sum(1 << i for i in range(bits)
+                  if sum(1 if (h >> i) & 1 else -1 for h in hs) > 0)
+        return out - (1 << 64) if out >= (1 << 63) else out
+
+    rows = docs.select("text", simhash(F.col("text")).alias("sh")).collect()
+    assert all(r["sh"] == ref(r["text"]) for r in rows)
+    assert any(r["sh"] < 0 or r["sh"] >> 31 != 0 for r in rows)
+
+
+def test_duckdb_xxh64_oracle_matches_spark(spark):
+    """The DuckDB-SQL XXH64 used by the dedup oracles is byte-exact vs
+    Spark's native xxhash64 across tail-length classes and UTF-8."""
+    import duckdb
+
+    from carbonapi_spark.oracle_xxh64 import xxh64_ctes
+
+    tests = ["", "a", "ab", "abc", "abcd", "abcde", "12345678",
+             "123456789012", "1234567890123456", "héllo wörld", "x" * 31,
+             "x" * 32, "x" * 33, "y" * 64, "z" * 100]
+    df = spark.createDataFrame([(t,) for t in tests], "t string")
+    want = {r["t"]: r["h"] for r in
+            df.select("t", F.xxhash64("t").alias("h")).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE toks(t VARCHAR)")
+    con.executemany("INSERT INTO toks VALUES (?)", [(t,) for t in tests])
+    got = dict(con.sql(
+        "WITH " + xxh64_ctes("toks") + " SELECT t, h64 FROM xxh").fetchall())
+    assert got == want
