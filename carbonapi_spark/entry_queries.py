@@ -841,9 +841,74 @@ UNION ALL
 SELECT 'exponentialMovingAverage(' || name || ',"12h")' AS name,
        {_EMA_F} AS ts, round(s, 6) AS value
 FROM seed""")
+def _hw_recursion_sql() -> str:
+    """DuckDB WITH-RECURSIVE replay of the reference Holt-Winters triple
+    smoothing (kernels.hw_analysis; expr/holtwinters/hw.go:36-127): state
+    row i carries intercept/slope/next_pred scalars plus the full
+    seasonal/deviation histories as lists (the recurrence needs the values
+    from season_len steps back). NaN actuals follow the kernel exactly:
+    intercept→NULL, slope/seasonal/dev→0, prediction carries the stale
+    next_pred. Identical double arithmetic order → bit-near-exact parity."""
+    n = (EVENTS_UNTIL - EVENTS_FROM) // EVENTS_STEP
+    season = 86400 // EVENTS_STEP
+    a, b, g = 0.1, 0.0035, 0.1
+    actual = "v.vals[p.i + 2]"
+    last_intercept = f"coalesce(p.intercept, {actual})"
+    last_seasonal = (f"CASE WHEN p.i + 1 - {season} >= 0 "
+                     f"THEN p.seasonals[p.i + 2 - {season}] ELSE 0.0 END")
+    next_last_seasonal = (f"CASE WHEN p.i + 2 - {season} >= 0 "
+                          f"THEN p.seasonals[p.i + 3 - {season}] ELSE 0.0 END")
+    last_dev = (f"CASE WHEN p.i + 1 - {season} >= 0 "
+                f"THEN p.devs[p.i + 2 - {season}] ELSE 0.0 END")
+    intercept = (f"({a} * (({actual}) - ({last_seasonal}))"
+                 f" + {1 - a} * (({last_intercept}) + p.slope))")
+    slope = (f"({b} * (({intercept}) - ({last_intercept}))"
+             f" + {1 - b} * p.slope)")
+    seasonal = (f"({g} * (({actual}) - ({intercept}))"
+                f" + {1 - g} * ({last_seasonal}))")
+    dev = (f"({g} * abs(({actual}) - coalesce(p.next_pred, 0.0))"
+           f" + {1 - g} * ({last_dev}))")
+    next_pred = f"(({intercept}) + ({slope}) + ({next_last_seasonal}))"
+    isnull = f"{actual} IS NULL"
+    return f"""
+__v AS (SELECT list(value ORDER BY ts) AS vals FROM dense),
+__hw AS (
+  SELECT 0 AS i, vals[1] AS intercept, CAST(0.0 AS DOUBLE) AS slope,
+         vals[1] AS pred, CAST(0.0 AS DOUBLE) AS dev, vals[1] AS next_pred,
+         [CAST(0.0 AS DOUBLE)] AS seasonals,
+         [CAST(0.0 AS DOUBLE)] AS devs
+  FROM __v
+  UNION ALL
+  SELECT p.i + 1 AS i,
+         CASE WHEN {isnull} THEN NULL ELSE {intercept} END AS intercept,
+         CASE WHEN {isnull} THEN 0.0 ELSE {slope} END AS slope,
+         p.next_pred AS pred,
+         CASE WHEN {isnull} THEN 0.0 ELSE {dev} END AS dev,
+         CASE WHEN {isnull} THEN NULL ELSE {next_pred} END AS next_pred,
+         list_append(p.seasonals,
+                     CASE WHEN {isnull} THEN 0.0 ELSE {seasonal} END)
+           AS seasonals,
+         list_append(p.devs,
+                     CASE WHEN {isnull} THEN 0.0 ELSE {dev} END) AS devs
+  FROM __hw p, __v v
+  WHERE p.i < {n - 1}
+)
+""".strip()
+
+
+_HW_WP = 7 * 86400 // EVENTS_STEP  # bootstrap points discarded from output
+
 _register("holt_winters",
           graphite_query("holtWintersForecast(events.click, '7d', '1d')",
-                         EVENTS_FROM + 7 * 86400, EVENTS_UNTIL))
+                         EVENTS_FROM + 7 * 86400, EVENTS_UNTIL),
+          f"""
+WITH RECURSIVE {oracle_prefix("name = 'events.click'", EVENTS_FROM, EVENTS_UNTIL)},
+{_hw_recursion_sql()}
+SELECT 'holtWintersForecast(events.click)' AS name,
+       {EVENTS_FROM} + i * {EVENTS_STEP} AS ts,
+       round(pred, 6) AS value
+FROM __hw WHERE i >= {_HW_WP}
+""".strip())
 # rolling two-sample KS D = max over thresholds t of |F1(t) - F2(t)| with
 # fixed-length windows (NaN entries count in the denominator but match no
 # threshold) — quadratic threshold-count formulation of kernels._ks_stat
@@ -1145,11 +1210,53 @@ FROM names n CROSS JOIN spine s
 LEFT JOIN ev e ON e.name = n.name AND e.ts = s.ts
 """.strip())
 
-# rows-only: spectral + band kernels (non-SQL-expressible)
 _register("hw_bands",
           graphite_query("holtWintersConfidenceBands(events.click, 3, '7d', '1d')",
-                         EVENTS_FROM + 7 * 86400, EVENTS_UNTIL))
-_register("low_pass", graphite_query("lowPass(events.click, 40)"))
+                         EVENTS_FROM + 7 * 86400, EVENTS_UNTIL),
+          f"""
+WITH RECURSIVE {oracle_prefix("name = 'events.click'", EVENTS_FROM, EVENTS_UNTIL)},
+{_hw_recursion_sql()},
+__out AS (SELECT i, pred, dev FROM __hw WHERE i >= {_HW_WP})
+SELECT 'holtWintersConfidenceLower(events.click)' AS name,
+       {EVENTS_FROM} + i * {EVENTS_STEP} AS ts,
+       round(pred - 3 * dev, 6) AS value FROM __out
+UNION ALL
+SELECT 'holtWintersConfidenceUpper(events.click)' AS name,
+       {EVENTS_FROM} + i * {EVENTS_STEP} AS ts,
+       round(pred + 3 * dev, 6) AS value FROM __out
+""".strip())
+
+
+def _low_pass_oracle() -> str:
+    """lowPass = ifft(truncated fft) == circular convolution with the
+    kept-frequency Dirichlet-style kernel g(d) = sum_{{k in K}} cos(2*pi*
+    k*d/n): out[t] = (1/n) * sum_s fill0(x[s]) * g((t-s) mod n), NULLs
+    re-masked afterwards — exactly numpy's mask semantics in
+    functions/stats.py lowPass."""
+    n = (EVENTS_UNTIL - EVENTS_FROM) // EVENTS_STEP
+    keep = int(n * 40 / 100 / 2)
+    return f"""
+WITH {oracle_prefix("name = 'events.click'", EVENTS_FROM, EVENTS_UNTIL)},
+__idx AS (SELECT ts, row_number() OVER (ORDER BY ts) - 1 AS i, value FROM dense),
+__k AS (SELECT unnest(list_concat(range(0, {keep + 1}),
+                                  range({n - keep}, {n}))) AS k),
+__ker AS (SELECT d.d, SUM(cos(2 * pi() * k.k * d.d / {n}.0)) AS g
+          FROM (SELECT unnest(range({n})) AS d) d CROSS JOIN __k k
+          GROUP BY d.d),
+__conv AS (SELECT t.i, t.ts, t.value AS orig,
+                  SUM(coalesce(s.value, 0.0) * kr.g) / {n}.0 AS v
+           FROM __idx t
+           JOIN __idx s ON TRUE
+           JOIN __ker kr ON kr.d = (t.i - s.i + {n}) % {n}
+           GROUP BY t.i, t.ts, t.value)
+SELECT 'lowPass(events.click,40)' AS name, ts,
+       round(CASE WHEN orig IS NULL THEN NULL ELSE v END, 6) AS value
+FROM __conv
+""".strip()
+
+
+_register("low_pass", graphite_query("lowPass(events.click, 40)"),
+          _low_pass_oracle())
 _register("fingerprints", lambda spark, sf_dir: (
     spark.read.parquet(f"{sf_dir}/documents.parquet")
     .select("doc_id", __import__("carbonapi_spark.datapipe.text", fromlist=["fingerprint"])
