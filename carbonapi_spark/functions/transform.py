@@ -356,9 +356,23 @@ def changed(ctx, exp, f, u):
 @register("drawAsInfinite", "lineWidth", "dashed", "color", "alpha",
           "secondYAxis", "stacked")
 def graph_decorator(ctx, exp, f, u):
-    """graph-option decorators: values unchanged, name annotated
-    — cairo/function.go:28 (we don't render PNGs; semantics = pass-through)."""
+    """graph-option decorators — cairo/function.go:28. Values unchanged;
+    the option is recorded on the frame and consumed by format=png/svg
+    (render/graph.py); wire formats see only the name annotation."""
+    from dataclasses import replace
     frame = _simple(ctx, exp, f, u)
+    opts = dict(frame.graph_options or {})
+    if exp.target == "color":
+        opts["color"] = exp.get_string(1, "")
+    elif exp.target == "alpha":
+        opts["alpha"] = exp.get_float(1, 1.0)
+    elif exp.target == "lineWidth":
+        opts["lineWidth"] = exp.get_float(1, 1.2)
+    elif exp.target == "dashed":
+        opts["dashed"] = exp.get_float(1, 5.0)
+    else:
+        opts[exp.target] = True
+    frame = replace(frame, graph_options=opts)
     extra = [exp.raw_arg(i) for i in range(1, len(exp.args))]
     if exp.target in ("drawAsInfinite", "secondYAxis", "stacked"):
         return wrap_name(exp.target, frame, *extra)

@@ -55,6 +55,10 @@ class SeriesFrame:
     # (missing row == NULL row for those folds). Any transform invalidates
     # it (with_df/map_value/map_name clear it).
     raw_df: DataFrame | None = None
+    # render hints set by the graph-decorator functions (color/alpha/
+    # lineWidth/dashed/drawAsInfinite/stacked/secondYAxis) and consumed by
+    # format=png/svg (render/graph.py); wire formats ignore them
+    graph_options: dict | None = None
 
     # ------------------------------------------------------------------
     @staticmethod

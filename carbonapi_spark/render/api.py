@@ -52,19 +52,29 @@ class GraphiteAPI:
         mdp = int(params.get("maxDataPoints", ["0"])[0] or 0)
         no_null = params.get("noNullPoints", [""])[0] in ("1", "true", "True")
 
+        graph_keys = ()
+        if fmt in ("png", "svg"):
+            graph_keys = tuple(sorted(
+                (k, v) for k, v in params.items()
+                if k in ("width", "height", "bgcolor", "fgcolor", "title",
+                         "hideLegend", "hideAxes", "hideGrid", "lineWidth",
+                         "areaMode", "yMin", "yMax", "colorList")))
         cache_key = json.dumps([sorted(targets), from_p, until_p, fmt, mdp,
-                                no_null])
+                                no_null, graph_keys])
         ctx = render_context(self.spark, self.lake, from_p, until_p)
         cached = self.cache.get(cache_key)
         if cached is not None:
             return cached
 
         series = []
+        opts_list = []  # per-series graph options (format=png/svg only)
         frames = []
         for target in targets:
             frames.append(eval_target(ctx, target))
         for frame in frames:
-            series.extend(collect_series(frame, mdp))
+            got = collect_series(frame, mdp)
+            series.extend(got)
+            opts_list.extend([frame.graph_options or {}] * len(got))
 
         if fmt == "json":
             body, ctype = render_json(series, no_null_points=no_null).encode(), \
@@ -79,6 +89,13 @@ class GraphiteAPI:
             body, ctype = render_protobuf_v3(series), "application/x-protobuf"
         elif fmt in ("protobuf2", "carbonapi_v2_pb"):
             body, ctype = render_protobuf_v2(series), "application/x-protobuf"
+        elif fmt == "png":
+            from carbonapi_spark.render.graph import render_png
+            body, ctype = render_png(series, opts_list, params), "image/png"
+        elif fmt == "svg":
+            from carbonapi_spark.render.graph import render_svg
+            body, ctype = (render_svg(series, opts_list, params).encode(),
+                           "image/svg+xml")
         else:
             return 400, "text/plain", f"unsupported format {fmt}".encode()
 

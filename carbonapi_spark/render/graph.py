@@ -1,0 +1,477 @@
+"""PNG/SVG graph rendering: format=png / format=svg for /render.
+
+The reference renders with cairo (``expr/functions/cairo/png/png.go``,
+dispatch ``cmd/carbonapi/http/render_handler.go:371-420``); this container
+has no cairo/matplotlib/PIL, so the raster path is self-contained: a numpy
+canvas + a stdlib-zlib PNG encoder, with text drawn from a small built-in
+stroke font (vector polylines, shared with the SVG path). Pixel parity
+with cairo is a non-goal; dimensions, series geometry, colors, decorators
+and the param surface (width/height/bgcolor/fgcolor/title/hideLegend/
+lineWidth/colorList/yMin/yMax/areaMode — ``picture_params.go:233-266``)
+follow the reference.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+import zlib
+
+import numpy as np
+
+# reference DefaultColorList (picture_params.go:15) and graphite color names
+DEFAULT_COLOR_LIST = ["blue", "green", "red", "purple", "brown", "yellow",
+                      "aqua", "grey", "magenta", "pink", "gold", "rose"]
+COLORS = {
+    "black": (0, 0, 0), "white": (255, 255, 255), "blue": (100, 100, 255),
+    "green": (0, 200, 0), "red": (200, 0, 50), "purple": (200, 100, 255),
+    "brown": (150, 100, 50), "yellow": (255, 255, 0), "aqua": (0, 150, 150),
+    "grey": (175, 175, 175), "gray": (175, 175, 175),
+    "magenta": (255, 0, 255), "pink": (255, 100, 100),
+    "gold": (200, 200, 0), "rose": (200, 150, 200), "orange": (255, 165, 0),
+    "darkblue": (0, 0, 255), "darkgreen": (0, 255, 0),
+    "darkred": (255, 0, 0), "darkgray": (111, 111, 111),
+    "darkgrey": (111, 111, 111),
+}
+
+
+def parse_color(s: str, default=(255, 255, 255)) -> tuple[int, int, int]:
+    if not s:
+        return default
+    s = s.strip().lower()
+    if s in COLORS:
+        return COLORS[s]
+    h = s.lstrip("#")
+    if len(h) in (6, 8) and all(c in "0123456789abcdef" for c in h):
+        return tuple(int(h[i:i + 2], 16) for i in (0, 2, 4))
+    return default
+
+
+# ---------------------------------------------------------------- stroke font
+# Minimal vector font: each glyph is a list of polylines in a 4-wide,
+# 6-tall box (y grows downward). Advance = 6 units. Original data.
+_G = {
+    "0": [[(0, 1), (1, 0), (3, 0), (4, 1), (4, 5), (3, 6), (1, 6), (0, 5), (0, 1)], [(0, 5), (4, 1)]],
+    "1": [[(1, 1), (2, 0), (2, 6)], [(1, 6), (3, 6)]],
+    "2": [[(0, 1), (1, 0), (3, 0), (4, 1), (4, 2), (0, 6), (4, 6)]],
+    "3": [[(0, 0), (4, 0), (2, 2), (4, 4), (4, 5), (3, 6), (1, 6), (0, 5)]],
+    "4": [[(3, 6), (3, 0), (0, 4), (4, 4)]],
+    "5": [[(4, 0), (0, 0), (0, 3), (3, 3), (4, 4), (4, 5), (3, 6), (0, 6)]],
+    "6": [[(3, 0), (1, 0), (0, 1), (0, 5), (1, 6), (3, 6), (4, 5), (4, 4), (3, 3), (0, 3)]],
+    "7": [[(0, 0), (4, 0), (1, 6)]],
+    "8": [[(1, 0), (3, 0), (4, 1), (4, 2), (3, 3), (1, 3), (0, 4), (0, 5), (1, 6), (3, 6), (4, 5), (4, 4), (3, 3)], [(1, 3), (0, 2), (0, 1), (1, 0)]],
+    "9": [[(4, 3), (1, 3), (0, 2), (0, 1), (1, 0), (3, 0), (4, 1), (4, 5), (3, 6), (1, 6)]],
+    "A": [[(0, 6), (2, 0), (4, 6)], [(1, 4), (3, 4)]],
+    "B": [[(0, 6), (0, 0), (3, 0), (4, 1), (4, 2), (3, 3), (0, 3)], [(3, 3), (4, 4), (4, 5), (3, 6), (0, 6)]],
+    "C": [[(4, 1), (3, 0), (1, 0), (0, 1), (0, 5), (1, 6), (3, 6), (4, 5)]],
+    "D": [[(0, 0), (3, 0), (4, 1), (4, 5), (3, 6), (0, 6), (0, 0)]],
+    "E": [[(4, 0), (0, 0), (0, 6), (4, 6)], [(0, 3), (3, 3)]],
+    "F": [[(4, 0), (0, 0), (0, 6)], [(0, 3), (3, 3)]],
+    "G": [[(4, 1), (3, 0), (1, 0), (0, 1), (0, 5), (1, 6), (3, 6), (4, 5), (4, 3), (2, 3)]],
+    "H": [[(0, 0), (0, 6)], [(4, 0), (4, 6)], [(0, 3), (4, 3)]],
+    "I": [[(1, 0), (3, 0)], [(2, 0), (2, 6)], [(1, 6), (3, 6)]],
+    "J": [[(4, 0), (4, 5), (3, 6), (1, 6), (0, 5)]],
+    "K": [[(0, 0), (0, 6)], [(4, 0), (0, 3), (4, 6)]],
+    "L": [[(0, 0), (0, 6), (4, 6)]],
+    "M": [[(0, 6), (0, 0), (2, 3), (4, 0), (4, 6)]],
+    "N": [[(0, 6), (0, 0), (4, 6), (4, 0)]],
+    "O": [[(1, 0), (3, 0), (4, 1), (4, 5), (3, 6), (1, 6), (0, 5), (0, 1), (1, 0)]],
+    "P": [[(0, 6), (0, 0), (3, 0), (4, 1), (4, 2), (3, 3), (0, 3)]],
+    "Q": [[(1, 0), (3, 0), (4, 1), (4, 5), (3, 6), (1, 6), (0, 5), (0, 1), (1, 0)], [(2, 4), (4, 6)]],
+    "R": [[(0, 6), (0, 0), (3, 0), (4, 1), (4, 2), (3, 3), (0, 3)], [(2, 3), (4, 6)]],
+    "S": [[(4, 1), (3, 0), (1, 0), (0, 1), (0, 2), (4, 4), (4, 5), (3, 6), (1, 6), (0, 5)]],
+    "T": [[(0, 0), (4, 0)], [(2, 0), (2, 6)]],
+    "U": [[(0, 0), (0, 5), (1, 6), (3, 6), (4, 5), (4, 0)]],
+    "V": [[(0, 0), (2, 6), (4, 0)]],
+    "W": [[(0, 0), (1, 6), (2, 3), (3, 6), (4, 0)]],
+    "X": [[(0, 0), (4, 6)], [(4, 0), (0, 6)]],
+    "Y": [[(0, 0), (2, 3), (4, 0)], [(2, 3), (2, 6)]],
+    "Z": [[(0, 0), (4, 0), (0, 6), (4, 6)]],
+    ".": [[(2, 5.5), (2, 6)]],
+    ",": [[(2.2, 5.5), (1.8, 6.5)]],
+    ":": [[(2, 1.5), (2, 2)], [(2, 5), (2, 5.5)]],
+    ";": [[(2, 1.5), (2, 2)], [(2.2, 5), (1.8, 6)]],
+    "-": [[(1, 3), (3, 3)]],
+    "+": [[(2, 1), (2, 5)], [(0, 3), (4, 3)]],
+    "_": [[(0, 6), (4, 6)]],
+    "(": [[(3, 0), (2, 1), (2, 5), (3, 6)]],
+    ")": [[(1, 0), (2, 1), (2, 5), (1, 6)]],
+    "[": [[(3, 0), (2, 0), (2, 6), (3, 6)]],
+    "]": [[(1, 0), (2, 0), (2, 6), (1, 6)]],
+    "/": [[(0, 6), (4, 0)]],
+    "\\": [[(0, 0), (4, 6)]],
+    "*": [[(2, 1), (2, 5)], [(0, 2), (4, 4)], [(4, 2), (0, 4)]],
+    "=": [[(0, 2), (4, 2)], [(0, 4), (4, 4)]],
+    "%": [[(0, 6), (4, 0)], [(0.5, 0), (1.5, 1)], [(2.5, 5), (3.5, 6)]],
+    "'": [[(2, 0), (2, 1.5)]],
+    '"': [[(1.3, 0), (1.3, 1.5)], [(2.7, 0), (2.7, 1.5)]],
+    "<": [[(3, 1), (1, 3), (3, 5)]],
+    ">": [[(1, 1), (3, 3), (1, 5)]],
+    "|": [[(2, 0), (2, 6)]],
+    "#": [[(1.3, 1), (1.3, 5)], [(2.7, 1), (2.7, 5)], [(0.5, 2.3), (3.5, 2.3)], [(0.5, 3.7), (3.5, 3.7)]],
+    " ": [],
+}
+
+
+def text_strokes(s: str, x: float, y: float, size: float = 1.0):
+    """Polylines (in px) for string ``s`` anchored at top-left (x, y)."""
+    out = []
+    cx = x
+    for ch in s:
+        g = _G.get(ch.upper() if ch.isalpha() else ch)
+        if g is None:
+            g = _G["."]
+        for line in g:
+            out.append([(cx + px * size, y + py * size) for px, py in line])
+        cx += 6 * size
+    return out
+
+
+def text_width(s: str, size: float = 1.0) -> float:
+    return len(s) * 6 * size
+
+
+# ------------------------------------------------------------------- canvas
+
+class Canvas:
+    """uint8 RGB raster with alpha-blended line/box primitives."""
+
+    def __init__(self, w: int, h: int, bg=(0, 0, 0)):
+        self.w, self.h = int(w), int(h)
+        self.a = np.empty((self.h, self.w, 3), dtype=np.uint8)
+        self.a[:] = np.array(bg, dtype=np.uint8)
+
+    def _plot(self, xs, ys, color, alpha):
+        """Blend ``color`` at integer coords (vectorized, deduplicated)."""
+        keep = (xs >= 0) & (xs < self.w) & (ys >= 0) & (ys < self.h)
+        if not keep.any():
+            return
+        idx = np.unique(ys[keep].astype(np.int64) * self.w
+                        + xs[keep].astype(np.int64))
+        flat = self.a.reshape(-1, 3)
+        c = np.array(color, dtype=np.float64)
+        flat[idx] = (flat[idx] * (1 - alpha) + c * alpha).astype(np.uint8)
+
+    def line(self, x0, y0, x1, y1, color, width=1.0, alpha=1.0):
+        n = max(2, int(math.hypot(x1 - x0, y1 - y0) * 2) + 1)
+        t = np.linspace(0.0, 1.0, n)
+        xs = x0 + (x1 - x0) * t
+        ys = y0 + (y1 - y0) * t
+        r = max(0.5, width / 2)
+        offs = np.arange(-math.ceil(r - 0.5), math.ceil(r - 0.5) + 1)
+        # stamp a (2r+1)^2 neighborhood along the sampled path
+        for dx in offs:
+            for dy in offs:
+                if dx * dx + dy * dy <= r * r + 0.26:
+                    self._plot(np.round(xs + dx), np.round(ys + dy),
+                               color, alpha)
+
+    def polyline(self, pts, color, width=1.0, alpha=1.0):
+        for (x0, y0), (x1, y1) in zip(pts, pts[1:]):
+            self.line(x0, y0, x1, y1, color, width, alpha)
+
+    def vfill(self, x, y0, y1, color, alpha=1.0):
+        """Vertical 1px fill (area mode)."""
+        xi = int(round(x))
+        if not 0 <= xi < self.w:
+            return
+        lo, hi = sorted((int(round(y0)), int(round(y1))))
+        lo, hi = max(lo, 0), min(hi, self.h - 1)
+        if lo > hi:
+            return
+        col = self.a[lo:hi + 1, xi, :].astype(np.float64)
+        c = np.array(color, dtype=np.float64)
+        self.a[lo:hi + 1, xi, :] = (col * (1 - alpha) + c * alpha).astype(np.uint8)
+
+    def rect(self, x0, y0, x1, y1, color, alpha=1.0):
+        for x in range(int(x0), int(x1) + 1):
+            self.vfill(x, y0, y1, color, alpha)
+
+    def text(self, s, x, y, color, size=1.0, width=1.0, alpha=1.0):
+        for line in text_strokes(s, x, y, size):
+            if len(line) == 1:
+                line = line + line
+            self.polyline(line, color, width, alpha)
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """8-bit RGB PNG, filter 0 scanlines, one zlib IDAT (RFC 2083)."""
+    h, w, _ = arr.shape
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b""))
+
+
+def decode_png_size(data: bytes) -> tuple[int, int]:
+    """(width, height) from the IHDR — for tests and sanity checks."""
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a png")
+    w, h = struct.unpack(">II", data[16:24])
+    return w, h
+
+
+# ------------------------------------------------------------------ layout
+
+def _nice_ticks(lo: float, hi: float, n: int = 5) -> list[float]:
+    if not math.isfinite(lo) or not math.isfinite(hi) or hi <= lo:
+        return [lo] if math.isfinite(lo) else [0.0]
+    span = hi - lo
+    step = 10 ** math.floor(math.log10(span / max(n, 1)))
+    for m in (1, 2, 5, 10, 20, 50):
+        if span / (step * m) <= n:
+            step *= m
+            break
+    t0 = math.ceil(lo / step) * step
+    out = []
+    t = t0
+    while t <= hi + 1e-9 * span:
+        out.append(round(t, 10))
+        t += step
+    return out
+
+
+def _fmt_val(v: float) -> str:
+    for unit, scale in (("T", 1e12), ("G", 1e9), ("M", 1e6), ("K", 1e3)):
+        if abs(v) >= scale:
+            return f"{v / scale:.4g}{unit}"
+    if v == int(v):
+        return str(int(v))
+    return f"{v:.4g}"
+
+
+def _fmt_ts(ts: int, span: int) -> str:
+    import datetime as dt
+    d = dt.datetime.fromtimestamp(ts, dt.timezone.utc)
+    if span <= 2 * 86400:
+        return d.strftime("%H:%M")
+    if span <= 120 * 86400:
+        return d.strftime("%m/%d")
+    return d.strftime("%Y/%m")
+
+
+class GraphParams:
+    """format=png/svg render params (picture_params.go:233-296 subset)."""
+
+    def __init__(self, params: dict):
+        def get(name, default=""):
+            return params.get(name, [default])[0] or default
+
+        self.width = int(float(get("width", "330")))
+        self.height = int(float(get("height", "250")))
+        self.bgcolor = parse_color(get("bgcolor", "black"), (0, 0, 0))
+        self.fgcolor = parse_color(get("fgcolor", "white"), (255, 255, 255))
+        self.title = get("title")
+        self.hide_legend = get("hideLegend") in ("1", "true", "True")
+        self.hide_axes = get("hideAxes") in ("1", "true", "True")
+        self.hide_grid = get("hideGrid") in ("1", "true", "True")
+        self.line_width = float(get("lineWidth", "1.2"))
+        self.area_mode = get("areaMode", "none")
+        self.y_min = float(get("yMin")) if get("yMin") else None
+        self.y_max = float(get("yMax")) if get("yMax") else None
+        cl = get("colorList")
+        self.color_list = cl.split(",") if cl else DEFAULT_COLOR_LIST
+
+
+def _series_geometry(series, opts_list, gp: GraphParams):
+    """Per-series draw specs + global [lo, hi] y-range and time range."""
+    specs = []
+    lo, hi = math.inf, -math.inf
+    t0, t1 = None, None
+    stacked_base: dict[int, float] = {}
+    for i, (s, opts) in enumerate(zip(series, opts_list)):
+        color = parse_color(opts.get("color", ""),
+                            parse_color(gp.color_list[i % len(gp.color_list)]))
+        alpha = float(opts.get("alpha", 1.0))
+        lwidth = float(opts.get("lineWidth", gp.line_width))
+        infinite = bool(opts.get("drawAsInfinite"))
+        stacked = bool(opts.get("stacked")) or gp.area_mode in ("all", "stacked")
+        dashed = float(opts.get("dashed", 0.0))
+        pts = []
+        for j, v in enumerate(s.values):
+            ts = s.start + j * s.step
+            if v is None or (isinstance(v, float) and math.isnan(v)):
+                pts.append((ts, None))
+                continue
+            base = stacked_base.get(j, 0.0) if stacked else 0.0
+            y = v + base
+            if stacked:
+                stacked_base[j] = y
+            pts.append((ts, y))
+            if not infinite:
+                lo, hi = min(lo, y, base), max(hi, y, base)
+        specs.append({"name": s.name, "pts": pts, "color": color,
+                      "alpha": alpha, "width": lwidth, "infinite": infinite,
+                      "stacked": stacked, "dashed": dashed, "step": s.step})
+        t0 = s.start if t0 is None else min(t0, s.start)
+        t1 = s.stop if t1 is None else max(t1, s.stop)
+    if not math.isfinite(lo):
+        lo, hi = 0.0, 1.0
+    if lo == hi:
+        lo, hi = lo - 1, hi + 1
+    if gp.y_min is not None:
+        lo = gp.y_min
+    if gp.y_max is not None:
+        hi = gp.y_max
+    return specs, lo, hi, (t0 or 0), (t1 or 1)
+
+
+def render_png(series, opts_list, params: dict) -> bytes:
+    gp = GraphParams(params)
+    cv = Canvas(gp.width, gp.height, gp.bgcolor)
+    specs, lo, hi, t0, t1 = _series_geometry(series, opts_list, gp)
+
+    ml = 1 if gp.hide_axes else 44
+    mr = 6
+    mt = 16 if gp.title else 6
+    legend_rows = 0 if gp.hide_legend or gp.width < 200 else \
+        min(len(specs), max(1, (gp.height // 5) // 10))
+    mb = (1 if gp.hide_axes else 16) + 10 * legend_rows
+    px0, px1 = ml, gp.width - mr
+    py0, py1 = mt, gp.height - mb
+
+    def sx(ts):
+        return px0 + (ts - t0) / max(t1 - t0, 1) * (px1 - px0)
+
+    def sy(v):
+        return py1 - (v - lo) / max(hi - lo, 1e-300) * (py1 - py0)
+
+    grid = tuple(min(255, c + 60) if sum(gp.bgcolor) < 384 else max(0, c - 60)
+                 for c in gp.bgcolor)
+    if not gp.hide_axes:
+        for v in _nice_ticks(lo, hi):
+            y = sy(v)
+            if not gp.hide_grid:
+                cv.line(px0, y, px1, y, grid, 1.0, 0.5)
+            cv.text(_fmt_val(v), 2, y - 3, gp.fgcolor, 0.9)
+        span = t1 - t0
+        for ts in _nice_ticks(t0, t1, 6):
+            x = sx(ts)
+            if not gp.hide_grid:
+                cv.line(x, py0, x, py1, grid, 1.0, 0.35)
+            cv.text(_fmt_ts(int(ts), span), x - 14, py1 + 4, gp.fgcolor, 0.9)
+        cv.line(px0, py0, px0, py1, gp.fgcolor, 1.0)
+        cv.line(px0, py1, px1, py1, gp.fgcolor, 1.0)
+
+    for sp in specs:
+        prev = None
+        for k, (ts, y) in enumerate(sp["pts"]):
+            if y is None:
+                prev = None
+                continue
+            x = sx(ts + sp["step"] / 2)
+            if sp["infinite"]:
+                cv.line(x, py0, x, py1, sp["color"], sp["width"], sp["alpha"])
+                continue
+            yy = sy(y)
+            if sp["stacked"] or gp.area_mode == "first" and sp is specs[0]:
+                cv.vfill(x, sy(0.0 if lo <= 0 <= hi else lo), yy,
+                         sp["color"], 0.35 * sp["alpha"])
+            if prev is not None:
+                if not sp["dashed"] or k % 2 == 0:
+                    cv.line(prev[0], prev[1], x, yy, sp["color"],
+                            sp["width"], sp["alpha"])
+            prev = (x, yy)
+
+    if gp.title:
+        cv.text(gp.title, max(2, (gp.width - text_width(gp.title, 1.2)) / 2),
+                3, gp.fgcolor, 1.2)
+    for r in range(legend_rows):
+        sp = specs[r]
+        y = py1 + (0 if gp.hide_axes else 14) + 3 + 10 * r
+        cv.rect(px0, y + 2, px0 + 8, y + 7, sp["color"])
+        label = sp["name"][: max(4, (gp.width - px0 - 16) // 6)]
+        cv.text(label, px0 + 12, y, gp.fgcolor, 0.9)
+    return encode_png(cv.a)
+
+
+def render_svg(series, opts_list, params: dict) -> str:
+    gp = GraphParams(params)
+    specs, lo, hi, t0, t1 = _series_geometry(series, opts_list, gp)
+    ml, mr, mt = 44, 8, (20 if gp.title else 8)
+    legend_rows = 0 if gp.hide_legend else min(len(specs), 8)
+    mb = 18 + 12 * legend_rows
+    px0, px1, py0, py1 = ml, gp.width - mr, mt, gp.height - mb
+
+    def sx(ts):
+        return px0 + (ts - t0) / max(t1 - t0, 1) * (px1 - px0)
+
+    def sy(v):
+        return py1 - (v - lo) / max(hi - lo, 1e-300) * (py1 - py0)
+
+    def rgb(c):
+        return f"rgb({c[0]},{c[1]},{c[2]})"
+
+    def esc(s):
+        return (s.replace("&", "&amp;").replace("<", "&lt;")
+                .replace(">", "&gt;").replace('"', "&quot;"))
+
+    o = [f'<svg xmlns="http://www.w3.org/2000/svg" width="{gp.width}" '
+         f'height="{gp.height}" viewBox="0 0 {gp.width} {gp.height}">',
+         f'<rect width="100%" height="100%" fill="{rgb(gp.bgcolor)}"/>']
+    fg = rgb(gp.fgcolor)
+    if not gp.hide_axes:
+        for v in _nice_ticks(lo, hi):
+            y = sy(v)
+            o.append(f'<line x1="{px0}" y1="{y:.1f}" x2="{px1}" y2="{y:.1f}" '
+                     f'stroke="{fg}" stroke-opacity="0.25"/>')
+            o.append(f'<text x="2" y="{y + 3:.1f}" fill="{fg}" '
+                     f'font-size="9" font-family="sans-serif">{_fmt_val(v)}</text>')
+        span = t1 - t0
+        for ts in _nice_ticks(t0, t1, 6):
+            x = sx(ts)
+            o.append(f'<text x="{x - 14:.1f}" y="{py1 + 12}" fill="{fg}" '
+                     f'font-size="9" font-family="sans-serif">'
+                     f'{_fmt_ts(int(ts), span)}</text>')
+        o.append(f'<path d="M{px0} {py0}V{py1}H{px1}" fill="none" '
+                 f'stroke="{fg}"/>')
+    for sp in specs:
+        segs, cur = [], []
+        for ts, y in sp["pts"]:
+            if y is None:
+                if cur:
+                    segs.append(cur)
+                cur = []
+                continue
+            x = sx(ts + sp["step"] / 2)
+            if sp["infinite"]:
+                o.append(f'<line x1="{x:.1f}" y1="{py0}" x2="{x:.1f}" '
+                         f'y2="{py1}" stroke="{rgb(sp["color"])}" '
+                         f'stroke-width="{sp["width"]}" '
+                         f'stroke-opacity="{sp["alpha"]}"/>')
+                continue
+            cur.append((x, sy(y)))
+        if cur:
+            segs.append(cur)
+        dash = f' stroke-dasharray="{sp["dashed"]},{sp["dashed"]}"' \
+            if sp["dashed"] else ""
+        for seg in segs:
+            d = "M" + " L".join(f"{x:.1f} {y:.1f}" for x, y in seg)
+            fill = "none"
+            if sp["stacked"] or gp.area_mode in ("all", "stacked"):
+                base_y = sy(0.0 if lo <= 0 <= hi else lo)
+                d += f" L{seg[-1][0]:.1f} {base_y:.1f} " \
+                     f"L{seg[0][0]:.1f} {base_y:.1f} Z"
+                fill = rgb(sp["color"])
+            o.append(f'<path d="{d}" fill="{fill}" fill-opacity="0.35" '
+                     f'stroke="{rgb(sp["color"])}" '
+                     f'stroke-width="{sp["width"]}" '
+                     f'stroke-opacity="{sp["alpha"]}"{dash}/>')
+    if gp.title:
+        o.append(f'<text x="{gp.width / 2}" y="14" fill="{fg}" font-size="12" '
+                 f'text-anchor="middle" font-family="sans-serif">'
+                 f'{esc(gp.title)}</text>')
+    for r in range(legend_rows):
+        sp = specs[r]
+        y = py1 + 24 + 12 * r
+        o.append(f'<rect x="{px0}" y="{y - 8}" width="9" height="9" '
+                 f'fill="{rgb(sp["color"])}"/>')
+        o.append(f'<text x="{px0 + 13}" y="{y}" fill="{fg}" font-size="9" '
+                 f'font-family="sans-serif">{esc(sp["name"])}</text>')
+    o.append("</svg>")
+    return "\n".join(o)

@@ -249,3 +249,85 @@ def test_http_info_and_lb_check(server):
     assert e["retentions"][0]["numberOfPoints"] == 4
     code, body = _get(f"{server}/lb_check")
     assert code == 200 and body == b"Ok\n"
+
+
+# ------------------------------------------------------------ png/svg graphs
+
+def _png_pixels(data: bytes):
+    """Decode our filter-0 RGB PNG back to an ndarray (test-side decoder)."""
+    import struct
+    import zlib
+
+    import numpy as np
+    w, h = struct.unpack(">II", data[16:24])
+    body = b""
+    off = 8
+    while off < len(data):
+        ln, tag = struct.unpack(">I4s", data[off:off + 8])
+        if tag == b"IDAT":
+            body += data[off + 8:off + 8 + ln]
+        off += 12 + ln
+    raw = zlib.decompress(body)
+    stride = 1 + w * 3
+    rows = [raw[y * stride + 1:(y + 1) * stride] for y in range(h)]
+    assert all(raw[y * stride] == 0 for y in range(h))  # filter 0
+    return np.frombuffer(b"".join(rows), dtype=np.uint8).reshape(h, w, 3)
+
+
+def test_render_png_dimensions_and_series(spark):
+    from carbonapi_spark.render.graph import decode_png_size, render_png
+    lake = make_lake(spark, {"m.a": [1.0, 5.0, 3.0, 4.0],
+                             "m.b": [2.0, None, 1.0, 0.0]}, 1, 0)
+    frame = _frame(spark, lake, "m.*", 0, 4)
+    series = collect_series(frame)
+    png = render_png(series, [{}] * len(series),
+                     {"width": ["400"], "height": ["300"],
+                      "title": ["Test Graph"]})
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    assert decode_png_size(png) == (400, 300)
+    px = _png_pixels(png)
+    assert px.shape == (300, 400, 3)
+    # both default colors (blue, green) are present; background is black
+    blue = ((px[:, :, 2] > 200) & (px[:, :, 0] < 150)).sum()
+    green = ((px[:, :, 1] > 150) & (px[:, :, 2] < 100) & (px[:, :, 0] < 100)).sum()
+    assert blue > 20 and green > 20
+    assert (px == 0).all(axis=2).mean() > 0.3
+
+
+def test_render_png_consumes_decorators(spark):
+    from carbonapi_spark.render.graph import render_png
+    lake = make_lake(spark, {"m.a": [1.0, 2.0, 3.0]}, 1, 0)
+    frame = _frame(spark, lake, "color(alpha(lineWidth(m.a, 3), 0.8), 'red')",
+                   0, 3)
+    assert frame.graph_options == {"lineWidth": 3.0, "alpha": 0.8,
+                                   "color": "red"}
+    series = collect_series(frame)
+    png = render_png(series, [frame.graph_options] * len(series),
+                     {"hideLegend": ["1"]})
+    px = _png_pixels(png)
+    red = ((px[:, :, 0] > 120) & (px[:, :, 1] < 80)).sum()
+    assert red > 20  # the line is drawn in the decorator color
+
+
+def test_render_svg(spark):
+    from carbonapi_spark.render.graph import render_svg
+    lake = make_lake(spark, {"m.a": [1.0, 5.0, 3.0]}, 1, 0)
+    frame = _frame(spark, lake, "drawAsInfinite(m.a)", 0, 3)
+    series = collect_series(frame)
+    svg = render_svg(series, [frame.graph_options or {}] * len(series),
+                     {"title": ["t & co"]})
+    assert svg.startswith("<svg") and svg.endswith("</svg>")
+    assert 'width="330"' in svg and 'height="250"' in svg
+    assert "t &amp; co" in svg
+    assert svg.count("<line") >= 3  # one vertical line per point
+    assert "drawAsInfinite(m.a)" in svg  # legend entry
+
+
+def test_http_render_png(server):
+    url = (f"{server}/render?target=web.*.cpu"
+           f"&from=0&until=4&format=png&width=500&height=200")
+    with urllib.request.urlopen(url) as resp:
+        assert resp.headers["Content-Type"] == "image/png"
+        data = resp.read()
+    from carbonapi_spark.render.graph import decode_png_size
+    assert decode_png_size(data) == (500, 200)
