@@ -68,10 +68,18 @@ def random_planes(dim: int, n_planes: int = 12, seed: int = 42) -> list[list[flo
 
 def lsh_topk(corpus: DataFrame, query: DataFrame, k: int = 10,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             dim: int = 64, n_planes: int = 8, seed: int = 42) -> DataFrame:
+             dim: int = 64, n_planes: int = 8, seed: int = 42,
+             probe: int = 1) -> DataFrame:
     """Approximate top-k: compare only vectors sharing the hyperplane-LSH
     bucket with the query. At 100 TB this replaces the full cross join with
-    a bucket-key equi-join (shuffle on the signature)."""
+    a bucket-key equi-join (shuffle on the signature).
+
+    ``probe=1`` enables multi-probe: each query additionally probes the
+    ``n_planes`` buckets at Hamming distance 1 (one flipped sign bit) —
+    the standard recall fix for sign-LSH, because near neighbors sitting
+    just across one hyperplane land in an adjacent bucket. Cost: the
+    broadcast query side grows (n_planes+1)x; the corpus side (the big
+    one) is untouched, so the join stays a bucket equi-join."""
     planes = random_planes(dim, n_planes, seed)
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
                       _as_double(F.col(vec_col)).alias("__cv"),
@@ -79,6 +87,16 @@ def lsh_topk(corpus: DataFrame, query: DataFrame, k: int = 10,
     q = query.select(F.col(id_col).alias("query_id"),
                      _as_double(F.col(vec_col)).alias("__qv"),
                      hyperplane_signature(F.col(vec_col), planes).alias("__sig"))
+    if probe:
+        # explode each query into its probe signatures: the exact bucket
+        # plus every one-bit flip (all distinct, so no pair dedup needed)
+        q = q.selectExpr(
+            "query_id", "__qv",
+            f"""explode(array_union(array(__sig),
+                  transform(sequence(1, {n_planes}),
+                    i -> concat(substr(__sig, 1, i - 1),
+                                if(substr(__sig, i, 1) = '1', '0', '1'),
+                                substr(__sig, i + 1))))) as __sig""")
     sims = (c.join(F.broadcast(q), "__sig")
             .where(F.col("neighbor_id") != F.col("query_id"))
             .select("query_id", "neighbor_id",

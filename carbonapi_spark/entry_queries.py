@@ -1301,7 +1301,15 @@ def _lsh_topk_oracle() -> str:
     return f"""
 WITH sigs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 sigd AS (SELECT vec_id, v, {sig} AS sig FROM sigs),
-q AS (SELECT vec_id AS query_id, v AS qv, sig FROM sigd WHERE vec_id < 5),
+q0 AS (SELECT vec_id AS query_id, v AS qv, sig FROM sigd WHERE vec_id < 5),
+q AS (SELECT query_id, qv,
+             unnest(list_distinct(list_concat([sig],
+                 list_transform(range(1, 7),
+                     i -> substr(sig, 1, i - 1)
+                          || (CASE WHEN substr(sig, i, 1) = '1'
+                                   THEN '0' ELSE '1' END)
+                          || substr(sig, i + 1))))) AS sig
+      FROM q0),
 c AS (SELECT vec_id AS neighbor_id, v AS cv, sig FROM sigd),
 sims AS (SELECT q.query_id, c.neighbor_id,
                 round(CASE WHEN sqrt(list_dot_product(qv, qv))

@@ -7,6 +7,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from carbonapi_spark.evaluator import EvalError, eval_expr
 from carbonapi_spark.functions import register
@@ -346,14 +347,26 @@ def alias_query(ctx, exp, f, u):
     replace_py = _re.sub(r"\\(\d+)", r"\\g<\1>", replace)
 
     names = sorted(r[0] for r in frame.df.select(NAME).distinct().collect())
-    mapping = []
-    for n in names:
+    # evaluate every derived sub-target lazily, then fetch ALL last values
+    # in ONE union + window job (N collect round-trips otherwise; the
+    # reference is also driver-side here but we can at least batch)
+    from functools import reduce
+
+    subs = []
+    for i, n in enumerate(names):
         target = _re.sub(search, replace_py, n)
         sub = eval_expr(ctx, _parse(target), f, u)
-        last = (sub.df.where(F.col(VALUE).isNotNull())
-                .orderBy(F.col(TS).desc()).limit(1).collect())
-        v = last[0][VALUE] if last else float("nan")
-        mapping.append((n, new_name % v))
+        subs.append(sub.df.where(F.col(VALUE).isNotNull())
+                    .select(F.lit(i).alias("__q"), F.col(TS), F.col(VALUE)))
+    lasts: dict[int, float] = {}
+    if subs:
+        union = reduce(lambda a, b: a.unionByName(b), subs)
+        w = Window.partitionBy("__q").orderBy(F.col(TS).desc())
+        rows = (union.withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") == 1).select("__q", VALUE).collect())
+        lasts = {r["__q"]: r[VALUE] for r in rows}
+    mapping = [(n, new_name % lasts.get(i, float("nan")))
+               for i, n in enumerate(names)]
     map_df = ctx.spark.createDataFrame(mapping, "name STRING, __new STRING")
     df = (frame.df.join(F.broadcast(map_df), NAME)
           .withColumn(NAME, F.col("__new")).drop("__new"))

@@ -98,3 +98,29 @@ def test_alias_query(spark):
               r"aliasQuery(cpu.rack*.load, 'cpu\.(rack\d+)\.load', 'meta.\1.cores', 'load (%g cores)')",
               0, 2)
     assert set(res) == {"load (8 cores)", "load (16 cores)"}
+
+
+def test_alias_query_batches_collects(spark, monkeypatch):
+    """aliasQuery fetches every derived target's last value in ONE union +
+    window job: 2 driver round-trips total (names + last values), not
+    2 per series."""
+    # patch the concrete class: pyspark.sql.DataFrame is abstract in Spark 4
+    from pyspark.sql.classic.dataframe import DataFrame
+    lake = make_lake(spark, {
+        "cpu.rack1.load": [1.0, 2.0],
+        "cpu.rack2.load": [3.0, 4.0],
+        "meta.rack1.cores": [8.0, 8.0],
+        "meta.rack2.cores": [16.0, 16.0],
+    }, 1, 0)
+    calls = []
+    orig = DataFrame.collect
+    monkeypatch.setattr(DataFrame, "collect",
+                        lambda self: calls.append(1) or orig(self))
+    from carbonapi_spark.evaluator import EvalContext, eval_target
+    ctx = EvalContext(spark, lake, 0, 2)
+    frame = eval_target(
+        ctx, r"aliasQuery(cpu.rack*.load, 'cpu\.(rack\d+)\.load',"
+             r" 'meta.\1.cores', 'load (%g cores)')")
+    assert len(calls) == 2
+    names = {r["name"] for r in frame.df.select("name").distinct().collect()}
+    assert names == {"load (8 cores)", "load (16 cores)"}
