@@ -21,8 +21,9 @@ from pyspark.sql.window import Window
 from carbonapi_spark.evaluator import eval_expr
 from carbonapi_spark.functions import register
 from carbonapi_spark.functions.helper import series_arg, series_window, wrap_name
-from carbonapi_spark.model.consolidation import agg_column
-from carbonapi_spark.model.series import NAME, ORD, TS, VALUE, SeriesFrame
+from carbonapi_spark.model.consolidation import _PERCENTILE_RE, agg_column
+from carbonapi_spark.model.series import (NAME, ORD, TS, VALUE, SERIES_SCHEMA,
+                                          SeriesFrame)
 
 
 
@@ -180,6 +181,64 @@ _MOVING_CONS = {"movingAverage": "average", "movingSum": "sum",
                 "movingMin": "min", "movingMax": "max",
                 "movingMedian": "median"}
 
+# Above this window size the lag-array expression gets unwieldy (wp lag
+# columns + a wp-element sort per row); switch to a per-series pandas
+# rolling-quantile kernel instead (one Python crossing per series).
+_LAG_WINDOW_MAX = 128
+
+
+def _lag_percentile(v, wp: int, p: float, xff: float):
+    """Exact interpolated percentile over the trailing *wp* rows, codegen'd.
+
+    Spark's exact ``percentile`` is an interpreted ObjectAggregate; as a
+    window function its buffer is rebuilt per output row (the round-2 bench
+    showed movingMedian at 9x the catalog mean because of it). This builds
+    the same answer as scalar expressions inside whole-stage codegen:
+    ``array(v, lag(v,1), .., lag(v,wp-1))`` -> drop NULLs -> ``array_sort``
+    -> linear interpolation at rank (n-1)*p — the identical arithmetic to
+    ``F.percentile`` / DuckDB ``quantile_cont``. All lags share one window
+    spec, so WindowExec makes a single per-series pass with O(1) offset
+    frames.
+
+    NULL semantics match the aggregate form exactly: a lag that reaches
+    beyond the partition head is NULL and is filtered like a NULL value —
+    and the ``moving`` evaluator always fetches ``wp`` rows of history, so
+    output rows (ts >= from) always have a full frame (total = wp, which is
+    what the xff gate divides by).
+    """
+    ow = series_window()
+    lags = [v] + [F.lag(v, i).over(ow) for i in range(1, wp)]
+    vals = F.array_sort(F.filter(F.array(*lags), lambda x: x.isNotNull()))
+    n = F.size(vals)
+    k = (n - 1).cast("double") * F.lit(p)
+    lo = F.floor(k).cast("int")
+    frac = k - lo.cast("double")
+    vlo = F.try_element_at(vals, lo + 1)
+    vhi = F.coalesce(F.try_element_at(vals, lo + 2), vlo)
+    out = F.when(n > 0,
+                 F.when(frac > 0, vlo + frac * (vhi - vlo)).otherwise(vlo))
+    if xff and xff > 0:
+        out = F.when(n.cast("double") / wp >= xff, out)
+    return out
+
+
+def _pandas_rolling_percentile(df, wp: int, p: float, xff: float):
+    """Rolling interpolated percentile for windows too wide for the lag
+    array — grouped ``applyInPandas``, one Arrow batch per series."""
+    import pandas as pd  # noqa: F401 — worker-side import
+
+    def apply(pdf):
+        pdf = pdf.sort_values(TS)
+        s = pdf[VALUE]
+        out = s.rolling(wp, min_periods=1).quantile(p, interpolation="linear")
+        if xff and xff > 0:
+            nn = s.notna().rolling(wp, min_periods=1).sum()
+            out = out.where(nn / wp >= xff)
+        pdf = pdf.assign(**{VALUE: out})
+        return pdf[[NAME, ORD, TS, VALUE]]
+
+    return df.groupBy(ORD).applyInPandas(apply, SERIES_SCHEMA)
+
 
 @register("movingAverage", "movingSum", "movingMin", "movingMax",
           "movingMedian", "movingWindow")
@@ -219,12 +278,24 @@ def moving(ctx, exp, f, u):
         out = frame.with_df(frame.df.where(F.lit(False)))
         return wrap_name(exp.target, out, argstr)
 
-    w = series_window().rowsBetween(-(wp - 1), 0)
-    agg = agg_column(cons, V, F.col(TS), xff)
-    # agg_column builds grouping aggregates; percentile/median & simple aggs
-    # are valid window functions too.
-    df = (frame.df.withColumn(VALUE, agg.over(w).cast("double"))
-          .where(F.col(TS) >= f))
+    if cons == "median" or _PERCENTILE_RE.match(cons):
+        # exact percentile as an interpreted window aggregate rebuilds its
+        # buffer per row — replace with a codegen'd lag-array (small wp) or
+        # a per-series pandas rolling kernel (large wp)
+        p = 0.5 if cons == "median" else float(cons[1:]) / 100.0
+        if wp <= _LAG_WINDOW_MAX:
+            df = frame.df.withColumn(
+                VALUE, _lag_percentile(V, wp, p, xff).cast("double"))
+        else:
+            df = _pandas_rolling_percentile(frame.df, wp, p, xff)
+        df = df.where(F.col(TS) >= f)
+    else:
+        w = series_window().rowsBetween(-(wp - 1), 0)
+        agg = agg_column(cons, V, F.col(TS), xff)
+        # agg_column builds grouping aggregates; simple folds are valid
+        # (codegen'd) window functions too.
+        df = (frame.df.withColumn(VALUE, agg.over(w).cast("double"))
+              .where(F.col(TS) >= f))
     out = SeriesFrame(df, frame.step, f, frame.stop, frame.consolidation,
                       frame.xff, dense=True)
     return wrap_name(exp.target, out, argstr)

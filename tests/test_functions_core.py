@@ -221,6 +221,60 @@ def test_moving_sum_interval(spark):
     approx_list(values_of(res, "movingSum(m,'3s')"), [3, 3, 3])
 
 
+def test_moving_median_odd_window(spark):
+    lake = make_lake(spark, {"m": [5, 1, 4, 2, 3, 9]}, 1, 0)
+    res = run(spark, lake, "movingMedian(m, 3)", 3, 6)
+    # windows: [1,4,2]->2, [4,2,3]->3, [2,3,9]->3
+    approx_list(values_of(res, "movingMedian(m,3)"), [2, 3, 3])
+
+
+def test_moving_median_even_window_interpolates(spark):
+    lake = make_lake(spark, {"m": [1, 3, 5, 7]}, 1, 0)
+    res = run(spark, lake, "movingMedian(m, 2)", 2, 4)
+    # even window -> mean of the two middle values (linear interpolation)
+    approx_list(values_of(res, "movingMedian(m,2)"), [4, 6])
+
+
+def test_moving_median_skips_nulls(spark):
+    lake = make_lake(spark, {"m": [1, None, 9, None, None, None]}, 1, 0)
+    res = run(spark, lake, "movingMedian(m, 3)", 3, 6)
+    # [None,9,None]->9, [9,None,None]->9, all-None->None
+    approx_list(values_of(res, "movingMedian(m,3)"), [9, 9, None])
+
+
+def test_moving_median_xff(spark):
+    lake = make_lake(spark, {"m": [1, None, 9, 5, 7, 3]}, 1, 0)
+    res = run(spark, lake, "movingMedian(m, 3, 0.7)", 3, 6)
+    # first window has 2/3 non-null < 0.7 -> gated to None
+    approx_list(values_of(res, "movingMedian(m,3)"), [None, 7, 5])
+
+
+def test_moving_median_wide_window_pandas_path(spark):
+    # wp > _LAG_WINDOW_MAX exercises the applyInPandas rolling kernel;
+    # must agree with the lag-array path's semantics
+    from carbonapi_spark.functions import windowed
+
+    vals = [float((7 * i) % 23) for i in range(300)]
+    vals[13] = None
+    lake = make_lake(spark, {"m": vals}, 1, 0)
+    res_wide = run(spark, lake, "movingMedian(m, 150)", 150, 300)
+    got = values_of(res_wide, "movingMedian(m,150)")
+    import numpy as np
+    expect = []
+    for t in range(150, 300):
+        window = [v for v in vals[t - 149:t + 1] if v is not None]
+        expect.append(float(np.percentile(window, 50)))
+    assert windowed._LAG_WINDOW_MAX < 150
+    approx_list(got, expect)
+
+
+def test_moving_window_p75(spark):
+    lake = make_lake(spark, {"m": [1, 2, 3, 4, 5, 6]}, 1, 0)
+    res = run(spark, lake, "movingWindow(m, 4, 'p75')", 4, 6)
+    # windows [2,3,4,5],[3,4,5,6]; p75 linear-interpolated at rank 2.25
+    approx_list(values_of(res, "movingWindow(m,4)"), [4.25, 5.25])
+
+
 # ----------------------------------------------------------- sort/filter
 
 def test_highest_average(spark):
