@@ -74,12 +74,14 @@ def lsh_topk(corpus: DataFrame, query: DataFrame, k: int = 10,
     bucket with the query. At 100 TB this replaces the full cross join with
     a bucket-key equi-join (shuffle on the signature).
 
-    ``probe=1`` enables multi-probe: each query additionally probes the
-    ``n_planes`` buckets at Hamming distance 1 (one flipped sign bit) —
-    the standard recall fix for sign-LSH, because near neighbors sitting
-    just across one hyperplane land in an adjacent bucket. Cost: the
-    broadcast query side grows (n_planes+1)x; the corpus side (the big
-    one) is untouched, so the join stays a bucket equi-join."""
+    Multi-probe is ON BY DEFAULT (``probe=1``): each query additionally
+    probes the ``n_planes`` buckets at Hamming distance 1 (one flipped sign
+    bit) — the standard recall fix for sign-LSH, because near neighbors
+    sitting just across one hyperplane land in an adjacent bucket. Pass
+    ``probe=0`` for exact-bucket-only lookup (cheaper, lower recall; the
+    measured trade at 200k vectors is recorded in SCALE.md). Cost of the
+    default: the broadcast query side grows (n_planes+1)x; the corpus side
+    (the big one) is untouched, so the join stays a bucket equi-join."""
     planes = random_planes(dim, n_planes, seed)
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
                       _as_double(F.col(vec_col)).alias("__cv"),

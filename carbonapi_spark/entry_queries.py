@@ -482,7 +482,8 @@ SELECT id_a, id_b,
        round(CASE WHEN uni > 0 THEN CAST(inter AS DOUBLE) / uni
                   ELSE 0.0 END, 6) AS jaccard
 FROM __j
-WHERE (CASE WHEN uni > 0 THEN CAST(inter AS DOUBLE) / uni ELSE 0.0 END) >= 0.2
+WHERE round(CASE WHEN uni > 0 THEN CAST(inter AS DOUBLE) / uni
+            ELSE 0.0 END, 6) >= 0.2
 """.strip()
 
 

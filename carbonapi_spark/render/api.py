@@ -59,7 +59,10 @@ class GraphiteAPI:
                 if k in ("width", "height", "bgcolor", "fgcolor", "title",
                          "hideLegend", "hideAxes", "hideGrid", "lineWidth",
                          "areaMode", "yMin", "yMax", "colorList")))
-        cache_key = json.dumps([sorted(targets), from_p, until_p, fmt, mdp,
+        # key on the targets in request order: every format's body depends on
+        # it (series order in json/csv, color/stack/legend order in png/svg),
+        # so a sorted key could serve a permuted request the wrong body
+        cache_key = json.dumps([list(targets), from_p, until_p, fmt, mdp,
                                 no_null, graph_keys])
         ctx = render_context(self.spark, self.lake, from_p, until_p)
         cached = self.cache.get(cache_key)

@@ -262,8 +262,11 @@ class GraphParams:
         def get(name, default=""):
             return params.get(name, [default])[0] or default
 
-        self.width = int(float(get("width", "330")))
-        self.height = int(float(get("height", "250")))
+        # clamp to cairo's practical surface limits: an unchecked
+        # width/height pair from the query string could allocate a
+        # multi-GB canvas (one request OOMing the render server)
+        self.width = min(max(int(float(get("width", "330"))), 1), 8192)
+        self.height = min(max(int(float(get("height", "250"))), 1), 8192)
         self.bgcolor = parse_color(get("bgcolor", "black"), (0, 0, 0))
         self.fgcolor = parse_color(get("fgcolor", "white"), (255, 255, 255))
         self.title = get("title")
@@ -283,6 +286,8 @@ def _series_geometry(series, opts_list, gp: GraphParams):
     specs = []
     lo, hi = math.inf, -math.inf
     t0, t1 = None, None
+    # stack by timestamp, not sample index: series may have different
+    # start/step after per-target consolidation (the reference stacks by time)
     stacked_base: dict[int, float] = {}
     for i, (s, opts) in enumerate(zip(series, opts_list)):
         color = parse_color(opts.get("color", ""),
@@ -298,10 +303,10 @@ def _series_geometry(series, opts_list, gp: GraphParams):
             if v is None or (isinstance(v, float) and math.isnan(v)):
                 pts.append((ts, None))
                 continue
-            base = stacked_base.get(j, 0.0) if stacked else 0.0
+            base = stacked_base.get(ts, 0.0) if stacked else 0.0
             y = v + base
             if stacked:
-                stacked_base[j] = y
+                stacked_base[ts] = y
             pts.append((ts, y))
             if not infinite:
                 lo, hi = min(lo, y, base), max(hi, y, base)

@@ -323,6 +323,36 @@ def test_render_svg(spark):
     assert "drawAsInfinite(m.a)" in svg  # legend entry
 
 
+def test_render_png_clamps_dimensions(spark):
+    # an unchecked width/height from the query string could allocate a
+    # multi-GB canvas; params are clamped to 1..8192
+    from carbonapi_spark.render.graph import decode_png_size, render_png
+    lake = make_lake(spark, {"m.a": [1.0, 2.0]}, 1, 0)
+    series = collect_series(_frame(spark, lake, "m.a", 0, 2))
+    png = render_png(series, [{}], {"width": ["100000"], "height": ["-5"]})
+    assert decode_png_size(png) == (8192, 1)
+
+
+def test_render_png_stacks_by_timestamp(spark):
+    # two stacked series with different starts must stack at matching ts,
+    # not matching sample index
+    from carbonapi_spark.render.graph import _series_geometry, GraphParams
+
+    class S:
+        def __init__(self, name, start, step, values, stop=None):
+            self.name, self.start, self.step = name, start, step
+            self.values = values
+            self.stop = stop if stop is not None else start + step * len(values)
+
+    a = S("a", 0, 1, [1.0, 1.0, 1.0])
+    b = S("b", 1, 1, [2.0, 2.0])  # starts one step later
+    gp = GraphParams({"areaMode": ["stacked"]})
+    specs, lo, hi, t0, t1 = _series_geometry([a, b], [{}, {}], gp)
+    # at ts=1 and ts=2, b stacks on a's value AT THAT TS: 1+2=3
+    assert dict(specs[1]["pts"]) == {1: 3.0, 2: 3.0}
+    assert hi == 3.0
+
+
 def test_http_render_png(server):
     url = (f"{server}/render?target=web.*.cpu"
            f"&from=0&until=4&format=png&width=500&height=200")
