@@ -956,12 +956,9 @@ def _tagged_lake(spark, sf_dir):
     key = (id(spark), sf_dir, "tagged")
     if key in _LAKE_CACHE:
         return _LAKE_CACHE[key]
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(ev.dtypes).get("ts") == "bigint":
-        sec = F.floor(F.col("ts") / F.lit(1_000_000_000)).cast("long")
-    else:
-        sec = F.floor(F.col("ts").cast("double")).cast("long")
+    from carbonapi_spark.sources.testdata import epoch_seconds, read_events
+    ev = read_events(spark, sf_dir)
+    sec = epoch_seconds(ev)
     tagged = (ev.groupBy(
         F.col("event_type"), (F.col("user_id") % 10).alias("u"),
         (sec - sec % F.lit(EVENTS_STEP)).alias("ts"))

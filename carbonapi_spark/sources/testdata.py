@@ -32,16 +32,35 @@ def load_tables(spark: SparkSession, sf_dir: str,
     return {n: spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names}
 
 
+def epoch_seconds(df: DataFrame, col: str = "ts"):
+    """Epoch-seconds column for whatever physical type the driver wrote the
+    events timestamp as — it has varied across testdata generations:
+    double epoch seconds, TIMESTAMP(NANOS) (bigint via nanosAsLong), and
+    timestamp[us] (TIMESTAMP_NTZ in Spark).  All branches floor toward
+    -inf to whole seconds, matching DuckDB's date_trunc semantics (UTC)."""
+    dt = dict(df.dtypes).get(col)
+    c = F.col(col)
+    if dt == "bigint":  # TIMESTAMP(NANOS) read with nanosAsLong=true
+        return F.floor(c / F.lit(1_000_000_000)).cast("long")
+    if dt == "timestamp_ntz":  # naive wall clock; driver writes UTC.
+        # to_utc_timestamp pins the interpretation to UTC regardless of
+        # spark.sql.session.timeZone; unix_seconds floor-divides micros.
+        return F.unix_seconds(F.to_utc_timestamp(c, "UTC"))
+    if dt == "timestamp":  # an instant; unix_seconds is tz-independent
+        return F.unix_seconds(c)
+    return F.floor(c.cast("double")).cast("long")  # numeric epoch seconds
+
+
+def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # harmless when ts is not nanos; required when it is
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
 def events_series_df(spark: SparkSession, sf_dir: str,
                      step: int = EVENTS_STEP) -> DataFrame:
-    # events.ts is TIMESTAMP(NANOS) parquet, which vanilla Spark rejects;
-    # read nanos as long and bucket with pure integer arithmetic (UTC).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(ev.dtypes).get("ts") == "bigint":
-        sec = F.floor(F.col("ts") / F.lit(1_000_000_000)).cast("long")
-    else:
-        sec = F.floor(F.col("ts").cast("double")).cast("long")
+    ev = read_events(spark, sf_dir)
+    sec = epoch_seconds(ev)
     bucket = (sec - sec % F.lit(step)).alias("ts")
     by_type = (ev.groupBy(F.concat(F.lit("events."), F.col("event_type")).alias("name"),
                           bucket)
