@@ -23,14 +23,6 @@ from carbonapi_spark.model.series import NAME, ORD, TS, VALUE, SeriesFrame, alig
 
 
 
-def _series_index(df):
-    """(ord, __idx): the series' 0-based position (by ord) — the explicit
-    rank that stands in for Go's list index."""
-    w = Window.orderBy(ORD)
-    return (df.select(ORD).distinct()
-            .withColumn("__idx", F.row_number().over(w) - 1))
-
-
 @register("divideSeries")
 def divide_series(ctx, exp, f, u):
     """each dividend / the single divisor — divideSeries/function.go:32.
@@ -87,17 +79,22 @@ def series_lists(ctx, exp, f, u):
         name_fn, op = _LIST_OPS[exp.target]
 
     fa, fb = align([fa, fb])
-    ia, ib = _series_index(fa.df), _series_index(fb.df)
-    na, nb = ia.count(), ib.count()
-    if na != nb:
+    # one job fetches both sides' series orders (tiny: one row per series);
+    # positional indexing then happens via a literal array — no count() jobs,
+    # no broadcast-index subplans re-evaluating the fetch pipeline per side
+    both = (fa.df.select(F.lit(0).alias("__s"), F.col(ORD))
+            .unionByName(fb.df.select(F.lit(1).alias("__s"), F.col(ORD)))
+            .distinct().collect())
+    ords_a = sorted(r[1] for r in both if r[0] == 0)
+    ords_b = sorted(r[1] for r in both if r[0] == 1)
+    if len(ords_a) != len(ords_b):
         raise ValueError(
-            f"{exp.target}: seriesLists must have the same length ({na} vs {nb})")
-    a = (fa.df.join(F.broadcast(ia), ORD)
-         .select(F.col("__idx"), F.col(TS), F.col(NAME).alias("__na"),
-                 V.alias("__va")))
-    b = (fb.df.join(F.broadcast(ib), ORD)
-         .select(F.col("__idx"), F.col(TS), F.col(NAME).alias("__nb"),
-                 V.alias("__vb")))
+            f"{exp.target}: seriesLists must have the same length "
+            f"({len(ords_a)} vs {len(ords_b)})")
+    a = fa.df.select(F.array_position(F.lit(ords_a), F.col(ORD)).alias("__idx"),
+                     F.col(TS), F.col(NAME).alias("__na"), V.alias("__va"))
+    b = fb.df.select(F.array_position(F.lit(ords_b), F.col(ORD)).alias("__idx"),
+                     F.col(TS), F.col(NAME).alias("__nb"), V.alias("__vb"))
     name = F.format_string(f"{name_fn}(%s,%s)", F.col("__na"), F.col("__nb"))
     df = (a.join(b, ["__idx", TS])
           .select(name.alias(NAME), name.alias(ORD), F.col(TS),

@@ -248,15 +248,19 @@ def reduce_series(ctx, exp, f, u):
               .withColumn("__key", alias_name)
               .withColumn("__m", matcher)
               .where(F.col("__m").isin(matchers)))
-    # only groups holding every matcher participate (AliasLoop `continue`)
-    full = (tagged.select("__key", "__m").distinct()
-            .groupBy("__key").agg(F.count(F.lit(1)).alias("__n"))
-            .where(F.col("__n") == len(matchers)).select("__key"))
-    pivoted = (tagged.join(F.broadcast(full), "__key")
-               .groupBy("__key", TS)
+    # only groups holding every matcher participate (AliasLoop `continue`).
+    # The frame is dense (every series carries every ts), so per-cell row
+    # presence == series presence: a count alongside the value in the SAME
+    # pivot distinguishes "matcher series absent" from "value is null",
+    # with no separate distinct+join subplan re-evaluating the pipeline.
+    pivoted = (tagged.groupBy("__key", TS)
                .pivot("__m", matchers)
-               .agg(F.first(VALUE)))
-    cols = [F.col(m) for m in matchers]
+               .agg(F.first(VALUE).alias("v"), F.count(F.lit(1)).alias("n")))
+    present = [F.col(f"{m}_n") > 0 for m in matchers]
+    for p in present[1:]:
+        present[0] = present[0] & p
+    pivoted = pivoted.where(present[0])
+    cols = [F.col(f"{m}_v") for m in matchers]
     df = pivoted.select(F.col("__key").alias(NAME), F.col("__key").alias(ORD),
                         F.col(TS),
                         reducer(cols).cast("double").alias(VALUE))
