@@ -66,6 +66,17 @@ def random_planes(dim: int, n_planes: int = 12, seed: int = 42) -> list[list[flo
     return [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_planes)]
 
 
+def _flip_expr(sig: Column, positions: tuple[int, ...], n: int) -> Column:
+    """The signature string with the given 1-based bit positions inverted."""
+    parts = []
+    for i in range(1, n + 1):
+        ch = F.substring(sig, i, 1)
+        if i in positions:
+            ch = F.when(ch == "1", F.lit("0")).otherwise(F.lit("1"))
+        parts.append(ch)
+    return F.concat(*parts)
+
+
 def lsh_topk(corpus: DataFrame, query: DataFrame, k: int = 10,
              id_col: str = "vec_id", vec_col: str = "embedding",
              dim: int = 64, n_planes: int = 8, seed: int = 42,
@@ -74,14 +85,17 @@ def lsh_topk(corpus: DataFrame, query: DataFrame, k: int = 10,
     bucket with the query. At 100 TB this replaces the full cross join with
     a bucket-key equi-join (shuffle on the signature).
 
-    Multi-probe is ON BY DEFAULT (``probe=1``): each query additionally
-    probes the ``n_planes`` buckets at Hamming distance 1 (one flipped sign
-    bit) — the standard recall fix for sign-LSH, because near neighbors
-    sitting just across one hyperplane land in an adjacent bucket. Pass
-    ``probe=0`` for exact-bucket-only lookup (cheaper, lower recall; the
-    measured trade at 200k vectors is recorded in SCALE.md). Cost of the
-    default: the broadcast query side grows (n_planes+1)x; the corpus side
-    (the big one) is untouched, so the join stays a bucket equi-join."""
+    Multi-probe is ON BY DEFAULT: each query also probes every bucket
+    within Hamming distance ``probe`` of its own signature (flipped sign
+    bits) — the standard recall fix for sign-LSH, because near neighbors
+    sitting just across a hyperplane land in an adjacent bucket. Measured
+    on the 200k-vector clustered smoke (SCALE.md): recall@10 rises steeply
+    with probe depth while only the broadcast query side grows
+    (sum_{d<=probe} C(n_planes, d) rows per query); the corpus side (the
+    big one) is untouched, so the join stays a bucket equi-join.
+    ``probe=0`` is exact-bucket-only (cheapest, lowest recall)."""
+    from itertools import combinations
+
     planes = random_planes(dim, n_planes, seed)
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
                       _as_double(F.col(vec_col)).alias("__cv"),
@@ -91,14 +105,12 @@ def lsh_topk(corpus: DataFrame, query: DataFrame, k: int = 10,
                      hyperplane_signature(F.col(vec_col), planes).alias("__sig"))
     if probe:
         # explode each query into its probe signatures: the exact bucket
-        # plus every one-bit flip (all distinct, so no pair dedup needed)
-        q = q.selectExpr(
-            "query_id", "__qv",
-            f"""explode(array_union(array(__sig),
-                  transform(sequence(1, {n_planes}),
-                    i -> concat(substr(__sig, 1, i - 1),
-                                if(substr(__sig, i, 1) = '1', '0', '1'),
-                                substr(__sig, i + 1))))) as __sig""")
+        # plus every <=probe-bit flip (all distinct by construction)
+        flips = [()] + [c_ for d in range(1, probe + 1)
+                        for c_ in combinations(range(1, n_planes + 1), d)]
+        sigs = F.array(*[_flip_expr(F.col("__sig"), set(p), n_planes)
+                         for p in flips])
+        q = q.select("query_id", "__qv", F.explode(sigs).alias("__sig"))
     sims = (c.join(F.broadcast(q), "__sig")
             .where(F.col("neighbor_id") != F.col("query_id"))
             .select("query_id", "neighbor_id",

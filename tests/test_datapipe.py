@@ -89,6 +89,33 @@ def test_lsh_topk_same_bucket_recall(spark):
     assert 5 in ids  # parallel vector always lands in the same bucket
 
 
+def test_lsh_topk_recall_clustered(spark):
+    """recall@10 >= 0.9 with default multi-probe on a clustered corpus —
+    the CI-sized replica of the 200k-vector smoke in SCALE.md (measured
+    there: probe0 0.56, probe1 0.93, probe2 0.99)."""
+    from carbonapi_spark.datapipe.similarity import brute_force_topk, lsh_topk
+    dim, n = 16, 2000
+    cluster = F.col("id") - F.col("id") % 10
+    u = lambda key: (F.pmod(F.xxhash64(key), F.lit(2001)) / 1000.0 - 1.0)
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: u(cluster * 131 + i) + u(F.col("id") * 977 + i) * 0.1)
+    vecs = (spark.range(n)
+            .select(F.col("id").alias("vec_id"), vec.alias("embedding")))
+    q = vecs.where(F.col("vec_id") % 250 == 3)  # 8 queries across clusters
+
+    def sets(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return out
+
+    truth = sets(brute_force_topk(vecs, q, k=10))
+    approx = sets(lsh_topk(vecs, q, k=10, dim=dim))
+    hit = sum(len(truth[k_] & approx.get(k_, set())) for k_ in truth)
+    assert hit / (10 * len(truth)) >= 0.9
+
+
 def test_multimodal_features(spark):
     from carbonapi_spark.datapipe.multimodal import extract_features, synth_media
     media = synth_media(spark, 9)

@@ -60,9 +60,16 @@ def main():
         base.select("doc_id", text.alias("text")) \
             .repartition(64).write.mode("overwrite").parquet(DOCS)
     if not os.path.exists(VECS):
+        # clustered corpus — the shape embedding near-dup dedup targets:
+        # 12-member clusters around hash-uniform centers in [-1,1]^dim plus
+        # 10% per-member noise (within-cluster cosine ~0.985), so each
+        # vector has 11 genuine near neighbors and recall@10 is meaningful
+        cluster = F.col("id") - F.col("id") % 12
+        u = lambda key: (F.pmod(F.xxhash64(key), F.lit(2001)) / 1000.0 - 1.0)
         vec = F.transform(
             F.sequence(F.lit(0), F.lit(dim - 1)),
-            lambda i: F.sin(F.col("id") * 0.37 + i * 1.13).cast("float"))
+            lambda i: (u(cluster * 131 + i)
+                       + u(F.col("id") * 977 + i) * 0.1).cast("float"))
         (spark.range(n_vecs).select(F.col("id").alias("vec_id"),
                                     vec.alias("embedding"))
          .repartition(64).write.mode("overwrite").parquet(VECS))
@@ -73,7 +80,7 @@ def main():
 
     from carbonapi_spark.datapipe.dedup import (
         exact_dedup, jaccard_verify, minhash_lsh_candidates, simhash)
-    from carbonapi_spark.datapipe.similarity import lsh_topk
+    from carbonapi_spark.datapipe.similarity import brute_force_topk, lsh_topk
     from carbonapi_spark.datapipe.text import lang_scores, quality_features
 
     times = {}
@@ -91,11 +98,29 @@ def main():
         simhash(F.col("text"), bits=32).alias("h")).count())
     case("quality_features", lambda: quality_features(docs).count())
     case("lang_scores", lambda: lang_scores(docs).count())
-    q = vecs.limit(8)
+    q = vecs.limit(16)
     case("lsh_ann_topk", lambda: lsh_topk(vecs, q, k=10, dim=dim).count())
 
+    # recall@10 of lsh_topk vs exact brute force, per probe depth — the
+    # number that justifies multi-probe (query-side-only bucket expansion)
+    def topk_sets(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return out
+
+    truth = topk_sets(brute_force_topk(vecs, q, k=10))
+    recall = {}
+    for p in (0, 1, 2):
+        t0 = time.perf_counter()
+        approx = topk_sets(lsh_topk(vecs, q, k=10, dim=dim, probe=p))
+        hit = sum(len(truth[qid] & approx.get(qid, set())) for qid in truth)
+        recall[f"probe{p}"] = {
+            "recall_at_10": round(hit / (10 * len(truth)), 4),
+            "sec": round(time.perf_counter() - t0, 2)}
+
     print(json.dumps({"n_docs": n_docs, "n_vecs": n_vecs, "gen_sec": gen_s,
-                      "cases": times}))
+                      "cases": times, "lsh_recall": recall}))
     spark.stop()
 
 
