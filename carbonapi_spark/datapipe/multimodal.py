@@ -53,20 +53,29 @@ def _stub_feature(payload: bytes, dim: int) -> np.ndarray:
 
 
 def extract_features(media: DataFrame, dim: int = 16,
-                     decode_stub: bool = True) -> DataFrame:
+                     decode_stub: bool = True,
+                     decode=None) -> DataFrame:
     """Decode + feature-extract each media row via mapInPandas.
 
-    With real codecs this is where PIL/ffmpeg would run; the container has
-    neither, so `decode_stub=False` raises to make the boundary explicit.
+    ``decode`` is the pluggable codec boundary: a picklable callable
+    ``(payload: bytes | None, kind: str) -> sequence[float]`` shipped to the
+    executors inside the mapInPandas closure — this is where a user wires
+    PIL / torchaudio / ffmpeg outside this container. Without one, the
+    deterministic byte-histogram stub runs (``decode_stub=True``), and
+    ``decode_stub=False`` raises to make the missing-codec boundary
+    explicit rather than silently fake.
     """
-    if not decode_stub:
-        raise NotImplementedError(
-            "real image/audio decoding requires codec libraries not present "
-            "in this container; use decode_stub=True")
+    if decode is None:
+        if not decode_stub:
+            raise NotImplementedError(
+                "real image/audio decoding requires codec libraries not "
+                "present in this container; pass decode= or decode_stub=True")
+        decode = lambda payload, kind: _stub_feature(payload, dim).tolist()
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            feats = [_stub_feature(p, dim).tolist() for p in pdf["payload"]]
+            feats = [list(map(float, decode(p, k)))
+                     for p, k in zip(pdf["payload"], pdf["kind"])]
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "kind": pdf["kind"],

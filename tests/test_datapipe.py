@@ -127,6 +127,23 @@ def test_multimodal_features(spark):
         extract_features(media, decode_stub=False)
 
 
+def test_multimodal_injected_codec(spark):
+    """A user-supplied decode callable replaces the stub end-to-end."""
+    from carbonapi_spark.datapipe.multimodal import extract_features, synth_media
+    media = synth_media(spark, 6)
+
+    def fake_codec(payload, kind):
+        n = 0 if payload is None else len(payload)
+        return [float(n), 1.0 if kind == "audio" else 0.0]
+
+    rows = {r["media_id"]: r for r in
+            extract_features(media, decode=fake_codec).collect()}
+    assert len(rows) == 6
+    for mid, r in rows.items():
+        assert r["feature"][0] == float(r["n_bytes"]) == 64.0 + mid
+        assert r["feature"][1] == (1.0 if r["kind"] == "audio" else 0.0)
+
+
 def test_multimodal_frame_plan(spark):
     from carbonapi_spark.datapipe.multimodal import frame_sample_plan, synth_media
     media = synth_media(spark, 9)
