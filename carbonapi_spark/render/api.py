@@ -58,7 +58,8 @@ class GraphiteAPI:
                 (k, v) for k, v in params.items()
                 if k in ("width", "height", "bgcolor", "fgcolor", "title",
                          "hideLegend", "hideAxes", "hideGrid", "lineWidth",
-                         "areaMode", "yMin", "yMax", "colorList")))
+                         "areaMode", "yMin", "yMax", "colorList",
+                         "logBase", "drawNullAsZero")))
         # key on the targets in request order: every format's body depends on
         # it (series order in json/csv, color/stack/legend order in png/svg),
         # so a sorted key could serve a permuted request the wrong body

@@ -7,8 +7,8 @@ canvas + a stdlib-zlib PNG encoder, with text drawn from a small built-in
 stroke font (vector polylines, shared with the SVG path). Pixel parity
 with cairo is a non-goal; dimensions, series geometry, colors, decorators
 and the param surface (width/height/bgcolor/fgcolor/title/hideLegend/
-lineWidth/colorList/yMin/yMax/areaMode — ``picture_params.go:233-266``)
-follow the reference.
+lineWidth/colorList/yMin/yMax/areaMode/logBase/drawNullAsZero —
+``picture_params.go:233-278``) follow the reference.
 """
 
 from __future__ import annotations
@@ -279,6 +279,16 @@ class GraphParams:
         self.y_max = float(get("yMax")) if get("yMax") else None
         cl = get("colorList")
         self.color_list = cl.split(",") if cl else DEFAULT_COLOR_LIST
+        # picture_params.go:335-344: "e" -> e, else float, <1 -> off.
+        # (we also treat exactly 1 as off: log base 1 has no scale)
+        lb = get("logBase")
+        try:
+            self.log_base = math.e if lb == "e" else float(lb) if lb else 0.0
+        except ValueError:
+            self.log_base = 0.0
+        if self.log_base <= 1:
+            self.log_base = 0.0
+        self.draw_null_as_zero = get("drawNullAsZero") in ("1", "true", "True")
 
 
 def _series_geometry(series, opts_list, gp: GraphParams):
@@ -301,8 +311,11 @@ def _series_geometry(series, opts_list, gp: GraphParams):
         for j, v in enumerate(s.values):
             ts = s.start + j * s.step
             if v is None or (isinstance(v, float) and math.isnan(v)):
-                pts.append((ts, None))
-                continue
+                if gp.draw_null_as_zero:  # cairo.go:2328
+                    v = 0.0
+                else:
+                    pts.append((ts, None))
+                    continue
             base = stacked_base.get(ts, 0.0) if stacked else 0.0
             y = v + base
             if stacked:
@@ -326,6 +339,39 @@ def _series_geometry(series, opts_list, gp: GraphParams):
     return specs, lo, hi, (t0 or 0), (t1 or 1)
 
 
+def _y_scale(gp: GraphParams, lo: float, hi: float, py0: float, py1: float):
+    """(sy, ticks): pixel mapper + axis tick values, linear or logarithmic.
+
+    Log scale follows cairo.go:1721-1724 (bounds snapped to powers of the
+    base) and cairo.go:2223-2228 (log-relative pixel mapping; values <= 0
+    are unplottable -> None, callers treat them as gaps)."""
+    if gp.log_base:
+        b = gp.log_base
+        lo_b = lo if lo > 0 else (hi / b ** 4 if hi > 0 else 1.0 / b ** 4)
+        lo_b = b ** math.floor(math.log(lo_b, b))
+        hi_b = b ** math.ceil(math.log(max(hi, lo_b * b), b))
+        l_lo, l_hi = math.log(lo_b, b), math.log(hi_b, b)
+
+        def sy(v):
+            if v is None or v <= 0:
+                return None
+            rel = (math.log(v, b) - l_lo) / max(l_hi - l_lo, 1e-300)
+            return py1 - rel * (py1 - py0)
+
+        n_exp = int(l_hi - l_lo)
+        stride = max(1, n_exp // 8)
+        ticks = [lo_b * b ** (e * stride)
+                 for e in range(n_exp // stride + 1)]
+        return sy, ticks
+
+    def sy(v):
+        if v is None:
+            return None
+        return py1 - (v - lo) / max(hi - lo, 1e-300) * (py1 - py0)
+
+    return sy, list(_nice_ticks(lo, hi))
+
+
 def render_png(series, opts_list, params: dict) -> bytes:
     gp = GraphParams(params)
     cv = Canvas(gp.width, gp.height, gp.bgcolor)
@@ -343,14 +389,15 @@ def render_png(series, opts_list, params: dict) -> bytes:
     def sx(ts):
         return px0 + (ts - t0) / max(t1 - t0, 1) * (px1 - px0)
 
-    def sy(v):
-        return py1 - (v - lo) / max(hi - lo, 1e-300) * (py1 - py0)
+    sy, yticks = _y_scale(gp, lo, hi, py0, py1)
 
     grid = tuple(min(255, c + 60) if sum(gp.bgcolor) < 384 else max(0, c - 60)
                  for c in gp.bgcolor)
     if not gp.hide_axes:
-        for v in _nice_ticks(lo, hi):
+        for v in yticks:
             y = sy(v)
+            if y is None:
+                continue
             if not gp.hide_grid:
                 cv.line(px0, y, px1, y, grid, 1.0, 0.5)
             cv.text(_fmt_val(v), 2, y - 3, gp.fgcolor, 0.9)
@@ -374,8 +421,12 @@ def render_png(series, opts_list, params: dict) -> bytes:
                 cv.line(x, py0, x, py1, sp["color"], sp["width"], sp["alpha"])
                 continue
             yy = sy(y)
+            if yy is None:  # non-positive value on a log scale
+                prev = None
+                continue
             if sp["stacked"] or gp.area_mode == "first" and sp is specs[0]:
-                cv.vfill(x, sy(0.0 if lo <= 0 <= hi else lo), yy,
+                base_y = sy(0.0 if lo <= 0 <= hi else lo)
+                cv.vfill(x, py1 if base_y is None else base_y, yy,
                          sp["color"], 0.35 * sp["alpha"])
             if prev is not None:
                 if not sp["dashed"] or k % 2 == 0:
@@ -406,8 +457,7 @@ def render_svg(series, opts_list, params: dict) -> str:
     def sx(ts):
         return px0 + (ts - t0) / max(t1 - t0, 1) * (px1 - px0)
 
-    def sy(v):
-        return py1 - (v - lo) / max(hi - lo, 1e-300) * (py1 - py0)
+    sy, yticks = _y_scale(gp, lo, hi, py0, py1)
 
     def rgb(c):
         return f"rgb({c[0]},{c[1]},{c[2]})"
@@ -421,8 +471,10 @@ def render_svg(series, opts_list, params: dict) -> str:
          f'<rect width="100%" height="100%" fill="{rgb(gp.bgcolor)}"/>']
     fg = rgb(gp.fgcolor)
     if not gp.hide_axes:
-        for v in _nice_ticks(lo, hi):
+        for v in yticks:
             y = sy(v)
+            if y is None:
+                continue
             o.append(f'<line x1="{px0}" y1="{y:.1f}" x2="{px1}" y2="{y:.1f}" '
                      f'stroke="{fg}" stroke-opacity="0.25"/>')
             o.append(f'<text x="2" y="{y + 3:.1f}" fill="{fg}" '
@@ -438,7 +490,8 @@ def render_svg(series, opts_list, params: dict) -> str:
     for sp in specs:
         segs, cur = [], []
         for ts, y in sp["pts"]:
-            if y is None:
+            yy = sy(y)
+            if yy is None:  # gap, or non-positive value on a log scale
                 if cur:
                     segs.append(cur)
                 cur = []
@@ -450,7 +503,7 @@ def render_svg(series, opts_list, params: dict) -> str:
                          f'stroke-width="{sp["width"]}" '
                          f'stroke-opacity="{sp["alpha"]}"/>')
                 continue
-            cur.append((x, sy(y)))
+            cur.append((x, yy))
         if cur:
             segs.append(cur)
         dash = f' stroke-dasharray="{sp["dashed"]},{sp["dashed"]}"' \
@@ -460,6 +513,8 @@ def render_svg(series, opts_list, params: dict) -> str:
             fill = "none"
             if sp["stacked"] or gp.area_mode in ("all", "stacked"):
                 base_y = sy(0.0 if lo <= 0 <= hi else lo)
+                if base_y is None:
+                    base_y = py1
                 d += f" L{seg[-1][0]:.1f} {base_y:.1f} " \
                      f"L{seg[0][0]:.1f} {base_y:.1f} Z"
                 fill = rgb(sp["color"])

@@ -353,6 +353,49 @@ def test_render_png_stacks_by_timestamp(spark):
     assert hi == 3.0
 
 
+def test_render_png_log_base_and_null_as_zero(spark):
+    # logBase: y mapping is logarithmic (cairo.go:2223-2228), so an
+    # exponential series renders differently from the linear scale;
+    # drawNullAsZero: gaps become 0.0 points (cairo.go:2328)
+    from carbonapi_spark.render.graph import (
+        GraphParams, _series_geometry, render_png)
+    lake = make_lake(spark, {"m.a": [1.0, 10.0, 100.0, 1000.0]}, 1, 0)
+    series = collect_series(_frame(spark, lake, "m.a", 0, 4))
+    lin = render_png(series, [{}], {})
+    log = render_png(series, [{}], {"logBase": ["10"]})
+    assert log[:8] == b"\x89PNG\r\n\x1a\n" and log != lin
+    # logBase=e parses; logBase<1 and garbage fall back to linear
+    assert GraphParams({"logBase": ["e"]}).log_base > 2.7
+    assert GraphParams({"logBase": ["0.5"]}).log_base == 0.0
+    assert GraphParams({"logBase": ["x"]}).log_base == 0.0
+
+    gp = GraphParams({"drawNullAsZero": ["true"]})
+    lake2 = make_lake(spark, {"m.b": [1.0, None, 3.0]}, 1, 0)
+    series2 = collect_series(_frame(spark, lake2, "m.b", 0, 3))
+    specs, lo, hi, _, _ = _series_geometry(series2, [{}], gp)
+    assert dict(specs[0]["pts"])[1] == 0.0 and lo == 0.0
+
+
+def test_http_render_svg_no_data_golden(server):
+    # mockbackend i503's query shape over a metric the backend doesn't
+    # have: the SVG must be byte-stable (deterministic "no data" graph) —
+    # unlike i503's cairo-version-specific sha, this pins OUR renderer
+    import hashlib
+    target = urllib.parse.quote(
+        "legendValue(alias(color(missing.metric,'066591'),'b'),'last')")
+    url = f"{server}/render?target={target}&from=0&until=4&format=svg"
+    status, body = _get(url)
+    assert status == 200
+    assert body.lstrip().startswith(b"<svg")
+    status2, body2 = _get(url)
+    assert body2 == body  # deterministic across requests
+    assert hashlib.sha256(body).hexdigest() == SVG_NO_DATA_SHA256
+
+
+SVG_NO_DATA_SHA256 = \
+    "119a5a03f273ea310aadd6c4cb7d4908f0340567b6ff07aa12331688c02b11e4"
+
+
 def test_http_render_png(server):
     url = (f"{server}/render?target=web.*.cpu"
            f"&from=0&until=4&format=png&width=500&height=200")
