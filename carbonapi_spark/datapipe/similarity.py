@@ -9,6 +9,8 @@
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
@@ -64,6 +66,63 @@ def random_planes(dim: int, n_planes: int = 12, seed: int = 42) -> list[list[flo
     import random
     rng = random.Random(seed)
     return [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def ivf_centroids(dim: int, n_centroids: int, seed: int = 43) -> list[list[float]]:
+    """Deterministic spherical coarse quantizer: seeded random unit
+    directions. Unlike k-means IVF there is no training pass, so the
+    centroids are reproducible from (dim, n_centroids, seed) alone — which
+    lets the DuckDB oracle replay the exact cell assignment."""
+    import random
+    rng = random.Random(seed)
+    out = []
+    for _ in range(n_centroids):
+        v = [rng.gauss(0, 1) for _ in range(dim)]
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        out.append([x / n for x in v])
+    return out
+
+
+def ivf_topk(corpus: DataFrame, query: DataFrame, k: int = 10,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             dim: int = 64, n_centroids: int = 16, nprobe: int = 2,
+             seed: int = 43) -> DataFrame:
+    """IVF-style approximate top-k: the alternative scale path to
+    ``lsh_topk``. Every corpus vector is assigned to ONE cell (argmax dot
+    with the centroid directions); each query probes its ``nprobe`` best
+    cells. The corpus side stays single-row-per-vector (no expansion at
+    all — cheaper than multi-probe LSH's query expansion is on the query
+    side here too), and the join is a cell-key equi-join."""
+    cents = ivf_centroids(dim, n_centroids, seed)
+
+    def cell_dots(vec: Column) -> Column:
+        return F.array(*[dot(vec, F.array(*[F.lit(x) for x in c]))
+                         for c in cents])
+
+    c = (corpus.select(F.col(id_col).alias("neighbor_id"),
+                       _as_double(F.col(vec_col)).alias("__cv"))
+         .withColumn("__d", cell_dots(F.col("__cv")))
+         .withColumn("__cell", F.array_position(F.col("__d"),
+                                                F.array_max("__d")))
+         .drop("__d"))
+    q0 = (query.select(F.col(id_col).alias("query_id"),
+                       _as_double(F.col(vec_col)).alias("__qv"))
+          .select("query_id", "__qv",
+                  F.posexplode(cell_dots(F.col("__qv")))
+                  .alias("__pos", "__dot")))
+    wq = Window.partitionBy("query_id").orderBy(F.col("__dot").desc(),
+                                                F.col("__pos"))
+    q = (q0.withColumn("__rk", F.row_number().over(wq))
+         .where(F.col("__rk") <= nprobe)
+         .select("query_id", "__qv", (F.col("__pos") + 1).alias("__cell")))
+    sims = (c.join(F.broadcast(q), "__cell")
+            .where(F.col("neighbor_id") != F.col("query_id"))
+            .select("query_id", "neighbor_id",
+                    F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("cos_sim")))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(),
+                                               F.col("neighbor_id"))
+    return (sims.withColumn("__rk", F.row_number().over(w))
+            .where(F.col("__rk") <= k).drop("__rk"))
 
 
 def _flip_expr(sig: Column, positions: tuple[int, ...], n: int) -> Column:

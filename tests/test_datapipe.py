@@ -115,6 +115,11 @@ def test_lsh_topk_recall_clustered(spark):
     hit = sum(len(truth[k_] & approx.get(k_, set())) for k_ in truth)
     assert hit / (10 * len(truth)) >= 0.9
 
+    from carbonapi_spark.datapipe.similarity import ivf_topk
+    ivf = sets(ivf_topk(vecs, q, k=10, dim=dim, n_centroids=16, nprobe=4))
+    hit = sum(len(truth[k_] & ivf.get(k_, set())) for k_ in truth)
+    assert hit / (10 * len(truth)) >= 0.9
+
 
 def test_multimodal_features(spark):
     from carbonapi_spark.datapipe.multimodal import extract_features, synth_media

@@ -80,7 +80,8 @@ def main():
 
     from carbonapi_spark.datapipe.dedup import (
         exact_dedup, jaccard_verify, minhash_lsh_candidates, simhash)
-    from carbonapi_spark.datapipe.similarity import brute_force_topk, lsh_topk
+    from carbonapi_spark.datapipe.similarity import (
+        brute_force_topk, ivf_topk, lsh_topk)
     from carbonapi_spark.datapipe.text import lang_scores, quality_features
 
     times = {}
@@ -110,17 +111,25 @@ def main():
         return out
 
     truth = topk_sets(brute_force_topk(vecs, q, k=10))
+
+    def measure(fn):
+        t0 = time.perf_counter()
+        approx = topk_sets(fn())
+        hit = sum(len(truth[qid] & approx.get(qid, set())) for qid in truth)
+        return {"recall_at_10": round(hit / (10 * len(truth)), 4),
+                "sec": round(time.perf_counter() - t0, 2)}
+
     recall = {}
     for p in (0, 1, 2):
-        t0 = time.perf_counter()
-        approx = topk_sets(lsh_topk(vecs, q, k=10, dim=dim, probe=p))
-        hit = sum(len(truth[qid] & approx.get(qid, set())) for qid in truth)
-        recall[f"probe{p}"] = {
-            "recall_at_10": round(hit / (10 * len(truth)), 4),
-            "sec": round(time.perf_counter() - t0, 2)}
+        recall[f"lsh_probe{p}"] = measure(
+            lambda: lsh_topk(vecs, q, k=10, dim=dim, probe=p))
+    for np_ in (1, 2, 4):
+        recall[f"ivf_nprobe{np_}"] = measure(
+            lambda: ivf_topk(vecs, q, k=10, dim=dim, n_centroids=16,
+                             nprobe=np_))
 
     print(json.dumps({"n_docs": n_docs, "n_vecs": n_vecs, "gen_sec": gen_s,
-                      "cases": times, "lsh_recall": recall}))
+                      "cases": times, "ann_recall": recall}))
     spark.stop()
 
 
