@@ -132,6 +132,72 @@ def test_multimodal_features(spark):
         extract_features(media, decode_stub=False)
 
 
+def _run_stream(df_fn, src_dir, out_dir, ck_dir):
+    """One availableNow pass: src json -> stateful op -> parquet sink."""
+    q = (df_fn()
+         .writeStream.format("parquet")
+         .option("path", str(out_dir))
+         .option("checkpointLocation", str(ck_dir))
+         .trigger(availableNow=True).start())
+    assert q.awaitTermination(180)
+
+
+def test_stream_dedup_exact_state_across_runs(spark, tmp_path):
+    """applyInPandasWithState dedup: the first doc per content hash wins;
+    a duplicate arriving in a LATER RUN (state restored from checkpoint)
+    is dropped too."""
+    import json
+    from carbonapi_spark.streaming.stateful import stream_dedup_exact
+    src, out, ck = tmp_path / "src", tmp_path / "out", tmp_path / "ck"
+    src.mkdir()
+
+    def stream():
+        s = (spark.readStream.schema("doc_id LONG, text STRING")
+             .json(str(src)))
+        return stream_dedup_exact(s)
+
+    (src / "a.json").write_text("\n".join(json.dumps(d) for d in [
+        {"doc_id": 1, "text": "alpha"}, {"doc_id": 2, "text": "beta"},
+        {"doc_id": 3, "text": "alpha"}]))  # in-batch duplicate
+    _run_stream(stream, src, out, ck)
+    (src / "b.json").write_text("\n".join(json.dumps(d) for d in [
+        {"doc_id": 4, "text": "alpha"},   # cross-run duplicate
+        {"doc_id": 5, "text": "gamma"}]))
+    _run_stream(stream, src, out, ck)
+
+    rows = spark.read.parquet(str(out)).collect()
+    ids = sorted(r["doc_id"] for r in rows)
+    assert len(rows) == 3          # alpha once, beta, gamma
+    assert 2 in ids and 5 in ids and 4 not in ids
+    assert (1 in ids) != (3 in ids)  # exactly one of the alpha pair
+
+
+def test_stream_per_second_state_across_runs(spark, tmp_path):
+    """Streaming perSecond: the rate for the first point of run 2 uses the
+    last sample remembered from run 1."""
+    import json
+    from carbonapi_spark.streaming.stateful import stream_per_second
+    src, out, ck = tmp_path / "src", tmp_path / "out", tmp_path / "ck"
+    src.mkdir()
+
+    def stream():
+        s = (spark.readStream
+             .schema("name STRING, ts LONG, value DOUBLE").json(str(src)))
+        return stream_per_second(s)
+
+    (src / "a.json").write_text("\n".join(json.dumps(d) for d in [
+        {"name": "m.a", "ts": 0, "value": 10.0},
+        {"name": "m.a", "ts": 60, "value": 70.0}]))
+    _run_stream(stream, src, out, ck)
+    (src / "b.json").write_text(json.dumps(
+        {"name": "m.a", "ts": 120, "value": 190.0}))
+    _run_stream(stream, src, out, ck)
+
+    rates = {r["ts"]: r["value"]
+             for r in spark.read.parquet(str(out)).collect()}
+    assert rates == {60: 1.0, 120: 2.0}  # 120's rate needs run-1 state
+
+
 def test_multimodal_injected_codec(spark):
     """A user-supplied decode callable replaces the stub end-to-end."""
     from carbonapi_spark.datapipe.multimodal import extract_features, synth_media
