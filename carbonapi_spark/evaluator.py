@@ -48,6 +48,12 @@ class EvalContext:
     now: _dt.datetime | None = None
     # fetch memo: (pattern, from, until) -> SeriesFrame  (expr.go:72-92 dedup)
     values: dict = field(default_factory=dict)
+    # injectable clients for the reference's config-gated external-service
+    # functions (aliasByRedis / aliasByPostgres / graphiteWeb). The engine
+    # never owns those connections — exactly like the reference, where they
+    # are disabled unless configured. Keys = function name; see
+    # functions/extras.py for each client's callable signature.
+    external_clients: dict = field(default_factory=dict)
 
     def fetch(self, pattern: str, from_ts: int | None = None,
               until_ts: int | None = None) -> SeriesFrame:

@@ -208,14 +208,110 @@ def remove_between_percentile(ctx, exp, f, u):
     return frame.with_df(frame.df.join(F.broadcast(outside), ORD, "left_semi"))
 
 
-@register("aliasByPostgres", "aliasByRedis", "graphiteWeb")
-def external_stub(ctx, exp, f, u):
-    """Config-gated external-lookup functions (aliasByPostgres/function.go:151,
-    aliasByRedis/function.go:167, graphiteWeb/function.go:77): out of scope —
-    they proxy to external services the engine does not own. Documented stub."""
-    raise EvalError(
-        f"{exp.target} requires an external service connection; not supported "
-        "in carbonapi_spark (see SURVEY.md §2.4)")
+def _require_client(ctx, name: str):
+    """The reference gates these functions behind a service config file and
+    registers nothing when it is absent (aliasByRedis/function.go:58-64);
+    here the gate is an injected client callable on
+    ``EvalContext.external_clients`` — the engine never owns the
+    connection. Unconfigured -> the same hard error as before."""
+    client = ctx.external_clients.get(name)
+    if client is None:
+        raise EvalError(
+            f"{name} requires an external service connection; inject "
+            f"EvalContext.external_clients[{name!r}] (see SURVEY.md §2.4)")
+    return client
+
+
+def _rename_map(frame, rename: dict, drop_unmatched: bool):
+    """Apply a name->newname dict via a broadcast literal map (one row per
+    series was collected to build it — the aliasQuery batching shape)."""
+    if not rename and not drop_unmatched:
+        return frame
+    pairs = [F.lit(x) for kv in rename.items() for x in kv]
+    m = F.create_map(*pairs) if pairs else F.create_map()
+    new = m.getItem(F.col(NAME))
+    df = frame.df
+    if drop_unmatched:
+        df = df.where(new.isNotNull())
+    return frame.with_df(df.withColumn(NAME, F.coalesce(new, F.col(NAME))))
+
+
+@register("aliasByRedis")
+def alias_by_redis(ctx, exp, f, u):
+    """aliasByRedis(seriesList, hashName, keepPath=False): HGET hashName
+    <last node> per series — aliasByRedis/function.go:167-230. The client
+    is a BATCH callable ``(hash_name, keys: list[str]) -> dict[key, alias]``
+    (the reference does one HGET per series; one round-trip per render is
+    the Spark-right shape). Lookup misses keep the original name."""
+    client = _require_client(ctx, "aliasByRedis")
+    frame = series_arg(ctx, exp, exp.args[0], f, u)
+    hash_name = exp.get_string(1)
+    keep_path = exp.get_bool(2, False, names=("keepPath",))
+
+    def last_node(n):  # prepareMetric, function.go:20-23
+        return n.split(";")[0].split(".")[-1]
+
+    names = [r[0] for r in frame.df.select(NAME).distinct().collect()]
+    found = client(hash_name, sorted({last_node(n) for n in names})) or {}
+    rename = {}
+    for n in names:
+        alias = found.get(last_node(n))
+        if alias is None:
+            continue
+        if keep_path:
+            parts = n.split(";")[0].split(".")
+            parts[-1] = alias
+            rename[n] = ".".join(parts)
+        else:
+            rename[n] = alias
+    return _rename_map(frame, rename, drop_unmatched=False)
+
+
+@register("aliasByPostgres")
+def alias_by_postgres(ctx, exp, f, u):
+    """aliasByPostgres(seriesList, databaseName, keyString, *fields):
+    selected name nodes are substituted into a configured SQL template and
+    the query result becomes the new name — aliasByPostgres/function.go:
+    151-238. The SQL templating lives in the client:
+    ``(database, key, node_lists: list[list[str]]) -> list[str | None]``
+    (batched, one entry per series; None = no match). Series without a
+    match are DROPPED, as in the reference (function.go:220-233 appends
+    only matched results)."""
+    client = _require_client(ctx, "aliasByPostgres")
+    frame = series_arg(ctx, exp, exp.args[0], f, u)
+    database = exp.get_string(1)
+    key = exp.get_string(2)
+    fields = [exp.get_int(i) for i in range(3, len(exp.args))]
+    if not fields:
+        raise EvalError("aliasByPostgres: field indices required")
+
+    names = [r[0] for r in frame.df.select(NAME).distinct().collect()]
+    node_lists = []
+    for n in names:
+        nodes = n.split(";")[0].split(".")
+        picked = [nodes[i] for i in
+                  (i + len(nodes) if i < 0 else i for i in fields)
+                  if 0 <= i < len(nodes)]
+        node_lists.append(picked)
+    aliases = client(database, key, node_lists)
+    rename = {n: a for n, a in zip(names, aliases) if a is not None}
+    return _rename_map(frame, rename, drop_unmatched=True)
+
+
+@register("graphiteWeb")
+def graphite_web(ctx, exp, f, u):
+    """graphiteWeb(target): proxy the raw target to a real graphite-web
+    /render and graft the result into the plan — graphiteWeb/function.go:77
+    (the reference's fallback for functions it lacks). Client:
+    ``(target: str, from_ts: int, until_ts: int) ->
+    (rows: list[(name, ts, value)], step: int)``."""
+    client = _require_client(ctx, "graphiteWeb")
+    target = exp.args[0].to_string()
+    rows, step = client(target, f, u)
+    df = ctx.spark.createDataFrame(
+        [(n, n, int(t), None if v is None else float(v))
+         for n, t, v in rows], SERIES_SCHEMA)
+    return SeriesFrame(df, int(step), f, u)
 
 
 @register("areaBetween")

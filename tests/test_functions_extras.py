@@ -124,3 +124,72 @@ def test_alias_query_batches_collects(spark, monkeypatch):
     assert len(calls) == 2
     names = {r["name"] for r in frame.df.select("name").distinct().collect()}
     assert names == {"load (8 cores)", "load (16 cores)"}
+
+
+# ------------------------------------------------- injectable external clients
+
+def _run_ctx(spark, lake, target, f, u, clients):
+    from carbonapi_spark.evaluator import EvalContext, eval_target
+    ctx = EvalContext(spark, lake, f, u, external_clients=clients)
+    frame = eval_target(ctx, target)
+    out = {}
+    for row in frame.df.collect():
+        out.setdefault(row["name"], []).append((row["ts"], row["value"]))
+    for k in out:
+        out[k].sort()
+    return out
+
+
+def test_external_functions_unconfigured_raise(spark):
+    lake = make_lake(spark, {"m.a": [1, 2]}, 1, 0)
+    for tgt in ("aliasByRedis(m.a, 'h')",
+                "aliasByPostgres(m.a, 'db', 'k', 0)",
+                "graphiteWeb(m.a)"):
+        with pytest.raises(EvalError, match="external service"):
+            run(spark, lake, tgt, 0, 2)
+
+
+def test_alias_by_redis_injected(spark):
+    lake = make_lake(spark, {"sys.host1.cpu": [1.0, 2.0],
+                             "sys.host2.cpu": [3.0, 4.0]}, 1, 0)
+    calls = []
+
+    def redis_client(hash_name, keys):
+        calls.append((hash_name, tuple(keys)))
+        return {"cpu": "CPU Load"}
+
+    out = _run_ctx(spark, lake, "aliasByRedis(sys.*.cpu, 'renames')", 0, 2,
+                   {"aliasByRedis": redis_client})
+    assert set(out) == {"CPU Load"}
+    assert calls == [("renames", ("cpu",))]  # ONE batched round-trip
+
+    out = _run_ctx(spark, lake,
+                   "aliasByRedis(sys.*.cpu, 'renames', true)", 0, 2,
+                   {"aliasByRedis": redis_client})
+    assert set(out) == {"sys.host1.CPU Load", "sys.host2.CPU Load"}
+
+
+def test_alias_by_postgres_injected(spark):
+    lake = make_lake(spark, {"sys.host1.cpu": [1.0], "sys.host2.cpu": [2.0]},
+                     1, 0)
+
+    def pg_client(database, key, node_lists):
+        assert database == "db" and key == "k"
+        # alias host1 only; host2 has no match -> dropped (reference drops)
+        return ["host one" if nl == ["host1"] else None for nl in node_lists]
+
+    out = _run_ctx(spark, lake, "aliasByPostgres(sys.*.cpu, 'db', 'k', 1)",
+                   0, 1, {"aliasByPostgres": pg_client})
+    assert set(out) == {"host one"}
+
+
+def test_graphite_web_injected(spark):
+    lake = make_lake(spark, {"m.a": [1.0]}, 1, 0)
+
+    def gw_client(target, f, u):
+        assert target == "remoteOnly(m.a)" and (f, u) == (0, 4)
+        return [("m.a", 0, 7.0), ("m.a", 2, 9.0)], 2
+
+    out = _run_ctx(spark, lake, "graphiteWeb(remoteOnly(m.a))", 0, 4,
+                   {"graphiteWeb": gw_client})
+    assert out == {"m.a": [(0, 7.0), (2, 9.0)]}
