@@ -38,3 +38,49 @@ def test_aggregation_shuffle_budget(spark):
     assert _exchanges(spark, lake, "sumSeries(m.*)", 0, 2) <= 3
     # order-sensitive fold -> dense path (densify + agg over full data)
     assert _exchanges(spark, lake, "diffSeries(m.a, m.b)", 0, 2) <= 3
+
+
+def _df_exchanges(df) -> int:
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return len(re.findall(r"Exchange ", plan))
+
+
+def test_ivf_corpus_side_single_exchange(spark):
+    """ivf_topk: the corpus side must stay one-row-per-vector with a single
+    exchange (the cell equi-join); the query side is broadcast. A refactor
+    that expands the corpus (the 100 TB side) fails here."""
+    from pyspark.sql import functions as F
+
+    from carbonapi_spark.datapipe.similarity import ivf_topk
+    vecs = (spark.range(64)
+            .select(F.col("id").alias("vec_id"),
+                    F.transform(F.sequence(F.lit(0), F.lit(7)),
+                                lambda i: (F.col("id") + i).cast("double"))
+                    .alias("embedding")))
+    df = ivf_topk(vecs, vecs.limit(2), k=3, dim=8, n_centroids=4, nprobe=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan  # query side broadcast
+    # corpus flows through: cell agg-free projection -> join -> top-k window
+    # = join-key exchange + window exchange over candidate rows only
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 2
+
+
+def test_series_lists_no_count_subplans(spark):
+    """diffSeriesLists: positional indexing is a literal array_position,
+    not broadcast-joined rank subplans — exactly one full-data exchange
+    pair feeding the (idx, ts) join."""
+    lake = make_lake(spark, {"m.a": [1, 2], "m.b": [3, 4]}, 1, 0)
+    assert _exchanges(spark, lake, "diffSeriesLists(m.a, m.b)", 0, 2) <= 4
+
+
+def test_reduce_series_single_aggregation(spark):
+    """reduceSeries: group-completeness rides inside the pivot aggregate
+    (no distinct+join subplan), so the whole op is bounded by densify +
+    one pivot exchange."""
+    lake = make_lake(spark, {"x.a.bytes": [1, 2], "x.a.total": [4, 8],
+                             "x.b.bytes": [1, 1], "x.b.total": [2, 2]}, 1, 0)
+    n = _exchanges(
+        spark, lake,
+        "reduceSeries(mapSeries(x.*.*,1),'asPercent',2,'bytes','total')",
+        0, 2)
+    assert n <= 3
