@@ -196,6 +196,46 @@ def simhash(text: Column, bits: int = 64) -> Column:
         F.lit(0).cast("long"), lambda acc, x: acc.bitwiseOR(x))
 
 
+def simhash_pairs(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", bits: int = 64, bands: int = 4,
+                  max_hamming: int = 3) -> DataFrame:
+    """Near-duplicate pairs via SimHash banding + Hamming verify.
+
+    Candidates = pairs agreeing exactly on at least one of ``bands``
+    bit-bands of the sketch (a bucket equi-join on (band, band_bits) — the
+    same 100 TB shape as MinHash-LSH, never all-pairs). For
+    ``max_hamming < bands`` the banding is LOSSLESS by pigeonhole: fewer
+    than ``bands`` differing bits cannot touch every band, so every
+    qualifying pair shares an identical band and is found. Degenerate
+    corpora (e.g. many empty documents all sketching to 0) concentrate one
+    bucket; drop or pre-dedup empty text upstream at scale."""
+    assert bits % bands == 0
+    assert max_hamming < bands, \
+        "banding is only lossless for max_hamming < bands"
+    width = bits // bands
+    mask = (1 << width) - 1
+    sh = simhash_df(docs, text_col, id_col, bits)
+    band_structs = F.array(*[
+        F.struct(F.lit(i).alias("band"),
+                 F.expr(f"shiftrightunsigned(simhash, {i * width}) & {mask}L")
+                 .alias("key"))
+        for i in range(bands)])
+    bn = (sh.select(F.col(id_col), F.col("simhash"),
+                    F.explode(band_structs).alias("b"))
+          .select(F.col(id_col), "simhash", F.col("b.band"), F.col("b.key")))
+    a = bn.select(F.col(id_col).alias("id_a"),
+                  F.col("simhash").alias("__ha"), "band", "key")
+    b = bn.select(F.col(id_col).alias("id_b"),
+                  F.col("simhash").alias("__hb"), "band", "key")
+    return (a.join(b, ["band", "key"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b",
+                    F.expr("cast(bit_count(__ha ^ __hb) as int)")
+                    .alias("hamming"))
+            .where(F.col("hamming") <= max_hamming)
+            .distinct())  # a pair may agree on several bands
+
+
 def simhash_df(df: DataFrame, text_col: str = "text",
                id_col: str = "doc_id", bits: int = 64,
                out_col: str = "simhash") -> DataFrame:

@@ -527,6 +527,32 @@ FROM documents d LEFT JOIN __sh s USING (doc_id)
 _register("simhash", _q_simhash, _simhash_oracle())
 
 
+def _q_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs: band bucket join + Hamming<=3 verify. The
+    4x16-bit banding is lossless for Hamming<=3 (pigeonhole), so the
+    all-pairs oracle below checks EXACT equivalence of the bucketed plan."""
+    from carbonapi_spark.datapipe.dedup import simhash_pairs
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash_pairs(docs, bits=64, bands=4, max_hamming=3)
+
+
+def _simhash_pairs_oracle() -> str:
+    sketch = _simhash_oracle()
+    head, _, _ = sketch.rpartition("SELECT")  # keep the WITH chain only
+    return f"""
+{head.rstrip()},
+__all AS (SELECT d.doc_id, coalesce(s.simhash, 0) AS h
+          FROM documents d LEFT JOIN __sh s USING (doc_id))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.h, b.h)) AS INTEGER) AS hamming
+FROM __all a JOIN __all b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.h, b.h)) <= 3
+""".strip()
+
+
+_register("simhash_pairs", _q_simhash_pairs, _simhash_pairs_oracle())
+
+
 # --------------------------------------------------------------------------
 # round 1 expansion: deeper operator coverage with oracles
 # --------------------------------------------------------------------------
@@ -1464,6 +1490,7 @@ _DRIVER_PREFIX = [
     "reduce_series",       # same pivot-presence fold as group_by_tags
     "lsh_topk",            # multi-probe generalized to Hamming depth d
     "ivf_topk",            # NEW: spherical-IVF ANN scale path
+    "simhash_pairs",       # NEW: SimHash band-join near-dup pairs
 ]
 
 

@@ -89,6 +89,27 @@ def test_lsh_topk_same_bucket_recall(spark):
     assert 5 in ids  # parallel vector always lands in the same bucket
 
 
+def test_simhash_pairs_lossless_banding(spark):
+    """simhash_pairs finds exactly the Hamming<=3 pairs an all-pairs scan
+    would (pigeonhole: 4 bands, <4 flipped bits)."""
+    from carbonapi_spark.datapipe.dedup import simhash_df, simhash_pairs
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy cat"),   # near-dup of 1
+         (3, "completely different words about spark engines"),
+         (4, "the quick brown fox jumps over the lazy dog")],  # exact dup of 1
+        "doc_id LONG, text STRING")
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in simhash_pairs(docs, max_hamming=3).collect()}
+    # brute-force truth from the sketches themselves
+    hs = {r["doc_id"]: r["simhash"] for r in simhash_df(docs).collect()}
+    want = {(a, b): bin(hs[a] ^ hs[b]).count("1")
+            for a in hs for b in hs if a < b
+            if bin(hs[a] ^ hs[b]).count("1") <= 3}
+    assert got == want
+    assert got[(1, 4)] == 0  # exact dup -> identical sketch
+
+
 def test_lsh_topk_recall_clustered(spark):
     """recall@10 >= 0.9 with default multi-probe on a clustered corpus —
     the CI-sized replica of the 200k-vector smoke in SCALE.md (measured
