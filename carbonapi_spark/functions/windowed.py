@@ -113,7 +113,7 @@ def _align_start(start: int, align_to: str) -> int:
     elif unit.startswith("mon"):
         d = d.replace(day=1, hour=0, minute=0, second=0, microsecond=0)
     elif unit.startswith("w"):
-        dow = int(unit[-1]) if unit[-1].isdigit() else 0
+        dow = int(unit[-1]) if "0" <= unit[-1] <= "9" else 0
         d = d.replace(hour=0, minute=0, second=0, microsecond=0)
         delta = (d.weekday() + 1 - dow) % 7  # python Mon=0 -> graphite Sun=0
         d -= dt.timedelta(days=delta)

@@ -22,6 +22,12 @@ class DateError(ValueError):
     pass
 
 
+def _ascii_digits(s: str) -> bool:
+    # str.isdigit() accepts unicode digits ('¹') that int() rejects — that
+    # would leak a ValueError (a 500) instead of a DateError (a 400)
+    return bool(s) and all("0" <= c <= "9" for c in s)
+
+
 def _parse_hhmm(s: str) -> tuple[int, int]:
     if s == "midnight":
         return 0, 0
@@ -30,7 +36,7 @@ def _parse_hhmm(s: str) -> tuple[int, int]:
     if s == "teatime":
         return 16, 0
     s = s.replace(":", "")
-    if s.isdigit() and len(s) in (3, 4):
+    if _ascii_digits(s) and len(s) in (3, 4):
         return int(s[:-2]), int(s[-2:])
     raise DateError(f"bad time-of-day {s!r}")
 
@@ -71,7 +77,7 @@ def _parse_reference(s: str, tz: ZoneInfo, now: _dt.datetime) -> int:
         hh, mm = _parse_hhmm(s)
         return int(now.replace(hour=hh, minute=mm, second=0, microsecond=0).timestamp())
 
-    if s.lstrip("+-").isdigit() and len(s) != 8:
+    if _ascii_digits(s.lstrip("+-")) and len(s) != 8:
         return int(s)  # raw epoch (8-digit numbers are YYYYMMDD)
 
     s = s.replace("_", " ", 1)

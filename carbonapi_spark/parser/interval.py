@@ -38,15 +38,18 @@ def interval_seconds(s: str, default_sign: int = 1) -> int:
     total = 0
     i = 0
     n = len(s)
+    # ASCII-only digit test: str.isdigit() accepts unicode digits ('¹')
+    # that int() rejects, which would leak a ValueError instead of a 400
+    digit = lambda c: "0" <= c <= "9"
     while i < n:
         j = i
-        while j < n and s[j].isdigit():
+        while j < n and digit(s[j]):
             j += 1
         if j == i:
             raise IntervalError(f"missing digits in interval {s!r}")
         amount = int(s[i:j])
         i = j
-        while j < n and not s[j].isdigit():
+        while j < n and not digit(s[j]):
             j += 1
         unit = s[i:j].lower()
         if unit not in _UNITS:
