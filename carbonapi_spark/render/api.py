@@ -204,9 +204,13 @@ class GraphiteAPI:
                         code, ctype, body = 200, "text/plain", b"carbonapi_spark 0.1"
                     else:
                         code, ctype, body = 404, "text/plain", b"not found"
-                except (ParseError, EvalError) as exc:
-                    # bad target / unknown function -> client error, like the
-                    # reference's render_handler (http.StatusBadRequest)
+                except (ParseError, ValueError) as exc:
+                    # bad target / unknown function / bad function argument
+                    # -> client error, like the reference's render_handler
+                    # (mockbackend bad_requests asserts 400 for e.g.
+                    # groupByNode(m, 0, '4')). EvalError subclasses
+                    # ValueError; plain ValueError raises are argument
+                    # validation in the function registry.
                     code, ctype, body = 400, "text/plain", str(exc).encode()
                 except Exception as exc:  # noqa: BLE001
                     code, ctype, body = 500, "text/plain", str(exc).encode()

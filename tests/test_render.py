@@ -150,14 +150,23 @@ def _get_no_raise(url):
 
 
 def test_http_bad_targets_are_400(server):
-    """The reference's pr560 e2e case: malformed targets -> HTTP 400
-    (cmd/mockbackend/testcases/pr560/pr560.yaml)."""
+    """The reference's pr560 + bad_requests e2e cases: malformed targets ->
+    HTTP 400 (cmd/mockbackend/testcases/{pr560,bad_requests}/*.yaml).
+    bad_requests specifically pins argument-VALIDATION failures (an
+    aggregator named '4') as client errors, not 500s — plain ValueError
+    from the function registry must reach the 400 branch.
+    (bad_requests' second query, applyByNode over a missing template
+    metric, is adjudicated: the reference 400s because its zipper 404s
+    unknown names; our lake returns empty fetches by design, so it's an
+    empty 200 here — consistent with our empty-glob behavior.)"""
     bad = [
         "aliasbyNode()",                     # unknown (case-sensitive) name
         "aliasbyNode(web.host1.cpu)",
         "aliasByNode(web.host1.cpu, abc)",   # node arg must be int/tag
         "polyfit(web.host1.cpu, 2, '12dd')", # malformed interval
         "devideSeries(web.host1.cpu)",       # typo'd function
+        "groupByNode(web.*.cpu, 0, '4')",    # bad_requests: bad aggregator
+        "summarize(web.host1.cpu,'1¹h')",  # unicode digit interval
     ]
     for target in bad:
         code, _ = _get_no_raise(
