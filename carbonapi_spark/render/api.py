@@ -20,6 +20,9 @@ import json
 import threading
 import urllib.parse
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from zoneinfo import ZoneInfo, ZoneInfoNotFoundError
+
+from carbonapi_spark.parser.dates import UTC
 
 from carbonapi_spark.evaluator import (
     EvalContext, EvalError, eval_target, render_context,
@@ -51,6 +54,26 @@ class GraphiteAPI:
         fmt = params.get("format", ["json"])[0]
         mdp = int(params.get("maxDataPoints", ["0"])[0] or 0)
         no_null = params.get("noNullPoints", [""])[0] in ("1", "true", "True")
+        # render_handler.go:111-160 parameter surface
+        tz_name = params.get("tz", [""])[0]
+        tz = UTC
+        if tz_name:
+            try:
+                tz = ZoneInfo(tz_name)
+            except (KeyError, ZoneInfoNotFoundError, ValueError):
+                return 400, "text/plain", f"unknown timezone {tz_name}".encode()
+        ts_fmt = (params.get("timestampFormat", ["s"])[0] or "s").lower()
+        ts_mult = {"s": 1, "ms": 1000, "millisecond": 1000,
+                   "milliseconds": 1000, "us": 10**6, "microsecond": 10**6,
+                   "microseconds": 10**6, "ns": 10**9, "nanosecond": 10**9,
+                   "nanoseconds": 10**9}.get(ts_fmt)
+        if ts_mult is None:  # render_handler.go:144-147
+            return (400, "text/plain",
+                    b"unsupported timestamp format, supported: "
+                    b"'s', 'ms', 'us', 'ns'")
+        jsonp = params.get("jsonp", [""])[0] if fmt == "json" else ""
+        use_cache = params.get("noCache", [""])[0] not in ("1", "true", "True")
+        cache_timeout = params.get("cacheTimeout", [""])[0]
 
         graph_keys = ()
         if fmt in ("png", "svg"):
@@ -64,9 +87,9 @@ class GraphiteAPI:
         # it (series order in json/csv, color/stack/legend order in png/svg),
         # so a sorted key could serve a permuted request the wrong body
         cache_key = json.dumps([list(targets), from_p, until_p, fmt, mdp,
-                                no_null, graph_keys])
-        ctx = render_context(self.spark, self.lake, from_p, until_p)
-        cached = self.cache.get(cache_key)
+                                no_null, graph_keys, tz_name, ts_mult, jsonp])
+        ctx = render_context(self.spark, self.lake, from_p, until_p, tz=tz)
+        cached = self.cache.get(cache_key) if use_cache else None
         if cached is not None:
             return cached
 
@@ -81,8 +104,13 @@ class GraphiteAPI:
             opts_list.extend([frame.graph_options or {}] * len(got))
 
         if fmt == "json":
-            body, ctype = render_json(series, no_null_points=no_null).encode(), \
-                "application/json"
+            body = render_json(series, timestamp_multiplier=ts_mult,
+                               no_null_points=no_null).encode()
+            if jsonp:  # writeResponse, render_handler.go:169-177
+                body = jsonp.encode() + b"(" + body + b")"
+                ctype = "text/javascript; charset=utf-8"
+            else:
+                ctype = "application/json"
         elif fmt == "csv":
             body, ctype = render_csv(series).encode(), "text/csv"
         elif fmt == "raw":
@@ -104,7 +132,10 @@ class GraphiteAPI:
             return 400, "text/plain", f"unsupported format {fmt}".encode()
 
         resp = (200, ctype, body)
-        self.cache.put(cache_key, resp, self.cache.ttl_for(ctx.until_ts))
+        ttl = (int(cache_timeout) if cache_timeout
+               else self.cache.ttl_for(ctx.until_ts))
+        if use_cache and ttl > 0:
+            self.cache.put(cache_key, resp, ttl)
         return resp
 
     # ------------------------------------------------------------ find

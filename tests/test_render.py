@@ -405,6 +405,38 @@ SVG_NO_DATA_SHA256 = \
     "119a5a03f273ea310aadd6c4cb7d4908f0340567b6ff07aa12331688c02b11e4"
 
 
+def test_http_render_param_surface(server):
+    """render_handler.go:111-160 parameter parity: timestampFormat, jsonp,
+    tz validation, noCache, cacheTimeout."""
+    base = f"{server}/render?target=web.host1.cpu&from=0&until=4&format=json"
+    # timestampFormat=ms multiplies the epoch in datapoints
+    _, body_s = _get(base)
+    _, body_ms = _get(base + "&timestampFormat=ms")
+    ts_s = json.loads(body_s)[0]["datapoints"][0][1]
+    ts_ms = json.loads(body_ms)[0]["datapoints"][0][1]
+    assert ts_ms == ts_s * 1000
+    code, _ = _get_no_raise(base + "&timestampFormat=fortnights")
+    assert code == 400
+    # jsonp wraps the body in the callback
+    with urllib.request.urlopen(base + "&jsonp=cb", timeout=60) as resp:
+        assert resp.headers["Content-Type"].startswith("text/javascript")
+        wrapped = resp.read()
+    assert wrapped.startswith(b"cb(") and wrapped.endswith(b")")
+    assert json.loads(wrapped[3:-1]) == json.loads(body_s)
+    # bad tz -> 400; good tz -> 200
+    code, _ = _get_no_raise(base + "&tz=Not/AZone")
+    assert code == 400
+    code, _ = _get_no_raise(base + "&tz=Europe/Berlin")
+    assert code == 200
+    # noCache: the second identical request still recomputes (no assertion
+    # on timing; just that it succeeds and matches)
+    _, a = _get(base + "&noCache=1")
+    _, b = _get(base + "&noCache=1")
+    assert a == b
+    code, _ = _get_no_raise(base + "&cacheTimeout=0")
+    assert code == 200
+
+
 def test_http_render_png(server):
     url = (f"{server}/render?target=web.*.cpu"
            f"&from=0&until=4&format=png&width=500&height=200")
