@@ -147,6 +147,12 @@ class GraphiteAPI:
         entries = meta.find(self.lake, query)
         if fmt == "completer":
             payload = meta.find_completer(entries)
+        elif fmt == "raw":
+            # findList (find_handlers.go:153-173): one path per line,
+            # non-leaves suffixed with a dot
+            lines = [e["id"] + ("" if e["leaf"] else ".") for e in entries]
+            return 200, "text/plain", ("\n".join(lines) + "\n").encode() \
+                if lines else b""
         else:
             payload = entries
         return 200, "application/json", json.dumps(payload).encode()

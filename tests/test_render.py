@@ -130,6 +130,16 @@ def test_http_find(server):
     assert [e["id"] for e in json.loads(body)] == ["web.host1", "web.host2"]
 
 
+def test_http_find_raw_list(server):
+    """format=raw on /metrics/find: one path per line, non-leaves dotted
+    (find_handlers.go findList)."""
+    _, body = _get(f"{server}/metrics/find?query=web.*&format=raw")
+    lines = body.decode().strip().split("\n")
+    assert sorted(lines) == ["web.host1.", "web.host2."]
+    _, body = _get(f"{server}/metrics/find?query=web.host1.*&format=raw")
+    assert body.decode().strip() == "web.host1.cpu"
+
+
 def test_http_functions(server):
     code, body = _get(f"{server}/functions")
     payload = json.loads(body)
