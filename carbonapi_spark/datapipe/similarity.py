@@ -16,6 +16,11 @@ from pyspark.sql.window import Window
 
 
 def dot(a: Column, b: Column) -> Column:
+    # Deliberately the HOF form. Expanding literal-weight dots into a
+    # 64-term multiply-add chain looks codegen-friendly but 8 such chains
+    # in one projection OOM janino's whole-stage compiler (tried in r4);
+    # the HOF evaluates element-wise in the JVM without a Python crossing,
+    # which is the part that matters at corpus scale.
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
                        F.lit(0.0), lambda acc, x: acc + x)
 
