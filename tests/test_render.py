@@ -447,6 +447,29 @@ def test_http_render_param_surface(server):
     assert code == 200
 
 
+def test_render_goldens_data_bearing(spark):
+    """Byte-stable PNG and SVG over fixed data: locks series geometry,
+    axis/tick layout, the stroke font, and the zlib raster encoder. If an
+    intentional render change lands, re-pin the hashes."""
+    import hashlib
+
+    from carbonapi_spark.render.graph import render_png, render_svg
+    lake = make_lake(spark, {"m.a": [1.0, 5.0, None, 4.0, 2.0],
+                             "m.b": [2.0, 1.0, 3.0, 0.0, 5.0]}, 1, 0)
+    series = collect_series(_frame(spark, lake, "m.*", 0, 5))
+    params = {"width": ["320"], "height": ["240"], "title": ["golden"]}
+    png = render_png(series, [{}] * len(series), params)
+    svg = render_svg(series, [{}] * len(series), params).encode()
+    assert hashlib.sha256(png).hexdigest() == GOLDEN_PNG_SHA256
+    assert hashlib.sha256(svg).hexdigest() == GOLDEN_SVG_SHA256
+
+
+GOLDEN_PNG_SHA256 = \
+    "a80f01d80f7f39cc139d6812eefc24b5ea91a09f40ff425b3c91083b2dc1833b"
+GOLDEN_SVG_SHA256 = \
+    "d206d35b34ffacb82c627ee15d45a4b33e662b88a5db91eb2098c1dee59be873"
+
+
 def test_http_render_png(server):
     url = (f"{server}/render?target=web.*.cpu"
            f"&from=0&until=4&format=png&width=500&height=200")
