@@ -131,17 +131,20 @@ def as_percent(ctx, exp, f, u):
 
     total = eval_expr(ctx, total_arg, f, u)
     frame, total = align([frame, total])
-    # single total series: broadcast join on ts; multi without nodes sums them
+    # single total series: broadcast join on ts; multi without nodes sums them.
+    # The single-vs-multi naming decision rides the SAME aggregation as the
+    # sum (aligned frames are dense, so every series has a row at every ts
+    # and the per-ts distinct-name count IS the global series count) — the
+    # total subplan is evaluated exactly once, no separate count() job.
     tot_df = total.df.groupBy(TS).agg(F.sum(V).alias("__tot"),
-                                      F.count(F.lit(1)).alias("__n"))
-    multi = total.df.select(NAME).distinct().count() > 1
-    total_name = (f"sumSeries({total_arg.to_string()})" if multi
-                  else total_arg.to_string())
+                                      F.count_distinct(F.col(NAME)).alias("__nd"))
+    tstr = total_arg.to_string()
+    tname = (F.when(F.col("__nd") > 1, F.lit(f"sumSeries({tstr})"))
+             .otherwise(F.lit(tstr)))
     df = (frame.df.join(F.broadcast(tot_df), TS, "left")
           .withColumn(VALUE, F.when(F.col("__tot") != 0, V / F.col("__tot") * 100))
-          .drop("__tot", "__n")
-          .withColumn(NAME, F.format_string("asPercent(%s,%s)", F.col(NAME),
-                                            F.lit(total_name))))
+          .withColumn(NAME, F.format_string("asPercent(%s,%s)", F.col(NAME), tname))
+          .drop("__tot", "__nd"))
     return frame.with_df(df)
 
 
@@ -168,7 +171,13 @@ def _as_percent_by_nodes(ctx, exp, frame, total_arg, nodes, f, u):
            .groupBy("__key", TS).agg(F.sum(V).alias("__tot"),
                                      F.min(NAME).alias("__tname")))
     num = frame2.df.withColumn("__key", key)
+    # MISSING detection comes from the join-side nullness itself (pre-rename
+    # NAME / __tname), never from pattern-matching the rebuilt display name —
+    # a genuine series named e.g. "app.MISSING_data.cpu" must keep its values
+    # (asPercent/function.go:400-430 pads only actually-unmatched sides).
     df = (num.join(tot, ["__key", TS], "full")
+          .withColumn("__unmatched",
+                      F.col(NAME).isNull() | F.col("__tname").isNull())
           .withColumn(NAME, F.when(F.col(NAME).isNotNull() & F.col("__tname").isNotNull(),
                                    F.format_string("asPercent(%s,%s)", F.col(NAME),
                                                    F.col("__tname")))
@@ -178,10 +187,9 @@ def _as_percent_by_nodes(ctx, exp, frame, total_arg, nodes, f, u):
                                                  F.col("__tname"))))
           .withColumn(ORD, F.coalesce(F.col(ORD), F.col(NAME)))
           .withColumn(VALUE,
-                      F.when(F.col("__tname").isNull() | F.col(NAME).rlike("MISSING"),
-                             F.lit(None).cast("double"))
+                      F.when(F.col("__unmatched"), F.lit(None).cast("double"))
                       .when(F.col("__tot") != 0, V / F.col("__tot") * 100))
-          .drop("__key", "__tot", "__tname"))
+          .drop("__key", "__tot", "__tname", "__unmatched"))
     return frame2.with_df(df)
 
 

@@ -400,6 +400,20 @@ def test_as_percent_nodes_missing_pad(spark):
     assert "asPercent(MISSING,t.s3.total)" in res
 
 
+def test_as_percent_nodes_missing_literal_name(spark):
+    # a genuine series whose NAME contains the substring "MISSING" must keep
+    # its values when its total matched — padding is driven by join-side
+    # nullness, not by pattern-matching the rebuilt display name
+    # (asPercent/function.go:400-430)
+    lake = make_lake(spark, {
+        "a.MISSING_data.used": [50.0], "t.MISSING_data.total": [200.0],
+    }, 1, 0)
+    res = run(spark, lake, "asPercent(a.*.used, t.*.total, 1)", 0, 1)
+    name = "asPercent(a.MISSING_data.used,t.MISSING_data.total)"
+    assert name in res
+    approx_list(values_of(res, name), [25.0])
+
+
 def test_divide_series_lists_length_mismatch(spark):
     import pytest as _pytest
     lake = make_lake(spark, {"a.x": [1], "a.y": [2], "b.x": [3]}, 1, 0)

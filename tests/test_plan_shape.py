@@ -73,6 +73,25 @@ def test_series_lists_no_count_subplans(spark):
     assert _exchanges(spark, lake, "diffSeriesLists(m.a, m.b)", 0, 2) <= 4
 
 
+def test_as_percent_total_lazy_single_eval(spark):
+    """asPercent(sl, totalSeries): building the plan must run ZERO Spark
+    jobs — the single-vs-multi total naming decision rides the same
+    aggregation as the total sum (no eager distinct().count() job that
+    would evaluate the total subplan twice)."""
+    lake = make_lake(spark, {"m.a": [1, 2], "m.b": [3, 4],
+                             "t.x": [8, 8], "t.y": [2, 2]}, 1, 0)
+    sc = spark.sparkContext
+    group = "aspercent-lazy-probe"
+    sc.setJobGroup(group, "asPercent eval must be lazy")
+    try:
+        ctx = EvalContext(spark, lake, 0, 2)
+        eval_target(ctx, "asPercent(m.*, t.*)")
+        jobs = sc.statusTracker().getJobIdsForGroup(group)
+    finally:
+        sc.setJobGroup("default", "")
+    assert list(jobs) == []
+
+
 def test_reduce_series_single_aggregation(spark):
     """reduceSeries: group-completeness rides inside the pivot aggregate
     (no distinct+join subplan), so the whole op is bounded by densify +
