@@ -76,9 +76,19 @@ def eval_expr(ctx: EvalContext, exp: Expr, from_ts: int | None = None,
         fn = REGISTRY.get(exp.target)
         if fn is None:
             raise UnsupportedFunction(exp.target)
-        return fn(ctx, exp,
-                  ctx.from_ts if from_ts is None else from_ts,
-                  ctx.until_ts if until_ts is None else until_ts)
+        try:
+            return fn(ctx, exp,
+                      ctx.from_ts if from_ts is None else from_ts,
+                      ctx.until_ts if until_ts is None else until_ts)
+        except EvalError:
+            raise
+        except ValueError as exc:
+            # plain ValueError inside a registry function is argument
+            # validation (bad fold name, list-length mismatch, bad interval
+            # string, ...) — promote to EvalError here so the HTTP layer can
+            # map exactly the evaluation domain to 400 while ValueErrors
+            # from serialization/rendering stay server errors.
+            raise EvalError(f"{exp.target}: {exc}") from exc
     raise EvalError(f"cannot evaluate {exp.etype.value} as a series")
 
 

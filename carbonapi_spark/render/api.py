@@ -52,7 +52,10 @@ class GraphiteAPI:
         from_p = params.get("from", ["-24h"])[0]
         until_p = params.get("until", ["now"])[0]
         fmt = params.get("format", ["json"])[0]
-        mdp = int(params.get("maxDataPoints", ["0"])[0] or 0)
+        try:
+            mdp = int(params.get("maxDataPoints", ["0"])[0] or 0)
+        except ValueError:
+            return 400, "text/plain", b"maxDataPoints must be an integer"
         no_null = params.get("noNullPoints", [""])[0] in ("1", "true", "True")
         # render_handler.go:111-160 parameter surface
         tz_name = params.get("tz", [""])[0]
@@ -73,7 +76,12 @@ class GraphiteAPI:
                     b"'s', 'ms', 'us', 'ns'")
         jsonp = params.get("jsonp", [""])[0] if fmt == "json" else ""
         use_cache = params.get("noCache", [""])[0] not in ("1", "true", "True")
-        cache_timeout = params.get("cacheTimeout", [""])[0]
+        # validated up front so a bad value 400s BEFORE any Spark work, like
+        # the reference's render_handler parameter block
+        try:
+            cache_timeout = int(params.get("cacheTimeout", [""])[0] or -1)
+        except ValueError:
+            return 400, "text/plain", b"cacheTimeout must be an integer"
 
         graph_keys = ()
         if fmt in ("png", "svg"):
@@ -132,7 +140,7 @@ class GraphiteAPI:
             return 400, "text/plain", f"unsupported format {fmt}".encode()
 
         resp = (200, ctype, body)
-        ttl = (int(cache_timeout) if cache_timeout
+        ttl = (cache_timeout if cache_timeout >= 0
                else self.cache.ttl_for(ctx.until_ts))
         if use_cache and ttl > 0:
             self.cache.put(cache_key, resp, ttl)
@@ -165,7 +173,10 @@ class GraphiteAPI:
             {"results": meta.expand(self.lake, query)}).encode()
 
     def tags_autocomplete(self, params: dict, values: bool) -> tuple[int, str, bytes]:
-        limit = int(params.get("limit", ["100"])[0])
+        try:
+            limit = int(params.get("limit", ["100"])[0])
+        except ValueError:
+            return 400, "text/plain", b"limit must be an integer"
         exprs = params.get("expr", [])
         if values:
             tag = params.get("tag", [""])[0]
@@ -241,13 +252,14 @@ class GraphiteAPI:
                         code, ctype, body = 200, "text/plain", b"carbonapi_spark 0.1"
                     else:
                         code, ctype, body = 404, "text/plain", b"not found"
-                except (ParseError, ValueError) as exc:
+                except (ParseError, EvalError) as exc:
                     # bad target / unknown function / bad function argument
                     # -> client error, like the reference's render_handler
                     # (mockbackend bad_requests asserts 400 for e.g.
-                    # groupByNode(m, 0, '4')). EvalError subclasses
-                    # ValueError; plain ValueError raises are argument
-                    # validation in the function registry.
+                    # groupByNode(m, 0, '4')). eval_expr promotes registry
+                    # ValueErrors to EvalError; a plain ValueError escaping
+                    # from serialization/rendering is a genuine server bug
+                    # and stays on the 500 path.
                     code, ctype, body = 400, "text/plain", str(exc).encode()
                 except Exception as exc:  # noqa: BLE001
                     code, ctype, body = 500, "text/plain", str(exc).encode()

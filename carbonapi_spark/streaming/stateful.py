@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -75,18 +76,26 @@ def stream_per_second(series: DataFrame) -> DataFrame:
            state: GroupState) -> Iterator[pd.DataFrame]:
         last_ts, last_v = state.get if state.exists else (None, None)
         for pdf in pdfs:
-            pdf = pdf.sort_values("ts")
-            out_ts, out_v = [], []
-            for ts, v in zip(pdf["ts"], pdf["value"]):
-                if last_ts is not None and ts > last_ts and v is not None \
-                        and last_v is not None and v >= last_v:
-                    out_ts.append(ts)
-                    out_v.append((v - last_v) / (ts - last_ts))
-                if v is not None:
-                    last_ts, last_v = ts, v
-            if out_ts:
-                yield pd.DataFrame({"name": key[0], "ts": out_ts,
-                                    "value": out_v})
+            # NULL samples arrive in the DOUBLE column as NaN — notna()
+            # drops both, so a gap never overwrites the last good sample
+            # (batch perSecond skips nulls the same way).
+            valid = pdf[pdf["value"].notna()].sort_values("ts")
+            if not len(valid):
+                continue
+            ts = valid["ts"].to_numpy()
+            v = valid["value"].astype("float64").to_numpy()
+            if last_ts is not None:
+                ts = np.concatenate(([last_ts], ts))
+                v = np.concatenate(([last_v], v))
+            dts = np.diff(ts)
+            dv = np.diff(v)
+            # wraps (counter reset) and non-advancing timestamps skip
+            # emission but still advance the last-sample seam
+            mask = (dts > 0) & (dv >= 0)
+            if mask.any():
+                yield pd.DataFrame({"name": key[0], "ts": ts[1:][mask],
+                                    "value": dv[mask] / dts[mask]})
+            last_ts, last_v = int(ts[-1]), float(v[-1])
         if last_ts is not None:
             state.update((int(last_ts), float(last_v)))
 

@@ -219,6 +219,38 @@ def test_stream_per_second_state_across_runs(spark, tmp_path):
     assert rates == {60: 1.0, 120: 2.0}  # 120's rate needs run-1 state
 
 
+def test_stream_per_second_null_gap(spark, tmp_path):
+    """A NULL sample (NaN in the arrow batch) must not overwrite the
+    remembered last good sample: the next valid sample's rate spans the
+    gap, like batch perSecond skipping nulls. Also covers a counter wrap
+    (negative delta suppressed, seam still advances)."""
+    import json
+    from carbonapi_spark.streaming.stateful import stream_per_second
+    src, out, ck = tmp_path / "src", tmp_path / "out", tmp_path / "ck"
+    src.mkdir()
+
+    def stream():
+        s = (spark.readStream
+             .schema("name STRING, ts LONG, value DOUBLE").json(str(src)))
+        return stream_per_second(s)
+
+    (src / "a.json").write_text("\n".join(json.dumps(d) for d in [
+        {"name": "m.a", "ts": 0, "value": 10.0},
+        {"name": "m.a", "ts": 60, "value": None},       # gap
+        {"name": "m.a", "ts": 120, "value": 130.0}]))   # rate spans 0->120
+    _run_stream(stream, src, out, ck)
+    (src / "b.json").write_text("\n".join(json.dumps(d) for d in [
+        {"name": "m.a", "ts": 180, "value": None},      # gap at batch head
+        {"name": "m.a", "ts": 240, "value": 250.0},     # spans 120->240
+        {"name": "m.a", "ts": 300, "value": 10.0},      # wrap: no emit
+        {"name": "m.a", "ts": 360, "value": 70.0}]))    # spans 300->360
+    _run_stream(stream, src, out, ck)
+
+    rates = {r["ts"]: r["value"]
+             for r in spark.read.parquet(str(out)).collect()}
+    assert rates == {120: 1.0, 240: 1.0, 360: 1.0}
+
+
 def test_multimodal_injected_codec(spark):
     """A user-supplied decode callable replaces the stub end-to-end."""
     from carbonapi_spark.datapipe.multimodal import extract_features, synth_media

@@ -443,6 +443,20 @@ def test_http_render_param_surface(server):
     _, a = _get(base + "&noCache=1")
     _, b = _get(base + "&noCache=1")
     assert a == b
+    # non-numeric cacheTimeout / maxDataPoints 400 in the parameter block,
+    # BEFORE any evaluation (render_handler validates up front)
+    code, _ = _get_no_raise(base + "&cacheTimeout=abc")
+    assert code == 400
+    code, _ = _get_no_raise(base + "&maxDataPoints=abc")
+    assert code == 400
+    # explicit cacheTimeout=0 disables caching without erroring
+    code, _ = _get_no_raise(base + "&cacheTimeout=0")
+    assert code == 200
+    # malformed from/until falls back to the default range, NOT an error
+    # (reference date/date.go:60-67 DateParamToEpoch)
+    code, _ = _get_no_raise(
+        f"{server}/render?target=web.host1.cpu&from=bogus&until=4")
+    assert code == 200
     code, _ = _get_no_raise(base + "&cacheTimeout=0")
     assert code == 200
 
