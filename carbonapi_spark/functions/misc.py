@@ -173,9 +173,14 @@ def join_series(ctx, exp, f, u):
 @register("useSeriesAbove")
 def use_series_above(ctx, exp, f, u):
     """for series with max > value, regex-rewrite the name and fetch that
-    metric instead — rewrite/aboveSeries/function.go:33."""
+    metric instead — rewrite/aboveSeries/function.go:33.
+
+    All plain rewritten names go out as ONE brace-alternation fetch (a
+    single IN-pushed scan) instead of a per-name driver fetch loop; only
+    rewrites that themselves contain wildcards fetch separately."""
     V = F.col(VALUE)
     import re as _re
+    from carbonapi_spark.parser.globs import has_wildcard
     frame = series_arg(ctx, exp, exp.args[0], f, u)
     value = exp.get_float(1)
     search = exp.get_string(2)
@@ -183,14 +188,21 @@ def use_series_above(ctx, exp, f, u):
     per = frame.df.groupBy(NAME).agg(F.max(V).alias("__mx"))
     names = [r[NAME] for r in per.where(F.col("__mx") > value)
              .select(NAME).collect()]
+    rewritten = sorted({_re.sub(search, replace, n) for n in names})
+    plain = [n for n in rewritten if not has_wildcard(n)]
     frames = []
-    for n in sorted(names):
-        new_name = _re.sub(search, replace, n)
-        sub = ctx.fetch(new_name, f, u)
-        if sub is not None:
-            frames.append(sub)
+    if len(plain) > 1:
+        frames.append(ctx.fetch("{" + ",".join(plain) + "}", f, u))
+    elif plain:
+        frames.append(ctx.fetch(plain[0], f, u))
+    for n in rewritten:
+        if has_wildcard(n):
+            frames.append(ctx.fetch(n, f, u))
+    frames = [fr for fr in frames if fr is not None]
     if not frames:
         return SeriesFrame.empty(ctx.spark, frame.step, frame.start, frame.stop)
+    if len(frames) == 1:
+        return frames[0]
     from carbonapi_spark.model.series import combine
     return combine(frames)
 

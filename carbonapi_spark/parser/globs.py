@@ -50,6 +50,37 @@ def glob_to_regex(pattern: str, anchored: bool = True) -> str:
     return f"^{body}$" if anchored else body
 
 
+def expand_braces(pattern: str, limit: int = 4096) -> list[str] | None:
+    """Expand a brace-only pattern into its finite name list, else None.
+
+    ``a.{b,c}.d`` -> ``[a.b.d, a.c.d]``. Returns None when the pattern has
+    other wildcards (``*?[``), an unbalanced brace, or would expand past
+    *limit* — callers then fall back to the regex path. Braces are flat
+    (no nesting), matching glob_to_regex's treatment.
+    """
+    if "{" not in pattern or any(c in pattern for c in "*?["):
+        return None
+    out = [""]
+    i, n = 0, len(pattern)
+    while i < n:
+        if pattern[i] == "{":
+            j = pattern.find("}", i + 1)
+            if j < 0:
+                return None
+            alts = pattern[i + 1:j].split(",")
+            if len(out) * len(alts) > limit:
+                return None
+            out = [p + a for p in out for a in alts]
+            i = j + 1
+        else:
+            k = pattern.find("{", i)
+            k = n if k < 0 else k
+            seg = pattern[i:k]
+            out = [p + seg for p in out]
+            i = k
+    return out
+
+
 def glob_matches(pattern: str, name: str) -> bool:
     """Driver-side matcher (used by /metrics/find tree assembly and tests)."""
     return re.match(glob_to_regex(pattern), name) is not None

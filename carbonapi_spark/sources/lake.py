@@ -31,7 +31,9 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 from carbonapi_spark.model.consolidation import agg_column
 from carbonapi_spark.model.series import NAME, ORD, TS, VALUE, SeriesFrame
-from carbonapi_spark.parser.globs import glob_to_regex, has_wildcard
+from carbonapi_spark.parser.globs import (
+    expand_braces, glob_to_regex, has_wildcard,
+)
 
 
 def tags_expr(name: Column) -> Column:
@@ -127,6 +129,11 @@ class SeriesLake:
             return pred
         if not has_wildcard(pattern):
             return name == pattern
+        exact = expand_braces(pattern)
+        if exact is not None:
+            # brace-only alternation -> IN, which (unlike rlike) reaches the
+            # Parquet row-group filters as an In pushed filter
+            return name.isin(exact)
         pred = name.rlike(glob_to_regex(pattern))
         prefix = glob_prefix(pattern)
         if prefix:

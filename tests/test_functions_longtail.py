@@ -41,3 +41,31 @@ def test_time_shift_by_metric(spark):
     v2 = dict(res["timeShiftByMetric(app.2_0.reqs)"])
     assert v1[2] == 1.0 and v1[4] == 3.0  # shifted forward 2 steps
     assert v2[2] == 10.0 and v2[4] == 30.0  # unshifted
+
+
+def test_use_series_above_batched_fetch(spark):
+    """useSeriesAbove rewrites names of series whose max exceeds the
+    threshold and fetches the rewritten metrics — in ONE batched
+    brace-alternation fetch, not a per-name driver loop."""
+    from carbonapi_spark.evaluator import EvalContext, eval_target
+    lake = make_lake(spark, {
+        "reqs.s1": [10.0, 80.0], "reqs.s2": [1.0, 2.0], "reqs.s3": [90.0, 5.0],
+        "errors.s1": [3.0, 4.0], "errors.s2": [7.0, 8.0], "errors.s3": [5.0, 6.0],
+    }, 1, 0)
+    ctx = EvalContext(spark, lake, 0, 2)
+    res_frame = eval_target(ctx, "useSeriesAbove(reqs.*, 50, 'reqs', 'errors')")
+    got = {r["name"]: r["value"] for r in res_frame.df.collect()
+           if r["ts"] == 0}
+    assert got == {"errors.s1": 3.0, "errors.s3": 5.0}
+    # exactly two fetches hit the lake: the source glob + ONE batched
+    # brace fetch for both rewritten names
+    patterns = sorted(k[0] for k in ctx.values)
+    assert patterns == ["reqs.*", "{errors.s1,errors.s3}"]
+
+
+def test_use_series_above_no_matches(spark):
+    from carbonapi_spark.evaluator import EvalContext, eval_target
+    lake = make_lake(spark, {"reqs.s1": [1.0], "errors.s1": [3.0]}, 1, 0)
+    ctx = EvalContext(spark, lake, 0, 1)
+    frame = eval_target(ctx, "useSeriesAbove(reqs.*, 50, 'reqs', 'errors')")
+    assert frame.df.count() == 0

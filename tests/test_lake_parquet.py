@@ -34,6 +34,22 @@ def test_fetch_prunes_and_pushes(spark, parquet_lake):
     assert all(86400 <= r["ts"] < 2 * 86400 for r in rows)
 
 
+def test_brace_pattern_pushes_in_filter(spark, parquet_lake):
+    """A brace-only alternation becomes a pushed-down In filter (reaching
+    the Parquet row-group stats), not a post-scan rlike."""
+    frame = parquet_lake.fetch(spark, "{web.h1.cpu,db.h1.io}", 0, 86400,
+                               densify=False)
+    plan = frame.df._jdf.queryExecution().executedPlan().toString()
+    assert "In(name" in plan
+    assert "RLike" not in plan and "rlike" not in plan
+    names = {r["name"] for r in frame.df.select("name").distinct().collect()}
+    assert names == {"web.h1.cpu", "db.h1.io"}
+    # mixed brace+star still matches (regex path)
+    star = parquet_lake.fetch(spark, "{web,db}.h1.*", 0, 86400, densify=False)
+    got = {r["name"] for r in star.df.select("name").distinct().collect()}
+    assert got == {"web.h1.cpu", "db.h1.io"}
+
+
 def test_fetch_densify_from_parquet(spark, parquet_lake):
     frame = parquet_lake.fetch(spark, "web.h1.cpu", 0, 86400)
     assert frame.df.count() == 24

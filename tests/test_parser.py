@@ -182,3 +182,14 @@ def test_glob(pat, name, want):
 
 def test_glob_regex_escapes_dots():
     assert glob_to_regex("a.b") == "^a\\.b$"
+
+
+def test_expand_braces():
+    from carbonapi_spark.parser.globs import expand_braces
+    assert expand_braces("a.{b,c}.d") == ["a.b.d", "a.c.d"]
+    assert expand_braces("{x.y,z.w}") == ["x.y", "z.w"]
+    assert expand_braces("plain.name") is None          # no braces
+    assert expand_braces("a.{b,c}.*") is None           # other wildcard
+    assert expand_braces("a.{b,c") is None              # unbalanced
+    assert expand_braces("{a,b}.{c,d}") == ["a.c", "a.d", "b.c", "b.d"]
+    assert expand_braces("{a,b}", limit=1) is None      # over limit
