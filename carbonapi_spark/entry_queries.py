@@ -1480,17 +1480,31 @@ FROM dense GROUP BY ts
 # fills the remaining first-50 slots; those are all green in
 # CORRECTNESS_r01.json ∪ CORRECTNESS_r02.json.  Keep this list well under 50.
 _DRIVER_PREFIX = [
-    # still no driver row (r1/r2: fell off the 50-cap; r3: every
-    # events-based query erred on the testdata ts-type change)
-    "to_upper", "alias_literal", "alias_by_metric",
-    "moving_median",     # r3's codegen'd lag-array median — row still missing
-    # plan changed in round 4 — re-verify
-    "group_by_tags",       # completeness check folded into the pivot
-    "diff_series_lists",   # literal array_position replaces index subplans
-    "reduce_series",       # same pivot-presence fold as group_by_tags
-    "lsh_topk",            # multi-probe generalized to Hamming depth d
-    "ivf_topk",            # NEW: spherical-IVF ANN scale path
-    "simhash_pairs",       # NEW: SimHash band-join near-dup pairs
+    # plan changed in round 5 — re-verify first
+    "group_by_tags",     # string-op group key (no per-row tag map)
+    "as_percent_total",  # single-vs-multi naming fused into the total agg
+    # the 53 queries whose last driver row predates the round-3 testdata
+    # dtype change (green in r01/r02 + every local oracle run since, but
+    # the driver scoreboard hasn't seen them on CURRENT data). 55 entries
+    # vs the 50-row cap: the FINAL FIVE are trivial map-only transforms,
+    # deliberately the over-cap tail — they roll to next round.
+    "as_percent_nodes",  # also r5 plan change (join-side MISSING flag)
+    "series_by_tag",     # also r5 plan change (string-op name-tag predicate)
+    "stddev_series", "range_series", "median_series", "last_series",
+    "summarize_align_from", "smart_summarize", "moving_max", "pearson",
+    "linear_regression", "n_percentile", "aggregate_line",
+    "integral_by_interval", "weighted_average", "join_and", "join_sub",
+    "unique_group", "most_deviant", "tukey_above", "time_stack", "slo_1d",
+    "ewma_alpha", "ema", "holt_winters", "ks_test", "per_second", "delay",
+    "changed", "is_non_null", "min_max", "logarithm",
+    "remove_below_percentile", "average_outside_percentile", "filter_series",
+    "sort_by_name_rev", "interpolate_all", "group_union",
+    "remove_zero_series", "count_values", "lang_id", "polyfit_linear",
+    "hw_bands", "low_pass", "fingerprints", "embedding_dedup", "vocab_top",
+    "xff_aggregate",
+    # sacrificial tail (trivial pointwise transforms; local-oracle green)
+    "square_root", "sigmoid", "pow_transform", "scale_to_seconds",
+    "substr_name",
 ]
 
 

@@ -172,19 +172,27 @@ def aggregate_with_wildcards(ctx, exp, f, u):
 
 @register("groupByTags")
 def group_by_tags(ctx, exp, f, u):
-    """group by tag values; name = name-tag;tag=v... — groupByTags/function.go:32."""
-    from carbonapi_spark.sources.lake import tags_expr
+    """group by tag values; name = name-tag;tag=v... — groupByTags/function.go:32.
+
+    The key is built with plain string ops (split_part for the name tag,
+    one anchored regexp_extract per requested tag) rather than
+    materializing the full tag map per row: the key construction happens
+    before the exchange, so it runs once per input point and stays inside
+    whole-stage codegen. A missing tag extracts '' — the same as the
+    map path's coalesce('') — and the value runs to the next ';', which
+    is the reference's everything-after-first-'=' semantics."""
+    import re as _re
 
     frame = series_arg(ctx, exp, exp.args[0], f, u)
     callback = exp.get_string(1)
     tag_names = [exp.get_string(i) for i in range(2, len(exp.args))]
     if not tag_names:
         raise ValueError("groupByTags: at least one tag required")
-    tags = tags_expr(F.col(NAME))
-    parts = [F.coalesce(tags.getItem("name"), F.lit(""))]
+    parts = [F.split_part(F.col(NAME), F.lit(";"), F.lit(1))]
     for t in tag_names:
         if t != "name":
-            parts.append(F.concat(F.lit(f";{t}="), F.coalesce(tags.getItem(t), F.lit(""))))
+            val = F.regexp_extract(F.col(NAME), ";" + _re.escape(t) + "=([^;]*)", 1)
+            parts.append(F.concat(F.lit(f";{t}="), val))
     key = F.concat(*parts)
     return _grouped_aggregate(frame, key, callback, lambda k: k)
 

@@ -122,7 +122,19 @@ class SeriesLake:
             for raw in _split_quoted_args(inner):
                 m = _TAG_TERM.match(raw)
                 term = (m.group(1) or m.group(2)) if m else raw.strip()
-                terms.append(tag_predicate(term, tags_expr(name)))
+                tm = _TAG_EXPR.match(term)
+                if (tm and tm.group(1).strip() == "name"
+                        and tm.group(2) == "=" and tm.group(3).strip()):
+                    # the name tag IS the pre-';' base — plain string ops
+                    # instead of building the whole tag map per scanned row,
+                    # with a prefix guard that pushes down to Parquet as
+                    # StringStartsWith (the map expression never would)
+                    val = tm.group(3).strip()
+                    terms.append(
+                        name.startswith(val) &
+                        (F.split_part(name, F.lit(";"), F.lit(1)) == val))
+                else:
+                    terms.append(tag_predicate(term, tags_expr(name)))
             pred = terms[0]
             for t in terms[1:]:
                 pred = pred & t
