@@ -724,6 +724,28 @@ FROM dense
 """.strip(),
    r"regexp_matches(name, '^events\.u[^.]*\.[^.]*$')")
 
+# grouped asPercent with an explicit total list that only covers u0/u1:
+# u2..u9 numerator groups have no total -> name pads with MISSING and the
+# values null out (driven by join-side nullness, NOT by the display name —
+# asPercent/function.go:400-430)
+_g("as_percent_missing", "asPercent(events.u*.click, events.{u0,u1}.view, 1)",
+   """
+, n AS (SELECT split_part(name, '.', 2) AS u, ts, value FROM dense
+        WHERE split_part(name, '.', 3) = 'click'),
+  t AS (SELECT split_part(name, '.', 2) AS u, ts, SUM(value) AS tot,
+               MIN(name) AS tname
+        FROM dense WHERE split_part(name, '.', 3) = 'view' GROUP BY 1, 2)
+SELECT CASE WHEN t.u IS NULL
+            THEN 'asPercent(events.' || n.u || '.click,MISSING)'
+            ELSE 'asPercent(events.' || n.u || '.click,' || t.tname || ')'
+       END AS name,
+       n.ts,
+       round(CASE WHEN t.tot != 0 THEN n.value / t.tot * 100 END, 6) AS value
+FROM n LEFT JOIN t ON n.u = t.u AND n.ts = t.ts
+""".strip(),
+   r"regexp_matches(name, '^events\.u[^.]*\.click$') "
+   r"OR name IN ('events.u0.view', 'events.u1.view')")
+
 _g("weighted_average", "weightedAverage(events.u*.purchase, events.u*.view, 1)",
    """
 , a AS (SELECT split_part(name, '.', 2) AS k, ts, value FROM dense
@@ -1483,6 +1505,7 @@ _DRIVER_PREFIX = [
     # plan changed in round 5 — re-verify first
     "group_by_tags",     # string-op group key (no per-row tag map)
     "as_percent_total",  # single-vs-multi naming fused into the total agg
+    "as_percent_missing",  # NEW r5: grouped MISSING-pad path, driver row
     # the 53 queries whose last driver row predates the round-3 testdata
     # dtype change (green in r01/r02 + every local oracle run since, but
     # the driver scoreboard hasn't seen them on CURRENT data). 55 entries
