@@ -50,6 +50,25 @@ def test_brace_pattern_pushes_in_filter(spark, parquet_lake):
     assert got == {"web.h1.cpu", "db.h1.io"}
 
 
+def test_series_by_tag_name_term_pushes_prefix(spark, tmp_path_factory):
+    """seriesByTag('name=<literal>') scans with plain string ops and a
+    StringStartsWith pushed filter — no per-row tag-map build in the scan
+    predicate for the dominant name= term."""
+    path = str(tmp_path_factory.mktemp("lake") / "tagged")
+    rows = [("cpu.load;host=a", t * 60, float(t)) for t in range(4)]
+    rows += [("cpu.load;host=b", t * 60, float(t * 2)) for t in range(4)]
+    rows += [("mem.used;host=a", t * 60, 1.0) for t in range(4)]
+    spark.createDataFrame(rows, "name STRING, ts BIGINT, value DOUBLE") \
+        .write.mode("overwrite").parquet(path)
+    lake = SeriesLake(spark.read.parquet(path), 60)
+    frame = lake.fetch(spark, "seriesByTag('name=cpu.load', 'host=a')",
+                       0, 240, densify=False)
+    plan = frame.df._jdf.queryExecution().executedPlan().toString()
+    assert "StringStartsWith(name,cpu.load)" in plan
+    got = {r["name"] for r in frame.df.select("name").distinct().collect()}
+    assert got == {"cpu.load;host=a"}
+
+
 def test_fetch_densify_from_parquet(spark, parquet_lake):
     frame = parquet_lake.fetch(spark, "web.h1.cpu", 0, 86400)
     assert frame.df.count() == 24

@@ -94,6 +94,48 @@ def test_glob_to_regex_total(pattern):
     re.compile(glob_to_regex(pattern))
 
 
+@st.composite
+def brace_pattern(draw):
+    n_nodes = draw(st.integers(1, 3))
+    nodes = []
+    for _ in range(n_nodes):
+        if draw(st.booleans()):
+            alts = draw(st.lists(_lit, min_size=1, max_size=3))
+            nodes.append("{" + ",".join(alts) + "}")
+        else:
+            nodes.append(draw(_lit))
+    return ".".join(nodes)
+
+
+@settings(max_examples=300, deadline=None)
+@given(brace_pattern())
+def test_expand_braces_agrees_with_glob_matcher(pattern):
+    """The IN-pushdown expansion and the regex path agree: every expanded
+    name matches the pattern, and the expansion is exactly the set of
+    names the glob can produce (alternate choices are independent)."""
+    from carbonapi_spark.parser.globs import expand_braces
+    names = expand_braces(pattern)
+    if "{" not in pattern:
+        assert names is None  # brace-free: caller uses plain equality
+        return
+    assert names is not None
+    assert len(names) >= 1
+    for name in names:
+        assert glob_matches(pattern, name), (pattern, name)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=30))
+def test_expand_braces_total(pattern):
+    """Never raises; returns None or a non-empty list of plain names."""
+    from carbonapi_spark.parser.globs import expand_braces, has_wildcard
+    names = expand_braces(pattern)
+    if names is not None:
+        assert names
+        for n in names:
+            assert not has_wildcard(n) or "{" not in n
+
+
 # --------------------------------------------------------------- intervals
 
 _UNIT_SECS = {"s": 1, "min": 60, "h": 3600, "d": 86400, "w": 604800,
