@@ -490,6 +490,39 @@ WHERE round(CASE WHEN uni > 0 THEN CAST(inter AS DOUBLE) / uni
 _register("minhash_dedup", _q_minhash_dedup, _minhash_oracle())
 
 
+def _q_ngram_jaccard(spark, sf_dir):
+    """Standalone exact n-gram Jaccard (the dedup family's verify metric as
+    a first-class op): all pairs among a bounded deterministic doc subset,
+    scored with 2-gram Jaccard. Candidate generation is LSH elsewhere
+    (minhash_dedup); this pins the exact-similarity kernel itself."""
+    from carbonapi_spark.datapipe.dedup import jaccard_verify
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ids = docs.where(F.col("doc_id") < 40).select("doc_id")
+    a = ids.select(F.col("doc_id").alias("id_a"))
+    b = ids.select(F.col("doc_id").alias("id_b"))
+    pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+    return jaccard_verify(docs, pairs, ngram=2, threshold=0.05)
+
+
+_register("ngram_jaccard", _q_ngram_jaccard, f"""
+WITH __d AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents WHERE doc_id < 40),
+__sh AS (SELECT doc_id,
+              list_distinct(list_transform(range(greatest(len(toks) - 1, 0)),
+                                           j -> toks[j + 1] || ' ' || toks[j + 2]))
+              AS sh FROM __d),
+__j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               len(list_intersect(a.sh, b.sh)) AS inter,
+               len(list_distinct(list_concat(a.sh, b.sh))) AS uni
+        FROM __sh a JOIN __sh b ON a.doc_id < b.doc_id)
+SELECT id_a, id_b,
+       round(CASE WHEN uni > 0 THEN CAST(inter AS DOUBLE) / uni
+                  ELSE 0.0 END, 6) AS jaccard
+FROM __j
+WHERE round(CASE WHEN uni > 0 THEN CAST(inter AS DOUBLE) / uni
+            ELSE 0.0 END, 6) >= 0.05
+""".strip())
+
+
 def _q_simhash(spark, sf_dir):
     """64-bit SimHash per document; oracle recomputes XXH64 + the sign-sum
     bit sampling in DuckDB (``carbonapi_spark/oracle_xxh64.py``)."""
@@ -1506,6 +1539,7 @@ _DRIVER_PREFIX = [
     "group_by_tags",     # string-op group key (no per-row tag map)
     "as_percent_total",  # single-vs-multi naming fused into the total agg
     "as_percent_missing",  # NEW r5: grouped MISSING-pad path, driver row
+    "ngram_jaccard",       # NEW r5: standalone exact-Jaccard kernel
     # the 53 queries whose last driver row predates the round-3 testdata
     # dtype change (green in r01/r02 + every local oracle run since, but
     # the driver scoreboard hasn't seen them on CURRENT data). 55 entries
