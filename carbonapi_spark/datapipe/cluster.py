@@ -1,0 +1,111 @@
+"""Connected-components clustering for fuzzy dedup.
+
+Near-dup detection (MinHash-LSH / SimHash, ``datapipe/dedup.py``) yields
+*pairs*; deduplicating a corpus needs *clusters* — each document labeled
+with a canonical representative (the min doc id of its component) so the
+pipeline can keep one doc per cluster. This module closes that gap with
+the alternating large-star / small-star algorithm (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC 2014): each round is
+two shuffles (a min-aggregation and a re-pair join), and the edge set
+converges to a star forest in O(log n) rounds — the standard way to run
+CC on graphs too big for any single machine, unlike label propagation
+whose round count is the graph diameter (linear for chains).
+
+Scale shape: every round is groupBy(node).min + an equi-join back on the
+node key; no collect of edges, no driver-side graph. Lineage is truncated
+per round with ``localCheckpoint`` so the plan does not grow with the
+iteration count. Convergence is detected from a two-number checksum
+(count + sum of per-edge hashes), one tiny action per round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["connected_components", "dedup_clusters"]
+
+
+def _star_round(edges: DataFrame) -> DataFrame:
+    """One large-star + small-star round. ``edges`` columns: (src, dst)."""
+    # large-star: for each node u, m = min(neighborhood(u) + {u}); every
+    # strictly-larger neighbor v re-points to m.
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    mins = (sym.groupBy("src")
+            .agg(F.least(F.min("dst"), F.first("src")).alias("m")))
+    large = (sym.join(mins, "src")
+             .where(F.col("dst") > F.col("src"))
+             .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+             .where(F.col("src") != F.col("dst"))
+             .distinct())
+
+    # small-star: orient every edge high->low, then every low neighbor
+    # (and the high node itself) re-points to the minimum.
+    oriented = (large.select(F.greatest("src", "dst").alias("u"),
+                             F.least("src", "dst").alias("v"))
+                .distinct())
+    omin = oriented.groupBy("u").agg(F.min("v").alias("m"))
+    with_min = oriented.join(omin, "u")
+    small = (with_min.where(F.col("v") != F.col("m"))
+             .select(F.col("v").alias("src"), F.col("m").alias("dst"))
+             .unionByName(omin.where(F.col("u") != F.col("m"))
+                          .select(F.col("u").alias("src"),
+                                  F.col("m").alias("dst")))
+             .distinct())
+    return small
+
+
+def connected_components(edges: DataFrame, src: str = "src",
+                         dst: str = "dst", max_rounds: int = 50) -> DataFrame:
+    """Label every node of an undirected edge list with its component's
+    minimum node id.
+
+    Returns (node, cluster_id) for every node that appears in ``edges``
+    (callers left-join and ``coalesce`` to give isolated rows their own
+    id). Node ids must be an orderable type (use a 64-bit doc id).
+    """
+    e = (edges.select(F.col(src).cast("long").alias("src"),
+                      F.col(dst).cast("long").alias("dst"))
+         .where(F.col("src") != F.col("dst"))
+         .distinct()
+         .localCheckpoint())
+
+    def checksum(df: DataFrame):
+        # bit_xor (not sum): order-independent and overflow-free under
+        # ANSI mode; the edge set is distinct so nothing cancels.
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.bit_xor(F.xxhash64("src", "dst")),
+                       F.lit(0)).alias("h"),
+        ).collect()[0]
+        return row["n"], row["h"]
+
+    prev = checksum(e)
+    for _ in range(max_rounds):
+        e = _star_round(e).localCheckpoint()
+        cur = checksum(e)
+        if cur == prev:
+            break
+        prev = cur
+    # Converged edge set is a star forest: (node -> component min). The
+    # roots themselves appear only as dst, so union them in explicitly.
+    return (e.select(F.col("src").alias("node"),
+                     F.col("dst").alias("cluster_id"))
+            .unionByName(e.select(F.col("dst").alias("node"),
+                                  F.col("dst").alias("cluster_id")))
+            .distinct())
+
+
+def dedup_clusters(docs: DataFrame, pairs: DataFrame,
+                   id_col: str = "doc_id") -> DataFrame:
+    """Assign every document a cluster id from near-dup ``pairs``
+    (columns id_a/id_b, e.g. from ``jaccard_verify`` or
+    ``simhash_pairs``); docs with no near-dup keep their own id.
+
+    ``keep = doc_id == cluster_id`` is the usual dedup policy."""
+    cc = connected_components(pairs, src="id_a", dst="id_b")
+    return (docs.select(F.col(id_col).cast("long").alias(id_col))
+            .join(cc.withColumnRenamed("node", id_col), id_col, "left")
+            .select(id_col,
+                    F.coalesce("cluster_id", F.col(id_col))
+                    .alias("cluster_id")))

@@ -37,15 +37,32 @@ def shingles(text: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles of the lowercased token stream.
 
     Built as n shifted slices of the token array folded with ``zip_with``
-    — O(k) per doc, vs the O(k^2) of per-index ``slice`` inside a
-    ``transform``."""
-    toks = tokens(F.lower(text))
-    k = F.greatest(F.size(toks) - (n - 1), F.lit(0))
-    grams = F.slice(toks, 1, k)
-    for j in range(1, n):
-        grams = F.zip_with(grams, F.slice(toks, j + 1, k),
-                           lambda a, b: F.concat(a, F.lit(" "), b))
-    return F.array_distinct(grams)
+    (``text.word_ngrams``) — O(k) per doc, vs the O(k^2) of per-index
+    ``slice`` inside a ``transform``."""
+    from carbonapi_spark.datapipe.text import word_ngrams
+    return F.array_distinct(word_ngrams(text, n))
+
+
+def contamination(docs: DataFrame, benchmark: DataFrame,
+                  text_col: str = "text", ngram: int = 3) -> DataFrame:
+    """Benchmark-contamination check: which training docs share any word
+    n-gram with a held-out benchmark set (the standard train/test overlap
+    audit, e.g. GPT-3 appendix C / PaLM sec. 8 style).
+
+    Returns (doc_id, n_hits) for contaminated docs only; n_hits = number
+    of distinct shared n-grams. The benchmark n-gram set is deduplicated
+    and broadcast — the 100 TB training side streams past it with no
+    shuffle of the corpus itself."""
+    bench_grams = (benchmark
+                   .select(F.explode(shingles(F.col(text_col), ngram))
+                           .alias("__g"))
+                   .distinct())
+    train_grams = docs.select(
+        "doc_id", F.explode(shingles(F.col(text_col), ngram)).alias("__g"))
+    # per-doc shingles are already distinct, so count(*) = distinct hits
+    return (train_grams.join(F.broadcast(bench_grams), "__g")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_hits")))
 
 
 def _affine_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:

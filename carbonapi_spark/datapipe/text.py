@@ -84,3 +84,81 @@ def _poly_hash(token: Column, modulus: int) -> Column:
     return F.aggregate(
         chars, F.lit(0).cast("long"),
         lambda acc, c: (acc * 31 + F.ascii(c)) % modulus)
+
+
+def word_ngrams(text: Column, n: int = 2) -> Column:
+    """Word n-grams of the lowercased token stream, duplicates KEPT (the
+    repetition metrics need occurrence counts; ``dedup.shingles`` wraps
+    this with array_distinct for set semantics).
+
+    Built as n shifted slices folded with ``zip_with`` — O(k) per doc."""
+    toks = tokens(F.lower(text))
+    k = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    grams = F.slice(toks, 1, k)
+    for j in range(1, n):
+        grams = F.zip_with(grams, F.slice(toks, j + 1, k),
+                           lambda a, b: F.concat(a, F.lit(" "), b))
+    return grams
+
+
+def repetition_features(df: DataFrame, text_col: str = "text",
+                        ngram: int = 2) -> DataFrame:
+    """Gopher-style repetition quality signals per document (Rae et al.
+    2021, "Scaling Language Models", Table A1): the fraction of n-gram
+    occurrences that are repeats, and the fraction of characters covered
+    by the single most frequent n-gram. High values flag boilerplate /
+    machine-generated text for filtering.
+
+    Shape: explode n-grams -> two hash aggregations keyed by doc_id —
+    map-side combine does most of the work, and the shuffle key (doc_id)
+    is the natural partitioner, so this scales linearly with corpus size.
+    """
+    grams = df.select("doc_id",
+                      F.length(F.col(text_col)).alias("__nc"),
+                      F.explode(word_ngrams(F.col(text_col), ngram))
+                      .alias("__g"))
+    per_gram = (grams.groupBy("doc_id", "__nc", "__g")
+                .agg(F.count(F.lit(1)).alias("__cnt")))
+    per_doc = (per_gram.groupBy("doc_id", "__nc")
+               .agg(F.sum("__cnt").alias("__total"),
+                    F.count(F.lit(1)).alias("__distinct"),
+                    F.max(F.col("__cnt") * F.length("__g"))
+                    .alias("__top_chars")))
+    feat = per_doc.select(
+        "doc_id",
+        F.round(F.lit(1.0) - F.col("__distinct") / F.col("__total"), 6)
+        .alias("dup_ngram_frac"),
+        F.round(F.col("__top_chars") / F.col("__nc"), 6)
+        .alias("top_ngram_char_frac"))
+    # docs too short to have any n-gram score 0.0 on both signals
+    return (df.select("doc_id")
+            .join(feat, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("dup_ngram_frac", F.lit(0.0))
+                    .alias("dup_ngram_frac"),
+                    F.coalesce("top_ngram_char_frac", F.lit(0.0))
+                    .alias("top_ngram_char_frac")))
+
+
+def tfidf_top_terms(df: DataFrame, text_col: str = "text",
+                    k: int = 3) -> DataFrame:
+    """Top-k terms per document by tf-idf (tf * ln(N/df), ties broken
+    alphabetically). Two hash aggregations plus a window partitioned by
+    doc_id; the document-frequency side is tiny (vocabulary-sized) and
+    broadcast into the join."""
+    from pyspark.sql.window import Window
+    n_docs = df.count()  # parquet metadata count — no full scan
+    tf = (df.select("doc_id",
+                    F.explode(tokens(F.lower(F.col(text_col)))).alias("term"))
+          .groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (tf.join(F.broadcast(dfreq), "term")
+            .withColumn("tfidf",
+                        F.round(F.col("tf")
+                                * F.log(F.lit(float(n_docs)) / F.col("df")),
+                                6))
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("doc_id", "term", "tfidf", F.col("rank").cast("long")
+                    .alias("rank")))

@@ -1,0 +1,83 @@
+"""Connected-components clustering (large-star/small-star) vs a pure-Python
+union-find reference."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _union_find_labels(nodes, edges):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # min node id per component
+    comp = {}
+    for n in nodes:
+        comp.setdefault(find(n), []).append(n)
+    return {n: min(members) for members in comp.values() for n in members}
+
+
+def _run_cc(spark, edges):
+    from carbonapi_spark.datapipe.cluster import connected_components
+    df = spark.createDataFrame(edges, "src LONG, dst LONG")
+    return {r["node"]: r["cluster_id"]
+            for r in connected_components(df).collect()}
+
+
+def test_cc_chain(spark):
+    # A long chain is the worst case for label propagation (diameter
+    # rounds); star contraction must still converge well under max_rounds.
+    ids = list(range(100, 160))
+    random.Random(7).shuffle(ids)
+    edges = list(zip(ids, ids[1:]))
+    got = _run_cc(spark, edges)
+    expect = _union_find_labels(ids, edges)
+    assert got == expect
+    assert set(got.values()) == {min(ids)}
+
+
+def test_cc_two_cliques_and_bridge(spark):
+    a = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    b = [(i, j) for i in range(10, 14) for j in range(i + 1, 14)]
+    edges = a + b
+    got = _run_cc(spark, edges)
+    assert {got[n] for n in range(5)} == {0}
+    assert {got[n] for n in range(10, 14)} == {10}
+    got2 = _run_cc(spark, edges + [(4, 13)])
+    assert {got2[n] for n in list(range(5)) + list(range(10, 14))} == {0}
+
+
+def test_cc_random_graph_matches_union_find(spark):
+    rng = random.Random(42)
+    nodes = rng.sample(range(10_000), 120)
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(90)]
+    edges = [(a, b) for a, b in edges if a != b]
+    touched = sorted({n for e in edges for n in e})
+    got = _run_cc(spark, edges)
+    assert got == _union_find_labels(touched, edges)
+
+
+def test_cc_duplicate_and_reversed_edges(spark):
+    edges = [(1, 2), (2, 1), (1, 2), (3, 2), (5, 4)]
+    got = _run_cc(spark, edges)
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4}
+
+
+def test_dedup_clusters_isolated_docs_keep_own_id(spark):
+    from carbonapi_spark.datapipe.cluster import dedup_clusters
+    docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id LONG")
+    pairs = spark.createDataFrame([(0, 3), (3, 5)], "id_a LONG, id_b LONG")
+    got = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(docs, pairs).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 0, 4: 4, 5: 0}
+    keepers = {d for d, c in got.items() if d == c}
+    assert keepers == {0, 1, 2, 4}

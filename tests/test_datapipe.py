@@ -344,3 +344,65 @@ def test_duckdb_xxh64_oracle_matches_spark(spark):
     got = dict(con.sql(
         "WITH " + xxh64_ctes("toks") + " SELECT t, h64 FROM xxh").fetchall())
     assert got == want
+
+
+def test_repetition_features(spark):
+    from carbonapi_spark.datapipe.text import repetition_features
+    rows = [
+        (0, "spam spam spam spam spam", "en", "s", 24),   # one bigram, repeated
+        (1, "a b c d e f", "en", "s", 11),                # all bigrams unique
+        (2, "one", "en", "s", 3),                         # too short for bigrams
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+    got = {r["doc_id"]: r for r in repetition_features(df).collect()}
+    # doc 0: 4 occurrences of 'spam spam' -> dup frac 0.75, covers 4*9/24 chars
+    assert got[0]["dup_ngram_frac"] == 0.75
+    assert got[0]["top_ngram_char_frac"] == round(4 * 9 / 24, 6)
+    assert got[1]["dup_ngram_frac"] == 0.0
+    assert got[2]["dup_ngram_frac"] == 0.0 and got[2]["top_ngram_char_frac"] == 0.0
+
+
+def test_contamination_flags_overlap(spark, docs):
+    from carbonapi_spark.datapipe.dedup import contamination
+    bench = docs.where(F.col("doc_id") == 0)     # the fox sentence
+    train = docs.where(F.col("doc_id") > 0)
+    got = {r["doc_id"]: r["n_hits"] for r in contamination(train, bench, ngram=3).collect()}
+    assert got[1] == 7          # identical doc: all 7 trigrams shared
+    assert 1 <= got.get(2, 0) < 7   # near dup shares some trigrams
+    assert 3 not in got and 4 not in got  # german/different docs clean
+
+
+def test_stratified_sample_deterministic_and_rate(spark):
+    from carbonapi_spark.datapipe.sampling import stratified_sample
+    rows = [(i, "en" if i % 2 == 0 else "zh") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id LONG, lang STRING")
+    out = stratified_sample(df, {"en": 0.5, "zh": 0.1}, group_col="lang")
+    got = out.groupBy("lang").count().collect()
+    counts = {r["lang"]: r["count"] for r in got}
+    assert abs(counts["en"] / 1000 - 0.5) < 0.08
+    assert abs(counts["zh"] / 1000 - 0.1) < 0.05
+    # deterministic: same ids on a re-run
+    ids1 = sorted(r["doc_id"] for r in out.collect())
+    ids2 = sorted(r["doc_id"] for r in
+                  stratified_sample(df, {"en": 0.5, "zh": 0.1}).collect())
+    assert ids1 == ids2
+
+
+def test_tfidf_top_terms(spark):
+    from carbonapi_spark.datapipe.text import tfidf_top_terms
+    rows = [
+        (0, "apple apple banana shared", "en", "s", 0),
+        (1, "cherry cherry cherry shared", "en", "s", 0),
+        (2, "durian shared shared shared", "en", "s", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+    got = {(r["doc_id"], r["rank"]): r for r in tfidf_top_terms(df, k=2).collect()}
+    import math
+    # 'shared' has df=3 -> idf ln(1)=0; unique terms dominate
+    assert got[(0, 1)]["term"] == "apple"
+    assert got[(0, 1)]["tfidf"] == round(2 * math.log(3), 6)
+    assert got[(1, 1)]["term"] == "cherry"
+    assert got[(2, 1)]["term"] == "durian"
+    assert got[(2, 2)]["term"] == "shared" and got[(2, 2)]["tfidf"] == 0.0
