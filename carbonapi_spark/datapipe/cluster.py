@@ -55,10 +55,39 @@ def _star_round(edges: DataFrame) -> DataFrame:
     return small
 
 
+def _finish_local(spark, rows) -> DataFrame:
+    """Exact union-find over a small (size-gated) residual edge set."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = parent.setdefault(x, x)
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for r in rows:
+        ra, rb = find(r["src"]), find(r["dst"])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    labels = [(n, find(n)) for n in parent]
+    return spark.createDataFrame(labels or [], "node LONG, cluster_id LONG")
+
+
 def connected_components(edges: DataFrame, src: str = "src",
-                         dst: str = "dst", max_rounds: int = 50) -> DataFrame:
+                         dst: str = "dst", max_rounds: int = 50,
+                         finish_threshold: int = 1_000_000) -> DataFrame:
     """Label every node of an undirected edge list with its component's
     minimum node id.
+
+    Two-phase (the shape GraphFrames' CC uses): star-contraction rounds
+    run distributed while the edge set is large; once it fits a small
+    driver budget (``finish_threshold`` edges, ~16 MB at the default)
+    the remaining forest is finished exactly with union-find in one job
+    instead of paying several fixed-overhead rounds on a tiny residual
+    graph. Pass ``finish_threshold=0`` to force the pure-distributed
+    path end to end.
 
     Returns (node, cluster_id) for every node that appears in ``edges``
     (callers left-join and ``coalesce`` to give isolated rows their own
@@ -67,8 +96,18 @@ def connected_components(edges: DataFrame, src: str = "src",
     e = (edges.select(F.col(src).cast("long").alias("src"),
                       F.col(dst).cast("long").alias("dst"))
          .where(F.col("src") != F.col("dst"))
-         .distinct()
-         .localCheckpoint())
+         .distinct())
+    spark = e.sparkSession
+
+    # One probe job: fetch up to threshold+1 edges. If everything fits,
+    # those rows ARE the edge set — finish exactly without ever paying a
+    # star round (the common case once upstream LSH has bounded pairs).
+    if finish_threshold:
+        head = e.limit(finish_threshold + 1).collect()
+        if len(head) <= finish_threshold:
+            return _finish_local(spark, head)
+
+    e = e.localCheckpoint()
 
     def checksum(df: DataFrame):
         # bit_xor (not sum): order-independent and overflow-free under
@@ -82,6 +121,8 @@ def connected_components(edges: DataFrame, src: str = "src",
 
     prev = checksum(e)
     for _ in range(max_rounds):
+        if finish_threshold and prev[0] <= finish_threshold:
+            return _finish_local(spark, e.collect())
         e = _star_round(e).localCheckpoint()
         cur = checksum(e)
         if cur == prev:

@@ -43,6 +43,33 @@ def shingles(text: Column, n: int = 3) -> Column:
     return F.array_distinct(word_ngrams(text, n))
 
 
+def shared_shingle_pairs(docs: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id", ngram: int = 5,
+                         max_bucket: int = 2000) -> DataFrame:
+    """Exact near-dup candidate pairs: docs sharing any word ``ngram``.
+
+    Same bucket-pair shape as ``minhash_lsh_candidates`` (one shingle
+    pass, ONE groupBy(gram) shuffle, in-bucket pair HOFs, deterministic
+    ``max_bucket`` truncation) — not a self-join, which would evaluate
+    the shingle pipeline twice and shuffle full gram strings on both
+    sides. Feed the result to ``cluster.connected_components``."""
+    from carbonapi_spark.datapipe import spread
+    docs = spread(docs)
+    sh = docs.select(F.col(id_col).alias("__id"),
+                     F.explode(shingles(F.col(text_col), ngram))
+                     .alias("__g"))
+    buckets = (sh.groupBy("__g")
+               .agg(F.expr(f"slice(sort_array(collect_list(__id)), 1, "
+                           f"{max_bucket})").alias("ids"))
+               .where(F.size("ids") > 1))
+    return (buckets.selectExpr(
+        """explode(flatten(transform(sequence(1, size(ids) - 1),
+             i -> transform(slice(ids, i + 1, size(ids) - i),
+                            x -> struct(element_at(ids, i) as id_a,
+                                        x as id_b))))) as p""")
+        .select("p.id_a", "p.id_b").distinct())
+
+
 def contamination(docs: DataFrame, benchmark: DataFrame,
                   text_col: str = "text", ngram: int = 3) -> DataFrame:
     """Benchmark-contamination check: which training docs share any word
@@ -53,6 +80,8 @@ def contamination(docs: DataFrame, benchmark: DataFrame,
     of distinct shared n-grams. The benchmark n-gram set is deduplicated
     and broadcast — the 100 TB training side streams past it with no
     shuffle of the corpus itself."""
+    from carbonapi_spark.datapipe import spread
+    docs = spread(docs)
     bench_grams = (benchmark
                    .select(F.explode(shingles(F.col(text_col), ngram))
                            .alias("__g"))

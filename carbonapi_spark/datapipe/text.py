@@ -113,6 +113,8 @@ def repetition_features(df: DataFrame, text_col: str = "text",
     map-side combine does most of the work, and the shuffle key (doc_id)
     is the natural partitioner, so this scales linearly with corpus size.
     """
+    from carbonapi_spark.datapipe import spread
+    df = spread(df)
     grams = df.select("doc_id",
                       F.length(F.col(text_col)).alias("__nc"),
                       F.explode(word_ngrams(F.col(text_col), ngram))

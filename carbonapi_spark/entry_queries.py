@@ -1539,15 +1539,11 @@ def _q_dedup_clusters(spark, sf_dir):
     exact shared-shingle edges so the oracle replays the whole pipeline
     in pure SQL (recursive CTE for the component closure)."""
     from carbonapi_spark.datapipe.cluster import connected_components
-    from carbonapi_spark.datapipe.dedup import shingles
+    from carbonapi_spark.datapipe.dedup import shared_shingle_pairs
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    sh = docs.select("doc_id",
-                     F.explode(shingles(F.col("text"), 5)).alias("g"))
-    edges = (sh.select(F.col("g"), F.col("doc_id").alias("src"))
-             .join(sh.select(F.col("g"), F.col("doc_id").alias("dst")), "g")
-             .where(F.col("src") < F.col("dst"))
-             .select("src", "dst").distinct())
-    cc = connected_components(edges).withColumnRenamed("node", "doc_id")
+    edges = shared_shingle_pairs(docs, ngram=5)
+    cc = (connected_components(edges, src="id_a", dst="id_b")
+          .withColumnRenamed("node", "doc_id"))
     return (docs.select("doc_id").join(cc, "doc_id", "left")
             .select(F.col("doc_id").cast("long"),
                     F.coalesce("cluster_id", F.col("doc_id"))

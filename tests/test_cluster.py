@@ -27,20 +27,23 @@ def _union_find_labels(nodes, edges):
     return {n: min(members) for members in comp.values() for n in members}
 
 
-def _run_cc(spark, edges):
+def _run_cc(spark, edges, **kw):
     from carbonapi_spark.datapipe.cluster import connected_components
     df = spark.createDataFrame(edges, "src LONG, dst LONG")
     return {r["node"]: r["cluster_id"]
-            for r in connected_components(df).collect()}
+            for r in connected_components(df, **kw).collect()}
 
 
-def test_cc_chain(spark):
+@pytest.mark.parametrize("threshold", [0, 1_000_000])
+def test_cc_chain(spark, threshold):
     # A long chain is the worst case for label propagation (diameter
     # rounds); star contraction must still converge well under max_rounds.
+    # threshold=0 forces the pure-distributed star rounds; the default
+    # exercises the driver union-find finisher.
     ids = list(range(100, 160))
     random.Random(7).shuffle(ids)
     edges = list(zip(ids, ids[1:]))
-    got = _run_cc(spark, edges)
+    got = _run_cc(spark, edges, finish_threshold=threshold)
     expect = _union_find_labels(ids, edges)
     assert got == expect
     assert set(got.values()) == {min(ids)}
@@ -57,13 +60,14 @@ def test_cc_two_cliques_and_bridge(spark):
     assert {got2[n] for n in list(range(5)) + list(range(10, 14))} == {0}
 
 
-def test_cc_random_graph_matches_union_find(spark):
+@pytest.mark.parametrize("threshold", [0, 1_000_000])
+def test_cc_random_graph_matches_union_find(spark, threshold):
     rng = random.Random(42)
     nodes = rng.sample(range(10_000), 120)
     edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(90)]
     edges = [(a, b) for a, b in edges if a != b]
     touched = sorted({n for e in edges for n in e})
-    got = _run_cc(spark, edges)
+    got = _run_cc(spark, edges, finish_threshold=threshold)
     assert got == _union_find_labels(touched, edges)
 
 
