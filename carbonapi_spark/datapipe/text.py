@@ -115,31 +115,29 @@ def repetition_features(df: DataFrame, text_col: str = "text",
     """
     from carbonapi_spark.datapipe import spread
     df = spread(df)
+    # explode_outer keeps zero-ngram docs as one NULL row, so they flow
+    # through the same two aggregations (scoring 0.0 via the coalesces)
+    # instead of needing a join back onto the doc table — the whole op is
+    # two keyed hash aggs, no join at any corpus size.
     grams = df.select("doc_id",
                       F.length(F.col(text_col)).alias("__nc"),
-                      F.explode(word_ngrams(F.col(text_col), ngram))
+                      F.explode_outer(word_ngrams(F.col(text_col), ngram))
                       .alias("__g"))
     per_gram = (grams.groupBy("doc_id", "__nc", "__g")
                 .agg(F.count(F.lit(1)).alias("__cnt")))
     per_doc = (per_gram.groupBy("doc_id", "__nc")
-               .agg(F.sum("__cnt").alias("__total"),
-                    F.count(F.lit(1)).alias("__distinct"),
+               .agg(F.sum(F.when(F.col("__g").isNotNull(), F.col("__cnt")))
+                    .alias("__total"),
+                    F.count("__g").alias("__distinct"),
                     F.max(F.col("__cnt") * F.length("__g"))
                     .alias("__top_chars")))
-    feat = per_doc.select(
+    return per_doc.select(
         "doc_id",
-        F.round(F.lit(1.0) - F.col("__distinct") / F.col("__total"), 6)
-        .alias("dup_ngram_frac"),
-        F.round(F.col("__top_chars") / F.col("__nc"), 6)
-        .alias("top_ngram_char_frac"))
-    # docs too short to have any n-gram score 0.0 on both signals
-    return (df.select("doc_id")
-            .join(feat, "doc_id", "left")
-            .select("doc_id",
-                    F.coalesce("dup_ngram_frac", F.lit(0.0))
-                    .alias("dup_ngram_frac"),
-                    F.coalesce("top_ngram_char_frac", F.lit(0.0))
-                    .alias("top_ngram_char_frac")))
+        F.coalesce(
+            F.round(F.lit(1.0) - F.col("__distinct") / F.col("__total"), 6),
+            F.lit(0.0)).alias("dup_ngram_frac"),
+        F.coalesce(F.round(F.col("__top_chars") / F.col("__nc"), 6),
+                   F.lit(0.0)).alias("top_ngram_char_frac"))
 
 
 def tfidf_top_terms(df: DataFrame, text_col: str = "text",

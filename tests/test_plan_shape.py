@@ -103,3 +103,51 @@ def test_reduce_series_single_aggregation(spark):
         "reduceSeries(mapSeries(x.*.*,1),'asPercent',2,'bytes','total')",
         0, 2)
     assert n <= 3
+
+
+def _df_shape(df):
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return (len(re.findall(r"Exchange ", plan)),
+            len(re.findall(r"BroadcastHashJoin", plan)),
+            len(re.findall(r"SortMergeJoin", plan)))
+
+
+def test_stratified_sample_no_shuffle(spark):
+    # the mixing gate must stay a pure map over the scan: zero exchanges
+    from carbonapi_spark.datapipe.sampling import stratified_sample
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ex, _, _ = _df_shape(stratified_sample(docs, {"en": 0.9, "zh": 0.1}))
+    assert ex == 0
+
+
+def test_contamination_broadcasts_benchmark(spark):
+    # the training side must never shuffle except for its final per-doc
+    # agg; the benchmark gram set is the broadcast side of the only join
+    from pyspark.sql import functions as F
+    from carbonapi_spark.datapipe.dedup import contamination
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = contamination(docs.where(F.col("doc_id") % 97 != 0),
+                        docs.where(F.col("doc_id") % 97 == 0))
+    ex, bhj, smj = _df_shape(out)
+    assert bhj == 1 and smj == 0
+    # spread repartition + benchmark distinct + broadcast + final agg
+    assert ex <= 4
+
+
+def test_rep_filters_two_aggs_no_join(spark):
+    # explode_outer keeps empty docs in-band: two keyed aggs, no join back
+    from carbonapi_spark.datapipe.text import repetition_features
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ex, bhj, smj = _df_shape(repetition_features(docs))
+    assert (bhj, smj) == (0, 0)
+    assert ex <= 3  # spread + per-gram agg + per-doc agg
+
+
+def test_shingle_pair_edges_single_bucket_shuffle(spark):
+    # bucket-pair generation: one groupBy(gram) + the pair distinct — the
+    # shingle pipeline must not be evaluated twice (no self-join)
+    from carbonapi_spark.datapipe.dedup import shared_shingle_pairs
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ex, bhj, smj = _df_shape(shared_shingle_pairs(docs))
+    assert (bhj, smj) == (0, 0)
+    assert ex <= 3  # spread + bucket agg + pair distinct

@@ -128,6 +128,28 @@ def main():
             lambda: ivf_topk(vecs, q, k=10, dim=dim, n_centroids=16,
                              nprobe=np_))
 
+    # connected components at graph scale, pure-distributed star rounds
+    # (finish_threshold=0 disables the driver union-find finisher): a
+    # union of many small near-dup clusters plus some 1000-node chains —
+    # the chain is the adversarial case (diameter >> log n), where label
+    # propagation would need 1000 rounds but star contraction stays O(log n).
+    from carbonapi_spark.datapipe.cluster import connected_components
+    n_edges = max(n_docs * 4, 1_000_000)
+    e = (spark.range(n_edges)
+         .select((F.pmod(F.xxhash64(F.col("id") * 2 + 1), F.lit(n_docs)))
+                 .alias("src"),
+                 (F.pmod(F.xxhash64(F.col("id") * 2 + 2),
+                         F.lit(n_docs // 8) * 8)).alias("dst")))
+    chains = (spark.range(100_000)
+              .select((F.col("id") + n_docs * 10).alias("src"),
+                      (F.col("id") + n_docs * 10 + 1).alias("dst"))
+              .where(F.col("src") % 1000 != 999))  # 100 chains of ~1000
+    t0 = time.perf_counter()
+    n_labeled = connected_components(
+        e.unionByName(chains), finish_threshold=0).count()
+    times["connected_components_distributed"] = {
+        "sec": round(time.perf_counter() - t0, 2), "rows": n_labeled}
+
     print(json.dumps({"n_docs": n_docs, "n_vecs": n_vecs, "gen_sec": gen_s,
                       "cases": times, "ann_recall": recall}))
     spark.stop()
