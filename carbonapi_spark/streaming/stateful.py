@@ -102,3 +102,77 @@ def stream_per_second(series: DataFrame) -> DataFrame:
     return (series.groupBy("name")
             .applyInPandasWithState(fn, RATE_OUT, RATE_STATE,
                                     "append", GroupStateTimeout.NoTimeout))
+
+
+CAND_OUT = "band INT, key STRING, id_a LONG, id_b LONG"
+CAND_STATE = "ids ARRAY<BIGINT>"
+
+
+def stream_minhash_candidates(docs: DataFrame, id_col: str = "doc_id",
+                              text_col: str = "text", num_hashes: int = 16,
+                              bands: int = 4, ngram: int = 3,
+                              seed: int = 42, max_bucket: int = 512,
+                              state_ttl_ms: int | None = None) -> DataFrame:
+    """Streaming near-dup candidates: the unbounded twin of
+    ``datapipe.dedup.minhash_lsh_candidates``. Each arriving document is
+    banded into its LSH buckets; a bucket's prior members live in keyed
+    state, so a new member emits (prior, new) candidate pairs the moment
+    it lands — across micro-batches and checkpointed restarts.
+
+    Signatures use the per-row HOF kernel (``minhash_signature``) rather
+    than batch's explode->groupBy shape: a streaming groupBy(doc) would
+    itself be a stateful aggregation, while the HOF is a stateless
+    projection — latency-shaped, same numbers (shared ``_affine_params``).
+
+    State per key is the bucket's member ids, truncated at ``max_bucket``
+    (overflow docs still pair with the retained members, like the batch
+    truncation); ``state_ttl_ms`` evicts idle buckets to bound total
+    state. A pair can surface once per band it collides in — feed pairs
+    to a downstream pair-dedup / Jaccard verify stage, exactly like the
+    batch pipeline's ``.distinct()`` + ``jaccard_verify``."""
+    from carbonapi_spark.datapipe.dedup import minhash_signature
+
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(F.col(text_col), num_hashes, ngram, seed)
+    banded = (docs.select(F.col(id_col).alias("doc_id"), sig.alias("__sig"))
+              .selectExpr(
+                  "doc_id",
+                  f"""explode(transform(sequence(0, {bands - 1}),
+                        b -> struct(b as band,
+                                    array_join(cast(slice(__sig,
+                                        b * {rows_per_band} + 1,
+                                        {rows_per_band}) as array<string>),
+                                        ',') as key))) as bk""")
+              .selectExpr("bk.band as band", "bk.key as key", "doc_id"))
+
+    def fn(key, pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        ids = list(state.get[0]) if state.exists else []
+        known = set(ids)
+        out_a: list[int] = []
+        out_b: list[int] = []
+        for pdf in pdfs:
+            for d in pdf["doc_id"]:
+                d = int(d)
+                if d in known:
+                    continue
+                out_a.extend(min(p, d) for p in ids)
+                out_b.extend(max(p, d) for p in ids)
+                known.add(d)
+                if len(ids) < max_bucket:
+                    ids.append(d)
+        if out_a:
+            yield pd.DataFrame({"band": key[0], "key": key[1],
+                                "id_a": out_a, "id_b": out_b})
+        state.update((ids,))
+        if state_ttl_ms is not None:
+            state.setTimeoutDuration(state_ttl_ms)
+
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout
+               if state_ttl_ms is not None else GroupStateTimeout.NoTimeout)
+    return (banded.groupBy("band", "key")
+            .applyInPandasWithState(fn, CAND_OUT, CAND_STATE,
+                                    "append", timeout))

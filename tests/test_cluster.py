@@ -85,3 +85,23 @@ def test_dedup_clusters_isolated_docs_keep_own_id(spark):
     assert got == {0: 0, 1: 1, 2: 2, 3: 0, 4: 4, 5: 0}
     keepers = {d for d, c in got.items() if d == c}
     assert keepers == {0, 1, 2, 4}
+
+
+def test_cc_property_random_graphs(spark):
+    # hypothesis-driven: arbitrary small graphs, both phases must agree
+    # with the union-find reference
+    from hypothesis import given, settings, strategies as st
+
+    edge = st.tuples(st.integers(0, 25), st.integers(0, 25))
+
+    @settings(max_examples=12, deadline=None)
+    @given(st.lists(edge, min_size=0, max_size=40),
+           st.sampled_from([0, 1_000_000]))
+    def check(edges, threshold):
+        edges = [(a, b) for a, b in edges if a != b]
+        touched = sorted({n for e in edges for n in e})
+        got = _run_cc(spark, edges, finish_threshold=threshold) if edges \
+            else {}
+        assert got == _union_find_labels(touched, edges)
+
+    check()

@@ -406,3 +406,45 @@ def test_tfidf_top_terms(spark):
     assert got[(1, 1)]["term"] == "cherry"
     assert got[(2, 1)]["term"] == "durian"
     assert got[(2, 2)]["term"] == "shared" and got[(2, 2)]["tfidf"] == 0.0
+
+
+def test_stream_minhash_candidates_matches_batch(spark, tmp_path):
+    """Streaming LSH candidates across two runs (bucket state checkpointed)
+    must recover exactly the batch minhash_lsh_candidates pair set on the
+    same corpus."""
+    import json
+    from carbonapi_spark.datapipe.dedup import minhash_lsh_candidates
+    from carbonapi_spark.streaming.stateful import stream_minhash_candidates
+    src, out, ck = tmp_path / "src", tmp_path / "out", tmp_path / "ck"
+    src.mkdir()
+
+    corpus = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),   # exact dup
+        (3, "a completely different document about spark sql"),
+        (4, "the quick brown fox jumps over a lazy dog"),     # near dup
+        (5, "yet another unrelated piece of text entirely here"),
+    ]
+
+    def stream():
+        s = (spark.readStream.schema("doc_id LONG, text STRING")
+             .json(str(src)))
+        return stream_minhash_candidates(s, num_hashes=16, bands=8, ngram=2)
+
+    (src / "a.json").write_text("\n".join(
+        json.dumps({"doc_id": i, "text": t}) for i, t in corpus[:3]))
+    _run_stream(stream, src, out, ck)
+    (src / "b.json").write_text("\n".join(
+        json.dumps({"doc_id": i, "text": t}) for i, t in corpus[3:]))
+    _run_stream(stream, src, out, ck)
+
+    got = {(r["id_a"], r["id_b"])
+           for r in spark.read.parquet(str(out)).collect()}
+
+    batch_docs = spark.createDataFrame(corpus, "doc_id LONG, text STRING")
+    want = {(r["id_a"], r["id_b"])
+            for r in minhash_lsh_candidates(batch_docs, num_hashes=16,
+                                            bands=8, ngram=2).collect()}
+    assert got == want
+    assert (1, 2) in got        # exact dup found across... same batch
+    assert (1, 4) in got or (2, 4) in got  # near dup found across runs
