@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["connected_components", "dedup_clusters"]
+__all__ = ["connected_components", "dedup_clusters", "dedup_keep_best"]
 
 
 def _star_round(edges: DataFrame) -> DataFrame:
@@ -150,3 +150,29 @@ def dedup_clusters(docs: DataFrame, pairs: DataFrame,
             .select(id_col,
                     F.coalesce("cluster_id", F.col(id_col))
                     .alias("cluster_id")))
+
+
+def dedup_keep_best(docs: DataFrame, pairs: DataFrame,
+                    id_col: str = "doc_id",
+                    score_col: str = "n_chars") -> DataFrame:
+    """Quality-aware dedup policy: within each near-dup cluster keep the
+    highest-``score_col`` document (ties: min id) instead of blindly
+    keeping the min id — the usual policy when dedup meets quality
+    filtering (keep the longest / highest-quality variant).
+
+    Returns (doc_id, cluster_id, keep). The keeper window is partitioned
+    by cluster id, so the extra cost over ``dedup_clusters`` is one
+    shuffle keyed by cluster — no global sort."""
+    from pyspark.sql.window import Window
+    cc = connected_components(pairs, src="id_a", dst="id_b")
+    labeled = (docs.select(F.col(id_col).cast("long").alias(id_col),
+                           F.col(score_col).alias("__score"))
+               .join(cc.withColumnRenamed("node", id_col), id_col, "left")
+               .select(id_col,
+                       F.coalesce("cluster_id", F.col(id_col))
+                       .alias("cluster_id"), "__score"))
+    w = (Window.partitionBy("cluster_id")
+         .orderBy(F.desc("__score"), F.asc(id_col)))
+    return (labeled
+            .withColumn("keep", F.row_number().over(w) == 1)
+            .drop("__score"))

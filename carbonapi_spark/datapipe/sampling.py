@@ -34,3 +34,52 @@ def stratified_sample(df: DataFrame, rates: dict[str, float],
                             ).otherwise(thresholds)
     gate = F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(denom))
     return df.where(gate < thresholds)
+
+
+def shard_assignment(df: DataFrame, n_shards: int = 32,
+                     id_col: str = "doc_id") -> DataFrame:
+    """Deterministic shard + within-shard position for training output
+    layout: shard by hash gate, order within shard by (hash, id) — a
+    reproducible pseudo-random global shuffle without a global sort.
+    Each shard's window is independent, so the only shuffle is the
+    hash-partition by shard and the per-shard sort parallelizes across
+    executors at any corpus size."""
+    from pyspark.sql.window import Window
+    h = F.xxhash64(F.col(id_col).cast("string"))
+    w = (Window.partitionBy("shard")
+         .orderBy(F.col("__h"), F.col(id_col)))
+    return (df.select(F.col(id_col),
+                      F.pmod(h, F.lit(n_shards)).cast("long").alias("shard"),
+                      h.alias("__h"))
+            .withColumn("pos", F.row_number().over(w).cast("long"))
+            .drop("__h"))
+
+
+def pack_sequences(df: DataFrame, budget: int, n_shards: int = 32,
+                   id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Concat-then-split sequence packing (the GPT-style pretraining
+    layout): within each shard, documents are laid out contiguously in
+    deterministic pseudo-random order and the token stream is split into
+    fixed-``budget`` sequences; a document may straddle a boundary.
+
+    Returns (doc_id, shard, seq_in_shard, offset): the sequence index a
+    doc STARTS in and its token offset within that sequence. All window
+    math partitioned by shard — embarrassingly parallel, one shuffle."""
+    from pyspark.sql.window import Window
+    from carbonapi_spark.datapipe.text import token_count
+    h = F.xxhash64(F.col(id_col).cast("string"))
+    base = df.select(
+        F.col(id_col),
+        F.pmod(h, F.lit(n_shards)).cast("long").alias("shard"),
+        h.alias("__h"),
+        token_count(F.col(text_col)).cast("long").alias("__nt"))
+    w = (Window.partitionBy("shard").orderBy(F.col("__h"), F.col(id_col))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    start = (F.sum("__nt").over(w) - F.col("__nt")).alias("__start")
+    return (base.withColumn("__start", start)
+            .select(id_col, "shard",
+                    F.floor(F.col("__start") / budget).cast("long")
+                    .alias("seq_in_shard"),
+                    F.pmod(F.col("__start"), F.lit(budget)).cast("long")
+                    .alias("offset")))

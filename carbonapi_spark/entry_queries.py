@@ -1556,8 +1556,11 @@ def _5gram_sql() -> str:
             f" j -> {parts}))")
 
 
-_register("dedup_clusters", _q_dedup_clusters, rf"""
-WITH RECURSIVE
+def _cc_closure_ctes() -> str:
+    """Shared-5-gram edge set + recursive component closure (min label
+    per node) — the SQL replay of shared_shingle_pairs +
+    connected_components."""
+    return rf"""
 __d AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
 __sh AS (SELECT doc_id, {_5gram_sql()} AS sh FROM __d),
 __ds AS (SELECT doc_id, unnest(sh) AS g FROM __sh),
@@ -1569,10 +1572,91 @@ __walk(node, lbl) AS (
     SELECT e.dst, w.lbl FROM __walk w JOIN __e0 e ON e.src = w.node
     WHERE w.lbl < e.dst),
 __cc AS (SELECT node AS doc_id, min(lbl) AS cluster_id
-         FROM __walk GROUP BY node)
+         FROM __walk GROUP BY node)""".strip()
+
+
+_register("dedup_clusters", _q_dedup_clusters, rf"""
+WITH RECURSIVE
+{_cc_closure_ctes()}
 SELECT d.doc_id, CAST(coalesce(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id
 FROM documents d LEFT JOIN __cc c USING (doc_id)
 """.strip())
+
+
+def _q_dedup_keep_best(spark, sf_dir):
+    """Quality-aware cluster keeper: same 5-gram near-dup clusters as
+    `dedup_clusters`, but keep the longest doc per cluster (tie: min id)
+    instead of the min id."""
+    from carbonapi_spark.datapipe.cluster import dedup_keep_best
+    from carbonapi_spark.datapipe.dedup import shared_shingle_pairs
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    edges = shared_shingle_pairs(docs, ngram=5)
+    return dedup_keep_best(docs, edges, score_col="n_chars")
+
+
+_register("dedup_keep_best", _q_dedup_keep_best, rf"""
+WITH RECURSIVE
+{_cc_closure_ctes()}
+SELECT d.doc_id,
+       CAST(coalesce(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id,
+       (row_number() OVER (
+            PARTITION BY coalesce(c.cluster_id, d.doc_id)
+            ORDER BY d.n_chars DESC, d.doc_id) = 1) AS keep
+FROM documents d LEFT JOIN __cc c USING (doc_id)
+""".strip())
+
+
+def _q_shard_assignment(spark, sf_dir):
+    from carbonapi_spark.datapipe.sampling import shard_assignment
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return shard_assignment(docs, n_shards=32)
+
+
+def _shard_oracle() -> str:
+    from carbonapi_spark.oracle_xxh64 import xxh64_ctes
+    return f"""
+WITH __k AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS t FROM documents),
+{xxh64_ctes('__k', 't', 'h64', '__h')},
+__s AS (SELECT doc_id, ((h64 % 32) + 32) % 32 AS shard, h64 FROM __h)
+SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY h64, doc_id)
+            AS BIGINT) AS pos
+FROM __s
+""".strip()
+
+
+_register("shard_assignment", _q_shard_assignment, _shard_oracle())
+
+
+def _q_pack_sequences(spark, sf_dir):
+    from carbonapi_spark.datapipe.sampling import pack_sequences
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pack_sequences(docs, budget=256, n_shards=32)
+
+
+def _pack_oracle() -> str:
+    from carbonapi_spark.oracle_xxh64 import xxh64_ctes
+    ntok = (r"len(list_filter(string_split_regex(text, '\s+'),"
+            r" x -> x != ''))")
+    return f"""
+WITH __k AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS t,
+                    {ntok} AS nt
+             FROM documents),
+{xxh64_ctes('__k', 't', 'h64', '__h')},
+__s AS (SELECT doc_id, ((h64 % 32) + 32) % 32 AS shard, h64, nt FROM __h),
+__w AS (SELECT doc_id, shard,
+               sum(nt) OVER (PARTITION BY shard ORDER BY h64, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) - nt AS st
+        FROM __s)
+SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+       CAST(floor(st / 256.0) AS BIGINT) AS seq_in_shard,
+       CAST(st % 256 AS BIGINT) AS "offset"
+FROM __w
+""".strip()
+
+
+_register("pack_sequences", _q_pack_sequences, _pack_oracle())
 
 
 def _q_rep_filters(spark, sf_dir):
@@ -1697,6 +1781,9 @@ _DRIVER_PREFIX = [
     "contamination",      # train/benchmark n-gram overlap audit
     "stratified_sample",  # deterministic per-language mixing gate
     "tfidf_top",          # tf-idf top terms per doc
+    "dedup_keep_best",    # quality-aware cluster keeper policy
+    "shard_assignment",   # deterministic training-output layout
+    "pack_sequences",     # concat-split sequence packing
     # plan changed in round 5 — re-verify first
     "group_by_tags",     # string-op group key (no per-row tag map)
     "as_percent_total",  # single-vs-multi naming fused into the total agg

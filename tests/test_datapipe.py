@@ -448,3 +448,52 @@ def test_stream_minhash_candidates_matches_batch(spark, tmp_path):
     assert got == want
     assert (1, 2) in got        # exact dup found across... same batch
     assert (1, 4) in got or (2, 4) in got  # near dup found across runs
+
+
+def test_shard_assignment_layout(spark):
+    from carbonapi_spark.datapipe.sampling import shard_assignment
+    df = spark.createDataFrame([(i,) for i in range(500)], "doc_id LONG")
+    out = shard_assignment(df, n_shards=8).collect()
+    assert len(out) == 500
+    by_shard = {}
+    for r in out:
+        assert 0 <= r["shard"] < 8
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    # positions are 1..k dense within every shard
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+    # deterministic across runs
+    again = shard_assignment(df, n_shards=8).collect()
+    assert {(r["doc_id"], r["shard"], r["pos"]) for r in out} == \
+           {(r["doc_id"], r["shard"], r["pos"]) for r in again}
+
+
+def test_pack_sequences_contiguous(spark):
+    from carbonapi_spark.datapipe.sampling import pack_sequences
+    rows = [(i, " ".join(["tok"] * (5 + i % 7))) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = pack_sequences(df, budget=64, n_shards=4).collect()
+    assert len(out) == 200
+    ntok = {i: 5 + i % 7 for i in range(200)}
+    # replay the layout: per shard, docs sorted by (seq, offset) must tile
+    # the token stream contiguously with no gaps
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: (r["seq_in_shard"], r["offset"]))
+        cursor = 0
+        for r in rs:
+            assert r["seq_in_shard"] * 64 + r["offset"] == cursor
+            cursor += ntok[r["doc_id"]]
+
+
+def test_dedup_keep_best_prefers_long_docs(spark, docs):
+    from carbonapi_spark.datapipe.cluster import dedup_keep_best
+    pairs = spark.createDataFrame([(0, 1), (1, 2)], "id_a LONG, id_b LONG")
+    # doc 0/1 are 44 chars, doc 2 is 42: keeper is min-id among longest = 0
+    got = {r["doc_id"]: (r["cluster_id"], r["keep"])
+           for r in dedup_keep_best(docs, pairs).collect()}
+    assert got[0] == (0, True)
+    assert got[1] == (0, False) and got[2] == (0, False)
+    assert got[3] == (3, True) and got[4] == (4, True)  # isolated keep selves
