@@ -49,6 +49,8 @@ def main() -> None:
 
     from pyspark.sql import functions as F
 
+    from carbonapi_spark import scratch
+
     def run(fn):
         df = fn(spark, sf_dir)
         # consume the VALUES, not just the row count: a bare count() lets
@@ -56,6 +58,9 @@ def main() -> None:
         # offset, sigmoid, ...) would be timed without their arithmetic
         # cast to double: ANSI mode would throw on long-sum overflow
         df.agg(F.sum(F.xxhash64(*df.columns).cast("double"))).collect()
+        # request boundary: free per-query scratch caches, like the HTTP
+        # handler does — leaked CacheManager entries slow ALL later plans
+        scratch.release()
 
     # JMH-style untimed warmup pass: the first execution of each plan shape
     # pays one-time whole-stage-codegen compilation and JVM JIT (~3-5 s on

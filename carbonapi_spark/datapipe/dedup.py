@@ -196,9 +196,13 @@ def jaccard_verify(df: DataFrame, pairs: DataFrame, text_col: str = "text",
     Shingles are only computed for docs that appear in a candidate pair
     (semi-join first): candidates are a vanishing fraction of the corpus,
     so this skips re-shingling almost everything. ``pairs`` is referenced
-    twice (ids + the verify join), so it is persisted here — it is the
-    candidate table, small by construction at any corpus scale."""
-    pairs = pairs.persist()
+    twice (ids + the verify join), so it is persisted — via the
+    request-scoped scratch registry, so the request boundary frees the
+    blocks (a bare persist would leak one CacheManager entry per call).
+    It is the candidate table, small by construction at any corpus
+    scale."""
+    from carbonapi_spark import scratch
+    pairs = scratch.track(pairs)
     ids = (pairs.select(F.explode(F.array("id_a", "id_b")).alias(id_col))
            .distinct())
     sh = (df.join(ids, id_col, "left_semi")

@@ -263,6 +263,11 @@ class GraphiteAPI:
                     code, ctype, body = 400, "text/plain", str(exc).encode()
                 except Exception as exc:  # noqa: BLE001
                     code, ctype, body = 500, "text/plain", str(exc).encode()
+                finally:
+                    # request boundary: free any scratch caches operators
+                    # persisted while serving (see carbonapi_spark.scratch)
+                    from carbonapi_spark import scratch
+                    scratch.release()
                 self.send_response(code)
                 self.send_header("Content-Type", ctype)
                 self.send_header("Content-Length", str(len(body)))
