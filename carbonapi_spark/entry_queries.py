@@ -1458,6 +1458,101 @@ WHERE rk <= 10
 _register("ivf_topk", _q_ivf_topk, _ivf_topk_oracle())
 
 
+def _q_pq_adc_topk(spark, sf_dir):
+    """Product-quantization ADC top-k: the compressed-domain ANN path
+    (corpus reduced to 8 codebook indices per vector, distance = 8 table
+    lookups). Seeded codebooks (similarity.pq_codebooks) so the oracle
+    replays encode + ADC exactly; production uses pq_train."""
+    from carbonapi_spark.datapipe.similarity import pq_topk
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return pq_topk(emb, emb.where(F.col("vec_id") < 5), k=10, dim=64,
+                   m=8, ksub=16)
+
+
+def _pq_sql_ctes(m: int = 8, ksub: int = 16, dsub: int = 8,
+                 seed: int = 44) -> str:
+    """Shared encode + distance-table CTEs for the PQ oracles. Margin
+    safety at sf0.01: min argmin gap per subspace 1.7e-5 (measured) >>
+    double noise, so DuckDB and Spark assign identical codes."""
+    from carbonapi_spark.datapipe.similarity import pq_codebooks
+    cbs = pq_codebooks(m * dsub, m, ksub, seed)
+
+    def cb_lit(j: int) -> str:
+        return "[" + ",".join(
+            "[" + ",".join(repr(float(x)) for x in cw) + "]"
+            for cw in cbs[j]) + "]"
+
+    def dists(j: int) -> str:
+        return (f"list_transform({cb_lit(j)}, cw -> list_sum("
+                f"list_transform(range(1, {dsub + 1}), i -> "
+                f"(v[{j * dsub} + i] - cw[i]) * (v[{j * dsub} + i] - cw[i]))))")
+
+    d_cols = ",\n            ".join(f"{dists(j)} AS d{j}" for j in range(m))
+    code_cols = ", ".join(
+        f"list_indexof(d{j}, list_aggregate(d{j}, 'min')) AS c{j}"
+        for j in range(m))
+    adc = " + ".join(f"q.d{j}[c.c{j}]" for j in range(m))
+    return f"""
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+vd AS (SELECT vec_id, v,
+            {d_cols}
+       FROM v),
+c AS (SELECT vec_id AS neighbor_id, v AS cv, {code_cols} FROM vd),
+q AS (SELECT vec_id AS query_id, v AS qv, * FROM vd WHERE vec_id < 5),
+adc AS (SELECT q.query_id, c.neighbor_id, c.cv, q.qv,
+               round({adc}, 6) AS adc_dist
+        FROM c CROSS JOIN q WHERE c.neighbor_id != q.query_id)""".strip()
+
+
+_register("pq_adc_topk", _q_pq_adc_topk, f"""
+WITH {_pq_sql_ctes()}
+SELECT query_id, neighbor_id, adc_dist
+FROM (SELECT query_id, neighbor_id, adc_dist,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adc_dist, neighbor_id) AS rk
+      FROM adc)
+WHERE rk <= 10
+""".strip())
+
+
+def _q_pq_rerank(spark, sf_dir):
+    """ADC + exact rerank (the FAISS IVFPQ,Refine shape): PQ codes pick
+    the top-40 candidates in the compressed domain, exact cosine ranks
+    only those. Same seeded codebooks as pq_adc_topk."""
+    from carbonapi_spark.datapipe.similarity import pq_rerank_topk
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return pq_rerank_topk(emb, emb.where(F.col("vec_id") < 5), k=10, r=40,
+                          dim=64, m=8, ksub=16)
+
+
+_register("pq_rerank", _q_pq_rerank, f"""
+WITH {_pq_sql_ctes()},
+cand AS (SELECT query_id, neighbor_id, cv, qv
+         FROM (SELECT query_id, neighbor_id, cv, qv,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY adc_dist, neighbor_id) AS rk
+               FROM adc)
+         WHERE rk <= 40)
+SELECT query_id, neighbor_id, cos_sim
+FROM (SELECT query_id, neighbor_id,
+             round(CASE WHEN sqrt(list_dot_product(qv, qv))
+                             * sqrt(list_dot_product(cv, cv)) > 0
+                        THEN list_dot_product(qv, cv)
+                             / (sqrt(list_dot_product(qv, qv))
+                                * sqrt(list_dot_product(cv, cv))) END, 6)
+             AS cos_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY round(CASE WHEN sqrt(list_dot_product(qv, qv))
+                                                        * sqrt(list_dot_product(cv, cv)) > 0
+                                                    THEN list_dot_product(qv, cv)
+                                                         / (sqrt(list_dot_product(qv, qv))
+                                                            * sqrt(list_dot_product(cv, cv))) END, 6) DESC,
+                                         neighbor_id) AS rk
+      FROM cand)
+WHERE rk <= 10
+""".strip())
+
+
 # --------------------------------------------------------------------------
 # round 1, batch 5: embedding near-dup + vocabulary stats
 # --------------------------------------------------------------------------
@@ -1784,6 +1879,8 @@ _DRIVER_PREFIX = [
     "dedup_keep_best",    # quality-aware cluster keeper policy
     "shard_assignment",   # deterministic training-output layout
     "pack_sequences",     # concat-split sequence packing
+    "pq_adc_topk",        # product-quantization ADC ANN (compressed domain)
+    "pq_rerank",          # ADC candidates + exact rerank (IVFPQ,Refine shape)
     # plan changed in round 5 — re-verify first
     "group_by_tags",     # string-op group key (no per-row tag map)
     "as_percent_total",  # single-vs-multi naming fused into the total agg

@@ -497,3 +497,69 @@ def test_dedup_keep_best_prefers_long_docs(spark, docs):
     assert got[0] == (0, True)
     assert got[1] == (0, False) and got[2] == (0, False)
     assert got[3] == (3, True) and got[4] == (4, True)  # isolated keep selves
+
+
+def _clustered_vecs(spark, dim=16, n=2000):
+    cluster = F.col("id") - F.col("id") % 10
+    u = lambda key: (F.pmod(F.xxhash64(key), F.lit(2001)) / 1000.0 - 1.0)
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: u(cluster * 131 + i) + u(F.col("id") * 977 + i) * 0.1)
+    return (spark.range(n)
+            .select(F.col("id").alias("vec_id"), vec.alias("embedding")))
+
+
+def test_pq_encode_shape_and_determinism(spark):
+    from carbonapi_spark.datapipe.similarity import pq_codebooks, pq_encode
+    vecs = _clustered_vecs(spark, dim=16, n=50)
+    cbs = pq_codebooks(dim=16, m=4, ksub=8)
+    a = {r["vec_id"]: r["codes"] for r in pq_encode(vecs, cbs).collect()}
+    b = {r["vec_id"]: r["codes"] for r in pq_encode(vecs, cbs).collect()}
+    assert a == b
+    assert all(len(c) == 4 and all(1 <= x <= 8 for x in c)
+               for c in a.values())
+
+
+def test_pq_topk_codebooks_override_m():
+    """Regression: dsub must come from the passed codebooks, not the m
+    argument (a trained m=16 codebook through default m=8 sliced wrong)."""
+    from carbonapi_spark.datapipe.similarity import pq_codebooks, pq_topk
+    import inspect
+    src = inspect.getsource(pq_topk)
+    assert "len(cbs[0][0])" in src
+    cbs = pq_codebooks(dim=16, m=8, ksub=4)  # dsub=2, not dim//default m
+    assert len(cbs[0][0]) == 2
+
+
+def test_pq_rerank_recall_and_training(spark):
+    """The PQ family contract on a clustered corpus: (1) ADC+rerank
+    recall@10 beats raw ADC, (2) trained codebooks beat seeded ones,
+    (3) trained+rerank clears 0.9 — the production configuration."""
+    from carbonapi_spark.datapipe.similarity import (
+        brute_force_topk, pq_codebooks, pq_topk, pq_rerank_topk, pq_train)
+    dim = 16
+    vecs = _clustered_vecs(spark, dim=dim, n=2000)
+    q = vecs.where(F.col("vec_id") % 250 == 3)
+
+    def sets(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return out
+
+    def recall(approx, truth):
+        return sum(len(truth[k_] & approx.get(k_, set()))
+                   for k_ in truth) / (10 * len(truth))
+
+    truth = sets(brute_force_topk(vecs, q, k=10))
+    seeded = pq_codebooks(dim=dim, m=4, ksub=16)
+    r_adc = recall(sets(pq_topk(vecs, q, k=10, codebooks=seeded)), truth)
+    r_rr = recall(sets(pq_rerank_topk(vecs, q, k=10, r=100,
+                                      codebooks=seeded)), truth)
+    sample = [r["embedding"] for r in vecs.limit(1000).collect()]
+    trained = pq_train(sample, m=4, ksub=16)
+    r_tr = recall(sets(pq_rerank_topk(vecs, q, k=10, r=100,
+                                      codebooks=trained)), truth)
+    assert r_rr >= r_adc
+    assert r_tr >= r_rr - 1e-9
+    assert r_tr >= 0.9

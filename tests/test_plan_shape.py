@@ -151,3 +151,26 @@ def test_shingle_pair_edges_single_bucket_shuffle(spark):
     ex, bhj, smj = _df_shape(shared_shingle_pairs(docs))
     assert (bhj, smj) == (0, 0)
     assert ex <= 3  # spread + bucket agg + pair distinct
+
+
+def test_pq_adc_corpus_no_shuffle(spark):
+    """pq_topk: the corpus must flow scan -> encode projection ->
+    broadcast-join -> top-k window with NO corpus-side hash exchange
+    before the join (encoding is stateless; the query distance tables are
+    broadcast). Only the final per-query window may hash-partition, and
+    that is over candidate rows."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from carbonapi_spark.datapipe.similarity import pq_codebooks, pq_topk
+    vecs = (spark.range(64)
+            .select(F.col("id").alias("vec_id"),
+                    F.transform(F.sequence(F.lit(0), F.lit(7)),
+                                lambda i: (F.col("id") + i).cast("double"))
+                    .alias("embedding")))
+    cbs = pq_codebooks(dim=8, m=2, ksub=4)
+    df = pq_topk(vecs, vecs.limit(2), k=3, codebooks=cbs)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 1

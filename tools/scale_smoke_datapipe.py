@@ -128,6 +128,24 @@ def main():
             lambda: ivf_topk(vecs, q, k=10, dim=dim, n_centroids=16,
                              nprobe=np_))
 
+    # PQ/ADC: compressed-domain ranking (32x smaller corpus scan), with
+    # and without exact rerank, seeded vs trained codebooks — the numbers
+    # behind "ADC is a candidate generator; refine with exact distances"
+    from carbonapi_spark.datapipe.similarity import (
+        pq_codebooks, pq_rerank_topk, pq_topk, pq_train)
+    m, ksub = 8, 16
+    seeded = pq_codebooks(dim=dim, m=m, ksub=ksub)
+    sample = [r["embedding"] for r in vecs.limit(5000).collect()]
+    trained = pq_train(sample, m=m, ksub=ksub)
+    recall["pq_adc_seeded"] = measure(
+        lambda: pq_topk(vecs, q, k=10, codebooks=seeded))
+    recall["pq_adc_trained"] = measure(
+        lambda: pq_topk(vecs, q, k=10, codebooks=trained))
+    recall["pq_rerank100_seeded"] = measure(
+        lambda: pq_rerank_topk(vecs, q, k=10, r=100, codebooks=seeded))
+    recall["pq_rerank100_trained"] = measure(
+        lambda: pq_rerank_topk(vecs, q, k=10, r=100, codebooks=trained))
+
     # connected components at graph scale, pure-distributed star rounds
     # (finish_threshold=0 disables the driver union-find finisher): a
     # union of many small near-dup clusters plus some 1000-node chains —
