@@ -162,3 +162,69 @@ def tfidf_top_terms(df: DataFrame, text_col: str = "text",
             .where(F.col("rank") <= k)
             .select("doc_id", "term", "tfidf", F.col("rank").cast("long")
                     .alias("rank")))
+
+
+def unigram_logprob_table(df: DataFrame, text_col: str = "text",
+                          alpha: float = 0.5) -> DataFrame:
+    """(term, logp) for every corpus term: smoothed unigram language model
+    log-probabilities, ln((count + alpha) / (total + alpha * vocab)).
+
+    One hash aggregation over the exploded token stream (map-side
+    combined); the result is vocabulary-sized — small enough to broadcast
+    back against the corpus, the same economy as ``tfidf_top_terms``'s
+    document-frequency side."""
+    tf = (df.select(F.explode(tokens(F.lower(F.col(text_col))))
+                    .alias("term"))
+          .groupBy("term").agg(F.count(F.lit(1)).alias("n")))
+    tot = tf.agg(F.sum("n").alias("total"),
+                 F.count(F.lit(1)).alias("vocab"))
+    return (tf.crossJoin(F.broadcast(tot))
+            .select("term",
+                    F.log((F.col("n") + F.lit(alpha))
+                          / (F.col("total") + F.lit(alpha) * F.col("vocab")))
+                    .alias("logp")))
+
+
+def perplexity_buckets(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", alpha: float = 0.5,
+                       buckets: int = 3) -> DataFrame:
+    """CCNet-style quality partitioning (Wenzek et al., "CCNet: Extracting
+    High Quality Monolingual Datasets from Web Crawl Data", LREC 2020):
+    score every document by language-model cross-entropy and split the
+    corpus into quality buckets (CCNet's head/middle/tail terciles).
+
+    CCNet scores with KenLM; here the model is the corpus's own smoothed
+    unigram LM (``unigram_logprob_table``) — deterministic, SQL-replayable,
+    and the right *shape*: a broadcast (term, logp) table joined against
+    the exploded token stream, one aggregation per doc, then a global
+    ``ntile`` over the cross-entropy. A real KenLM would slot in as a
+    scoring UDF without changing the plan. Returns
+    (doc_id, cross_entropy, bucket) — bucket 1 = head (lowest entropy).
+
+    Scale note: the ntile window is a single global sort of ONE ROW PER
+    DOC (id + double), not of the corpus text — the same economy as
+    ``shard_assignment``'s per-shard rank. Empty-token docs get the
+    corpus's worst entropy + 1 so they land in the tail deterministically."""
+    from pyspark.sql.window import Window
+    lm = unigram_logprob_table(df, text_col, alpha)
+    # OOV floor: scoring a doc against an LM trained elsewhere must
+    # PENALIZE unknown tokens, not skip them (avg ignores nulls — that
+    # would reward garbage). One tiny agg over the vocab-sized lm table,
+    # not a second corpus pass; self-scored corpora never hit it.
+    floor = lm.agg((F.min("logp") - F.log(F.lit(2.0))).alias("__oov"))
+    toks = (df.select(F.col(id_col),
+                      F.explode_outer(tokens(F.lower(F.col(text_col))))
+                      .alias("term")))
+    scored = (toks.join(F.broadcast(lm), "term", "left")
+              .crossJoin(F.broadcast(floor))
+              .groupBy(id_col)
+              .agg((-F.avg(F.when(F.col("term").isNull(), F.lit(None))
+                           .otherwise(F.coalesce("logp", F.col("__oov")))))
+                   .alias("__h")))
+    worst = scored.agg(F.max("__h").alias("__worst"))
+    scored = (scored.crossJoin(F.broadcast(worst))
+              .select(id_col,
+                      F.round(F.coalesce("__h", F.col("__worst") + 1), 6)
+                      .alias("cross_entropy")))
+    w = Window.orderBy(F.asc("cross_entropy"), F.asc(id_col))
+    return scored.withColumn("bucket", F.ntile(buckets).over(w))

@@ -1861,6 +1861,37 @@ QUALIFY rank <= 3
 """.strip())
 
 
+def _q_ppl_buckets(spark, sf_dir):
+    """CCNet-style quality partitioning: per-doc cross-entropy under the
+    corpus's smoothed unigram LM, ntile'd into head/middle/tail buckets
+    (Wenzek et al. 2020; KenLM swaps in without changing the plan)."""
+    from carbonapi_spark.datapipe.text import perplexity_buckets
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return perplexity_buckets(docs, buckets=3)
+
+
+_register("ppl_buckets", _q_ppl_buckets, r"""
+WITH __t AS (SELECT doc_id, unnest(list_filter(
+                 string_split_regex(lower(text), '\s+'), x -> x != ''))
+                 AS term
+             FROM documents),
+__tf AS (SELECT term, count(*) AS n FROM __t GROUP BY term),
+__tot AS (SELECT sum(n) AS total, count(*) AS vocab FROM __tf),
+__lm AS (SELECT term, ln((n + 0.5) / (total + 0.5 * vocab)) AS logp
+         FROM __tf CROSS JOIN __tot),
+__sc AS (SELECT doc_id, -avg(logp) AS h
+         FROM __t JOIN __lm USING (term) GROUP BY doc_id),
+__all AS (SELECT d.doc_id,
+                 round(coalesce(h, (SELECT max(h) + 1 FROM __sc)), 6)
+                 AS cross_entropy
+          FROM documents d LEFT JOIN __sc USING (doc_id))
+SELECT doc_id, cross_entropy,
+       CAST(ntile(3) OVER (ORDER BY cross_entropy, doc_id) AS INTEGER)
+       AS bucket
+FROM __all
+""".strip())
+
+
 # ---------------------------------------------------------------------------
 # Driver-visibility ordering. The correctness driver checks at most the first
 # 50 catalog entries per round.  Rotation policy: the prefix lists ONLY the
@@ -1881,6 +1912,7 @@ _DRIVER_PREFIX = [
     "pack_sequences",     # concat-split sequence packing
     "pq_adc_topk",        # product-quantization ADC ANN (compressed domain)
     "pq_rerank",          # ADC candidates + exact rerank (IVFPQ,Refine shape)
+    "ppl_buckets",        # CCNet-style unigram cross-entropy quality terciles
     # plan changed in round 5 — re-verify first
     "group_by_tags",     # string-op group key (no per-row tag map)
     "as_percent_total",  # single-vs-multi naming fused into the total agg

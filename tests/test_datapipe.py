@@ -563,3 +563,32 @@ def test_pq_rerank_recall_and_training(spark):
     assert r_rr >= r_adc
     assert r_tr >= r_rr - 1e-9
     assert r_tr >= 0.9
+
+
+def test_perplexity_buckets(spark):
+    """Common-token docs -> head (bucket 1), rare-token docs -> tail,
+    empty docs -> tail with the sentinel worst+1 entropy."""
+    from carbonapi_spark.datapipe.text import perplexity_buckets
+    rows = [(i, "the cat sat on the mat") for i in range(6)]
+    rows += [(6, "zyx qwv kjh"), (7, "   ")]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {r["doc_id"]: r for r in perplexity_buckets(docs).collect()}
+    assert len(got) == 8
+    assert got[0]["bucket"] == 1            # common tokens: head
+    assert got[6]["bucket"] == 3            # rare tokens: tail
+    assert got[7]["bucket"] == 3            # empty: tail
+    assert got[7]["cross_entropy"] > got[6]["cross_entropy"]
+    assert got[0]["cross_entropy"] < got[6]["cross_entropy"]
+
+
+def test_unigram_lm_oov_penalized(spark):
+    """Scoring a foreign doc against a corpus-trained LM must penalize
+    OOV tokens below every in-vocab token, not skip them."""
+    from carbonapi_spark.datapipe.text import perplexity_buckets
+    docs = spark.createDataFrame(
+        [(0, "aa bb aa bb"), (1, "aa bb cc dd")],
+        "doc_id LONG, text STRING")
+    got = {r["doc_id"]: r["cross_entropy"]
+           for r in perplexity_buckets(docs, buckets=2).collect()}
+    # doc 1's singletons (cc, dd) are rarer than doc 0's tokens
+    assert got[1] > got[0]
