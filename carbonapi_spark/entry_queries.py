@@ -1861,6 +1861,36 @@ QUALIFY rank <= 3
 """.strip())
 
 
+def _q_sessionize(spark, sf_dir):
+    """Gap-based sessionization with the built-in session_window (dynamic
+    gap merging in the engine; same expression serves the watermarked
+    stream). Oracle replays it as the classic lag-gap-cumsum."""
+    from carbonapi_spark.streaming.sessions import sessionize
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = sessionize(ev, key_col="user_id", time_col="ts", gap="4 hours")
+    return out.withColumn("sum_value", F.round("sum_value", 6))
+
+
+_register("sessionize", _q_sessionize, """
+WITH __e AS (SELECT user_id, ts, value,
+                    CASE WHEN ts >= lag(ts) OVER w + INTERVAL 4 HOUR
+                              OR lag(ts) OVER w IS NULL
+                         THEN 1 ELSE 0 END AS new_s
+             FROM events
+             WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+__s AS (SELECT user_id, ts, value,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM __e)
+SELECT user_id,
+       CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+       CAST(floor(epoch(max(ts) + INTERVAL 4 HOUR)) AS BIGINT) AS session_end,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM __s GROUP BY user_id, sid
+""".strip())
+
+
 def _q_ppl_buckets(spark, sf_dir):
     """CCNet-style quality partitioning: per-doc cross-entropy under the
     corpus's smoothed unigram LM, ntile'd into head/middle/tail buckets
@@ -1913,6 +1943,7 @@ _DRIVER_PREFIX = [
     "pq_adc_topk",        # product-quantization ADC ANN (compressed domain)
     "pq_rerank",          # ADC candidates + exact rerank (IVFPQ,Refine shape)
     "ppl_buckets",        # CCNet-style unigram cross-entropy quality terciles
+    "sessionize",         # session_window gap sessions (stream-ready)
     # plan changed in round 5 — re-verify first
     "group_by_tags",     # string-op group key (no per-row tag map)
     "as_percent_total",  # single-vs-multi naming fused into the total agg

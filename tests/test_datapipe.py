@@ -592,3 +592,56 @@ def test_unigram_lm_oov_penalized(spark):
            for r in perplexity_buckets(docs, buckets=2).collect()}
     # doc 1's singletons (cc, dd) are rarer than doc 0's tokens
     assert got[1] > got[0]
+
+
+def test_sessionize_batch_semantics(spark):
+    """Gap sessions: events within the gap chain into one session; a gap
+    >= timeout splits. end = last event + gap (session_window contract)."""
+    from carbonapi_spark.streaming.sessions import sessionize
+    rows = [(1, 0), (1, 100), (1, 250),     # chain: every gap < 300s
+            (1, 900), (1, 1000),            # 250+300<=900 -> new session
+            (2, 0)]                          # other key untouched
+    ev = spark.createDataFrame(
+        [(u, t, 1.0) for u, t in rows], "user_id LONG, sec LONG, value DOUBLE"
+    ).select("user_id", F.timestamp_seconds("sec").alias("ts"), "value")
+    got = {(r["user_id"], r["session_start"]):
+           (r["session_end"], r["n_events"], r["sum_value"])
+           for r in sessionize(ev, gap="5 minutes").collect()}
+    assert got == {(1, 0): (550, 3, 3.0),
+                   (1, 900): (1300, 2, 2.0),
+                   (2, 0): (300, 1, 1.0)}
+
+
+def test_sessionize_stream_matches_batch(spark, tmp_path):
+    """The SAME sessionize expression over a watermarked stream emits
+    exactly the batch sessions once the watermark passes them; sessions
+    the watermark hasn't closed stay in state (append-mode contract)."""
+    import json
+    from carbonapi_spark.streaming.sessions import sessionize
+    src, out, ck = tmp_path / "ssrc", tmp_path / "sout", tmp_path / "sck"
+    src.mkdir()
+    rows = [(1, 0), (1, 100), (1, 900), (2, 0), (2, 5000)]
+    (src / "a.json").write_text("\n".join(
+        json.dumps({"user_id": u, "sec": t, "value": 1.0})
+        for u, t in rows))
+
+    def prep(df):
+        return df.select("user_id",
+                         F.timestamp_seconds("sec").alias("ts"), "value")
+
+    def stream():
+        s = (spark.readStream
+             .schema("user_id LONG, sec LONG, value DOUBLE").json(str(src)))
+        return sessionize(prep(s), gap="5 minutes", watermark="1 minute")
+
+    _run_stream(stream, src, out, ck)
+    # a far-future event (2nd run, checkpointed state) advances the
+    # watermark past every first-file session, flushing them all
+    (src / "b.json").write_text(
+        json.dumps({"user_id": 9, "sec": 10_000_000, "value": 1.0}))
+    _run_stream(stream, src, out, ck)
+    batch = prep(spark.read.schema("user_id LONG, sec LONG, value DOUBLE")
+                 .json(str(src / "a.json")))
+    want = {tuple(r) for r in sessionize(batch, gap="5 minutes").collect()}
+    got = {tuple(r) for r in spark.read.parquet(str(out)).collect()}
+    assert got == want and len(got) == 4  # user 9's open session withheld
