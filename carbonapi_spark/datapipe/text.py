@@ -228,3 +228,52 @@ def perplexity_buckets(df: DataFrame, text_col: str = "text",
                       .alias("cross_entropy")))
     w = Window.orderBy(F.asc("cross_entropy"), F.asc(id_col))
     return scored.withColumn("bucket", F.ntile(buckets).over(w))
+
+
+PII_PATTERNS: list[tuple[str, str]] = [
+    # (regex, replacement token) — the C4/CCNet-style scrub set; order is
+    # applied top-down so emails win over bare domains etc.
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    (r"\+?\d[\d\s().-]{7,}\d", "<PHONE>"),
+]
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace emails / IPv4s / phone-shaped digit runs with typed
+    placeholder tokens — the standard pre-training scrub pass. Chained
+    ``regexp_replace`` stays a single codegen'd projection over the scan
+    (one pass per pattern, no shuffle, no Python)."""
+    out = text
+    for pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def line_dedup(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id", min_docs: int = 2) -> DataFrame:
+    """Corpus-level duplicate-line removal (the C4 "three-sentence" /
+    CCNet paragraph-dedup stage, Raffel et al. 2020 §2.2): a line that
+    occurs in >= ``min_docs`` DISTINCT documents is boilerplate
+    (headers, cookie banners, navigation) and is dropped from every
+    document; surviving lines are reassembled in original order.
+
+    Scale shape: lines are keyed by xxhash64 BEFORE the exchange (8-byte
+    shuffle keys, not line strings); the boilerplate set is
+    vocabulary-like — tiny next to the corpus — and comes back as a
+    broadcast anti-join. Reassembly is one groupBy(doc) of (pos, line)
+    pairs, shuffled once."""
+    lines = (df.select(F.col(id_col),
+                       F.posexplode(F.split(F.col(text_col), "\n"))
+                       .alias("__pos", "__line"))
+             .withColumn("__h", F.xxhash64("__line")))
+    boiler = (lines.groupBy("__h")
+              .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
+              .where(F.col("__nd") >= min_docs)
+              .select("__h"))
+    kept = lines.join(F.broadcast(boiler), "__h", "left_anti")
+    return (kept.groupBy(id_col)
+            .agg(F.array_join(
+                F.transform(F.array_sort(F.collect_list(
+                    F.struct("__pos", "__line"))), lambda s: s["__line"]),
+                "\n").alias(text_col)))

@@ -1861,6 +1861,76 @@ QUALIFY rank <= 3
 """.strip())
 
 
+def _q_line_dedup(spark, sf_dir):
+    """C4-style duplicate-line removal (Raffel et al. 2020 §2.2). The
+    synthetic docs are single-line, so a shared boilerplate footer is
+    appended first (both sides build the same input); line_dedup must
+    strip the footer from every doc and drop fully-boilerplate docs
+    (exact-dup texts are themselves shared lines)."""
+    from carbonapi_spark.datapipe.text import line_dedup
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id",
+                    F.concat_ws("\n", F.col("text"),
+                                F.lit("standard cookie banner"),
+                                F.lit("all rights reserved")).alias("text")))
+    return line_dedup(docs, min_docs=2)
+
+
+_register("line_dedup", _q_line_dedup, """
+WITH __d AS (SELECT doc_id,
+                    text || chr(10) || 'standard cookie banner'
+                         || chr(10) || 'all rights reserved' AS text
+             FROM documents),
+__l AS (SELECT doc_id,
+               unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos,
+               unnest(string_split(text, chr(10))) AS line
+        FROM __d),
+__b AS (SELECT line FROM __l GROUP BY line
+        HAVING count(DISTINCT doc_id) >= 2)
+SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+FROM __l ANTI JOIN __b USING (line)
+GROUP BY doc_id
+""".strip())
+
+
+def _q_redact_pii(spark, sf_dir):
+    """PII scrub: emails / IPv4s / phone-shaped digit runs replaced with
+    typed placeholders. Deterministic synthetic PII is appended per doc
+    (both sides build the same input) since the corpus has none."""
+    from carbonapi_spark.datapipe.text import redact_pii
+    d = F.col("doc_id")
+    withpii = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+               .select(d, F.concat(
+                   F.col("text"),
+                   F.lit(" contact u"), d.cast("string"),
+                   F.lit("@example"), F.lit(".com from 10.0."),
+                   (d % 200).cast("string"), F.lit("."),
+                   (d % 250).cast("string"),
+                   F.lit(" tel +1 (555) 010-"),
+                   F.lpad((d % 10000).cast("string"), 4, "0"))
+                   .alias("text")))
+    return withpii.select("doc_id", redact_pii(F.col("text")).alias("text"))
+
+
+_register("redact_pii", _q_redact_pii, r"""
+WITH __d AS (SELECT doc_id,
+                    text || ' contact u' || CAST(doc_id AS VARCHAR)
+                         || '@example' || '.com from 10.0.'
+                         || CAST(doc_id % 200 AS VARCHAR) || '.'
+                         || CAST(doc_id % 250 AS VARCHAR)
+                         || ' tel +1 (555) 010-'
+                         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                    AS text
+             FROM documents)
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+           '\+?\d[\d\s().-]{7,}\d', '<PHONE>', 'g') AS text
+FROM __d
+""".strip())
+
+
 def _q_sessionize(spark, sf_dir):
     """Gap-based sessionization with the built-in session_window (dynamic
     gap merging in the engine; same expression serves the watermarked
@@ -1944,6 +2014,8 @@ _DRIVER_PREFIX = [
     "pq_rerank",          # ADC candidates + exact rerank (IVFPQ,Refine shape)
     "ppl_buckets",        # CCNet-style unigram cross-entropy quality terciles
     "sessionize",         # session_window gap sessions (stream-ready)
+    "line_dedup",         # C4 duplicate-line boilerplate removal
+    "redact_pii",         # email/IP/phone scrub
     # plan changed in round 5 — re-verify first
     "group_by_tags",     # string-op group key (no per-row tag map)
     "as_percent_total",  # single-vs-multi naming fused into the total agg

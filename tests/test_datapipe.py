@@ -645,3 +645,26 @@ def test_sessionize_stream_matches_batch(spark, tmp_path):
     want = {tuple(r) for r in sessionize(batch, gap="5 minutes").collect()}
     got = {tuple(r) for r in spark.read.parquet(str(out)).collect()}
     assert got == want and len(got) == 4  # user 9's open session withheld
+
+
+def test_line_dedup_removes_boilerplate(spark):
+    """A line present in >= min_docs distinct docs is boilerplate and is
+    removed from every doc; surviving lines keep their original order;
+    docs with nothing left are dropped."""
+    from carbonapi_spark.datapipe.text import line_dedup
+    docs = spark.createDataFrame(
+        [(1, "unique alpha\nshared footer\nunique beta"),
+         (2, "other text\nshared footer"),
+         (3, "shared footer")],
+        "doc_id LONG, text STRING")
+    got = {r["doc_id"]: r["text"] for r in line_dedup(docs).collect()}
+    assert got == {1: "unique alpha\nunique beta", 2: "other text"}
+
+
+def test_redact_pii(spark):
+    from carbonapi_spark.datapipe.text import redact_pii
+    df = spark.createDataFrame(
+        [(1, "mail a.b+c@test.org or 192.168.0.1 or +1 (555) 010-7788 end")],
+        "doc_id LONG, text STRING")
+    out = df.select(redact_pii(F.col("text")).alias("t")).first()["t"]
+    assert out == "mail <EMAIL> or <IP> or <PHONE> end"
