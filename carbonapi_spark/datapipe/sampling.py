@@ -83,3 +83,39 @@ def pack_sequences(df: DataFrame, budget: int, n_shards: int = 32,
                     .alias("seq_in_shard"),
                     F.pmod(F.col("__start"), F.lit(budget)).cast("long")
                     .alias("offset")))
+
+
+def chunk_documents(df: DataFrame, max_tokens: int = 128,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Split every document into consecutive chunks of at most
+    ``max_tokens`` whitespace tokens, preserving order — the
+    context-window prep stage before embedding or training (each chunk
+    becomes a unit for the similarity / packing ops downstream).
+
+    Pure per-row array work (tokenize once, ``slice`` per chunk via one
+    ``posexplode`` over the chunk count): a stateless projection with no
+    shuffle at any corpus size, unlike ``pack_sequences`` which
+    re-concatenates ACROSS documents and therefore must shuffle.
+    Returns (doc_id, chunk_idx, n_tokens, text); empty docs yield no
+    rows."""
+    from carbonapi_spark.datapipe.text import tokens
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    n_chunks = F.ceil(n / F.lit(max_tokens)).cast("int")
+    # sequence(1, 0) DESCENDS in Spark, so 0-chunk (empty) docs need the
+    # explicit empty array — posexplode then drops them entirely
+    chunk_seq = F.when(n_chunks > 0, F.sequence(F.lit(1), n_chunks)) \
+        .otherwise(F.array().cast("array<int>"))
+    return (df.select(F.col(id_col), toks.alias("__t"), n.alias("__n"),
+                      F.posexplode(chunk_seq)
+                      .alias("chunk_idx", "__dummy"))
+            .select(id_col,
+                    F.col("chunk_idx").cast("long").alias("chunk_idx"),
+                    F.least(F.col("__n") - F.col("chunk_idx") * max_tokens,
+                            F.lit(max_tokens)).cast("long")
+                    .alias("n_tokens"),
+                    F.array_join(
+                        F.slice(F.col("__t"),
+                                F.col("chunk_idx") * max_tokens + 1,
+                                max_tokens), " ").alias(text_col)))

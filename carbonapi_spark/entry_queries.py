@@ -1861,6 +1861,27 @@ QUALIFY rank <= 3
 """.strip())
 
 
+def _q_chunk_documents(spark, sf_dir):
+    """Context-window chunking: docs split into <=32-token pieces, order
+    preserved — stateless projection, no shuffle (plan property)."""
+    from carbonapi_spark.datapipe.sampling import chunk_documents
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return chunk_documents(docs, max_tokens=32)
+
+
+_register("chunk_documents", _q_chunk_documents, rf"""
+WITH __d AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+__c AS (SELECT doc_id, toks, len(toks) AS n,
+               unnest(range(CAST(ceil(len(toks) / 32.0) AS INT))) AS chunk_idx
+        FROM __d WHERE len(toks) > 0)
+SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(least(n - chunk_idx * 32, 32) AS BIGINT) AS n_tokens,
+       array_to_string(toks[chunk_idx * 32 + 1 : chunk_idx * 32 + 32], ' ')
+       AS text
+FROM __c
+""".strip())
+
+
 def _q_line_dedup(spark, sf_dir):
     """C4-style duplicate-line removal (Raffel et al. 2020 §2.2). The
     synthetic docs are single-line, so a shared boilerplate footer is
@@ -2016,6 +2037,7 @@ _DRIVER_PREFIX = [
     "sessionize",         # session_window gap sessions (stream-ready)
     "line_dedup",         # C4 duplicate-line boilerplate removal
     "redact_pii",         # email/IP/phone scrub
+    "chunk_documents",    # context-window token chunking
     # plan changed in round 5 — re-verify first
     "group_by_tags",     # string-op group key (no per-row tag map)
     "as_percent_total",  # single-vs-multi naming fused into the total agg

@@ -668,3 +668,14 @@ def test_redact_pii(spark):
         "doc_id LONG, text STRING")
     out = df.select(redact_pii(F.col("text")).alias("t")).first()["t"]
     assert out == "mail <EMAIL> or <IP> or <PHONE> end"
+
+
+def test_chunk_documents(spark):
+    from carbonapi_spark.datapipe.sampling import chunk_documents
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "x y"), (3, "   ")],
+        "doc_id LONG, text STRING")
+    got = {(r["doc_id"], r["chunk_idx"]): (r["n_tokens"], r["text"])
+           for r in chunk_documents(docs, max_tokens=3).collect()}
+    assert got == {(1, 0): (3, "a b c"), (1, 1): (3, "d e f"),
+                   (1, 2): (1, "g"), (2, 0): (2, "x y")}
