@@ -174,3 +174,26 @@ def test_pq_adc_corpus_no_shuffle(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastExchange" in plan
     assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 1
+
+
+def test_chunk_documents_no_shuffle(spark):
+    """chunk_documents is a stateless projection: zero exchanges."""
+    from pyspark.sql import functions as F
+
+    from carbonapi_spark.datapipe.sampling import chunk_documents
+    docs = spark.range(8).select(F.col("id").alias("doc_id"),
+                                 F.lit("a b c d e").alias("text"))
+    assert _df_exchanges(chunk_documents(docs, max_tokens=2)) == 0
+
+
+def test_line_dedup_hash_keys_before_exchange(spark):
+    """line_dedup shuffles 8-byte xxhash64 line keys, not line strings,
+    and the boilerplate set comes back as a broadcast anti-join."""
+    from pyspark.sql import functions as F
+
+    from carbonapi_spark.datapipe.text import line_dedup
+    docs = spark.range(8).select(F.col("id").alias("doc_id"),
+                                 F.lit("l1\nshared").alias("text"))
+    plan = line_dedup(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan          # boilerplate set broadcast
+    assert "xxhash64" in plan                   # hashed shuffle keys
