@@ -679,3 +679,40 @@ def test_chunk_documents(spark):
            for r in chunk_documents(docs, max_tokens=3).collect()}
     assert got == {(1, 0): (3, "a b c"), (1, 1): (3, "d e f"),
                    (1, 2): (1, "g"), (2, 0): (2, "x y")}
+
+
+def test_streaming_pipeline_composition(spark, tmp_path):
+    """One streaming job composing the pipeline stages: PII redaction ->
+    quality gate -> exact dedup. Stateless projections chain freely in
+    front of the stateful op; redaction runs BEFORE hashing, so two docs
+    differing only in their PII dedup to one."""
+    import json
+    from carbonapi_spark.datapipe.text import redact_pii, token_count
+    from carbonapi_spark.streaming.stateful import stream_dedup_exact
+    src, out, ck = tmp_path / "psrc", tmp_path / "pout", tmp_path / "pck"
+    src.mkdir()
+    (src / "a.json").write_text("\n".join(json.dumps(d) for d in [
+        {"doc_id": 1, "text": "mail me at a@b.io please"},
+        {"doc_id": 2, "text": "mail me at z@q.org please"},   # dup after scrub
+        {"doc_id": 3, "text": "short"},                        # fails gate
+        {"doc_id": 4, "text": "totally different words here"},
+    ]))
+
+    def stream():
+        s = (spark.readStream.schema("doc_id LONG, text STRING")
+             .json(str(src)))
+        cleaned = (s.select("doc_id",
+                            redact_pii(F.col("text")).alias("text"))
+                   .where(token_count(F.col("text")) >= 3))
+        return stream_dedup_exact(cleaned)
+
+    _run_stream(stream, src, out, ck)
+    kept = {r["doc_id"] for r in spark.read.parquet(str(out)).collect()}
+    assert kept == {1, 4}  # 2 dedup'd against 1 post-scrub, 3 gated out
+
+    # later micro-batch (restart from checkpoint): another scrub-dup drops
+    (src / "b.json").write_text(json.dumps(
+        {"doc_id": 5, "text": "mail me at new@new.net please"}))
+    _run_stream(stream, src, out, ck)
+    kept = {r["doc_id"] for r in spark.read.parquet(str(out)).collect()}
+    assert kept == {1, 4}
