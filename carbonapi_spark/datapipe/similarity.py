@@ -245,8 +245,29 @@ def _nested_array_lit(rows: list[list[float]]) -> Column:
     return F.expr(f"array({body})")
 
 
+def _cb_sql(rows: list[list[float]]) -> str:
+    """Nested array<array<double>> literal SQL (constant-folded by
+    Catalyst into one Literal)."""
+    return "array(" + ",".join(
+        "array(" + ",".join(repr(float(x)) + "D" for x in row) + ")"
+        for row in rows) + ")"
+
+
+def _sqdists_sql(vec_sql: str, cb: list[list[float]], j: int,
+                 dsub: int) -> str:
+    """SQL for array<double> of squared distances from subvector j to
+    each codeword. Whole-string construction: ONE parse round-trip
+    instead of a py4j call per Column op — the literal-heavy PQ
+    expressions otherwise spend ~1 s of driver time per query just being
+    built (same trick as ``minhash_signatures_df``)."""
+    return (f"transform({_cb_sql(cb)}, cw -> aggregate(zip_with("
+            f"slice({vec_sql}, {j * dsub + 1}, {dsub}), cw, "
+            f"(x, y) -> (x - y) * (x - y)), 0.0D, (acc, x) -> acc + x))")
+
+
 def _sub_sqdists(vec: Column, cb_lit: Column, j: int, dsub: int) -> Column:
-    """array<double> of squared distances from subvector j to each codeword."""
+    """Column form of ``_sqdists_sql`` (kept for composition with
+    non-SQL callers, e.g. the oracle-margin analysis)."""
     sub = F.slice(vec, j * dsub + 1, dsub)
     return F.transform(
         cb_lit,
@@ -261,16 +282,27 @@ def pq_encode(df: DataFrame, codebooks: list[list[list[float]]],
     """Encode every vector to ``m`` codebook indices (1-based, ties to the
     lowest index): array<int> of length m — 8 bytes/vector at the default
     (m=8, ksub=16) vs 256 bytes of float32, a 32x smaller table to scan.
-    Pure array HOFs over constant-folded codebook literals; zero shuffle."""
+    Pure array HOFs over constant-folded codebook literals; zero shuffle.
+
+    The argmin is a single fold over (dist, index) pairs — the distance
+    array is computed ONCE per subspace (``array_position(d, array_min(d))``
+    would inline the transform tree twice); strict ``<`` keeps the first
+    minimum, preserving the ties-to-lowest-index contract the oracle
+    replays."""
     m = len(codebooks)
     dsub = len(codebooks[0][0])
-    v = _as_double(F.col(vec_col))
+    ksub = len(codebooks[0])
+    v = f"cast({vec_col} as array<double>)"
     codes = []
     for j in range(m):
-        d = _sub_sqdists(v, _nested_array_lit(codebooks[j]), j, dsub)
-        codes.append(F.array_position(d, F.array_min(d)).cast("int"))
-    return df.select(F.col(id_col),
-                     F.array(*codes).alias(code_col))
+        d = _sqdists_sql(v, codebooks[j], j, dsub)
+        codes.append(
+            f"cast(aggregate(zip_with({d}, sequence(1, {ksub}), "
+            f"(d, i) -> struct(d, i)), "
+            f"named_struct('d', cast('Infinity' as double), 'i', 0), "
+            f"(acc, x) -> if(x.d < acc.d, x, acc)).i as int)")
+    return df.selectExpr(id_col,
+                         "array(" + ",".join(codes) + f") as {code_col}")
 
 
 def pq_topk(corpus: DataFrame, query: DataFrame, k: int = 10,
@@ -295,11 +327,10 @@ def pq_topk(corpus: DataFrame, query: DataFrame, k: int = 10,
     dsub = len(cbs[0][0])  # from the codebooks, NOT the m/ksub args
     c = pq_encode(corpus, cbs, id_col, vec_col, "__codes") \
         .withColumnRenamed(id_col, "neighbor_id")
-    qv = _as_double(F.col(vec_col))
-    dtab = F.array(*[_sub_sqdists(qv, _nested_array_lit(cbs[j]), j, dsub)
-                     for j in range(len(cbs))])
-    q = query.select(F.col(id_col).alias("query_id"),
-                     dtab.alias("__dtab"))
+    qv = f"cast({vec_col} as array<double>)"
+    dtab = "array(" + ",".join(
+        _sqdists_sql(qv, cbs[j], j, dsub) for j in range(len(cbs))) + ")"
+    q = query.selectExpr(f"{id_col} as query_id", f"{dtab} as __dtab")
     adc = F.aggregate(
         F.zip_with(F.col("__codes"), F.col("__dtab"),
                    lambda code, tab: F.element_at(tab, code)),
