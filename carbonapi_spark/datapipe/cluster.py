@@ -99,15 +99,22 @@ def connected_components(edges: DataFrame, src: str = "src",
          .distinct())
     spark = e.sparkSession
 
-    # One probe job: fetch up to threshold+1 edges. If everything fits,
-    # those rows ARE the edge set — finish exactly without ever paying a
-    # star round (the common case once upstream LSH has bounded pairs).
+    # Materialize the edge set ONCE, fully parallel, before anything
+    # probes it. Probing with limit().collect() directly on the edge
+    # pipeline would run it through CollectLimit's 1-partition-first
+    # incremental execution — serializing an expensive upstream (the
+    # shingle explode + bucket join) — and the distributed path would
+    # then execute that pipeline a SECOND time for its own checkpoint.
+    e = e.localCheckpoint()
+
+    # Probe the materialized blocks: if every edge fits the driver
+    # budget, those rows ARE the edge set — finish exactly without ever
+    # paying a star round (the common case once upstream LSH has bounded
+    # pairs).
     if finish_threshold:
         head = e.limit(finish_threshold + 1).collect()
         if len(head) <= finish_threshold:
             return _finish_local(spark, head)
-
-    e = e.localCheckpoint()
 
     def checksum(df: DataFrame):
         # bit_xor (not sum): order-independent and overflow-free under
