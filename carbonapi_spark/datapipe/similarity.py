@@ -67,6 +67,26 @@ def hyperplane_signature(vec: Column, planes: list[list[float]]) -> Column:
     return F.concat_ws("", *[b.cast("string") for b in bits])
 
 
+def _vec_lit_sql(vals: list[float]) -> str:
+    return "array(" + ",".join(repr(float(x)) + "D" for x in vals) + ")"
+
+
+def _dot_sql(vec_sql: str, vals: list[float]) -> str:
+    """SQL for dot(vec, literal) — same zip_with/aggregate fold as
+    ``dot()``, built as one string so the literal-heavy ANN projections
+    cost one parse instead of a py4j call per element (the
+    ``minhash_signatures_df`` trick; ~0.5-1 s driver time per query at
+    dim 64)."""
+    return (f"aggregate(zip_with({vec_sql}, {_vec_lit_sql(vals)}, "
+            f"(x, y) -> x * y), 0.0D, (acc, x) -> acc + x)")
+
+
+def _signature_sql(vec_sql: str, planes: list[list[float]]) -> str:
+    bits = ",".join(f"if({_dot_sql(vec_sql, p)} > 0, '1', '0')"
+                    for p in planes)
+    return f"concat_ws('', {bits})"
+
+
 def random_planes(dim: int, n_planes: int = 12, seed: int = 42) -> list[list[float]]:
     import random
     rng = random.Random(seed)
@@ -99,22 +119,19 @@ def ivf_topk(corpus: DataFrame, query: DataFrame, k: int = 10,
     all — cheaper than multi-probe LSH's query expansion is on the query
     side here too), and the join is a cell-key equi-join."""
     cents = ivf_centroids(dim, n_centroids, seed)
+    v = f"cast({vec_col} as array<double>)"
+    # one SQL string for all centroid dots (one parse, no per-lit py4j)
+    cell_dots = "array(" + ",".join(_dot_sql(v, c) for c in cents) + ")"
 
-    def cell_dots(vec: Column) -> Column:
-        return F.array(*[dot(vec, F.array(*[F.lit(x) for x in c]))
-                         for c in cents])
-
-    c = (corpus.select(F.col(id_col).alias("neighbor_id"),
-                       _as_double(F.col(vec_col)).alias("__cv"))
-         .withColumn("__d", cell_dots(F.col("__cv")))
+    c = (corpus.selectExpr(f"{id_col} as neighbor_id", f"{v} as __cv",
+                           f"{cell_dots} as __d")
          .withColumn("__cell", F.array_position(F.col("__d"),
                                                 F.array_max("__d")))
          .drop("__d"))
-    q0 = (query.select(F.col(id_col).alias("query_id"),
-                       _as_double(F.col(vec_col)).alias("__qv"))
+    q0 = (query.selectExpr(f"{id_col} as query_id", f"{v} as __qv",
+                           f"{cell_dots} as __d")
           .select("query_id", "__qv",
-                  F.posexplode(cell_dots(F.col("__qv")))
-                  .alias("__pos", "__dot")))
+                  F.posexplode("__d").alias("__pos", "__dot")))
     wq = Window.partitionBy("query_id").orderBy(F.col("__dot").desc(),
                                                 F.col("__pos"))
     q = (q0.withColumn("__rk", F.row_number().over(wq))
@@ -161,12 +178,12 @@ def lsh_topk(corpus: DataFrame, query: DataFrame, k: int = 10,
     from itertools import combinations
 
     planes = random_planes(dim, n_planes, seed)
-    c = corpus.select(F.col(id_col).alias("neighbor_id"),
-                      _as_double(F.col(vec_col)).alias("__cv"),
-                      hyperplane_signature(F.col(vec_col), planes).alias("__sig"))
-    q = query.select(F.col(id_col).alias("query_id"),
-                     _as_double(F.col(vec_col)).alias("__qv"),
-                     hyperplane_signature(F.col(vec_col), planes).alias("__sig"))
+    v = f"cast({vec_col} as array<double>)"
+    sig = _signature_sql(v, planes)
+    c = corpus.selectExpr(f"{id_col} as neighbor_id", f"{v} as __cv",
+                          f"{sig} as __sig")
+    q = query.selectExpr(f"{id_col} as query_id", f"{v} as __qv",
+                         f"{sig} as __sig")
     if probe:
         # explode each query into its probe signatures: the exact bucket
         # plus every <=probe-bit flip (all distinct by construction)
