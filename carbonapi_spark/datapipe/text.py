@@ -187,7 +187,8 @@ def unigram_logprob_table(df: DataFrame, text_col: str = "text",
 
 def perplexity_buckets(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", alpha: float = 0.5,
-                       buckets: int = 3) -> DataFrame:
+                       buckets: int = 3,
+                       thresholds: list[float] | None = None) -> DataFrame:
     """CCNet-style quality partitioning (Wenzek et al., "CCNet: Extracting
     High Quality Monolingual Datasets from Web Crawl Data", LREC 2020):
     score every document by language-model cross-entropy and split the
@@ -201,10 +202,17 @@ def perplexity_buckets(df: DataFrame, text_col: str = "text",
     scoring UDF without changing the plan. Returns
     (doc_id, cross_entropy, bucket) — bucket 1 = head (lowest entropy).
 
-    Scale note: the ntile window is a single global sort of ONE ROW PER
-    DOC (id + double), not of the corpus text — the same economy as
-    ``shard_assignment``'s per-shard rank. Empty-token docs get the
-    corpus's worst entropy + 1 so they land in the tail deterministically."""
+    Two bucketing modes, matching CCNet's own split: with
+    ``thresholds=[t1, t2, ...]`` every doc buckets by comparison —
+    a pure map over the per-doc rows, no global sort; this is the 100 TB
+    path (CCNet computes its head/middle/tail cutoffs on a SAMPLE and
+    applies them corpus-wide — derive thresholds from
+    ``approx_percentile`` or a collected sample). Without thresholds the
+    exact ``ntile`` window assigns equal-size buckets — a single global
+    sort of one row per doc, fine to a few hundred million docs and the
+    deterministic, oracle-replayable mode the catalog entry uses.
+    Empty-token docs get the corpus's worst entropy + 1 so they land in
+    the tail deterministically either way."""
     from pyspark.sql.window import Window
     lm = unigram_logprob_table(df, text_col, alpha)
     # OOV floor: scoring a doc against an LM trained elsewhere must
@@ -226,6 +234,11 @@ def perplexity_buckets(df: DataFrame, text_col: str = "text",
               .select(id_col,
                       F.round(F.coalesce("__h", F.col("__worst") + 1), 6)
                       .alias("cross_entropy")))
+    if thresholds is not None:
+        b = F.lit(1)
+        for t in thresholds:
+            b = b + (F.col("cross_entropy") > F.lit(float(t))).cast("int")
+        return scored.withColumn("bucket", b)
     w = Window.orderBy(F.asc("cross_entropy"), F.asc(id_col))
     return scored.withColumn("bucket", F.ntile(buckets).over(w))
 

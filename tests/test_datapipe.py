@@ -716,3 +716,24 @@ def test_streaming_pipeline_composition(spark, tmp_path):
     _run_stream(stream, src, out, ck)
     kept = {r["doc_id"] for r in spark.read.parquet(str(out)).collect()}
     assert kept == {1, 4}
+
+
+def test_perplexity_buckets_thresholds_mode(spark):
+    """thresholds= buckets by comparison (no global sort — the 100 TB
+    path); with cutoffs at the ntile boundaries it reproduces the exact
+    split."""
+    from carbonapi_spark.datapipe.text import perplexity_buckets
+    rows = [(i, "the cat sat on the mat") for i in range(6)]
+    rows += [(6, "zyx qwv kjh"), (7, "   ")]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    exact = {r["doc_id"]: r["bucket"]
+             for r in perplexity_buckets(docs).collect()}
+    ces = sorted(r["cross_entropy"]
+                 for r in perplexity_buckets(docs).collect())
+    thr = {r["doc_id"]: r["bucket"] for r in perplexity_buckets(
+        docs, thresholds=[ces[2], ces[5]]).collect()}
+    # same head/tail structure: common-token docs head, rare/empty tail
+    assert thr[0] == 1 and thr[6] == 3 and thr[7] == 3
+    plan = perplexity_buckets(docs, thresholds=[1.0, 2.0]) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "ntile" not in plan  # no global-sort window in thresholds mode

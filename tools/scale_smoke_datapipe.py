@@ -99,6 +99,20 @@ def main():
         simhash(F.col("text"), bits=32).alias("h")).count())
     case("quality_features", lambda: quality_features(docs).count())
     case("lang_scores", lambda: lang_scores(docs).count())
+    from carbonapi_spark.datapipe.sampling import chunk_documents
+    from carbonapi_spark.datapipe.text import (line_dedup,
+                                               perplexity_buckets,
+                                               redact_pii)
+    case("redact_pii", lambda: docs.select(
+        redact_pii(F.col("text")).alias("t")).count())
+    case("chunk_documents", lambda: chunk_documents(
+        docs, max_tokens=16).count())
+    case("ppl_buckets", lambda: perplexity_buckets(docs).count())
+    case("line_dedup", lambda: line_dedup(
+        docs.select("doc_id",
+                    F.concat_ws("\n", F.col("text"),
+                                F.lit("shared boilerplate footer"))
+                    .alias("text"))).count())
     q = vecs.limit(16)
     case("lsh_ann_topk", lambda: lsh_topk(vecs, q, k=10, dim=dim).count())
 
