@@ -333,3 +333,55 @@ def simhash_df(df: DataFrame, text_col: str = "text",
 
     combined = " | ".join(_bit(b) for b in range(bits))
     return per_doc.selectExpr(id_col, f"({combined}) as {out_col}")
+
+
+def remove_duplicate_spans(df: DataFrame, k: int = 50,
+                           text_col: str = "text", id_col: str = "doc_id",
+                           min_count: int = 2) -> DataFrame:
+    """Exact-substring deduplication (Lee et al., "Deduplicating Training
+    Data Makes Language Models Better", ACL 2022): any token span of
+    >= ``k`` tokens that occurs >= ``min_count`` times in the corpus
+    (across documents or within one) is removed from EVERY document;
+    survivors are reassembled in order (whitespace normalized to single
+    spaces), and fully-duplicated documents vanish.
+
+    The paper builds a suffix array; the distributed-friendly equivalent
+    is k-gram marking: every duplicated >= k-token span necessarily
+    contains a duplicated k-gram, so (1) hash every k-token window
+    (sliding window over one doc-partitioned sort — the rolling-hash
+    pass), (2) count k-gram hashes corpus-wide (8-byte keys, map-side
+    combined), (3) a token is covered iff some duplicated k-gram starts
+    within the previous k-1 positions (one more window over the same
+    doc partitioning), (4) drop covered tokens and reassemble. Spans
+    shorter than k survive — k IS the paper's minimum-match length.
+
+    Shuffle economy: token rows shuffle once by doc (both windows and
+    the final reassembly reuse that partitioning; Catalyst plans them
+    without re-exchanging), plus one count shuffle on the 8-byte gram
+    hash and the flag join back."""
+    from pyspark.sql.window import Window
+
+    from carbonapi_spark.datapipe.text import tokens
+    t = df.select(F.col(id_col),
+                  F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"))
+    wg = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, k - 1)
+    grams = t.select(
+        id_col, "pos", "tok",
+        F.when(F.count("tok").over(wg) == k,
+               F.xxhash64(F.concat_ws(" ", F.collect_list("tok").over(wg))))
+        .alias("__h"))
+    dup = (grams.where(F.col("__h").isNotNull())
+           .groupBy("__h").agg(F.count(F.lit(1)).alias("__n"))
+           .where(F.col("__n") >= min_count).select("__h"))
+    flagged = (grams.join(dup.withColumn("__dup", F.lit(1)), "__h", "left")
+               .select(id_col, "pos", "tok",
+                       F.coalesce("__dup", F.lit(0)).alias("__dup")))
+    wc = Window.partitionBy(id_col).orderBy("pos").rowsBetween(-(k - 1), 0)
+    kept = (flagged
+            .withColumn("__covered", F.max("__dup").over(wc))
+            .where(F.col("__covered") == 0))
+    return (kept.groupBy(id_col)
+            .agg(F.array_join(
+                F.transform(F.array_sort(F.collect_list(
+                    F.struct("pos", "tok"))), lambda s: s["tok"]),
+                " ").alias(text_col)))

@@ -1861,6 +1861,53 @@ QUALIFY rank <= 3
 """.strip())
 
 
+_TAGLINE = ("this corpus release includes a standard shared legal "
+            "disclaimer footer line")
+
+
+def _q_substr_dedup(spark, sf_dir):
+    """Exact-substring dedup (Lee et al. ACL 2022) via k-gram marking:
+    every doc_id%5==0 doc gets a shared 12-token tagline appended (both
+    sides build the same input); any >=8-token span occurring >=2 times
+    corpus-wide — the tagline, plus any genuine repeats — is removed
+    from every occurrence."""
+    from carbonapi_spark.datapipe.dedup import remove_duplicate_spans
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id",
+                    F.concat(F.col("text"),
+                             F.when(F.col("doc_id") % 5 == 0,
+                                    F.lit(" " + _TAGLINE))
+                             .otherwise(F.lit(""))).alias("text")))
+    return remove_duplicate_spans(docs, k=8)
+
+
+_register("substr_dedup", _q_substr_dedup, rf"""
+WITH __d AS (SELECT doc_id,
+                    text || CASE WHEN doc_id % 5 = 0
+                                 THEN ' {_TAGLINE}' ELSE '' END AS text
+             FROM documents),
+__t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM __d),
+__p AS (SELECT doc_id, toks, unnest(range(len(toks))) AS pos FROM __t),
+__g AS (SELECT doc_id, pos, toks[pos + 1] AS tok,
+               CASE WHEN pos + 8 <= len(toks)
+                    THEN array_to_string(toks[pos + 1 : pos + 8], ' ')
+               END AS g
+        FROM __p),
+__dup AS (SELECT g FROM __g WHERE g IS NOT NULL
+          GROUP BY g HAVING count(*) >= 2),
+__f AS (SELECT doc_id, pos, tok,
+               CASE WHEN g IN (SELECT g FROM __dup) THEN 1 ELSE 0 END AS dup
+        FROM __g),
+__c AS (SELECT doc_id, pos, tok,
+               max(dup) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+               AS covered
+        FROM __f)
+SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text
+FROM __c WHERE covered = 0 GROUP BY doc_id
+""".strip())
+
+
 def _q_chunk_documents(spark, sf_dir):
     """Context-window chunking: docs split into <=32-token pieces, order
     preserved — stateless projection, no shuffle (plan property)."""
@@ -2038,6 +2085,7 @@ _DRIVER_PREFIX = [
     "line_dedup",         # C4 duplicate-line boilerplate removal
     "redact_pii",         # email/IP/phone scrub
     "chunk_documents",    # context-window token chunking
+    "substr_dedup",       # Lee et al. exact-substring span removal
     # plan changed in round 5 — re-verify first
     "group_by_tags",     # string-op group key (no per-row tag map)
     "as_percent_total",  # single-vs-multi naming fused into the total agg

@@ -737,3 +737,41 @@ def test_perplexity_buckets_thresholds_mode(spark):
     plan = perplexity_buckets(docs, thresholds=[1.0, 2.0]) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "ntile" not in plan  # no global-sort window in thresholds mode
+
+
+def test_remove_duplicate_spans(spark):
+    """Lee et al. exact-substring dedup via k-gram marking: the shared
+    >=k-token span is removed from every doc (partial overlap included),
+    shorter repeats survive, fully-duplicated docs vanish."""
+    from carbonapi_spark.datapipe.dedup import remove_duplicate_spans
+    shared = "one two three four five"                  # the 5-token span
+    docs = spark.createDataFrame(
+        [(1, f"intro A {shared} outro A"),
+         (2, f"intro B {shared} outro B"),
+         (3, "totally unrelated text here"),
+         (4, shared)],                                   # fully duplicated
+        "doc_id LONG, text STRING")
+    got = {r["doc_id"]: r["text"]
+           for r in remove_duplicate_spans(docs, k=5).collect()}
+    # the MAXIMAL shared span between docs 1 and 2 is
+    # "one two three four five outro" (6 tokens >= k) — removed whole,
+    # like the paper's suffix-array match extension would
+    assert got == {1: "intro A A", 2: "intro B B",
+                   3: "totally unrelated text here"}    # doc 4 vanished
+
+    # a duplicated span SHORTER than k survives everywhere
+    docs2 = spark.createDataFrame(
+        [(1, "alpha beta gamma p q"), (2, "alpha beta gamma r s")],
+        "doc_id LONG, text STRING")
+    got2 = {r["doc_id"]: r["text"]
+            for r in remove_duplicate_spans(docs2, k=5).collect()}
+    assert got2 == {1: "alpha beta gamma p q", 2: "alpha beta gamma r s"}
+
+    # within-doc repetition of a >=k span is removed too (min_count
+    # counts occurrences, not documents)
+    docs3 = spark.createDataFrame(
+        [(1, f"{shared} middle {shared}"), (2, "unrelated words")],
+        "doc_id LONG, text STRING")
+    got3 = {r["doc_id"]: r["text"]
+            for r in remove_duplicate_spans(docs3, k=5).collect()}
+    assert got3[1] == "middle"

@@ -197,3 +197,19 @@ def test_line_dedup_hash_keys_before_exchange(spark):
     plan = line_dedup(docs)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastExchange" in plan          # boilerplate set broadcast
     assert "xxhash64" in plan                   # hashed shuffle keys
+
+
+def test_substr_dedup_shuffle_budget(spark):
+    """remove_duplicate_spans: both windows and the reassembly share the
+    doc partitioning, the gram count shuffles 8-byte hashes — at most 3
+    full-data hash exchanges (doc partitioning, gram count, flag join)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from carbonapi_spark.datapipe.dedup import remove_duplicate_spans
+    docs = spark.range(8).select(F.col("id").alias("doc_id"),
+                                 F.lit("a b c d e f").alias("text"))
+    plan = remove_duplicate_spans(docs, k=3) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 3
