@@ -358,7 +358,12 @@ def remove_duplicate_spans(df: DataFrame, k: int = 50,
     Shuffle economy: token rows shuffle once by doc (both windows and
     the final reassembly reuse that partitioning; Catalyst plans them
     without re-exchanging), plus one count shuffle on the 8-byte gram
-    hash and the flag join back."""
+    hash and the flag join back. A zero-token-shuffle alternative
+    (per-doc array HOFs: transform+slice gram hashing, exists-based
+    rebuild) measured 2.5x SLOWER at 500k docs (66 s vs 26 s) — higher-
+    order functions evaluate interpreted per element, while the window
+    execs run on the optimized path; the window formulation wins despite
+    the extra exchange."""
     from pyspark.sql.window import Window
 
     from carbonapi_spark.datapipe.text import tokens

@@ -113,6 +113,9 @@ def main():
                     F.concat_ws("\n", F.col("text"),
                                 F.lit("shared boilerplate footer"))
                     .alias("text"))).count())
+    from carbonapi_spark.datapipe.dedup import remove_duplicate_spans
+    case("substr_dedup_k8", lambda: remove_duplicate_spans(
+        docs, k=8).count())
     q = vecs.limit(16)
     case("lsh_ann_topk", lambda: lsh_topk(vecs, q, k=10, dim=dim).count())
 
