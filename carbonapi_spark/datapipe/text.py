@@ -290,3 +290,27 @@ def line_dedup(df: DataFrame, text_col: str = "text",
                 F.transform(F.array_sort(F.collect_list(
                     F.struct("__pos", "__line"))), lambda s: s["__line"]),
                 "\n").alias(text_col)))
+
+
+# GPT-2-style pre-tokenizer (Radford et al. 2019, the public tiktoken/
+# GPT-2 pattern) minus its trailing-space lookahead — RE2 (the oracle's
+# regex engine) has no lookahead, and both engines are leftmost-first on
+# alternations, so Spark (Java regex) and DuckDB (RE2) split identically.
+BPE_PRETOKEN_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+")
+
+
+def bpe_pretokens(text: Column) -> Column:
+    """ARRAY<STRING> of GPT-2-style pre-tokens (contractions, letter
+    runs, digit runs, punctuation runs, whitespace runs — each with its
+    leading space attached, the way BPE vocabularies see text)."""
+    return F.regexp_extract_all(text, F.lit(BPE_PRETOKEN_PATTERN), F.lit(0))
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Pre-token count excluding pure-whitespace runs — the standard
+    quick estimate of BPE token cost (actual BPE merges only split
+    *within* pre-tokens, so this lower-bounds and tracks the real
+    count). Single codegen'd projection, like ``token_count``."""
+    return F.size(F.filter(bpe_pretokens(text),
+                           lambda t: F.trim(t) != ""))

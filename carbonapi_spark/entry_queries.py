@@ -1861,6 +1861,30 @@ QUALIFY rank <= 3
 """.strip())
 
 
+def _q_bpe_token_count(spark, sf_dir):
+    """Whitespace vs GPT-2-style pre-token counts per doc — the quick
+    BPE-cost estimate (merges only split within pre-tokens)."""
+    from carbonapi_spark.datapipe.text import bpe_token_count, token_count
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id",
+                       token_count(F.col("text")).cast("long")
+                       .alias("n_ws_tokens"),
+                       bpe_token_count(F.col("text")).cast("long")
+                       .alias("n_bpe_tokens"))
+
+
+_register("bpe_token_count", _q_bpe_token_count, r"""
+SELECT doc_id,
+       CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x != ''))
+            AS BIGINT) AS n_ws_tokens,
+       CAST(len(list_filter(
+            regexp_extract_all(text,
+              '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'),
+            x -> trim(x) != '')) AS BIGINT) AS n_bpe_tokens
+FROM documents
+""".strip())
+
+
 _TAGLINE = ("this corpus release includes a standard shared legal "
             "disclaimer footer line")
 
@@ -2086,6 +2110,7 @@ _DRIVER_PREFIX = [
     "redact_pii",         # email/IP/phone scrub
     "chunk_documents",    # context-window token chunking
     "substr_dedup",       # Lee et al. exact-substring span removal
+    "bpe_token_count",    # GPT-2-style pre-token cost estimate
     # plan changed in round 5 — re-verify first
     "group_by_tags",     # string-op group key (no per-row tag map)
     "as_percent_total",  # single-vs-multi naming fused into the total agg

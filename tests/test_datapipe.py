@@ -775,3 +775,14 @@ def test_remove_duplicate_spans(spark):
     got3 = {r["doc_id"]: r["text"]
             for r in remove_duplicate_spans(docs3, k=5).collect()}
     assert got3[1] == "middle"
+
+
+def test_bpe_token_count(spark):
+    from carbonapi_spark.datapipe.text import bpe_pretokens, bpe_token_count
+    df = spark.createDataFrame([(1, "I'll pay $14.99 now!")],
+                               "doc_id LONG, text STRING")
+    row = df.select(bpe_pretokens(F.col("text")).alias("p"),
+                    bpe_token_count(F.col("text")).alias("n")).first()
+    assert row["p"] == ["I", "'ll", " pay", " $", "14", ".", "99",
+                       " now", "!"]
+    assert row["n"] == 9
