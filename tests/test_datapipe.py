@@ -786,3 +786,20 @@ def test_bpe_token_count(spark):
     assert row["p"] == ["I", "'ll", " pay", " $", "14", ".", "99",
                        " now", "!"]
     assert row["n"] == 9
+
+
+def test_media_near_dup_composition(spark):
+    """Multimodal composes with the ANN family: extract_features (stub
+    codec) -> brute_force_topk finds the duplicated payload."""
+    from carbonapi_spark.datapipe.multimodal import extract_features, synth_media
+    from carbonapi_spark.datapipe.similarity import brute_force_topk
+    media = synth_media(spark, 12)
+    dup = media.where(F.col("media_id") == 3) \
+        .select(F.lit(100).alias("media_id"), "kind", "mime", "payload", "meta")
+    feats = extract_features(media.unionByName(dup), dim=8) \
+        .select(F.col("media_id").alias("vec_id"),
+                F.col("feature").alias("embedding"))
+    top = brute_force_topk(feats, feats.where(F.col("vec_id") == 100), k=1) \
+        .first()
+    assert top["neighbor_id"] == 3          # identical payload -> cos 1
+    assert top["cos_sim"] == pytest.approx(1.0, abs=1e-6)
