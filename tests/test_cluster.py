@@ -105,3 +105,96 @@ def test_cc_property_random_graphs(spark):
         assert got == _union_find_labels(touched, edges)
 
     check()
+
+
+# ---------------------------------------------------------------- spans
+
+def _py_remove_spans(docs: dict[int, str], k: int,
+                     min_count: int = 2) -> dict[int, str]:
+    """Pure-Python reference for remove_duplicate_spans."""
+    toks = {d: t.split() for d, t in docs.items()}
+    from collections import Counter
+    grams = Counter()
+    for t in toks.values():
+        for i in range(len(t) - k + 1):
+            grams[tuple(t[i:i + k])] += 1
+    out = {}
+    for d, t in toks.items():
+        starts = [i for i in range(len(t) - k + 1)
+                  if grams[tuple(t[i:i + k])] >= min_count]
+        covered = set()
+        for s in starts:
+            covered.update(range(s, s + k))
+        kept = [tok for p, tok in enumerate(t) if p not in covered]
+        if kept:
+            out[d] = " ".join(kept)
+    return out
+
+
+def test_remove_duplicate_spans_matches_python_reference(spark):
+    """Hypothesis-style sweep (deterministic seeds): Spark span removal
+    equals the pure-Python reference on random small corpora with
+    planted shared spans."""
+    import random
+
+    from carbonapi_spark.datapipe.dedup import remove_duplicate_spans
+    rng = random.Random(11)
+    for trial in range(6):
+        k = rng.choice([2, 3, 4])
+        vocab = [f"w{i}" for i in range(8)]
+        shared = " ".join(rng.choices(vocab, k=rng.randint(k, k + 3)))
+        docs = {}
+        for d in range(rng.randint(2, 6)):
+            words = rng.choices(vocab, k=rng.randint(0, 10))
+            if rng.random() < 0.7:
+                pos = rng.randint(0, len(words))
+                words = words[:pos] + shared.split() + words[pos:]
+            docs[d] = " ".join(words)
+        want = _py_remove_spans(docs, k)
+        sdf = spark.createDataFrame(list(docs.items()),
+                                    "doc_id LONG, text STRING")
+        got = {r["doc_id"]: r["text"]
+               for r in remove_duplicate_spans(sdf, k=k).collect()}
+        assert got == want, (trial, k, docs)
+
+
+def _py_sessionize(events, gap):
+    """Pure-Python reference for sessionize: (user, ts, value) rows."""
+    from collections import defaultdict
+    per = defaultdict(list)
+    for u, t, v in events:
+        per[u].append((t, v))
+    out = []
+    for u, rows in per.items():
+        rows.sort()
+        cur = []
+        for t, v in rows:
+            if cur and t >= cur[-1][0] + gap:
+                out.append((u, cur[0][0], cur[-1][0] + gap, len(cur),
+                            sum(x[1] for x in cur)))
+                cur = []
+            cur.append((t, v))
+        out.append((u, cur[0][0], cur[-1][0] + gap, len(cur),
+                    sum(x[1] for x in cur)))
+    return set(out)
+
+
+def test_sessionize_matches_python_reference(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from carbonapi_spark.streaming.sessions import sessionize
+    rng = random.Random(13)
+    for trial in range(4):
+        events = [(rng.randint(0, 2), rng.randint(0, 5000), 1.0)
+                  for _ in range(rng.randint(1, 40))]
+        events = list({(u, t): (u, t, v) for u, t, v in events}.values())
+        gap = rng.choice([60, 300, 900])
+        df = (spark.createDataFrame(events,
+                                    "user_id LONG, sec LONG, value DOUBLE")
+              .select("user_id", F.timestamp_seconds("sec").alias("ts"),
+                      "value"))
+        got = {tuple(r) for r in
+               sessionize(df, gap=f"{gap} seconds").collect()}
+        assert got == _py_sessionize(events, gap), (trial, gap)
