@@ -366,7 +366,9 @@ def remove_duplicate_spans(df: DataFrame, k: int = 50,
     the extra exchange."""
     from pyspark.sql.window import Window
 
+    from carbonapi_spark.datapipe import spread
     from carbonapi_spark.datapipe.text import tokens
+    df = spread(df)
     t = df.select(F.col(id_col),
                   F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"))
     wg = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, k - 1)

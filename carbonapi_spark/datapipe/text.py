@@ -214,6 +214,8 @@ def perplexity_buckets(df: DataFrame, text_col: str = "text",
     Empty-token docs get the corpus's worst entropy + 1 so they land in
     the tail deterministically either way."""
     from pyspark.sql.window import Window
+    from carbonapi_spark.datapipe import spread
+    df = spread(df)
     lm = unigram_logprob_table(df, text_col, alpha)
     # OOV floor: scoring a doc against an LM trained elsewhere must
     # PENALIZE unknown tokens, not skip them (avg ignores nulls — that
@@ -276,6 +278,8 @@ def line_dedup(df: DataFrame, text_col: str = "text",
     vocabulary-like — tiny next to the corpus — and comes back as a
     broadcast anti-join. Reassembly is one groupBy(doc) of (pos, line)
     pairs, shuffled once."""
+    from carbonapi_spark.datapipe import spread
+    df = spread(df)
     lines = (df.select(F.col(id_col),
                        F.posexplode(F.split(F.col(text_col), "\n"))
                        .alias("__pos", "__line"))
