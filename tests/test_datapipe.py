@@ -803,3 +803,24 @@ def test_media_near_dup_composition(spark):
         .first()
     assert top["neighbor_id"] == 3          # identical payload -> cos 1
     assert top["cos_sim"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_pq_encode_matches_numpy_reference(spark):
+    """pq_encode's fold-argmin equals numpy argmin (first-min ties) on
+    random vectors and codebooks."""
+    import numpy as np
+    from carbonapi_spark.datapipe.similarity import pq_codebooks, pq_encode
+    rng = np.random.RandomState(5)
+    dim, m, ksub = 12, 3, 7
+    vecs = rng.randn(40, dim)
+    cbs = pq_codebooks(dim=dim, m=m, ksub=ksub, seed=9)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))],
+        "vec_id LONG, embedding ARRAY<DOUBLE>")
+    got = {r["vec_id"]: list(r["codes"]) for r in pq_encode(df, cbs).collect()}
+    cb = np.asarray(cbs)  # (m, ksub, dsub)
+    dsub = dim // m
+    for i, v in enumerate(vecs):
+        want = [int(((v[j*dsub:(j+1)*dsub] - cb[j]) ** 2).sum(axis=1)
+                    .argmin()) + 1 for j in range(m)]
+        assert got[i] == want, i
