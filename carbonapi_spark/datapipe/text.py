@@ -318,3 +318,68 @@ def bpe_token_count(text: Column) -> Column:
     count). Single codegen'd projection, like ``token_count``."""
     return F.size(F.filter(bpe_pretokens(text),
                            lambda t: F.trim(t) != ""))
+
+
+def score_quality_lr(df: DataFrame, weights: dict[str, float],
+                     bias: float = 0.0, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Classifier-based quality scoring (the GPT-3 WebText-classifier /
+    LLaMA Wikipedia-reference-classifier filtering stage): a logistic
+    model over bag-of-words features, score = sigmoid(bias + sum of
+    per-token weights). Returns (doc_id, lr_score) in [0, 1].
+
+    The weight table is classifier-sized (vocab subset), broadcast
+    against the exploded token stream — the identical physical shape as
+    ``unigram_logprob_table`` scoring, so the 100 TB cost is one
+    token-explode plus a per-doc sum. Train weights driver-side with
+    :func:`train_quality_lr` (or import any external model's
+    vocabulary->weight map)."""
+    spark = df.sparkSession
+    w = spark.createDataFrame(
+        [(t, float(v)) for t, v in sorted(weights.items())],
+        "term STRING, __w DOUBLE")
+    toks = df.select(F.col(id_col),
+                     F.explode_outer(tokens(F.lower(F.col(text_col))))
+                     .alias("term"))
+    scored = (toks.join(F.broadcast(w), "term", "left")
+              .groupBy(id_col)
+              .agg(F.coalesce(F.sum("__w"), F.lit(0.0)).alias("__z")))
+    z = F.col("__z") + F.lit(float(bias))
+    return scored.select(id_col,
+                         F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+                         .alias("lr_score"))
+
+
+def train_quality_lr(samples: list[tuple[str, int]], iters: int = 200,
+                     lr: float = 0.5, l2: float = 1e-3
+                     ) -> tuple[dict[str, float], float]:
+    """Driver-side logistic regression on (text, label) samples — the
+    standard recipe: the classifier trains on a tiny labeled set
+    (positives = reference corpus, negatives = random crawl) and only
+    SCORING runs distributed. Returns (term->weight, bias)."""
+    import numpy as np
+    vocab: dict[str, int] = {}
+    rows = []
+    for text, label in samples:
+        idx = {}
+        for t in text.lower().split():
+            if t:
+                j = vocab.setdefault(t, len(vocab))
+                idx[j] = idx.get(j, 0) + 1
+        rows.append((idx, label))
+    w = np.zeros(len(vocab))
+    b = 0.0
+    for _ in range(iters):
+        gw = np.zeros_like(w)
+        gb = 0.0
+        for idx, y in rows:
+            z = b + sum(w[j] * c for j, c in idx.items())
+            p = 1.0 / (1.0 + np.exp(-z))
+            err = p - y
+            for j, c in idx.items():
+                gw[j] += err * c
+            gb += err
+        w -= lr * (gw / len(rows) + l2 * w)
+        b -= lr * gb / len(rows)
+    inv = {j: t for t, j in vocab.items()}
+    return {inv[j]: float(w[j]) for j in range(len(w))}, float(b)

@@ -1861,6 +1861,41 @@ QUALIFY rank <= 3
 """.strip())
 
 
+_LR_WEIGHTS = {"the": 0.8, "and": 0.6, "of": 0.5, "to": 0.4, "in": 0.4,
+               "is": 0.3, "data": -0.2, "click": -1.5, "buy": -1.2,
+               "cheap": -1.4, "free": -0.9, "win": -0.8}
+_LR_BIAS = -0.25
+
+
+def _q_quality_lr(spark, sf_dir):
+    """Classifier-based quality filtering (GPT-3 WebText-classifier
+    shape): logistic score over a broadcast term-weight table. Fixed
+    deterministic weights here so the oracle replays the exact scores;
+    production trains them with text.train_quality_lr."""
+    from carbonapi_spark.datapipe.text import score_quality_lr
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return score_quality_lr(docs, _LR_WEIGHTS, _LR_BIAS)
+
+
+def _quality_lr_oracle() -> str:
+    vals = ", ".join(f"('{t}', {w})" for t, w in sorted(_LR_WEIGHTS.items()))
+    return f"""
+WITH __w(term, w) AS (VALUES {vals}),
+__t AS (SELECT doc_id, unnest(list_filter(
+            string_split_regex(lower(text), '\\s+'), x -> x != '')) AS term
+        FROM documents),
+__z AS (SELECT t.doc_id, coalesce(sum(w), 0.0) AS z
+        FROM __t t LEFT JOIN __w USING (term) GROUP BY t.doc_id)
+SELECT d.doc_id,
+       round(1.0 / (1.0 + exp(-(coalesce(z, 0.0) + {_LR_BIAS}))), 6)
+       AS lr_score
+FROM documents d LEFT JOIN __z USING (doc_id)
+""".strip()
+
+
+_register("quality_lr", _q_quality_lr, _quality_lr_oracle())
+
+
 def _q_bpe_token_count(spark, sf_dir):
     """Whitespace vs GPT-2-style pre-token counts per doc — the quick
     BPE-cost estimate (merges only split within pre-tokens)."""
@@ -2111,6 +2146,7 @@ _DRIVER_PREFIX = [
     "chunk_documents",    # context-window token chunking
     "substr_dedup",       # Lee et al. exact-substring span removal
     "bpe_token_count",    # GPT-2-style pre-token cost estimate
+    "quality_lr",         # logistic quality classifier scoring
     # plan changed in round 5 — re-verify first
     "group_by_tags",     # string-op group key (no per-row tag map)
     "as_percent_total",  # single-vs-multi naming fused into the total agg

@@ -824,3 +824,27 @@ def test_pq_encode_matches_numpy_reference(spark):
         want = [int(((v[j*dsub:(j+1)*dsub] - cb[j]) ** 2).sum(axis=1)
                     .argmin()) + 1 for j in range(m)]
         assert got[i] == want, i
+
+
+def test_quality_lr_train_and_score(spark):
+    """Trained on good-vs-junk samples, the classifier separates unseen
+    docs of each style; empty docs score sigmoid(bias)."""
+    from carbonapi_spark.datapipe.text import score_quality_lr, train_quality_lr
+    good = ["the report describes the method in detail",
+            "the study presents results and the analysis",
+            "the paper explains the approach and the findings"]
+    junk = ["zzz click click buy buy cheap cheap",
+            "buy cheap zzz zzz click now now now",
+            "cheap cheap buy zzz click click zzz"]
+    weights, bias = train_quality_lr(
+        [(t, 1) for t in good] + [(t, 0) for t in junk])
+    docs = spark.createDataFrame(
+        [(1, "the method and the results"),     # good-style, unseen
+         (2, "click buy cheap zzz"),            # junk-style, unseen
+         (3, "")],
+        "doc_id LONG, text STRING")
+    got = {r["doc_id"]: r["lr_score"]
+           for r in score_quality_lr(docs, weights, bias).collect()}
+    assert got[1] > 0.5 > got[2]
+    import math
+    assert got[3] == pytest.approx(1 / (1 + math.exp(-bias)), abs=1e-5)
