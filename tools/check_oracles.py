@@ -62,6 +62,10 @@ def main():
             print(f"FAIL {name}: spark error: {e}")
             failures += 1
             continue
+        finally:
+            # request boundary, like bench.py / the HTTP handler
+            from carbonapi_spark import scratch
+            scratch.release()
         if name not in ORACLES:
             print(f"ok   {name}: rows-only ({len(srows)} rows)")
             continue
