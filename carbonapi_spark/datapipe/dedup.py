@@ -392,3 +392,64 @@ def remove_duplicate_spans(df: DataFrame, k: int = 50,
                 F.transform(F.array_sort(F.collect_list(
                     F.struct("pos", "tok"))), lambda s: s["tok"]),
                 " ").alias(text_col)))
+
+
+def minhash_band_index(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", num_hashes: int = 16,
+                       bands: int = 4, ngram: int = 3,
+                       seed: int = 42) -> DataFrame:
+    """(band, key, doc_id) LSH bucket-membership index for a corpus —
+    the persisted artifact incremental dedup joins against. Write it
+    partitioned/bucketed by (band, key) once; each delta batch then
+    probes it without touching the corpus text again."""
+    rows = num_hashes // bands
+    sig = minhash_signatures_df(df, text_col, id_col, num_hashes, ngram,
+                                seed)
+    return sig.selectExpr(
+        "__id as doc_id",
+        f"""explode(transform(sequence(0, {bands - 1}),
+              b -> struct(b as band,
+                          array_join(cast(slice(__sig, b * {rows} + 1, {rows})
+                                          as array<string>), ',') as key)))
+            as bk""").selectExpr("bk.band as band", "bk.key as key",
+                                 "doc_id")
+
+
+def minhash_incremental_candidates(new_docs: DataFrame, index: DataFrame,
+                                   text_col: str = "text",
+                                   id_col: str = "doc_id",
+                                   num_hashes: int = 16, bands: int = 4,
+                                   ngram: int = 3, seed: int = 42,
+                                   max_bucket: int = 2000) -> DataFrame:
+    """Incremental near-dup candidates: a delta batch against an existing
+    corpus index (``minhash_band_index``), WITHOUT re-processing the
+    corpus — the daily-update shape of a production dedup pipeline.
+    Returns (id_a, id_b) with id_a from the index side (or the smaller
+    delta id), covering delta-vs-corpus AND delta-vs-delta pairs.
+
+    Scale shape: only the delta is shingled/hashed; the join is an
+    equi-join on (band, key) that a (band, key)-bucketed index table
+    serves without a corpus-side shuffle. Same parameters => the same
+    buckets as the batch pipeline, so candidates equal what a full
+    re-run of ``minhash_lsh_candidates`` on corpus+delta would emit for
+    pairs involving a delta doc."""
+    new_idx = minhash_band_index(new_docs, text_col, id_col, num_hashes,
+                                 bands, ngram, seed)
+    # delta vs corpus: bucket equi-join against the persisted index
+    vs_corpus = (new_idx.join(
+        index.withColumnRenamed("doc_id", "__old"), ["band", "key"])
+        .where(F.col("__old") != F.col("doc_id"))
+        .select(F.least("__old", "doc_id").alias("id_a"),
+                F.greatest("__old", "doc_id").alias("id_b")))
+    # delta vs delta: in-bucket pairs of the (small) new side
+    buckets = (new_idx.groupBy("band", "key")
+               .agg(F.expr(f"slice(sort_array(collect_list(doc_id)), 1, "
+                           f"{max_bucket})").alias("ids"))
+               .where(F.size("ids") > 1))
+    vs_delta = (buckets.selectExpr(
+        """explode(flatten(transform(sequence(1, size(ids) - 1),
+             i -> transform(slice(ids, i + 1, size(ids) - i),
+                            x -> struct(element_at(ids, i) as id_a,
+                                        x as id_b))))) as p""")
+        .select("p.id_a", "p.id_b"))
+    return vs_corpus.unionByName(vs_delta).distinct()

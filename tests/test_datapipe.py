@@ -848,3 +848,31 @@ def test_quality_lr_train_and_score(spark):
     assert got[1] > 0.5 > got[2]
     import math
     assert got[3] == pytest.approx(1 / (1 + math.exp(-bias)), abs=1e-5)
+
+
+def test_minhash_incremental_matches_full_rerun(spark):
+    """Incremental dedup (delta vs persisted band index) finds exactly
+    the delta-involving pairs a full re-run over corpus+delta would."""
+    from carbonapi_spark.datapipe.dedup import (
+        minhash_band_index, minhash_incremental_candidates,
+        minhash_lsh_candidates)
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "completely different words about spark engines"),
+         (3, "yet another unrelated document body")],
+        "doc_id LONG, text STRING")
+    delta = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog"),  # dup of 1
+         (11, "the quick brown fox jumps over the lazy dog"),  # dup of 1+10
+         (12, "fresh unique content never seen before")],
+        "doc_id LONG, text STRING")
+    idx = minhash_band_index(corpus, num_hashes=16, bands=8, ngram=2)
+    got = {(r["id_a"], r["id_b"]) for r in minhash_incremental_candidates(
+        delta, idx, num_hashes=16, bands=8, ngram=2).collect()}
+    full = {(r["id_a"], r["id_b"]) for r in minhash_lsh_candidates(
+        corpus.unionByName(delta), num_hashes=16, bands=8, ngram=2)
+        .collect()}
+    delta_ids = {10, 11, 12}
+    want = {p for p in full if p[0] in delta_ids or p[1] in delta_ids}
+    assert got == want
+    assert (1, 10) in got and (10, 11) in got
