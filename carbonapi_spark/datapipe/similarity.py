@@ -325,7 +325,9 @@ def pq_encode(df: DataFrame, codebooks: list[list[list[float]]],
 def pq_topk(corpus: DataFrame, query: DataFrame, k: int = 10,
             id_col: str = "vec_id", vec_col: str = "embedding",
             dim: int = 64, m: int = 8, ksub: int = 16, seed: int = 44,
-            codebooks: list[list[list[float]]] | None = None) -> DataFrame:
+            codebooks: list[list[list[float]]] | None = None,
+            codes: DataFrame | None = None,
+            code_col: str = "codes") -> DataFrame:
     """Approximate top-k by asymmetric distance computation (ADC) over
     PQ codes: the *compressed-domain* scale path. The corpus is reduced
     to m small ints per vector (encode once, store instead of the raw
@@ -342,8 +344,15 @@ def pq_topk(corpus: DataFrame, query: DataFrame, k: int = 10,
     cbs = codebooks if codebooks is not None else pq_codebooks(
         dim, m, ksub, seed)
     dsub = len(cbs[0][0])  # from the codebooks, NOT the m/ksub args
-    c = pq_encode(corpus, cbs, id_col, vec_col, "__codes") \
-        .withColumnRenamed(id_col, "neighbor_id")
+    if codes is not None:
+        # production path: scan the persisted 32x-compressed codes table
+        # (pq_encode written once at ingest) instead of re-encoding raw
+        # vectors per query
+        c = codes.select(F.col(id_col).alias("neighbor_id"),
+                         F.col(code_col).alias("__codes"))
+    else:
+        c = pq_encode(corpus, cbs, id_col, vec_col, "__codes") \
+            .withColumnRenamed(id_col, "neighbor_id")
     qv = f"cast({vec_col} as array<double>)"
     dtab = "array(" + ",".join(
         _sqdists_sql(qv, cbs[j], j, dsub) for j in range(len(cbs))) + ")"

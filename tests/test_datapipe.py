@@ -876,3 +876,19 @@ def test_minhash_incremental_matches_full_rerun(spark):
     want = {p for p in full if p[0] in delta_ids or p[1] in delta_ids}
     assert got == want
     assert (1, 10) in got and (10, 11) in got
+
+
+def test_pq_topk_precomputed_codes(spark):
+    """Passing a persisted codes table (the production path: encode once
+    at ingest, scan 32x-compressed codes per query) yields exactly the
+    re-encoding path's results."""
+    from carbonapi_spark.datapipe.similarity import (pq_codebooks,
+                                                     pq_encode, pq_topk)
+    vecs = _clustered_vecs(spark, dim=16, n=300)
+    cbs = pq_codebooks(dim=16, m=4, ksub=8)
+    q = vecs.where(F.col("vec_id") < 3)
+    live = {tuple(r) for r in pq_topk(vecs, q, k=5, codebooks=cbs).collect()}
+    stored = pq_encode(vecs, cbs)
+    via_codes = {tuple(r) for r in pq_topk(
+        vecs, q, k=5, codebooks=cbs, codes=stored).collect()}
+    assert via_codes == live
