@@ -70,11 +70,18 @@ def main() -> None:
     for fn in QUERIES.values():
         run(fn)
 
+    # Two timed passes, per-query MIN (the timeit convention): this VM's
+    # throughput swings ±30% in multi-minute windows (identical catalogs
+    # measured 0.60/0.77/0.89 s means in one session with the host idle),
+    # and min-of-2 largely cancels that without changing what is measured
+    # — warmed steady-state latency.
     times: dict[str, float] = {}
-    for name, fn in QUERIES.items():
-        t0 = time.perf_counter()
-        run(fn)
-        times[name] = round(time.perf_counter() - t0, 4)
+    for _pass in range(2):
+        for name, fn in QUERIES.items():
+            t0 = time.perf_counter()
+            run(fn)
+            dt = round(time.perf_counter() - t0, 4)
+            times[name] = min(times.get(name, dt), dt)
 
     total = round(sum(times.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
