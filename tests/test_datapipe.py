@@ -892,3 +892,53 @@ def test_pq_topk_precomputed_codes(spark):
     via_codes = {tuple(r) for r in pq_topk(
         vecs, q, k=5, codebooks=cbs, codes=stored).collect()}
     assert via_codes == live
+
+
+def test_full_corpus_pipeline_composition(spark):
+    """The whole corpus toolchain composes in one lazy plan: PII scrub ->
+    line dedup -> classifier + repetition quality gates -> fuzzy dedup
+    clusters -> keep-best -> chunk. Asserts each stage's effect on a
+    corpus crafted to trigger all of them."""
+    from carbonapi_spark.datapipe.cluster import dedup_keep_best
+    from carbonapi_spark.datapipe.dedup import shared_shingle_pairs
+    from carbonapi_spark.datapipe.sampling import chunk_documents
+    from carbonapi_spark.datapipe.text import (line_dedup, redact_pii,
+                                               repetition_features,
+                                               score_quality_lr)
+    footer = "contact admin@site.example for details"
+    base = "the quick brown fox jumps over the lazy dog today"
+    docs = spark.createDataFrame(
+        [(1, f"{base} extra words\n{footer}"),
+         (2, f"{base} more tail content\n{footer}"),      # near-dup of 1
+         (3, "spam spam spam spam spam spam spam spam"),  # repetition junk
+         (4, f"totally unrelated clean document body\n{footer}")],
+        "doc_id LONG, text STRING")
+
+    scrubbed = docs.select("doc_id", redact_pii(F.col("text")).alias("text"))
+    deduped_lines = line_dedup(scrubbed, min_docs=2)
+    # footer (shared line, post-scrub identical) removed everywhere
+    texts = {r["doc_id"]: r["text"] for r in deduped_lines.collect()}
+    assert all("<EMAIL>" not in t and "@" not in t for t in texts.values())
+    assert len(texts) == 4
+
+    rep = repetition_features(deduped_lines, ngram=2)
+    lr = score_quality_lr(deduped_lines, {"the": 1.0, "spam": -1.0}, 0.0)
+    gated = (deduped_lines
+             .join(rep, "doc_id").join(lr, "doc_id")
+             .where((F.col("dup_ngram_frac") < 0.5)
+                    & (F.col("lr_score") > 0.4))
+             .select("doc_id", "text"))
+    kept_ids = {r["doc_id"] for r in gated.collect()}
+    assert 3 not in kept_ids and {1, 2, 4} <= kept_ids
+
+    pairs = shared_shingle_pairs(gated, ngram=5)
+    keep = dedup_keep_best(
+        gated.withColumn("n_chars", F.length("text")), pairs)
+    keepers = {r["doc_id"] for r in keep.where("keep").collect()}
+    assert len(keepers & {1, 2}) == 1     # near-dups collapsed to one
+    assert 4 in keepers
+
+    final = gated.join(keep.where("keep").select("doc_id"), "doc_id")
+    chunks = chunk_documents(final, max_tokens=4).collect()
+    assert len(chunks) > 0
+    assert all(r["n_tokens"] <= 4 for r in chunks)
