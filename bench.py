@@ -93,6 +93,10 @@ def main() -> None:
         "total_sec": total,
         "n_queries": len(times),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # measurement methodology, recorded so rounds are comparable:
+        # numbers before round 5 were a single timed pass (no min)
+        "methodology": {"warmup_passes": 1, "timed_passes": 2,
+                        "aggregation": "min"},
     }
     # per-query detail goes to a file + an EARLY stdout line; the compact
     # summary must be the LAST line so a tail-capture always parses it

@@ -13,9 +13,9 @@ whose round count is the graph diameter (linear for chains).
 
 Scale shape: every round is groupBy(node).min + an equi-join back on the
 node key; no collect of edges, no driver-side graph. Lineage is truncated
-per round with ``localCheckpoint`` so the plan does not grow with the
-iteration count. Convergence is detected from a two-number checksum
-(count + sum of per-edge hashes), one tiny action per round.
+per round with a LAZY ``localCheckpoint`` whose materialization rides the
+convergence checksum (count + xor of per-edge hashes) — one action, one
+pass over the edge set per round.
 """
 
 from __future__ import annotations
@@ -130,7 +130,12 @@ def connected_components(edges: DataFrame, src: str = "src",
     for _ in range(max_rounds):
         if finish_threshold and prev[0] <= finish_threshold:
             return _finish_local(spark, e.collect())
-        e = _star_round(e).localCheckpoint()
+        # LAZY checkpoint: the checksum action both materializes the
+        # round's edge set (truncating lineage for the next round) and
+        # detects convergence — ONE full pass per round instead of the
+        # two an eager checkpoint + separate checksum action paid (at
+        # production scale each action is a pass over the edge set).
+        e = _star_round(e).localCheckpoint(eager=False)
         cur = checksum(e)
         if cur == prev:
             break

@@ -357,8 +357,8 @@ def remove_duplicate_spans(df: DataFrame, k: int = 50,
 
     Shuffle economy: token rows shuffle once by doc (both windows and
     the final reassembly reuse that partitioning; Catalyst plans them
-    without re-exchanging), plus one count shuffle on the 8-byte gram
-    hash and the flag join back. A zero-token-shuffle alternative
+    without re-exchanging), plus one count shuffle on the 16-byte gram
+    hash pair and the flag join back. A zero-token-shuffle alternative
     (per-doc array HOFs: transform+slice gram hashing, exists-based
     rebuild) measured 2.5x SLOWER at 500k docs (66 s vs 26 s) — higher-
     order functions evaluate interpreted per element, while the window
@@ -372,15 +372,28 @@ def remove_duplicate_spans(df: DataFrame, k: int = 50,
     t = df.select(F.col(id_col),
                   F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"))
     wg = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, k - 1)
-    grams = t.select(
+    # The gram key is a PAIR of independently-seeded xxhash64s (128 bits):
+    # with a single 64-bit key, birthday collisions at corpus scale
+    # (~1e12 grams => tens of thousands of expected collisions) would
+    # silently erase never-duplicated spans; at 128 bits the expectation
+    # is ~1e-14. The gram string itself is still never shuffled — only
+    # the 16-byte key pair.
+    grams = (t.select(
         id_col, "pos", "tok",
         F.when(F.count("tok").over(wg) == k,
-               F.xxhash64(F.concat_ws(" ", F.collect_list("tok").over(wg))))
-        .alias("__h"))
+               F.concat_ws(" ", F.collect_list("tok").over(wg)))
+        .alias("__g"))
+        .select(id_col, "pos", "tok",
+                F.when(F.col("__g").isNotNull(),
+                       F.xxhash64("__g")).alias("__h"),
+                F.when(F.col("__g").isNotNull(),
+                       F.xxhash64(F.lit(0x9E3779B9), F.col("__g")))
+                .alias("__h2")))
     dup = (grams.where(F.col("__h").isNotNull())
-           .groupBy("__h").agg(F.count(F.lit(1)).alias("__n"))
-           .where(F.col("__n") >= min_count).select("__h"))
-    flagged = (grams.join(dup.withColumn("__dup", F.lit(1)), "__h", "left")
+           .groupBy("__h", "__h2").agg(F.count(F.lit(1)).alias("__n"))
+           .where(F.col("__n") >= min_count).select("__h", "__h2"))
+    flagged = (grams.join(dup.withColumn("__dup", F.lit(1)),
+                          ["__h", "__h2"], "left")
                .select(id_col, "pos", "tok",
                        F.coalesce("__dup", F.lit(0)).alias("__dup")))
     wc = Window.partitionBy(id_col).orderBy("pos").rowsBetween(-(k - 1), 0)
@@ -427,29 +440,38 @@ def minhash_incremental_candidates(new_docs: DataFrame, index: DataFrame,
     Returns (id_a, id_b) with id_a from the index side (or the smaller
     delta id), covering delta-vs-corpus AND delta-vs-delta pairs.
 
-    Scale shape: only the delta is shingled/hashed; the join is an
-    equi-join on (band, key) that a (band, key)-bucketed index table
-    serves without a corpus-side shuffle. Same parameters => the same
-    buckets as the batch pipeline, so candidates equal what a full
-    re-run of ``minhash_lsh_candidates`` on corpus+delta would emit for
-    pairs involving a delta doc."""
+    Scale shape: only the delta is shingled/hashed; the corpus side is a
+    left-semi probe of the index on the (band, key) keys the delta
+    touches — broadcast, delta-sized, so a (band, key)-bucketed index
+    table serves it without a corpus-side shuffle. Bucket membership for
+    touched buckets is then index-members UNION delta-members, truncated
+    with the SAME sorted-prefix ``max_bucket`` rule as the batch path
+    (an earlier revision capped only the delta-vs-delta side, so a hot
+    bucket could blow up the corpus join and the result diverged from
+    batch truncation). Same parameters => candidates EXACTLY equal what
+    a full re-run of ``minhash_lsh_candidates`` on corpus+delta would
+    emit for pairs involving a delta doc, including truncation
+    (property-tested in ``tests/test_datapipe.py``)."""
     new_idx = minhash_band_index(new_docs, text_col, id_col, num_hashes,
                                  bands, ngram, seed)
-    # delta vs corpus: bucket equi-join against the persisted index
-    vs_corpus = (new_idx.join(
-        index.withColumnRenamed("doc_id", "__old"), ["band", "key"])
-        .where(F.col("__old") != F.col("doc_id"))
-        .select(F.least("__old", "doc_id").alias("id_a"),
-                F.greatest("__old", "doc_id").alias("id_b")))
-    # delta vs delta: in-bucket pairs of the (small) new side
-    buckets = (new_idx.groupBy("band", "key")
-               .agg(F.expr(f"slice(sort_array(collect_list(doc_id)), 1, "
-                           f"{max_bucket})").alias("ids"))
-               .where(F.size("ids") > 1))
-    vs_delta = (buckets.selectExpr(
-        """explode(flatten(transform(sequence(1, size(ids) - 1),
-             i -> transform(slice(ids, i + 1, size(ids) - i),
-                            x -> struct(element_at(ids, i) as id_a,
-                                        x as id_b))))) as p""")
-        .select("p.id_a", "p.id_b"))
-    return vs_corpus.unionByName(vs_delta).distinct()
+    touched = index.join(
+        F.broadcast(new_idx.select("band", "key").distinct()),
+        ["band", "key"], "left_semi")
+    members = (touched.select("band", "key", "doc_id")
+               .withColumn("nw", F.lit(0))
+               .unionByName(new_idx.select("band", "key", "doc_id")
+                            .withColumn("nw", F.lit(1))))
+    buckets = (members.groupBy("band", "key")
+               .agg(F.expr(f"slice(array_sort(collect_list("
+                           f"struct(doc_id, nw))), 1, {max_bucket})")
+                    .alias("ms"))
+               .where(F.size("ms") > 1))
+    # in-bucket pairs, keeping only those touching a delta doc (nn > 0)
+    return (buckets.selectExpr(
+        """explode(flatten(transform(sequence(1, size(ms) - 1),
+             i -> filter(transform(slice(ms, i + 1, size(ms) - i),
+                    x -> struct(element_at(ms, i).doc_id as id_a,
+                                x.doc_id as id_b,
+                                element_at(ms, i).nw + x.nw as nn)),
+                  p -> p.nn > 0)))) as p""")
+        .select("p.id_a", "p.id_b").distinct())

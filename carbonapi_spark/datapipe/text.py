@@ -145,18 +145,24 @@ def tfidf_top_terms(df: DataFrame, text_col: str = "text",
     """Top-k terms per document by tf-idf (tf * ln(N/df), ties broken
     alphabetically). Two hash aggregations plus a window partitioned by
     doc_id; the document-frequency side is tiny (vocabulary-sized) and
-    broadcast into the join."""
+    broadcast into the join. N rides along as a broadcast 1-row
+    aggregate crossed into the df side (the ``unigram_logprob_table``
+    trick) instead of a separate ``df.count()`` job — on a raw scan that
+    count is metadata-cheap, but on any filtered/derived input it was a
+    full extra pass."""
     from pyspark.sql.window import Window
-    n_docs = df.count()  # parquet metadata count — no full scan
     tf = (df.select("doc_id",
                     F.explode(tokens(F.lower(F.col(text_col)))).alias("term"))
           .groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("__n_docs"))
+    dfreq = (tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+             .crossJoin(F.broadcast(n_docs)))
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
     return (tf.join(F.broadcast(dfreq), "term")
             .withColumn("tfidf",
                         F.round(F.col("tf")
-                                * F.log(F.lit(float(n_docs)) / F.col("df")),
+                                * F.log(F.col("__n_docs").cast("double")
+                                        / F.col("df")),
                                 6))
             .withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)

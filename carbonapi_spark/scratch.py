@@ -20,23 +20,42 @@ calls :func:`release` when the response has been materialized.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 
-_TRACKED: list[DataFrame] = []
+# Thread-local: the HTTP server handles requests on a thread per
+# connection (ThreadingHTTPServer), and release() runs in the handler's
+# finally — a shared module-global list would let one request's release
+# unpersist DataFrames a concurrent request just tracked and still needs
+# (correct results, but the persist guarantee silently lost + cache
+# thrash). Each thread owns its tracked list; the bench/test harnesses
+# are single-threaded so they see the same behavior as before.
+_LOCAL = threading.local()
+
+
+def _tracked() -> list[DataFrame]:
+    lst = getattr(_LOCAL, "tracked", None)
+    if lst is None:
+        lst = _LOCAL.tracked = []
+    return lst
 
 
 def track(df: DataFrame) -> DataFrame:
-    """Persist ``df`` and register it for release at the request boundary."""
+    """Persist ``df`` and register it for release at the request boundary
+    (this thread's request — tracking is per-thread)."""
     df = df.persist()
-    _TRACKED.append(df)
+    _tracked().append(df)
     return df
 
 
 def release() -> int:
-    """Unpersist every tracked scratch DataFrame; returns how many."""
-    n = len(_TRACKED)
-    while _TRACKED:
-        df = _TRACKED.pop()
+    """Unpersist every scratch DataFrame tracked by THIS thread; returns
+    how many."""
+    lst = _tracked()
+    n = len(lst)
+    while lst:
+        df = lst.pop()
         try:
             df.unpersist()
         except Exception:

@@ -520,15 +520,40 @@ def test_pq_encode_shape_and_determinism(spark):
                for c in a.values())
 
 
-def test_pq_topk_codebooks_override_m():
+def test_pq_topk_codebooks_override_m(spark):
     """Regression: dsub must come from the passed codebooks, not the m
-    argument (a trained m=16 codebook through default m=8 sliced wrong)."""
+    argument. A dim=16/m=4 codebook (dsub=4) run through pq_topk's
+    default m=8 arguments must produce ADC distances matching a NumPy
+    reference built with the codebook's own geometry — slicing by
+    dim//default-m would score garbage."""
+    import random
+
+    import numpy as np
+
     from carbonapi_spark.datapipe.similarity import pq_codebooks, pq_topk
-    import inspect
-    src = inspect.getsource(pq_topk)
-    assert "len(cbs[0][0])" in src
-    cbs = pq_codebooks(dim=16, m=8, ksub=4)  # dsub=2, not dim//default m
-    assert len(cbs[0][0]) == 2
+    dim, m, ksub = 16, 4, 4
+    cbs = pq_codebooks(dim=dim, m=m, ksub=ksub, seed=7)
+    assert len(cbs[0][0]) == 4  # dsub from the codebook, not dim//8
+    rng = random.Random(5)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(dim)])
+            for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = pq_topk(df, df.where(F.col("vec_id") < 2), k=5,
+                  codebooks=cbs).collect()
+    assert {r["query_id"] for r in out} == {0, 1}
+    cb = np.array(cbs)                      # m x ksub x dsub
+    x = np.array([r[1] for r in rows])
+    dsub = dim // m
+    codes = np.stack(
+        [((x[:, j * dsub:(j + 1) * dsub][:, None, :]
+           - cb[j][None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+         for j in range(m)], axis=1)        # n x m, first-min ties
+    for r in out:
+        qv = x[r["query_id"]]
+        exp = sum(((qv[j * dsub:(j + 1) * dsub]
+                    - cb[j][codes[r["neighbor_id"], j]]) ** 2).sum()
+                  for j in range(m))
+        assert abs(r["adc_dist"] - round(exp, 6)) < 1e-6
 
 
 def test_pq_rerank_recall_and_training(spark):
@@ -876,6 +901,34 @@ def test_minhash_incremental_matches_full_rerun(spark):
     want = {p for p in full if p[0] in delta_ids or p[1] in delta_ids}
     assert got == want
     assert (1, 10) in got and (10, 11) in got
+
+
+def test_minhash_incremental_truncation_matches_batch(spark):
+    """Hot bucket above max_bucket: incremental truncation must follow
+    the batch sorted-prefix rule exactly (an earlier revision left the
+    corpus-vs-delta side uncapped, so a hot bucket diverged from batch
+    and could blow up the join)."""
+    from carbonapi_spark.datapipe.dedup import (
+        minhash_band_index, minhash_incremental_candidates,
+        minhash_lsh_candidates)
+    text = "the quick brown fox jumps over the lazy dog"
+    corpus = spark.createDataFrame([(i, text) for i in range(6)],
+                                   "doc_id LONG, text STRING")
+    delta = spark.createDataFrame([(100 + i, text) for i in range(3)],
+                                  "doc_id LONG, text STRING")
+    idx = minhash_band_index(corpus, num_hashes=16, bands=8, ngram=2)
+    for mb in (4, 8):  # 4: every delta doc truncated out; 8: one is
+        got = {(r["id_a"], r["id_b"])
+               for r in minhash_incremental_candidates(
+                   delta, idx, num_hashes=16, bands=8, ngram=2,
+                   max_bucket=mb).collect()}
+        full = {(r["id_a"], r["id_b"])
+                for r in minhash_lsh_candidates(
+                    corpus.unionByName(delta), num_hashes=16, bands=8,
+                    ngram=2, max_bucket=mb).collect()}
+        want = {p for p in full if p[0] >= 100 or p[1] >= 100}
+        assert got == want
+    assert (0, 101) in got and not any(102 in p for p in got)
 
 
 def test_pq_topk_precomputed_codes(spark):
