@@ -14,7 +14,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["stratified_sample"]
+__all__ = ["stratified_sample", "shard_assignment", "pack_sequences",
+           "chunk_documents", "dsir_log_ratio_table", "dsir_weights",
+           "dsir_sample"]
 
 
 def stratified_sample(df: DataFrame, rates: dict[str, float],
@@ -83,6 +85,105 @@ def pack_sequences(df: DataFrame, budget: int, n_shards: int = 32,
                     .alias("seq_in_shard"),
                     F.pmod(F.col("__start"), F.lit(budget)).cast("long")
                     .alias("offset")))
+
+
+def _hashed_buckets(df: DataFrame, text_col: str, id_col: str,
+                    n_buckets: int) -> DataFrame:
+    """(id, bucket) rows: every word unigram AND bigram of the lowercased
+    token stream hashed into ``n_buckets`` (DSIR's hashed n-gram
+    features, occurrences kept — counts matter)."""
+    from carbonapi_spark.datapipe.text import tokens, word_ngrams
+    grams = F.concat(tokens(F.lower(F.col(text_col))),
+                     word_ngrams(F.col(text_col), 2))
+    return (df.select(F.col(id_col), F.explode(grams).alias("__g"))
+            .select(id_col,
+                    F.pmod(F.xxhash64("__g"), F.lit(n_buckets))
+                    .alias("bucket")))
+
+
+def dsir_log_ratio_table(target: DataFrame, raw: DataFrame,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         n_buckets: int = 10_000,
+                         alpha: float = 0.5) -> DataFrame:
+    """(bucket, logr): smoothed per-bucket log(p_target / p_raw) over
+    hashed n-gram features — the importance-weight table of DSIR (Xie et
+    al., "Data Selection for Language Models via Importance Resampling",
+    NeurIPS 2023). Both feature distributions are bag-of-hashed-ngrams
+    (the paper's sec. 3 estimator); smoothing is add-``alpha`` over the
+    ``n_buckets`` feature space.
+
+    Scale shape: two exploded hash aggregations, each bounded at
+    ``n_buckets`` rows regardless of corpus size (map-side combined);
+    totals ride along as broadcast 1-row aggregates. The result is
+    feature-space-sized — broadcast it against the corpus to score
+    (``dsir_weights``), the same economy as ``unigram_logprob_table``.
+    Buckets unseen in the raw side cannot occur in raw docs, so the
+    table is keyed by the raw side's buckets (left-join target counts)."""
+    from carbonapi_spark import scratch
+    t = scratch.track(
+        _hashed_buckets(target, text_col, id_col, n_buckets)
+        .groupBy("bucket").agg(F.count(F.lit(1)).alias("__tn")))
+    r = scratch.track(
+        _hashed_buckets(raw, text_col, id_col, n_buckets)
+        .groupBy("bucket").agg(F.count(F.lit(1)).alias("__rn")))
+    tt = t.agg(F.sum("__tn").alias("__tt"))
+    rt = r.agg(F.sum("__rn").alias("__rt"))
+    return (r.join(t, "bucket", "left")
+            .crossJoin(F.broadcast(tt)).crossJoin(F.broadcast(rt))
+            .select("bucket",
+                    (F.log((F.coalesce("__tn", F.lit(0)) + F.lit(alpha))
+                           / (F.col("__tt") + alpha * n_buckets))
+                     - F.log((F.col("__rn") + F.lit(alpha))
+                             / (F.col("__rt") + alpha * n_buckets)))
+                    .alias("logr")))
+
+
+def dsir_weights(raw: DataFrame, table: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id",
+                 n_buckets: int = 10_000) -> DataFrame:
+    """(id, log_weight) for every raw doc: sum of the broadcast
+    log-ratio table over the doc's hashed n-gram occurrences (DSIR's
+    log importance weight). Docs with no features weigh 0. One broadcast
+    join + one per-doc aggregation — the corpus never shuffles except on
+    its own doc key."""
+    scored = (_hashed_buckets(raw, text_col, id_col, n_buckets)
+              .join(F.broadcast(table), "bucket")
+              .groupBy(id_col)
+              .agg(F.sum("logr").alias("__lw")))
+    return (raw.select(id_col).join(scored, id_col, "left")
+            .select(id_col,
+                    F.round(F.coalesce("__lw", F.lit(0.0)), 6)
+                    .alias("log_weight")))
+
+
+def dsir_sample(raw: DataFrame, target: DataFrame, n: int,
+                text_col: str = "text", id_col: str = "doc_id",
+                n_buckets: int = 10_000, alpha: float = 0.5,
+                gumbel_denom: int = 1_000_000) -> DataFrame:
+    """Select ``n`` raw docs by Gumbel-top-k importance resampling —
+    DSIR end to end: score every raw doc against the target distribution
+    (``dsir_weights``), perturb with deterministic Gumbel noise, keep
+    the global top ``n``. Sampling WITHOUT replacement with probability
+    proportional to the importance weight is exactly Gumbel-top-k on
+    log-weights (the paper's sampling step, derandomized).
+
+    The noise is a hash gate, not an RNG: u = (xxhash64(id) mod D + 0.5)
+    / D, g = -ln(-ln(u)) — reproducible across runs, engines, and
+    repartitioning, like ``stratified_sample``'s gate. The selection is
+    a global top-n (TakeOrdered: per-partition partial top-n, no global
+    sort shuffle). Returns (id, log_weight, key) for the selected docs,
+    highest key first replayable as ORDER BY key DESC, id LIMIT n."""
+    table = dsir_log_ratio_table(target, raw, text_col, id_col,
+                                 n_buckets, alpha)
+    wts = dsir_weights(raw, table, text_col, id_col, n_buckets)
+    u = ((F.pmod(F.xxhash64(F.col(id_col).cast("string")),
+                 F.lit(gumbel_denom)) + F.lit(0.5)) / F.lit(gumbel_denom))
+    gumbel = -F.log(-F.log(u))
+    return (wts.select(id_col, "log_weight",
+                       F.round(F.col("log_weight") + gumbel, 6)
+                       .alias("key"))
+            .orderBy(F.desc("key"), F.col(id_col))
+            .limit(n))
 
 
 def chunk_documents(df: DataFrame, max_tokens: int = 128,

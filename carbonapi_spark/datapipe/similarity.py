@@ -293,33 +293,36 @@ def _sub_sqdists(vec: Column, cb_lit: Column, j: int, dsub: int) -> Column:
                                F.lit(0.0), lambda acc, x: acc + x))
 
 
+def _pq_code_sql(vec_sql: str, codebooks: list[list[list[float]]]) -> str:
+    """SQL for the array<int> of per-subspace codeword indices (1-based,
+    ties to the lowest index). The argmin is a single fold over
+    (dist, index) pairs — the distance array is computed ONCE per
+    subspace (``array_position(d, array_min(d))`` would inline the
+    transform tree twice); strict ``<`` keeps the first minimum,
+    preserving the ties-to-lowest-index contract the oracle replays."""
+    dsub = len(codebooks[0][0])
+    ksub = len(codebooks[0])
+    codes = []
+    for j in range(len(codebooks)):
+        d = _sqdists_sql(vec_sql, codebooks[j], j, dsub)
+        codes.append(
+            f"cast(aggregate(zip_with({d}, sequence(1, {ksub}), "
+            f"(d, i) -> struct(d, i)), "
+            f"named_struct('d', cast('Infinity' as double), 'i', 0), "
+            f"(acc, x) -> if(x.d < acc.d, x, acc)).i as int)")
+    return "array(" + ",".join(codes) + ")"
+
+
 def pq_encode(df: DataFrame, codebooks: list[list[list[float]]],
               id_col: str = "vec_id", vec_col: str = "embedding",
               code_col: str = "codes") -> DataFrame:
     """Encode every vector to ``m`` codebook indices (1-based, ties to the
     lowest index): array<int> of length m — 8 bytes/vector at the default
     (m=8, ksub=16) vs 256 bytes of float32, a 32x smaller table to scan.
-    Pure array HOFs over constant-folded codebook literals; zero shuffle.
-
-    The argmin is a single fold over (dist, index) pairs — the distance
-    array is computed ONCE per subspace (``array_position(d, array_min(d))``
-    would inline the transform tree twice); strict ``<`` keeps the first
-    minimum, preserving the ties-to-lowest-index contract the oracle
-    replays."""
-    m = len(codebooks)
-    dsub = len(codebooks[0][0])
-    ksub = len(codebooks[0])
+    Pure array HOFs over constant-folded codebook literals; zero shuffle."""
     v = f"cast({vec_col} as array<double>)"
-    codes = []
-    for j in range(m):
-        d = _sqdists_sql(v, codebooks[j], j, dsub)
-        codes.append(
-            f"cast(aggregate(zip_with({d}, sequence(1, {ksub}), "
-            f"(d, i) -> struct(d, i)), "
-            f"named_struct('d', cast('Infinity' as double), 'i', 0), "
-            f"(acc, x) -> if(x.d < acc.d, x, acc)).i as int)")
     return df.selectExpr(id_col,
-                         "array(" + ",".join(codes) + f") as {code_col}")
+                         f"{_pq_code_sql(v, codebooks)} as {code_col}")
 
 
 def pq_topk(corpus: DataFrame, query: DataFrame, k: int = 10,
@@ -391,6 +394,15 @@ def pq_rerank_topk(corpus: DataFrame, query: DataFrame, k: int = 10,
     not a second full scan of it."""
     cand = pq_topk(corpus, query, k=r, id_col=id_col, vec_col=vec_col,
                    dim=dim, m=m, ksub=ksub, seed=seed, codebooks=codebooks)
+    return _exact_rerank(corpus, query, cand, k, id_col, vec_col)
+
+
+def _exact_rerank(corpus: DataFrame, query: DataFrame, cand: DataFrame,
+                  k: int, id_col: str, vec_col: str) -> DataFrame:
+    """Exact-cosine rerank of an (query_id, neighbor_id) candidate set:
+    gathers only the candidate vectors via an id join (a point lookup
+    against the embedding table, not a second full scan), broadcasts the
+    tiny query side, and windows to top-k."""
     c = (corpus.select(F.col(id_col).alias("neighbor_id"),
                        _as_double(F.col(vec_col)).alias("__cv"))
          .join(cand.select("query_id", "neighbor_id"), "neighbor_id"))
@@ -404,3 +416,183 @@ def pq_rerank_topk(corpus: DataFrame, query: DataFrame, k: int = 10,
                                                F.col("neighbor_id"))
     return (sims.withColumn("__rk", F.row_number().over(w))
             .where(F.col("__rk") <= k).drop("__rk"))
+
+
+# ------------------------------------------------------------------- IVFADC
+
+def ivfpq_encode(df: DataFrame, codebooks: list[list[list[float]]],
+                 centroids: list[list[float]], id_col: str = "vec_id",
+                 vec_col: str = "embedding", cell_col: str = "cell",
+                 code_col: str = "codes") -> DataFrame:
+    """(id, cell, codes): the persisted IVFADC index table — coarse cell
+    assignment (argmax dot with the centroid directions, ties to the
+    lowest cell) plus PQ codes, one stateless projection over the raw
+    vectors. Write it once at ingest, partitioned by ``cell``, and
+    ``ivfpq_topk(codes=...)`` probes it without touching raw embeddings."""
+    v = f"cast({vec_col} as array<double>)"
+    cell_dots = "array(" + ",".join(
+        _dot_sql(v, c) for c in centroids) + ")"
+    return (df.selectExpr(id_col, f"{cell_dots} as __d",
+                          f"{_pq_code_sql(v, codebooks)} as {code_col}")
+            .withColumn(cell_col,
+                        F.array_position(F.col("__d"), F.array_max("__d"))
+                        .cast("int"))
+            .select(id_col, cell_col, code_col))
+
+
+def ivfpq_topk(corpus: DataFrame, query: DataFrame, k: int = 10,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               dim: int = 64, n_centroids: int = 16, nprobe: int = 2,
+               cell_seed: int = 43, m: int = 8, ksub: int = 16,
+               seed: int = 44,
+               codebooks: list[list[list[float]]] | None = None,
+               codes: DataFrame | None = None, cell_col: str = "cell",
+               code_col: str = "codes", refine: int | None = None
+               ) -> DataFrame:
+    """IVFADC — the FAISS ``IVFx,PQy`` composition (Jegou et al., TPAMI
+    2011, sec. V): a coarse spherical quantizer (``ivf_centroids``)
+    bounds the scan to the ~n*nprobe/n_centroids codes in the probed
+    cells, and PQ codes make each scanned row ``m`` table lookups — the
+    two orthogonal reductions multiplied. Plain ``pq_topk`` scans the
+    FULL codes table per query batch; this touches only the probed
+    cells, which is what makes the compressed-domain path sublinear at
+    100 TB (cell-partitioned codes table => partition pruning serves
+    the probe).
+
+    ``refine=r`` adds the ``IVFPQ,Refine`` stage: ADC selects top-r per
+    query, then ONLY those r vectors are rescored with exact cosine
+    (returns cos_sim ranked descending; without refine returns adc_dist
+    ranked ascending). ``codes=`` supplies a persisted
+    ``ivfpq_encode`` table so raw embeddings are never rescanned
+    (stage-2 refine still gathers its r*|q| vectors by id semi-join).
+
+    Deterministic for fixed seeds — the DuckDB oracle replays cell
+    assignment, encoding, probe ranking, and ADC bit-for-bit."""
+    cbs = codebooks if codebooks is not None else pq_codebooks(
+        dim, m, ksub, seed)
+    dsub = len(cbs[0][0])
+    cents = ivf_centroids(dim, n_centroids, cell_seed)
+    if codes is not None:
+        c = codes.select(F.col(id_col).alias("neighbor_id"),
+                         F.col(cell_col).alias("__cell"),
+                         F.col(code_col).alias("__codes"))
+    else:
+        c = (ivfpq_encode(corpus, cbs, cents, id_col, vec_col,
+                          "__cell", "__codes")
+             .withColumnRenamed(id_col, "neighbor_id"))
+    qv = f"cast({vec_col} as array<double>)"
+    cell_dots = "array(" + ",".join(_dot_sql(qv, ct) for ct in cents) + ")"
+    dtab = "array(" + ",".join(
+        _sqdists_sql(qv, cbs[j], j, dsub) for j in range(len(cbs))) + ")"
+    q0 = (query.selectExpr(f"{id_col} as query_id", f"{dtab} as __dtab",
+                           f"{cell_dots} as __d")
+          .select("query_id", "__dtab",
+                  F.posexplode("__d").alias("__pos", "__dot")))
+    wq = Window.partitionBy("query_id").orderBy(F.col("__dot").desc(),
+                                                F.col("__pos"))
+    q = (q0.withColumn("__rk", F.row_number().over(wq))
+         .where(F.col("__rk") <= nprobe)
+         .select("query_id", "__dtab",
+                 (F.col("__pos") + 1).cast("int").alias("__cell")))
+    adc = F.aggregate(
+        F.zip_with(F.col("__codes"), F.col("__dtab"),
+                   lambda code, tab: F.element_at(tab, code)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    sims = (c.join(F.broadcast(q), "__cell")
+            .where(F.col("neighbor_id") != F.col("query_id"))
+            .select("query_id", "neighbor_id",
+                    F.round(adc, 6).alias("adc_dist")))
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_dist").asc(),
+                                               F.col("neighbor_id"))
+    topn = (sims.withColumn("__rk", F.row_number().over(w))
+            .where(F.col("__rk") <= (refine or k)).drop("__rk"))
+    if refine is None:
+        return topn
+    return _exact_rerank(corpus, query, topn, k, id_col, vec_col)
+
+
+# ----------------------------------------------------------------- SemDeDup
+
+def semantic_dedup(vecs: DataFrame, id_col: str = "vec_id",
+                   vec_col: str = "embedding", dim: int = 64,
+                   n_centroids: int = 16, tau: float = 0.95,
+                   cell_seed: int = 43, max_cell: int = 10_000) -> DataFrame:
+    """SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication", 2023): cluster the
+    embedding space coarsely, compare vectors ONLY within their cluster,
+    and drop all but one member of each semantic-duplicate group
+    (pairwise cosine >= ``tau``).
+
+    Returns (id, cell, centroid_sim, keep): ``keep`` is false iff a
+    LOWER-id same-cell vector is ``tau``-similar — the greedy-by-id
+    keeper, deterministic and exactly SQL-replayable. (The paper keeps
+    the member with the lowest centroid similarity; compose
+    ``semantic_dup_pairs`` + ``cluster.dedup_keep_best`` with
+    ``-centroid_sim`` as the score for that policy — same plan shape,
+    one extra cluster-keyed window.)
+
+    Scale shape (the paper's own argument, sec. 3): clustering makes the
+    quadratic pair comparison tractable by bounding it to within-cluster
+    pairs — here a single cell equi-join (self-join on the cell key,
+    low-id side < high-id side), never an all-pairs product. Cells are
+    the spherical seeded quantizer (``ivf_centroids``) so the oracle
+    replays assignment exactly; production swaps in trained k-means
+    centroids without changing the plan. ``max_cell`` truncates
+    pathological cells (sorted-prefix rule, like ``max_bucket`` in the
+    LSH paths) so an adversarial corpus cannot quadratic-blow a task."""
+    cents = ivf_centroids(dim, n_centroids, cell_seed)
+    v = f"cast({vec_col} as array<double>)"
+    cell_dots = "array(" + ",".join(_dot_sql(v, c) for c in cents) + ")"
+    base = (vecs.selectExpr(f"{id_col}", f"{v} as __v",
+                            f"{cell_dots} as __d")
+            .select(id_col,
+                    F.col("__v"),
+                    F.array_position(F.col("__d"), F.array_max("__d"))
+                    .cast("int").alias("cell"),
+                    F.round(F.when(norm(F.col("__v")) > 0,
+                                   F.array_max("__d") / norm(F.col("__v"))),
+                            6).alias("centroid_sim")))
+    w = Window.partitionBy("cell").orderBy(id_col)
+    capped = (base.withColumn("__rk", F.row_number().over(w))
+              .where(F.col("__rk") <= max_cell).drop("__rk"))
+    lo = capped.select(F.col(id_col).alias("__lo"), "cell",
+                       F.col("__v").alias("__lv"))
+    dup = (capped.join(lo, "cell")
+           .where(F.col("__lo") < F.col(id_col))
+           .where(F.round(cosine(F.col("__v"), F.col("__lv")), 6) >= tau)
+           .select(id_col).distinct()
+           .withColumn("__dup", F.lit(True)))
+    return (capped.join(dup, id_col, "left")
+            .select(id_col, "cell", "centroid_sim",
+                    F.coalesce(~F.col("__dup"), F.lit(True)).alias("keep")))
+
+
+def semantic_dup_pairs(vecs: DataFrame, id_col: str = "vec_id",
+                       vec_col: str = "embedding", dim: int = 64,
+                       n_centroids: int = 16, tau: float = 0.95,
+                       cell_seed: int = 43,
+                       max_cell: int = 10_000) -> DataFrame:
+    """Within-cell tau-similar pairs (id_a < id_b, cos_sim) — the edge
+    list for cluster-based SemDeDup policies (feed to
+    ``cluster.dedup_clusters`` / ``dedup_keep_best``)."""
+    cents = ivf_centroids(dim, n_centroids, cell_seed)
+    v = f"cast({vec_col} as array<double>)"
+    cell_dots = "array(" + ",".join(_dot_sql(v, c) for c in cents) + ")"
+    base = (vecs.selectExpr(f"{id_col}", f"{v} as __v",
+                            f"{cell_dots} as __d")
+            .select(id_col, F.col("__v"),
+                    F.array_position(F.col("__d"), F.array_max("__d"))
+                    .cast("int").alias("cell")))
+    w = Window.partitionBy("cell").orderBy(id_col)
+    capped = (base.withColumn("__rk", F.row_number().over(w))
+              .where(F.col("__rk") <= max_cell).drop("__rk"))
+    b = capped.select(F.col(id_col).alias("id_b"), "cell",
+                      F.col("__v").alias("__bv"))
+    return (capped.select(F.col(id_col).alias("id_a"), "cell",
+                          F.col("__v").alias("__av"))
+            .join(b, "cell")
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b",
+                    F.round(cosine(F.col("__av"), F.col("__bv")), 6)
+                    .alias("cos_sim"))
+            .where(F.col("cos_sim") >= tau))

@@ -434,7 +434,10 @@ def _q_minhash_dedup(spark, sf_dir):
 _TOKS_SQL = r"list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x != '')"
 
 
-def _minhash_oracle() -> str:
+def _minhash_pair_ctes() -> str:
+    """CTE chain ending at ``__pairs`` (DISTINCT id_a < id_b candidate
+    pairs): the banded-LSH replay shared by the batch (minhash_dedup)
+    and incremental (minhash_incremental) oracles."""
     from carbonapi_spark.datapipe.dedup import MERSENNE, _affine_params
     from carbonapi_spark.oracle_xxh64 import xxh64_ctes
     p = MERSENNE
@@ -447,7 +450,7 @@ def _minhash_oracle() -> str:
                                  for r in range(4)) + f") AS __k{b}"
         for b in range(4))
     return f"""
-WITH __d AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+__d AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
 __sh AS (SELECT doc_id,
               list_distinct(list_transform(range(greatest(len(toks) - 1, 0)),
                                            j -> toks[j + 1] || ' ' || toks[j + 2]))
@@ -471,7 +474,12 @@ __buck AS (SELECT bk.band, bk.key, (list_sort(list(doc_id)))[1:2000] AS ids
 __pairs0 AS (SELECT unnest(flatten(list_transform(range(len(ids) - 1),
                  i -> list_transform(ids[i + 2:], x -> [ids[i + 1], x])))) AS pr
              FROM __buck),
-__pairs AS (SELECT DISTINCT pr[1] AS id_a, pr[2] AS id_b FROM __pairs0),
+__pairs AS (SELECT DISTINCT pr[1] AS id_a, pr[2] AS id_b FROM __pairs0)""".strip()
+
+
+def _minhash_oracle() -> str:
+    return f"""
+WITH {_minhash_pair_ctes()},
 __j AS (SELECT id_a, id_b,
                len(list_intersect(a.sh, b.sh)) AS inter,
                len(list_distinct(list_concat(a.sh, b.sh))) AS uni
@@ -488,6 +496,78 @@ WHERE round(CASE WHEN uni > 0 THEN CAST(inter AS DOUBLE) / uni
 
 
 _register("minhash_dedup", _q_minhash_dedup, _minhash_oracle())
+
+
+def _q_minhash_incremental(spark, sf_dir):
+    """Incremental near-dup candidates: docs with id >= 400 are the delta
+    batch, the rest the already-indexed corpus (minhash_band_index) —
+    the daily-update shape where only the delta is shingled/hashed.
+    Truncation follows the batch sorted-prefix rule, so the result is
+    EXACTLY the batch pipeline's pairs restricted to delta-involving
+    ones — which is what the oracle computes (full-corpus band replay +
+    delta filter)."""
+    from carbonapi_spark.datapipe.dedup import (
+        minhash_band_index, minhash_incremental_candidates)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    idx = minhash_band_index(docs.where(F.col("doc_id") < 400),
+                             num_hashes=16, bands=4, ngram=2)
+    return minhash_incremental_candidates(
+        docs.where(F.col("doc_id") >= 400), idx,
+        num_hashes=16, bands=4, ngram=2)
+
+
+_register("minhash_incremental", _q_minhash_incremental, f"""
+WITH {_minhash_pair_ctes()}
+SELECT id_a, id_b FROM __pairs
+WHERE id_a >= 400 OR id_b >= 400
+""".strip())
+
+
+def _q_stream_minhash_replay(spark, sf_dir):
+    """The STREAMING LSH dedup path made scoreboard-visible: documents
+    replayed through ``stream_minhash_candidates``'s stateful kernel
+    (applyInPandasWithState) as a file stream with an availableNow
+    trigger, pairs gathered via foreachBatch. With no bucket overflow
+    (docs << max_bucket) the distinct pair set is arrival-order-free
+    and equals the batch candidates — the same ``__pairs`` oracle as
+    minhash_dedup restricted to the same id slice. The slice (500 docs)
+    bounds the per-row HOF signature cost: the streaming kernel pays
+    interpreted array-HOF signatures per row (latency-shaped, see
+    ``stream_minhash_candidates``), which at full sf0.1 would make this
+    one bench entry ~8 s — scale behavior lives in the smoke; this entry
+    pins the numbers. Restart/checkpoint semantics are pinned separately
+    in pytest."""
+    import tempfile
+
+    from carbonapi_spark.streaming.stateful import stream_minhash_candidates
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (spark.readStream.schema(schema)
+              .option("pathGlobFilter", "documents.parquet")
+              .parquet(sf_dir)  # file source needs a DIRECTORY
+              .where(F.col("doc_id") < 500))
+    out = stream_minhash_candidates(stream, num_hashes=16, bands=4,
+                                    ngram=2, max_bucket=2000)
+    rows: set = set()
+
+    def sink(bdf, _bid):
+        rows.update((r["id_a"], r["id_b"])
+                    for r in bdf.select("id_a", "id_b").collect())
+
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (out.writeStream.foreachBatch(sink)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+    return spark.createDataFrame(sorted(rows) or [],
+                                 "id_a LONG, id_b LONG")
+
+
+_register("stream_minhash_replay", _q_stream_minhash_replay, f"""
+WITH {_minhash_pair_ctes().replace(
+    "AS toks FROM documents",
+    "AS toks FROM documents WHERE doc_id < 500")}
+SELECT id_a, id_b FROM __pairs
+""".strip())
 
 
 def _q_ngram_jaccard(spark, sf_dir):
@@ -1553,6 +1633,233 @@ WHERE rk <= 10
 """.strip())
 
 
+def _q_pq_ivf_topk(spark, sf_dir):
+    """IVFADC (FAISS IVFx,PQy): coarse spherical cells bound the ADC scan
+    to the probed cells' codes — plain pq_adc_topk scans the FULL codes
+    table per query batch; this touches ~n*nprobe/n_centroids rows. Same
+    seeded codebooks/centroids as pq_adc_topk/ivf_topk, so the oracle
+    replays cells, codes, probe ranking, and ADC exactly."""
+    from carbonapi_spark.datapipe.similarity import ivfpq_topk
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ivfpq_topk(emb, emb.where(F.col("vec_id") < 5), k=10, dim=64,
+                      n_centroids=8, nprobe=3, m=8, ksub=16)
+
+
+def _q_pq_ivf_refine(spark, sf_dir):
+    """IVFPQ,Refine: the cell-pruned ADC stage picks top-40 candidates,
+    exact cosine reranks only those — the production ANN configuration
+    (sublinear scan AND exact final ordering)."""
+    from carbonapi_spark.datapipe.similarity import ivfpq_topk
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ivfpq_topk(emb, emb.where(F.col("vec_id") < 5), k=10, dim=64,
+                      n_centroids=8, nprobe=3, m=8, ksub=16, refine=40)
+
+
+def _ivfpq_ctes(n_cent: int = 8, nprobe: int = 3, m: int = 8,
+                ksub: int = 16, dsub: int = 8) -> str:
+    """Cell-pruned variant of ``_pq_sql_ctes``: same encode + distance
+    tables, but the adc join is keyed by the coarse cell (corpus argmax
+    cell vs each query's top-``nprobe`` probe cells). Margin safety
+    inherited from the ivf_topk + pq oracles (same seeds 43/44: min
+    cell-argmax gap 1.46e-5, probe-rank gap 1.55e-4, code-argmin gap
+    1.7e-5)."""
+    from carbonapi_spark.datapipe.similarity import (ivf_centroids,
+                                                     pq_codebooks)
+    cents = ivf_centroids(m * dsub, n_cent, 43)
+    cent_lits = "[" + ",".join(
+        "[" + ",".join(repr(x) for x in c) + "]" for c in cents) + "]"
+    cbs = pq_codebooks(m * dsub, m, ksub, 44)
+
+    def cb_lit(j: int) -> str:
+        return "[" + ",".join(
+            "[" + ",".join(repr(float(x)) for x in cw) + "]"
+            for cw in cbs[j]) + "]"
+
+    def dists(j: int) -> str:
+        return (f"list_transform({cb_lit(j)}, cw -> list_sum("
+                f"list_transform(range(1, {dsub + 1}), i -> "
+                f"(v[{j * dsub} + i] - cw[i]) * (v[{j * dsub} + i] - cw[i]))))")
+
+    d_cols = ",\n            ".join(f"{dists(j)} AS d{j}" for j in range(m))
+    code_cols = ", ".join(
+        f"list_indexof(d{j}, list_aggregate(d{j}, 'min')) AS c{j}"
+        for j in range(m))
+    adc = " + ".join(f"q.d{j}[c.c{j}]" for j in range(m))
+    return f"""
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+vd AS (SELECT vec_id, v,
+            list_transform({cent_lits}, ct -> list_dot_product(v, ct)) AS ds,
+            {d_cols}
+       FROM v),
+c AS (SELECT vec_id AS neighbor_id, v AS cv,
+             list_indexof(ds, list_aggregate(ds, 'max')) AS cell,
+             {code_cols} FROM vd),
+qc AS (SELECT query_id, pos AS cell
+       FROM (SELECT vec_id AS query_id, unnest(ds) AS d,
+                    unnest(range(1, {n_cent + 1})) AS pos
+             FROM vd WHERE vec_id < 5)
+       QUALIFY row_number() OVER (PARTITION BY query_id
+                                  ORDER BY d DESC, pos) <= {nprobe}),
+q AS (SELECT vec_id AS query_id, v AS qv, * FROM vd WHERE vec_id < 5),
+adc AS (SELECT qc.query_id, c.neighbor_id, c.cv, q.qv,
+               round({adc}, 6) AS adc_dist
+        FROM c JOIN qc USING (cell)
+        JOIN q ON q.query_id = qc.query_id
+        WHERE c.neighbor_id != qc.query_id)""".strip()
+
+
+_register("pq_ivf_topk", _q_pq_ivf_topk, f"""
+WITH {_ivfpq_ctes()}
+SELECT query_id, neighbor_id, adc_dist
+FROM (SELECT query_id, neighbor_id, adc_dist,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adc_dist, neighbor_id) AS rk
+      FROM adc)
+WHERE rk <= 10
+""".strip())
+
+
+_register("pq_ivf_refine", _q_pq_ivf_refine, f"""
+WITH {_ivfpq_ctes()},
+cand AS (SELECT query_id, neighbor_id, cv, qv
+         FROM (SELECT query_id, neighbor_id, cv, qv,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY adc_dist, neighbor_id) AS rk
+               FROM adc)
+         WHERE rk <= 40)
+SELECT query_id, neighbor_id, cos_sim
+FROM (SELECT query_id, neighbor_id,
+             round(CASE WHEN sqrt(list_dot_product(qv, qv))
+                             * sqrt(list_dot_product(cv, cv)) > 0
+                        THEN list_dot_product(qv, cv)
+                             / (sqrt(list_dot_product(qv, qv))
+                                * sqrt(list_dot_product(cv, cv))) END, 6)
+             AS cos_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY round(CASE WHEN sqrt(list_dot_product(qv, qv))
+                                                        * sqrt(list_dot_product(cv, cv)) > 0
+                                                    THEN list_dot_product(qv, cv)
+                                                         / (sqrt(list_dot_product(qv, qv))
+                                                            * sqrt(list_dot_product(cv, cv))) END, 6) DESC,
+                                         neighbor_id) AS rk
+      FROM cand)
+WHERE rk <= 10
+""".strip())
+
+
+def _q_semantic_dedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): coarse embedding clusters bound the
+    quadratic cosine comparison to within-cell pairs; a vector is dropped
+    when a lower-id cell-mate is tau-similar. tau=0.35 is calibrated to
+    the synthetic embeddings (max pairwise cosine at sf0.01 is ~0.51 —
+    production web corpora use ~0.95 on real encoder embeddings)."""
+    from carbonapi_spark.datapipe.similarity import semantic_dedup
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return semantic_dedup(emb, dim=64, n_centroids=8, tau=0.35)
+
+
+def _semantic_dedup_oracle() -> str:
+    from carbonapi_spark.datapipe.similarity import ivf_centroids
+    cents = ivf_centroids(64, 8, 43)
+    lits = "[" + ",".join(
+        "[" + ",".join(repr(x) for x in c) + "]" for c in cents) + "]"
+    cos = ("list_dot_product(hi.v, lo.v) / (sqrt(list_dot_product(hi.v, hi.v))"
+           " * sqrt(list_dot_product(lo.v, lo.v)))")
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+a AS (SELECT vec_id, v,
+             list_transform({lits}, c -> list_dot_product(v, c)) AS ds
+      FROM v),
+b AS (SELECT vec_id, v,
+             CAST(list_indexof(ds, list_aggregate(ds, 'max')) AS INTEGER)
+             AS cell,
+             round(CASE WHEN sqrt(list_dot_product(v, v)) > 0
+                        THEN list_aggregate(ds, 'max')
+                             / sqrt(list_dot_product(v, v)) END, 6)
+             AS centroid_sim
+      FROM a),
+c AS (SELECT * FROM b
+      QUALIFY row_number() OVER (PARTITION BY cell ORDER BY vec_id)
+              <= 10000),
+dup AS (SELECT DISTINCT hi.vec_id
+        FROM c hi JOIN c lo ON hi.cell = lo.cell
+                           AND lo.vec_id < hi.vec_id
+        WHERE round(CASE WHEN sqrt(list_dot_product(hi.v, hi.v))
+                              * sqrt(list_dot_product(lo.v, lo.v)) > 0
+                         THEN {cos} END, 6) >= 0.35)
+SELECT c.vec_id, cell, centroid_sim, (dup.vec_id IS NULL) AS keep
+FROM c LEFT JOIN dup USING (vec_id)
+""".strip()
+
+
+_register("semantic_dedup", _q_semantic_dedup, _semantic_dedup_oracle())
+
+
+def _q_dsir_sample(spark, sf_dir):
+    """DSIR (Xie et al. 2023): select raw docs whose hashed-ngram feature
+    distribution looks like the target's (here: the English subset) via
+    Gumbel-top-k importance resampling — deterministic end to end (hash
+    gates for noise, seeded xxhash64 features), so DuckDB replays the
+    whole selection including the tie-broken top-100."""
+    from carbonapi_spark.datapipe.sampling import dsir_sample
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dsir_sample(docs, docs.where(F.col("lang") == "en"), n=100,
+                       n_buckets=1000)
+
+
+def _dsir_oracle(n_buckets: int = 1000, n: int = 100, alpha: float = 0.5,
+                 denom: int = 1_000_000) -> str:
+    """Replays hashed features, the smoothed log-ratio table, per-doc
+    weights, Gumbel noise, and the top-n — the gram strings AND the
+    doc-id strings are hashed in ONE xxh64 CTE pass (the chain's
+    internal CTE names are fixed, so it can appear only once)."""
+    from carbonapi_spark.oracle_xxh64 import xxh64_ctes
+    b = n_buckets
+    return f"""
+WITH __t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+__grams AS (SELECT doc_id,
+                   unnest(list_concat(toks,
+                       list_transform(range(greatest(len(toks) - 1, 0)),
+                                      j -> toks[j + 1] || ' ' || toks[j + 2])))
+                   AS g
+            FROM __t),
+__strs AS (SELECT DISTINCT t FROM (
+              SELECT g AS t FROM __grams
+              UNION ALL
+              SELECT CAST(doc_id AS VARCHAR) FROM documents)),
+{xxh64_ctes('__strs', 't', 'h64', '__xh')},
+__b AS (SELECT g.doc_id, ((h64 % {b}) + {b}) % {b} AS bucket
+        FROM __grams g JOIN __xh ON __xh.t = g.g),
+__rb AS (SELECT bucket, count(*) AS rn FROM __b GROUP BY bucket),
+__tb AS (SELECT bucket, count(*) AS tn
+         FROM __b JOIN documents USING (doc_id)
+         WHERE lang = 'en' GROUP BY bucket),
+__tt AS (SELECT sum(tn) AS tt FROM __tb),
+__rt AS (SELECT sum(rn) AS rt FROM __rb),
+__tab AS (SELECT bucket,
+                 ln((coalesce(tn, 0) + {alpha}) / (tt + {alpha} * {b}))
+               - ln((rn + {alpha}) / (rt + {alpha} * {b})) AS logr
+          FROM __rb LEFT JOIN __tb USING (bucket)
+          CROSS JOIN __tt CROSS JOIN __rt),
+__w AS (SELECT doc_id, round(sum(logr), 6) AS log_weight
+        FROM __b JOIN __tab USING (bucket) GROUP BY doc_id),
+__all AS (SELECT d.doc_id, coalesce(w.log_weight, 0.0) AS log_weight
+          FROM documents d LEFT JOIN __w w USING (doc_id)),
+__g AS (SELECT CAST(t AS BIGINT) AS doc_id,
+               -ln(-ln((((h64 % {denom}) + {denom}) % {denom} + 0.5)
+                       / {denom})) AS gum
+        FROM __xh WHERE t IN (SELECT CAST(doc_id AS VARCHAR)
+                              FROM documents))
+SELECT a.doc_id, a.log_weight, round(a.log_weight + g.gum, 6) AS key
+FROM __all a JOIN __g g USING (doc_id)
+ORDER BY key DESC, a.doc_id
+LIMIT {n}
+""".strip()
+
+
+_register("dsir_sample", _q_dsir_sample, _dsir_oracle())
+
+
 # --------------------------------------------------------------------------
 # round 1, batch 5: embedding near-dup + vocabulary stats
 # --------------------------------------------------------------------------
@@ -2128,52 +2435,33 @@ FROM __all
 # fills the remaining first-50 slots; those are all green in
 # CORRECTNESS_r01.json ∪ CORRECTNESS_r02.json.  Keep this list well under 50.
 _DRIVER_PREFIX = [
-    # NEW in round 5 — never had a driver row
-    "dedup_clusters",     # connected-components fuzzy-dedup clustering
-    "rep_filters",        # Gopher repetition quality signals
-    "contamination",      # train/benchmark n-gram overlap audit
-    "stratified_sample",  # deterministic per-language mixing gate
-    "tfidf_top",          # tf-idf top terms per doc
-    "dedup_keep_best",    # quality-aware cluster keeper policy
-    "shard_assignment",   # deterministic training-output layout
-    "pack_sequences",     # concat-split sequence packing
-    "pq_adc_topk",        # product-quantization ADC ANN (compressed domain)
-    "pq_rerank",          # ADC candidates + exact rerank (IVFPQ,Refine shape)
-    "ppl_buckets",        # CCNet-style unigram cross-entropy quality terciles
-    "sessionize",         # session_window gap sessions (stream-ready)
-    "line_dedup",         # C4 duplicate-line boilerplate removal
-    "redact_pii",         # email/IP/phone scrub
-    "chunk_documents",    # context-window token chunking
-    "substr_dedup",       # Lee et al. exact-substring span removal
-    "bpe_token_count",    # GPT-2-style pre-token cost estimate
-    "quality_lr",         # logistic quality classifier scoring
-    # plan changed in round 5 — re-verify first
-    "group_by_tags",     # string-op group key (no per-row tag map)
-    "as_percent_total",  # single-vs-multi naming fused into the total agg
-    "as_percent_missing",  # NEW r5: grouped MISSING-pad path, driver row
-    "ngram_jaccard",       # NEW r5: standalone exact-Jaccard kernel
-    # the 53 queries whose last driver row predates the round-3 testdata
-    # dtype change (green in r01/r02 + every local oracle run since, but
-    # the driver scoreboard hasn't seen them on CURRENT data). 55 entries
-    # vs the 50-row cap: the FINAL FIVE are trivial map-only transforms,
-    # deliberately the over-cap tail — they roll to next round.
-    "as_percent_nodes",  # also r5 plan change (join-side MISSING flag)
-    "series_by_tag",     # also r5 plan change (string-op name-tag predicate)
-    "stddev_series", "range_series", "median_series", "last_series",
-    "summarize_align_from", "smart_summarize", "moving_max", "pearson",
-    "linear_regression", "n_percentile", "aggregate_line",
-    "integral_by_interval", "weighted_average", "join_and", "join_sub",
-    "unique_group", "most_deviant", "tukey_above", "time_stack", "slo_1d",
-    "ewma_alpha", "ema", "holt_winters", "ks_test", "per_second", "delay",
+    # NEW in round 6 — never had a driver row
+    "pq_ivf_topk",        # IVFADC: cell-pruned compressed-domain ANN
+    "pq_ivf_refine",      # IVFADC + exact rerank (IVFPQ,Refine)
+    "minhash_incremental",  # delta-vs-index dedup, batch-equivalent
+    "stream_minhash_replay",  # streaming stateful LSH kernel, batch replay
+    "semantic_dedup",     # SemDeDup: within-cell embedding cosine dedup
+    "dsir_sample",        # DSIR: hashed-ngram importance resampling
+    # plan changed in round 6 — re-verify
+    "minhash_dedup",      # spread() now size-gated (the r5 bench regression)
+    "substr_dedup",       # 128-bit gram keys + spread gate
+    "contamination",      # spread gate
+    "rep_filters",        # spread gate
+    "ppl_buckets",        # spread gate
+    "line_dedup",         # spread gate
+    "dedup_clusters",     # spread gate + one-action star rounds
+    "dedup_keep_best",    # spread gate + one-action star rounds
+    "tfidf_top",          # N from broadcast 1-row agg, no separate count job
+    # the 25 queries the round-5 50-row cap rolled over (last driver rows
+    # predate the round-3 testdata dtype change; local-oracle green in
+    # every session since)
     "changed", "is_non_null", "min_max", "logarithm",
     "remove_below_percentile", "average_outside_percentile", "filter_series",
     "sort_by_name_rev", "interpolate_all", "group_union",
     "remove_zero_series", "count_values", "lang_id", "polyfit_linear",
     "hw_bands", "low_pass", "fingerprints", "embedding_dedup", "vocab_top",
-    "xff_aggregate",
-    # sacrificial tail (trivial pointwise transforms; local-oracle green)
-    "square_root", "sigmoid", "pow_transform", "scale_to_seconds",
-    "substr_name",
+    "xff_aggregate", "square_root", "sigmoid", "pow_transform",
+    "scale_to_seconds", "substr_name",
 ]
 
 

@@ -931,6 +931,48 @@ def test_minhash_incremental_truncation_matches_batch(spark):
     assert (0, 101) in got and not any(102 in p for p in got)
 
 
+def test_ivfpq_full_probe_equals_pq(spark):
+    """IVFADC with nprobe = n_centroids degenerates to the full ADC scan:
+    cell pruning removes nothing, so results must equal pq_topk exactly
+    (same codebooks, same ADC arithmetic)."""
+    from carbonapi_spark.datapipe.similarity import ivfpq_topk, pq_topk
+    vecs = _clustered_vecs(spark, dim=16, n=300)
+    q = vecs.where(F.col("vec_id") % 50 == 3)
+    a = {(r["query_id"], r["neighbor_id"], r["adc_dist"])
+         for r in ivfpq_topk(vecs, q, k=5, dim=16, n_centroids=4,
+                             nprobe=4, m=4, ksub=8).collect()}
+    b = {(r["query_id"], r["neighbor_id"], r["adc_dist"])
+         for r in pq_topk(vecs, q, k=5, dim=16, m=4, ksub=8).collect()}
+    assert a == b and len(a) > 0
+
+
+def test_ivfpq_precomputed_codes_and_refine(spark):
+    """The persisted (cell, codes) index path must equal re-encoding, and
+    refine over the whole corpus at full probe must equal brute force
+    (exact cosine, same rounding)."""
+    from carbonapi_spark.datapipe.similarity import (
+        brute_force_topk, ivf_centroids, ivfpq_encode, ivfpq_topk,
+        pq_codebooks)
+    dim = 16
+    vecs = _clustered_vecs(spark, dim=dim, n=600)
+    q = vecs.where(F.col("vec_id") % 150 == 3)
+    cbs = pq_codebooks(dim, 4, 8)
+    cents = ivf_centroids(dim, 4, 43)
+    codes = ivfpq_encode(vecs, cbs, cents)
+    assert codes.columns == ["vec_id", "cell", "codes"]
+    kw = dict(k=5, dim=dim, n_centroids=4, nprobe=2, m=4, ksub=8,
+              codebooks=cbs)
+    a = {tuple(r) for r in ivfpq_topk(vecs, q, **kw).collect()}
+    b = {tuple(r) for r in ivfpq_topk(vecs, q, codes=codes, **kw).collect()}
+    assert a == b and len(a) > 0
+    got = {tuple(r)
+           for r in ivfpq_topk(vecs, q, k=5, dim=dim, n_centroids=4,
+                               nprobe=4, m=4, ksub=8,
+                               refine=600).collect()}
+    want = {tuple(r) for r in brute_force_topk(vecs, q, k=5).collect()}
+    assert got == want
+
+
 def test_pq_topk_precomputed_codes(spark):
     """Passing a persisted codes table (the production path: encode once
     at ingest, scan 32x-compressed codes per query) yields exactly the
@@ -995,3 +1037,72 @@ def test_full_corpus_pipeline_composition(spark):
     chunks = chunk_documents(final, max_tokens=4).collect()
     assert len(chunks) > 0
     assert all(r["n_tokens"] <= 4 for r in chunks)
+
+
+def test_semantic_dedup_known_duplicates(spark):
+    """SemDeDup on a corpus with planted exact-duplicate embeddings: the
+    lowest-id member of each duplicate group survives, singletons keep,
+    and the zero vector neither crashes nor matches anything."""
+    from carbonapi_spark.datapipe.similarity import (semantic_dedup,
+                                                     semantic_dup_pairs)
+    dim = 8
+    base = [float(i + 1) for i in range(dim)]
+    other = [1.0, -2.0, 3.0, -4.0, 5.0, -6.0, 7.0, -8.0]
+    rows = [(0, base), (1, base),                       # dup group A
+            (2, [x * 2 for x in base]),                 # same direction: dup
+            (3, other), (4, [0.0] * dim)]               # singleton + zero
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in semantic_dedup(
+        vecs, dim=dim, n_centroids=4, tau=0.99).collect()}
+    assert out[0]["keep"] is True
+    # 1 and 2 are cosine-1.0 to 0; same cell (same direction), dropped
+    assert out[1]["keep"] is False and out[2]["keep"] is False
+    assert out[3]["keep"] is True and out[4]["keep"] is True
+    assert out[4]["centroid_sim"] is None  # zero vector: undefined sim
+    pairs = {(r["id_a"], r["id_b"]) for r in semantic_dup_pairs(
+        vecs, dim=dim, n_centroids=4, tau=0.99).collect()}
+    assert pairs == {(0, 1), (0, 2), (1, 2)}
+
+
+def test_semantic_dedup_max_cell_truncation(spark):
+    """Vectors beyond max_cell in a cell are excluded entirely (sorted-
+    prefix rule): the output row count shrinks and survivors keep."""
+    from carbonapi_spark.datapipe.similarity import semantic_dedup
+    dim = 4
+    v = [1.0, 2.0, 3.0, 4.0]
+    vecs = spark.createDataFrame([(i, v) for i in range(10)],
+                                 "vec_id long, embedding array<double>")
+    out = semantic_dedup(vecs, dim=dim, n_centroids=2, tau=0.99,
+                         max_cell=3).collect()
+    assert len(out) == 3  # all ten share a cell; prefix of 3 kept
+    kept = {r["vec_id"]: r["keep"] for r in out}
+    assert kept == {0: True, 1: False, 2: False}
+
+
+def test_dsir_weights_favor_target_like_docs(spark):
+    """DSIR log-weights: raw docs sharing the target's n-grams must
+    outweigh docs that share none, and the end-to-end Gumbel top-k is
+    deterministic across invocations."""
+    from carbonapi_spark.datapipe.sampling import (dsir_log_ratio_table,
+                                                   dsir_sample,
+                                                   dsir_weights)
+    target = spark.createDataFrame(
+        [(100 + i, "spark engine shuffles data fast") for i in range(3)],
+        "doc_id long, text string")
+    raw = spark.createDataFrame(
+        [(1, "spark engine shuffles data fast"),
+         (2, "spark engine is here"),
+         (3, "completely unrelated words entirely"),
+         (4, "")],
+        "doc_id long, text string")
+    table = dsir_log_ratio_table(target, raw, n_buckets=64)
+    w = {r["doc_id"]: r["log_weight"]
+         for r in dsir_weights(raw, table, n_buckets=64).collect()}
+    assert w[1] > w[2] > w[3]   # full overlap > partial > none
+    assert w[4] == 0.0          # empty doc: no features, weight 0
+    a = [tuple(r) for r in dsir_sample(raw, target, n=2,
+                                       n_buckets=64).collect()]
+    b = [tuple(r) for r in dsir_sample(raw, target, n=2,
+                                       n_buckets=64).collect()]
+    assert a == b and len(a) == 2
+    assert {t[0] for t in a} <= {1, 2, 3, 4}

@@ -176,6 +176,31 @@ def test_pq_adc_corpus_no_shuffle(spark):
     assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 1
 
 
+def test_ivfpq_corpus_cell_pruned(spark):
+    """ivfpq_topk: the corpus must flow scan -> cell+code projection ->
+    broadcast cell equi-join with NO corpus-side hash exchange before
+    the join (a cell-partitioned codes table serves the probe via
+    partition pruning at scale; the query probe side is broadcast).
+    Only the final per-query top-k window may hash-partition, over
+    probed-cell candidate rows."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from carbonapi_spark.datapipe.similarity import ivfpq_topk, pq_codebooks
+    vecs = (spark.range(64)
+            .select(F.col("id").alias("vec_id"),
+                    F.transform(F.sequence(F.lit(0), F.lit(7)),
+                                lambda i: (F.col("id") + i).cast("double"))
+                    .alias("embedding")))
+    cbs = pq_codebooks(dim=8, m=2, ksub=4)
+    df = ivfpq_topk(vecs, vecs.limit(2), k=3, dim=8, n_centroids=4,
+                    nprobe=2, m=2, ksub=4, codebooks=cbs)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 1
+
+
 def test_chunk_documents_no_shuffle(spark):
     """chunk_documents is a stateless projection: zero exchanges."""
     from pyspark.sql import functions as F

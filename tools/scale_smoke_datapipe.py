@@ -163,6 +163,21 @@ def main():
     recall["pq_rerank100_trained"] = measure(
         lambda: pq_rerank_topk(vecs, q, k=10, r=100, codebooks=trained))
 
+    # IVFADC (IVFx,PQy): cell pruning x compressed-domain scan — the scan
+    # touches ~n*nprobe/16 codes instead of all n; refine restores exact
+    # final ordering over the ADC top-100
+    from carbonapi_spark.datapipe.similarity import ivfpq_topk
+    for np_ in (2, 4):
+        recall[f"ivfpq_np{np_}_seeded"] = measure(
+            lambda: ivfpq_topk(vecs, q, k=10, dim=dim, n_centroids=16,
+                               nprobe=np_, codebooks=seeded))
+    recall["ivfpq_np2_refine100_trained"] = measure(
+        lambda: ivfpq_topk(vecs, q, k=10, dim=dim, n_centroids=16,
+                           nprobe=2, codebooks=trained, refine=100))
+    recall["ivfpq_np4_refine100_seeded"] = measure(
+        lambda: ivfpq_topk(vecs, q, k=10, dim=dim, n_centroids=16,
+                           nprobe=4, codebooks=seeded, refine=100))
+
     # connected components at graph scale, pure-distributed star rounds
     # (finish_threshold=0 disables the driver union-find finisher): a
     # union of many small near-dup clusters plus some 1000-node chains —
