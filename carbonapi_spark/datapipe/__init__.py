@@ -17,13 +17,17 @@ def spread(df: DataFrame, min_bytes: int = 8 << 20) -> DataFrame:
 
     Gated on the Catalyst size estimate: below ``min_bytes`` the
     serialized expression work is cheaper than the exchange it would
-    take to parallelize it, so tiny inputs pass through untouched
-    (measured at sf0.1: the unconditional repartition cost
-    ``minhash_dedup`` +0.85 s, a 1.5x bench regression, while the 500k-doc
-    corpus smoke — where the exchange pays for itself ~10x over — sits
-    far above the gate). Unknown estimates (non-scan roots without
-    stats) fall through to the repartition check, the conservative
-    side."""
+    take to parallelize it, so tiny inputs pass through untouched.
+    ``min_bytes`` is tuned PER CALL SITE by the per-row cost of the
+    expression the exchange parallelizes (A/B'd at sf0.1, min-of-3,
+    same session): heavy interpreted n-gram HOF pipelines
+    (shingling/minhash/repetition/contamination) win from spreading even
+    ~600 KB inputs (e.g. rep_filters 1.88 -> 0.99 s), so they pass
+    256 KB; cheap split/posexplode pipelines (line_dedup 0.42 vs
+    0.91 s, ppl_buckets, substr spans) keep the 8 MB default. The
+    500k-doc smoke sits far above every gate. Unknown estimates
+    (non-scan roots without stats) fall through to the repartition
+    check, the conservative side."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     try:

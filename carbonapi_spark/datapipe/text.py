@@ -114,7 +114,7 @@ def repetition_features(df: DataFrame, text_col: str = "text",
     is the natural partitioner, so this scales linearly with corpus size.
     """
     from carbonapi_spark.datapipe import spread
-    df = spread(df)
+    df = spread(df, min_bytes=256 << 10)
     # explode_outer keeps zero-ngram docs as one NULL row, so they flow
     # through the same two aggregations (scoring 0.0 via the coalesces)
     # instead of needing a join back onto the doc table — the whole op is
@@ -389,3 +389,49 @@ def train_quality_lr(samples: list[tuple[str, int]], iters: int = 200,
         b -= lr * gb / len(rows)
     inv = {j: t for t, j in vocab.items()}
     return {inv[j]: float(w[j]) for j in range(len(w))}, float(b)
+
+
+def c4_rules(df: DataFrame, text_col: str = "text",
+             id_col: str = "doc_id", min_words_per_line: int = 5,
+             min_sentences: int = 3,
+             bad_words: tuple[str, ...] = ()) -> DataFrame:
+    """C4's heuristic cleaning rules (Raffel et al., "Exploring the
+    Limits of Transfer Learning with a Unified Text-to-Text
+    Transformer", JMLR 2020, sec. 2.2), as one stateless projection:
+
+    - line filter: keep only lines ending in terminal punctuation
+      (. ! ? " ') with >= ``min_words_per_line`` words and no
+      "javascript" mention;
+    - page filter: drop pages with "lorem ipsum", a curly brace, any
+      ``bad_words`` term, or fewer than ``min_sentences`` sentences
+      remaining after the line filter.
+
+    Returns (id, text=kept lines, n_lines_kept, n_sentences, keep).
+    Sentences are counted as terminal marks (. ! ?) in the KEPT text —
+    C4's own proxy. Everything is array/string ops inside whole-stage
+    codegen: no shuffle, no regex beyond the line split, exactly
+    SQL-replayable (no engine-specific tokenizers). The corpus-level
+    "three-sentence dedup" companion rule is :func:`line_dedup`."""
+    lines = F.split(F.col(text_col), "\n")
+    punct = ".!?\"'"
+    is_kept = lambda l: (
+        F.substring(l, -1, 1).isin(*list(punct))
+        & (F.size(tokens(l)) >= min_words_per_line)
+        & ~F.contains(F.lower(l), F.lit("javascript")))
+    kept = F.filter(lines, is_kept)
+    kept_text = F.array_join(kept, "\n")
+    n_sent = (F.length(kept_text)
+              - F.length(F.translate(kept_text, ".!?", "")))
+    low = F.lower(F.col(text_col))
+    bad = F.lit(False)
+    for wrd in sorted(bad_words):
+        bad = bad | F.contains(low, F.lit(wrd))
+    keep = (~F.contains(low, F.lit("lorem ipsum"))
+            & ~F.contains(F.col(text_col), F.lit("{"))
+            & ~bad
+            & (n_sent >= min_sentences))
+    return df.select(
+        F.col(id_col), kept_text.alias(text_col),
+        F.size(kept).cast("long").alias("n_lines_kept"),
+        n_sent.cast("long").alias("n_sentences"),
+        keep.alias("keep"))

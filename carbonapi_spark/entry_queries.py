@@ -1755,28 +1755,28 @@ def _q_semantic_dedup(spark, sf_dir):
     production web corpora use ~0.95 on real encoder embeddings)."""
     from carbonapi_spark.datapipe.similarity import semantic_dedup
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return semantic_dedup(emb, dim=64, n_centroids=8, tau=0.35)
+    return semantic_dedup(emb, dim=64, n_centroids=16, tau=0.35)
 
 
 def _semantic_dedup_oracle() -> str:
     from carbonapi_spark.datapipe.similarity import ivf_centroids
-    cents = ivf_centroids(64, 8, 43)
+    cents = ivf_centroids(64, 16, 43)
     lits = "[" + ",".join(
         "[" + ",".join(repr(x) for x in c) + "]" for c in cents) + "]"
-    cos = ("list_dot_product(hi.v, lo.v) / (sqrt(list_dot_product(hi.v, hi.v))"
-           " * sqrt(list_dot_product(lo.v, lo.v)))")
     return f"""
 WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 a AS (SELECT vec_id, v,
-             list_transform({lits}, c -> list_dot_product(v, c)) AS ds
+             list_transform({lits}, c -> list_dot_product(v, c)) AS ds,
+             sqrt(list_dot_product(v, v)) AS nrm
       FROM v),
-b AS (SELECT vec_id, v,
+b AS (SELECT vec_id,
              CAST(list_indexof(ds, list_aggregate(ds, 'max')) AS INTEGER)
              AS cell,
-             round(CASE WHEN sqrt(list_dot_product(v, v)) > 0
-                        THEN list_aggregate(ds, 'max')
-                             / sqrt(list_dot_product(v, v)) END, 6)
-             AS centroid_sim
+             round(CASE WHEN nrm > 0
+                        THEN list_aggregate(ds, 'max') / nrm END, 6)
+             AS centroid_sim,
+             CASE WHEN nrm > 0
+                  THEN list_transform(v, x -> x / nrm) END AS nv
       FROM a),
 c AS (SELECT * FROM b
       QUALIFY row_number() OVER (PARTITION BY cell ORDER BY vec_id)
@@ -1784,9 +1784,7 @@ c AS (SELECT * FROM b
 dup AS (SELECT DISTINCT hi.vec_id
         FROM c hi JOIN c lo ON hi.cell = lo.cell
                            AND lo.vec_id < hi.vec_id
-        WHERE round(CASE WHEN sqrt(list_dot_product(hi.v, hi.v))
-                              * sqrt(list_dot_product(lo.v, lo.v)) > 0
-                         THEN {cos} END, 6) >= 0.35)
+        WHERE round(list_dot_product(hi.nv, lo.nv), 6) >= 0.35)
 SELECT c.vec_id, cell, centroid_sim, (dup.vec_id IS NULL) AS keep
 FROM c LEFT JOIN dup USING (vec_id)
 """.strip()
@@ -1858,6 +1856,72 @@ LIMIT {n}
 
 
 _register("dsir_sample", _q_dsir_sample, _dsir_oracle())
+
+
+def _q_c4_rules(spark, sf_dir):
+    """C4 heuristic cleaning (Raffel et al. 2020 §2.2): terminal-
+    punctuation + min-words + no-javascript line filter, lorem-ipsum /
+    curly-brace / sentence-count page filter — one stateless codegen'd
+    projection over the scan."""
+    from carbonapi_spark.datapipe.text import c4_rules
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return c4_rules(docs, min_words_per_line=5, min_sentences=1)
+
+
+_register("c4_rules", _q_c4_rules, r"""
+WITH l AS (SELECT doc_id, text, string_split(text, chr(10)) AS lines
+           FROM documents),
+k AS (SELECT doc_id, text,
+             list_filter(lines, x ->
+                 right(x, 1) IN ('.', '!', '?', '"', '''')
+                 AND len(list_filter(string_split_regex(x, '\s+'),
+                                     t -> t != '')) >= 5
+                 AND NOT contains(lower(x), 'javascript')) AS kept
+      FROM l),
+s AS (SELECT doc_id, text, kept,
+             coalesce(array_to_string(kept, chr(10)), '') AS kt FROM k)
+SELECT doc_id, kt AS text,
+       CAST(len(kept) AS BIGINT) AS n_lines_kept,
+       CAST(length(kt) - length(translate(kt, '.!?', '')) AS BIGINT)
+       AS n_sentences,
+       (NOT contains(lower(text), 'lorem ipsum')
+        AND NOT contains(text, '{')
+        AND (length(kt) - length(translate(kt, '.!?', ''))) >= 1) AS keep
+FROM s
+""".strip())
+
+
+def _q_temperature_mix(spark, sf_dir):
+    """Temperature-scaled language mixing (alpha=0.3): keep rates derived
+    from the corpus's own lang counts, n_d^(alpha-1) damping — the
+    mT5/XLM-R sampling recipe, gate-hash deterministic."""
+    from carbonapi_spark.datapipe.sampling import temperature_mix
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return temperature_mix(docs, group_col="lang", alpha=0.3)
+
+
+def _temperature_mix_oracle(alpha: float = 0.3,
+                            denom: int = 1_000_000) -> str:
+    from carbonapi_spark.oracle_xxh64 import xxh64_ctes
+    return f"""
+WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+m AS (SELECT min(n) AS nmin FROM c),
+r AS (SELECT lang,
+             CAST(round(pow(n / CAST(nmin AS DOUBLE), {alpha - 1.0})
+                        * {denom}) AS BIGINT) AS thresh
+      FROM c CROSS JOIN m),
+__ids AS (SELECT DISTINCT CAST(doc_id AS VARCHAR) AS t FROM documents),
+{xxh64_ctes('__ids', 't', 'h64', '__ih')},
+g AS (SELECT CAST(t AS BIGINT) AS doc_id,
+             ((h64 % {denom}) + {denom}) % {denom} AS gate
+      FROM __ih)
+SELECT d.* FROM documents d
+JOIN r USING (lang) JOIN g USING (doc_id)
+WHERE gate < thresh
+""".strip()
+
+
+_register("temperature_mix", _q_temperature_mix, _temperature_mix_oracle())
 
 
 # --------------------------------------------------------------------------
@@ -2442,6 +2506,8 @@ _DRIVER_PREFIX = [
     "stream_minhash_replay",  # streaming stateful LSH kernel, batch replay
     "semantic_dedup",     # SemDeDup: within-cell embedding cosine dedup
     "dsir_sample",        # DSIR: hashed-ngram importance resampling
+    "c4_rules",           # C4 heuristic line/page cleaning
+    "temperature_mix",    # n^alpha domain mixing (mT5/XLM-R recipe)
     # plan changed in round 6 — re-verify
     "minhash_dedup",      # spread() now size-gated (the r5 bench regression)
     "substr_dedup",       # 128-bit gram keys + spread gate

@@ -1106,3 +1106,49 @@ def test_dsir_weights_favor_target_like_docs(spark):
                                        n_buckets=64).collect()]
     assert a == b and len(a) == 2
     assert {t[0] for t in a} <= {1, 2, 3, 4}
+
+
+def test_c4_rules_line_and_page_filters(spark):
+    """C4 heuristics: short/unpunctuated/javascript lines drop; lorem
+    ipsum, curly braces, and sentence-starved pages flag keep=False."""
+    from carbonapi_spark.datapipe.text import c4_rules
+    good = "this line has enough words to survive the filter."
+    docs = spark.createDataFrame(
+        [(1, good + "\nshort line.\nno terminal punctuation here at all\n"
+             "enable javascript to view this page."),
+         (2, "lorem ipsum dolor sit amet consectetur adipiscing elit."),
+         (3, "function() { return the curly brace page here now; }"),
+         (4, "")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in c4_rules(
+        docs, min_words_per_line=5, min_sentences=1).collect()}
+    assert out[1]["text"] == good          # only the good line survives
+    assert out[1]["n_lines_kept"] == 1 and out[1]["keep"] is True
+    assert out[2]["keep"] is False          # lorem ipsum page filter
+    assert out[3]["keep"] is False          # curly brace page filter
+    assert out[4]["keep"] is False and out[4]["n_sentences"] == 0
+    bad = {r["doc_id"]: r for r in c4_rules(
+        docs, min_words_per_line=5, min_sentences=1,
+        bad_words=("survive",)).collect()}
+    assert bad[1]["keep"] is False          # injectable badword list
+
+
+def test_temperature_mix_flattens_distribution(spark):
+    """alpha<1 damps large groups toward the smallest: the keep RATE of
+    the big group must drop below the small group's (which keeps all),
+    deterministically across invocations."""
+    from carbonapi_spark.datapipe.sampling import temperature_mix
+    rows = [(i, "big") for i in range(800)] + \
+           [(800 + i, "small") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = temperature_mix(df, alpha=0.3).collect()
+    again = temperature_mix(df, alpha=0.3).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    kept = {"big": 0, "small": 0}
+    for r in out:
+        kept[r["lang"]] += 1
+    assert kept["small"] == 100             # n_min group keeps everything
+    # expected big rate = 8^(0.3-1) ~ 0.233; allow hash-gate variance
+    assert 0.13 < kept["big"] / 800 < 0.35
+    nat = temperature_mix(df, alpha=1.0).collect()
+    assert len(nat) == 900                  # alpha=1: natural distribution

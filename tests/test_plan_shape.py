@@ -201,6 +201,24 @@ def test_ivfpq_corpus_cell_pruned(spark):
     assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 1
 
 
+def test_temperature_mix_gate_is_broadcast(spark):
+    """temperature_mix: the corpus side must flow scan -> broadcast rate
+    join -> gate filter with no exchange; only the group-count branch
+    (group-cardinality-sized) may hash-partition."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from carbonapi_spark.datapipe.sampling import temperature_mix
+    docs = spark.range(64).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 4 == 0, "a").otherwise("b").alias("lang"))
+    plan = temperature_mix(docs, alpha=0.5) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 1
+
+
 def test_chunk_documents_no_shuffle(spark):
     """chunk_documents is a stateless projection: zero exchanges."""
     from pyspark.sql import functions as F
