@@ -435,3 +435,81 @@ def c4_rules(df: DataFrame, text_col: str = "text",
         F.size(kept).cast("long").alias("n_lines_kept"),
         n_sent.cast("long").alias("n_sentences"),
         keep.alias("keep"))
+
+
+GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", min_words: int = 50,
+                 max_words: int = 100_000,
+                 min_mean_word_len: float = 3.0,
+                 max_mean_word_len: float = 10.0,
+                 max_symbol_ratio: float = 0.1,
+                 max_bullet_frac: float = 0.9,
+                 max_ellipsis_frac: float = 0.3,
+                 min_alpha_frac: float = 0.8,
+                 min_stop_hits: int = 2) -> DataFrame:
+    """The full Gopher document-level quality rule set (Rae et al. 2021,
+    "Scaling Language Models: Methods, Analysis & Insights from Training
+    Gopher", Table A1): word-count bounds, mean word length bounds,
+    symbol-to-word ratio (# and ellipses), bullet-line and
+    ellipsis-line fractions, alphabetic-word fraction, and the
+    stop-word-presence test. The companion repetition rules
+    (dup/top-ngram fractions) are :func:`repetition_features` — join on
+    id to apply both.
+
+    One stateless projection (string/array ops, whole-stage codegen, no
+    shuffle at any corpus size). Returns the metric columns plus
+    ``keep`` = AND of all rules; empty docs fail closed. Ratios are
+    rounded to 6 so an external engine replays them exactly."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_words = F.size(toks)
+    tok_chars = F.aggregate(toks, F.lit(0),
+                            lambda acc, x: acc + F.length(x))
+    mean_wl = F.when(n_words > 0,
+                     F.round(tok_chars.cast("double") / n_words, 6))
+    n_hash = F.length(t) - F.length(F.translate(t, "#", ""))
+    n_ellipsis = ((F.length(t) - F.length(F.replace(t, F.lit("..."),
+                                                    F.lit("")))) / 3
+                  ).cast("long")
+    symbol_ratio = F.when(
+        n_words > 0,
+        F.round((n_hash + n_ellipsis).cast("double") / n_words, 6))
+    lines = F.split(t, "\n")
+    n_lines = F.size(lines)
+    bullet = lambda l: (F.startswith(F.ltrim(l), F.lit("•"))
+                        | F.startswith(F.ltrim(l), F.lit("- ")))
+    bullet_frac = F.when(
+        n_lines > 0,
+        F.round(F.size(F.filter(lines, bullet)).cast("double") / n_lines,
+                6))
+    ell_frac = F.when(
+        n_lines > 0,
+        F.round(F.size(F.filter(lines, lambda l: F.endswith(
+            F.rtrim(l), F.lit("...")))).cast("double") / n_lines, 6))
+    alpha_frac = F.when(
+        n_words > 0,
+        F.round(F.size(F.filter(toks, lambda w: w.rlike("[a-zA-Z]")))
+                .cast("double") / n_words, 6))
+    stop_hits = F.size(F.array_intersect(
+        F.array_distinct(tokens(F.lower(t))),
+        F.array(*[F.lit(s) for s in GOPHER_STOPS])))
+    keep = (n_words.between(min_words, max_words)
+            & mean_wl.between(min_mean_word_len, max_mean_word_len)
+            & (symbol_ratio <= max_symbol_ratio)
+            & (bullet_frac <= max_bullet_frac)
+            & (ell_frac <= max_ellipsis_frac)
+            & (alpha_frac >= min_alpha_frac)
+            & (stop_hits >= min_stop_hits))
+    return df.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        bullet_frac.alias("bullet_frac"),
+        ell_frac.alias("ellipsis_frac"),
+        alpha_frac.alias("alpha_frac"),
+        stop_hits.cast("long").alias("stop_hits"),
+        F.coalesce(keep, F.lit(False)).alias("keep"))

@@ -553,11 +553,21 @@ def _q_stream_minhash_replay(spark, sf_dir):
         rows.update((r["id_a"], r["id_b"])
                     for r in bdf.select("id_a", "id_b").collect())
 
-    with tempfile.TemporaryDirectory() as ckpt:
-        q = (out.writeStream.foreachBatch(sink)
-             .option("checkpointLocation", ckpt)
-             .trigger(availableNow=True).start())
-        q.awaitTermination()
+    # The stateful exchange uses spark.sql.shuffle.partitions, and each
+    # state partition pays a Python-worker round trip per micro-batch;
+    # at this entry's 500-doc slice, 8 partitions shave ~15% wall vs 32
+    # (2.55 vs 3.0 s warm). Scoped + restored: the conf is captured when
+    # the stream STARTS, so the surrounding batch queries never see it.
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        with tempfile.TemporaryDirectory() as ckpt:
+            q = (out.writeStream.foreachBatch(sink)
+                 .option("checkpointLocation", ckpt)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
     return spark.createDataFrame(sorted(rows) or [],
                                  "id_a LONG, id_b LONG")
 
@@ -1924,6 +1934,78 @@ WHERE gate < thresh
 _register("temperature_mix", _q_temperature_mix, _temperature_mix_oracle())
 
 
+def _q_gopher_rules(spark, sf_dir):
+    """Full Gopher Table-A1 document rule set (word/char stats, symbol
+    and bullet/ellipsis line fractions, alphabetic-word fraction,
+    stop-word presence) as one codegen'd projection; min_words lowered
+    to 10 for the ~40-word synthetic docs."""
+    from carbonapi_spark.datapipe.text import gopher_rules
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return gopher_rules(docs, min_words=10)
+
+
+_register("gopher_rules", _q_gopher_rules, r"""
+WITH d AS (SELECT doc_id, text,
+                  list_filter(regexp_split_to_array(lower(text), '\s+'),
+                              x -> x != '') AS toks,
+                  string_split(text, chr(10)) AS lines
+           FROM documents),
+m AS (SELECT doc_id, text, toks, lines,
+             len(toks) AS n_words, len(lines) AS n_lines,
+             (length(text) - length(translate(text, '#', '')))
+             + (length(text) - length(replace(text, '...', ''))) // 3
+             AS n_sym
+      FROM d)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       CASE WHEN n_words > 0 THEN
+            round(CAST(list_sum(list_transform(toks, w -> length(w)))
+                       AS DOUBLE) / n_words, 6) END AS mean_word_len,
+       CASE WHEN n_words > 0 THEN
+            round(CAST(n_sym AS DOUBLE) / n_words, 6) END AS symbol_ratio,
+       CASE WHEN n_lines > 0 THEN
+            round(CAST(len(list_filter(lines, l ->
+                starts_with(ltrim(l), chr(8226))
+                OR starts_with(ltrim(l), '- '))) AS DOUBLE)
+                / n_lines, 6) END AS bullet_frac,
+       CASE WHEN n_lines > 0 THEN
+            round(CAST(len(list_filter(lines, l ->
+                ends_with(rtrim(l), '...'))) AS DOUBLE)
+                / n_lines, 6) END AS ellipsis_frac,
+       CASE WHEN n_words > 0 THEN
+            round(CAST(len(list_filter(toks, w ->
+                regexp_matches(w, '[a-zA-Z]'))) AS DOUBLE)
+                / n_words, 6) END AS alpha_frac,
+       CAST(len(list_intersect(list_distinct(toks),
+            ['the','be','to','of','and','that','have','with']))
+            AS BIGINT) AS stop_hits,
+       coalesce(
+           n_words BETWEEN 10 AND 100000
+           AND (CASE WHEN n_words > 0 THEN
+                round(CAST(list_sum(list_transform(toks, w -> length(w)))
+                           AS DOUBLE) / n_words, 6) END) BETWEEN 3.0 AND 10.0
+           AND (CASE WHEN n_words > 0 THEN
+                round(CAST(n_sym AS DOUBLE) / n_words, 6) END) <= 0.1
+           AND (CASE WHEN n_lines > 0 THEN
+                round(CAST(len(list_filter(lines, l ->
+                    starts_with(ltrim(l), chr(8226))
+                    OR starts_with(ltrim(l), '- '))) AS DOUBLE)
+                    / n_lines, 6) END) <= 0.9
+           AND (CASE WHEN n_lines > 0 THEN
+                round(CAST(len(list_filter(lines, l ->
+                    ends_with(rtrim(l), '...'))) AS DOUBLE)
+                    / n_lines, 6) END) <= 0.3
+           AND (CASE WHEN n_words > 0 THEN
+                round(CAST(len(list_filter(toks, w ->
+                    regexp_matches(w, '[a-zA-Z]'))) AS DOUBLE)
+                    / n_words, 6) END) >= 0.8
+           AND len(list_intersect(list_distinct(toks),
+               ['the','be','to','of','and','that','have','with'])) >= 2,
+           false) AS keep
+FROM m
+""".strip())
+
+
 # --------------------------------------------------------------------------
 # round 1, batch 5: embedding near-dup + vocabulary stats
 # --------------------------------------------------------------------------
@@ -2508,6 +2590,7 @@ _DRIVER_PREFIX = [
     "dsir_sample",        # DSIR: hashed-ngram importance resampling
     "c4_rules",           # C4 heuristic line/page cleaning
     "temperature_mix",    # n^alpha domain mixing (mT5/XLM-R recipe)
+    "gopher_rules",       # full Gopher Table-A1 document rule set
     # plan changed in round 6 — re-verify
     "minhash_dedup",      # spread() now size-gated (the r5 bench regression)
     "substr_dedup",       # 128-bit gram keys + spread gate

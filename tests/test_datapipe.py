@@ -1152,3 +1152,38 @@ def test_temperature_mix_flattens_distribution(spark):
     assert 0.13 < kept["big"] / 800 < 0.35
     nat = temperature_mix(df, alpha=1.0).collect()
     assert len(nat) == 900                  # alpha=1: natural distribution
+
+
+def test_gopher_rules_each_rule_fires(spark):
+    """Every Gopher Table-A1 rule must be able to fail a doc on its own:
+    word count, mean word length, symbol ratio, bullet lines, ellipsis
+    lines, alphabetic fraction, stop-word presence; empty docs fail
+    closed."""
+    from carbonapi_spark.datapipe.text import gopher_rules
+    good = ("the results of this analysis have shown that models "
+            "trained with careful data curation and filtering tend to "
+            "generalize better across many downstream evaluation tasks")
+    docs = spark.createDataFrame(
+        [(1, good),
+         (2, "the of and " * 2),                       # too few words
+         (3, "a b c d e f g h i j the of and to be"),  # mean word len < 3
+         (4, good + " " + "#" * 1 + " ###### ## ## # # # # # # # # # #"),
+         (5, "\n".join(["- bullet item the of"] * 10)),  # all bullet lines
+         (6, "\n".join([good, "to be continued...", "more soon...",
+                        "and then..."])),              # ellipsis lines
+         (7, "the of 1 2 3 4 5 6 7 8 9 10 11 12 13 14 15 16 17 18"),
+         (8, ""),                                      # empty: fail closed
+         (9, "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+             "lambda mu")]                             # no stop words
+        , "doc_id long, text string")
+    out = {r["doc_id"]: r for r in gopher_rules(
+        docs, min_words=10).collect()}
+    assert out[1]["keep"] is True
+    assert out[2]["keep"] is False and out[2]["n_words"] < 10
+    assert out[3]["keep"] is False and out[3]["mean_word_len"] < 3.0
+    assert out[4]["keep"] is False and out[4]["symbol_ratio"] > 0.1
+    assert out[5]["keep"] is False and out[5]["bullet_frac"] == 1.0
+    assert out[6]["keep"] is False and out[6]["ellipsis_frac"] > 0.3
+    assert out[7]["keep"] is False and out[7]["alpha_frac"] < 0.8
+    assert out[8]["keep"] is False and out[8]["n_words"] == 0
+    assert out[9]["keep"] is False and out[9]["stop_hits"] < 2
