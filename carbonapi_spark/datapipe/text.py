@@ -513,3 +513,41 @@ def gopher_rules(df: DataFrame, text_col: str = "text",
         alpha_frac.alias("alpha_frac"),
         stop_hits.cast("long").alias("stop_hits"),
         F.coalesce(keep, F.lit(False)).alias("keep"))
+
+
+def hashed_doc_vectors(df: DataFrame, dim: int = 64,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       out_col: str = "embedding") -> DataFrame:
+    """Feature-hashed document embeddings (the hashing trick, Weinberger
+    et al., "Feature Hashing for Large Scale Multitask Learning", ICML
+    2009): v[b] = sum over token occurrences of sign, with bucket
+    b = xxhash64(token) mod dim and sign from hash bit 33 — the
+    unbiased signed variant. Model-free, deterministic, SQL-replayable;
+    the resulting array<double> column feeds every embedding op in this
+    package (ANN top-k, SemDeDup, embedding near-dup) so raw text gets
+    cheap vector-space dedup without an encoder.
+
+    Scale shape: explode tokens -> 8-byte hash rows -> ONE (id, bucket)
+    hash aggregation (map-side combined) -> per-doc scatter into the
+    dim-length array via a map lookup per slot (dim map probes per doc,
+    no per-token HOF work). Empty docs yield the zero vector."""
+    ex = df.select(F.col(id_col),
+                   F.explode_outer(tokens(F.lower(F.col(text_col))))
+                   .alias("__t"))
+    wb = ex.selectExpr(
+        id_col,
+        f"case when __t is not null then"
+        f" ((xxhash64(__t) % {dim}L) + {dim}L) % {dim}L end as __b",
+        "case when __t is not null then"
+        " if((shiftright(xxhash64(__t), 33) & 1) = 0, 1.0D, -1.0D)"
+        " end as __s")
+    per_bucket = (wb.groupBy(id_col, "__b")
+                  .agg(F.sum("__s").alias("__w")))
+    per_doc = per_bucket.groupBy(id_col).agg(F.expr(
+        "map_from_entries(filter(collect_list(struct(__b, __w)),"
+        " x -> x.__b is not null)) as __m"))
+    return per_doc.selectExpr(
+        id_col,
+        f"transform(sequence(0, {dim - 1}),"
+        f" i -> coalesce(element_at(__m, cast(i as bigint)), 0.0D))"
+        f" as {out_col}")

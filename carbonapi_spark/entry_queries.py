@@ -1934,6 +1934,45 @@ WHERE gate < thresh
 _register("temperature_mix", _q_temperature_mix, _temperature_mix_oracle())
 
 
+def _q_hashed_vectors(spark, sf_dir):
+    """Feature-hashed doc embeddings (hashing trick), exploded to
+    (doc_id, dim_idx, value) scalar rows so the driver value-hashes
+    exactly; the array form feeds the ANN/SemDeDup ops (composition
+    pinned in pytest)."""
+    from carbonapi_spark.datapipe.text import hashed_doc_vectors
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    v = hashed_doc_vectors(docs, dim=16)
+    return v.select("doc_id",
+                    F.posexplode("embedding").alias("dim_idx", "value")) \
+            .select("doc_id", F.col("dim_idx").cast("long").alias("dim_idx"),
+                    "value")
+
+
+def _hashed_vectors_oracle(dim: int = 16) -> str:
+    from carbonapi_spark.oracle_xxh64 import xxh64_ctes
+    return f"""
+WITH __t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+__e AS (SELECT doc_id, unnest(toks) AS t FROM __t),
+__dg AS (SELECT DISTINCT t FROM __e),
+{xxh64_ctes('__dg', 't', 'h64', '__xh')},
+__wb AS (SELECT doc_id, ((h64 % {dim}) + {dim}) % {dim} AS b,
+                CASE WHEN ((h64 >> 33) & 1) = 0
+                     THEN 1.0 ELSE -1.0 END AS s
+         FROM __e JOIN __xh USING (t)),
+__pb AS (SELECT doc_id, b, sum(s) AS w FROM __wb GROUP BY doc_id, b),
+__grid AS (SELECT d.doc_id, g.i
+           FROM (SELECT DISTINCT doc_id FROM documents) d,
+                (SELECT unnest(range({dim})) AS i) g)
+SELECT g.doc_id, CAST(g.i AS BIGINT) AS dim_idx,
+       coalesce(w, 0.0) AS value
+FROM __grid g
+LEFT JOIN __pb ON __pb.doc_id = g.doc_id AND __pb.b = g.i
+""".strip()
+
+
+_register("hashed_vectors", _q_hashed_vectors, _hashed_vectors_oracle())
+
+
 def _q_gopher_rules(spark, sf_dir):
     """Full Gopher Table-A1 document rule set (word/char stats, symbol
     and bullet/ellipsis line fractions, alphabetic-word fraction,
@@ -2591,6 +2630,7 @@ _DRIVER_PREFIX = [
     "c4_rules",           # C4 heuristic line/page cleaning
     "temperature_mix",    # n^alpha domain mixing (mT5/XLM-R recipe)
     "gopher_rules",       # full Gopher Table-A1 document rule set
+    "hashed_vectors",     # feature-hashing doc embeddings (hashing trick)
     # plan changed in round 6 — re-verify
     "minhash_dedup",      # spread() now size-gated (the r5 bench regression)
     "substr_dedup",       # 128-bit gram keys + spread gate

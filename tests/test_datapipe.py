@@ -1187,3 +1187,32 @@ def test_gopher_rules_each_rule_fires(spark):
     assert out[7]["keep"] is False and out[7]["alpha_frac"] < 0.8
     assert out[8]["keep"] is False and out[8]["n_words"] == 0
     assert out[9]["keep"] is False and out[9]["stop_hits"] < 2
+
+
+def test_hashed_vectors_feed_semantic_dedup(spark):
+    """Composition: feature-hashed doc vectors flow into the embedding
+    ops — identical texts get identical vectors (cosine 1), near-dup
+    texts land close, unrelated texts do not pair; empty docs get the
+    zero vector and match nothing."""
+    from carbonapi_spark.datapipe.similarity import semantic_dup_pairs
+    from carbonapi_spark.datapipe.text import hashed_doc_vectors
+    base = ("the quick brown fox jumps over the lazy dog and then the "
+            "dog chases the fox around the quiet yard all afternoon")
+    docs = spark.createDataFrame(
+        [(1, base), (2, base),
+         (3, base.replace("afternoon", "evening")),
+         (4, "completely unrelated words about spark shuffle exchanges "
+             "and adaptive query execution plans in modern engines"),
+         (5, "")],
+        "doc_id long, text string")
+    vecs = hashed_doc_vectors(docs, dim=32)
+    rows = {r["doc_id"]: r["embedding"] for r in vecs.collect()}
+    assert rows[1] == rows[2] and rows[5] == [0.0] * 32
+    pairs = {(r["id_a"], r["id_b"]): r["cos_sim"]
+             for r in semantic_dup_pairs(
+                 vecs, id_col="doc_id", dim=32, n_centroids=2,
+                 tau=0.6).collect()}
+    assert pairs[(1, 2)] == 1.0
+    got_13 = pairs.get((1, 3))
+    assert got_13 is not None and 0.6 <= got_13 < 1.0
+    assert not any(4 in p or 5 in p for p in pairs)
