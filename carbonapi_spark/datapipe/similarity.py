@@ -516,7 +516,8 @@ def ivfpq_topk(corpus: DataFrame, query: DataFrame, k: int = 10,
 def semantic_dedup(vecs: DataFrame, id_col: str = "vec_id",
                    vec_col: str = "embedding", dim: int = 64,
                    n_centroids: int = 16, tau: float = 0.95,
-                   cell_seed: int = 43, max_cell: int = 10_000) -> DataFrame:
+                   cell_seed: int = 43, max_cell: int = 10_000,
+                   salt: int = 8) -> DataFrame:
     """SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
     web-scale through semantic deduplication", 2023): cluster the
     embedding space coarsely, compare vectors ONLY within their cluster,
@@ -543,11 +544,16 @@ def semantic_dedup(vecs: DataFrame, id_col: str = "vec_id",
     without changing the plan. ``max_cell`` truncates pathological cells
     (sorted-prefix rule, like ``max_bucket`` in the LSH paths) so an
     adversarial corpus cannot quadratic-blow a task."""
-    capped = _cells_normalized(vecs, id_col, vec_col, dim, n_centroids,
-                               cell_seed, max_cell, centroid_sim=True)
+    from carbonapi_spark import scratch
+    # capped feeds BOTH join sides and the final keep join — without the
+    # request-scoped persist the cell-dot + normalize projection (the
+    # n_centroids x dim HOF pass) would re-execute three times
+    capped = scratch.track(
+        _cells_normalized(vecs, id_col, vec_col, dim, n_centroids,
+                          cell_seed, max_cell, centroid_sim=True))
     lo = capped.select(F.col(id_col).alias("__lo"), "cell",
                        F.col("__nv").alias("__lv"))
-    dup = (capped.join(lo, "cell")
+    dup = (_salted_cell_join(capped, lo, id_col, salt)
            .where(F.col("__lo") < F.col(id_col))
            .where(F.round(dot(F.col("__nv"), F.col("__lv")), 6) >= tau)
            .select(id_col).distinct()
@@ -555,6 +561,26 @@ def semantic_dedup(vecs: DataFrame, id_col: str = "vec_id",
     return (capped.join(dup, id_col, "left")
             .select(id_col, "cell", "centroid_sim",
                     F.coalesce(~F.col("__dup"), F.lit(True)).alias("keep")))
+
+
+def _salted_cell_join(hi: DataFrame, lo: DataFrame, id_col: str,
+                      salt: int) -> DataFrame:
+    """In-cell pair join with the join key widened to (cell, salt): the
+    pair-comparison work of a cell lands in ONE task otherwise (cells
+    are few by design — n_centroids << cores), so the quadratic stage
+    runs at cell-count parallelism and a hot cell straggles. Salting by
+    hi-side id spreads each cell's pairs over ``salt`` tasks; the lo
+    side is replicated salt times (linear rows, trivial next to the
+    quadratic pair work). Results are identical — salt only changes
+    partitioning."""
+    if salt <= 1:
+        return hi.join(lo, "cell")
+    hi_s = hi.withColumn("__salt",
+                         F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt)))
+    lo_s = lo.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i).cast("long")
+                                      for i in range(salt)])))
+    return hi_s.join(lo_s, ["cell", "__salt"]).drop("__salt")
 
 
 def _cells_normalized(vecs: DataFrame, id_col: str, vec_col: str,
@@ -591,19 +617,21 @@ def _cells_normalized(vecs: DataFrame, id_col: str, vec_col: str,
 def semantic_dup_pairs(vecs: DataFrame, id_col: str = "vec_id",
                        vec_col: str = "embedding", dim: int = 64,
                        n_centroids: int = 16, tau: float = 0.95,
-                       cell_seed: int = 43,
-                       max_cell: int = 10_000) -> DataFrame:
+                       cell_seed: int = 43, max_cell: int = 10_000,
+                       salt: int = 8) -> DataFrame:
     """Within-cell tau-similar pairs (id_a < id_b, cos_sim) — the edge
     list for cluster-based SemDeDup policies (feed to
     ``cluster.dedup_clusters`` / ``dedup_keep_best``). Same normalized
     one-dot-per-pair shape as :func:`semantic_dedup`."""
-    capped = _cells_normalized(vecs, id_col, vec_col, dim, n_centroids,
-                               cell_seed, max_cell)
+    from carbonapi_spark import scratch
+    capped = scratch.track(
+        _cells_normalized(vecs, id_col, vec_col, dim, n_centroids,
+                          cell_seed, max_cell))
+    a = capped.select(F.col(id_col).alias("id_a"), "cell",
+                      F.col("__nv").alias("__av"))
     b = capped.select(F.col(id_col).alias("id_b"), "cell",
                       F.col("__nv").alias("__bv"))
-    return (capped.select(F.col(id_col).alias("id_a"), "cell",
-                          F.col("__nv").alias("__av"))
-            .join(b, "cell")
+    return (_salted_cell_join(a, b, "id_a", salt)
             .where(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b",
                     F.round(dot(F.col("__av"), F.col("__bv")), 6)
