@@ -125,7 +125,9 @@ def _hashed_buckets(df: DataFrame, text_col: str, id_col: str,
     """(id, bucket) rows: every word unigram AND bigram of the lowercased
     token stream hashed into ``n_buckets`` (DSIR's hashed n-gram
     features, occurrences kept — counts matter)."""
+    from carbonapi_spark.datapipe import spread
     from carbonapi_spark.datapipe.text import tokens, word_ngrams
+    df = spread(df, min_bytes=256 << 10)  # n-gram HOF: heavy per row
     grams = F.concat(tokens(F.lower(F.col(text_col))),
                      word_ngrams(F.col(text_col), 2))
     return (df.select(F.col(id_col), F.explode(grams).alias("__g"))

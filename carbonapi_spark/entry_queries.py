@@ -499,27 +499,29 @@ _register("minhash_dedup", _q_minhash_dedup, _minhash_oracle())
 
 
 def _q_minhash_incremental(spark, sf_dir):
-    """Incremental near-dup candidates: docs with id >= 400 are the delta
-    batch, the rest the already-indexed corpus (minhash_band_index) —
-    the daily-update shape where only the delta is shingled/hashed.
-    Truncation follows the batch sorted-prefix rule, so the result is
-    EXACTLY the batch pipeline's pairs restricted to delta-involving
-    ones — which is what the oracle computes (full-corpus band replay +
-    delta filter)."""
+    """Incremental near-dup candidates: every fifth doc (id % 5 == 4)
+    is the delta batch, the rest the already-indexed corpus
+    (minhash_band_index) — the daily-update shape where only the delta
+    is shingled/hashed, and the slice stays 20% at EVERY scale factor
+    (an absolute id cutoff made the \"delta\" 92% of the corpus at
+    sf0.1). Truncation follows the batch sorted-prefix rule, so the
+    result is EXACTLY the batch pipeline's pairs restricted to
+    delta-involving ones — which is what the oracle computes
+    (full-corpus band replay + delta filter)."""
     from carbonapi_spark.datapipe.dedup import (
         minhash_band_index, minhash_incremental_candidates)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    idx = minhash_band_index(docs.where(F.col("doc_id") < 400),
+    idx = minhash_band_index(docs.where(F.col("doc_id") % 5 != 4),
                              num_hashes=16, bands=4, ngram=2)
     return minhash_incremental_candidates(
-        docs.where(F.col("doc_id") >= 400), idx,
+        docs.where(F.col("doc_id") % 5 == 4), idx,
         num_hashes=16, bands=4, ngram=2)
 
 
 _register("minhash_incremental", _q_minhash_incremental, f"""
 WITH {_minhash_pair_ctes()}
 SELECT id_a, id_b FROM __pairs
-WHERE id_a >= 400 OR id_b >= 400
+WHERE id_a % 5 = 4 OR id_b % 5 = 4
 """.strip())
 
 
