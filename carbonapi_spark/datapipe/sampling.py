@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, functions as F
 
 __all__ = ["stratified_sample", "temperature_mix", "shard_assignment",
            "pack_sequences", "chunk_documents", "dsir_log_ratio_table",
-           "dsir_weights", "dsir_sample"]
+           "dsir_weights", "dsir_sample", "write_training_shards"]
 
 
 def stratified_sample(df: DataFrame, rates: dict[str, float],
@@ -255,3 +255,23 @@ def chunk_documents(df: DataFrame, max_tokens: int = 128,
                         F.slice(F.col("__t"),
                                 F.col("chunk_idx") * max_tokens + 1,
                                 max_tokens), " ").alias(text_col)))
+
+
+def write_training_shards(df: DataFrame, path: str, n_shards: int = 32,
+                          id_col: str = "doc_id",
+                          fmt: str = "parquet") -> None:
+    """Materialize a training-ready shard layout: rows get their
+    deterministic ``shard_assignment`` shard + position, then land in
+    one directory per shard (``shard=N/``) ordered by position — the
+    output contract of a pretraining data loader (fixed shard count,
+    reproducible order, no global sort).
+
+    One hash-partition shuffle by shard; ``sortWithinPartitions`` keeps
+    the per-shard order without a global exchange. Readers recover the
+    exact order with ``spark.read...orderBy(shard, pos)``."""
+    assigned = shard_assignment(df, n_shards, id_col)
+    out = (df.join(assigned, id_col)
+           .repartition(n_shards, F.col("shard"))
+           .sortWithinPartitions("shard", "pos"))
+    (out.write.mode("overwrite").partitionBy("shard").format(fmt)
+     .save(path))

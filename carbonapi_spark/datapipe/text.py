@@ -551,3 +551,26 @@ def hashed_doc_vectors(df: DataFrame, dim: int = 64,
         f"transform(sequence(0, {dim - 1}),"
         f" i -> coalesce(element_at(__m, cast(i as bigint)), 0.0D))"
         f" as {out_col}")
+
+
+def corpus_stats(df: DataFrame, group_cols: tuple[str, ...] = ("source",
+                                                               "lang"),
+                 text_col: str = "text") -> DataFrame:
+    """Curation report: per-group document counts, token totals, and
+    char-length stats (mean + exact interpolated median) — the summary
+    a mixing recipe (``temperature_mix`` / ``stratified_sample`` rates)
+    or a filtering review is derived from.
+
+    ONE hash aggregation, map-side combined except the exact median
+    (percentile() keeps per-group value buffers — fine at
+    group-cardinality scale; switch to approx_percentile for
+    million-group keys)."""
+    return (df.select(*group_cols,
+                      token_count(F.col(text_col)).alias("__nt"),
+                      F.length(F.col(text_col)).alias("__nc"))
+            .groupBy(*group_cols)
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("__nt").cast("long").alias("total_tokens"),
+                 F.round(F.avg("__nc"), 6).alias("mean_chars"),
+                 F.round(F.expr("percentile(__nc, 0.5)"), 6)
+                 .alias("median_chars")))

@@ -1936,6 +1936,24 @@ WHERE gate < thresh
 _register("temperature_mix", _q_temperature_mix, _temperature_mix_oracle())
 
 
+def _q_corpus_stats(spark, sf_dir):
+    """Curation report: per-(source, lang) doc counts, token totals, and
+    char stats incl. exact interpolated median — one hash agg."""
+    from carbonapi_spark.datapipe.text import corpus_stats
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return corpus_stats(docs)
+
+
+_register("corpus_stats", _q_corpus_stats, f"""
+SELECT source, lang, count(*) AS n_docs,
+       CAST(sum(len({_TOKS_SQL})) AS BIGINT) AS total_tokens,
+       round(avg(length(text)), 6) AS mean_chars,
+       round(quantile_cont(length(text), 0.5), 6) AS median_chars
+FROM documents
+GROUP BY source, lang
+""".strip())
+
+
 def _q_hashed_vectors(spark, sf_dir):
     """Feature-hashed doc embeddings (hashing trick), exploded to
     (doc_id, dim_idx, value) scalar rows so the driver value-hashes
@@ -2633,6 +2651,7 @@ _DRIVER_PREFIX = [
     "temperature_mix",    # n^alpha domain mixing (mT5/XLM-R recipe)
     "gopher_rules",       # full Gopher Table-A1 document rule set
     "hashed_vectors",     # feature-hashing doc embeddings (hashing trick)
+    "corpus_stats",       # per-(source,lang) curation report
     # plan changed in round 6 — re-verify
     "minhash_dedup",      # spread() now size-gated (the r5 bench regression)
     "substr_dedup",       # 128-bit gram keys + spread gate

@@ -1216,3 +1216,44 @@ def test_hashed_vectors_feed_semantic_dedup(spark):
     got_13 = pairs.get((1, 3))
     assert got_13 is not None and 0.6 <= got_13 < 1.0
     assert not any(4 in p or 5 in p for p in pairs)
+
+
+def test_corpus_stats_matches_manual(spark, docs):
+    from carbonapi_spark.datapipe.text import corpus_stats
+    out = {(r["source"], r["lang"]): r for r in corpus_stats(docs).collect()}
+    en = out[("s", "en")]
+    assert en["n_docs"] == 4
+    assert en["total_tokens"] == sum(
+        len(t.split()) for t in [
+            "the quick brown fox jumps over the lazy dog",
+            "the quick brown fox jumps over the lazy dog",
+            "the quick brown fox jumps over a lazy dog",
+            "completely different content about spark engines"])
+    assert out[("s", "de")]["n_docs"] == 1
+
+
+def test_write_training_shards_roundtrip(spark, tmp_path):
+    """The shard sink lands one directory per shard with contiguous
+    1..n positions that exactly match shard_assignment — a reader can
+    reproduce the training order deterministically."""
+    from carbonapi_spark.datapipe.sampling import (shard_assignment,
+                                                   write_training_shards)
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} body text") for i in range(100)],
+        "doc_id long, text string")
+    path = str(tmp_path / "shards")
+    write_training_shards(docs, path, n_shards=4)
+    back = spark.read.parquet(path)
+    rows = back.select("doc_id", "shard", "pos", "text").collect()
+    assert len(rows) == 100
+    assert all(r["text"].startswith("document number") for r in rows)
+    by_shard: dict = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert set(by_shard) == {0, 1, 2, 3}
+    for ps in by_shard.values():
+        assert sorted(ps) == list(range(1, len(ps) + 1))
+    want = {(r["doc_id"], r["shard"], r["pos"])
+            for r in shard_assignment(docs, 4).collect()}
+    got = {(r["doc_id"], r["shard"], r["pos"]) for r in rows}
+    assert got == want
