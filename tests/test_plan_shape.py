@@ -256,3 +256,22 @@ def test_substr_dedup_shuffle_budget(spark):
     plan = remove_duplicate_spans(docs, k=3) \
         ._jdf.queryExecution().executedPlan().toString()
     assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 3
+
+
+def test_round6_projection_ops_no_shuffle(spark):
+    """gopher_rules and c4_rules are stateless codegen projections (zero
+    exchanges); corpus_stats is exactly one hash aggregation; hashed doc
+    vectors are two combiner-reduced aggs (id+bucket, then id)."""
+    from pyspark.sql import functions as F
+
+    from carbonapi_spark.datapipe.text import (c4_rules, corpus_stats,
+                                               gopher_rules,
+                                               hashed_doc_vectors)
+    docs = spark.range(8).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the quick brown fox jumps.").alias("text"),
+        F.lit("s").alias("source"), F.lit("en").alias("lang"))
+    assert _df_exchanges(gopher_rules(docs)) == 0
+    assert _df_exchanges(c4_rules(docs)) == 0
+    assert _df_exchanges(corpus_stats(docs)) == 1
+    assert _df_exchanges(hashed_doc_vectors(docs, dim=8)) <= 2

@@ -87,9 +87,11 @@ def main():
     times = {}
 
     def case(name, fn):
+        from carbonapi_spark import scratch
         t0 = time.perf_counter()
         n = fn()
         times[name] = {"sec": round(time.perf_counter() - t0, 2), "rows": n}
+        scratch.release()  # request boundary: free per-case persists
 
     case("exact_dedup", lambda: exact_dedup(docs).count())
     case("minhash_lsh_verify", lambda: jaccard_verify(
@@ -116,6 +118,24 @@ def main():
     from carbonapi_spark.datapipe.dedup import remove_duplicate_spans
     case("substr_dedup_k8", lambda: remove_duplicate_spans(
         docs, k=8).count())
+    # round-6 ops at corpus scale
+    from carbonapi_spark.datapipe.text import (c4_rules, corpus_stats,
+                                               gopher_rules,
+                                               hashed_doc_vectors)
+    case("gopher_rules", lambda: gopher_rules(docs, min_words=10).count())
+    case("c4_rules", lambda: c4_rules(docs, min_sentences=1).count())
+    case("hashed_doc_vectors_d64", lambda: hashed_doc_vectors(
+        docs, dim=64).count())
+    from carbonapi_spark.datapipe.sampling import (dsir_sample,
+                                                   temperature_mix)
+    case("temperature_mix", lambda: temperature_mix(
+        docs.withColumn("lang", (F.col("doc_id") % 7).cast("string")),
+        alpha=0.3).count())
+    case("dsir_sample_10k", lambda: dsir_sample(
+        docs, docs.where(F.col("doc_id") % 11 == 0), n=10_000).count())
+    from carbonapi_spark.datapipe.similarity import semantic_dedup
+    case("semantic_dedup_256cells", lambda: semantic_dedup(
+        vecs, dim=dim, n_centroids=256, tau=0.95).count())
     q = vecs.limit(16)
     case("lsh_ann_topk", lambda: lsh_topk(vecs, q, k=10, dim=dim).count())
 
