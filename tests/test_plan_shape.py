@@ -275,3 +275,22 @@ def test_round6_projection_ops_no_shuffle(spark):
     assert _df_exchanges(c4_rules(docs)) == 0
     assert _df_exchanges(corpus_stats(docs)) == 1
     assert _df_exchanges(hashed_doc_vectors(docs, dim=8)) <= 2
+
+
+def test_dsir_selection_is_takeordered(spark):
+    """dsir_sample: the log-ratio table must broadcast into the scoring
+    join, and the Gumbel-top-k must plan as TakeOrderedAndProject
+    (per-partition partial top-n) — a global Sort+Limit would shuffle
+    the whole scored corpus."""
+    from pyspark.sql import functions as F
+
+    from carbonapi_spark.datapipe.sampling import dsir_sample
+    docs = spark.range(64).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("some text number "), F.col("id").cast("string"))
+        .alias("text"))
+    df = dsir_sample(docs, docs.where(F.col("doc_id") % 4 == 0), n=5,
+                     n_buckets=32)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastExchange" in plan

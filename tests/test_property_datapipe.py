@@ -1,0 +1,132 @@
+"""Property tests: the round-6 text/sampling operators vs pure-Python
+references on randomized documents (the reference repo's table-driven +
+randomized test style, SURVEY §5). Each example batches N docs into ONE
+Spark job so hypothesis stays fast; xxhash64-gated ops replay the hash
+with tools/xxh64_ref.py (validated byte-for-byte against Spark)."""
+
+import math
+import re
+import sys
+
+from hypothesis import given, settings, strategies as st
+
+sys.path.insert(0, "/root/repo/tools")
+from xxh64_ref import xxh64_signed  # noqa: E402
+
+# words + punctuation + structure chars so every rule can fire
+_WORDS = ["the", "of", "and", "to", "fox", "#", "...", "lorem", "ipsum",
+          "{", "a", "verylongtokenindeed", "42", "-", "•", "x.", "done."]
+_doc = st.lists(
+    st.sampled_from(_WORDS + ["\n"]), min_size=0, max_size=60
+).map(lambda ws: " ".join(ws).replace(" \n ", "\n"))
+_docs = st.lists(_doc, min_size=1, max_size=8)
+
+
+def _tokens(text):
+    return [t for t in re.split(r"\s+", text) if t != ""]
+
+
+def _py_gopher(text, min_words=3):
+    toks = _tokens(text)
+    n = len(toks)
+    lines = text.split("\n")
+    nl = len(lines)
+    n_sym = (text.count("#")
+             + (len(text) - len(text.replace("...", ""))) // 3)
+    mean_wl = round(sum(len(t) for t in toks) / n, 6) if n else None
+    sym = round(n_sym / n, 6) if n else None
+    bullets = [l for l in lines
+               if l.lstrip().startswith("•") or l.lstrip().startswith("- ")]
+    bf = round(len(bullets) / nl, 6) if nl else None
+    ells = [l for l in lines if l.rstrip().endswith("...")]
+    ef = round(len(ells) / nl, 6) if nl else None
+    alpha = [t for t in toks if re.search("[a-zA-Z]", t)]
+    af = round(len(alpha) / n, 6) if n else None
+    stops = {"the", "be", "to", "of", "and", "that", "have", "with"}
+    sh = len(stops & {t.lower() for t in _tokens(text.lower())})
+    keep = bool(
+        n and min_words <= n <= 100_000
+        and 3.0 <= mean_wl <= 10.0 and sym <= 0.1
+        and bf <= 0.9 and ef <= 0.3 and af >= 0.8 and sh >= 2)
+    return (n, mean_wl, sym, bf, ef, af, sh, keep)
+
+
+@settings(max_examples=12, deadline=None)
+@given(_docs)
+def test_gopher_rules_matches_python(spark, texts):
+    from carbonapi_spark.datapipe.text import gopher_rules
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_words"], r["mean_word_len"],
+                         r["symbol_ratio"], r["bullet_frac"],
+                         r["ellipsis_frac"], r["alpha_frac"],
+                         r["stop_hits"], r["keep"])
+           for r in gopher_rules(df, min_words=3).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == _py_gopher(t), (i, t)
+
+
+def _py_c4(text, min_words_per_line=2, min_sentences=1):
+    lines = text.split("\n")
+    kept = [l for l in lines
+            if l[-1:] in (".", "!", "?", '"', "'")
+            and len(_tokens(l)) >= min_words_per_line
+            and "javascript" not in l.lower()]
+    kt = "\n".join(kept)
+    n_sent = sum(kt.count(c) for c in ".!?")
+    keep = bool("lorem ipsum" not in text.lower()
+                and "{" not in text and n_sent >= min_sentences)
+    return (kt, len(kept), n_sent, keep)
+
+
+@settings(max_examples=12, deadline=None)
+@given(_docs)
+def test_c4_rules_matches_python(spark, texts):
+    from carbonapi_spark.datapipe.text import c4_rules
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, text string")
+    got = {r["doc_id"]: (r["text"], r["n_lines_kept"], r["n_sentences"],
+                         r["keep"])
+           for r in c4_rules(df, min_words_per_line=2,
+                             min_sentences=1).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == _py_c4(t), (i, t)
+
+
+@settings(max_examples=10, deadline=None)
+@given(_docs)
+def test_hashed_vectors_match_xxh64_reference(spark, texts):
+    from carbonapi_spark.datapipe.text import hashed_doc_vectors
+    dim = 8
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, text string")
+    got = {r["doc_id"]: r["embedding"]
+           for r in hashed_doc_vectors(df, dim=dim).collect()}
+    for i, t in enumerate(texts):
+        want = [0.0] * dim
+        for tok in _tokens(t.lower()):
+            h = xxh64_signed(tok)
+            b = h % dim
+            want[b] += 1.0 if ((h >> 33) & 1) == 0 else -1.0
+        assert got[i] == want, (i, t)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.sampled_from(["en", "de", "fr"]), min_size=1,
+                max_size=40),
+       st.sampled_from([0.3, 0.5, 1.0]))
+def test_temperature_mix_matches_gate_math(spark, langs, alpha):
+    from carbonapi_spark.datapipe.sampling import temperature_mix
+    rows = [(i, lang) for i, lang in enumerate(langs)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    kept = {r["doc_id"] for r in temperature_mix(df, alpha=alpha).collect()}
+    counts: dict = {}
+    for _, lang in rows:
+        counts[lang] = counts.get(lang, 0) + 1
+    nmin = min(counts.values())
+    want = set()
+    for i, lang in rows:
+        thresh = round((counts[lang] / nmin) ** (alpha - 1.0) * 1_000_000)
+        if xxh64_signed(str(i)) % 1_000_000 < thresh:
+            want.add(i)
+    assert kept == want
