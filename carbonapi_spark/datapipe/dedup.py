@@ -218,6 +218,42 @@ def jaccard_verify(df: DataFrame, pairs: DataFrame, text_col: str = "text",
             .where(F.col("jaccard") >= threshold))
 
 
+def minhash_estimate(df: DataFrame, pairs: DataFrame,
+                     text_col: str = "text", id_col: str = "doc_id",
+                     num_hashes: int = 16, ngram: int = 3,
+                     seed: int = 42) -> DataFrame:
+    """Estimated Jaccard for candidate pairs from MinHash signature
+    agreement: est = (#agreeing components) / K, an unbiased estimator
+    of the true Jaccard (Broder, "On the resemblance and containment of
+    documents", 1997). The cheap middle ground between raw LSH
+    candidates and exact ``jaccard_verify``: ranking/filtering on est
+    needs only the K-long signatures — no re-shingling, no
+    array_intersect over full shingle sets — so the per-pair cost is K
+    comparisons instead of O(|shingles|).
+
+    Same semi-join economy as ``jaccard_verify``: signatures are
+    computed only for docs appearing in a pair. Returns
+    (id_a, id_b, est_jaccard)."""
+    from carbonapi_spark import scratch
+    pairs = scratch.track(pairs)
+    ids = (pairs.select(F.explode(F.array("id_a", "id_b")).alias(id_col))
+           .distinct())
+    sig = minhash_signatures_df(df.join(ids, id_col, "left_semi"),
+                                text_col, id_col, num_hashes, ngram, seed)
+    a = sig.withColumnRenamed("__id", "id_a").withColumnRenamed("__sig",
+                                                                "__sa")
+    b = sig.withColumnRenamed("__id", "id_b").withColumnRenamed("__sig",
+                                                                "__sb")
+    agree = F.aggregate(
+        F.zip_with("__sa", "__sb",
+                   lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0), lambda acc, v: acc + v)
+    return (pairs.join(a, "id_a").join(b, "id_b")
+            .select("id_a", "id_b",
+                    F.round(agree.cast("double") / num_hashes, 6)
+                    .alias("est_jaccard")))
+
+
 def simhash(text: Column, bits: int = 64) -> Column:
     """SimHash of the token stream: sign-sum of per-token hash bits.
 

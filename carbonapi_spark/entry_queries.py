@@ -525,6 +525,28 @@ WHERE id_a % 5 = 4 OR id_b % 5 = 4
 """.strip())
 
 
+def _q_minhash_estimate(spark, sf_dir):
+    """Signature-agreement Jaccard estimation (Broder 1997) over the LSH
+    candidates: rank near-dups from K component comparisons per pair
+    instead of exact shingle-set intersection."""
+    from carbonapi_spark.datapipe.dedup import (minhash_estimate,
+                                                minhash_lsh_candidates)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = minhash_lsh_candidates(docs, num_hashes=16, bands=4, ngram=2)
+    return minhash_estimate(docs, pairs, num_hashes=16, ngram=2)
+
+
+_register("minhash_estimate", _q_minhash_estimate, f"""
+WITH {_minhash_pair_ctes()}
+SELECT id_a, id_b,
+       round(({" + ".join(f"CASE WHEN a.__m{i} = b.__m{i} THEN 1 ELSE 0 END"
+                          for i in range(16))}) / 16.0, 6) AS est_jaccard
+FROM __pairs
+JOIN __sig a ON a.doc_id = id_a
+JOIN __sig b ON b.doc_id = id_b
+""".strip())
+
+
 def _q_stream_minhash_replay(spark, sf_dir):
     """The STREAMING LSH dedup path made scoreboard-visible: documents
     replayed through ``stream_minhash_candidates``'s stateful kernel
@@ -2652,6 +2674,7 @@ _DRIVER_PREFIX = [
     "gopher_rules",       # full Gopher Table-A1 document rule set
     "hashed_vectors",     # feature-hashing doc embeddings (hashing trick)
     "corpus_stats",       # per-(source,lang) curation report
+    "minhash_estimate",   # Broder signature-agreement Jaccard estimate
     # plan changed in round 6 — re-verify
     "minhash_dedup",      # spread() now size-gated (the r5 bench regression)
     "substr_dedup",       # 128-bit gram keys + spread gate

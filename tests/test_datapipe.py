@@ -1257,3 +1257,23 @@ def test_write_training_shards_roundtrip(spark, tmp_path):
             for r in shard_assignment(docs, 4).collect()}
     got = {(r["doc_id"], r["shard"], r["pos"]) for r in rows}
     assert got == want
+
+
+def test_minhash_estimate_tracks_true_jaccard(spark, docs):
+    """Signature-agreement estimation: exact duplicates estimate 1.0,
+    near-dups land high, and the estimate orders pairs like the exact
+    Jaccard on this corpus."""
+    from carbonapi_spark.datapipe.dedup import (jaccard_verify,
+                                                minhash_estimate,
+                                                minhash_lsh_candidates)
+    pairs = minhash_lsh_candidates(docs, num_hashes=16, bands=8, ngram=2)
+    est = {(r["id_a"], r["id_b"]): r["est_jaccard"]
+           for r in minhash_estimate(docs, pairs, num_hashes=16,
+                                     ngram=2).collect()}
+    exact = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in jaccard_verify(docs, pairs, ngram=2,
+                                     threshold=0.0).collect()}
+    assert est[(0, 1)] == 1.0 and exact[(0, 1)] == 1.0
+    assert set(est) == set(exact)
+    if (0, 2) in est:  # near-dup: high but below the exact dup
+        assert 0.5 <= est[(0, 2)] <= 1.0
