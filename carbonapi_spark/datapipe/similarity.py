@@ -45,6 +45,8 @@ def brute_force_topk(corpus: DataFrame, query: DataFrame, k: int = 10,
 
     Broadcast the query side; the corpus is scanned once. Output:
     (query_id, neighbor_id, cos_sim), excluding self-matches."""
+    from carbonapi_spark.datapipe import spread
+    corpus = spread(corpus, min_bytes=256 << 10)  # HOF dots: heavy/row
     q = query.select(F.col(id_col).alias("query_id"),
                      _as_double(F.col(vec_col)).alias("__qv"))
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
@@ -118,6 +120,8 @@ def ivf_topk(corpus: DataFrame, query: DataFrame, k: int = 10,
     cells. The corpus side stays single-row-per-vector (no expansion at
     all — cheaper than multi-probe LSH's query expansion is on the query
     side here too), and the join is a cell-key equi-join."""
+    from carbonapi_spark.datapipe import spread
+    corpus = spread(corpus, min_bytes=256 << 10)  # centroid-dot HOFs
     cents = ivf_centroids(dim, n_centroids, seed)
     v = f"cast({vec_col} as array<double>)"
     # one SQL string for all centroid dots (one parse, no per-lit py4j)
@@ -177,6 +181,8 @@ def lsh_topk(corpus: DataFrame, query: DataFrame, k: int = 10,
     ``probe=0`` is exact-bucket-only (cheapest, lowest recall)."""
     from itertools import combinations
 
+    from carbonapi_spark.datapipe import spread
+    corpus = spread(corpus, min_bytes=256 << 10)  # plane-dot HOFs
     planes = random_planes(dim, n_planes, seed)
     v = f"cast({vec_col} as array<double>)"
     sig = _signature_sql(v, planes)
@@ -319,7 +325,11 @@ def pq_encode(df: DataFrame, codebooks: list[list[list[float]]],
     """Encode every vector to ``m`` codebook indices (1-based, ties to the
     lowest index): array<int> of length m — 8 bytes/vector at the default
     (m=8, ksub=16) vs 256 bytes of float32, a 32x smaller table to scan.
-    Pure array HOFs over constant-folded codebook literals; zero shuffle."""
+    Pure array HOFs over constant-folded codebook literals; zero shuffle (the spread gate
+    repartitions single-file scans so the heavy argmin projection
+    parallelizes; below the gate it stays exchange-free)."""
+    from carbonapi_spark.datapipe import spread
+    df = spread(df, min_bytes=256 << 10)
     v = f"cast({vec_col} as array<double>)"
     return df.selectExpr(id_col,
                          f"{_pq_code_sql(v, codebooks)} as {code_col}")
@@ -429,6 +439,8 @@ def ivfpq_encode(df: DataFrame, codebooks: list[list[list[float]]],
     lowest cell) plus PQ codes, one stateless projection over the raw
     vectors. Write it once at ingest, partitioned by ``cell``, and
     ``ivfpq_topk(codes=...)`` probes it without touching raw embeddings."""
+    from carbonapi_spark.datapipe import spread
+    df = spread(df, min_bytes=256 << 10)  # cell-dot + argmin HOFs
     v = f"cast({vec_col} as array<double>)"
     cell_dots = "array(" + ",".join(
         _dot_sql(v, c) for c in centroids) + ")"
@@ -590,6 +602,8 @@ def _cells_normalized(vecs: DataFrame, id_col: str, vec_col: str,
     """(id, cell[, centroid_sim], __nv): seeded-cell assignment with the
     vector L2-normalized once (null for zero vectors — they then match
     nothing downstream), capped per cell by the sorted-prefix rule."""
+    from carbonapi_spark.datapipe import spread
+    vecs = spread(vecs, min_bytes=256 << 10)  # cell-dot + normalize HOFs
     cents = ivf_centroids(dim, n_centroids, cell_seed)
     v = f"cast({vec_col} as array<double>)"
     cell_dots = "array(" + ",".join(_dot_sql(v, c) for c in cents) + ")"
