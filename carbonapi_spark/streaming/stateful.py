@@ -176,3 +176,95 @@ def stream_minhash_candidates(docs: DataFrame, id_col: str = "doc_id",
     return (banded.groupBy("band", "key")
             .applyInPandasWithState(fn, CAND_OUT, CAND_STATE,
                                     "append", timeout))
+
+
+SEM_OUT = "vec_id LONG, cell INT, keep BOOLEAN, matched_id LONG"
+SEM_STATE = "ids ARRAY<BIGINT>, vecs ARRAY<ARRAY<DOUBLE>>"
+
+
+def stream_semantic_dedup(vecs: DataFrame, dim: int = 64,
+                          n_centroids: int = 16, tau: float = 0.95,
+                          cell_seed: int = 43, max_cell: int = 10_000,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding",
+                          state_ttl_ms: int | None = None) -> DataFrame:
+    """Streaming SemDeDup: the unbounded twin of
+    ``datapipe.similarity.semantic_dedup``. Each arriving embedding is
+    assigned its coarse cell by a STATELESS projection (same seeded
+    spherical quantizer + L2 normalize as batch); the cell's prior
+    members live in keyed state, so the vector is scored against them
+    the moment it lands — keep=False with ``matched_id`` (the closest
+    member) when some member reaches ``tau`` cosine.
+
+    Every arrival is added to state (up to ``max_cell``) whether or not
+    it was a duplicate, mirroring the batch greedy rule where dropped
+    docs still block later ones; with id-ordered arrival the keep set
+    equals the batch ``semantic_dedup`` exactly. State per cell is the
+    member matrix (max_cell x dim doubles) — bound it with ``max_cell``
+    and ``state_ttl_ms`` like the MinHash bucket state. Scoring is one
+    numpy mat-vec per arrival (members are normalized, so cosine = dot).
+    Zero vectors keep and match nothing (undefined direction)."""
+    import numpy as np
+
+    from carbonapi_spark.datapipe.similarity import _dot_sql, ivf_centroids
+    cents = ivf_centroids(dim, n_centroids, cell_seed)
+    v = f"cast({vec_col} as array<double>)"
+    cell_dots = "array(" + ",".join(_dot_sql(v, c) for c in cents) + ")"
+    base = (vecs.selectExpr(f"{id_col} as vec_id", f"{v} as __v",
+                            f"{cell_dots} as __d")
+            .selectExpr("vec_id",
+                        "cast(array_position(__d, array_max(__d)) as int)"
+                        " as cell",
+                        "__v",
+                        "sqrt(aggregate(transform(__v, x -> x * x), 0.0D,"
+                        " (a, x) -> a + x)) as __n")
+            .selectExpr("vec_id", "cell",
+                        "case when __n > 0 then"
+                        " transform(__v, x -> x / __n) end as nv"))
+
+    def fn(key, pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            ids = list(state.get[0])
+            mat = np.array([list(r) for r in state.get[1]], dtype=float)
+        else:
+            ids, mat = [], np.zeros((0, dim), dtype=float)
+        out: list[tuple] = []
+        for pdf in pdfs:
+            for vid, nv in zip(pdf["vec_id"], pdf["nv"]):
+                vid = int(vid)
+                if nv is None:
+                    out.append((vid, True, None))
+                    continue
+                arr = np.asarray(list(nv), dtype=float)
+                matched = None
+                if len(mat):
+                    sims = mat @ arr
+                    j = int(np.argmax(sims))
+                    if round(float(sims[j]), 6) >= tau:
+                        matched = ids[j]
+                out.append((vid, matched is None, matched))
+                if len(ids) < max_cell:
+                    ids.append(vid)
+                    mat = np.vstack([mat, arr[None, :]])
+        if out:
+            yield pd.DataFrame({
+                "vec_id": [r[0] for r in out],
+                "cell": int(key[0]),
+                "keep": [r[1] for r in out],
+                "matched_id": pd.array([r[2] for r in out],
+                                       dtype="Int64")})
+        # plain Python floats: numpy scalars inside state tuples break
+        # the pickle bridge back to the JVM state store
+        state.update((ids, [[float(x) for x in r] for r in mat]))
+        if state_ttl_ms is not None:
+            state.setTimeoutDuration(state_ttl_ms)
+
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout
+               if state_ttl_ms is not None else GroupStateTimeout.NoTimeout)
+    return (base.groupBy("cell")
+            .applyInPandasWithState(fn, SEM_OUT, SEM_STATE,
+                                    "append", timeout))

@@ -1277,3 +1277,51 @@ def test_minhash_estimate_tracks_true_jaccard(spark, docs):
     assert set(est) == set(exact)
     if (0, 2) in est:  # near-dup: high but below the exact dup
         assert 0.5 <= est[(0, 2)] <= 1.0
+
+
+def test_stream_semantic_dedup_state_across_runs(spark, tmp_path):
+    """Streaming SemDeDup: cell members persist in checkpointed state,
+    so a near-dup arriving in a LATER RUN is dropped with the original
+    as matched_id; zero vectors keep and never match; with id-ordered
+    arrival the keep set equals batch semantic_dedup."""
+    import json
+
+    from carbonapi_spark.streaming.stateful import stream_semantic_dedup
+    src, out, ck = tmp_path / "src", tmp_path / "out", tmp_path / "ck"
+    src.mkdir()
+    dim = 4
+
+    def e(i, s=1.0):
+        return [s if j == i else 0.0 for j in range(dim)]
+
+    def stream():
+        s = (spark.readStream
+             .schema("vec_id LONG, embedding ARRAY<DOUBLE>")
+             .json(str(src)))
+        return stream_semantic_dedup(s, dim=dim, n_centroids=2, tau=0.9)
+
+    def write(rows, name):
+        with open(src / name, "w") as f:
+            for vid, vec in rows:
+                f.write(json.dumps({"vec_id": vid, "embedding": vec})
+                        + "\n")
+
+    write([(0, e(0)), (1, e(1)), (2, e(2)), (3, [0.0] * dim)], "a.json")
+    _run_stream(stream, src, out, ck)
+    write([(10, e(0, 2.0)), (11, e(2, 0.5)), (12, e(3))], "b.json")
+    _run_stream(stream, src, out, ck)
+    rows = {r["vec_id"]: r for r in spark.read.parquet(str(out)).collect()}
+    assert set(rows) == {0, 1, 2, 3, 10, 11, 12}
+    assert all(rows[i]["keep"] for i in (0, 1, 2, 3, 12))
+    assert rows[3]["matched_id"] is None           # zero vector
+    assert not rows[10]["keep"] and rows[10]["matched_id"] == 0
+    assert not rows[11]["keep"] and rows[11]["matched_id"] == 2
+    from carbonapi_spark.datapipe.similarity import semantic_dedup
+    allrows = [(0, e(0)), (1, e(1)), (2, e(2)), (3, [0.0] * dim),
+               (10, e(0, 2.0)), (11, e(2, 0.5)), (12, e(3))]
+    bdf = spark.createDataFrame(allrows,
+                                "vec_id long, embedding array<double>")
+    bkeep = {r["vec_id"]: r["keep"]
+             for r in semantic_dedup(bdf, dim=dim, n_centroids=2,
+                                     tau=0.9).collect()}
+    assert bkeep == {i: rows[i]["keep"] for i in bkeep}
