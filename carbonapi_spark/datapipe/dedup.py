@@ -205,9 +205,13 @@ def jaccard_verify(df: DataFrame, pairs: DataFrame, text_col: str = "text",
     pairs = scratch.track(pairs)
     ids = (pairs.select(F.explode(F.array("id_a", "id_b")).alias(id_col))
            .distinct())
-    sh = (df.join(ids, id_col, "left_semi")
-          .select(F.col(id_col).alias("__id"),
-                  shingles(F.col(text_col), ngram).alias("__sh")))
+    # sh feeds BOTH sides of the verify join — persist the (small,
+    # pair-doc-scoped) shingle sets so the semi-join + shingling pipeline
+    # runs once, not twice
+    sh = scratch.track(
+        df.join(ids, id_col, "left_semi")
+        .select(F.col(id_col).alias("__id"),
+                shingles(F.col(text_col), ngram).alias("__sh")))
     j = (pairs
          .join(sh.withColumnRenamed("__id", "id_a").withColumnRenamed("__sh", "sh_a"), "id_a")
          .join(sh.withColumnRenamed("__id", "id_b").withColumnRenamed("__sh", "sh_b"), "id_b"))
@@ -238,8 +242,10 @@ def minhash_estimate(df: DataFrame, pairs: DataFrame,
     pairs = scratch.track(pairs)
     ids = (pairs.select(F.explode(F.array("id_a", "id_b")).alias(id_col))
            .distinct())
-    sig = minhash_signatures_df(df.join(ids, id_col, "left_semi"),
-                                text_col, id_col, num_hashes, ngram, seed)
+    # signatures feed both join sides — persist the pair-doc-scoped table
+    sig = scratch.track(
+        minhash_signatures_df(df.join(ids, id_col, "left_semi"),
+                              text_col, id_col, num_hashes, ngram, seed))
     a = sig.withColumnRenamed("__id", "id_a").withColumnRenamed("__sig",
                                                                 "__sa")
     b = sig.withColumnRenamed("__id", "id_b").withColumnRenamed("__sig",
