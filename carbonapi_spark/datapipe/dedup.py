@@ -494,8 +494,13 @@ def minhash_incremental_candidates(new_docs: DataFrame, index: DataFrame,
     a full re-run of ``minhash_lsh_candidates`` on corpus+delta would
     emit for pairs involving a delta doc, including truncation
     (property-tested in ``tests/test_datapipe.py``)."""
-    new_idx = minhash_band_index(new_docs, text_col, id_col, num_hashes,
-                                 bands, ngram, seed)
+    from carbonapi_spark import scratch
+    # new_idx feeds the broadcast key probe AND the members union —
+    # persist so the delta's shingle+minhash+banding pipeline runs once
+    # (the docstring's "only the delta is shingled" economy)
+    new_idx = scratch.track(
+        minhash_band_index(new_docs, text_col, id_col, num_hashes,
+                           bands, ngram, seed))
     touched = index.join(
         F.broadcast(new_idx.select("band", "key").distinct()),
         ["band", "key"], "left_semi")
@@ -508,12 +513,15 @@ def minhash_incremental_candidates(new_docs: DataFrame, index: DataFrame,
                            f"struct(doc_id, nw))), 1, {max_bucket})")
                     .alias("ms"))
                .where(F.size("ms") > 1))
-    # in-bucket pairs, keeping only those touching a delta doc (nn > 0)
+    # in-bucket pairs, keeping only those touching a delta doc (nn > 0);
+    # id_a != id_b drops the self-pair a doc re-ingested under an id
+    # already present in the index would otherwise emit (the member list
+    # then holds that id once per side)
     return (buckets.selectExpr(
         """explode(flatten(transform(sequence(1, size(ms) - 1),
              i -> filter(transform(slice(ms, i + 1, size(ms) - i),
                     x -> struct(element_at(ms, i).doc_id as id_a,
                                 x.doc_id as id_b,
                                 element_at(ms, i).nw + x.nw as nn)),
-                  p -> p.nn > 0)))) as p""")
+                  p -> p.nn > 0 and p.id_a != p.id_b)))) as p""")
         .select("p.id_a", "p.id_b").distinct())

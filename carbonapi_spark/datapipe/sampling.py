@@ -104,20 +104,28 @@ def temperature_mix(df: DataFrame, group_col: str = "lang",
     scan, reproducible across runs, engines, and repartitioning.
     Returns the kept rows of ``df``."""
     from pyspark.sql.window import Window
-    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    # NULL group values are a real group (unclassified docs): key the
+    # count AND the join on a null-coalesced shadow column, because an
+    # inner equi-join on the raw column would silently drop the whole
+    # NULL slice — even at alpha=1 where the contract keeps everything
+    gkey = F.coalesce(F.col(group_col).cast("string"),
+                      F.lit("\x00__null__"))
+    counts = (df.groupBy(gkey.alias("__gk"))
+              .agg(F.count(F.lit(1)).alias("__n")))
     # n_min via a global window OVER THE COUNTS TABLE (group-cardinality
     # rows, so the single-partition move is trivial) — a separate
     # counts.agg() would re-execute the groupBy and scan the corpus a
     # second time
     nmin = F.min("__n").over(Window.partitionBy())
-    rates = counts.select(group_col,
+    rates = counts.select("__gk",
                           F.round(F.pow(F.col("__n") / nmin,
                                         F.lit(alpha - 1.0)) * denom)
                           .cast("long").alias("__thresh"))
     gate = F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(denom))
-    return (df.join(F.broadcast(rates), group_col)
+    return (df.withColumn("__gk", gkey)
+            .join(F.broadcast(rates), "__gk")
             .where(gate < F.col("__thresh"))
-            .drop("__thresh"))
+            .drop("__thresh", "__gk"))
 
 
 def _hashed_buckets(df: DataFrame, text_col: str, id_col: str,
@@ -266,12 +274,23 @@ def write_training_shards(df: DataFrame, path: str, n_shards: int = 32,
     output contract of a pretraining data loader (fixed shard count,
     reproducible order, no global sort).
 
-    One hash-partition shuffle by shard; ``sortWithinPartitions`` keeps
-    the per-shard order without a global exchange. Readers recover the
-    exact order with ``spark.read...orderBy(shard, pos)``."""
-    assigned = shard_assignment(df, n_shards, id_col)
-    out = (df.join(assigned, id_col)
+    ONE hash-partition shuffle by shard: shard and position are computed
+    inline on the full rows (same hash/order math as
+    ``shard_assignment`` — the round-trip test pins the equality), so
+    the corpus is never join-shuffled by id first. The per-shard
+    row_number window reuses the repartition's partitioning, and
+    ``sortWithinPartitions`` keeps the write order without a global
+    exchange. Readers recover the exact order with
+    ``spark.read...orderBy(shard, pos)``."""
+    from pyspark.sql.window import Window
+    h = F.xxhash64(F.col(id_col).cast("string"))
+    w = Window.partitionBy("shard").orderBy(F.col("__h"), F.col(id_col))
+    out = (df.withColumn("shard",
+                         F.pmod(h, F.lit(n_shards)).cast("long"))
+           .withColumn("__h", h)
            .repartition(n_shards, F.col("shard"))
+           .withColumn("pos", F.row_number().over(w).cast("long"))
+           .drop("__h")
            .sortWithinPartitions("shard", "pos"))
     (out.write.mode("overwrite").partitionBy("shard").format(fmt)
      .save(path))

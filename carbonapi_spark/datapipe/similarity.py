@@ -595,15 +595,21 @@ def _salted_cell_join(hi: DataFrame, lo: DataFrame, id_col: str,
     return hi_s.join(lo_s, ["cell", "__salt"]).drop("__salt")
 
 
-def _cells_normalized(vecs: DataFrame, id_col: str, vec_col: str,
-                      dim: int, n_centroids: int, cell_seed: int,
-                      max_cell: int, centroid_sim: bool = False
-                      ) -> DataFrame:
-    """(id, cell[, centroid_sim], __nv): seeded-cell assignment with the
-    vector L2-normalized once (null for zero vectors — they then match
-    nothing downstream), capped per cell by the sorted-prefix rule."""
+def cell_normalized_projection(vecs: DataFrame, id_col: str = "vec_id",
+                               vec_col: str = "embedding", dim: int = 64,
+                               n_centroids: int = 16, cell_seed: int = 43,
+                               centroid_sim: bool = False) -> DataFrame:
+    """(id, cell[, centroid_sim], __nv): stateless seeded-cell
+    assignment (argmax dot with the spherical quantizer directions, ties
+    to the lowest cell) with the vector L2-normalized once (null for
+    zero vectors — they then match nothing downstream). The SINGLE
+    definition shared by batch SemDeDup (which adds the per-cell cap)
+    and ``streaming.stateful.stream_semantic_dedup`` (which feeds it to
+    keyed state) — so batch and stream cannot drift apart. Works on
+    streaming inputs (the spread gate is batch-only)."""
     from carbonapi_spark.datapipe import spread
-    vecs = spread(vecs, min_bytes=256 << 10)  # cell-dot + normalize HOFs
+    if not vecs.isStreaming:
+        vecs = spread(vecs, min_bytes=256 << 10)  # cell-dot HOFs
     cents = ivf_centroids(dim, n_centroids, cell_seed)
     v = f"cast({vec_col} as array<double>)"
     cell_dots = "array(" + ",".join(_dot_sql(v, c) for c in cents) + ")"
@@ -622,7 +628,18 @@ def _cells_normalized(vecs: DataFrame, id_col: str, vec_col: str,
     if centroid_sim:
         cols.insert(2, F.round(F.when(nrm > 0, F.array_max("__d") / nrm),
                                6).alias("centroid_sim"))
-    base = base.select(*cols)
+    return base.select(*cols)
+
+
+def _cells_normalized(vecs: DataFrame, id_col: str, vec_col: str,
+                      dim: int, n_centroids: int, cell_seed: int,
+                      max_cell: int, centroid_sim: bool = False
+                      ) -> DataFrame:
+    """``cell_normalized_projection`` capped per cell by the
+    sorted-prefix rule."""
+    base = cell_normalized_projection(vecs, id_col, vec_col, dim,
+                                      n_centroids, cell_seed,
+                                      centroid_sim)
     w = Window.partitionBy("cell").orderBy(id_col)
     return (base.withColumn("__rk", F.row_number().over(w))
             .where(F.col("__rk") <= max_cell).drop("__rk"))

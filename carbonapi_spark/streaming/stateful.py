@@ -206,21 +206,11 @@ def stream_semantic_dedup(vecs: DataFrame, dim: int = 64,
     Zero vectors keep and match nothing (undefined direction)."""
     import numpy as np
 
-    from carbonapi_spark.datapipe.similarity import _dot_sql, ivf_centroids
-    cents = ivf_centroids(dim, n_centroids, cell_seed)
-    v = f"cast({vec_col} as array<double>)"
-    cell_dots = "array(" + ",".join(_dot_sql(v, c) for c in cents) + ")"
-    base = (vecs.selectExpr(f"{id_col} as vec_id", f"{v} as __v",
-                            f"{cell_dots} as __d")
-            .selectExpr("vec_id",
-                        "cast(array_position(__d, array_max(__d)) as int)"
-                        " as cell",
-                        "__v",
-                        "sqrt(aggregate(transform(__v, x -> x * x), 0.0D,"
-                        " (a, x) -> a + x)) as __n")
-            .selectExpr("vec_id", "cell",
-                        "case when __n > 0 then"
-                        " transform(__v, x -> x / __n) end as nv"))
+    from carbonapi_spark.datapipe.similarity import (
+        cell_normalized_projection)
+    base = (cell_normalized_projection(vecs, id_col, vec_col, dim,
+                                       n_centroids, cell_seed)
+            .selectExpr(f"{id_col} as vec_id", "cell", "__nv as nv"))
 
     def fn(key, pdfs: Iterator[pd.DataFrame],
            state: GroupState) -> Iterator[pd.DataFrame]:
@@ -229,9 +219,16 @@ def stream_semantic_dedup(vecs: DataFrame, dim: int = 64,
             return
         if state.exists:
             ids = list(state.get[0])
-            mat = np.array([list(r) for r in state.get[1]], dtype=float)
+            stored = [list(r) for r in state.get[1]]
         else:
-            ids, mat = [], np.zeros((0, dim), dtype=float)
+            ids, stored = [], []
+        # guard the empty-but-existing case: np.array([]) loses the
+        # (0, dim) shape (a batch of only zero vectors persists empty
+        # state, and the next arrival would crash the matmul)
+        base_mat = (np.array(stored, dtype=float) if stored
+                    else np.zeros((0, dim), dtype=float))
+        new_ids: list[int] = []
+        new_rows: list = []
         out: list[tuple] = []
         for pdf in pdfs:
             for vid, nv in zip(pdf["vec_id"], pdf["nv"]):
@@ -240,16 +237,25 @@ def stream_semantic_dedup(vecs: DataFrame, dim: int = 64,
                     out.append((vid, True, None))
                     continue
                 arr = np.asarray(list(nv), dtype=float)
-                matched = None
-                if len(mat):
-                    sims = mat @ arr
+                # score against the batch-start members with ONE mat-vec
+                # plus the few intra-batch arrivals individually — no
+                # per-arrival matrix rebuild (vstack per arrival copied
+                # the whole member matrix, quadratic per batch)
+                best, bid = None, None
+                if len(base_mat):
+                    sims = base_mat @ arr
                     j = int(np.argmax(sims))
-                    if round(float(sims[j]), 6) >= tau:
-                        matched = ids[j]
+                    best, bid = float(sims[j]), ids[j]
+                for nid, nr in zip(new_ids, new_rows):
+                    s = float(nr @ arr)
+                    if best is None or s > best:
+                        best, bid = s, nid
+                matched = (bid if best is not None
+                           and round(best, 6) >= tau else None)
                 out.append((vid, matched is None, matched))
-                if len(ids) < max_cell:
-                    ids.append(vid)
-                    mat = np.vstack([mat, arr[None, :]])
+                if len(ids) + len(new_ids) < max_cell:
+                    new_ids.append(vid)
+                    new_rows.append(arr)
         if out:
             yield pd.DataFrame({
                 "vec_id": [r[0] for r in out],
@@ -259,7 +265,8 @@ def stream_semantic_dedup(vecs: DataFrame, dim: int = 64,
                                        dtype="Int64")})
         # plain Python floats: numpy scalars inside state tuples break
         # the pickle bridge back to the JVM state store
-        state.update((ids, [[float(x) for x in r] for r in mat]))
+        state.update((ids + new_ids,
+                      stored + [[float(x) for x in r] for r in new_rows]))
         if state_ttl_ms is not None:
             state.setTimeoutDuration(state_ttl_ms)
 

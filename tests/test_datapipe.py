@@ -1325,3 +1325,70 @@ def test_stream_semantic_dedup_state_across_runs(spark, tmp_path):
              for r in semantic_dedup(bdf, dim=dim, n_centroids=2,
                                      tau=0.9).collect()}
     assert bkeep == {i: rows[i]["keep"] for i in bkeep}
+
+
+def test_stream_semantic_dedup_empty_state_cell(spark, tmp_path):
+    """Regression: a cell persisted with EMPTY state (a batch containing
+    only zero vectors) must score the next real arrival instead of
+    crashing (np.array([]) loses the (0, dim) matrix shape)."""
+    import json
+
+    from carbonapi_spark.datapipe.similarity import ivf_centroids
+    from carbonapi_spark.streaming.stateful import stream_semantic_dedup
+    src, out, ck = tmp_path / "src", tmp_path / "out", tmp_path / "ck"
+    src.mkdir()
+    dim = 4
+    c1 = ivf_centroids(dim, 2, 43)[0]  # direction of cell 1 — where the
+    # zero vector also lands (argmax of all-zero dots ties to cell 1)
+
+    def stream():
+        s = (spark.readStream
+             .schema("vec_id LONG, embedding ARRAY<DOUBLE>")
+             .json(str(src)))
+        return stream_semantic_dedup(s, dim=dim, n_centroids=2, tau=0.9)
+
+    def write(rows, name):
+        with open(src / name, "w") as f:
+            for vid, vec in rows:
+                f.write(json.dumps({"vec_id": vid, "embedding": vec})
+                        + "\n")
+
+    write([(0, [0.0] * dim)], "a.json")
+    _run_stream(stream, src, out, ck)
+    write([(1, list(c1)), (2, [x * 3 for x in c1])], "b.json")
+    _run_stream(stream, src, out, ck)
+    rows = {r["vec_id"]: r for r in spark.read.parquet(str(out)).collect()}
+    assert rows[0]["keep"] is True and rows[1]["keep"] is True
+    assert not rows[2]["keep"] and rows[2]["matched_id"] == 1
+
+
+def test_minhash_incremental_reingested_id_no_self_pair(spark):
+    """Regression: re-ingesting a doc under an id already in the index
+    must not emit a (x, x) self-pair."""
+    from carbonapi_spark.datapipe.dedup import (
+        minhash_band_index, minhash_incremental_candidates)
+    text = "the quick brown fox jumps over the lazy dog"
+    corpus = spark.createDataFrame([(1, text), (5, "unrelated words")],
+                                   "doc_id LONG, text STRING")
+    delta = spark.createDataFrame([(1, text), (2, text)],
+                                  "doc_id LONG, text STRING")
+    idx = minhash_band_index(corpus, num_hashes=16, bands=8, ngram=2)
+    got = {(r["id_a"], r["id_b"])
+           for r in minhash_incremental_candidates(
+               delta, idx, num_hashes=16, bands=8, ngram=2).collect()}
+    assert got == {(1, 2)}
+
+
+def test_temperature_mix_keeps_null_group(spark):
+    """Regression: a NULL group column is a real stratum — the rates
+    join must not silently drop the NULL slice (at alpha=1 everything
+    is kept, including unclassified docs)."""
+    from carbonapi_spark.datapipe.sampling import temperature_mix
+    rows = [(i, "en") for i in range(40)] + \
+           [(100 + i, None) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    nat = temperature_mix(df, alpha=1.0).collect()
+    assert len(nat) == 50
+    damped = temperature_mix(df, alpha=0.3).collect()
+    null_kept = [r for r in damped if r["lang"] is None]
+    assert len(null_kept) == 10  # the smallest group keeps everything
