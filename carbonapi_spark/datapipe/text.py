@@ -574,3 +574,45 @@ def corpus_stats(df: DataFrame, group_cols: tuple[str, ...] = ("source",
                  F.round(F.avg("__nc"), 6).alias("mean_chars"),
                  F.round(F.expr("percentile(__nc, 0.5)"), 6)
                  .alias("median_chars")))
+
+
+def ngram_novelty(df: DataFrame, ngram: int = 3, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Cross-document n-gram novelty: per doc, the fraction of its
+    DISTINCT word n-grams that occur in no other document — the
+    memorization-risk / boilerplate diagnostic (a doc whose grams all
+    appear elsewhere contributes nothing novel; the complement of the
+    span-dedup view). Returns (id, n_grams, novel_frac); docs with no
+    n-grams score 0.0.
+
+    Scale shape: one distinct-gram explode, a corpus-wide
+    distinct-doc-count aggregation keyed by the 16-byte gram hash pair
+    (the ``remove_duplicate_spans`` collision treatment — gram strings
+    never shuffle), then a per-doc aggregation. All three keyed hash
+    aggs, map-side combined."""
+    from carbonapi_spark.datapipe import spread
+    from carbonapi_spark.datapipe.dedup import shingles
+    df = spread(df, min_bytes=256 << 10)
+    g = (df.select(F.col(id_col),
+                   F.explode_outer(shingles(F.col(text_col), ngram))
+                   .alias("__g"))
+         .select(id_col,
+                 F.when(F.col("__g").isNotNull(),
+                        F.xxhash64("__g")).alias("__h"),
+                 F.when(F.col("__g").isNotNull(),
+                        F.xxhash64(F.lit(0x9E3779B9), F.col("__g")))
+                 .alias("__h2")))
+    docs_per_gram = (g.where(F.col("__h").isNotNull())
+                     .groupBy("__h", "__h2")
+                     .agg(F.count(F.lit(1)).alias("__nd")))
+    # per-doc shingles are distinct, so count(*) = distinct docs per gram
+    cnt = F.count("__h")
+    novel = F.sum(F.when(F.col("__nd") == 1, 1).otherwise(0))
+    # the when-guard keeps ANSI mode from throwing on empty docs (0/0)
+    return (g.join(docs_per_gram, ["__h", "__h2"], "left")
+            .groupBy(id_col)
+            .agg(cnt.alias("n_grams"),
+                 F.coalesce(F.round(F.when(cnt > 0, novel / cnt), 6),
+                            F.lit(0.0)).alias("novel_frac"))
+            .select(id_col, F.col("n_grams").cast("long").alias("n_grams"),
+                    "novel_frac"))

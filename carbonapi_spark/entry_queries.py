@@ -1958,6 +1958,32 @@ WHERE gate < thresh
 _register("temperature_mix", _q_temperature_mix, _temperature_mix_oracle())
 
 
+def _q_ngram_novelty(spark, sf_dir):
+    """Cross-doc n-gram novelty (memorization-risk diagnostic): fraction
+    of each doc's distinct 2-grams appearing in no other doc."""
+    from carbonapi_spark.datapipe.text import ngram_novelty
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ngram_novelty(docs, ngram=2)
+
+
+_register("ngram_novelty", _q_ngram_novelty, f"""
+WITH __d AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+__sh AS (SELECT doc_id,
+              list_distinct(list_transform(range(greatest(len(toks) - 1, 0)),
+                                           j -> toks[j + 1] || ' ' || toks[j + 2]))
+              AS sh FROM __d),
+__g AS (SELECT doc_id, unnest(sh) AS g FROM __sh),
+__dp AS (SELECT g, count(*) AS nd FROM __g GROUP BY g)
+SELECT s.doc_id,
+       CAST(len(sh) AS BIGINT) AS n_grams,
+       coalesce(round(CAST((SELECT count(*) FROM __g gg JOIN __dp USING (g)
+                            WHERE gg.doc_id = s.doc_id AND nd = 1)
+                           AS DOUBLE) / nullif(len(sh), 0), 6), 0.0)
+       AS novel_frac
+FROM __sh s
+""".strip())
+
+
 def _q_corpus_stats(spark, sf_dir):
     """Curation report: per-(source, lang) doc counts, token totals, and
     char stats incl. exact interpolated median — one hash agg."""
@@ -2675,6 +2701,7 @@ _DRIVER_PREFIX = [
     "hashed_vectors",     # feature-hashing doc embeddings (hashing trick)
     "corpus_stats",       # per-(source,lang) curation report
     "minhash_estimate",   # Broder signature-agreement Jaccard estimate
+    "ngram_novelty",      # cross-doc n-gram novelty (memorization risk)
     # plan changed in round 6 — re-verify
     "minhash_dedup",      # spread() now size-gated (the r5 bench regression)
     "substr_dedup",       # 128-bit gram keys + spread gate

@@ -1392,3 +1392,21 @@ def test_temperature_mix_keeps_null_group(spark):
     damped = temperature_mix(df, alpha=0.3).collect()
     null_kept = [r for r in damped if r["lang"] is None]
     assert len(null_kept) == 10  # the smallest group keeps everything
+
+
+def test_ngram_novelty_shared_vs_unique(spark):
+    """Novelty: exact duplicates score 0 (every gram shared), a unique
+    doc scores 1, a doc sharing half its grams lands in between; empty
+    docs score 0 with n_grams 0."""
+    from carbonapi_spark.datapipe.text import ngram_novelty
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d"),
+         (3, "x y z w"),
+         (4, "a b q r s"),  # shares gram "a b" with 1/2 only
+         (5, "")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in ngram_novelty(docs, ngram=2).collect()}
+    assert out[1]["novel_frac"] == 0.0 and out[2]["novel_frac"] == 0.0
+    assert out[3]["novel_frac"] == 1.0
+    assert out[4]["n_grams"] == 4 and out[4]["novel_frac"] == 0.75
+    assert out[5]["n_grams"] == 0 and out[5]["novel_frac"] == 0.0
