@@ -38,6 +38,21 @@ def stratified_sample(df: DataFrame, rates: dict[str, float],
     return df.where(gate < thresholds)
 
 
+def _shard_layout(df: DataFrame, n_shards: int, id_col: str):
+    """(df + shard column, per-shard order window): the ONE definition
+    of the deterministic shard hash and within-shard order shared by
+    shard_assignment, pack_sequences, and write_training_shards — a
+    drift in any copy would silently desynchronize the written shard
+    files from the order readers recover via shard_assignment."""
+    from pyspark.sql.window import Window
+    h = F.xxhash64(F.col(id_col).cast("string"))
+    w = Window.partitionBy("shard").orderBy(F.col("__h"), F.col(id_col))
+    out = (df.withColumn("shard",
+                         F.pmod(h, F.lit(n_shards)).cast("long"))
+           .withColumn("__h", h))
+    return out, w
+
+
 def shard_assignment(df: DataFrame, n_shards: int = 32,
                      id_col: str = "doc_id") -> DataFrame:
     """Deterministic shard + within-shard position for training output
@@ -46,14 +61,8 @@ def shard_assignment(df: DataFrame, n_shards: int = 32,
     Each shard's window is independent, so the only shuffle is the
     hash-partition by shard and the per-shard sort parallelizes across
     executors at any corpus size."""
-    from pyspark.sql.window import Window
-    h = F.xxhash64(F.col(id_col).cast("string"))
-    w = (Window.partitionBy("shard")
-         .orderBy(F.col("__h"), F.col(id_col)))
-    return (df.select(F.col(id_col),
-                      F.pmod(h, F.lit(n_shards)).cast("long").alias("shard"),
-                      h.alias("__h"))
-            .withColumn("pos", F.row_number().over(w).cast("long"))
+    base, w = _shard_layout(df.select(id_col), n_shards, id_col)
+    return (base.withColumn("pos", F.row_number().over(w).cast("long"))
             .drop("__h"))
 
 
@@ -70,14 +79,11 @@ def pack_sequences(df: DataFrame, budget: int, n_shards: int = 32,
     math partitioned by shard — embarrassingly parallel, one shuffle."""
     from pyspark.sql.window import Window
     from carbonapi_spark.datapipe.text import token_count
-    h = F.xxhash64(F.col(id_col).cast("string"))
-    base = df.select(
-        F.col(id_col),
-        F.pmod(h, F.lit(n_shards)).cast("long").alias("shard"),
-        h.alias("__h"),
-        token_count(F.col(text_col)).cast("long").alias("__nt"))
-    w = (Window.partitionBy("shard").orderBy(F.col("__h"), F.col(id_col))
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    base, w0 = _shard_layout(
+        df.select(F.col(id_col),
+                  token_count(F.col(text_col)).cast("long").alias("__nt")),
+        n_shards, id_col)
+    w = w0.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     start = (F.sum("__nt").over(w) - F.col("__nt")).alias("__start")
     return (base.withColumn("__start", start)
             .select(id_col, "shard",
@@ -104,28 +110,30 @@ def temperature_mix(df: DataFrame, group_col: str = "lang",
     scan, reproducible across runs, engines, and repartitioning.
     Returns the kept rows of ``df``."""
     from pyspark.sql.window import Window
-    # NULL group values are a real group (unclassified docs): key the
-    # count AND the join on a null-coalesced shadow column, because an
-    # inner equi-join on the raw column would silently drop the whole
-    # NULL slice — even at alpha=1 where the contract keeps everything
-    gkey = F.coalesce(F.col(group_col).cast("string"),
-                      F.lit("\x00__null__"))
-    counts = (df.groupBy(gkey.alias("__gk"))
+    # NULL group values are a real group (unclassified docs): an inner
+    # equi-join on the raw column would silently drop the whole NULL
+    # slice — even at alpha=1 where the contract keeps everything. The
+    # count and the join key on (coalesced value, is-null flag), which
+    # is collision-free (a sentinel string could collide with a real
+    # group value and merge two strata)
+    gkey = F.coalesce(F.col(group_col).cast("string"), F.lit(""))
+    gnull = F.col(group_col).isNull()
+    counts = (df.groupBy(gkey.alias("__gk"), gnull.alias("__gnull"))
               .agg(F.count(F.lit(1)).alias("__n")))
     # n_min via a global window OVER THE COUNTS TABLE (group-cardinality
     # rows, so the single-partition move is trivial) — a separate
     # counts.agg() would re-execute the groupBy and scan the corpus a
     # second time
     nmin = F.min("__n").over(Window.partitionBy())
-    rates = counts.select("__gk",
+    rates = counts.select("__gk", "__gnull",
                           F.round(F.pow(F.col("__n") / nmin,
                                         F.lit(alpha - 1.0)) * denom)
                           .cast("long").alias("__thresh"))
     gate = F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(denom))
-    return (df.withColumn("__gk", gkey)
-            .join(F.broadcast(rates), "__gk")
+    return (df.withColumn("__gk", gkey).withColumn("__gnull", gnull)
+            .join(F.broadcast(rates), ["__gk", "__gnull"])
             .where(gate < F.col("__thresh"))
-            .drop("__thresh", "__gk"))
+            .drop("__thresh", "__gk", "__gnull"))
 
 
 def _hashed_buckets(df: DataFrame, text_col: str, id_col: str,
@@ -282,13 +290,8 @@ def write_training_shards(df: DataFrame, path: str, n_shards: int = 32,
     ``sortWithinPartitions`` keeps the write order without a global
     exchange. Readers recover the exact order with
     ``spark.read...orderBy(shard, pos)``."""
-    from pyspark.sql.window import Window
-    h = F.xxhash64(F.col(id_col).cast("string"))
-    w = Window.partitionBy("shard").orderBy(F.col("__h"), F.col(id_col))
-    out = (df.withColumn("shard",
-                         F.pmod(h, F.lit(n_shards)).cast("long"))
-           .withColumn("__h", h)
-           .repartition(n_shards, F.col("shard"))
+    base, w = _shard_layout(df, n_shards, id_col)
+    out = (base.repartition(n_shards, F.col("shard"))
            .withColumn("pos", F.row_number().over(w).cast("long"))
            .drop("__h")
            .sortWithinPartitions("shard", "pos"))

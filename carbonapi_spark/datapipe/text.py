@@ -590,18 +590,23 @@ def ngram_novelty(df: DataFrame, ngram: int = 3, text_col: str = "text",
     (the ``remove_duplicate_spans`` collision treatment — gram strings
     never shuffle), then a per-doc aggregation. All three keyed hash
     aggs, map-side combined."""
+    from carbonapi_spark import scratch
     from carbonapi_spark.datapipe import spread
     from carbonapi_spark.datapipe.dedup import shingles
     df = spread(df, min_bytes=256 << 10)
-    g = (df.select(F.col(id_col),
-                   F.explode_outer(shingles(F.col(text_col), ngram))
-                   .alias("__g"))
-         .select(id_col,
-                 F.when(F.col("__g").isNotNull(),
-                        F.xxhash64("__g")).alias("__h"),
-                 F.when(F.col("__g").isNotNull(),
-                        F.xxhash64(F.lit(0x9E3779B9), F.col("__g")))
-                 .alias("__h2")))
+    # g feeds the corpus-wide gram count AND the join back — persist the
+    # hashed rows (24 bytes each, spill-friendly) so the CPU-heavy
+    # n-gram HOF explode runs once, not twice
+    g = scratch.track(
+        df.select(F.col(id_col),
+                  F.explode_outer(shingles(F.col(text_col), ngram))
+                  .alias("__g"))
+        .select(id_col,
+                F.when(F.col("__g").isNotNull(),
+                       F.xxhash64("__g")).alias("__h"),
+                F.when(F.col("__g").isNotNull(),
+                       F.xxhash64(F.lit(0x9E3779B9), F.col("__g")))
+                .alias("__h2")))
     docs_per_gram = (g.where(F.col("__h").isNotNull())
                      .groupBy("__h", "__h2")
                      .agg(F.count(F.lit(1)).alias("__nd")))

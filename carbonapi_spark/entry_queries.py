@@ -1936,11 +1936,19 @@ def _q_temperature_mix(spark, sf_dir):
 
 def _temperature_mix_oracle(alpha: float = 0.3,
                             denom: int = 1_000_000) -> str:
+    """Mirrors the implementation's NULL-group handling: the rates join
+    keys on (coalesced value, is-null flag) so an unclassified (NULL
+    lang) stratum is counted, rated, and KEPT like any other group — a
+    plain USING (lang) equi-join would silently drop it (latent at
+    sf0.01, which has no NULL langs, but the oracle must encode the
+    contract)."""
     from carbonapi_spark.oracle_xxh64 import xxh64_ctes
     return f"""
-WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+WITH c AS (SELECT coalesce(lang, '') AS gk, lang IS NULL AS gnull,
+                  count(*) AS n
+           FROM documents GROUP BY 1, 2),
 m AS (SELECT min(n) AS nmin FROM c),
-r AS (SELECT lang,
+r AS (SELECT gk, gnull,
              CAST(round(pow(n / CAST(nmin AS DOUBLE), {alpha - 1.0})
                         * {denom}) AS BIGINT) AS thresh
       FROM c CROSS JOIN m),
@@ -1950,7 +1958,8 @@ g AS (SELECT CAST(t AS BIGINT) AS doc_id,
              ((h64 % {denom}) + {denom}) % {denom} AS gate
       FROM __ih)
 SELECT d.* FROM documents d
-JOIN r USING (lang) JOIN g USING (doc_id)
+JOIN r ON coalesce(d.lang, '') = r.gk AND (d.lang IS NULL) = r.gnull
+JOIN g USING (doc_id)
 WHERE gate < thresh
 """.strip()
 
