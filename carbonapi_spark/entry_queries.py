@@ -2053,11 +2053,13 @@ _register("hashed_vectors", _q_hashed_vectors, _hashed_vectors_oracle())
 def _q_gopher_rules(spark, sf_dir):
     """Full Gopher Table-A1 document rule set (word/char stats, symbol
     and bullet/ellipsis line fractions, alphabetic-word fraction,
-    stop-word presence) as one codegen'd projection; min_words lowered
-    to 10 for the ~40-word synthetic docs."""
+    stop-word presence) as one codegen'd projection; min_words and
+    min_stop_hits lowered (10 / 1) for the ~40-word multilingual
+    synthetic docs so the keep flags actually split (382/118 at
+    sf0.01 — the default min_stop_hits=2 fails every synthetic doc)."""
     from carbonapi_spark.datapipe.text import gopher_rules
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return gopher_rules(docs, min_words=10)
+    return gopher_rules(docs, min_words=10, min_stop_hits=1)
 
 
 _register("gopher_rules", _q_gopher_rules, r"""
@@ -2116,7 +2118,7 @@ SELECT doc_id,
                     regexp_matches(w, '[a-zA-Z]'))) AS DOUBLE)
                     / n_words, 6) END) >= 0.8
            AND len(list_intersect(list_distinct(toks),
-               ['the','be','to','of','and','that','have','with'])) >= 2,
+               ['the','be','to','of','and','that','have','with'])) >= 1,
            false) AS keep
 FROM m
 """.strip())
