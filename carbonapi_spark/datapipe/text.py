@@ -621,3 +621,31 @@ def ngram_novelty(df: DataFrame, ngram: int = 3, text_col: str = "text",
                             F.lit(0.0)).alias("novel_frac"))
             .select(id_col, F.col("n_grams").cast("long").alias("n_grams"),
                     "novel_frac"))
+
+
+def char_entropy(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Character-level Shannon entropy per document (bits): very low
+    entropy flags repeated/boilerplate text, very high flags
+    random/encoded garbage — the cheap distributional quality signal
+    complementing the rule-based filters. Uses the closed form
+    H = log2(n) - sum(c_i * log2(c_i)) / n over character counts.
+
+    Shape: char explode -> (id, char) count agg -> per-doc agg — two
+    keyed hash aggregations, map-side combined (distinct chars per doc
+    bound the second input). Empty docs score 0.0."""
+    chars = F.filter(F.split(F.col(text_col), ""), lambda c: c != "")
+    ch = df.select(F.col(id_col), F.explode_outer(chars).alias("__c"))
+    per_char = (ch.groupBy(id_col, "__c")
+                .agg(F.count(F.lit(1)).alias("__cnt")))
+    nn = F.when(F.col("__c").isNotNull(), F.col("__cnt"))
+    per_doc = (per_char.groupBy(id_col)
+               .agg(F.sum(nn).alias("__n"),
+                    F.sum(nn * F.log2("__cnt")).alias("__slog")))
+    return per_doc.select(
+        id_col,
+        F.coalesce(
+            F.round(F.when(F.col("__n") > 0,
+                           F.log2("__n") - F.col("__slog") / F.col("__n")),
+                    6),
+            F.lit(0.0)).alias("entropy"))

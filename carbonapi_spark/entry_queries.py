@@ -1967,6 +1967,30 @@ WHERE gate < thresh
 _register("temperature_mix", _q_temperature_mix, _temperature_mix_oracle())
 
 
+def _q_char_entropy(spark, sf_dir):
+    """Character-level Shannon entropy per doc — the cheap
+    distributional quality signal (low = repeated/boilerplate, very
+    high = random/encoded garbage)."""
+    from carbonapi_spark.datapipe.text import char_entropy
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return char_entropy(docs)
+
+
+_register("char_entropy", _q_char_entropy, """
+WITH ch AS (SELECT doc_id,
+                   unnest(list_filter(string_split(text, ''),
+                                      c -> c != '')) AS c
+            FROM documents),
+pc AS (SELECT doc_id, c, count(*) AS cnt FROM ch GROUP BY doc_id, c),
+pd AS (SELECT doc_id, sum(cnt) AS n,
+              sum(cnt * log2(cnt)) AS slog
+       FROM pc GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(round(log2(n) - slog / n, 6), 0.0) AS entropy
+FROM documents d LEFT JOIN pd USING (doc_id)
+""".strip())
+
+
 def _q_ngram_novelty(spark, sf_dir):
     """Cross-doc n-gram novelty (memorization-risk diagnostic): fraction
     of each doc's distinct 2-grams appearing in no other doc."""
@@ -2713,6 +2737,7 @@ _DRIVER_PREFIX = [
     "corpus_stats",       # per-(source,lang) curation report
     "minhash_estimate",   # Broder signature-agreement Jaccard estimate
     "ngram_novelty",      # cross-doc n-gram novelty (memorization risk)
+    "char_entropy",       # character-level Shannon entropy quality signal
     # plan changed in round 6 — re-verify
     "minhash_dedup",      # spread() now size-gated (the r5 bench regression)
     "substr_dedup",       # 128-bit gram keys + spread gate

@@ -1410,3 +1410,21 @@ def test_ngram_novelty_shared_vs_unique(spark):
     assert out[3]["novel_frac"] == 1.0
     assert out[4]["n_grams"] == 4 and out[4]["novel_frac"] == 0.75
     assert out[5]["n_grams"] == 0 and out[5]["novel_frac"] == 0.0
+
+
+def test_char_entropy_known_values(spark):
+    """Entropy pins: single repeated char = 0 bits, 'ab' = 1 bit,
+    'abcd' = 2 bits, empty doc = 0."""
+    import math
+
+    from carbonapi_spark.datapipe.text import char_entropy
+    docs = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab"), (3, "abcd"), (4, ""),
+         (5, "aab")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["entropy"]
+           for r in char_entropy(docs).collect()}
+    assert out[1] == 0.0 and out[4] == 0.0
+    assert out[2] == 1.0 and out[3] == 2.0
+    want = -(2 / 3) * math.log2(2 / 3) - (1 / 3) * math.log2(1 / 3)
+    assert out[5] == round(want, 6)
