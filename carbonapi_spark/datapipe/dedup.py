@@ -33,6 +33,34 @@ def exact_dedup(df: DataFrame, key_col: str = "text",
             .select("keeper_id", "n_copies"))
 
 
+def normalize_text(text: Column) -> Column:
+    """Dedup-normalized text: lowercase, strip non-alphanumerics (keeping
+    spaces), collapse whitespace runs, trim.  The standard "exact dedup
+    after normalization" key (RefinedWeb Falcon pipeline, Penedo et al.
+    2023 §3.4 describe dropping exact duplicates after similar
+    lowercase/punctuation normalization): catches re-encodings,
+    punctuation variants and whitespace reflows that byte-exact dedup
+    misses, without any near-dup machinery."""
+    cleaned = F.regexp_replace(F.lower(text), "[^a-z0-9\\s]", "")
+    return F.trim(F.regexp_replace(cleaned, "\\s+", " "))
+
+
+def normalized_dedup(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """``exact_dedup`` on the normalized key: one row per distinct
+    normalized content with the min-id keeper and the copy count.  The
+    normalization is a stateless codegen'd projection, so the physical
+    plan is identical to exact dedup — one hash aggregation keyed on the
+    (normalized) text, map-side combined.  At 100 TB the shuffle carries
+    the normalized text exactly like ``exact_dedup`` carries the raw
+    text; swap the key for a 128-bit hash pair (as
+    ``remove_duplicate_spans`` does) if the value bytes ever dominate."""
+    return exact_dedup(df.select(F.col(id_col),
+                                 normalize_text(F.col(text_col))
+                                 .alias("__norm")),
+                       key_col="__norm", id_col=id_col)
+
+
 def shingles(text: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles of the lowercased token stream.
 
@@ -156,7 +184,8 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id", num_hashes: int = 16,
                            bands: int = 4, ngram: int = 3,
                            seed: int = 42,
-                           max_bucket: int = 2000) -> DataFrame:
+                           max_bucket: int = 2000,
+                           sigs: DataFrame | None = None) -> DataFrame:
     """Candidate near-duplicate pairs via banded LSH: docs sharing any band
     signature. Returns (id_a, id_b) with id_a < id_b, distinct.
 
@@ -166,9 +195,14 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
     Buckets larger than ``max_bucket`` are truncated (sorted, so the kept
     prefix is deterministic): a bucket of s docs emits s^2/2 pairs, and an
     adversarial all-identical corpus would otherwise OOM a single task;
-    truncated duplicates still pair with the bucket's retained members."""
+    truncated duplicates still pair with the bucket's retained members.
+
+    Pass a precomputed (and ideally persisted) ``sigs`` table — the
+    ``minhash_signatures_df`` output — to share one signature pipeline
+    across candidates + downstream estimation/verification stages."""
     rows = num_hashes // bands
-    sig = minhash_signatures_df(df, text_col, id_col, num_hashes, ngram, seed)
+    sig = sigs if sigs is not None else minhash_signatures_df(
+        df, text_col, id_col, num_hashes, ngram, seed)
     banded = sig.selectExpr(
         "__id",
         f"""explode(transform(sequence(0, {bands - 1}),
@@ -225,7 +259,8 @@ def jaccard_verify(df: DataFrame, pairs: DataFrame, text_col: str = "text",
 def minhash_estimate(df: DataFrame, pairs: DataFrame,
                      text_col: str = "text", id_col: str = "doc_id",
                      num_hashes: int = 16, ngram: int = 3,
-                     seed: int = 42) -> DataFrame:
+                     seed: int = 42,
+                     sigs: DataFrame | None = None) -> DataFrame:
     """Estimated Jaccard for candidate pairs from MinHash signature
     agreement: est = (#agreeing components) / K, an unbiased estimator
     of the true Jaccard (Broder, "On the resemblance and containment of
@@ -237,15 +272,26 @@ def minhash_estimate(df: DataFrame, pairs: DataFrame,
 
     Same semi-join economy as ``jaccard_verify``: signatures are
     computed only for docs appearing in a pair. Returns
-    (id_a, id_b, est_jaccard)."""
+    (id_a, id_b, est_jaccard).
+
+    When the candidates were just generated from the same corpus (the
+    common composition), pass the persisted signature table as ``sigs``
+    — the whole point of estimating from signatures is that they already
+    exist; recomputing them (one full explode + K-min aggregation over
+    the pair docs) would double the heaviest stage of the pipeline."""
     from carbonapi_spark import scratch
     pairs = scratch.track(pairs)
-    ids = (pairs.select(F.explode(F.array("id_a", "id_b")).alias(id_col))
-           .distinct())
-    # signatures feed both join sides — persist the pair-doc-scoped table
-    sig = scratch.track(
-        minhash_signatures_df(df.join(ids, id_col, "left_semi"),
-                              text_col, id_col, num_hashes, ngram, seed))
+    if sigs is not None:
+        sig = sigs
+    else:
+        ids = (pairs.select(F.explode(F.array("id_a", "id_b"))
+                    .alias(id_col)).distinct())
+        # signatures feed both join sides — persist the pair-doc-scoped
+        # table
+        sig = scratch.track(
+            minhash_signatures_df(df.join(ids, id_col, "left_semi"),
+                                  text_col, id_col, num_hashes, ngram,
+                                  seed))
     a = sig.withColumnRenamed("__id", "id_a").withColumnRenamed("__sig",
                                                                 "__sa")
     b = sig.withColumnRenamed("__id", "id_b").withColumnRenamed("__sig",

@@ -1,0 +1,121 @@
+"""Sketch-accelerated corpus statistics.
+
+Count-min sketch (Cormode & Muthukrishnan 2005) as a SHUFFLE PRUNER for
+heavy-hitter term counting: the classic two-pass distributed heavy-hitters
+recipe where pass 1 builds a fixed-size (d x w) counter table and pass 2
+exact-counts only the terms the sketch cannot rule out.  Because CMS only
+ever OVER-estimates (every counter a term hashes to includes all of its own
+occurrences), filtering the token stream on ``min_over_depths(counter) >=
+threshold`` has NO false negatives — so the final exact count + HAVING
+filter returns EXACTLY the true heavy-hitter set, and the DuckDB oracle is
+plain exact SQL with no sketch replay needed.
+
+Why this matters at 100 TB: a naive ``groupBy(term)`` shuffles the entire
+token stream (every occurrence of every term).  Here pass 1 reduces to
+d*w counters via map-side combine (the shuffle is at most d*w rows per
+partition, regardless of corpus size), and pass 2's shuffle carries only
+occurrences of candidate heavy terms — for skewed natural-language
+distributions that is a tiny fraction of the stream.  The sketch itself is
+broadcast (d tables of w rows), so the candidate filter runs map-side
+inside codegen.
+
+No counterpart in the reference engine (go-graphite/carbonapi is a metrics
+engine); this is corpus-pipeline surface, same family as ``text.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from carbonapi_spark.datapipe.text import tokens
+
+
+def _token_stream(df: DataFrame, text_col: str) -> DataFrame:
+    """One lowercased token per row (empty docs contribute nothing)."""
+    return df.select(
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"))
+
+
+def _bucket(term: Column, depth: int, w: int) -> Column:
+    """Depth-salted xxhash64 bucket in [0, w)."""
+    return F.pmod(F.xxhash64(F.concat(F.lit(f"__cms{depth}:"), term)),
+                  F.lit(w)).cast("int")
+
+
+def cms_counters(df: DataFrame, text_col: str = "text",
+                 w: int = 2048, d: int = 4) -> DataFrame:
+    """The (depth, bucket, cnt) count-min table over the token stream.
+
+    One pass: each token row emits d (depth, bucket) pairs via
+    ``posexplode`` of a d-long bucket array, then ONE hash aggregation
+    with map-side combine — per-partition state is bounded by d*w
+    counters, so the shuffle is sketch-sized at any corpus size."""
+    tok = _token_stream(df, text_col)
+    return (tok.select(F.posexplode(F.array(
+                *[_bucket(F.col("term"), i, w) for i in range(d)]))
+                .alias("depth", "bucket"))
+            .groupBy("depth", "bucket")
+            .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def heavy_hitters(df: DataFrame, threshold: int, text_col: str = "text",
+                  w: int = 2048, d: int = 4) -> DataFrame:
+    """EXACT heavy-hitter terms (total count >= ``threshold``), found with
+    a CMS-pruned shuffle.  Returns (term, cnt), exact counts.
+
+    Pass 1 builds the sketch (``cms_counters``) and materializes it to
+    the driver — the ONLY collect, bounded at d*w rows by construction,
+    the textbook two-pass sketch lifecycle.  Pass 2 re-reads the token
+    stream, broadcast-joins each depth's w-row counter slice (a
+    LocalTableScan — the sketch-build pipeline runs exactly once, not
+    once per depth), and drops every occurrence whose CMS estimate
+    ``least(c_0..c_{d-1})`` is below threshold BEFORE the groupBy — the
+    only occurrences that shuffle are candidate heavy terms.  CMS
+    over-estimation means zero false negatives, so after the exact
+    HAVING the result is identical to the full exact aggregation (which
+    is the oracle)."""
+    spark = df.sparkSession
+    cms_rows = cms_counters(df, text_col, w, d).collect()
+    by_depth: dict[int, list[tuple[int, int]]] = {i: [] for i in range(d)}
+    for r in cms_rows:
+        by_depth[r["depth"]].append((r["bucket"], r["cnt"]))
+    tok = _token_stream(df, text_col)
+    est_cols = []
+    for i in range(d):
+        side = spark.createDataFrame(
+            by_depth[i] or [(-1, 0)],
+            f"__b{i} int, __c{i} long")
+        tok = tok.withColumn(f"__b{i}", _bucket(F.col("term"), i, w)) \
+                 .join(F.broadcast(side), f"__b{i}")
+        est_cols.append(F.col(f"__c{i}"))
+    cand = tok.where(F.least(*est_cols) >= F.lit(threshold))
+    return (cand.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+            .where(F.col("cnt") >= F.lit(threshold))
+            .select("term", "cnt"))
+
+
+def oov_rate(df: DataFrame, vocab_size: int = 1000,
+             text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document out-of-vocabulary rate against the corpus's own
+    top-``vocab_size`` terms — the tokenizer-coverage diagnostic run
+    before committing a vocab (docs full of OOV tokens blow up the
+    fertility of any subword tokenizer trained on the head).
+
+    The vocab is the top-V terms by total count with a deterministic
+    (count DESC, term ASC) tie-break — a TakeOrdered top-V, no global
+    sort shuffle — then broadcast as a left-join flag over the token
+    stream; the per-doc rate is one keyed aggregation.  Docs with no
+    tokens yield no row (nothing to rate).  Returns
+    (doc_id, n_tokens, oov_rate) with the rate rounded to 6 places."""
+    tok = df.select(F.col(id_col),
+                    F.explode(tokens(F.lower(F.col(text_col))))
+                    .alias("term"))
+    vocab = (tok.groupBy("term").agg(F.count(F.lit(1)).alias("__cnt"))
+             .orderBy(F.desc("__cnt"), F.asc("term")).limit(vocab_size)
+             .select("term", F.lit(1).alias("__in_vocab")))
+    flagged = tok.join(F.broadcast(vocab), "term", "left")
+    return (flagged.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.round(F.avg(F.when(F.col("__in_vocab").isNull(), 1.0)
+                               .otherwise(0.0)), 6).alias("oov_rate")))

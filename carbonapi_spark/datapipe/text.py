@@ -251,6 +251,81 @@ def perplexity_buckets(df: DataFrame, text_col: str = "text",
     return scored.withColumn("bucket", F.ntile(buckets).over(w))
 
 
+def bigram_perplexity_buckets(df: DataFrame, text_col: str = "text",
+                              id_col: str = "doc_id", alpha: float = 0.5,
+                              lam: float = 0.75, buckets: int = 3,
+                              thresholds: list[float] | None = None
+                              ) -> DataFrame:
+    """``perplexity_buckets`` with an interpolated BIGRAM model — one
+    n-gram order up the ladder toward CCNet's KenLM (a 5-gram model;
+    Wenzek et al. 2020).  Per bigram position the mixture probability is
+
+        lam * p(w2 | w1) + (1 - lam) * p(w2)
+
+    with add-``alpha`` smoothing on both components (Jelinek-Mercer
+    interpolation — the fixed-weight special case of Chen & Goodman
+    1998's smoothing survey), and the doc score is the negative mean log
+    mixture over its bigram positions.  Docs with fewer than two tokens
+    have no bigrams to score and land past the corpus-worst entropy,
+    like empty docs in ``perplexity_buckets``.
+
+    Physical shape: the bigram stream is ONE explode of the zip_with
+    gram array; c(w1,w2) is one map-side-combined hash agg of that
+    stream, and c(w1.) is derived from the (bigram-type-sized) count
+    table, NOT a second corpus pass.  Scoring joins the count tables
+    back against the stream.  They are broadcast here — right for any
+    corpus whose bigram TYPE count fits an executor (tens of millions);
+    at the 100 TB point where the model side outgrows broadcast, drop
+    the hint and let the scoring join shuffle on the gram key — or swap
+    in a real KenLM as a mapPartitions scorer with a distributed model
+    file, which is exactly CCNet's own layout.  Returns
+    (doc_id, cross_entropy, bucket); bucket semantics (exact ``ntile``
+    vs map-side ``thresholds=``) match ``perplexity_buckets``."""
+    from pyspark.sql.window import Window
+
+    from carbonapi_spark.datapipe import spread
+    df = spread(df)
+    bi = (df.select(F.col(id_col),
+                    F.explode(word_ngrams(F.col(text_col), 2)).alias("g"))
+          .select(id_col, "g",
+                  F.substring_index("g", " ", 1).alias("__w1"),
+                  F.substring_index("g", " ", -1).alias("__w2")))
+    cnt_bi = bi.groupBy("g").agg(F.count(F.lit(1)).alias("__nb"))
+    cnt_w1 = (cnt_bi.groupBy(F.substring_index("g", " ", 1).alias("__w1"))
+              .agg(F.sum("__nb").alias("__nw")))
+    tf = (df.select(F.explode(tokens(F.lower(F.col(text_col))))
+                    .alias("__w2"))
+          .groupBy("__w2").agg(F.count(F.lit(1)).alias("__n")))
+    tot = tf.agg(F.sum("__n").alias("__total"),
+                 F.count(F.lit(1)).alias("__vocab"))
+    p_bi = ((F.coalesce("__nb", F.lit(0)) + F.lit(alpha))
+            / (F.coalesce("__nw", F.lit(0)) + F.lit(alpha) * F.col("__vocab")))
+    p_uni = ((F.coalesce("__n", F.lit(0)) + F.lit(alpha))
+             / (F.col("__total") + F.lit(alpha) * F.col("__vocab")))
+    scored = (bi.join(F.broadcast(cnt_bi), "g", "left")
+              .join(F.broadcast(cnt_w1), "__w1", "left")
+              .join(F.broadcast(tf), "__w2", "left")
+              .crossJoin(F.broadcast(tot))
+              .groupBy(id_col)
+              .agg((-F.avg(F.log(F.lit(lam) * p_bi
+                                 + F.lit(1.0 - lam) * p_uni)))
+                   .alias("__h")))
+    worst = scored.agg(F.max("__h").alias("__worst"))
+    scored = (df.select(id_col).join(scored, id_col, "left")
+              .crossJoin(F.broadcast(worst))
+              .select(id_col,
+                      F.round(F.coalesce("__h",
+                                         F.col("__worst") + 1, F.lit(0.0)),
+                              6).alias("cross_entropy")))
+    if thresholds is not None:
+        b = F.lit(1)
+        for t in thresholds:
+            b = b + (F.col("cross_entropy") > F.lit(float(t))).cast("int")
+        return scored.withColumn("bucket", b)
+    w = Window.orderBy(F.asc("cross_entropy"), F.asc(id_col))
+    return scored.withColumn("bucket", F.ntile(buckets).over(w))
+
+
 PII_PATTERNS: list[tuple[str, str]] = [
     # (regex, replacement token) — the C4/CCNet-style scrub set; order is
     # applied top-down so emails win over bare domains etc.

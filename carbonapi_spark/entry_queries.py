@@ -528,12 +528,20 @@ WHERE id_a % 5 = 4 OR id_b % 5 = 4
 def _q_minhash_estimate(spark, sf_dir):
     """Signature-agreement Jaccard estimation (Broder 1997) over the LSH
     candidates: rank near-dups from K component comparisons per pair
-    instead of exact shingle-set intersection."""
+    instead of exact shingle-set intersection.  The signature table is
+    computed ONCE (persisted via the request-scoped scratch registry)
+    and shared by the banding stage and the estimation joins — without
+    ``sigs=`` the composition would run the explode + 16-min-agg
+    pipeline twice."""
+    from carbonapi_spark import scratch
     from carbonapi_spark.datapipe.dedup import (minhash_estimate,
-                                                minhash_lsh_candidates)
+                                                minhash_lsh_candidates,
+                                                minhash_signatures_df)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    pairs = minhash_lsh_candidates(docs, num_hashes=16, bands=4, ngram=2)
-    return minhash_estimate(docs, pairs, num_hashes=16, ngram=2)
+    sig = scratch.track(minhash_signatures_df(docs, num_hashes=16, ngram=2))
+    pairs = minhash_lsh_candidates(docs, num_hashes=16, bands=4, ngram=2,
+                                   sigs=sig)
+    return minhash_estimate(docs, pairs, num_hashes=16, ngram=2, sigs=sig)
 
 
 _register("minhash_estimate", _q_minhash_estimate, f"""
@@ -2017,6 +2025,66 @@ FROM __sh s
 """.strip())
 
 
+def _q_heavy_hitters(spark, sf_dir):
+    """Exact heavy-hitter terms via the count-min-pruned two-pass recipe:
+    the sketch (fixed d x w state, map-side combined) rules terms out
+    before the shuffle; CMS never under-counts, so the exact HAVING on
+    the surviving occurrences returns exactly the true >= 500 set — the
+    oracle is plain exact SQL, no sketch replay needed."""
+    from carbonapi_spark.datapipe.sketch import heavy_hitters
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return heavy_hitters(docs, threshold=500)
+
+
+_register("heavy_hitters", _q_heavy_hitters, f"""
+SELECT term, CAST(count(*) AS BIGINT) AS cnt
+FROM (SELECT unnest({_TOKS_SQL}) AS term FROM documents)
+GROUP BY term HAVING count(*) >= 500
+""".strip())
+
+
+def _q_oov_rate(spark, sf_dir):
+    """Per-doc out-of-vocabulary rate against the corpus's own top-20
+    terms (deterministic count-desc/term-asc tie-break) — the tokenizer
+    coverage diagnostic."""
+    from carbonapi_spark.datapipe.sketch import oov_rate
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return oov_rate(docs, vocab_size=20)
+
+
+_register("oov_rate", _q_oov_rate, f"""
+WITH __tok AS (SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents),
+__v AS (SELECT term FROM (SELECT term,
+                                 row_number() OVER (ORDER BY count(*) DESC,
+                                                    term ASC) AS rn
+                          FROM __tok GROUP BY term) WHERE rn <= 20)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       round(avg(CASE WHEN term IN (SELECT term FROM __v)
+                      THEN 0.0 ELSE 1.0 END), 6) AS oov_rate
+FROM __tok GROUP BY doc_id
+""".strip())
+
+
+def _q_norm_dedup(spark, sf_dir):
+    """Exact dedup on normalization-canonicalized text (lowercase, strip
+    punctuation, collapse whitespace) — the RefinedWeb-style exact-dup
+    pass that catches re-encodings byte-exact dedup misses."""
+    from carbonapi_spark.datapipe.dedup import normalized_dedup
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return normalized_dedup(docs)
+
+
+_register("norm_dedup", _q_norm_dedup, r"""
+SELECT min(doc_id) AS keeper_id, CAST(count(*) AS BIGINT) AS n_copies
+FROM (SELECT doc_id,
+             trim(regexp_replace(regexp_replace(lower(text),
+                                                '[^a-z0-9\s]', '', 'g'),
+                                 '\s+', ' ', 'g')) AS __norm
+      FROM documents)
+GROUP BY __norm
+""".strip())
+
+
 def _q_corpus_stats(spark, sf_dir):
     """Curation report: per-(source, lang) doc counts, token totals, and
     char stats incl. exact interpolated median — one hash agg."""
@@ -2714,6 +2782,52 @@ FROM __all
 """.strip())
 
 
+def _q_bigram_ppl(spark, sf_dir):
+    """Interpolated-bigram cross-entropy buckets — one n-gram order up
+    from `ppl_buckets` toward CCNet's KenLM (Jelinek-Mercer mix of
+    add-alpha bigram and unigram components, lam=0.75 so both mixture
+    weights are exactly representable in binary for the oracle)."""
+    from carbonapi_spark.datapipe.text import bigram_perplexity_buckets
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bigram_perplexity_buckets(docs, buckets=3)
+
+
+_register("bigram_ppl", _q_bigram_ppl, r"""
+WITH __d AS (SELECT doc_id,
+                    list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                x -> x != '') AS toks
+             FROM documents),
+__bi AS (SELECT doc_id,
+                unnest(list_transform(range(greatest(len(toks) - 1, 0)),
+                                      j -> toks[j + 1] || ' ' || toks[j + 2]))
+                AS g
+         FROM __d),
+__cb AS (SELECT g, count(*) AS nb FROM __bi GROUP BY g),
+__cw AS (SELECT split_part(g, ' ', 1) AS w1, sum(nb) AS nw
+         FROM __cb GROUP BY 1),
+__tf AS (SELECT t AS term, count(*) AS n
+         FROM (SELECT unnest(toks) AS t FROM __d) GROUP BY t),
+__tot AS (SELECT sum(n) AS total, count(*) AS vocab FROM __tf),
+__sc AS (SELECT doc_id,
+                -avg(ln(0.75 * ((nb + 0.5) / (nw + 0.5 * vocab))
+                        + 0.25 * ((n + 0.5) / (total + 0.5 * vocab)))) AS h
+         FROM __bi b
+         JOIN __cb USING (g)
+         JOIN __cw ON split_part(b.g, ' ', 1) = w1
+         JOIN __tf ON split_part(b.g, ' ', 2) = term
+         CROSS JOIN __tot
+         GROUP BY doc_id),
+__all AS (SELECT d.doc_id,
+                 round(coalesce(h, (SELECT max(h) + 1 FROM __sc), 0.0), 6)
+                 AS cross_entropy
+          FROM documents d LEFT JOIN __sc USING (doc_id))
+SELECT doc_id, cross_entropy,
+       CAST(ntile(3) OVER (ORDER BY cross_entropy, doc_id) AS INTEGER)
+       AS bucket
+FROM __all
+""".strip())
+
+
 # ---------------------------------------------------------------------------
 # Driver-visibility ordering. The correctness driver checks at most the first
 # 50 catalog entries per round.  Rotation policy: the prefix lists ONLY the
@@ -2738,6 +2852,10 @@ _DRIVER_PREFIX = [
     "minhash_estimate",   # Broder signature-agreement Jaccard estimate
     "ngram_novelty",      # cross-doc n-gram novelty (memorization risk)
     "char_entropy",       # character-level Shannon entropy quality signal
+    "heavy_hitters",      # CMS-pruned exact heavy-hitter terms
+    "oov_rate",           # per-doc OOV rate vs corpus top-V vocab
+    "norm_dedup",         # exact dedup on normalized text (RefinedWeb)
+    "bigram_ppl",         # interpolated-bigram CCNet buckets
     # plan changed in round 6 — re-verify
     "minhash_dedup",      # spread() now size-gated (the r5 bench regression)
     "substr_dedup",       # 128-bit gram keys + spread gate
@@ -2750,7 +2868,10 @@ _DRIVER_PREFIX = [
     "tfidf_top",          # N from broadcast 1-row agg, no separate count job
     # the 25 queries the round-5 50-row cap rolled over (last driver rows
     # predate the round-3 testdata dtype change; local-oracle green in
-    # every session since)
+    # every session since).  NOTE: the prefix is now 52 long, so the last
+    # two entries (scale_to_seconds, substr_name) roll past the 50-row cap
+    # to next round — deliberate: fresh rows for the new ops outrank two
+    # more stale-but-local-green rows.
     "changed", "is_non_null", "min_max", "logarithm",
     "remove_below_percentile", "average_outside_percentile", "filter_series",
     "sort_by_name_rev", "interpolate_all", "group_union",

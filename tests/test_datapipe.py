@@ -1428,3 +1428,131 @@ def test_char_entropy_known_values(spark):
     assert out[2] == 1.0 and out[3] == 2.0
     want = -(2 / 3) * math.log2(2 / 3) - (1 / 3) * math.log2(1 / 3)
     assert out[5] == round(want, 6)
+
+
+def test_heavy_hitters_exact_vs_groupby(spark, docs):
+    """CMS pruning must be output-invisible: result == plain exact
+    aggregation with HAVING, even with a tiny sketch (w=4 forces heavy
+    bucket collisions -> pure over-estimation, never false negatives)."""
+    from carbonapi_spark.datapipe.sketch import heavy_hitters
+    from carbonapi_spark.datapipe.text import tokens
+
+    exact = {(r["term"], r["cnt"]) for r in
+             docs.select(F.explode(tokens(F.lower(F.col("text"))))
+                         .alias("term"))
+             .groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+             .where(F.col("cnt") >= 2).collect()}
+    for w in (4, 2048):
+        got = {(r["term"], r["cnt"])
+               for r in heavy_hitters(docs, threshold=2, w=w).collect()}
+        assert got == exact, w
+    # 'the' appears 2x in each of docs 0/1 and 2 -> 5 total
+    assert ("the", 5) in exact
+
+
+def test_oov_rate_known_values(spark):
+    from carbonapi_spark.datapipe.sketch import oov_rate
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "a b c d"), (3, "x y"), (4, "")],
+        "doc_id long, text string")
+    # vocab_size=2 -> vocab = {a (4x), b (2x)} (count desc, term asc)
+    out = {r["doc_id"]: (r["n_tokens"], r["oov_rate"])
+           for r in oov_rate(df, vocab_size=2).collect()}
+    assert out[1] == (4, 0.0)
+    assert out[2] == (4, 0.5)
+    assert out[3] == (2, 1.0)
+    assert 4 not in out  # empty doc: nothing to rate
+
+
+def test_normalized_dedup_catches_formatting_variants(spark):
+    """Case, punctuation, and whitespace-reflow variants of the same
+    content collapse to one keeper; distinct content survives."""
+    from carbonapi_spark.datapipe.dedup import normalized_dedup
+    df = spark.createDataFrame(
+        [(10, "Hello, World!"),
+         (11, "hello   world"),
+         (12, "hello\tworld."),
+         (13, "goodbye world"),
+         (14, "hello worlds")],
+        "doc_id long, text string")
+    out = {r["keeper_id"]: r["n_copies"]
+           for r in normalized_dedup(df).collect()}
+    assert out == {10: 3, 13: 1, 14: 1}
+
+
+def test_minhash_estimate_sig_reuse_equivalence(spark, docs):
+    """minhash_estimate(sigs=precomputed) must return exactly what the
+    recompute path returns (the entry relies on this to share one
+    signature pipeline across banding + estimation)."""
+    from carbonapi_spark.datapipe.dedup import (minhash_estimate,
+                                                minhash_lsh_candidates,
+                                                minhash_signatures_df)
+    sig = minhash_signatures_df(docs, num_hashes=16, ngram=2)
+    pairs = minhash_lsh_candidates(docs, num_hashes=16, bands=4, ngram=2,
+                                   sigs=sig)
+    a = sorted(tuple(r) for r in
+               minhash_estimate(docs, pairs, num_hashes=16,
+                                ngram=2).collect())
+    b = sorted(tuple(r) for r in
+               minhash_estimate(docs, pairs, num_hashes=16, ngram=2,
+                                sigs=sig).collect())
+    assert a == b and len(a) > 0
+
+
+def test_bigram_ppl_matches_python(spark):
+    """Interpolated-bigram cross-entropy vs a pure-Python replay,
+    including the no-bigram (single-token / empty) tail rule."""
+    import math
+    from collections import Counter
+
+    from carbonapi_spark.datapipe.text import bigram_perplexity_buckets
+    texts = {1: "a b a b c", 2: "a b", 3: "c c c a", 4: "a", 5: ""}
+    df = spark.createDataFrame(sorted(texts.items()),
+                               "doc_id long, text string")
+    toks = {i: t.split() for i, t in texts.items()}
+    uni = Counter(w for ts in toks.values() for w in ts)
+    total, vocab = sum(uni.values()), len(uni)
+    bi = Counter((ts[j], ts[j + 1]) for ts in toks.values()
+                 for j in range(len(ts) - 1))
+    w1c = Counter()
+    for (w1, _), n in bi.items():
+        w1c[w1] += n
+    alpha, lam = 0.5, 0.75
+
+    def h(ts):
+        ps = [lam * (bi[(ts[j], ts[j + 1])] + alpha)
+              / (w1c[ts[j]] + alpha * vocab)
+              + (1 - lam) * (uni[ts[j + 1]] + alpha)
+              / (total + alpha * vocab)
+              for j in range(len(ts) - 1)]
+        return -sum(math.log(p) for p in ps) / len(ps)
+
+    want = {i: round(h(ts), 6) for i, ts in toks.items() if len(ts) >= 2}
+    worst = max(want.values())
+    for i, ts in toks.items():
+        if len(ts) < 2:
+            want[i] = round(worst + 1, 6)
+    got = {r["doc_id"]: r["cross_entropy"]
+           for r in bigram_perplexity_buckets(df, buckets=2).collect()}
+    assert got == want
+    # docs 4 and 5 (no bigrams) must land in the last bucket
+    b = {r["doc_id"]: r["bucket"]
+         for r in bigram_perplexity_buckets(df, buckets=2).collect()}
+    assert b[4] == 2 and b[5] == 2
+
+
+def test_bigram_ppl_thresholds_mode(spark):
+    """thresholds= replaces the global ntile sort with map-side
+    comparisons and must agree with manual bucketing."""
+    from carbonapi_spark.datapipe.text import bigram_perplexity_buckets
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "x y z w"), (3, "a b")],
+        "doc_id long, text string")
+    base = {r["doc_id"]: r["cross_entropy"]
+            for r in bigram_perplexity_buckets(df).collect()}
+    cut = sorted(base.values())[1]
+    out = {r["doc_id"]: r["bucket"]
+           for r in bigram_perplexity_buckets(
+               df, thresholds=[cut]).collect()}
+    for i, ce in base.items():
+        assert out[i] == (1 if ce <= cut else 2)

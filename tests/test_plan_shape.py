@@ -294,3 +294,47 @@ def test_dsir_selection_is_takeordered(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastExchange" in plan
+
+
+def test_heavy_hitters_cms_broadcast_prune(spark):
+    """heavy_hitters: each of the d sketch tables must broadcast into the
+    token stream (no sort-merge join — the sketch is d*w rows at ANY
+    corpus size), and the only full-data shuffles are the sketch build
+    and the final candidate count: 2 hash-partitioned exchanges total."""
+    import re as _re
+
+    from pyspark.sql import functions as F
+
+    from carbonapi_spark.datapipe.sketch import heavy_hitters
+    docs = spark.range(32).select(
+        F.col("id").alias("doc_id"),
+        F.lit("alpha beta gamma alpha").alias("text"))
+    plan = heavy_hitters(docs, threshold=3, w=64, d=4) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert len(_re.findall(r"BroadcastHashJoin", plan)) == 4
+    # sketch slices are driver-materialized local tables, NOT re-runs of
+    # the sketch-build pipeline per depth: exactly ONE token explode in
+    # the scoring plan, and the only shuffle is the candidate count
+    assert len(_re.findall(r"Generate explode", plan)) == 1
+    assert len(_re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+def test_oov_rate_vocab_broadcast_topv(spark):
+    """oov_rate: the vocab is a TakeOrdered top-V (no global sort
+    shuffle) broadcast into the token stream; full-data shuffles are the
+    term count and the per-doc aggregation only."""
+    import re as _re
+
+    from pyspark.sql import functions as F
+
+    from carbonapi_spark.datapipe.sketch import oov_rate
+    docs = spark.range(32).select(
+        F.col("id").alias("doc_id"),
+        F.lit("alpha beta gamma alpha").alias("text"))
+    plan = oov_rate(docs, vocab_size=2) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert len(_re.findall(r"Exchange hashpartitioning", plan)) <= 2

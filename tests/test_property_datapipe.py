@@ -130,3 +130,45 @@ def test_temperature_mix_matches_gate_math(spark, langs, alpha):
         if xxh64_signed(str(i)) % 1_000_000 < thresh:
             want.add(i)
     assert kept == want
+
+
+def _py_heavy(texts, threshold):
+    from collections import Counter
+    c = Counter(t for x in texts for t in _tokens(x.lower()))
+    return {(w, n) for w, n in c.items() if n >= threshold}
+
+
+@settings(max_examples=10, deadline=None)
+@given(_docs, st.integers(min_value=1, max_value=6),
+       st.sampled_from([2, 16, 2048]))
+def test_heavy_hitters_matches_python(spark, texts, threshold, w):
+    """CMS pruning is output-invisible at EVERY sketch width, including
+    w=2 where nearly everything collides (pure over-count, no false
+    negatives)."""
+    from carbonapi_spark.datapipe.sketch import heavy_hitters
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, text string")
+    got = {(r["term"], r["cnt"])
+           for r in heavy_hitters(df, threshold=threshold, w=w).collect()}
+    assert got == _py_heavy(texts, threshold)
+
+
+def _py_norm(text):
+    return re.sub(r"\s+", " ", re.sub(r"[^a-z0-9\s]", "", text.lower())).strip()
+
+
+@settings(max_examples=10, deadline=None)
+@given(_docs)
+def test_normalized_dedup_matches_python(spark, texts):
+    from collections import defaultdict
+
+    from carbonapi_spark.datapipe.dedup import normalized_dedup
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, text string")
+    groups = defaultdict(list)
+    for i, t in enumerate(texts):
+        groups[_py_norm(t)].append(i)
+    want = {(min(ids), len(ids)) for ids in groups.values()}
+    got = {(r["keeper_id"], r["n_copies"])
+           for r in normalized_dedup(df).collect()}
+    assert got == want

@@ -136,6 +136,14 @@ def main():
     from carbonapi_spark.datapipe.similarity import semantic_dedup
     case("semantic_dedup_256cells", lambda: semantic_dedup(
         vecs, dim=dim, n_centroids=256, tau=0.95).count())
+    from carbonapi_spark.datapipe.dedup import normalized_dedup
+    from carbonapi_spark.datapipe.sketch import heavy_hitters, oov_rate
+    case("norm_dedup", lambda: normalized_dedup(docs).count())
+    # threshold at ~2x the expected per-term count so the sketch actually
+    # prunes part of the vocab
+    case("heavy_hitters", lambda: heavy_hitters(
+        docs, threshold=(n_docs * 40 * 2) // len(WORDS)).count())
+    case("oov_rate_v16", lambda: oov_rate(docs, vocab_size=16).count())
     q = vecs.limit(16)
     case("lsh_ann_topk", lambda: lsh_topk(vecs, q, k=10, dim=dim).count())
 
