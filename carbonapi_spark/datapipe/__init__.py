@@ -40,3 +40,28 @@ def spread(df: DataFrame, min_bytes: int = 8 << 20) -> DataFrame:
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def track_if_large(df: DataFrame, gate_df: DataFrame,
+                   min_bytes: int = 64 << 20) -> DataFrame:
+    """Persist ``df`` through the request-scoped scratch registry ONLY
+    when ``gate_df`` (the corpus input feeding the pipeline that
+    produces ``df``) is big enough for recomputation to cost more than
+    the persist round-trip.
+
+    The dual of ``spread``'s gate: a doubly-referenced derived table is
+    cheaper to RECOMPUTE than to cache at bench scale (A/B at sf0.1,
+    same session, min-of-4: ppl_buckets 0.76 s recomputed vs 1.17 s
+    persisted — the materialization barrier serializes what lazy
+    evaluation overlaps), but at lake scale the pipeline below it is a
+    full corpus pass and recomputing doubles the dominant cost.  Unknown
+    size estimates persist — the conservative side at scale."""
+    try:
+        est = int(gate_df._jdf.queryExecution().optimizedPlan().stats()
+                  .sizeInBytes())
+        if est < min_bytes:
+            return df
+    except Exception:
+        pass  # stats unavailable — assume big, persist
+    from carbonapi_spark import scratch
+    return scratch.track(df)

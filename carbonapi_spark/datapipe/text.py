@@ -231,12 +231,20 @@ def perplexity_buckets(df: DataFrame, text_col: str = "text",
     toks = (df.select(F.col(id_col),
                       F.explode_outer(tokens(F.lower(F.col(text_col))))
                       .alias("term")))
-    scored = (toks.join(F.broadcast(lm), "term", "left")
-              .crossJoin(F.broadcast(floor))
-              .groupBy(id_col)
-              .agg((-F.avg(F.when(F.col("term").isNull(), F.lit(None))
-                           .otherwise(F.coalesce("logp", F.col("__oov")))))
-                   .alias("__h")))
+    from carbonapi_spark.datapipe import track_if_large
+    # scored feeds BOTH the corpus-worst aggregate and the final select —
+    # at lake scale persist the (one row per doc) table so the scoring
+    # pipeline (corpus explode + LM join) runs once, not twice; at bench
+    # scale recomputation is cheaper than the persist barrier (the gate's
+    # docstring has the A/B numbers)
+    scored = track_if_large(
+        toks.join(F.broadcast(lm), "term", "left")
+        .crossJoin(F.broadcast(floor))
+        .groupBy(id_col)
+        .agg((-F.avg(F.when(F.col("term").isNull(), F.lit(None))
+                     .otherwise(F.coalesce("logp", F.col("__oov")))))
+             .alias("__h")),
+        gate_df=df)
     worst = scored.agg(F.max("__h").alias("__worst"))
     scored = (scored.crossJoin(F.broadcast(worst))
               .select(id_col,
@@ -302,14 +310,19 @@ def bigram_perplexity_buckets(df: DataFrame, text_col: str = "text",
             / (F.coalesce("__nw", F.lit(0)) + F.lit(alpha) * F.col("__vocab")))
     p_uni = ((F.coalesce("__n", F.lit(0)) + F.lit(alpha))
              / (F.col("__total") + F.lit(alpha) * F.col("__vocab")))
-    scored = (bi.join(F.broadcast(cnt_bi), "g", "left")
-              .join(F.broadcast(cnt_w1), "__w1", "left")
-              .join(F.broadcast(tf), "__w2", "left")
-              .crossJoin(F.broadcast(tot))
-              .groupBy(id_col)
-              .agg((-F.avg(F.log(F.lit(lam) * p_bi
-                                 + F.lit(1.0 - lam) * p_uni)))
-                   .alias("__h")))
+    from carbonapi_spark.datapipe import track_if_large
+    # scored feeds BOTH the corpus-worst aggregate and the join-back —
+    # size-gated persist, same reasoning as perplexity_buckets
+    scored = track_if_large(
+        bi.join(F.broadcast(cnt_bi), "g", "left")
+        .join(F.broadcast(cnt_w1), "__w1", "left")
+        .join(F.broadcast(tf), "__w2", "left")
+        .crossJoin(F.broadcast(tot))
+        .groupBy(id_col)
+        .agg((-F.avg(F.log(F.lit(lam) * p_bi
+                           + F.lit(1.0 - lam) * p_uni)))
+             .alias("__h")),
+        gate_df=df)
     worst = scored.agg(F.max("__h").alias("__worst"))
     scored = (df.select(id_col).join(scored, id_col, "left")
               .crossJoin(F.broadcast(worst))
@@ -649,6 +662,42 @@ def corpus_stats(df: DataFrame, group_cols: tuple[str, ...] = ("source",
                  F.round(F.avg("__nc"), 6).alias("mean_chars"),
                  F.round(F.expr("percentile(__nc, 0.5)"), 6)
                  .alias("median_chars")))
+
+
+def source_kl_divergence(df: DataFrame, group_col: str = "source",
+                         text_col: str = "text") -> DataFrame:
+    """Per-group KL divergence of the group's token distribution from the
+    whole-corpus distribution, KL(p_group || p_corpus) — the mixture
+    drift diagnostic run before committing sampling weights: a source
+    whose unigram distribution sits far from the mixture it is being
+    blended into shifts the trained model more per token (the
+    distribution-matching argument behind DSIR / CCNet importance
+    weighting, applied at the source level).
+
+    No smoothing is needed: every group term also occurs in the corpus,
+    so p_corpus > 0 wherever p_group > 0 and the sum is finite.
+
+    Physical shape: ONE pass over the token stream into a
+    (group, term) hash agg; the corpus marginal and group totals are
+    DERIVED from that count table (vocab- and group-cardinality-sized
+    inputs — never a second corpus pass), broadcast back, and reduced
+    per group.  Returns (``group_col``, n_tokens, kl)."""
+    tok = df.select(F.col(group_col).alias("__grp"),
+                    F.explode(tokens(F.lower(F.col(text_col))))
+                    .alias("term"))
+    gc = tok.groupBy("__grp", "term").agg(F.count(F.lit(1)).alias("__ngt"))
+    ct = gc.groupBy("term").agg(F.sum("__ngt").alias("__nt"))
+    gt = gc.groupBy("__grp").agg(F.sum("__ngt").alias("__ng"))
+    tot = ct.agg(F.sum("__nt").alias("__n"))
+    p_g = F.col("__ngt") / F.col("__ng")
+    p_c = F.col("__nt") / F.col("__n")
+    return (gc.join(F.broadcast(ct), "term")
+            .join(F.broadcast(gt), "__grp")
+            .crossJoin(F.broadcast(tot))
+            .groupBy("__grp")
+            .agg(F.max("__ng").cast("long").alias("n_tokens"),
+                 F.round(F.sum(p_g * F.log(p_g / p_c)), 6).alias("kl"))
+            .select(F.col("__grp").alias(group_col), "n_tokens", "kl"))
 
 
 def ngram_novelty(df: DataFrame, ngram: int = 3, text_col: str = "text",

@@ -2828,6 +2828,29 @@ FROM __all
 """.strip())
 
 
+def _q_source_kl(spark, sf_dir):
+    """Mixture-drift diagnostic: KL(p_source || p_corpus) over token
+    distributions, one corpus pass + derived marginals."""
+    from carbonapi_spark.datapipe.text import source_kl_divergence
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return source_kl_divergence(docs)
+
+
+_register("source_kl", _q_source_kl, f"""
+WITH __tok AS (SELECT source, unnest({_TOKS_SQL}) AS term FROM documents),
+__gc AS (SELECT source, term, count(*) AS ngt
+         FROM __tok GROUP BY source, term),
+__ct AS (SELECT term, sum(ngt) AS nt FROM __gc GROUP BY term),
+__gt AS (SELECT source, sum(ngt) AS ng FROM __gc GROUP BY source),
+__tot AS (SELECT sum(nt) AS n FROM __ct)
+SELECT g.source, CAST(max(ng) AS BIGINT) AS n_tokens,
+       round(sum((ngt / ng) * ln((ngt / ng) / (nt / n))), 6) AS kl
+FROM __gc g JOIN __ct USING (term) JOIN __gt USING (source)
+CROSS JOIN __tot
+GROUP BY g.source
+""".strip())
+
+
 # ---------------------------------------------------------------------------
 # Driver-visibility ordering. The correctness driver checks at most the first
 # 50 catalog entries per round.  Rotation policy: the prefix lists ONLY the
@@ -2856,6 +2879,7 @@ _DRIVER_PREFIX = [
     "oov_rate",           # per-doc OOV rate vs corpus top-V vocab
     "norm_dedup",         # exact dedup on normalized text (RefinedWeb)
     "bigram_ppl",         # interpolated-bigram CCNet buckets
+    "source_kl",          # per-source KL mixture-drift diagnostic
     # plan changed in round 6 — re-verify
     "minhash_dedup",      # spread() now size-gated (the r5 bench regression)
     "substr_dedup",       # 128-bit gram keys + spread gate
@@ -2868,10 +2892,10 @@ _DRIVER_PREFIX = [
     "tfidf_top",          # N from broadcast 1-row agg, no separate count job
     # the 25 queries the round-5 50-row cap rolled over (last driver rows
     # predate the round-3 testdata dtype change; local-oracle green in
-    # every session since).  NOTE: the prefix is now 52 long, so the last
-    # two entries (scale_to_seconds, substr_name) roll past the 50-row cap
-    # to next round — deliberate: fresh rows for the new ops outrank two
-    # more stale-but-local-green rows.
+    # every session since).  NOTE: the prefix is now 53 long, so the last
+    # three entries (pow_transform, scale_to_seconds, substr_name) roll
+    # past the 50-row cap to next round — deliberate: fresh rows for the
+    # new ops outrank three more stale-but-local-green rows.
     "changed", "is_non_null", "min_max", "logarithm",
     "remove_below_percentile", "average_outside_percentile", "filter_series",
     "sort_by_name_rev", "interpolate_all", "group_union",

@@ -1556,3 +1556,34 @@ def test_bigram_ppl_thresholds_mode(spark):
                df, thresholds=[cut]).collect()}
     for i, ce in base.items():
         assert out[i] == (1 if ce <= cut else 2)
+
+
+def test_source_kl_matches_python(spark):
+    """KL(p_source || p_corpus) vs a pure-Python replay; a group whose
+    distribution equals the corpus's has KL ~ 0."""
+    import math
+    from collections import Counter
+
+    from carbonapi_spark.datapipe.text import source_kl_divergence
+    rows = [(0, "a b", "s1"), (1, "a b", "s2"),
+            (2, "a a a c", "s2"), (3, "b c", "s1")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    toks = {}
+    for _, t, s in rows:
+        toks.setdefault(s, []).extend(t.split())
+    corpus = Counter(w for ws in toks.values() for w in ws)
+    n = sum(corpus.values())
+    want = {}
+    for s, ws in toks.items():
+        c = Counter(ws)
+        ng = len(ws)
+        kl = sum((m / ng) * math.log((m / ng) / (corpus[w] / n))
+                 for w, m in c.items())
+        want[s] = (ng, round(kl, 6))
+    got = {r["source"]: (r["n_tokens"], r["kl"])
+           for r in source_kl_divergence(df).collect()}
+    assert got == want
+    # identical-to-corpus sanity: single source -> KL exactly 0
+    one = spark.createDataFrame([(0, "x y", "s")],
+                                "doc_id long, text string, source string")
+    assert source_kl_divergence(one).collect()[0]["kl"] == 0.0

@@ -144,6 +144,15 @@ def main():
     case("heavy_hitters", lambda: heavy_hitters(
         docs, threshold=(n_docs * 40 * 2) // len(WORDS)).count())
     case("oov_rate_v16", lambda: oov_rate(docs, vocab_size=16).count())
+    from carbonapi_spark.datapipe.text import (bigram_perplexity_buckets,
+                                               source_kl_divergence)
+    # thresholds mode (map-side bucketing, no global ntile sort) — the
+    # lake-scale path; the 500k input also opens the track_if_large gate
+    case("bigram_ppl_thresholds", lambda: bigram_perplexity_buckets(
+        docs, thresholds=[3.0, 3.3]).count())
+    case("source_kl_7src", lambda: source_kl_divergence(
+        docs.withColumn("source", (F.col("doc_id") % 7).cast("string")))
+        .count())
     q = vecs.limit(16)
     case("lsh_ann_topk", lambda: lsh_topk(vecs, q, k=10, dim=dim).count())
 
