@@ -31,10 +31,16 @@ from pyspark.sql import functions as F
 from carbonapi_spark.datapipe.text import tokens
 
 
-def _token_stream(df: DataFrame, text_col: str) -> DataFrame:
-    """One lowercased token per row (empty docs contribute nothing)."""
-    return df.select(
-        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"))
+def _token_stream(df: DataFrame, text_col: str,
+                  ngram: int = 1) -> DataFrame:
+    """One lowercased token (or word n-gram, duplicates kept) per row;
+    empty docs contribute nothing."""
+    if ngram > 1:
+        from carbonapi_spark.datapipe.text import word_ngrams
+        unit = word_ngrams(F.col(text_col), ngram)
+    else:
+        unit = tokens(F.lower(F.col(text_col)))
+    return df.select(F.explode(unit).alias("term"))
 
 
 def _bucket(term: Column, depth: int, w: int) -> Column:
@@ -44,14 +50,14 @@ def _bucket(term: Column, depth: int, w: int) -> Column:
 
 
 def cms_counters(df: DataFrame, text_col: str = "text",
-                 w: int = 2048, d: int = 4) -> DataFrame:
+                 w: int = 2048, d: int = 4, ngram: int = 1) -> DataFrame:
     """The (depth, bucket, cnt) count-min table over the token stream.
 
     One pass: each token row emits d (depth, bucket) pairs via
     ``posexplode`` of a d-long bucket array, then ONE hash aggregation
     with map-side combine — per-partition state is bounded by d*w
     counters, so the shuffle is sketch-sized at any corpus size."""
-    tok = _token_stream(df, text_col)
+    tok = _token_stream(df, text_col, ngram)
     return (tok.select(F.posexplode(F.array(
                 *[_bucket(F.col("term"), i, w) for i in range(d)]))
                 .alias("depth", "bucket"))
@@ -60,7 +66,7 @@ def cms_counters(df: DataFrame, text_col: str = "text",
 
 
 def heavy_hitters(df: DataFrame, threshold: int, text_col: str = "text",
-                  w: int = 2048, d: int = 4) -> DataFrame:
+                  w: int = 2048, d: int = 4, ngram: int = 1) -> DataFrame:
     """EXACT heavy-hitter terms (total count >= ``threshold``), found with
     a CMS-pruned shuffle.  Returns (term, cnt), exact counts.
 
@@ -74,13 +80,18 @@ def heavy_hitters(df: DataFrame, threshold: int, text_col: str = "text",
     only occurrences that shuffle are candidate heavy terms.  CMS
     over-estimation means zero false negatives, so after the exact
     HAVING the result is identical to the full exact aggregation (which
-    is the oracle)."""
+    is the oracle).
+
+    ``ngram > 1`` counts word n-grams instead of tokens — the
+    boilerplate-mining use (which exact phrases saturate the corpus:
+    shared footers, templates, licenses), where the n-gram TYPE space is
+    far too large to aggregate exactly but the sketch stays d*w."""
     spark = df.sparkSession
-    cms_rows = cms_counters(df, text_col, w, d).collect()
+    cms_rows = cms_counters(df, text_col, w, d, ngram).collect()
     by_depth: dict[int, list[tuple[int, int]]] = {i: [] for i in range(d)}
     for r in cms_rows:
         by_depth[r["depth"]].append((r["bucket"], r["cnt"]))
-    tok = _token_stream(df, text_col)
+    tok = _token_stream(df, text_col, ngram)
     est_cols = []
     for i in range(d):
         side = spark.createDataFrame(

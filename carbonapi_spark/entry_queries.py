@@ -2828,6 +2828,26 @@ FROM __all
 """.strip())
 
 
+def _q_heavy_trigrams(spark, sf_dir):
+    """Boilerplate phrase mining: exact trigram heavy hitters via the
+    CMS-pruned two-pass — the n-gram TYPE space is too large to
+    aggregate exactly at lake scale, the sketch stays d*w."""
+    from carbonapi_spark.datapipe.sketch import heavy_hitters
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return heavy_hitters(docs, threshold=5, ngram=3)
+
+
+_register("heavy_trigrams", _q_heavy_trigrams, f"""
+WITH __d AS (SELECT {_TOKS_SQL} AS toks FROM documents)
+SELECT g AS term, CAST(count(*) AS BIGINT) AS cnt
+FROM (SELECT unnest(list_transform(range(greatest(len(toks) - 2, 0)),
+                    j -> toks[j + 1] || ' ' || toks[j + 2] || ' '
+                         || toks[j + 3])) AS g
+      FROM __d)
+GROUP BY g HAVING count(*) >= 5
+""".strip())
+
+
 def _q_source_kl(spark, sf_dir):
     """Mixture-drift diagnostic: KL(p_source || p_corpus) over token
     distributions, one corpus pass + derived marginals."""
@@ -2880,6 +2900,7 @@ _DRIVER_PREFIX = [
     "norm_dedup",         # exact dedup on normalized text (RefinedWeb)
     "bigram_ppl",         # interpolated-bigram CCNet buckets
     "source_kl",          # per-source KL mixture-drift diagnostic
+    "heavy_trigrams",     # CMS-pruned boilerplate phrase mining
     # plan changed in round 6 — re-verify
     "minhash_dedup",      # spread() now size-gated (the r5 bench regression)
     "substr_dedup",       # 128-bit gram keys + spread gate
@@ -2892,10 +2913,10 @@ _DRIVER_PREFIX = [
     "tfidf_top",          # N from broadcast 1-row agg, no separate count job
     # the 25 queries the round-5 50-row cap rolled over (last driver rows
     # predate the round-3 testdata dtype change; local-oracle green in
-    # every session since).  NOTE: the prefix is now 53 long, so the last
-    # three entries (pow_transform, scale_to_seconds, substr_name) roll
-    # past the 50-row cap to next round — deliberate: fresh rows for the
-    # new ops outrank three more stale-but-local-green rows.
+    # every session since).  NOTE: the prefix is now 54 long, so the last
+    # four entries (sigmoid, pow_transform, scale_to_seconds, substr_name)
+    # roll past the 50-row cap to next round — deliberate: fresh rows for
+    # the new ops outrank four more stale-but-local-green rows.
     "changed", "is_non_null", "min_max", "logarithm",
     "remove_below_percentile", "average_outside_percentile", "filter_series",
     "sort_by_name_rev", "interpolate_all", "group_union",

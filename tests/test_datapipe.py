@@ -1587,3 +1587,24 @@ def test_source_kl_matches_python(spark):
     one = spark.createDataFrame([(0, "x y", "s")],
                                 "doc_id long, text string, source string")
     assert source_kl_divergence(one).collect()[0]["kl"] == 0.0
+
+
+def test_heavy_hitters_ngram_mode(spark):
+    """ngram=2 mines exact heavy phrases; equals the exact bigram count,
+    even with a collision-storm sketch (w=4)."""
+    from collections import Counter
+
+    from carbonapi_spark.datapipe.sketch import heavy_hitters
+    rows = [(0, "end of line end of line"), (1, "end of story"),
+            (2, "the end of line")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    c = Counter()
+    for _, t in rows:
+        ts = t.split()
+        c.update(" ".join(ts[j:j + 2]) for j in range(len(ts) - 1))
+    want = {(g, n) for g, n in c.items() if n >= 2}
+    for w in (4, 2048):
+        got = {(r["term"], r["cnt"]) for r in
+               heavy_hitters(df, threshold=2, ngram=2, w=w).collect()}
+        assert got == want, w
+    assert ("end of", 4) in want and ("of line", 3) in want
