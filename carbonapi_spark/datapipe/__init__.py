@@ -3,7 +3,39 @@ embeddings tables: deduplication, similarity search, text analysis,
 multimodal plumbing. All DataFrame-native; Python only in clearly-marked
 kernels."""
 
-from pyspark.sql import DataFrame
+import logging
+
+from pyspark.sql import DataFrame, functions as F
+
+_log = logging.getLogger(__name__)
+# Diagnostic counter: how often the Catalyst size-estimate probe failed and
+# a gate fell through to its conservative side.  A Spark upgrade that breaks
+# the private _jdf/queryExecution route would flip every gated call site to
+# the lake-scale path silently — the counter (and a one-time warning) makes
+# that observable instead.
+_stats_probe_failures = 0
+_warned_probe_failure = False
+
+
+def _plan_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's optimized-plan size estimate, or None if unavailable.
+
+    Reaches into the private ``_jdf.queryExecution`` API (no public stats
+    route exists as of Spark 4.1); every failure is counted and the first
+    one logged so a behavior flip after an upgrade is visible."""
+    global _stats_probe_failures, _warned_probe_failure
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats()
+                   .sizeInBytes())
+    except Exception as e:
+        _stats_probe_failures += 1
+        if not _warned_probe_failure:
+            _warned_probe_failure = True
+            _log.warning(
+                "Catalyst size-estimate probe failed (%s); size-gated "
+                "spread/persist/broadcast heuristics will take their "
+                "conservative lake-scale side for this session", e)
+        return None
 
 
 def spread(df: DataFrame, min_bytes: int = 8 << 20) -> DataFrame:
@@ -30,13 +62,21 @@ def spread(df: DataFrame, min_bytes: int = 8 << 20) -> DataFrame:
     check, the conservative side."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    try:
-        est = int(df._jdf.queryExecution().optimizedPlan().stats()
-                  .sizeInBytes())
+    est = _plan_size_bytes(df)
+    if est is not None:
         if est < min_bytes:
             return df
-    except Exception:
-        pass  # stats unavailable (e.g. Connect) — assume big
+        # Above the gate with a known size: estimate the scan's partition
+        # count arithmetically (est / maxPartitionBytes) instead of
+        # forcing physical-plan translation via ``df.rdd`` — at lake
+        # scale the scan already yields >= target partitions and the
+        # repartition must NOT fire (it would add a full-corpus shuffle).
+        mpb = int(df.sparkSession.conf.get(
+            "spark.sql.files.maxPartitionBytes", "134217728").rstrip("b"))
+        if est >= target * mpb:
+            return df
+        return df.repartition(target)
+    # stats unavailable (e.g. Connect) — fall back to the physical count
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
@@ -56,12 +96,28 @@ def track_if_large(df: DataFrame, gate_df: DataFrame,
     evaluation overlaps), but at lake scale the pipeline below it is a
     full corpus pass and recomputing doubles the dominant cost.  Unknown
     size estimates persist — the conservative side at scale."""
-    try:
-        est = int(gate_df._jdf.queryExecution().optimizedPlan().stats()
-                  .sizeInBytes())
-        if est < min_bytes:
-            return df
-    except Exception:
-        pass  # stats unavailable — assume big, persist
+    est = _plan_size_bytes(gate_df)
+    if est is not None and est < min_bytes:
+        return df
     from carbonapi_spark import scratch
     return scratch.track(df)
+
+
+def bcast_if_small(df: DataFrame, gate_df: DataFrame,
+                   min_bytes: int = 1 << 30) -> DataFrame:
+    """Apply an explicit ``F.broadcast`` hint ONLY while the corpus
+    feeding ``df`` is small enough that the derived table (a count /
+    vocab / statistics table, sublinear in the corpus) is safely
+    driver-sized.
+
+    An unconditional hint overrides ``spark.sql.autoBroadcastJoinThreshold``
+    and, past the point the table outgrows the driver, degrades to an OOM
+    rather than a shuffle join.  Gating on the CORPUS size (the same
+    philosophy as ``track_if_large``) keeps the hint — and the measured
+    bench plan — at test scale, and lets Catalyst/AQE decide from actual
+    runtime sizes at lake scale, where AQE's broadcast promotion picks the
+    hint back up whenever the built table really is small."""
+    est = _plan_size_bytes(gate_df)
+    if est is None or est >= min_bytes:
+        return df
+    return F.broadcast(df)

@@ -180,6 +180,23 @@ def minhash_signatures_df(df: DataFrame, text_col: str = "text",
         "array(" + ",".join(f"__m{i}" for i in range(num_hashes)) + ") as __sig")
 
 
+def _validated_sigs(sigs: DataFrame, num_hashes: int) -> DataFrame:
+    """Guard a caller-supplied signature table: banding/estimation derive
+    component counts from ``num_hashes``, so a ``sigs`` built with a
+    different K would silently produce wrong candidates/estimates.  The
+    length check runs per row inside codegen (one ``size()`` branch) and
+    fails fast with a clear error instead.  A mismatched SEED is not
+    structurally detectable — that invariant stays on the caller (the
+    signature table must come from ``minhash_signatures_df`` with the
+    same (num_hashes, ngram, seed))."""
+    return sigs.withColumn(
+        "__sig",
+        F.expr(f"if(size(__sig) = {num_hashes}, __sig, "
+               f"raise_error(concat('sigs= table has ', size(__sig), "
+               f"'-component signatures but num_hashes={num_hashes}; "
+               f"rebuild the signature table with matching parameters')))"))
+
+
 def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id", num_hashes: int = 16,
                            bands: int = 4, ngram: int = 3,
@@ -201,8 +218,9 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
     ``minhash_signatures_df`` output — to share one signature pipeline
     across candidates + downstream estimation/verification stages."""
     rows = num_hashes // bands
-    sig = sigs if sigs is not None else minhash_signatures_df(
-        df, text_col, id_col, num_hashes, ngram, seed)
+    sig = (_validated_sigs(sigs, num_hashes) if sigs is not None
+           else minhash_signatures_df(df, text_col, id_col, num_hashes,
+                                      ngram, seed))
     banded = sig.selectExpr(
         "__id",
         f"""explode(transform(sequence(0, {bands - 1}),
@@ -282,7 +300,7 @@ def minhash_estimate(df: DataFrame, pairs: DataFrame,
     from carbonapi_spark import scratch
     pairs = scratch.track(pairs)
     if sigs is not None:
-        sig = sigs
+        sig = _validated_sigs(sigs, num_hashes)
     else:
         ids = (pairs.select(F.explode(F.array("id_a", "id_b"))
                     .alias(id_col)).distinct())

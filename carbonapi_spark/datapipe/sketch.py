@@ -85,21 +85,33 @@ def heavy_hitters(df: DataFrame, threshold: int, text_col: str = "text",
     ``ngram > 1`` counts word n-grams instead of tokens — the
     boilerplate-mining use (which exact phrases saturate the corpus:
     shared footers, templates, licenses), where the n-gram TYPE space is
-    far too large to aggregate exactly but the sketch stays d*w."""
-    spark = df.sparkSession
+    far too large to aggregate exactly but the sketch stays d*w.
+
+    DETERMINISM REQUIREMENT: pass 2 re-evaluates ``df``, so the
+    zero-false-negative guarantee holds only for deterministic inputs.
+    A non-deterministic ``df`` (``df.sample``, a ``rand()`` filter, a
+    table mutated between the two passes) can surface terms in pass 2
+    the pass-1 sketch never counted — persist such inputs first
+    (``scratch.track(df)``) so both passes read the same rows.
+
+    Pass 2 is ONE codegen projection: the d counter tables come back as
+    dense w-length literal arrays (the sketch is already driver-resident
+    from pass 1), and each occurrence probes them with ``element_at`` —
+    no joins at all, so even on degenerate near-uniform corpora (where
+    CMS pruning keeps almost everything) the pre-filter costs d hashes +
+    d array reads per token inside whole-stage codegen."""
     cms_rows = cms_counters(df, text_col, w, d, ngram).collect()
-    by_depth: dict[int, list[tuple[int, int]]] = {i: [] for i in range(d)}
+    dense: list[list[int]] = [[0] * w for _ in range(d)]
     for r in cms_rows:
-        by_depth[r["depth"]].append((r["bucket"], r["cnt"]))
+        dense[r["depth"]][r["bucket"]] = r["cnt"]
     tok = _token_stream(df, text_col, ngram)
+    # One SQL literal per depth (w longs each): parsed once, constant-
+    # folded into the projection.  element_at is 1-based.
     est_cols = []
     for i in range(d):
-        side = spark.createDataFrame(
-            by_depth[i] or [(-1, 0)],
-            f"__b{i} int, __c{i} long")
-        tok = tok.withColumn(f"__b{i}", _bucket(F.col("term"), i, w)) \
-                 .join(F.broadcast(side), f"__b{i}")
-        est_cols.append(F.col(f"__c{i}"))
+        arr_sql = "array(" + ",".join(f"{c}L" for c in dense[i]) + ")"
+        bucket = _bucket(F.col("term"), i, w)
+        est_cols.append(F.element_at(F.expr(arr_sql), bucket + 1))
     cand = tok.where(F.least(*est_cols) >= F.lit(threshold))
     return (cand.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
             .where(F.col("cnt") >= F.lit(threshold))

@@ -281,12 +281,14 @@ def bigram_perplexity_buckets(df: DataFrame, text_col: str = "text",
     gram array; c(w1,w2) is one map-side-combined hash agg of that
     stream, and c(w1.) is derived from the (bigram-type-sized) count
     table, NOT a second corpus pass.  Scoring joins the count tables
-    back against the stream.  They are broadcast here — right for any
-    corpus whose bigram TYPE count fits an executor (tens of millions);
-    at the 100 TB point where the model side outgrows broadcast, drop
-    the hint and let the scoring join shuffle on the gram key — or swap
-    in a real KenLM as a mapPartitions scorer with a distributed model
-    file, which is exactly CCNet's own layout.  Returns
+    back against the stream.  The broadcast hints are SIZE-GATED on the
+    corpus (``bcast_if_small``): while the corpus is small enough that
+    the bigram TYPE count is safely driver-sized the hint pins the
+    broadcast plan, and past that point the hint drops away so
+    Catalyst/AQE picks broadcast-vs-shuffle from actual runtime sizes
+    instead of OOMing on a forced hint — or swap in a real KenLM as a
+    mapPartitions scorer with a distributed model file, which is exactly
+    CCNet's own layout.  Returns
     (doc_id, cross_entropy, bucket); bucket semantics (exact ``ntile``
     vs map-side ``thresholds=``) match ``perplexity_buckets``."""
     from pyspark.sql.window import Window
@@ -310,13 +312,13 @@ def bigram_perplexity_buckets(df: DataFrame, text_col: str = "text",
             / (F.coalesce("__nw", F.lit(0)) + F.lit(alpha) * F.col("__vocab")))
     p_uni = ((F.coalesce("__n", F.lit(0)) + F.lit(alpha))
              / (F.col("__total") + F.lit(alpha) * F.col("__vocab")))
-    from carbonapi_spark.datapipe import track_if_large
+    from carbonapi_spark.datapipe import bcast_if_small, track_if_large
     # scored feeds BOTH the corpus-worst aggregate and the join-back —
     # size-gated persist, same reasoning as perplexity_buckets
     scored = track_if_large(
-        bi.join(F.broadcast(cnt_bi), "g", "left")
-        .join(F.broadcast(cnt_w1), "__w1", "left")
-        .join(F.broadcast(tf), "__w2", "left")
+        bi.join(bcast_if_small(cnt_bi, df), "g", "left")
+        .join(bcast_if_small(cnt_w1, df), "__w1", "left")
+        .join(bcast_if_small(tf, df), "__w2", "left")
         .crossJoin(F.broadcast(tot))
         .groupBy(id_col)
         .agg((-F.avg(F.log(F.lit(lam) * p_bi
@@ -680,8 +682,10 @@ def source_kl_divergence(df: DataFrame, group_col: str = "source",
     Physical shape: ONE pass over the token stream into a
     (group, term) hash agg; the corpus marginal and group totals are
     DERIVED from that count table (vocab- and group-cardinality-sized
-    inputs — never a second corpus pass), broadcast back, and reduced
+    inputs — never a second corpus pass), broadcast back (hint
+    size-gated on the corpus, see ``bcast_if_small``), and reduced
     per group.  Returns (``group_col``, n_tokens, kl)."""
+    from carbonapi_spark.datapipe import bcast_if_small
     tok = df.select(F.col(group_col).alias("__grp"),
                     F.explode(tokens(F.lower(F.col(text_col))))
                     .alias("term"))
@@ -691,7 +695,7 @@ def source_kl_divergence(df: DataFrame, group_col: str = "source",
     tot = ct.agg(F.sum("__nt").alias("__n"))
     p_g = F.col("__ngt") / F.col("__ng")
     p_c = F.col("__nt") / F.col("__n")
-    return (gc.join(F.broadcast(ct), "term")
+    return (gc.join(bcast_if_small(ct, df), "term")
             .join(F.broadcast(gt), "__grp")
             .crossJoin(F.broadcast(tot))
             .groupBy("__grp")

@@ -2880,51 +2880,21 @@ GROUP BY g.source
 # fills the remaining first-50 slots; those are all green in
 # CORRECTNESS_r01.json ∪ CORRECTNESS_r02.json.  Keep this list well under 50.
 _DRIVER_PREFIX = [
-    # NEW in round 6 — never had a driver row
-    "pq_ivf_topk",        # IVFADC: cell-pruned compressed-domain ANN
-    "pq_ivf_refine",      # IVFADC + exact rerank (IVFPQ,Refine)
-    "minhash_incremental",  # delta-vs-index dedup, batch-equivalent
-    "stream_minhash_replay",  # streaming stateful LSH kernel, batch replay
-    "semantic_dedup",     # SemDeDup: within-cell embedding cosine dedup
-    "dsir_sample",        # DSIR: hashed-ngram importance resampling
-    "c4_rules",           # C4 heuristic line/page cleaning
-    "temperature_mix",    # n^alpha domain mixing (mT5/XLM-R recipe)
-    "gopher_rules",       # full Gopher Table-A1 document rule set
-    "hashed_vectors",     # feature-hashing doc embeddings (hashing trick)
-    "corpus_stats",       # per-(source,lang) curation report
-    "minhash_estimate",   # Broder signature-agreement Jaccard estimate
-    "ngram_novelty",      # cross-doc n-gram novelty (memorization risk)
-    "char_entropy",       # character-level Shannon entropy quality signal
-    "heavy_hitters",      # CMS-pruned exact heavy-hitter terms
-    "oov_rate",           # per-doc OOV rate vs corpus top-V vocab
-    "norm_dedup",         # exact dedup on normalized text (RefinedWeb)
-    "bigram_ppl",         # interpolated-bigram CCNet buckets
-    "source_kl",          # per-source KL mixture-drift diagnostic
-    "heavy_trigrams",     # CMS-pruned boilerplate phrase mining
-    # plan changed in round 6 — re-verify
-    "minhash_dedup",      # spread() now size-gated (the r5 bench regression)
-    "substr_dedup",       # 128-bit gram keys + spread gate
-    "contamination",      # spread gate
-    "rep_filters",        # spread gate
-    "ppl_buckets",        # spread gate
-    "line_dedup",         # spread gate
-    "dedup_clusters",     # spread gate + one-action star rounds
-    "dedup_keep_best",    # spread gate + one-action star rounds
-    "tfidf_top",          # N from broadcast 1-row agg, no separate count job
-    # the 25 queries the round-5 50-row cap rolled over (last driver rows
-    # predate the round-3 testdata dtype change; local-oracle green in
-    # every session since).  NOTE: the prefix is now 54 long, so the last
-    # four entries (sigmoid, pow_transform, scale_to_seconds, substr_name)
-    # roll past the 50-row cap to next round — deliberate: fresh rows for
-    # the new ops outrank four more stale-but-local-green rows.
-    "changed", "is_non_null", "min_max", "logarithm",
-    "remove_below_percentile", "average_outside_percentile", "filter_series",
-    "sort_by_name_rev", "interpolate_all", "group_union",
-    "remove_zero_series", "count_values", "lang_id", "polyfit_linear",
-    "hw_bands", "low_pass", "fingerprints", "embedding_dedup", "vocab_top",
-    "xff_aggregate", "square_root", "sigmoid", "pow_transform",
-    "scale_to_seconds", "substr_name",
+    # the 4 queries the round-6 54-entry prefix rolled past the 50-row cap
+    # (last driver rows are r01/r02; local-green every session since) —
+    # first this round so r04..r07 covers the whole catalog
+    "sigmoid", "pow_transform", "scale_to_seconds", "substr_name",
+    # NEW in round 7 — never had a driver row (appended as implemented)
+    # plan changed in round 7 — re-verify
+    "heavy_hitters", "heavy_trigrams",  # pass-2 folded to one projection
+    "bigram_ppl", "source_kl",          # size-gated broadcast hints
+    "minhash_dedup", "minhash_estimate",  # sigs= length validation
+    "minhash_incremental",              # shares the banding path
 ]
+# The driver checks at most _DRIVER_CAP rows per round; test_entry.py pins
+# len(_DRIVER_PREFIX) <= cap so additions can never silently evict entries
+# again (the round-6 lesson: a 54-long prefix dropped 4 queries unnoticed).
+_DRIVER_CAP = 50
 
 
 def _reorder_for_driver() -> None:

@@ -1608,3 +1608,41 @@ def test_heavy_hitters_ngram_mode(spark):
                heavy_hitters(df, threshold=2, ngram=2, w=w).collect()}
         assert got == want, w
     assert ("end of", 4) in want and ("of line", 3) in want
+
+
+def test_minhash_sigs_length_validated(spark):
+    """A sigs= table built with a different K must fail loudly, not
+    silently band on the wrong component count (review finding r6)."""
+    import pytest
+
+    from carbonapi_spark.datapipe.dedup import (
+        minhash_estimate, minhash_lsh_candidates, minhash_signatures_df)
+    df = spark.createDataFrame(
+        [(0, "a b c d e f"), (1, "a b c d e g")], "doc_id long, text string")
+    sig8 = minhash_signatures_df(df, num_hashes=8, ngram=2)
+    with pytest.raises(Exception, match="num_hashes=16"):
+        minhash_lsh_candidates(df, num_hashes=16, bands=4, ngram=2,
+                               sigs=sig8).collect()
+    pairs = spark.createDataFrame([(0, 1)], "id_a long, id_b long")
+    with pytest.raises(Exception, match="num_hashes=16"):
+        minhash_estimate(df, pairs, num_hashes=16, ngram=2,
+                         sigs=sig8).collect()
+    # matching K passes through untouched
+    sig16 = minhash_signatures_df(df, num_hashes=16, ngram=2)
+    ok = minhash_estimate(df, pairs, num_hashes=16, ngram=2, sigs=sig16)
+    assert ok.count() == 1
+
+
+def test_bcast_if_small_gates_on_corpus_size(spark):
+    """Hint present under the gate, absent above it (the OOM guard)."""
+    from carbonapi_spark.datapipe import bcast_if_small
+    corpus = spark.range(100).selectExpr("id", "repeat('x', 10) as text")
+    dim = spark.range(5).selectExpr("id", "id * 2 as v")
+    hinted = corpus.join(bcast_if_small(dim, corpus, min_bytes=1 << 40),
+                         "id")
+    assert "broadcast" in hinted._jdf.queryExecution().optimizedPlan() \
+        .toString().lower() or "Broadcast" in hinted._jdf.queryExecution() \
+        .executedPlan().toString()
+    unhinted = bcast_if_small(dim, corpus, min_bytes=1)
+    # above the gate the helper returns the frame unhinted
+    assert unhinted is dim
