@@ -2871,6 +2871,56 @@ GROUP BY g.source
 """.strip())
 
 
+def _q_multimodal_features(spark, sf_dir):
+    """REAL multimodal decode on the driver scoreboard: doc ids are
+    encoded into genuine WAV (stdlib ``wave``) and binary PPM containers
+    with id-determined sample/pixel values, then ``media_features``
+    sniffs the magic, parses the real container, and computes exact
+    integer-sum statistics.  The oracle replays the FEATURES from the
+    synthesis arithmetic alone — it never sees the bytes — so any error
+    in header layout, int16 framing, raster offsets, or stats arithmetic
+    on the Spark side breaks the match.  Audio + image cover both codec
+    paths; video stays behind the documented NotImplementedError."""
+    from carbonapi_spark.datapipe.multimodal import (
+        media_features, synth_media_from_ids)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ids = docs.where(F.col("doc_id") < 240).select("doc_id")
+    return media_features(synth_media_from_ids(ids), strict=True)
+
+
+_register("multimodal_features", _q_multimodal_features, """
+WITH __ids AS (SELECT doc_id AS media_id FROM documents WHERE doc_id < 240),
+__audio AS (
+  SELECT media_id,
+         list_transform(range(32 + media_id % 64),
+                        j -> ((media_id * 31 + j * 7) % 2048) - 1024) AS s
+  FROM __ids WHERE media_id % 2 = 1),
+__img AS (
+  SELECT media_id, 8 + media_id % 8 AS w, 6 AS h,
+         list_transform(range(3 * (8 + media_id % 8) * 6),
+                        p -> (media_id * 13 + p) % 251) AS s
+  FROM __ids WHERE media_id % 2 = 0)
+SELECT media_id, 'audio' AS kind,
+       CAST(44 + 2 * len(s) AS BIGINT) AS n_bytes,
+       CAST(NULL AS INT) AS width, CAST(NULL AS INT) AS height,
+       CAST(len(s) AS INT) AS n_samples, CAST(8000 AS INT) AS sample_rate,
+       round(CAST(list_sum(s) AS DOUBLE) / len(s), 6) AS mean_val,
+       round(sqrt(list_sum(list_transform(s, x -> CAST(x * x AS DOUBLE)))
+                  / len(s)), 6) AS rms
+FROM __audio
+UNION ALL
+SELECT media_id, 'image' AS kind,
+       CAST(length('P6' || chr(10) || w || ' ' || h || chr(10) || '255'
+                   || chr(10)) + 3 * w * h AS BIGINT) AS n_bytes,
+       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(NULL AS INT) AS n_samples, CAST(NULL AS INT) AS sample_rate,
+       round(CAST(list_sum(s) AS DOUBLE) / len(s), 6) AS mean_val,
+       round(sqrt(list_sum(list_transform(s, x -> CAST(x * x AS DOUBLE)))
+                  / len(s)), 6) AS rms
+FROM __img
+""".strip())
+
+
 # ---------------------------------------------------------------------------
 # Driver-visibility ordering. The correctness driver checks at most the first
 # 50 catalog entries per round.  Rotation policy: the prefix lists ONLY the
@@ -2885,6 +2935,7 @@ _DRIVER_PREFIX = [
     # first this round so r04..r07 covers the whole catalog
     "sigmoid", "pow_transform", "scale_to_seconds", "substr_name",
     # NEW in round 7 — never had a driver row (appended as implemented)
+    "multimodal_features",  # real stdlib WAV/PPM decode via mapInPandas
     # plan changed in round 7 — re-verify
     "heavy_hitters", "heavy_trigrams",  # pass-2 folded to one projection
     "bigram_ppl", "source_kl",          # size-gated broadcast hints

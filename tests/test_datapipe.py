@@ -1646,3 +1646,71 @@ def test_bcast_if_small_gates_on_corpus_size(spark):
     unhinted = bcast_if_small(dim, corpus, min_bytes=1)
     # above the gate the helper returns the frame unhinted
     assert unhinted is dim
+
+
+def test_wav_pnm_roundtrip():
+    """Stdlib codecs: encode -> container bytes -> decode is lossless."""
+    import numpy as np
+
+    from carbonapi_spark.datapipe.multimodal import (
+        decode_pnm, decode_wav, encode_pnm, encode_wav)
+    samples = [((11 * j) % 2048) - 1024 for j in range(50)]
+    rate, dec = decode_wav(encode_wav(samples, 22050))
+    assert rate == 22050 and dec.tolist() == samples
+    assert len(encode_wav(samples, 22050)) == 44 + 2 * len(samples)
+
+    raster = bytes((5 * p) % 251 for p in range(3 * 10 * 4))
+    w, h, c, r = decode_pnm(encode_pnm(10, 4, raster))
+    assert (w, h, c) == (10, 4, 3) and r.tobytes() == raster
+    gray = bytes(range(12))
+    assert decode_pnm(encode_pnm(4, 3, gray, color=False))[2] == 1
+    # comment-tolerant header parse
+    w, h, c, r = decode_pnm(b"P5\n# a comment\n4 3\n255\n" + gray)
+    assert (w, h, c) == (4, 3, 1) and np.array_equal(
+        r, np.frombuffer(gray, dtype=np.uint8))
+
+
+def test_media_features_real_decode(spark):
+    """media_features parses real WAV/PPM containers; strict mode raises
+    on the (honestly absent) video codec."""
+    import pytest as _pytest
+
+    from carbonapi_spark.datapipe.multimodal import media_features, synth_media
+    media = synth_media(spark, 9)
+    feats = {r["media_id"]: r for r in
+             media_features(media.where(F.col("kind") != "video")).collect()}
+    img = feats[0]   # kind image, 8x6 RGB of (0*7+j*j)%251
+    assert (img["width"], img["height"]) == (8, 6)
+    vals = [(0 * 7 + j * j) % 251 for j in range(3 * 8 * 6)]
+    assert img["mean_val"] == round(sum(vals) / len(vals), 6)
+    aud = feats[1]   # kind audio, 65 samples of ((7+j*j)%512)-256
+    s = [((1 * 7 + j * j) % 512) - 256 for j in range(65)]
+    assert (aud["n_samples"], aud["sample_rate"]) == (65, 16000)
+    assert aud["rms"] == round((sum(x * x for x in s) / len(s)) ** 0.5, 6)
+    with _pytest.raises(Exception, match="no in-container codec"):
+        media_features(media).collect()
+    # non-strict: unknown formats yield null-feature rows instead
+    lax = media_features(media, strict=False)
+    vid = [r for r in lax.collect() if r["kind"] == "video"]
+    assert vid and all(r["mean_val"] is None for r in vid)
+
+
+def test_synth_media_from_ids_matches_arithmetic(spark):
+    """The encode->decode round trip reproduces the synthesis arithmetic
+    (the property the multimodal_features oracle rests on)."""
+    from carbonapi_spark.datapipe.multimodal import (
+        media_features, synth_media_from_ids)
+    ids = spark.range(6).selectExpr("id as doc_id")
+    out = {r["media_id"]: r for r in
+           media_features(synth_media_from_ids(ids)).collect()}
+    i = 3  # odd -> audio
+    n = 32 + i % 64
+    s = [((i * 31 + j * 7) % 2048) - 1024 for j in range(n)]
+    assert out[i]["n_samples"] == n
+    assert out[i]["mean_val"] == round(sum(s) / n, 6)
+    i = 4  # even -> image
+    w, h = 8 + i % 8, 6
+    vals = [(i * 13 + p) % 251 for p in range(3 * w * h)]
+    assert (out[i]["width"], out[i]["height"]) == (w, h)
+    assert out[i]["rms"] == round((sum(v * v for v in vals)
+                                   / len(vals)) ** 0.5, 6)
