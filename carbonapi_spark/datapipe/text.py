@@ -191,10 +191,54 @@ def unigram_logprob_table(df: DataFrame, text_col: str = "text",
                     .alias("logp")))
 
 
+def quantile_thresholds(df: DataFrame, value_col: str,
+                        qs: list[float], exact: bool = True,
+                        accuracy: int = 10000) -> DataFrame:
+    """ONE-row (thresholds ARRAY<DOUBLE>) table of corpus quantile
+    cutoffs — the one-pass way to derive CCNet-style bucket boundaries
+    (Wenzek et al. 2020 compute head/middle/tail cutoffs once, then
+    apply them corpus-wide; deriving them must not cost a global sort).
+
+    ``exact=True`` uses Spark's exact ``percentile`` (linear
+    interpolation — the same definition as DuckDB's ``quantile_cont``,
+    which is what makes the catalog oracle replayable).  It is ONE
+    ObjectHashAggregate over the value rows — no range-partition sort —
+    but its aggregation buffer holds the values, so it is for
+    driver-bounded inputs (one row per doc is fine to ~1e8 docs).
+    ``exact=False`` is the 100 TB mode: ``percentile_approx``'s
+    Greenwald-Khanna sketch, map-side mergeable with bounded memory at
+    any scale, at a rank-error of ``1/accuracy``.
+
+    Cutoffs are rounded to 6 dp so downstream comparisons are stable
+    across engines.  Compose with :func:`bucket_by_thresholds`."""
+    arr = F.array(*[F.lit(float(q)) for q in qs])
+    agg = (F.percentile(value_col, arr) if exact
+           else F.percentile_approx(value_col, arr, F.lit(accuracy)))
+    return df.agg(F.transform(agg, lambda t: F.round(t, 6))
+                  .alias("thresholds"))
+
+
+def bucket_by_thresholds(scored: DataFrame, value_col: str,
+                         thresholds: DataFrame,
+                         bucket_col: str = "bucket") -> DataFrame:
+    """Assign 1-based buckets by comparing ``value_col`` against a 1-row
+    thresholds table: bucket = 1 + #cutoffs strictly below the value.
+    The thresholds side is a broadcast of one array row, so bucketing is
+    a pure map over the scored rows — the no-global-sort replacement for
+    ``ntile`` once cutoffs exist."""
+    return (scored.crossJoin(F.broadcast(thresholds))
+            .withColumn(bucket_col,
+                        (F.lit(1) + F.size(F.filter(
+                            "thresholds",
+                            lambda t: F.col(value_col) > t))).cast("int"))
+            .drop("thresholds"))
+
+
 def perplexity_buckets(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", alpha: float = 0.5,
                        buckets: int = 3,
-                       thresholds: list[float] | None = None) -> DataFrame:
+                       thresholds: list[float] | None = None,
+                       threshold_qs: list[float] | None = None) -> DataFrame:
     """CCNet-style quality partitioning (Wenzek et al., "CCNet: Extracting
     High Quality Monolingual Datasets from Web Crawl Data", LREC 2020):
     score every document by language-model cross-entropy and split the
@@ -218,7 +262,13 @@ def perplexity_buckets(df: DataFrame, text_col: str = "text",
     sort of one row per doc, fine to a few hundred million docs and the
     deterministic, oracle-replayable mode the catalog entry uses.
     Empty-token docs get the corpus's worst entropy + 1 so they land in
-    the tail deterministically either way."""
+    the tail deterministically either way.
+
+    ``threshold_qs=[1/3, 2/3]`` is the self-contained CCNet recipe: the
+    cutoffs are DERIVED from the scored corpus itself in one extra
+    aggregation over the per-doc rows (:func:`quantile_thresholds` —
+    no global sort), then applied map-side exactly like an explicit
+    ``thresholds=`` list.  Mutually exclusive with ``thresholds``."""
     from pyspark.sql.window import Window
     from carbonapi_spark.datapipe import spread
     df = spread(df)
@@ -250,6 +300,11 @@ def perplexity_buckets(df: DataFrame, text_col: str = "text",
               .select(id_col,
                       F.round(F.coalesce("__h", F.col("__worst") + 1), 6)
                       .alias("cross_entropy")))
+    if threshold_qs is not None:
+        # scored now ALSO feeds the quantile agg — the persist gate above
+        # already covers the doubly-referenced case at lake scale
+        thr = quantile_thresholds(scored, "cross_entropy", threshold_qs)
+        return bucket_by_thresholds(scored, "cross_entropy", thr)
     if thresholds is not None:
         b = F.lit(1)
         for t in thresholds:
@@ -262,7 +317,8 @@ def perplexity_buckets(df: DataFrame, text_col: str = "text",
 def bigram_perplexity_buckets(df: DataFrame, text_col: str = "text",
                               id_col: str = "doc_id", alpha: float = 0.5,
                               lam: float = 0.75, buckets: int = 3,
-                              thresholds: list[float] | None = None
+                              thresholds: list[float] | None = None,
+                              threshold_qs: list[float] | None = None
                               ) -> DataFrame:
     """``perplexity_buckets`` with an interpolated BIGRAM model — one
     n-gram order up the ladder toward CCNet's KenLM (a 5-gram model;
@@ -332,6 +388,9 @@ def bigram_perplexity_buckets(df: DataFrame, text_col: str = "text",
                       F.round(F.coalesce("__h",
                                          F.col("__worst") + 1, F.lit(0.0)),
                               6).alias("cross_entropy")))
+    if threshold_qs is not None:
+        thr = quantile_thresholds(scored, "cross_entropy", threshold_qs)
+        return bucket_by_thresholds(scored, "cross_entropy", thr)
     if thresholds is not None:
         b = F.lit(1)
         for t in thresholds:

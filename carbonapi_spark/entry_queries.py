@@ -2921,6 +2921,71 @@ FROM __img
 """.strip())
 
 
+def _q_quantile_cutoffs(spark, sf_dir):
+    """One-pass corpus quantile cutoffs (the CCNet threshold-derivation
+    step): exact ``percentile`` over per-doc token counts — ONE
+    ObjectHashAggregate, no global sort; ``exact=False`` swaps in the
+    mergeable Greenwald-Khanna sketch for the 100 TB path with the same
+    plan shape."""
+    from carbonapi_spark.datapipe.text import quantile_thresholds, token_count
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    counts = docs.select(token_count(F.col("text")).cast("double")
+                         .alias("n_tok"))
+    qs = [0.25, 0.5, 0.75, 0.9]
+    thr = quantile_thresholds(counts, "n_tok", qs)
+    return (thr.select(F.posexplode("thresholds").alias("__i", "cutoff"))
+            .select(F.element_at(F.array(*[F.lit(q) for q in qs]),
+                                 F.col("__i") + 1).alias("q"), "cutoff"))
+
+
+_register("quantile_cutoffs", _q_quantile_cutoffs, r"""
+WITH __n AS (SELECT CAST(len(list_filter(regexp_split_to_array(lower(text),
+                 '\s+'), x -> x != '')) AS DOUBLE) AS n_tok FROM documents),
+__c AS (SELECT quantile_cont(n_tok, [0.25, 0.5, 0.75, 0.9]) AS l FROM __n)
+SELECT CAST(0.25 AS DOUBLE) AS q, round(l[1], 6) AS cutoff FROM __c
+UNION ALL SELECT CAST(0.5 AS DOUBLE), round(l[2], 6) FROM __c
+UNION ALL SELECT CAST(0.75 AS DOUBLE), round(l[3], 6) FROM __c
+UNION ALL SELECT CAST(0.9 AS DOUBLE), round(l[4], 6) FROM __c
+""".strip())
+
+
+def _q_ppl_quantile_buckets(spark, sf_dir):
+    """The fully self-contained CCNet split: cross-entropy scoring plus
+    cutoffs DERIVED from the scored corpus itself via the one-pass
+    quantile aggregation, then map-side bucketing — no ntile, no global
+    sort anywhere in the plan (pinned in test_plan_shape)."""
+    from carbonapi_spark.datapipe.text import perplexity_buckets
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return perplexity_buckets(docs, threshold_qs=[1 / 3, 2 / 3])
+
+
+_register("ppl_quantile_buckets", _q_ppl_quantile_buckets, r"""
+WITH __t AS (SELECT doc_id, unnest(list_filter(
+                 string_split_regex(lower(text), '\s+'), x -> x != ''))
+                 AS term
+             FROM documents),
+__tf AS (SELECT term, count(*) AS n FROM __t GROUP BY term),
+__tot AS (SELECT sum(n) AS total, count(*) AS vocab FROM __tf),
+__lm AS (SELECT term, ln((n + 0.5) / (total + 0.5 * vocab)) AS logp
+         FROM __tf CROSS JOIN __tot),
+__sc AS (SELECT doc_id, -avg(logp) AS h
+         FROM __t JOIN __lm USING (term) GROUP BY doc_id),
+__all AS (SELECT d.doc_id,
+                 round(coalesce(h, (SELECT max(h) + 1 FROM __sc)), 6)
+                 AS cross_entropy
+          FROM documents d LEFT JOIN __sc USING (doc_id)),
+__thr AS (SELECT round(quantile_cont(cross_entropy,
+                                     0.3333333333333333), 6) AS t1,
+                 round(quantile_cont(cross_entropy,
+                                     0.6666666666666666), 6) AS t2
+          FROM __all)
+SELECT doc_id, cross_entropy,
+       CAST(1 + (cross_entropy > t1)::INT + (cross_entropy > t2)::INT
+            AS INTEGER) AS bucket
+FROM __all CROSS JOIN __thr
+""".strip())
+
+
 # ---------------------------------------------------------------------------
 # Driver-visibility ordering. The correctness driver checks at most the first
 # 50 catalog entries per round.  Rotation policy: the prefix lists ONLY the
@@ -2936,6 +3001,8 @@ _DRIVER_PREFIX = [
     "sigmoid", "pow_transform", "scale_to_seconds", "substr_name",
     # NEW in round 7 — never had a driver row (appended as implemented)
     "multimodal_features",  # real stdlib WAV/PPM decode via mapInPandas
+    "quantile_cutoffs",     # one-pass corpus quantile thresholds
+    "ppl_quantile_buckets",  # CCNet buckets w/ self-derived cutoffs
     # plan changed in round 7 — re-verify
     "heavy_hitters", "heavy_trigrams",  # pass-2 folded to one projection
     "bigram_ppl", "source_kl",          # size-gated broadcast hints

@@ -1714,3 +1714,42 @@ def test_synth_media_from_ids_matches_arithmetic(spark):
     assert (out[i]["width"], out[i]["height"]) == (w, h)
     assert out[i]["rms"] == round((sum(v * v for v in vals)
                                    / len(vals)) ** 0.5, 6)
+
+
+def test_quantile_thresholds_exact_and_sketch(spark):
+    """Exact mode matches numpy's linear interpolation; sketch mode is
+    within rank tolerance; bucket_by_thresholds counts cutoffs below."""
+    import numpy as np
+
+    from carbonapi_spark.datapipe.text import (
+        bucket_by_thresholds, quantile_thresholds)
+    vals = [float(v) for v in [1, 3, 3, 5, 9, 11, 20, 21, 40, 99]]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    exact = quantile_thresholds(df, "x", [0.25, 0.5, 0.9]).first()["thresholds"]
+    want = [round(float(np.percentile(vals, q * 100)), 6)
+            for q in (0.25, 0.5, 0.9)]
+    assert exact == want
+    sketch = quantile_thresholds(df, "x", [0.5], exact=False).first()["thresholds"]
+    assert abs(sketch[0] - 10.0) <= 11  # within one rank of the median
+    thr = quantile_thresholds(df, "x", [0.5])
+    b = {r["x"]: r["bucket"]
+         for r in bucket_by_thresholds(df, "x", thr).collect()}
+    assert b[1.0] == 1 and b[99.0] == 2
+
+
+def test_ppl_threshold_qs_matches_manual_cutoffs(spark):
+    """threshold_qs derives the same buckets as passing the exact
+    quantiles explicitly."""
+    from carbonapi_spark.datapipe.text import (
+        perplexity_buckets, quantile_thresholds)
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 5} shared words here more") for i in range(40)],
+        "doc_id long, text string")
+    auto = perplexity_buckets(docs, threshold_qs=[1 / 3, 2 / 3])
+    scored = auto.select("doc_id", "cross_entropy")
+    cuts = quantile_thresholds(scored, "cross_entropy",
+                               [1 / 3, 2 / 3]).first()["thresholds"]
+    manual = perplexity_buckets(docs, thresholds=list(cuts))
+    a = {r["doc_id"]: r["bucket"] for r in auto.collect()}
+    m = {r["doc_id"]: r["bucket"] for r in manual.collect()}
+    assert a == m

@@ -296,11 +296,11 @@ def test_dsir_selection_is_takeordered(spark):
     assert "BroadcastExchange" in plan
 
 
-def test_heavy_hitters_cms_broadcast_prune(spark):
-    """heavy_hitters: each of the d sketch tables must broadcast into the
-    token stream (no sort-merge join — the sketch is d*w rows at ANY
-    corpus size), and the only full-data shuffles are the sketch build
-    and the final candidate count: 2 hash-partitioned exchanges total."""
+def test_heavy_hitters_cms_probe_is_one_projection(spark):
+    """heavy_hitters pass 2: the d sketch slices ride as dense LITERAL
+    arrays probed with element_at inside one codegen projection — no
+    joins of any kind (round-7 trim of the d broadcast-join chain), one
+    token explode, and the only shuffle is the candidate count."""
     import re as _re
 
     from pyspark.sql import functions as F
@@ -311,9 +311,8 @@ def test_heavy_hitters_cms_broadcast_prune(spark):
         F.lit("alpha beta gamma alpha").alias("text"))
     plan = heavy_hitters(docs, threshold=3, w=64, d=4) \
         ._jdf.queryExecution().executedPlan().toString()
-    assert "SortMergeJoin" not in plan
-    assert len(_re.findall(r"BroadcastHashJoin", plan)) == 4
-    # sketch slices are driver-materialized local tables, NOT re-runs of
+    assert "Join" not in plan
+    # sketch slices are driver-materialized literals, NOT re-runs of
     # the sketch-build pipeline per depth: exactly ONE token explode in
     # the scoring plan, and the only shuffle is the candidate count
     assert len(_re.findall(r"Generate explode", plan)) == 1
@@ -338,3 +337,25 @@ def test_oov_rate_vocab_broadcast_topv(spark):
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
     assert len(_re.findall(r"Exchange hashpartitioning", plan)) <= 2
+
+
+def test_ppl_quantile_buckets_no_global_sort(spark):
+    """threshold_qs mode: the CCNet split with self-derived cutoffs must
+    not range-partition anywhere — the quantile is one ObjectHashAggregate
+    and bucketing is a broadcast map (vs ntile mode's global sort)."""
+    from pyspark.sql import functions as F
+
+    from carbonapi_spark.datapipe.text import perplexity_buckets
+    docs = spark.range(64).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("w"), (F.col("id") % 7).cast("string"),
+                 F.lit(" common text")).alias("text"))
+    plan = perplexity_buckets(docs, threshold_qs=[1 / 3, 2 / 3]) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" not in plan.lower()
+    # the window function ntile( — NOT the substring inside "percentile"
+    assert not re.search(r"(?<!perce)ntile\(", plan.lower())
+    # the ntile mode DOES carry a global-order window — the contrast pin
+    plan_ntile = perplexity_buckets(docs, buckets=3) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"(?<!perce)ntile\(", plan_ntile.lower())
