@@ -2921,6 +2921,129 @@ FROM __img
 """.strip())
 
 
+def _q_stream_dedup_replay(spark, sf_dir):
+    """Streaming EXACT dedup on the driver scoreboard, via the
+    availableNow replay pattern proved by ``stream_minhash_replay``:
+    the documents slice runs through ``stream_dedup_exact``'s
+    applyInPandasWithState kernel as a file stream, and the emitted
+    content hashes are gathered with foreachBatch.  The kernel emits
+    exactly ONE row per distinct content hash regardless of batch
+    arrival, so the hash SET equals batch exact-dedup — the same
+    invariant the restart pytest pins across checkpoints.  The keeper
+    doc id is arrival-order-dependent within a micro-batch (streaming
+    semantics: FIRST seen wins, not MIN id), so the scoreboard row
+    checks the deterministic hash set."""
+    import tempfile
+
+    from carbonapi_spark.streaming.stateful import stream_dedup_exact
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (spark.readStream.schema(schema)
+              .option("pathGlobFilter", "documents.parquet")
+              .parquet(sf_dir)
+              .where(F.col("doc_id") < 500))
+    out = stream_dedup_exact(stream)
+    rows: set = set()
+
+    def sink(bdf, _bid):
+        rows.update(r["h"] for r in bdf.select("h").collect())
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        with tempfile.TemporaryDirectory() as ckpt:
+            q = (out.writeStream.foreachBatch(sink)
+                 .option("checkpointLocation", ckpt)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    return spark.createDataFrame([(h,) for h in sorted(rows)] or [],
+                                 "h LONG")
+
+
+def _stream_dedup_oracle() -> str:
+    from carbonapi_spark.oracle_xxh64 import xxh64_ctes
+    return f"""
+WITH __t AS (SELECT DISTINCT text AS t FROM documents WHERE doc_id < 500),
+{xxh64_ctes('__t', 't', 'h64', '__xxh')}
+SELECT DISTINCT h64 AS h FROM __xxh
+""".strip()
+
+
+_register("stream_dedup_replay", _q_stream_dedup_replay,
+          _stream_dedup_oracle())
+
+
+def _q_stream_sessionize_replay(spark, sf_dir):
+    """STREAMING sessionize on the scoreboard: the events table replayed
+    through the watermarked ``session_window`` aggregation (the
+    engine-managed dynamic-gap merge — declarative streaming state, not
+    a Python kernel) with an availableNow trigger.  Append mode emits a
+    session once the watermark passes its end, so the replay yields
+    exactly the batch sessions with ``session_end <= max(ts) - 1h`` —
+    the final sessions stay open awaiting events that never come, which
+    IS the streaming semantics (pinned here: the oracle applies the same
+    watermark cutoff to the lag-gap-cumsum replay).  The parquet ts is
+    TIMESTAMP_NTZ; watermarks require TIMESTAMP, hence the cast (session
+    timezone is UTC in both engines)."""
+    import tempfile
+
+    from carbonapi_spark.streaming.sessions import sessionize
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (spark.readStream.schema(schema)
+              .option("pathGlobFilter", "events.parquet")
+              .parquet(sf_dir)
+              .withColumn("ts", F.to_timestamp(F.col("ts"))))
+    out = sessionize(stream, key_col="user_id", time_col="ts",
+                     gap="4 hours", watermark="1 hour")
+    rows: list = []
+
+    def sink(bdf, _bid):
+        rows.extend(bdf.withColumn("sum_value", F.round("sum_value", 6))
+                    .collect())
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        with tempfile.TemporaryDirectory() as ckpt:
+            q = (out.writeStream.foreachBatch(sink)
+                 .option("checkpointLocation", ckpt)
+                 .outputMode("append")
+                 .trigger(availableNow=True).start())
+            q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    return spark.createDataFrame(
+        [(r["user_id"], r["session_start"], r["session_end"],
+          r["n_events"], r["sum_value"]) for r in rows] or [],
+        "user_id LONG, session_start LONG, session_end LONG, "
+        "n_events LONG, sum_value DOUBLE")
+
+
+_register("stream_sessionize_replay", _q_stream_sessionize_replay, """
+WITH __e AS (SELECT user_id, ts, value,
+                    CASE WHEN ts >= lag(ts) OVER w + INTERVAL 4 HOUR
+                              OR lag(ts) OVER w IS NULL
+                         THEN 1 ELSE 0 END AS new_s
+             FROM events
+             WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+__s AS (SELECT user_id, ts, value,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM __e),
+__sess AS (SELECT user_id, min(ts) AS st, max(ts) AS et,
+                  count(*) AS n_events, round(sum(value), 6) AS sum_value
+           FROM __s GROUP BY user_id, sid),
+__wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS wm FROM events)
+SELECT user_id,
+       CAST(floor(epoch(st)) AS BIGINT) AS session_start,
+       CAST(floor(epoch(et + INTERVAL 4 HOUR)) AS BIGINT) AS session_end,
+       n_events, sum_value
+FROM __sess CROSS JOIN __wm
+WHERE et + INTERVAL 4 HOUR <= wm
+""".strip())
+
+
 def _q_quantile_cutoffs(spark, sf_dir):
     """One-pass corpus quantile cutoffs (the CCNet threshold-derivation
     step): exact ``percentile`` over per-doc token counts — ONE
@@ -3003,6 +3126,8 @@ _DRIVER_PREFIX = [
     "multimodal_features",  # real stdlib WAV/PPM decode via mapInPandas
     "quantile_cutoffs",     # one-pass corpus quantile thresholds
     "ppl_quantile_buckets",  # CCNet buckets w/ self-derived cutoffs
+    "stream_dedup_replay",  # streaming exact dedup, availableNow replay
+    "stream_sessionize_replay",  # watermarked session_window replay
     # plan changed in round 7 — re-verify
     "heavy_hitters", "heavy_trigrams",  # pass-2 folded to one projection
     "bigram_ppl", "source_kl",          # size-gated broadcast hints
