@@ -110,22 +110,87 @@ def ivf_centroids(dim: int, n_centroids: int, seed: int = 43) -> list[list[float
     return out
 
 
+def _cell_score_sql(vec_sql: str, cents: list[list[float]],
+                    l2: bool = False) -> str:
+    """SQL array of per-cell scores, higher = closer: plain dots for
+    unit-norm spherical cells, ``2 e.c - |c|^2`` for trained (Voronoi)
+    centroids — argmin L2 with the shared ``|e|^2`` dropped."""
+    if not l2:
+        return "array(" + ",".join(_dot_sql(vec_sql, c)
+                                   for c in cents) + ")"
+    return "array(" + ",".join(
+        f"(2.0D * {_dot_sql(vec_sql, c)} - {sum(x * x for x in c)!r}D)"
+        for c in cents) + ")"
+
+
+def kmeans_centroids(vecs: DataFrame, k: int = 8, iters: int = 2,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     round_dp: int = 6) -> list[list[float]]:
+    """Distributed Lloyd k-means: the TRAINED coarse quantizer for
+    IVF/IVFADC (Jegou et al., TPAMI 2011 train the coarse quantizer with
+    k-means; seeded spherical cells are fine on clustered corpora but
+    recall sags on real embedding distributions).
+
+    The physical shape is textbook distributed k-means: centroids
+    broadcast as literals into ONE corpus pass per iteration (argmin of
+    ``|c|^2 - 2 e.c`` — the shared ``|e|^2`` drops out of the argmin),
+    then a per-(cell, coordinate) mean via posexplode + hash agg; only
+    the k x dim mean table is collected per iteration (driver-bounded,
+    like the CMS sketch).  No sampling, no driver-side numpy over the
+    corpus — the same code trains on 100 TB.
+
+    Determinism for the catalog oracle: init = first ``k`` vectors by id,
+    assignment ties break to the lowest cell, and every centroid
+    coordinate is rounded to ``round_dp`` after each update, so DuckDB
+    replays the whole training loop; assignment argmins are protected by
+    measured fp margins (see the catalog entry's oracle docstring)."""
+    v = f"cast({vec_col} as array<double>)"
+    init = (vecs.orderBy(id_col).limit(k)
+            .selectExpr(f"{v} as __e").collect())
+    cents = [[round(float(x), round_dp) for x in r["__e"]] for r in init]
+    for _ in range(iters):
+        scores = _cell_score_sql("__e", cents, l2=True)
+        means = (vecs.selectExpr(f"{v} as __e")
+                 .selectExpr("__e", f"{scores} as __d")
+                 .selectExpr("__e",
+                             "array_position(__d, array_max(__d)) as __cell")
+                 .select("__cell", F.posexplode("__e").alias("__i", "__x"))
+                 .groupBy("__cell", "__i")
+                 .agg(F.round(F.avg("__x"), round_dp).alias("__c"))
+                 .collect())
+        new = [list(c) for c in cents]  # empty cells keep their centroid
+        for r in means:
+            new[r["__cell"] - 1][r["__i"]] = float(r["__c"])
+        cents = new
+    return cents
+
+
 def ivf_topk(corpus: DataFrame, query: DataFrame, k: int = 10,
              id_col: str = "vec_id", vec_col: str = "embedding",
              dim: int = 64, n_centroids: int = 16, nprobe: int = 2,
-             seed: int = 43) -> DataFrame:
+             seed: int = 43,
+             centroids: list[list[float]] | None = None) -> DataFrame:
     """IVF-style approximate top-k: the alternative scale path to
     ``lsh_topk``. Every corpus vector is assigned to ONE cell (argmax dot
     with the centroid directions); each query probes its ``nprobe`` best
     cells. The corpus side stays single-row-per-vector (no expansion at
     all — cheaper than multi-probe LSH's query expansion is on the query
-    side here too), and the join is a cell-key equi-join."""
+    side here too), and the join is a cell-key equi-join.
+
+    ``centroids=`` supplies a TRAINED coarse quantizer (e.g.
+    :func:`kmeans_centroids`) instead of the seeded spherical one
+    (``n_centroids``/``seed`` are then ignored).  Trained centroids are
+    a Voronoi (L2) quantizer, so assignment/probing score by
+    ``2 e.c - |c|^2`` — argmin squared distance with the shared
+    ``|e|^2`` dropped — while unit-norm spherical cells keep the plain
+    argmax dot (the two coincide when ``|c|`` is constant)."""
     from carbonapi_spark.datapipe import spread
     corpus = spread(corpus, min_bytes=256 << 10)  # centroid-dot HOFs
-    cents = ivf_centroids(dim, n_centroids, seed)
+    cents = (centroids if centroids is not None
+             else ivf_centroids(dim, n_centroids, seed))
     v = f"cast({vec_col} as array<double>)"
-    # one SQL string for all centroid dots (one parse, no per-lit py4j)
-    cell_dots = "array(" + ",".join(_dot_sql(v, c) for c in cents) + ")"
+    # one SQL string for all centroid scores (one parse, no per-lit py4j)
+    cell_dots = _cell_score_sql(v, cents, l2=centroids is not None)
 
     c = (corpus.selectExpr(f"{id_col} as neighbor_id", f"{v} as __cv",
                            f"{cell_dots} as __d")
@@ -433,17 +498,17 @@ def _exact_rerank(corpus: DataFrame, query: DataFrame, cand: DataFrame,
 def ivfpq_encode(df: DataFrame, codebooks: list[list[list[float]]],
                  centroids: list[list[float]], id_col: str = "vec_id",
                  vec_col: str = "embedding", cell_col: str = "cell",
-                 code_col: str = "codes") -> DataFrame:
+                 code_col: str = "codes", l2_cells: bool = False) -> DataFrame:
     """(id, cell, codes): the persisted IVFADC index table — coarse cell
-    assignment (argmax dot with the centroid directions, ties to the
-    lowest cell) plus PQ codes, one stateless projection over the raw
-    vectors. Write it once at ingest, partitioned by ``cell``, and
+    assignment (argmax cell score, ties to the lowest cell; dot for
+    spherical cells, ``2 e.c - |c|^2`` for trained Voronoi centroids via
+    ``l2_cells=True``) plus PQ codes, one stateless projection over the
+    raw vectors. Write it once at ingest, partitioned by ``cell``, and
     ``ivfpq_topk(codes=...)`` probes it without touching raw embeddings."""
     from carbonapi_spark.datapipe import spread
     df = spread(df, min_bytes=256 << 10)  # cell-dot + argmin HOFs
     v = f"cast({vec_col} as array<double>)"
-    cell_dots = "array(" + ",".join(
-        _dot_sql(v, c) for c in centroids) + ")"
+    cell_dots = _cell_score_sql(v, centroids, l2=l2_cells)
     return (df.selectExpr(id_col, f"{cell_dots} as __d",
                           f"{_pq_code_sql(v, codebooks)} as {code_col}")
             .withColumn(cell_col,
@@ -459,7 +524,8 @@ def ivfpq_topk(corpus: DataFrame, query: DataFrame, k: int = 10,
                seed: int = 44,
                codebooks: list[list[list[float]]] | None = None,
                codes: DataFrame | None = None, cell_col: str = "cell",
-               code_col: str = "codes", refine: int | None = None
+               code_col: str = "codes", refine: int | None = None,
+               centroids: list[list[float]] | None = None
                ) -> DataFrame:
     """IVFADC — the FAISS ``IVFx,PQy`` composition (Jegou et al., TPAMI
     2011, sec. V): a coarse spherical quantizer (``ivf_centroids``)
@@ -478,22 +544,29 @@ def ivfpq_topk(corpus: DataFrame, query: DataFrame, k: int = 10,
     ``ivfpq_encode`` table so raw embeddings are never rescanned
     (stage-2 refine still gathers its r*|q| vectors by id semi-join).
 
+    ``centroids=`` supplies a trained coarse quantizer
+    (:func:`kmeans_centroids`); cells then score by L2 (``2 e.c -
+    |c|^2``) on both the corpus and probe sides, matching the training
+    metric.
+
     Deterministic for fixed seeds — the DuckDB oracle replays cell
     assignment, encoding, probe ranking, and ADC bit-for-bit."""
     cbs = codebooks if codebooks is not None else pq_codebooks(
         dim, m, ksub, seed)
     dsub = len(cbs[0][0])
-    cents = ivf_centroids(dim, n_centroids, cell_seed)
+    l2_cells = centroids is not None
+    cents = (centroids if centroids is not None
+             else ivf_centroids(dim, n_centroids, cell_seed))
     if codes is not None:
         c = codes.select(F.col(id_col).alias("neighbor_id"),
                          F.col(cell_col).alias("__cell"),
                          F.col(code_col).alias("__codes"))
     else:
         c = (ivfpq_encode(corpus, cbs, cents, id_col, vec_col,
-                          "__cell", "__codes")
+                          "__cell", "__codes", l2_cells=l2_cells)
              .withColumnRenamed(id_col, "neighbor_id"))
     qv = f"cast({vec_col} as array<double>)"
-    cell_dots = "array(" + ",".join(_dot_sql(qv, ct) for ct in cents) + ")"
+    cell_dots = _cell_score_sql(qv, cents, l2=l2_cells)
     dtab = "array(" + ",".join(
         _sqdists_sql(qv, cbs[j], j, dsub) for j in range(len(cbs))) + ")"
     q0 = (query.selectExpr(f"{id_col} as query_id", f"{dtab} as __dtab",
@@ -668,3 +741,92 @@ def semantic_dup_pairs(vecs: DataFrame, id_col: str = "vec_id",
                     F.round(dot(F.col("__av"), F.col("__bv")), 6)
                     .alias("cos_sim"))
             .where(F.col("cos_sim") >= tau))
+
+
+# ------------------------------------------------------- durable ANN index
+
+def write_ann_index(df: DataFrame, path: str,
+                    codebooks: list[list[list[float]]],
+                    centroids: list[list[float]],
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    l2_cells: bool = False) -> None:
+    """Persist the IVFADC index as a partitioned Parquet layout:
+
+      {path}/codes/cell=N/...   (id, codes)  — partitioned BY CELL, so a
+                                probe's cell set becomes Parquet
+                                partition pruning (the scan reads only
+                                ~nprobe/n_centroids of the index)
+      {path}/centroids          (cell, emb, l2)
+      {path}/codebooks          (m, code, sub)
+
+    The ``write_training_shards`` analog for the ANN family: encode once
+    at ingest, then every query batch probes the durable artifact without
+    touching raw embeddings."""
+    spark = df.sparkSession
+    codes = ivfpq_encode(df, codebooks, centroids, id_col, vec_col,
+                         l2_cells=l2_cells)
+    codes.write.mode("overwrite").partitionBy("cell") \
+        .parquet(f"{path}/codes")
+    spark.createDataFrame(
+        [(i + 1, c, l2_cells) for i, c in enumerate(centroids)],
+        "cell INT, emb ARRAY<DOUBLE>, l2 BOOLEAN") \
+        .coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    spark.createDataFrame(
+        [(j, cw, list(map(float, codebooks[j][cw])))
+         for j in range(len(codebooks)) for cw in range(len(codebooks[j]))],
+        "m INT, code INT, sub ARRAY<DOUBLE>") \
+        .coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+
+
+def read_ann_index(spark, path: str):
+    """(codes DataFrame, centroids, codebooks, l2_cells) from
+    :func:`write_ann_index`'s layout. Centroids/codebooks are
+    model-sized (k x dim, m x ksub x dsub) — driver lists by design."""
+    codes = spark.read.parquet(f"{path}/codes")
+    crows = spark.read.parquet(f"{path}/centroids").collect()
+    crows.sort(key=lambda r: r["cell"])
+    centroids = [list(r["emb"]) for r in crows]
+    l2_cells = bool(crows[0]["l2"]) if crows else False
+    brows = spark.read.parquet(f"{path}/codebooks").collect()
+    mmax = max((r["m"] for r in brows), default=-1)
+    codebooks: list[list[list[float]]] = [[] for _ in range(mmax + 1)]
+    for r in sorted(brows, key=lambda r: (r["m"], r["code"])):
+        codebooks[r["m"]].append(list(r["sub"]))
+    return codes, centroids, codebooks, l2_cells
+
+
+def ann_index_topk(spark, path: str, query: DataFrame, k: int = 10,
+                   nprobe: int = 2, refine: int | None = None,
+                   corpus: DataFrame | None = None,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """Probe a durable :func:`write_ann_index` artifact.
+
+    The query batch is small by definition, so its probe cells are
+    computed DRIVER-SIDE and applied to the codes scan as a literal
+    ``cell IN (...)`` predicate — STATIC Parquet partition pruning (the
+    plan shows PartitionFilters; only the probed cell directories are
+    read), which at 100 TB is the difference between scanning the whole
+    index and ~nprobe/n_centroids of it.  ``refine=`` needs ``corpus``
+    (raw vectors) for the exact rerank of the ADC top-``refine``."""
+    codes, cents, cbs, l2_cells = read_ann_index(spark, path)
+    dim = len(cents[0])
+    v = f"cast({vec_col} as array<double>)"
+    scores = _cell_score_sql(v, cents, l2=l2_cells)
+    probe_rows = (query.selectExpr(f"{id_col} as query_id",
+                                   f"{scores} as __d")
+                  .select("query_id",
+                          F.posexplode("__d").alias("__pos", "__s"))
+                  .withColumn("__rk", F.row_number().over(
+                      Window.partitionBy("query_id")
+                      .orderBy(F.col("__s").desc(), F.col("__pos"))))
+                  .where(F.col("__rk") <= nprobe)
+                  .select((F.col("__pos") + 1).cast("int").alias("cell"))
+                  .distinct().collect())
+    cells = sorted(r["cell"] for r in probe_rows)
+    pruned = codes.where(F.col("cell").isin(cells))
+    return ivfpq_topk(corpus, query, k=k, id_col=id_col, vec_col=vec_col,
+                      dim=dim, nprobe=nprobe, codebooks=cbs,
+                      codes=pruned, refine=refine, centroids=(
+                          cents if l2_cells else None),
+                      n_centroids=len(cents))

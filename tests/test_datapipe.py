@@ -1753,3 +1753,32 @@ def test_ppl_threshold_qs_matches_manual_cutoffs(spark):
     a = {r["doc_id"]: r["bucket"] for r in auto.collect()}
     m = {r["doc_id"]: r["bucket"] for r in manual.collect()}
     assert a == m
+
+
+def test_ann_index_roundtrip_and_equivalence(spark, tmp_path):
+    """write_ann_index -> read_ann_index -> ann_index_topk equals the
+    in-memory ivfpq_topk on the same seeds, for both spherical and
+    kmeans-trained (L2) coarse quantizers."""
+    from pyspark.sql import functions as F
+
+    from carbonapi_spark.datapipe.similarity import (
+        ann_index_topk, ivf_centroids, ivfpq_topk, kmeans_centroids,
+        pq_codebooks, write_ann_index)
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 3)
+    for l2 in (False, True):
+        cents = (kmeans_centroids(emb, k=4, iters=1) if l2
+                 else ivf_centroids(64, 4, 43))
+        cbs = pq_codebooks(64, 8, 16, 44)
+        path = str(tmp_path / ("l2" if l2 else "dot"))
+        write_ann_index(emb, path, cbs, cents, l2_cells=l2)
+        got = ann_index_topk(spark, path, q, k=5, nprobe=2,
+                             refine=10, corpus=emb)
+        want = ivfpq_topk(emb, q, k=5, dim=64, nprobe=2, codebooks=cbs,
+                          centroids=cents if l2 else None,
+                          n_centroids=4, refine=10)
+        g = {(r["query_id"], r["neighbor_id"], r["cos_sim"])
+             for r in got.collect()}
+        w = {(r["query_id"], r["neighbor_id"], r["cos_sim"])
+             for r in want.collect()}
+        assert g == w, f"l2={l2}"

@@ -359,3 +359,23 @@ def test_ppl_quantile_buckets_no_global_sort(spark):
     plan_ntile = perplexity_buckets(docs, buckets=3) \
         ._jdf.queryExecution().executedPlan().toString()
     assert re.search(r"(?<!perce)ntile\(", plan_ntile.lower())
+
+
+def test_ann_index_probe_partition_prunes(spark, tmp_path):
+    """The durable-index probe must reach the codes scan as a LITERAL
+    cell predicate — static Parquet partition pruning (PartitionFilters),
+    reading only the probed cell directories."""
+    from pyspark.sql import functions as F
+
+    from carbonapi_spark.datapipe.similarity import (
+        ivf_centroids, pq_codebooks, read_ann_index, write_ann_index)
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "idx")
+    write_ann_index(emb, path, pq_codebooks(64, 8, 16, 44),
+                    ivf_centroids(64, 4, 43))
+    codes, _, _, _ = read_ann_index(spark, path)
+    pruned = codes.where(F.col("cell").isin([1, 3]))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[[^\]]*cell", plan), plan[:800]
+    # and the pruned scan reads fewer partition dirs than exist
+    assert pruned.select("cell").distinct().count() <= 2
