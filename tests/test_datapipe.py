@@ -264,7 +264,9 @@ def test_multimodal_injected_codec(spark):
             extract_features(media, decode=fake_codec).collect()}
     assert len(rows) == 6
     for mid, r in rows.items():
-        assert r["feature"][0] == float(r["n_bytes"]) == 64.0 + mid
+        # synth_media payloads are now real containers (variable length);
+        # the codec sees the raw bytes either way
+        assert r["feature"][0] == float(r["n_bytes"]) > 0
         assert r["feature"][1] == (1.0 if r["kind"] == "audio" else 0.0)
 
 
