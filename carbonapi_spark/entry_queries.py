@@ -3117,6 +3117,62 @@ WHERE et + INTERVAL 4 HOUR <= wm
 """.strip())
 
 
+def _q_stream_per_second_replay(spark, sf_dir):
+    """Streaming perSecond on the scoreboard: a 4-series counter stream
+    (keyed by event_id so timestamps are unique and monotonic per
+    series) replayed through ``stream_per_second``'s
+    applyInPandasWithState kernel.  The kernel sorts each Arrow chunk by
+    ts and the slice (8000 events -> 2000 rows/series) fits one chunk,
+    so the replay is arrival-order-free; wrap skipping (negative deltas
+    dropped, seam still advances) is exercised by the unsorted values.
+    Oracle = the lag-based rate with the same wrap rule."""
+    import tempfile
+
+    from carbonapi_spark.streaming.stateful import stream_per_second
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (spark.readStream.schema(schema)
+              .option("pathGlobFilter", "events.parquet")
+              .parquet(sf_dir)
+              .where(F.col("event_id") < 8000)
+              .select(F.concat(F.lit("e"),
+                               (F.col("event_id") % 4).cast("string"))
+                      .alias("name"),
+                      F.col("event_id").alias("ts"),
+                      F.col("value")))
+    out = stream_per_second(stream)
+    rows: list = []
+
+    def sink(bdf, _bid):
+        rows.extend(bdf.withColumn("value", F.round("value", 6)).collect())
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        with tempfile.TemporaryDirectory() as ckpt:
+            q = (out.writeStream.foreachBatch(sink)
+                 .option("checkpointLocation", ckpt)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    return spark.createDataFrame(
+        [(r["name"], r["ts"], r["value"]) for r in rows] or [],
+        "name STRING, ts LONG, value DOUBLE")
+
+
+_register("stream_per_second_replay", _q_stream_per_second_replay, """
+WITH __s AS (SELECT 'e' || CAST(event_id % 4 AS VARCHAR) AS name,
+                    event_id AS ts, value
+             FROM events WHERE event_id < 8000),
+__l AS (SELECT name, ts, value,
+               lag(ts) OVER w AS pts, lag(value) OVER w AS pv
+        FROM __s WINDOW w AS (PARTITION BY name ORDER BY ts))
+SELECT name, ts, round((value - pv) / (ts - pts), 6) AS value
+FROM __l
+WHERE pts IS NOT NULL AND ts > pts AND value - pv >= 0
+""".strip())
+
+
 def _q_quantile_cutoffs(spark, sf_dir):
     """One-pass corpus quantile cutoffs (the CCNet threshold-derivation
     step): exact ``percentile`` over per-doc token counts — ONE
@@ -3202,6 +3258,7 @@ _DRIVER_PREFIX = [
     "stream_dedup_replay",  # streaming exact dedup, availableNow replay
     "stream_sessionize_replay",  # watermarked session_window replay
     "ivf_kmeans_topk",      # IVF over Lloyd-trained (replayable) centroids
+    "stream_per_second_replay",  # stateful counter->rate kernel replay
     # plan changed in round 7 — re-verify
     "heavy_hitters", "heavy_trigrams",  # pass-2 folded to one projection
     "bigram_ppl", "source_kl",          # size-gated broadcast hints
