@@ -836,3 +836,77 @@ def char_entropy(df: DataFrame, text_col: str = "text",
                            F.log2("__n") - F.col("__slog") / F.col("__n")),
                     6),
             F.lit(0.0)).alias("entropy"))
+
+
+def normalize_unicode(text: "Column", form: str = "NFC") -> "Column":
+    """Unicode normalization (NFC by default) — the canonicalization pass
+    run before hashing/dedup so that composed and decomposed encodings of
+    the same text (e.g. ``é`` vs ``e + U+0301``) collide.
+
+    There is no Spark builtin for this, so it is an Arrow-batched pandas
+    UDF around ``unicodedata.normalize`` — one Python crossing per batch,
+    a pure map over the scan (no shuffle); the DuckDB oracle replays it
+    with ``nfc_normalize``.  Compose with ``normalized_dedup``'s
+    lower/strip/ws-collapse for the full RefinedWeb-style key."""
+    import unicodedata
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # NOTE: explicit pd.Series annotations, not the module's
+    # `from __future__ import annotations` strings — pandas_udf resolves
+    # the eval type from REAL hints (string hints raise
+    # UNSUPPORTED_SIGNATURE on Spark 4.1)
+    def _norm(s):
+        return s.map(lambda t: unicodedata.normalize(form, t)
+                     if t is not None else None)
+    _norm.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(_norm, "string")(text)
+
+
+HTML_ENTITIES: list[tuple[str, str]] = [
+    # decoded AFTER tag stripping; &amp; LAST so bare entities are not
+    # double-unescaped (the classic ordering bug)
+    ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"),
+    ("&nbsp;", " "), ("&amp;", "&"),
+]
+
+
+def html_strip(text: Column) -> Column:
+    """Markup -> prose: drop <script>/<style> blocks wholesale, strip
+    remaining tags (replaced by a space so words don't fuse), decode the
+    common entities, collapse whitespace.  The crawl-pipeline cleaning
+    pass before any text statistic; chained ``regexp_replace`` stays ONE
+    codegen projection over the scan — no Python, no shuffle — and every
+    pattern is RE2-compatible so the DuckDB oracle replays it verbatim."""
+    # two separate block patterns: RE2 (the oracle engine) has no
+    # backreferences, so <(script|style)>...</\1> is not portable
+    out = F.regexp_replace(text, r"(?is)<script[^>]*>.*?</script>", " ")
+    out = F.regexp_replace(out, r"(?is)<style[^>]*>.*?</style>", " ")
+    out = F.regexp_replace(out, r"(?s)<!--.*?-->", " ")
+    out = F.regexp_replace(out, r"<[^>]*>", " ")
+    for ent, repl in HTML_ENTITIES:
+        out = F.regexp_replace(out, ent, repl)
+    return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
+def per_group_cap(df: DataFrame, n: int, group_col: str = "source",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Deterministic per-group quota: keep at most ``n`` rows per group,
+    chosen by ascending ``xxhash64(id)`` — an unbiased, reproducible
+    sample that caps hot groups (the 'no domain may exceed N documents'
+    curation rule; C4 and RefinedWeb both cap hot hosts).
+
+    Exact mode: one shuffle on the group key + a per-group rank window.
+    At lake scale a single mega-group makes that window's sort the
+    straggler; there, pre-filter with the same hash against a per-group
+    rate gate (count agg, broadcast back — ``temperature_mix``'s shape)
+    sized to ~4n survivors, then run this exact window on the survivors:
+    the gate keeps a hash-prefix superset, so the final top-n-by-hash is
+    unchanged as long as >= n rows survive (factor-4 slack makes the
+    failure probability negligible; a count assertion catches it)."""
+    from pyspark.sql.window import Window
+    h = F.xxhash64(F.col(id_col).cast("string"))
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (df.withColumn("__rk", F.row_number().over(w))
+            .where(F.col("__rk") <= n).drop("__rk"))

@@ -2994,6 +2994,92 @@ FROM __img
 """.strip())
 
 
+def _q_norm_unicode(spark, sf_dir):
+    """Unicode NFC canonicalization (pre-dedup normalization): the doc
+    text is prefixed with DECOMPOSED accents (e + U+0301 etc.) so the op
+    has real work; Spark runs the Arrow-batched unicodedata kernel, the
+    oracle replays with DuckDB's nfc_normalize.  A no-op kernel would
+    leave the combining marks and hash-mismatch."""
+    from carbonapi_spark.datapipe.text import normalize_unicode
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    dirty = F.concat(F.lit("résumé — "), F.col("text"))
+    return docs.where(F.col("doc_id") < 500).select(
+        "doc_id", normalize_unicode(dirty).alias("norm_text"))
+
+
+_register("norm_unicode", _q_norm_unicode, """
+SELECT doc_id, nfc_normalize('résumé — ' || text)
+       AS norm_text
+FROM documents WHERE doc_id < 500
+""".strip())
+
+
+def _q_html_strip(spark, sf_dir):
+    """Markup->prose cleaning: docs are wrapped in a deterministic HTML
+    template (tags, a script block, a comment, entities) and stripped by
+    the one-projection regexp chain; the oracle replays the SAME chain
+    in RE2 (every pattern is portable — no backreferences)."""
+    from carbonapi_spark.datapipe.text import html_strip
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    wrapped = F.concat(
+        F.lit('<html><body><p class="x">'), F.col("text"),
+        F.lit('</p><script type="text/javascript">var x = 1 < 2;'
+              '</script><!-- note --> Tom &amp; co &lt;ok&gt;'
+              '&nbsp;&quot;q&#39;s&quot;</body></html>'))
+    return docs.where(F.col("doc_id") < 500).select(
+        "doc_id", html_strip(wrapped).alias("clean"))
+
+
+_register("html_strip", _q_html_strip, r"""
+WITH __w AS (SELECT doc_id,
+    '<html><body><p class="x">' || text ||
+    '</p><script type="text/javascript">var x = 1 < 2;' ||
+    '</script><!-- note --> Tom &amp; co &lt;ok&gt;' ||
+    '&nbsp;&quot;q&#39;s&quot;</body></html>' AS h
+  FROM documents WHERE doc_id < 500)
+SELECT doc_id,
+  trim(regexp_replace(
+    replace(replace(replace(replace(replace(replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(h, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+            '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+          '(?s)<!--.*?-->', ' ', 'g'),
+        '<[^>]*>', ' ', 'g'),
+      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+      '&nbsp;', ' '), '&amp;', '&'),
+    '\s+', ' ', 'g')) AS clean
+FROM __w
+""".strip())
+
+
+def _q_source_cap(spark, sf_dir):
+    """Per-group quota sampling (cap hot domains): keep at most 20 docs
+    per source, chosen by ascending xxhash64(doc_id) — deterministic,
+    unbiased, exactly replayed by the SQL XXH64 + row_number."""
+    from carbonapi_spark.datapipe.text import per_group_cap
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return per_group_cap(docs, 20).select("doc_id", "source")
+
+
+def _source_cap_oracle() -> str:
+    from carbonapi_spark.oracle_xxh64 import xxh64_ctes
+    return f"""
+WITH __k AS (SELECT doc_id, source, CAST(doc_id AS VARCHAR) AS t
+             FROM documents),
+{xxh64_ctes('__k', 't', 'h64', '__x')}
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY h64, doc_id) AS rk
+  FROM __x)
+WHERE rk <= 20
+""".strip()
+
+
+_register("source_cap", _q_source_cap, _source_cap_oracle())
+
+
 def _q_stream_dedup_replay(spark, sf_dir):
     """Streaming EXACT dedup on the driver scoreboard, via the
     availableNow replay pattern proved by ``stream_minhash_replay``:
@@ -3259,6 +3345,9 @@ _DRIVER_PREFIX = [
     "stream_sessionize_replay",  # watermarked session_window replay
     "ivf_kmeans_topk",      # IVF over Lloyd-trained (replayable) centroids
     "stream_per_second_replay",  # stateful counter->rate kernel replay
+    "norm_unicode",         # NFC canonicalization (Arrow-batched kernel)
+    "html_strip",           # markup->prose one-projection regexp chain
+    "source_cap",           # per-group quota sampling (hot-domain cap)
     # plan changed in round 7 — re-verify
     "heavy_hitters", "heavy_trigrams",  # pass-2 folded to one projection
     "bigram_ppl", "source_kl",          # size-gated broadcast hints

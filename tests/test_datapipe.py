@@ -1784,3 +1784,52 @@ def test_ann_index_roundtrip_and_equivalence(spark, tmp_path):
         w = {(r["query_id"], r["neighbor_id"], r["cos_sim"])
              for r in want.collect()}
         assert g == w, f"l2={l2}"
+
+
+def test_normalize_unicode_nfc(spark):
+    """Composed and decomposed encodings collide after normalization."""
+    from carbonapi_spark.datapipe.text import normalize_unicode
+    df = spark.createDataFrame(
+        [(0, "café"), (1, "café"), (2, None)],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["n"] for r in
+           df.select("doc_id",
+                     normalize_unicode(F.col("text")).alias("n")).collect()}
+    assert out[0] == out[1] == "café"
+    assert out[2] is None
+
+
+def test_html_strip_known_cases(spark):
+    from carbonapi_spark.datapipe.text import html_strip
+    cases = {
+        "<p>a</p><p>b</p>": "a b",
+        "<script>var x = '<p>';</script>keep": "keep",
+        "<STYLE type='a'>.x{}</STYLE>y": "y",
+        "a &amp;&nbsp;b &lt;tag&gt;": "a & b <tag>",
+        "<!-- hidden -->shown": "shown",
+        "A&amp;lt;B": "A&lt;B",  # &amp; decoded LAST: no double-unescape
+    }
+    df = spark.createDataFrame([(i, t) for i, (t, _) in
+                                enumerate(cases.items())],
+                               "id long, text string")
+    got = {r["id"]: r["c"] for r in
+           df.select("id", html_strip(F.col("text")).alias("c")).collect()}
+    for i, want in enumerate(cases.values()):
+        assert got[i] == want, (i, got[i], want)
+
+
+def test_per_group_cap(spark):
+    from carbonapi_spark.datapipe.text import per_group_cap
+    df = spark.createDataFrame(
+        [(i, "big" if i < 50 else "small") for i in range(53)],
+        "doc_id long, source string")
+    out = per_group_cap(df, 5, id_col="doc_id")
+    by = {}
+    for r in out.collect():
+        by.setdefault(r["source"], []).append(r["doc_id"])
+    assert len(by["big"]) == 5
+    assert sorted(by["small"]) == [50, 51, 52]  # under the cap: untouched
+    # deterministic across runs
+    again = {r["doc_id"] for r in per_group_cap(df, 5, id_col="doc_id")
+             .collect() if r["source"] == "big"}
+    assert set(by["big"]) == again
