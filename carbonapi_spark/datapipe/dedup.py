@@ -589,3 +589,37 @@ def minhash_incremental_candidates(new_docs: DataFrame, index: DataFrame,
                                 element_at(ms, i).nw + x.nw as nn)),
                   p -> p.nn > 0 and p.id_a != p.id_b)))) as p""")
         .select("p.id_a", "p.id_b").distinct())
+
+
+def lsh_candidate_probability(s: float, bands: int, rows: int) -> float:
+    """P[candidate] for a pair with true Jaccard ``s`` under (b, r)
+    banding: 1 - (1 - s^r)^b — the S-curve every LSH textbook plots."""
+    return 1.0 - (1.0 - s ** rows) ** bands
+
+
+def minhash_band_plan(num_hashes: int, threshold: float
+                      ) -> tuple[int, int, float]:
+    """(bands, rows, curve_threshold) for a target Jaccard ``threshold``:
+    among the divisors of ``num_hashes``, pick the banding whose S-curve
+    midpoint ``(1/b)^(1/r)`` lands closest to the target (Leskovec/
+    Rajaraman/Ullman, Mining of Massive Datasets §3.4.3 — steeper curves
+    need more hashes, this picks the best achievable with K).
+
+    Driver-side arithmetic only; feed the result straight into
+    ``minhash_lsh_candidates(num_hashes=K, bands=b)``.  Raising K
+    tightens the curve; at K=16 the achievable midpoints are coarse
+    ({0.0625, 0.354, 0.707, 0.917, 1.0}), which is why production dedup
+    runs K=128+ (RefinedWeb: 9000 hashes, 450 bands x 20 rows)."""
+    if not 0 < threshold < 1:
+        raise ValueError("threshold must be in (0, 1)")
+    best = None
+    for b in range(1, num_hashes + 1):
+        if num_hashes % b:
+            continue
+        r = num_hashes // b
+        mid = (1.0 / b) ** (1.0 / r)
+        score = abs(mid - threshold)
+        if best is None or score < best[0]:
+            best = (score, b, r, mid)
+    _, b, r, mid = best
+    return b, r, round(mid, 6)

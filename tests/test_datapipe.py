@@ -1833,3 +1833,22 @@ def test_per_group_cap(spark):
     again = {r["doc_id"] for r in per_group_cap(df, 5, id_col="doc_id")
              .collect() if r["source"] == "big"}
     assert set(by["big"]) == again
+
+
+def test_minhash_band_plan():
+    from carbonapi_spark.datapipe.dedup import (
+        lsh_candidate_probability, minhash_band_plan)
+    b, r, mid = minhash_band_plan(16, 0.5)
+    assert (b, r) == (8, 2)   # 0.354 is K=16's nearest midpoint to 0.5
+    assert abs(mid - 0.5) <= 0.15
+    # the curve crosses ~0.5 probability near the midpoint
+    assert lsh_candidate_probability(mid, b, r) == pytest.approx(
+        1 - (1 - mid ** r) ** b)
+    assert lsh_candidate_probability(0.95, b, r) > 0.9
+    assert lsh_candidate_probability(0.05, b, r) < 0.2
+    # RefinedWeb-scale: 9000 hashes targeting 0.8
+    b2, r2, mid2 = minhash_band_plan(9000, 0.8)
+    assert b2 * r2 == 9000 and abs(mid2 - 0.8) < 0.02
+    import pytest as _p
+    with _p.raises(ValueError):
+        minhash_band_plan(16, 1.5)

@@ -172,3 +172,32 @@ def test_normalized_dedup_matches_python(spark, texts):
     got = {(r["keeper_id"], r["n_copies"])
            for r in normalized_dedup(df).collect()}
     assert got == want
+
+
+@given(st.lists(st.integers(min_value=-32768, max_value=32767),
+                min_size=0, max_size=300),
+       st.sampled_from([8000, 16000, 44100]))
+@settings(max_examples=40, deadline=None)
+def test_wav_roundtrip_property(samples, rate):
+    """Any int16 sample vector survives the WAV container round trip."""
+    from carbonapi_spark.datapipe.multimodal import decode_wav, encode_wav
+    payload = encode_wav(samples, rate)
+    assert len(payload) == 44 + 2 * len(samples)
+    got_rate, got = decode_wav(payload)
+    assert got_rate == rate and got.tolist() == samples
+
+
+@given(st.integers(min_value=1, max_value=40),
+       st.integers(min_value=1, max_value=30),
+       st.booleans(), st.binary(min_size=0, max_size=3600))
+@settings(max_examples=40, deadline=None)
+def test_pnm_roundtrip_property(w, h, color, raw):
+    """Any raster of the right length survives the PNM round trip."""
+    from carbonapi_spark.datapipe.multimodal import decode_pnm, encode_pnm
+    need = w * h * (3 if color else 1)
+    raster = (raw * (need // max(len(raw), 1) + 1))[:need] if raw \
+        else bytes(need)
+    payload = encode_pnm(w, h, raster, color=color)
+    gw, gh, gc, got = decode_pnm(payload)
+    assert (gw, gh, gc) == (w, h, 3 if color else 1)
+    assert got.tobytes() == raster
