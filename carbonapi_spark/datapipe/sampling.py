@@ -297,3 +297,28 @@ def write_training_shards(df: DataFrame, path: str, n_shards: int = 32,
            .sortWithinPartitions("shard", "pos"))
     (out.write.mode("overwrite").partitionBy("shard").format(fmt)
      .save(path))
+
+
+def train_val_test_split(df: DataFrame, val: float = 0.01,
+                         test: float = 0.01, id_col: str = "doc_id",
+                         seed: str = "split") -> DataFrame:
+    """Deterministic hash split: every row gets a ``split`` label
+    ('train' | 'val' | 'test') from an xxhash64 bucket of its id — the
+    reproducible corpus split (same id -> same split on any cluster, any
+    partitioning, any day; growing the corpus never reassigns old rows,
+    unlike randomSplit whose assignment depends on partition layout).
+
+    A pure stateless projection over the scan — no shuffle, no RNG; the
+    salt string isolates this split from the other hash gates."""
+    if val < 0 or test < 0 or val + test >= 1:
+        raise ValueError("need val, test >= 0 with val + test < 1")
+    bucket = F.pmod(F.xxhash64(F.concat(F.lit(seed + ":"),
+                                        F.col(id_col).cast("string"))),
+                    F.lit(1_000_000))
+    v_cut = int(val * 1_000_000)
+    t_cut = v_cut + int(test * 1_000_000)
+    return df.withColumn(
+        "split",
+        F.when(bucket < v_cut, F.lit("val"))
+        .when(bucket < t_cut, F.lit("test"))
+        .otherwise(F.lit("train")))

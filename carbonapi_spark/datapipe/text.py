@@ -910,3 +910,40 @@ def per_group_cap(df: DataFrame, n: int, group_col: str = "source",
     w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
     return (df.withColumn("__rk", F.row_number().over(w))
             .where(F.col("__rk") <= n).drop("__rk"))
+
+
+def code_prose_features(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Code-vs-prose format signals per document (the StarCoder/The-Stack
+    style routing decision: code-heavy documents go to a different
+    tokenizer/mixture weight than prose):
+
+      symbol_frac   — fraction of chars from the code alphabet {}[]();=<>#
+      indent_frac   — fraction of lines starting with space/tab
+      line_len_mean — mean line length in chars (code lines are short)
+      is_code       — the three signals voted (>=2 of: symbol_frac>0.03,
+                      indent_frac>0.2, line_len_mean<40)
+
+    One stateless codegen projection (length/regexp arithmetic only — no
+    tokenizer, no Python), exactly SQL-replayable."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    sym = n_chars - F.length(F.regexp_replace(t, r"[{}\[\]();=<>#]", ""))
+    symbol_frac = F.when(n_chars > 0, sym.cast("double") / n_chars) \
+        .otherwise(F.lit(0.0))
+    lines = F.split(t, "\n")
+    n_lines = F.size(lines)
+    indented = F.size(F.filter(lines, lambda l: l.rlike(r"^[ \t]")))
+    indent_frac = F.when(n_lines > 0, indented.cast("double") / n_lines) \
+        .otherwise(F.lit(0.0))
+    line_len_mean = F.when(n_lines > 0, n_chars.cast("double") / n_lines) \
+        .otherwise(F.lit(0.0))
+    votes = ((symbol_frac > 0.03).cast("int")
+             + (indent_frac > 0.2).cast("int")
+             + ((line_len_mean < 40) & (n_chars > 0)).cast("int"))
+    return df.select(
+        F.col(id_col),
+        F.round(symbol_frac, 6).alias("symbol_frac"),
+        F.round(indent_frac, 6).alias("indent_frac"),
+        F.round(line_len_mean, 6).alias("line_len_mean"),
+        (votes >= 2).alias("is_code"))

@@ -2994,6 +2994,72 @@ FROM __img
 """.strip())
 
 
+def _q_split_assign(spark, sf_dir):
+    """Reproducible corpus split: hash-bucket labels (train/val/test)
+    from a salted xxhash64 of the doc id — stable under repartitioning
+    and corpus growth, unlike randomSplit.  Pure projection, no
+    shuffle."""
+    from carbonapi_spark.datapipe.sampling import train_val_test_split
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return train_val_test_split(docs, val=0.1, test=0.1) \
+        .select("doc_id", "split")
+
+
+def _split_oracle() -> str:
+    from carbonapi_spark.oracle_xxh64 import xxh64_ctes
+    return f"""
+WITH __k AS (SELECT doc_id, 'split:' || CAST(doc_id AS VARCHAR) AS t
+             FROM documents),
+{xxh64_ctes('__k', 't', 'h64', '__x')},
+__b AS (SELECT doc_id, ((h64 % 1000000) + 1000000) % 1000000 AS b
+        FROM __x)
+SELECT doc_id, CASE WHEN b < 100000 THEN 'val'
+                    WHEN b < 200000 THEN 'test'
+                    ELSE 'train' END AS split
+FROM __b
+""".strip()
+
+
+_register("split_assign", _q_split_assign, _split_oracle())
+
+
+def _q_code_detect(spark, sf_dir):
+    """Code-vs-prose routing signals (symbol fraction, indented-line
+    fraction, mean line length, voted is_code) — one stateless codegen
+    projection, replayed exactly in SQL."""
+    from carbonapi_spark.datapipe.text import code_prose_features
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return code_prose_features(docs)
+
+
+_register("code_detect", _q_code_detect, r"""
+WITH __f AS (
+  SELECT doc_id,
+         length(text) AS nc,
+         length(text) - length(regexp_replace(text, '[{}\[\]();=<>#]', '',
+                                              'g')) AS sym,
+         string_split(text, chr(10)) AS lines
+  FROM documents),
+__g AS (
+  SELECT doc_id, nc,
+         CASE WHEN nc > 0 THEN CAST(sym AS DOUBLE) / nc ELSE 0.0 END
+           AS symbol_frac,
+         CASE WHEN len(lines) > 0
+              THEN CAST(len(list_filter(lines,
+                       l -> regexp_matches(l, '^[ \t]'))) AS DOUBLE)
+                   / len(lines) ELSE 0.0 END AS indent_frac,
+         CASE WHEN len(lines) > 0 THEN CAST(nc AS DOUBLE) / len(lines)
+              ELSE 0.0 END AS line_len_mean
+  FROM __f)
+SELECT doc_id, round(symbol_frac, 6) AS symbol_frac,
+       round(indent_frac, 6) AS indent_frac,
+       round(line_len_mean, 6) AS line_len_mean,
+       ((symbol_frac > 0.03)::INT + (indent_frac > 0.2)::INT
+        + (line_len_mean < 40 AND nc > 0)::INT) >= 2 AS is_code
+FROM __g
+""".strip())
+
+
 def _q_norm_unicode(spark, sf_dir):
     """Unicode NFC canonicalization (pre-dedup normalization): the doc
     text is prefixed with DECOMPOSED accents (e + U+0301 etc.) so the op
@@ -3348,6 +3414,8 @@ _DRIVER_PREFIX = [
     "norm_unicode",         # NFC canonicalization (Arrow-batched kernel)
     "html_strip",           # markup->prose one-projection regexp chain
     "source_cap",           # per-group quota sampling (hot-domain cap)
+    "split_assign",         # reproducible hash train/val/test split
+    "code_detect",          # code-vs-prose routing signals
     # plan changed in round 7 — re-verify
     "heavy_hitters", "heavy_trigrams",  # pass-2 folded to one projection
     "bigram_ppl", "source_kl",          # size-gated broadcast hints

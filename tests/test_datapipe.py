@@ -1852,3 +1852,37 @@ def test_minhash_band_plan():
     import pytest as _p
     with _p.raises(ValueError):
         minhash_band_plan(16, 1.5)
+
+
+def test_train_val_test_split_properties(spark):
+    from carbonapi_spark.datapipe.sampling import train_val_test_split
+    df = spark.range(2000).selectExpr("id as doc_id")
+    out = train_val_test_split(df, val=0.1, test=0.1)
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count(F.lit(1)).alias("n"))
+              .collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["val"] / 2000 - 0.1) < 0.03
+    assert abs(counts["test"] / 2000 - 0.1) < 0.03
+    # stability: the same ids keep their split when the corpus grows
+    bigger = train_val_test_split(
+        spark.range(4000).selectExpr("id as doc_id"), val=0.1, test=0.1)
+    a = {r["doc_id"]: r["split"] for r in out.collect()}
+    b = {r["doc_id"]: r["split"] for r in bigger.collect() if r["doc_id"] < 2000}
+    assert a == b
+    import pytest as _p
+    with _p.raises(ValueError):
+        train_val_test_split(df, val=0.6, test=0.5)
+
+
+def test_code_prose_features_detects_code(spark):
+    from carbonapi_spark.datapipe.text import code_prose_features
+    code = "def f(x):\n    return {x: [1, 2]};\n    # comment\n"
+    prose = ("This is a long flowing paragraph of ordinary English text "
+             "that keeps going well past forty characters per line.")
+    df = spark.createDataFrame([(0, code), (1, prose), (2, "")],
+                               "doc_id long, text string")
+    out = {r["doc_id"]: r for r in code_prose_features(df).collect()}
+    assert out[0]["is_code"] and not out[1]["is_code"]
+    assert not out[2]["is_code"]  # empty: no votes fire
+    assert out[0]["indent_frac"] > 0.2 and out[0]["symbol_frac"] > 0.03
