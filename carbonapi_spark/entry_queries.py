@@ -3218,6 +3218,9 @@ def _q_stream_sessionize_replay(spark, sf_dir):
     stream = (spark.readStream.schema(schema)
               .option("pathGlobFilter", "events.parquet")
               .parquet(sf_dir)
+              .where(F.col("user_id") < 300)  # latency-shaped slice, like
+              # the other replays: streaming semantics are the point, the
+              # full-data session math is the batch `sessionize` entry
               .withColumn("ts", F.to_timestamp(F.col("ts"))))
     out = sessionize(stream, key_col="user_id", time_col="ts",
                      gap="4 hours", watermark="1 hour")
@@ -3246,11 +3249,12 @@ def _q_stream_sessionize_replay(spark, sf_dir):
 
 
 _register("stream_sessionize_replay", _q_stream_sessionize_replay, """
-WITH __e AS (SELECT user_id, ts, value,
+WITH __src AS (SELECT * FROM events WHERE user_id < 300),
+__e AS (SELECT user_id, ts, value,
                     CASE WHEN ts >= lag(ts) OVER w + INTERVAL 4 HOUR
                               OR lag(ts) OVER w IS NULL
                          THEN 1 ELSE 0 END AS new_s
-             FROM events
+             FROM __src
              WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
 __s AS (SELECT user_id, ts, value,
                sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
@@ -3259,7 +3263,7 @@ __s AS (SELECT user_id, ts, value,
 __sess AS (SELECT user_id, min(ts) AS st, max(ts) AS et,
                   count(*) AS n_events, round(sum(value), 6) AS sum_value
            FROM __s GROUP BY user_id, sid),
-__wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS wm FROM events)
+__wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS wm FROM __src)
 SELECT user_id,
        CAST(floor(epoch(st)) AS BIGINT) AS session_start,
        CAST(floor(epoch(et + INTERVAL 4 HOUR)) AS BIGINT) AS session_end,
