@@ -498,23 +498,43 @@ def _exact_rerank(corpus: DataFrame, query: DataFrame, cand: DataFrame,
 def ivfpq_encode(df: DataFrame, codebooks: list[list[list[float]]],
                  centroids: list[list[float]], id_col: str = "vec_id",
                  vec_col: str = "embedding", cell_col: str = "cell",
-                 code_col: str = "codes", l2_cells: bool = False) -> DataFrame:
+                 code_col: str = "codes", l2_cells: bool = False,
+                 residual: bool = False) -> DataFrame:
     """(id, cell, codes): the persisted IVFADC index table — coarse cell
     assignment (argmax cell score, ties to the lowest cell; dot for
     spherical cells, ``2 e.c - |c|^2`` for trained Voronoi centroids via
     ``l2_cells=True``) plus PQ codes, one stateless projection over the
     raw vectors. Write it once at ingest, partitioned by ``cell``, and
-    ``ivfpq_topk(codes=...)`` probes it without touching raw embeddings."""
+    ``ivfpq_topk(codes=...)`` probes it without touching raw embeddings.
+
+    ``residual=True`` is faithful FAISS IVFADC (Jegou 2011 eq. 13):
+    codes quantize ``e - c_cell`` instead of ``e`` — residuals live in a
+    much smaller ball than raw vectors, so the same codebook budget
+    spends its codewords where the data actually is (the query side must
+    probe with the matching per-cell residual, see ``ivfpq_topk``).  The
+    residual rides as a named column computed once per row, so the m*ksub
+    codeword distances reuse it instead of re-deriving the subtraction."""
     from carbonapi_spark.datapipe import spread
     df = spread(df, min_bytes=256 << 10)  # cell-dot + argmin HOFs
     v = f"cast({vec_col} as array<double>)"
     cell_dots = _cell_score_sql(v, centroids, l2=l2_cells)
-    return (df.selectExpr(id_col, f"{cell_dots} as __d",
-                          f"{_pq_code_sql(v, codebooks)} as {code_col}")
+    if not residual:
+        return (df.selectExpr(id_col, f"{cell_dots} as __d",
+                              f"{_pq_code_sql(v, codebooks)} as {code_col}")
+                .withColumn(cell_col,
+                            F.array_position(F.col("__d"),
+                                             F.array_max("__d"))
+                            .cast("int"))
+                .select(id_col, cell_col, code_col))
+    base = (df.selectExpr(id_col, f"{v} as __v", f"{cell_dots} as __d")
             .withColumn(cell_col,
                         F.array_position(F.col("__d"), F.array_max("__d"))
                         .cast("int"))
-            .select(id_col, cell_col, code_col))
+            .selectExpr(id_col, cell_col,
+                        f"zip_with(__v, element_at({_cb_sql(centroids)}, "
+                        f"{cell_col}), (x, y) -> x - y) as __rv"))
+    return base.selectExpr(id_col, cell_col,
+                           f"{_pq_code_sql('__rv', codebooks)} as {code_col}")
 
 
 def ivfpq_topk(corpus: DataFrame, query: DataFrame, k: int = 10,
@@ -525,8 +545,8 @@ def ivfpq_topk(corpus: DataFrame, query: DataFrame, k: int = 10,
                codebooks: list[list[list[float]]] | None = None,
                codes: DataFrame | None = None, cell_col: str = "cell",
                code_col: str = "codes", refine: int | None = None,
-               centroids: list[list[float]] | None = None
-               ) -> DataFrame:
+               centroids: list[list[float]] | None = None,
+               residual: bool = False) -> DataFrame:
     """IVFADC — the FAISS ``IVFx,PQy`` composition (Jegou et al., TPAMI
     2011, sec. V): a coarse spherical quantizer (``ivf_centroids``)
     bounds the scan to the ~n*nprobe/n_centroids codes in the probed
@@ -549,6 +569,15 @@ def ivfpq_topk(corpus: DataFrame, query: DataFrame, k: int = 10,
     |c|^2``) on both the corpus and probe sides, matching the training
     metric.
 
+    ``residual=True`` is faithful FAISS IVFADC: codes quantize
+    ``e - c_cell`` and each probe's distance table is built from the
+    matching query residual ``q - c_cell`` — so ADC approximates
+    ``|q - e|^2`` with both sides expressed relative to the SAME cell.
+    Per-cell distance tables cost nprobe * m * ksub * dsub multiplies on
+    the (small) query side only; the corpus side is identical.  Measured
+    recall gain over raw-vector coding: see SCALE.md / the
+    ``pq_ivf_residual`` catalog entry.
+
     Deterministic for fixed seeds — the DuckDB oracle replays cell
     assignment, encoding, probe ranking, and ADC bit-for-bit."""
     cbs = codebooks if codebooks is not None else pq_codebooks(
@@ -563,22 +592,42 @@ def ivfpq_topk(corpus: DataFrame, query: DataFrame, k: int = 10,
                          F.col(code_col).alias("__codes"))
     else:
         c = (ivfpq_encode(corpus, cbs, cents, id_col, vec_col,
-                          "__cell", "__codes", l2_cells=l2_cells)
+                          "__cell", "__codes", l2_cells=l2_cells,
+                          residual=residual)
              .withColumnRenamed(id_col, "neighbor_id"))
     qv = f"cast({vec_col} as array<double>)"
     cell_dots = _cell_score_sql(qv, cents, l2=l2_cells)
-    dtab = "array(" + ",".join(
-        _sqdists_sql(qv, cbs[j], j, dsub) for j in range(len(cbs))) + ")"
-    q0 = (query.selectExpr(f"{id_col} as query_id", f"{dtab} as __dtab",
-                           f"{cell_dots} as __d")
-          .select("query_id", "__dtab",
-                  F.posexplode("__d").alias("__pos", "__dot")))
     wq = Window.partitionBy("query_id").orderBy(F.col("__dot").desc(),
                                                 F.col("__pos"))
-    q = (q0.withColumn("__rk", F.row_number().over(wq))
-         .where(F.col("__rk") <= nprobe)
-         .select("query_id", "__dtab",
-                 (F.col("__pos") + 1).cast("int").alias("__cell")))
+    if residual:
+        # probe cells FIRST, then one distance table per (query, cell)
+        # from the matching residual — computed once per probe row
+        q0 = (query.selectExpr(f"{id_col} as query_id", f"{qv} as __qv",
+                               f"{cell_dots} as __d")
+              .select("query_id", "__qv",
+                      F.posexplode("__d").alias("__pos", "__dot")))
+        q = (q0.withColumn("__rk", F.row_number().over(wq))
+             .where(F.col("__rk") <= nprobe)
+             .select("query_id", "__qv",
+                     (F.col("__pos") + 1).cast("int").alias("__cell")))
+        rq = (f"zip_with(__qv, element_at({_cb_sql(cents)}, __cell), "
+              f"(x, y) -> x - y)")
+        q = q.selectExpr("query_id", "__cell", f"{rq} as __rq")
+        dtab = "array(" + ",".join(
+            _sqdists_sql("__rq", cbs[j], j, dsub)
+            for j in range(len(cbs))) + ")"
+        q = q.selectExpr("query_id", "__cell", f"{dtab} as __dtab")
+    else:
+        dtab = "array(" + ",".join(
+            _sqdists_sql(qv, cbs[j], j, dsub) for j in range(len(cbs))) + ")"
+        q0 = (query.selectExpr(f"{id_col} as query_id", f"{dtab} as __dtab",
+                               f"{cell_dots} as __d")
+              .select("query_id", "__dtab",
+                      F.posexplode("__d").alias("__pos", "__dot")))
+        q = (q0.withColumn("__rk", F.row_number().over(wq))
+             .where(F.col("__rk") <= nprobe)
+             .select("query_id", "__dtab",
+                     (F.col("__pos") + 1).cast("int").alias("__cell")))
     adc = F.aggregate(
         F.zip_with(F.col("__codes"), F.col("__dtab"),
                    lambda code, tab: F.element_at(tab, code)),
@@ -749,7 +798,8 @@ def write_ann_index(df: DataFrame, path: str,
                     codebooks: list[list[list[float]]],
                     centroids: list[list[float]],
                     id_col: str = "vec_id", vec_col: str = "embedding",
-                    l2_cells: bool = False) -> None:
+                    l2_cells: bool = False,
+                    residual: bool = False) -> None:
     """Persist the IVFADC index as a partitioned Parquet layout:
 
       {path}/codes/cell=N/...   (id, codes)  — partitioned BY CELL, so a
@@ -764,12 +814,12 @@ def write_ann_index(df: DataFrame, path: str,
     touching raw embeddings."""
     spark = df.sparkSession
     codes = ivfpq_encode(df, codebooks, centroids, id_col, vec_col,
-                         l2_cells=l2_cells)
+                         l2_cells=l2_cells, residual=residual)
     codes.write.mode("overwrite").partitionBy("cell") \
         .parquet(f"{path}/codes")
     spark.createDataFrame(
-        [(i + 1, c, l2_cells) for i, c in enumerate(centroids)],
-        "cell INT, emb ARRAY<DOUBLE>, l2 BOOLEAN") \
+        [(i + 1, c, l2_cells, residual) for i, c in enumerate(centroids)],
+        "cell INT, emb ARRAY<DOUBLE>, l2 BOOLEAN, residual BOOLEAN") \
         .coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
     spark.createDataFrame(
         [(j, cw, list(map(float, codebooks[j][cw])))
@@ -779,7 +829,7 @@ def write_ann_index(df: DataFrame, path: str,
 
 
 def read_ann_index(spark, path: str):
-    """(codes DataFrame, centroids, codebooks, l2_cells) from
+    """(codes DataFrame, centroids, codebooks, l2_cells, residual) from
     :func:`write_ann_index`'s layout. Centroids/codebooks are
     model-sized (k x dim, m x ksub x dsub) — driver lists by design."""
     codes = spark.read.parquet(f"{path}/codes")
@@ -787,12 +837,14 @@ def read_ann_index(spark, path: str):
     crows.sort(key=lambda r: r["cell"])
     centroids = [list(r["emb"]) for r in crows]
     l2_cells = bool(crows[0]["l2"]) if crows else False
+    residual = bool(crows[0]["residual"]) if crows \
+        and "residual" in crows[0].__fields__ else False
     brows = spark.read.parquet(f"{path}/codebooks").collect()
     mmax = max((r["m"] for r in brows), default=-1)
     codebooks: list[list[list[float]]] = [[] for _ in range(mmax + 1)]
     for r in sorted(brows, key=lambda r: (r["m"], r["code"])):
         codebooks[r["m"]].append(list(r["sub"]))
-    return codes, centroids, codebooks, l2_cells
+    return codes, centroids, codebooks, l2_cells, residual
 
 
 def ann_index_topk(spark, path: str, query: DataFrame, k: int = 10,
@@ -809,7 +861,7 @@ def ann_index_topk(spark, path: str, query: DataFrame, k: int = 10,
     read), which at 100 TB is the difference between scanning the whole
     index and ~nprobe/n_centroids of it.  ``refine=`` needs ``corpus``
     (raw vectors) for the exact rerank of the ADC top-``refine``."""
-    codes, cents, cbs, l2_cells = read_ann_index(spark, path)
+    codes, cents, cbs, l2_cells, residual = read_ann_index(spark, path)
     dim = len(cents[0])
     v = f"cast({vec_col} as array<double>)"
     scores = _cell_score_sql(v, cents, l2=l2_cells)
@@ -829,4 +881,4 @@ def ann_index_topk(spark, path: str, query: DataFrame, k: int = 10,
                       dim=dim, nprobe=nprobe, codebooks=cbs,
                       codes=pruned, refine=refine, centroids=(
                           cents if l2_cells else None),
-                      n_centroids=len(cents))
+                      n_centroids=len(cents), residual=residual)

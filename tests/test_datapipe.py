@@ -1768,22 +1768,22 @@ def test_ann_index_roundtrip_and_equivalence(spark, tmp_path):
         pq_codebooks, write_ann_index)
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     q = emb.where(F.col("vec_id") < 3)
-    for l2 in (False, True):
+    for l2, res in ((False, False), (True, False), (True, True)):
         cents = (kmeans_centroids(emb, k=4, iters=1) if l2
                  else ivf_centroids(64, 4, 43))
-        cbs = pq_codebooks(64, 8, 16, 44)
-        path = str(tmp_path / ("l2" if l2 else "dot"))
-        write_ann_index(emb, path, cbs, cents, l2_cells=l2)
+        cbs = pq_codebooks(64, 8, 16, 44, scale=0.12 if res else None)
+        path = str(tmp_path / f"{l2}-{res}")
+        write_ann_index(emb, path, cbs, cents, l2_cells=l2, residual=res)
         got = ann_index_topk(spark, path, q, k=5, nprobe=2,
                              refine=10, corpus=emb)
         want = ivfpq_topk(emb, q, k=5, dim=64, nprobe=2, codebooks=cbs,
                           centroids=cents if l2 else None,
-                          n_centroids=4, refine=10)
+                          n_centroids=4, refine=10, residual=res)
         g = {(r["query_id"], r["neighbor_id"], r["cos_sim"])
              for r in got.collect()}
         w = {(r["query_id"], r["neighbor_id"], r["cos_sim"])
              for r in want.collect()}
-        assert g == w, f"l2={l2}"
+        assert g == w, f"l2={l2} res={res}"
 
 
 def test_normalize_unicode_nfc(spark):

@@ -373,7 +373,7 @@ def test_ann_index_probe_partition_prunes(spark, tmp_path):
     path = str(tmp_path / "idx")
     write_ann_index(emb, path, pq_codebooks(64, 8, 16, 44),
                     ivf_centroids(64, 4, 43))
-    codes, _, _, _ = read_ann_index(spark, path)
+    codes, _, _, _, _ = read_ann_index(spark, path)
     pruned = codes.where(F.col("cell").isin([1, 3]))
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert re.search(r"PartitionFilters: \[[^\]]*cell", plan), plan[:800]
