@@ -882,3 +882,28 @@ def ann_index_topk(spark, path: str, query: DataFrame, k: int = 10,
                       codes=pruned, refine=refine, centroids=(
                           cents if l2_cells else None),
                       n_centroids=len(cents), residual=residual)
+
+
+def ivf_cell_stats(corpus: DataFrame, id_col: str = "vec_id",
+                   vec_col: str = "embedding", dim: int = 64,
+                   n_centroids: int = 16, seed: int = 43,
+                   centroids: list[list[float]] | None = None) -> DataFrame:
+    """Per-cell population of the coarse quantizer: (cell, n_vectors,
+    frac) — the tuning diagnostic behind every IVF deployment, because
+    the expected ADC scan cost per probe is ``n * sum(frac_i^2)`` /
+    balanced-cost (the imbalance factor): one hot cell quietly turns the
+    sublinear probe back into a near-full scan.  One cell-assignment
+    projection + one k-row hash aggregation; same cell scoring as
+    ``ivf_topk``/``ivfpq_encode`` (dot for spherical, L2 for trained)."""
+    cents = (centroids if centroids is not None
+             else ivf_centroids(dim, n_centroids, seed))
+    v = f"cast({vec_col} as array<double>)"
+    scores = _cell_score_sql(v, cents, l2=centroids is not None)
+    assigned = (corpus.selectExpr(f"{scores} as __d")
+                .selectExpr("array_position(__d, array_max(__d)) as cell"))
+    counts = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n_vectors"))
+    total = counts.agg(F.sum("n_vectors").alias("__n"))
+    return (counts.crossJoin(F.broadcast(total))
+            .select(F.col("cell").cast("int").alias("cell"), "n_vectors",
+                    F.round(F.col("n_vectors") / F.col("__n"), 6)
+                    .alias("frac")))

@@ -3029,6 +3029,38 @@ WHERE rk <= {topk}
 _register("pq_ivf_residual", _q_pq_ivf_residual, _residual_ivfpq_oracle())
 
 
+def _q_ivf_cell_stats(spark, sf_dir):
+    """Coarse-quantizer balance diagnostic: per-cell population + corpus
+    fraction (expected probe cost multiplier = k * sum(frac^2)); the
+    check run before committing an IVF layout."""
+    from carbonapi_spark.datapipe.similarity import ivf_cell_stats
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ivf_cell_stats(emb, dim=64, n_centroids=8, seed=43)
+
+
+def _ivf_cell_stats_oracle() -> str:
+    from carbonapi_spark.datapipe.similarity import ivf_centroids
+    cents = ivf_centroids(64, 8, 43)
+    lits = "[" + ",".join(
+        "[" + ",".join(repr(x) for x in c) + "]" for c in cents) + "]"
+    return f"""
+WITH v AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+a AS (SELECT list_indexof(
+          list_transform({lits}, c -> list_dot_product(v, c)),
+          list_aggregate(list_transform({lits},
+              c -> list_dot_product(v, c)), 'max')) AS cell
+      FROM v),
+c AS (SELECT cell, count(*) AS n_vectors FROM a GROUP BY cell)
+SELECT CAST(cell AS INT) AS cell, n_vectors,
+       round(CAST(n_vectors AS DOUBLE) / (SELECT sum(n_vectors) FROM c), 6)
+       AS frac
+FROM c
+""".strip()
+
+
+_register("ivf_cell_stats", _q_ivf_cell_stats, _ivf_cell_stats_oracle())
+
+
 def _q_multimodal_features(spark, sf_dir):
     """REAL multimodal decode on the driver scoreboard: doc ids are
     encoded into genuine WAV (stdlib ``wave``) and binary PPM containers
@@ -3506,6 +3538,7 @@ _DRIVER_PREFIX = [
     "split_assign",         # reproducible hash train/val/test split
     "code_detect",          # code-vs-prose routing signals
     "pq_ivf_residual",      # faithful FAISS residual-coded IVFADC
+    "ivf_cell_stats",       # coarse-quantizer balance diagnostic
     # plan changed in round 7 — re-verify
     "heavy_hitters", "heavy_trigrams",  # pass-2 folded to one projection
     "bigram_ppl", "source_kl",          # size-gated broadcast hints

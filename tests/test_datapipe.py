@@ -1886,3 +1886,26 @@ def test_code_prose_features_detects_code(spark):
     assert out[0]["is_code"] and not out[1]["is_code"]
     assert not out[2]["is_code"]  # empty: no votes fire
     assert out[0]["indent_frac"] > 0.2 and out[0]["symbol_frac"] > 0.03
+
+
+def test_ivf_cell_stats_balance(spark):
+    """Cell populations sum to the corpus; fractions to ~1; trained cells
+    on a 2-cluster corpus are perfectly balanced (imbalance factor ~1)."""
+    from pyspark.sql import functions as F
+
+    from carbonapi_spark.datapipe.similarity import (
+        ivf_cell_stats, kmeans_centroids)
+    vecs = (spark.range(200)
+            .select(F.col("id").alias("vec_id"),
+                    F.transform(F.sequence(F.lit(0), F.lit(7)),
+                                lambda i: (F.when(F.col("id") % 2 == 0,
+                                                  1.0).otherwise(-1.0)
+                                           + i * 0.001 + F.col("id") * 1e-5)
+                                .cast("double")).alias("embedding")))
+    cents = kmeans_centroids(vecs, k=2, iters=2)
+    rows = ivf_cell_stats(vecs, dim=8, centroids=cents).collect()
+    assert sum(r["n_vectors"] for r in rows) == 200
+    assert abs(sum(r["frac"] for r in rows) - 1.0) < 1e-4
+    k = len(rows)
+    imbalance = k * sum(r["frac"] ** 2 for r in rows)
+    assert imbalance == pytest.approx(1.0, abs=0.05)
