@@ -3511,6 +3511,95 @@ FROM __all CROSS JOIN __thr
 """.strip())
 
 
+def _q_corpus_pipeline(spark, sf_dir):
+    """The END-TO-END curation chain as one driver-checked entry — the
+    composability proof: normalize -> min-length filter -> normalized
+    dedup (min-id keeper) -> CCNet half-split with a self-derived
+    quantile cutoff (head half kept) -> temperature mixing over lang
+    (alpha=0.5) -> reproducible split labels.  Five stages, every one an
+    existing catalog op, and the oracle replays the WHOLE chain exactly
+    — stage boundaries can't hide a semantics drift."""
+    from pyspark.sql.window import Window
+
+    from carbonapi_spark.datapipe.dedup import normalize_text
+    from carbonapi_spark.datapipe.sampling import (
+        temperature_mix, train_val_test_split)
+    from carbonapi_spark.datapipe.text import perplexity_buckets, token_count
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cleaned = (docs.withColumn("__norm", normalize_text(F.col("text")))
+               .where(token_count(F.col("__norm")) >= 5))
+    w = Window.partitionBy("__norm").orderBy("doc_id")
+    survivors = (cleaned.withColumn("__rn", F.row_number().over(w))
+                 .where(F.col("__rn") == 1).drop("__rn", "__norm"))
+    from carbonapi_spark import scratch
+    survivors = scratch.track(survivors)  # feeds LM training AND join-back
+    scored = perplexity_buckets(survivors, threshold_qs=[0.5])
+    head = (scored.where(F.col("bucket") == 1)
+            .join(survivors.select("doc_id", "lang"), "doc_id"))
+    mixed = temperature_mix(head, group_col="lang", alpha=0.5)
+    return train_val_test_split(mixed, val=0.1, test=0.1) \
+        .select("doc_id", "lang", "split")
+
+
+def _corpus_pipeline_oracle() -> str:
+    from carbonapi_spark.oracle_xxh64 import xxh64_ctes
+    return r"""
+WITH __c AS (
+  SELECT * FROM (
+    SELECT doc_id, lang, text,
+           trim(regexp_replace(regexp_replace(lower(text),
+                                              '[^a-z0-9\s]', '', 'g'),
+                               '\s+', ' ', 'g')) AS norm
+    FROM documents)
+  WHERE len(list_filter(regexp_split_to_array(norm, '\s+'),
+                        x -> x != '')) >= 5),
+__s AS (SELECT doc_id, lang, text FROM __c
+        QUALIFY row_number() OVER (PARTITION BY norm ORDER BY doc_id) = 1),
+__t AS (SELECT doc_id, unnest(list_filter(
+            string_split_regex(lower(text), '\s+'), x -> x != '')) AS term
+        FROM __s),
+__tf AS (SELECT term, count(*) AS n FROM __t GROUP BY term),
+__tot AS (SELECT sum(n) AS total, count(*) AS vocab FROM __tf),
+__lm AS (SELECT term, ln((n + 0.5) / (total + 0.5 * vocab)) AS logp
+         FROM __tf CROSS JOIN __tot),
+__sc AS (SELECT doc_id, -avg(logp) AS h
+         FROM __t JOIN __lm USING (term) GROUP BY doc_id),
+__all AS (SELECT s.doc_id, s.lang,
+                 round(coalesce(h, (SELECT max(h) + 1 FROM __sc)), 6) AS ce
+          FROM __s s LEFT JOIN __sc USING (doc_id)),
+__thr AS (SELECT round(quantile_cont(ce, 0.5), 6) AS t1 FROM __all),
+__head AS (SELECT doc_id, lang FROM __all CROSS JOIN __thr
+           WHERE NOT (ce > t1)),
+__mc AS (SELECT coalesce(lang, '') AS gk, lang IS NULL AS gnull,
+                count(*) AS n
+         FROM __head GROUP BY 1, 2),
+__mm AS (SELECT min(n) AS nmin FROM __mc),
+__mr AS (SELECT gk, gnull,
+                CAST(round(pow(n / CAST(nmin AS DOUBLE), -0.5) * 1000000)
+                     AS BIGINT) AS thresh
+         FROM __mc CROSS JOIN __mm),
+__gi AS (SELECT doc_id, lang, CAST(doc_id AS VARCHAR) AS t FROM __head),
+""" + xxh64_ctes('__gi', 't', 'h64', '__gh') + r""",
+__mixed AS (SELECT g.doc_id, g.lang
+            FROM __gh g
+            JOIN __mr r ON coalesce(g.lang, '') = r.gk
+                       AND (g.lang IS NULL) = r.gnull
+            WHERE ((h64 % 1000000) + 1000000) % 1000000 < r.thresh),
+__si AS (SELECT doc_id, lang,
+                'split:' || CAST(doc_id AS VARCHAR) AS t FROM __mixed),
+""" + xxh64_ctes('__si', 't', 'h64s', '__sh').replace("__x", "__zx") + r"""
+SELECT doc_id, lang,
+       CASE WHEN ((h64s % 1000000) + 1000000) % 1000000 < 100000
+            THEN 'val'
+            WHEN ((h64s % 1000000) + 1000000) % 1000000 < 200000
+            THEN 'test' ELSE 'train' END AS split
+FROM __sh
+""".strip()
+
+
+_register("corpus_pipeline", _q_corpus_pipeline, _corpus_pipeline_oracle())
+
+
 # ---------------------------------------------------------------------------
 # Driver-visibility ordering. The correctness driver checks at most the first
 # 50 catalog entries per round.  Rotation policy: the prefix lists ONLY the
@@ -3539,6 +3628,7 @@ _DRIVER_PREFIX = [
     "code_detect",          # code-vs-prose routing signals
     "pq_ivf_residual",      # faithful FAISS residual-coded IVFADC
     "ivf_cell_stats",       # coarse-quantizer balance diagnostic
+    "corpus_pipeline",      # 5-stage end-to-end chain, whole-chain oracle
     # plan changed in round 7 — re-verify
     "heavy_hitters", "heavy_trigrams",  # pass-2 folded to one projection
     "bigram_ppl", "source_kl",          # size-gated broadcast hints
