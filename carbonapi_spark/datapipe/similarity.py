@@ -148,6 +148,8 @@ def kmeans_centroids(vecs: DataFrame, k: int = 8, iters: int = 2,
     init = (vecs.orderBy(id_col).limit(k)
             .selectExpr(f"{v} as __e").collect())
     cents = [[round(float(x), round_dp) for x in r["__e"]] for r in init]
+    if not cents:
+        raise ValueError("kmeans_centroids needs a non-empty corpus")
     for _ in range(iters):
         scores = _cell_score_sql("__e", cents, l2=True)
         means = (vecs.selectExpr(f"{v} as __e")
@@ -861,6 +863,9 @@ def ann_index_topk(spark, path: str, query: DataFrame, k: int = 10,
     read), which at 100 TB is the difference between scanning the whole
     index and ~nprobe/n_centroids of it.  ``refine=`` needs ``corpus``
     (raw vectors) for the exact rerank of the ADC top-``refine``."""
+    if refine is not None and corpus is None:
+        raise ValueError("refine= needs corpus= (raw vectors) for the "
+                         "exact rerank stage")
     codes, cents, cbs, l2_cells, residual = read_ann_index(spark, path)
     dim = len(cents[0])
     v = f"cast({vec_col} as array<double>)"

@@ -211,6 +211,8 @@ def quantile_thresholds(df: DataFrame, value_col: str,
 
     Cutoffs are rounded to 6 dp so downstream comparisons are stable
     across engines.  Compose with :func:`bucket_by_thresholds`."""
+    if not qs or not all(0 <= q <= 1 for q in qs):
+        raise ValueError("qs must be a non-empty list of fractions in [0, 1]")
     arr = F.array(*[F.lit(float(q)) for q in qs])
     agg = (F.percentile(value_col, arr) if exact
            else F.percentile_approx(value_col, arr, F.lit(accuracy)))

@@ -1950,3 +1950,26 @@ def test_pack_best_fit_invariants(spark):
     big = spark.createDataFrame([(0, "w " * 300)], "doc_id long, text string")
     r = pack_best_fit(big, budget=100, n_shards=1).first()
     assert r["truncated"] and r["n_tokens"] == 100
+
+
+def test_new_op_edge_guards(spark, tmp_path):
+    """Round-7 edge guards fail fast instead of crashing deep in a plan."""
+    import pytest as _p
+
+    from carbonapi_spark.datapipe.similarity import (
+        ann_index_topk, ivf_centroids, kmeans_centroids, pq_codebooks,
+        write_ann_index)
+    from carbonapi_spark.datapipe.text import quantile_thresholds
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    with _p.raises(ValueError, match="non-empty corpus"):
+        kmeans_centroids(emb.where(F.col("vec_id") < 0), k=2)
+    with _p.raises(ValueError, match="non-empty list"):
+        quantile_thresholds(emb, "vec_id", [])
+    path = str(tmp_path / "g")
+    write_ann_index(emb, path, pq_codebooks(64, 8, 16, 44),
+                    ivf_centroids(64, 4, 43))
+    with _p.raises(ValueError, match="needs corpus="):
+        ann_index_topk(spark, path, emb.limit(1), refine=5)
+    # empty query side: clean empty result, no crash
+    out = ann_index_topk(spark, path, emb.where(F.col("vec_id") < 0))
+    assert out.count() == 0
