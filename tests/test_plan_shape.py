@@ -379,3 +379,62 @@ def test_ann_index_probe_partition_prunes(spark, tmp_path):
     assert re.search(r"PartitionFilters: \[[^\]]*cell", plan), plan[:800]
     # and the pruned scan reads fewer partition dirs than exist
     assert pruned.select("cell").distinct().count() <= 2
+
+
+def test_round7_projection_ops_no_shuffle(spark):
+    """The round-7 stateless ops must stay pure maps over the scan:
+    zero exchanges for html_strip / normalize_unicode / code features /
+    split labels; per_group_cap pays exactly its one group shuffle."""
+    from pyspark.sql import functions as F
+
+    from carbonapi_spark.datapipe.sampling import train_val_test_split
+    from carbonapi_spark.datapipe.text import (
+        code_prose_features, html_strip, normalize_unicode, per_group_cap)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for df in (
+        docs.select(html_strip(F.col("text"))),
+        docs.select(normalize_unicode(F.col("text"))),
+        code_prose_features(docs),
+        train_val_test_split(docs, 0.1, 0.1),
+    ):
+        assert _df_exchanges(df) == 0, df
+    ex = _df_exchanges(per_group_cap(docs, 5))
+    assert ex == 1  # the group-key shuffle feeding the rank window
+
+
+def test_kmeans_iteration_single_agg_exchange(spark):
+    """One Lloyd iteration = one corpus pass: the mean table plan is
+    scan -> score/assign projection -> posexplode -> ONE hash agg (plus
+    AQE coalescing); no joins, no second scan of the corpus."""
+    from pyspark.sql import functions as F
+
+    from carbonapi_spark.datapipe.similarity import _cell_score_sql
+    vecs = (spark.range(128)
+            .select(F.col("id").alias("vec_id"),
+                    F.transform(F.sequence(F.lit(0), F.lit(7)),
+                                lambda i: (F.col("id") % 5 + i * 0.1)
+                                .cast("double")).alias("embedding")))
+    cents = [[0.1] * 8, [2.0] * 8]
+    scores = _cell_score_sql("__e", cents, l2=True)
+    means = (vecs.selectExpr("cast(embedding as array<double>) as __e")
+             .selectExpr("__e", f"{scores} as __d")
+             .selectExpr("__e",
+                         "array_position(__d, array_max(__d)) as __cell")
+             .select("__cell", F.posexplode("__e").alias("__i", "__x"))
+             .groupBy("__cell", "__i").agg(F.avg("__x")))
+    plan = means._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+def test_quantile_exact_is_object_hash_agg(spark):
+    """Exact quantile_thresholds: ObjectHashAggregate, never a
+    range-partitioned sort."""
+    from pyspark.sql import functions as F
+
+    from carbonapi_spark.datapipe.text import quantile_thresholds
+    df = spark.range(1000).select((F.col("id") * 1.5).alias("x"))
+    plan = quantile_thresholds(df, "x", [0.5, 0.9]) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "ObjectHashAggregate" in plan
+    assert "rangepartitioning" not in plan.lower()
