@@ -1,0 +1,146 @@
+"""Corpus ingestion: the source formats a training-data pipeline actually
+receives documents in — JSONL (CommonCrawl-style dumps), CSV exports, and
+directories of plain-text files — normalized to the canonical documents
+schema (doc_id, text, ...) the datapipe ops consume.
+
+Scale notes:
+- JSONL/CSV scans are splittable (line-delimited), so a 100 TB dump
+  parallelizes without any repacking; schema is supplied, never inferred
+  (inference is a full extra pass over the data).
+- Corrupt records are CAPTURED, not dropped: they land in a
+  ``_corrupt_record`` column (PERMISSIVE mode) so a bad shard degrades to
+  a quantified quality signal instead of a silent row loss; use
+  ``split_corrupt`` to fork the clean and quarantine streams.
+- Synthetic doc ids are CONTENT-DERIVED (xxhash64 of the text, salted) —
+  stable across re-ingestion, repartitioning, and cluster size, unlike
+  ``monotonically_increasing_id`` (partition-layout-dependent) or row
+  numbers (a global sort). Exact duplicate texts share an id by design —
+  they are the same document to every downstream dedup op; pass
+  ``id_salt_cols`` to disambiguate by provenance (e.g. the file path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+DOC_SCHEMA = StructType([
+    StructField("text", StringType()),
+    StructField("lang", StringType()),
+    StructField("source", StringType()),
+])
+
+
+def synth_doc_id(text, salt_cols: list = ()) -> "F.Column":
+    """Content-derived 64-bit doc id: xxhash64 over the text plus any
+    provenance columns — reproducible on any cluster, any day."""
+    return F.xxhash64(F.lit("doc:"), text, *salt_cols)
+
+
+def read_jsonl_docs(spark: SparkSession, path: str,
+                    schema: StructType | None = None,
+                    id_salt_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Line-delimited JSON -> documents frame with captured corrupt rows.
+
+    Returns (doc_id, text, <schema fields>, _corrupt_record); clean rows
+    have ``_corrupt_record`` NULL."""
+    # StructType.add MUTATES in place — never .add() onto the shared
+    # module-level schema
+    base = schema or DOC_SCHEMA
+    sch = StructType(list(base.fields)
+                     + [StructField("_corrupt_record", StringType())])
+    df = (spark.read.schema(sch)
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt_record")
+          .json(path))
+    salt = [F.col(c) for c in id_salt_cols]
+    return df.withColumn(
+        "doc_id",
+        F.when(F.col("_corrupt_record").isNull(),
+               synth_doc_id(F.coalesce(F.col("text"), F.lit("")), salt)))
+
+
+def read_csv_docs(spark: SparkSession, path: str,
+                  schema: StructType | None = None,
+                  header: bool = True, sep: str = ",") -> DataFrame:
+    """CSV export -> documents frame, corrupt rows captured like JSONL."""
+    base = schema or DOC_SCHEMA
+    sch = StructType(list(base.fields)
+                     + [StructField("_corrupt_record", StringType())])
+    df = (spark.read.schema(sch)
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt_record")
+          .option("header", str(header).lower())
+          .option("sep", sep)
+          .option("multiLine", "false")
+          .csv(path))
+    return df.withColumn(
+        "doc_id",
+        F.when(F.col("_corrupt_record").isNull(),
+               synth_doc_id(F.coalesce(F.col("text"), F.lit("")))))
+
+
+def read_text_dir_docs(spark: SparkSession, path: str,
+                       glob: str = "*.txt") -> DataFrame:
+    """One document per FILE from a directory of plain-text files:
+    (doc_id, text, source=file path). ``wholetext`` keeps each file one
+    row (files are the natural document boundary here); the file path
+    salts the id so identical texts in different files stay distinct."""
+    df = (spark.read.option("wholetext", "true")
+          .option("pathGlobFilter", glob)
+          .text(path)
+          .select(F.col("value").alias("text"),
+                  F.input_file_name().alias("source")))
+    return df.withColumn("doc_id",
+                         synth_doc_id(F.col("text"), [F.col("source")]))
+
+
+def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(clean, quarantine): fork on the captured corrupt column. The
+    quarantine side keeps the raw record for forensics; the clean side
+    drops the column so downstream schemas stay tidy."""
+    never = F.length("text") < 0  # always false/null: see comment below
+    clean = (df.where(F.col("_corrupt_record").isNull() | never)
+             .drop("_corrupt_record"))
+    # Spark refuses plans whose only referenced column is the internal
+    # corrupt-record column (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_
+    # RECORD_COLUMN), and column pruning strips everything a count()
+    # doesn't need — so the filter itself must reference a data column.
+    # `length(text) < 0` is never true and forces `text` into the scan,
+    # keeping the plan legal without caching the parse (the error
+    # message's suggested workaround, which would be wrong at lake
+    # scale).  The raw record is kept for forensics.
+    bad = (df.where(F.col("_corrupt_record").isNotNull() | never)
+           .select(F.col("_corrupt_record").alias("raw_record"),
+                   "text"))
+    return clean, bad
+
+
+def compact_lake(spark: SparkSession, src: str, dst: str,
+                 target_bytes: int = 128 << 20,
+                 partition_cols: tuple[str, ...] = ()) -> int:
+    """Small-file compaction: rewrite a parquet directory into files of
+    ~``target_bytes`` — the maintenance pass every long-lived ingest lake
+    needs (thousands of tiny files turn scan planning and shuffle reads
+    into metadata storms; the NameNode/listing cost alone kills 100 TB
+    lakes).  Returns the output file count.
+
+    Sizing comes from the Catalyst size estimate of the source scan (no
+    data pass), and the rewrite is one repartition: with
+    ``partition_cols`` the repartition keys on them so each output
+    partition directory is written by few tasks (fewer, bigger files per
+    partition)."""
+    df = spark.read.parquet(src)
+    from carbonapi_spark.datapipe import _plan_size_bytes
+    est = _plan_size_bytes(df) or 0
+    n = max(1, est // target_bytes)
+    if partition_cols:
+        out = df.repartition(int(n), *[F.col(c) for c in partition_cols])
+        out.write.mode("overwrite").partitionBy(*partition_cols) \
+            .parquet(dst)
+    else:
+        df.repartition(int(n)).write.mode("overwrite").parquet(dst)
+    import glob as _glob
+    import os
+    return len([p for p in _glob.glob(os.path.join(dst, "**", "*.parquet"),
+                                      recursive=True)])
