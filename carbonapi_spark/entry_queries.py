@@ -3511,6 +3511,47 @@ FROM __all CROSS JOIN __thr
 """.strip())
 
 
+def _q_jsonl_ingest(spark, sf_dir):
+    """Source-format round trip on the scoreboard: documents are written
+    out as a REAL line-delimited JSON dump (executor-side write), read
+    back through ``read_jsonl_docs``'s PERMISSIVE corrupt-capture path,
+    and re-keyed with content-derived ids.  The oracle replays the id
+    hash from the original table — a broken JSON escape, schema drift,
+    or id-derivation change breaks the match.  One deliberately corrupt
+    line is appended per run and must land in quarantine (asserted here;
+    the clean side the driver checks must NOT contain it)."""
+    import tempfile
+
+    from carbonapi_spark.sources.corpus import read_jsonl_docs, split_corrupt
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    with tempfile.TemporaryDirectory() as tmp:
+        path = f"{tmp}/dump"
+        docs.select("text", "lang", "source").coalesce(2) \
+            .write.mode("overwrite").json(path)
+        with open(f"{path}/corrupt.json", "w") as f:
+            f.write("{this is not json\n")
+        clean, bad = split_corrupt(read_jsonl_docs(spark, path))
+        assert bad.count() == 1, "corrupt line must be quarantined"
+        # materialize before the TemporaryDirectory vanishes
+        rows = (clean.select("doc_id", "lang", "source").distinct()
+                .collect())
+    return spark.createDataFrame(rows, "doc_id LONG, lang STRING, "
+                                       "source STRING")
+
+
+def _jsonl_ingest_oracle() -> str:
+    from carbonapi_spark.oracle_xxh64 import xxh64_ctes
+    return f"""
+WITH __k AS (SELECT DISTINCT lang, source, 'doc:' || text AS t
+             FROM documents),
+{xxh64_ctes('__k', 't', 'h64', '__x')}
+SELECT DISTINCT h64 AS doc_id, lang, source FROM __x
+""".strip()
+
+
+_register("jsonl_ingest", _q_jsonl_ingest, _jsonl_ingest_oracle())
+
+
 def _q_corpus_pipeline(spark, sf_dir):
     """The END-TO-END curation chain as one driver-checked entry — the
     composability proof: normalize -> min-length filter -> normalized
@@ -3629,6 +3670,7 @@ _DRIVER_PREFIX = [
     "pq_ivf_residual",      # faithful FAISS residual-coded IVFADC
     "ivf_cell_stats",       # coarse-quantizer balance diagnostic
     "corpus_pipeline",      # 5-stage end-to-end chain, whole-chain oracle
+    "jsonl_ingest",         # real JSONL dump round trip + quarantine
     # plan changed in round 7 — re-verify
     "heavy_hitters", "heavy_trigrams",  # pass-2 folded to one projection
     "bigram_ppl", "source_kl",          # size-gated broadcast hints

@@ -33,8 +33,17 @@ DOC_SCHEMA = StructType([
 
 def synth_doc_id(text, salt_cols: list = ()) -> "F.Column":
     """Content-derived 64-bit doc id: xxhash64 over the text plus any
-    provenance columns — reproducible on any cluster, any day."""
-    return F.xxhash64(F.lit("doc:"), text, *salt_cols)
+    provenance columns — reproducible on any cluster, any day.
+
+    ONE concatenated string (unit-separator-joined), not multi-arg
+    ``xxhash64(a, b, ...)`` — the multi-arg form chains each column's
+    hash as the next seed, which no external replayer reproduces; the
+    concat form is plain XXH64(seed 42) of a string, which the DuckDB
+    oracle CTE replays exactly."""
+    parts = [F.lit("doc:"), text]
+    for c in salt_cols:
+        parts += [F.lit("\x1f"), c]
+    return F.xxhash64(F.concat(*parts))
 
 
 def read_jsonl_docs(spark: SparkSession, path: str,
