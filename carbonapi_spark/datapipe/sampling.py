@@ -275,7 +275,9 @@ def chunk_documents(df: DataFrame, max_tokens: int = 128,
 
 def write_training_shards(df: DataFrame, path: str, n_shards: int = 32,
                           id_col: str = "doc_id",
-                          fmt: str = "parquet") -> None:
+                          fmt: str = "parquet",
+                          manifest: bool = False,
+                          text_col: str = "text") -> None:
     """Materialize a training-ready shard layout: rows get their
     deterministic ``shard_assignment`` shard + position, then land in
     one directory per shard (``shard=N/``) ordered by position — the
@@ -297,6 +299,51 @@ def write_training_shards(df: DataFrame, path: str, n_shards: int = 32,
            .sortWithinPartitions("shard", "pos"))
     (out.write.mode("overwrite").partitionBy("shard").format(fmt)
      .save(path))
+    if manifest:
+        # Per-shard audit record written NEXT TO the shards: row/token
+        # counts plus an order-insensitive content checksum (bit_xor of
+        # id-salted xxhash64 — deterministic, mergeable, overflow-free
+        # under ANSI mode where a sum of hashes throws), so
+        # a reader can verify a shard set without re-reading the corpus
+        # of origin.  Derived from the WRITTEN files, not the input
+        # lineage: the manifest certifies what actually landed on disk.
+        from carbonapi_spark.datapipe.text import token_count
+        written = df.sparkSession.read.format(fmt).load(path)
+        man = (written.groupBy("shard")
+               .agg(F.count(F.lit(1)).alias("n_rows"),
+                    F.sum(token_count(F.col(text_col)).cast("long"))
+                    .alias("n_tokens"),
+                    F.bit_xor(F.xxhash64(F.concat(
+                        F.lit("ck:"), F.col(id_col).cast("string"))))
+                    .alias("checksum")))
+        (man.coalesce(1).write.mode("overwrite")
+         .parquet(f"{path}_manifest"))
+
+
+def verify_training_shards(spark, path: str, id_col: str = "doc_id",
+                           text_col: str = "text",
+                           fmt: str = "parquet") -> DataFrame:
+    """Recompute each shard's manifest record from the files and diff it
+    against the stored manifest: returns rows that DISAGREE (empty =
+    shard set intact).  The cheap integrity gate run before a training
+    job burns cluster-hours on a silently truncated shard."""
+    from carbonapi_spark.datapipe.text import token_count
+    written = spark.read.format(fmt).load(path)
+    actual = (written.groupBy("shard")
+              .agg(F.count(F.lit(1)).alias("n_rows"),
+                   F.sum(token_count(F.col(text_col)).cast("long"))
+                   .alias("n_tokens"),
+                   F.bit_xor(F.xxhash64(F.concat(
+                       F.lit("ck:"), F.col(id_col).cast("string"))))
+                   .alias("checksum")))
+    stored = spark.read.parquet(f"{path}_manifest")
+    return (actual.alias("a")
+            .join(stored.alias("s"), "shard", "full")
+            .where((F.col("a.n_rows").eqNullSafe(F.col("s.n_rows"))
+                    & F.col("a.n_tokens").eqNullSafe(F.col("s.n_tokens"))
+                    & F.col("a.checksum").eqNullSafe(F.col("s.checksum")))
+                   == F.lit(False))
+            .select("shard"))
 
 
 def train_val_test_split(df: DataFrame, val: float = 0.01,

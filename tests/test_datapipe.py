@@ -1973,3 +1973,20 @@ def test_new_op_edge_guards(spark, tmp_path):
     # empty query side: clean empty result, no crash
     out = ann_index_topk(spark, path, emb.where(F.col("vec_id") < 0))
     assert out.count() == 0
+
+
+def test_training_shard_manifest_roundtrip(spark, tmp_path):
+    """Manifest certifies the written shards; tampering is detected."""
+    from carbonapi_spark.datapipe.sampling import (
+        verify_training_shards, write_training_shards)
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} words here") for i in range(200)],
+        "doc_id long, text string")
+    path = str(tmp_path / "shards")
+    write_training_shards(docs, path, n_shards=4, manifest=True)
+    assert verify_training_shards(spark, path).count() == 0
+    # tamper: delete one shard directory -> that shard must flag
+    import shutil
+    shutil.rmtree(f"{path}/shard=0")
+    bad = [r["shard"] for r in verify_training_shards(spark, path).collect()]
+    assert bad == [0]
