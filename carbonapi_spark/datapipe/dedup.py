@@ -623,3 +623,60 @@ def minhash_band_plan(num_hashes: int, threshold: float
             best = (score, b, r, mid)
     _, b, r, mid = best
     return b, r, round(mid, 6)
+
+
+def decontaminate_spans(docs: DataFrame, benchmark: DataFrame, k: int = 13,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """SURGICAL benchmark decontamination: cut every >= ``k``-token span
+    of a training document that also appears in the benchmark set, and
+    keep the clean remainder — GPT-3's appendix-C recipe (13-gram
+    collision removal) executed with the Lee-2022 k-gram marking
+    machinery, instead of dropping whole documents and wasting their
+    clean 99% (which is what ``contamination`` + a filter would do).
+
+    Same shuffle economy as ``remove_duplicate_spans``: training tokens
+    shuffle once by doc; the benchmark side reduces to DISTINCT 128-bit
+    gram keys (benchmark-sized, typically broadcast via the size gate)
+    joined as a flag; covered tokens (any benchmark gram starting within
+    the previous k-1 positions) drop and survivors reassemble in order.
+    Documents whose every token is covered vanish — fully-leaked docs."""
+    from pyspark.sql.window import Window
+
+    from carbonapi_spark.datapipe import bcast_if_small, spread
+    from carbonapi_spark.datapipe.text import tokens
+    docs = spread(docs)
+
+    def gram_stream(df: DataFrame, with_tok: bool) -> DataFrame:
+        t = df.select(F.col(id_col),
+                      F.posexplode(tokens(F.col(text_col)))
+                      .alias("pos", "tok"))
+        wg = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, k - 1)
+        g = F.when(F.count("tok").over(wg) == k,
+                   F.concat_ws(" ", F.collect_list("tok").over(wg)))
+        out = t.select(
+            id_col, "pos", "tok", g.alias("__g")).select(
+            id_col, "pos", "tok",
+            F.when(F.col("__g").isNotNull(), F.xxhash64("__g"))
+            .alias("__h"),
+            F.when(F.col("__g").isNotNull(),
+                   F.xxhash64(F.lit(0x9E3779B9), F.col("__g")))
+            .alias("__h2"))
+        return out if with_tok else out.where(F.col("__h").isNotNull()) \
+            .select("__h", "__h2").distinct()
+
+    bkeys = gram_stream(benchmark, with_tok=False) \
+        .withColumn("__leak", F.lit(1))
+    grams = gram_stream(docs, with_tok=True)
+    flagged = (grams.join(bcast_if_small(bkeys, benchmark),
+                          ["__h", "__h2"], "left")
+               .select(id_col, "pos", "tok",
+                       F.coalesce("__leak", F.lit(0)).alias("__leak")))
+    wc = Window.partitionBy(id_col).orderBy("pos").rowsBetween(-(k - 1), 0)
+    kept = (flagged.withColumn("__covered", F.max("__leak").over(wc))
+            .where(F.col("__covered") == 0))
+    return (kept.groupBy(id_col)
+            .agg(F.array_join(
+                F.transform(F.array_sort(F.collect_list(
+                    F.struct("pos", "tok"))), lambda s: s["tok"]),
+                " ").alias(text_col)))

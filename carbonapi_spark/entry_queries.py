@@ -3552,6 +3552,57 @@ SELECT DISTINCT h64 AS doc_id, lang, source FROM __x
 _register("jsonl_ingest", _q_jsonl_ingest, _jsonl_ingest_oracle())
 
 
+def _q_decontaminate(spark, sf_dir):
+    """Surgical benchmark decontamination (GPT-3 appendix C, 13-gram
+    collisions — here k=8 at test scale): docs >= 100 are the training
+    side, docs < 100 the benchmark; every doc_id%5==0 row on BOTH sides
+    carries the shared tagline, so those training docs must lose exactly
+    the tagline span while the rest of their text survives (doc-level
+    dropping would discard them whole)."""
+    from carbonapi_spark.datapipe.dedup import decontaminate_spans
+    base = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id",
+                    F.concat(F.col("text"),
+                             F.when(F.col("doc_id") % 5 == 0,
+                                    F.lit(" " + _TAGLINE))
+                             .otherwise(F.lit(""))).alias("text")))
+    train = base.where(F.col("doc_id") >= 100)
+    bench = base.where(F.col("doc_id") < 100)
+    return decontaminate_spans(train, bench, k=8)
+
+
+_register("decontaminate", _q_decontaminate, rf"""
+WITH __b AS (SELECT doc_id,
+                    text || CASE WHEN doc_id % 5 = 0
+                                 THEN ' {_TAGLINE}' ELSE '' END AS text
+             FROM documents),
+__bt AS (SELECT doc_id, {_TOKS_SQL.replace("(text)", "(text)")} AS toks
+         FROM __b WHERE doc_id < 100),
+__bp AS (SELECT doc_id, toks, unnest(range(len(toks))) AS pos FROM __bt),
+__leak AS (SELECT DISTINCT array_to_string(toks[pos + 1 : pos + 8], ' ')
+               AS g
+           FROM __bp WHERE pos + 8 <= len(toks)),
+__t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM __b WHERE doc_id >= 100),
+__p AS (SELECT doc_id, toks, unnest(range(len(toks))) AS pos FROM __t),
+__g AS (SELECT doc_id, pos, toks[pos + 1] AS tok,
+               CASE WHEN pos + 8 <= len(toks)
+                    THEN array_to_string(toks[pos + 1 : pos + 8], ' ')
+               END AS g
+        FROM __p),
+__f AS (SELECT doc_id, pos, tok,
+               CASE WHEN g IN (SELECT g FROM __leak) THEN 1 ELSE 0 END
+                   AS leak
+        FROM __g),
+__c AS (SELECT doc_id, pos, tok,
+               max(leak) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+               AS covered
+        FROM __f)
+SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text
+FROM __c WHERE covered = 0 GROUP BY doc_id
+""".strip())
+
+
 def _q_corpus_pipeline(spark, sf_dir):
     """The END-TO-END curation chain as one driver-checked entry — the
     composability proof: normalize -> min-length filter -> normalized
@@ -3671,6 +3722,7 @@ _DRIVER_PREFIX = [
     "ivf_cell_stats",       # coarse-quantizer balance diagnostic
     "corpus_pipeline",      # 5-stage end-to-end chain, whole-chain oracle
     "jsonl_ingest",         # real JSONL dump round trip + quarantine
+    "decontaminate",        # surgical benchmark-span removal (GPT-3 C)
     # plan changed in round 7 — re-verify
     "heavy_hitters", "heavy_trigrams",  # pass-2 folded to one projection
     "bigram_ppl", "source_kl",          # size-gated broadcast hints

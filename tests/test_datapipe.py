@@ -1990,3 +1990,23 @@ def test_training_shard_manifest_roundtrip(spark, tmp_path):
     shutil.rmtree(f"{path}/shard=0")
     bad = [r["shard"] for r in verify_training_shards(spark, path).collect()]
     assert bad == [0]
+
+
+def test_decontaminate_spans_surgical(spark):
+    """Leaked spans are cut, clean remainder survives, fully-leaked docs
+    vanish, clean docs pass through untouched."""
+    from carbonapi_spark.datapipe.dedup import decontaminate_spans
+    leak = "alpha beta gamma delta epsilon zeta"  # 6 tokens
+    bench = spark.createDataFrame(
+        [(0, f"question: {leak} answer: yes")],
+        "doc_id long, text string")
+    train = spark.createDataFrame(
+        [(10, f"intro words here {leak} outro words here"),
+         (11, "totally clean document with original content"),
+         (12, leak)],  # fully leaked -> vanishes
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["text"]
+           for r in decontaminate_spans(train, bench, k=6).collect()}
+    assert out[10] == "intro words here outro words here"
+    assert out[11] == "totally clean document with original content"
+    assert 12 not in out
