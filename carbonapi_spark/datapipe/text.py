@@ -402,6 +402,80 @@ def bigram_perplexity_buckets(df: DataFrame, text_col: str = "text",
     return scored.withColumn("bucket", F.ntile(buckets).over(w))
 
 
+def kn_bigram_perplexity_buckets(df: DataFrame, text_col: str = "text",
+                                 id_col: str = "doc_id", d: float = 0.75,
+                                 buckets: int = 3,
+                                 thresholds: list[float] | None = None,
+                                 threshold_qs: list[float] | None = None
+                                 ) -> DataFrame:
+    """``bigram_perplexity_buckets`` with interpolated KNESER-NEY
+    smoothing — the smoothing Chen & Goodman 1998 found best and the one
+    real KenLM models use (Heafield 2011).  Per observed bigram (w1, w2):
+
+        p(w2|w1) = (c(w1w2) - d)/c(w1.)  +  d * N1+(w1,.)/c(w1.) * pc(w2)
+        pc(w2)   = N1+(.,w2) / N1+(.,.)
+
+    — absolute discounting with the mass redistributed by CONTINUATION
+    counts (how many distinct contexts a word follows), which fixes the
+    "san francisco" pathology of frequency-based backoff: "francisco" is
+    frequent but appears after almost nothing, so its continuation
+    probability is tiny.
+
+    Every model quantity derives from the ONE bigram count table
+    (c(w1w2) -> c(w1.), N1+(w1,.), N1+(.,w2), N1+(.,.) are three
+    aggregations of the bigram-type-sized table) — never a second corpus
+    pass; scoring joins are size-gated broadcasts like the JM variant.
+    Self-scored corpora only see observed bigrams, so c >= 1 and the
+    discounted term is well-defined; docs with < 2 tokens land past the
+    corpus-worst entropy.  Returns (doc_id, cross_entropy, bucket)."""
+    from pyspark.sql.window import Window
+
+    from carbonapi_spark.datapipe import (bcast_if_small, spread,
+                                          track_if_large)
+    df = spread(df)
+    bi = (df.select(F.col(id_col),
+                    F.explode(word_ngrams(F.col(text_col), 2)).alias("g"))
+          .select(id_col, "g",
+                  F.substring_index("g", " ", 1).alias("__w1"),
+                  F.substring_index("g", " ", -1).alias("__w2")))
+    cnt_bi = bi.groupBy("g").agg(F.count(F.lit(1)).alias("__nb"))
+    # the three derived tables — aggregations of cnt_bi, NOT the corpus
+    left = (cnt_bi.groupBy(F.substring_index("g", " ", 1).alias("__w1"))
+            .agg(F.sum("__nb").alias("__nw"),
+                 F.count(F.lit(1)).alias("__n1l")))   # c(w1.), N1+(w1,.)
+    cont = (cnt_bi.groupBy(F.substring_index("g", " ", -1).alias("__w2"))
+            .agg(F.count(F.lit(1)).alias("__n1r")))   # N1+(.,w2)
+    tot = cnt_bi.agg(F.count(F.lit(1)).alias("__types"))  # N1+(.,.)
+    pc = F.col("__n1r") / F.col("__types")
+    p = (F.greatest(F.col("__nb") - F.lit(d), F.lit(0.0)) / F.col("__nw")
+         + F.lit(d) * F.col("__n1l") / F.col("__nw") * pc)
+    scored = track_if_large(
+        bi.join(bcast_if_small(cnt_bi, df), "g")
+        .join(bcast_if_small(left, df), "__w1")
+        .join(bcast_if_small(cont, df), "__w2")
+        .crossJoin(F.broadcast(tot))
+        .groupBy(id_col)
+        .agg((-F.avg(F.log(p))).alias("__h")),
+        gate_df=df)
+    worst = scored.agg(F.max("__h").alias("__worst"))
+    scored = (df.select(id_col).join(scored, id_col, "left")
+              .crossJoin(F.broadcast(worst))
+              .select(id_col,
+                      F.round(F.coalesce("__h",
+                                         F.col("__worst") + 1, F.lit(0.0)),
+                              6).alias("cross_entropy")))
+    if threshold_qs is not None:
+        thr = quantile_thresholds(scored, "cross_entropy", threshold_qs)
+        return bucket_by_thresholds(scored, "cross_entropy", thr)
+    if thresholds is not None:
+        b = F.lit(1)
+        for t in thresholds:
+            b = b + (F.col("cross_entropy") > F.lit(float(t))).cast("int")
+        return scored.withColumn("bucket", b)
+    w = Window.orderBy(F.asc("cross_entropy"), F.asc(id_col))
+    return scored.withColumn("bucket", F.ntile(buckets).over(w))
+
+
 PII_PATTERNS: list[tuple[str, str]] = [
     # (regex, replacement token) — the C4/CCNet-style scrub set; order is
     # applied top-down so emails win over bare domains etc.

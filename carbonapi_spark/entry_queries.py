@@ -3552,6 +3552,55 @@ SELECT DISTINCT h64 AS doc_id, lang, source FROM __x
 _register("jsonl_ingest", _q_jsonl_ingest, _jsonl_ingest_oracle())
 
 
+def _q_kn_bigram_ppl(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram quality buckets — the smoothing
+    real KenLM uses (absolute discounting + continuation-count backoff),
+    one rung above the Jelinek-Mercer ``bigram_ppl``.  Every model
+    quantity derives from the one bigram count table; the oracle replays
+    discounting, continuation counts, and scoring exactly."""
+    from carbonapi_spark.datapipe.text import kn_bigram_perplexity_buckets
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return kn_bigram_perplexity_buckets(docs, buckets=3)
+
+
+_register("kn_bigram_ppl", _q_kn_bigram_ppl, r"""
+WITH __d AS (SELECT doc_id,
+                    list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                x -> x != '') AS toks
+             FROM documents),
+__bi AS (SELECT doc_id,
+                unnest(list_transform(range(greatest(len(toks) - 1, 0)),
+                                      j -> toks[j + 1] || ' ' || toks[j + 2]))
+                AS g
+         FROM __d),
+__cb AS (SELECT g, count(*) AS nb FROM __cb_src GROUP BY g),
+__lf AS (SELECT split_part(g, ' ', 1) AS w1, sum(nb) AS nw,
+                count(*) AS n1l
+         FROM __cb GROUP BY 1),
+__ct AS (SELECT split_part(g, ' ', 2) AS w2, count(*) AS n1r
+         FROM __cb GROUP BY 1),
+__ty AS (SELECT count(*) AS types FROM __cb),
+__sc AS (SELECT doc_id,
+                -avg(ln(greatest(nb - 0.75, 0) / nw
+                        + 0.75 * n1l / nw
+                          * (n1r / CAST(types AS DOUBLE)))) AS h
+         FROM __bi b
+         JOIN __cb USING (g)
+         JOIN __lf ON split_part(b.g, ' ', 1) = w1
+         JOIN __ct ON split_part(b.g, ' ', 2) = w2
+         CROSS JOIN __ty
+         GROUP BY doc_id),
+__all AS (SELECT d.doc_id,
+                 round(coalesce(h, (SELECT max(h) + 1 FROM __sc), 0.0), 6)
+                 AS cross_entropy
+          FROM documents d LEFT JOIN __sc USING (doc_id))
+SELECT doc_id, cross_entropy,
+       CAST(ntile(3) OVER (ORDER BY cross_entropy, doc_id) AS INTEGER)
+       AS bucket
+FROM __all
+""".replace("__cb_src", "__bi").strip())
+
+
 def _q_decontaminate(spark, sf_dir):
     """Surgical benchmark decontamination (GPT-3 appendix C, 13-gram
     collisions — here k=8 at test scale): docs >= 100 are the training
@@ -3723,6 +3772,7 @@ _DRIVER_PREFIX = [
     "corpus_pipeline",      # 5-stage end-to-end chain, whole-chain oracle
     "jsonl_ingest",         # real JSONL dump round trip + quarantine
     "decontaminate",        # surgical benchmark-span removal (GPT-3 C)
+    "kn_bigram_ppl",        # Kneser-Ney bigram LM quality buckets
     # plan changed in round 7 — re-verify
     "heavy_hitters", "heavy_trigrams",  # pass-2 folded to one projection
     "bigram_ppl", "source_kl",          # size-gated broadcast hints

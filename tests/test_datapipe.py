@@ -2010,3 +2010,43 @@ def test_decontaminate_spans_surgical(spark):
     assert out[10] == "intro words here outro words here"
     assert out[11] == "totally clean document with original content"
     assert 12 not in out
+
+
+def test_kn_bigram_ppl_matches_python(spark):
+    """Interpolated KN replayed in pure Python; repeated-bigram docs
+    score lower entropy than novel-bigram docs."""
+    import math
+    from collections import Counter
+
+    from carbonapi_spark.datapipe.text import kn_bigram_perplexity_buckets
+    texts = {0: "a b a b a b", 1: "a b c d e f", 2: "x", 3: "c d c d"}
+    df = spark.createDataFrame(list(texts.items()),
+                               "doc_id long, text string")
+    out = {r["doc_id"]: r["cross_entropy"]
+           for r in kn_bigram_perplexity_buckets(df).collect()}
+    # python reference
+    bis = {d: [f"{t.split()[i]} {t.split()[i+1]}"
+               for i in range(len(t.split()) - 1)]
+           for d, t in texts.items()}
+    cb = Counter(g for gs in bis.values() for g in gs)
+    nw = Counter(); n1l = Counter(); n1r = Counter()
+    for g, c in cb.items():
+        w1, w2 = g.split()
+        nw[w1] += c; n1l[w1] += 1; n1r[w2] += 1
+    types = len(cb)
+    d0 = 0.75
+    want = {}
+    for doc, gs in bis.items():
+        if not gs:
+            continue
+        tot = 0.0
+        for g in gs:
+            w1, w2 = g.split()
+            p = (max(cb[g] - d0, 0) / nw[w1]
+                 + d0 * n1l[w1] / nw[w1] * (n1r[w2] / types))
+            tot += -math.log(p)
+        want[doc] = round(tot / len(gs), 6)
+    for doc, h in want.items():
+        assert out[doc] == pytest.approx(h, abs=2e-6), doc
+    assert out[2] == round(max(want.values()) + 1, 6)  # no-bigram tail
+    assert out[0] < out[1]  # repetition scores as lower entropy
