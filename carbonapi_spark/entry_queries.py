@@ -3672,8 +3672,11 @@ def _q_corpus_pipeline(spark, sf_dir):
     w = Window.partitionBy("__norm").orderBy("doc_id")
     survivors = (cleaned.withColumn("__rn", F.row_number().over(w))
                  .where(F.col("__rn") == 1).drop("__rn", "__norm"))
-    from carbonapi_spark import scratch
-    survivors = scratch.track(survivors)  # feeds LM training AND join-back
+    from carbonapi_spark.datapipe import track_if_large
+    # feeds LM training AND join-back: persist only at lake scale (the
+    # bench-vs-lake duality — at sf0.1 the materialization barrier costs
+    # ~4 s vs ~1 s of overlapped lazy recompute, A/B'd min-of-3)
+    survivors = track_if_large(survivors, docs)
     scored = perplexity_buckets(survivors, threshold_qs=[0.5])
     head = (scored.where(F.col("bucket") == 1)
             .join(survivors.select("doc_id", "lang"), "doc_id"))
