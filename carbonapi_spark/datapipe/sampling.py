@@ -426,3 +426,99 @@ def pack_best_fit(df: DataFrame, budget: int, n_shards: int = 32,
               f"offset long, n_tokens long, truncated boolean")
     return (base.select(id_col, "shard", "__nt")
             .groupBy("shard").applyInPandas(pack, schema))
+
+
+def unimax_allocation(df: DataFrame, group_col: str = "lang",
+                      budget: int = 1000,
+                      max_epochs: int = 2) -> DataFrame:
+    """Closed-form UniMax budget allocation (Chung et al., "UniMax:
+    Fairer and More Effective Language Sampling for Large-Scale
+    Multilingual Pretraining", ICLR 2023): distribute ``budget`` docs
+    across groups as uniformly as possible, but no group contributes
+    more than ``max_epochs`` passes over its own data.
+
+    The paper's greedy loop (ascending corpus size, each language takes
+    min(cap, remaining/remaining_langs)) has a water-filling closed
+    form: with caps c_l = max_epochs * n_l sorted ascending, the capped
+    languages form a prefix — exactly those with
+    c_j * (k - j + 1) <= budget - prefix_sum(c_1..c_{j-1}) — and every
+    uncapped language gets the water level
+    t = (budget - prefix_sum(capped)) / n_uncapped.  That turns the loop
+    into two window functions over the GROUP-COUNT table (one bounded
+    aggregation over the corpus, then group-cardinality rows — the same
+    economy as ``temperature_mix``), and the capped test is pure integer
+    arithmetic so the allocation replays exactly in any engine.
+
+    Returns (group, n_docs, alloc, epochs): ``alloc`` the (possibly
+    fractional) docs-equivalent allocation with sum(alloc) =
+    min(budget, sum(caps)), ``epochs = alloc / n_docs <= max_epochs``.
+    NULL groups are a real group, same contract as ``temperature_mix``."""
+    from pyspark.sql.window import Window
+    gkey = F.coalesce(F.col(group_col).cast("string"), F.lit(""))
+    gnull = F.col(group_col).isNull()
+    counts = (df.groupBy(gkey.alias("__gk"), gnull.alias("__gnull"))
+              .agg(F.count(F.lit(1)).alias("n_docs")))
+    cap = (F.col("n_docs") * max_epochs).alias("__cap")
+    # deterministic total order: cap, then group key (ties can't flip
+    # the capped prefix, but a stable order keeps prefix sums exact)
+    w = Window.partitionBy().orderBy("__cap", "__gk")
+    rn = F.row_number().over(w)
+    pre = (F.sum("__cap").over(w.rowsBetween(Window.unboundedPreceding,
+                                             Window.currentRow))
+           - F.col("__cap"))
+    k = F.count(F.lit(1)).over(Window.partitionBy())
+    annotated = (counts.select("__gk", "__gnull", "n_docs", cap)
+                 .select("__gk", "__gnull", "n_docs", "__cap",
+                         rn.alias("__rn"), pre.alias("__pre"),
+                         k.alias("__k"))
+                 .withColumn("__capped",
+                             F.col("__cap") * (F.col("__k")
+                                               - F.col("__rn") + 1)
+                             <= F.lit(budget) - F.col("__pre")))
+    wall = Window.partitionBy()
+    jstar = F.sum(F.when(F.col("__capped"), 1).otherwise(0)).over(wall)
+    capped_sum = F.sum(F.when(F.col("__capped"), F.col("__cap"))
+                       .otherwise(F.lit(0))).over(wall)
+    level = ((F.lit(budget) - capped_sum).cast("double")
+             / (F.col("__k") - jstar).cast("double"))
+    alloc = F.when(F.col("__capped"), F.col("__cap").cast("double")) \
+             .otherwise(level)
+    out_group = F.when(F.col("__gnull"), F.lit(None).cast("string")) \
+                 .otherwise(F.col("__gk"))
+    return (annotated
+            .select(out_group.alias(group_col), "n_docs",
+                    F.round(alloc, 6).alias("alloc"),
+                    F.round(alloc / F.col("n_docs"), 6).alias("epochs")))
+
+
+def unimax_sample(df: DataFrame, group_col: str = "lang",
+                  budget: int = 1000, max_epochs: int = 2,
+                  id_col: str = "doc_id",
+                  denom: int = 1_000_000) -> DataFrame:
+    """Doc-level realization of ``unimax_allocation``: every doc of
+    ``df`` gains an integer ``copies`` count (how many times it enters
+    the mixed corpus) with E[copies] = its group's ``epochs`` and
+    sum(copies) ~ budget; docs with copies = 0 are dropped.
+
+    copies = floor(epochs) + [gate < frac(epochs)] with the same
+    derandomized xxhash64-mod gate as ``stratified_sample`` — no RNG,
+    reproducible across engines and repartitioning, and the broadcast
+    allocation table keeps this a pure map over the corpus scan."""
+    allocation = unimax_allocation(df, group_col, budget, max_epochs)
+    gkey = F.coalesce(F.col(group_col).cast("string"), F.lit(""))
+    gnull = F.col(group_col).isNull()
+    akey = F.coalesce(F.col(f"__a_{group_col}").cast("string"), F.lit(""))
+    anull = F.col(f"__a_{group_col}").isNull()
+    alloc = allocation.select(
+        F.col(group_col).alias(f"__a_{group_col}"), "epochs")
+    base = F.floor("epochs").cast("long")
+    frac = F.col("epochs") - F.floor("epochs")
+    gate = F.pmod(F.xxhash64(F.concat(F.lit("unimax:"),
+                                      F.col(id_col).cast("string"))),
+                  F.lit(denom))
+    copies = base + (gate < F.round(frac * denom).cast("long")).cast("long")
+    return (df.join(F.broadcast(alloc),
+                    (gkey == akey) & (gnull == anull))
+            .withColumn("copies", copies)
+            .where(F.col("copies") > 0)
+            .drop(f"__a_{group_col}", "epochs"))

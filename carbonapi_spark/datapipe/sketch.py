@@ -142,3 +142,90 @@ def oov_rate(df: DataFrame, vocab_size: int = 1000,
             .agg(F.count(F.lit(1)).alias("n_tokens"),
                  F.round(F.avg(F.when(F.col("__in_vocab").isNull(), 1.0)
                                .otherwise(0.0)), 6).alias("oov_rate")))
+
+
+def _hll_alpha(m: int) -> float:
+    """HLL bias-correction constant (Flajolet et al. 2007, fig. 3)."""
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_registers(df: DataFrame, value_col: str,
+                  group_cols: tuple[str, ...] = (),
+                  b: int = 12) -> DataFrame:
+    """The mergeable HyperLogLog register table (Flajolet, Fuster,
+    Gandouet & Meunier 2007) over the values of ``value_col``:
+    (group..., reg, mrho) with one row per NON-ZERO register, ``reg`` in
+    [0, 2^b) and ``mrho`` the max leading-zero rank observed.
+
+    Deterministic by construction — the "randomness" is ``xxhash64``
+    (seed 42) of the value, the register split is pure integer
+    arithmetic (low ``b`` bits -> register, the next ``62-b`` bits ->
+    rank via ``length(bin(w))``, both engine-portable), so the sketch
+    and therefore the estimate replay bit-for-bit in any engine with a
+    conforming XXH64.  Spark's own ``approx_count_distinct`` is also
+    HLL++ but its hash/encoding is engine-internal — unusable as a
+    cross-checked building block, which is why this exists.
+
+    Scale shape: the groupBy is map-side combined down to at most
+    ``groups * 2^b`` rows (4096 per group at the default) no matter how
+    many value rows stream through — the distinct-cardinality answer at
+    100 TB without shuffling the value stream, and register tables from
+    disjoint shards/rounds union-max-merge losslessly
+    (``groupBy(group, reg).agg(max(mrho))``)."""
+    m = 1 << b
+    wbits = 62 - b
+    h = F.xxhash64(F.col(value_col).cast("string"))
+    u = F.pmod(h, F.lit(1 << 62))
+    keys = [F.col(c) for c in group_cols]
+    base = (df.select(*keys, u.alias("__u"))
+            .select(*keys, F.pmod(F.col("__u"), F.lit(m)).alias("reg"),
+                    F.expr(f"__u div {m}L").alias("__w")))
+    rho = (F.when(F.col("__w") > 0,
+                  F.lit(wbits) - F.length(F.bin(F.col("__w"))) + 1)
+           .otherwise(F.lit(wbits + 1)).cast("int"))
+    return (base.select(*keys, "reg", rho.alias("__rho"))
+            .groupBy(*group_cols, "reg")
+            .agg(F.max("__rho").alias("mrho")))
+
+
+def hll_distinct(df: DataFrame, value_col: str,
+                 group_cols: tuple[str, ...] = (),
+                 b: int = 12) -> DataFrame:
+    """HyperLogLog distinct-cardinality estimate per group:
+    (group..., registers_used, est_distinct).
+
+    The register harmonic sum is computed as an EXACT INTEGER —
+    ``sum(2^(rho_max - mrho))`` scaled by ``2^rho_max`` (rho <= 51 at
+    b=12, so the sum fits a BIGINT) — so no float-accumulation order can
+    perturb the estimate across engines; the only floating point is one
+    final division (plus ``ln`` in the small-range linear-counting
+    branch), both single deterministic operations.  Standard small-range
+    correction applies (E <= 2.5m with empty registers -> linear
+    counting m*ln(m/V0)); the 64-bit hash needs no large-range branch.
+    Estimates are rounded to 3 places."""
+    m = 1 << b
+    rho_max = 62 - b + 1
+    alpha = _hll_alpha(m)
+    # exact double literal shared with any SQL replay
+    num_const = float(alpha) * m * m * float(1 << rho_max)
+    regs = hll_registers(df, value_col, group_cols, b)
+    agg = (regs.groupBy(*group_cols)
+           .agg(F.count(F.lit(1)).alias("registers_used"),
+                F.sum(F.expr(
+                    f"shiftleft(CAST(1 AS BIGINT), {rho_max} - mrho)"))
+                .alias("__s")))
+    zeros = F.lit(m) - F.col("registers_used")
+    s_scaled = (F.col("__s")
+                + zeros.cast("long") * F.lit(1 << rho_max).cast("long"))
+    e_raw = F.lit(num_const) / s_scaled.cast("double")
+    est = F.when((e_raw <= 2.5 * m) & (zeros > 0),
+                 m * F.log(F.lit(float(m)) / zeros.cast("double"))) \
+           .otherwise(e_raw)
+    return agg.select(*group_cols, "registers_used",
+                      F.round(est, 3).alias("est_distinct"))

@@ -1975,6 +1975,61 @@ WHERE gate < thresh
 _register("temperature_mix", _q_temperature_mix, _temperature_mix_oracle())
 
 
+def _q_unimax_sample(spark, sf_dir):
+    """UniMax language mixing (Chung 2023): budget 800 docs, at most 2
+    epochs per language — small languages cap at 2 epochs, the rest
+    share the closed-form water level. copies is each doc's integer
+    multiplicity in the mixed corpus (derandomized hash gate)."""
+    from carbonapi_spark.datapipe.sampling import unimax_sample
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (unimax_sample(docs, budget=800, max_epochs=2)
+            .select("doc_id", "lang", "copies"))
+
+
+def _unimax_oracle() -> str:
+    from carbonapi_spark.oracle_xxh64 import xxh64_ctes
+    return f"""
+WITH __c AS (SELECT coalesce(lang, '') AS gk, lang IS NULL AS gnull,
+                    count(*) AS n
+             FROM documents GROUP BY 1, 2),
+__w AS (SELECT gk, gnull, n, n * 2 AS cap,
+               row_number() OVER (ORDER BY n * 2, gk) AS rn,
+               sum(n * 2) OVER (ORDER BY n * 2, gk
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) - n * 2 AS pre,
+               count(*) OVER () AS k
+        FROM __c),
+__f AS (SELECT *, cap * (k - rn + 1) <= 800 - pre AS capped FROM __w),
+__g AS (SELECT *,
+               sum(CASE WHEN capped THEN 1 ELSE 0 END) OVER () AS jstar,
+               sum(CASE WHEN capped THEN cap ELSE 0 END) OVER () AS csum
+        FROM __f),
+__alloc AS (SELECT gk, gnull,
+                   round(CASE WHEN capped THEN CAST(cap AS DOUBLE)
+                              ELSE (800 - csum)
+                                   / CAST(k - jstar AS DOUBLE) END
+                         / n, 6) AS epochs
+            FROM __g),
+__d AS (SELECT doc_id, lang,
+               'unimax:' || CAST(doc_id AS VARCHAR) AS t
+        FROM documents),
+{xxh64_ctes('__d', 't', 'h64', '__h')}
+SELECT doc_id, lang, copies FROM (
+  SELECT d.doc_id, d.lang,
+         CAST(floor(epochs) AS BIGINT)
+         + CASE WHEN ((h64 % 1000000) + 1000000) % 1000000
+                     < CAST(round((epochs - floor(epochs)) * 1000000)
+                            AS BIGINT)
+                THEN 1 ELSE 0 END AS copies
+  FROM __h d JOIN __alloc a ON coalesce(d.lang, '') = a.gk
+                           AND (d.lang IS NULL) = a.gnull)
+WHERE copies > 0
+""".strip()
+
+
+_register("unimax_sample", _q_unimax_sample, _unimax_oracle())
+
+
 def _q_char_entropy(spark, sf_dir):
     """Character-level Shannon entropy per doc — the cheap
     distributional quality signal (low = repeated/boilerplate, very
@@ -2063,6 +2118,62 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
                       THEN 0.0 ELSE 1.0 END), 6) AS oov_rate
 FROM __tok GROUP BY doc_id
 """.strip())
+
+
+def _q_hll_distinct(spark, sf_dir):
+    """Per-language distinct-vocabulary estimate via the deterministic
+    HyperLogLog sketch (b=12, 4096 registers) — the mergeable
+    distinct-cardinality answer whose register table stays bounded at
+    groups*4096 rows no matter how many tokens stream through."""
+    from carbonapi_spark.datapipe.sketch import hll_distinct
+    from carbonapi_spark.datapipe.text import tokens
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tok = docs.select("lang",
+                      F.explode(tokens(F.lower(F.col("text")))).alias("t"))
+    return hll_distinct(tok, "t", ("lang",))
+
+
+def _hll_distinct_oracle() -> str:
+    """Bit-for-bit sketch replay: same xxh64, same integer register
+    split (low 12 bits -> register, next 50 -> rank via length(bin)),
+    same exact-integer harmonic sum scaled by 2^51, same shared double
+    constant for the bias-corrected estimate."""
+    from carbonapi_spark.datapipe.sketch import _hll_alpha
+    from carbonapi_spark.oracle_xxh64 import xxh64_ctes
+    m = 4096
+    num_const = repr(_hll_alpha(m) * m * m * float(1 << 51))
+    # duplicates can't move max(rho): hash DISTINCT (lang, term) only
+    return f"""
+WITH __tok AS (SELECT DISTINCT lang, unnest({_TOKS_SQL}) AS t
+               FROM documents),
+{xxh64_ctes('__tok', 't', 'h64', '__xh')},
+__u AS (SELECT lang,
+               ((h64 % 4611686018427387904) + 4611686018427387904)
+               % 4611686018427387904 AS u
+        FROM __xh),
+__r AS (SELECT lang, u % {m} AS reg,
+               CASE WHEN u // {m} > 0
+                    THEN 51 - length(bin(u // {m}))
+                    ELSE 51 END AS rho
+        FROM __u),
+__m AS (SELECT lang, reg, max(rho) AS mrho FROM __r GROUP BY lang, reg),
+__a AS (SELECT lang, count(*) AS registers_used,
+               sum(1::BIGINT << (51 - mrho)) AS s,
+               {m} - count(*) AS zeros
+        FROM __m GROUP BY lang),
+__e AS (SELECT lang, registers_used, zeros,
+               {num_const}
+               / CAST(s + zeros * (1::BIGINT << 51) AS DOUBLE) AS eraw
+        FROM __a)
+SELECT lang, registers_used,
+       round(CASE WHEN eraw <= {2.5 * m} AND zeros > 0
+                  THEN {m} * ln({float(m)} / CAST(zeros AS DOUBLE))
+                  ELSE eraw END, 3) AS est_distinct
+FROM __e
+""".strip()
+
+
+_register("hll_distinct", _q_hll_distinct, _hll_distinct_oracle())
 
 
 def _q_norm_dedup(spark, sf_dir):
@@ -3776,6 +3887,8 @@ _DRIVER_PREFIX = [
     "jsonl_ingest",         # real JSONL dump round trip + quarantine
     "decontaminate",        # surgical benchmark-span removal (GPT-3 C)
     "kn_bigram_ppl",        # Kneser-Ney bigram LM quality buckets
+    "hll_distinct",         # deterministic HyperLogLog, exact replay
+    "unimax_sample",        # UniMax water-filling language mixing
     # plan changed in round 7 — re-verify
     "heavy_hitters", "heavy_trigrams",  # pass-2 folded to one projection
     "bigram_ppl", "source_kl",          # size-gated broadcast hints

@@ -2050,3 +2050,105 @@ def test_kn_bigram_ppl_matches_python(spark):
         assert out[doc] == pytest.approx(h, abs=2e-6), doc
     assert out[2] == round(max(want.values()) + 1, 6)  # no-bigram tail
     assert out[0] < out[1]  # repetition scores as lower entropy
+
+
+def test_hll_distinct_accuracy_and_merge(spark):
+    """Estimate within HLL's error envelope at 50k distinct values, the
+    linear-counting branch exact-ish at tiny cardinality, and register
+    tables from disjoint shards union-max-merge to the whole-corpus
+    answer losslessly (the 100 TB merge story)."""
+    from carbonapi_spark.datapipe.sketch import hll_distinct, hll_registers
+
+    big = spark.range(50_000).select(F.col("id").cast("string").alias("v"))
+    est = hll_distinct(big, "v").collect()[0]["est_distinct"]
+    # sigma = 1.04/sqrt(4096) ~ 1.6%; 4 sigma bound keeps it non-flaky
+    assert abs(est - 50_000) / 50_000 < 0.065
+
+    tiny = spark.createDataFrame([("a",), ("b",), ("a",), ("c",)],
+                                 "v string")
+    t = hll_distinct(tiny, "v").collect()[0]
+    assert t["registers_used"] == 3
+    assert abs(t["est_distinct"] - 3) < 0.01  # linear counting branch
+
+    # shard merge: max-merge of the two half-range register tables must
+    # equal the whole-range register table row for row
+    lo = spark.range(0, 25_000).select(F.col("id").cast("string").alias("v"))
+    hi = spark.range(25_000, 50_000).select(F.col("id").cast("string").alias("v"))
+    merged = (hll_registers(lo, "v").unionByName(hll_registers(hi, "v"))
+              .groupBy("reg").agg(F.max("mrho").alias("mrho")))
+    whole = hll_registers(big, "v")
+    assert merged.exceptAll(whole).count() == 0
+    assert whole.exceptAll(merged).count() == 0
+
+
+def test_hll_distinct_grouped_independent(spark):
+    """Groups don't bleed: each group's estimate equals the estimate of
+    that group's values alone."""
+    from carbonapi_spark.datapipe.sketch import hll_distinct
+    df = spark.createDataFrame(
+        [("en", f"w{i}") for i in range(200)]
+        + [("de", f"w{i}") for i in range(40)], "lang string, v string")
+    grouped = {r["lang"]: r["est_distinct"]
+               for r in hll_distinct(df, "v", ("lang",)).collect()}
+    for lang in ("en", "de"):
+        solo = hll_distinct(df.where(F.col("lang") == lang), "v") \
+            .collect()[0]["est_distinct"]
+        assert grouped[lang] == solo
+
+
+def _unimax_greedy(counts, budget, max_epochs):
+    """The paper's loop, literally: ascending corpus size, each language
+    takes min(its cap, remaining budget / remaining languages)."""
+    out = {}
+    remaining, langs = float(budget), sorted(counts, key=lambda g: (counts[g], g))
+    for i, g in enumerate(langs):
+        share = remaining / (len(langs) - i)
+        take = min(counts[g] * max_epochs, share)
+        out[g] = take
+        remaining -= take
+    return out
+
+
+def test_unimax_allocation_matches_greedy_loop(spark):
+    from carbonapi_spark.datapipe.sampling import unimax_allocation
+    cases = [
+        ({"en": 1000, "de": 100, "fr": 10, "xx": 5}, 300, 2),
+        ({"en": 1000, "de": 100, "fr": 10, "xx": 5}, 10_000, 2),  # all capped
+        ({"en": 50, "de": 50}, 60, 1),                 # uniform, uncapped
+        ({"a": 7}, 100, 3),                            # single group
+        ({"a": 3, "b": 3, "c": 94}, 100, 1),
+    ]
+    for counts, budget, epochs in cases:
+        rows = [(i, g) for g, n in counts.items() for i in range(n)]
+        df = spark.createDataFrame(
+            [(j, g) for j, (i, g) in enumerate(rows)],
+            "doc_id long, lang string")
+        got = {r["lang"]: r["alloc"]
+               for r in unimax_allocation(df, budget=budget,
+                                          max_epochs=epochs).collect()}
+        want = _unimax_greedy(counts, budget, epochs)
+        assert got.keys() == want.keys(), (counts, budget)
+        for g in want:
+            assert abs(got[g] - want[g]) < 1e-4, (g, got[g], want[g])
+        total = sum(got.values())
+        cap_total = sum(n * epochs for n in counts.values())
+        assert abs(total - min(budget, cap_total)) < 1e-3
+
+
+def test_unimax_sample_copies_realize_epochs(spark):
+    from carbonapi_spark.datapipe.sampling import unimax_sample
+    df = spark.createDataFrame(
+        [(i, "en") for i in range(1000)]
+        + [(1000 + i, "de") for i in range(100)]
+        + [(1100 + i, None) for i in range(8)], "doc_id long, lang string")
+    out = unimax_sample(df, budget=300, max_epochs=2)
+    per = {r["lang"]: (r["c"], r["rows"]) for r in
+           out.groupBy("lang").agg(F.sum("copies").alias("c"),
+                                   F.count(F.lit(1)).alias("rows"))
+           .collect()}
+    # null group capped at 2 epochs: every doc exactly 2 copies
+    assert per[None] == (16, 8)
+    # caps respected and totals near budget (hash-gate variance only)
+    total = sum(c for c, _ in per.values())
+    assert abs(total - 300) / 300 < 0.1
+    assert out.where(F.col("copies") <= 0).count() == 0
