@@ -522,3 +522,31 @@ def unimax_sample(df: DataFrame, group_col: str = "lang",
             .withColumn("copies", copies)
             .where(F.col("copies") > 0)
             .drop(f"__a_{group_col}", "epochs"))
+
+
+def weighted_sample(df: DataFrame, weight_col: str, n: int,
+                    id_col: str = "doc_id",
+                    denom: int = 1_000_000) -> DataFrame:
+    """Weighted sampling without replacement, derandomized: select ``n``
+    rows with inclusion probability proportional to ``weight_col`` via
+    the Efraimidis-Spirakis key (Efraimidis & Spirakis 2006, "Weighted
+    random sampling with a reservoir") — key = ln(u) / w, keep the n
+    largest.  The length-weighted variant (w = n_chars) makes a doc
+    sample token-budget-unbiased instead of doc-count-unbiased.
+
+    u is the same hash gate as ``dsir_sample``'s Gumbel noise
+    (u = (xxhash64('wrs:' || id) mod D + 0.5) / D), so the sample is
+    reproducible across runs, engines, and repartitioning, and the
+    selection is a TakeOrdered top-n (per-partition partial top-n, no
+    global sort shuffle).  Rows with non-positive weight are excluded
+    (they cannot carry probability mass).  Returns (id, weight, key),
+    highest key first — replayable as ORDER BY key DESC, id LIMIT n."""
+    w = F.col(weight_col).cast("double")
+    u = ((F.pmod(F.xxhash64(F.concat(F.lit("wrs:"),
+                                     F.col(id_col).cast("string"))),
+                 F.lit(denom)) + F.lit(0.5)) / F.lit(denom))
+    return (df.where(w > 0)
+            .select(F.col(id_col), F.col(weight_col).alias("weight"),
+                    F.round(F.log(u) / w, 6).alias("key"))
+            .orderBy(F.desc("key"), F.col(id_col))
+            .limit(n))

@@ -1023,3 +1023,47 @@ def code_prose_features(df: DataFrame, text_col: str = "text",
         F.round(indent_frac, 6).alias("indent_frac"),
         F.round(line_len_mean, 6).alias("line_len_mean"),
         (votes >= 2).alias("is_code"))
+
+
+def zipf_fit(df: DataFrame, text_col: str = "text",
+             group_cols: tuple[str, ...] = ("lang",)) -> DataFrame:
+    """Least-squares Zipf fit per group: slope/intercept of
+    ln(count) ~ ln(rank) over the group's full term-frequency table —
+    the corpus-health diagnostic (natural language sits near slope -1;
+    far-off slopes flag templated/boilerplate or synthetic text, and
+    drift between snapshots flags a scrape regression).
+
+    Scale shape: one keyed token aggregation (vocabulary-sized after
+    map-side combine), a rank window over that VOCAB table (never the
+    token stream), then closed-form regression sums per group — the
+    corpus is scanned once, everything downstream is sublinear.
+    Deterministic rank tie-break (count DESC, term ASC).  Returns
+    (group..., n_terms, slope, intercept) rounded to 6 places."""
+    from pyspark.sql.window import Window
+    keys = [F.col(c) for c in group_cols]
+    tf = (df.select(*keys, F.explode(tokens(F.lower(F.col(text_col))))
+                    .alias("__t"))
+          .groupBy(*group_cols, "__t")
+          .agg(F.count(F.lit(1)).alias("__n")))
+    w = Window.partitionBy(*group_cols).orderBy(F.desc("__n"),
+                                                F.asc("__t"))
+    xy = tf.select(*group_cols,
+                   F.log(F.row_number().over(w).cast("double")).alias("__x"),
+                   F.log(F.col("__n").cast("double")).alias("__y"))
+    agg = (xy.groupBy(*group_cols)
+           .agg(F.count(F.lit(1)).alias("n_terms"),
+                F.sum("__x").alias("__sx"), F.sum("__y").alias("__sy"),
+                F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
+                F.sum(F.col("__x") * F.col("__x")).alias("__sxx")))
+    k = F.col("n_terms").cast("double")
+    den = F.col("__sxx") - F.col("__sx") * F.col("__sx") / k
+    # a single-term vocabulary has zero x-variance (ln rank 1 = 0):
+    # no line to fit — null, engine-portably (0/0 is NaN vs error
+    # depending on the engine)
+    slope = F.when(den > 0,
+                   (F.col("__sxy") - F.col("__sx") * F.col("__sy") / k)
+                   / den)
+    intercept = F.col("__sy") / k - slope * F.col("__sx") / k
+    return agg.select(*group_cols, "n_terms",
+                      F.round(slope, 6).alias("slope"),
+                      F.round(intercept, 6).alias("intercept"))

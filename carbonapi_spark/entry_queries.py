@@ -2030,6 +2030,69 @@ WHERE copies > 0
 _register("unimax_sample", _q_unimax_sample, _unimax_oracle())
 
 
+def _q_weighted_sample(spark, sf_dir):
+    """Length-weighted doc sample (Efraimidis-Spirakis top-n on
+    derandomized keys): 100 docs with inclusion probability
+    proportional to n_chars — token-budget-unbiased selection."""
+    from carbonapi_spark.datapipe.sampling import weighted_sample
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return weighted_sample(docs, "n_chars", 100)
+
+
+def _weighted_sample_oracle() -> str:
+    from carbonapi_spark.oracle_xxh64 import xxh64_ctes
+    return f"""
+WITH __d AS (SELECT doc_id, n_chars,
+                    'wrs:' || CAST(doc_id AS VARCHAR) AS t
+             FROM documents WHERE n_chars > 0),
+{xxh64_ctes('__d', 't', 'h64', '__h')}
+SELECT doc_id, n_chars AS weight,
+       round(ln((((h64 % 1000000) + 1000000) % 1000000 + 0.5) / 1000000)
+             / CAST(n_chars AS DOUBLE), 6) AS key
+FROM __h ORDER BY key DESC, doc_id LIMIT 100
+""".strip()
+
+
+_register("weighted_sample", _q_weighted_sample, _weighted_sample_oracle())
+
+
+def _q_zipf_fit(spark, sf_dir):
+    """Per-language Zipf slope/intercept over the full term-frequency
+    table — natural text sits near slope -1; drift flags templated or
+    synthetic corpora."""
+    from carbonapi_spark.datapipe.text import zipf_fit
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return zipf_fit(docs)
+
+
+_register("zipf_fit", _q_zipf_fit, f"""
+WITH __tf AS (SELECT lang, term, count(*) AS n
+              FROM (SELECT lang, unnest({_TOKS_SQL}) AS term
+                    FROM documents)
+              GROUP BY lang, term),
+__xy AS (SELECT lang,
+                ln(CAST(row_number() OVER (PARTITION BY lang
+                                           ORDER BY n DESC, term ASC)
+                        AS DOUBLE)) AS x,
+                ln(CAST(n AS DOUBLE)) AS y
+         FROM __tf),
+__a AS (SELECT lang, count(*) AS n_terms,
+               sum(x) AS sx, sum(y) AS sy,
+               sum(x * y) AS sxy, sum(x * x) AS sxx
+        FROM __xy GROUP BY lang)
+SELECT lang, n_terms,
+       round((sxy - sx * sy / n_terms)
+             / (sxx - sx * sx / n_terms), 6) AS slope,
+       round(sy / n_terms - ((sxy - sx * sy / n_terms)
+                             / (sxx - sx * sx / n_terms))
+                            * sx / n_terms, 6) AS intercept
+FROM __a WHERE sxx - sx * sx / n_terms > 0
+UNION ALL
+SELECT lang, n_terms, NULL, NULL FROM __a
+WHERE NOT (sxx - sx * sx / n_terms > 0)
+""".strip())
+
+
 def _q_char_entropy(spark, sf_dir):
     """Character-level Shannon entropy per doc — the cheap
     distributional quality signal (low = repeated/boilerplate, very
@@ -3889,6 +3952,8 @@ _DRIVER_PREFIX = [
     "kn_bigram_ppl",        # Kneser-Ney bigram LM quality buckets
     "hll_distinct",         # deterministic HyperLogLog, exact replay
     "unimax_sample",        # UniMax water-filling language mixing
+    "weighted_sample",      # Efraimidis-Spirakis length-weighted top-n
+    "zipf_fit",             # per-lang Zipf slope over the vocab table
     # plan changed in round 7 — re-verify
     "heavy_hitters", "heavy_trigrams",  # pass-2 folded to one projection
     "bigram_ppl", "source_kl",          # size-gated broadcast hints

@@ -2152,3 +2152,47 @@ def test_unimax_sample_copies_realize_epochs(spark):
     total = sum(c for c, _ in per.values())
     assert abs(total - 300) / 300 < 0.1
     assert out.where(F.col("copies") <= 0).count() == 0
+
+
+def test_weighted_sample_proportional_and_deterministic(spark):
+    from carbonapi_spark.datapipe.sampling import weighted_sample
+    # two weight classes, 10:1 — heavy rows should dominate the sample
+    df = spark.createDataFrame(
+        [(i, 100 if i < 500 else 10) for i in range(1000)],
+        "doc_id long, w long")
+    got = weighted_sample(df, "w", 200)
+    rows = got.collect()
+    heavy = sum(1 for r in rows if r["weight"] == 100)
+    assert heavy > 150  # E[heavy] ~ 182 of 200; far from uniform's 100
+    # deterministic: same call, same rows in the same order
+    again = weighted_sample(df, "w", 200).collect()
+    assert [r["doc_id"] for r in rows] == [r["doc_id"] for r in again]
+    # non-positive weights never selected
+    df2 = spark.createDataFrame([(1, 0), (2, -5), (3, 7)],
+                                "doc_id long, w long")
+    assert [r["doc_id"] for r in
+            weighted_sample(df2, "w", 10).collect()] == [3]
+
+
+def test_zipf_fit_matches_numpy_polyfit(spark):
+    import numpy as np
+    from carbonapi_spark.datapipe.text import zipf_fit
+    # deterministic synthetic corpus: term w_i appears ceil(60/i) times
+    words = []
+    for i in range(1, 30):
+        words += [f"w{i:02d}"] * (60 // i + 1)
+    df = spark.createDataFrame([(1, "en", " ".join(words))],
+                               "doc_id long, lang string, text string")
+    got = zipf_fit(df).collect()[0]
+    counts = sorted([60 // i + 1 for i in range(1, 30)], reverse=True)
+    x = np.log(np.arange(1, len(counts) + 1))
+    y = np.log(np.array(counts, dtype=float))
+    s, b = np.polyfit(x, y, 1)
+    assert abs(got["slope"] - s) < 1e-4
+    assert abs(got["intercept"] - b) < 1e-4
+    assert got["n_terms"] == 29
+    # single-term vocabulary: no x-variance, null fit
+    one = spark.createDataFrame([(1, "xx", "solo solo")],
+                                "doc_id long, lang string, text string")
+    r = zipf_fit(one).collect()[0]
+    assert r["slope"] is None and r["intercept"] is None
