@@ -327,3 +327,87 @@ def synth_media(spark, n: int = 32) -> DataFrame:
             mime = "video/x-fake"
         rows.append((i, kind, mime, payload, (8, 6, 4000, 16000)))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+MEDIA_DSP_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("kind", StringType()),
+    StructField("zero_crossings", LongType()),   # audio
+    StructField("peak", LongType()),             # audio
+    StructField("dominant_lag", IntegerType()),  # audio
+    StructField("mean_r", DoubleType()),         # image (3-channel)
+    StructField("mean_g", DoubleType()),
+    StructField("mean_b", DoubleType()),
+    StructField("grad_energy", LongType()),      # image
+])
+
+
+def media_dsp_features(media: DataFrame, max_lag: int = 16,
+                       strict: bool = True) -> DataFrame:
+    """Second-order signal features on the REAL decoded payloads —
+    the step past ``media_features``'s first moments:
+
+      audio: ``zero_crossings`` (sign flips, sign(0) treated
+             non-negative), ``peak`` (max |sample|), and
+             ``dominant_lag`` — the argmax over lags 1..``max_lag`` of
+             the raw autocorrelation sum(s[j]*s[j+L]) (smallest lag wins
+             ties), the classic O(max_lag * n) pitch/periodicity proxy.
+      image: per-channel means and ``grad_energy`` =
+             sum |p[i+C] - p[i]| over the interleaved raster (stride =
+             channel count) — the horizontal-gradient edge-density
+             signal used by blur/blank-frame filters.
+
+    Every statistic is derived from integer sample/pixel values with
+    int64-exact sums (the autocorrelation argmax compares exact
+    integers), so features replay bit-for-bit in any engine that can
+    evaluate the same arithmetic — which is what the catalog oracle
+    does.  Same ``mapInPandas`` shape and strictness contract as
+    ``media_features``."""
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            cols = ("media_id", "kind", "zero_crossings", "peak",
+                    "dominant_lag", "mean_r", "mean_g", "mean_b",
+                    "grad_energy")
+            out = {k: [] for k in cols}
+            for mid, kind, payload in zip(pdf["media_id"], pdf["kind"],
+                                          pdf["payload"]):
+                p = bytes(payload) if payload is not None else b""
+                row = dict.fromkeys(cols)
+                row["media_id"], row["kind"] = mid, kind
+                try:
+                    if p[:4] == b"RIFF":
+                        _rate, s = decode_wav(p)
+                        v = s.astype(np.int64)
+                        nn = v >= 0
+                        row["zero_crossings"] = int((nn[1:] != nn[:-1]).sum())
+                        row["peak"] = int(np.abs(v).max()) if len(v) else 0
+                        hi = min(max_lag, len(v) - 1)
+                        if hi >= 1:
+                            best_lag, best_r = None, None
+                            for lag in range(1, hi + 1):
+                                r = int((v[:-lag] * v[lag:]).sum())
+                                if best_r is None or r > best_r:
+                                    best_lag, best_r = lag, r
+                            row["dominant_lag"] = best_lag
+                    elif p[:2] in (b"P5", b"P6"):
+                        w, h, c, raster = decode_pnm(p)
+                        v = raster.astype(np.int64)
+                        if c == 3:
+                            npix = w * h
+                            row["mean_r"] = round(int(v[0::3].sum()) / npix, 6)
+                            row["mean_g"] = round(int(v[1::3].sum()) / npix, 6)
+                            row["mean_b"] = round(int(v[2::3].sum()) / npix, 6)
+                        row["grad_energy"] = int(
+                            np.abs(v[c:] - v[:-c]).sum()) if len(v) > c else 0
+                    else:
+                        raise NotImplementedError(
+                            f"no in-container codec for media {mid} "
+                            f"({kind}): unknown magic {p[:4]!r}")
+                except NotImplementedError:
+                    if strict:
+                        raise
+                for k in cols:
+                    out[k].append(row[k])
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, MEDIA_DSP_SCHEMA)

@@ -3285,6 +3285,66 @@ FROM __img
 """.strip())
 
 
+def _q_media_dsp(spark, sf_dir):
+    """Second-order media features on REAL decoded payloads: audio
+    zero-crossing count, peak amplitude, and autocorrelation dominant
+    lag; image per-channel means and horizontal-gradient energy.  All
+    integer-exact, so the oracle replays them from the synthesis
+    arithmetic without ever parsing the containers — the Spark side
+    must decode the real bytes to reach the same numbers."""
+    from carbonapi_spark.datapipe.multimodal import (
+        media_dsp_features, synth_media_from_ids)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ids = docs.where(F.col("doc_id") < 240).select("doc_id")
+    return media_dsp_features(synth_media_from_ids(ids), strict=True)
+
+
+_register("media_dsp", _q_media_dsp, """
+WITH __ids AS (SELECT doc_id AS media_id FROM documents WHERE doc_id < 240),
+__audio AS (
+  SELECT media_id, 32 + media_id % 64 AS n,
+         list_transform(range(32 + media_id % 64),
+                        j -> ((media_id * 31 + j * 7) % 2048) - 1024) AS s
+  FROM __ids WHERE media_id % 2 = 1),
+__lag AS (
+  SELECT media_id, L,
+         list_sum(list_transform(range(n - L),
+                                 j -> s[j + 1] * s[j + L + 1])) AS r
+  FROM __audio CROSS JOIN (SELECT unnest(range(1, 17)) AS L)),
+__best AS (
+  SELECT media_id, CAST(L AS INT) AS dominant_lag
+  FROM __lag
+  QUALIFY row_number() OVER (PARTITION BY media_id
+                             ORDER BY r DESC, L ASC) = 1),
+__img AS (
+  SELECT media_id, 8 + media_id % 8 AS w, 6 AS h,
+         list_transform(range(3 * (8 + media_id % 8) * 6),
+                        p -> (media_id * 13 + p) % 251) AS s
+  FROM __ids WHERE media_id % 2 = 0)
+SELECT a.media_id, 'audio' AS kind,
+       CAST(list_sum(list_transform(range(1, n),
+                j -> CASE WHEN (s[j + 1] >= 0) != (s[j] >= 0)
+                     THEN 1 ELSE 0 END)) AS BIGINT) AS zero_crossings,
+       CAST(list_max(list_transform(s, x -> abs(x))) AS BIGINT) AS peak,
+       b.dominant_lag,
+       CAST(NULL AS DOUBLE) AS mean_r, CAST(NULL AS DOUBLE) AS mean_g,
+       CAST(NULL AS DOUBLE) AS mean_b, CAST(NULL AS BIGINT) AS grad_energy
+FROM __audio a JOIN __best b USING (media_id)
+UNION ALL
+SELECT media_id, 'image' AS kind,
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS INT),
+       round(CAST(list_sum(list_transform(range(w * h),
+                 q -> s[3 * q + 1])) AS DOUBLE) / (w * h), 6) AS mean_r,
+       round(CAST(list_sum(list_transform(range(w * h),
+                 q -> s[3 * q + 2])) AS DOUBLE) / (w * h), 6) AS mean_g,
+       round(CAST(list_sum(list_transform(range(w * h),
+                 q -> s[3 * q + 3])) AS DOUBLE) / (w * h), 6) AS mean_b,
+       CAST(list_sum(list_transform(range(3 * w * h - 3),
+                 i -> abs(s[i + 4] - s[i + 1]))) AS BIGINT) AS grad_energy
+FROM __img
+""".strip())
+
+
 def _q_split_assign(spark, sf_dir):
     """Reproducible corpus split: hash-bucket labels (train/val/test)
     from a salted xxhash64 of the doc id — stable under repartitioning
@@ -3954,6 +4014,7 @@ _DRIVER_PREFIX = [
     "unimax_sample",        # UniMax water-filling language mixing
     "weighted_sample",      # Efraimidis-Spirakis length-weighted top-n
     "zipf_fit",             # per-lang Zipf slope over the vocab table
+    "media_dsp",            # autocorr/zero-cross/gradient on real codecs
     # plan changed in round 7 — re-verify
     "heavy_hitters", "heavy_trigrams",  # pass-2 folded to one projection
     "bigram_ppl", "source_kl",          # size-gated broadcast hints

@@ -2196,3 +2196,35 @@ def test_zipf_fit_matches_numpy_polyfit(spark):
                                 "doc_id long, lang string, text string")
     r = zipf_fit(one).collect()[0]
     assert r["slope"] is None and r["intercept"] is None
+
+
+def test_media_dsp_features_known_values(spark):
+    """Hand-computed DSP features through the real codecs: a square-wave
+    WAV (period 4 -> dominant autocorrelation lag 4, 2 sign flips per
+    period) and a 2x2 RGB ramp image."""
+    import numpy as np
+    from carbonapi_spark.datapipe.multimodal import (
+        encode_pnm, encode_wav, media_dsp_features)
+    sq = np.tile(np.array([500, 500, -500, -500], dtype=np.int64), 8)
+    wav = encode_wav(sq.tolist())
+    raster = bytes(range(12))  # 2x2 RGB: 0..11
+    ppm = encode_pnm(2, 2, raster, color=True)
+    media = spark.createDataFrame(
+        [(1, "audio", "audio/wav", bytearray(wav), None),
+         (2, "image", "image/ppm", bytearray(ppm), None)],
+        "media_id long, kind string, mime string, payload binary, "
+        "meta struct<width:int,height:int,duration_ms:int,sample_rate:int>")
+    out = {r["media_id"]: r for r in media_dsp_features(media).collect()}
+    a = out[1]
+    # 32 samples of ++-- periods: sign flips at every 2-sample boundary
+    flips = sum(1 for j in range(1, 32)
+                if (sq[j] >= 0) != (sq[j - 1] >= 0))
+    assert a["zero_crossings"] == flips == 15
+    assert a["peak"] == 500
+    # autocorrelation of a period-4 square wave peaks at lag 4
+    assert a["dominant_lag"] == 4
+    i = out[2]
+    assert (i["mean_r"], i["mean_g"], i["mean_b"]) == (4.5, 5.5, 6.5)
+    # |p[i+3]-p[i]| = 3 for all 9 comparisons
+    assert i["grad_energy"] == 27
+    assert a["mean_r"] is None and i["peak"] is None
