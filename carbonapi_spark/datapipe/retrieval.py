@@ -1,0 +1,168 @@
+"""Lexical retrieval over the documents table: BM25 scoring and a
+durable, bucket-partitioned inverted index.
+
+The complement of ``similarity.py``'s dense ANN stack: BM25 (Robertson &
+Walker's Okapi weighting, the scoring function behind Lucene/Elasticsearch
+defaults) covers the sparse/lexical half of a retrieval pipeline — dedup
+forensics ("which docs match this boilerplate query"), contamination
+lookups, and hybrid rerank candidates.
+
+Scale shape: the only thing that ever aggregates is the QUERY-TERM
+postings — the token stream is filtered to the (tiny, broadcast-literal)
+query vocabulary before any shuffle, so corpus size only enters through
+one projection-only pass for document lengths.  The durable index turns
+even that into a partition-pruned probe: postings are written partitioned
+by a hash bucket of the term, so a query reads ``len(query_terms)``
+buckets of ``n_buckets`` no matter how large the corpus is.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from carbonapi_spark.datapipe.text import token_count, tokens
+
+
+def _query_terms(query: str) -> list[str]:
+    """Deduplicated, lowercased whitespace tokens, sorted for
+    deterministic plans."""
+    return sorted({t for t in query.lower().split() if t})
+
+
+def bm25_scores(df: DataFrame, query: str, text_col: str = "text",
+                id_col: str = "doc_id", k1: float = 1.2,
+                b: float = 0.75) -> DataFrame:
+    """(id, score) for every doc matching >= 1 query term, unranked.
+
+    Okapi BM25 with the Lucene-style non-negative idf
+    ``ln(1 + (N - df + 0.5)/(df + 0.5))``:
+
+      score(d) = sum_t idf_t * tf_td*(k1+1) / (tf_td + k1*(1-b+b*dl/avgdl))
+
+    Execution: document lengths are one projection-only corpus pass (no
+    explode — ``token_count`` is a codegen expression); the explode is
+    immediately filtered to the query terms (an ``isin`` over a literal
+    array, pushed below the generator), so the tf aggregation and every
+    join after it carry query-term occurrences only.  N/avgdl ride as a
+    broadcast 1-row aggregate, per-term idf as a broadcast terms-sized
+    table.  Scores are rounded to 6 places."""
+    qterms = _query_terms(query)
+    if not qterms:
+        raise ValueError("empty query")
+    lengths = df.select(F.col(id_col),
+                        token_count(F.col(text_col)).cast("long")
+                        .alias("__dl"))
+    tf = (df.select(F.col(id_col),
+                    F.explode(tokens(F.lower(F.col(text_col))))
+                    .alias("__t"))
+          .where(F.col("__t").isin(qterms))
+          .groupBy(id_col, "__t")
+          .agg(F.count(F.lit(1)).alias("__tf")))
+    stats = lengths.agg(F.count(F.lit(1)).alias("__n"),
+                        F.sum("__dl").alias("__sumdl"))
+    dfreq = tf.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
+    idf = (dfreq.crossJoin(F.broadcast(stats))
+           .select("__t",
+                   F.log(F.lit(1.0)
+                         + (F.col("__n") - F.col("__df") + F.lit(0.5))
+                         / (F.col("__df") + F.lit(0.5))).alias("__idf"),
+                   "__n", "__sumdl"))
+    avgdl = F.col("__sumdl").cast("double") / F.col("__n")
+    norm = F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("__dl") / avgdl)
+    contrib = (F.col("__idf") * F.col("__tf") * F.lit(k1 + 1.0)
+               / (F.col("__tf") + norm))
+    return (tf.join(F.broadcast(idf), "__t")
+            .join(lengths, id_col)
+            .select(F.col(id_col), contrib.alias("__c"))
+            .groupBy(id_col)
+            .agg(F.round(F.sum("__c"), 6).alias("score")))
+
+
+def bm25_topk(df: DataFrame, query: str, k: int = 10,
+              text_col: str = "text", id_col: str = "doc_id",
+              k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """Top-``k`` docs by BM25 score (score DESC, id ASC tie-break) — a
+    TakeOrdered limit, no global sort shuffle."""
+    return (bm25_scores(df, query, text_col, id_col, k1, b)
+            .orderBy(F.desc("score"), F.col(id_col))
+            .limit(k))
+
+
+def write_text_index(df: DataFrame, path: str, text_col: str = "text",
+                     id_col: str = "doc_id", n_buckets: int = 64) -> None:
+    """Materialize the inverted index as a partitioned Parquet layout:
+
+      ``{path}/postings/bucket=<b>/``  (term, doc_id, tf) rows,
+          bucket = pmod(xxhash64(term), n_buckets)
+      ``{path}/doclens/``              (doc_id, dl)
+      ``{path}/stats/``                1 row (n_docs, sum_dl, n_buckets)
+
+    The bucket partitioning is the probe-time pruning key: a query's
+    scan touches only its terms' buckets (Catalyst partition pruning on
+    the ``bucket=`` directory column), so probe cost scales with the
+    query, not the corpus — the lexical sibling of the ANN index's
+    cell-pruned layout."""
+    tf = (df.select(F.col(id_col).alias("doc_id"),
+                    F.explode(tokens(F.lower(F.col(text_col))))
+                    .alias("term"))
+          .groupBy("doc_id", "term")
+          .agg(F.count(F.lit(1)).alias("tf")))
+    (tf.withColumn("bucket",
+                   F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
+     .write.mode("overwrite").partitionBy("bucket")
+     .parquet(f"{path}/postings"))
+    lengths = df.select(F.col(id_col).alias("doc_id"),
+                        token_count(F.col(text_col)).cast("long")
+                        .alias("dl"))
+    lengths.write.mode("overwrite").parquet(f"{path}/doclens")
+    (lengths.agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("dl").alias("sum_dl"))
+     .withColumn("n_buckets", F.lit(n_buckets))
+     .write.mode("overwrite").parquet(f"{path}/stats"))
+
+
+def bm25_query_index(spark: SparkSession, path: str, query: str,
+                     k: int = 10, k1: float = 1.2,
+                     b: float = 0.75) -> DataFrame:
+    """BM25 top-``k`` against a ``write_text_index`` layout.  Identical
+    scores to ``bm25_topk`` on the source corpus (round-trip pytest);
+    the postings scan carries ``bucket IN (query buckets)`` + ``term IN
+    (query terms)`` — the first prunes partitions, the second is a
+    pushed Parquet filter within them."""
+    qterms = _query_terms(query)
+    if not qterms:
+        raise ValueError("empty query")
+    stats_row = spark.read.parquet(f"{path}/stats").collect()[0]
+    n_docs, sum_dl = stats_row["n_docs"], stats_row["sum_dl"]
+    n_buckets = stats_row["n_buckets"]
+    # bucket the query terms with the SAME engine hash that bucketed the
+    # postings (a len(qterms)-row local job — trivial, and immune to any
+    # drift between a Python xxh64 and Spark's)
+    buckets = sorted({r["b"] for r in
+                      spark.createDataFrame([(t,) for t in qterms],
+                                            "term string")
+                      .select(F.pmod(F.xxhash64("term"),
+                                     F.lit(n_buckets)).cast("int")
+                              .alias("b")).collect()})
+    tf = (spark.read.parquet(f"{path}/postings")
+          .where(F.col("bucket").isin(buckets)
+                 & F.col("term").isin(qterms)))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
+    idf = dfreq.select(
+        "term",
+        F.log(F.lit(1.0) + (F.lit(n_docs) - F.col("__df") + F.lit(0.5))
+              / (F.col("__df") + F.lit(0.5))).alias("__idf"))
+    lengths = spark.read.parquet(f"{path}/doclens")
+    avgdl = F.lit(float(sum_dl)) / F.lit(float(n_docs))
+    norm = F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / avgdl)
+    contrib = (F.col("__idf") * F.col("tf") * F.lit(k1 + 1.0)
+               / (F.col("tf") + norm))
+    return (tf.join(F.broadcast(idf), "term")
+            .join(lengths, "doc_id")
+            .select("doc_id", contrib.alias("__c"))
+            .groupBy("doc_id")
+            .agg(F.round(F.sum("__c"), 6).alias("score"))
+            .orderBy(F.desc("score"), F.col("doc_id"))
+            .limit(k))

@@ -3285,6 +3285,41 @@ FROM __img
 """.strip())
 
 
+def _q_bm25_topk(spark, sf_dir):
+    """Okapi BM25 top-25 for the query 'hash join order' — the lexical
+    retrieval scoring op (Lucene-default weighting). Only query-term
+    occurrences ever shuffle; doc lengths are one projection pass."""
+    from carbonapi_spark.datapipe.retrieval import bm25_topk
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bm25_topk(docs, "hash join order", k=25)
+
+
+def _bm25_oracle() -> str:
+    k1, b = 1.2, 0.75
+    return f"""
+WITH __d AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+__len AS (SELECT doc_id, len(toks) AS dl FROM __d),
+__st AS (SELECT count(*) AS n, sum(dl) AS sumdl FROM __len),
+__tf AS (SELECT doc_id, t, count(*) AS tf
+         FROM (SELECT doc_id, unnest(toks) AS t FROM __d)
+         WHERE t IN ('hash', 'join', 'order') GROUP BY doc_id, t),
+__df AS (SELECT t, count(*) AS dfq FROM __tf GROUP BY t),
+__idf AS (SELECT t, ln(1.0 + (n - dfq + 0.5) / (dfq + 0.5)) AS idf
+          FROM __df CROSS JOIN __st)
+SELECT doc_id,
+       round(sum(idf * tf * {k1 + 1.0!r}
+                 / (tf + {k1!r} * ({1.0 - b!r} + {b!r} * dl
+                                   / (CAST(sumdl AS DOUBLE) / n)))), 6)
+           AS score
+FROM __tf JOIN __idf USING (t) JOIN __len USING (doc_id)
+     CROSS JOIN __st
+GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 25
+""".strip()
+
+
+_register("bm25_topk", _q_bm25_topk, _bm25_oracle())
+
+
 def _q_media_dsp(spark, sf_dir):
     """Second-order media features on REAL decoded payloads: audio
     zero-crossing count, peak amplitude, and autocorrelation dominant
@@ -4015,6 +4050,7 @@ _DRIVER_PREFIX = [
     "weighted_sample",      # Efraimidis-Spirakis length-weighted top-n
     "zipf_fit",             # per-lang Zipf slope over the vocab table
     "media_dsp",            # autocorr/zero-cross/gradient on real codecs
+    "bm25_topk",            # Okapi BM25 lexical retrieval top-k
     # plan changed in round 7 — re-verify
     "heavy_hitters", "heavy_trigrams",  # pass-2 folded to one projection
     "bigram_ppl", "source_kl",          # size-gated broadcast hints

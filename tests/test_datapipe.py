@@ -2228,3 +2228,50 @@ def test_media_dsp_features_known_values(spark):
     # |p[i+3]-p[i]| = 3 for all 9 comparisons
     assert i["grad_energy"] == 27
     assert a["mean_r"] is None and i["peak"] is None
+
+
+def test_bm25_known_values(spark):
+    """BM25 against a hand-computed two-doc corpus."""
+    import math
+    docs = spark.createDataFrame(
+        [(1, "cat dog cat"), (2, "dog bird"), (3, "fish fish fish")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["score"]
+           for r in bm25_topk_import()(docs, "cat dog", k=10).collect()}
+    n, k1, b = 3, 1.2, 0.75
+    avgdl = (3 + 2 + 3) / 3
+    def idf(dfq):
+        return math.log(1.0 + (n - dfq + 0.5) / (dfq + 0.5))
+    def w(tf, dl, dfq):
+        return idf(dfq) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+    assert got[1] == round(w(2, 3, 1) + w(1, 3, 2), 6)
+    assert got[2] == round(w(1, 2, 2), 6)
+    assert 3 not in got  # no query term -> no row
+
+
+def bm25_topk_import():
+    from carbonapi_spark.datapipe.retrieval import bm25_topk
+    return bm25_topk
+
+
+def test_bm25_index_round_trip(spark, tmp_path):
+    """Scores through the durable bucket-partitioned index must equal
+    the direct corpus computation exactly, and the postings probe must
+    partition-prune to the query terms' buckets."""
+    from carbonapi_spark.datapipe.retrieval import (
+        bm25_query_index, bm25_topk, write_text_index)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    path = str(tmp_path / "tix")
+    write_text_index(docs, path, n_buckets=16)
+    raw = [(r["doc_id"], r["score"])
+           for r in bm25_topk(docs, "hash join order", k=15).collect()]
+    idx = [(r["doc_id"], r["score"])
+           for r in bm25_query_index(spark, path, "hash join order",
+                                     k=15).collect()]
+    assert raw == idx and len(raw) > 0
+    plan = (bm25_query_index(spark, path, "hash join order", k=15)
+            ._jdf.queryExecution().executedPlan().toString())
+    import re
+    pf = re.findall(r"PartitionFilters: \[bucket#\d+ IN \(([^)]*)\)\]", plan)
+    assert pf, "postings scan lost its bucket partition filter"
+    assert all(len(x.split(",")) <= 3 for x in pf)
