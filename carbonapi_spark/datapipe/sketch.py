@@ -178,6 +178,18 @@ def hll_registers(df: DataFrame, value_col: str,
     100 TB without shuffling the value stream, and register tables from
     disjoint shards/rounds union-max-merge losslessly
     (``groupBy(group, reg).agg(max(mrho))``)."""
+    return (hll_reg_rho(df, value_col, group_cols, b)
+            .groupBy(*group_cols, "reg")
+            .agg(F.max("__rho").alias("mrho")))
+
+
+def hll_reg_rho(df: DataFrame, value_col: str,
+                group_cols: tuple[str, ...] = (),
+                b: int = 12) -> DataFrame:
+    """The per-VALUE register observations (group..., reg, __rho) —
+    the pre-aggregation form of ``hll_registers``, exposed so streaming
+    kernels can max-merge them statefully (the projection is pure
+    column arithmetic, legal on a streaming DataFrame)."""
     m = 1 << b
     wbits = 62 - b
     h = F.xxhash64(F.col(value_col).cast("string"))
@@ -189,9 +201,33 @@ def hll_registers(df: DataFrame, value_col: str,
     rho = (F.when(F.col("__w") > 0,
                   F.lit(wbits) - F.length(F.bin(F.col("__w"))) + 1)
            .otherwise(F.lit(wbits + 1)).cast("int"))
-    return (base.select(*keys, "reg", rho.alias("__rho"))
-            .groupBy(*group_cols, "reg")
-            .agg(F.max("__rho").alias("mrho")))
+    return base.select(*keys, "reg", rho.alias("__rho"))
+
+
+def hll_estimate(regs: DataFrame,
+                 group_cols: tuple[str, ...] = (),
+                 b: int = 12) -> DataFrame:
+    """The estimate finisher over a (group..., reg, mrho) register
+    table — the second half of ``hll_distinct``, exposed so merged /
+    streamed register tables produce the identical estimate."""
+    m = 1 << b
+    rho_max = 62 - b + 1
+    alpha = _hll_alpha(m)
+    num_const = float(alpha) * m * m * float(1 << rho_max)
+    agg = (regs.groupBy(*group_cols)
+           .agg(F.count(F.lit(1)).alias("registers_used"),
+                F.sum(F.expr(
+                    f"shiftleft(CAST(1 AS BIGINT), {rho_max} - mrho)"))
+                .alias("__s")))
+    zeros = F.lit(m) - F.col("registers_used")
+    s_scaled = (F.col("__s")
+                + zeros.cast("long") * F.lit(1 << rho_max).cast("long"))
+    e_raw = F.lit(num_const) / s_scaled.cast("double")
+    est = F.when((e_raw <= 2.5 * m) & (zeros > 0),
+                 m * F.log(F.lit(float(m)) / zeros.cast("double"))) \
+           .otherwise(e_raw)
+    return agg.select(*group_cols, "registers_used",
+                      F.round(est, 3).alias("est_distinct"))
 
 
 def hll_distinct(df: DataFrame, value_col: str,
@@ -209,23 +245,5 @@ def hll_distinct(df: DataFrame, value_col: str,
     correction applies (E <= 2.5m with empty registers -> linear
     counting m*ln(m/V0)); the 64-bit hash needs no large-range branch.
     Estimates are rounded to 3 places."""
-    m = 1 << b
-    rho_max = 62 - b + 1
-    alpha = _hll_alpha(m)
-    # exact double literal shared with any SQL replay
-    num_const = float(alpha) * m * m * float(1 << rho_max)
-    regs = hll_registers(df, value_col, group_cols, b)
-    agg = (regs.groupBy(*group_cols)
-           .agg(F.count(F.lit(1)).alias("registers_used"),
-                F.sum(F.expr(
-                    f"shiftleft(CAST(1 AS BIGINT), {rho_max} - mrho)"))
-                .alias("__s")))
-    zeros = F.lit(m) - F.col("registers_used")
-    s_scaled = (F.col("__s")
-                + zeros.cast("long") * F.lit(1 << rho_max).cast("long"))
-    e_raw = F.lit(num_const) / s_scaled.cast("double")
-    est = F.when((e_raw <= 2.5 * m) & (zeros > 0),
-                 m * F.log(F.lit(float(m)) / zeros.cast("double"))) \
-           .otherwise(e_raw)
-    return agg.select(*group_cols, "registers_used",
-                      F.round(est, 3).alias("est_distinct"))
+    return hll_estimate(hll_registers(df, value_col, group_cols, b),
+                        group_cols, b)

@@ -2239,6 +2239,61 @@ FROM __e
 _register("hll_distinct", _q_hll_distinct, _hll_distinct_oracle())
 
 
+def _q_stream_hll_replay(spark, sf_dir):
+    """Streaming HyperLogLog on the driver scoreboard via the
+    availableNow replay pattern: the documents slice streams through
+    ``stream_hll_registers``'s stateful max-merge kernel, the sink
+    gathers the final register table, and ``hll_estimate`` finishes it.
+    Register max-merge is commutative/associative/idempotent, so the
+    streamed sketch — and the estimate — is bit-for-bit the batch
+    sketch regardless of micro-batch arrival: the oracle is the batch
+    HLL replay on the same slice."""
+    import tempfile
+
+    from carbonapi_spark.datapipe.sketch import hll_estimate
+    from carbonapi_spark.datapipe.text import tokens as _tok
+    from carbonapi_spark.streaming.stateful import stream_hll_registers
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (spark.readStream.schema(schema)
+              .option("pathGlobFilter", "documents.parquet")
+              .parquet(sf_dir)
+              .where(F.col("doc_id") < 500))
+    toks = stream.select("lang",
+                         F.explode(_tok(F.lower(F.col("text")))).alias("t"))
+    out = stream_hll_registers(toks, "t", "lang")
+    final: dict = {}
+
+    def sink(bdf, _bid):
+        for r in bdf.collect():
+            k = (r["grp"], r["reg"])
+            final[k] = max(final.get(k, 0), r["mrho"])
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        with tempfile.TemporaryDirectory() as ckpt:
+            q = (out.writeStream.outputMode("update")
+                 .foreachBatch(sink)
+                 .option("checkpointLocation", ckpt)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    regs = spark.createDataFrame(
+        [(g, r, m) for (g, r), m in sorted(final.items())] or [],
+        "lang string, reg int, mrho int")
+    return hll_estimate(regs, ("lang",))
+
+
+def _stream_hll_oracle() -> str:
+    base = _hll_distinct_oracle()
+    return base.replace("FROM documents)",
+                        "FROM documents WHERE doc_id < 500)")
+
+
+_register("stream_hll_replay", _q_stream_hll_replay, _stream_hll_oracle())
+
+
 def _q_norm_dedup(spark, sf_dir):
     """Exact dedup on normalization-canonicalized text (lowercase, strip
     punctuation, collapse whitespace) — the RefinedWeb-style exact-dup
@@ -4051,6 +4106,7 @@ _DRIVER_PREFIX = [
     "zipf_fit",             # per-lang Zipf slope over the vocab table
     "media_dsp",            # autocorr/zero-cross/gradient on real codecs
     "bm25_topk",            # Okapi BM25 lexical retrieval top-k
+    "stream_hll_replay",    # stateful streaming HLL == batch sketch
     # plan changed in round 7 — re-verify
     "heavy_hitters", "heavy_trigrams",  # pass-2 folded to one projection
     "bigram_ppl", "source_kl",          # size-gated broadcast hints

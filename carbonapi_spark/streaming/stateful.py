@@ -275,3 +275,46 @@ def stream_semantic_dedup(vecs: DataFrame, dim: int = 64,
     return (base.groupBy("cell")
             .applyInPandasWithState(fn, SEM_OUT, SEM_STATE,
                                     "append", timeout))
+
+
+HLL_OUT = "grp STRING, reg INT, mrho INT"
+HLL_STATE = "mrho INT"
+
+
+def stream_hll_registers(rows: DataFrame, value_col: str,
+                         group_col: str, b: int = 12) -> DataFrame:
+    """Streaming HyperLogLog: maintain the (group, reg) -> max-rank
+    register table statefully over an unbounded value stream, emitting a
+    row whenever a register RISES (update semantics — late/duplicate
+    values can only re-observe, never lower, a register).
+
+    Because HLL registers merge by max — commutative, associative,
+    idempotent — the final streamed register table is IDENTICAL to the
+    batch sketch over the same rows regardless of micro-batch
+    arrival order or restarts, and therefore so is the estimate
+    (``hll_estimate``): the replay entry checks that bit-for-bit
+    against the batch oracle.  State is one INT per non-zero register,
+    bounded at groups * 2^b keys — the streaming distinct counter whose
+    state does NOT grow with the number of distinct values, unlike
+    ``stream_dedup_exact``'s per-key state."""
+    from carbonapi_spark.datapipe.sketch import hll_reg_rho
+
+    def fn(key, pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        best = state.get[0] if state.exists else None
+        hi = best
+        for pdf in pdfs:
+            if len(pdf):
+                m = int(pdf["__rho"].max())
+                hi = m if hi is None else max(hi, m)
+        if hi is not None and (best is None or hi > best):
+            state.update((hi,))
+            yield pd.DataFrame({"grp": [key[0]], "reg": [key[1]],
+                                "mrho": [hi]})
+
+    obs = (hll_reg_rho(rows, value_col, (group_col,), b)
+           .select(F.col(group_col).cast("string").alias("grp"),
+                   "reg", "__rho"))
+    return (obs.groupBy("grp", "reg")
+            .applyInPandasWithState(fn, HLL_OUT, HLL_STATE,
+                                    "update", GroupStateTimeout.NoTimeout))

@@ -2275,3 +2275,39 @@ def test_bm25_index_round_trip(spark, tmp_path):
     pf = re.findall(r"PartitionFilters: \[bucket#\d+ IN \(([^)]*)\)\]", plan)
     assert pf, "postings scan lost its bucket partition filter"
     assert all(len(x.split(",")) <= 3 for x in pf)
+
+
+def test_stream_hll_matches_batch_across_batches(spark, tmp_path):
+    """The streamed register table (state carried across micro-batches
+    AND a checkpointed restart) must equal the batch sketch row for row
+    — max-merge is order-insensitive, so arrival slicing can't move a
+    register."""
+    from carbonapi_spark.datapipe.sketch import hll_registers
+    from carbonapi_spark.streaming.stateful import stream_hll_registers
+
+    rows = [(i, "en" if i % 3 else "de", f"tok{i % 997}")
+            for i in range(3000)]
+    src = str(tmp_path / "src")
+    batch = spark.createDataFrame(rows, "i long, lang string, t string")
+    batch.repartition(4).write.parquet(src)  # several files -> several triggers
+
+    final: dict = {}
+
+    def sink(bdf, _bid):
+        for r in bdf.collect():
+            k = (r["grp"], r["reg"])
+            final[k] = max(final.get(k, 0), r["mrho"])
+
+    ckpt = str(tmp_path / "ckpt")
+    stream = (spark.readStream.schema(batch.schema)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    out = stream_hll_registers(stream, "t", "lang")
+    for _run in range(2):  # second run: restart from checkpoint, no-op
+        q = (out.writeStream.outputMode("update").foreachBatch(sink)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    want = {(r["lang"], r["reg"]): r["mrho"]
+            for r in hll_registers(batch, "t", ("lang",)).collect()}
+    assert final == want and len(want) > 100
