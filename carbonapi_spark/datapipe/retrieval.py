@@ -18,8 +18,6 @@ buckets of ``n_buckets`` no matter how large the corpus is.
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from carbonapi_spark.datapipe.text import token_count, tokens
@@ -166,3 +164,60 @@ def bm25_query_index(spark: SparkSession, path: str, query: str,
             .agg(F.round(F.sum("__c"), 6).alias("score"))
             .orderBy(F.desc("score"), F.col("doc_id"))
             .limit(k))
+
+
+def mmr_rerank(candidates: DataFrame, vectors: DataFrame, n: int = 10,
+               lam: float = 0.7, id_col: str = "doc_id",
+               rel_col: str = "score",
+               vec_col: str = "embedding") -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998): greedily select ``n`` of the candidates maximizing
+    ``lam * relevance - (1 - lam) * max_cosine_to_already_selected`` —
+    the diversity-aware last stage of a retrieval pipeline (candidates
+    from ``bm25_topk`` or the ANN stack, vectors from the embeddings
+    table or ``hashed_doc_vectors``).
+
+    Scale shape: MMR is defined over a TOP-K CANDIDATE SET, so the
+    quadratic part is k^2 pairwise cosines — computed JVM-side with the
+    same fold arithmetic as ``embedding_dedup`` and collected (k is a
+    rerank depth, tens); the greedy loop itself is a driver-side
+    bounded iteration, the same economy as the quality classifier's
+    bounded training.  Every comparison runs on 6-dp-rounded values
+    with a lowest-id tie-break, so the selection replays exactly in
+    SQL (n unrolled iterations).  Returns (rank, doc_id, mmr_score)."""
+    from carbonapi_spark.datapipe.similarity import _as_double, dot, norm
+    cand = candidates.select(F.col(id_col).alias("__id"),
+                             F.col(rel_col).alias("__rel"))
+    vec = vectors.select(F.col(id_col).alias("__id"),
+                         _as_double(F.col(vec_col)).alias("__e"))
+    joined = cand.join(vec, "__id")
+    a = joined.select(F.col("__id").alias("__ia"),
+                      F.col("__e").alias("__ea"))
+    b = joined.select(F.col("__id").alias("__ib"),
+                      F.col("__e").alias("__eb"))
+    sims = (a.join(b, F.col("__ia") < F.col("__ib"))
+            .select("__ia", "__ib",
+                    F.round(dot(F.col("__ea"), F.col("__eb"))
+                            / (norm(F.col("__ea")) * norm(F.col("__eb"))),
+                            6).alias("__sim")))
+    rel = {r["__id"]: r["__rel"] for r in cand.collect()}
+    sim: dict = {}
+    for r in sims.collect():
+        sim[(r["__ia"], r["__ib"])] = r["__sim"]
+        sim[(r["__ib"], r["__ia"])] = r["__sim"]
+    selected: list[tuple[int, int, float]] = []  # (rank, id, score)
+    chosen: list = []
+    for rank in range(1, min(n, len(rel)) + 1):
+        best = None
+        for d, rv in rel.items():
+            if d in chosen:
+                continue
+            ms = max((sim.get((d, s), 0.0) for s in chosen), default=0.0)
+            v = round(lam * rv - (1.0 - lam) * ms, 6)
+            if best is None or v > best[1] or (v == best[1] and d < best[0]):
+                best = (d, v)
+        chosen.append(best[0])
+        selected.append((rank, best[0], best[1]))
+    spark = candidates.sparkSession
+    return spark.createDataFrame(
+        selected or [], "rank INT, doc_id LONG, mmr_score DOUBLE")

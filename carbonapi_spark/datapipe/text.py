@@ -1067,3 +1067,40 @@ def zipf_fit(df: DataFrame, text_col: str = "text",
     return agg.select(*group_cols, "n_terms",
                       F.round(slope, 6).alias("slope"),
                       F.round(intercept, 6).alias("intercept"))
+
+
+def pmi_top(df: DataFrame, text_col: str = "text", min_count: int = 5,
+            k: int = 50) -> DataFrame:
+    """Top-``k`` collocations by pointwise mutual information:
+    PMI(w1,w2) = ln( C12 * T / (C1 * C2) ) over the corpus bigram
+    table, keeping pairs with C12 >= ``min_count`` (the classic Church &
+    Hanks 1990 association measure — low-frequency pairs are excluded
+    because PMI explodes on them).
+
+    Scale shape: ONE corpus explode into the bigram count table; both
+    unigram marginals and the total T are DERIVED from that table
+    (sum over the w1 / w2 slot — never a second corpus pass, the same
+    economy as the bigram LM), broadcast back at vocabulary size, and
+    the result is a TakeOrdered top-k.  PMI's log runs on an exact
+    integer ratio (C12*T and C1*C2 are BIGINT products), so the score
+    replays exactly.  Ties break on (w1, w2).  Returns
+    (w1, w2, cnt, pmi) with pmi rounded to 6."""
+    from carbonapi_spark.datapipe import bcast_if_small, spread
+    bi = (spread(df, min_bytes=256 << 10)
+          .select(F.explode(word_ngrams(F.col(text_col), 2)).alias("g")))
+    cnt = bi.groupBy("g").agg(F.count(F.lit(1)).alias("cnt"))
+    w1 = F.substring_index("g", " ", 1).alias("w1")
+    w2 = F.substring_index("g", " ", -1).alias("w2")
+    pairs = cnt.select(w1, w2, "cnt")
+    c1 = pairs.groupBy("w1").agg(F.sum("cnt").alias("__c1"))
+    c2 = pairs.groupBy("w2").agg(F.sum("cnt").alias("__c2"))
+    tot = pairs.agg(F.sum("cnt").alias("__t"))
+    pmi = F.log((F.col("cnt") * F.col("__t")).cast("double")
+                / (F.col("__c1") * F.col("__c2")).cast("double"))
+    return (pairs.where(F.col("cnt") >= min_count)
+            .join(bcast_if_small(c1, df), "w1")
+            .join(bcast_if_small(c2, df), "w2")
+            .crossJoin(F.broadcast(tot))
+            .select("w1", "w2", "cnt", F.round(pmi, 6).alias("pmi"))
+            .orderBy(F.desc("pmi"), "w1", "w2")
+            .limit(k))

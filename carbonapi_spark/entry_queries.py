@@ -3349,7 +3349,10 @@ def _q_bm25_topk(spark, sf_dir):
     return bm25_topk(docs, "hash join order", k=25)
 
 
-def _bm25_oracle() -> str:
+def _bm25_ctes(limit: int) -> str:
+    """The BM25 top-``limit`` computation as a CTE chain ending in
+    ``__cand (doc_id, score)`` — shared by the bm25_topk oracle and the
+    MMR rerank oracle (which consumes the candidates)."""
     k1, b = 1.2, 0.75
     return f"""
 WITH __d AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
@@ -3360,19 +3363,107 @@ __tf AS (SELECT doc_id, t, count(*) AS tf
          WHERE t IN ('hash', 'join', 'order') GROUP BY doc_id, t),
 __df AS (SELECT t, count(*) AS dfq FROM __tf GROUP BY t),
 __idf AS (SELECT t, ln(1.0 + (n - dfq + 0.5) / (dfq + 0.5)) AS idf
-          FROM __df CROSS JOIN __st)
-SELECT doc_id,
-       round(sum(idf * tf * {k1 + 1.0!r}
-                 / (tf + {k1!r} * ({1.0 - b!r} + {b!r} * dl
-                                   / (CAST(sumdl AS DOUBLE) / n)))), 6)
-           AS score
-FROM __tf JOIN __idf USING (t) JOIN __len USING (doc_id)
-     CROSS JOIN __st
-GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 25
+          FROM __df CROSS JOIN __st),
+__cand AS (
+  SELECT doc_id,
+         round(sum(idf * tf * {k1 + 1.0!r}
+                   / (tf + {k1!r} * ({1.0 - b!r} + {b!r} * dl
+                                     / (CAST(sumdl AS DOUBLE) / n)))), 6)
+             AS score
+  FROM __tf JOIN __idf USING (t) JOIN __len USING (doc_id)
+       CROSS JOIN __st
+  GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT {limit})
 """.strip()
 
 
-_register("bm25_topk", _q_bm25_topk, _bm25_oracle())
+_register("bm25_topk", _q_bm25_topk,
+          _bm25_ctes(25) + "\nSELECT doc_id, score FROM __cand")
+
+
+def _q_mmr_rerank(spark, sf_dir):
+    """Retrieval-stack composition on the scoreboard: BM25 top-25
+    candidates for 'hash join order', diversified down to 10 with MMR
+    (lambda=0.7) over the real embeddings table — the greedy selection
+    replays exactly because every compared value is 6-dp-rounded with a
+    lowest-id tie-break."""
+    from carbonapi_spark.datapipe.retrieval import bm25_topk, mmr_rerank
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .select(F.col("vec_id").alias("doc_id"), "embedding"))
+    cand = bm25_topk(docs, "hash join order", k=25)
+    return mmr_rerank(cand, emb, n=10, lam=0.7)
+
+
+def _mmr_oracle() -> str:
+    lam = 0.7
+    steps = []
+    for i in range(2, 11):
+        steps.append(f"""
+__sc{i} AS (SELECT c.doc_id,
+                   round(CAST({lam!r} AS DOUBLE) * c.score
+                         - CAST({1.0 - lam!r} AS DOUBLE) * max(s.sim), 6)
+                       AS v
+            FROM __cv c
+            JOIN __ss s ON s.ia = c.doc_id
+            JOIN __sel{i - 1} q ON s.ib = q.doc_id
+            WHERE c.doc_id NOT IN (SELECT doc_id FROM __sel{i - 1})
+            GROUP BY c.doc_id, c.score),
+__pick{i} AS (SELECT {i} AS rank, doc_id, v FROM __sc{i}
+              ORDER BY v DESC, doc_id LIMIT 1),
+__sel{i} AS MATERIALIZED (SELECT * FROM __sel{i - 1}
+             UNION ALL SELECT * FROM __pick{i})""".strip())
+    return (_bm25_ctes(25) + ",\n" + f"""
+__cv AS MATERIALIZED (SELECT c.doc_id, c.score, e.embedding::DOUBLE[] AS v
+         FROM __cand c JOIN embeddings e ON e.vec_id = c.doc_id),
+__s AS (SELECT a.doc_id AS ia, b.doc_id AS ib,
+               round(list_dot_product(a.v, b.v)
+                     / (sqrt(list_dot_product(a.v, a.v))
+                        * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+        FROM __cv a JOIN __cv b ON a.doc_id < b.doc_id),
+__ss AS MATERIALIZED (SELECT ia, ib, sim FROM __s
+         UNION ALL SELECT ib, ia, sim FROM __s),
+__sc1 AS (SELECT doc_id, round(CAST({lam!r} AS DOUBLE) * score, 6) AS v
+          FROM __cv),
+__sel1 AS MATERIALIZED (SELECT 1 AS rank, doc_id, v FROM __sc1
+           ORDER BY v DESC, doc_id LIMIT 1),
+""".strip() + "\n" + ",\n".join(steps) + "\n"
+            + "SELECT CAST(rank AS INT) AS rank, doc_id, "
+              "v AS mmr_score FROM __sel10")
+
+
+_register("mmr_rerank", _q_mmr_rerank, _mmr_oracle())
+
+
+def _q_pmi_top(spark, sf_dir):
+    """Top-50 collocations by PMI (Church & Hanks 1990) with a
+    min-count floor — unigram marginals and the total derived from the
+    bigram count table, never a second corpus pass."""
+    from carbonapi_spark.datapipe.text import pmi_top
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pmi_top(docs, min_count=20, k=50)
+
+
+_register("pmi_top", _q_pmi_top, f"""
+WITH __bi AS (
+  SELECT g, count(*) AS cnt FROM (
+    SELECT unnest(list_transform(range(greatest(len(toks) - 1, 0)),
+                                 j -> toks[j + 1] || ' ' || toks[j + 2]))
+               AS g
+    FROM (SELECT {_TOKS_SQL} AS toks FROM documents))
+  GROUP BY g),
+__p AS (SELECT string_split(g, ' ')[1] AS w1,
+               string_split(g, ' ')[2] AS w2, cnt
+        FROM __bi),
+__c1 AS (SELECT w1, sum(cnt) AS c1 FROM __p GROUP BY w1),
+__c2 AS (SELECT w2, sum(cnt) AS c2 FROM __p GROUP BY w2),
+__t AS (SELECT sum(cnt) AS t FROM __p)
+SELECT w1, w2, cnt,
+       round(ln(CAST(cnt * t AS DOUBLE) / CAST(c1 * c2 AS DOUBLE)), 6)
+           AS pmi
+FROM __p JOIN __c1 USING (w1) JOIN __c2 USING (w2) CROSS JOIN __t
+WHERE cnt >= 20
+ORDER BY pmi DESC, w1, w2 LIMIT 50
+""".strip())
 
 
 def _q_media_dsp(spark, sf_dir):
@@ -4107,6 +4198,8 @@ _DRIVER_PREFIX = [
     "media_dsp",            # autocorr/zero-cross/gradient on real codecs
     "bm25_topk",            # Okapi BM25 lexical retrieval top-k
     "stream_hll_replay",    # stateful streaming HLL == batch sketch
+    "pmi_top",              # PMI collocations, marginals from bigrams
+    "mmr_rerank",           # BM25 -> embeddings -> greedy MMR rerank
     # plan changed in round 7 — re-verify
     "heavy_hitters", "heavy_trigrams",  # pass-2 folded to one projection
     "bigram_ppl", "source_kl",          # size-gated broadcast hints

@@ -2311,3 +2311,41 @@ def test_stream_hll_matches_batch_across_batches(spark, tmp_path):
     want = {(r["lang"], r["reg"]): r["mrho"]
             for r in hll_registers(batch, "t", ("lang",)).collect()}
     assert final == want and len(want) > 100
+
+
+def test_pmi_top_known_values(spark):
+    import math
+    from carbonapi_spark.datapipe.text import pmi_top
+    # bigrams: "a b" x3, "b a" x2, "a c" x1  (from "a b a b a b" + "a c")
+    df = spark.createDataFrame([(1, "a b a b a b"), (2, "a c")],
+                               "doc_id long, text string")
+    rows = {(r["w1"], r["w2"]): (r["cnt"], r["pmi"])
+            for r in pmi_top(df, min_count=1, k=10).collect()}
+    # marginals from the bigram table: c1(a)=4, c1(b)=2; c2(b)=3, c2(a)=2,
+    # c2(c)=1; T=6
+    assert rows[("a", "b")][0] == 3
+    assert rows[("a", "b")][1] == round(math.log(3 * 6 / (4 * 3)), 6)
+    assert rows[("b", "a")][1] == round(math.log(2 * 6 / (2 * 2)), 6)
+    assert rows[("a", "c")][1] == round(math.log(1 * 6 / (4 * 1)), 6)
+
+
+def test_mmr_rerank_diversifies(spark):
+    from carbonapi_spark.datapipe.retrieval import mmr_rerank
+    cand = spark.createDataFrame(
+        [(1, 1.0), (2, 0.99), (3, 0.5)], "doc_id long, score double")
+    # docs 1 and 2 are near-identical vectors; 3 is orthogonal
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.999, 0.01]), (3, [0.0, 1.0])],
+        "doc_id long, embedding array<double>")
+    out = [r["doc_id"] for r in
+           mmr_rerank(cand, vecs, n=3, lam=0.5).collect()]
+    # relevance alone would give 1,2,3; MMR demotes the near-dup 2
+    assert out == [1, 3, 2]
+    # lam=1.0 -> pure relevance order
+    pure = [r["doc_id"] for r in
+            mmr_rerank(cand, vecs, n=3, lam=1.0).collect()]
+    assert pure == [1, 2, 3]
+    # ranks are 1..n and scores non-increasing within the greedy frontier
+    ranks = [r["rank"] for r in mmr_rerank(cand, vecs, n=3,
+                                           lam=0.5).collect()]
+    assert ranks == [1, 2, 3]
