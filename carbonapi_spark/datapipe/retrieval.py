@@ -178,33 +178,41 @@ def mmr_rerank(candidates: DataFrame, vectors: DataFrame, n: int = 10,
     table or ``hashed_doc_vectors``).
 
     Scale shape: MMR is defined over a TOP-K CANDIDATE SET, so the
-    quadratic part is k^2 pairwise cosines — computed JVM-side with the
-    same fold arithmetic as ``embedding_dedup`` and collected (k is a
-    rerank depth, tens); the greedy loop itself is a driver-side
-    bounded iteration, the same economy as the quality classifier's
-    bounded training.  Every comparison runs on 6-dp-rounded values
-    with a lowest-id tie-break, so the selection replays exactly in
-    SQL (n unrolled iterations).  Returns (rank, doc_id, mmr_score)."""
-    from carbonapi_spark.datapipe.similarity import _as_double, dot, norm
-    cand = candidates.select(F.col(id_col).alias("__id"),
-                             F.col(rel_col).alias("__rel"))
-    vec = vectors.select(F.col(id_col).alias("__id"),
-                         _as_double(F.col(vec_col)).alias("__e"))
-    joined = cand.join(vec, "__id")
-    a = joined.select(F.col("__id").alias("__ia"),
-                      F.col("__e").alias("__ea"))
-    b = joined.select(F.col("__id").alias("__ib"),
-                      F.col("__e").alias("__eb"))
-    sims = (a.join(b, F.col("__ia") < F.col("__ib"))
-            .select("__ia", "__ib",
-                    F.round(dot(F.col("__ea"), F.col("__eb"))
-                            / (norm(F.col("__ea")) * norm(F.col("__eb"))),
-                            6).alias("__sim")))
-    rel = {r["__id"]: r["__rel"] for r in cand.collect()}
+    candidate pipeline (often a full BM25/ANN pass) runs ONCE and is
+    collected at k rows; the vectors scan then carries a pushed ``id IN
+    (candidates)`` Parquet filter instead of re-running the candidate
+    plan as a join side.  The k^2 pairwise cosines and the greedy loop
+    are a driver-side bounded iteration (k is a rerank depth, tens) —
+    the same economy as the quality classifier's bounded training.  The
+    cosine is the identical sequential left-fold as the JVM/DuckDB
+    ``aggregate``/``list_dot_product`` arithmetic (IEEE ops in the same
+    order), every compared value is 6-dp-rounded with a lowest-id
+    tie-break, so the selection replays exactly in SQL (n unrolled
+    iterations).  Returns (rank, doc_id, mmr_score)."""
+    rel = {r["__id"]: r["__rel"] for r in
+           candidates.select(F.col(id_col).alias("__id"),
+                             F.col(rel_col).alias("__rel")).collect()}
+    vrows = (vectors.where(F.col(id_col).isin(list(rel)))
+             .select(F.col(id_col).alias("__id"),
+                     F.col(vec_col).cast("array<double>").alias("__e"))
+             .collect())
+    emb = {r["__id"]: r["__e"] for r in vrows}
+
+    def _fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    import math
+    ids_v = sorted(emb)
+    nrm = {d: math.sqrt(_fold_dot(emb[d], emb[d])) for d in ids_v}
     sim: dict = {}
-    for r in sims.collect():
-        sim[(r["__ia"], r["__ib"])] = r["__sim"]
-        sim[(r["__ib"], r["__ia"])] = r["__sim"]
+    for i, da in enumerate(ids_v):
+        for db in ids_v[i + 1:]:
+            s = round(_fold_dot(emb[da], emb[db]) / (nrm[da] * nrm[db]), 6)
+            sim[(da, db)] = s
+            sim[(db, da)] = s
     selected: list[tuple[int, int, float]] = []  # (rank, id, score)
     chosen: list = []
     for rank in range(1, min(n, len(rel)) + 1):

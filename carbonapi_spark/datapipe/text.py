@@ -1085,10 +1085,15 @@ def pmi_top(df: DataFrame, text_col: str = "text", min_count: int = 5,
     integer ratio (C12*T and C1*C2 are BIGINT products), so the score
     replays exactly.  Ties break on (w1, w2).  Returns
     (w1, w2, cnt, pmi) with pmi rounded to 6."""
-    from carbonapi_spark.datapipe import bcast_if_small, spread
+    from carbonapi_spark.datapipe import (bcast_if_small, spread,
+                                          track_if_large)
     bi = (spread(df, min_bytes=256 << 10)
           .select(F.explode(word_ngrams(F.col(text_col), 2)).alias("g")))
-    cnt = bi.groupBy("g").agg(F.count(F.lit(1)).alias("cnt"))
+    # the bigram count table feeds FOUR consumers (pairs + both marginals
+    # + the total): persist it at lake scale so the corpus explode runs
+    # once, recompute at bench scale (the track_if_large duality)
+    cnt = track_if_large(bi.groupBy("g")
+                         .agg(F.count(F.lit(1)).alias("cnt")), df)
     w1 = F.substring_index("g", " ", 1).alias("w1")
     w2 = F.substring_index("g", " ", -1).alias("w2")
     pairs = cnt.select(w1, w2, "cnt")
