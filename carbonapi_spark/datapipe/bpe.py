@@ -1,0 +1,134 @@
+"""Byte-pair-encoding merge training (Sennrich, Haddow & Birch, ACL
+2016) over the corpus word-frequency table.
+
+Classic BPE trains on WORD TYPES, not the corpus: one corpus pass builds
+(word, count), then every merge iteration runs over the vocabulary-sized
+type table — count adjacent symbol pairs weighted by word frequency,
+merge the argmax pair in every type, repeat.  That is exactly the right
+Spark shape at 100 TB: the corpus is scanned once; each of the N
+iterations is two vocabulary-sized aggregations plus one projection, with
+the winning pair broadcast as a literal.
+
+Everything is integer counts and string folds — no floating point at
+all — so the learned merge table replays bit-for-bit in SQL (the oracle
+unrolls the iterations as materialized CTEs with the identical
+``list_reduce`` fold).
+
+Symbols are separated by the ASCII unit separator (0x1F) inside a
+boundary-padded string (``\\x1f h \\x1f i \\x1f``), which makes the
+"last symbol == left AND next == right" test a suffix check and keeps
+the left-to-right NON-OVERLAPPING merge of a run ("a a a a" + (a,a) ->
+"aa aa") exact: after a merge the accumulated last symbol is the merged
+token, which can never equal the left part again.  Words containing the
+separator byte are dropped (they cannot be represented; real tokenizers
+pre-normalize control bytes away).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from carbonapi_spark.datapipe.text import tokens
+
+SEP = "\x1f"
+
+
+def _sym_init(word: Column) -> Column:
+    """',h,e,l,l,o,' boundary-padded symbol string (SEP for ',')."""
+    return F.concat(F.lit(SEP),
+                    F.array_join(F.split(word, ""), SEP),
+                    F.lit(SEP))
+
+
+def _symbols(sym: Column) -> Column:
+    return F.filter(F.split(sym, SEP), lambda s: s != "")
+
+
+def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, cnt) over the lowercased token stream — the ONE corpus
+    pass of BPE training; everything after is vocabulary-sized."""
+    return (df.select(F.explode(tokens(F.lower(F.col(text_col))))
+                      .alias("word"))
+            .where(~F.col("word").contains(SEP))
+            .groupBy("word").agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def bpe_train(df: DataFrame, n_merges: int = 20,
+              text_col: str = "text") -> DataFrame:
+    """Learn the first ``n_merges`` BPE merges; returns the merge table
+    (step, left, right, merged, pair_count) in learned order.
+
+    Ties break (pair_count DESC, left ASC, right ASC) — deterministic
+    across engines because every quantity is an exact integer or a
+    string.  Each iteration persists the re-merged type table through
+    the request-scoped scratch registry (the table is vocabulary-sized;
+    without the persist iteration k would recompute all k-1 prior merge
+    folds corpus^0 times but vocab k-1 times — linear lineage blowup)."""
+    from carbonapi_spark import scratch
+    spark = df.sparkSession
+    words = scratch.track(
+        word_counts(df, text_col)
+        .select("word", "cnt", _sym_init(F.col("word")).alias("sym")))
+    merges: list[tuple] = []
+    for step in range(1, n_merges + 1):
+        syms = _symbols(F.col("sym"))
+        k = F.greatest(F.size(syms) - 1, F.lit(0))
+        pairs = F.zip_with(F.slice(syms, 1, k),
+                           F.slice(F.concat(syms, F.array(F.lit(""))),
+                                   2, k),
+                           lambda a, b: F.concat(a, F.lit(SEP), b))
+        top = (words.select(F.col("cnt"), F.explode(pairs).alias("__p"))
+               .groupBy("__p").agg(F.sum("cnt").alias("__n"))
+               .select(F.split("__p", SEP).getItem(0).alias("lhs"),
+                       F.split("__p", SEP).getItem(1).alias("rhs"),
+                       "__n")
+               .orderBy(F.desc("__n"), F.asc("lhs"), F.asc("rhs"))
+               .limit(1).collect())
+        if not top or top[0]["__n"] is None:
+            break
+        left, right, n = top[0]["lhs"], top[0]["rhs"], top[0]["__n"]
+        merges.append((step, left, right, left + right, n))
+        suffix = SEP + left + SEP
+        cut = len(left) + 1
+        fold = F.aggregate(
+            _symbols(F.col("sym")), F.lit(SEP),
+            lambda acc, s: F.when(
+                F.endswith(acc, F.lit(suffix)) & (s == F.lit(right)),
+                F.concat(acc.substr(F.lit(1), F.length(acc) - cut),
+                         F.lit(left + right + SEP)))
+            .otherwise(F.concat(acc, s, F.lit(SEP))))
+        words = scratch.track(
+            words.select("word", "cnt", fold.alias("sym")))
+    return spark.createDataFrame(
+        merges or [],
+        "step INT, lhs STRING, rhs STRING, merged STRING, "
+        "pair_count LONG")
+
+
+def bpe_encode(df: DataFrame, merges: list[tuple[str, str]],
+               text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Apply a learned merge list to every token of every doc: returns
+    (id, token, pieces array<string>) — the subword segmentation under
+    the trained vocabulary.  One projection per merge folded into a
+    single expression chain (no shuffle; the merges ride as literals)."""
+    tok = df.select(F.col(id_col),
+                    F.explode(tokens(F.lower(F.col(text_col))))
+                    .alias("token"))
+    def merge_lambda(left: str, right: str):
+        suffix = SEP + left + SEP
+        cut = len(left) + 1
+
+        def fn(acc, s):
+            return F.when(
+                F.endswith(acc, F.lit(suffix)) & (s == F.lit(right)),
+                F.concat(acc.substr(F.lit(1), F.length(acc) - cut),
+                         F.lit(left + right + SEP))) \
+                .otherwise(F.concat(acc, s, F.lit(SEP)))
+        return fn
+
+    sym = _sym_init(F.col("token"))
+    for left, right in merges:
+        sym = F.aggregate(_symbols(sym), F.lit(SEP),
+                          merge_lambda(left, right))
+    return tok.select(id_col, "token", _symbols(sym).alias("pieces"))

@@ -3434,6 +3434,64 @@ __sel1 AS MATERIALIZED (SELECT 1 AS rank, doc_id, v FROM __sc1
 _register("mmr_rerank", _q_mmr_rerank, _mmr_oracle())
 
 
+def _q_bpe_merges(spark, sf_dir):
+    """BPE tokenizer training (Sennrich 2016): the first 12 merges
+    learned from the corpus word-frequency table.  One corpus pass, then
+    vocabulary-sized iterations; every quantity is an exact integer or
+    string, so training replays bit-for-bit."""
+    from carbonapi_spark.datapipe.bpe import bpe_train
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bpe_train(docs, n_merges=12)
+
+
+def _bpe_oracle(n_merges: int = 12) -> str:
+    sep = "chr(31)"
+    ctes = [f"""
+__w1 AS MATERIALIZED (
+  SELECT word, cnt,
+         {sep} || array_to_string(list_filter(string_split(word, ''),
+                                              c -> c != ''), {sep})
+               || {sep} AS sym
+  FROM (SELECT word, count(*) AS cnt
+        FROM (SELECT unnest({_TOKS_SQL}) AS word FROM documents)
+        WHERE NOT contains(word, {sep}) GROUP BY word))""".strip()]
+    for i in range(1, n_merges + 1):
+        ctes.append(f"""
+__p{i} AS MATERIALIZED (
+  SELECT string_split(p, {sep})[1] AS lhs,
+         string_split(p, {sep})[2] AS rhs, sum(cnt) AS n
+  FROM (SELECT cnt,
+               unnest(list_transform(range(greatest(len(sl) - 1, 0)),
+                                     j -> sl[j + 1] || {sep} || sl[j + 2]))
+                   AS p
+        FROM (SELECT cnt, list_filter(string_split(sym, {sep}),
+                                      x -> x != '') AS sl
+              FROM __w{i}))
+  GROUP BY 1, 2),
+__b{i} AS MATERIALIZED (SELECT lhs, rhs, n FROM __p{i}
+                        ORDER BY n DESC, lhs, rhs LIMIT 1),
+__w{i + 1} AS MATERIALIZED (
+  SELECT word, cnt,
+         list_reduce(
+           list_prepend({sep}, list_filter(string_split(sym, {sep}),
+                                           x -> x != '')),
+           (acc, x) -> CASE
+             WHEN ends_with(acc, {sep} || b.lhs || {sep}) AND x = b.rhs
+             THEN substr(acc, 1, length(acc) - length(b.lhs) - 1)
+                  || b.lhs || b.rhs || {sep}
+             ELSE acc || x || {sep} END) AS sym
+  FROM __w{i}, __b{i} b)""".strip())
+    finals = "\nUNION ALL\n".join(
+        f"SELECT {i} AS step, lhs, rhs, lhs || rhs AS merged, "
+        f"n AS pair_count FROM __b{i}" for i in range(1, n_merges + 1))
+    return ("WITH " + ",\n".join(ctes) + "\n"
+            + f"SELECT CAST(step AS INT) AS step, lhs, rhs, merged, "
+              f"pair_count FROM ({finals}) ORDER BY step")
+
+
+_register("bpe_merges", _q_bpe_merges, _bpe_oracle())
+
+
 def _q_pmi_top(spark, sf_dir):
     """Top-50 collocations by PMI (Church & Hanks 1990) with a
     min-count floor — unigram marginals and the total derived from the
@@ -4200,6 +4258,7 @@ _DRIVER_PREFIX = [
     "stream_hll_replay",    # stateful streaming HLL == batch sketch
     "pmi_top",              # PMI collocations, marginals from bigrams
     "mmr_rerank",           # BM25 -> embeddings -> greedy MMR rerank
+    "bpe_merges",           # BPE tokenizer training, exact replay
     # plan changed in round 7 — re-verify
     "heavy_hitters", "heavy_trigrams",  # pass-2 folded to one projection
     "bigram_ppl", "source_kl",          # size-gated broadcast hints

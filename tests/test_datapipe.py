@@ -2349,3 +2349,34 @@ def test_mmr_rerank_diversifies(spark):
     ranks = [r["rank"] for r in mmr_rerank(cand, vecs, n=3,
                                            lam=0.5).collect()]
     assert ranks == [1, 2, 3]
+
+
+def test_bpe_train_sennrich_toy(spark):
+    """The ACL-2016 worked example: {low x5, lower x2, newest x6,
+    widest x3} learns es -> est -> lo -> low first."""
+    from carbonapi_spark.datapipe.bpe import bpe_encode, bpe_train
+    df = spark.createDataFrame(
+        [(1, " ".join(["low"] * 5 + ["lower"] * 2
+                      + ["newest"] * 6 + ["widest"] * 3))],
+        "doc_id long, text string")
+    m = bpe_train(df, n_merges=4).collect()
+    got = [(r["lhs"], r["rhs"], r["pair_count"]) for r in m]
+    assert got == [("e", "s", 9), ("es", "t", 9),
+                   ("l", "o", 7), ("lo", "w", 7)]
+    enc = {r["token"]: list(r["pieces"]) for r in
+           bpe_encode(df, [(r["lhs"], r["rhs"]) for r in m]).collect()}
+    assert enc["low"] == ["low"]
+    assert enc["lower"] == ["low", "e", "r"]
+    assert enc["newest"] == ["n", "e", "w", "est"]
+
+
+def test_bpe_merge_run_non_overlapping(spark):
+    """A run 'aaaa' under merge (a,a) must become [aa, aa] — the
+    left-to-right non-overlap semantics, not [aa, a, a] (boundary
+    consumption) or [aaa, a] (greedy re-merge)."""
+    from carbonapi_spark.datapipe.bpe import bpe_encode
+    df = spark.createDataFrame([(1, "aaaa aaa")], "doc_id long, text string")
+    enc = {r["token"]: list(r["pieces"]) for r in
+           bpe_encode(df, [("a", "a")]).collect()}
+    assert enc["aaaa"] == ["aa", "aa"]
+    assert enc["aaa"] == ["aa", "a"]
