@@ -65,10 +65,20 @@ def bpe_train(df: DataFrame, n_merges: int = 20,
     without the persist iteration k would recompute all k-1 prior merge
     folds corpus^0 times but vocab k-1 times — linear lineage blowup)."""
     from carbonapi_spark import scratch
+    from carbonapi_spark.datapipe import _plan_size_bytes
     spark = df.sparkSession
-    words = scratch.track(
-        word_counts(df, text_col)
-        .select("word", "cnt", _sym_init(F.col("word")).alias("sym")))
+    words = (word_counts(df, text_col)
+             .select("word", "cnt", _sym_init(F.col("word")).alias("sym")))
+    # the type table is usually tiny relative to the corpus; on small
+    # corpora collapse it to one partition so each of the n_merges
+    # iteration jobs is a single task instead of a cluster-wide
+    # no-op fan-out (gated on the CORPUS size estimate, same
+    # philosophy as track_if_large — a lake-scale vocab keeps its
+    # natural partitioning)
+    est = _plan_size_bytes(df)
+    if est is not None and est < (64 << 20):
+        words = words.coalesce(1)
+    words = scratch.track(words)
     merges: list[tuple] = []
     for step in range(1, n_merges + 1):
         syms = _symbols(F.col("sym"))
