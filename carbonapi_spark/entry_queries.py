@@ -3492,6 +3492,60 @@ __w{i + 1} AS MATERIALIZED (
 _register("bpe_merges", _q_bpe_merges, _bpe_oracle())
 
 
+def _q_tiered_fetch(spark, sf_dir):
+    """Whisper-style retention tiers on the scoreboard: hourly series
+    roll up into a materialized daily archive (storage-aggregation
+    method per name pattern: '*.click' rolls up with max, everything
+    else with average), and a 20-day query — past the raw tier's 7-day
+    retention — is served by the daily tier.  The oracle re-derives the
+    daily archive from raw events, so a wrong rollup method, bucket, or
+    tier selection breaks the match."""
+    import tempfile
+
+    from carbonapi_spark.model.series import NAME, TS, VALUE
+    from carbonapi_spark.sources.lake import (
+        SeriesLake, TieredLake, write_rollups)
+    from carbonapi_spark.sources.testdata import events_series_df
+    raw = events_series_df(spark, sf_dir)  # hourly sums
+    now = 1706659200  # end of the events data window
+    with tempfile.TemporaryDirectory() as tmp:
+        write_rollups(raw, tmp, steps=[86400],
+                      methods=[("events.u*.click", "max")],
+                      default_method="average")
+        daily = spark.read.parquet(f"{tmp}/step=86400")
+        tiered = TieredLake(
+            [(3600, 7 * 86400, SeriesLake(raw, 3600)),
+             (86400, 400 * 86400,
+              SeriesLake(daily, 86400, time_partition_col="day"))],
+            now=now)
+        assert tiered.select_tier(now - 20 * 86400) == 1
+        frame = tiered.fetch(spark, "events.u*.{click,purchase}",
+                             now - 20 * 86400, now, densify=False)
+        rows = (frame.df
+                .select(NAME, TS, F.round(VALUE, 6).alias(VALUE))
+                .collect())
+    return spark.createDataFrame(rows, "name STRING, ts LONG, "
+                                       "value DOUBLE")
+
+
+_register("tiered_fetch", _q_tiered_fetch, r"""
+WITH ev AS (
+  SELECT 'events.u' || CAST(user_id % 10 AS VARCHAR) || '.' || event_type
+             AS name,
+         CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hts,
+         SUM(value) AS value
+  FROM events
+  WHERE event_type IN ('click', 'purchase')
+  GROUP BY 1, 2)
+SELECT name, hts - hts % 86400 AS ts,
+       round(CASE WHEN name LIKE '%.click'
+                  THEN max(value) ELSE avg(value) END, 6) AS value
+FROM ev
+WHERE hts >= 1704931200 AND hts < 1706659200
+GROUP BY name, hts - hts % 86400
+""".strip())
+
+
 def _q_pmi_top(spark, sf_dir):
     """Top-50 collocations by PMI (Church & Hanks 1990) with a
     min-count floor — unigram marginals and the total derived from the
@@ -4259,6 +4313,7 @@ _DRIVER_PREFIX = [
     "pmi_top",              # PMI collocations, marginals from bigrams
     "mmr_rerank",           # BM25 -> embeddings -> greedy MMR rerank
     "bpe_merges",           # BPE tokenizer training, exact replay
+    "tiered_fetch",         # whisper-style rollup tiers + selection
     # plan changed in round 7 — re-verify
     "heavy_hitters", "heavy_trigrams",  # pass-2 folded to one projection
     "bigram_ppl", "source_kl",          # size-gated broadcast hints

@@ -221,3 +221,78 @@ def _split_quoted_args(s: str) -> list[str]:
     if cur:
         out.append("".join(cur))
     return out
+
+
+def write_rollups(df: DataFrame, path: str, steps: list[int],
+                  methods: list[tuple[str, str]] | None = None,
+                  default_method: str = "average",
+                  time_partition_seconds: int = 86400) -> None:
+    """Materialize coarser archives from a raw (name, ts, value) lake —
+    the storage-aggregation step of a whisper-style retention scheme
+    ("1m for 1d, 5m for 7d, 1h for 5y"): each ``steps`` entry becomes
+    ``{path}/step={s}/`` partitioned by the day bucket, so a year-long
+    query scans ~365 coarse rows per series instead of half a million
+    raw points.
+
+    ``methods`` mirrors graphite's ``storage-aggregation.conf``: ordered
+    (pattern, func) pairs, first match wins, ``default_method``
+    otherwise.  Patterns are graphite GLOBS (the engine's pattern
+    language — ``*`` does not cross dots, so match a full path like
+    ``*.*.count``), not carbon's raw regexes (e.g. counters roll up with 'sum', gauges with 'average',
+    '.max' series with 'max').  All candidate consolidations are
+    computed in ONE aggregation pass and the per-name method picked with
+    a CASE over the (broadcast-literal) patterns — no per-method
+    re-scan."""
+    funcs = sorted({f for _p, f in (methods or [])} | {default_method})
+    for s in steps:
+        bucket = (F.col(TS) - F.col(TS) % F.lit(s)).cast("long")
+        agged = (df.groupBy(F.col(NAME), bucket.alias(TS))
+                 .agg(*[agg_column(f, F.col(VALUE), F.col(TS))
+                        .cast("double").alias(f"__{f}") for f in funcs]))
+        value = F.col(f"__{default_method}")
+        for pat, f in reversed(methods or []):
+            value = F.when(F.col(NAME).rlike(glob_to_regex(pat)),
+                           F.col(f"__{f}")).otherwise(value)
+        (agged.select(NAME, TS, value.alias(VALUE))
+         .withColumn("day", (F.col(TS) - F.col(TS)
+                             % F.lit(time_partition_seconds)).cast("long"))
+         .write.mode("overwrite").partitionBy("day")
+         .parquet(f"{path}/step={s}"))
+
+
+class TieredLake:
+    """Whisper-style multi-archive fetch: ``tiers`` is a list of
+    (step_seconds, retention_seconds, SeriesLake) ordered finest first.
+    A query picks the FINEST tier whose retention covers the requested
+    start (``from_ts >= now - retention``) — exactly whisper's archive
+    selection — and delegates the fetch to that tier's lake, so query
+    cost scales with the RENDERED range, not the raw retention: a
+    year-long dashboard panel reads the 1h archive's ~9k points per
+    series while the raw tier keeps serving zoomed-in views.
+
+    ``now`` anchors retention windows (defaults to the wall clock;
+    injectable for deterministic tests/replays)."""
+
+    def __init__(self, tiers: list[tuple[int, int, SeriesLake]],
+                 now: int | None = None):
+        if not tiers:
+            raise ValueError("TieredLake needs at least one tier")
+        self.tiers = sorted(tiers, key=lambda t: t[0])
+        self.now = now
+
+    def select_tier(self, from_ts: int, now: int | None = None) -> int:
+        """Index of the finest tier whose retention covers ``from_ts``;
+        the coarsest tier serves anything older than every retention."""
+        import time as _time
+        anchor = now if now is not None else (
+            self.now if self.now is not None else int(_time.time()))
+        for i, (_step, retention, _lake) in enumerate(self.tiers):
+            if from_ts >= anchor - retention:
+                return i
+        return len(self.tiers) - 1
+
+    def fetch(self, spark, pattern: str, from_ts: int, until_ts: int,
+              *, densify: bool = True, now: int | None = None):
+        _step, _ret, lake = self.tiers[self.select_tier(from_ts, now)]
+        return lake.fetch(spark, pattern, from_ts, until_ts,
+                          densify=densify)

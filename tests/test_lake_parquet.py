@@ -164,3 +164,47 @@ def test_compact_lake_reduces_files(spark, tmp_path):
     n2 = compact_lake(spark, src, dst2, partition_cols=("day",))
     assert n2 >= 3
     assert spark.read.parquet(dst2).count() == 10000
+
+
+def test_rollup_methods_and_tier_selection(spark, tmp_path):
+    """write_rollups applies the first-matching storage-aggregation
+    method per name; TieredLake picks archives exactly at the retention
+    boundary and serves old ranges from the coarse tier."""
+    from pyspark.sql import functions as F
+
+    from carbonapi_spark.sources.lake import (
+        SeriesLake, TieredLake, write_rollups)
+    rows = []
+    for h in range(48):  # two days, hourly
+        rows.append(("app.req.count", h * 3600, float(h)))
+        rows.append(("app.cpu.max", h * 3600, float(h % 24)))
+        rows.append(("app.temp", h * 3600, 10.0))
+    raw = spark.createDataFrame(rows, "name string, ts long, value double")
+    path = str(tmp_path / "tiers")
+    write_rollups(raw, path, steps=[86400],
+                  methods=[("*.*.count", "sum"), ("*.*.max", "max")],
+                  default_method="average")
+    daily = {(r["name"], r["ts"]): r["value"] for r in
+             spark.read.parquet(f"{path}/step=86400")
+             .select("name", "ts", "value").collect()}
+    assert daily[("app.req.count", 0)] == sum(range(24))        # sum
+    assert daily[("app.cpu.max", 0)] == 23.0                    # max
+    assert daily[("app.temp", 86400)] == 10.0                   # average
+    now = 2 * 86400
+    tiered = TieredLake(
+        [(3600, 86400, SeriesLake(raw, 3600)),
+         (86400, 10 * 86400,
+          SeriesLake(spark.read.parquet(f"{path}/step=86400"), 86400,
+                     time_partition_col="day"))],
+        now=now)
+    # exactly at the fine retention edge -> fine tier; older -> coarse
+    assert tiered.select_tier(now - 86400) == 0
+    assert tiered.select_tier(now - 86400 - 1) == 1
+    coarse = tiered.fetch(spark, "app.req.count", 0, now, densify=False)
+    assert coarse.step == 86400
+    got = {r["ts"]: r["value"] for r in coarse.df.collect()}
+    assert got == {0: float(sum(range(24))),
+                   86400: float(sum(range(24, 48)))}
+    fine = tiered.fetch(spark, "app.req.count", now - 3600, now,
+                        densify=False)
+    assert fine.step == 3600 and fine.df.count() == 1
