@@ -22,7 +22,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["connected_components", "dedup_clusters", "dedup_keep_best"]
+__all__ = ["connected_components", "dedup_clusters", "dedup_keep_best",
+           "pagerank"]
 
 
 def _star_round(edges: DataFrame) -> DataFrame:
@@ -188,3 +189,52 @@ def dedup_keep_best(docs: DataFrame, pairs: DataFrame,
     return (labeled
             .withColumn("keep", F.row_number().over(w) == 1)
             .drop("__score"))
+
+
+def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
+             n_iter: int = 10, damping: float = 0.85) -> DataFrame:
+    """PageRank over an UNDIRECTED similarity graph (each edge walks
+    both ways) — the principled canonical-document selector: within a
+    near-dup cluster the most central doc is the best representative
+    (most corroborated by neighbors), a quality-independent alternative
+    to ``dedup_keep_best``'s longest-doc rule.
+
+    Power iteration: pr <- (1-d)/N + d * sum_in(pr_nbr / deg_nbr),
+    ``n_iter`` rounds.  Every node in an undirected edge list has
+    degree >= 1, so there are no dangling-mass corrections.  Ranks are
+    rounded to 6 places AFTER EVERY iteration (the trained-algorithm
+    replay recipe: intermediate rounding keeps both engines walking the
+    identical trajectory), so the result replays exactly in SQL as
+    unrolled iterations.
+
+    Scale shape: classic distributed PageRank — each iteration is one
+    equi-join of the (node-sized, persisted) rank table with the edge
+    list plus a destination-keyed aggregation; nothing is ever
+    collected.  Returns (node, pr)."""
+    from carbonapi_spark import scratch
+    und = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+           .unionByName(edges.select(F.col(dst).alias("a"),
+                                     F.col(src).alias("b"))))
+    und = scratch.track(und)
+    deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    n_nodes = deg.count()
+    if n_nodes == 0:
+        return edges.sparkSession.createDataFrame([], "node LONG, pr DOUBLE")
+    # both seeds stay UNROUNDED doubles: IEEE division gives the same
+    # bits in any engine, and only the per-iteration update is rounded
+    pr0 = 1.0 / n_nodes
+    base = (1.0 - damping) / n_nodes
+    pr = scratch.track(deg.select(F.col("a").alias("node"),
+                                  F.lit(pr0).alias("pr"), "deg"))
+    for _ in range(n_iter):
+        contrib = (und.join(pr, und["a"] == pr["node"])
+                   .select(F.col("b").alias("node"),
+                           (F.col("pr") / F.col("deg")).alias("__c"))
+                   .groupBy("node").agg(F.sum("__c").alias("__s")))
+        pr = scratch.track(
+            contrib.join(deg, contrib["node"] == deg["a"])
+            .select("node",
+                    F.round(F.lit(base) + F.lit(damping) * F.col("__s"), 6)
+                    .alias("pr"),
+                    "deg"))
+    return pr.select("node", "pr")

@@ -3492,6 +3492,55 @@ __w{i + 1} AS MATERIALIZED (
 _register("bpe_merges", _q_bpe_merges, _bpe_oracle())
 
 
+def _q_pagerank(spark, sf_dir):
+    """PageRank centrality over the embedding-similarity graph (the
+    same pairs as embedding_dedup) — the canonical-doc selector: most
+    central doc per near-dup neighborhood.  10 power iterations, ranks
+    rounded per iteration so the trajectory replays exactly."""
+    from carbonapi_spark.datapipe.cluster import pagerank
+    pairs = _q_embedding_dedup(spark, sf_dir).select("id_a", "id_b")
+    return pagerank(pairs, "id_a", "id_b")
+
+
+def _pagerank_oracle(n_iter: int = 10, damping: float = 0.85) -> str:
+    onemind = repr(1.0 - damping)
+    iters = []
+    for i in range(1, n_iter + 1):
+        iters.append(f"""
+__pr{i} AS MATERIALIZED (
+  SELECT c.node,
+         round(CAST({onemind} AS DOUBLE) / c.n
+               + {damping!r} * c.s, 6) AS pr, d.deg
+  FROM (SELECT u.b AS node, sum(p.pr / p.deg) AS s,
+               any_value(nn.n) AS n
+        FROM __u u JOIN __pr{i - 1} p ON u.a = p.node
+        CROSS JOIN __nn nn
+        GROUP BY u.b) c
+  JOIN __deg d ON c.node = d.a)""".strip())
+    return f"""
+WITH v AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS e
+                        FROM embeddings WHERE vec_id < 300),
+__e0 AS MATERIALIZED (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM v a JOIN v b ON a.vec_id < b.vec_id
+  WHERE round(list_dot_product(a.e, b.e)
+              / (sqrt(list_dot_product(a.e, a.e))
+                 * sqrt(list_dot_product(b.e, b.e))), 6) >= 0.4),
+__u AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM __e0
+                     UNION ALL SELECT id_b, id_a FROM __e0),
+__deg AS MATERIALIZED (SELECT a, count(*) AS deg FROM __u GROUP BY a),
+__nn AS MATERIALIZED (SELECT count(*) AS n FROM __deg),
+__pr0 AS MATERIALIZED (
+  SELECT a AS node, 1.0 / n AS pr, deg
+  FROM __deg CROSS JOIN __nn),
+""".strip() + "\n" + ",\n".join(iters) + f"""
+SELECT node, pr FROM __pr{n_iter}
+"""
+
+
+_register("pagerank", _q_pagerank, _pagerank_oracle())
+
+
 def _q_tiered_fetch(spark, sf_dir):
     """Whisper-style retention tiers on the scoreboard: hourly series
     roll up into a materialized daily archive (storage-aggregation
@@ -4314,6 +4363,7 @@ _DRIVER_PREFIX = [
     "mmr_rerank",           # BM25 -> embeddings -> greedy MMR rerank
     "bpe_merges",           # BPE tokenizer training, exact replay
     "tiered_fetch",         # whisper-style rollup tiers + selection
+    "pagerank",             # centrality keeper over the sim graph
     # plan changed in round 7 — re-verify
     "heavy_hitters", "heavy_trigrams",  # pass-2 folded to one projection
     "bigram_ppl", "source_kl",          # size-gated broadcast hints

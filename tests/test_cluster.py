@@ -198,3 +198,24 @@ def test_sessionize_matches_python_reference(spark):
         got = {tuple(r) for r in
                sessionize(df, gap=f"{gap} seconds").collect()}
         assert got == _py_sessionize(events, gap), (trial, gap)
+
+
+def test_pagerank_star_and_symmetry(spark):
+    """Centrality sanity on known graphs: the hub of a star outranks
+    the spokes (and spokes tie exactly); a symmetric path ranks its
+    middle highest; total mass stays ~1."""
+    from pyspark.sql import functions as F
+
+    from carbonapi_spark.datapipe.cluster import pagerank
+    star = spark.createDataFrame([(0, i) for i in range(1, 6)],
+                                 "src long, dst long")
+    pr = {r["node"]: r["pr"] for r in pagerank(star).collect()}
+    assert pr[0] > pr[1]
+    assert len({pr[i] for i in range(1, 6)}) == 1  # spokes identical
+    assert abs(sum(pr.values()) - 1.0) < 1e-3
+    path = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    pp = {r["node"]: r["pr"] for r in pagerank(path).collect()}
+    assert pp[2] > pp[1] and pp[1] == pp[3]
+    # deterministic across runs
+    again = {r["node"]: r["pr"] for r in pagerank(star).collect()}
+    assert again == pr
