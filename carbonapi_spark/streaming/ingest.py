@@ -88,3 +88,51 @@ def write_lake(series: DataFrame, path: str, checkpoint: str,
             .option("checkpointLocation", checkpoint)
             .partitionBy("day_bucket")
             .outputMode("append"))
+
+
+def stream_rollups(series: DataFrame, path: str, checkpoint_root: str,
+                   steps: list[int],
+                   methods: list[tuple[str, str]] | None = None,
+                   default_method: str = "average",
+                   watermark: str = "10 minutes",
+                   partition_seconds: int = 86400) -> list:
+    """Keep ``write_rollups``' archive layout fresh from a stream: one
+    windowed aggregation per rollup step, watermark-finalized buckets
+    appended into ``{path}/step={s}/`` partitioned by day — the same
+    directories ``TieredLake`` serves, so a year-long dashboard query
+    keeps pruning to the coarse tier while ingestion never stops.
+
+    Method selection mirrors the batch writer (graphite
+    storage-aggregation: ordered glob patterns, first match wins, all
+    candidate consolidations in the ONE windowed aggregation).  Input:
+    streaming (name, ts TIMESTAMP, value).  Returns the started-ready
+    ``DataStreamWriter`` per step (caller ``.start()``s them; separate
+    checkpoints per step under ``checkpoint_root``)."""
+    from carbonapi_spark.model.consolidation import agg_column
+    from carbonapi_spark.parser.globs import glob_to_regex
+
+    funcs = sorted({f for _p, f in (methods or [])} | {default_method})
+    writers = []
+    for s in steps:
+        win = F.window(F.col("ts"), f"{s} seconds")
+        agged = (series.withWatermark("ts", watermark)
+                 .groupBy("name", win)
+                 .agg(*[agg_column(f, F.col("value"),
+                                   F.col("ts").cast("long"))
+                        .cast("double").alias(f"__{f}") for f in funcs]))
+        value = F.col(f"__{default_method}")
+        for pat, f in reversed(methods or []):
+            value = F.when(F.col("name").rlike(glob_to_regex(pat)),
+                           F.col(f"__{f}")).otherwise(value)
+        out = (agged.select("name",
+                            F.col("window.start").cast("long").alias("ts"),
+                            value.alias("value"))
+               .withColumn("day", (F.col("ts") - F.col("ts")
+                                   % F.lit(partition_seconds))
+                           .cast("long")))
+        writers.append(out.writeStream.format("parquet")
+                       .option("path", f"{path}/step={s}")
+                       .option("checkpointLocation",
+                               f"{checkpoint_root}/step_{s}")
+                       .partitionBy("day").outputMode("append"))
+    return writers

@@ -2380,3 +2380,48 @@ def test_bpe_merge_run_non_overlapping(spark):
            bpe_encode(df, [("a", "a")]).collect()}
     assert enc["aaaa"] == ["aa", "aa"]
     assert enc["aaa"] == ["aa", "a"]
+
+
+def test_stream_rollups_match_batch_writer(spark, tmp_path):
+    """The streamed rollup archive must equal write_rollups' batch
+    output on the same input for every watermark-finalized bucket, with
+    the same per-pattern method selection — so TieredLake can serve
+    tiers a streaming ingest keeps fresh."""
+    from pyspark.sql import functions as F
+
+    from carbonapi_spark.sources.lake import write_rollups
+    from carbonapi_spark.streaming.ingest import stream_rollups
+
+    rows = []
+    for h in range(72):  # three days hourly, two series
+        rows.append(("app.req.count", h * 3600, float(h)))
+        rows.append(("app.gauge", h * 3600, float(h % 7)))
+    batch = spark.createDataFrame(rows, "name string, ts long, value double")
+    src = str(tmp_path / "src")
+    batch.coalesce(1).write.parquet(src)  # one batch: rows must not
+    # arrive behind an already-advanced watermark (real ingest is
+    # time-ordered; multi-batch state is covered by the HLL stream test)
+
+    stream = (spark.readStream.schema(batch.schema).parquet(src)
+              .select("name", F.col("ts").cast("timestamp").alias("ts"),
+                      "value"))
+    writers = stream_rollups(
+        stream, str(tmp_path / "roll"), str(tmp_path / "ckpt"),
+        steps=[86400], methods=[("*.*.count", "sum")],
+        default_method="average", watermark="1 hour")
+    q = writers[0].trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    write_rollups(batch, str(tmp_path / "batch_roll"), steps=[86400],
+                  methods=[("*.*.count", "sum")],
+                  default_method="average")
+    got = {(r["name"], r["ts"]): r["value"] for r in
+           spark.read.parquet(str(tmp_path / "roll") + "/step=86400")
+           .select("name", "ts", "value").collect()}
+    # append mode emits only watermark-closed windows: day buckets with
+    # end <= max_ts - 1h; the last day (ends at max_ts + 1h) stays open
+    want = {(r["name"], r["ts"]): r["value"] for r in
+            spark.read.parquet(str(tmp_path / "batch_roll") + "/step=86400")
+            .select("name", "ts", "value").collect()
+            if r["ts"] + 86400 <= 71 * 3600 - 3600}
+    assert got == want and len(want) == 4  # 2 series x 2 closed days
