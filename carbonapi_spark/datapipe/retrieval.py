@@ -229,3 +229,36 @@ def mmr_rerank(candidates: DataFrame, vectors: DataFrame, n: int = 10,
     spark = candidates.sparkSession
     return spark.createDataFrame(
         selected or [], "rank INT, doc_id LONG, mmr_score DOUBLE")
+
+
+def rrf_fuse(rankings: list[DataFrame], k: int = 60, n: int = 10,
+             id_col: str = "doc_id",
+             score_col: str = "score") -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack, Clarke & Buettcher, SIGIR 2009):
+    combine any number of ranked candidate lists —  lexical BM25, dense
+    ANN, recency, ... — by ``sum_i 1 / (k + rank_i(d))``, the
+    hybrid-search default precisely because it needs NO score
+    calibration between systems, only ranks.
+
+    Each input is ranked by (score DESC, id ASC) — the engine-portable
+    tie-break — within itself; documents missing from a list simply
+    contribute nothing.  The fused score is a sum of len(rankings)
+    exact reciprocals rounded to 6, and the result is a TakeOrdered
+    top-``n`` (fused DESC, id ASC).  Candidate lists are top-k bounded
+    by construction, so every stage after ranking is k-sized."""
+    from pyspark.sql.window import Window
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    w = Window.partitionBy().orderBy(F.desc(score_col), F.col(id_col))
+    parts = [r.select(F.col(id_col),
+                      (F.lit(1.0) / (F.lit(k) + F.row_number().over(w)))
+                      .alias("__rr"))
+             for r in rankings]
+    union = parts[0]
+    for p in parts[1:]:
+        union = union.unionByName(p)
+    return (union.groupBy(id_col)
+            .agg(F.round(F.sum("__rr"), 6).alias("rrf_score"),
+                 F.count(F.lit(1)).alias("n_lists"))
+            .orderBy(F.desc("rrf_score"), F.col(id_col))
+            .limit(n))

@@ -3492,6 +3492,53 @@ __w{i + 1} AS MATERIALIZED (
 _register("bpe_merges", _q_bpe_merges, _bpe_oracle())
 
 
+def _q_rrf_fuse(spark, sf_dir):
+    """Hybrid retrieval on the scoreboard: the BM25 lexical top-25 for
+    'hash join order' fused with the dense cosine top-25 around the
+    vec_id-0 embedding via Reciprocal Rank Fusion — rank-only
+    combination, no score calibration."""
+    from carbonapi_spark.datapipe.retrieval import bm25_topk, rrf_fuse
+    from carbonapi_spark.datapipe.similarity import brute_force_topk
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    lex = bm25_topk(docs, "hash join order", k=25)
+    dense = (brute_force_topk(emb, emb.where(F.col("vec_id") == 0), k=25)
+             .select(F.col("neighbor_id").alias("doc_id"),
+                     F.col("cos_sim").alias("score")))
+    return rrf_fuse([lex, dense], k=60, n=15)
+
+
+def _rrf_oracle() -> str:
+    return _bm25_ctes(25) + """,
+__dense AS (
+  SELECT neighbor_id AS doc_id, cos_sim AS score FROM (
+    SELECT c.vec_id AS neighbor_id,
+           round(list_dot_product(q.qv, c.cv)
+                 / (sqrt(list_dot_product(q.qv, q.qv))
+                    * sqrt(list_dot_product(c.cv, c.cv))), 6) AS cos_sim
+    FROM (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+          WHERE vec_id = 0) q,
+         (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings
+          WHERE vec_id != 0) c)
+  ORDER BY cos_sim DESC, neighbor_id LIMIT 25),
+__r1 AS (SELECT doc_id,
+                1.0 / (60 + row_number()
+                       OVER (ORDER BY score DESC, doc_id)) AS rr
+         FROM __cand),
+__r2 AS (SELECT doc_id,
+                1.0 / (60 + row_number()
+                       OVER (ORDER BY score DESC, doc_id)) AS rr
+         FROM __dense),
+__all AS (SELECT * FROM __r1 UNION ALL SELECT * FROM __r2)
+SELECT doc_id, round(sum(rr), 6) AS rrf_score,
+       count(*) AS n_lists
+FROM __all GROUP BY doc_id
+ORDER BY rrf_score DESC, doc_id LIMIT 15"""
+
+
+_register("rrf_fuse", _q_rrf_fuse, _rrf_oracle())
+
+
 def _q_pagerank(spark, sf_dir):
     """PageRank centrality over the embedding-similarity graph (the
     same pairs as embedding_dedup) — the canonical-doc selector: most
@@ -4364,6 +4411,7 @@ _DRIVER_PREFIX = [
     "bpe_merges",           # BPE tokenizer training, exact replay
     "tiered_fetch",         # whisper-style rollup tiers + selection
     "pagerank",             # centrality keeper over the sim graph
+    "rrf_fuse",             # hybrid lexical+dense rank fusion
     # plan changed in round 7 — re-verify
     "heavy_hitters", "heavy_trigrams",  # pass-2 folded to one projection
     "bigram_ppl", "source_kl",          # size-gated broadcast hints

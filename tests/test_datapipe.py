@@ -2425,3 +2425,20 @@ def test_stream_rollups_match_batch_writer(spark, tmp_path):
             .select("name", "ts", "value").collect()
             if r["ts"] + 86400 <= 71 * 3600 - 3600}
     assert got == want and len(want) == 4  # 2 series x 2 closed days
+
+
+def test_rrf_fuse_known_values(spark):
+    from carbonapi_spark.datapipe.retrieval import rrf_fuse
+    l1 = spark.createDataFrame([(1, 0.9), (2, 0.8), (3, 0.7)],
+                               "doc_id long, score double")
+    l2 = spark.createDataFrame([(3, 5.0), (1, 4.0), (4, 3.0)],
+                               "doc_id long, score double")
+    got = {r["doc_id"]: (r["rrf_score"], r["n_lists"]) for r in
+           rrf_fuse([l1, l2], k=60, n=10).collect()}
+    assert got[1] == (round(1 / 61 + 1 / 62, 6), 2)
+    assert got[3] == (round(1 / 63 + 1 / 61, 6), 2)
+    assert got[2] == (round(1 / 62, 6), 1)
+    assert got[4] == (round(1 / 63, 6), 1)
+    # doc in both lists outranks single-list docs at similar ranks
+    order = [r["doc_id"] for r in rrf_fuse([l1, l2], n=10).collect()]
+    assert order[0] in (1, 3) and set(order[:2]) == {1, 3}
