@@ -912,3 +912,25 @@ def ivf_cell_stats(corpus: DataFrame, id_col: str = "vec_id",
             .select(F.col("cell").cast("int").alias("cell"), "n_vectors",
                     F.round(F.col("n_vectors") / F.col("__n"), 6)
                     .alias("frac")))
+
+
+def append_ann_index(df: DataFrame, path: str, id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> None:
+    """Add new vectors to an existing :func:`write_ann_index` layout
+    WITHOUT rebuilding: encode the delta with the index's own stored
+    centroids/codebooks (quantizers are frozen at build time — FAISS's
+    ``add`` semantics) and append the codes into the cell partitions.
+
+    The dense sibling of ``minhash_incremental``: ingest encodes only
+    the delta (one pass over the new vectors), the durable artifact
+    grows in place, and probe-time partition pruning is untouched
+    because appends land inside the same ``cell=`` directories.
+    Quantizer drift is the operator's trade-off, exactly as with any
+    IVF index — retrain + rewrite when recall decays."""
+    spark = df.sparkSession
+    _codes, centroids, codebooks, l2_cells, residual = \
+        read_ann_index(spark, path)
+    delta = ivfpq_encode(df, codebooks, centroids, id_col, vec_col,
+                         l2_cells=l2_cells, residual=residual)
+    delta.write.mode("append").partitionBy("cell") \
+        .parquet(f"{path}/codes")

@@ -2442,3 +2442,31 @@ def test_rrf_fuse_known_values(spark):
     # doc in both lists outranks single-list docs at similar ranks
     order = [r["doc_id"] for r in rrf_fuse([l1, l2], n=10).collect()]
     assert order[0] in (1, 3) and set(order[:2]) == {1, 3}
+
+
+def test_ann_index_append_equals_full_build(spark, tmp_path):
+    """Building on half the corpus then append_ann_index-ing the rest
+    must answer queries identically to a one-shot build over everything
+    with the same (frozen) quantizers — FAISS add() semantics."""
+    from pyspark.sql import functions as F
+
+    from carbonapi_spark.datapipe.similarity import (
+        ann_index_topk, append_ann_index, ivf_centroids, pq_codebooks,
+        write_ann_index)
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    half = emb.where(F.col("vec_id") % 2 == 0)
+    rest = emb.where(F.col("vec_id") % 2 == 1)
+    cents = ivf_centroids(64, 4, 43)
+    cbs = pq_codebooks(64, 8, 16, 44)
+    grown, full = str(tmp_path / "grown"), str(tmp_path / "full")
+    write_ann_index(half, grown, cbs, cents)
+    append_ann_index(rest, grown)
+    write_ann_index(emb, full, cbs, cents)
+    q = emb.where(F.col("vec_id") < 3)
+    g = {(r["query_id"], r["neighbor_id"], r["cos_sim"]) for r in
+         ann_index_topk(spark, grown, q, k=5, nprobe=2, refine=10,
+                        corpus=emb).collect()}
+    w = {(r["query_id"], r["neighbor_id"], r["cos_sim"]) for r in
+         ann_index_topk(spark, full, q, k=5, nprobe=2, refine=10,
+                        corpus=emb).collect()}
+    assert g == w and len(g) > 0
