@@ -262,3 +262,37 @@ def rrf_fuse(rankings: list[DataFrame], k: int = 60, n: int = 10,
                  F.count(F.lit(1)).alias("n_lists"))
             .orderBy(F.desc("rrf_score"), F.col(id_col))
             .limit(n))
+
+
+def append_text_index(df: DataFrame, path: str, text_col: str = "text",
+                      id_col: str = "doc_id") -> None:
+    """Add new documents to a ``write_text_index`` layout without
+    rebuilding: the delta's postings append inside the same term-hash
+    ``bucket=`` partitions (pruning untouched), doclens appends, and
+    the 1-row stats table is rewritten with merged totals — the lexical
+    sibling of ``append_ann_index``.  BM25 probes over the grown index
+    equal a one-shot build over the union (idf/avgdl are pure functions
+    of the merged postings and stats; pytest pins it)."""
+    spark = df.sparkSession
+    stats_row = spark.read.parquet(f"{path}/stats").collect()[0]
+    n_buckets = stats_row["n_buckets"]
+    tf = (df.select(F.col(id_col).alias("doc_id"),
+                    F.explode(tokens(F.lower(F.col(text_col))))
+                    .alias("term"))
+          .groupBy("doc_id", "term")
+          .agg(F.count(F.lit(1)).alias("tf")))
+    (tf.withColumn("bucket",
+                   F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
+     .write.mode("append").partitionBy("bucket")
+     .parquet(f"{path}/postings"))
+    lengths = df.select(F.col(id_col).alias("doc_id"),
+                        token_count(F.col(text_col)).cast("long")
+                        .alias("dl"))
+    lengths.write.mode("append").parquet(f"{path}/doclens")
+    delta = lengths.agg(F.count(F.lit(1)).alias("n"),
+                        F.sum("dl").alias("s")).collect()[0]
+    merged = spark.createDataFrame(
+        [(stats_row["n_docs"] + delta["n"],
+          stats_row["sum_dl"] + (delta["s"] or 0), n_buckets)],
+        "n_docs LONG, sum_dl LONG, n_buckets INT")
+    merged.coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")

@@ -2470,3 +2470,24 @@ def test_ann_index_append_equals_full_build(spark, tmp_path):
          ann_index_topk(spark, full, q, k=5, nprobe=2, refine=10,
                         corpus=emb).collect()}
     assert g == w and len(g) > 0
+
+
+def test_text_index_append_equals_full_build(spark, tmp_path):
+    """Growing the inverted index with a document delta must answer
+    BM25 queries identically to a one-shot build over the union."""
+    from pyspark.sql import functions as F
+
+    from carbonapi_spark.datapipe.retrieval import (
+        append_text_index, bm25_query_index, write_text_index)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    half = docs.where(F.col("doc_id") % 2 == 0)
+    rest = docs.where(F.col("doc_id") % 2 == 1)
+    grown, full = str(tmp_path / "grown"), str(tmp_path / "full")
+    write_text_index(half, grown, n_buckets=16)
+    append_text_index(rest, grown)
+    write_text_index(docs, full, n_buckets=16)
+    g = [(r["doc_id"], r["score"]) for r in
+         bm25_query_index(spark, grown, "hash join order", k=15).collect()]
+    w = [(r["doc_id"], r["score"]) for r in
+         bm25_query_index(spark, full, "hash join order", k=15).collect()]
+    assert g == w and len(g) > 0
