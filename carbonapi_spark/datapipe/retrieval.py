@@ -296,3 +296,46 @@ def append_text_index(df: DataFrame, path: str, text_col: str = "text",
           stats_row["sum_dl"] + (delta["s"] or 0), n_buckets)],
         "n_docs LONG, sum_dl LONG, n_buckets INT")
     merged.coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
+
+
+def ranking_metrics(results: DataFrame, truth: DataFrame, k: int = 10,
+                    query_col: str = "query_id",
+                    id_col: str = "neighbor_id",
+                    score_col: str = "cos_sim") -> DataFrame:
+    """Per-query recall@k and (binary-relevance) nDCG@k of ``results``
+    against a ``truth`` candidate table — the in-engine eval harness
+    for the retrieval stack (ANN recall vs brute force, hybrid vs
+    lexical, index staleness drift over time).
+
+    Ranks come from (score DESC, id ASC) within each query; relevance
+    is membership in the truth set.  IDCG folds ``1/log2(i+1)`` over a
+    ``sequence`` with an explicit sequential aggregate (the same fold
+    order any replaying engine uses), so the metric is deterministic.
+    Both inputs are top-k bounded by construction — everything here is
+    (queries x k)-sized.  Returns (query, n_truth, hits, recall,
+    ndcg), rounded to 6."""
+    from pyspark.sql.window import Window
+    w = Window.partitionBy(query_col).orderBy(F.desc(score_col),
+                                              F.col(id_col))
+    res = (results.withColumn("__rk", F.row_number().over(w))
+           .where(F.col("__rk") <= k))
+    tr = truth.select(F.col(query_col), F.col(id_col),
+                      F.lit(1).alias("__rel"))
+    tcnt = (truth.groupBy(query_col)
+            .agg(F.count(F.lit(1)).alias("n_truth")))
+    joined = res.join(tr, [query_col, id_col], "left")
+    dcg = F.sum(F.when(F.col("__rel") == 1,
+                       F.lit(1.0) / F.log2(F.col("__rk") + 1))
+                .otherwise(F.lit(0.0)))
+    hits = F.sum(F.coalesce(F.col("__rel"), F.lit(0)))
+    per_q = (joined.groupBy(query_col)
+             .agg(hits.alias("hits"), dcg.alias("__dcg")))
+    idcg = F.aggregate(
+        F.sequence(F.lit(1), F.least(F.col("n_truth"), F.lit(k))),
+        F.lit(0.0),
+        lambda acc, i: acc + F.lit(1.0) / F.log2(i.cast("double") + 1))
+    return (per_q.join(tcnt, query_col)
+            .select(query_col, "n_truth", F.col("hits").cast("long"),
+                    F.round(F.col("hits") / F.col("n_truth"), 6)
+                    .alias("recall"),
+                    F.round(F.col("__dcg") / idcg, 6).alias("ndcg")))

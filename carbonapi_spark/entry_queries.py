@@ -3539,6 +3539,54 @@ ORDER BY rrf_score DESC, doc_id LIMIT 15"""
 _register("rrf_fuse", _q_rrf_fuse, _rrf_oracle())
 
 
+def _q_ann_quality(spark, sf_dir):
+    """In-engine retrieval eval: recall@10 and nDCG@10 of the IVF probe
+    against the brute-force ground truth, per query — the recall
+    numbers SCALE.md reports, produced (and value-checked) inside the
+    engine itself."""
+    from carbonapi_spark.datapipe.retrieval import ranking_metrics
+    return ranking_metrics(_q_ivf_topk(spark, sf_dir),
+                           _q_ann_topk(spark, sf_dir), k=10)
+
+
+def _ann_quality_oracle() -> str:
+    truth = ORACLES["ann_topk"]
+    results = ORACLES["ivf_topk"]
+    return f"""
+WITH __res AS MATERIALIZED (SELECT * FROM ({results})),
+__tru AS MATERIALIZED (SELECT * FROM ({truth})),
+__rk AS (SELECT query_id, neighbor_id,
+                row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id)
+                    AS rk
+         FROM __res),
+__tc AS (SELECT query_id, count(*) AS n_truth FROM __tru
+         GROUP BY query_id),
+__j AS (SELECT r.query_id, r.rk,
+               CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END
+                   AS rel
+        FROM __rk r LEFT JOIN __tru t
+             ON r.query_id = t.query_id
+            AND r.neighbor_id = t.neighbor_id
+        WHERE r.rk <= 10),
+__pq AS (SELECT query_id, sum(rel) AS hits,
+                sum(CASE WHEN rel = 1
+                         THEN 1.0 / log2(rk + 1) ELSE 0.0 END) AS dcg
+         FROM __j GROUP BY query_id)
+SELECT p.query_id, t.n_truth, CAST(p.hits AS BIGINT) AS hits,
+       round(p.hits / t.n_truth, 6) AS recall,
+       round(p.dcg / list_reduce(
+           list_prepend(0.0, list_transform(
+               range(1, least(t.n_truth, 10) + 1),
+               i -> 1.0 / log2(CAST(i AS DOUBLE) + 1))),
+           (acc, x) -> acc + x), 6) AS ndcg
+FROM __pq p JOIN __tc t USING (query_id)
+""".strip()
+
+
+_register("ann_quality", _q_ann_quality, _ann_quality_oracle())
+
+
 def _q_pagerank(spark, sf_dir):
     """PageRank centrality over the embedding-similarity graph (the
     same pairs as embedding_dedup) — the canonical-doc selector: most
@@ -4412,6 +4460,7 @@ _DRIVER_PREFIX = [
     "tiered_fetch",         # whisper-style rollup tiers + selection
     "pagerank",             # centrality keeper over the sim graph
     "rrf_fuse",             # hybrid lexical+dense rank fusion
+    "ann_quality",          # in-engine recall/nDCG eval harness
     # plan changed in round 7 — re-verify
     "heavy_hitters", "heavy_trigrams",  # pass-2 folded to one projection
     "bigram_ppl", "source_kl",          # size-gated broadcast hints

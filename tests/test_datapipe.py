@@ -2491,3 +2491,24 @@ def test_text_index_append_equals_full_build(spark, tmp_path):
     w = [(r["doc_id"], r["score"]) for r in
          bm25_query_index(spark, full, "hash join order", k=15).collect()]
     assert g == w and len(g) > 0
+
+
+def test_ranking_metrics_known_values(spark):
+    import math
+    from carbonapi_spark.datapipe.retrieval import ranking_metrics
+    truth = spark.createDataFrame(
+        [(1, 10, 1.0), (1, 11, 0.9), (1, 12, 0.8)],
+        "query_id long, neighbor_id long, cos_sim double")
+    # results rank: 10 (hit, rk1), 99 (miss, rk2), 12 (hit, rk3)
+    res = spark.createDataFrame(
+        [(1, 10, 0.95), (1, 99, 0.94), (1, 12, 0.93)],
+        "query_id long, neighbor_id long, cos_sim double")
+    r = ranking_metrics(res, truth, k=10).collect()[0]
+    assert (r["n_truth"], r["hits"]) == (3, 2)
+    assert r["recall"] == round(2 / 3, 6)
+    dcg = 1 / math.log2(2) + 1 / math.log2(4)
+    idcg = sum(1 / math.log2(i + 1) for i in (1, 2, 3))
+    assert r["ndcg"] == round(dcg / idcg, 6)
+    # perfect results -> recall 1, ndcg 1
+    perfect = ranking_metrics(truth, truth, k=10).collect()[0]
+    assert (perfect["recall"], perfect["ndcg"]) == (1.0, 1.0)
