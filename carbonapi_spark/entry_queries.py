@@ -3587,6 +3587,93 @@ FROM __pq p JOIN __tc t USING (query_id)
 _register("ann_quality", _q_ann_quality, _ann_quality_oracle())
 
 
+_EV_SEC_CTE = ("__e AS (SELECT user_id, event_type, event_id, "
+               "CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events)")
+
+
+def _events_sec(spark, sf_dir):
+    from carbonapi_spark.sources.testdata import epoch_seconds, read_events
+    ev = read_events(spark, sf_dir)
+    return ev.select("user_id", "event_type", "event_id",
+                     epoch_seconds(ev).alias("sec"))
+
+
+def _q_funnel(spark, sf_dir):
+    """Ordered funnel view -> click -> purchase within 7 days of the
+    first view: K-1 user-keyed joins, each step strictly after the
+    previous, earliest-completion greedy."""
+    from carbonapi_spark.datapipe.events import funnel
+    return funnel(_events_sec(spark, sf_dir),
+                  ["view", "click", "purchase"], within_s=7 * 86400)
+
+
+_register("funnel_conv", _q_funnel, f"""
+WITH {_EV_SEC_CTE},
+s1 AS (SELECT user_id, min(sec) AS t1 FROM __e
+       WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(sec) AS t2, any_value(t1) AS t1
+       FROM __e e JOIN s1 USING (user_id)
+       WHERE event_type = 'click' AND sec > t1
+         AND sec <= t1 + 604800
+       GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(sec) AS t3
+       FROM __e e JOIN s2 USING (user_id)
+       WHERE event_type = 'purchase' AND sec > t2
+         AND sec <= t1 + 604800
+       GROUP BY e.user_id),
+n AS (SELECT (SELECT count(*) FROM s1) AS n1,
+             (SELECT count(*) FROM s2) AS n2,
+             (SELECT count(*) FROM s3) AS n3)
+SELECT 1 AS step, 'view' AS event_type, n1 AS n_users,
+       round(CAST(n1 AS DOUBLE) / n1, 6) AS conversion FROM n
+UNION ALL
+SELECT 2, 'click', n2, round(CAST(n2 AS DOUBLE) / n1, 6) FROM n
+UNION ALL
+SELECT 3, 'purchase', n3, round(CAST(n3 AS DOUBLE) / n1, 6) FROM n
+""".strip())
+
+
+def _q_cohort_retention(spark, sf_dir):
+    """Weekly retention triangle: cohort by first-event week, cell
+    (cohort, offset) counts members active that many weeks later."""
+    from carbonapi_spark.datapipe.events import cohort_retention
+    return cohort_retention(_events_sec(spark, sf_dir))
+
+
+_register("cohort_retention", _q_cohort_retention, f"""
+WITH {_EV_SEC_CTE},
+__f AS (SELECT user_id, min(sec // 604800) AS cohort FROM __e
+        GROUP BY user_id),
+__a AS (SELECT DISTINCT user_id, sec // 604800 AS p FROM __e),
+__s AS (SELECT cohort, count(*) AS size FROM __f GROUP BY cohort)
+SELECT f.cohort AS cohort_period, a.p - f.cohort AS period_offset,
+       count(*) AS n_users,
+       round(CAST(count(*) AS DOUBLE) / any_value(s.size), 6)
+           AS retention
+FROM __a a JOIN __f f USING (user_id) JOIN __s s ON f.cohort = s.cohort
+GROUP BY f.cohort, a.p - f.cohort
+""".strip())
+
+
+def _q_event_transitions(spark, sf_dir):
+    """First-order Markov transition counts between consecutive events
+    per user, last event -> '__end__'."""
+    from carbonapi_spark.datapipe.events import event_transitions
+    return event_transitions(_events_sec(spark, sf_dir))
+
+
+_register("event_transitions", _q_event_transitions, f"""
+WITH {_EV_SEC_CTE},
+__n AS (SELECT event_type,
+               coalesce(lead(event_type) OVER (PARTITION BY user_id
+                                               ORDER BY sec, event_id),
+                        '__end__') AS next_type
+        FROM __e)
+SELECT event_type, next_type, count(*) AS n
+FROM __n GROUP BY event_type, next_type
+""".strip())
+
+
 def _q_pagerank(spark, sf_dir):
     """PageRank centrality over the embedding-similarity graph (the
     same pairs as embedding_dedup) — the canonical-doc selector: most
@@ -4461,6 +4548,9 @@ _DRIVER_PREFIX = [
     "pagerank",             # centrality keeper over the sim graph
     "rrf_fuse",             # hybrid lexical+dense rank fusion
     "ann_quality",          # in-engine recall/nDCG eval harness
+    "funnel_conv",          # ordered funnel, K user-keyed joins
+    "cohort_retention",     # weekly retention triangle
+    "event_transitions",    # per-user Markov transition counts
     # plan changed in round 7 — re-verify
     "heavy_hitters", "heavy_trigrams",  # pass-2 folded to one projection
     "bigram_ppl", "source_kl",          # size-gated broadcast hints

@@ -2512,3 +2512,37 @@ def test_ranking_metrics_known_values(spark):
     # perfect results -> recall 1, ndcg 1
     perfect = ranking_metrics(truth, truth, k=10).collect()[0]
     assert (perfect["recall"], perfect["ndcg"]) == (1.0, 1.0)
+
+
+def test_event_analytics_known_values(spark):
+    from carbonapi_spark.datapipe.events import (
+        cohort_retention, event_transitions, funnel)
+    # user 1: view(10) click(20) buy(30)  — full journey
+    # user 2: click(5) view(10) click(15) buy(12) — buy BEFORE the
+    #         post-view click -> converts to click only
+    # user 3: view(100) buy(110) — skips click -> stops at view
+    rows = [(1, "view", 10, 1), (1, "click", 20, 2), (1, "buy", 30, 3),
+            (2, "click", 5, 4), (2, "view", 10, 5), (2, "click", 15, 6),
+            (2, "buy", 12, 7),
+            (3, "view", 100, 8), (3, "buy", 110, 9)]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, sec long, event_id long")
+    f = {r["step"]: (r["n_users"], r["conversion"]) for r in
+         funnel(ev, ["view", "click", "buy"]).collect()}
+    assert f[1] == (3, 1.0)
+    assert f[2] == (2, round(2 / 3, 6))
+    assert f[3] == (1, round(1 / 3, 6))
+    # within=15s: user 1's buy lands at t1+20 -> excluded
+    fw = {r["step"]: r["n_users"] for r in
+          funnel(ev, ["view", "click", "buy"], within_s=15).collect()}
+    assert fw[3] == 0
+    ret = {(r["cohort_period"], r["period_offset"]): r["n_users"]
+           for r in cohort_retention(ev, period_s=50).collect()}
+    # users 1,2 start period 0; user 3 starts period 2
+    assert ret[(0, 0)] == 2 and ret[(2, 0)] == 1
+    tr = {(r["event_type"], r["next_type"]): r["n"]
+          for r in event_transitions(ev).collect()}
+    assert tr[("view", "click")] == 1      # user 1
+    assert tr[("view", "buy")] == 2        # user 2 (12s) and user 3
+    assert tr[("buy", "__end__")] == 2     # users 1 and 3 end on buy
+    assert tr[("buy", "click")] == 1       # user 2's early buy
