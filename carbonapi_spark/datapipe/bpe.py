@@ -60,11 +60,15 @@ def bpe_train(df: DataFrame, n_merges: int = 20,
 
     Ties break (pair_count DESC, left ASC, right ASC) — deterministic
     across engines because every quantity is an exact integer or a
-    string.  Each iteration persists the re-merged type table through
-    the request-scoped scratch registry (the table is vocabulary-sized;
-    without the persist iteration k would recompute all k-1 prior merge
-    folds corpus^0 times but vocab k-1 times — linear lineage blowup)."""
-    from carbonapi_spark import scratch
+    string.  Each iteration TRUNCATES LINEAGE with an eager
+    ``localCheckpoint`` (the ``connected_components`` recipe): a plain
+    persist caches the DATA but Catalyst still re-analyzes the full
+    logical plan every round, and k nested aggregate-HOF folds make
+    that super-linear per level — measured exploding ~2.5x per
+    iteration (137 s of pure planning by round 19 on a 30-row type
+    table) before the checkpoint cut.  The checkpointed table is
+    vocabulary-sized, so the stored blocks are negligible at any
+    corpus scale."""
     from carbonapi_spark.datapipe import _plan_size_bytes
     spark = df.sparkSession
     words = (word_counts(df, text_col)
@@ -78,7 +82,7 @@ def bpe_train(df: DataFrame, n_merges: int = 20,
     est = _plan_size_bytes(df)
     if est is not None and est < (64 << 20):
         words = words.coalesce(1)
-    words = scratch.track(words)
+    words = words.localCheckpoint()
     merges: list[tuple] = []
     for step in range(1, n_merges + 1):
         syms = _symbols(F.col("sym"))
@@ -107,8 +111,8 @@ def bpe_train(df: DataFrame, n_merges: int = 20,
                 F.concat(acc.substr(F.lit(1), F.length(acc) - cut),
                          F.lit(left + right + SEP)))
             .otherwise(F.concat(acc, s, F.lit(SEP))))
-        words = scratch.track(
-            words.select("word", "cnt", fold.alias("sym")))
+        words = words.select("word", "cnt",
+                             fold.alias("sym")).localCheckpoint()
     return spark.createDataFrame(
         merges or [],
         "step INT, lhs STRING, rhs STRING, merged STRING, "
