@@ -208,33 +208,47 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     unrolled iterations.
 
     Scale shape: classic distributed PageRank — each iteration is one
-    equi-join of the (node-sized, persisted) rank table with the edge
-    list plus a destination-keyed aggregation; nothing is ever
-    collected.  Returns (node, pr)."""
-    from carbonapi_spark import scratch
+    equi-join of the (node-sized) rank table with the edge list plus a
+    destination-keyed aggregation, with the rank table's lineage CUT by
+    an eager ``localCheckpoint`` every round (the iterative-algorithm
+    standard — a lazily-grown 10-join plan pays super-linear Catalyst
+    analysis, the same blowup ``bpe_train`` hit); nothing is ever
+    collected.  Small graphs additionally collapse to one partition so
+    each round is a single-task job.  Returns (node, pr)."""
+    # checkpoint the doubled edge list FIRST: the upstream pair
+    # pipeline (often a full similarity computation) must run exactly
+    # once — deg, the node count, and every iteration read the stored
+    # blocks
     und = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
            .unionByName(edges.select(F.col(dst).alias("a"),
-                                     F.col(src).alias("b"))))
-    und = scratch.track(und)
+                                     F.col(src).alias("b")))
+           .localCheckpoint())
     deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
     n_nodes = deg.count()
     if n_nodes == 0:
         return edges.sparkSession.createDataFrame([], "node LONG, pr DOUBLE")
+    if n_nodes < 100_000:
+        und = und.coalesce(1).localCheckpoint()
+        deg = deg.coalesce(1)
+    deg = deg.localCheckpoint()
     # both seeds stay UNROUNDED doubles: IEEE division gives the same
     # bits in any engine, and only the per-iteration update is rounded
     pr0 = 1.0 / n_nodes
     base = (1.0 - damping) / n_nodes
-    pr = scratch.track(deg.select(F.col("a").alias("node"),
-                                  F.lit(pr0).alias("pr"), "deg"))
-    for _ in range(n_iter):
+    pr = deg.select(F.col("a").alias("node"),
+                    F.lit(pr0).alias("pr"), "deg").localCheckpoint()
+    for i in range(n_iter):
         contrib = (und.join(pr, und["a"] == pr["node"])
                    .select(F.col("b").alias("node"),
                            (F.col("pr") / F.col("deg")).alias("__c"))
                    .groupBy("node").agg(F.sum("__c").alias("__s")))
-        pr = scratch.track(
-            contrib.join(deg, contrib["node"] == deg["a"])
-            .select("node",
-                    F.round(F.lit(base) + F.lit(damping) * F.col("__s"), 6)
-                    .alias("pr"),
-                    "deg"))
+        pr = (contrib.join(deg, contrib["node"] == deg["a"])
+              .select("node",
+                      F.round(F.lit(base) + F.lit(damping) * F.col("__s"),
+                              6).alias("pr"),
+                      "deg"))
+        # cut every 2nd round: plan depth stays bounded at two
+        # iterations while halving the eager-job count
+        if i % 2 == 1 or i == n_iter - 1:
+            pr = pr.localCheckpoint()
     return pr.select("node", "pr")
