@@ -1109,3 +1109,38 @@ def pmi_top(df: DataFrame, text_col: str = "text", min_count: int = 5,
             .select("w1", "w2", "cnt", F.round(pmi, 6).alias("pmi"))
             .orderBy(F.desc("pmi"), "w1", "w2")
             .limit(k))
+
+
+def roc_auc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
+    """Exact ROC-AUC of a score against binary labels via the
+    Mann-Whitney rank statistic — the classifier-quality companion to
+    ``score_quality_lr`` (is the quality score actually separating the
+    populations the rules flag?).
+
+    AUC = (S_pos - n_pos(n_pos+1)/2) / (n_pos * n_neg) with
+    average-rank tie handling.  Everything is computed on the DISTINCT
+    SCORE table: one keyed aggregation (score-cardinality-sized after
+    map-side combine), a cumulative window over that table, and a
+    1-row finish.  The numerator is kept as an exact INTEGER in
+    half-rank units (2*avg_rank = 2*min_rank + cnt - 1), so the only
+    floating point is the final division — exact cross-engine replay.
+    Returns one row (n_pos, n_neg, auc), auc rounded to 6; degenerate
+    single-class inputs yield NULL auc."""
+    from pyspark.sql.window import Window
+    g = (df.groupBy(F.col(score_col).alias("__s"))
+         .agg(F.count(F.lit(1)).alias("__cnt"),
+              F.sum(F.col(label_col).cast("long")).alias("__pos")))
+    w = Window.partitionBy().orderBy("__s") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = F.sum("__cnt").over(w) - F.col("__cnt")
+    ranked = g.select("__cnt", "__pos",
+                      (2 * (cum + 1) + F.col("__cnt") - 1).alias("__r2"))
+    agg = ranked.agg(F.sum(F.col("__pos") * F.col("__r2")).alias("__s2"),
+                     F.sum("__pos").alias("n_pos"),
+                     (F.sum("__cnt") - F.sum("__pos")).alias("n_neg"))
+    auc = F.when((F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+                 F.round((F.col("__s2")
+                          - F.col("n_pos") * (F.col("n_pos") + 1))
+                         .cast("double")
+                         / (2 * F.col("n_pos") * F.col("n_neg")), 6))
+    return agg.select("n_pos", "n_neg", auc.alias("auc"))

@@ -2788,6 +2788,50 @@ FROM documents d LEFT JOIN __z USING (doc_id)
 _register("quality_lr", _q_quality_lr, _quality_lr_oracle())
 
 
+def _q_quality_auc(spark, sf_dir):
+    """Exact ROC-AUC (Mann-Whitney, average-rank ties) of the LR
+    quality score against a deterministic rule label (doc mentions
+    'spark') — does the classifier separate the rule's populations?
+    Integer rank arithmetic, one final division."""
+    from carbonapi_spark.datapipe.text import roc_auc, score_quality_lr, \
+        word_set
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = score_quality_lr(docs, _LR_WEIGHTS, _LR_BIAS)
+    labeled = scored.join(
+        docs.select("doc_id",
+                    F.array_contains(word_set(F.col("text")), "spark")
+                    .cast("int").alias("__y")), "doc_id")
+    return roc_auc(labeled, "lr_score", "__y")
+
+
+def _quality_auc_oracle() -> str:
+    lr = _quality_lr_oracle()
+    return f"""
+WITH __sc AS MATERIALIZED (
+  SELECT s.doc_id, s.lr_score,
+         CASE WHEN list_contains(list_distinct(list_filter(
+                  string_split_regex(lower(d.text), '\\s+'),
+                  x -> x != '')), 'spark')
+              THEN 1 ELSE 0 END AS y
+  FROM ({lr}) s JOIN documents d USING (doc_id)),
+__g AS (SELECT lr_score AS s, count(*) AS cnt, sum(y) AS pos
+        FROM __sc GROUP BY lr_score),
+__r AS (SELECT cnt, pos,
+               2 * (sum(cnt) OVER (ORDER BY s
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) - cnt + 1)
+               + cnt - 1 AS r2
+        FROM __g)
+SELECT sum(pos) AS n_pos, sum(cnt) - sum(pos) AS n_neg,
+       round(CAST(sum(pos * r2) - sum(pos) * (sum(pos) + 1) AS DOUBLE)
+             / (2 * sum(pos) * (sum(cnt) - sum(pos))), 6) AS auc
+FROM __r
+""".strip()
+
+
+_register("quality_auc", _q_quality_auc, _quality_auc_oracle())
+
+
 def _q_bpe_token_count(spark, sf_dir):
     """Whitespace vs GPT-2-style pre-token counts per doc — the quick
     BPE-cost estimate (merges only split within pre-tokens)."""
@@ -4551,6 +4595,7 @@ _DRIVER_PREFIX = [
     "funnel_conv",          # ordered funnel, K user-keyed joins
     "cohort_retention",     # weekly retention triangle
     "event_transitions",    # per-user Markov transition counts
+    "quality_auc",          # exact Mann-Whitney ROC-AUC
     # plan changed in round 7 — re-verify
     "heavy_hitters", "heavy_trigrams",  # pass-2 folded to one projection
     "bigram_ppl", "source_kl",          # size-gated broadcast hints

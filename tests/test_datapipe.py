@@ -2546,3 +2546,41 @@ def test_event_analytics_known_values(spark):
     assert tr[("view", "buy")] == 2        # user 2 (12s) and user 3
     assert tr[("buy", "__end__")] == 2     # users 1 and 3 end on buy
     assert tr[("buy", "click")] == 1       # user 2's early buy
+
+
+def test_roc_auc_matches_sklearn_free_reference(spark):
+    """AUC against a hand-rolled rank computation with ties, plus the
+    known anchors: perfect separation -> 1, anti-separation -> 0,
+    random-constant score -> 0.5 (all-tied)."""
+    from carbonapi_spark.datapipe.text import roc_auc
+
+    def ref_auc(pairs):
+        scores = sorted(s for s, _ in pairs)
+        import collections
+        rank = {}
+        i = 0
+        while i < len(scores):
+            j = i
+            while j < len(scores) and scores[j] == scores[i]:
+                j += 1
+            for s in {scores[i]}:
+                rank[s] = (i + 1 + j) / 2
+            i = j
+        pos = [rank[s] for s, y in pairs if y == 1]
+        npos, nneg = len(pos), len(pairs) - len(pos)
+        return (sum(pos) - npos * (npos + 1) / 2) / (npos * nneg)
+
+    cases = [
+        [(0.9, 1), (0.8, 1), (0.3, 0), (0.1, 0)],            # perfect
+        [(0.1, 1), (0.2, 1), (0.8, 0), (0.9, 0)],            # inverted
+        [(0.5, 1), (0.5, 0), (0.5, 1), (0.5, 0)],            # all tied
+        [(0.9, 1), (0.5, 0), (0.5, 1), (0.5, 1), (0.2, 0)],  # mixed ties
+    ]
+    for pairs in cases:
+        df = spark.createDataFrame(pairs, "s double, y int")
+        got = roc_auc(df, "s", "y").collect()[0]
+        assert got["auc"] == round(ref_auc(pairs), 6), pairs
+    assert cases and ref_auc(cases[0]) == 1.0 and ref_auc(cases[1]) == 0.0
+    # degenerate single-class -> NULL
+    one = spark.createDataFrame([(0.5, 1), (0.9, 1)], "s double, y int")
+    assert roc_auc(one, "s", "y").collect()[0]["auc"] is None
