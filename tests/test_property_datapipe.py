@@ -201,3 +201,81 @@ def test_pnm_roundtrip_property(w, h, color, raw):
     gw, gh, gc, got = decode_pnm(payload)
     assert (gw, gh, gc) == (w, h, 3 if color else 1)
     assert got.tobytes() == raster
+
+
+# ---------------------------------------------------------------- round 7
+
+
+@given(st.dictionaries(st.sampled_from(["en", "de", "fr", "zh", "xx"]),
+                       st.integers(1, 400), min_size=1, max_size=5),
+       st.integers(1, 2000), st.integers(1, 3))
+@settings(max_examples=12, deadline=None)
+def test_unimax_closed_form_equals_greedy(spark, counts, budget, epochs):
+    """The water-filling window closed form must equal the paper's
+    greedy loop for arbitrary count tables, budgets, and epoch caps."""
+    from carbonapi_spark.datapipe.sampling import unimax_allocation
+    rows = [(j, g) for j, g in
+            enumerate(g for g, n in counts.items() for _ in range(n))]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    got = {r["lang"]: r["alloc"] for r in
+           unimax_allocation(df, budget=budget,
+                             max_epochs=epochs).collect()}
+    remaining = float(budget)
+    langs = sorted(counts, key=lambda g: (counts[g], g))
+    for i, g in enumerate(langs):
+        share = remaining / (len(langs) - i)
+        take = min(counts[g] * epochs, share)
+        assert abs(got[g] - take) < 1e-4, (g, got[g], take)
+        remaining -= take
+
+
+@given(st.lists(st.text(alphabet="abcdef", min_size=1, max_size=6),
+                min_size=1, max_size=120),
+       st.integers(1, 119))
+@settings(max_examples=10, deadline=None)
+def test_hll_shard_merge_lossless(spark, values, cut):
+    """Max-merging the register tables of ANY split of the value list
+    equals the whole-list register table — the mergeability invariant
+    the 100 TB shard story rests on."""
+    from pyspark.sql import functions as F
+
+    from carbonapi_spark.datapipe.sketch import hll_registers
+    cut = min(cut, len(values))
+    lo = spark.createDataFrame([(v,) for v in values[:cut]] or [("",)],
+                               "v string")
+    hi = spark.createDataFrame([(v,) for v in values[cut:]] or [("",)],
+                               "v string")
+    whole = spark.createDataFrame([(v,) for v in values], "v string")
+    parts = (hll_registers(lo.where(F.col("v") != ""), "v")
+             .unionByName(hll_registers(hi.where(F.col("v") != ""), "v"))
+             .groupBy("reg").agg(F.max("mrho").alias("mrho")))
+    want = {(r["reg"], r["mrho"])
+            for r in hll_registers(whole, "v").collect()}
+    got = {(r["reg"], r["mrho"]) for r in parts.collect()}
+    assert got == want
+
+
+def _py_bpe_merge(symbols, left, right):
+    out = []
+    for s in symbols:
+        if out and out[-1] == left and s == right:
+            out[-1] = left + right
+        else:
+            out.append(s)
+    return out
+
+
+@given(st.lists(st.text(alphabet="ab", min_size=1, max_size=4),
+                min_size=1, max_size=10),
+       st.text(alphabet="ab", min_size=1, max_size=3),
+       st.text(alphabet="ab", min_size=1, max_size=3))
+@settings(max_examples=12, deadline=None)
+def test_bpe_fold_equals_python_reference(spark, word_toks, left, right):
+    """The boundary-padded string fold must implement exactly the
+    left-to-right non-overlapping merge, for arbitrary symbol runs and
+    merge pairs (including self-pairs and pairs that straddle runs)."""
+    from carbonapi_spark.datapipe.bpe import bpe_encode
+    word = "".join(word_toks)
+    df = spark.createDataFrame([(1, word)], "doc_id long, text string")
+    got = list(bpe_encode(df, [(left, right)]).collect()[0]["pieces"])
+    assert got == _py_bpe_merge(list(word), left, right), (word, left, right)
