@@ -1144,3 +1144,25 @@ def roc_auc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
                          .cast("double")
                          / (2 * F.col("n_pos") * F.col("n_neg")), 6))
     return agg.select("n_pos", "n_neg", auc.alias("auc"))
+
+
+def calibration_curve(df: DataFrame, score_col: str, label_col: str,
+                      n_bins: int = 10) -> DataFrame:
+    """Reliability diagram buckets: scores in [0, 1] split into
+    ``n_bins`` equal-width bins, each reporting mean predicted
+    probability vs the empirical positive rate — the calibration
+    companion to ``roc_auc`` (a well-ranked classifier can still be
+    badly calibrated, which matters when the score gates a kept-corpus
+    budget).
+
+    One keyed aggregation; bin = floor(score * n_bins) clamped so
+    score = 1.0 lands in the last bin.  Means are single divisions over
+    integer-count denominators, rounded to 6.  Returns
+    (bin, n, mean_score, pos_rate)."""
+    bin_ = F.least(F.floor(F.col(score_col) * n_bins),
+                   F.lit(n_bins - 1)).cast("int")
+    return (df.groupBy(bin_.alias("bin"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.avg(F.col(score_col)), 6).alias("mean_score"),
+                 F.round(F.avg(F.col(label_col).cast("double")), 6)
+                 .alias("pos_rate")))

