@@ -2570,6 +2570,38 @@ FROM documents d LEFT JOIN __cc c USING (doc_id)
 """.strip())
 
 
+def _q_dedup_stats(spark, sf_dir):
+    """The dedup run report: cluster-size histogram + per-size doc and
+    duplicate counts from the clustering output — (size, n_clusters,
+    n_docs, n_dups) where n_dups = docs that would be dropped keeping
+    one per cluster.  Two aggregations over the cluster labels
+    (cluster-count-sized after the first)."""
+    labels = _q_dedup_clusters(spark, sf_dir)
+    sizes = (labels.groupBy("cluster_id")
+             .agg(F.count(F.lit(1)).alias("size")))
+    return (sizes.groupBy("size")
+            .agg(F.count(F.lit(1)).alias("n_clusters"))
+            .select("size", "n_clusters",
+                    (F.col("size") * F.col("n_clusters")).alias("n_docs"),
+                    ((F.col("size") - 1) * F.col("n_clusters"))
+                    .alias("n_dups")))
+
+
+def _dedup_stats_oracle() -> str:
+    return f"""
+WITH __lbl AS MATERIALIZED (SELECT * FROM ({ORACLES['dedup_clusters']})),
+__sz AS (SELECT cluster_id, count(*) AS size FROM __lbl
+         GROUP BY cluster_id)
+SELECT size, count(*) AS n_clusters,
+       size * count(*) AS n_docs,
+       (size - 1) * count(*) AS n_dups
+FROM __sz GROUP BY size
+""".strip()
+
+
+_register("dedup_stats", _q_dedup_stats, _dedup_stats_oracle())
+
+
 def _q_dedup_keep_best(spark, sf_dir):
     """Quality-aware cluster keeper: same 5-gram near-dup clusters as
     `dedup_clusters`, but keep the longest doc per cluster (tie: min id)
@@ -4633,6 +4665,7 @@ _DRIVER_PREFIX = [
     "event_transitions",    # per-user Markov transition counts
     "quality_auc",          # exact Mann-Whitney ROC-AUC
     "quality_calibration",  # reliability-diagram bins
+    "dedup_stats",          # cluster-size histogram / dup-rate report
     # plan changed in round 7 — re-verify
     "heavy_hitters", "heavy_trigrams",  # pass-2 folded to one projection
     "bigram_ppl", "source_kl",          # size-gated broadcast hints
