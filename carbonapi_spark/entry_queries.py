@@ -3786,6 +3786,61 @@ FROM __n GROUP BY event_type, next_type
 """.strip())
 
 
+def _q_stream_rollup_replay(spark, sf_dir):
+    """Streaming rollup maintenance on the scoreboard: the hourly
+    events series replays as an availableNow file stream through
+    ``stream_rollups`` (daily step, '*.click' rolls up with max,
+    average otherwise, 1h watermark); the emitted archive rows are the
+    watermark-closed daily buckets, which the oracle re-derives from
+    raw events with the same close cutoff."""
+    import tempfile
+
+    from carbonapi_spark.sources.testdata import events_series_df
+    from carbonapi_spark.streaming.ingest import stream_rollups
+    hourly = events_series_df(spark, sf_dir).where(
+        F.col("name").startswith("events.u"))
+    with tempfile.TemporaryDirectory() as tmp:
+        src = f"{tmp}/src"
+        hourly.coalesce(1).write.parquet(src)
+        stream = (spark.readStream.schema(hourly.schema).parquet(src)
+                  .select("name",
+                          F.col("ts").cast("timestamp").alias("ts"),
+                          "value"))
+        writers = stream_rollups(
+            stream, f"{tmp}/roll", f"{tmp}/ckpt", steps=[86400],
+            methods=[("events.*.click", "max")],
+            default_method="average", watermark="1 hour")
+        old = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = writers[0].trigger(availableNow=True).start()
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+        rows = (spark.read.parquet(f"{tmp}/roll/step=86400")
+                .select("name", "ts",
+                        F.round("value", 6).alias("value")).collect())
+    return spark.createDataFrame(rows, "name STRING, ts LONG, "
+                                       "value DOUBLE")
+
+
+_register("stream_rollup_replay", _q_stream_rollup_replay, r"""
+WITH ev AS (
+  SELECT 'events.u' || CAST(user_id % 10 AS VARCHAR) || '.' || event_type
+             AS name,
+         CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hts,
+         SUM(value) AS value
+  FROM events GROUP BY 1, 2),
+mx AS (SELECT max(hts) AS m FROM ev)
+SELECT name, hts - hts % 86400 AS ts,
+       round(CASE WHEN name LIKE '%.click'
+                  THEN max(value) ELSE avg(value) END, 6) AS value
+FROM ev CROSS JOIN mx
+GROUP BY name, hts - hts % 86400, m
+HAVING (hts - hts % 86400) + 86400 <= m - 3600
+""".strip())
+
+
 def _q_pagerank(spark, sf_dir):
     """PageRank centrality over the embedding-similarity graph (the
     same pairs as embedding_dedup) — the canonical-doc selector: most
@@ -4666,6 +4721,7 @@ _DRIVER_PREFIX = [
     "quality_auc",          # exact Mann-Whitney ROC-AUC
     "quality_calibration",  # reliability-diagram bins
     "dedup_stats",          # cluster-size histogram / dup-rate report
+    "stream_rollup_replay",  # streamed archive == batch rollup
     # plan changed in round 7 — re-verify
     "heavy_hitters", "heavy_trigrams",  # pass-2 folded to one projection
     "bigram_ppl", "source_kl",          # size-gated broadcast hints
