@@ -30,6 +30,12 @@ def glob_to_regex(pattern: str, anchored: bool = True) -> str:
             j = pattern.find("]", i + 1)
             if j < 0:
                 out.append("\\[")
+            elif pattern[i + 1:j] in ("", "^", "!"):
+                # '[]' / '[^]' have no members — fnmatch (and therefore
+                # graphite) treats them as LITERAL brackets, and an
+                # empty class doesn't even parse as a regex
+                out.append(re.escape(pattern[i:j + 1]))
+                i = j
             else:
                 out.append(pattern[i:j + 1])
                 i = j
