@@ -3604,6 +3604,84 @@ __w{i + 1} AS MATERIALIZED (
 _register("bpe_merges", _q_bpe_merges, _bpe_oracle())
 
 
+def _q_bpe_fertility(spark, sf_dir):
+    """Tokenizer fertility report: train 8 BPE merges, encode EVERY
+    corpus token with them, and report pieces-per-token per document —
+    the tokenizer-cost diagnostic, with training AND encoding replayed
+    end to end in the oracle."""
+    from carbonapi_spark.datapipe.bpe import bpe_encode, bpe_train
+    from carbonapi_spark.datapipe.text import tokens as _tok
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges = [(r["lhs"], r["rhs"])
+              for r in bpe_train(docs, n_merges=8).collect()]
+    # identical tokens segment identically: encode the (vocab-sized)
+    # TYPE table once and join piece counts back onto the per-doc
+    # occurrence counts — the corpus never runs through the fold chain
+    occ = (docs.select("doc_id",
+                       F.explode(_tok(F.lower(F.col("text"))))
+                       .alias("token"))
+           .groupBy("doc_id", "token")
+           .agg(F.count(F.lit(1)).alias("__cnt")))
+    types = occ.select(F.col("token").alias("t")).distinct()
+    sizes = (bpe_encode(types, merges, text_col="t", id_col="t")
+             .select(F.col("t").alias("token"),
+                     F.size("pieces").alias("__np")))
+    return (occ.join(F.broadcast(sizes), "token")
+            .groupBy("doc_id")
+            .agg(F.sum("__cnt").alias("n_tokens"),
+                 F.sum(F.col("__cnt") * F.col("__np")).alias("n_pieces"))
+            .select("doc_id", "n_tokens", "n_pieces",
+                    F.round(F.col("n_pieces") / F.col("n_tokens"), 6)
+                    .alias("fertility")))
+
+
+def _bpe_fertility_oracle(n_merges: int = 12) -> str:
+    sep = "chr(31)"
+    train = _bpe_oracle(n_merges)
+    # keep the training CTE chain, swap the final merge-table SELECT
+    # for the corpus-wide encode: apply each learned pair's fold to
+    # every token's symbol string, in learned order
+    chain = train[:train.rindex("SELECT CAST(step AS INT)")].rstrip()
+    assert chain.endswith(",") is False
+    folds = []
+    for i in range(1, n_merges + 1):
+        folds.append(f"""
+__t{i} AS MATERIALIZED (
+  SELECT tok,
+         list_reduce(
+           list_prepend({sep}, list_filter(string_split(sym, {sep}),
+                                           x -> x != '')),
+           (acc, x) -> CASE
+             WHEN ends_with(acc, {sep} || b.lhs || {sep}) AND x = b.rhs
+             THEN substr(acc, 1, length(acc) - length(b.lhs) - 1)
+                  || b.lhs || b.rhs || {sep}
+             ELSE acc || x || {sep} END) AS sym
+  FROM __t{i - 1}, __b{i} b)""".strip())
+    return (chain + ",\n" + f"""
+__occ AS MATERIALIZED (
+  SELECT doc_id, tok, count(*) AS cnt
+  FROM (SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents)
+  GROUP BY doc_id, tok),
+__t0 AS MATERIALIZED (
+  SELECT tok,
+         {sep} || array_to_string(list_filter(string_split(tok, ''),
+                                              c -> c != ''), {sep})
+               || {sep} AS sym
+  FROM (SELECT DISTINCT tok FROM __occ)),
+""".strip() + "\n" + ",\n".join(folds) + f"""
+SELECT o.doc_id, sum(o.cnt) AS n_tokens,
+       sum(o.cnt * len(list_filter(string_split(t.sym, {sep}),
+                                   x -> x != ''))) AS n_pieces,
+       round(CAST(sum(o.cnt * len(list_filter(string_split(t.sym, {sep}),
+                                              x -> x != ''))) AS DOUBLE)
+             / sum(o.cnt), 6) AS fertility
+FROM __occ o JOIN __t{n_merges} t USING (tok) GROUP BY o.doc_id
+""")
+
+
+_register("bpe_fertility", _q_bpe_fertility, _bpe_fertility_oracle(8))
+
+
 def _q_rrf_fuse(spark, sf_dir):
     """Hybrid retrieval on the scoreboard: the BM25 lexical top-25 for
     'hash join order' fused with the dense cosine top-25 around the
