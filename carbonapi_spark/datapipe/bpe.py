@@ -19,9 +19,18 @@ boundary-padded string (``\\x1f h \\x1f i \\x1f``), which makes the
 "last symbol == left AND next == right" test a suffix check and keeps
 the left-to-right NON-OVERLAPPING merge of a run ("a a a a" + (a,a) ->
 "aa aa") exact: after a merge the accumulated last symbol is the merged
-token, which can never equal the left part again.  Words containing the
-separator byte are dropped (they cannot be represented; real tokenizers
-pre-normalize control bytes away).
+token, which can never equal the left part again.
+
+The word universe is PRINTABLE-ASCII TYPES ONLY (``^[!-~]+$``, tested on
+the RAW token before lowercasing): per-character splitting is UTF-16
+code units on the JVM but codepoints in DuckDB/utf8proc, and ``lower()``
+full-vs-simple case mappings differ across engines for characters like
+U+0130, so a non-ASCII word type can silently diverge the symbol tables
+between an engine and its replay.  Restricting training to ASCII types
+(the overwhelming mass of a web corpus after NFC; real byte-level BPE
+pre-normalizes too) makes every string op — split, lower, suffix test,
+tie-break collation — bit-portable.  This filter also subsumes the
+separator-byte drop (0x1F is not printable ASCII).
 """
 
 from __future__ import annotations
@@ -44,12 +53,17 @@ def _symbols(sym: Column) -> Column:
     return F.filter(F.split(sym, SEP), lambda s: s != "")
 
 
+ASCII_WORD = "^[!-~]+$"
+
+
 def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """(word, cnt) over the lowercased token stream — the ONE corpus
-    pass of BPE training; everything after is vocabulary-sized."""
-    return (df.select(F.explode(tokens(F.lower(F.col(text_col))))
-                      .alias("word"))
-            .where(~F.col("word").contains(SEP))
+    """(word, cnt) over the token stream — the ONE corpus pass of BPE
+    training; everything after is vocabulary-sized.  Tokenizes the RAW
+    text, keeps printable-ASCII types, lowercases after the filter (see
+    module docstring for why this exact order is the portable one)."""
+    return (df.select(F.explode(tokens(F.col(text_col))).alias("word"))
+            .where(F.col("word").rlike(ASCII_WORD))
+            .select(F.lower(F.col("word")).alias("word"))
             .groupBy("word").agg(F.count(F.lit(1)).alias("cnt")))
 
 
@@ -125,10 +139,13 @@ def bpe_encode(df: DataFrame, merges: list[tuple[str, str]],
     """Apply a learned merge list to every token of every doc: returns
     (id, token, pieces array<string>) — the subword segmentation under
     the trained vocabulary.  One projection per merge folded into a
-    single expression chain (no shuffle; the merges ride as literals)."""
-    tok = df.select(F.col(id_col),
-                    F.explode(tokens(F.lower(F.col(text_col))))
-                    .alias("token"))
+    single expression chain (no shuffle; the merges ride as literals).
+    Token universe matches :func:`word_counts`: raw-text tokens,
+    printable-ASCII only, lowercased after the filter."""
+    tok = (df.select(F.col(id_col),
+                     F.explode(tokens(F.col(text_col))).alias("token"))
+           .where(F.col("token").rlike(ASCII_WORD))
+           .select(F.col(id_col), F.lower(F.col("token")).alias("token")))
     def merge_lambda(left: str, right: str):
         suffix = SEP + left + SEP
         cut = len(left) + 1

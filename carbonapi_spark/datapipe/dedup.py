@@ -41,8 +41,9 @@ def normalize_text(text: Column) -> Column:
     lowercase/punctuation normalization): catches re-encodings,
     punctuation variants and whitespace reflows that byte-exact dedup
     misses, without any near-dup machinery."""
-    cleaned = F.regexp_replace(F.lower(text), "[^a-z0-9\\s]", "")
-    return F.trim(F.regexp_replace(cleaned, "\\s+", " "))
+    cleaned = F.regexp_replace(F.lower(text),
+                               r"[^a-z0-9 \t\n\x0B\f\r]", "")
+    return F.trim(F.regexp_replace(cleaned, r"[ \t\n\x0B\f\r]+", " "))
 
 
 def normalized_dedup(df: DataFrame, text_col: str = "text",

@@ -8,8 +8,8 @@ and every quantity is an exact integer or a 6-dp-rounded ratio, so each
 op carries an exact SQL oracle.
 
 Scale shape: everything shuffles at most once per stage on ``user_id``
-(the natural partitioner for event streams); funnel steps are K
-sequential user-keyed joins with K the (tiny) funnel length; outputs are
+(the natural partitioner for event streams); the funnel folds its whole
+K-step state machine in ONE event scan + one user shuffle; outputs are
 step-/cohort-/type-pair-sized, never event-sized.
 """
 
@@ -34,33 +34,70 @@ def funnel(events: DataFrame, steps: list[str],
     journeys that would only complete from a later anchor are not
     counted (documented trade-off; exact per-anchor search is
     exponential).  Returns (step, event_type, n_users, conversion)
-    with conversion relative to step 1."""
+    with conversion relative to step 1.
+
+    ONE event-table pass: events are filtered to the K step types,
+    shuffled once on ``user_col``, and each user's time-sorted
+    step-event list is folded through the greedy state machine
+    (reached, anchor, last) in a single codegen'd HOF — the earliest
+    qualifying timestamp chain t_i = min(ts of step-i events > t_{i-1})
+    without materializing any t_i.  Per-user array size is the user's
+    STEP-TYPE event count only.  (The previous join-chain ran the scan
+    once per step and, worse, re-executed steps 1..i-1 for each
+    ``counts[i]`` action — O(K^2) corpus passes at scale.)"""
     if not steps:
         raise ValueError("funnel needs at least one step")
-    sec = F.col(ts_col)
-    cur = (events.where(F.col(type_col) == steps[0])
-           .groupBy(user_col).agg(F.min(sec).alias("__t1")))
-    counts = [cur.count()]
-    prev, prev_t = cur, "__t1"
-    for i, s in enumerate(steps[1:], start=2):
-        nxt = (events.where(F.col(type_col) == s)
-               .join(prev, user_col)
-               .where(sec > F.col(prev_t)))
-        if within_s is not None:
-            nxt = nxt.where(sec <= F.col("__t1") + F.lit(within_s))
-        cur = (nxt.groupBy(user_col)
-               .agg(F.min(sec).alias(f"__t{i}"),
-                    F.first("__t1").alias("__t1")))
-        counts.append(cur.count())
-        prev, prev_t = cur, f"__t{i}"
-    spark = events.sparkSession
+    k = len(steps)
+    row = funnel_counts_frame(events, steps, within_s, user_col,
+                              type_col, ts_col).collect()[0]
+    counts = [row[f"c{i}"] or 0 for i in range(1, k + 1)]
     base = counts[0]
     rows = [(i + 1, steps[i], counts[i],
              round(counts[i] / base, 6) if base else 0.0)
             for i in range(len(steps))]
-    return spark.createDataFrame(
+    return events.sparkSession.createDataFrame(
         rows, "step INT, event_type STRING, n_users LONG, "
               "conversion DOUBLE")
+
+
+def funnel_counts_frame(events: DataFrame, steps: list[str],
+                        within_s: int | None = None,
+                        user_col: str = "user_id",
+                        type_col: str = "event_type",
+                        ts_col: str = "sec") -> DataFrame:
+    """The one-job core of :func:`funnel`: a single row
+    (c1..cK = users reaching each step prefix).  Exposed separately so
+    the plan-shape test can pin the single event scan + single
+    user-keyed exchange."""
+    k = len(steps)
+    steps_lit = F.array(*[F.lit(s) for s in steps])
+    per_user = (events.where(F.col(type_col).isin(*set(steps)))
+                .groupBy(user_col)
+                .agg(F.sort_array(F.collect_list(F.struct(
+                    F.col(ts_col).cast("long").alias("ts"),
+                    F.col(type_col).alias("ty")))).alias("__evs")))
+    init = F.struct(F.lit(0).alias("r"),
+                    F.lit(None).cast("long").alias("anchor"),
+                    F.lit(None).cast("long").alias("last"))
+
+    def fold(acc, e):
+        nxt = F.element_at(steps_lit, acc["r"] + 1)
+        ok = (acc["r"] < k) & (e["ty"] == nxt) \
+            & ((acc["r"] == 0) | (e["ts"] > acc["last"]))
+        if within_s is not None:
+            ok = ok & ((acc["r"] == 0)
+                       | (e["ts"] <= acc["anchor"] + F.lit(within_s)))
+        return F.when(ok, F.struct(
+            (acc["r"] + 1).alias("r"),
+            F.when(acc["r"] == 0, e["ts"]).otherwise(acc["anchor"])
+            .alias("anchor"),
+            e["ts"].alias("last"))).otherwise(acc)
+
+    reached = per_user.select(
+        F.aggregate("__evs", init, fold)["r"].alias("__r"))
+    return reached.agg(*[
+        F.sum((F.col("__r") >= i).cast("long")).alias(f"c{i}")
+        for i in range(1, k + 1)])
 
 
 def cohort_retention(events: DataFrame, period_s: int = 7 * 86400,

@@ -20,10 +20,20 @@ LANG_MARKERS: dict[str, list[str]] = {
     "es": ["el", "los", "las", "es", "una"],
 }
 
+# Java's ``\s`` is ``[ \t\n\x0B\f\r]`` but RE2's (the DuckDB oracle
+# engine's) is ``[\t\n\f\r ]`` — NO vertical tab — so a ``\s`` shared
+# between a query and its oracle silently diverges on text containing
+# 0x0B.  Every cross-engine regex therefore spells the class out; both
+# engines parse the same ``\t``/``\x0B`` escapes inside a class.
+WS_CLASS = r"[ \t\n\x0B\f\r]"
+NON_WS_CLASS = r"[^ \t\n\x0B\f\r]"
+
 
 def tokens(text: Column) -> Column:
-    """Whitespace tokenization with empty-token filtering."""
-    return F.filter(F.split(text, r"\s+"), lambda t: t != "")
+    """Whitespace tokenization with empty-token filtering.  The split
+    class is pinned (:data:`WS_CLASS`) so the token stream is identical
+    under Java regex and RE2."""
+    return F.filter(F.split(text, WS_CLASS + "+"), lambda t: t != "")
 
 
 def token_count(text: Column) -> Column:
@@ -42,7 +52,8 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     n_tokens = F.size(toks)
     tok_chars = F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x))
     avg_token_len = F.when(n_tokens > 0, tok_chars.cast("double") / n_tokens)
-    n_punct = F.length(t) - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    n_punct = F.length(t) - F.length(
+        F.regexp_replace(t, r"[^\w \t\n\x0B\f\r]", ""))
     punct_ratio = F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(F.lit(0.0))
     en_stop = LANG_MARKERS["en"]
     stop_hits = F.size(F.filter(toks, lambda x: F.lower(x).isin(en_stop)))
@@ -481,7 +492,7 @@ PII_PATTERNS: list[tuple[str, str]] = [
     # applied top-down so emails win over bare domains etc.
     (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
-    (r"\+?\d[\d\s().-]{7,}\d", "<PHONE>"),
+    (r"\+?\d[\d \t\n\x0B\f\r().-]{7,}\d", "<PHONE>"),
 ]
 
 
@@ -532,7 +543,8 @@ def line_dedup(df: DataFrame, text_col: str = "text",
 # regex engine) has no lookahead, and both engines are leftmost-first on
 # alternations, so Spark (Java regex) and DuckDB (RE2) split identically.
 BPE_PRETOKEN_PATTERN = (
-    r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+")
+    r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+"
+    r"| ?[^ \t\n\x0B\f\r\p{L}\p{N}]+|[ \t\n\x0B\f\r]+")
 
 
 def bpe_pretokens(text: Column) -> Column:
@@ -564,21 +576,47 @@ def score_quality_lr(df: DataFrame, weights: dict[str, float],
     ``unigram_logprob_table`` scoring, so the 100 TB cost is one
     token-explode plus a per-doc sum. Train weights driver-side with
     :func:`train_quality_lr` (or import any external model's
-    vocabulary->weight map)."""
+    vocabulary->weight map).
+
+    The per-doc sum runs in exact INTEGER micro-units (see
+    :func:`quality_logit_micro`), so the logit — and therefore the
+    score — is independent of partitioning/summation order; the only
+    floating point is one final deterministic-input sigmoid."""
+    logit = quality_logit_micro(df, weights, bias, text_col, id_col)
+    z = F.col("logit_micro").cast("double") / LR_SCALE
+    return logit.select(id_col,
+                        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+                        .alias("lr_score"))
+
+
+LR_SCALE = 1_000_000
+
+
+def quality_logit_micro(df: DataFrame, weights: dict[str, float],
+                        bias: float = 0.0, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """(id, logit_micro BIGINT): bias + per-token LR weight sum with
+    every weight quantized to 1e-6 and accumulated as exact integers.
+
+    This is the env-stable RANKING KEY for the LR score: a double-sum
+    logit is partition-order-dependent in its last ulp, and a 6-dp
+    round at a boundary can flip, silently changing rank-tie structure
+    between runs/engines (the classic exact-AUC replay trap).  Integer
+    accumulation is associative-exact, and sigmoid is strictly monotone,
+    so ranking (and Mann-Whitney AUC) over ``logit_micro`` is the
+    ranking over the score with a portable tie structure."""
     spark = df.sparkSession
     w = spark.createDataFrame(
-        [(t, float(v)) for t, v in sorted(weights.items())],
-        "term STRING, __w DOUBLE")
+        [(t, int(round(v * LR_SCALE))) for t, v in sorted(weights.items())],
+        "term STRING, __w LONG")
     toks = df.select(F.col(id_col),
                      F.explode_outer(tokens(F.lower(F.col(text_col))))
                      .alias("term"))
-    scored = (toks.join(F.broadcast(w), "term", "left")
-              .groupBy(id_col)
-              .agg(F.coalesce(F.sum("__w"), F.lit(0.0)).alias("__z")))
-    z = F.col("__z") + F.lit(float(bias))
-    return scored.select(id_col,
-                         F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
-                         .alias("lr_score"))
+    return (toks.join(F.broadcast(w), "term", "left")
+            .groupBy(id_col)
+            .agg((F.coalesce(F.sum("__w"), F.lit(0))
+                  + F.lit(int(round(bias * LR_SCALE))))
+                 .alias("logit_micro")))
 
 
 def train_quality_lr(samples: list[tuple[str, int]], iters: int = 200,
@@ -963,7 +1001,7 @@ def html_strip(text: Column) -> Column:
     out = F.regexp_replace(out, r"<[^>]*>", " ")
     for ent, repl in HTML_ENTITIES:
         out = F.regexp_replace(out, ent, repl)
-    return F.trim(F.regexp_replace(out, r"\s+", " "))
+    return F.trim(F.regexp_replace(out, WS_CLASS + "+", " "))
 
 
 def per_group_cap(df: DataFrame, n: int, group_col: str = "source",

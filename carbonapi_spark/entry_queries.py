@@ -350,7 +350,7 @@ def _q_token_count(spark, sf_dir):
 
 _register("token_count", _q_token_count, r"""
 SELECT doc_id,
-       CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x != '')) AS BIGINT)
+       CAST(len(list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), x -> x != '')) AS BIGINT)
            AS n_tokens
 FROM documents
 """.strip())
@@ -369,12 +369,12 @@ SELECT doc_id,
        round(CASE WHEN len(toks) > 0
              THEN CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)
              ELSE 0 END, 6) AS avg_token_len,
-       round(CAST(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS DOUBLE)
+       round(CAST(length(text) - length(regexp_replace(text, '[^\w \t\n\x0B\f\r]', '', 'g')) AS DOUBLE)
              / NULLIF(length(text), 0), 6) AS punct_ratio,
        round(CAST(len(list_filter(toks, x -> list_contains(['the','and','of','to','in'], lower(x)))) AS DOUBLE)
              / NULLIF(len(toks), 0), 6) AS stopword_ratio
 FROM (SELECT doc_id, text,
-             list_filter(string_split_regex(text, '\s+'), x -> x != '') AS toks
+             list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), x -> x != '') AS toks
       FROM documents)
 """.strip())
 
@@ -392,7 +392,7 @@ SELECT doc_id,
        CAST(len(list_intersect(ws, ['le','la','les','et','est'])) AS BIGINT) AS score_fr,
        CAST(len(list_intersect(ws, ['el','los','las','es','una'])) AS BIGINT) AS score_es
 FROM (SELECT doc_id,
-             list_distinct(list_filter(string_split_regex(lower(text), '\s+'), x -> x != '')) AS ws
+             list_distinct(list_filter(string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'), x -> x != '')) AS ws
       FROM documents)
 """.strip())
 
@@ -431,7 +431,20 @@ def _q_minhash_dedup(spark, sf_dir):
     return jaccard_verify(docs, pairs, ngram=2, threshold=0.2)
 
 
-_TOKS_SQL = r"list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x != '')"
+_TOKS_SQL = r"list_filter(regexp_split_to_array(lower(text), '[ \t\n\x0B\f\r]+'), x -> x != '')"
+
+# BPE token universe (bpe.word_counts/bpe_encode): tokens of the RAW
+# text, printable-ASCII types only, lowercased AFTER the filter — the
+# char-split/lower() portability contract (see datapipe/bpe.py
+# docstring).  Yields (doc_id, tok) rows.
+_BPE_TOKS_SQL = r"""
+(SELECT doc_id, lower(word) AS tok
+ FROM (SELECT doc_id,
+              unnest(list_filter(
+                  regexp_split_to_array(text, '[ \t\n\x0B\f\r]+'),
+                  x -> x != '')) AS word
+       FROM documents)
+ WHERE regexp_matches(word, '^[!-~]+$'))""".strip()
 
 
 def _minhash_pair_ctes() -> str:
@@ -1370,7 +1383,7 @@ FROM (SELECT doc_id,
              len(list_intersect(ws, ['le','la','les','et','est'])) AS s_fr,
              len(list_intersect(ws, ['el','los','las','es','una'])) AS s_es
       FROM (SELECT doc_id,
-                   list_distinct(list_filter(string_split_regex(lower(text), '\s+'),
+                   list_distinct(list_filter(string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'),
                                              x -> x != '')) AS ws
             FROM documents))
 """.strip())
@@ -1476,7 +1489,7 @@ SELECT doc_id,
       (a, h) -> (a * 131 + h) % 2147483647)
   END AS fp
 FROM (SELECT doc_id,
-             list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '')
+             list_filter(regexp_split_to_array(lower(text), '[ \t\n\x0B\f\r]+'), t -> t <> '')
              AS toks
       FROM documents)
 """.strip())
@@ -1916,7 +1929,7 @@ WITH l AS (SELECT doc_id, text, string_split(text, chr(10)) AS lines
 k AS (SELECT doc_id, text,
              list_filter(lines, x ->
                  right(x, 1) IN ('.', '!', '?', '"', '''')
-                 AND len(list_filter(string_split_regex(x, '\s+'),
+                 AND len(list_filter(string_split_regex(x, '[ \t\n\x0B\f\r]+'),
                                      t -> t != '')) >= 5
                  AND NOT contains(lower(x), 'javascript')) AS kept
       FROM l),
@@ -2307,8 +2320,8 @@ _register("norm_dedup", _q_norm_dedup, r"""
 SELECT min(doc_id) AS keeper_id, CAST(count(*) AS BIGINT) AS n_copies
 FROM (SELECT doc_id,
              trim(regexp_replace(regexp_replace(lower(text),
-                                                '[^a-z0-9\s]', '', 'g'),
-                                 '\s+', ' ', 'g')) AS __norm
+                                                '[^a-z0-9 \t\n\x0B\f\r]', '', 'g'),
+                                 '[ \t\n\x0B\f\r]+', ' ', 'g')) AS __norm
       FROM documents)
 GROUP BY __norm
 """.strip())
@@ -2385,7 +2398,7 @@ def _q_gopher_rules(spark, sf_dir):
 
 _register("gopher_rules", _q_gopher_rules, r"""
 WITH d AS (SELECT doc_id, text,
-                  list_filter(regexp_split_to_array(lower(text), '\s+'),
+                  list_filter(regexp_split_to_array(lower(text), '[ \t\n\x0B\f\r]+'),
                               x -> x != '') AS toks,
                   string_split(text, chr(10)) AS lines
            FROM documents),
@@ -2497,7 +2510,7 @@ def _q_vocab_top(spark, sf_dir):
 _register("vocab_top", _q_vocab_top, r"""
 SELECT token, CAST(COUNT(*) AS BIGINT) AS doc_freq
 FROM (SELECT unnest(list_distinct(list_filter(
-                 string_split_regex(lower(text), '\s+'), x -> x != ''))) AS token
+                 string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'), x -> x != ''))) AS token
       FROM documents)
 GROUP BY token ORDER BY doc_freq DESC, token LIMIT 100
 """.strip())
@@ -2655,7 +2668,7 @@ def _q_pack_sequences(spark, sf_dir):
 
 def _pack_oracle() -> str:
     from carbonapi_spark.oracle_xxh64 import xxh64_ctes
-    ntok = (r"len(list_filter(string_split_regex(text, '\s+'),"
+    ntok = (r"len(list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'),"
             r" x -> x != ''))")
     return f"""
 WITH __k AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS t,
@@ -2768,7 +2781,7 @@ def _q_tfidf_top(spark, sf_dir):
 
 _register("tfidf_top", _q_tfidf_top, r"""
 WITH __t AS (SELECT doc_id, unnest(list_filter(
-                 string_split_regex(lower(text), '\s+'), x -> x != ''))
+                 string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'), x -> x != ''))
                  AS term
              FROM documents),
 __tf AS (SELECT doc_id, term, count(*) AS tf FROM __t GROUP BY 1, 2),
@@ -2801,19 +2814,37 @@ def _q_quality_lr(spark, sf_dir):
     return score_quality_lr(docs, _LR_WEIGHTS, _LR_BIAS)
 
 
-def _quality_lr_oracle() -> str:
-    vals = ", ".join(f"('{t}', {w})" for t, w in sorted(_LR_WEIGHTS.items()))
+def _lr_logit_ctes() -> str:
+    """CTE chain ending at ``__zm``: (doc_id, zm BIGINT) — the LR logit
+    in exact integer micro-units (weights and bias quantized to 1e-6,
+    summed as BIGINT).  Matches text.quality_logit_micro: integer
+    accumulation is summation-order-independent, so the logit — the
+    score's ranking key — is identical across engines, partitionings
+    and libms."""
+    vals = ", ".join(f"('{t}', {int(round(w * 1_000_000))})"
+                     for t, w in sorted(_LR_WEIGHTS.items()))
+    bias_u = int(round(_LR_BIAS * 1_000_000))
     return f"""
-WITH __w(term, w) AS (VALUES {vals}),
+__w(term, w) AS (VALUES {vals}),
 __t AS (SELECT doc_id, unnest(list_filter(
-            string_split_regex(lower(text), '\\s+'), x -> x != '')) AS term
+            string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x != '')) AS term
         FROM documents),
-__z AS (SELECT t.doc_id, coalesce(sum(w), 0.0) AS z
-        FROM __t t LEFT JOIN __w USING (term) GROUP BY t.doc_id)
-SELECT d.doc_id,
-       round(1.0 / (1.0 + exp(-(coalesce(z, 0.0) + {_LR_BIAS}))), 6)
-       AS lr_score
-FROM documents d LEFT JOIN __z USING (doc_id)
+__zs AS (SELECT t.doc_id, coalesce(sum(w), 0) AS z
+         FROM __t t LEFT JOIN __w USING (term) GROUP BY t.doc_id),
+__zm AS MATERIALIZED (
+  SELECT d.doc_id,
+         CAST(coalesce(z, 0) + {bias_u} AS BIGINT) AS zm
+  FROM documents d LEFT JOIN __zs USING (doc_id))""".strip()
+
+
+_LR_SCORE_SQL = ("round(1.0 / (1.0 + exp(-(CAST(zm AS DOUBLE)"
+                 " / 1000000))), 6)")
+
+
+def _quality_lr_oracle() -> str:
+    return f"""
+WITH {_lr_logit_ctes()}
+SELECT doc_id, {_LR_SCORE_SQL} AS lr_score FROM __zm
 """.strip()
 
 
@@ -2824,30 +2855,34 @@ def _q_quality_auc(spark, sf_dir):
     """Exact ROC-AUC (Mann-Whitney, average-rank ties) of the LR
     quality score against a deterministic rule label (doc mentions
     'spark') — does the classifier separate the rule's populations?
-    Integer rank arithmetic, one final division."""
-    from carbonapi_spark.datapipe.text import roc_auc, score_quality_lr, \
-        word_set
+    Ranks on the INTEGER micro-logit (sigmoid is monotone, so the AUC
+    is the score's AUC with an engine-portable tie structure — a
+    rounded double score can flip tie groups at a 6-dp boundary under
+    a different summation order; an exact integer cannot).  Integer
+    rank arithmetic, one final division."""
+    from carbonapi_spark.datapipe.text import quality_logit_micro, \
+        roc_auc, word_set
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    scored = score_quality_lr(docs, _LR_WEIGHTS, _LR_BIAS)
+    scored = quality_logit_micro(docs, _LR_WEIGHTS, _LR_BIAS)
     labeled = scored.join(
         docs.select("doc_id",
                     F.array_contains(word_set(F.col("text")), "spark")
                     .cast("int").alias("__y")), "doc_id")
-    return roc_auc(labeled, "lr_score", "__y")
+    return roc_auc(labeled, "logit_micro", "__y")
 
 
 def _quality_auc_oracle() -> str:
-    lr = _quality_lr_oracle()
     return f"""
-WITH __sc AS MATERIALIZED (
-  SELECT s.doc_id, s.lr_score,
+WITH {_lr_logit_ctes()},
+__sc AS (
+  SELECT s.doc_id, s.zm,
          CASE WHEN list_contains(list_distinct(list_filter(
-                  string_split_regex(lower(d.text), '\\s+'),
+                  string_split_regex(lower(d.text), '[ \\t\\n\\x0B\\f\\r]+'),
                   x -> x != '')), 'spark')
               THEN 1 ELSE 0 END AS y
-  FROM ({lr}) s JOIN documents d USING (doc_id)),
-__g AS (SELECT lr_score AS s, count(*) AS cnt, sum(y) AS pos
-        FROM __sc GROUP BY lr_score),
+  FROM __zm s JOIN documents d USING (doc_id)),
+__g AS (SELECT zm AS s, count(*) AS cnt, sum(y) AS pos
+        FROM __sc GROUP BY zm),
 __r AS (SELECT cnt, pos,
                2 * (sum(cnt) OVER (ORDER BY s
                                    ROWS BETWEEN UNBOUNDED PRECEDING
@@ -2880,15 +2915,15 @@ def _q_quality_calibration(spark, sf_dir):
 
 
 def _quality_calibration_oracle() -> str:
-    lr = _quality_lr_oracle()
     return f"""
-WITH __sc AS MATERIALIZED (
-  SELECT s.doc_id, s.lr_score,
+WITH {_lr_logit_ctes()},
+__sc AS (
+  SELECT s.doc_id, {_LR_SCORE_SQL} AS lr_score,
          CASE WHEN list_contains(list_distinct(list_filter(
-                  string_split_regex(lower(d.text), '\\s+'),
+                  string_split_regex(lower(d.text), '[ \\t\\n\\x0B\\f\\r]+'),
                   x -> x != '')), 'spark')
               THEN 1 ELSE 0 END AS y
-  FROM ({lr}) s JOIN documents d USING (doc_id))
+  FROM __zm s JOIN documents d USING (doc_id))
 SELECT CAST(least(floor(lr_score * 10), 9) AS INT) AS bin,
        count(*) AS n, round(avg(lr_score), 6) AS mean_score,
        round(avg(CAST(y AS DOUBLE)), 6) AS pos_rate
@@ -2914,11 +2949,11 @@ def _q_bpe_token_count(spark, sf_dir):
 
 _register("bpe_token_count", _q_bpe_token_count, r"""
 SELECT doc_id,
-       CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x != ''))
+       CAST(len(list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), x -> x != ''))
             AS BIGINT) AS n_ws_tokens,
        CAST(len(list_filter(
             regexp_extract_all(text,
-              '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'),
+              '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^ \t\n\x0B\f\r\p{L}\p{N}]+|[ \t\n\x0B\f\r]+'),
             x -> trim(x) != '')) AS BIGINT) AS n_bpe_tokens
 FROM documents
 """.strip())
@@ -3057,7 +3092,7 @@ SELECT doc_id,
        regexp_replace(regexp_replace(regexp_replace(text,
            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
            '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
-           '\+?\d[\d\s().-]{7,}\d', '<PHONE>', 'g') AS text
+           '\+?\d[\d \t\n\x0B\f\r().-]{7,}\d', '<PHONE>', 'g') AS text
 FROM __d
 """.strip())
 
@@ -3103,7 +3138,7 @@ def _q_ppl_buckets(spark, sf_dir):
 
 _register("ppl_buckets", _q_ppl_buckets, r"""
 WITH __t AS (SELECT doc_id, unnest(list_filter(
-                 string_split_regex(lower(text), '\s+'), x -> x != ''))
+                 string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'), x -> x != ''))
                  AS term
              FROM documents),
 __tf AS (SELECT term, count(*) AS n FROM __t GROUP BY term),
@@ -3135,7 +3170,7 @@ def _q_bigram_ppl(spark, sf_dir):
 
 _register("bigram_ppl", _q_bigram_ppl, r"""
 WITH __d AS (SELECT doc_id,
-                    list_filter(regexp_split_to_array(lower(text), '\s+'),
+                    list_filter(regexp_split_to_array(lower(text), '[ \t\n\x0B\f\r]+'),
                                 x -> x != '') AS toks
              FROM documents),
 __bi AS (SELECT doc_id,
@@ -3564,9 +3599,8 @@ __w1 AS MATERIALIZED (
          {sep} || array_to_string(list_filter(string_split(word, ''),
                                               c -> c != ''), {sep})
                || {sep} AS sym
-  FROM (SELECT word, count(*) AS cnt
-        FROM (SELECT unnest({_TOKS_SQL}) AS word FROM documents)
-        WHERE NOT contains(word, {sep}) GROUP BY word))""".strip()]
+  FROM (SELECT tok AS word, count(*) AS cnt
+        FROM {_BPE_TOKS_SQL} GROUP BY 1))""".strip()]
     for i in range(1, n_merges + 1):
         ctes.append(f"""
 __p{i} AS MATERIALIZED (
@@ -3618,8 +3652,9 @@ def _q_bpe_fertility(spark, sf_dir):
     # TYPE table once and join piece counts back onto the per-doc
     # occurrence counts — the corpus never runs through the fold chain
     occ = (docs.select("doc_id",
-                       F.explode(_tok(F.lower(F.col("text"))))
-                       .alias("token"))
+                       F.explode(_tok(F.col("text"))).alias("token"))
+           .where(F.col("token").rlike("^[!-~]+$"))
+           .select("doc_id", F.lower(F.col("token")).alias("token"))
            .groupBy("doc_id", "token")
            .agg(F.count(F.lit(1)).alias("__cnt")))
     types = occ.select(F.col("token").alias("t")).distinct()
@@ -3660,7 +3695,7 @@ __t{i} AS MATERIALIZED (
     return (chain + ",\n" + f"""
 __occ AS MATERIALIZED (
   SELECT doc_id, tok, count(*) AS cnt
-  FROM (SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents)
+  FROM {_BPE_TOKS_SQL}
   GROUP BY doc_id, tok),
 __t0 AS MATERIALIZED (
   SELECT tok,
@@ -3790,8 +3825,9 @@ def _events_sec(spark, sf_dir):
 
 def _q_funnel(spark, sf_dir):
     """Ordered funnel view -> click -> purchase within 7 days of the
-    first view: K-1 user-keyed joins, each step strictly after the
-    previous, earliest-completion greedy."""
+    first view: ONE event scan, one user-keyed shuffle, the K-step
+    greedy state machine folded per user (each step strictly after the
+    previous, earliest-completion)."""
     from carbonapi_spark.datapipe.events import funnel
     return funnel(_events_sec(spark, sf_dir),
                   ["view", "click", "purchase"], within_s=7 * 86400)
@@ -4235,7 +4271,7 @@ SELECT doc_id,
         '<[^>]*>', ' ', 'g'),
       '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
       '&nbsp;', ' '), '&amp;', '&'),
-    '\s+', ' ', 'g')) AS clean
+    '[ \t\n\x0B\f\r]+', ' ', 'g')) AS clean
 FROM __w
 """.strip())
 
@@ -4468,7 +4504,7 @@ def _q_quantile_cutoffs(spark, sf_dir):
 
 _register("quantile_cutoffs", _q_quantile_cutoffs, r"""
 WITH __n AS (SELECT CAST(len(list_filter(regexp_split_to_array(lower(text),
-                 '\s+'), x -> x != '')) AS DOUBLE) AS n_tok FROM documents),
+                 '[ \t\n\x0B\f\r]+'), x -> x != '')) AS DOUBLE) AS n_tok FROM documents),
 __c AS (SELECT quantile_cont(n_tok, [0.25, 0.5, 0.75, 0.9]) AS l FROM __n)
 SELECT CAST(0.25 AS DOUBLE) AS q, round(l[1], 6) AS cutoff FROM __c
 UNION ALL SELECT CAST(0.5 AS DOUBLE), round(l[2], 6) FROM __c
@@ -4489,7 +4525,7 @@ def _q_ppl_quantile_buckets(spark, sf_dir):
 
 _register("ppl_quantile_buckets", _q_ppl_quantile_buckets, r"""
 WITH __t AS (SELECT doc_id, unnest(list_filter(
-                 string_split_regex(lower(text), '\s+'), x -> x != ''))
+                 string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'), x -> x != ''))
                  AS term
              FROM documents),
 __tf AS (SELECT term, count(*) AS n FROM __t GROUP BY term),
@@ -4568,7 +4604,7 @@ def _q_kn_bigram_ppl(spark, sf_dir):
 
 _register("kn_bigram_ppl", _q_kn_bigram_ppl, r"""
 WITH __d AS (SELECT doc_id,
-                    list_filter(regexp_split_to_array(lower(text), '\s+'),
+                    list_filter(regexp_split_to_array(lower(text), '[ \t\n\x0B\f\r]+'),
                                 x -> x != '') AS toks
              FROM documents),
 __bi AS (SELECT doc_id,
@@ -4695,15 +4731,15 @@ WITH __c AS (
   SELECT * FROM (
     SELECT doc_id, lang, text,
            trim(regexp_replace(regexp_replace(lower(text),
-                                              '[^a-z0-9\s]', '', 'g'),
-                               '\s+', ' ', 'g')) AS norm
+                                              '[^a-z0-9 \t\n\x0B\f\r]', '', 'g'),
+                               '[ \t\n\x0B\f\r]+', ' ', 'g')) AS norm
     FROM documents)
-  WHERE len(list_filter(regexp_split_to_array(norm, '\s+'),
+  WHERE len(list_filter(regexp_split_to_array(norm, '[ \t\n\x0B\f\r]+'),
                         x -> x != '')) >= 5),
 __s AS (SELECT doc_id, lang, text FROM __c
         QUALIFY row_number() OVER (PARTITION BY norm ORDER BY doc_id) = 1),
 __t AS (SELECT doc_id, unnest(list_filter(
-            string_split_regex(lower(text), '\s+'), x -> x != '')) AS term
+            string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'), x -> x != '')) AS term
         FROM __s),
 __tf AS (SELECT term, count(*) AS n FROM __t GROUP BY term),
 __tot AS (SELECT sum(n) AS total, count(*) AS vocab FROM __tf),

@@ -29,7 +29,7 @@ def parse_carbon_lines(lines: DataFrame, value_col: str = "value") -> DataFrame:
     e.g. from ``spark.readStream.format('socket')`` or ``format('text')``.
     Output: (name STRING, ts BIGINT, value DOUBLE) with bad lines dropped.
     """
-    parts = F.split(F.trim(F.col(value_col)), r"\s+")
+    parts = F.split(F.trim(F.col(value_col)), r"[ \t\n\x0B\f\r]+")
     df = lines.select(
         F.element_at(parts, 1).alias("name"),
         F.try_element_at(parts, F.lit(3)).cast("long").alias("ts"),

@@ -1,0 +1,123 @@
+"""Cross-engine (Spark vs DuckDB) hardening tests on HOSTILE text.
+
+Round-7 driver runs hash-failed ``bpe_merges`` and ``quality_auc`` while
+every local replay matched — i.e. the exact-oracle contract had
+environment-sensitive seams.  These tests feed the nasty inputs that
+activate each seam through BOTH engines and require bit-equality:
+
+- ``\\x0B`` (vertical tab): inside Java's ``\\s`` but NOT RE2's — the
+  reason every shared regex now spells the whitespace class out.
+- astral-plane codepoints (surrogate pairs): ``split(s, '')`` is UTF-16
+  code units on the JVM but codepoints in DuckDB.
+- U+0130 / dotless-i / final sigma: full-vs-simple ``lower()`` case
+  mappings differ across engines.
+- unicode spaces (NBSP, NEL, ideographic): in NO engine's ``\\s`` — the
+  pinned class keeps that explicit.
+- near-tie logit sums: double accumulation is partition-order-dependent;
+  the integer micro-logit must not be.
+"""
+
+import duckdb
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+NASTY_DOCS = [
+    (0, "plain ascii words repeated ascii words"),
+    (1, "tab\tand\x0Bvertical\x0Btab splits"),          # the \s seam
+    (2, "astral \U0001F600\U0001D518 pair ascii"),      # surrogate pairs
+    (3, "turkish İstanbul Iı dotless"),       # lower() seam
+    (4, "greek Σigma final sigmaς end"),
+    (5, "nbsp joined and thin and　ideographic"),
+    (6, "nelline and combining á acute"),
+    (7, "sep\x1fbyte and CONTROL\x01char"),
+    (8, ""),                                            # empty doc
+    (9, "  \x0B \t\n  "),                               # whitespace-only
+    (10, "MIXED Case WORDS the and of to in"),
+    (11, "the quick\x0Bthe quick the quick"),           # count ties
+]
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    pdf = pd.DataFrame(NASTY_DOCS, columns=["doc_id", "text"])
+    con.register("documents", pdf)
+    yield con
+    con.close()
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(NASTY_DOCS, "doc_id LONG, text STRING")
+
+
+def test_tokens_pinned_ws_class(spark, docs, ddb):
+    """Token streams under the pinned class are identical per doc."""
+    from carbonapi_spark.datapipe.text import tokens
+    got = {r["doc_id"]: r["toks"] for r in docs.select(
+        "doc_id", tokens(F.col("text")).alias("toks")).collect()}
+    want = {r[0]: r[1] for r in ddb.execute(r"""
+        SELECT doc_id, list_filter(
+            regexp_split_to_array(text, '[ \t\n\x0B\f\r]+'),
+            x -> x != '') FROM documents""").fetchall()}
+    assert got == want
+
+
+def test_bpe_word_counts_cross_engine(spark, docs, ddb):
+    from carbonapi_spark.datapipe.bpe import word_counts
+    got = {(r["word"], r["cnt"]) for r in word_counts(docs).collect()}
+    want = set(ddb.execute(r"""
+        SELECT lower(word) AS word, count(*) AS cnt
+        FROM (SELECT unnest(list_filter(
+                  regexp_split_to_array(text, '[ \t\n\x0B\f\r]+'),
+                  x -> x != '')) AS word FROM documents)
+        WHERE regexp_matches(word, '^[!-~]+$') GROUP BY 1
+        """).fetchall())
+    assert got == want
+    # the filter really dropped every non-ASCII type
+    assert all(w.isascii() and w == w.lower() for w, _ in got)
+
+
+def test_bpe_train_cross_engine(spark, docs, ddb):
+    """Full training replay on the hostile corpus — the bpe_merges
+    driver-row contract, off the happy-path corpus."""
+    from carbonapi_spark.datapipe.bpe import bpe_train
+    from carbonapi_spark.entry_queries import ORACLES  # noqa: F401
+    from carbonapi_spark import entry_queries
+    got = [tuple(r) for r in bpe_train(docs, n_merges=6).collect()]
+    want = [tuple(r) for r in
+            ddb.execute(entry_queries._bpe_oracle(6)).fetchall()]
+    assert got == want
+
+
+def test_quality_logit_micro_cross_engine(spark, docs, ddb):
+    from carbonapi_spark.datapipe.text import quality_logit_micro
+    from carbonapi_spark import entry_queries
+    got = {(r["doc_id"], r["logit_micro"]) for r in quality_logit_micro(
+        docs, entry_queries._LR_WEIGHTS, entry_queries._LR_BIAS).collect()}
+    want = set(ddb.execute(
+        "WITH " + entry_queries._lr_logit_ctes()
+        + " SELECT doc_id, zm FROM __zm").fetchall())
+    assert got == want
+
+
+def test_quality_auc_partition_order_invariance(spark, docs):
+    """The AUC ranking key must not depend on partitioning (the r07
+    driver-vs-local divergence mode for a double-sum score)."""
+    from carbonapi_spark.datapipe.text import quality_logit_micro, roc_auc
+    from carbonapi_spark import entry_queries
+
+    def auc_of(df):
+        scored = quality_logit_micro(
+            df, entry_queries._LR_WEIGHTS, entry_queries._LR_BIAS)
+        labeled = scored.join(
+            df.select("doc_id",
+                      F.col("text").contains("the").cast("int")
+                      .alias("__y")), "doc_id")
+        return roc_auc(labeled, "logit_micro", "__y").collect()[0]
+
+    base = auc_of(docs)
+    for n in (1, 3, 7):
+        assert auc_of(docs.repartition(n)) == base

@@ -475,3 +475,18 @@ def test_bm25_filters_query_terms_below_generator(spark):
     assert seg, "partial aggregation above the generator missing"
     assert re.search(r"Filter __t#\d+ IN \(hash,join,order\)",
                      seg.group(0)), "query-term filter not below the agg"
+
+
+def test_funnel_single_scan_single_user_shuffle(spark):
+    """funnel must fold the whole K-step state machine in ONE event
+    scan (the old join-chain re-ran steps 1..i-1 per step count —
+    O(K^2) corpus passes at scale).  Budget: exactly one Scan of the
+    events source; exchanges = the user groupBy + the 1-row final agg."""
+    from carbonapi_spark.datapipe.events import funnel_counts_frame
+    from carbonapi_spark.entry_queries import _events_sec
+    ev = _events_sec(spark, "/root/testdata/sf0.001")
+    frame = funnel_counts_frame(ev, ["view", "click", "purchase"],
+                                within_s=7 * 86400)
+    plan = frame._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Scan parquet", plan)) == 1
+    assert _df_exchanges(frame) <= 2
