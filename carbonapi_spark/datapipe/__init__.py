@@ -17,6 +17,27 @@ _stats_probe_failures = 0
 _warned_probe_failure = False
 
 
+_SIZE_SUFFIXES = {"": 1, "b": 1, "k": 1 << 10, "kb": 1 << 10,
+                  "m": 1 << 20, "mb": 1 << 20, "g": 1 << 30,
+                  "gb": 1 << 30, "t": 1 << 40, "tb": 1 << 40,
+                  "p": 1 << 50, "pb": 1 << 50}
+
+
+def _parse_byte_size(value: str, default: int = 134217728) -> int:
+    """Spark byte-size conf parser ('134217728', '128m', '512K',
+    '1gb'…), matching JavaUtils.byteStringAsBytes's suffix table.  Any
+    unparsable value falls back to ``default`` (the conservative path —
+    a crash here would take every ``spread()`` caller down with it)."""
+    try:
+        s = str(value).strip().lower()
+        i = len(s)
+        while i > 0 and not s[i - 1].isdigit():
+            i -= 1
+        return int(s[:i]) * _SIZE_SUFFIXES[s[i:].strip()]
+    except (ValueError, KeyError, IndexError):
+        return default
+
+
 def _plan_size_bytes(df: DataFrame) -> int | None:
     """Catalyst's optimized-plan size estimate, or None if unavailable.
 
@@ -71,8 +92,8 @@ def spread(df: DataFrame, min_bytes: int = 8 << 20) -> DataFrame:
         # forcing physical-plan translation via ``df.rdd`` — at lake
         # scale the scan already yields >= target partitions and the
         # repartition must NOT fire (it would add a full-corpus shuffle).
-        mpb = int(df.sparkSession.conf.get(
-            "spark.sql.files.maxPartitionBytes", "134217728").rstrip("b"))
+        mpb = _parse_byte_size(df.sparkSession.conf.get(
+            "spark.sql.files.maxPartitionBytes", "134217728"))
         if est >= target * mpb:
             return df
         return df.repartition(target)

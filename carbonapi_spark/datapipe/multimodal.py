@@ -17,6 +17,13 @@ plumbing tests.
 from __future__ import annotations
 
 import struct
+import wave
+
+# what a corrupt or truncated payload can raise out of the stdlib
+# codecs — the non-strict paths turn ALL of these into null-feature
+# rows, not just the unknown-magic NotImplementedError
+_DECODE_ERRORS = (NotImplementedError, ValueError, EOFError,
+                  struct.error, wave.Error)
 from collections.abc import Iterator
 
 import numpy as np
@@ -231,7 +238,11 @@ def media_features(media: DataFrame, strict: bool = True) -> DataFrame:
                         raise NotImplementedError(
                             f"no in-container codec for media {mid} "
                             f"({kind}): unknown magic {p[:4]!r}")
-                except NotImplementedError:
+                except _DECODE_ERRORS:
+                    # corrupt/truncated payloads (wave.Error, header
+                    # int('') ValueError, short-buffer struct.error/
+                    # EOFError) degrade like unknown formats: raise
+                    # when strict, null-feature row otherwise
                     if strict:
                         raise
                 for k, v in row.items():
@@ -403,7 +414,11 @@ def media_dsp_features(media: DataFrame, max_lag: int = 16,
                         raise NotImplementedError(
                             f"no in-container codec for media {mid} "
                             f"({kind}): unknown magic {p[:4]!r}")
-                except NotImplementedError:
+                except _DECODE_ERRORS:
+                    # corrupt/truncated payloads (wave.Error, header
+                    # int('') ValueError, short-buffer struct.error/
+                    # EOFError) degrade like unknown formats: raise
+                    # when strict, null-feature row otherwise
                     if strict:
                         raise
                 for k in cols:

@@ -232,8 +232,8 @@ def mmr_rerank(candidates: DataFrame, vectors: DataFrame, n: int = 10,
 
 
 def rrf_fuse(rankings: list[DataFrame], k: int = 60, n: int = 10,
-             id_col: str = "doc_id",
-             score_col: str = "score") -> DataFrame:
+             id_col: str = "doc_id", score_col: str = "score",
+             max_candidates: int = 10_000) -> DataFrame:
     """Reciprocal Rank Fusion (Cormack, Clarke & Buettcher, SIGIR 2009):
     combine any number of ranked candidate lists —  lexical BM25, dense
     ANN, recency, ... — by ``sum_i 1 / (k + rank_i(d))``, the
@@ -244,15 +244,24 @@ def rrf_fuse(rankings: list[DataFrame], k: int = 60, n: int = 10,
     tie-break — within itself; documents missing from a list simply
     contribute nothing.  The fused score is a sum of len(rankings)
     exact reciprocals rounded to 6, and the result is a TakeOrdered
-    top-``n`` (fused DESC, id ASC).  Candidate lists are top-k bounded
-    by construction, so every stage after ranking is k-sized."""
+    top-``n`` (fused DESC, id ASC).
+
+    Candidate lists are expected to be top-k bounded by construction;
+    the per-list rank uses a GLOBAL single-partition window, which is
+    only safe for bounded inputs.  ``max_candidates`` contains misuse:
+    each list is hard-capped (by the same score/id order the rank
+    uses, a distributed TakeOrdered) before the window, so an
+    accidentally corpus-sized input degrades to its top slice instead
+    of funneling the corpus through one task."""
     from pyspark.sql.window import Window
     if not rankings:
         raise ValueError("rrf_fuse needs at least one ranking")
     w = Window.partitionBy().orderBy(F.desc(score_col), F.col(id_col))
-    parts = [r.select(F.col(id_col),
-                      (F.lit(1.0) / (F.lit(k) + F.row_number().over(w)))
-                      .alias("__rr"))
+    parts = [r.orderBy(F.desc(score_col), F.col(id_col))
+             .limit(max_candidates)
+             .select(F.col(id_col),
+                     (F.lit(1.0) / (F.lit(k) + F.row_number().over(w)))
+                     .alias("__rr"))
              for r in rankings]
     union = parts[0]
     for p in parts[1:]:
@@ -312,8 +321,11 @@ def ranking_metrics(results: DataFrame, truth: DataFrame, k: int = 10,
     ``sequence`` with an explicit sequential aggregate (the same fold
     order any replaying engine uses), so the metric is deterministic.
     Both inputs are top-k bounded by construction — everything here is
-    (queries x k)-sized.  Returns (query, n_truth, hits, recall,
-    ndcg), rounded to 6."""
+    (queries x k)-sized.  The output is driven from the TRUTH side: a
+    query with zero result rows still reports (hits 0, recall 0,
+    ndcg 0) rather than silently vanishing and inflating the
+    aggregate.  Returns (query, n_truth, hits, recall, ndcg),
+    rounded to 6."""
     from pyspark.sql.window import Window
     w = Window.partitionBy(query_col).orderBy(F.desc(score_col),
                                               F.col(id_col))
@@ -334,8 +346,11 @@ def ranking_metrics(results: DataFrame, truth: DataFrame, k: int = 10,
         F.sequence(F.lit(1), F.least(F.col("n_truth"), F.lit(k))),
         F.lit(0.0),
         lambda acc, i: acc + F.lit(1.0) / F.log2(i.cast("double") + 1))
-    return (per_q.join(tcnt, query_col)
-            .select(query_col, "n_truth", F.col("hits").cast("long"),
-                    F.round(F.col("hits") / F.col("n_truth"), 6)
-                    .alias("recall"),
-                    F.round(F.col("__dcg") / idcg, 6).alias("ndcg")))
+    return (tcnt.join(per_q, query_col, "left")
+            .select(query_col, "n_truth",
+                    F.coalesce(F.col("hits"), F.lit(0)).cast("long")
+                    .alias("hits"),
+                    F.round(F.coalesce(F.col("hits"), F.lit(0))
+                            / F.col("n_truth"), 6).alias("recall"),
+                    F.round(F.coalesce(F.col("__dcg"), F.lit(0.0))
+                            / idcg, 6).alias("ndcg")))

@@ -3798,14 +3798,15 @@ __pq AS (SELECT query_id, sum(rel) AS hits,
                 sum(CASE WHEN rel = 1
                          THEN 1.0 / log2(rk + 1) ELSE 0.0 END) AS dcg
          FROM __j GROUP BY query_id)
-SELECT p.query_id, t.n_truth, CAST(p.hits AS BIGINT) AS hits,
-       round(p.hits / t.n_truth, 6) AS recall,
-       round(p.dcg / list_reduce(
+SELECT t.query_id, t.n_truth,
+       CAST(coalesce(p.hits, 0) AS BIGINT) AS hits,
+       round(coalesce(p.hits, 0) / t.n_truth, 6) AS recall,
+       round(coalesce(p.dcg, 0.0) / list_reduce(
            list_prepend(0.0, list_transform(
                range(1, least(t.n_truth, 10) + 1),
                i -> 1.0 / log2(CAST(i AS DOUBLE) + 1))),
            (acc, x) -> acc + x), 6) AS ndcg
-FROM __pq p JOIN __tc t USING (query_id)
+FROM __tc t LEFT JOIN __pq p USING (query_id)
 """.strip()
 
 

@@ -149,7 +149,19 @@ def compact_lake(spark: SparkSession, src: str, dst: str,
             .parquet(dst)
     else:
         df.repartition(int(n)).write.mode("overwrite").parquet(dst)
-    import glob as _glob
-    import os
-    return len([p for p in _glob.glob(os.path.join(dst, "**", "*.parquet"),
-                                      recursive=True)])
+    return _count_parquet_files(spark, dst)
+
+
+def _count_parquet_files(spark: SparkSession, path: str) -> int:
+    """Recursive *.parquet file count through the Hadoop FileSystem API,
+    so it is correct on HDFS/S3/any configured scheme — a local
+    ``glob.glob`` returns 0 exactly where a 100 TB lake lives."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    it = fs.listFiles(jpath, True)
+    n = 0
+    while it.hasNext():
+        if it.next().getPath().getName().endswith(".parquet"):
+            n += 1
+    return n

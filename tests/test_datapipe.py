@@ -2598,3 +2598,59 @@ def test_calibration_curve_known_values(spark):
     # score 1.0 clamps into the last bin instead of bin 10
     assert got[9] == (3, round((0.95 + 0.92 + 1.0) / 3, 6),
                       round(2 / 3, 6))
+
+
+def test_media_features_corrupt_payloads_degrade_nonstrict(spark):
+    """Truncated/corrupt WAV and PNM payloads (valid magic, broken
+    body) must degrade to null-feature rows when strict=False instead
+    of failing the whole job — and still raise when strict."""
+    import pytest as _pytest
+
+    from carbonapi_spark.datapipe.multimodal import (
+        media_dsp_features, media_features)
+    rows = [
+        (1, "audio", "audio/wav", b"RIFF\x00\x00", None),   # truncated WAV
+        (2, "image", "image/pnm", b"P6\n#oops", None),      # broken header
+        (3, "image", "image/pnm", b"P5\n4 4\n255\n\x01",
+         None),                                             # short raster
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id LONG, kind STRING, mime STRING, "
+              "payload BINARY, meta STRING")
+    for fn in (media_features, media_dsp_features):
+        lax = fn(media, strict=False).collect()
+        assert len(lax) == 3
+        for r in lax:
+            assert all(r[c] is None for c in r.asDict()
+                       if c not in ("media_id", "kind", "n_bytes"))
+        with _pytest.raises(Exception):
+            fn(media).collect()
+
+
+def test_ranking_metrics_zero_result_query_reports_zero(spark):
+    """A query present in truth with NO result rows must surface as
+    recall=0/ndcg=0 instead of disappearing from the eval output."""
+    from carbonapi_spark.datapipe.retrieval import ranking_metrics
+    truth = spark.createDataFrame(
+        [(1, 10, 1.0), (1, 11, 0.9), (2, 20, 1.0)],
+        "query_id long, neighbor_id long, cos_sim double")
+    res = spark.createDataFrame(
+        [(1, 10, 0.8)], "query_id long, neighbor_id long, cos_sim double")
+    out = {r["query_id"]: r for r in ranking_metrics(res, truth).collect()}
+    assert set(out) == {1, 2}
+    assert (out[2]["hits"], out[2]["recall"], out[2]["ndcg"]) == (0, 0.0, 0.0)
+    assert out[1]["hits"] == 1
+
+
+def test_rrf_fuse_caps_unbounded_inputs(spark):
+    """The global rank window must never see more than max_candidates
+    rows per list — an unbounded input degrades to its top slice."""
+    from carbonapi_spark.datapipe.retrieval import rrf_fuse
+    big = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        (1000 - F.col("id")).cast("double").alias("score"))
+    fused = rrf_fuse([big, big], k=60, n=5, max_candidates=100).collect()
+    assert [r["doc_id"] for r in fused] == [0, 1, 2, 3, 4]
+    # ranks were computed within the capped top-100, so the best doc's
+    # fused score is 2/(60+1)
+    assert fused[0]["rrf_score"] == round(2 / 61, 6)
