@@ -1813,13 +1813,14 @@ def _q_semantic_dedup(spark, sf_dir):
     return semantic_dedup(emb, dim=64, n_centroids=16, tau=0.35)
 
 
-def _semantic_dedup_oracle() -> str:
+def _semantic_dedup_oracle(where: str = "") -> str:
     from carbonapi_spark.datapipe.similarity import ivf_centroids
     cents = ivf_centroids(64, 16, 43)
     lits = "[" + ",".join(
         "[" + ",".join(repr(x) for x in c) + "]" for c in cents) + "]"
     return f"""
-WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings {where}),
 a AS (SELECT vec_id, v,
              list_transform({lits}, c -> list_dot_product(v, c)) AS ds,
              sqrt(list_dot_product(v, v)) AS nrm
@@ -1846,6 +1847,51 @@ FROM c LEFT JOIN dup USING (vec_id)
 
 
 _register("semantic_dedup", _q_semantic_dedup, _semantic_dedup_oracle())
+
+
+def _q_stream_semantic_replay(spark, sf_dir):
+    """STREAMING SemDeDup on the scoreboard at last: the embeddings
+    table replayed through ``stream_semantic_dedup``'s
+    applyInPandasWithState kernel as an availableNow file stream in
+    ``ordered=True`` mode — each cell's arrivals are processed in
+    ascending vec_id within the batch, which makes the keep set
+    order-independent and EXACTLY equal to batch ``semantic_dedup``
+    (the r7 blocker was arrival-order dependence; the ordered mode
+    removes it without changing default streaming semantics).  The
+    scoreboard row checks (vec_id, keep); matched_id stays pytest-land
+    (it is an argmax over raw cosines — the fp-tie class the exact
+    catalog avoids)."""
+    import tempfile
+
+    from carbonapi_spark.streaming.stateful import stream_semantic_dedup
+    schema = spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema
+    stream = (spark.readStream.schema(schema)
+              .option("pathGlobFilter", "embeddings.parquet")
+              .parquet(sf_dir))
+    out = stream_semantic_dedup(stream, dim=64, n_centroids=16,
+                                tau=0.35, ordered=True)
+    rows: list = []
+
+    def sink(bdf, _bid):
+        rows.extend((int(r["vec_id"]), bool(r["keep"]))
+                    for r in bdf.select("vec_id", "keep").collect())
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        with tempfile.TemporaryDirectory() as ckpt:
+            q = (out.writeStream.foreachBatch(sink)
+                 .option("checkpointLocation", ckpt)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    return spark.createDataFrame(sorted(rows) or [],
+                                 "vec_id LONG, keep BOOLEAN")
+
+
+_register("stream_semantic_replay", _q_stream_semantic_replay,
+          "SELECT vec_id, keep FROM (" + _semantic_dedup_oracle() + ")")
 
 
 def _q_dsir_sample(spark, sf_dir):

@@ -187,7 +187,8 @@ def stream_semantic_dedup(vecs: DataFrame, dim: int = 64,
                           cell_seed: int = 43, max_cell: int = 10_000,
                           id_col: str = "vec_id",
                           vec_col: str = "embedding",
-                          state_ttl_ms: int | None = None) -> DataFrame:
+                          state_ttl_ms: int | None = None,
+                          ordered: bool = False) -> DataFrame:
     """Streaming SemDeDup: the unbounded twin of
     ``datapipe.similarity.semantic_dedup``. Each arriving embedding is
     assigned its coarse cell by a STATELESS projection (same seeded
@@ -203,7 +204,14 @@ def stream_semantic_dedup(vecs: DataFrame, dim: int = 64,
     member matrix (max_cell x dim doubles) — bound it with ``max_cell``
     and ``state_ttl_ms`` like the MinHash bucket state. Scoring is one
     numpy mat-vec per arrival (members are normalized, so cosine = dot).
-    Zero vectors keep and match nothing (undefined direction)."""
+    Zero vectors keep and match nothing (undefined direction).
+
+    ``ordered=True`` is the DETERMINISTIC-REPLAY mode: each batch's
+    arrivals are processed in ascending id within their cell, so with a
+    single availableNow batch (or any id-ascending feed) the keep set
+    equals batch ``semantic_dedup`` exactly regardless of partitioning —
+    what puts this op on the oracle scoreboard.  The default keeps true
+    arrival-order streaming semantics (first seen wins)."""
     import numpy as np
 
     from carbonapi_spark.datapipe.similarity import (
@@ -230,32 +238,35 @@ def stream_semantic_dedup(vecs: DataFrame, dim: int = 64,
         new_ids: list[int] = []
         new_rows: list = []
         out: list[tuple] = []
-        for pdf in pdfs:
-            for vid, nv in zip(pdf["vec_id"], pdf["nv"]):
-                vid = int(vid)
-                if nv is None:
-                    out.append((vid, True, None))
-                    continue
-                arr = np.asarray(list(nv), dtype=float)
-                # score against the batch-start members with ONE mat-vec
-                # plus the few intra-batch arrivals individually — no
-                # per-arrival matrix rebuild (vstack per arrival copied
-                # the whole member matrix, quadratic per batch)
-                best, bid = None, None
-                if len(base_mat):
-                    sims = base_mat @ arr
-                    j = int(np.argmax(sims))
-                    best, bid = float(sims[j]), ids[j]
-                for nid, nr in zip(new_ids, new_rows):
-                    s = float(nr @ arr)
-                    if best is None or s > best:
-                        best, bid = s, nid
-                matched = (bid if best is not None
-                           and round(best, 6) >= tau else None)
-                out.append((vid, matched is None, matched))
-                if len(ids) + len(new_ids) < max_cell:
-                    new_ids.append(vid)
-                    new_rows.append(arr)
+        arrivals = [(int(vid), nv)
+                    for pdf in pdfs
+                    for vid, nv in zip(pdf["vec_id"], pdf["nv"])]
+        if ordered:
+            arrivals.sort(key=lambda t: t[0])
+        for vid, nv in arrivals:
+            if nv is None:
+                out.append((vid, True, None))
+                continue
+            arr = np.asarray(list(nv), dtype=float)
+            # score against the batch-start members with ONE mat-vec
+            # plus the few intra-batch arrivals individually — no
+            # per-arrival matrix rebuild (vstack per arrival copied
+            # the whole member matrix, quadratic per batch)
+            best, bid = None, None
+            if len(base_mat):
+                sims = base_mat @ arr
+                j = int(np.argmax(sims))
+                best, bid = float(sims[j]), ids[j]
+            for nid, nr in zip(new_ids, new_rows):
+                s = float(nr @ arr)
+                if best is None or s > best:
+                    best, bid = s, nid
+            matched = (bid if best is not None
+                       and round(best, 6) >= tau else None)
+            out.append((vid, matched is None, matched))
+            if len(ids) + len(new_ids) < max_cell:
+                new_ids.append(vid)
+                new_rows.append(arr)
         if out:
             yield pd.DataFrame({
                 "vec_id": [r[0] for r in out],

@@ -2699,3 +2699,46 @@ def test_compact_index_preserves_probe_and_prunes_files(spark, tmp_path):
     compact_index(spark, aix)
     assert ann_index_topk(spark, aix, q, k=5, nprobe=2).collect() == b
     assert _count_parquet_files(spark, f"{aix}/codes") < n0
+
+
+def test_stream_semantic_ordered_equals_batch(spark, tmp_path):
+    """ordered=True replay: a shuffled single-batch feed must produce
+    exactly batch semantic_dedup's keep set (the default mode is
+    arrival-order-dependent by design)."""
+    import random
+
+    from carbonapi_spark.datapipe.similarity import semantic_dedup
+    from carbonapi_spark.streaming.stateful import stream_semantic_dedup
+    dim = 64
+    rng = random.Random(7)
+    base = [rng.gauss(0, 1) for _ in range(dim)]
+    rows = []
+    for i in range(40):
+        if i % 4 == 0:
+            v = [x * (1 + 0.001 * i) for x in base]     # near-dup family
+        else:
+            v = [rng.gauss(0, 1) for _ in range(dim)]
+        rows.append((i, v))
+    rng.shuffle(rows)  # hostile arrival order
+    src = str(tmp_path / "vecs")
+    spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>") \
+        .repartition(5).write.parquet(src)
+    batch = {r["vec_id"]: r["keep"] for r in semantic_dedup(
+        spark.read.parquet(src), dim=dim, n_centroids=4,
+        tau=0.9).collect()}
+    stream = (spark.readStream
+              .schema("vec_id LONG, embedding ARRAY<DOUBLE>")
+              .parquet(src))
+    out = stream_semantic_dedup(stream, dim=dim, n_centroids=4,
+                                tau=0.9, ordered=True)
+    got: dict = {}
+
+    def sink(bdf, _):
+        got.update((int(r["vec_id"]), bool(r["keep"]))
+                   for r in bdf.collect())
+
+    q = (out.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    assert got == batch and not all(batch.values())
