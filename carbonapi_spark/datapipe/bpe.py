@@ -163,3 +163,83 @@ def bpe_encode(df: DataFrame, merges: list[tuple[str, str]],
         sym = F.aggregate(_symbols(sym), F.lit(SEP),
                           merge_lambda(left, right))
     return tok.select(id_col, "token", _symbols(sym).alias("pieces"))
+
+
+def wordpiece_train(df: DataFrame, n_merges: int = 10,
+                    text_col: str = "text") -> DataFrame:
+    """WordPiece merge training (Schuster & Nakajima, "Japanese and
+    Korean voice search", ICASSP 2012; the BERT tokenizer's recipe):
+    like BPE but the merge choice maximizes the LIKELIHOOD score
+    count(l,r) / (count(l) * count(r)) instead of the raw pair count —
+    pairs whose parts rarely appear apart merge first.
+
+    Same distributed shape as :func:`bpe_train` (one corpus pass, then
+    vocabulary-sized iterations with localCheckpoint lineage cuts); each
+    iteration adds one symbol-count aggregation next to the pair-count
+    aggregation, both over the type table.  The score is a SINGLE IEEE
+    division of exact int64 counts (cast to double first — one
+    multiplication, one division), so its value and therefore the argmax
+    ordering replay bit-for-bit in any engine; ties break
+    (score DESC, lhs ASC, rhs ASC).  Word universe and merge fold are
+    shared with BPE (printable-ASCII types, non-overlapping
+    left-to-right).  Returns (step, lhs, rhs, merged, pair_count,
+    score) with score rounded to 6 for display only (the argmax uses
+    the raw double)."""
+    from carbonapi_spark.datapipe import _plan_size_bytes
+    spark = df.sparkSession
+    words = (word_counts(df, text_col)
+             .select("word", "cnt", _sym_init(F.col("word")).alias("sym")))
+    est = _plan_size_bytes(df)
+    if est is not None and est < (64 << 20):
+        words = words.coalesce(1)
+    words = words.localCheckpoint()
+    merges: list[tuple] = []
+    for step in range(1, n_merges + 1):
+        syms = _symbols(F.col("sym"))
+        k = F.greatest(F.size(syms) - 1, F.lit(0))
+        pairs = F.zip_with(F.slice(syms, 1, k),
+                           F.slice(F.concat(syms, F.array(F.lit(""))),
+                                   2, k),
+                           lambda a, b: F.concat(a, F.lit(SEP), b))
+        scnt = (words.select(F.col("cnt"), F.explode(syms).alias("__s"))
+                .groupBy("__s").agg(F.sum("cnt").alias("__ns")))
+        pcnt = (words.select(F.col("cnt"), F.explode(pairs).alias("__p"))
+                .groupBy("__p").agg(F.sum("cnt").alias("__np"))
+                .select(F.split("__p", SEP).getItem(0).alias("lhs"),
+                        F.split("__p", SEP).getItem(1).alias("rhs"),
+                        "__np"))
+        score = (F.col("__np").cast("double")
+                 / (F.col("__nl").cast("double")
+                    * F.col("__nr").cast("double")))
+        top = (pcnt
+               .join(F.broadcast(scnt.selectExpr("__s as lhs",
+                                                 "__ns as __nl")), "lhs")
+               .join(F.broadcast(scnt.selectExpr("__s as rhs",
+                                                 "__ns as __nr")), "rhs")
+               .select("lhs", "rhs", "__np", score.alias("__sc"))
+               .orderBy(F.desc("__sc"), F.asc("lhs"), F.asc("rhs"))
+               .limit(1).collect())
+        if not top or top[0]["__np"] is None:
+            break
+        left, right = top[0]["lhs"], top[0]["rhs"]
+        merges.append((step, left, right, left + right,
+                       top[0]["__np"], top[0]["__sc"]))
+        suffix = SEP + left + SEP
+        cut = len(left) + 1
+        fold = F.aggregate(
+            _symbols(F.col("sym")), F.lit(SEP),
+            lambda acc, s: F.when(
+                F.endswith(acc, F.lit(suffix)) & (s == F.lit(right)),
+                F.concat(acc.substr(F.lit(1), F.length(acc) - cut),
+                         F.lit(left + right + SEP)))
+            .otherwise(F.concat(acc, s, F.lit(SEP))))
+        words = words.select("word", "cnt",
+                             fold.alias("sym")).localCheckpoint()
+    out = spark.createDataFrame(
+        merges or [],
+        "step INT, lhs STRING, rhs STRING, merged STRING, "
+        "pair_count LONG, score DOUBLE")
+    # JVM HALF_UP rounding (= DuckDB's), NOT python round (half-even):
+    # a dyadic score like 1/128 sits exactly on a 6-dp boundary and the
+    # two conventions split there
+    return out.withColumn("score", F.round("score", 6))

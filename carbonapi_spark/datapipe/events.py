@@ -26,10 +26,10 @@ def funnel(events: DataFrame, steps: list[str],
     users performed the steps IN ORDER (each step strictly after the
     previous one; ``within_s`` bounds the whole journey from step 1).
 
-    The sequential dependency is K-1 user-keyed joins: step i's
-    earliest qualifying timestamp is min(ts > t_{i-1}) per user —
-    the standard ordered-funnel semantics (earliest-completion
-    greedy, which never misses a completion for unbounded funnels).
+    Step i's earliest qualifying timestamp is min(ts of step-i events
+    > t_{i-1}) per user — the standard ordered-funnel semantics
+    (earliest-completion greedy, which never misses a completion for
+    unbounded funnels).
     With ``within_s`` the greedy anchor is the EARLIEST step-1 event;
     journeys that would only complete from a later anchor are not
     counted (documented trade-off; exact per-anchor search is
@@ -151,3 +151,71 @@ def event_transitions(events: DataFrame, user_col: str = "user_id",
                           .alias("next_type"))
             .groupBy(type_col, "next_type")
             .agg(F.count(F.lit(1)).alias("n")))
+
+
+def attribution(events: DataFrame, conversion_type: str,
+                touch_types: list[str], model: str = "last",
+                lookback_s: int | None = None,
+                user_col: str = "user_id", type_col: str = "event_type",
+                ts_col: str = "sec",
+                order_col: str = "event_id") -> DataFrame:
+    """Single-touch marketing attribution: each conversion event is
+    credited to the user's LAST (or FIRST) preceding touch event's type
+    — the classic last-touch / first-touch models.
+
+    One window over the user-partitioned stream carries the running
+    (ts, type) of the most recent / earliest touch (``last``/``first``
+    with ignorenulls over rows-unbounded-preceding), so conversions and
+    touches are resolved in ONE event pass, no self-join.  Ordering is
+    (ts, order_col) — whole-second ties break on the id, and a touch in
+    the same second as the conversion counts when its id is lower.
+    ``lookback_s`` voids credits older than the window (the carried
+    touch's ts, the standard lookback semantics for single-touch
+    models); unattributed conversions land in channel '__none__'.
+    Returns (channel, n_conversions) — exact integer counts."""
+    from pyspark.sql.window import Window
+    if model not in ("last", "first"):
+        raise ValueError("model must be 'last' or 'first'")
+    w = (Window.partitionBy(user_col)
+         .orderBy(F.col(ts_col), F.col(order_col))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    touch = F.when(F.col(type_col).isin(*touch_types),
+                   F.struct(F.col(ts_col).cast("long").alias("ts"),
+                            F.col(type_col).alias("ty")))
+    carried = (F.last(touch, ignorenulls=True) if model == "last"
+               else F.first(touch, ignorenulls=True)).over(w)
+    conv = (events.withColumn("__t", carried)
+            .where(F.col(type_col) == conversion_type))
+    credit = F.col("__t.ty")
+    if lookback_s is not None:
+        credit = F.when(
+            F.col(ts_col).cast("long") - F.col("__t.ts") <= lookback_s,
+            credit)
+    return (conv.select(F.coalesce(credit, F.lit("__none__"))
+                        .alias("channel"))
+            .groupBy("channel")
+            .agg(F.count(F.lit(1)).alias("n_conversions")))
+
+
+def rfm_segments(events: DataFrame, n_bins: int = 5,
+                 user_col: str = "user_id", ts_col: str = "sec",
+                 order_col: str = "event_id") -> DataFrame:
+    """RFM segmentation (recency / frequency quantile grid — the
+    classic user-value matrix): per user, recency = last event ts and
+    frequency = event count, each ntile'd into ``n_bins`` (higher bin =
+    more recent / more active; ties break on user_id so the binning is
+    deterministic and engine-portable).
+
+    One user-keyed aggregation + two windows over the USER table (not
+    the event stream).  Returns (user_id, recency, frequency, r_bin,
+    f_bin) — all exact integers."""
+    from pyspark.sql.window import Window
+    per_user = events.groupBy(user_col).agg(
+        F.max(F.col(ts_col).cast("long")).alias("recency"),
+        F.count(F.lit(1)).alias("frequency"))
+    rw = Window.partitionBy().orderBy(F.col("recency"), F.col(user_col))
+    fw = Window.partitionBy().orderBy(F.col("frequency"), F.col(user_col))
+    return per_user.select(
+        user_col, "recency", "frequency",
+        F.ntile(n_bins).over(rw).alias("r_bin"),
+        F.ntile(n_bins).over(fw).alias("f_bin"))

@@ -3684,6 +3684,77 @@ __w{i + 1} AS MATERIALIZED (
 _register("bpe_merges", _q_bpe_merges, _bpe_oracle())
 
 
+def _q_wordpiece_merges(spark, sf_dir):
+    """WordPiece training (Schuster & Nakajima 2012, the BERT
+    tokenizer): merges ranked by likelihood score count(l,r) /
+    (count(l)*count(r)) instead of raw pair count.  Same one-corpus-pass
+    / vocab-sized-iteration shape as bpe_merges; the score is one IEEE
+    division of exact int64 counts, so the whole training loop replays
+    bit-for-bit."""
+    from carbonapi_spark.datapipe.bpe import wordpiece_train
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return wordpiece_train(docs, n_merges=10)
+
+
+def _wordpiece_oracle(n_merges: int = 10) -> str:
+    sep = "chr(31)"
+    ctes = [f"""
+__w1 AS MATERIALIZED (
+  SELECT word, cnt,
+         {sep} || array_to_string(list_filter(string_split(word, ''),
+                                              c -> c != ''), {sep})
+               || {sep} AS sym
+  FROM (SELECT tok AS word, count(*) AS cnt
+        FROM {_BPE_TOKS_SQL} GROUP BY 1))""".strip()]
+    for i in range(1, n_merges + 1):
+        ctes.append(f"""
+__s{i} AS MATERIALIZED (
+  SELECT s, sum(cnt) AS ns
+  FROM (SELECT cnt, unnest(list_filter(string_split(sym, {sep}),
+                                       x -> x != '')) AS s
+        FROM __w{i})
+  GROUP BY s),
+__p{i} AS MATERIALIZED (
+  SELECT string_split(p, {sep})[1] AS lhs,
+         string_split(p, {sep})[2] AS rhs, sum(cnt) AS n
+  FROM (SELECT cnt,
+               unnest(list_transform(range(greatest(len(sl) - 1, 0)),
+                                     j -> sl[j + 1] || {sep} || sl[j + 2]))
+                   AS p
+        FROM (SELECT cnt, list_filter(string_split(sym, {sep}),
+                                      x -> x != '') AS sl
+              FROM __w{i}))
+  GROUP BY 1, 2),
+__b{i} AS MATERIALIZED (
+  SELECT p.lhs, p.rhs, p.n,
+         CAST(p.n AS DOUBLE) / (CAST(l.ns AS DOUBLE)
+                                * CAST(r.ns AS DOUBLE)) AS sc
+  FROM __p{i} p JOIN __s{i} l ON l.s = p.lhs
+       JOIN __s{i} r ON r.s = p.rhs
+  ORDER BY sc DESC, p.lhs, p.rhs LIMIT 1),
+__w{i + 1} AS MATERIALIZED (
+  SELECT word, cnt,
+         list_reduce(
+           list_prepend({sep}, list_filter(string_split(sym, {sep}),
+                                           x -> x != '')),
+           (acc, x) -> CASE
+             WHEN ends_with(acc, {sep} || b.lhs || {sep}) AND x = b.rhs
+             THEN substr(acc, 1, length(acc) - length(b.lhs) - 1)
+                  || b.lhs || b.rhs || {sep}
+             ELSE acc || x || {sep} END) AS sym
+  FROM __w{i}, __b{i} b)""".strip())
+    finals = "\nUNION ALL\n".join(
+        f"SELECT {i} AS step, lhs, rhs, lhs || rhs AS merged, "
+        f"n AS pair_count, round(sc, 6) AS score FROM __b{i}"
+        for i in range(1, n_merges + 1))
+    return ("WITH " + ",\n".join(ctes) + "\n"
+            + "SELECT CAST(step AS INT) AS step, lhs, rhs, merged, "
+              "pair_count, score FROM ({}) ORDER BY step".format(finals))
+
+
+_register("wordpiece_merges", _q_wordpiece_merges, _wordpiece_oracle())
+
+
 def _q_bpe_fertility(spark, sf_dir):
     """Tokenizer fertility report: train 8 BPE merges, encode EVERY
     corpus token with them, and report pieces-per-token per document —
@@ -3944,6 +4015,171 @@ __n AS (SELECT event_type,
         FROM __e)
 SELECT event_type, next_type, count(*) AS n
 FROM __n GROUP BY event_type, next_type
+""".strip())
+
+
+def _q_attribution(spark, sf_dir):
+    """Single-touch attribution, both classic models on one scoreboard
+    row: purchases credited to the user's last / first preceding
+    view-or-click within a 7-day lookback ('__none__' otherwise).  One
+    window pass over the user-partitioned stream per model; exact
+    integer counts."""
+    from carbonapi_spark.datapipe.events import attribution
+    ev = _events_sec(spark, sf_dir)
+    frames = []
+    for model in ("last", "first"):
+        frames.append(
+            attribution(ev, "purchase", ["view", "click"], model,
+                        lookback_s=7 * 86400)
+            .select(F.lit(model).alias("model"), "channel",
+                    "n_conversions"))
+    return frames[0].unionByName(frames[1])
+
+
+_register("attribution", _q_attribution, f"""
+WITH {_EV_SEC_CTE},
+__w AS (
+  SELECT user_id, event_type, sec,
+         last_value(CASE WHEN event_type IN ('view', 'click')
+                         THEN sec END IGNORE NULLS)
+           OVER u AS lts,
+         last_value(CASE WHEN event_type IN ('view', 'click')
+                         THEN event_type END IGNORE NULLS)
+           OVER u AS lty,
+         first_value(CASE WHEN event_type IN ('view', 'click')
+                          THEN sec END IGNORE NULLS)
+           OVER u AS fts,
+         first_value(CASE WHEN event_type IN ('view', 'click')
+                          THEN event_type END IGNORE NULLS)
+           OVER u AS fty
+  FROM __e
+  WINDOW u AS (PARTITION BY user_id ORDER BY sec, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+__conv AS (SELECT * FROM __w WHERE event_type = 'purchase')
+SELECT 'last' AS model,
+       coalesce(CASE WHEN sec - lts <= 604800 THEN lty END, '__none__')
+           AS channel,
+       count(*) AS n_conversions
+FROM __conv GROUP BY 2
+UNION ALL
+SELECT 'first',
+       coalesce(CASE WHEN sec - fts <= 604800 THEN fty END, '__none__'),
+       count(*)
+FROM __conv GROUP BY 2
+""".strip())
+
+
+def _q_rfm_segments(spark, sf_dir):
+    """RFM user segmentation: per-user recency (last event ts) and
+    frequency (event count), each ntile'd into quintiles with a
+    user_id tie-break — one user-keyed aggregation + two windows over
+    the USER table, all exact integers."""
+    from carbonapi_spark.datapipe.events import rfm_segments
+    return rfm_segments(_events_sec(spark, sf_dir))
+
+
+_register("rfm_segments", _q_rfm_segments, f"""
+WITH {_EV_SEC_CTE},
+__u AS (SELECT user_id, max(sec) AS recency,
+               count(*) AS frequency
+        FROM __e GROUP BY user_id)
+SELECT user_id, recency, frequency,
+       CAST(ntile(5) OVER (ORDER BY recency, user_id) AS INT) AS r_bin,
+       CAST(ntile(5) OVER (ORDER BY frequency, user_id) AS INT) AS f_bin
+FROM __u
+""".strip())
+
+
+def _synth_urls(docs):
+    """Deterministic raw crawl URLs from (source, lang, doc_id), cycling
+    three hostile shapes: mixed-case scheme/host, default ports, www.,
+    unsorted + tracking query params, fragments, and a co.uk-style
+    public-suffix host.  The ORACLE derives the expected canonical form
+    in closed form from the same three columns — an independent
+    derivation, not a mirror of the string machinery."""
+    sid = F.col("doc_id").cast("string")
+    m = F.pmod(F.col("doc_id"), F.lit(3))
+    up = F.upper(F.col("source"))
+    url = (F.when(m == 0, F.concat(
+               F.lit("http://WWW."), up, F.lit(".EXAMPLE.COM:80/"),
+               F.col("lang"), F.lit("/doc/"), sid,
+               F.lit("?b=2&utm_medium=x&a=1#top")))
+           .when(m == 1, F.concat(
+               F.lit("HTTPS://www."), up, F.lit(".Example.Com:443/"),
+               F.col("lang"), F.lit("/doc/"), sid,
+               F.lit("?id="), sid, F.lit("&utm_source=feed")))
+           .otherwise(F.concat(
+               F.lit("https://"), up, F.lit(".example.CO.UK/"),
+               F.col("lang"), F.lit("/doc/"), sid)))
+    return docs.select("doc_id", url.alias("url"))
+
+
+def _q_url_canonical(spark, sf_dir):
+    """URL canonicalization + registrable-domain extraction over
+    synthesized hostile crawl URLs: lowercased scheme/host, default
+    ports and www. stripped, fragments dropped, tracking params
+    scrubbed, survivors sorted; eTLD+1 under the two-tier suffix rule
+    (the co.uk shape exercises the three-label branch)."""
+    from carbonapi_spark.datapipe.web import url_dedup_key
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return url_dedup_key(_synth_urls(docs))
+
+
+_URL_ORACLE_CTE = """
+__u AS (
+  SELECT doc_id,
+         CASE CAST(doc_id % 3 AS INT)
+           WHEN 0 THEN 'http://WWW.' || upper(source)
+                || '.EXAMPLE.COM:80/' || lang || '/doc/' || doc_id
+                || '?b=2&utm_medium=x&a=1#top'
+           WHEN 1 THEN 'HTTPS://www.' || upper(source)
+                || '.Example.Com:443/' || lang || '/doc/' || doc_id
+                || '?id=' || doc_id || '&utm_source=feed'
+           ELSE 'https://' || upper(source) || '.example.CO.UK/'
+                || lang || '/doc/' || doc_id
+         END AS url,
+         CASE CAST(doc_id % 3 AS INT)
+           WHEN 0 THEN 'http://' || lower(source) || '.example.com/'
+                || lang || '/doc/' || doc_id || '?a=1&b=2'
+           WHEN 1 THEN 'https://' || lower(source) || '.example.com/'
+                || lang || '/doc/' || doc_id || '?id=' || doc_id
+           ELSE 'https://' || lower(source) || '.example.co.uk/'
+                || lang || '/doc/' || doc_id
+         END AS canon_url,
+         CASE WHEN doc_id % 3 = 2 THEN 'example.co.uk'
+              ELSE 'example.com' END AS domain
+  FROM documents)""".strip()
+
+
+_register("url_canonical", _q_url_canonical, f"""
+WITH {_URL_ORACLE_CTE}
+SELECT doc_id, url, canon_url, domain FROM __u
+""".strip())
+
+
+def _q_domain_stats(spark, sf_dir):
+    """Per-domain crawl stats with URL-level dup detection: every doc's
+    URL appears twice in raw form — once clean, once with tracking
+    noise and shuffled params — and both canonicalize equal, so
+    dup_ratio is 0.5 by construction for every domain."""
+    from carbonapi_spark.datapipe.web import domain_stats
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    urls = _synth_urls(docs)
+    noised = urls.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("url"),
+                 F.when(F.col("url").contains("?"), F.lit("&"))
+                 .otherwise(F.lit("?")),
+                 F.lit("utm_campaign=z#frag2")).alias("url"))
+    return domain_stats(urls.unionByName(noised))
+
+
+_register("domain_stats", _q_domain_stats, f"""
+WITH {_URL_ORACLE_CTE}
+SELECT domain, 2 * count(*) AS n_pages,
+       count(*) AS n_canon_urls,
+       CAST(0.5 AS DOUBLE) AS dup_ratio
+FROM __u GROUP BY domain
 """.strip())
 
 

@@ -121,3 +121,14 @@ def test_quality_auc_partition_order_invariance(spark, docs):
     base = auc_of(docs)
     for n in (1, 3, 7):
         assert auc_of(docs.repartition(n)) == base
+
+
+def test_wordpiece_train_cross_engine(spark, docs, ddb):
+    """WordPiece's likelihood-scored training replayed on the hostile
+    corpus — the argmax rests on one IEEE division of exact counts."""
+    from carbonapi_spark.datapipe.bpe import wordpiece_train
+    from carbonapi_spark import entry_queries
+    got = [tuple(r) for r in wordpiece_train(docs, n_merges=5).collect()]
+    want = [tuple(r) for r in
+            ddb.execute(entry_queries._wordpiece_oracle(5)).fetchall()]
+    assert got == want and len(got) == 5

@@ -2742,3 +2742,91 @@ def test_stream_semantic_ordered_equals_batch(spark, tmp_path):
          .trigger(availableNow=True).start())
     q.awaitTermination()
     assert got == batch and not all(batch.values())
+
+
+def test_wordpiece_known_values(spark):
+    """WordPiece prefers rare-apart pairs: in 'aa ab ab ab', BPE would
+    merge (a,b) first (count 3 > 2) but WordPiece merges (a,a) first —
+    score 1/(5*5)=0.04 for (a,b)... wait count(a)=5, count(b)=3:
+    (a,b): 3/(5*3)=0.2; (a,a): 1/(5*5)=0.04 -> (a,b) still first.  Use
+    a corpus where the likelihood flips the raw-count order:
+    'xy' x3 and 'zq' x2 with extra lone 'x','y' tokens — (z,q) has
+    lower count but a perfect score."""
+    from carbonapi_spark.datapipe.bpe import wordpiece_train
+    docs = spark.createDataFrame(
+        [(0, "xy xy xy zq zq x x x x y y y y")],
+        "doc_id LONG, text STRING")
+    out = wordpiece_train(docs, n_merges=2).collect()
+    # counts: x=7, y=7, z=2, q=2; pairs: (x,y)=3 -> 3/49, (z,q)=2 -> 2/4
+    assert (out[0]["lhs"], out[0]["rhs"]) == ("z", "q")
+    assert out[0]["pair_count"] == 2 and out[0]["score"] == 0.5
+    assert (out[1]["lhs"], out[1]["rhs"]) == ("x", "y")
+    assert out[1]["score"] == round(3 / 49, 6)
+
+
+def test_attribution_known_values(spark):
+    from carbonapi_spark.datapipe.events import attribution
+    # u1: view(10) click(20) buy(30)      -> last=click, first=view
+    # u2: click(5) buy(6); view(100) buy(101) -> last: click then view
+    # u3: buy(50) with no touch           -> __none__
+    # u4: view(0) buy(999999, outside 100s lookback) -> __none__
+    rows = [(1, "view", 10, 1), (1, "click", 20, 2), (1, "buy", 30, 3),
+            (2, "click", 5, 4), (2, "buy", 6, 5),
+            (2, "view", 100, 6), (2, "buy", 101, 7),
+            (3, "buy", 50, 8),
+            (4, "view", 0, 9), (4, "buy", 999999, 10)]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, sec long, event_id long")
+    last = {r["channel"]: r["n_conversions"] for r in attribution(
+        ev, "buy", ["view", "click"], "last", lookback_s=100).collect()}
+    assert last == {"click": 2, "view": 1, "__none__": 2}
+    first = {r["channel"]: r["n_conversions"] for r in attribution(
+        ev, "buy", ["view", "click"], "first", lookback_s=100).collect()}
+    # u1 first touch = view(10); u2's second buy: first touch click(5)
+    # is 96s old -> inside 100s lookback
+    assert first == {"view": 1, "click": 2, "__none__": 2}
+    # no lookback: u4 credits its ancient view
+    nolb = {r["channel"]: r["n_conversions"] for r in attribution(
+        ev, "buy", ["view", "click"], "last").collect()}
+    assert nolb == {"click": 2, "view": 2, "__none__": 1}
+
+
+def test_rfm_segments_known_values(spark):
+    from carbonapi_spark.datapipe.events import rfm_segments
+    rows = [(u, "e", ts, i) for i, (u, ts) in enumerate(
+        [(1, 100), (1, 200), (1, 300),     # freq 3, recency 300
+         (2, 50),                          # freq 1, recency 50
+         (3, 400), (3, 10)])]              # freq 2, recency 400
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, sec long, event_id long")
+    out = {r["user_id"]: r for r in rfm_segments(ev, n_bins=3).collect()}
+    assert (out[1]["recency"], out[1]["frequency"]) == (300, 3)
+    # recency order: u2(50) u1(300) u3(400) -> bins 1,2,3
+    assert [out[u]["r_bin"] for u in (2, 1, 3)] == [1, 2, 3]
+    # frequency order: u2(1) u3(2) u1(3) -> bins 1,2,3
+    assert [out[u]["f_bin"] for u in (2, 3, 1)] == [1, 2, 3]
+
+
+def test_url_canonicalization_known_values(spark):
+    from carbonapi_spark.datapipe.web import (
+        domain_stats, url_dedup_key)
+    rows = [
+        (1, "HTTP://WWW.Ex.COM:80/A/b?utm_source=x&z=1&a=2#frag"),
+        (2, "http://user:pw@EX.com:80/A/b?z=1&a=2&utm_medium=y"),
+        (3, "https://sub.shop.example.CO.UK/p"),
+        (4, "http://ex.com"),                      # empty path -> /
+        (5, "https://ex.com/p?utm_source=x"),      # tracking-only query
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, url STRING")
+    out = {r["doc_id"]: r for r in url_dedup_key(df).collect()}
+    assert out[1]["canon_url"] == "http://ex.com/A/b?a=2&z=1"
+    assert out[2]["canon_url"] == "http://ex.com/A/b?a=2&z=1"
+    assert out[3]["canon_url"] == "https://sub.shop.example.co.uk/p"
+    assert out[3]["domain"] == "example.co.uk"
+    assert out[4]["canon_url"] == "http://ex.com/"
+    assert out[5]["canon_url"] == "https://ex.com/p"
+    assert out[1]["domain"] == out[2]["domain"] == "ex.com"
+    st = {r["domain"]: r for r in domain_stats(df).collect()}
+    # ids 1,2,4,5 are ex.com: 4 pages, 3 distinct canons (1==2)
+    assert (st["ex.com"]["n_pages"], st["ex.com"]["n_canon_urls"]) == (4, 3)
+    assert st["ex.com"]["dup_ratio"] == 0.25
