@@ -934,3 +934,83 @@ def append_ann_index(df: DataFrame, path: str, id_col: str = "vec_id",
                          l2_cells=l2_cells, residual=residual)
     delta.write.mode("append").partitionBy("cell") \
         .parquet(f"{path}/codes")
+
+
+def sq8_ranges(vecs: DataFrame, dim: int = 64,
+               vec_col: str = "embedding") -> list[tuple[float, float]]:
+    """Per-dimension (min, max) training for 8-bit scalar quantization
+    (FAISS's SQ8: each coordinate linearly quantized into 0..255 over
+    its observed range).  ONE aggregation collecting 2*dim doubles —
+    the model is dim-sized, the corpus is scanned once."""
+    aggs = []
+    for j in range(dim):
+        e = F.element_at(F.col(vec_col), j + 1).cast("double")
+        aggs += [F.min(e).alias(f"mn{j}"), F.max(e).alias(f"mx{j}")]
+    r = vecs.agg(*aggs).collect()[0]
+    return [(float(r[f"mn{j}"]), float(r[f"mx{j}"])) for j in range(dim)]
+
+
+def _sq8_code(x, mn: float, mx: float):
+    """round((x - mn) * 255.0 / (mx - mn)) clamped to [0, 255] — the
+    exact expression the oracle mirrors (same literal op order, same
+    HALF_UP rounding)."""
+    if mx <= mn:
+        return F.lit(0.0)
+    raw = F.round((x - F.lit(mn)) * F.lit(255.0) / F.lit(mx - mn), 0)
+    return F.least(F.greatest(raw, F.lit(0.0)), F.lit(255.0))
+
+
+def sq8_encode(vecs: DataFrame, ranges: list[tuple[float, float]],
+               id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """(id, codes ARRAY<DOUBLE>): SQ8 codes as small doubles (values
+    0..255 — kept double so the ADC fold stays in one numeric type;
+    a storage layout would pack them to bytes).  Stateless projection,
+    no shuffle at any corpus size."""
+    codes = F.array(*[
+        _sq8_code(F.element_at(F.col(vec_col), j + 1).cast("double"),
+                  mn, mx)
+        for j, (mn, mx) in enumerate(ranges)])
+    return vecs.select(F.col(id_col), codes.alias("codes"))
+
+
+def sq8_topk(corpus: DataFrame, query: DataFrame,
+             ranges: list[tuple[float, float]], k: int = 10,
+             id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """Asymmetric top-k over SQ8 codes: queries stay full-precision,
+    the corpus is scored on its DEQUANTIZED codes —
+    cos(q, dq(c)) with dq_j = mn_j + code_j * (mx_j - mn_j) / 255.
+
+    Same physical shape as the PQ ADC paths: the (tiny) query side is
+    broadcast, the corpus scan is one stateless projection + fold, and
+    the result is a per-query TakeOrdered.  Every score is a
+    deterministic fold over IEEE ops on exactly-replayable inputs,
+    rounded to 6 — the same measured-margin contract as the other ANN
+    oracles.  Returns (query_id, neighbor_id, adc_sim)."""
+    from pyspark.sql.window import Window
+    dim = len(ranges)
+    coded = sq8_encode(corpus, ranges, id_col, vec_col)
+    dq = F.array(*[
+        F.lit(mn) + F.element_at(F.col("codes"), j + 1)
+        * F.lit(mx - mn) / F.lit(255.0)
+        for j, (mn, mx) in enumerate(ranges)])
+    c = coded.select(F.col(id_col).alias("neighbor_id"),
+                     dq.alias("__dq"))
+    q = query.select(F.col(id_col).alias("query_id"),
+                     F.col(vec_col).cast("array<double>").alias("__q"))
+    dot = F.aggregate(
+        F.zip_with(F.col("__q"), F.col("__dq"), lambda a, b: a * b),
+        F.lit(0.0), lambda acc, x: acc + x)
+    nq = F.sqrt(F.aggregate(F.col("__q"), F.lit(0.0),
+                            lambda acc, x: acc + x * x))
+    nc = F.sqrt(F.aggregate(F.col("__dq"), F.lit(0.0),
+                            lambda acc, x: acc + x * x))
+    sims = (c.crossJoin(F.broadcast(q))
+            .where(F.col("neighbor_id") != F.col("query_id"))
+            .select("query_id", "neighbor_id",
+                    F.round(dot / (nq * nc), 6).alias("adc_sim")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("adc_sim"),
+                                               F.col("neighbor_id"))
+    return (sims.withColumn("__rk", F.row_number().over(w))
+            .where(F.col("__rk") <= k).drop("__rk"))

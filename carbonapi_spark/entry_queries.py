@@ -1544,6 +1544,55 @@ WHERE rk <= 10
 _register("lsh_topk", _q_lsh_topk, _lsh_topk_oracle())
 
 
+def _q_sq8_topk(spark, sf_dir):
+    """8-bit scalar quantization ANN (FAISS SQ8): per-dim linear codes
+    over trained (min, max) ranges, asymmetric cosine against the
+    dequantized corpus.  The oracle re-derives the ranges, codes and
+    dequantization with the identical literal op order, so the whole
+    train+encode+search chain replays exactly."""
+    from carbonapi_spark.datapipe.similarity import sq8_ranges, sq8_topk
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ranges = sq8_ranges(emb, dim=64)
+    return sq8_topk(emb, emb.where(F.col("vec_id") < 5), ranges, k=10)
+
+
+_SQ8_FOLD = ("list_reduce(list_prepend(0.0, {}), (a, x) -> a + x)")
+
+_register("sq8_topk", _q_sq8_topk, f"""
+WITH __x AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+__r AS (SELECT j, min(v[j]) AS mn, max(v[j]) AS mx
+        FROM __x, range(1, 65) t(j) GROUP BY j),
+__rl AS MATERIALIZED (
+  SELECT list(mn ORDER BY j) AS mns, list(mx ORDER BY j) AS mxs
+  FROM __r),
+__dq AS MATERIALIZED (
+  SELECT x.vec_id,
+         list_transform(range(1, 65), j ->
+           CASE WHEN r.mxs[j] <= r.mns[j] THEN r.mns[j]
+                ELSE r.mns[j]
+                     + least(greatest(round((x.v[j] - r.mns[j]) * 255.0
+                                            / (r.mxs[j] - r.mns[j]), 0),
+                                      0), 255)
+                       * (r.mxs[j] - r.mns[j]) / 255.0
+           END) AS dq
+  FROM __x x, __rl r),
+__q AS (SELECT vec_id AS query_id, v AS qv FROM __x WHERE vec_id < 5),
+__s AS (
+  SELECT q.query_id, d.vec_id AS neighbor_id,
+         round({_SQ8_FOLD.format(
+             "list_transform(range(1, 65), j -> q.qv[j] * d.dq[j])")}
+               / (sqrt({_SQ8_FOLD.format(
+                   "list_transform(q.qv, x -> x * x)")})
+                  * sqrt({_SQ8_FOLD.format(
+                      "list_transform(d.dq, x -> x * x)")})), 6)
+             AS adc_sim
+  FROM __dq d, __q q WHERE d.vec_id != q.query_id)
+SELECT query_id, neighbor_id, adc_sim FROM __s
+QUALIFY row_number() OVER (PARTITION BY query_id
+                           ORDER BY adc_sim DESC, neighbor_id) <= 10
+""".strip())
+
+
 def _q_ivf_topk(spark, sf_dir):
     from carbonapi_spark.datapipe.similarity import ivf_topk
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")

@@ -75,6 +75,35 @@ def test_ann_bruteforce_topk(spark):
     assert top["cos_sim"] == pytest.approx(1.0, abs=1e-6)
 
 
+def test_sq8_encode_and_topk(spark):
+    """SQ8 scalar quantization: codes span exactly [0, 255] per dim, a
+    constant dimension degrades to code 0 / dq == its value, and the
+    asymmetric top-k still ranks a parallel vector first with adc_sim
+    within quantization error of 1.0."""
+    from carbonapi_spark.datapipe.similarity import (
+        sq8_ranges, sq8_encode, sq8_topk)
+    import numpy as np
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(20, 8).astype(float)
+    vecs[5] = vecs[0] * 2.0          # same direction as 0 -> cosine 1
+    vecs[:, 3] = 0.25                # constant dim: mx <= mn path
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(20)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>")
+    ranges = sq8_ranges(df, dim=8)
+    for j, (mn, mx) in enumerate(ranges):
+        assert mn == pytest.approx(vecs[:, j].min())
+        assert mx == pytest.approx(vecs[:, j].max())
+    codes = {r["vec_id"]: r["codes"] for r in sq8_encode(df, ranges).collect()}
+    flat = [c for v in codes.values() for c in v]
+    assert min(flat) == 0.0 and max(flat) == 255.0
+    assert all(v[3] == 0.0 for v in codes.values())  # constant dim
+    out = sq8_topk(df, df.where(F.col("vec_id") == 0), ranges, k=3)
+    top = out.orderBy(F.desc("adc_sim")).first()
+    assert top["neighbor_id"] == 5
+    assert top["adc_sim"] == pytest.approx(1.0, abs=0.02)
+
+
 def test_lsh_topk_same_bucket_recall(spark):
     from carbonapi_spark.datapipe.similarity import lsh_topk
     import numpy as np
