@@ -681,3 +681,74 @@ def decontaminate_spans(docs: DataFrame, benchmark: DataFrame, k: int = 13,
                 F.transform(F.array_sort(F.collect_list(
                     F.struct("pos", "tok"))), lambda s: s["tok"]),
                 " ").alias(text_col)))
+
+
+def lsh_candidate_quality(docs: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id", num_hashes: int = 16,
+                          bands: int = 4, ngram: int = 3, seed: int = 42,
+                          bins: int = 10, max_bucket: int = 2000,
+                          max_sample: int = 5000) -> DataFrame:
+    """Empirical LSH S-curve evaluation (MMDS §3.4): for each true-Jaccard
+    bin, the fraction of pairs the banded-LSH stage actually surfaced as
+    candidates, next to the theoretical capture probability
+    ``1 - (1 - s^r)^b`` at the bin midpoint.  The in-engine answer to
+    "is my (b, r) banding behaving on MY corpus?" before committing to a
+    full dedup run.
+
+    Ground truth is ALL-pairs exact Jaccard — inherently quadratic — so
+    this runs on a BOUNDED evaluation sample (the caller pre-slices,
+    e.g. ``docs.where(col("doc_id") < 500)``); ``max_sample`` hard-fails
+    on unbounded input rather than letting an n^2 join loose on a 100 TB
+    corpus.  The sample's shingle table is persisted and broadcast into
+    the truth self-join (no shuffle); the LSH stage is the production
+    ``minhash_lsh_candidates`` pipeline run on the same sample, so the
+    measured capture includes every real-world artifact (empty-shingle
+    sentinel buckets, ``max_bucket`` truncation, integer bin edges).
+
+    Binning and the theory curve are integer/IEEE-multiplication exact
+    (no pow/libm), so the whole report replays bit-for-bit cross-engine:
+    bin = (inter * bins) div union (clamped), s = (bin + 0.5) / bins,
+    s^r and (1-s^r)^b expanded as repeated multiplication.
+
+    Returns one row per non-empty bin:
+    (bin, n_pairs, n_candidates, capture_rate, theory_capture)."""
+    from functools import reduce
+
+    from carbonapi_spark import scratch
+    n = docs.count()
+    if n > max_sample:
+        raise ValueError(
+            f"lsh_candidate_quality ground truth is all-pairs (O(n^2)); "
+            f"got n={n} > max_sample={max_sample} — pre-slice the input")
+    rows = num_hashes // bands
+    sh = scratch.track(
+        docs.select(F.col(id_col).alias("__id"),
+                    shingles(F.col(text_col), ngram).alias("__sh")))
+    a = sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a"))
+    b = sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b"))
+    truth = (a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b",
+                     F.size(F.array_intersect("sh_a", "sh_b"))
+                     .cast("long").alias("inter"),
+                     F.size(F.array_union("sh_a", "sh_b"))
+                     .cast("long").alias("uni")))
+    cand = (minhash_lsh_candidates(docs, text_col, id_col, num_hashes,
+                                   bands, ngram, seed, max_bucket)
+            .withColumn("__caught", F.lit(1)))
+    binned = (truth.join(cand, ["id_a", "id_b"], "left")
+              .select(F.when(F.col("uni") == 0, F.lit(0).cast("long"))
+                      .otherwise(F.least(
+                          F.expr(f"(inter * {bins}) div uni"),
+                          F.lit(bins - 1).cast("long"))).alias("bin"),
+                      F.coalesce("__caught", F.lit(0)).alias("caught")))
+    g = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("n_pairs"),
+                                  F.sum("caught").alias("n_candidates"))
+    s = (F.col("bin") + F.lit(0.5)) / F.lit(float(bins))
+    s_r = reduce(lambda acc, _: acc * s, range(rows - 1), s)
+    q = F.lit(1.0) - s_r
+    q_b = reduce(lambda acc, _: acc * q, range(bands - 1), q)
+    return g.select(
+        "bin", "n_pairs", "n_candidates",
+        F.round(F.col("n_candidates").cast("double") / F.col("n_pairs"), 6)
+        .alias("capture_rate"),
+        F.round(F.lit(1.0) - q_b, 6).alias("theory_capture"))

@@ -447,10 +447,12 @@ _BPE_TOKS_SQL = r"""
  WHERE regexp_matches(word, '^[!-~]+$'))""".strip()
 
 
-def _minhash_pair_ctes() -> str:
+def _minhash_pair_ctes(where: str = "") -> str:
     """CTE chain ending at ``__pairs`` (DISTINCT id_a < id_b candidate
-    pairs): the banded-LSH replay shared by the batch (minhash_dedup)
-    and incremental (minhash_incremental) oracles."""
+    pairs): the banded-LSH replay shared by the batch (minhash_dedup),
+    incremental (minhash_incremental), and S-curve-eval (lsh_quality)
+    oracles.  ``where`` restricts the source corpus (e.g. the bounded
+    eval sample)."""
     from carbonapi_spark.datapipe.dedup import MERSENNE, _affine_params
     from carbonapi_spark.oracle_xxh64 import xxh64_ctes
     p = MERSENNE
@@ -463,7 +465,7 @@ def _minhash_pair_ctes() -> str:
                                  for r in range(4)) + f") AS __k{b}"
         for b in range(4))
     return f"""
-__d AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+__d AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents {where}),
 __sh AS (SELECT doc_id,
               list_distinct(list_transform(range(greatest(len(toks) - 1, 0)),
                                            j -> toks[j + 1] || ' ' || toks[j + 2]))
@@ -565,6 +567,44 @@ SELECT id_a, id_b,
 FROM __pairs
 JOIN __sig a ON a.doc_id = id_a
 JOIN __sig b ON b.doc_id = id_b
+""".strip())
+
+
+def _q_lsh_quality(spark, sf_dir):
+    """Empirical LSH S-curve report (MMDS §3.4) on a bounded eval
+    sample: per true-Jaccard decile, how many pairs exist, how many the
+    production banding stage surfaced, and the textbook
+    1-(1-s^r)^b capture probability at the bin midpoint.  All-pairs
+    ground truth is quadratic, so the sample is an absolute id slice
+    (500 docs at every scale factor — the harness hard-fails on
+    unbounded input).  Bin edges are integer arithmetic and the theory
+    curve is expanded multiplication (no pow/libm), so the whole report
+    replays bit-for-bit in DuckDB."""
+    from carbonapi_spark.datapipe.dedup import lsh_candidate_quality
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return lsh_candidate_quality(docs.where(F.col("doc_id") < 500),
+                                 num_hashes=16, bands=4, ngram=2, bins=10)
+
+
+_register("lsh_quality", _q_lsh_quality, f"""
+WITH {_minhash_pair_ctes(where="WHERE doc_id < 500")},
+__t AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               len(list_intersect(a.sh, b.sh))::BIGINT AS inter,
+               len(list_distinct(list_concat(a.sh, b.sh)))::BIGINT AS uni
+        FROM __sh a JOIN __sh b ON a.doc_id < b.doc_id),
+__bt AS (SELECT CASE WHEN uni = 0 THEN 0
+                     ELSE least((inter * 10) // uni, 9) END AS bin,
+                CASE WHEN p.id_a IS NULL THEN 0 ELSE 1 END AS caught
+         FROM __t t
+         LEFT JOIN __pairs p ON t.id_a = p.id_a AND t.id_b = p.id_b),
+__grp AS (SELECT bin, count(*) AS n_pairs, sum(caught) AS n_candidates
+          FROM __bt GROUP BY bin),
+__th AS (SELECT *, (bin + 0.5) / 10.0 AS s FROM __grp),
+__th2 AS (SELECT *, 1.0 - s * s * s * s AS q FROM __th)
+SELECT bin, n_pairs, n_candidates,
+       round(CAST(n_candidates AS DOUBLE) / n_pairs, 6) AS capture_rate,
+       round(1.0 - q * q * q * q, 6) AS theory_capture
+FROM __th2
 """.strip())
 
 

@@ -118,6 +118,30 @@ def test_lsh_topk_same_bucket_recall(spark):
     assert 5 in ids  # parallel vector always lands in the same bucket
 
 
+def test_lsh_candidate_quality_report(spark):
+    """S-curve eval: pair counts cover all C(n,2) pairs, exact dups
+    (bin 9) are always captured, the theory column matches the
+    closed-form S-curve, and unbounded input is rejected."""
+    from carbonapi_spark.datapipe.dedup import (
+        lsh_candidate_quality, lsh_candidate_probability)
+    rows = [(i, f"totally unrelated document number {i} about topic {i}")
+            for i in range(8)]
+    rows += [(100, "the quick brown fox jumps over the lazy dog"),
+             (101, "the quick brown fox jumps over the lazy dog")]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = lsh_candidate_quality(docs, num_hashes=16, bands=4, ngram=2,
+                                bins=10).collect()
+    n = len(rows)
+    assert sum(r["n_pairs"] for r in out) == n * (n - 1) // 2
+    by_bin = {r["bin"]: r for r in out}
+    assert by_bin[9]["capture_rate"] == 1.0  # exact dups always collide
+    for r in out:
+        want = lsh_candidate_probability((r["bin"] + 0.5) / 10.0, 4, 4)
+        assert r["theory_capture"] == pytest.approx(want, abs=1e-6)
+    with pytest.raises(ValueError, match="max_sample"):
+        lsh_candidate_quality(docs, max_sample=3)
+
+
 def test_simhash_pairs_lossless_banding(spark):
     """simhash_pairs finds exactly the Hamming<=3 pairs an all-pairs scan
     would (pigeonhole: 4 bands, <4 flipped bits)."""
