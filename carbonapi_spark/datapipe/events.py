@@ -199,23 +199,56 @@ def attribution(events: DataFrame, conversion_type: str,
 
 def rfm_segments(events: DataFrame, n_bins: int = 5,
                  user_col: str = "user_id", ts_col: str = "sec",
-                 order_col: str = "event_id") -> DataFrame:
+                 order_col: str = "event_id",
+                 exact: bool = True) -> DataFrame:
     """RFM segmentation (recency / frequency quantile grid — the
     classic user-value matrix): per user, recency = last event ts and
-    frequency = event count, each ntile'd into ``n_bins`` (higher bin =
-    more recent / more active; ties break on user_id so the binning is
-    deterministic and engine-portable).
+    frequency = event count, binned into ``n_bins`` (higher bin = more
+    recent / more active).
 
-    One user-keyed aggregation + two windows over the USER table (not
-    the event stream).  Returns (user_id, recency, frequency, r_bin,
-    f_bin) — all exact integers."""
+    ``exact=True`` ntiles with user_id tie-break — equal-population
+    bins, deterministic and engine-portable, but the two ntile windows
+    are UNPARTITIONED: one task sorts the whole user table, so this
+    mode is for driver-bounded user counts (fine to ~1e7; the 20M-event
+    / 200k-user smoke in SCALE.md runs it in seconds).  ``exact=False``
+    is the 100 TB mode, the same duality as ``text.quantile_thresholds``:
+    bin cutoffs come from one ``percentile_approx`` pass (Greenwald-
+    Khanna sketch, map-side mergeable) and bins are assigned map-side —
+    no global sort at any user count, at the cost of sketch rank error
+    and boundary-tie placement (a value equal to a cutoff goes below,
+    where ntile balances populations exactly).
+
+    One user-keyed aggregation either way; the approx path persists the
+    user table via the size-gated scratch registry because it feeds
+    both the cutoff sketch and the bin projection.  Returns (user_id,
+    recency, frequency, r_bin, f_bin) — exact integers."""
     from pyspark.sql.window import Window
     per_user = events.groupBy(user_col).agg(
         F.max(F.col(ts_col).cast("long")).alias("recency"),
         F.count(F.lit(1)).alias("frequency"))
-    rw = Window.partitionBy().orderBy(F.col("recency"), F.col(user_col))
-    fw = Window.partitionBy().orderBy(F.col("frequency"), F.col(user_col))
-    return per_user.select(
-        user_col, "recency", "frequency",
-        F.ntile(n_bins).over(rw).alias("r_bin"),
-        F.ntile(n_bins).over(fw).alias("f_bin"))
+    if exact:
+        rw = Window.partitionBy().orderBy(F.col("recency"), F.col(user_col))
+        fw = Window.partitionBy().orderBy(F.col("frequency"), F.col(user_col))
+        return per_user.select(
+            user_col, "recency", "frequency",
+            F.ntile(n_bins).over(rw).alias("r_bin"),
+            F.ntile(n_bins).over(fw).alias("f_bin"))
+    from carbonapi_spark.datapipe import track_if_large
+    per_user = track_if_large(per_user, events)
+    qs = F.array(*[F.lit(i / n_bins) for i in range(1, n_bins)])
+    cuts = per_user.agg(
+        F.percentile_approx(F.col("recency").cast("double"), qs,
+                            F.lit(10000)).alias("__rcut"),
+        F.percentile_approx(F.col("frequency").cast("double"), qs,
+                            F.lit(10000)).alias("__fcut"))
+
+    def bin_of(v, cut):
+        return (F.lit(1) + F.size(F.filter(cut, lambda t: t < v))) \
+            .cast("int")
+
+    return (per_user.crossJoin(F.broadcast(cuts))
+            .select(user_col, "recency", "frequency",
+                    bin_of(F.col("recency").cast("double"),
+                           F.col("__rcut")).alias("r_bin"),
+                    bin_of(F.col("frequency").cast("double"),
+                           F.col("__fcut")).alias("f_bin")))

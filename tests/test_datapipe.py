@@ -2860,6 +2860,29 @@ def test_rfm_segments_known_values(spark):
     assert [out[u]["f_bin"] for u in (2, 3, 1)] == [1, 2, 3]
 
 
+def test_rfm_segments_approx_mode(spark):
+    """exact=False (the no-global-sort 100 TB path): bins stay in
+    [1, n], are monotone in the underlying value, and on a spread-out
+    tie-free corpus every bin is populated."""
+    from carbonapi_spark.datapipe.events import rfm_segments
+    rows = [(u, "e", 100 * u, u) for u in range(1, 31)]  # distinct r & f
+    rows += [(u, "e", 100 * u - 1, 1000 + u) for u in range(1, 31)
+             for _ in range(u)]  # frequency grows with user_id
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, sec long, event_id long")
+    out = sorted(rfm_segments(ev, n_bins=3, exact=False).collect(),
+                 key=lambda r: r["user_id"])
+    assert all(1 <= r["r_bin"] <= 3 and 1 <= r["f_bin"] <= 3 for r in out)
+    recs = [(r["recency"], r["r_bin"]) for r in out]
+    assert all(b2 >= b1 for (v1, b1), (v2, b2) in zip(recs, recs[1:])
+               if v2 >= v1)  # monotone in recency
+    assert {r["r_bin"] for r in out} == {1, 2, 3}
+    assert {r["f_bin"] for r in out} == {1, 2, 3}
+    # schema identical to the exact mode
+    assert rfm_segments(ev, exact=False).columns == \
+        rfm_segments(ev, exact=True).columns
+
+
 def test_url_canonicalization_known_values(spark):
     from carbonapi_spark.datapipe.web import (
         domain_stats, url_dedup_key)
