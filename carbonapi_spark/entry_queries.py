@@ -5164,55 +5164,43 @@ _register("corpus_pipeline", _q_corpus_pipeline, _corpus_pipeline_oracle())
 # fills the remaining first-50 slots; those are all green in
 # CORRECTNESS_r01.json ∪ CORRECTNESS_r02.json.  Keep this list well under 50.
 _DRIVER_PREFIX = [
-    # the 4 queries the round-6 54-entry prefix rolled past the 50-row cap
-    # (last driver rows are r01/r02; local-green every session since) —
-    # first this round so r04..r07 covers the whole catalog
-    "sigmoid", "pow_transform", "scale_to_seconds", "substr_name",
-    # NEW in round 7 — never had a driver row (appended as implemented)
-    "multimodal_features",  # real stdlib WAV/PPM decode via mapInPandas
-    "quantile_cutoffs",     # one-pass corpus quantile thresholds
-    "ppl_quantile_buckets",  # CCNet buckets w/ self-derived cutoffs
-    "stream_dedup_replay",  # streaming exact dedup, availableNow replay
-    "stream_sessionize_replay",  # watermarked session_window replay
-    "ivf_kmeans_topk",      # IVF over Lloyd-trained (replayable) centroids
-    "stream_per_second_replay",  # stateful counter->rate kernel replay
-    "norm_unicode",         # NFC canonicalization (Arrow-batched kernel)
-    "html_strip",           # markup->prose one-projection regexp chain
-    "source_cap",           # per-group quota sampling (hot-domain cap)
-    "split_assign",         # reproducible hash train/val/test split
-    "code_detect",          # code-vs-prose routing signals
-    "pq_ivf_residual",      # faithful FAISS residual-coded IVFADC
-    "ivf_cell_stats",       # coarse-quantizer balance diagnostic
-    "corpus_pipeline",      # 5-stage end-to-end chain, whole-chain oracle
-    "jsonl_ingest",         # real JSONL dump round trip + quarantine
-    "decontaminate",        # surgical benchmark-span removal (GPT-3 C)
-    "kn_bigram_ppl",        # Kneser-Ney bigram LM quality buckets
-    "hll_distinct",         # deterministic HyperLogLog, exact replay
-    "unimax_sample",        # UniMax water-filling language mixing
-    "weighted_sample",      # Efraimidis-Spirakis length-weighted top-n
-    "zipf_fit",             # per-lang Zipf slope over the vocab table
-    "media_dsp",            # autocorr/zero-cross/gradient on real codecs
-    "bm25_topk",            # Okapi BM25 lexical retrieval top-k
-    "stream_hll_replay",    # stateful streaming HLL == batch sketch
-    "pmi_top",              # PMI collocations, marginals from bigrams
-    "mmr_rerank",           # BM25 -> embeddings -> greedy MMR rerank
-    "bpe_merges",           # BPE tokenizer training, exact replay
-    "tiered_fetch",         # whisper-style rollup tiers + selection
-    "pagerank",             # centrality keeper over the sim graph
-    "rrf_fuse",             # hybrid lexical+dense rank fusion
-    "ann_quality",          # in-engine recall/nDCG eval harness
-    "funnel_conv",          # ordered funnel, K user-keyed joins
-    "cohort_retention",     # weekly retention triangle
-    "event_transitions",    # per-user Markov transition counts
-    "quality_auc",          # exact Mann-Whitney ROC-AUC
-    "quality_calibration",  # reliability-diagram bins
-    "dedup_stats",          # cluster-size histogram / dup-rate report
-    "stream_rollup_replay",  # streamed archive == batch rollup
-    # plan changed in round 7 — re-verify
-    "heavy_hitters", "heavy_trigrams",  # pass-2 folded to one projection
-    "bigram_ppl", "source_kl",          # size-gated broadcast hints
-    "minhash_dedup", "minhash_estimate",  # sigs= length validation
-    "minhash_incremental",              # shares the banding path
+    # ---- round 8 rotation ----
+    # never driver-verified: the two r7 hash-fails (root-caused + hardened
+    # in ce7783e: codepoint-portable BPE universe, integer micro-logit AUC
+    # ranking), the r7 past-the-cap straggler, and the 8 new r8 entries
+    "bpe_merges", "quality_auc", "bpe_fertility",
+    "wordpiece_merges",        # WordPiece likelihood-merge training
+    "sq8_topk",                # FAISS SQ8 scalar-quantized ANN
+    "lsh_quality",             # empirical LSH S-curve eval
+    "stream_semantic_replay",  # ordered-feed streaming SemDeDup
+    "attribution",             # single-touch marketing attribution
+    "rfm_segments",            # RFM user segmentation (+approx mode)
+    "url_canonical",           # URL canonicalization identity keys
+    "domain_stats",            # per-registrable-domain crawl stats
+    # Spark-side plan changed in r8 — re-verify
+    "funnel_conv",   # one-pass K-step state machine (was a join chain)
+    "ann_quality",   # truth-driven eval output (zero-hit queries kept)
+    "rrf_fuse",      # hard candidate cap before the rank window
+    "mmr_rerank",    # shares the capped-candidate path
+    # oracle/expression text changed in r8 (ce7783e pinned the whitespace
+    # class on BOTH engines at 28 shared regex sites) — re-verify, oldest
+    # driver row first; the 15 left past the cap (dedup_stats,
+    # heavy_hitters/trigrams, hll_distinct, html_strip, kn_bigram_ppl,
+    # minhash x3, pmi_top, ppl_quantile_buckets, quantile_cutoffs,
+    # source_kl, stream_hll_replay, zipf_fit) are all r07-green and
+    # changed only in lockstep oracle text
+    "doc_quality", "lang_scores", "simhash", "simhash_pairs",
+    "token_count",                                             # r04
+    "bpe_token_count", "chunk_documents", "ngram_jaccard",
+    "pack_sequences", "quality_lr", "redact_pii",              # r05
+    "c4_rules", "contamination", "corpus_stats", "dedup_clusters",
+    "dedup_keep_best", "dsir_sample", "fingerprints", "gopher_rules",
+    "hashed_vectors", "lang_id", "ngram_novelty", "norm_dedup",
+    "oov_rate", "ppl_buckets", "rep_filters", "semantic_dedup",
+    "stream_minhash_replay", "substr_dedup", "tfidf_top",
+    "vocab_top",                                               # r06
+    "bigram_ppl", "bm25_topk", "corpus_pipeline",
+    "quality_calibration",  # r07, but shares quality_auc's score path
 ]
 # The driver checks at most _DRIVER_CAP rows per round; test_entry.py pins
 # len(_DRIVER_PREFIX) <= cap so additions can never silently evict entries
