@@ -243,3 +243,65 @@ def wordpiece_train(df: DataFrame, n_merges: int = 10,
     # a dyadic score like 1/128 sits exactly on a 6-dp boundary and the
     # two conventions split there
     return out.withColumn("score", F.round("score", 6))
+
+
+def _wp_pieces(token: Column, vocab: list[str]) -> Column:
+    """Greedy longest-match-first WordPiece segmentation (BERT's
+    WordpieceTokenizer inference) of ``token`` under ``vocab`` (the
+    trained merged symbols; every single printable-ASCII char is
+    implicitly in-vocabulary, so an ASCII token never hits [UNK]).
+    Continuation pieces carry the BERT ``##`` prefix (presentation
+    only — training here is position-agnostic).
+
+    One ``aggregate`` fold over sequence(1, len): each step consumes at
+    least one character, so len steps always finish.  The accumulator
+    is a single STRING ``remaining \\x1f piece \\x1f piece ...`` — NOT a
+    struct: DuckDB 1.0's ``list_reduce`` silently drops list fields
+    inside a struct accumulator (probed), and the whole point is that
+    the oracle replays this exact fold.  The longest match is found
+    dynamically (filter prefix-matching vocab entries, reduce to the
+    longest) so the expression is vocabulary-agnostic — no per-length
+    unrolling, and the SQL replay can source the vocab from its own
+    replayed training loop."""
+    vb = F.array(*[F.lit(v) for v in vocab]) if vocab \
+        else F.array(F.lit(""))
+
+    def step(acc, _):
+        rem = F.substring(acc, 1, F.instr(acc, SEP) - 1)
+        cand = F.filter(vb, lambda p: F.substring(rem, F.lit(1),
+                                                  F.length(p)) == p)
+        best = F.aggregate(cand, F.lit(""),
+                           lambda a, x: F.when(F.length(x) > F.length(a),
+                                               x).otherwise(a))
+        piece = F.when(best == "", F.substring(rem, 1, 1)).otherwise(best)
+        rendered = F.when(F.length(rem) == F.length(token), piece) \
+            .otherwise(F.concat(F.lit("##"), piece))
+        rest = F.substr(acc, F.instr(acc, SEP) + F.lit(1))
+        return F.when(rem == "", acc).otherwise(F.concat(
+            F.substr(rem, F.length(piece) + F.lit(1)),
+            F.lit(SEP),
+            F.when(rest == "", rendered)
+            .otherwise(F.concat(rest, F.lit(SEP), rendered))))
+
+    out = F.aggregate(F.sequence(F.lit(1), F.length(token)),
+                      F.concat(token, F.lit(SEP)), step)
+    return F.split(F.substr(out, F.lit(2)), SEP)
+
+
+def wordpiece_encode(df: DataFrame, vocab: list[str],
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Segment every token of every doc with a trained WordPiece vocab
+    (the ``merged`` column of :func:`wordpiece_train`): returns
+    (id, token, pieces array<string>), continuation pieces ``##``-
+    prefixed.  Pure projection, no shuffle; the vocab rides as an array
+    literal.  Token universe matches :func:`word_counts` — and identical
+    tokens segment identically, so callers batching a corpus should
+    encode the distinct TYPE table and join back (the
+    ``bpe_fertility`` economy)."""
+    tok = (df.select(F.col(id_col),
+                     F.explode(tokens(F.col(text_col))).alias("token"))
+           .where(F.col("token").rlike(ASCII_WORD))
+           .select(F.col(id_col), F.lower(F.col("token")).alias("token")))
+    return tok.select(id_col, "token",
+                      _wp_pieces(F.col("token"), vocab).alias("pieces"))

@@ -3844,6 +3844,71 @@ __w{i + 1} AS MATERIALIZED (
 _register("wordpiece_merges", _q_wordpiece_merges, _wordpiece_oracle())
 
 
+def _q_wordpiece_encode(spark, sf_dir):
+    """WordPiece INFERENCE on the scoreboard: train 8 merges, then
+    greedy longest-match-first segmentation (BERT's
+    WordpieceTokenizer) of every word TYPE under the trained vocab —
+    continuation pieces ##-prefixed.  The oracle replays training AND
+    the encode fold end to end; the longest match is found dynamically
+    (filter prefix-matching vocab entries, reduce to the longest), so
+    the same expression runs against the SQL-replayed vocabulary."""
+    from carbonapi_spark.datapipe.bpe import (_wp_pieces, word_counts,
+                                              wordpiece_train)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    vocab = [r["merged"]
+             for r in wordpiece_train(docs, n_merges=8).collect()]
+    types = word_counts(docs).select("word")
+    return (types
+            .select("word", _wp_pieces(F.col("word"), vocab)
+                    .alias("__p"))
+            .select("word",
+                    F.array_join("__p", " ").alias("segmentation"),
+                    F.size("__p").cast("long").alias("n_pieces")))
+
+
+def _wordpiece_encode_oracle(n_merges: int = 8) -> str:
+    sep = "chr(31)"
+    train = _wordpiece_oracle(n_merges)
+    chain = train[:train.rindex("SELECT CAST(step AS INT)")].rstrip()
+    vocab_union = "\nUNION ALL\n".join(
+        f"SELECT lhs || rhs AS m FROM __b{i}"
+        for i in range(1, n_merges + 1))
+    rem = f"substr(acc, 1, instr(acc, {sep}) - 1)"
+    best = (f"list_reduce(list_prepend('', "
+            f"list_filter(v.vb, p -> substr({rem}, 1, length(p)) = p)), "
+            f"(a, x) -> CASE WHEN length(x) > length(a) "
+            f"THEN x ELSE a END)")
+    piece = (f"CASE WHEN {best} = '' THEN substr({rem}, 1, 1) "
+             f"ELSE {best} END")
+    rendered = (f"CASE WHEN length({rem}) = length(t.word) THEN {piece} "
+                f"ELSE '##' || {piece} END")
+    rest = f"substr(acc, instr(acc, {sep}) + 1)"
+    return chain + f""",
+__vocab AS MATERIALIZED (SELECT list(m) AS vb FROM ({vocab_union})),
+__types AS MATERIALIZED (SELECT DISTINCT word FROM __w1),
+__enc AS (
+  SELECT t.word,
+         list_reduce(
+           list_prepend(t.word || {sep},
+                        list_transform(range(1, length(t.word) + 1),
+                                       j -> '')),
+           (acc, stp) -> CASE WHEN instr(acc, {sep}) = 1 THEN acc
+             ELSE substr({rem}, length({piece}) + 1) || {sep}
+                  || CASE WHEN {rest} = '' THEN {rendered}
+                          ELSE {rest} || {sep} || {rendered} END
+             END) AS acc
+  FROM __types t, __vocab v)
+SELECT word, replace(substr(acc, 2), {sep}, ' ') AS segmentation,
+       CAST(len(string_split(substr(acc, 2), {sep})) AS BIGINT)
+           AS n_pieces
+FROM __enc
+"""
+
+
+_register("wordpiece_encode", _q_wordpiece_encode,
+          _wordpiece_encode_oracle(8))
+
+
 def _q_bpe_fertility(spark, sf_dir):
     """Tokenizer fertility report: train 8 BPE merges, encode EVERY
     corpus token with them, and report pieces-per-token per document —
@@ -5199,8 +5264,9 @@ _DRIVER_PREFIX = [
     "oov_rate", "ppl_buckets", "rep_filters", "semantic_dedup",
     "stream_minhash_replay", "substr_dedup", "tfidf_top",
     "vocab_top",                                               # r06
-    "bigram_ppl", "bm25_topk", "corpus_pipeline",
+    "bigram_ppl", "bm25_topk",
     "quality_calibration",  # r07, but shares quality_auc's score path
+    "wordpiece_encode",     # NEW r8 (late): WordPiece inference
 ]
 # The driver checks at most _DRIVER_CAP rows per round; test_entry.py pins
 # len(_DRIVER_PREFIX) <= cap so additions can never silently evict entries

@@ -2817,6 +2817,29 @@ def test_wordpiece_known_values(spark):
     assert out[1]["score"] == round(3 / 49, 6)
 
 
+def test_wordpiece_encode_greedy_longest_match(spark):
+    """Greedy longest-match-first inference: the longest in-vocab
+    prefix wins at every position, continuations are ##-prefixed,
+    single chars are implicit vocab (never [UNK]), and segments
+    concatenate back to the token."""
+    from carbonapi_spark.datapipe.bpe import wordpiece_encode
+    docs = spark.createDataFrame(
+        [(1, "unaffable unable hello zzz")], "doc_id LONG, text STRING")
+    vocab = ["un", "able", "ff", "lo", "hel"]
+    out = {r["token"]: r["pieces"]
+           for r in wordpiece_encode(docs, vocab).collect()}
+    assert out["unaffable"] == ["un", "##a", "##ff", "##able"]
+    assert out["unable"] == ["un", "##able"]
+    assert out["hello"] == ["hel", "##lo"]
+    assert out["zzz"] == ["z", "##z", "##z"]  # implicit single chars
+    for tok, pieces in out.items():
+        assert "".join(p.removeprefix("##") for p in pieces) == tok
+    # empty vocab degrades to per-char segmentation
+    only = {r["token"]: r["pieces"]
+            for r in wordpiece_encode(docs, []).collect()}
+    assert only["unable"] == ["u", "##n", "##a", "##b", "##l", "##e"]
+
+
 def test_attribution_known_values(spark):
     from carbonapi_spark.datapipe.events import attribution
     # u1: view(10) click(20) buy(30)      -> last=click, first=view
