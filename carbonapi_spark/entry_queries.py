@@ -4223,6 +4223,67 @@ FROM __conv GROUP BY 2
 """.strip())
 
 
+def _q_stream_attribution_replay(spark, sf_dir):
+    """STREAMING last-touch attribution on the scoreboard: the events
+    table replayed through ``stream_attribution``'s
+    applyInPandasWithState kernel (one (ts, type) pair of state per
+    user) as an availableNow file stream.  The kernel sorts each
+    user's arrivals by (sec, event_id) inside the batch — the batch
+    window's exact order — so a whole-table single-batch replay equals
+    batch ``attribution`` exactly, which is what the oracle checks."""
+    import tempfile
+
+    from carbonapi_spark.sources.testdata import epoch_seconds
+    from carbonapi_spark.streaming.stateful import stream_attribution
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (spark.readStream.schema(schema)
+              .option("pathGlobFilter", "events.parquet")
+              .parquet(sf_dir))
+    ev = stream.select("user_id", "event_type", "event_id",
+                       epoch_seconds(stream).alias("sec"))
+    out = stream_attribution(ev, "purchase", ["view", "click"],
+                             model="last", lookback_s=7 * 86400)
+    counts: dict = {}
+
+    def sink(bdf, _bid):
+        for r in bdf.groupBy("channel").count().collect():
+            counts[r["channel"]] = counts.get(r["channel"], 0) \
+                + int(r["count"])
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        with tempfile.TemporaryDirectory() as ckpt:
+            q = (out.writeStream.foreachBatch(sink)
+                 .option("checkpointLocation", ckpt)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    return spark.createDataFrame(
+        sorted(counts.items()) or [], "channel STRING, n_conversions LONG")
+
+
+_register("stream_attribution_replay", _q_stream_attribution_replay, f"""
+WITH {_EV_SEC_CTE},
+__w AS (
+  SELECT user_id, event_type, sec,
+         last_value(CASE WHEN event_type IN ('view', 'click')
+                         THEN sec END IGNORE NULLS)
+           OVER u AS lts,
+         last_value(CASE WHEN event_type IN ('view', 'click')
+                         THEN event_type END IGNORE NULLS)
+           OVER u AS lty
+  FROM __e
+  WINDOW u AS (PARTITION BY user_id ORDER BY sec, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT coalesce(CASE WHEN sec - lts <= 604800 THEN lty END, '__none__')
+           AS channel,
+       count(*) AS n_conversions
+FROM __w WHERE event_type = 'purchase' GROUP BY 1
+""".strip())
+
+
 def _q_rfm_segments(spark, sf_dir):
     """RFM user segmentation: per-user recency (last event ts) and
     frequency (event count), each ntile'd into quintiles with a
@@ -5264,9 +5325,10 @@ _DRIVER_PREFIX = [
     "oov_rate", "ppl_buckets", "rep_filters", "semantic_dedup",
     "stream_minhash_replay", "substr_dedup", "tfidf_top",
     "vocab_top",                                               # r06
-    "bigram_ppl", "bm25_topk",
+    "bm25_topk",
     "quality_calibration",  # r07, but shares quality_auc's score path
-    "wordpiece_encode",     # NEW r8 (late): WordPiece inference
+    "wordpiece_encode",          # NEW r8 (late): WordPiece inference
+    "stream_attribution_replay",  # NEW r8 (late): stateful attribution
 ]
 # The driver checks at most _DRIVER_CAP rows per round; test_entry.py pins
 # len(_DRIVER_PREFIX) <= cap so additions can never silently evict entries

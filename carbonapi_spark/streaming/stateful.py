@@ -329,3 +329,63 @@ def stream_hll_registers(rows: DataFrame, value_col: str,
     return (obs.groupBy("grp", "reg")
             .applyInPandasWithState(fn, HLL_OUT, HLL_STATE,
                                     "update", GroupStateTimeout.NoTimeout))
+
+
+ATTR_OUT = "user_id LONG, channel STRING"
+ATTR_STATE = "ts LONG, ty STRING"
+
+
+def stream_attribution(events: DataFrame, conversion_type: str,
+                       touch_types: list[str], model: str = "last",
+                       lookback_s: int | None = None) -> DataFrame:
+    """Streaming single-touch attribution: the stateful twin of
+    ``datapipe.events.attribution``.  Per-user state is ONE (ts, type)
+    pair — the most recent (``last``) or earliest (``first``) touch —
+    carried across micro-batches; each conversion event emits
+    (user_id, channel) the moment it arrives, credited to the carried
+    touch (or '__none__' outside ``lookback_s``).
+
+    Within a micro-batch the kernel sorts the user's events by
+    (sec, event_id) — the batch operator's exact window order — so the
+    result is arrival-order-independent within a batch, and an
+    availableNow replay of a complete table (one batch) equals the
+    batch operator exactly.  Across batches the usual streaming caveat
+    applies: a touch that ARRIVES after its conversion's batch cannot
+    retro-credit (conversions emit eagerly; that is the point of a
+    streaming attributor).
+
+    Input: streaming (user_id LONG, event_type STRING, event_id LONG,
+    sec LONG).  Output: one row per conversion."""
+    if model not in ("last", "first"):
+        raise ValueError("model must be 'last' or 'first'")
+    touch = frozenset(touch_types)
+
+    def fn(key, pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        ts0, ty0 = state.get if state.exists else (None, None)
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(["sec", "event_id"])
+            out = []
+            for ety, sec in zip(pdf["event_type"].to_numpy(),
+                                pdf["sec"].to_numpy()):
+                if ety in touch:
+                    if model == "last" or ts0 is None:
+                        ts0, ty0 = int(sec), str(ety)
+                elif ety == conversion_type:
+                    credit = ty0
+                    if (lookback_s is not None and ts0 is not None
+                            and int(sec) - ts0 > lookback_s):
+                        credit = None
+                    out.append(credit if credit is not None
+                               else "__none__")
+            if out:
+                yield pd.DataFrame({"user_id": [key[0]] * len(out),
+                                    "channel": out})
+        if ts0 is not None:
+            state.update((int(ts0), str(ty0)))
+
+    return (events.groupBy("user_id")
+            .applyInPandasWithState(fn, ATTR_OUT, ATTR_STATE,
+                                    "append", GroupStateTimeout.NoTimeout))

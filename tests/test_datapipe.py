@@ -246,6 +246,47 @@ def test_stream_dedup_exact_state_across_runs(spark, tmp_path):
     assert (1 in ids) != (3 in ids)  # exactly one of the alpha pair
 
 
+def test_stream_attribution_state_across_runs(spark, tmp_path):
+    """Stateful last-touch attribution: in-batch events are re-sorted
+    by (sec, event_id) so arrival order inside a batch never matters;
+    the carried touch survives a checkpoint restart and credits a
+    conversion in a later run; lookback voids stale touches."""
+    import json
+    from carbonapi_spark.streaming.stateful import stream_attribution
+    src, out, ck = tmp_path / "src", tmp_path / "out", tmp_path / "ck"
+    src.mkdir()
+
+    def stream():
+        s = (spark.readStream
+             .schema("user_id LONG, event_type STRING, event_id LONG, "
+                     "sec LONG")
+             .json(str(src)))
+        return stream_attribution(s, "buy", ["view", "click"],
+                                  model="last", lookback_s=100)
+
+    def ev(u, ty, sec, eid):
+        return {"user_id": u, "event_type": ty, "sec": sec,
+                "event_id": eid}
+
+    # u1 arrives OUT OF ORDER in-batch: buy(30) before click(20)
+    (src / "a.json").write_text("\n".join(json.dumps(d) for d in [
+        ev(1, "buy", 30, 3), ev(1, "click", 20, 2), ev(1, "view", 10, 1),
+        ev(2, "view", 5, 4)]))
+    _run_stream(stream, src, out, ck)
+    # u2's buy lands a RUN later: credit comes from restored state;
+    # u3 buys with no touch at all; u1 buys again past the lookback
+    (src / "b.json").write_text("\n".join(json.dumps(d) for d in [
+        ev(2, "buy", 50, 5), ev(3, "buy", 60, 6), ev(1, "buy", 500, 7)]))
+    _run_stream(stream, src, out, ck)
+
+    got = sorted((r["user_id"], r["channel"])
+                 for r in spark.read.parquet(str(out)).collect())
+    assert got == [(1, "click"), (1, "__none__"),
+                   (2, "view"), (3, "__none__")] or \
+        got == sorted([(1, "click"), (1, "__none__"),
+                       (2, "view"), (3, "__none__")])
+
+
 def test_stream_per_second_state_across_runs(spark, tmp_path):
     """Streaming perSecond: the rate for the first point of run 2 uses the
     last sample remembered from run 1."""
