@@ -154,8 +154,9 @@ def _hashed_buckets(df: DataFrame, text_col: str, id_col: str,
 
 def dsir_log_ratio_table(target: DataFrame, raw: DataFrame,
                          text_col: str = "text", id_col: str = "doc_id",
-                         n_buckets: int = 10_000,
-                         alpha: float = 0.5) -> DataFrame:
+                         n_buckets: int = 10_000, alpha: float = 0.5,
+                         raw_buckets: DataFrame | None = None
+                         ) -> DataFrame:
     """(bucket, logr): smoothed per-bucket log(p_target / p_raw) over
     hashed n-gram features — the importance-weight table of DSIR (Xie et
     al., "Data Selection for Language Models via Importance Resampling",
@@ -169,14 +170,19 @@ def dsir_log_ratio_table(target: DataFrame, raw: DataFrame,
     feature-space-sized — broadcast it against the corpus to score
     (``dsir_weights``), the same economy as ``unigram_logprob_table``.
     Buckets unseen in the raw side cannot occur in raw docs, so the
-    table is keyed by the raw side's buckets (left-join target counts)."""
+    table is keyed by the raw side's buckets (left-join target counts).
+
+    Pass a precomputed ``raw_buckets`` (the ``_hashed_buckets`` output
+    for ``raw``) to share the feature explode with a downstream scoring
+    stage — ``dsir_sample`` does, saving one full corpus pass."""
     from carbonapi_spark import scratch
     t = scratch.track(
         _hashed_buckets(target, text_col, id_col, n_buckets)
         .groupBy("bucket").agg(F.count(F.lit(1)).alias("__tn")))
+    if raw_buckets is None:
+        raw_buckets = _hashed_buckets(raw, text_col, id_col, n_buckets)
     r = scratch.track(
-        _hashed_buckets(raw, text_col, id_col, n_buckets)
-        .groupBy("bucket").agg(F.count(F.lit(1)).alias("__rn")))
+        raw_buckets.groupBy("bucket").agg(F.count(F.lit(1)).alias("__rn")))
     tt = t.agg(F.sum("__tn").alias("__tt"))
     rt = r.agg(F.sum("__rn").alias("__rt"))
     return (r.join(t, "bucket", "left")
@@ -190,14 +196,16 @@ def dsir_log_ratio_table(target: DataFrame, raw: DataFrame,
 
 
 def dsir_weights(raw: DataFrame, table: DataFrame, text_col: str = "text",
-                 id_col: str = "doc_id",
-                 n_buckets: int = 10_000) -> DataFrame:
+                 id_col: str = "doc_id", n_buckets: int = 10_000,
+                 raw_buckets: DataFrame | None = None) -> DataFrame:
     """(id, log_weight) for every raw doc: sum of the broadcast
     log-ratio table over the doc's hashed n-gram occurrences (DSIR's
     log importance weight). Docs with no features weigh 0. One broadcast
     join + one per-doc aggregation — the corpus never shuffles except on
     its own doc key."""
-    scored = (_hashed_buckets(raw, text_col, id_col, n_buckets)
+    if raw_buckets is None:
+        raw_buckets = _hashed_buckets(raw, text_col, id_col, n_buckets)
+    scored = (raw_buckets
               .join(F.broadcast(table), "bucket")
               .groupBy(id_col)
               .agg(F.sum("logr").alias("__lw")))
@@ -224,9 +232,15 @@ def dsir_sample(raw: DataFrame, target: DataFrame, n: int,
     a global top-n (TakeOrdered: per-partition partial top-n, no global
     sort shuffle). Returns (id, log_weight, key) for the selected docs,
     highest key first replayable as ORDER BY key DESC, id LIMIT n."""
+    from carbonapi_spark.datapipe import track_if_large
+    # the raw feature explode is the dominant corpus pass and feeds
+    # BOTH the ratio table and the per-doc scoring — compute it once
+    bk = track_if_large(
+        _hashed_buckets(raw, text_col, id_col, n_buckets), raw)
     table = dsir_log_ratio_table(target, raw, text_col, id_col,
-                                 n_buckets, alpha)
-    wts = dsir_weights(raw, table, text_col, id_col, n_buckets)
+                                 n_buckets, alpha, raw_buckets=bk)
+    wts = dsir_weights(raw, table, text_col, id_col, n_buckets,
+                       raw_buckets=bk)
     u = ((F.pmod(F.xxhash64(F.col(id_col).cast("string")),
                  F.lit(gumbel_denom)) + F.lit(0.5)) / F.lit(gumbel_denom))
     gumbel = -F.log(-F.log(u))
