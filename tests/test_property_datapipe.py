@@ -279,3 +279,56 @@ def test_bpe_fold_equals_python_reference(spark, word_toks, left, right):
     df = spark.createDataFrame([(1, word)], "doc_id long, text string")
     got = list(bpe_encode(df, [(left, right)]).collect()[0]["pieces"])
     assert got == _py_bpe_merge(list(word), left, right), (word, left, right)
+
+
+def _py_wordpiece(token, vocab):
+    """Pure-Python greedy longest-match-first WordPiece reference."""
+    out, pos = [], 0
+    while pos < len(token):
+        best = ""
+        for v in vocab:
+            if token.startswith(v, pos) and len(v) > len(best):
+                best = v
+        piece = best or token[pos]
+        out.append(piece if pos == 0 else "##" + piece)
+        pos += len(piece)
+    return out
+
+
+@given(st.text(alphabet="abc", min_size=1, max_size=12),
+       st.lists(st.text(alphabet="abc", min_size=2, max_size=4),
+                min_size=0, max_size=6))
+@settings(max_examples=12, deadline=None)
+def test_wordpiece_fold_equals_python_reference(spark, token, vocab):
+    """The string-state fold must implement exactly greedy
+    longest-match-first segmentation for arbitrary tokens and vocabs
+    (including overlapping pieces, pieces longer than the remainder,
+    and the empty vocab)."""
+    from carbonapi_spark.datapipe.bpe import wordpiece_encode
+    df = spark.createDataFrame([(1, token)], "doc_id long, text string")
+    got = list(wordpiece_encode(df, vocab).collect()[0]["pieces"])
+    assert got == _py_wordpiece(token, vocab), (token, vocab)
+
+
+@given(st.lists(st.lists(st.floats(-100, 100, allow_nan=False,
+                                   width=32),
+                         min_size=4, max_size=4),
+                min_size=2, max_size=8))
+@settings(max_examples=10, deadline=None)
+def test_sq8_quantization_error_bound(spark, vecs):
+    """SQ8 dequantization error per coordinate is at most span/510
+    (half a code step), and codes stay integral in [0, 255]."""
+    from carbonapi_spark.datapipe.similarity import sq8_encode, sq8_ranges
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows,
+                               "vec_id LONG, embedding ARRAY<DOUBLE>")
+    ranges = sq8_ranges(df, dim=4)
+    codes = {r["vec_id"]: r["codes"] for r in sq8_encode(df, ranges).collect()}
+    for i, v in enumerate(vecs):
+        for j, x in enumerate(v):
+            c = codes[i][j]
+            assert c == int(c) and 0 <= c <= 255
+            mn, mx = ranges[j]
+            dq = mn + c * (mx - mn) / 255.0
+            tol = (mx - mn) / 510.0 + 1e-9
+            assert abs(dq - float(x)) <= tol, (i, j, x, dq, tol)
