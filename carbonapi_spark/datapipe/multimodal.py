@@ -297,6 +297,64 @@ def synth_media_from_ids(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return ids.select(F.col(id_col)).mapInPandas(batches, MEDIA_SCHEMA)
 
 
+def resize_images(media: DataFrame, width: int, height: int,
+                  strict: bool = True) -> DataFrame:
+    """REAL image resize for the decodable formats: PNM payloads are
+    decoded, nearest-neighbor-resampled to (width, height), and
+    re-encoded as the same PNM flavor — (media_id, kind, payload,
+    width, height) with the payload a valid container again, so resize
+    chains with ``media_features``/``extract_features``.
+
+    Nearest-neighbor index math is integer-exact (src = i * src_dim //
+    dst_dim), so the output raster is deterministic — pinned by the
+    round-trip pytest rather than a SQL oracle (byte payloads don't
+    value-hash across engines).  Non-image or undecodable rows raise
+    when ``strict`` else pass through with a null payload, the
+    ``media_features`` degradation contract.  Same scale shape as the
+    other kernels: one ``mapInPandas`` crossing, O(pixels) per row, no
+    shuffle."""
+    out_schema = StructType([
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("payload", BinaryType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in ("media_id", "kind", "payload",
+                                    "width", "height")}
+            for mid, kind, payload in zip(pdf["media_id"], pdf["kind"],
+                                          pdf["payload"]):
+                p = bytes(payload) if payload is not None else b""
+                new, w_out, h_out = None, None, None
+                try:
+                    if p[:2] not in (b"P5", b"P6"):
+                        raise NotImplementedError(
+                            f"no resizable codec for media {mid}: "
+                            f"magic {p[:4]!r}")
+                    w, h, c, raster = decode_pnm(p)
+                    img = raster.reshape(h, w, c)
+                    ys = (np.arange(height) * h) // height
+                    xs = (np.arange(width) * w) // width
+                    new_img = img[ys][:, xs]
+                    new = encode_pnm(width, height,
+                                     new_img.tobytes(), color=(c == 3))
+                    w_out, h_out = width, height
+                except _DECODE_ERRORS:
+                    if strict:
+                        raise
+                rows["media_id"].append(mid)
+                rows["kind"].append(kind)
+                rows["payload"].append(new)
+                rows["width"].append(w_out)
+                rows["height"].append(h_out)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(batches, out_schema)
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: one output row per frame to decode.
     The explode happens JVM-side; the (stubbed) decode would consume it."""

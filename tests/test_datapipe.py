@@ -206,6 +206,43 @@ def test_multimodal_features(spark):
         extract_features(media, decode_stub=False)
 
 
+def test_resize_images_real_roundtrip(spark):
+    """resize_images produces VALID re-encoded PNM: dims change, the
+    raster equals the numpy nearest-neighbor reference, the output
+    chains into media_features, and non-image rows follow the strict/
+    degrade contract."""
+    import numpy as np
+    from carbonapi_spark.datapipe.multimodal import (
+        decode_pnm, media_features, resize_images, synth_media)
+    media = synth_media(spark, 9)  # kinds cycle image/audio/video
+    imgs = media.where(F.col("kind") == "image")
+    out = {r["media_id"]: r
+           for r in resize_images(imgs, 4, 3).collect()}
+    src = {r["media_id"]: bytes(r["payload"])
+           for r in imgs.collect()}
+    assert out and all(r["width"] == 4 and r["height"] == 3
+                       for r in out.values())
+    for mid, r in out.items():
+        w, h, c, raster = decode_pnm(bytes(r["payload"]))
+        assert (w, h) == (4, 3)
+        w0, h0, c0, r0 = decode_pnm(src[mid])
+        img0 = r0.reshape(h0, w0, c0)
+        ys = (np.arange(3) * h0) // 3
+        xs = (np.arange(4) * w0) // 4
+        assert raster.tobytes() == img0[ys][:, xs].tobytes()
+    feats = media_features(resize_images(imgs, 4, 3)
+                           .select("media_id", "kind", "payload")).collect()
+    assert all(f["width"] == 4 and f["height"] == 3 for f in feats)
+    # audio rows: strict raises (surfaces as a PythonException wrapping
+    # the NotImplementedError), non-strict degrades to null payload
+    with pytest.raises(Exception, match="no resizable codec"):
+        resize_images(media, 4, 3).collect()
+    degraded = resize_images(media, 4, 3, strict=False).collect()
+    # 3 audio + 3 video rows degrade; 3 images resize
+    assert sum(r["payload"] is None for r in degraded) == 6
+    assert sum(r["payload"] is not None for r in degraded) == 3
+
+
 def _run_stream(df_fn, src_dir, out_dir, ck_dir):
     """One availableNow pass: src json -> stateful op -> parquet sink."""
     q = (df_fn()
