@@ -490,3 +490,76 @@ def test_funnel_single_scan_single_user_shuffle(spark):
     plan = frame._jdf.queryExecution().executedPlan().toString()
     assert len(re.findall(r"Scan parquet", plan)) == 1
     assert _df_exchanges(frame) <= 2
+
+
+def test_sq8_corpus_side_no_shuffle(spark):
+    """sq8_topk: the corpus scan must reach the broadcast join without
+    any Exchange (dequantize + norm are projections; the only exchange
+    is the final per-query window) and the query side must broadcast."""
+    from pyspark.sql import functions as F
+
+    from carbonapi_spark.datapipe.similarity import sq8_ranges, sq8_topk
+    vecs = (spark.range(64)
+            .select(F.col("id").alias("vec_id"),
+                    F.transform(F.sequence(F.lit(0), F.lit(7)),
+                                lambda i: (F.col("id") + i).cast("double"))
+                    .alias("embedding")))
+    ranges = sq8_ranges(vecs, dim=8)
+    df = sq8_topk(vecs, vecs.limit(2), ranges, k=3)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    # exactly ONE hash-partition exchange (the final per-query window);
+    # the other exchanges are query-side (2-row limit + broadcast) —
+    # the corpus branch contributes none
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_rfm_approx_has_no_global_sort(spark):
+    """rfm_segments(exact=False) is the no-global-sort path: no Window/
+    Sort over the user table, cutoffs via percentile_approx, bins
+    map-side.  (exact=True intentionally has the single-task ntile
+    windows — that is its documented bound.)"""
+    from carbonapi_spark.datapipe.events import rfm_segments
+    from carbonapi_spark.entry_queries import _events_sec
+    ev = _events_sec(spark, "/root/testdata/sf0.001")
+    plan = (rfm_segments(ev, exact=False)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Window [" not in plan          # the physical Window node
+    assert not re.search(r"\bntile\(", plan)  # not percentile_approx!
+    assert "percentile_approx" in plan
+    exact_plan = (rfm_segments(ev, exact=True)
+                  ._jdf.queryExecution().executedPlan().toString())
+    assert re.search(r"\bntile\(", exact_plan)
+
+
+def test_attribution_single_scan_single_user_shuffle(spark):
+    """attribution resolves touches and conversions in ONE event pass:
+    one Scan of the events source; exchanges = the user-partitioned
+    window + the channel groupBy."""
+    from carbonapi_spark.datapipe.events import attribution
+    from carbonapi_spark.entry_queries import _events_sec
+    ev = _events_sec(spark, "/root/testdata/sf0.001")
+    df = attribution(ev, "purchase", ["view", "click"], model="last",
+                     lookback_s=86400)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Scan parquet", plan)) == 1
+    assert _df_exchanges(df) <= 2
+
+
+def test_round8_projection_ops_no_shuffle(spark):
+    """url_dedup_key, wordpiece_encode, sq8_encode: pure projections —
+    zero exchanges at any corpus size."""
+    from pyspark.sql import functions as F
+
+    from carbonapi_spark.datapipe.bpe import wordpiece_encode
+    from carbonapi_spark.datapipe.similarity import sq8_encode
+    from carbonapi_spark.datapipe.web import url_dedup_key
+    docs = spark.createDataFrame(
+        [(1, "hello world", "https://www.ex.com/a?utm_source=x&b=1")],
+        "doc_id LONG, text STRING, url STRING")
+    assert _df_exchanges(url_dedup_key(docs)) == 0
+    assert _df_exchanges(wordpiece_encode(docs, ["he", "llo"])) == 0
+    vecs = docs.select("doc_id",
+                       F.array(F.lit(1.0), F.lit(2.0)).alias("embedding")) \
+        .withColumnRenamed("doc_id", "vec_id")
+    assert _df_exchanges(sq8_encode(vecs, [(0.0, 1.0), (0.0, 1.0)])) == 0
