@@ -1158,21 +1158,52 @@ def roc_auc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
     AUC = (S_pos - n_pos(n_pos+1)/2) / (n_pos * n_neg) with
     average-rank tie handling.  Everything is computed on the DISTINCT
     SCORE table: one keyed aggregation (score-cardinality-sized after
-    map-side combine), a cumulative window over that table, and a
-    1-row finish.  The numerator is kept as an exact INTEGER in
-    half-rank units (2*avg_rank = 2*min_rank + cnt - 1), so the only
-    floating point is the final division — exact cross-engine replay.
-    Returns one row (n_pos, n_neg, auc), auc rounded to 6; degenerate
-    single-class inputs yield NULL auc."""
+    map-side combine), a cumulative sum over that table, and a 1-row
+    finish.  The numerator is kept as an exact INTEGER in half-rank
+    units (2*avg_rank = 2*min_rank + cnt - 1), so the only floating
+    point is the final division — exact cross-engine replay.
+
+    The cumulative rank is TWO-LEVEL, never a single-partition pass:
+    scores are ranged into 64 sketch-balanced buckets
+    (``percentile_approx`` cutoffs — one pass, broadcast; the
+    boundaries only choose the partitioning, the math is unchanged),
+    the cum-sum windows partition BY bucket, and per-bucket offsets
+    come from a 64-row table.  With micro-logit scores the distinct
+    table is corpus-sized, so a global-window rank would funnel the
+    whole corpus through one task at lake scale.  Returns one row
+    (n_pos, n_neg, auc), auc rounded to 6; degenerate single-class
+    inputs yield NULL auc."""
     from pyspark.sql.window import Window
-    g = (df.groupBy(F.col(score_col).alias("__s"))
-         .agg(F.count(F.lit(1)).alias("__cnt"),
-              F.sum(F.col(label_col).cast("long")).alias("__pos")))
-    w = Window.partitionBy().orderBy("__s") \
+
+    from carbonapi_spark.datapipe import track_if_large
+    n_buckets = 64
+    g = track_if_large(
+        df.groupBy(F.col(score_col).alias("__s"))
+        .agg(F.count(F.lit(1)).alias("__cnt"),
+             F.sum(F.col(label_col).cast("long")).alias("__pos")),
+        df)
+    qs = F.array(*[F.lit(i / n_buckets) for i in range(1, n_buckets)])
+    cuts = g.agg(F.percentile_approx(F.col("__s").cast("double"), qs,
+                                     F.lit(10000)).alias("__cuts"))
+    # bucket = #cutoffs strictly below the score: monotone in __s by
+    # construction, so within-bucket rank + bucket offset == global rank
+    bkt = F.size(F.filter(F.col("__cuts"),
+                          lambda t: t < F.col("__s").cast("double")))
+    gb = g.crossJoin(F.broadcast(cuts)).select(
+        "__s", "__cnt", "__pos", bkt.alias("__bkt"))
+    offs = (gb.groupBy("__bkt").agg(F.sum("__cnt").alias("__bn"))
+            .select("__bkt",
+                    (F.sum("__bn").over(
+                        Window.partitionBy().orderBy("__bkt")
+                        .rowsBetween(Window.unboundedPreceding,
+                                     Window.currentRow))
+                     - F.col("__bn")).alias("__off")))
+    w = Window.partitionBy("__bkt").orderBy("__s") \
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    cum = F.sum("__cnt").over(w) - F.col("__cnt")
-    ranked = g.select("__cnt", "__pos",
-                      (2 * (cum + 1) + F.col("__cnt") - 1).alias("__r2"))
+    cum = (F.col("__off") + F.sum("__cnt").over(w) - F.col("__cnt"))
+    ranked = (gb.join(F.broadcast(offs), "__bkt")
+              .select("__cnt", "__pos",
+                      (2 * (cum + 1) + F.col("__cnt") - 1).alias("__r2")))
     agg = ranked.agg(F.sum(F.col("__pos") * F.col("__r2")).alias("__s2"),
                      F.sum("__pos").alias("n_pos"),
                      (F.sum("__cnt") - F.sum("__pos")).alias("n_neg"))

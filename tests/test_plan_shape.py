@@ -563,3 +563,21 @@ def test_round8_projection_ops_no_shuffle(spark):
                        F.array(F.lit(1.0), F.lit(2.0)).alias("embedding")) \
         .withColumnRenamed("doc_id", "vec_id")
     assert _df_exchanges(sq8_encode(vecs, [(0.0, 1.0), (0.0, 1.0)])) == 0
+
+
+def test_roc_auc_rank_is_bucket_partitioned(spark):
+    """roc_auc's cumulative rank must partition by the sketch-derived
+    bucket — with micro-logit scores the distinct-score table is
+    corpus-sized, and an unpartitioned cum-sum window would funnel it
+    through one task.  The only unpartitioned window allowed is the
+    64-row bucket-offset table."""
+    from pyspark.sql import functions as F
+
+    from carbonapi_spark.datapipe.text import roc_auc
+    df = spark.range(100).select(
+        (F.col("id") * 37 % 101).alias("score"),
+        (F.col("id") % 2).alias("label"))
+    plan = (roc_auc(df, "score", "label")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert re.search(r"windowspecdefinition\(__bkt", plan)
+    assert "percentile_approx" in plan
