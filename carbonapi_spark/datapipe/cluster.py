@@ -252,3 +252,48 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
         if i % 2 == 1 or i == n_iter - 1:
             pr = pr.localCheckpoint()
     return pr.select("node", "pr")
+
+
+def label_propagation(edges: DataFrame, src: str = "src",
+                      dst: str = "dst", n_iter: int = 5) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) over an
+    undirected similarity graph — density-aware community detection,
+    the refinement pass for near-dup neighborhoods where connected
+    components OVER-merge: one spurious bridge edge fuses two dense
+    communities into one CC, while LPA keeps them apart (each side's
+    majority vote dominates the single bridge vote).
+
+    Deterministic by construction: every node starts labeled with its
+    own id; each round every node adopts its neighbors' most frequent
+    label, ties broken by the SMALLEST label — exact integer counts,
+    no RNG, no asynchrony — so a fixed ``n_iter`` replays bit-for-bit
+    in SQL as unrolled iterations (the pagerank recipe).
+
+    Scale shape: each iteration is one equi-join of the node-sized
+    label table with the edge list + one (node, label)-keyed count +
+    one argmax aggregation (min over a (-count, label) struct — no
+    per-node window), with lineage cut by eager ``localCheckpoint``
+    every second round.  Small graphs collapse to one partition.
+    Returns (node, label)."""
+    und = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+           .unionByName(edges.select(F.col(dst).alias("a"),
+                                     F.col(src).alias("b")))
+           .localCheckpoint())
+    nodes = und.select("a").distinct()
+    if nodes.count() < 100_000:
+        und = und.coalesce(1).localCheckpoint()
+        nodes = nodes.coalesce(1)
+    lab = nodes.select(F.col("a").alias("node"),
+                       F.col("a").alias("lab")).localCheckpoint()
+    for i in range(n_iter):
+        cnt = (und.join(lab, und["a"] == lab["node"])
+               .groupBy(F.col("b"), F.col("lab"))
+               .agg(F.count(F.lit(1)).alias("__c")))
+        best = F.min(F.struct((-F.col("__c")).alias("nc"),
+                              F.col("lab").alias("l")))
+        lab = (cnt.groupBy("b").agg(best.alias("__m"))
+               .select(F.col("b").alias("node"),
+                       F.col("__m.l").alias("lab")))
+        if i % 2 == 1 or i == n_iter - 1:
+            lab = lab.localCheckpoint()
+    return lab.select("node", F.col("lab").alias("label"))

