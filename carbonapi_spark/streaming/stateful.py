@@ -366,23 +366,45 @@ def stream_attribution(events: DataFrame, conversion_type: str,
         for pdf in pdfs:
             if not len(pdf):
                 continue
+            # fully vectorized (no per-row Python): forward-fill the
+            # running touch index over the (sec, event_id)-sorted batch;
+            # a virtual row -1 carries the cross-batch state
             pdf = pdf.sort_values(["sec", "event_id"])
-            out = []
-            for ety, sec in zip(pdf["event_type"].to_numpy(),
-                                pdf["sec"].to_numpy()):
-                if ety in touch:
-                    if model == "last" or ts0 is None:
-                        ts0, ty0 = int(sec), str(ety)
-                elif ety == conversion_type:
-                    credit = ty0
-                    if (lookback_s is not None and ts0 is not None
-                            and int(sec) - ts0 > lookback_s):
-                        credit = None
-                    out.append(credit if credit is not None
-                               else "__none__")
-            if out:
-                yield pd.DataFrame({"user_id": [key[0]] * len(out),
-                                    "channel": out})
+            ety = pdf["event_type"].to_numpy()
+            sec = pdf["sec"].to_numpy().astype("int64")
+            n = len(pdf)
+            pos = np.arange(n)
+            tm = np.isin(ety, list(touch))
+            if model == "last":
+                ff = np.maximum.accumulate(np.where(tm, pos, -1))
+            else:
+                ff = np.minimum.accumulate(np.where(tm, pos, n))
+            cm = ety == conversion_type
+            if cm.any():
+                idx = ff[cm]
+                has_batch = (idx >= 0) & (idx < n)
+                # model='first': a carried touch predates every in-batch
+                # one; model='last': an in-batch touch wins over carried
+                use_batch = has_batch if model == "last" else \
+                    (has_batch & (ts0 is None))
+                safe = np.where(has_batch, idx, 0)
+                c_ts = np.where(use_batch, sec[safe],
+                                ts0 if ts0 is not None else 0)
+                c_ty = np.where(use_batch, ety[safe],
+                                ty0 if ty0 is not None else "")
+                have = use_batch | (ts0 is not None)
+                if lookback_s is not None:
+                    have &= (sec[cm] - c_ts) <= lookback_s
+                chan = np.where(have, c_ty, "__none__")
+                yield pd.DataFrame({"user_id": [key[0]] * int(cm.sum()),
+                                    "channel": chan})
+            if tm.any():
+                if model == "last":
+                    j = int(np.max(pos[tm]))
+                    ts0, ty0 = int(sec[j]), str(ety[j])
+                elif ts0 is None:
+                    j = int(np.min(pos[tm]))
+                    ts0, ty0 = int(sec[j]), str(ety[j])
         if ts0 is not None:
             state.update((int(ts0), str(ty0)))
 
