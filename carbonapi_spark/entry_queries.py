@@ -4284,6 +4284,66 @@ FROM __w WHERE event_type = 'purchase' GROUP BY 1
 """.strip())
 
 
+def _q_stream_funnel_replay(spark, sf_dir):
+    """STREAMING ordered funnel on the scoreboard: events replayed
+    through ``stream_funnel``'s three-scalar-state kernel as an
+    availableNow file stream — each completing user emits
+    (user_id, t_start, t_complete) the moment the last step lands.  A
+    whole-table single-batch replay advances the exact batch greedy
+    chain, so the emitted set equals the batch funnel's step-K users
+    with the identical anchor/completion timestamps — which is what the
+    oracle derives from the s1..sK min-chain."""
+    import tempfile
+
+    from carbonapi_spark.sources.testdata import epoch_seconds
+    from carbonapi_spark.streaming.stateful import stream_funnel
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (spark.readStream.schema(schema)
+              .option("pathGlobFilter", "events.parquet")
+              .parquet(sf_dir))
+    ev = stream.select("user_id", "event_type", "event_id",
+                       epoch_seconds(stream).alias("sec"))
+    out = stream_funnel(ev, ["view", "click", "purchase"],
+                        within_s=7 * 86400)
+    rows: list = []
+
+    def sink(bdf, _bid):
+        rows.extend((int(r["user_id"]), int(r["t_start"]),
+                     int(r["t_complete"])) for r in bdf.collect())
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        with tempfile.TemporaryDirectory() as ckpt:
+            q = (out.writeStream.foreachBatch(sink)
+                 .option("checkpointLocation", ckpt)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    return spark.createDataFrame(
+        sorted(rows) or [],
+        "user_id LONG, t_start LONG, t_complete LONG")
+
+
+_register("stream_funnel_replay", _q_stream_funnel_replay, f"""
+WITH {_EV_SEC_CTE},
+s1 AS (SELECT user_id, min(sec) AS t1 FROM __e
+       WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(sec) AS t2, any_value(t1) AS t1
+       FROM __e e JOIN s1 USING (user_id)
+       WHERE event_type = 'click' AND sec > t1
+         AND sec <= t1 + 604800
+       GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(sec) AS t3, any_value(t1) AS t1
+       FROM __e e JOIN s2 USING (user_id)
+       WHERE event_type = 'purchase' AND sec > t2
+         AND sec <= t1 + 604800
+       GROUP BY e.user_id)
+SELECT user_id, t1 AS t_start, t3 AS t_complete FROM s3
+""".strip())
+
+
 def _q_rfm_segments(spark, sf_dir):
     """RFM user segmentation: per-user recency (last event ts) and
     frequency (event count), each ntile'd into quintiles with a
@@ -5366,12 +5426,12 @@ _DRIVER_PREFIX = [
     "dedup_keep_best", "dsir_sample", "fingerprints", "gopher_rules",
     "hashed_vectors", "lang_id", "ngram_novelty", "norm_dedup",
     "oov_rate", "ppl_buckets", "rep_filters", "semantic_dedup",
-    "stream_minhash_replay", "substr_dedup", "tfidf_top",
-    "vocab_top",                                               # r06
+    "stream_minhash_replay", "substr_dedup", "tfidf_top",     # r06
     "quality_calibration",  # r07, but shares quality_auc's score path
     "wordpiece_encode",          # NEW r8 (late): WordPiece inference
     "stream_attribution_replay",  # NEW r8 (late): stateful attribution
     "label_prop",                # NEW r8 (late): LPA communities
+    "stream_funnel_replay",      # NEW r8 (late): live-funnel kernel
 ]
 # The driver checks at most _DRIVER_CAP rows per round; test_entry.py pins
 # len(_DRIVER_PREFIX) <= cap so additions can never silently evict entries

@@ -411,3 +411,69 @@ def stream_attribution(events: DataFrame, conversion_type: str,
     return (events.groupBy("user_id")
             .applyInPandasWithState(fn, ATTR_OUT, ATTR_STATE,
                                     "append", GroupStateTimeout.NoTimeout))
+
+
+FUNNEL_OUT = "user_id LONG, t_start LONG, t_complete LONG"
+FUNNEL_STATE = "r INT, anchor LONG, last LONG"
+
+
+def stream_funnel(events: DataFrame, steps: list[str],
+                  within_s: int | None = None,
+                  user_col: str = "user_id",
+                  type_col: str = "event_type",
+                  ts_col: str = "sec") -> DataFrame:
+    """Real-time ordered funnel: the stateful twin of
+    ``datapipe.events.funnel``.  Per-user state is the greedy chain's
+    three scalars (steps reached, anchor = first step-1 ts, last
+    qualifying ts); a user emits ONE (user_id, t_start, t_complete) row
+    the moment the final step lands — the live conversion stream.
+
+    The kernel advances the chain with K vectorized min-passes per
+    batch (t_i = min ts of step-i events > t_{i-1}, journey bounded to
+    anchor + ``within_s``) over (ts, type)-sorted events — the batch
+    fold's exact order — so an availableNow replay of a complete table
+    equals the batch greedy chain exactly.  Across batches the usual
+    caveat: a LATE event older than an already-advanced step cannot
+    rewind the chain (the chain only ever advances; that is the point
+    of a live funnel).
+
+    Events are pre-filtered to the K step types before the state store
+    sees them, so keyed state exists only for users with funnel
+    activity."""
+    if not steps:
+        raise ValueError("stream_funnel needs at least one step")
+    k = len(steps)
+
+    def fn(key, pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        r, anchor, last = state.get if state.exists else (0, None, None)
+        for pdf in pdfs:
+            if r >= k or not len(pdf):
+                continue
+            pdf = pdf.sort_values([ts_col, type_col])
+            sec = pdf[ts_col].to_numpy().astype("int64")
+            ety = pdf[type_col].to_numpy()
+            while r < k:
+                m = ety == steps[r]
+                if r > 0:
+                    m &= sec > last
+                    if within_s is not None:
+                        m &= sec <= anchor + within_s
+                if not m.any():
+                    break
+                t = int(sec[m].min())
+                if r == 0:
+                    anchor = t
+                last = t
+                r += 1
+            if r >= k:
+                yield pd.DataFrame({"user_id": [key[0]],
+                                    "t_start": [anchor],
+                                    "t_complete": [last]})
+        if r > 0:
+            state.update((int(r), int(anchor), int(last)))
+
+    filtered = events.where(F.col(type_col).isin(*set(steps)))
+    return (filtered.groupBy(user_col)
+            .applyInPandasWithState(fn, FUNNEL_OUT, FUNNEL_STATE,
+                                    "append", GroupStateTimeout.NoTimeout))

@@ -324,6 +324,45 @@ def test_stream_attribution_state_across_runs(spark, tmp_path):
                        (2, "view"), (3, "__none__")])
 
 
+def test_stream_funnel_state_across_runs(spark, tmp_path):
+    """Stateful funnel: partial progress survives a checkpoint restart
+    (step 1 in run 1, steps 2-3 in run 2 -> one emission with the
+    cross-run anchor); out-of-window completions never emit; a user
+    emits at most once."""
+    import json
+    from carbonapi_spark.streaming.stateful import stream_funnel
+    src, out, ck = tmp_path / "src", tmp_path / "out", tmp_path / "ck"
+    src.mkdir()
+
+    def stream():
+        s = (spark.readStream
+             .schema("user_id LONG, event_type STRING, event_id LONG, "
+                     "sec LONG")
+             .json(str(src)))
+        return stream_funnel(s, ["view", "click", "buy"], within_s=100)
+
+    def ev(u, ty, sec, eid):
+        return {"user_id": u, "event_type": ty, "sec": sec,
+                "event_id": eid}
+
+    (src / "a.json").write_text("\n".join(json.dumps(d) for d in [
+        ev(1, "view", 10, 1),                       # u1: step 1 only
+        ev(2, "view", 5, 2), ev(2, "click", 6, 3),
+        ev(2, "buy", 7, 4),                         # u2: completes run 1
+        ev(3, "view", 0, 5), ev(3, "click", 1, 6)]))
+    _run_stream(stream, src, out, ck)
+    (src / "b.json").write_text("\n".join(json.dumps(d) for d in [
+        ev(1, "click", 50, 7), ev(1, "buy", 90, 8),   # completes x-run
+        ev(3, "buy", 500, 9),                         # outside window
+        ev(2, "view", 20, 10), ev(2, "click", 21, 11),
+        ev(2, "buy", 22, 12)]))                       # no re-emission
+    _run_stream(stream, src, out, ck)
+
+    got = sorted((r["user_id"], r["t_start"], r["t_complete"])
+                 for r in spark.read.parquet(str(out)).collect())
+    assert got == [(1, 10, 90), (2, 5, 7)]
+
+
 def test_stream_per_second_state_across_runs(spark, tmp_path):
     """Streaming perSecond: the rate for the first point of run 2 uses the
     last sample remembered from run 1."""
