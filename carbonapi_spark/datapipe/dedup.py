@@ -747,10 +747,9 @@ def lsh_candidate_quality(docs: DataFrame, text_col: str = "text",
                                         x as id_b))))) as p""")
         .groupBy("p.id_a", "p.id_b")
         .agg(F.count(F.lit(1)).alias("inter")))
-    cand = scratch.track(
-        minhash_lsh_candidates(docs, text_col, id_col, num_hashes,
-                               bands, ngram, seed, max_bucket)
-        .withColumn("__caught", F.lit(1)))
+    cand = (minhash_lsh_candidates(docs, text_col, id_col, num_hashes,
+                                   bands, ngram, seed, max_bucket)
+            .withColumn("__caught", F.lit(1)))
     wbin = (inter
             .join(cand, ["id_a", "id_b"], "full_outer")
             .join(F.broadcast(sizes.selectExpr("__id as id_a",
