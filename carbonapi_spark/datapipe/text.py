@@ -1175,13 +1175,15 @@ def roc_auc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
     inputs yield NULL auc."""
     from pyspark.sql.window import Window
 
-    from carbonapi_spark.datapipe import track_if_large
+    from carbonapi_spark import scratch
     n_buckets = 64
-    g = track_if_large(
+    # the distinct-score table feeds THREE consumers (cutoff sketch,
+    # bucket offsets, the ranked sum) — persist unconditionally; it is
+    # strictly smaller than the scored input at every scale
+    g = scratch.track(
         df.groupBy(F.col(score_col).alias("__s"))
         .agg(F.count(F.lit(1)).alias("__cnt"),
-             F.sum(F.col(label_col).cast("long")).alias("__pos")),
-        df)
+             F.sum(F.col(label_col).cast("long")).alias("__pos")))
     qs = F.array(*[F.lit(i / n_buckets) for i in range(1, n_buckets)])
     cuts = g.agg(F.percentile_approx(F.col("__s").cast("double"), qs,
                                      F.lit(10000)).alias("__cuts"))
