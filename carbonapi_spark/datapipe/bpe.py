@@ -67,8 +67,66 @@ def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
             .groupBy("word").agg(F.count(F.lit(1)).alias("cnt")))
 
 
+def _py_merge(syms: list[str], left: str, right: str) -> list[str]:
+    """Driver-side replica of the boundary-padded string fold: the
+    left-to-right NON-OVERLAPPING merge (property-tested equal to the
+    Spark fold in tests/test_property_datapipe.py)."""
+    out: list[str] = []
+    for s in syms:
+        if out and out[-1] == left and s == right:
+            out[-1] = left + right
+        else:
+            out.append(s)
+    return out
+
+
+def _train_local(rows, n_merges: int, scored: bool) -> list[tuple]:
+    """Driver-side trainer over a collected (word, cnt) type table —
+    the size-gated fast path of bpe_train/wordpiece_train (the
+    ``connected_components`` union-find-finisher duality): on a
+    bench-sized vocabulary the distributed loop pays 2 fixed-overhead
+    Spark jobs per merge for single-task work; locally the whole loop
+    is microseconds.  SEMANTICS ARE IDENTICAL by construction: the
+    same all-adjacent pair counting, the same (count DESC, lhs, rhs) /
+    (score DESC, lhs, rhs) tie order, the same non-overlapping merge
+    fold, and the WordPiece score is the same single IEEE division of
+    exact int64 counts (Python floats are IEEE doubles) — pinned by a
+    local-vs-distributed equivalence test."""
+    from collections import Counter
+    table = [(list(w), int(c)) for w, c in rows]
+    merges: list[tuple] = []
+    for step in range(1, n_merges + 1):
+        pc: Counter = Counter()
+        sc: Counter = Counter()
+        for syms, cnt in table:
+            for j in range(len(syms) - 1):
+                pc[(syms[j], syms[j + 1])] += cnt
+            if scored:
+                for s in syms:
+                    sc[s] += cnt
+        if not pc:
+            break
+        if scored:
+            best = min(pc.items(),
+                       key=lambda kv: (-(float(kv[1])
+                                         / (float(sc[kv[0][0]])
+                                            * float(sc[kv[0][1]]))),
+                                       kv[0][0], kv[0][1]))
+            (left, right), n = best
+            merges.append((step, left, right, left + right, n,
+                           float(n) / (float(sc[left]) * float(sc[right]))))
+        else:
+            (left, right), n = min(pc.items(),
+                                   key=lambda kv: (-kv[1], kv[0][0],
+                                                   kv[0][1]))
+            merges.append((step, left, right, left + right, n))
+        table = [(_py_merge(syms, left, right), cnt) for syms, cnt in table]
+    return merges
+
+
 def bpe_train(df: DataFrame, n_merges: int = 20,
-              text_col: str = "text") -> DataFrame:
+              text_col: str = "text",
+              local: bool | None = None) -> DataFrame:
     """Learn the first ``n_merges`` BPE merges; returns the merge table
     (step, left, right, merged, pair_count) in learned order.
 
@@ -85,17 +143,22 @@ def bpe_train(df: DataFrame, n_merges: int = 20,
     corpus scale."""
     from carbonapi_spark.datapipe import _plan_size_bytes
     spark = df.sparkSession
+    schema = ("step INT, lhs STRING, rhs STRING, merged STRING, "
+              "pair_count LONG")
+    est = _plan_size_bytes(df)
+    if local is None:
+        local = est is not None and est < (64 << 20)
+    if local:
+        # size-gated driver trainer (see _train_local): ONE corpus
+        # aggregation collects the vocab-sized type table, the merge
+        # loop runs locally — identical semantics, none of the
+        # 2-jobs-per-merge fixed overhead
+        rows = [(r["word"], r["cnt"])
+                for r in word_counts(df, text_col).collect()]
+        return spark.createDataFrame(
+            _train_local(rows, n_merges, scored=False) or [], schema)
     words = (word_counts(df, text_col)
              .select("word", "cnt", _sym_init(F.col("word")).alias("sym")))
-    # the type table is usually tiny relative to the corpus; on small
-    # corpora collapse it to one partition so each of the n_merges
-    # iteration jobs is a single task instead of a cluster-wide
-    # no-op fan-out (gated on the CORPUS size estimate, same
-    # philosophy as track_if_large — a lake-scale vocab keeps its
-    # natural partitioning)
-    est = _plan_size_bytes(df)
-    if est is not None and est < (64 << 20):
-        words = words.coalesce(1)
     words = words.localCheckpoint()
     merges: list[tuple] = []
     for step in range(1, n_merges + 1):
@@ -127,10 +190,7 @@ def bpe_train(df: DataFrame, n_merges: int = 20,
             .otherwise(F.concat(acc, s, F.lit(SEP))))
         words = words.select("word", "cnt",
                              fold.alias("sym")).localCheckpoint()
-    return spark.createDataFrame(
-        merges or [],
-        "step INT, lhs STRING, rhs STRING, merged STRING, "
-        "pair_count LONG")
+    return spark.createDataFrame(merges or [], schema)
 
 
 def bpe_encode(df: DataFrame, merges: list[tuple[str, str]],
@@ -166,7 +226,8 @@ def bpe_encode(df: DataFrame, merges: list[tuple[str, str]],
 
 
 def wordpiece_train(df: DataFrame, n_merges: int = 10,
-                    text_col: str = "text") -> DataFrame:
+                    text_col: str = "text",
+                    local: bool | None = None) -> DataFrame:
     """WordPiece merge training (Schuster & Nakajima, "Japanese and
     Korean voice search", ICASSP 2012; the BERT tokenizer's recipe):
     like BPE but the merge choice maximizes the LIKELIHOOD score
@@ -187,11 +248,19 @@ def wordpiece_train(df: DataFrame, n_merges: int = 10,
     the raw double)."""
     from carbonapi_spark.datapipe import _plan_size_bytes
     spark = df.sparkSession
+    schema = ("step INT, lhs STRING, rhs STRING, merged STRING, "
+              "pair_count LONG, score DOUBLE")
+    est = _plan_size_bytes(df)
+    if local is None:
+        local = est is not None and est < (64 << 20)
+    if local:
+        rows = [(r["word"], r["cnt"])
+                for r in word_counts(df, text_col).collect()]
+        out = spark.createDataFrame(
+            _train_local(rows, n_merges, scored=True) or [], schema)
+        return out.withColumn("score", F.round("score", 6))
     words = (word_counts(df, text_col)
              .select("word", "cnt", _sym_init(F.col("word")).alias("sym")))
-    est = _plan_size_bytes(df)
-    if est is not None and est < (64 << 20):
-        words = words.coalesce(1)
     words = words.localCheckpoint()
     merges: list[tuple] = []
     for step in range(1, n_merges + 1):
@@ -235,10 +304,7 @@ def wordpiece_train(df: DataFrame, n_merges: int = 10,
             .otherwise(F.concat(acc, s, F.lit(SEP))))
         words = words.select("word", "cnt",
                              fold.alias("sym")).localCheckpoint()
-    out = spark.createDataFrame(
-        merges or [],
-        "step INT, lhs STRING, rhs STRING, merged STRING, "
-        "pair_count LONG, score DOUBLE")
+    out = spark.createDataFrame(merges or [], schema)
     # JVM HALF_UP rounding (= DuckDB's), NOT python round (half-even):
     # a dyadic score like 1/128 sits exactly on a 6-dp boundary and the
     # two conventions split there

@@ -3046,3 +3046,16 @@ def test_url_canonicalization_known_values(spark):
     # ids 1,2,4,5 are ex.com: 4 pages, 3 distinct canons (1==2)
     assert (st["ex.com"]["n_pages"], st["ex.com"]["n_canon_urls"]) == (4, 3)
     assert st["ex.com"]["dup_ratio"] == 0.25
+
+
+def test_tokenizer_local_trainer_equals_distributed(spark):
+    """The size-gated driver trainer must produce the BIT-IDENTICAL
+    merge table as the distributed loop, for both BPE (count argmax)
+    and WordPiece (likelihood argmax incl. the IEEE score)."""
+    from carbonapi_spark.datapipe.bpe import bpe_train, wordpiece_train
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for fn, nm in ((bpe_train, 8), (wordpiece_train, 6)):
+        a = [tuple(r) for r in fn(docs, n_merges=nm, local=True).collect()]
+        b = [tuple(r) for r in fn(docs, n_merges=nm,
+                                  local=False).collect()]
+        assert a == b and len(a) == nm, fn.__name__
