@@ -67,6 +67,40 @@ def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
             .groupBy("word").agg(F.count(F.lit(1)).alias("cnt")))
 
 
+def _merge_step(left: str, right: str):
+    """(acc, s) -> acc' lambda of the boundary-padded NON-OVERLAPPING
+    merge fold — the ONE definition shared by bpe_train,
+    wordpiece_train and bpe_encode.  This is the exactness-critical
+    piece every DuckDB oracle replays byte-for-byte (and
+    ``_py_merge``'s driver twin mirrors); a fix applied to a private
+    copy would silently diverge training from encoding."""
+    suffix = SEP + left + SEP
+    cut = len(left) + 1
+
+    def step(acc, s):
+        return F.when(
+            F.endswith(acc, F.lit(suffix)) & (s == F.lit(right)),
+            F.concat(acc.substr(F.lit(1), F.length(acc) - cut),
+                     F.lit(left + right + SEP))) \
+            .otherwise(F.concat(acc, s, F.lit(SEP)))
+    return step
+
+
+def _local_type_table(df: DataFrame, text_col: str,
+                      local: bool | None):
+    """The shared size gate of the two trainers: None when the
+    distributed loop should run, else the collected (word, cnt) type
+    table for ``_train_local``."""
+    from carbonapi_spark.datapipe import _plan_size_bytes
+    if local is None:
+        est = _plan_size_bytes(df)
+        local = est is not None and est < (64 << 20)
+    if not local:
+        return None
+    return [(r["word"], r["cnt"])
+            for r in word_counts(df, text_col).collect()]
+
+
 def _py_merge(syms: list[str], left: str, right: str) -> list[str]:
     """Driver-side replica of the boundary-padded string fold: the
     left-to-right NON-OVERLAPPING merge (property-tested equal to the
@@ -141,20 +175,15 @@ def bpe_train(df: DataFrame, n_merges: int = 20,
     table) before the checkpoint cut.  The checkpointed table is
     vocabulary-sized, so the stored blocks are negligible at any
     corpus scale."""
-    from carbonapi_spark.datapipe import _plan_size_bytes
     spark = df.sparkSession
     schema = ("step INT, lhs STRING, rhs STRING, merged STRING, "
               "pair_count LONG")
-    est = _plan_size_bytes(df)
-    if local is None:
-        local = est is not None and est < (64 << 20)
-    if local:
+    rows = _local_type_table(df, text_col, local)
+    if rows is not None:
         # size-gated driver trainer (see _train_local): ONE corpus
         # aggregation collects the vocab-sized type table, the merge
         # loop runs locally — identical semantics, none of the
         # 2-jobs-per-merge fixed overhead
-        rows = [(r["word"], r["cnt"])
-                for r in word_counts(df, text_col).collect()]
         return spark.createDataFrame(
             _train_local(rows, n_merges, scored=False) or [], schema)
     words = (word_counts(df, text_col)
@@ -179,15 +208,8 @@ def bpe_train(df: DataFrame, n_merges: int = 20,
             break
         left, right, n = top[0]["lhs"], top[0]["rhs"], top[0]["__n"]
         merges.append((step, left, right, left + right, n))
-        suffix = SEP + left + SEP
-        cut = len(left) + 1
-        fold = F.aggregate(
-            _symbols(F.col("sym")), F.lit(SEP),
-            lambda acc, s: F.when(
-                F.endswith(acc, F.lit(suffix)) & (s == F.lit(right)),
-                F.concat(acc.substr(F.lit(1), F.length(acc) - cut),
-                         F.lit(left + right + SEP)))
-            .otherwise(F.concat(acc, s, F.lit(SEP))))
+        fold = F.aggregate(_symbols(F.col("sym")), F.lit(SEP),
+                           _merge_step(left, right))
         words = words.select("word", "cnt",
                              fold.alias("sym")).localCheckpoint()
     return spark.createDataFrame(merges or [], schema)
@@ -206,22 +228,10 @@ def bpe_encode(df: DataFrame, merges: list[tuple[str, str]],
                      F.explode(tokens(F.col(text_col))).alias("token"))
            .where(F.col("token").rlike(ASCII_WORD))
            .select(F.col(id_col), F.lower(F.col("token")).alias("token")))
-    def merge_lambda(left: str, right: str):
-        suffix = SEP + left + SEP
-        cut = len(left) + 1
-
-        def fn(acc, s):
-            return F.when(
-                F.endswith(acc, F.lit(suffix)) & (s == F.lit(right)),
-                F.concat(acc.substr(F.lit(1), F.length(acc) - cut),
-                         F.lit(left + right + SEP))) \
-                .otherwise(F.concat(acc, s, F.lit(SEP)))
-        return fn
-
     sym = _sym_init(F.col("token"))
     for left, right in merges:
         sym = F.aggregate(_symbols(sym), F.lit(SEP),
-                          merge_lambda(left, right))
+                          _merge_step(left, right))
     return tok.select(id_col, "token", _symbols(sym).alias("pieces"))
 
 
@@ -246,16 +256,11 @@ def wordpiece_train(df: DataFrame, n_merges: int = 10,
     left-to-right).  Returns (step, lhs, rhs, merged, pair_count,
     score) with score rounded to 6 for display only (the argmax uses
     the raw double)."""
-    from carbonapi_spark.datapipe import _plan_size_bytes
     spark = df.sparkSession
     schema = ("step INT, lhs STRING, rhs STRING, merged STRING, "
               "pair_count LONG, score DOUBLE")
-    est = _plan_size_bytes(df)
-    if local is None:
-        local = est is not None and est < (64 << 20)
-    if local:
-        rows = [(r["word"], r["cnt"])
-                for r in word_counts(df, text_col).collect()]
+    rows = _local_type_table(df, text_col, local)
+    if rows is not None:
         out = spark.createDataFrame(
             _train_local(rows, n_merges, scored=True) or [], schema)
         return out.withColumn("score", F.round("score", 6))
@@ -293,15 +298,8 @@ def wordpiece_train(df: DataFrame, n_merges: int = 10,
         left, right = top[0]["lhs"], top[0]["rhs"]
         merges.append((step, left, right, left + right,
                        top[0]["__np"], top[0]["__sc"]))
-        suffix = SEP + left + SEP
-        cut = len(left) + 1
-        fold = F.aggregate(
-            _symbols(F.col("sym")), F.lit(SEP),
-            lambda acc, s: F.when(
-                F.endswith(acc, F.lit(suffix)) & (s == F.lit(right)),
-                F.concat(acc.substr(F.lit(1), F.length(acc) - cut),
-                         F.lit(left + right + SEP)))
-            .otherwise(F.concat(acc, s, F.lit(SEP))))
+        fold = F.aggregate(_symbols(F.col("sym")), F.lit(SEP),
+                           _merge_step(left, right))
         words = words.select("word", "cnt",
                              fold.alias("sym")).localCheckpoint()
     out = spark.createDataFrame(merges or [], schema)

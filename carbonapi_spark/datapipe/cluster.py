@@ -275,14 +275,19 @@ def label_propagation(edges: DataFrame, src: str = "src",
     per-node window), with lineage cut by eager ``localCheckpoint``
     every second round.  Small graphs collapse to one partition.
     Returns (node, label)."""
+    from carbonapi_spark.datapipe import _plan_size_bytes
     und = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
            .unionByName(edges.select(F.col(dst).alias("a"),
-                                     F.col(src).alias("b")))
-           .localCheckpoint())
+                                     F.col(src).alias("b"))))
+    # small-graph collapse gated on the free Catalyst size estimate of
+    # the EDGE input (the bpe_train/track_if_large convention) — an
+    # exact nodes.count() action here would be a full extra
+    # shuffle-side pass before any iteration starts
+    est = _plan_size_bytes(edges)
+    if est is not None and est < (64 << 20):
+        und = und.coalesce(1)
+    und = und.localCheckpoint()
     nodes = und.select("a").distinct()
-    if nodes.count() < 100_000:
-        und = und.coalesce(1).localCheckpoint()
-        nodes = nodes.coalesce(1)
     lab = nodes.select(F.col("a").alias("node"),
                        F.col("a").alias("lab")).localCheckpoint()
     for i in range(n_iter):

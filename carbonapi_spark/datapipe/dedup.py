@@ -62,6 +62,19 @@ def normalized_dedup(df: DataFrame, text_col: str = "text",
                        key_col="__norm", id_col=id_col)
 
 
+def _pair_explode(ids_col: str = "ids") -> str:
+    """``a < b`` pair generation from a SORTED bucket member list — the
+    one definition of the in-bucket pairwise explode (shared-shingle
+    edges, MinHash banding, the LSH-eval intersection counts).  Callers
+    must bound the member list first (the sorted-prefix ``max_bucket``
+    slice, or an inherently bounded sample): the explode is quadratic
+    in the bucket by construction."""
+    return (f"""explode(flatten(transform(sequence(1, size({ids_col}) - 1),
+             i -> transform(slice({ids_col}, i + 1, size({ids_col}) - i),
+                            x -> struct(element_at({ids_col}, i) as id_a,
+                                        x as id_b))))) as p""")
+
+
 def shingles(text: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles of the lowercased token stream.
 
@@ -92,10 +105,7 @@ def shared_shingle_pairs(docs: DataFrame, text_col: str = "text",
                            f"{max_bucket})").alias("ids"))
                .where(F.size("ids") > 1))
     return (buckets.selectExpr(
-        """explode(flatten(transform(sequence(1, size(ids) - 1),
-             i -> transform(slice(ids, i + 1, size(ids) - i),
-                            x -> struct(element_at(ids, i) as id_a,
-                                        x as id_b))))) as p""")
+        _pair_explode())
         .select("p.id_a", "p.id_b").distinct())
 
 
@@ -234,10 +244,7 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
                     .alias("ids"))
                .where(F.size("ids") > 1))
     return (buckets.selectExpr(
-        """explode(flatten(transform(sequence(1, size(ids) - 1),
-             i -> transform(slice(ids, i + 1, size(ids) - i),
-                            x -> struct(element_at(ids, i) as id_a,
-                                        x as id_b))))) as p""")
+        _pair_explode())
         .select("p.id_a", "p.id_b").distinct())
 
 
@@ -741,10 +748,7 @@ def lsh_candidate_quality(docs: DataFrame, text_col: str = "text",
                .agg(F.sort_array(F.collect_list("__id")).alias("ids"))
                .where(F.size("ids") > 1))
     inter = (buckets.selectExpr(
-        """explode(flatten(transform(sequence(1, size(ids) - 1),
-             i -> transform(slice(ids, i + 1, size(ids) - i),
-                            x -> struct(element_at(ids, i) as id_a,
-                                        x as id_b))))) as p""")
+        _pair_explode())
         .groupBy("p.id_a", "p.id_b")
         .agg(F.count(F.lit(1)).alias("inter")))
     cand = (minhash_lsh_candidates(docs, text_col, id_col, num_hashes,

@@ -161,39 +161,64 @@ def attribution(events: DataFrame, conversion_type: str,
                 order_col: str = "event_id") -> DataFrame:
     """Single-touch marketing attribution: each conversion event is
     credited to the user's LAST (or FIRST) preceding touch event's type
-    — the classic last-touch / first-touch models.
-
-    One window over the user-partitioned stream carries the running
-    (ts, type) of the most recent / earliest touch (``last``/``first``
-    with ignorenulls over rows-unbounded-preceding), so conversions and
-    touches are resolved in ONE event pass, no self-join.  Ordering is
-    (ts, order_col) — whole-second ties break on the id, and a touch in
-    the same second as the conversion counts when its id is lower.
-    ``lookback_s`` voids credits older than the window (the carried
-    touch's ts, the standard lookback semantics for single-touch
-    models); unattributed conversions land in channel '__none__'.
-    Returns (channel, n_conversions) — exact integer counts."""
-    from pyspark.sql.window import Window
+    — the classic last-touch / first-touch models.  Returns
+    (channel, n_conversions); the one-model face of
+    :func:`attribution_models` (same single event pass)."""
     if model not in ("last", "first"):
         raise ValueError("model must be 'last' or 'first'")
+    return (attribution_models(events, conversion_type, touch_types,
+                               (model,), lookback_s, user_col,
+                               type_col, ts_col, order_col)
+            .select("channel", "n_conversions"))
+
+
+def attribution_models(events: DataFrame, conversion_type: str,
+                       touch_types: list[str],
+                       models: tuple[str, ...] = ("last", "first"),
+                       lookback_s: int | None = None,
+                       user_col: str = "user_id",
+                       type_col: str = "event_type", ts_col: str = "sec",
+                       order_col: str = "event_id") -> DataFrame:
+    """All requested single-touch models in ONE event pass: the
+    user-partitioned window carries one running (ts, type) struct PER
+    MODEL (``last``/``first`` with ignorenulls over rows-unbounded-
+    preceding) over the same sort, so adding a model adds a window
+    aggregate, not a scan — the shape the two-model scoreboard row and
+    its oracle both use (the oracle computes lts/lty/fts/fty over one
+    window; running ``attribution`` twice paid the dominant scan+sort
+    cost per model).  Ordering is (ts, order_col); ``lookback_s`` voids
+    credits older than the window; unattributed conversions land in
+    '__none__'.  Returns (model, channel, n_conversions)."""
+    from pyspark.sql.window import Window
+    bad = [m for m in models if m not in ("last", "first")]
+    if bad or not models:
+        raise ValueError("models must be a non-empty subset of "
+                         "('last', 'first')")
     w = (Window.partitionBy(user_col)
          .orderBy(F.col(ts_col), F.col(order_col))
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     touch = F.when(F.col(type_col).isin(*touch_types),
                    F.struct(F.col(ts_col).cast("long").alias("ts"),
                             F.col(type_col).alias("ty")))
-    carried = (F.last(touch, ignorenulls=True) if model == "last"
-               else F.first(touch, ignorenulls=True)).over(w)
-    conv = (events.withColumn("__t", carried)
-            .where(F.col(type_col) == conversion_type))
-    credit = F.col("__t.ty")
-    if lookback_s is not None:
-        credit = F.when(
-            F.col(ts_col).cast("long") - F.col("__t.ts") <= lookback_s,
-            credit)
-    return (conv.select(F.coalesce(credit, F.lit("__none__"))
-                        .alias("channel"))
-            .groupBy("channel")
+    conv = events
+    for m in models:
+        carried = (F.last(touch, ignorenulls=True) if m == "last"
+                   else F.first(touch, ignorenulls=True)).over(w)
+        conv = conv.withColumn(f"__t_{m}", carried)
+    conv = conv.where(F.col(type_col) == conversion_type)
+    pairs = []
+    for m in models:
+        credit = F.col(f"__t_{m}.ty")
+        if lookback_s is not None:
+            credit = F.when(
+                F.col(ts_col).cast("long") - F.col(f"__t_{m}.ts")
+                <= lookback_s, credit)
+        pairs.append(F.struct(
+            F.lit(m).alias("model"),
+            F.coalesce(credit, F.lit("__none__")).alias("channel")))
+    return (conv.select(F.explode(F.array(*pairs)).alias("__mc"))
+            .select("__mc.model", "__mc.channel")
+            .groupBy("model", "channel")
             .agg(F.count(F.lit(1)).alias("n_conversions")))
 
 

@@ -4175,19 +4175,14 @@ FROM __n GROUP BY event_type, next_type
 def _q_attribution(spark, sf_dir):
     """Single-touch attribution, both classic models on one scoreboard
     row: purchases credited to the user's last / first preceding
-    view-or-click within a 7-day lookback ('__none__' otherwise).  One
-    window pass over the user-partitioned stream per model; exact
-    integer counts."""
-    from carbonapi_spark.datapipe.events import attribution
+    view-or-click within a 7-day lookback ('__none__' otherwise).  ONE
+    event pass computes both carried touches over the same
+    user-partitioned window — the oracle's own shape (running
+    ``attribution`` per model paid the dominant scan+sort twice)."""
+    from carbonapi_spark.datapipe.events import attribution_models
     ev = _events_sec(spark, sf_dir)
-    frames = []
-    for model in ("last", "first"):
-        frames.append(
-            attribution(ev, "purchase", ["view", "click"], model,
-                        lookback_s=7 * 86400)
-            .select(F.lit(model).alias("model"), "channel",
-                    "n_conversions"))
-    return frames[0].unionByName(frames[1])
+    return attribution_models(ev, "purchase", ["view", "click"],
+                              ("last", "first"), lookback_s=7 * 86400)
 
 
 _register("attribution", _q_attribution, f"""

@@ -197,7 +197,18 @@ def compact_index(spark: SparkSession, path: str,
     p_tmp = jvm.org.apache.hadoop.fs.Path(tmp)
     p_old = jvm.org.apache.hadoop.fs.Path(old)
     fs.delete(p_old, True)
-    if not (fs.rename(p_src, p_old) and fs.rename(p_tmp, p_src)):
-        raise IOError(f"compact_index swap failed for {src}")
+    if not fs.rename(p_src, p_old):
+        raise IOError(f"compact_index swap failed for {src}: could not "
+                      f"stage the live directory aside")
+    if not fs.rename(p_tmp, p_src):
+        # the live directory is already at __old and nothing is at src:
+        # roll the original back before failing so probes keep working
+        # (without this, a failed second rename leaves the index headless
+        # until manual repair)
+        restored = fs.rename(p_old, p_src)
+        raise IOError(
+            f"compact_index swap failed for {src}: rewrite rename "
+            f"failed; original "
+            f"{'restored' if restored else f'LEFT AT {old}'}")
     fs.delete(p_old, True)
     return n

@@ -263,8 +263,16 @@ def stream_semantic_dedup(vecs: DataFrame, dim: int = 64,
                     best, bid = s, nid
             matched = (bid if best is not None
                        and round(best, 6) >= tau else None)
+            full = len(ids) + len(new_ids) >= max_cell
+            if full and ordered:
+                # batch semantic_dedup's sorted-prefix truncation drops
+                # beyond-cap vectors from the OUTPUT too — emitting a
+                # verdict here would break the exact-replay contract on
+                # overflowing cells.  (Default mode keeps the live
+                # verdict: a streaming consumer still wants an answer.)
+                continue
             out.append((vid, matched is None, matched))
-            if len(ids) + len(new_ids) < max_cell:
+            if not full:
                 new_ids.append(vid)
                 new_rows.append(arr)
         if out:
@@ -349,10 +357,13 @@ def stream_attribution(events: DataFrame, conversion_type: str,
     (sec, event_id) — the batch operator's exact window order — so the
     result is arrival-order-independent within a batch, and an
     availableNow replay of a complete table (one batch) equals the
-    batch operator exactly.  Across batches the usual streaming caveat
-    applies: a touch that ARRIVES after its conversion's batch cannot
-    retro-credit (conversions emit eagerly; that is the point of a
-    streaming attributor).
+    batch operator exactly.  The group's Arrow chunks are concatenated
+    BEFORE the sort (a >maxRecordsPerBatch user would otherwise be
+    sorted per chunk, breaking that equality — the
+    ``stream_semantic_dedup`` gather rule).  Across batches the usual
+    streaming caveat applies: a touch that ARRIVES after its
+    conversion's batch cannot retro-credit (conversions emit eagerly;
+    that is the point of a streaming attributor).
 
     Input: streaming (user_id LONG, event_type STRING, event_id LONG,
     sec LONG).  Output: one row per conversion."""
@@ -363,9 +374,9 @@ def stream_attribution(events: DataFrame, conversion_type: str,
     def fn(key, pdfs: Iterator[pd.DataFrame],
            state: GroupState) -> Iterator[pd.DataFrame]:
         ts0, ty0 = state.get if state.exists else (None, None)
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
+        chunks = [p for p in pdfs if len(p)]
+        for pdf in ([pd.concat(chunks, ignore_index=True)]
+                    if chunks else []):
             # fully vectorized (no per-row Python): forward-fill the
             # running touch index over the (sec, event_id)-sorted batch;
             # a virtual row -1 carries the cross-batch state
@@ -431,7 +442,9 @@ def stream_funnel(events: DataFrame, steps: list[str],
     The kernel advances the chain with K vectorized min-passes per
     batch (t_i = min ts of step-i events > t_{i-1}, journey bounded to
     anchor + ``within_s``) over (ts, type)-sorted events — the batch
-    fold's exact order — so an availableNow replay of a complete table
+    fold's exact order, with the group's Arrow chunks concatenated
+    before the sort (the ``stream_semantic_dedup`` gather rule) — so an
+    availableNow replay of a complete table
     equals the batch greedy chain exactly.  Across batches the usual
     caveat: a LATE event older than an already-advanced step cannot
     rewind the chain (the chain only ever advances; that is the point
@@ -447,9 +460,9 @@ def stream_funnel(events: DataFrame, steps: list[str],
     def fn(key, pdfs: Iterator[pd.DataFrame],
            state: GroupState) -> Iterator[pd.DataFrame]:
         r, anchor, last = state.get if state.exists else (0, None, None)
-        for pdf in pdfs:
-            if r >= k or not len(pdf):
-                continue
+        chunks = [p for p in pdfs if len(p)]
+        for pdf in ([pd.concat(chunks, ignore_index=True)]
+                    if chunks and r < k else []):
             pdf = pdf.sort_values([ts_col, type_col])
             sec = pdf[ts_col].to_numpy().astype("int64")
             ety = pdf[type_col].to_numpy()

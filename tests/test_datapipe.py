@@ -3059,3 +3059,38 @@ def test_tokenizer_local_trainer_equals_distributed(spark):
         b = [tuple(r) for r in fn(docs, n_merges=nm,
                                   local=False).collect()]
         assert a == b and len(a) == nm, fn.__name__
+
+
+def test_stream_semantic_dedup_overflow_matches_batch(spark, tmp_path):
+    """Ordered-replay mode on an OVERFLOWING cell (max_cell=2, 4 same-
+    cell vectors): batch semantic_dedup's sorted-prefix truncation
+    emits no row for beyond-cap vectors, and the streaming replay must
+    match — same row SET, same keep verdicts."""
+    import json
+
+    from carbonapi_spark.datapipe.similarity import semantic_dedup
+    from carbonapi_spark.streaming.stateful import stream_semantic_dedup
+    src, out, ck = tmp_path / "src", tmp_path / "out", tmp_path / "ck"
+    src.mkdir()
+    dim = 4
+    vecs = [(i, [1.0, float(i) * 0.001, 0.0, 0.0]) for i in range(4)]
+    batch_df = spark.createDataFrame(
+        vecs, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    want = sorted((r["vec_id"], r["keep"])
+                  for r in semantic_dedup(batch_df, dim=dim,
+                                          n_centroids=2, tau=0.9,
+                                          max_cell=2).collect())
+    (src / "a.json").write_text("\n".join(
+        json.dumps({"vec_id": i, "embedding": v}) for i, v in vecs))
+
+    def stream():
+        s = (spark.readStream
+             .schema("vec_id LONG, embedding ARRAY<DOUBLE>")
+             .json(str(src)))
+        return stream_semantic_dedup(s, dim=dim, n_centroids=2,
+                                     tau=0.9, max_cell=2, ordered=True)
+
+    _run_stream(stream, src, out, ck)
+    got = sorted((r["vec_id"], r["keep"])
+                 for r in spark.read.parquet(str(out)).collect())
+    assert got == want and len(got) == 2
