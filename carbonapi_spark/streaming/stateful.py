@@ -75,7 +75,13 @@ def stream_per_second(series: DataFrame) -> DataFrame:
     def fn(key, pdfs: Iterator[pd.DataFrame],
            state: GroupState) -> Iterator[pd.DataFrame]:
         last_ts, last_v = state.get if state.exists else (None, None)
-        for pdf in pdfs:
+        # gather the group's Arrow chunks before sorting: a series with
+        # >maxRecordsPerBatch rows in one batch would otherwise be
+        # sorted per chunk, and a time-earlier sample in a later chunk
+        # would read as a wrap and silently skip emission
+        chunks = [p for p in pdfs if len(p)]
+        for pdf in ([pd.concat(chunks, ignore_index=True)]
+                    if chunks else []):
             # NULL samples arrive in the DOUBLE column as NaN — notna()
             # drops both, so a gap never overwrites the last good sample
             # (batch perSecond skips nulls the same way).

@@ -324,6 +324,54 @@ def test_stream_attribution_state_across_runs(spark, tmp_path):
                        (2, "view"), (3, "__none__")])
 
 
+def test_stream_kernels_gather_arrow_chunks(spark, tmp_path):
+    """With arrow.maxRecordsPerBatch=2, a 6-event user spans 3 chunks;
+    the kernels must gather before sorting or a time-earlier event in a
+    later chunk breaks the batch-equality contract (the exact failure:
+    per-chunk forward-fill mis-credits the conversion)."""
+    import json
+    from carbonapi_spark.streaming.stateful import (stream_attribution,
+                                                    stream_funnel)
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        src, out, ck = tmp_path / "s", tmp_path / "o", tmp_path / "c"
+        src.mkdir()
+        # arrival order: the latest touch (click@40) FIRST, the
+        # conversion in the middle, earlier touches last
+        rows = [(1, "click", 40, 6), (1, "buy", 50, 5),
+                (1, "view", 10, 4), (1, "click", 20, 3),
+                (1, "view", 30, 2), (1, "view", 35, 1)]
+        (src / "a.json").write_text("\n".join(
+            json.dumps({"user_id": u, "event_type": t, "sec": s,
+                        "event_id": e}) for u, t, s, e in rows))
+        _run_stream(lambda: stream_attribution(
+            (spark.readStream
+             .schema("user_id LONG, event_type STRING, event_id LONG, "
+                     "sec LONG").json(str(src))),
+            "buy", ["view", "click"], model="last"), src, out, ck)
+        got = [(r["user_id"], r["channel"])
+               for r in spark.read.parquet(str(out)).collect()]
+        assert got == [(1, "click")]  # click@40 < buy@50 wins
+
+        src2, out2, ck2 = tmp_path / "s2", tmp_path / "o2", tmp_path / "c2"
+        src2.mkdir()
+        (src2 / "a.json").write_text("\n".join(
+            json.dumps({"user_id": u, "event_type": t, "sec": s,
+                        "event_id": e}) for u, t, s, e in rows))
+        _run_stream(lambda: stream_funnel(
+            (spark.readStream
+             .schema("user_id LONG, event_type STRING, event_id LONG, "
+                     "sec LONG").json(str(src2))),
+            ["view", "click", "buy"]), src2, out2, ck2)
+        got2 = [(r["user_id"], r["t_start"], r["t_complete"])
+                for r in spark.read.parquet(str(out2)).collect()]
+        assert got2 == [(1, 10, 50)]  # view@10 -> click@20 -> buy@50
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
+                       old)
+
+
 def test_stream_funnel_state_across_runs(spark, tmp_path):
     """Stateful funnel: partial progress survives a checkpoint restart
     (step 1 in run 1, steps 2-3 in run 2 -> one emission with the
