@@ -200,12 +200,13 @@ def attribution_models(events: DataFrame, conversion_type: str,
     touch = F.when(F.col(type_col).isin(*touch_types),
                    F.struct(F.col(ts_col).cast("long").alias("ts"),
                             F.col(type_col).alias("ty")))
-    conv = events
-    for m in models:
-        carried = (F.last(touch, ignorenulls=True) if m == "last"
-                   else F.first(touch, ignorenulls=True)).over(w)
-        conv = conv.withColumn(f"__t_{m}", carried)
-    conv = conv.where(F.col(type_col) == conversion_type)
+    carried = [((F.last(touch, ignorenulls=True) if m == "last"
+                 else F.first(touch, ignorenulls=True)).over(w)
+                .alias(f"__t_{m}")) for m in models]
+    # one select -> ONE physical Window node evaluating every model's
+    # carry over the same sort
+    conv = (events.select("*", *carried)
+            .where(F.col(type_col) == conversion_type))
     pairs = []
     for m in models:
         credit = F.col(f"__t_{m}.ty")

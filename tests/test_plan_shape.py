@@ -536,7 +536,8 @@ def test_attribution_single_scan_single_user_shuffle(spark):
     """attribution resolves touches and conversions in ONE event pass:
     one Scan of the events source; exchanges = the user-partitioned
     window + the channel groupBy."""
-    from carbonapi_spark.datapipe.events import attribution
+    from carbonapi_spark.datapipe.events import (attribution,
+                                                 attribution_models)
     from carbonapi_spark.entry_queries import _events_sec
     ev = _events_sec(spark, "/root/testdata/sf0.001")
     df = attribution(ev, "purchase", ["view", "click"], model="last",
@@ -544,6 +545,14 @@ def test_attribution_single_scan_single_user_shuffle(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert len(re.findall(r"Scan parquet", plan)) == 1
     assert _df_exchanges(df) <= 2
+    # BOTH models must still be one scan + one user sort (adding a
+    # model adds a window aggregate, not a pass)
+    both = attribution_models(ev, "purchase", ["view", "click"],
+                              ("last", "first"), lookback_s=86400)
+    bplan = both._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Scan parquet", bplan)) == 1
+    assert bplan.count("Window [") == 1
+    assert _df_exchanges(both) <= 2
 
 
 def test_round8_projection_ops_no_shuffle(spark):
