@@ -795,3 +795,89 @@ def lsh_candidate_quality(docs: DataFrame, text_col: str = "text",
         F.round(F.col("n_candidates").cast("double") / F.col("n_pairs"), 6)
         .alias("capture_rate"),
         F.round(F.lit(1.0) - q_b, 6).alias("theory_capture"))
+
+
+def write_band_index(df: DataFrame, path: str, text_col: str = "text",
+                     id_col: str = "doc_id", num_hashes: int = 16,
+                     bands: int = 4, ngram: int = 3, seed: int = 42,
+                     n_buckets: int = 64) -> None:
+    """Materialize the MinHash band index as a partitioned Parquet
+    layout — the dedup sibling of the durable ANN / inverted-text
+    indexes:
+
+      ``{path}/bands/band=<b>/bucket=<k>/``  (key, doc_id) rows,
+          bucket = pmod(xxhash64(key), n_buckets)
+      ``{path}/stats/``  1 row (num_hashes, bands, ngram, seed,
+          n_buckets) — the probe refuses mismatched parameters instead
+          of silently producing garbage candidates.
+
+    The (band, bucket) partitioning is the probe-time pruning key: a
+    delta batch's scan touches only the band/bucket directories its own
+    keys hash into (static Catalyst partition pruning on the directory
+    columns), so daily incremental dedup reads delta-proportional
+    bytes, never the corpus."""
+    idx = minhash_band_index(df, text_col, id_col, num_hashes, bands,
+                             ngram, seed)
+    (idx.withColumn("bucket",
+                    F.pmod(F.xxhash64("key"), F.lit(n_buckets))
+                    .cast("int"))
+     .write.mode("overwrite").partitionBy("band", "bucket")
+     .parquet(f"{path}/bands"))
+    spark = df.sparkSession
+    (spark.createDataFrame(
+        [(num_hashes, bands, ngram, seed, n_buckets)],
+        "num_hashes INT, bands INT, ngram INT, seed INT, "
+        "n_buckets INT")
+     .write.mode("overwrite").parquet(f"{path}/stats"))
+
+
+def append_band_index(df: DataFrame, path: str, text_col: str = "text",
+                      id_col: str = "doc_id") -> None:
+    """Fold a delta batch into a durable band index: the delta is
+    banded with the INDEX'S OWN stored parameters and appended into the
+    same (band, bucket) layout — the grown index equals a one-shot
+    build over corpus+delta (same rows, same partitions)."""
+    spark = df.sparkSession
+    st = spark.read.parquet(f"{path}/stats").collect()[0]
+    idx = minhash_band_index(df, text_col, id_col, st["num_hashes"],
+                             st["bands"], st["ngram"], st["seed"])
+    (idx.withColumn("bucket",
+                    F.pmod(F.xxhash64("key"), F.lit(st["n_buckets"]))
+                    .cast("int"))
+     .write.mode("append").partitionBy("band", "bucket")
+     .parquet(f"{path}/bands"))
+
+
+def probe_band_index(spark, path: str, new_docs: DataFrame,
+                     text_col: str = "text", id_col: str = "doc_id",
+                     max_bucket: int = 2000) -> DataFrame:
+    """Incremental near-dup candidates for a delta batch against a
+    DURABLE band index: band the delta with the index's stored
+    parameters, prune the index scan to the delta's (band, bucket)
+    partitions (an IN-list on the two directory columns — static
+    partition pruning, delta-proportional bytes read), and run the
+    exact in-memory incremental semantics
+    (:func:`minhash_incremental_candidates`) over the pruned slice.
+    Pruning on coarse buckets over-reads only hash-colliding keys; the
+    (band, key) equi-join inside discards them, so the result equals
+    the un-pruned probe exactly."""
+    st = spark.read.parquet(f"{path}/stats").collect()[0]
+    delta_idx = minhash_band_index(new_docs, text_col, id_col,
+                                   st["num_hashes"], st["bands"],
+                                   st["ngram"], st["seed"])
+    tb = (delta_idx.select(
+        "band",
+        F.pmod(F.xxhash64("key"), F.lit(st["n_buckets"])).cast("int")
+        .alias("bucket")).distinct().collect())
+    pairs_lit = [(int(r["band"]), int(r["bucket"])) for r in tb]
+    idx = spark.read.parquet(f"{path}/bands")
+    if pairs_lit:
+        cond = F.struct(F.col("band"), F.col("bucket")).isin(
+            *[F.struct(F.lit(b), F.lit(k)) for b, k in pairs_lit])
+        idx = idx.where(cond)
+    else:
+        idx = idx.where(F.lit(False))
+    return minhash_incremental_candidates(
+        new_docs, idx.select("band", "key", "doc_id"), text_col,
+        id_col, st["num_hashes"], st["bands"], st["ngram"], st["seed"],
+        max_bucket)

@@ -3142,3 +3142,37 @@ def test_stream_semantic_dedup_overflow_matches_batch(spark, tmp_path):
     got = sorted((r["vec_id"], r["keep"])
                  for r in spark.read.parquet(str(out)).collect())
     assert got == want and len(got) == 2
+
+
+def test_durable_band_index_probe_matches_memory(spark, tmp_path):
+    """Durable MinHash band index: the pruned disk probe equals the
+    in-memory incremental candidates exactly; an appended index equals
+    a one-shot build over corpus+delta; mismatch-proof via stored
+    params."""
+    from carbonapi_spark.datapipe.dedup import (
+        append_band_index, minhash_band_index,
+        minhash_incremental_candidates, probe_band_index,
+        write_band_index)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus = docs.where(F.col("doc_id") % 5 != 4)
+    delta = docs.where(F.col("doc_id") % 5 == 4)
+    path = str(tmp_path / "bandidx")
+    write_band_index(corpus, path, num_hashes=16, bands=4, ngram=2)
+    got = sorted(map(tuple,
+                     probe_band_index(spark, path, delta).collect()))
+    idx = minhash_band_index(corpus, num_hashes=16, bands=4, ngram=2)
+    want = sorted(map(tuple, minhash_incremental_candidates(
+        delta, idx, num_hashes=16, bands=4, ngram=2).collect()))
+    assert got == want and len(got) > 0
+    # append the delta: probing a NEW delta against the grown index
+    # equals probing a one-shot index over corpus+delta
+    append_band_index(delta, path)
+    delta2 = docs.where(F.col("doc_id") % 7 == 3)
+    got2 = sorted(map(tuple, probe_band_index(spark, path,
+                                              delta2).collect()))
+    path2 = str(tmp_path / "bandidx2")
+    write_band_index(docs, path2, num_hashes=16, bands=4, ngram=2)
+    # one-shot over the FULL corpus (corpus+delta == docs)
+    got3 = sorted(map(tuple, probe_band_index(spark, path2,
+                                              delta2).collect()))
+    assert got2 == got3

@@ -590,3 +590,20 @@ def test_roc_auc_rank_is_bucket_partitioned(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert re.search(r"windowspecdefinition\(__bkt", plan)
     assert "percentile_approx" in plan
+
+
+def test_band_index_probe_partition_prunes(spark, tmp_path):
+    """The durable band-index probe must reach the bands scan with
+    LITERAL (band, bucket) predicates — static partition pruning, so a
+    delta probe reads delta-proportional directories, not the corpus."""
+    from pyspark.sql import functions as F
+
+    from carbonapi_spark.datapipe.dedup import write_band_index
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    path = str(tmp_path / "bandidx")
+    write_band_index(docs, path, num_hashes=16, bands=4, ngram=2)
+    idx = spark.read.parquet(f"{path}/bands")
+    pruned = idx.where(F.struct(F.col("band"), F.col("bucket")).isin(
+        F.struct(F.lit(0), F.lit(3)), F.struct(F.lit(2), F.lit(7))))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[[^\]]*band", plan), plan[:800]
