@@ -3909,6 +3909,61 @@ _register("wordpiece_encode", _q_wordpiece_encode,
           _wordpiece_encode_oracle(8))
 
 
+def _q_wordpiece_fertility(spark, sf_dir):
+    """WordPiece fertility report — the BERT-side twin of
+    ``bpe_fertility``, completing the tokenizer matrix (train / encode /
+    fertility for both algorithms): train 8 merges, segment the TYPE
+    table once with the greedy longest-match fold, join piece counts
+    onto per-doc occurrence counts.  The corpus never runs through the
+    encode fold."""
+    from carbonapi_spark.datapipe.bpe import (_wp_pieces, wordpiece_train)
+    from carbonapi_spark.datapipe.text import tokens as _tok
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    vocab = [r["merged"]
+             for r in wordpiece_train(docs, n_merges=8).collect()]
+    occ = (docs.select("doc_id",
+                       F.explode(_tok(F.col("text"))).alias("token"))
+           .where(F.col("token").rlike("^[!-~]+$"))
+           .select("doc_id", F.lower(F.col("token")).alias("token"))
+           .groupBy("doc_id", "token")
+           .agg(F.count(F.lit(1)).alias("__cnt")))
+    types = occ.select(F.col("token").alias("t")).distinct()
+    sizes = types.select(F.col("t").alias("token"),
+                         F.size(_wp_pieces(F.col("t"), vocab))
+                         .alias("__np"))
+    return (occ.join(F.broadcast(sizes), "token")
+            .groupBy("doc_id")
+            .agg(F.sum("__cnt").alias("n_tokens"),
+                 F.sum(F.col("__cnt") * F.col("__np")).alias("n_pieces"))
+            .select("doc_id", "n_tokens", "n_pieces",
+                    F.round(F.col("n_pieces") / F.col("n_tokens"), 6)
+                    .alias("fertility")))
+
+
+def _wordpiece_fertility_oracle(n_merges: int = 8) -> str:
+    enc = _wordpiece_encode_oracle(n_merges)
+    chain = enc[:enc.rindex("SELECT word, replace")].rstrip()
+    assert chain.endswith(")")
+    sep = "chr(31)"
+    return chain + f""",
+__occ AS MATERIALIZED (
+  SELECT doc_id, tok, count(*) AS cnt
+  FROM {_BPE_TOKS_SQL}
+  GROUP BY doc_id, tok)
+SELECT o.doc_id, sum(o.cnt) AS n_tokens,
+       sum(o.cnt * len(string_split(substr(e.acc, 2), {sep})))
+           AS n_pieces,
+       round(CAST(sum(o.cnt * len(string_split(substr(e.acc, 2),
+                                               {sep}))) AS DOUBLE)
+             / sum(o.cnt), 6) AS fertility
+FROM __occ o JOIN __enc e ON e.word = o.tok GROUP BY o.doc_id
+"""
+
+
+_register("wordpiece_fertility", _q_wordpiece_fertility,
+          _wordpiece_fertility_oracle(8))
+
+
 def _q_bpe_fertility(spark, sf_dir):
     """Tokenizer fertility report: train 8 BPE merges, encode EVERY
     corpus token with them, and report pieces-per-token per document —
@@ -5421,12 +5476,13 @@ _DRIVER_PREFIX = [
     "dedup_keep_best", "dsir_sample", "fingerprints", "gopher_rules",
     "hashed_vectors", "lang_id", "ngram_novelty", "norm_dedup",
     "oov_rate", "ppl_buckets", "rep_filters", "semantic_dedup",
-    "stream_minhash_replay", "substr_dedup", "tfidf_top",     # r06
+    "stream_minhash_replay", "substr_dedup",                  # r06
     "quality_calibration",  # r07, but shares quality_auc's score path
     "wordpiece_encode",          # NEW r8 (late): WordPiece inference
     "stream_attribution_replay",  # NEW r8 (late): stateful attribution
     "label_prop",                # NEW r8 (late): LPA communities
     "stream_funnel_replay",      # NEW r8 (late): live-funnel kernel
+    "wordpiece_fertility",       # NEW r8 (late): tokenizer matrix
 ]
 # The driver checks at most _DRIVER_CAP rows per round; test_entry.py pins
 # len(_DRIVER_PREFIX) <= cap so additions can never silently evict entries
