@@ -564,3 +564,60 @@ def weighted_sample(df: DataFrame, weight_col: str, n: int,
                     F.round(F.log(u) / w, 6).alias("key"))
             .orderBy(F.desc("key"), F.col(id_col))
             .limit(n))
+
+
+def budget_select(df: DataFrame, score_col: str, budget: int,
+                  tokens_col: str, id_col: str = "doc_id",
+                  n_buckets: int = 64) -> DataFrame:
+    """Token-budget greedy data selection: rank documents by
+    (``score_col`` DESC, ``id_col`` ASC) and keep the maximal prefix
+    whose cumulative ``tokens_col`` stays within ``budget`` — the
+    standard "fill the training budget with the best-scoring data
+    first" curation step (the selection rule behind quality-classifier
+    top-p corpus cuts, phrased in tokens because training cost is).
+
+    Both inputs must be exact integers (the catalog feeds the
+    ``quality_logit_micro`` BIGINT score and a whitespace token count),
+    so every cumulative sum — and therefore the selection boundary —
+    is summation-order-independent and replays bit-for-bit in SQL.
+
+    The cumulative sum is TWO-LEVEL, never a single-partition window
+    (the ``roc_auc`` rank pattern): ``percentile_approx`` cutoffs range
+    scores into ``n_buckets`` sketch-balanced buckets (the boundaries
+    only choose the partitioning — bucket offsets restore the exact
+    global prefix sum), the running window partitions BY bucket, and
+    per-bucket offsets come from an ``n_buckets``-row broadcast.  At
+    lake scale the sort is n_buckets parallel bucket-local sorts
+    instead of one corpus-sized task.  Returns the selected rows as
+    (id, score, n_tokens, cum_tokens), cum_tokens inclusive.
+    """
+    from pyspark.sql.window import Window
+
+    from carbonapi_spark import scratch
+
+    base = scratch.track(
+        df.select(F.col(id_col), F.col(score_col).alias("__s"),
+                  F.col(tokens_col).cast("long").alias("n_tokens")))
+    qs = F.array(*[F.lit(i / n_buckets) for i in range(1, n_buckets)])
+    cuts = base.agg(F.percentile_approx(F.col("__s").cast("double"), qs,
+                                        F.lit(10000)).alias("__cuts"))
+    # bucket = #cutoffs strictly ABOVE the score: bucket 0 holds the
+    # best scores, ties share a bucket, and bucket order == rank order
+    bkt = F.size(F.filter(F.col("__cuts"),
+                          lambda t: t > F.col("__s").cast("double")))
+    gb = base.crossJoin(F.broadcast(cuts)).select(
+        id_col, "__s", "n_tokens", bkt.alias("__bkt"))
+    offs = (gb.groupBy("__bkt").agg(F.sum("n_tokens").alias("__bn"))
+            .select("__bkt",
+                    (F.sum("__bn").over(
+                        Window.partitionBy().orderBy("__bkt")
+                        .rowsBetween(Window.unboundedPreceding,
+                                     Window.currentRow))
+                     - F.col("__bn")).alias("__off")))
+    w = Window.partitionBy("__bkt") \
+        .orderBy(F.desc("__s"), F.asc(id_col)) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = (F.col("__off") + F.sum("n_tokens").over(w)).alias("cum_tokens")
+    return (gb.join(F.broadcast(offs), "__bkt")
+            .select(id_col, F.col("__s").alias(score_col), "n_tokens", cum)
+            .where(F.col("cum_tokens") <= budget))

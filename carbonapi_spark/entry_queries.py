@@ -3070,6 +3070,48 @@ _register("quality_calibration", _q_quality_calibration,
           _quality_calibration_oracle())
 
 
+def _q_budget_select(spark, sf_dir):
+    """Token-budget greedy data selection: fill a 12k-token training
+    budget with the best LR-quality-scored documents first (rank by
+    integer micro-logit DESC, doc_id ASC; keep the maximal prefix whose
+    cumulative whitespace-token count fits).  The cumulative sum is
+    two-level bucketized (the roc_auc rank pattern) — no corpus-sized
+    single-task sort — and every quantity is an exact integer, so the
+    selection boundary replays bit-for-bit."""
+    from carbonapi_spark.datapipe.sampling import budget_select
+    from carbonapi_spark.datapipe.text import (quality_logit_micro,
+                                               token_count)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = quality_logit_micro(docs, _LR_WEIGHTS, _LR_BIAS)
+    per = scored.join(
+        docs.select("doc_id",
+                    token_count(F.col("text")).cast("long").alias("__nt")),
+        "doc_id")
+    return budget_select(per, "logit_micro", 12_000, "__nt")
+
+
+def _budget_select_oracle() -> str:
+    return f"""
+WITH {_lr_logit_ctes()},
+__n AS (SELECT doc_id,
+               CAST(len(list_filter(string_split_regex(text,
+                    '[ \\t\\n\\x0B\\f\\r]+'), x -> x != '')) AS BIGINT)
+                   AS n_tokens
+        FROM documents),
+__c AS (SELECT z.doc_id, z.zm, n.n_tokens,
+               CAST(sum(n.n_tokens) OVER (
+                    ORDER BY z.zm DESC, z.doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum_tokens
+        FROM __zm z JOIN __n n USING (doc_id))
+SELECT doc_id, zm AS logit_micro, n_tokens, cum_tokens
+FROM __c WHERE cum_tokens <= 12000
+""".strip()
+
+
+_register("budget_select", _q_budget_select, _budget_select_oracle())
+
+
 def _q_bpe_token_count(spark, sf_dir):
     """Whitespace vs GPT-2-style pre-token counts per doc — the quick
     BPE-cost estimate (merges only split within pre-tokens)."""
@@ -5455,6 +5497,7 @@ _DRIVER_PREFIX = [
     "rfm_segments",            # RFM user segmentation (+approx mode)
     "url_canonical",           # URL canonicalization identity keys
     "domain_stats",            # per-registrable-domain crawl stats
+    "budget_select",           # token-budget greedy data selection
     # Spark-side plan changed in r8 — re-verify
     "funnel_conv",   # one-pass K-step state machine (was a join chain)
     "ann_quality",   # truth-driven eval output (zero-hit queries kept)
@@ -5477,7 +5520,9 @@ _DRIVER_PREFIX = [
     "hashed_vectors", "lang_id", "ngram_novelty", "norm_dedup",
     "oov_rate", "ppl_buckets", "rep_filters", "semantic_dedup",
     "stream_minhash_replay", "substr_dedup",                  # r06
-    "quality_calibration",  # r07, but shares quality_auc's score path
+    # (quality_calibration rotated out late-r8: its sigmoid-rounding
+    # seam is covered by quality_lr, its logit path by quality_auc +
+    # budget_select, all three in-prefix)
     "wordpiece_encode",          # NEW r8 (late): WordPiece inference
     "stream_attribution_replay",  # NEW r8 (late): stateful attribution
     "label_prop",                # NEW r8 (late): LPA communities

@@ -3176,3 +3176,46 @@ def test_durable_band_index_probe_matches_memory(spark, tmp_path):
     got3 = sorted(map(tuple, probe_band_index(spark, path2,
                                               delta2).collect()))
     assert got2 == got3
+
+
+def test_budget_select_greedy_prefix_exact(spark):
+    from carbonapi_spark.datapipe.sampling import budget_select
+    # scores with ties (doc_id breaks them), token counts chosen so the
+    # budget boundary lands mid-tie-group and mid-bucket
+    rows = [(i, (1000 - i) // 3, 10 + i % 7) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, s long, nt long")
+    got = budget_select(df, "s", 1500, "nt", n_buckets=8).collect()
+    # reference: plain greedy prefix over the sorted list
+    order = sorted(rows, key=lambda r: (-r[1], r[0]))
+    cum, want = 0, {}
+    for i, s, nt in order:
+        cum += nt
+        if cum > 1500:
+            break
+        want[i] = cum
+    assert {r["doc_id"]: r["cum_tokens"] for r in got} == want
+    assert all(r["cum_tokens"] <= 1500 for r in got)
+    # every selected score strictly dominates every rejected one (up to
+    # the doc_id tiebreak inside one score class at the boundary)
+    sel = {r["doc_id"] for r in got}
+    smin = min(r["s"] for r in got)
+    for i, s, nt in rows:
+        if i not in sel:
+            assert s <= smin
+
+
+def test_budget_select_no_global_single_partition_sort(spark):
+    from carbonapi_spark.datapipe.sampling import budget_select
+    df = spark.createDataFrame(
+        [(i, i * 37 % 997, 5) for i in range(500)],
+        "doc_id long, s long, nt long")
+    plan = budget_select(df, "s", 999999, "nt")._jdf \
+        .queryExecution().executedPlan().toString()
+    # the per-row running sum must partition by bucket; the only
+    # allowed single-partition window is over the n_buckets-row offset
+    # table.  A corpus-sized `Window [... ORDER BY s DESC]` with no
+    # partition spec would show up as a Sort over the full input with
+    # a SinglePartition exchange feeding it.
+    import re
+    windows = re.findall(r"Window .*", plan)
+    assert any("__bkt" in w for w in windows), plan

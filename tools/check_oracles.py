@@ -39,11 +39,28 @@ def main():
         else "/root/testdata/sf0.01"
     only = set(a for a in sys.argv[1:] if not os.path.isdir(a))
 
-    spark = (SparkSession.builder.master("local[8]")
-             .config("spark.sql.shuffle.partitions", "8")
-             .config("spark.sql.session.timeZone", "UTC")
-             .config("spark.ui.enabled", "false")
-             .getOrCreate())
+    # Chaos knobs (CHECK_MASTER / CHECK_SHUFFLE / CHECK_SPLIT_MB /
+    # CHECK_ARROW_BATCH): replay the catalog under a deliberately
+    # different parallelism / input-split / Arrow-chunking regime than
+    # the driver's to flush out partition-order- or chunking-sensitive
+    # seams BEFORE the driver finds them (the round-7 lesson:
+    # bpe_merges/quality_auc were green under every local config tried
+    # and still hash-failed on the driver box).
+    builder = (SparkSession.builder
+               .master(os.environ.get("CHECK_MASTER", "local[8]"))
+               .config("spark.sql.shuffle.partitions",
+                       os.environ.get("CHECK_SHUFFLE", "8"))
+               .config("spark.sql.session.timeZone", "UTC")
+               .config("spark.ui.enabled", "false"))
+    if "CHECK_SPLIT_MB" in os.environ:
+        builder = builder.config(
+            "spark.sql.files.maxPartitionBytes",
+            str(int(os.environ["CHECK_SPLIT_MB"]) << 20))
+    if "CHECK_ARROW_BATCH" in os.environ:
+        builder = builder.config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            os.environ["CHECK_ARROW_BATCH"])
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     con = duckdb.connect()
