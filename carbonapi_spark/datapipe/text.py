@@ -877,6 +877,47 @@ def source_kl_divergence(df: DataFrame, group_col: str = "source",
             .select(F.col("__grp").alias(group_col), "n_tokens", "kl"))
 
 
+def js_divergence(df: DataFrame, group_col: str = "source",
+                  text_col: str = "text") -> DataFrame:
+    """Per-group Jensen-Shannon divergence from the whole-corpus token
+    distribution — the SYMMETRIC, bounded ([0, ln 2]) companion to
+    :func:`source_kl_divergence`: KL explodes when a group concentrates
+    mass on corpus-rare terms, JS stays comparable across sources of
+    very different sizes, which is what a mixture dashboard wants.
+
+    JS(p, c) = 0.5 KL(p || m) + 0.5 KL(c || m), m = (p + c)/2.  The
+    corpus-side sum naively ranges over the FULL vocabulary per group,
+    but outside the group's support m = c/2, so that tail collapses to
+    the closed form 0.5 ln2 * (1 - sum of covered corpus mass) — the
+    whole statistic stays ONE group-vocab-sized pass with derived
+    marginals, identical physical shape (and cost) to the KL.
+
+    Returns (``group_col``, n_tokens, js), js rounded to 6."""
+    import math
+
+    from carbonapi_spark.datapipe import bcast_if_small
+    tok = df.select(F.col(group_col).alias("__grp"),
+                    F.explode(tokens(F.lower(F.col(text_col))))
+                    .alias("term"))
+    gc = tok.groupBy("__grp", "term").agg(F.count(F.lit(1)).alias("__ngt"))
+    ct = gc.groupBy("term").agg(F.sum("__ngt").alias("__nt"))
+    gt = gc.groupBy("__grp").agg(F.sum("__ngt").alias("__ng"))
+    tot = ct.agg(F.sum("__nt").alias("__n"))
+    p_g = F.col("__ngt") / F.col("__ng")
+    p_c = F.col("__nt") / F.col("__n")
+    m = (p_g + p_c) / 2
+    covered = 0.5 * (p_g * F.log(p_g / m) + p_c * F.log(p_c / m))
+    js = (F.sum(covered)
+          + F.lit(0.5 * math.log(2.0)) * (F.lit(1.0) - F.sum(p_c)))
+    return (gc.join(bcast_if_small(ct, df), "term")
+            .join(F.broadcast(gt), "__grp")
+            .crossJoin(F.broadcast(tot))
+            .groupBy("__grp")
+            .agg(F.max("__ng").cast("long").alias("n_tokens"),
+                 F.round(js, 6).alias("js"))
+            .select(F.col("__grp").alias(group_col), "n_tokens", "js"))
+
+
 def ngram_novelty(df: DataFrame, ngram: int = 3, text_col: str = "text",
                   id_col: str = "doc_id") -> DataFrame:
     """Cross-document n-gram novelty: per doc, the fraction of its

@@ -3424,6 +3424,35 @@ GROUP BY g.source
 """.strip())
 
 
+def _q_js_drift(spark, sf_dir):
+    """Symmetric mixture-drift diagnostic: Jensen-Shannon divergence of
+    each source's token distribution from the corpus, bounded [0, ln 2]
+    so sources of different sizes stay comparable.  Same one-pass
+    derived-marginal shape as source_kl; the out-of-support corpus tail
+    is the closed form 0.5 ln2 (1 - covered mass), never a second
+    vocabulary scan."""
+    from carbonapi_spark.datapipe.text import js_divergence
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return js_divergence(docs)
+
+
+_register("js_drift", _q_js_drift, f"""
+WITH __tok AS (SELECT source, unnest({_TOKS_SQL}) AS term FROM documents),
+__gc AS (SELECT source, term, count(*) AS ngt
+         FROM __tok GROUP BY source, term),
+__ct AS (SELECT term, sum(ngt) AS nt FROM __gc GROUP BY term),
+__gt AS (SELECT source, sum(ngt) AS ng FROM __gc GROUP BY source),
+__tot AS (SELECT sum(nt) AS n FROM __ct)
+SELECT g.source, CAST(max(ng) AS BIGINT) AS n_tokens,
+       round(sum(0.5 * ((ngt / ng) * ln((ngt / ng) / (((ngt / ng) + (nt / n)) / 2))
+                        + (nt / n) * ln((nt / n) / (((ngt / ng) + (nt / n)) / 2))))
+             + 0.5 * ln(2) * (1 - sum(nt / n)), 6) AS js
+FROM __gc g JOIN __ct USING (term) JOIN __gt USING (source)
+CROSS JOIN __tot
+GROUP BY g.source
+""".strip())
+
+
 def _q_ivf_kmeans_topk(spark, sf_dir):
     """IVF over a TRAINED coarse quantizer: 2 distributed Lloyd
     iterations (broadcast centroids -> one corpus pass -> k x dim mean
@@ -5498,6 +5527,7 @@ _DRIVER_PREFIX = [
     "url_canonical",           # URL canonicalization identity keys
     "domain_stats",            # per-registrable-domain crawl stats
     "budget_select",           # token-budget greedy data selection
+    "js_drift",                # Jensen-Shannon mixture drift
     # Spark-side plan changed in r8 — re-verify
     "funnel_conv",   # one-pass K-step state machine (was a join chain)
     "ann_quality",   # truth-driven eval output (zero-hit queries kept)
@@ -5519,7 +5549,9 @@ _DRIVER_PREFIX = [
     "dedup_keep_best", "dsir_sample", "fingerprints", "gopher_rules",
     "hashed_vectors", "lang_id", "ngram_novelty", "norm_dedup",
     "oov_rate", "ppl_buckets", "rep_filters", "semantic_dedup",
-    "stream_minhash_replay", "substr_dedup",                  # r06
+    "stream_minhash_replay",                                  # r06
+    # (substr_dedup rotated out late-r8: r06+r07 driver-green, the
+    # freshest rows in the stale block — a never-verified entry wins)
     # (quality_calibration rotated out late-r8: its sigmoid-rounding
     # seam is covered by quality_lr, its logit path by quality_auc +
     # budget_select, all three in-prefix)

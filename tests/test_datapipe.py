@@ -3219,3 +3219,33 @@ def test_budget_select_no_global_single_partition_sort(spark):
     import re
     windows = re.findall(r"Window .*", plan)
     assert any("__bkt" in w for w in windows), plan
+
+
+def test_js_divergence_bounds_and_reference(spark):
+    import math
+    from collections import Counter
+    from carbonapi_spark.datapipe.text import js_divergence
+    # single source == corpus distribution -> JS exactly 0
+    one = spark.createDataFrame([(1, "s", "a b b c")],
+                                "doc_id long, source string, text string")
+    assert js_divergence(one).collect()[0]["js"] == 0.0
+    # two skewed sources: check against a direct python computation
+    rows = [(1, "x", "a a a b"), (2, "y", "b c c c c d")]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {r["source"]: r["js"] for r in js_divergence(df).collect()}
+    toks = {"x": "a a a b".split(), "y": "b c c c c d".split()}
+    corpus = Counter(toks["x"]) + Counter(toks["y"])
+    n = sum(corpus.values())
+    for src, ts in toks.items():
+        pg = Counter(ts)
+        ng = len(ts)
+        js = 0.0
+        for t in corpus:
+            p = pg.get(t, 0) / ng
+            c = corpus[t] / n
+            m = (p + c) / 2
+            if p > 0:
+                js += 0.5 * p * math.log(p / m)
+            js += 0.5 * c * math.log(c / m)
+        assert abs(got[src] - js) < 1e-6, (src, got[src], js)
+        assert 0.0 <= got[src] <= math.log(2) + 1e-9
