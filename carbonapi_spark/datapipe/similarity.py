@@ -1030,3 +1030,77 @@ def sq8_topk(corpus: DataFrame, query: DataFrame,
                                                F.col("neighbor_id"))
     return (sims.withColumn("__rk", F.row_number().over(w))
             .where(F.col("__rk") <= k).drop("__rk"))
+
+
+def margin_topk(corpus: DataFrame, query: DataFrame, k: int = 10,
+                knn: int = 4, id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """Margin-based neighbor scoring (Artetxe & Schwenk, "Margin-based
+    Parallel Corpus Mining with Multilingual Sentence Embeddings", ACL
+    2019 — the LASER/CCMatrix mining criterion): rescore each query's
+    top-``k`` cosine candidates by the RATIO margin
+
+        margin(x, y) = cos(x, y) / ((avg_knn(x) + avg_knn(y)) / 2)
+
+    where ``avg_knn(x)`` is x's mean cosine over its ``knn`` nearest
+    corpus vectors and ``avg_knn(y)`` is the candidate's mean cosine
+    over the (bounded, broadcast) query set.  Absolute cosine
+    mis-ranks pairs in dense neighborhoods ("hubs"); dividing by the
+    local neighborhood density on BOTH sides is what makes mined pairs
+    precision-comparable across the space — the reason every
+    large-scale bitext pipeline ranks by margin, not cosine.
+
+    Physical shape: ONE corpus pass computes every (y, x) cosine
+    against the broadcast query side; x's forward top-k/avg come from
+    the per-query rank window (query-bounded partitions), y's average
+    needs no second pass — its |Q| sims are already on the row group,
+    a corpus-keyed agg with map-side combine.  Both averages fold a
+    DESC-sorted bounded list sequentially (never an unordered double
+    sum), so the score — and the DuckDB replay — is exact.  Returns
+    (query_id, cand_id, cos_sim, margin), margin NULL on an exactly-
+    zero denominator, ordered per query by margin DESC."""
+    from carbonapi_spark.datapipe import spread
+    corpus = spread(corpus, min_bytes=256 << 10)  # HOF dots: heavy/row
+    q = query.select(F.col(id_col).alias("query_id"),
+                     _as_double(F.col(vec_col)).alias("__qv"))
+    c = corpus.select(F.col(id_col).alias("cand_id"),
+                      _as_double(F.col(vec_col)).alias("__cv"))
+    sims = (c.crossJoin(F.broadcast(q))
+            .where(F.col("cand_id") != F.col("query_id"))
+            .select("query_id", "cand_id",
+                    F.round(cosine(F.col("__qv"), F.col("__cv")), 6)
+                    .alias("cos_sim")))
+
+    def _fold_avg(lst: Column, n: int) -> Column:
+        top = F.slice(F.sort_array(lst, asc=False), 1, n)
+        return (F.aggregate(top, F.lit(0.0), lambda acc, x: acc + x)
+                / F.size(top))
+
+    wq = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"),
+                                                F.col("cand_id"))
+    ranked = sims.withColumn("__rk", F.row_number().over(wq))
+    # the k*|Q|-bounded candidate table: everything downstream is sized
+    # by it, never by the corpus
+    cand = ranked.where(F.col("__rk") <= k).drop("__rk")
+    ax = (ranked.where(F.col("__rk") <= knn)
+          .groupBy("query_id")
+          .agg(_fold_avg(F.collect_list("cos_sim"), knn).alias("__ax")))
+    # y-side averages need only the CANDIDATE vectors' sims to the
+    # query set: a broadcast-id filter of the corpus (k*|Q| rows out)
+    # recomputed against the broadcast queries — cheap second scan,
+    # never a corpus-keyed aggregation or a corpus-sized join
+    ids = cand.select("cand_id").distinct()
+    ay = (c.join(F.broadcast(ids), "cand_id")
+          .crossJoin(F.broadcast(q))
+          .where(F.col("cand_id") != F.col("query_id"))
+          .select("cand_id",
+                  F.round(cosine(F.col("__qv"), F.col("__cv")), 6)
+                  .alias("__s"))
+          .groupBy("cand_id")
+          .agg(_fold_avg(F.collect_list("__s"), knn).alias("__ay")))
+    den = (F.col("__ax") + F.col("__ay")) / 2
+    margin = F.when(den != 0, F.round(F.col("cos_sim") / den, 6))
+    return (cand.join(F.broadcast(ax), "query_id")
+            .join(F.broadcast(ay), "cand_id")
+            .select("query_id", "cand_id", "cos_sim",
+                    margin.alias("margin")))

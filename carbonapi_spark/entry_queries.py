@@ -420,6 +420,58 @@ QUALIFY row_number() OVER (PARTITION BY query_id
 """.strip())
 
 
+_MARGIN_AVG = ("list_reduce(list_prepend(CAST(0.0 AS DOUBLE), {l}), "
+               "(a, x) -> a + x) / len({l})")
+
+
+def _q_margin_topk(spark, sf_dir):
+    """Margin-based neighbor mining (Artetxe & Schwenk 2019, the
+    LASER/CCMatrix criterion): rescore each query's top-10 cosine
+    candidates by cos divided by the mean of the two sides' 4-NN
+    average cosines — the hub-corrected ranking every large-scale
+    bitext pipeline uses in place of raw cosine.  One corpus pass + a candidate-bounded rescore
+    pass; both averages fold a DESC-sorted bounded list sequentially,
+    so the replay is exact."""
+    from carbonapi_spark.datapipe.similarity import margin_topk
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return margin_topk(emb, emb.where(F.col("vec_id") < 16), k=10, knn=4)
+
+
+def _margin_topk_oracle() -> str:
+    ax_l = "list_reverse_sort(list(cos_sim))[1:4]"
+    ay_l = "list_reverse_sort(list(cos_sim))[1:4]"
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 16),
+c AS (SELECT vec_id AS cand_id, embedding::DOUBLE[] AS cv FROM embeddings),
+sims AS (
+  SELECT query_id, cand_id,
+         round(list_dot_product(qv, cv)
+               / (sqrt(list_dot_product(qv, qv))
+                  * sqrt(list_dot_product(cv, cv))), 6) AS cos_sim
+  FROM c, q WHERE cand_id != query_id),
+ranked AS (
+  SELECT query_id, cand_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, cand_id) AS rk
+  FROM sims),
+ax AS (SELECT query_id, {_MARGIN_AVG.format(l=ax_l)} AS axv
+       FROM ranked WHERE rk <= 4 GROUP BY query_id),
+cand AS (SELECT query_id, cand_id, cos_sim FROM ranked WHERE rk <= 10),
+ay AS (SELECT cand_id, {_MARGIN_AVG.format(l=ay_l)} AS ayv
+       FROM sims
+       WHERE cand_id IN (SELECT DISTINCT cand_id FROM cand)
+       GROUP BY cand_id)
+SELECT t.query_id, t.cand_id, t.cos_sim,
+       CASE WHEN (axv + ayv) / 2 != 0
+            THEN round(t.cos_sim / ((axv + ayv) / 2), 6) END AS margin
+FROM cand t JOIN ax USING (query_id) JOIN ay USING (cand_id)
+""".strip()
+
+
+_register("margin_topk", _q_margin_topk, _margin_topk_oracle())
+
+
 def _q_minhash_dedup(spark, sf_dir):
     """Near-dup pairs via MinHash-LSH + exact Jaccard verify. The whole
     pipeline (xxhash64, affine permutations, banding, bucket pairing,
@@ -5528,6 +5580,7 @@ _DRIVER_PREFIX = [
     "domain_stats",            # per-registrable-domain crawl stats
     "budget_select",           # token-budget greedy data selection
     "js_drift",                # Jensen-Shannon mixture drift
+    "margin_topk",             # Artetxe-Schwenk margin mining rescore
     # Spark-side plan changed in r8 — re-verify
     "funnel_conv",   # one-pass K-step state machine (was a join chain)
     "ann_quality",   # truth-driven eval output (zero-hit queries kept)
@@ -5548,8 +5601,10 @@ _DRIVER_PREFIX = [
     "c4_rules", "contamination", "corpus_stats", "dedup_clusters",
     "dedup_keep_best", "dsir_sample", "fingerprints", "gopher_rules",
     "hashed_vectors", "lang_id", "ngram_novelty", "norm_dedup",
-    "oov_rate", "ppl_buckets", "rep_filters", "semantic_dedup",
+    "oov_rate", "ppl_buckets", "rep_filters",
     "stream_minhash_replay",                                  # r06
+    # (semantic_dedup rotated out late-r8: r06-green; its cell-bounded
+    # join family is re-verified via stream_semantic_replay in-prefix)
     # (substr_dedup rotated out late-r8: r06+r07 driver-green, the
     # freshest rows in the stale block — a never-verified entry wins)
     # (quality_calibration rotated out late-r8: its sigmoid-rounding

@@ -3249,3 +3249,51 @@ def test_js_divergence_bounds_and_reference(spark):
             js += 0.5 * c * math.log(c / m)
         assert abs(got[src] - js) < 1e-6, (src, got[src], js)
         assert 0.0 <= got[src] <= math.log(2) + 1e-9
+
+
+def test_margin_topk_matches_numpy_reference(spark):
+    import numpy as np
+    from carbonapi_spark.datapipe.similarity import margin_topk
+    rng = [(i, [float(((i * 37 + j * 17) % 19) - 9) / 9
+                for j in range(8)]) for i in range(40)]
+    df = spark.createDataFrame(rng, "vec_id long, embedding array<float>")
+    got = margin_topk(df, df.where(F.col("vec_id") < 4), k=5, knn=3)
+    rows = {(r["query_id"], r["cand_id"]): (r["cos_sim"], r["margin"])
+            for r in got.collect()}
+    assert len(rows) == 4 * 5
+    V = {i: np.array(v, dtype=np.float64) for i, v in
+         [(i, [float(np.float32(x)) for x in v]) for i, v in rng]}
+
+    def cos(a, b):
+        return round(float(V[a] @ V[b]
+                           / (np.linalg.norm(V[a]) * np.linalg.norm(V[b]))), 6)
+    for x in range(4):
+        sims = sorted(((cos(x, y), -y) for y in V if y != x), reverse=True)
+        ax = float(np.mean([s for s, _ in sims[:3]]))
+        for s, ny in sims[:5]:
+            y = -ny
+            ys = sorted((cos(y, z) for z in range(4) if z != y),
+                        reverse=True)
+            ay = float(np.mean(ys[:3]))
+            want = round(s / ((ax + ay) / 2), 6)
+            gs, gm = rows[(x, y)]
+            assert gs == s
+            assert abs(gm - want) < 2e-6, ((x, y), gm, want)
+
+
+def test_margin_topk_demotes_hub(spark):
+    import numpy as np
+    from carbonapi_spark.datapipe.similarity import margin_topk
+    # hub vector 100 is moderately close to EVERY query direction;
+    # vector 101 is an exclusive near-duplicate of query 0.  Cosine may
+    # rank the hub competitively, margin must rank the exclusive pair
+    # strictly higher for query 0 than any hub pairing.
+    base = np.eye(8)
+    rows = [(0, list(base[0])), (1, list(base[1])), (2, list(base[2])),
+            (100, list((base[:4].sum(0) / np.linalg.norm(base[:4].sum(0))))),
+            (101, list(0.97 * base[0] + 0.03 * base[3]))]
+    df = spark.createDataFrame([(i, [float(x) for x in v]) for i, v in rows],
+                               "vec_id long, embedding array<float>")
+    got = margin_topk(df, df.where(F.col("vec_id") < 3), k=3, knn=2)
+    m = {(r["query_id"], r["cand_id"]): r["margin"] for r in got.collect()}
+    assert m[(0, 101)] > m[(0, 100)]
