@@ -21,7 +21,8 @@ the left-to-right NON-OVERLAPPING merge of a run ("a a a a" + (a,a) ->
 "aa aa") exact: after a merge the accumulated last symbol is the merged
 token, which can never equal the left part again.
 
-The word universe is PRINTABLE-ASCII TYPES ONLY (``^[!-~]+$``, tested on
+The word universe is PRINTABLE-ASCII TYPES ONLY (``ascii_word``, an
+anchor-free negated contains-match, tested on
 the RAW token before lowercasing): per-character splitting is UTF-16
 code units on the JVM but codepoints in DuckDB/utf8proc, and ``lower()``
 full-vs-simple case mappings differ across engines for characters like
@@ -53,7 +54,22 @@ def _symbols(sym: Column) -> Column:
     return F.filter(F.split(sym, SEP), lambda s: s != "")
 
 
-ASCII_WORD = "^[!-~]+$"
+# The ASCII-type test is an anchor-free NEGATED CONTAINS ("has no char
+# outside printable ASCII"), NOT "^[!-~]+$": Java's default "$" matches
+# BEFORE a final line terminator (LF CR U+0085 U+2028 U+2029 --
+# java.util.regex.Pattern "Line terminators") while RE2's matches only
+# at end-of-text, so the anchored form KEEPS a token ending in
+# NEL/LS/PS on the JVM and DROPS it in DuckDB (U+0085/U+2028/U+2029 are
+# not in the pinned whitespace split class, so such tokens reach the
+# filter intact -- probed: "abc" + U+2028 diverged the engines).  A
+# contains-match has no anchor semantics to disagree about.
+NON_ASCII_CHAR = "[^!-~]"
+
+
+def ascii_word(col: Column) -> Column:
+    """True iff the (non-empty) token is printable-ASCII only —
+    engine-portable BPE word-universe gate (see NON_ASCII_CHAR)."""
+    return ~col.rlike(NON_ASCII_CHAR)
 
 
 def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -62,7 +78,7 @@ def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     text, keeps printable-ASCII types, lowercases after the filter (see
     module docstring for why this exact order is the portable one)."""
     return (df.select(F.explode(tokens(F.col(text_col))).alias("word"))
-            .where(F.col("word").rlike(ASCII_WORD))
+            .where(ascii_word(F.col("word")))
             .select(F.lower(F.col("word")).alias("word"))
             .groupBy("word").agg(F.count(F.lit(1)).alias("cnt")))
 
@@ -226,7 +242,7 @@ def bpe_encode(df: DataFrame, merges: list[tuple[str, str]],
     printable-ASCII only, lowercased after the filter."""
     tok = (df.select(F.col(id_col),
                      F.explode(tokens(F.col(text_col))).alias("token"))
-           .where(F.col("token").rlike(ASCII_WORD))
+           .where(ascii_word(F.col("token")))
            .select(F.col(id_col), F.lower(F.col("token")).alias("token")))
     sym = _sym_init(F.col("token"))
     for left, right in merges:
@@ -365,7 +381,7 @@ def wordpiece_encode(df: DataFrame, vocab: list[str],
     ``bpe_fertility`` economy)."""
     tok = (df.select(F.col(id_col),
                      F.explode(tokens(F.col(text_col))).alias("token"))
-           .where(F.col("token").rlike(ASCII_WORD))
+           .where(ascii_word(F.col("token")))
            .select(F.col(id_col), F.lower(F.col("token")).alias("token")))
     return tok.select(id_col, "token",
                       _wp_pieces(F.col("token"), vocab).alias("pieces"))

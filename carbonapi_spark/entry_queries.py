@@ -496,7 +496,7 @@ _BPE_TOKS_SQL = r"""
                   regexp_split_to_array(text, '[ \t\n\x0B\f\r]+'),
                   x -> x != '')) AS word
        FROM documents)
- WHERE regexp_matches(word, '^[!-~]+$'))""".strip()
+ WHERE NOT regexp_matches(word, '[^!-~]'))""".strip()
 
 
 def _minhash_pair_ctes(where: str = "") -> str:
@@ -4039,14 +4039,14 @@ def _q_wordpiece_fertility(spark, sf_dir):
     table once with the greedy longest-match fold, join piece counts
     onto per-doc occurrence counts.  The corpus never runs through the
     encode fold."""
-    from carbonapi_spark.datapipe.bpe import (_wp_pieces, wordpiece_train)
+    from carbonapi_spark.datapipe.bpe import (_wp_pieces, wordpiece_train, ascii_word as __ascii_word)
     from carbonapi_spark.datapipe.text import tokens as _tok
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     vocab = [r["merged"]
              for r in wordpiece_train(docs, n_merges=8).collect()]
     occ = (docs.select("doc_id",
                        F.explode(_tok(F.col("text"))).alias("token"))
-           .where(F.col("token").rlike("^[!-~]+$"))
+           .where(__ascii_word(F.col("token")))
            .select("doc_id", F.lower(F.col("token")).alias("token"))
            .groupBy("doc_id", "token")
            .agg(F.count(F.lit(1)).alias("__cnt")))
@@ -4092,7 +4092,8 @@ def _q_bpe_fertility(spark, sf_dir):
     corpus token with them, and report pieces-per-token per document —
     the tokenizer-cost diagnostic, with training AND encoding replayed
     end to end in the oracle."""
-    from carbonapi_spark.datapipe.bpe import bpe_encode, bpe_train
+    from carbonapi_spark.datapipe.bpe import (bpe_encode, bpe_train,
+                                              ascii_word as __ascii_word)
     from carbonapi_spark.datapipe.text import tokens as _tok
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     merges = [(r["lhs"], r["rhs"])
@@ -4102,7 +4103,7 @@ def _q_bpe_fertility(spark, sf_dir):
     # occurrence counts — the corpus never runs through the fold chain
     occ = (docs.select("doc_id",
                        F.explode(_tok(F.col("text"))).alias("token"))
-           .where(F.col("token").rlike("^[!-~]+$"))
+           .where(__ascii_word(F.col("token")))
            .select("doc_id", F.lower(F.col("token")).alias("token"))
            .groupBy("doc_id", "token")
            .agg(F.count(F.lit(1)).alias("__cnt")))

@@ -36,6 +36,14 @@ NASTY_DOCS = [
     (9, "  \x0B \t\n  "),                               # whitespace-only
     (10, "MIXED Case WORDS the and of to in"),
     (11, "the quick\x0Bthe quick the quick"),           # count ties
+    # tokens ENDING in a line terminator: Java's default "$" matches
+    # before a final NEL/LS/PS, RE2's does not -- the anchored
+    # "^[!-~]+$" word gate KEPT these on the JVM and DROPPED them in
+    # DuckDB (the round-7 bpe_merges driver hash-fail class); the
+    # anchor-free negated-contains gate must drop them in BOTH engines
+    (12, "nel-tail abc\u0085 mid"),
+    (13, "ls-tail abc\u2028 ps-tail xyz\u2029 end"),
+    (14, "crlf-ish tail\u0085\u2028 double"),
 ]
 
 
