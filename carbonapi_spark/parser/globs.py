@@ -56,6 +56,21 @@ def glob_to_regex(pattern: str, anchored: bool = True) -> str:
     return f"^{body}$" if anchored else body
 
 
+def glob_to_java_regex(pattern: str) -> str:
+    r"""Strict-end anchored form for the JVM (Spark ``rlike``) sites.
+
+    Java's default ``$`` matches BEFORE a final line terminator (LF, CR,
+    NEL, LS, PS) while RE2's (the DuckDB oracle engine's) matches only
+    at end-of-text, so a ``$``-anchored pattern shared between a Spark
+    plan and its SQL replay silently diverges on a name with a trailing
+    terminator — the same seam class as the BPE word-universe gate.
+    ``\z`` is Java's strict end-of-input (no terminator allowance),
+    which is exactly what RE2's ``$`` means, so the two engines agree
+    on every input.  (Python ``re`` has no ``\z``; the driver-side
+    matcher uses ``re.fullmatch`` instead.)"""
+    return "^" + glob_to_regex(pattern, anchored=False) + r"\z"
+
+
 def expand_braces(pattern: str, limit: int = 4096) -> list[str] | None:
     """Expand a brace-only pattern into its finite name list, else None.
 
@@ -88,5 +103,9 @@ def expand_braces(pattern: str, limit: int = 4096) -> list[str] | None:
 
 
 def glob_matches(pattern: str, name: str) -> bool:
-    """Driver-side matcher (used by /metrics/find tree assembly and tests)."""
-    return re.match(glob_to_regex(pattern), name) is not None
+    """Driver-side matcher (used by /metrics/find tree assembly and
+    tests).  ``fullmatch`` of the UNANCHORED body: Python's ``$`` also
+    matches before a trailing newline, so anchor-free + fullmatch is
+    the strict-end form here (the ``\\z`` of ``glob_to_java_regex``)."""
+    return re.fullmatch(glob_to_regex(pattern, anchored=False),
+                        name) is not None

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from carbonapi_spark.model.series import NAME
-from carbonapi_spark.parser.globs import glob_to_regex
+from carbonapi_spark.parser.globs import glob_to_java_regex
 from carbonapi_spark.sources.lake import SeriesLake, tags_expr
 
 
@@ -24,7 +24,7 @@ def find(lake: SeriesLake, query: str) -> list[dict]:
     base = F.split_part(F.col(NAME), F.lit(";"), F.lit(1))
     parts = F.split(base, "\\.")
     prefix = F.array_join(F.slice(parts, 1, depth), ".")
-    rx = glob_to_regex(query)
+    rx = glob_to_java_regex(query)
     rows = (lake.df
             .select(prefix.alias("p"), (F.size(parts) > depth).alias("deeper"))
             .where(F.col("p").rlike(rx))
@@ -59,7 +59,7 @@ def expand(lake: SeriesLake, query: str) -> list[str]:
     base = F.split_part(F.col(NAME), F.lit(";"), F.lit(1))
     parts = F.split(base, "\\.")
     prefix = F.array_join(F.slice(parts, 1, depth), ".")
-    rx = glob_to_regex(query)
+    rx = glob_to_java_regex(query)
     rows = (lake.df.select(prefix.alias("p")).where(F.col("p").rlike(rx))
             .distinct().orderBy("p").collect())
     return [r["p"] for r in rows]

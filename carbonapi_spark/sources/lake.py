@@ -32,7 +32,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 from carbonapi_spark.model.consolidation import agg_column
 from carbonapi_spark.model.series import NAME, ORD, TS, VALUE, SeriesFrame
 from carbonapi_spark.parser.globs import (
-    expand_braces, glob_to_regex, has_wildcard,
+    expand_braces, glob_to_java_regex, has_wildcard,
 )
 
 
@@ -146,7 +146,7 @@ class SeriesLake:
             # brace-only alternation -> IN, which (unlike rlike) reaches the
             # Parquet row-group filters as an In pushed filter
             return name.isin(exact)
-        pred = name.rlike(glob_to_regex(pattern))
+        pred = name.rlike(glob_to_java_regex(pattern))
         prefix = glob_prefix(pattern)
         if prefix:
             # startswith IS pushed to Parquet (StringStartsWith filter);
@@ -251,7 +251,7 @@ def write_rollups(df: DataFrame, path: str, steps: list[int],
                         .cast("double").alias(f"__{f}") for f in funcs]))
         value = F.col(f"__{default_method}")
         for pat, f in reversed(methods or []):
-            value = F.when(F.col(NAME).rlike(glob_to_regex(pat)),
+            value = F.when(F.col(NAME).rlike(glob_to_java_regex(pat)),
                            F.col(f"__{f}")).otherwise(value)
         (agged.select(NAME, TS, value.alias(VALUE))
          .withColumn("day", (F.col(TS) - F.col(TS)

@@ -109,7 +109,7 @@ def stream_rollups(series: DataFrame, path: str, checkpoint_root: str,
     ``DataStreamWriter`` per step (caller ``.start()``s them; separate
     checkpoints per step under ``checkpoint_root``)."""
     from carbonapi_spark.model.consolidation import agg_column
-    from carbonapi_spark.parser.globs import glob_to_regex
+    from carbonapi_spark.parser.globs import glob_to_java_regex
 
     funcs = sorted({f for _p, f in (methods or [])} | {default_method})
     writers = []
@@ -122,7 +122,7 @@ def stream_rollups(series: DataFrame, path: str, checkpoint_root: str,
                         .cast("double").alias(f"__{f}") for f in funcs]))
         value = F.col(f"__{default_method}")
         for pat, f in reversed(methods or []):
-            value = F.when(F.col("name").rlike(glob_to_regex(pat)),
+            value = F.when(F.col("name").rlike(glob_to_java_regex(pat)),
                            F.col(f"__{f}")).otherwise(value)
         out = (agged.select("name",
                             F.col("window.start").cast("long").alias("ts"),
