@@ -4518,6 +4518,62 @@ SELECT user_id, t1 AS t_start, t3 AS t_complete FROM s3
 """.strip())
 
 
+def _q_stream_quota_replay(spark, sf_dir):
+    """STREAMING per-source token-quota admission on the scoreboard:
+    documents replayed through ``stream_source_quota``'s one-int64-state
+    kernel as an availableNow file stream — each source admits its
+    doc_id-order prefix while the running stream total fits 700 tokens,
+    then stays closed.  The cumulative total is monotone, so the
+    whole-history replay is exactly a per-source window cum-sum
+    filter — which is what the oracle computes."""
+    import tempfile
+
+    from carbonapi_spark.datapipe.text import token_count
+    from carbonapi_spark.streaming.stateful import stream_source_quota
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (spark.readStream.schema(schema)
+              .option("pathGlobFilter", "documents.parquet")
+              .parquet(sf_dir))
+    docs = stream.select("doc_id", "source",
+                         token_count(F.col("text")).cast("long")
+                         .alias("n_tokens"))
+    out = stream_source_quota(docs, 700)
+    rows: list = []
+
+    def sink(bdf, _bid):
+        rows.extend((r["source"], int(r["doc_id"]), int(r["n_tokens"]),
+                     int(r["cum_tokens"])) for r in bdf.collect())
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        with tempfile.TemporaryDirectory() as ckpt:
+            q = (out.writeStream.foreachBatch(sink)
+                 .option("checkpointLocation", ckpt)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    return spark.createDataFrame(
+        sorted(rows) or [],
+        "source STRING, doc_id LONG, n_tokens LONG, cum_tokens LONG")
+
+
+_register("stream_quota_replay", _q_stream_quota_replay, r"""
+WITH __n AS (SELECT source, doc_id,
+                    CAST(len(list_filter(string_split_regex(text,
+                         '[ \t\n\x0B\f\r]+'), x -> x != '')) AS BIGINT)
+                        AS n_tokens
+             FROM documents)
+SELECT source, doc_id, n_tokens,
+       CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum_tokens
+FROM __n
+QUALIFY cum_tokens <= 700
+""".strip())
+
+
 def _q_rfm_segments(spark, sf_dir):
     """RFM user segmentation: per-user recency (last event ts) and
     frequency (event count), each ntile'd into quintiles with a
@@ -5582,6 +5638,7 @@ _DRIVER_PREFIX = [
     "budget_select",           # token-budget greedy data selection
     "js_drift",                # Jensen-Shannon mixture drift
     "margin_topk",             # Artetxe-Schwenk margin mining rescore
+    "stream_quota_replay",     # streaming per-source token quota
     # Spark-side plan changed in r8 — re-verify
     "funnel_conv",   # one-pass K-step state machine (was a join chain)
     "ann_quality",   # truth-driven eval output (zero-hit queries kept)
@@ -5602,8 +5659,11 @@ _DRIVER_PREFIX = [
     "c4_rules", "contamination", "corpus_stats", "dedup_clusters",
     "dedup_keep_best", "dsir_sample", "fingerprints", "gopher_rules",
     "hashed_vectors", "lang_id", "ngram_novelty", "norm_dedup",
-    "oov_rate", "ppl_buckets", "rep_filters",
+    "oov_rate", "rep_filters",
     "stream_minhash_replay",                                  # r06
+    # (ppl_buckets rotated out late-r8: r06-green; the perplexity
+    # family's shared chain re-verified r07 via ppl_quantile_buckets
+    # and kn_bigram_ppl)
     # (semantic_dedup rotated out late-r8: r06-green; its cell-bounded
     # join family is re-verified via stream_semantic_replay in-prefix)
     # (substr_dedup rotated out late-r8: r06+r07 driver-green, the

@@ -496,3 +496,52 @@ def stream_funnel(events: DataFrame, steps: list[str],
     return (filtered.groupBy(user_col)
             .applyInPandasWithState(fn, FUNNEL_OUT, FUNNEL_STATE,
                                     "append", GroupStateTimeout.NoTimeout))
+
+
+QUOTA_OUT = "source STRING, doc_id LONG, n_tokens LONG, cum_tokens LONG"
+QUOTA_STATE = "seen LONG"
+
+
+def stream_source_quota(docs: DataFrame, quota_tokens: int,
+                        group_col: str = "source",
+                        id_col: str = "doc_id",
+                        tokens_col: str = "n_tokens") -> DataFrame:
+    """Per-source streaming token-quota admission: each source admits
+    its arrival-order PREFIX of documents while the source's running
+    stream total stays within ``quota_tokens``; once the stream passes
+    the quota the faucet stays closed (the crawl-politeness /
+    per-domain budget gate, enforced at ingest instead of by a
+    post-hoc batch cap).
+
+    State per source is ONE int64 — the tokens seen so far — so total
+    state is sources x 8 bytes at any stream length.  The running
+    total counts every arriving document (admit iff the post-arrival
+    total still fits), which keeps the admitted set a pure PREFIX of
+    the arrival order: the cumulative total is monotone, so the
+    whole-history replay is a window cum-sum filter — no sequential
+    skip-scan semantics to diverge on.  Within a micro-batch arrival
+    order is pinned to ascending ``id_col`` (deterministic replay;
+    kernels see Arrow chunks per key, gathered before sorting).
+    Emits admitted rows as (source, doc_id, n_tokens, cum_tokens)."""
+
+    def fn(key, pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        seen = state.get[0] if state.exists else 0
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if len(pdf):
+            pdf = pdf.sort_values(id_col, ignore_index=True)
+            cum = seen + pdf[tokens_col].to_numpy(dtype="int64").cumsum()
+            keep = cum <= quota_tokens
+            out = pd.DataFrame({
+                "source": pdf[group_col][keep],
+                "doc_id": pdf[id_col][keep],
+                "n_tokens": pdf[tokens_col][keep],
+                "cum_tokens": cum[keep]})
+            seen = int(cum[-1]) if len(cum) else seen
+            if len(out):
+                yield out
+        state.update((seen,))
+
+    return (docs.groupBy(group_col)
+            .applyInPandasWithState(fn, QUOTA_OUT, QUOTA_STATE,
+                                    "append", GroupStateTimeout.NoTimeout))

@@ -3297,3 +3297,36 @@ def test_margin_topk_demotes_hub(spark):
     got = margin_topk(df, df.where(F.col("vec_id") < 3), k=3, knn=2)
     m = {(r["query_id"], r["cand_id"]): r["margin"] for r in got.collect()}
     assert m[(0, 101)] > m[(0, 100)]
+
+
+def test_stream_source_quota_state_across_runs(spark, tmp_path):
+    """Per-source token quota: the arrival-order prefix fits, the
+    faucet stays closed across runs once the stream total passes the
+    quota — even for later docs that would individually fit."""
+    import json
+    from carbonapi_spark.streaming.stateful import stream_source_quota
+    src, out, ck = tmp_path / "src", tmp_path / "out", tmp_path / "ck"
+    src.mkdir()
+
+    def stream():
+        s = (spark.readStream
+             .schema("doc_id LONG, source STRING, n_tokens LONG")
+             .json(str(src)))
+        return stream_source_quota(s, 100)
+
+    (src / "a.json").write_text("\n".join(json.dumps(d) for d in [
+        {"doc_id": 1, "source": "x", "n_tokens": 40},
+        {"doc_id": 2, "source": "x", "n_tokens": 50},
+        {"doc_id": 3, "source": "x", "n_tokens": 30},   # 120 > 100: closed
+        {"doc_id": 4, "source": "y", "n_tokens": 90}]))
+    _run_stream(stream, src, out, ck)
+    (src / "b.json").write_text("\n".join(json.dumps(d) for d in [
+        {"doc_id": 5, "source": "x", "n_tokens": 1},    # x already closed
+        {"doc_id": 6, "source": "y", "n_tokens": 10},   # fits exactly
+        {"doc_id": 7, "source": "y", "n_tokens": 1}]))  # 101 > 100
+    _run_stream(stream, src, out, ck)
+
+    rows = {r["doc_id"]: r for r in spark.read.parquet(str(out)).collect()}
+    assert sorted(rows) == [1, 2, 4, 6]
+    assert rows[2]["cum_tokens"] == 90
+    assert rows[6]["cum_tokens"] == 100
