@@ -487,6 +487,92 @@ def kn_bigram_perplexity_buckets(df: DataFrame, text_col: str = "text",
     return scored.withColumn("bucket", F.ntile(buckets).over(w))
 
 
+def kn_trigram_perplexity_buckets(df: DataFrame, text_col: str = "text",
+                                  id_col: str = "doc_id", d: float = 0.75,
+                                  buckets: int = 3,
+                                  threshold_qs: list[float] | None = None
+                                  ) -> DataFrame:
+    """Interpolated Kneser-Ney at TRIGRAM order — one more rung up the
+    ladder toward CCNet's 5-gram KenLM, with the full two-level KN
+    recursion (Chen & Goodman 1998, eq. 4.24; the lower orders use
+    CONTINUATION counts, not frequencies):
+
+        p(w3|w1w2) = max(c(w1w2w3) - d, 0)/c(w1w2.)
+                     + d * N1+(w1w2,.)/c(w1w2.) * p_kn(w3|w2)
+        p_kn(w3|w2) = max(N1+(.w2w3) - d, 0)/N1+(.w2.)
+                      + d * T(w2)/N1+(.w2.) * pc(w3)
+        pc(w3)      = N1+(..w3) / N1+(...)
+
+    where N1+(.w2w3) counts distinct left contexts of the bigram
+    (the mid level scores TYPES of extension, not tokens), T(w2) is the
+    number of distinct continuations of w2, and pc is the bigram-type
+    continuation unigram.
+
+    EVERY quantity derives from the ONE trigram count table: c(w1w2.)
+    and N1+(w1w2,.) group it by (w1,w2); the mid-level "adjusted count"
+    table groups it by (w2,w3) counting rows; that table's own
+    groupings give N1+(.w2.), T(w2), and the continuation unigram —
+    four vocabulary-sized aggregations, never a second corpus pass.
+    Self-scored corpora only see observed trigrams, so every
+    denominator is >= 1.  Docs with < 3 tokens land past the
+    corpus-worst entropy.  Returns (doc_id, cross_entropy, bucket)."""
+    from pyspark.sql.window import Window
+
+    from carbonapi_spark.datapipe import (bcast_if_small, spread,
+                                          track_if_large)
+    df = spread(df)
+    tri = (df.select(F.col(id_col),
+                     F.explode(word_ngrams(F.col(text_col), 3)).alias("g"))
+           .select(id_col, "g",
+                   F.substring_index("g", " ", 2).alias("__b12"),
+                   F.substring_index(F.substring_index("g", " ", -2),
+                                     " ", 1).alias("__w2"),
+                   F.substring_index("g", " ", -1).alias("__w3"),
+                   F.substring_index("g", " ", -2).alias("__b23")))
+    cnt_tri = tri.groupBy("g").agg(F.count(F.lit(1)).alias("__nt"))
+    # derived tables — aggregations of cnt_tri, NOT the corpus
+    hi = (cnt_tri.groupBy(F.substring_index("g", " ", 2).alias("__b12"))
+          .agg(F.sum("__nt").alias("__c12"),
+               F.count(F.lit(1)).alias("__n1h")))  # c(w1w2.), N1+(w1w2,.)
+    mid = (cnt_tri.groupBy(F.substring_index("g", " ", -2).alias("__b23"))
+           .agg(F.count(F.lit(1)).alias("__a23")))  # N1+(.w2w3)
+    w2t = (mid.groupBy(F.substring_index("__b23", " ", 1).alias("__w2"))
+           .agg(F.sum("__a23").alias("__d2"),       # N1+(.w2.)
+                F.count(F.lit(1)).alias("__t2")))   # T(w2)
+    uni = (mid.groupBy(F.substring_index("__b23", " ", -1).alias("__w3"))
+           .agg(F.count(F.lit(1)).alias("__n1u")))  # N1+(..w3)
+    tot = mid.agg(F.count(F.lit(1)).alias("__types"))  # N1+(...)
+    pc = F.col("__n1u") / F.col("__types")
+    p_mid = (F.greatest(F.col("__a23") - F.lit(d), F.lit(0.0))
+             / F.col("__d2")
+             + F.lit(d) * F.col("__t2") / F.col("__d2") * pc)
+    p_tri = (F.greatest(F.col("__nt") - F.lit(d), F.lit(0.0))
+             / F.col("__c12")
+             + F.lit(d) * F.col("__n1h") / F.col("__c12") * p_mid)
+    scored = track_if_large(
+        tri.join(bcast_if_small(cnt_tri, df), "g")
+        .join(bcast_if_small(hi, df), "__b12")
+        .join(bcast_if_small(mid, df), "__b23")
+        .join(bcast_if_small(w2t, df), "__w2")
+        .join(bcast_if_small(uni, df), "__w3")
+        .crossJoin(F.broadcast(tot))
+        .groupBy(id_col)
+        .agg((-F.avg(F.log(p_tri))).alias("__h")),
+        gate_df=df)
+    worst = scored.agg(F.max("__h").alias("__worst"))
+    scored = (df.select(id_col).join(scored, id_col, "left")
+              .crossJoin(F.broadcast(worst))
+              .select(id_col,
+                      F.round(F.coalesce("__h",
+                                         F.col("__worst") + 1, F.lit(0.0)),
+                              6).alias("cross_entropy")))
+    if threshold_qs is not None:
+        thr = quantile_thresholds(scored, "cross_entropy", threshold_qs)
+        return bucket_by_thresholds(scored, "cross_entropy", thr)
+    w = Window.orderBy(F.asc("cross_entropy"), F.asc(id_col))
+    return scored.withColumn("bucket", F.ntile(buckets).over(w))
+
+
 PII_PATTERNS: list[tuple[str, str]] = [
     # (regex, replacement token) — the C4/CCNet-style scrub set; order is
     # applied top-down so emails win over bare domains etc.

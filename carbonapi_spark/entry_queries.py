@@ -5470,6 +5470,68 @@ FROM __all
 """.replace("__cb_src", "__bi").strip())
 
 
+def _q_kn_trigram_ppl(spark, sf_dir):
+    """Interpolated Kneser-Ney TRIGRAM quality buckets with the full
+    two-level recursion — the mid level scores continuation TYPES
+    (distinct left contexts), not frequencies.  All five model tables
+    derive from the one trigram count table; the oracle replays the
+    discounting chain end to end."""
+    from carbonapi_spark.datapipe.text import kn_trigram_perplexity_buckets
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return kn_trigram_perplexity_buckets(docs, buckets=3)
+
+
+_register("kn_trigram_ppl", _q_kn_trigram_ppl, r"""
+WITH __d AS (SELECT doc_id,
+                    list_filter(regexp_split_to_array(lower(text), '[ \t\n\x0B\f\r]+'),
+                                x -> x != '') AS toks
+             FROM documents),
+__tr AS (SELECT doc_id,
+                unnest(list_transform(range(greatest(len(toks) - 2, 0)),
+                                      j -> toks[j + 1] || ' ' || toks[j + 2]
+                                           || ' ' || toks[j + 3]))
+                AS g
+         FROM __d),
+__ct AS (SELECT g, count(*) AS nt FROM __tr GROUP BY g),
+__hi AS (SELECT split_part(g, ' ', 1) || ' ' || split_part(g, ' ', 2) AS b12,
+                sum(nt) AS c12, count(*) AS n1h
+         FROM __ct GROUP BY 1),
+__mid AS (SELECT split_part(g, ' ', 2) || ' ' || split_part(g, ' ', 3) AS b23,
+                 count(*) AS a23
+          FROM __ct GROUP BY 1),
+__w2t AS (SELECT split_part(b23, ' ', 1) AS w2, sum(a23) AS d2,
+                 count(*) AS t2
+          FROM __mid GROUP BY 1),
+__uni AS (SELECT split_part(b23, ' ', 2) AS w3, count(*) AS n1u
+          FROM __mid GROUP BY 1),
+__ty AS (SELECT count(*) AS types FROM __mid),
+__sc AS (SELECT doc_id,
+                -avg(ln(greatest(nt - 0.75, 0) / c12
+                        + 0.75 * n1h / c12
+                          * (greatest(a23 - 0.75, 0) / d2
+                             + 0.75 * t2 / d2
+                               * (n1u / CAST(types AS DOUBLE))))) AS h
+         FROM __tr t
+         JOIN __ct USING (g)
+         JOIN __hi ON split_part(t.g, ' ', 1) || ' '
+                      || split_part(t.g, ' ', 2) = b12
+         JOIN __mid ON split_part(t.g, ' ', 2) || ' '
+                       || split_part(t.g, ' ', 3) = b23
+         JOIN __w2t ON split_part(t.g, ' ', 2) = w2
+         JOIN __uni ON split_part(t.g, ' ', 3) = w3
+         CROSS JOIN __ty
+         GROUP BY doc_id),
+__all AS (SELECT d.doc_id,
+                 round(coalesce(h, (SELECT max(h) + 1 FROM __sc), 0.0), 6)
+                 AS cross_entropy
+          FROM documents d LEFT JOIN __sc USING (doc_id))
+SELECT doc_id, cross_entropy,
+       CAST(ntile(3) OVER (ORDER BY cross_entropy, doc_id) AS INTEGER)
+       AS bucket
+FROM __all
+""".strip())
+
+
 def _q_decontaminate(spark, sf_dir):
     """Surgical benchmark decontamination (GPT-3 appendix C, 13-gram
     collisions — here k=8 at test scale): docs >= 100 are the training
@@ -5639,6 +5701,7 @@ _DRIVER_PREFIX = [
     "js_drift",                # Jensen-Shannon mixture drift
     "margin_topk",             # Artetxe-Schwenk margin mining rescore
     "stream_quota_replay",     # streaming per-source token quota
+    "kn_trigram_ppl",          # two-level Kneser-Ney trigram buckets
     # Spark-side plan changed in r8 — re-verify
     "funnel_conv",   # one-pass K-step state machine (was a join chain)
     "ann_quality",   # truth-driven eval output (zero-hit queries kept)
@@ -5658,7 +5721,9 @@ _DRIVER_PREFIX = [
     "pack_sequences", "quality_lr", "redact_pii",              # r05
     "c4_rules", "contamination", "corpus_stats", "dedup_clusters",
     "dedup_keep_best", "dsir_sample", "fingerprints", "gopher_rules",
-    "hashed_vectors", "lang_id", "ngram_novelty", "norm_dedup",
+    "lang_id", "ngram_novelty", "norm_dedup",
+    # (hashed_vectors rotated out late-r8: r06-green; its feature
+    # explode is re-verified through dsir_sample's shared chain)
     "oov_rate", "rep_filters",
     "stream_minhash_replay",                                  # r06
     # (ppl_buckets rotated out late-r8: r06-green; the perplexity

@@ -3330,3 +3330,50 @@ def test_stream_source_quota_state_across_runs(spark, tmp_path):
     assert sorted(rows) == [1, 2, 4, 6]
     assert rows[2]["cum_tokens"] == 90
     assert rows[6]["cum_tokens"] == 100
+
+
+def test_kn_trigram_ppl_matches_python(spark):
+    """Two-level interpolated KN replayed in pure Python; the mid level
+    must use continuation TYPES (distinct left contexts), not counts."""
+    import math
+    from collections import Counter
+
+    from carbonapi_spark.datapipe.text import kn_trigram_perplexity_buckets
+    texts = {0: "a b c a b c a b c", 1: "a b c d e f g",
+             2: "x y", 3: "c a b c a b"}
+    df = spark.createDataFrame(list(texts.items()),
+                               "doc_id long, text string")
+    out = {r["doc_id"]: r["cross_entropy"]
+           for r in kn_trigram_perplexity_buckets(df).collect()}
+    tris = {d: [" ".join(t.split()[i:i + 3])
+                for i in range(len(t.split()) - 2)]
+            for d, t in texts.items()}
+    ct = Counter(g for gs in tris.values() for g in gs)
+    c12 = Counter(); n1h = Counter(); a23 = Counter()
+    for g, c in ct.items():
+        w1, w2, w3 = g.split()
+        c12[(w1, w2)] += c; n1h[(w1, w2)] += 1
+        a23[(w2, w3)] += 1
+    d2 = Counter(); t2 = Counter(); n1u = Counter()
+    for (w2, w3), a in a23.items():
+        d2[w2] += a; t2[w2] += 1; n1u[w3] += 1
+    types = len(a23)
+    d0 = 0.75
+    want = {}
+    for doc, gs in tris.items():
+        if not gs:
+            continue
+        tot = 0.0
+        for g in gs:
+            w1, w2, w3 = g.split()
+            pc = n1u[w3] / types
+            pm = (max(a23[(w2, w3)] - d0, 0) / d2[w2]
+                  + d0 * t2[w2] / d2[w2] * pc)
+            p = (max(ct[g] - d0, 0) / c12[(w1, w2)]
+                 + d0 * n1h[(w1, w2)] / c12[(w1, w2)] * pm)
+            tot += -math.log(p)
+        want[doc] = round(tot / len(gs), 6)
+    for doc, h in want.items():
+        assert out[doc] == pytest.approx(h, abs=2e-6), doc
+    assert out[2] == round(max(want.values()) + 1, 6)  # no-trigram tail
+    assert out[0] < out[1]  # repetition scores as lower entropy
