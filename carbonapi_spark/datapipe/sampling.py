@@ -621,3 +621,41 @@ def budget_select(df: DataFrame, score_col: str, budget: int,
     return (gb.join(F.broadcast(offs), "__bkt")
             .select(id_col, F.col("__s").alias(score_col), "n_tokens", cum)
             .where(F.col("cum_tokens") <= budget))
+
+
+def curriculum_order(df: DataFrame, score_col: str, n_buckets: int = 4,
+                     id_col: str = "doc_id",
+                     exact: bool = True) -> DataFrame:
+    """Curriculum training order (Bengio et al., "Curriculum Learning",
+    ICML 2009): bucket documents by an easiness score (ascending —
+    bucket 1 is easiest) and emit a deterministic epoch order that
+    walks the buckets round-robin, one document at a time, shuffled
+    within each bucket by the ``xxhash64(id)`` gate.  The interleave
+    exposes the model to mostly-easy data first while keeping every
+    batch mixed — the practical curriculum shape, as opposed to a hard
+    easy-then-hard sort.
+
+    NO GLOBAL SORT: bucket boundaries come from the one-pass quantile
+    cutoffs (``quantile_thresholds``; exact percentile == DuckDB
+    quantile_cont, or the sketch at 100 TB scale), bucketing is a
+    broadcast map, the rank window partitions BY bucket, and the final
+    key is arithmetic — rank*K + bucket is unique (it determines
+    bucket mod K and rank) and needs no cross-bucket pass.  Returns
+    (id, score, bucket, curriculum_rank); train in ascending
+    curriculum_rank order."""
+    from pyspark.sql.window import Window
+
+    from carbonapi_spark.datapipe.text import (bucket_by_thresholds,
+                                               quantile_thresholds)
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    base = df.select(F.col(id_col), F.col(score_col))
+    thr = quantile_thresholds(base, score_col, qs, exact=exact)
+    bucketed = bucket_by_thresholds(base, score_col, thr)
+    h = F.xxhash64(F.col(id_col).cast("string"))
+    w = Window.partitionBy("bucket").orderBy(h.asc(), F.col(id_col).asc())
+    rk = F.row_number().over(w)
+    return (bucketed
+            .select(id_col, score_col, "bucket",
+                    ((rk - F.lit(1)) * F.lit(n_buckets)
+                     + F.col("bucket")).cast("long")
+                    .alias("curriculum_rank")))

@@ -5380,6 +5380,52 @@ FROM __all CROSS JOIN __thr
 """.strip())
 
 
+def _q_curriculum(spark, sf_dir):
+    """Curriculum training order: length-bucketed (shortest = easiest
+    first — the classic curriculum heuristic), walked round-robin one
+    doc at a time with a deterministic xxhash64 shuffle inside each
+    bucket.  No global sort anywhere: exact quantile cutoffs (one agg),
+    broadcast bucketing, per-bucket rank windows, arithmetic final
+    key — all replayed exactly."""
+    from carbonapi_spark.datapipe.sampling import curriculum_order
+    from carbonapi_spark.datapipe.text import token_count
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    per = docs.select("doc_id",
+                      token_count(F.col("text")).cast("long")
+                      .alias("n_tokens"))
+    return curriculum_order(per, "n_tokens", n_buckets=4)
+
+
+def _curriculum_oracle() -> str:
+    from carbonapi_spark.oracle_xxh64 import xxh64_ctes
+    return r"""
+WITH __n AS (SELECT doc_id,
+                    CAST(len(list_filter(string_split_regex(text,
+                         '[ \t\n\x0B\f\r]+'), x -> x != '')) AS BIGINT)
+                        AS n_tokens
+             FROM documents),
+__thr AS (SELECT round(quantile_cont(n_tokens, 0.25), 6) AS t1,
+                 round(quantile_cont(n_tokens, 0.5), 6) AS t2,
+                 round(quantile_cont(n_tokens, 0.75), 6) AS t3
+          FROM __n),
+__b AS (SELECT doc_id, n_tokens,
+               CAST(1 + (n_tokens > t1)::INT + (n_tokens > t2)::INT
+                    + (n_tokens > t3)::INT AS INTEGER) AS bucket
+        FROM __n CROSS JOIN __thr),
+__k AS (SELECT doc_id, n_tokens, bucket, CAST(doc_id AS VARCHAR) AS t
+        FROM __b),
+""" + xxh64_ctes('__k', 't', 'h64', '__x') + r"""
+SELECT doc_id, n_tokens, bucket,
+       CAST((row_number() OVER (PARTITION BY bucket
+                                ORDER BY h64, doc_id) - 1) * 4 + bucket
+            AS BIGINT) AS curriculum_rank
+FROM __x
+""".strip()
+
+
+_register("curriculum", _q_curriculum, _curriculum_oracle())
+
+
 def _q_jsonl_ingest(spark, sf_dir):
     """Source-format round trip on the scoreboard: documents are written
     out as a REAL line-delimited JSON dump (executor-side write), read
@@ -5702,6 +5748,7 @@ _DRIVER_PREFIX = [
     "margin_topk",             # Artetxe-Schwenk margin mining rescore
     "stream_quota_replay",     # streaming per-source token quota
     "kn_trigram_ppl",          # two-level Kneser-Ney trigram buckets
+    "curriculum",              # round-robin curriculum training order
     # Spark-side plan changed in r8 — re-verify
     "funnel_conv",   # one-pass K-step state machine (was a join chain)
     "ann_quality",   # truth-driven eval output (zero-hit queries kept)
@@ -5721,7 +5768,9 @@ _DRIVER_PREFIX = [
     "pack_sequences", "quality_lr", "redact_pii",              # r05
     "c4_rules", "contamination", "corpus_stats", "dedup_clusters",
     "dedup_keep_best", "dsir_sample", "fingerprints", "gopher_rules",
-    "lang_id", "ngram_novelty", "norm_dedup",
+    "ngram_novelty", "norm_dedup",
+    # (lang_id rotated out late-r8: r06-green; its marker-intersection
+    # chain is re-verified through lang_scores in-prefix)
     # (hashed_vectors rotated out late-r8: r06-green; its feature
     # explode is re-verified through dsir_sample's shared chain)
     "oov_rate", "rep_filters",

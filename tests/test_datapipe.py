@@ -3377,3 +3377,24 @@ def test_kn_trigram_ppl_matches_python(spark):
         assert out[doc] == pytest.approx(h, abs=2e-6), doc
     assert out[2] == round(max(want.values()) + 1, 6)  # no-trigram tail
     assert out[0] < out[1]  # repetition scores as lower entropy
+
+
+def test_curriculum_order_interleaves_buckets(spark):
+    from carbonapi_spark.datapipe.sampling import curriculum_order
+    df = spark.createDataFrame([(i, (i * 7) % 40 + 1) for i in range(80)],
+                               "doc_id long, s long")
+    got = curriculum_order(df, "s", n_buckets=4).collect()
+    assert len(got) == 80
+    ranks = [r["curriculum_rank"] for r in got]
+    assert len(set(ranks)) == 80          # unique global order key
+    by_rank = sorted(got, key=lambda r: r["curriculum_rank"])
+    # rank determines bucket arithmetically: rank % 4 == bucket % 4
+    for r in by_rank:
+        assert r["curriculum_rank"] % 4 == r["bucket"] % 4
+    # with balanced buckets the first len(buckets) ranks cover all 4
+    assert {r["bucket"] for r in by_rank[:4]} == {1, 2, 3, 4}
+    # easiness is monotone across buckets: every bucket-1 score <= every
+    # bucket-4 score
+    s1 = [r["s"] for r in got if r["bucket"] == 1]
+    s4 = [r["s"] for r in got if r["bucket"] == 4]
+    assert max(s1) <= min(s4)
