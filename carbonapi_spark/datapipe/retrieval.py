@@ -354,3 +354,80 @@ def ranking_metrics(results: DataFrame, truth: DataFrame, k: int = 10,
                             / F.col("n_truth"), 6).alias("recall"),
                     F.round(F.coalesce(F.col("__dcg"), F.lit(0.0))
                             / idcg, 6).alias("ndcg")))
+
+
+def bm25_batch(df: DataFrame, queries: list[tuple[int, str]],
+               text_col: str = "text", id_col: str = "doc_id",
+               k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """(query_id, id, score) for every (query, doc) pair sharing >= 1
+    term — the whole query BATCH scored in ONE corpus pass.
+
+    Mining and evaluation score queries by the thousand; running
+    ``bm25_scores`` per query would re-scan the corpus per query.  Here
+    the token explode is filtered to the UNION of the batch's term
+    vocabularies (one literal isin below the generator, exactly the
+    single-query plan), per-term idf is computed once from that stream,
+    and a broadcast (query_id, term) table fans each term occurrence
+    out to the queries that asked for it — so corpus cost is ONE pass
+    regardless of batch size, and everything after the explode is
+    sized by matching term occurrences."""
+    pairs = sorted({(qid, t) for qid, q in queries
+                    for t in _query_terms(q)})
+    if not pairs:
+        raise ValueError("empty query batch")
+    vocab = sorted({t for _, t in pairs})
+    spark = df.sparkSession
+    qt = spark.createDataFrame(pairs, "query_id INT, __t STRING")
+    lengths = df.select(F.col(id_col),
+                        token_count(F.col(text_col)).cast("long")
+                        .alias("__dl"))
+    tf = (df.select(F.col(id_col),
+                    F.explode(tokens(F.lower(F.col(text_col))))
+                    .alias("__t"))
+          .where(F.col("__t").isin(vocab))
+          .groupBy(id_col, "__t")
+          .agg(F.count(F.lit(1)).alias("__tf")))
+    stats = lengths.agg(F.count(F.lit(1)).alias("__n"),
+                        F.sum("__dl").alias("__sumdl"))
+    dfreq = tf.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
+    idf = (dfreq.crossJoin(F.broadcast(stats))
+           .select("__t",
+                   F.log(F.lit(1.0)
+                         + (F.col("__n") - F.col("__df") + F.lit(0.5))
+                         / (F.col("__df") + F.lit(0.5))).alias("__idf"),
+                   "__n", "__sumdl"))
+    avgdl = F.col("__sumdl").cast("double") / F.col("__n")
+    norm = F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("__dl") / avgdl)
+    contrib = (F.col("__idf") * F.col("__tf") * F.lit(k1 + 1.0)
+               / (F.col("__tf") + norm))
+    return (tf.join(F.broadcast(qt), "__t")
+            .join(F.broadcast(idf), "__t")
+            .join(lengths, id_col)
+            .select("query_id", F.col(id_col), contrib.alias("__c"))
+            .groupBy("query_id", id_col)
+            .agg(F.round(F.sum("__c"), 6).alias("score")))
+
+
+def hard_negatives(df: DataFrame, queries: list[tuple[int, str]],
+                   truth: DataFrame, k: int = 10,
+                   text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """BM25 hard-negative mining (Karpukhin et al., "Dense Passage
+    Retrieval for Open-Domain Question Answering", EMNLP 2020, sec.
+    5.2): per query, the top-``k`` highest-BM25 documents that are NOT
+    judged relevant — the lexically-confusable negatives a dual
+    encoder must learn to push away, which DPR found beats random or
+    in-batch negatives alone.
+
+    ``truth`` is the (query_id, id) qrels table — query-batch-sized,
+    broadcast into a left-anti join against the batch scores; the rank
+    window partitions by query over term-matching docs only.  Returns
+    (query_id, id, score, rank), rank 1 = hardest negative."""
+    from pyspark.sql.window import Window
+    sc = bm25_batch(df, queries, text_col, id_col)
+    neg = sc.join(F.broadcast(truth.select("query_id", id_col)),
+                  ["query_id", id_col], "left_anti")
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"),
+                                               F.col(id_col))
+    return (neg.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))

@@ -3785,6 +3785,64 @@ _register("bm25_topk", _q_bm25_topk,
           _bm25_ctes(25) + "\nSELECT doc_id, score FROM __cand")
 
 
+_HN_QUERIES = [(0, "hash join order"), (1, "query plan cost"),
+               (2, "hash table scan")]
+
+
+def _q_hard_negatives(spark, sf_dir):
+    """BM25 hard-negative mining (DPR, Karpukhin 2020): per query the
+    top-15 lexically-matching documents NOT judged relevant.  The
+    3-query batch is scored in ONE corpus pass (union-vocab explode
+    filter + broadcast (query,term) fan-out); qrels are the arithmetic
+    rule doc_id %% 7 == query_id, anti-joined broadcast."""
+    from carbonapi_spark.datapipe.retrieval import hard_negatives
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    truth = docs.select((F.col("doc_id") % 7).cast("int")
+                        .alias("query_id"), "doc_id")
+    return hard_negatives(docs, _HN_QUERIES, truth, k=15)
+
+
+def _hard_negatives_oracle() -> str:
+    from carbonapi_spark.datapipe.retrieval import _query_terms
+    k1, b = 1.2, 0.75
+    pairs = sorted({(qid, t) for qid, q in _HN_QUERIES
+                    for t in _query_terms(q)})
+    vocab = sorted({t for _, t in pairs})
+    vals = ", ".join(f"({qid}, '{t}')" for qid, t in pairs)
+    in_list = ", ".join(f"'{t}'" for t in vocab)
+    return f"""
+WITH __d AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+__len AS (SELECT doc_id, len(toks) AS dl FROM __d),
+__st AS (SELECT count(*) AS n, sum(dl) AS sumdl FROM __len),
+__tf AS (SELECT doc_id, t, count(*) AS tf
+         FROM (SELECT doc_id, unnest(toks) AS t FROM __d)
+         WHERE t IN ({in_list}) GROUP BY doc_id, t),
+__df AS (SELECT t, count(*) AS dfq FROM __tf GROUP BY t),
+__idf AS (SELECT t, ln(1.0 + (n - dfq + 0.5) / (dfq + 0.5)) AS idf
+          FROM __df CROSS JOIN __st),
+__qt(query_id, t) AS (VALUES {vals}),
+__sc AS (
+  SELECT query_id, doc_id,
+         round(sum(idf * tf * {k1 + 1.0!r}
+                   / (tf + {k1!r} * ({1.0 - b!r} + {b!r} * dl
+                                     / (CAST(sumdl AS DOUBLE) / n)))), 6)
+             AS score
+  FROM __tf JOIN __qt USING (t) JOIN __idf USING (t)
+       JOIN __len USING (doc_id) CROSS JOIN __st
+  GROUP BY query_id, doc_id)
+SELECT CAST(query_id AS INT) AS query_id, doc_id, score,
+       CAST(rk AS INT) AS rank
+FROM (SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS rk
+      FROM __sc WHERE NOT (doc_id % 7 = query_id))
+WHERE rk <= 15
+""".strip()
+
+
+_register("hard_negatives", _q_hard_negatives, _hard_negatives_oracle())
+
+
 def _q_mmr_rerank(spark, sf_dir):
     """Retrieval-stack composition on the scoreboard: BM25 top-25
     candidates for 'hash join order', diversified down to 10 with MMR
@@ -5749,6 +5807,7 @@ _DRIVER_PREFIX = [
     "stream_quota_replay",     # streaming per-source token quota
     "kn_trigram_ppl",          # two-level Kneser-Ney trigram buckets
     "curriculum",              # round-robin curriculum training order
+    "hard_negatives",          # batched BM25 DPR negative mining
     # Spark-side plan changed in r8 — re-verify
     "funnel_conv",   # one-pass K-step state machine (was a join chain)
     "ann_quality",   # truth-driven eval output (zero-hit queries kept)
@@ -5768,7 +5827,10 @@ _DRIVER_PREFIX = [
     "pack_sequences", "quality_lr", "redact_pii",              # r05
     "c4_rules", "contamination", "corpus_stats", "dedup_clusters",
     "dedup_keep_best", "dsir_sample", "fingerprints", "gopher_rules",
-    "ngram_novelty", "norm_dedup",
+    "ngram_novelty",
+    # (norm_dedup rotated out late-r8: r06-green + r07 driver row;
+    # exact-dedup family covered via stream_dedup history and the
+    # corpus_pipeline chain)
     # (lang_id rotated out late-r8: r06-green; its marker-intersection
     # chain is re-verified through lang_scores in-prefix)
     # (hashed_vectors rotated out late-r8: r06-green; its feature

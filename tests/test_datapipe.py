@@ -3398,3 +3398,27 @@ def test_curriculum_order_interleaves_buckets(spark):
     s1 = [r["s"] for r in got if r["bucket"] == 1]
     s4 = [r["s"] for r in got if r["bucket"] == 4]
     assert max(s1) <= min(s4)
+
+
+def test_bm25_batch_matches_per_query_and_excludes_truth(spark):
+    from carbonapi_spark.datapipe.retrieval import (bm25_batch, bm25_scores,
+                                                    hard_negatives)
+    texts = {i: f"alpha beta doc{i} " + ("alpha " * (i % 4))
+             + ("gamma " * (i % 3)) for i in range(30)}
+    df = spark.createDataFrame(list(texts.items()),
+                               "doc_id long, text string")
+    qs = [(0, "alpha gamma"), (1, "beta doc3")]
+    got = {(r["query_id"], r["doc_id"]): r["score"]
+           for r in bm25_batch(df, qs).collect()}
+    # the batch scores equal the one-query operator's, query by query
+    for qid, q in qs:
+        for r in bm25_scores(df, q).collect():
+            assert got[(qid, r["doc_id"])] == r["score"], (qid, r)
+    truth = spark.createDataFrame([(0, 4), (0, 8), (1, 3)],
+                                  "query_id int, doc_id long")
+    neg = hard_negatives(df, qs, truth, k=5).collect()
+    pairs = {(r["query_id"], r["doc_id"]) for r in neg}
+    assert pairs.isdisjoint({(0, 4), (0, 8), (1, 3)})
+    for qid in (0, 1):
+        ranks = sorted(r["rank"] for r in neg if r["query_id"] == qid)
+        assert ranks == [1, 2, 3, 4, 5]
