@@ -881,3 +881,36 @@ def probe_band_index(spark, path: str, new_docs: DataFrame,
         new_docs, idx.select("band", "key", "doc_id"), text_col,
         id_col, st["num_hashes"], st["bands"], st["ngram"], st["seed"],
         max_bucket)
+
+
+def split_leakage(df: DataFrame, val: float = 0.1, test: float = 0.1,
+                  threshold: float = 0.2, num_hashes: int = 16,
+                  bands: int = 4, ngram: int = 2,
+                  text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Near-duplicate pairs that STRADDLE the train/val/test hash
+    split — the leakage audit run before training: a val/test document
+    with a near-duplicate in train silently inflates every eval number
+    (the cross-split cousin of benchmark contamination; Lee et al.
+    2022 report exactly this route in C4).
+
+    Composes the banded-MinHash candidate pass + exact Jaccard verify
+    with the SPLIT GATE AS AN EXPRESSION (``sampling.split_label``):
+    each pair's two splits are derived from its ids in the same
+    projection — the corpus-sized assignment table is never built,
+    never joined.  Output is pair-sized:
+    (id_a, id_b, jaccard, split_a, split_b), cross-split pairs only."""
+    from pyspark.sql import functions as F
+
+    from carbonapi_spark.datapipe.sampling import split_label
+    pairs = minhash_lsh_candidates(df, text_col=text_col, id_col=id_col,
+                                   num_hashes=num_hashes, bands=bands,
+                                   ngram=ngram)
+    verified = jaccard_verify(df, pairs, text_col=text_col,
+                              id_col=id_col, ngram=ngram,
+                              threshold=threshold)
+    sa = split_label(F.col("id_a"), val, test)
+    sb = split_label(F.col("id_b"), val, test)
+    return (verified.select("id_a", "id_b", "jaccard",
+                            sa.alias("split_a"), sb.alias("split_b"))
+            .where(F.col("split_a") != F.col("split_b")))

@@ -373,16 +373,25 @@ def train_val_test_split(df: DataFrame, val: float = 0.01,
     salt string isolates this split from the other hash gates."""
     if val < 0 or test < 0 or val + test >= 1:
         raise ValueError("need val, test >= 0 with val + test < 1")
+    return df.withColumn("split",
+                         split_label(F.col(id_col), val, test, seed))
+
+
+def split_label(id_col, val: float = 0.01, test: float = 0.01,
+                seed: str = "split"):
+    """The split gate as a pure COLUMN EXPRESSION — the stateless hash
+    bucket behind :func:`train_val_test_split`, factored out so audits
+    (e.g. ``split_leakage``) can derive a pair's two splits without
+    joining a corpus-sized assignment table."""
+    from pyspark.sql import functions as F
     bucket = F.pmod(F.xxhash64(F.concat(F.lit(seed + ":"),
-                                        F.col(id_col).cast("string"))),
+                                        id_col.cast("string"))),
                     F.lit(1_000_000))
     v_cut = int(val * 1_000_000)
     t_cut = v_cut + int(test * 1_000_000)
-    return df.withColumn(
-        "split",
-        F.when(bucket < v_cut, F.lit("val"))
-        .when(bucket < t_cut, F.lit("test"))
-        .otherwise(F.lit("train")))
+    return (F.when(bucket < v_cut, F.lit("val"))
+            .when(bucket < t_cut, F.lit("test"))
+            .otherwise(F.lit("train")))
 
 
 def pack_best_fit(df: DataFrame, budget: int, n_shards: int = 32,

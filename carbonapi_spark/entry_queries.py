@@ -565,6 +565,42 @@ WHERE round(CASE WHEN uni > 0 THEN CAST(inter AS DOUBLE) / uni
 _register("minhash_dedup", _q_minhash_dedup, _minhash_oracle())
 
 
+def _q_split_leakage(spark, sf_dir):
+    """Split-hygiene audit: near-duplicate pairs (banded MinHash +
+    exact Jaccard >= 0.2) whose two sides land in DIFFERENT train/val/
+    test hash splits — the eval-inflation route Lee et al. 2022 report
+    in C4.  The split gate is applied as an id-hash EXPRESSION on the
+    pair table; the corpus-sized assignment table is never built."""
+    from carbonapi_spark.datapipe.dedup import split_leakage
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return split_leakage(docs, val=0.1, test=0.1, threshold=0.2)
+
+
+def _split_leakage_oracle() -> str:
+    from carbonapi_spark.oracle_xxh64 import xxh64_ctes
+    return f"""
+WITH __jv AS MATERIALIZED (SELECT * FROM ({_minhash_oracle()})),
+__lki AS (SELECT DISTINCT did
+          FROM (SELECT id_a AS did FROM __jv
+                UNION ALL SELECT id_b AS did FROM __jv)),
+__lk AS (SELECT did, 'split:' || CAST(did AS VARCHAR) AS t FROM __lki),
+{xxh64_ctes('__lk', 't', 'h64', '__lkh')},
+__lsp AS (SELECT did, CASE WHEN b < 100000 THEN 'val'
+                           WHEN b < 200000 THEN 'test'
+                           ELSE 'train' END AS split
+          FROM (SELECT did, ((h64 % 1000000) + 1000000) % 1000000 AS b
+                FROM __lkh))
+SELECT id_a, id_b, jaccard,
+       sa.split AS split_a, sb.split AS split_b
+FROM __jv JOIN __lsp sa ON sa.did = id_a
+          JOIN __lsp sb ON sb.did = id_b
+WHERE sa.split != sb.split
+""".strip()
+
+
+_register("split_leakage", _q_split_leakage, _split_leakage_oracle())
+
+
 def _q_minhash_incremental(spark, sf_dir):
     """Incremental near-dup candidates: every fifth doc (id % 5 == 4)
     is the delta batch, the rest the already-indexed corpus
@@ -5808,6 +5844,7 @@ _DRIVER_PREFIX = [
     "kn_trigram_ppl",          # two-level Kneser-Ney trigram buckets
     "curriculum",              # round-robin curriculum training order
     "hard_negatives",          # batched BM25 DPR negative mining
+    "split_leakage",           # cross-split near-dup audit
     # Spark-side plan changed in r8 — re-verify
     "funnel_conv",   # one-pass K-step state machine (was a join chain)
     "ann_quality",   # truth-driven eval output (zero-hit queries kept)
@@ -5825,7 +5862,9 @@ _DRIVER_PREFIX = [
     "token_count",                                             # r04
     "bpe_token_count", "chunk_documents", "ngram_jaccard",
     "pack_sequences", "quality_lr", "redact_pii",              # r05
-    "c4_rules", "contamination", "corpus_stats", "dedup_clusters",
+    "c4_rules", "contamination", "dedup_clusters",
+    # (corpus_stats rotated out late-r8: r06-green + r07 driver row;
+    # one-agg projection family with no r8 changes)
     "dedup_keep_best", "dsir_sample", "fingerprints", "gopher_rules",
     "ngram_novelty",
     # (norm_dedup rotated out late-r8: r06-green + r07 driver row;

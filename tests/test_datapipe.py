@@ -3422,3 +3422,30 @@ def test_bm25_batch_matches_per_query_and_excludes_truth(spark):
     for qid in (0, 1):
         ranks = sorted(r["rank"] for r in neg if r["query_id"] == qid)
         assert ranks == [1, 2, 3, 4, 5]
+
+
+def test_split_leakage_flags_only_cross_split_neardups(spark):
+    from carbonapi_spark.datapipe.dedup import split_leakage
+    from carbonapi_spark.datapipe.sampling import train_val_test_split
+    # 3 near-dup families of 4 docs each + unique filler
+    rows = []
+    for fam in range(3):
+        words = " ".join(f"tok{fam}x{k}" for k in range(14))
+        base = f"family {fam} {words}"
+        for j in range(4):
+            rows.append((fam * 4 + j, base + f" tail{j}"))
+    for i in range(12, 40):
+        rows.append((i, f"unique filler doc {i} with words w{i} v{i} u{i}"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = split_leakage(df, val=0.3, test=0.3, threshold=0.3)
+    leaks = {(r["id_a"], r["id_b"]) for r in got.collect()}
+    splits = {r["doc_id"]: r["split"]
+              for r in train_val_test_split(df, 0.3, 0.3).collect()}
+    for a, b in leaks:
+        assert a // 4 == b // 4          # only family pairs are near-dups
+        assert splits[a] != splits[b]    # and they straddle the split
+    # every family spanning >= 2 splits must produce at least one leak
+    for fam in range(3):
+        fam_splits = {splits[fam * 4 + j] for j in range(4)}
+        if len(fam_splits) > 1:
+            assert any(a // 4 == fam for a, _ in leaks), (fam, fam_splits)
