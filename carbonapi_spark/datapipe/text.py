@@ -1190,6 +1190,55 @@ def code_prose_features(df: DataFrame, text_col: str = "text",
         (votes >= 2).alias("is_code"))
 
 
+def readability(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Classic readability scores per document — the cheap
+    curriculum/routing signal (simple text early in a curriculum, or a
+    reading-level facet on the corpus dashboard):
+
+      n_sent  — sentence count (runs of ``[.!?]``, floor 1)
+      n_words — whitespace-token count (:func:`tokens`, pinned class)
+      n_syll  — syllable estimate: per token, ASCII vowel-group runs
+                ``[aeiouyAEIOUY]+`` with a floor of 1 (the standard
+                heuristic; every token counts as a word and >=1 syllable
+                so the score is total and deterministic)
+      flesch  — reading ease 206.835 - 1.015*(w/s) - 84.6*(sy/w)
+      fk_grade— Flesch-Kincaid grade 0.39*(w/s) + 11.8*(sy/w) - 15.59
+      ttr     — type-token ratio (distinct tokens / tokens)
+
+    One stateless codegen projection (split + regexp counting + higher-
+    order sum — no Python, no shuffle); scores are NULL for empty
+    documents.  All regexes are ASCII-only so Java and DuckDB agree
+    codepoint-for-codepoint; divisions and the two linear forms are
+    written in the same operation order on both engines (IEEE-portable).
+    """
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_words = F.size(toks)
+    n_sent = F.greatest(F.lit(1),
+                        F.size(F.regexp_extract_all(t, F.lit(r"[.!?]+"), 0)))
+    syll = F.aggregate(
+        F.transform(toks, lambda w: F.greatest(
+            F.lit(1),
+            F.size(F.regexp_extract_all(w, F.lit("[aeiouyAEIOUY]+"), 0)))),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    wps = n_words.cast("double") / n_sent
+    spw = syll.cast("double") / n_words
+    nonempty = n_words > 0
+    flesch = F.when(nonempty, F.lit(206.835) - F.lit(1.015) * wps
+                    - F.lit(84.6) * spw)
+    fk = F.when(nonempty, F.lit(0.39) * wps + F.lit(11.8) * spw
+                - F.lit(15.59))
+    ttr = F.when(nonempty,
+                 F.size(F.array_distinct(toks)).cast("double") / n_words)
+    return df.select(
+        F.col(id_col), n_sent.alias("n_sent"),
+        n_words.alias("n_words"), syll.alias("n_syll"),
+        F.round(flesch, 6).alias("flesch"),
+        F.round(fk, 6).alias("fk_grade"),
+        F.round(ttr, 6).alias("ttr"))
+
+
 def zipf_fit(df: DataFrame, text_col: str = "text",
              group_cols: tuple[str, ...] = ("lang",)) -> DataFrame:
     """Least-squares Zipf fit per group: slope/intercept of

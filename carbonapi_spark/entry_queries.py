@@ -5140,6 +5140,45 @@ FROM __g
 """.strip())
 
 
+def _q_readability(spark, sf_dir):
+    """Flesch / Flesch-Kincaid / TTR readability report — one stateless
+    codegen projection (pinned-class token split, ASCII-only regex
+    counting, higher-order syllable sum), replayed exactly in SQL."""
+    from carbonapi_spark.datapipe.text import readability
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return readability(docs)
+
+
+_register("readability", _q_readability, r"""
+WITH __r AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+'),
+                     x -> x != '') AS toks,
+         greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS n_sent
+  FROM documents),
+__c AS (
+  SELECT doc_id, n_sent, len(toks) AS n_words,
+         CAST(coalesce(list_sum(list_transform(toks,
+              w -> greatest(1, len(regexp_extract_all(
+                                       w, '[aeiouyAEIOUY]+'))))),
+              0) AS BIGINT) AS n_syll,
+         len(list_distinct(toks)) AS n_types
+  FROM __r)
+SELECT doc_id, n_sent, n_words, n_syll,
+       round(CASE WHEN n_words > 0 THEN
+             206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sent)
+                     - 84.6 * (CAST(n_syll AS DOUBLE) / n_words) END, 6)
+         AS flesch,
+       round(CASE WHEN n_words > 0 THEN
+             0.39 * (CAST(n_words AS DOUBLE) / n_sent)
+             + 11.8 * (CAST(n_syll AS DOUBLE) / n_words) - 15.59 END, 6)
+         AS fk_grade,
+       round(CASE WHEN n_words > 0 THEN
+             CAST(n_types AS DOUBLE) / n_words END, 6) AS ttr
+FROM __c
+""".strip())
+
+
 def _q_norm_unicode(spark, sf_dir):
     """Unicode NFC canonicalization (pre-dedup normalization): the doc
     text is prefixed with DECOMPOSED accents (e + U+0301 etc.) so the op

@@ -3449,3 +3449,29 @@ def test_split_leakage_flags_only_cross_split_neardups(spark):
         fam_splits = {splits[fam * 4 + j] for j in range(4)}
         if len(fam_splits) > 1:
             assert any(a // 4 == fam for a, _ in leaks), (fam, fam_splits)
+
+
+def test_readability_hand_check(spark):
+    from carbonapi_spark.datapipe.text import readability
+    doc = "The cat sat. It purred! Happy cat?"
+    df = spark.createDataFrame([(0, doc), (1, ""), (2, "xyzzy 42")],
+                               "doc_id long, text string")
+    out = {r["doc_id"]: r for r in readability(df).collect()}
+    r0 = out[0]
+    # 3 sentences, 7 words; syllables: The(1) cat(1) sat.(1) It(1)
+    # purred!(2: u, e) Happy(2: a, y) cat?(1) = 9
+    assert r0["n_sent"] == 3 and r0["n_words"] == 7 and r0["n_syll"] == 9
+    wps, spw = 7 / 3, 9 / 7
+    assert r0["flesch"] == pytest.approx(
+        206.835 - 1.015 * wps - 84.6 * spw, abs=1e-5)
+    assert r0["fk_grade"] == pytest.approx(
+        0.39 * wps + 11.8 * spw - 15.59, abs=1e-5)
+    # "cat" appears as distinct tokens "cat" / "sat." / "cat?" etc. —
+    # all 7 tokens are distinct strings here
+    assert r0["ttr"] == pytest.approx(1.0)
+    # empty doc: floor-1 sentences, no words, NULL scores
+    r1 = out[1]
+    assert r1["n_sent"] == 1 and r1["n_words"] == 0 and r1["n_syll"] == 0
+    assert r1["flesch"] is None and r1["ttr"] is None
+    # "xyzzy" has two separate y-runs (2) + numeric token floors at 1
+    assert out[2]["n_syll"] == 3
