@@ -278,3 +278,46 @@ def rfm_segments(events: DataFrame, n_bins: int = 5,
                            F.col("__rcut")).alias("r_bin"),
                     bin_of(F.col("frequency").cast("double"),
                            F.col("__fcut")).alias("f_bin")))
+
+
+def active_users(events: DataFrame, windows: tuple[int, ...] = (1, 7, 28),
+                 user_col: str = "user_id",
+                 ts_col: str = "sec") -> DataFrame:
+    """Rolling distinct-active-user counts — the DAU/WAU/MAU dashboard
+    (default windows 1/7/28 days) plus stickiness (smallest window over
+    largest, the classic DAU/MAU engagement ratio).
+
+    Rolling COUNT(DISTINCT) is not a window aggregate; the scalable
+    shape is contribution explosion on the *deduplicated* (user, day)
+    pair table: the one event-sized shuffle reduces events to distinct
+    pairs, each pair then contributes to the ``max(windows)`` days it
+    can keep a user active, and min-offset per (user, day) makes every
+    window a conditional count in ONE keyed aggregation (a user active
+    on day d counts toward window W on day d' iff d' - d < W, i.e. the
+    minimal offset over the user's activity days is < W).  Work scales
+    as pairs x max(window), never events x window; no self-join of the
+    event table, no per-day subquery.
+
+    Returns one row per day in [first activity day, last activity day]
+    reachable from any pair: (day, au{w}d per window, stickiness)."""
+    ws = sorted(set(windows))
+    if not ws or ws[0] < 1:
+        raise ValueError("windows must be positive day counts")
+    wmax = ws[-1]
+    day = F.floor(F.col(ts_col).cast("long") / F.lit(86400)).cast("long")
+    pairs = events.select(F.col(user_col).alias("__u"),
+                          day.alias("__day")).distinct()
+    hi = pairs.agg(F.max("__day").alias("__hi"))
+    m = (pairs.crossJoin(F.broadcast(hi))
+         .select("__u", F.explode(
+             F.sequence(F.lit(0), F.lit(wmax - 1))).alias("__o"),
+             "__day", "__hi")
+         .where(F.col("__day") + F.col("__o") <= F.col("__hi"))
+         .groupBy("__u", (F.col("__day") + F.col("__o")).alias("day"))
+         .agg(F.min("__o").alias("__m")))
+    aggs = [F.sum((F.col("__m") < w).cast("long")).alias(f"au{w}d")
+            for w in ws]
+    out = m.groupBy("day").agg(*aggs)
+    stick = F.round(F.col(f"au{ws[0]}d").cast("double")
+                    / F.col(f"au{wmax}d"), 6)
+    return out.withColumn("stickiness", stick)

@@ -4689,6 +4689,36 @@ FROM __u
 """.strip())
 
 
+def _q_active_users(spark, sf_dir):
+    """DAU/WAU/MAU + stickiness: rolling distinct-user counts via
+    contribution explosion on the deduplicated (user, day) pair table —
+    one event-sized shuffle, work pairs x 28, no self-join."""
+    from carbonapi_spark.datapipe.events import active_users
+    return active_users(_events_sec(spark, sf_dir)).select(
+        "day", F.col("au1d").alias("dau"), F.col("au7d").alias("wau"),
+        F.col("au28d").alias("mau"), "stickiness")
+
+
+_register("active_users", _q_active_users, f"""
+WITH {_EV_SEC_CTE},
+__p AS (SELECT DISTINCT user_id, sec // 86400 AS day FROM __e),
+__b AS (SELECT max(day) AS hi FROM __p),
+__x AS (SELECT p.user_id, p.day + g.o AS d, min(g.o) AS m
+        FROM __p p
+        CROSS JOIN (SELECT unnest(range(0, 28)) AS o) g
+        CROSS JOIN __b b
+        WHERE p.day + g.o <= b.hi
+        GROUP BY p.user_id, p.day + g.o)
+SELECT d AS day,
+       sum(CASE WHEN m < 1 THEN 1 ELSE 0 END) AS dau,
+       sum(CASE WHEN m < 7 THEN 1 ELSE 0 END) AS wau,
+       count(*) AS mau,
+       round(CAST(sum(CASE WHEN m < 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS stickiness
+FROM __x GROUP BY d
+""".strip())
+
+
 def _synth_urls(docs):
     """Deterministic raw crawl URLs from (source, lang, doc_id), cycling
     three hostile shapes: mixed-case scheme/host, default ports, www.,

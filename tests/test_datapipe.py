@@ -3475,3 +3475,21 @@ def test_readability_hand_check(spark):
     assert r1["flesch"] is None and r1["ttr"] is None
     # "xyzzy" has two separate y-runs (2) + numeric token floors at 1
     assert out[2]["n_syll"] == 3
+
+
+def test_active_users_hand_check(spark):
+    from carbonapi_spark.datapipe.events import active_users
+    # u1 active days 0 and 2; u2 active day 0 only (two events, one day)
+    rows = [("u1", 10), ("u1", 2 * 86400 + 5), ("u2", 20), ("u2", 30)]
+    df = spark.createDataFrame(rows, "user_id string, sec long")
+    out = {r["day"]: r for r in active_users(df, windows=(1, 7)).collect()}
+    assert set(out) == {0, 1, 2}          # capped at the last active day
+    assert out[0]["au1d"] == 2 and out[0]["au7d"] == 2
+    assert out[1]["au1d"] == 0 and out[1]["au7d"] == 2   # both in 7d tail
+    assert out[2]["au1d"] == 1 and out[2]["au7d"] == 2
+    assert out[0]["stickiness"] == 1.0
+    assert out[1]["stickiness"] == 0.0
+    assert out[2]["stickiness"] == 0.5
+    import pytest as _p
+    with _p.raises(ValueError):
+        active_users(df, windows=(0, 7))
