@@ -321,3 +321,73 @@ def active_users(events: DataFrame, windows: tuple[int, ...] = (1, 7, 28),
     stick = F.round(F.col(f"au{ws[0]}d").cast("double")
                     / F.col(f"au{wmax}d"), 6)
     return out.withColumn("stickiness", stick)
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: str = "sec",
+              by: tuple[str, ...] = ("user_id",),
+              right_cols: tuple[str, ...] = ("value",),
+              direction: str = "backward",
+              tolerance_s: int | None = None,
+              suffix: str = "_r") -> DataFrame:
+    """As-of join: attach to every left row the single right row with
+    the greatest ``on`` <= left's ``on`` (``backward``; ``forward`` =
+    smallest >=), per ``by`` group — the time-series point-in-time
+    lookup Spark has no built-in for (pandas ``merge_asof`` / kdb ``aj``
+    semantics, inclusive on equal timestamps).
+
+    Physical shape is the scalable merge-union, NOT a range join: both
+    inputs are unioned with a side tag, shuffled ONCE on ``by``, and a
+    running ``last(..., ignorenulls)`` over the (ts, side)-ordered
+    window carries each right row forward to the left rows it answers.
+    Cost is one exchange + one sort over |L|+|R| — no per-row range
+    probe, no O(|L| x |R|) corner, skew bounded by the ``by`` key like
+    any event-keyed window.
+
+    ``right`` must be unique per (by, on) — pre-aggregate ties away
+    (e.g. ``groupBy(by, on).agg(max(...))``); duplicate keys would make
+    "the" matched row ill-defined.  ``tolerance_s`` nulls matches
+    farther than the bound (the nearest match is also the only
+    candidate within any tolerance, so this is exact).  Matched columns
+    come back as ``<col><suffix>`` plus ``<on><suffix>`` for the
+    matched timestamp; unmatched left rows keep NULLs (left join)."""
+    from pyspark.sql.window import Window
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unknown direction {direction!r}")
+    keys = list(by)
+    lts = F.col(on).cast("long")
+    r_on = f"{on}{suffix}"
+    rtypes, ltypes = dict(right.dtypes), dict(left.dtypes)
+    # left payload (everything not a key / the ts) rides the union with
+    # NULLs on the right side — one shuffle total, no join-back
+    lpay = [c for c in left.columns if c not in keys and c != on]
+    full_r = right.select(
+        *keys, lts.alias("__ts"), F.lit(0).alias("__side"),
+        lts.alias(r_on),
+        *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
+        *[F.lit(None).cast(ltypes[c]).alias(c) for c in lpay])
+    full_l = left.select(
+        *keys, lts.alias("__ts"), F.lit(1).alias("__side"),
+        F.lit(None).cast("long").alias(r_on),
+        *[F.lit(None).cast(rtypes[c]).alias(f"{c}{suffix}")
+          for c in right_cols],
+        *lpay)
+    sign = 1 if direction == "backward" else -1
+    w = (Window.partitionBy(*keys)
+         .orderBy((F.col("__ts") * sign).asc(), F.col("__side").asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    carried = [F.last(F.col(c), ignorenulls=True).over(w).alias(c)
+               for c in [r_on] + [f"{c}{suffix}" for c in right_cols]]
+    out = (full_r.unionByName(full_l)
+           .select(*keys, "__ts", "__side", *carried, *lpay)
+           .where(F.col("__side") == 1))
+    if tolerance_s is not None:
+        gap = (F.col("__ts") - F.col(r_on)) * sign
+        keep = F.col(r_on).isNotNull() & (gap <= tolerance_s)
+        out = out.select(
+            *keys, "__ts", *lpay,
+            *[F.when(keep, F.col(c)).alias(c)
+              for c in [r_on] + [f"{c}{suffix}" for c in right_cols]])
+    else:
+        out = out.select(*keys, "__ts", *lpay, r_on,
+                         *[f"{c}{suffix}" for c in right_cols])
+    return out.withColumnRenamed("__ts", on)

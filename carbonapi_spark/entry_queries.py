@@ -4719,6 +4719,46 @@ FROM __x GROUP BY d
 """.strip())
 
 
+def _q_asof_join(spark, sf_dir):
+    """Point-in-time as-of join: each purchase picks up the latest
+    at-or-before view value for the same user within a 1-day tolerance
+    (pandas merge_asof / kdb aj semantics).  Spark side is the
+    merge-union plan — one shuffle on user_id, one ordered window, no
+    range join; the ORACLE derives the same rows independently via a
+    rank-1 inequality join, so the two engines share no plan shape."""
+    from carbonapi_spark.datapipe.events import asof_join
+    from carbonapi_spark.sources.testdata import epoch_seconds, read_events
+    ev = read_events(spark, sf_dir)
+    ev = ev.select("user_id", "event_type", "event_id", "value",
+                   epoch_seconds(ev).alias("sec"))
+    left = (ev.where(F.col("event_type") == "purchase")
+              .select("user_id", "sec", "event_id"))
+    right = (ev.where(F.col("event_type") == "view")
+               .groupBy("user_id", "sec")
+               .agg(F.max("value").alias("value")))
+    return asof_join(left, right, on="sec", by=("user_id",),
+                     right_cols=("value",), tolerance_s=86400)
+
+
+_register("asof_join", _q_asof_join, """
+WITH __e AS (SELECT user_id, event_type, event_id, value,
+                    CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+__l AS (SELECT user_id, sec, event_id FROM __e
+        WHERE event_type = 'purchase'),
+__r AS (SELECT user_id, sec, max(value) AS value FROM __e
+        WHERE event_type = 'view' GROUP BY user_id, sec),
+__m AS (SELECT l.event_id, r.sec AS msec, r.value AS mval,
+               row_number() OVER (PARTITION BY l.event_id
+                                  ORDER BY r.sec DESC) AS rn
+        FROM __l l JOIN __r r
+          ON l.user_id = r.user_id AND r.sec <= l.sec)
+SELECT l.user_id, l.sec, l.event_id,
+       CASE WHEN l.sec - m.msec <= 86400 THEN m.msec END AS sec_r,
+       CASE WHEN l.sec - m.msec <= 86400 THEN m.mval END AS value_r
+FROM __l l LEFT JOIN __m m ON l.event_id = m.event_id AND m.rn = 1
+""".strip())
+
+
 def _synth_urls(docs):
     """Deterministic raw crawl URLs from (source, lang, doc_id), cycling
     three hostile shapes: mixed-case scheme/host, default ports, www.,
@@ -5931,11 +5971,16 @@ _DRIVER_PREFIX = [
     "token_count",                                             # r04
     "bpe_token_count", "chunk_documents", "ngram_jaccard",
     "pack_sequences", "quality_lr", "redact_pii",              # r05
-    "c4_rules", "contamination", "dedup_clusters",
+    "c4_rules", "contamination",
     # (corpus_stats rotated out late-r8: r06-green + r07 driver row;
     # one-agg projection family with no r8 changes)
+    # (dedup_clusters rotated out late-r8: r06-green, zero r8 diffs;
+    # the iterative-graph machinery is re-verified in-prefix via
+    # label_prop and the pair chain via split_leakage)
     "dedup_keep_best", "dsir_sample", "fingerprints", "gopher_rules",
-    "ngram_novelty",
+    # (ngram_novelty rotated out late-r8: r06-green, zero r8 diffs; the
+    # shingle-explode + reference anti-join chain stays covered by the
+    # older ngram_jaccard in-prefix)
     # (norm_dedup rotated out late-r8: r06-green + r07 driver row;
     # exact-dedup family covered via stream_dedup history and the
     # corpus_pipeline chain)
@@ -5944,7 +5989,10 @@ _DRIVER_PREFIX = [
     # (hashed_vectors rotated out late-r8: r06-green; its feature
     # explode is re-verified through dsir_sample's shared chain)
     "oov_rate", "rep_filters",
-    "stream_minhash_replay",                                  # r06
+    # (stream_minhash_replay rotated out late-r8: r06-green, zero r8
+    # diffs; four newer stateful replays sit in-prefix —
+    # stream_semantic/quota/attribution/funnel — on the same
+    # availableNow machinery)
     # (ppl_buckets rotated out late-r8: r06-green; the perplexity
     # family's shared chain re-verified r07 via ppl_quantile_buckets
     # and kn_bigram_ppl)
@@ -5960,6 +6008,9 @@ _DRIVER_PREFIX = [
     "label_prop",                # NEW r8 (late): LPA communities
     "stream_funnel_replay",      # NEW r8 (late): live-funnel kernel
     "wordpiece_fertility",       # NEW r8 (late): tokenizer matrix
+    "readability",               # NEW r8 (late): Flesch/FK/TTR report
+    "active_users",              # NEW r8 (late): rolling DAU/WAU/MAU
+    "asof_join",                 # NEW r8 (late): point-in-time join
 ]
 # The driver checks at most _DRIVER_CAP rows per round; test_entry.py pins
 # len(_DRIVER_PREFIX) <= cap so additions can never silently evict entries

@@ -3493,3 +3493,35 @@ def test_active_users_hand_check(spark):
     import pytest as _p
     with _p.raises(ValueError):
         active_users(df, windows=(0, 7))
+
+
+def test_asof_join_hand_check(spark):
+    from carbonapi_spark.datapipe.events import asof_join
+    quotes = spark.createDataFrame(
+        [("a", 10, 1.0), ("a", 20, 2.0), ("b", 15, 5.0)],
+        "user_id string, sec long, value double")
+    trades = spark.createDataFrame(
+        [("a", 9, "t1"), ("a", 10, "t2"), ("a", 25, "t3"), ("b", 14, "t4"),
+         ("c", 99, "t5")],
+        "user_id string, sec long, tid string")
+    out = {r["tid"]: r for r in asof_join(
+        trades, quotes, on="sec", by=("user_id",),
+        right_cols=("value",)).collect()}
+    assert out["t1"]["value_r"] is None           # nothing at or before 9
+    assert out["t2"]["value_r"] == 1.0            # inclusive equal ts
+    assert out["t3"]["value_r"] == 2.0 and out["t3"]["sec_r"] == 20
+    assert out["t4"]["value_r"] is None
+    assert out["t5"]["value_r"] is None           # group with no quotes
+    # tolerance: t3's match is 5s stale, drop it at tolerance 4
+    tol = {r["tid"]: r for r in asof_join(
+        trades, quotes, right_cols=("value",), tolerance_s=4).collect()}
+    assert tol["t3"]["value_r"] is None and tol["t2"]["value_r"] == 1.0
+    # forward: earliest quote at-or-after
+    fwd = {r["tid"]: r for r in asof_join(
+        trades, quotes, right_cols=("value",),
+        direction="forward").collect()}
+    assert fwd["t1"]["value_r"] == 1.0 and fwd["t3"]["value_r"] is None
+    assert fwd["t4"]["value_r"] == 5.0
+    import pytest as _p
+    with _p.raises(ValueError):
+        asof_join(trades, quotes, direction="sideways")

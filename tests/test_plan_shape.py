@@ -607,3 +607,25 @@ def test_band_index_probe_partition_prunes(spark, tmp_path):
         F.struct(F.lit(0), F.lit(3)), F.struct(F.lit(2), F.lit(7))))
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert re.search(r"PartitionFilters: \[[^\]]*band", plan), plan[:800]
+
+
+def test_asof_join_single_exchange_no_join_node(spark):
+    """asof_join's merge-union plan: NO physical join operator anywhere
+    (the naive range join degrades to O(L x R) on coarse keys) and at
+    most one Exchange pair for the union's by-key window — both inputs
+    ride ONE shuffle."""
+    from pyspark.sql import functions as F
+
+    from carbonapi_spark.datapipe.events import asof_join
+    left = spark.range(1000).select(
+        (F.col("id") % 50).cast("string").alias("user_id"),
+        (F.col("id") * 7).alias("sec"), F.col("id").alias("event_id"))
+    right = spark.range(300).select(
+        (F.col("id") % 50).cast("string").alias("user_id"),
+        (F.col("id") * 11).alias("sec"),
+        F.rand(7).alias("value"))
+    out = asof_join(left, right, on="sec", by=("user_id",),
+                    right_cols=("value",), tolerance_s=3600)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan[:800]
+    assert _df_exchanges(out) <= 1, plan[:800]
