@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 __all__ = ["connected_components", "dedup_clusters", "dedup_keep_best",
-           "pagerank"]
+           "label_propagation", "pagerank", "triangle_count"]
 
 
 def _star_round(edges: DataFrame) -> DataFrame:
@@ -302,3 +302,67 @@ def label_propagation(edges: DataFrame, src: str = "src",
         if i % 2 == 1 or i == n_iter - 1:
             lab = lab.localCheckpoint()
     return lab.select("node", F.col("lab").alias("label"))
+
+
+def triangle_count(edges: DataFrame, src: str = "src",
+                   dst: str = "dst") -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient over an
+    undirected graph — the standard density diagnostic for near-dup
+    pair graphs (a clique-y neighborhood is a template/boilerplate
+    family; a low-coefficient hub is a spurious LSH bucket collision).
+
+    Degree-ordered orientation (Suri & Vassilvitskii, "Counting
+    Triangles and the Curse of the Last Reducer", WWW 2011): every
+    edge points from its lower-(deg, id) endpoint to the higher, wedges
+    are generated only at each edge's SMALLER endpoint, and a triangle
+    is a wedge whose far endpoints are themselves an oriented edge.
+    Each triangle is produced exactly once (its (deg, id)-minimal
+    corner), and the wedge volume is bounded by O(m^{3/2}) REGARDLESS
+    of skew — a degree-d hub contributes ~d wedges, not d^2, which is
+    what makes this shape survive power-law graphs at 100 TB where the
+    naive adjacency self-join melts the last reducer.
+
+    Plan: the edge pipeline is checkpointed once, then one node-keyed
+    degree agg, two node-keyed joins to attach degrees, one u-keyed
+    wedge self-join, one (x, y) edge-keyed closing equi-join, and a
+    node-sized explode/agg — every shuffle is edge- or wedge-bounded,
+    nothing is collected.  Integer counts; lcc = 2T / (deg * (deg - 1))
+    rounded to 6 places (exact-int inputs, so the double replays
+    bit-for-bit cross-engine).  Returns (node, deg, triangles, lcc)."""
+    canon = (edges.select(F.least(F.col(src), F.col(dst)).alias("a"),
+                          F.greatest(F.col(src), F.col(dst)).alias("b"))
+             .where(F.col("a") != F.col("b"))
+             .distinct()
+             .localCheckpoint())  # pair pipeline runs ONCE; deg, the
+    # orientation join and the closing join all read the stored blocks
+    sym = canon.unionByName(
+        canon.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    da = deg.select(F.col("a").alias("__na"), F.col("deg").alias("__da"))
+    db = deg.select(F.col("a").alias("__nb"), F.col("deg").alias("__db"))
+    keyed = (canon.join(da, canon["a"] == da["__na"])
+             .join(db, canon["b"] == db["__nb"]))
+    a_first = (F.struct(F.col("__da"), F.col("a"))
+               < F.struct(F.col("__db"), F.col("b")))
+    o = keyed.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(a_first, F.col("__db")).otherwise(F.col("__da"))
+        .alias("dv"))
+    o1 = o.select(F.col("u"), F.col("v").alias("x"), F.col("dv").alias("dx"))
+    o2 = o.select(F.col("u"), F.col("v").alias("y"), F.col("dv").alias("dy"))
+    wedges = (o1.join(o2, "u")
+              .where(F.struct(F.col("dx"), F.col("x"))
+                     < F.struct(F.col("dy"), F.col("y"))))
+    closing = o.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    tri = wedges.join(closing, ["x", "y"]).select("u", "x", "y")
+    per_node = (tri.select(F.explode(F.array("u", "x", "y")).alias("node"))
+                .groupBy("node").agg(F.count(F.lit(1)).alias("triangles")))
+    out = (deg.select(F.col("a").alias("node"), "deg")
+           .join(per_node, "node", "left")
+           .na.fill({"triangles": 0}))
+    lcc = F.when(F.col("deg") >= 2,
+                 F.round(2.0 * F.col("triangles")
+                         / (F.col("deg") * (F.col("deg") - 1)), 6)) \
+        .otherwise(F.lit(0.0))
+    return out.select("node", "deg", "triangles", lcc.alias("lcc"))

@@ -4998,6 +4998,57 @@ SELECT node, lab AS label FROM __lb{n_iter}
 _register("label_prop", _q_label_prop, _label_prop_oracle())
 
 
+def _q_triangles(spark, sf_dir):
+    """Per-node triangle counts + local clustering coefficient over the
+    same embedding-similarity graph as pagerank/label_prop — the
+    density diagnostic separating boilerplate clique families from
+    spurious LSH hub collisions.  Degree-ordered orientation keeps the
+    wedge volume at O(m^1.5) regardless of skew."""
+    from carbonapi_spark.datapipe.cluster import triangle_count
+    pairs = _q_embedding_dedup(spark, sf_dir).select("id_a", "id_b")
+    return triangle_count(pairs, "id_a", "id_b")
+
+
+_register("triangles", _q_triangles, """
+WITH v AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS e
+                        FROM embeddings WHERE vec_id < 300),
+__e0 AS MATERIALIZED (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM v a JOIN v b ON a.vec_id < b.vec_id
+  WHERE round(list_dot_product(a.e, b.e)
+              / (sqrt(list_dot_product(a.e, a.e))
+                 * sqrt(list_dot_product(b.e, b.e))), 6) >= 0.4),
+__u AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM __e0
+                     UNION ALL SELECT id_b, id_a FROM __e0),
+__deg AS MATERIALIZED (SELECT a, count(*) AS deg FROM __u GROUP BY a),
+__o AS MATERIALIZED (
+  SELECT CASE WHEN (da.deg, e.id_a) < (db.deg, e.id_b)
+              THEN e.id_a ELSE e.id_b END AS u,
+         CASE WHEN (da.deg, e.id_a) < (db.deg, e.id_b)
+              THEN e.id_b ELSE e.id_a END AS x,
+         CASE WHEN (da.deg, e.id_a) < (db.deg, e.id_b)
+              THEN db.deg ELSE da.deg END AS dx
+  FROM __e0 e
+  JOIN __deg da ON e.id_a = da.a
+  JOIN __deg db ON e.id_b = db.a),
+__t AS (SELECT o1.u, o1.x, o2.x AS y
+        FROM __o o1 JOIN __o o2
+          ON o1.u = o2.u AND (o1.dx, o1.x) < (o2.dx, o2.x)
+        JOIN __o c ON c.u = o1.x AND c.x = o2.x),
+__n AS (SELECT node, count(*) AS triangles FROM (
+          SELECT u AS node FROM __t
+          UNION ALL SELECT x FROM __t
+          UNION ALL SELECT y FROM __t) GROUP BY node)
+SELECT d.a AS node, d.deg,
+       coalesce(n.triangles, 0) AS triangles,
+       CASE WHEN d.deg >= 2
+            THEN round(CAST(2 AS DOUBLE) * coalesce(n.triangles, 0)
+                       / (d.deg * (d.deg - 1)), 6)
+            ELSE CAST(0.0 AS DOUBLE) END AS lcc
+FROM __deg d LEFT JOIN __n n ON d.a = n.node
+""".strip())
+
+
 def _q_tiered_fetch(spark, sf_dir):
     """Whisper-style retention tiers on the scoreboard: hourly series
     roll up into a materialized daily archive (storage-aggregation

@@ -253,3 +253,32 @@ def test_label_propagation_tie_breaks_to_min(spark):
     out4 = {r["node"]: r["label"]
             for r in label_propagation(edges, n_iter=4).collect()}
     assert out4 == {7: 7, 9: 9}
+
+
+def test_triangle_count_hand_check(spark):
+    """Triangle 0-1-2 plus pendant 2-3: nodes 0,1 have lcc 1.0, node 2
+    (deg 3) has 2*1/(3*2) = 0.333333, node 3 none.  Duplicate and
+    reversed edges must not double-count."""
+    from carbonapi_spark.datapipe.cluster import triangle_count
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2), (2, 3), (2, 0), (1, 0)],
+        "src LONG, dst LONG")
+    out = {r["node"]: r for r in triangle_count(edges).collect()}
+    assert {n: r["triangles"] for n, r in out.items()} == \
+        {0: 1, 1: 1, 2: 1, 3: 0}
+    assert out[0]["lcc"] == 1.0 and out[1]["lcc"] == 1.0
+    assert out[2]["deg"] == 3 and out[2]["lcc"] == 0.333333
+    assert out[3]["lcc"] == 0.0
+
+
+def test_triangle_count_k4(spark):
+    """K4: every node sits in C(3,2) = 3 triangles, lcc 1.0, and the
+    global count is 4 node-triangle incidences per triangle... i.e.
+    sum(triangles) == 3 * (number of distinct triangles) == 12."""
+    from carbonapi_spark.datapipe.cluster import triangle_count
+    edges = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(a + 1, 4)],
+        "src LONG, dst LONG")
+    rows = triangle_count(edges).collect()
+    assert all(r["triangles"] == 3 and r["lcc"] == 1.0 for r in rows)
+    assert sum(r["triangles"] for r in rows) == 12
