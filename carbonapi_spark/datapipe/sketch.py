@@ -247,3 +247,83 @@ def hll_distinct(df: DataFrame, value_col: str,
     Estimates are rounded to 3 places."""
     return hll_estimate(hll_registers(df, value_col, group_cols, b),
                         group_cols, b)
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (Bloom 1970) — broadcastable set-membership pre-filter
+# ---------------------------------------------------------------------------
+
+_BLOOM_P = (1 << 31) - 1  # Mersenne prime: h*a + b stays under 2^62
+
+
+def _bloom_params(k: int, seed: int = 7) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for pos_i(h) = ((a*h + b) mod p) mod m."""
+    import random
+    rng = random.Random(seed)
+    return [(rng.randrange(1, _BLOOM_P), rng.randrange(0, _BLOOM_P))
+            for _ in range(k)]
+
+
+def _bloom_h(key: Column) -> Column:
+    """xxhash64 of the salted key string folded into [0, p)."""
+    h = F.xxhash64(F.concat(F.lit("__bf:"), key.cast("string")))
+    return ((h % _BLOOM_P) + _BLOOM_P) % _BLOOM_P
+
+
+def bloom_build(df: DataFrame, key_col: str = "key",
+                m_bits: int = 1 << 20, k: int = 5,
+                seed: int = 7) -> DataFrame:
+    """Packed Bloom bitmap over ``df[key_col]`` — (word_idx INT,
+    word BIGINT) with at most ``m_bits / 64`` rows, built in ONE pass:
+    each key projects k bit positions (no pre-distinct — ``bit_or`` is
+    idempotent), then one map-side-combined aggregation whose shuffle
+    is bounded by the BITMAP size, never the key count.  The result is
+    broadcastable by construction (m_bits = 2^20 -> at most 16 K rows /
+    128 KB), which is the whole point: membership probes against a
+    multi-billion-key set become map-side bit tests."""
+    params = _bloom_params(k, seed)
+    h = _bloom_h(F.col(key_col)).alias("__h")
+    pos = (df.select(h)
+           .select(F.explode(F.array(
+               *[((F.col("__h") * a + b) % _BLOOM_P) % m_bits
+                 for (a, b) in params])).alias("pos")))
+    return (pos.groupBy(F.expr("cast(pos div 64 as int)").alias("word_idx"))
+            .agg(F.expr("bit_or(shiftleft(1L, cast(pos % 64 as int)))")
+                 .alias("word")))
+
+
+def bloom_probe(df: DataFrame, bloom: DataFrame, key_col: str = "key",
+                m_bits: int = 1 << 20, k: int = 5, seed: int = 7,
+                flag_col: str = "maybe_member") -> DataFrame:
+    """Append ``flag_col``: True iff every one of the key's k bits is
+    set in ``bloom`` (definite non-members are always False — one-sided
+    error, the property that makes a Bloom filter a safe pre-filter for
+    dedup/decontamination anti-joins at 100 TB: the expensive exact
+    check runs only on maybe-members).
+
+    Plan shape: k BROADCAST left joins on word index + in-codegen bit
+    tests — the probe side is never shuffled and never exploded; cost
+    per row is k hash-map lookups.  The bitmap is materialized ONCE via
+    ``localCheckpoint`` (it is sketch-sized by construction) so the
+    build pipeline does not re-run per broadcast.  ``m_bits``/``k``/
+    ``seed`` must match ``bloom_build`` (positions are derived, not
+    stored)."""
+    params = _bloom_params(k, seed)
+    bloom = bloom.localCheckpoint()
+    out = df.withColumn("__h", _bloom_h(F.col(key_col)))
+    hit = F.lit(True)
+    for i, (a, b) in enumerate(params):
+        out = out.withColumn(
+            f"__p{i}", ((F.col("__h") * a + b) % _BLOOM_P) % m_bits)
+        side = F.broadcast(bloom.select(
+            F.col("word_idx").alias(f"__wi{i}"),
+            F.col("word").alias(f"__w{i}")))
+        out = out.join(
+            side, F.expr(f"cast(__p{i} div 64 as int)") == F.col(f"__wi{i}"),
+            "left")
+        hit = hit & F.coalesce(
+            F.expr(f"((__w{i} >> cast(__p{i} % 64 as int)) & 1) = 1"),
+            F.lit(False))
+    out = out.withColumn(flag_col, hit)
+    return out.drop("__h", *[c for i in range(k)
+                             for c in (f"__p{i}", f"__wi{i}", f"__w{i}")])

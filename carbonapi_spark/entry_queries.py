@@ -2475,6 +2475,116 @@ FROM __e
 _register("hll_distinct", _q_hll_distinct, _hll_distinct_oracle())
 
 
+def _q_bloom_filter(spark, sf_dir):
+    """Bloom-filter membership pre-filter: a packed 1024-bit bitmap is
+    built over the doc ids of four member sources and every document is
+    probed map-side (k broadcast word-lookups + bit tests, the corpus
+    never shuffles).  Output keeps the TRUE membership next to the
+    bloom verdict so the one-sided-error contract is oracle-checked:
+    members always hit; non-member hits are the deterministic false
+    positives of this (m, k, seed)."""
+    from carbonapi_spark.datapipe.sketch import bloom_build, bloom_probe
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    member = F.col("source").isin("src0", "src1", "src2", "src3")
+    bloom = bloom_build(docs.where(member), "doc_id", m_bits=1024, k=3)
+    out = bloom_probe(docs.select("doc_id", "source"), bloom, "doc_id",
+                      m_bits=1024, k=3, flag_col="bloom_hit")
+    return out.select("doc_id", member.alias("member"), "bloom_hit")
+
+
+def _bloom_oracle(m_bits: int = 1024, k: int = 3, seed: int = 7) -> str:
+    from carbonapi_spark.datapipe.sketch import _BLOOM_P, _bloom_params
+    from carbonapi_spark.oracle_xxh64 import xxh64_ctes
+    p = _BLOOM_P
+    params = _bloom_params(k, seed)
+    pos_cols = ",\n       ".join(
+        f"((__h * {a} + {b}) % {p}) % {m_bits} AS p{i}"
+        for i, (a, b) in enumerate(params))
+    mem_union = "\n         UNION ".join(
+        f"SELECT p{i} AS pos FROM __pp WHERE member" for i in range(k))
+    hit = " AND ".join(f"p{i} IN (SELECT pos FROM __mp)" for i in range(k))
+    return f"""
+WITH __k AS (SELECT doc_id, source,
+                    '__bf:' || CAST(doc_id AS VARCHAR) AS t
+             FROM documents),
+{xxh64_ctes('__k', 't', 'h64', '__kh')},
+__hp AS (SELECT doc_id,
+                source IN ('src0', 'src1', 'src2', 'src3') AS member,
+                ((h64 % {p}) + {p}) % {p} AS __h
+         FROM __kh),
+__pp AS (SELECT doc_id, member,
+       {pos_cols}
+         FROM __hp),
+__mp AS ({mem_union})
+SELECT doc_id, member, ({hit}) AS bloom_hit FROM __pp
+""".strip()
+
+
+_register("bloom_filter", _q_bloom_filter, _bloom_oracle())
+
+
+def _q_stream_cms_replay(spark, sf_dir):
+    """Streaming count-min sketch on the driver scoreboard via the
+    availableNow replay: the documents slice streams through
+    ``stream_cms_counters``'s stateful sum kernel, the sink keeps the
+    final counter per (depth, bucket).  Counter addition is
+    commutative/associative, so the streamed sketch is bit-for-bit the
+    batch ``cms_counters`` regardless of micro-batch boundaries — the
+    oracle replays the batch sketch (salted xxhash64 buckets included)
+    in SQL."""
+    import tempfile
+
+    from carbonapi_spark.streaming.stateful import stream_cms_counters
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (spark.readStream.schema(schema)
+              .option("pathGlobFilter", "documents.parquet")
+              .parquet(sf_dir)
+              .where(F.col("doc_id") < 500))
+    out = stream_cms_counters(stream, "text", w=256, d=4)
+    final: dict = {}
+
+    def sink(bdf, _bid):
+        for r in bdf.collect():
+            k = (r["depth"], r["bucket"])
+            final[k] = max(final.get(k, 0), r["cnt"])
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        with tempfile.TemporaryDirectory() as ckpt:
+            q = (out.writeStream.outputMode("update")
+                 .foreachBatch(sink)
+                 .option("checkpointLocation", ckpt)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    return spark.createDataFrame(
+        [(dep, b, c) for (dep, b), c in sorted(final.items())] or [],
+        "depth int, bucket int, cnt long")
+
+
+def _stream_cms_oracle(w: int = 256, d: int = 4) -> str:
+    from carbonapi_spark.oracle_xxh64 import xxh64_ctes
+    return f"""
+WITH __tk AS (SELECT unnest({_TOKS_SQL}) AS term
+              FROM documents WHERE doc_id < 500),
+__tc AS (SELECT term, count(*) AS c FROM __tk GROUP BY term),
+__sl AS (SELECT c,
+                CAST(i AS INT) AS depth,
+                '__cms' || CAST(i AS VARCHAR) || ':' || term AS t
+         FROM __tc CROSS JOIN (SELECT unnest(range({d})) AS i)),
+{xxh64_ctes('__sl', 't', 'h64', '__xh')}
+SELECT depth,
+       CAST(((h64 % {w}) + {w}) % {w} AS INT) AS bucket,
+       CAST(sum(c) AS BIGINT) AS cnt
+FROM __xh GROUP BY depth, bucket
+""".strip()
+
+
+_register("stream_cms_replay", _q_stream_cms_replay, _stream_cms_oracle())
+
+
 def _q_stream_hll_replay(spark, sf_dir):
     """Streaming HyperLogLog on the driver scoreboard via the
     availableNow replay pattern: the documents slice streams through
@@ -6020,9 +6130,15 @@ _DRIVER_PREFIX = [
     # oracle text — each later-r8 op displaced one of them
     "doc_quality", "lang_scores", "simhash", "simhash_pairs",
     "token_count",                                             # r04
-    "bpe_token_count", "chunk_documents", "ngram_jaccard",
+    "bpe_token_count", "ngram_jaccard",
+    # (chunk_documents rotated out late-r8: r05-green, zero r8 diffs;
+    # the token-cumsum window-binning chain is re-verified in-prefix
+    # via pack_sequences, which shares it and DID change in r8)
     "pack_sequences", "quality_lr", "redact_pii",              # r05
-    "c4_rules", "contamination",
+    "c4_rules",
+    # (contamination rotated out late-r8: r06-green, zero r8 diffs;
+    # the cross-set n-gram audit is in-prefix via split_leakage and its
+    # surgical twin decontaminate was r07-green)
     # (corpus_stats rotated out late-r8: r06-green + r07 driver row;
     # one-agg projection family with no r8 changes)
     # (dedup_clusters rotated out late-r8: r06-green, zero r8 diffs;
@@ -6039,7 +6155,10 @@ _DRIVER_PREFIX = [
     # chain is re-verified through lang_scores in-prefix)
     # (hashed_vectors rotated out late-r8: r06-green; its feature
     # explode is re-verified through dsir_sample's shared chain)
-    "oov_rate", "rep_filters",
+    # (oov_rate rotated out late-r8: r06-green, zero r8 diffs; the
+    # token-explode + broadcast-vocab join is in-prefix via
+    # token_count and bpe_token_count)
+    "rep_filters",
     # (stream_minhash_replay rotated out late-r8: r06-green, zero r8
     # diffs; four newer stateful replays sit in-prefix —
     # stream_semantic/quota/attribution/funnel — on the same
@@ -6062,6 +6181,9 @@ _DRIVER_PREFIX = [
     "readability",               # NEW r8 (late): Flesch/FK/TTR report
     "active_users",              # NEW r8 (late): rolling DAU/WAU/MAU
     "asof_join",                 # NEW r8 (late): point-in-time join
+    "triangles",                 # NEW r8 (late): clustering coefficients
+    "bloom_filter",              # NEW r8 (late): membership pre-filter
+    "stream_cms_replay",         # NEW r8 (late): 10th stateful replay
 ]
 # The driver checks at most _DRIVER_CAP rows per round; test_entry.py pins
 # len(_DRIVER_PREFIX) <= cap so additions can never silently evict entries

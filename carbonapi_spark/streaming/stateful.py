@@ -545,3 +545,47 @@ def stream_source_quota(docs: DataFrame, quota_tokens: int,
     return (docs.groupBy(group_col)
             .applyInPandasWithState(fn, QUOTA_OUT, QUOTA_STATE,
                                     "append", GroupStateTimeout.NoTimeout))
+
+
+CMS_OUT = "depth INT, bucket INT, cnt LONG"
+CMS_STATE = "cnt LONG"
+
+
+def stream_cms_counters(docs: DataFrame, text_col: str = "text",
+                        w: int = 2048, d: int = 4,
+                        ngram: int = 1) -> DataFrame:
+    """Streaming count-min sketch maintenance: the stateful twin of
+    ``datapipe.sketch.cms_counters``.  A stateless projection emits the
+    d (depth, bucket) pairs per token (identical salted-xxhash64
+    buckets as the batch sketch), then per-(depth, bucket) keyed state
+    accumulates one int64, emitting the running counter whenever it
+    rises (update semantics).
+
+    Counter addition is commutative and associative, so the FINAL
+    streamed counter table is bit-for-bit the batch ``cms_counters``
+    over the same rows regardless of micro-batch arrival order or
+    restarts — the replay entry checks exactly that.  State is bounded
+    at d*w keys (one long each) no matter how much text streams
+    through: the live heavy-hitter/frequency sketch whose memory never
+    grows, feeding the same ``min-over-depths`` estimate as the batch
+    two-pass recipe."""
+    from carbonapi_spark.datapipe.sketch import _bucket, _token_stream
+
+    def fn(key, pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        add = 0
+        for pdf in pdfs:
+            add += len(pdf)
+        if add:
+            cur = (state.get[0] if state.exists else 0) + add
+            state.update((cur,))
+            yield pd.DataFrame({"depth": [key[0]], "bucket": [key[1]],
+                                "cnt": [cur]})
+
+    tok = _token_stream(docs, text_col, ngram)
+    obs = tok.select(F.posexplode(F.array(
+        *[_bucket(F.col("term"), i, w) for i in range(d)]))
+        .alias("depth", "bucket"))
+    return (obs.groupBy("depth", "bucket")
+            .applyInPandasWithState(fn, CMS_OUT, CMS_STATE,
+                                    "update", GroupStateTimeout.NoTimeout))

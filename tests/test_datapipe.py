@@ -3525,3 +3525,81 @@ def test_asof_join_hand_check(spark):
     import pytest as _p
     with _p.raises(ValueError):
         asof_join(trades, quotes, direction="sideways")
+
+
+def test_bloom_filter_one_sided_and_deterministic(spark):
+    """Members NEVER miss (the safe-pre-filter contract); false
+    positives exist at this (m, k) and are deterministic across
+    builds; a disjoint probe set stays mostly negative."""
+    from pyspark.sql import functions as F
+
+    from carbonapi_spark.datapipe.sketch import bloom_build, bloom_probe
+    members = spark.range(100).select(F.col("id").alias("key"))
+    bloom = bloom_build(members, "key", m_bits=1024, k=3)
+    out = bloom_probe(spark.range(500).select(F.col("id").alias("key")),
+                      bloom, "key", m_bits=1024, k=3).collect()
+    assert all(r["maybe_member"] for r in out if r["key"] < 100)
+    fp = sorted(r["key"] for r in out if r["key"] >= 100
+                and r["maybe_member"])
+    assert 0 < len(fp) < 40  # one-sided, small error at m/n = 10
+    bloom2 = bloom_build(members, "key", m_bits=1024, k=3)
+    out2 = bloom_probe(spark.range(500).select(F.col("id").alias("key")),
+                       bloom2, "key", m_bits=1024, k=3).collect()
+    assert sorted(r["key"] for r in out2 if r["key"] >= 100
+                  and r["maybe_member"]) == fp
+
+
+def test_bloom_probe_is_map_side_only(spark):
+    """The probe plan must contain ONLY broadcast hash joins — the
+    corpus side is never exchanged, never exploded: membership against
+    a billion-key set costs k in-codegen lookups per row."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from carbonapi_spark.datapipe.sketch import bloom_build, bloom_probe
+    members = spark.range(50).select(F.col("id").alias("key"))
+    bloom = bloom_build(members, "key", m_bits=512, k=4)
+    out = bloom_probe(spark.range(200).select(F.col("id").alias("key")),
+                      bloom, "key", m_bits=512, k=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"BroadcastHashJoin", plan)) == 4
+    assert not re.search(r"SortMergeJoin|ShuffledHashJoin", plan)
+    # the bitmap is checkpointed: its build aggregation must not appear
+    # once per join in the probe plan
+    assert len(re.findall(r"bit_or", plan)) == 0
+
+
+def test_stream_cms_matches_batch_across_batches(spark, tmp_path):
+    """The streamed count-min table (state summed across micro-batches
+    AND a checkpointed restart) must equal the batch sketch row for
+    row — addition is order-insensitive, so arrival slicing can't move
+    a counter, and the restart must be a no-op."""
+    from carbonapi_spark.datapipe.sketch import cms_counters
+    from carbonapi_spark.streaming.stateful import stream_cms_counters
+
+    rows = [(i, f"tok{i % 37} tok{i % 11} shared") for i in range(2000)]
+    src = str(tmp_path / "src")
+    batch = spark.createDataFrame(rows, "doc_id long, text string")
+    batch.repartition(4).write.parquet(src)
+
+    final: dict = {}
+
+    def sink(bdf, _bid):
+        for r in bdf.collect():
+            k = (r["depth"], r["bucket"])
+            final[k] = max(final.get(k, 0), r["cnt"])
+
+    ckpt = str(tmp_path / "ckpt")
+    stream = (spark.readStream.schema(batch.schema)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    out = stream_cms_counters(stream, "text", w=128, d=3)
+    for _run in range(2):
+        q = (out.writeStream.outputMode("update").foreachBatch(sink)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    want = {(r["depth"], r["bucket"]): r["cnt"]
+            for r in cms_counters(batch, "text", w=128, d=3).collect()}
+    assert final == want and len(want) > 30
