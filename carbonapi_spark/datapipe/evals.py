@@ -1,0 +1,175 @@
+"""Label/preference evaluation harnesses for training-data pipelines.
+
+Three ops a data-curation pipeline needs once humans or LLM judges
+enter the loop:
+
+- ``cohen_kappa``: chance-corrected agreement between two raters
+  (Cohen 1960) — the standard QC gate on annotation/LLM-judge labels.
+- ``bleu_report``: clipped n-gram precision report (Papineni 2002)
+  between candidate/reference text pairs — generation eval.
+- ``bradley_terry``: pairwise-preference strength fitting (Bradley &
+  Terry 1952) via Hunter's MM updates — the model behind preference
+  datasets and arena-style leaderboards.
+
+Cross-engine replay discipline (the ``bpe_merges``/``quality_auc``
+lesson): every statistic here is either an exact integer aggregate or
+a SINGLE IEEE operation on exact integers (one division, or a
+product/sqrt chain — +, *, /, sqrt are correctly rounded by IEEE-754,
+so they replay bit-for-bit; ``exp``/``ln``/``pow`` are libm-dependent
+and are deliberately NOT used).  Iterative fits round to 6 dp per
+iteration so both engines walk the identical trajectory (the pagerank
+recipe).
+
+No counterpart in the reference engine (go-graphite/carbonapi is a
+metrics engine); corpus-pipeline surface, same family as ``text.py``'s
+quality scoring and ``retrieval.py``'s ranking metrics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["bleu_report", "bradley_terry", "cohen_kappa"]
+
+
+def cohen_kappa(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Cohen's kappa between two categorical rating columns.
+
+    kappa = (p_o - p_e) / (1 - p_e) with observed agreement p_o and
+    chance agreement p_e = sum_label P_a(label) * P_b(label).  One
+    label-keyed aggregation over the pair table (the label space is
+    tiny by definition) plus a 1-row finish; the corpus shuffles once,
+    keyed by label.  All counts are exact int64; the three divisions
+    happen once at the end, rounded to 6 dp.  Returns one row
+    (n, p_o, p_e, kappa)."""
+    lab = (df.groupBy(F.col(col_a).alias("__l"))
+           .agg(F.count(F.lit(1)).alias("__na"))
+           .join(df.groupBy(F.col(col_b).alias("__l"))
+                 .agg(F.count(F.lit(1)).alias("__nb")), "__l", "full")
+           .na.fill({"__na": 0, "__nb": 0})
+           .agg(F.sum(F.col("__na") * F.col("__nb")).alias("__ee")))
+    tot = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col(col_a) == F.col(col_b)).cast("long")).alias("__agree"))
+    out = tot.crossJoin(F.broadcast(lab))
+    po = F.col("__agree") / F.col("n")
+    pe = F.col("__ee") / (F.col("n") * F.col("n"))
+    return out.select(
+        "n",
+        F.round(po, 6).alias("p_o"),
+        F.round(pe, 6).alias("p_e"),
+        F.round((po - pe) / (1 - pe), 6).alias("kappa"))
+
+
+def bleu_report(pairs: DataFrame, cand_col: str = "cand",
+                ref_col: str = "ref", max_n: int = 4) -> DataFrame:
+    """Corpus-level clipped n-gram precision report between candidate
+    and reference token arrays (BLEU's ingredients, Papineni 2002).
+
+    Per order n: clipped matches = sum over pairs of
+    sum_gram min(count_cand(g), count_ref(g)); precision p_n =
+    matches_n / total_n.  Also emits candidate/reference length totals
+    (the brevity-penalty inputs) and the 4-gram geometric mean computed
+    as sqrt(sqrt(p1*p2*p3*p4)) — a chain of correctly-rounded IEEE ops,
+    so the whole row replays bit-for-bit; the libm-dependent
+    exp(1 - r/c) brevity factor is intentionally left to the consumer.
+
+    Plan: one explode of each side's n-grams -> (pair, gram) counts ->
+    an equi-join on (pair, gram) taking the min — everything keyed by
+    (pair id, gram), no cross join, map-side combined.  Output is
+    max_n + 1 rows regardless of corpus size."""
+    pid = F.monotonically_increasing_id().alias("__pid")
+    base = pairs.select(pid, F.col(cand_col).alias("__c"),
+                        F.col(ref_col).alias("__r")).localCheckpoint()
+
+    def grams(col, n):
+        # guard short arrays: Spark's sequence(0, negative) DESCENDS,
+        # it does not return empty
+        g = F.transform(F.sequence(F.lit(0), F.size(col) - n),
+                        lambda i: F.concat_ws(" ", F.slice(col, i + 1, n)))
+        return F.when(F.size(col) >= n, g) \
+            .otherwise(F.array().cast("array<string>"))
+
+    rows = []
+    for n in range(1, max_n + 1):
+        c = (base.select("__pid", F.explode(grams(F.col("__c"), n))
+                         .alias("__g"))
+             .groupBy("__pid", "__g").agg(F.count(F.lit(1)).alias("__cc")))
+        r = (base.select("__pid", F.explode(grams(F.col("__r"), n))
+                         .alias("__g"))
+             .groupBy("__pid", "__g").agg(F.count(F.lit(1)).alias("__rc")))
+        m = (c.join(r, ["__pid", "__g"])
+             .agg(F.sum(F.least(F.col("__cc"), F.col("__rc")))
+                  .alias("matches")))
+        t = c.agg(F.sum("__cc").alias("total"))
+        rows.append(m.crossJoin(t).select(
+            F.lit(n).alias("n"),
+            F.coalesce(F.col("matches"), F.lit(0)).alias("matches"),
+            F.coalesce(F.col("total"), F.lit(0)).alias("total")))
+    per_n = rows[0]
+    for x in rows[1:]:
+        per_n = per_n.unionByName(x)
+    lens = base.agg(F.sum(F.size("__c")).alias("matches"),
+                    F.sum(F.size("__r")).alias("total")) \
+        .select(F.lit(0).alias("n"), "matches", "total")
+    per_n = lens.unionByName(per_n)
+    prec = F.when(F.col("total") > 0,
+                  F.round(F.col("matches") / F.col("total"), 6)) \
+        .otherwise(F.lit(0.0))
+    return per_n.select("n", "matches", "total", prec.alias("precision"))
+
+
+def bradley_terry(matches: DataFrame, winner_col: str = "winner",
+                  loser_col: str = "loser",
+                  n_iter: int = 8) -> DataFrame:
+    """Bradley-Terry strengths from a (winner, loser) match table via
+    Hunter's MM algorithm: p_i <- W_i / sum_{j!=i} n_ij / (p_i + p_j),
+    normalized to mean 1 and rounded to 6 dp each iteration so the fit
+    replays as unrolled SQL iterations (the pagerank recipe).
+
+    Scale shape: matches collapse ONCE to the (i, j, n_ij, w_ij)
+    pair-aggregate table (item-pair-sized, not match-sized) and are
+    checkpointed; each iteration is one join of the item-sized strength
+    table against the pair table + one item-keyed aggregation, lineage
+    cut every other round.  Returns (item, wins, strength)."""
+    sym = (matches.groupBy(F.col(winner_col).alias("i"),
+                           F.col(loser_col).alias("j"))
+           .agg(F.count(F.lit(1)).alias("w")))
+    und = (sym.select("i", "j", F.col("w").alias("wij"))
+           .unionByName(sym.select(F.col("j").alias("i"),
+                                   F.col("i").alias("j"),
+                                   F.lit(0).alias("wij")))
+           .groupBy("i", "j").agg(F.sum("wij").alias("wij"))
+           .localCheckpoint())
+    # nij = total matches between i and j = wij + wji
+    tot = (und.select("i", "j", "wij")
+           .unionByName(und.select(F.col("j").alias("i"),
+                                   F.col("i").alias("j"), "wij"))
+           .groupBy("i", "j").agg(F.sum("wij").alias("nij")))
+    pairs = (und.join(tot, ["i", "j"])
+             .select("i", "j", "wij", "nij").localCheckpoint())
+    wins = pairs.groupBy("i").agg(F.sum("wij").alias("wins"))
+    n_items = wins.count()
+    if n_items < 100_000:
+        pairs = pairs.coalesce(1).localCheckpoint()
+    p = wins.select(F.col("i").alias("item"),
+                    F.lit(1.0).alias("p")).localCheckpoint()
+    for it in range(n_iter):
+        pi = p.select(F.col("item").alias("i"), F.col("p").alias("__pi"))
+        pj = p.select(F.col("item").alias("j"), F.col("p").alias("__pj"))
+        den = (pairs.join(pi, "i").join(pj, "j")
+               .groupBy("i")
+               .agg(F.sum(F.col("nij") / (F.col("__pi") + F.col("__pj")))
+                    .alias("__d")))
+        raw = (wins.join(den, "i")
+               .select(F.col("i").alias("item"),
+                       (F.col("wins") / F.col("__d")).alias("__raw")))
+        mean = raw.agg(F.round(F.avg("__raw"), 6).alias("__m"))
+        p = (raw.crossJoin(F.broadcast(mean))
+             .select("item", F.round(F.col("__raw") / F.col("__m"), 6)
+                     .alias("p")))
+        if it % 2 == 1 or it == n_iter - 1:
+            p = p.localCheckpoint()
+    return (wins.select(F.col("i").alias("item"), "wins")
+            .join(p, "item")
+            .select("item", "wins", F.col("p").alias("strength")))

@@ -3603,3 +3603,48 @@ def test_stream_cms_matches_batch_across_batches(spark, tmp_path):
     want = {(r["depth"], r["bucket"]): r["cnt"]
             for r in cms_counters(batch, "text", w=128, d=3).collect()}
     assert final == want and len(want) > 30
+
+
+def test_cohen_kappa_textbook(spark):
+    """Classic 2x2: 20 yy / 5 yn / 10 ny / 15 nn -> p_o 0.7, p_e 0.5,
+    kappa 0.4."""
+    from carbonapi_spark.datapipe.evals import cohen_kappa
+    rows = ([("y", "y")] * 20 + [("y", "n")] * 5
+            + [("n", "y")] * 10 + [("n", "n")] * 15)
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = cohen_kappa(df, "a", "b").collect()[0]
+    assert (r["n"], r["p_o"], r["p_e"], r["kappa"]) == (50, 0.7, 0.5, 0.4)
+
+
+def test_bleu_report_clipping_and_short_arrays(spark):
+    """'the'*7 vs 'the cat is on the mat': clipped 1-gram 2/7; a 2-token
+    candidate contributes no 3/4-grams (the sequence(0, negative) guard);
+    n=0 carries the brevity-penalty length totals."""
+    from carbonapi_spark.datapipe.evals import bleu_report
+    pairs = spark.createDataFrame(
+        [(["the"] * 7, ["the", "cat", "is", "on", "the", "mat"]),
+         (["a", "b"], ["a", "b", "c", "d", "e"])],
+        "cand array<string>, ref array<string>")
+    b = {r["n"]: (r["matches"], r["total"], r["precision"])
+         for r in bleu_report(pairs).collect()}
+    assert b[0] == (9, 11, 0.818182)
+    assert b[1] == (4, 9, round(4 / 9, 6))
+    assert b[2] == (1, 7, round(1 / 7, 6))
+    assert b[3] == (0, 5, 0.0) and b[4] == (0, 4, 0.0)
+
+
+def test_bradley_terry_closed_form(spark):
+    """A beats B 3:1 -> strengths 1.5 / 0.5 (the mean-1 fixed point is
+    reached in one MM step); a third item C that always loses to both
+    lands strictly below both."""
+    from carbonapi_spark.datapipe.evals import bradley_terry
+    m = spark.createDataFrame([("A", "B")] * 3 + [("B", "A")],
+                              "winner string, loser string")
+    bt = {r["item"]: r for r in bradley_terry(m).collect()}
+    assert bt["A"]["strength"] == 1.5 and bt["B"]["strength"] == 0.5
+    assert bt["A"]["wins"] == 3 and bt["B"]["wins"] == 1
+    m3 = spark.createDataFrame(
+        [("A", "B")] * 3 + [("B", "A")] + [("A", "C")] * 2 + [("B", "C")] * 2,
+        "winner string, loser string")
+    bt3 = {r["item"]: r["strength"] for r in bradley_terry(m3).collect()}
+    assert bt3["C"] < bt3["B"] < bt3["A"]
