@@ -331,26 +331,33 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "sec",
               suffix: str = "_r") -> DataFrame:
     """As-of join: attach to every left row the single right row with
     the greatest ``on`` <= left's ``on`` (``backward``; ``forward`` =
-    smallest >=), per ``by`` group — the time-series point-in-time
-    lookup Spark has no built-in for (pandas ``merge_asof`` / kdb ``aj``
-    semantics, inclusive on equal timestamps).
+    smallest >=; ``nearest`` = smaller absolute gap, ties to backward),
+    per ``by`` group — the time-series point-in-time lookup Spark has
+    no built-in for (pandas ``merge_asof`` / kdb ``aj`` semantics,
+    inclusive on equal timestamps).
 
     Physical shape is the scalable merge-union, NOT a range join: both
     inputs are unioned with a side tag, shuffled ONCE on ``by``, and a
     running ``last(..., ignorenulls)`` over the (ts, side)-ordered
-    window carries each right row forward to the left rows it answers.
-    Cost is one exchange + one sort over |L|+|R| — no per-row range
-    probe, no O(|L| x |R|) corner, skew bounded by the ``by`` key like
-    any event-keyed window.
+    window carries each right row forward to the left rows it answers
+    (``nearest`` runs a second, reverse-ordered window over the SAME
+    partitioning — one extra sort, still one exchange — and picks the
+    closer side per row).  Cost is one exchange + one/two sorts over
+    |L|+|R| — no per-row range probe, no O(|L| x |R|) corner, skew
+    bounded by the ``by`` key like any event-keyed window.
 
     ``right`` must be unique per (by, on) — pre-aggregate ties away
     (e.g. ``groupBy(by, on).agg(max(...))``); duplicate keys would make
     "the" matched row ill-defined.  ``tolerance_s`` nulls matches
-    farther than the bound (the nearest match is also the only
+    farther than the bound (applied to the selected match, pandas
+    semantics; for backward/forward the nearest match is also the only
     candidate within any tolerance, so this is exact).  Matched columns
     come back as ``<col><suffix>`` plus ``<on><suffix>`` for the
     matched timestamp; unmatched left rows keep NULLs (left join)."""
     from pyspark.sql.window import Window
+    if direction == "nearest":
+        return _asof_nearest(left, right, on, by, right_cols,
+                             tolerance_s, suffix)
     if direction not in ("backward", "forward"):
         raise ValueError(f"unknown direction {direction!r}")
     keys = list(by)
@@ -390,4 +397,61 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "sec",
     else:
         out = out.select(*keys, "__ts", *lpay, r_on,
                          *[f"{c}{suffix}" for c in right_cols])
+    return out.withColumnRenamed("__ts", on)
+
+
+def _asof_nearest(left: DataFrame, right: DataFrame, on: str,
+                  by: tuple[str, ...], right_cols: tuple[str, ...],
+                  tolerance_s: int | None, suffix: str) -> DataFrame:
+    """``asof_join(direction="nearest")``: both carries over ONE
+    shuffle (same partitioning, forward is a second sort), smaller
+    absolute gap wins, ties to the backward match."""
+    from pyspark.sql.window import Window
+    keys = list(by)
+    lts = F.col(on).cast("long")
+    r_on = f"{on}{suffix}"
+    rtypes, ltypes = dict(right.dtypes), dict(left.dtypes)
+    lpay = [c for c in left.columns if c not in keys and c != on]
+    rc_out = [f"{c}{suffix}" for c in right_cols]
+    full_r = right.select(
+        *keys, lts.alias("__ts"), F.lit(0).alias("__side"),
+        lts.alias("__ron"),
+        *[F.col(c).alias(f"__rv_{c}") for c in right_cols],
+        *[F.lit(None).cast(ltypes[c]).alias(c) for c in lpay])
+    full_l = left.select(
+        *keys, lts.alias("__ts"), F.lit(1).alias("__side"),
+        F.lit(None).cast("long").alias("__ron"),
+        *[F.lit(None).cast(rtypes[c]).alias(f"__rv_{c}")
+          for c in right_cols],
+        *lpay)
+    wb = (Window.partitionBy(*keys)
+          .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wf = (Window.partitionBy(*keys)
+          .orderBy(F.col("__ts").desc(), F.col("__side").asc())
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    carried = []
+    for c in ["__ron"] + [f"__rv_{c}" for c in right_cols]:
+        carried.append(F.last(F.col(c), ignorenulls=True).over(wb)
+                       .alias(f"{c}__b"))
+        carried.append(F.last(F.col(c), ignorenulls=True).over(wf)
+                       .alias(f"{c}__f"))
+    u = (full_r.unionByName(full_l)
+         .select(*keys, "__ts", "__side", *carried, *lpay)
+         .where(F.col("__side") == 1))
+    bts, fts = F.col("__ron__b"), F.col("__ron__f")
+    use_b = bts.isNotNull() & (fts.isNull()
+                               | ((F.col("__ts") - bts)
+                                  <= (fts - F.col("__ts"))))
+    picked = [F.when(use_b, bts).otherwise(fts).alias(r_on)] + [
+        F.when(use_b, F.col(f"__rv_{c}__b"))
+        .otherwise(F.col(f"__rv_{c}__f")).alias(f"{c}{suffix}")
+        for c in right_cols]
+    out = u.select(*keys, "__ts", *lpay, *picked)
+    if tolerance_s is not None:
+        gap = F.abs(F.col("__ts") - F.col(r_on))
+        keep = F.col(r_on).isNotNull() & (gap <= tolerance_s)
+        out = out.select(*keys, "__ts", *lpay,
+                         *[F.when(keep, F.col(c)).alias(c)
+                           for c in [r_on] + rc_out])
     return out.withColumnRenamed("__ts", on)

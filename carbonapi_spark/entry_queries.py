@@ -4829,6 +4829,47 @@ FROM __x GROUP BY d
 """.strip())
 
 
+def _q_asof_nearest(spark, sf_dir):
+    """asof_join direction='nearest' (smaller absolute gap, tie to the
+    backward match, 12h tolerance) — same merge-union exchange as the
+    backward entry plus one reverse-ordered window; the ORACLE ranks
+    every candidate by (|gap|, backward-first), an independent
+    derivation."""
+    from carbonapi_spark.datapipe.events import asof_join
+    from carbonapi_spark.sources.testdata import epoch_seconds, read_events
+    ev = read_events(spark, sf_dir)
+    ev = ev.select("user_id", "event_type", "event_id", "value",
+                   epoch_seconds(ev).alias("sec"))
+    left = (ev.where(F.col("event_type") == "purchase")
+              .select("user_id", "sec", "event_id"))
+    right = (ev.where(F.col("event_type") == "view")
+               .groupBy("user_id", "sec")
+               .agg(F.max("value").alias("value")))
+    return asof_join(left, right, on="sec", by=("user_id",),
+                     right_cols=("value",), direction="nearest",
+                     tolerance_s=43200)
+
+
+_register("asof_nearest", _q_asof_nearest, """
+WITH __e AS (SELECT user_id, event_type, event_id, value,
+                    CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+__l AS (SELECT user_id, sec, event_id FROM __e
+        WHERE event_type = 'purchase'),
+__r AS (SELECT user_id, sec, max(value) AS value FROM __e
+        WHERE event_type = 'view' GROUP BY user_id, sec),
+__m AS (SELECT l.event_id, r.sec AS msec, r.value AS mval,
+               row_number() OVER (PARTITION BY l.event_id
+                   ORDER BY abs(r.sec - l.sec),
+                            CASE WHEN r.sec <= l.sec THEN 0
+                                 ELSE 1 END) AS rn
+        FROM __l l JOIN __r r ON l.user_id = r.user_id)
+SELECT l.user_id, l.sec, l.event_id,
+       CASE WHEN abs(l.sec - m.msec) <= 43200 THEN m.msec END AS sec_r,
+       CASE WHEN abs(l.sec - m.msec) <= 43200 THEN m.mval END AS value_r
+FROM __l l LEFT JOIN __m m ON l.event_id = m.event_id AND m.rn = 1
+""".strip())
+
+
 def _q_asof_join(spark, sf_dir):
     """Point-in-time as-of join: each purchase picks up the latest
     at-or-before view value for the same user within a 1-day tolerance
@@ -5157,6 +5198,84 @@ SELECT d.a AS node, d.deg,
             ELSE CAST(0.0 AS DOUBLE) END AS lcc
 FROM __deg d LEFT JOIN __n n ON d.a = n.node
 """.strip())
+
+
+def _q_corpus_diff(spark, sf_dir):
+    """Snapshot diff between two corpus versions (added / removed /
+    modified / unchanged): the new snapshot drops every 7th doc,
+    appends ' [rev2]' to every 10th, and adds 20 fresh ids.  Spark
+    compares xxhash64 content digests over one id-keyed full join; the
+    oracle compares the text directly — an independent derivation that
+    also cross-checks the digest path for collisions."""
+    from carbonapi_spark.sources.corpus import corpus_diff
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    new = (docs.where(F.pmod(F.col("doc_id"), F.lit(7)) != 3)
+           .withColumn("text",
+                       F.when(F.pmod(F.col("doc_id"), F.lit(10)) == 0,
+                              F.concat(F.col("text"), F.lit(" [rev2]")))
+                       .otherwise(F.col("text"))))
+    added = (docs.where(F.col("doc_id") < 20)
+             .select((F.col("doc_id") + 1_000_000).alias("doc_id"),
+                     "text"))
+    return corpus_diff(docs, new.unionByName(added))
+
+
+_register("corpus_diff", _q_corpus_diff, """
+WITH __o AS (SELECT doc_id, text FROM documents),
+__n AS (SELECT doc_id,
+               CASE WHEN doc_id % 10 = 0 THEN text || ' [rev2]'
+                    ELSE text END AS text
+        FROM documents WHERE doc_id % 7 != 3
+        UNION ALL
+        SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 20)
+SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            WHEN o.text = n.text THEN 'unchanged'
+            ELSE 'modified' END AS status
+FROM __o o FULL JOIN __n n ON o.doc_id = n.doc_id
+""".strip())
+
+
+def _q_core_numbers(spark, sf_dir):
+    """k-core decomposition of the embedding-similarity graph via 8
+    iterated neighborhood H-indices (Lü 2016) — pure-integer, so the
+    unrolled SQL replay is exact; dense cores = boilerplate families."""
+    from carbonapi_spark.datapipe.cluster import core_numbers
+    pairs = _q_embedding_dedup(spark, sf_dir).select("id_a", "id_b")
+    return core_numbers(pairs, "id_a", "id_b", n_iter=8)
+
+
+def _core_numbers_oracle(n_iter: int = 8) -> str:
+    iters = []
+    for t in range(1, n_iter + 1):
+        iters.append(f"""
+__k{t} AS MATERIALIZED (
+  SELECT a AS node, max(least(r, cv)) AS c FROM (
+    SELECT u.a, k.c AS cv,
+           row_number() OVER (PARTITION BY u.a ORDER BY k.c DESC) AS r
+    FROM __u u JOIN __k{t - 1} k ON u.b = k.node)
+  GROUP BY a)""".strip())
+    return f"""
+WITH v AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS e
+                        FROM embeddings WHERE vec_id < 300),
+__e0 AS MATERIALIZED (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM v a JOIN v b ON a.vec_id < b.vec_id
+  WHERE round(list_dot_product(a.e, b.e)
+              / (sqrt(list_dot_product(a.e, a.e))
+                 * sqrt(list_dot_product(b.e, b.e))), 6) >= 0.4),
+__u AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM __e0
+                     UNION ALL SELECT id_b, id_a FROM __e0),
+__k0 AS MATERIALIZED (SELECT a AS node, CAST(count(*) AS BIGINT) AS c
+                      FROM __u GROUP BY a),
+{",".join(iters)}
+SELECT node, c AS core FROM __k{n_iter}
+""".strip()
+
+
+_register("core_numbers", _q_core_numbers, _core_numbers_oracle())
 
 
 def _q_tiered_fetch(spark, sf_dir):
@@ -6300,12 +6419,17 @@ _DRIVER_PREFIX = [
     # oracle text — each later-r8 op displaced one of them
     "doc_quality", "lang_scores", "simhash", "simhash_pairs",
     "token_count",                                             # r04
-    "bpe_token_count", "ngram_jaccard",
+    "bpe_token_count",
+    # (ngram_jaccard rotated out late-r8: r05-green, whitespace-pin-only
+    # r8 diff; the shingle chain is in-prefix via split_leakage's full
+    # MinHash pair pipeline)
     # (chunk_documents rotated out late-r8: r05-green, zero r8 diffs;
     # the token-cumsum window-binning chain is re-verified in-prefix
     # via pack_sequences, which shares it and DID change in r8)
     "pack_sequences", "quality_lr", "redact_pii",              # r05
-    "c4_rules",
+    # (c4_rules rotated out late-r8: r06-green, whitespace-pin-only r8
+    # diff — gopher_rules stays as the rule-family + shared-seam
+    # representative)
     # (contamination rotated out late-r8: r06-green, zero r8 diffs;
     # the cross-set n-gram audit is in-prefix via split_leakage and its
     # surgical twin decontaminate was r07-green)
@@ -6319,7 +6443,10 @@ _DRIVER_PREFIX = [
     # pin, a single shared seam driver-verified by the dozen in-prefix
     # entries that carry the same class — token_count, gopher_rules,
     # quality_lr, pack_sequences, bpe_token_count, doc_quality, ...)
-    "dedup_keep_best", "gopher_rules",
+    # (dedup_keep_best rotated out late-r8: r06-green,
+    # whitespace-pin-only r8 diff; the CC chain is in-prefix via
+    # label_prop/split_leakage)
+    "gopher_rules",
     # (ngram_novelty rotated out late-r8: r06-green, zero r8 diffs; the
     # shingle-explode + reference anti-join chain stays covered by the
     # older ngram_jaccard in-prefix)
@@ -6361,6 +6488,9 @@ _DRIVER_PREFIX = [
     "judge_agreement",           # NEW r8 (late): Cohen's kappa
     "bleu_eval",                 # NEW r8 (late): clipped n-gram report
     "bt_ranking",                # NEW r8 (late): Bradley-Terry MM fit
+    "core_numbers",              # NEW r8 (late): k-core decomposition
+    "corpus_diff",               # NEW r8 (late): snapshot diff audit
+    "asof_nearest",              # NEW r8 (late): nearest-direction asof
 ]
 # The driver checks at most _DRIVER_CAP rows per round; test_entry.py pins
 # len(_DRIVER_PREFIX) <= cap so additions can never silently evict entries

@@ -212,3 +212,78 @@ def compact_index(spark: SparkSession, path: str,
             f"{'restored' if restored else f'LEFT AT {old}'}")
     fs.delete(p_old, True)
     return n
+
+
+def corpus_diff(old: DataFrame, new: DataFrame, id_col: str = "doc_id",
+                content_cols: tuple[str, ...] = ("text",)) -> DataFrame:
+    """Snapshot diff between two corpus versions: per id, status
+    ``added`` / ``removed`` / ``modified`` / ``unchanged`` — the audit
+    a lake needs before re-running downstream dedup/mix stages on a
+    refreshed crawl (and the input to incremental variants like
+    ``minhash_incremental``, which want exactly the added+modified
+    slice).
+
+    ONE full outer join on the id; content equality compares a single
+    xxhash64 over ``content_cols``, so wide rows ride the shuffle as
+    (id, 8 bytes) — at 100 TB the diff costs two projections and one
+    id-keyed exchange, never a byte-wise row comparison across the
+    wire.  (Cross-version hash collisions would misreport a
+    modification as unchanged; at 2^-64 per candidate pair that is
+    below any operational concern.)  Returns (id, status)."""
+    oh = old.select(F.col(id_col),
+                    F.xxhash64(*[F.col(c) for c in content_cols])
+                    .alias("__ho"))
+    nh = new.select(F.col(id_col),
+                    F.xxhash64(*[F.col(c) for c in content_cols])
+                    .alias("__hn"))
+    j = oh.join(nh, id_col, "full")
+    status = (F.when(F.col("__ho").isNull(), F.lit("added"))
+              .when(F.col("__hn").isNull(), F.lit("removed"))
+              .when(F.col("__ho") == F.col("__hn"), F.lit("unchanged"))
+              .otherwise(F.lit("modified")))
+    return j.select(id_col, status.alias("status"))
+
+
+def zorder_write(df: DataFrame, path: str, cols: tuple[str, ...],
+                 bits: int = 16, n_files: int = 64,
+                 mode: str = "overwrite") -> None:
+    """Write ``df`` as parquet clustered on the Morton (Z-order)
+    interleaving of ``cols`` — the multi-column layout trick: rows
+    close in EVERY clustered dimension land in the same files, so
+    parquet min/max stats prune multi-predicate scans that a
+    single-column sort can only prune on its leading key.
+
+    Each column is first normalized to a ``bits``-bit integer rank by
+    linear min/max scaling (one tiny agg; ranks only steer placement,
+    so skew in the scale costs clustering quality, never correctness),
+    then the bit-interleaved key feeds ``repartitionByRange`` — a
+    sample-based range exchange, NOT a global sort — into ``n_files``
+    output files.
+
+    At 100 TB this is a one-exchange rewrite whose value compounds:
+    every later scan with predicates on any prefix-free subset of
+    ``cols`` reads a ~(selectivity)^(1/len(cols)) fraction of files
+    instead of all of them.  Readers need no cooperation — the layout
+    is invisible to query semantics."""
+    stats = df.agg(*[f(c).alias(f"__{n}_{c}")
+                     for c in cols
+                     for n, f in (("mn", F.min), ("mx", F.max))]) \
+        .collect()[0]
+    z = F.lit(0).cast("long")
+    scaled = []
+    for c in cols:
+        mn, mx = stats[f"__mn_{c}"], stats[f"__mx_{c}"]
+        span = (mx - mn) or 1
+        r = ((F.col(c) - F.lit(mn)) * ((1 << bits) - 1) / F.lit(span)) \
+            .cast("long")
+        scaled.append(F.greatest(F.lit(0),
+                                 F.least(r, F.lit((1 << bits) - 1))))
+    for b in range(bits):           # interleave bit b of every column
+        for i, r in enumerate(scaled):
+            z = z + (F.shiftright(r, b).bitwiseAND(F.lit(1))
+                     .cast("long") * F.lit(1 << (b * len(scaled) + i)))
+    (df.withColumn("__z", z)
+     .repartitionByRange(n_files, "__z")
+     .sortWithinPartitions("__z")
+     .drop("__z")
+     .write.mode(mode).parquet(path))

@@ -282,3 +282,20 @@ def test_triangle_count_k4(spark):
     rows = triangle_count(edges).collect()
     assert all(r["triangles"] == 3 and r["lcc"] == 1.0 for r in rows)
     assert sum(r["triangles"] for r in rows) == 12
+
+
+def test_core_numbers_hand_check(spark):
+    """Triangle 0-1-2 with pendant 2-3: triangle nodes have core 2, the
+    pendant core 1; K4 is a 3-core; a path is a 1-core throughout."""
+    from carbonapi_spark.datapipe.cluster import core_numbers
+    tri = spark.createDataFrame([(0, 1), (1, 2), (0, 2), (2, 3)],
+                                "src LONG, dst LONG")
+    out = {r["node"]: r["core"] for r in core_numbers(tri).collect()}
+    assert out == {0: 2, 1: 2, 2: 2, 3: 1}
+    k4 = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(a + 1, 4)],
+        "src LONG, dst LONG")
+    assert all(r["core"] == 3 for r in core_numbers(k4).collect())
+    path = spark.createDataFrame([(i, i + 1) for i in range(6)],
+                                 "src LONG, dst LONG")
+    assert all(r["core"] == 1 for r in core_numbers(path).collect())

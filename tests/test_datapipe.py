@@ -3648,3 +3648,68 @@ def test_bradley_terry_closed_form(spark):
         "winner string, loser string")
     bt3 = {r["item"]: r["strength"] for r in bradley_terry(m3).collect()}
     assert bt3["C"] < bt3["B"] < bt3["A"]
+
+
+def test_corpus_diff_statuses(spark):
+    """All four statuses from a hand-built pair of snapshots; the
+    digest compare must flag a one-character edit and ignore column
+    order/partitioning."""
+    from carbonapi_spark.sources.corpus import corpus_diff
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (4, "d")], "doc_id long, text string") \
+        .repartition(3)
+    out = {r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()}
+    assert out == {1: "unchanged", 2: "modified", 3: "removed", 4: "added"}
+
+
+def test_zorder_write_clusters_both_dimensions(spark, tmp_path):
+    """A 2-D Z-order layout must confine a narrow (x AND y) predicate
+    to a small fraction of files — and beat an x-sorted layout on a
+    y-only predicate.  Checked via the set of distinct files containing
+    surviving rows (the property min/max pruning exploits)."""
+    from pyspark.sql import functions as F
+
+    from carbonapi_spark.sources.corpus import zorder_write
+    df = (spark.range(100_000)
+          .select((F.pmod(F.xxhash64("id"), F.lit(1000))).alias("x"),
+                  (F.pmod(F.xxhash64(F.col("id") + 1), F.lit(1000)))
+                  .alias("y")))
+    zpath = str(tmp_path / "z")
+    spath = str(tmp_path / "s")
+    zorder_write(df, zpath, ("x", "y"), n_files=64)
+    df.repartitionByRange(64, "x").write.parquet(spath)   # x-sorted A/B
+
+    def files_hit(path, cond):
+        d = spark.read.parquet(path).where(cond)
+        return d.select(F.input_file_name()).distinct().count()
+
+    both = (F.col("x").between(100, 140)) & (F.col("y").between(100, 140))
+    assert files_hit(zpath, both) <= 16        # 64 files; ~4% selectivity
+    yonly = F.col("y").between(100, 120)
+    assert files_hit(zpath, yonly) < 64        # z clusters y too
+    assert files_hit(spath, yonly) >= 60       # x-sort cannot
+
+
+def test_asof_join_nearest(spark):
+    from carbonapi_spark.datapipe.events import asof_join
+    quotes = spark.createDataFrame(
+        [("a", 10, 1.0), ("a", 20, 2.0)],
+        "user_id string, sec long, value double")
+    trades = spark.createDataFrame(
+        [("a", 9, "t1"), ("a", 14, "t2"), ("a", 16, "t3"),
+         ("a", 15, "t4"), ("c", 99, "t5")],
+        "user_id string, sec long, tid string")
+    out = {r["tid"]: r for r in asof_join(
+        trades, quotes, right_cols=("value",),
+        direction="nearest").collect()}
+    assert out["t1"]["value_r"] == 1.0          # before-first: forward
+    assert out["t2"]["value_r"] == 1.0          # gap 4 vs 6
+    assert out["t3"]["value_r"] == 2.0          # gap 6 vs 4
+    assert out["t4"]["value_r"] == 1.0          # tie -> backward
+    assert out["t5"]["value_r"] is None
+    tol = {r["tid"]: r for r in asof_join(
+        trades, quotes, right_cols=("value",), direction="nearest",
+        tolerance_s=1).collect()}
+    assert tol["t1"]["value_r"] == 1.0 and tol["t2"]["value_r"] is None
