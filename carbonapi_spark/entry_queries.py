@@ -5654,7 +5654,16 @@ def _q_bt_ranking(spark, sf_dir):
     return bradley_terry(m, n_iter=8)
 
 
-def _bt_oracle(n_iter: int = 8) -> str:
+_BT_DOC_MATCHES = """
+  SELECT CASE WHEN a.n_chars >= b.n_chars THEN a.source
+              ELSE b.source END AS winner,
+         CASE WHEN a.n_chars >= b.n_chars THEN b.source
+              ELSE a.source END AS loser
+  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+  WHERE a.source != b.source""".strip()
+
+
+def _bt_oracle(n_iter: int = 8, matches_sql: str = _BT_DOC_MATCHES) -> str:
     iters = []
     for k in range(1, n_iter + 1):
         iters.append(f"""
@@ -5672,12 +5681,7 @@ __bt{k} AS MATERIALIZED (
        (SELECT round(avg(raw), 6) AS mu FROM __raw{k}) m)""".strip())
     return f"""
 WITH __m AS (
-  SELECT CASE WHEN a.n_chars >= b.n_chars THEN a.source
-              ELSE b.source END AS winner,
-         CASE WHEN a.n_chars >= b.n_chars THEN b.source
-              ELSE a.source END AS loser
-  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
-  WHERE a.source != b.source),
+  {matches_sql}),
 __s AS (SELECT winner AS i, loser AS j, count(*) AS w
         FROM __m GROUP BY 1, 2),
 __u AS (SELECT i, j, CAST(sum(wij) AS BIGINT) AS wij FROM (

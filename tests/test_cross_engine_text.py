@@ -140,3 +140,32 @@ def test_wordpiece_train_cross_engine(spark, docs, ddb):
     want = [tuple(r) for r in
             ddb.execute(entry_queries._wordpiece_oracle(5)).fetchall()]
     assert got == want and len(got) == 5
+
+
+def test_bradley_terry_cross_engine_random_tables(spark):
+    """The unrolled MM replay must be bit-equal on arbitrary match
+    tables, not just the catalog's synthesis — the per-iteration 6-dp
+    rounding is what keeps both engines on one trajectory, and this
+    drives it over three random tournaments (including an undefeated
+    item and an item pair that never met)."""
+    import random
+
+    from carbonapi_spark.datapipe.evals import bradley_terry
+    from carbonapi_spark.entry_queries import _bt_oracle
+
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        items = list("ABCDEFG")
+        rows = [tuple(rng.sample(items, 2)) for _ in range(200)]
+        rows += [("A", x) for x in "BCDEFG"]   # help A stay strong
+        sdf = spark.createDataFrame(rows, "winner string, loser string")
+        got = {r["item"]: (r["wins"], r["strength"])
+               for r in bradley_terry(sdf, n_iter=8).collect()}
+        con = duckdb.connect()
+        con.register("matches", pd.DataFrame(rows,
+                                             columns=["winner", "loser"]))
+        sql = _bt_oracle(
+            n_iter=8, matches_sql="SELECT winner, loser FROM matches")
+        want = {r[0]: (r[1], r[2]) for r in con.execute(sql).fetchall()}
+        con.close()
+        assert got == want, f"seed {seed}: {got} != {want}"

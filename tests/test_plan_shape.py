@@ -629,3 +629,23 @@ def test_asof_join_single_exchange_no_join_node(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan, plan[:800]
     assert _df_exchanges(out) <= 1, plan[:800]
+
+
+def test_asof_nearest_single_exchange(spark):
+    """direction='nearest' must reuse the single merge-union exchange —
+    the forward carry is a second sort over the same partitioning, not
+    a second shuffle, and still no join operator anywhere."""
+    from pyspark.sql import functions as F
+
+    from carbonapi_spark.datapipe.events import asof_join
+    left = spark.range(500).select(
+        (F.col("id") % 20).cast("string").alias("user_id"),
+        (F.col("id") * 7).alias("sec"), F.col("id").alias("event_id"))
+    right = spark.range(200).select(
+        (F.col("id") % 20).cast("string").alias("user_id"),
+        (F.col("id") * 11).alias("sec"), F.rand(7).alias("value"))
+    out = asof_join(left, right, right_cols=("value",),
+                    direction="nearest", tolerance_s=3600)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan[:800]
+    assert _df_exchanges(out) <= 1, plan[:800]
