@@ -74,10 +74,12 @@ def bleu_report(pairs: DataFrame, cand_col: str = "cand",
     so the whole row replays bit-for-bit; the libm-dependent
     exp(1 - r/c) brevity factor is intentionally left to the consumer.
 
-    Plan: one explode of each side's n-grams -> (pair, gram) counts ->
-    an equi-join on (pair, gram) taking the min — everything keyed by
-    (pair id, gram), no cross join, map-side combined.  Output is
-    max_n + 1 rows regardless of corpus size."""
+    Plan: ONE tagged explode per side covering every order at once
+    ((n, gram) structs flattened from max_n per-order builders) ->
+    (pair, n, gram) counts -> one equi-join taking the min -> one
+    n-keyed aggregation — two corpus passes total for any max_n,
+    everything map-side combined, no cross join.  Output is max_n + 1
+    rows regardless of corpus size."""
     pid = F.monotonically_increasing_id().alias("__pid")
     base = pairs.select(pid, F.col(cand_col).alias("__c"),
                         F.col(ref_col).alias("__r")).localCheckpoint()
@@ -85,30 +87,36 @@ def bleu_report(pairs: DataFrame, cand_col: str = "cand",
     def grams(col, n):
         # guard short arrays: Spark's sequence(0, negative) DESCENDS,
         # it does not return empty
-        g = F.transform(F.sequence(F.lit(0), F.size(col) - n),
-                        lambda i: F.concat_ws(" ", F.slice(col, i + 1, n)))
+        g = F.transform(
+            F.sequence(F.lit(0), F.size(col) - n),
+            lambda i: F.struct(F.lit(n).alias("n"),
+                               F.concat_ws(" ", F.slice(col, i + 1, n))
+                               .alias("g")))
         return F.when(F.size(col) >= n, g) \
-            .otherwise(F.array().cast("array<string>"))
+            .otherwise(F.array().cast("array<struct<n:int,g:string>>"))
 
-    rows = []
-    for n in range(1, max_n + 1):
-        c = (base.select("__pid", F.explode(grams(F.col("__c"), n))
-                         .alias("__g"))
-             .groupBy("__pid", "__g").agg(F.count(F.lit(1)).alias("__cc")))
-        r = (base.select("__pid", F.explode(grams(F.col("__r"), n))
-                         .alias("__g"))
-             .groupBy("__pid", "__g").agg(F.count(F.lit(1)).alias("__rc")))
-        m = (c.join(r, ["__pid", "__g"])
-             .agg(F.sum(F.least(F.col("__cc"), F.col("__rc")))
-                  .alias("matches")))
-        t = c.agg(F.sum("__cc").alias("total"))
-        rows.append(m.crossJoin(t).select(
-            F.lit(n).alias("n"),
-            F.coalesce(F.col("matches"), F.lit(0)).alias("matches"),
-            F.coalesce(F.col("total"), F.lit(0)).alias("total")))
-    per_n = rows[0]
-    for x in rows[1:]:
-        per_n = per_n.unionByName(x)
+    def counted(col, out):
+        all_orders = F.flatten(F.array(
+            *[grams(col, n) for n in range(1, max_n + 1)]))
+        return (base.select("__pid", F.explode(all_orders).alias("__ng"))
+                .groupBy("__pid", F.col("__ng.n").alias("__n"),
+                         F.col("__ng.g").alias("__g"))
+                .agg(F.count(F.lit(1)).alias(out)))
+
+    c = counted(F.col("__c"), "__cc")
+    r = counted(F.col("__r"), "__rc")
+    matches = (c.join(r, ["__pid", "__n", "__g"])
+               .groupBy("__n")
+               .agg(F.sum(F.least(F.col("__cc"), F.col("__rc")))
+                    .alias("matches")))
+    totals = c.groupBy("__n").agg(F.sum("__cc").alias("total"))
+    shell = base.sparkSession.range(1, max_n + 1) \
+        .select(F.col("id").cast("int").alias("__n"))
+    per_n = (shell.join(totals, "__n", "left")
+             .join(matches, "__n", "left")
+             .select(F.col("__n").alias("n"),
+                     F.coalesce("matches", F.lit(0)).alias("matches"),
+                     F.coalesce("total", F.lit(0)).alias("total")))
     lens = base.agg(F.sum(F.size("__c")).alias("matches"),
                     F.sum(F.size("__r")).alias("total")) \
         .select(F.lit(0).alias("n"), "matches", "total")

@@ -1413,3 +1413,51 @@ def calibration_curve(df: DataFrame, score_col: str, label_col: str,
                  F.round(F.avg(F.col(score_col)), 6).alias("mean_score"),
                  F.round(F.avg(F.col(label_col).cast("double")), 6)
                  .alias("pos_rate")))
+
+
+_SCRIPT_RANGES: tuple[tuple[str, str], ...] = (
+    # (name, regex char class) — BMP-only ranges, spelled with explicit
+    # \x{....} escapes (valid in BOTH Java regex and RE2, unlike \p{}
+    # script classes whose unicode tables drift between engines)
+    ("latin", "A-Za-z"),
+    ("cyrillic", "\\x{0400}-\\x{04FF}"),
+    ("greek", "\\x{0370}-\\x{03FF}"),
+    ("arabic", "\\x{0600}-\\x{06FF}"),
+    ("devanagari", "\\x{0900}-\\x{097F}"),
+    ("cjk", "\\x{4E00}-\\x{9FFF}"),
+    ("kana", "\\x{3040}-\\x{30FF}"),
+    ("hangul", "\\x{AC00}-\\x{D7AF}"),
+)
+
+
+def script_profile(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Per-document writing-script histogram + dominant script — the
+    multilingual router that decides tokenizer/quality-rule routing
+    before any model-based language ID runs (and the sanity check ON
+    language ID: a 'german' doc that is 90% CJK is mislabeled).
+
+    One stateless projection: each script's character count is
+    ``length(t) - length(regexp_replace(t, class, ''))`` — a count
+    DIFFERENCE, so it replays exactly even where engines disagree on
+    absolute string length conventions.  Dominant script = max by
+    (count, fixed priority) via an ordered struct max — deterministic
+    tie-break, no floating point anywhere.  Docs with zero scripted
+    chars report 'none'."""
+    t = F.col(text_col)
+    counts = [
+        (name, F.length(t)
+         - F.length(F.regexp_replace(t, f"[{cls}]", "")))
+        for name, cls in _SCRIPT_RANGES
+    ]
+    ranked = F.array(*[
+        F.struct(c.cast("long").alias("c"),
+                 F.lit(-i).alias("pr"),
+                 F.lit(name).alias("s"))
+        for i, (name, c) in enumerate(counts)])
+    best = F.array_max(ranked)
+    return df.select(
+        F.col(id_col),
+        *[c.cast("long").alias(f"n_{name}") for name, c in counts],
+        F.when(best["c"] > 0, best["s"]).otherwise(F.lit("none"))
+        .alias("dominant"))

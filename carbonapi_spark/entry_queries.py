@@ -5703,6 +5703,58 @@ FROM __w w JOIN __bt{n_iter} p ON w.i = p.item
 _register("bt_ranking", _q_bt_ranking, _bt_oracle())
 
 
+def _q_script_profile(spark, sf_dir):
+    """Writing-script histogram + dominant script over docs prefixed
+    with cycling multi-script snippets (Cyrillic / Greek+CJK / Arabic /
+    Hangul+Kana) so every range column does real work.  Counts are
+    regexp-removal length differences; the oracle derives dominance
+    with an independent priority CASE chain instead of the struct
+    max."""
+    from carbonapi_spark.datapipe.text import script_profile
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    m = F.pmod(F.col("doc_id"), F.lit(4))
+    snip = (F.when(m == 0, "привет мир ")
+            .when(m == 1, "καλημέρα 日本語 ")
+            .when(m == 2, "مرحبا بالعالم ")
+            .otherwise("한국어 かな "))
+    return script_profile(
+        docs.select("doc_id", F.concat(snip, F.col("text")).alias("text")))
+
+
+def _script_profile_oracle() -> str:
+    from carbonapi_spark.datapipe.text import _SCRIPT_RANGES
+    cols = ",\n       ".join(
+        f"length(t) - length(regexp_replace(t, '[{cls}]', '', 'g'))"
+        f" AS n_{name}" for name, cls in _SCRIPT_RANGES)
+    names = [name for name, _ in _SCRIPT_RANGES]
+    mx = "greatest(" + ", ".join(f"n_{n}" for n in names) + ")"
+    chain = "\n            ".join(
+        f"WHEN n_{n} = __mx THEN '{n}'" for n in names)
+    return f"""
+WITH __t AS (
+  SELECT doc_id,
+         CASE CAST(doc_id % 4 AS INT)
+           WHEN 0 THEN 'привет мир '
+           WHEN 1 THEN 'καλημέρα 日本語 '
+           WHEN 2 THEN 'مرحبا بالعالم '
+           ELSE '한국어 かな ' END || text AS t
+  FROM documents),
+__c AS (
+  SELECT doc_id,
+       {cols}
+  FROM __t),
+__m AS (SELECT *, {mx} AS __mx FROM __c)
+SELECT doc_id, {", ".join(f"CAST(n_{n} AS BIGINT) AS n_{n}" for n in names)},
+       CASE WHEN __mx = 0 THEN 'none'
+            {chain}
+       END AS dominant
+FROM __m
+""".strip()
+
+
+_register("script_profile", _q_script_profile, _script_profile_oracle())
+
+
 def _q_norm_unicode(spark, sf_dir):
     """Unicode NFC canonicalization (pre-dedup normalization): the doc
     text is prefixed with DECOMPOSED accents (e + U+0301 etc.) so the op
@@ -6430,7 +6482,10 @@ _DRIVER_PREFIX = [
     # (chunk_documents rotated out late-r8: r05-green, zero r8 diffs;
     # the token-cumsum window-binning chain is re-verified in-prefix
     # via pack_sequences, which shares it and DID change in r8)
-    "pack_sequences", "quality_lr", "redact_pii",              # r05
+    # (pack_sequences rotated out late-r8: r05-green, whitespace-pin-
+    # only r8 diff; the token-cumsum family's hardest variant,
+    # budget_select's two-level bucketized cum-sum, is in-prefix)
+    "quality_lr", "redact_pii",                                # r05
     # (c4_rules rotated out late-r8: r06-green, whitespace-pin-only r8
     # diff — gopher_rules stays as the rule-family + shared-seam
     # representative)
@@ -6495,6 +6550,7 @@ _DRIVER_PREFIX = [
     "core_numbers",              # NEW r8 (late): k-core decomposition
     "corpus_diff",               # NEW r8 (late): snapshot diff audit
     "asof_nearest",              # NEW r8 (late): nearest-direction asof
+    "script_profile",            # NEW r8 (late): writing-script router
 ]
 # The driver checks at most _DRIVER_CAP rows per round; test_entry.py pins
 # len(_DRIVER_PREFIX) <= cap so additions can never silently evict entries

@@ -3713,3 +3713,24 @@ def test_asof_join_nearest(spark):
         trades, quotes, right_cols=("value",), direction="nearest",
         tolerance_s=1).collect()}
     assert tol["t1"]["value_r"] == 1.0 and tol["t2"]["value_r"] is None
+
+
+def test_script_profile_hand_check(spark):
+    """Known scripts dominate their docs; counts are per-range char
+    counts; ties break by declaration priority (latin before
+    cyrillic); scriptless docs report 'none'."""
+    from carbonapi_spark.datapipe.text import script_profile
+    df = spark.createDataFrame(
+        [(0, "hello world"), (1, "привет мир hello"),
+         (2, "日本語のテキスト"), (3, "مرحبا بالعالم"), (4, "123 !!!"),
+         (5, "한국어"), (6, "ab прив"), (7, "abc где")],  # 7: 3v3 tie
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in script_profile(df).collect()}
+    assert out[0]["dominant"] == "latin" and out[0]["n_latin"] == 10
+    assert out[1]["dominant"] == "cyrillic" and out[1]["n_cyrillic"] == 9
+    assert out[2]["dominant"] == "kana"      # 5 kana vs 3 cjk
+    assert out[2]["n_cjk"] == 3 and out[2]["n_kana"] == 5
+    assert out[3]["dominant"] == "arabic" and out[4]["dominant"] == "none"
+    assert out[5]["dominant"] == "hangul"
+    assert out[6]["dominant"] == "cyrillic"  # 2 latin vs 4 cyrillic
+    assert out[7]["dominant"] == "latin"     # 3 vs 3: priority wins
