@@ -3734,3 +3734,50 @@ def test_script_profile_hand_check(spark):
     assert out[5]["dominant"] == "hangul"
     assert out[6]["dominant"] == "cyrillic"  # 2 latin vs 4 cyrillic
     assert out[7]["dominant"] == "latin"     # 3 vs 3: priority wins
+
+
+def _mk_warc_record(rtype, uri, body, rid="<urn:uuid:1>"):
+    extra = b""
+    if rtype == "response":
+        body = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+    head = (f"WARC/1.0\r\nWARC-Type: {rtype}\r\n"
+            f"WARC-Record-ID: {rid}\r\n"
+            f"WARC-Target-URI: {uri}\r\n"
+            f"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n").encode()
+    return head + body + b"\r\n\r\n" + extra
+
+
+def test_read_warc_plain_and_gzip(spark, tmp_path):
+    """Response records parse with HTTP headers split off; warcinfo /
+    request records are filtered by default; a multi-member gzip file
+    decodes transparently; junk leading bytes fail soft (that file
+    yields nothing)."""
+    import gzip
+
+    from carbonapi_spark.sources.corpus import read_warc
+    recs = (_mk_warc_record("warcinfo", "", b"software: test\r\n")
+            + _mk_warc_record("response", "http://a.example/x",
+                              b"<html>hello</html>", "<urn:uuid:a>")
+            + _mk_warc_record("request", "http://a.example/x",
+                              b"GET /x HTTP/1.1\r\n")
+            + _mk_warc_record("response", "http://b.example/y",
+                              b"<html>bye</html>", "<urn:uuid:b>"))
+    (tmp_path / "f1.warc").write_bytes(recs)
+    (tmp_path / "f2.warc.gz").write_bytes(
+        gzip.compress(_mk_warc_record(
+            "response", "http://c.example/z", b"zzz", "<urn:uuid:c>"))
+        + gzip.compress(_mk_warc_record(
+            "response", "http://d.example/w", b"www", "<urn:uuid:d>")))
+    (tmp_path / "junk.warc").write_bytes(b"NOT A WARC FILE")
+    out = {r["target_uri"]: r
+           for r in read_warc(spark, str(tmp_path)).collect()}
+    assert set(out) == {"http://a.example/x", "http://b.example/y",
+                        "http://c.example/z", "http://d.example/w"}
+    a = out["http://a.example/x"]
+    assert bytes(a["payload"]) == b"<html>hello</html>"
+    assert a["http_status"] == 200 and a["record_type"] == "response"
+    assert bytes(out["http://d.example/w"]["payload"]) == b"www"
+    allrecs = read_warc(spark, str(tmp_path), record_types=()).collect()
+    assert {r["record_type"] for r in allrecs} == {
+        "warcinfo", "response", "request"}
