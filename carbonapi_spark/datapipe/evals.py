@@ -52,13 +52,17 @@ def cohen_kappa(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum((F.col(col_a) == F.col(col_b)).cast("long")).alias("__agree"))
     out = tot.crossJoin(F.broadcast(lab))
-    po = F.col("__agree") / F.col("n")
-    pe = F.col("__ee") / (F.col("n") * F.col("n"))
+    # guards (ANSI mode makes x/0 an error, not NULL): empty input ->
+    # all-null row; pe = 1 (both raters constant and equal) -> kappa
+    # undefined by definition -> NULL
+    po = F.when(F.col("n") > 0, F.col("__agree") / F.col("n"))
+    pe = F.when(F.col("n") > 0,
+                F.col("__ee") / (F.col("n") * F.col("n")))
     return out.select(
         "n",
         F.round(po, 6).alias("p_o"),
         F.round(pe, 6).alias("p_e"),
-        F.round((po - pe) / (1 - pe), 6).alias("kappa"))
+        F.round(F.when(pe < 1, (po - pe) / (1 - pe)), 6).alias("kappa"))
 
 
 def bleu_report(pairs: DataFrame, cand_col: str = "cand",
@@ -117,8 +121,9 @@ def bleu_report(pairs: DataFrame, cand_col: str = "cand",
              .select(F.col("__n").alias("n"),
                      F.coalesce("matches", F.lit(0)).alias("matches"),
                      F.coalesce("total", F.lit(0)).alias("total")))
-    lens = base.agg(F.sum(F.size("__c")).alias("matches"),
-                    F.sum(F.size("__r")).alias("total")) \
+    lens = base.agg(
+        F.coalesce(F.sum(F.size("__c")), F.lit(0)).alias("matches"),
+        F.coalesce(F.sum(F.size("__r")), F.lit(0)).alias("total")) \
         .select(F.lit(0).alias("n"), "matches", "total")
     per_n = lens.unionByName(per_n)
     prec = F.when(F.col("total") > 0,

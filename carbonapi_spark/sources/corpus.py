@@ -269,6 +269,11 @@ def zorder_write(df: DataFrame, path: str, cols: tuple[str, ...],
                      for c in cols
                      for n, f in (("mn", F.min), ("mx", F.max))]) \
         .collect()[0]
+    if any(stats[f"__mn_{c}"] is None for c in cols):
+        # empty input (or an all-null cluster column): nothing to
+        # cluster — write as-is rather than divide by a null span
+        df.write.mode(mode).parquet(path)
+        return
     z = F.lit(0).cast("long")
     scaled = []
     for c in cols:

@@ -3781,3 +3781,24 @@ def test_read_warc_plain_and_gzip(spark, tmp_path):
     allrecs = read_warc(spark, str(tmp_path), record_types=()).collect()
     assert {r["record_type"] for r in allrecs} == {
         "warcinfo", "response", "request"}
+
+
+def test_eval_ops_degenerate_inputs(spark, tmp_path):
+    """ANSI mode turns x/0 into a runtime error, so the degenerate
+    shapes must be guarded: constant equal raters (p_e = 1) -> NULL
+    kappa; empty kappa/bleu inputs -> null/zero rows, not exceptions;
+    zorder_write of an empty frame writes an empty dataset."""
+    from carbonapi_spark.datapipe.evals import bleu_report, cohen_kappa
+    from carbonapi_spark.sources.corpus import zorder_write
+    const = spark.createDataFrame([("y", "y")] * 5, "a string, b string")
+    r = cohen_kappa(const, "a", "b").collect()[0]
+    assert r["p_o"] == 1.0 and r["p_e"] == 1.0 and r["kappa"] is None
+    empty = spark.createDataFrame([], "a string, b string")
+    r0 = cohen_kappa(empty, "a", "b").collect()[0]
+    assert r0["n"] == 0 and r0["kappa"] is None
+    eb = spark.createDataFrame([], "cand array<string>, ref array<string>")
+    rows = {r["n"]: r for r in bleu_report(eb).collect()}
+    assert rows[0]["matches"] == 0 and rows[1]["precision"] == 0.0
+    ez = spark.createDataFrame([], "x long, y long")
+    zorder_write(ez, str(tmp_path / "ez"), ("x", "y"))
+    assert spark.read.parquet(str(tmp_path / "ez")).count() == 0
