@@ -48,3 +48,9 @@ def test_coverage_doc_counts_match_catalog():
     m = re.search(r"exposes \*\*(\d+) queries, all (\d+) with", text)
     assert m, "COVERAGE.md headline count sentence missing"
     assert int(m.group(1)) == len(QUERIES) == int(m.group(2)) == len(ORACLES)
+    readme = open("/root/repo/README.md").read()
+    for m2 in re.finditer(r"(\d+)-query catalog|currently (\d+)/(\d+) matching",
+                          readme):
+        for g in m2.groups():
+            if g is not None:
+                assert int(g) == len(QUERIES), "README query count stale"
