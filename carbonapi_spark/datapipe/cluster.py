@@ -402,9 +402,18 @@ def core_numbers(edges: DataFrame, src: str = "src", dst: str = "dst",
     for t in range(n_iter):
         nb = (und.join(c, und["b"] == c["node"])
               .select(F.col("a"), F.col("c").alias("__cv")))
-        w = Window.partitionBy("a").orderBy(F.col("__cv").desc())
-        c = (nb.select("a", F.least(F.row_number().over(w),
-                                    F.col("__cv")).alias("__h"))
+        # H-index via the VALUE HISTOGRAM, not a per-neighbor rank: a
+        # map-side-combined (node, value) count collapses the window's
+        # input from one row per edge to one per distinct score — a
+        # degree-d hub sorts its distinct values (<= its current
+        # H-bound), never d rows.  h = max over values v of
+        # min(v, #neighbors scoring >= v), with the >=-count as a
+        # descending cumulative sum.
+        hist = nb.groupBy("a", "__cv").agg(F.count(F.lit(1)).alias("__k"))
+        w = (Window.partitionBy("a").orderBy(F.col("__cv").desc())
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        c = (hist.select("a", F.least(F.col("__cv"),
+                                      F.sum("__k").over(w)).alias("__h"))
              .groupBy("a").agg(F.max("__h").alias("c"))
              .select(F.col("a").alias("node"), "c"))
         if t % 2 == 1 or t == n_iter - 1:
