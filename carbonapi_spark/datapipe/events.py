@@ -455,3 +455,53 @@ def _asof_nearest(left: DataFrame, right: DataFrame, on: str,
                          *[F.when(keep, F.col(c)).alias(c)
                            for c in [r_on] + rc_out])
     return out.withColumnRenamed("__ts", on)
+
+
+def window_join(left: DataFrame, right: DataFrame, on: str = "sec",
+                by: tuple[str, ...] = ("user_id",),
+                value_col: str = "value", window_s: int = 3600,
+                prefix: str = "w_") -> DataFrame:
+    """Window join (kdb ``wj`` semantics): for every left row, aggregate
+    the right rows of the same ``by`` group whose timestamp falls in
+    ``[ts - window_s, ts]`` (inclusive both ends) — "stats of the quotes
+    around each trade", the windowed sibling of :func:`asof_join`.
+
+    Same merge-union physical shape: both inputs are tagged and
+    unioned, shuffled ONCE on ``by``, and a RANGE-framed window over
+    the numeric timestamp aggregates right values per left row — left
+    rows carry NULL values, so the null-skipping aggregates see only
+    right rows.  No range join, no per-row probe; cost is one exchange
+    + one sort over |L|+|R|.
+
+    Emits ``{prefix}cnt/sum/min/max/avg``.  For an exact cross-engine
+    sum, feed an integer ``value_col`` (the catalog entry uses
+    micro-units); ``avg`` is one IEEE division of the sum by the
+    count."""
+    from pyspark.sql.window import Window
+    keys = list(by)
+    lts = F.col(on).cast("long")
+    rtypes, ltypes = dict(right.dtypes), dict(left.dtypes)
+    lpay = [c for c in left.columns if c not in keys and c != on]
+    full_r = right.select(
+        *keys, lts.alias("__ts"), F.lit(0).alias("__side"),
+        F.col(value_col).alias("__v"),
+        *[F.lit(None).cast(ltypes[c]).alias(c) for c in lpay])
+    full_l = left.select(
+        *keys, lts.alias("__ts"), F.lit(1).alias("__side"),
+        F.lit(None).cast(rtypes[value_col]).alias("__v"),
+        *lpay)
+    w = (Window.partitionBy(*keys).orderBy(F.col("__ts"))
+         .rangeBetween(-window_s, 0))
+    cnt = F.count("__v").over(w)
+    s = F.sum("__v").over(w)
+    out = (full_r.unionByName(full_l)
+           .select(*keys, "__ts", "__side", *lpay,
+                   cnt.alias(f"{prefix}cnt"),
+                   s.alias(f"{prefix}sum"),
+                   F.min("__v").over(w).alias(f"{prefix}min"),
+                   F.max("__v").over(w).alias(f"{prefix}max"),
+                   F.round(F.when(cnt > 0, s / cnt), 6)
+                   .alias(f"{prefix}avg"))
+           .where(F.col("__side") == 1)
+           .drop("__side"))
+    return out.withColumnRenamed("__ts", on)

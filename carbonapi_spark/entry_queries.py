@@ -4870,6 +4870,52 @@ FROM __l l LEFT JOIN __m m ON l.event_id = m.event_id AND m.rn = 1
 """.strip())
 
 
+def _q_window_join(spark, sf_dir):
+    """Window join (kdb wj): every purchase aggregates the views of the
+    trailing hour — count/sum/min/max/avg over micro-unit integer
+    values so the sum replays exactly.  Same merge-union exchange as
+    asof_join, with a RANGE frame instead of a carry; the oracle is an
+    independent inequality-join aggregate."""
+    from carbonapi_spark.datapipe.events import window_join
+    from carbonapi_spark.sources.testdata import epoch_seconds, read_events
+    ev = read_events(spark, sf_dir)
+    ev = ev.select("user_id", "event_type", "event_id", "value",
+                   epoch_seconds(ev).alias("sec"))
+    left = (ev.where(F.col("event_type") == "purchase")
+              .select("user_id", "sec", "event_id"))
+    right = (ev.where(F.col("event_type") == "view")
+               .select("user_id", "sec",
+                       F.round(F.col("value") * 100).cast("long")
+                       .alias("mv")))
+    return window_join(left, right, on="sec", by=("user_id",),
+                       value_col="mv", window_s=3600)
+
+
+_register("window_join", _q_window_join, """
+WITH __e AS (SELECT user_id, event_type, event_id, value,
+                    CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+__l AS (SELECT user_id, sec, event_id FROM __e
+        WHERE event_type = 'purchase'),
+__r AS (SELECT user_id, sec,
+               CAST(round(value * 100) AS BIGINT) AS mv FROM __e
+        WHERE event_type = 'view'),
+__m AS (SELECT l.event_id, r.mv
+        FROM __l l JOIN __r r
+          ON l.user_id = r.user_id
+         AND r.sec BETWEEN l.sec - 3600 AND l.sec)
+SELECT l.user_id, l.sec, l.event_id,
+       CAST(count(m.mv) AS BIGINT) AS w_cnt,
+       CAST(sum(m.mv) AS BIGINT) AS w_sum,
+       min(m.mv) AS w_min,
+       max(m.mv) AS w_max,
+       CASE WHEN count(m.mv) > 0
+            THEN round(CAST(sum(m.mv) AS DOUBLE) / count(m.mv), 6)
+       END AS w_avg
+FROM __l l LEFT JOIN __m m ON l.event_id = m.event_id
+GROUP BY l.user_id, l.sec, l.event_id
+""".strip())
+
+
 def _q_asof_join(spark, sf_dir):
     """Point-in-time as-of join: each purchase picks up the latest
     at-or-before view value for the same user within a 1-day tolerance
@@ -6473,7 +6519,10 @@ _DRIVER_PREFIX = [
     # source_kl, stream_hll_replay, zipf_fit, bigram_ppl, bm25_topk,
     # corpus_pipeline) are all r07-green and changed only in lockstep
     # oracle text — each later-r8 op displaced one of them
-    "doc_quality", "lang_scores", "simhash", "simhash_pairs",
+    "doc_quality", "lang_scores", "simhash",
+    # (simhash_pairs rotated out late-r8: r04-green, whitespace-pin-only
+    # r8 diff; the sketch chain is re-verified via simhash in-prefix and
+    # the band self-join shape via split_leakage's pair pipeline)
     "token_count",                                             # r04
     "bpe_token_count",
     # (ngram_jaccard rotated out late-r8: r05-green, whitespace-pin-only
@@ -6551,6 +6600,7 @@ _DRIVER_PREFIX = [
     "corpus_diff",               # NEW r8 (late): snapshot diff audit
     "asof_nearest",              # NEW r8 (late): nearest-direction asof
     "script_profile",            # NEW r8 (late): writing-script router
+    "window_join",               # NEW r8 (late): kdb-wj trailing stats
 ]
 # The driver checks at most _DRIVER_CAP rows per round; test_entry.py pins
 # len(_DRIVER_PREFIX) <= cap so additions can never silently evict entries

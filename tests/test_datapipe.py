@@ -3802,3 +3802,24 @@ def test_eval_ops_degenerate_inputs(spark, tmp_path):
     ez = spark.createDataFrame([], "x long, y long")
     zorder_write(ez, str(tmp_path / "ez"), ("x", "y"))
     assert spark.read.parquet(str(tmp_path / "ez")).count() == 0
+
+
+def test_window_join_hand_check(spark):
+    """Quotes at 10/20/30 (values 1/2/4): a trade at 25 with window 10
+    sees {2} only; at 30 sees {2, 4}; at 9 sees nothing; other users
+    see nothing; sum/cnt/min/max/avg all hand-checked."""
+    from carbonapi_spark.datapipe.events import window_join
+    quotes = spark.createDataFrame(
+        [("a", 10, 1), ("a", 20, 2), ("a", 30, 4)],
+        "user_id string, sec long, value long")
+    trades = spark.createDataFrame(
+        [("a", 25, "t1"), ("a", 30, "t2"), ("a", 9, "t3"), ("b", 30, "t4")],
+        "user_id string, sec long, tid string")
+    out = {r["tid"]: r for r in window_join(
+        trades, quotes, window_s=10).collect()}
+    assert (out["t1"]["w_cnt"], out["t1"]["w_sum"]) == (1, 2)
+    t2 = out["t2"]
+    assert (t2["w_cnt"], t2["w_sum"], t2["w_min"], t2["w_max"],
+            t2["w_avg"]) == (2, 6, 2, 4, 3.0)
+    assert out["t3"]["w_cnt"] == 0 and out["t3"]["w_sum"] is None
+    assert out["t4"]["w_cnt"] == 0
