@@ -3823,3 +3823,42 @@ def test_window_join_hand_check(spark):
             t2["w_avg"]) == (2, 6, 2, 4, 3.0)
     assert out["t3"]["w_cnt"] == 0 and out["t3"]["w_sum"] is None
     assert out["t4"]["w_cnt"] == 0
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Seeded random tables through all three directions, with and
+    without tolerance, must reproduce pandas.merge_asof row for row —
+    the reference implementation of the semantics (inclusive equal
+    timestamps, nearest ties to backward)."""
+    import random
+
+    import pandas as pd
+
+    from carbonapi_spark.datapipe.events import asof_join
+    rng = random.Random(11)
+    lrows = [(str(rng.randrange(6)), rng.randrange(0, 500), i)
+             for i in range(300)]
+    rrows = list({(str(rng.randrange(6)), rng.randrange(0, 500)): None
+                  for _ in range(200)})
+    rrows = [(u, t, rng.random()) for (u, t) in rrows]
+    left = spark.createDataFrame(lrows, "user_id string, sec long, eid long")
+    right = spark.createDataFrame(rrows,
+                                  "user_id string, sec long, value double")
+    lpd = pd.DataFrame(lrows, columns=["user_id", "sec", "eid"]) \
+        .sort_values("sec", kind="stable").reset_index(drop=True)
+    rpd = pd.DataFrame(rrows, columns=["user_id", "sec", "value"]) \
+        .sort_values("sec", kind="stable").reset_index(drop=True)
+    for direction in ("backward", "forward", "nearest"):
+        for tol in (None, 40):
+            got = {r["eid"]: r["value_r"] for r in asof_join(
+                left, right, on="sec", by=("user_id",),
+                right_cols=("value",), direction=direction,
+                tolerance_s=tol).collect()}
+            kw = {} if tol is None else {"tolerance": tol}
+            want_df = pd.merge_asof(lpd, rpd, on="sec", by="user_id",
+                                    direction=direction, **kw)
+            want = dict(zip(want_df["eid"], want_df["value"]))
+            for eid, wv in want.items():
+                gv = got[eid]
+                assert (gv is None and pd.isna(wv)) or gv == wv, (
+                    direction, tol, eid, gv, wv)
