@@ -6476,6 +6476,96 @@ FROM __sh
 _register("corpus_pipeline", _q_corpus_pipeline, _corpus_pipeline_oracle())
 
 
+def _q_unigram_pieces(spark, sf_dir):
+    """Unigram-LM tokenizer training (Kudo 2018 / SentencePiece), the
+    integer-exact scoreboard surrogate: seed vocabulary from substring
+    frequencies, then 2 rounds of Viterbi E-step (MDL objective:
+    fewest pieces, then highest total frequency, then smallest piece
+    string — all integer/string comparisons) + usage M-step + prune to
+    the top 24 multi-char pieces.  The Viterbi DP is an F.aggregate
+    fold over character positions (constant-size expression, zero
+    UDFs); the oracle unrolls the same DP as one CTE per position with
+    the identical (np, score DESC, pstr) tie rule."""
+    from carbonapi_spark.datapipe.unigram import unigram_count_train
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return unigram_count_train(docs, iters=2)
+
+
+def _unigram_oracle(iters: int = 2, max_word_len: int = 16,
+                    max_piece_len: int = 3, n_multi: int = 48,
+                    keep_multi: int = 24) -> str:
+    sep = "chr(31)"
+    ctes = [f"""
+__wt AS MATERIALIZED (
+  SELECT tok AS word, count(*) AS cnt
+  FROM {_BPE_TOKS_SQL}
+  WHERE len(tok) <= {max_word_len}
+  GROUP BY 1),
+__cand AS MATERIALIZED (
+  SELECT piece, sum(cnt) AS score
+  FROM (SELECT cnt,
+               unnest(flatten(list_transform(range(len(word)), i ->
+                 list_transform(range(1, least({max_piece_len},
+                                               len(word) - i) + 1),
+                                l -> substr(word, i + 1, l))))) AS piece
+        FROM __wt)
+  GROUP BY 1),
+__v0 AS MATERIALIZED (
+  SELECT piece, score FROM (
+    SELECT piece, score,
+           row_number() OVER (ORDER BY score DESC, piece) AS rk
+    FROM __cand)
+  WHERE len(piece) = 1 OR rk <= {n_multi})""".strip()]
+    for t in range(1, iters + 1):
+        ctes.append(f"""
+__d{t}_0 AS (SELECT word, cnt, 0 AS np, CAST(0 AS BIGINT) AS score,
+                    {sep} AS pstr FROM __wt)""".strip())
+        for i in range(1, max_word_len + 1):
+            branches = []
+            for l in range(1, min(max_piece_len, i) + 1):
+                branches.append(f"""
+      SELECT d.word, d.cnt, d.np + 1 AS np, d.score + v.score AS score,
+             d.pstr || v.piece || {sep} AS pstr
+      FROM __d{t}_{i - l} d JOIN __v{t - 1} v
+        ON len(v.piece) = {l}
+       AND v.piece = substr(d.word, {i - l + 1}, {l})
+      WHERE len(d.word) >= {i}""".strip())
+            ctes.append(f"""
+__d{t}_{i} AS MATERIALIZED (
+  SELECT word, cnt, np, score, pstr FROM (
+    SELECT *, row_number() OVER (PARTITION BY word
+              ORDER BY np ASC, score DESC, pstr ASC) AS rn
+    FROM ({(chr(10) + '      UNION ALL' + chr(10)).join(branches)}))
+  WHERE rn = 1)""".strip())
+        finals = "\n  UNION ALL ".join(
+            f"SELECT * FROM __d{t}_{i} WHERE len(word) = {i}"
+            for i in range(1, max_word_len + 1))
+        ctes.append(f"""
+__u{t} AS MATERIALIZED (
+  SELECT piece, sum(cnt) AS usage
+  FROM (SELECT cnt, unnest(list_filter(string_split(pstr, {sep}),
+                                       x -> x != '')) AS piece
+        FROM ({finals}))
+  GROUP BY 1),
+__v{t} AS MATERIALIZED (
+  SELECT s.piece, coalesce(u.usage, 0) AS score
+  FROM (SELECT piece FROM __v{t - 1} WHERE len(piece) = 1) s
+  LEFT JOIN __u{t} u USING (piece)
+  UNION ALL
+  SELECT piece, usage AS score FROM (
+    SELECT piece, usage,
+           row_number() OVER (ORDER BY usage DESC, piece) AS rk
+    FROM __u{t} WHERE len(piece) > 1)
+  WHERE rk <= {keep_multi})""".strip())
+    return ("WITH " + ",\n".join(ctes) + "\n"
+            + f"SELECT CAST(row_number() OVER (ORDER BY score DESC, piece)"
+              f" AS INT) AS rank, piece, CAST(score AS BIGINT) AS usage\n"
+              f"FROM __v{iters} WHERE len(piece) > 1 ORDER BY rank")
+
+
+_register("unigram_pieces", _q_unigram_pieces, _unigram_oracle())
+
+
 # ---------------------------------------------------------------------------
 # Driver-visibility ordering. The correctness driver checks at most the first
 # 50 catalog entries per round.  Rotation policy: the prefix lists ONLY the
@@ -6523,7 +6613,10 @@ _DRIVER_PREFIX = [
     # (simhash_pairs rotated out late-r8: r04-green, whitespace-pin-only
     # r8 diff; the sketch chain is re-verified via simhash in-prefix and
     # the band self-join shape via split_leakage's pair pipeline)
-    "token_count",                                             # r04
+    # (token_count rotated out latest-r8: r04-green, whitespace-pin-only
+    # r8 diff; bpe_token_count and doc_quality in-prefix carry the same
+    # token-explode seam — displaced by the new unigram trainer)
+    "unigram_pieces",            # NEW r8 (latest): unigram-LM tokenizer
     "bpe_token_count",
     # (ngram_jaccard rotated out late-r8: r05-green, whitespace-pin-only
     # r8 diff; the shingle chain is in-prefix via split_leakage's full
