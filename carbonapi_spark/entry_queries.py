@@ -6566,6 +6566,81 @@ __v{t} AS MATERIALIZED (
 _register("unigram_pieces", _q_unigram_pieces, _unigram_oracle())
 
 
+def _q_stream_join_replay(spark, sf_dir):
+    """STREAM-STREAM watermarked interval join on the scoreboard: the
+    purchase stream inner-joins the view stream of the same user where
+    the view falls in the 24 h before the purchase — Structured
+    Streaming buffers BOTH sides in the state store, keyed by user, and
+    evicts by watermark + range (state is O(rate x window), not stream
+    length).  Event time is floored to whole seconds on ingest (the
+    generation-portable ts path), so the replay is exactly the
+    second-granular inequality join the oracle computes."""
+    import tempfile
+
+    from carbonapi_spark.sources.testdata import epoch_seconds
+    from carbonapi_spark.streaming.joins import stream_interval_join
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    schema = raw.schema
+    stream = (spark.readStream.schema(schema)
+              .option("pathGlobFilter", "events.parquet")
+              .parquet(sf_dir))
+    sec = epoch_seconds(stream)
+    ev = stream.select("event_id", "user_id", "event_type", "value",
+                       sec.alias("sec"),
+                       F.timestamp_seconds(sec).alias("ets"))
+    purchases = (ev.where(F.col("event_type") == "purchase")
+                 .select(F.col("event_id").alias("p_id"), "user_id",
+                         F.col("sec").alias("psec"),
+                         F.col("ets").alias("pts")))
+    views = (ev.where(F.col("event_type") == "view")
+             .select(F.col("event_id").alias("v_id"),
+                     F.col("user_id").alias("v_user"),
+                     F.col("value").alias("view_value"),
+                     F.col("sec").alias("vsec"),
+                     F.col("ets").alias("vts")))
+    joined = stream_interval_join(
+        purchases, views.withColumnRenamed("v_user", "user_id"),
+        by="user_id", left_ts="pts", right_ts="vts",
+        lookback_s=86400, watermark_s=3600)
+    rows: list = []
+
+    def sink(bdf, _bid):
+        rows.extend((int(r["user_id"]), int(r["p_id"]), int(r["v_id"]),
+                     int(r["psec"]), int(r["vsec"]),
+                     round(float(r["view_value"]), 6))
+                    for r in bdf.collect())
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        with tempfile.TemporaryDirectory() as ckpt:
+            q = (joined.writeStream.foreachBatch(sink)
+                 .option("checkpointLocation", ckpt)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    return spark.createDataFrame(
+        sorted(rows) or [],
+        "user_id LONG, p_id LONG, v_id LONG, psec LONG, vsec LONG, "
+        "view_value DOUBLE")
+
+
+_register("stream_join_replay", _q_stream_join_replay, """
+WITH __e AS (SELECT event_id, user_id, event_type, value,
+                    CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+__p AS (SELECT event_id AS p_id, user_id, sec AS psec FROM __e
+        WHERE event_type = 'purchase'),
+__v AS (SELECT event_id AS v_id, user_id, value, sec AS vsec FROM __e
+        WHERE event_type = 'view')
+SELECT p.user_id, p.p_id, v.v_id, p.psec, v.vsec,
+       round(v.value, 6) AS view_value
+FROM __p p JOIN __v v
+  ON p.user_id = v.user_id
+ AND v.vsec >= p.psec - 86400 AND v.vsec <= p.psec
+""".strip())
+
+
 # ---------------------------------------------------------------------------
 # Driver-visibility ordering. The correctness driver checks at most the first
 # 50 catalog entries per round.  Rotation policy: the prefix lists ONLY the
@@ -6627,7 +6702,11 @@ _DRIVER_PREFIX = [
     # (pack_sequences rotated out late-r8: r05-green, whitespace-pin-
     # only r8 diff; the token-cumsum family's hardest variant,
     # budget_select's two-level bucketized cum-sum, is in-prefix)
-    "quality_lr", "redact_pii",                                # r05
+    # (redact_pii rotated out latest-r8: r05-green, whitespace-pin-only
+    # r8 diff; the portable-regex-projection seam is in-prefix via
+    # doc_quality/gopher_rules — displaced by the stream-stream join)
+    "stream_join_replay",        # NEW r8 (latest): watermarked interval join
+    "quality_lr",                                              # r05
     # (c4_rules rotated out late-r8: r06-green, whitespace-pin-only r8
     # diff — gopher_rules stays as the rule-family + shared-seam
     # representative)
