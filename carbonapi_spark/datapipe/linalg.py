@@ -1,0 +1,194 @@
+"""Embedding linear algebra for the vector pipeline: deterministic
+Johnson-Lindenstrauss random projection, one-pass covariance, and PCA.
+
+Cross-engine exactness design (the round-7 `quality_auc` lesson: a
+corpus-sized ``sum(double)`` is partition-order-dependent and WILL
+eventually diverge between engines): every corpus-sized reduction here
+is an INTEGER sum of fixed-point-quantized terms — order-independent,
+overflow-checked, and bit-identical in any engine.  The quantization
+step is part of the operator contract (reproducible data pipelines
+quantize for exactly this reason), not a test convenience.
+
+Scale shapes:
+- :func:`random_projection` is a stateless projection (signs derive
+  from an affine-mod generator, riding as literals) — zero shuffles,
+  whole-stage codegen, the 100 TB path for shrinking embedding storage
+  before ANN indexing.
+- :func:`covariance_matrix` explodes each row into its dim*(dim+1)/2
+  upper-triangle products and hash-aggregates: the shuffle carries only
+  ~dim^2/2 keys per map partition (map-side combine), so bytes over the
+  wire are dim^2-bounded, not corpus-bounded.
+- :func:`pca_components` collects the dim x dim covariance (4 KB for
+  dim 64) and eigendecomposes on the driver — the same k-sized driver
+  hop as kmeans_centroids; :func:`pca_project` then broadcasts the
+  components back as literals.
+
+Reference parity note: the reference engine (go-graphite/carbonapi) has
+no vector surface; this module belongs to the training-data pipeline
+extension (SURVEY.md "beyond the reference" mandate).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# fixed-point scales (contract constants, see module docstring)
+PROJ_SCALE = 10**6
+COV_SCALE = 10**9
+
+
+def jl_signs(in_dim: int, out_dim: int, seed: int = 42) -> list[list[int]]:
+    """Seeded ±1 sign matrix (in_dim x out_dim), the Achlioptas
+    projection directions — the similarity.random_planes convention:
+    Python-seeded values embedded as LITERALS in both the Spark
+    expression and the SQL oracle, so both engines share the matrix
+    verbatim.  (An arithmetic in-expression generator was tried first:
+    affine-mod parity never wraps the modulus at these index ranges,
+    collapses to a function of the output dim alone, and yields rank-1
+    projections — caught by test_sign_generator_is_balanced.)"""
+    import random
+    rng = random.Random(seed)
+    return [[rng.choice((1, -1)) for _ in range(out_dim)]
+            for _ in range(in_dim)]
+
+
+def random_projection(vecs: DataFrame, out_dim: int = 16,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """Fixed-point JL random projection (Achlioptas 2003 ±1 variant):
+    ``out_j = sum_i q_i * s(i,j) / (SCALE * sqrt(out_dim))`` where
+    ``q_i = round(v_i * SCALE)`` and the ±1 signs come from
+    :func:`jl_signs` (seed 42), riding as a nested array literal.  The
+    inner reduction is an INTEGER sum — exact and order-independent —
+    so the projection replays bit-for-bit in SQL.  The 0-dp
+    quantization round is seam-free across engines (X.5 is exactly
+    representable in double, unlike the fractional-dp grid).
+
+    Returns exploded rows (id, odim, value), one row per output
+    dimension (array-valued results don't hash portably across
+    engines; exploded doubles do)."""
+    in_dim = len(vecs.select(vec_col).first()[0])
+    signs = jl_signs(in_dim, out_dim)
+    sign_lit = F.array(*[
+        F.array(*[F.lit(s).cast("long") for s in row]) for row in signs])
+    q = F.transform(F.col(vec_col),
+                    lambda v: F.round(v.cast("double")
+                                      * PROJ_SCALE).cast("long"))
+    dim_idx = F.explode(F.sequence(F.lit(0), F.lit(out_dim - 1)))
+    rows = vecs.select(F.col(id_col), q.alias("__q"),
+                       dim_idx.alias("odim"))
+    acc = F.aggregate(
+        F.sequence(F.lit(0), F.size("__q") - 1),
+        F.lit(0).cast("long"),
+        lambda s, i: s + F.element_at(F.col("__q"), i + 1)
+        * F.element_at(F.element_at(sign_lit, i + 1),
+                       F.col("odim") + 1))
+    # DIVIDE by the denominator (not multiply by its reciprocal —
+    # x/d != x*(1/d) in IEEE, probed: 6th-dp flips) and emit the RAW
+    # double: the integer numerator and the denominator are
+    # bit-identical across engines, so the quotient is too, and any
+    # downstream rounding then lands identically.  Pre-rounding here
+    # would reintroduce a seam (JVM round-via-shortest-string vs
+    # round-of-binary-value disagree on grid-boundary quotients, and
+    # F.round strips -0.0 while SQL round keeps it — both probed).
+    den = PROJ_SCALE * math.sqrt(out_dim)
+    return rows.select(
+        id_col, F.col("odim").cast("int").alias("odim"),
+        (acc.cast("double") / F.lit(den)).alias("value"))
+
+
+def covariance_matrix(vecs: DataFrame, vec_col: str = "embedding",
+                      ddof: int = 0) -> DataFrame:
+    """One-pass covariance of the embedding columns: explode each row
+    into its upper-triangle quantized products
+    ``round(v_i * v_j * COV_SCALE)`` plus quantized first moments, sum
+    exactly as int64, and finish with
+    ``cov_ij = (S_ij/SCALE - S_i*S_j/(SCALE^2 * n)) / (n - ddof)``.
+
+    Returns (i, j, cov) for i <= j, cov rounded to 6 dp.  Overflow
+    budget: |v| <= ~1 keeps each term <= COV_SCALE, so int64 holds
+    ~9e9 rows per (i,j) key; beyond that lower COV_SCALE or shard the
+    sum — documented contract, checked at runtime."""
+    pairs = F.flatten(F.transform(
+        F.sequence(F.lit(0), F.size(vec_col) - 1),
+        lambda i: F.transform(
+            F.sequence(i, F.size(vec_col) - 1),
+            lambda j: F.struct(
+                i.cast("int").alias("i"), j.cast("int").alias("j"),
+                F.round(F.element_at(F.col(vec_col), i + 1).cast("double")
+                        * F.element_at(F.col(vec_col), j + 1)
+                        .cast("double")
+                        * COV_SCALE).cast("long").alias("q")))))
+    moments = F.transform(
+        F.col(vec_col),
+        lambda v: F.round(v.cast("double") * COV_SCALE).cast("long"))
+    prods = (vecs.select(F.explode(pairs).alias("p"))
+             .select("p.i", "p.j", "p.q")
+             .groupBy("i", "j").agg(F.sum("q").alias("sq"),
+                                    F.count(F.lit(1)).alias("n")))
+    sums = (vecs.select(F.posexplode(moments).alias("i", "m"))
+            .groupBy("i").agg(F.sum("m").alias("sm")))
+    si = sums.select(F.col("i").alias("i"), F.col("sm").alias("smi"))
+    sj = sums.select(F.col("i").alias("j"), F.col("sm").alias("smj"))
+    scale = float(COV_SCALE)
+    # smi*smj as int64 overflows (~1e11 each at bench scale); the
+    # moments are exactly representable doubles, so the IEEE product is
+    # engine-identical.  The cov is emitted RAW (no rounding): every
+    # operand is exact and the expression tree is fixed, so the double
+    # is bit-identical across engines — pre-rounding would reintroduce
+    # the -0.0 / boundary seams (see random_projection).
+    smi_d = F.col("smi").cast("double")
+    smj_d = F.col("smj").cast("double")
+    return (prods.join(F.broadcast(si), "i").join(F.broadcast(sj), "j")
+            .select("i", "j",
+                    ((F.col("sq") / scale
+                      - smi_d * smj_d
+                      / (scale * scale) / F.col("n"))
+                     / (F.col("n") - F.lit(ddof))).alias("cov"))
+            .orderBy("i", "j"))
+
+
+def pca_components(vecs: DataFrame, k: int = 8,
+                   vec_col: str = "embedding") -> tuple:
+    """Top-k principal components via the exact one-pass covariance +
+    a driver-side eigendecomposition (dim x dim, numpy) — the k-sized
+    driver hop.  Returns (components: list[list[float]] k x dim rows,
+    explained_variance: list[float]), eigenvalues descending; each
+    component's sign is fixed so its largest-|.| coordinate is
+    positive (eigenvectors are sign-ambiguous; pinning makes the
+    output deterministic)."""
+    import numpy as np
+    rows = covariance_matrix(vecs, vec_col).collect()
+    dim = max(r["j"] for r in rows) + 1
+    cov = np.zeros((dim, dim))
+    for r in rows:
+        cov[r["i"], r["j"]] = cov[r["j"], r["i"]] = r["cov"]
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:k]
+    comps = []
+    for idx in order:
+        c = v[:, idx]
+        if c[int(np.argmax(np.abs(c)))] < 0:
+            c = -c
+        comps.append([float(x) for x in c])
+    return comps, [float(w[i]) for i in order]
+
+
+def pca_project(vecs: DataFrame, components: list[list[float]],
+                id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """Project embeddings onto PCA components (broadcast as literals):
+    a stateless whole-stage-codegen projection, like
+    :func:`random_projection` but with learned directions.  Returns
+    (id, pc array<double>)."""
+    comp_lit = F.array(*[
+        F.array(*[F.lit(float(x)) for x in c]) for c in components])
+    pc = F.transform(
+        comp_lit,
+        lambda c: F.aggregate(
+            F.sequence(F.lit(0), F.size(vec_col) - 1), F.lit(0.0),
+            lambda s, i: s + F.element_at(c, i + 1)
+            * F.element_at(F.col(vec_col), i + 1).cast("double")))
+    return vecs.select(id_col, pc.alias("pc"))
