@@ -221,6 +221,39 @@ def _usage(seg: DataFrame) -> DataFrame:
             .groupBy("piece").agg(F.sum("cnt").alias("usage")))
 
 
+def unigram_count_vocab(df: DataFrame, iters: int = 2,
+                        text_col: str = "text",
+                        n_multi: int = 48, keep_multi: int = 24,
+                        max_piece_len: int = MAX_PIECE_LEN) -> dict:
+    """The integer-exact training loop (see :func:`unigram_count_train`)
+    returning the FULL final vocabulary dict (singles + surviving
+    multis, piece -> usage) — the form :func:`unigram_encode` and the
+    fertility report consume."""
+    words = word_types(df, text_col).localCheckpoint()
+    vocab = {r["piece"]: int(r["score"])
+             for r in seed_pieces(words, max_piece_len, n_multi).collect()}
+    spark = df.sparkSession
+    for _ in range(iters):
+        usage = _usage(segment_types(words, vocab, max_piece_len))
+        singles = sorted(p for p in vocab if len(p) == 1)
+        sdf = spark.createDataFrame([(p,) for p in singles],
+                                    "piece string")
+        kept = (sdf.join(usage, "piece", "left")
+                .select("piece",
+                        F.coalesce("usage", F.lit(0)).alias("score"))
+                .unionByName(
+                    usage.where(F.length("piece") > 1)
+                    .select("piece", F.col("usage").alias("score"),
+                            F.row_number().over(
+                                Window.partitionBy(F.lit(0))
+                                .orderBy(F.desc("usage"), F.asc("piece"))
+                            ).alias("__rk"))
+                    .where(F.col("__rk") <= keep_multi)
+                    .select("piece", "score")))
+        vocab = {r["piece"]: int(r["score"]) for r in kept.collect()}
+    return vocab
+
+
 def unigram_count_train(df: DataFrame, iters: int = 2,
                         text_col: str = "text",
                         n_multi: int = 48, keep_multi: int = 24,
@@ -242,52 +275,55 @@ def unigram_count_train(df: DataFrame, iters: int = 2,
     re-enters as literals — the same k-sized driver hop as
     kmeans_centroids.
     """
-    words = word_types(df, text_col).localCheckpoint()
-    vocab = {r["piece"]: int(r["score"])
-             for r in seed_pieces(words, max_piece_len, n_multi).collect()}
-    spark = df.sparkSession
-    final_multi: list[tuple[str, int]] = []
-    for _ in range(iters):
-        usage = _usage(segment_types(words, vocab, max_piece_len))
-        singles = sorted(p for p in vocab if len(p) == 1)
-        sdf = spark.createDataFrame([(p,) for p in singles],
-                                    "piece string")
-        kept = (sdf.join(usage, "piece", "left")
-                .select("piece",
-                        F.coalesce("usage", F.lit(0)).alias("score"))
-                .unionByName(
-                    usage.where(F.length("piece") > 1)
-                    .select("piece", F.col("usage").alias("score"),
-                            F.row_number().over(
-                                Window.partitionBy(F.lit(0))
-                                .orderBy(F.desc("usage"), F.asc("piece"))
-                            ).alias("__rk"))
-                    .where(F.col("__rk") <= keep_multi)
-                    .select("piece", "score")))
-        vocab = {r["piece"]: int(r["score"]) for r in kept.collect()}
+    vocab = unigram_count_vocab(df, iters, text_col, n_multi,
+                                keep_multi, max_piece_len)
     final_multi = sorted(((p, s) for p, s in vocab.items() if len(p) > 1),
                          key=lambda kv: (-kv[1], kv[0]))
-    out = spark.createDataFrame(
+    return df.sparkSession.createDataFrame(
         [(i + 1, p, s) for i, (p, s) in enumerate(final_multi)],
         "rank int, piece string, usage long")
-    return out
 
 
 def unigram_encode(df: DataFrame, vocab: dict[str, int | float],
                    text_col: str = "text", id_col: str = "doc_id",
                    max_piece_len: int = MAX_PIECE_LEN,
-                   objective: str = "mdl") -> DataFrame:
+                   objective: str = "mdl",
+                   via_types: bool = False) -> DataFrame:
     """Segment every corpus token under a trained vocabulary: returns
-    (id, token, pieces, np).  A stateless whole-stage-codegen
-    projection (the vocab rides as literals) — the 100 TB encode path.
-    Tokens longer than MAX_WORD_LEN get null pieces (callers route
-    those to a byte-fallback tokenizer, exactly as SentencePiece
-    does)."""
+    (id, token, pieces, np).  Tokens longer than MAX_WORD_LEN get null
+    pieces (callers route those to a byte-fallback tokenizer, exactly
+    as SentencePiece does).
+
+    Two physical strategies, same result:
+    - ``via_types=False``: per-token Viterbi fold — a stateless
+      whole-stage-codegen projection (vocab rides as literals), ZERO
+      shuffles.  Pays the DP per occurrence (measured 99 s for 20M
+      tokens on local[32]).
+    - ``via_types=True``: DP once per DISTINCT token type, then join
+      the segmentations back.  Pays one token-shuffle (the distinct)
+      but the DP collapses by the type/occurrence ratio — the win
+      whenever the type table is much smaller than the stream, which
+      Zipf guarantees at corpus scale (the wordpiece_fertility
+      recipe).
+    """
     from carbonapi_spark.datapipe.text import tokens
     tok = (df.select(F.col(id_col),
                      F.explode(tokens(F.col(text_col))).alias("token"))
            .where(ascii_word(F.col("token")))
            .select(F.col(id_col), F.lower(F.col("token")).alias("token")))
+    if via_types:
+        types = tok.select("token").distinct()
+        v = viterbi_expr(F.col("token"), vocab,
+                         max_piece_len=max_piece_len, objective=objective)
+        seg = types.select("token",
+                           pieces_of(v.getField("pstr")).alias("pieces"),
+                           v.getField("np").alias("np"))
+        # no broadcast hint: AQE converts to a broadcast join at
+        # runtime when the segmented type table is small enough, and
+        # falls back to a shuffled hash join when a web-scale type
+        # table would OOM a forced broadcast
+        return tok.join(seg, "token").select(id_col, "token",
+                                             "pieces", "np")
     v = viterbi_expr(F.col("token"), vocab, max_piece_len=max_piece_len,
                      objective=objective)
     return tok.select(id_col, "token",

@@ -6491,9 +6491,43 @@ def _q_unigram_pieces(spark, sf_dir):
     return unigram_count_train(docs, iters=2)
 
 
-def _unigram_oracle(iters: int = 2, max_word_len: int = 16,
-                    max_piece_len: int = 3, n_multi: int = 48,
-                    keep_multi: int = 24) -> str:
+def _unigram_dp_ctes(tag: str, vocab_cte: str, max_word_len: int = 16,
+                     max_piece_len: int = 3) -> tuple[list[str], str]:
+    """One unrolled Viterbi pass over __wt under ``vocab_cte``: returns
+    (CTE list for positions 0..max_word_len tagged ``tag``, the finals
+    union selecting each word's completed state)."""
+    sep = "chr(31)"
+    ctes = [f"""
+__d{tag}_0 AS (SELECT word, cnt, 0 AS np, CAST(0 AS BIGINT) AS score,
+                    {sep} AS pstr FROM __wt)""".strip()]
+    for i in range(1, max_word_len + 1):
+        branches = []
+        for l in range(1, min(max_piece_len, i) + 1):
+            branches.append(f"""
+      SELECT d.word, d.cnt, d.np + 1 AS np, d.score + v.score AS score,
+             d.pstr || v.piece || {sep} AS pstr
+      FROM __d{tag}_{i - l} d JOIN {vocab_cte} v
+        ON len(v.piece) = {l}
+       AND v.piece = substr(d.word, {i - l + 1}, {l})
+      WHERE len(d.word) >= {i}""".strip())
+        ctes.append(f"""
+__d{tag}_{i} AS MATERIALIZED (
+  SELECT word, cnt, np, score, pstr FROM (
+    SELECT *, row_number() OVER (PARTITION BY word
+              ORDER BY np ASC, score DESC, pstr ASC) AS rn
+    FROM ({(chr(10) + '      UNION ALL' + chr(10)).join(branches)}))
+  WHERE rn = 1)""".strip())
+    finals = "\n  UNION ALL ".join(
+        f"SELECT * FROM __d{tag}_{i} WHERE len(word) = {i}"
+        for i in range(1, max_word_len + 1))
+    return ctes, finals
+
+
+def _unigram_train_ctes(iters: int = 2, max_word_len: int = 16,
+                        max_piece_len: int = 3, n_multi: int = 48,
+                        keep_multi: int = 24) -> list[str]:
+    """CTE chain ending at __v{iters}, the trained vocabulary — shared
+    by the unigram_pieces and unigram_fertility oracles."""
     sep = "chr(31)"
     ctes = [f"""
 __wt AS MATERIALIZED (
@@ -6517,29 +6551,9 @@ __v0 AS MATERIALIZED (
     FROM __cand)
   WHERE len(piece) = 1 OR rk <= {n_multi})""".strip()]
     for t in range(1, iters + 1):
-        ctes.append(f"""
-__d{t}_0 AS (SELECT word, cnt, 0 AS np, CAST(0 AS BIGINT) AS score,
-                    {sep} AS pstr FROM __wt)""".strip())
-        for i in range(1, max_word_len + 1):
-            branches = []
-            for l in range(1, min(max_piece_len, i) + 1):
-                branches.append(f"""
-      SELECT d.word, d.cnt, d.np + 1 AS np, d.score + v.score AS score,
-             d.pstr || v.piece || {sep} AS pstr
-      FROM __d{t}_{i - l} d JOIN __v{t - 1} v
-        ON len(v.piece) = {l}
-       AND v.piece = substr(d.word, {i - l + 1}, {l})
-      WHERE len(d.word) >= {i}""".strip())
-            ctes.append(f"""
-__d{t}_{i} AS MATERIALIZED (
-  SELECT word, cnt, np, score, pstr FROM (
-    SELECT *, row_number() OVER (PARTITION BY word
-              ORDER BY np ASC, score DESC, pstr ASC) AS rn
-    FROM ({(chr(10) + '      UNION ALL' + chr(10)).join(branches)}))
-  WHERE rn = 1)""".strip())
-        finals = "\n  UNION ALL ".join(
-            f"SELECT * FROM __d{t}_{i} WHERE len(word) = {i}"
-            for i in range(1, max_word_len + 1))
+        dp, finals = _unigram_dp_ctes(str(t), f"__v{t - 1}",
+                                      max_word_len, max_piece_len)
+        ctes.extend(dp)
         ctes.append(f"""
 __u{t} AS MATERIALIZED (
   SELECT piece, sum(cnt) AS usage
@@ -6557,6 +6571,11 @@ __v{t} AS MATERIALIZED (
            row_number() OVER (ORDER BY usage DESC, piece) AS rk
     FROM __u{t} WHERE len(piece) > 1)
   WHERE rk <= {keep_multi})""".strip())
+    return ctes
+
+
+def _unigram_oracle(iters: int = 2) -> str:
+    ctes = _unigram_train_ctes(iters)
     return ("WITH " + ",\n".join(ctes) + "\n"
             + f"SELECT CAST(row_number() OVER (ORDER BY score DESC, piece)"
               f" AS INT) AS rank, piece, CAST(score AS BIGINT) AS usage\n"
@@ -6564,6 +6583,63 @@ __v{t} AS MATERIALIZED (
 
 
 _register("unigram_pieces", _q_unigram_pieces, _unigram_oracle())
+
+
+def _q_unigram_fertility(spark, sf_dir):
+    """Unigram-LM fertility report — completes the train / encode /
+    fertility matrix for the THIRD tokenizer (BPE and WordPiece have
+    theirs): train the integer-exact vocab (2 E/M rounds), segment the
+    TYPE table once via the Viterbi fold, join piece counts onto
+    per-doc occurrence counts.  The corpus never runs through the
+    encode fold (the via_types strategy)."""
+    from carbonapi_spark.datapipe.bpe import ascii_word as _aw
+    from carbonapi_spark.datapipe.text import tokens as _tok
+    from carbonapi_spark.datapipe.unigram import (
+        MAX_WORD_LEN, unigram_count_vocab, viterbi_expr)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    vocab = unigram_count_vocab(docs, iters=2)
+    occ = (docs.select("doc_id",
+                       F.explode(_tok(F.col("text"))).alias("token"))
+           .where(_aw(F.col("token")))
+           .select("doc_id", F.lower(F.col("token")).alias("token"))
+           .where(F.length("token") <= MAX_WORD_LEN)
+           .groupBy("doc_id", "token")
+           .agg(F.count(F.lit(1)).alias("__cnt")))
+    types = occ.select(F.col("token").alias("t")).distinct()
+    v = viterbi_expr(F.col("t"), vocab)
+    sizes = types.select(F.col("t").alias("token"),
+                         v.getField("np").alias("__np"))
+    return (occ.join(F.broadcast(sizes), "token")
+            .groupBy("doc_id")
+            .agg(F.sum("__cnt").alias("n_tokens"),
+                 F.sum(F.col("__cnt") * F.col("__np")).alias("n_pieces"))
+            .select("doc_id", "n_tokens", "n_pieces",
+                    F.round(F.col("n_pieces") / F.col("n_tokens"), 6)
+                    .alias("fertility")))
+
+
+def _unigram_fertility_oracle(iters: int = 2) -> str:
+    ctes = _unigram_train_ctes(iters)
+    dp, finals = _unigram_dp_ctes("f", f"__v{iters}")
+    ctes.extend(dp)
+    ctes.append(f"""
+__sz AS MATERIALIZED (SELECT word AS token, np FROM ({finals})),
+__occ AS (SELECT doc_id, tok AS token, count(*) AS cnt
+          FROM {_BPE_TOKS_SQL}
+          WHERE len(tok) <= 16
+          GROUP BY 1, 2)""".strip())
+    return ("WITH " + ",\n".join(ctes) + """
+SELECT o.doc_id,
+       CAST(sum(o.cnt) AS BIGINT) AS n_tokens,
+       CAST(sum(o.cnt * s.np) AS BIGINT) AS n_pieces,
+       round(sum(o.cnt * s.np) / CAST(sum(o.cnt) AS DOUBLE), 6)
+           AS fertility
+FROM __occ o JOIN __sz s USING (token)
+GROUP BY o.doc_id""")
+
+
+_register("unigram_fertility", _q_unigram_fertility,
+          _unigram_fertility_oracle())
 
 
 def _q_stream_join_replay(spark, sf_dir):
@@ -6773,6 +6849,9 @@ _DRIVER_PREFIX = [
     # r8 diff; bpe_token_count and doc_quality in-prefix carry the same
     # token-explode seam — displaced by the new unigram trainer)
     "unigram_pieces",            # NEW r8 (latest): unigram-LM tokenizer
+    # (unigram_fertility, registered latest-r8, is left past the cap —
+    # it shares the unigram_pieces chain end-to-end; lead the r9
+    # rotation with it, the round-7 bpe_fertility lesson)
     "bpe_token_count",
     # (ngram_jaccard rotated out late-r8: r05-green, whitespace-pin-only
     # r8 diff; the shingle chain is in-prefix via split_leakage's full

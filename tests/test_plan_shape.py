@@ -649,3 +649,44 @@ def test_asof_nearest_single_exchange(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan, plan[:800]
     assert _df_exchanges(out) <= 1, plan[:800]
+
+
+def test_latest_round8_projection_ops_no_shuffle(spark):
+    """unigram_encode and random_projection are stateless projections
+    (vocab / sign matrix ride as literals): zero exchanges at any
+    corpus size."""
+    from pyspark.sql import functions as F
+
+    from carbonapi_spark.datapipe.linalg import random_projection
+    from carbonapi_spark.datapipe.unigram import unigram_encode
+    docs = spark.createDataFrame([(1, "hello world")],
+                                 "doc_id LONG, text STRING")
+    assert _df_exchanges(
+        unigram_encode(docs, {"h": 1, "e": 1, "llo": 5, "world": 9,
+                              "l": 1, "o": 1})) == 0
+    vecs = spark.createDataFrame(
+        [(1, [0.1] * 8)], "vec_id LONG, embedding ARRAY<FLOAT>")
+    assert _df_exchanges(random_projection(vecs, out_dim=4)) == 0
+
+
+def test_covariance_partial_agg_before_exchange(spark):
+    """covariance_matrix: the dim^2/2 product explode must partially
+    aggregate map-side (partial_sum before the exchange), so shuffle
+    bytes are dim^2-bounded per partition, never corpus-bounded; one
+    hash exchange for the (i, j) agg plus broadcasts for the two
+    64-row moment joins."""
+    from pyspark.sql import functions as F
+
+    from carbonapi_spark.datapipe.linalg import covariance_matrix
+    vecs = spark.range(100).select(
+        F.col("id").alias("vec_id"),
+        F.transform(F.sequence(F.lit(0), F.lit(7)),
+                    lambda i: (F.col("id") + i).cast("float") / 100.0)
+        .alias("embedding"))
+    out = covariance_matrix(vecs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # partial aggregation present under the exchange
+    assert re.search(r"partial_sum", plan), plan[:1200]
+    # moment tables broadcast, not shuffled into a sort-merge join
+    assert "BroadcastExchange" in plan, plan[:1200]
+    assert "SortMergeJoin" not in plan, plan[:1200]

@@ -206,3 +206,17 @@ def test_segment_types_usage_shape(spark):
     rows = {r["word"]: r for r in seg.collect()}
     assert rows["aa"]["np"] == 1 and rows["aa"]["score"] == 5
     assert pieces_of is not None and rows["a"]["pstr"] == SEP + "a" + SEP
+
+
+def test_encode_via_types_equivalent(spark):
+    df = _docs(spark, ["the cat sat on the mat", "a mat a cat a hat",
+                       "the the the cat"])
+    vocab = {c: 1 for c in "thecasonmt "} | {"th": 9, "at": 9, "ca": 5}
+    vocab.pop(" ", None)
+    a = unigram_encode(df, vocab, via_types=False)
+    b = unigram_encode(df, vocab, via_types=True)
+    ka = sorted((r["doc_id"], r["token"], tuple(r["pieces"] or ()),
+                 r["np"]) for r in a.collect())
+    kb = sorted((r["doc_id"], r["token"], tuple(r["pieces"] or ()),
+                 r["np"]) for r in b.collect())
+    assert ka == kb and len(ka) > 0
