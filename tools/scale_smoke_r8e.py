@@ -25,6 +25,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 DOCS = "/root/repo/.scratch/scale_docs"
+VECS = "/root/repo/.scratch/scale_vecs"
 
 WORDS = ("the quick brown fox jumps over lazy dog pack my box with five "
          "dozen liquor jugs how vexingly daft zebras jump bright vixens "
@@ -65,6 +66,18 @@ def main():
              .getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
     ensure_docs(spark, n_docs)
+    if not os.path.exists(VECS):
+        # same clustered synthesis as scale_smoke_datapipe
+        dim, n_vecs = 32, 200_000
+        cluster = F.col("id") - F.col("id") % 12
+        u = lambda key: (F.pmod(F.xxhash64(key), F.lit(2001)) / 1000.0 - 1.0)
+        vec = F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: (u(cluster * 131 + i)
+                       + u(F.col("id") * 977 + i) * 0.1).cast("float"))
+        (spark.range(n_vecs).select(F.col("id").alias("vec_id"),
+                                    vec.alias("embedding"))
+         .repartition(64).write.mode("overwrite").parquet(VECS))
     docs = spark.read.parquet(DOCS)
     docs.count()  # warm page cache
 
@@ -93,14 +106,37 @@ def main():
         # consume the segmentation (sum of piece counts), not just count()
         return int(enc.select(F.sum("np")).collect()[0][0] or 0)
 
+    def run_encode_types():
+        vocab = dict(trained)
+        for c in "abcdefghijklmnopqrstuvwxyz":
+            vocab.setdefault(c, 1)
+        enc = unigram_encode(docs, vocab, via_types=True)
+        return int(enc.select(F.sum("np")).collect()[0][0] or 0)
+
     def run_em():
         logp, hist = unigram_train_em(docs, vocab_size=40, iters=2,
                                       local=False)
         return len(logp)
 
+    def run_project():
+        from carbonapi_spark.datapipe.linalg import random_projection
+        vecs = spark.read.parquet(VECS)
+        out = random_projection(vecs, out_dim=16)
+        return int(out.select(F.sum(F.abs("value"))).collect()[0][0]
+                   and out.count())
+
+    def run_cov():
+        from carbonapi_spark.datapipe.linalg import covariance_matrix
+        vecs = spark.read.parquet(VECS)
+        return covariance_matrix(vecs, vec_col="embedding").count()
+
     case("unigram_count_train_500k", run_train)
     case("unigram_encode_500k", run_encode)
+    case("unigram_encode_types_500k", run_encode_types)
     case("unigram_em_dist_2it", run_em)
+    if os.path.exists(VECS):
+        case("jl_project_200k", run_project)
+        case("covariance_200k_d32", run_cov)
     spark.stop()
 
 
