@@ -150,6 +150,26 @@ def covariance_matrix(vecs: DataFrame, vec_col: str = "embedding",
             .orderBy("i", "j"))
 
 
+def correlation_matrix(vecs: DataFrame,
+                       vec_col: str = "embedding") -> DataFrame:
+    """Pearson correlation of the embedding coordinates:
+    ``corr_ij = cov_ij / sqrt(cov_ii * cov_jj)`` over the exact
+    one-pass covariance — the diagonal joins back as two broadcast
+    64-row tables, so the plan adds no corpus-sized work beyond
+    :func:`covariance_matrix`.  Raw doubles out (every operand is the
+    bit-identical covariance; sqrt/mult/div are correctly-rounded IEEE
+    in both engines)."""
+    cov = covariance_matrix(vecs, vec_col)
+    di = (cov.where(F.col("i") == F.col("j"))
+          .select(F.col("i").alias("i"), F.col("cov").alias("vi")))
+    dj = di.select(F.col("i").alias("j"), F.col("vi").alias("vj"))
+    return (cov.join(F.broadcast(di), "i").join(F.broadcast(dj), "j")
+            .select("i", "j",
+                    (F.col("cov")
+                     / F.sqrt(F.col("vi") * F.col("vj"))).alias("corr"))
+            .orderBy("i", "j"))
+
+
 def pca_components(vecs: DataFrame, k: int = 8,
                    vec_col: str = "embedding") -> tuple:
     """Top-k principal components via the exact one-pass covariance +

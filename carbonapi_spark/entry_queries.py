@@ -6766,8 +6766,8 @@ def _q_embed_covariance(spark, sf_dir):
     return covariance_matrix(emb)
 
 
-_register("embed_covariance", _q_embed_covariance, """
-WITH __e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+_COV_CTES = """
+__e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
 __px AS (SELECT unnest(flatten(list_transform(range(len(v)), i ->
              list_transform(range(i, len(v)), j ->
                struct_pack(i := i, j := j,
@@ -6782,14 +6782,34 @@ __mx AS (SELECT unnest(list_transform(range(len(v)), i ->
                          m := CAST(round(v[i + 1] * 1000000000)
                                    AS BIGINT)))) AS s
          FROM __e),
-__m AS (SELECT s.i AS i, sum(s.m) AS sm FROM __mx GROUP BY 1)
-SELECT CAST(p.i AS INT) AS i, CAST(p.j AS INT) AS j,
+__m AS (SELECT s.i AS i, sum(s.m) AS sm FROM __mx GROUP BY 1),
+__cov AS (SELECT CAST(p.i AS INT) AS i, CAST(p.j AS INT) AS j,
        (p.sq / CAST(1e9 AS DOUBLE)
         - CAST(mi.sm AS DOUBLE) * CAST(mj.sm AS DOUBLE)
           / CAST(1e18 AS DOUBLE) / p.n)
        / (p.n - 0) AS cov
-FROM __p p JOIN __m mi ON mi.i = p.i JOIN __m mj ON mj.i = p.j
-""".strip())
+FROM __p p JOIN __m mi ON mi.i = p.i JOIN __m mj ON mj.i = p.j)
+""".strip()
+
+_register("embed_covariance", _q_embed_covariance,
+          "WITH " + _COV_CTES + "\nSELECT i, j, cov FROM __cov")
+
+
+def _q_embed_correlation(spark, sf_dir):
+    """Pearson correlation over the exact one-pass covariance:
+    corr_ij = cov_ij / sqrt(cov_ii * cov_jj); the diagonal joins back
+    broadcast, so no corpus-sized work beyond embed_covariance."""
+    from carbonapi_spark.datapipe.linalg import correlation_matrix
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return correlation_matrix(emb)
+
+
+_register("embed_correlation", _q_embed_correlation,
+          "WITH " + _COV_CTES + """
+SELECT c.i, c.j, c.cov / sqrt(di.cov * dj.cov) AS corr
+FROM __cov c
+JOIN (SELECT i, cov FROM __cov WHERE i = j) di ON di.i = c.i
+JOIN (SELECT j, cov FROM __cov WHERE i = j) dj ON dj.j = c.j""")
 
 
 # ---------------------------------------------------------------------------
@@ -6842,6 +6862,9 @@ _DRIVER_PREFIX = [
     # by split_leakage — displaced by the two new vector-algebra entries)
     "embed_project",             # NEW r8 (latest): fixed-point JL projection
     "embed_covariance",          # NEW r8 (latest): one-pass exact covariance
+    # (embed_correlation, registered latest-r8, left past the cap — it
+    # is a broadcast finish over embed_covariance's exact chain; r9
+    # rotation candidate alongside unigram_fertility)
     # (simhash_pairs rotated out late-r8: r04-green, whitespace-pin-only
     # r8 diff; the sketch chain is re-verified via simhash in-prefix and
     # the band self-join shape via split_leakage's pair pipeline)

@@ -122,3 +122,16 @@ def test_sign_generator_is_balanced():
     assert len({tuple(r) for r in m}) == 64
     # deterministic: same seed, same matrix
     assert jl_signs(64, 16) == m
+
+
+def test_correlation_matches_numpy(spark):
+    from carbonapi_spark.datapipe.linalg import correlation_matrix
+    rows, df = _vec_df(spark, n=120, dim=6, seed=21)
+    X = np.array([[float(np.float32(x)) for x in v] for _, v in rows])
+    exp = np.corrcoef(X, rowvar=False)
+    got = correlation_matrix(df).collect()
+    assert len(got) == 6 * 7 // 2
+    for r in got:
+        assert r["corr"] == pytest.approx(exp[r["i"], r["j"]], abs=1e-4)
+        if r["i"] == r["j"]:
+            assert r["corr"] == pytest.approx(1.0, abs=1e-12)
