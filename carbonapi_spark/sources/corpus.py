@@ -104,6 +104,29 @@ def read_text_dir_docs(spark: SparkSession, path: str,
                          synth_doc_id(F.col("text"), [F.col("source")]))
 
 
+def read_orc_docs(spark: SparkSession, path: str,
+                  id_salt_cols: tuple[str, ...] = ()) -> DataFrame:
+    """ORC export -> documents frame (the Hive-era columnar sibling of
+    Parquet; Spark reads it natively with the same predicate-pushdown /
+    column-pruning machinery, so downstream plans are identical to the
+    Parquet lake's).  ORC is self-describing columnar — there are no
+    per-row parse failures to quarantine, so unlike the JSONL/CSV
+    paths there is no ``_corrupt_record`` column; a doc_id is
+    synthesized for rows missing one, keyed on the text like the other
+    ingest paths."""
+    df = spark.read.orc(path)
+    salt = [F.col(c) for c in id_salt_cols]
+    if "doc_id" in df.columns:
+        return df.withColumn(
+            "doc_id",
+            F.coalesce(F.col("doc_id"),
+                       synth_doc_id(F.coalesce(F.col("text"), F.lit("")),
+                                    salt)))
+    return df.withColumn(
+        "doc_id",
+        synth_doc_id(F.coalesce(F.col("text"), F.lit("")), salt))
+
+
 def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(clean, quarantine): fork on the captured corrupt column. The
     quarantine side keeps the raw record for forensics; the clean side

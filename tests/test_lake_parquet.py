@@ -208,3 +208,29 @@ def test_rollup_methods_and_tier_selection(spark, tmp_path):
     fine = tiered.fetch(spark, "app.req.count", now - 3600, now,
                         densify=False)
     assert fine.step == 3600 and fine.df.count() == 1
+
+
+def test_orc_ingest_round_trip(spark, tmp_path):
+    """ORC corpus source: write a documents frame as ORC, read it back
+    through read_orc_docs — values identical, missing doc_ids
+    synthesized deterministically, pushdown intact."""
+    from carbonapi_spark.sources.corpus import read_orc_docs
+    import pyspark.sql.functions as F
+    src = spark.createDataFrame(
+        [(1, "alpha beta", "web"), (None, "gamma delta", "books"),
+         (3, "epsilon", "web")],
+        "doc_id LONG, text STRING, source STRING")
+    p = str(tmp_path / "docs_orc")
+    src.write.mode("overwrite").orc(p)
+    back = read_orc_docs(spark, p)
+    rows = {r["text"]: r for r in back.collect()}
+    assert rows["alpha beta"]["doc_id"] == 1          # preserved
+    assert rows["epsilon"]["doc_id"] == 3
+    assert rows["gamma delta"]["doc_id"] is not None  # synthesized
+    # same text -> same synthesized id (deterministic)
+    again = {r["text"]: r for r in read_orc_docs(spark, p).collect()}
+    assert again["gamma delta"]["doc_id"] == rows["gamma delta"]["doc_id"]
+    # predicate pushdown reaches the ORC scan
+    plan = (back.where(F.col("source") == "web")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "PushedFilters" in plan and "source" in plan, plan[:600]
