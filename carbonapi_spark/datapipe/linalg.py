@@ -163,10 +163,12 @@ def correlation_matrix(vecs: DataFrame,
     di = (cov.where(F.col("i") == F.col("j"))
           .select(F.col("i").alias("i"), F.col("cov").alias("vi")))
     dj = di.select(F.col("i").alias("j"), F.col("vi").alias("vj"))
+    den = F.col("vi") * F.col("vj")
+    # zero-variance coordinate -> NULL correlation (not inf/NaN): the
+    # guard is mirrored verbatim in the SQL oracle
+    corr = F.when(den > 0, F.col("cov") / F.sqrt(den))
     return (cov.join(F.broadcast(di), "i").join(F.broadcast(dj), "j")
-            .select("i", "j",
-                    (F.col("cov")
-                     / F.sqrt(F.col("vi") * F.col("vj"))).alias("corr"))
+            .select("i", "j", corr.alias("corr"))
             .orderBy("i", "j"))
 
 

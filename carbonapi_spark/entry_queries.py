@@ -6806,7 +6806,9 @@ def _q_embed_correlation(spark, sf_dir):
 
 _register("embed_correlation", _q_embed_correlation,
           "WITH " + _COV_CTES + """
-SELECT c.i, c.j, c.cov / sqrt(di.cov * dj.cov) AS corr
+SELECT c.i, c.j,
+       CASE WHEN di.cov * dj.cov > 0
+            THEN c.cov / sqrt(di.cov * dj.cov) END AS corr
 FROM __cov c
 JOIN (SELECT i, cov FROM __cov WHERE i = j) di ON di.i = c.i
 JOIN (SELECT j, cov FROM __cov WHERE i = j) dj ON dj.j = c.j""")

@@ -135,3 +135,14 @@ def test_correlation_matches_numpy(spark):
         assert r["corr"] == pytest.approx(exp[r["i"], r["j"]], abs=1e-4)
         if r["i"] == r["j"]:
             assert r["corr"] == pytest.approx(1.0, abs=1e-12)
+
+
+def test_correlation_zero_variance_is_null(spark):
+    from carbonapi_spark.datapipe.linalg import correlation_matrix
+    df = spark.createDataFrame(
+        [(i, [float(i), 7.0]) for i in range(10)],
+        "vec_id long, embedding array<float>")
+    got = {(r["i"], r["j"]): r["corr"]
+           for r in correlation_matrix(df).collect()}
+    assert got[(0, 0)] == pytest.approx(1.0)
+    assert got[(0, 1)] is None and got[(1, 1)] is None
