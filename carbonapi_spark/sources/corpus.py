@@ -127,6 +127,35 @@ def read_orc_docs(spark: SparkSession, path: str,
         synth_doc_id(F.coalesce(F.col("text"), F.lit("")), salt))
 
 
+def write_bucketed(df: DataFrame, table: str, key: str = "doc_id",
+                   n_buckets: int = 64,
+                   sort: bool = True) -> None:
+    """Persist a corpus as a BUCKETED table: rows are hash-partitioned
+    into ``n_buckets`` files by ``key`` at write time (and sorted
+    within buckets), so every later equi-join or aggregation on that
+    key is ALREADY co-partitioned — Catalyst elides the exchange
+    entirely (plan-pinned: a bucketed self-join has ZERO Exchange
+    operators, and with sorted buckets no Sort either).
+
+    This is the shuffle-elimination lever for the recurring joins of a
+    100 TB pipeline (docs x quality scores, docs x dedup verdicts,
+    docs x token counts ... all keyed on doc_id): pay ONE shuffle at
+    ingest, never again.  Partitioned layouts (`write_band_index` et
+    al.) prune SCANS; bucketing removes JOIN shuffles — complementary,
+    composable.
+
+    Uses the session catalog (`saveAsTable`) because bucket metadata
+    lives in the table catalog, not in the files — path-based
+    `spark.read.parquet` of the same files would NOT get the
+    co-partitioning guarantee.
+    """
+    w = df.write.mode("overwrite").format("parquet") \
+        .bucketBy(n_buckets, key)
+    if sort:
+        w = w.sortBy(key)
+    w.saveAsTable(table)
+
+
 def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(clean, quarantine): fork on the captured corrupt column. The
     quarantine side keeps the raw record for forensics; the clean side

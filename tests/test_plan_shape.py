@@ -690,3 +690,39 @@ def test_covariance_partial_agg_before_exchange(spark):
     # moment tables broadcast, not shuffled into a sort-merge join
     assert "BroadcastExchange" in plan, plan[:1200]
     assert "SortMergeJoin" not in plan, plan[:1200]
+
+
+def test_bucketed_join_elides_exchange(spark, tmp_path):
+    """write_bucketed: two tables bucketed on the same key join with
+    ZERO Exchange operators (co-partitioned at write time) — the
+    pay-one-shuffle-at-ingest lever.  The same join over plain parquet
+    must shuffle, proving the bucket metadata (not file layout luck)
+    carries the guarantee."""
+    from pyspark.sql import functions as F
+
+    from carbonapi_spark.sources.corpus import write_bucketed
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        docs = spark.range(1000).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("t"), F.col("id")).alias("text"))
+        scores = spark.range(1000).select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % 7).alias("score"))
+        write_bucketed(docs, "t_docs_b", n_buckets=4)
+        write_bucketed(scores, "t_scores_b", n_buckets=4)
+        j = spark.table("t_docs_b").join(spark.table("t_scores_b"),
+                                         "doc_id")
+        assert j.count() == 1000
+        assert _df_exchanges(j) == 0, \
+            j._jdf.queryExecution().executedPlan().toString()[:1000]
+        # control: path-based parquet of identical data DOES shuffle
+        p1, p2 = str(tmp_path / "d"), str(tmp_path / "s")
+        docs.write.parquet(p1)
+        scores.write.parquet(p2)
+        jp = spark.read.parquet(p1).join(spark.read.parquet(p2), "doc_id")
+        assert _df_exchanges(jp) >= 1
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS t_docs_b")
+        spark.sql("DROP TABLE IF EXISTS t_scores_b")
