@@ -505,3 +505,36 @@ def window_join(left: DataFrame, right: DataFrame, on: str = "sec",
            .where(F.col("__side") == 1)
            .drop("__side"))
     return out.withColumnRenamed("__ts", on)
+
+
+def parse_props(events: DataFrame, schema: str = "k INT",
+                col: str = "props") -> DataFrame:
+    """Parse the semi-structured JSON ``props`` column into typed
+    fields (one ``p_<field>`` column per schema field).  ``from_json``
+    is a JVM-side stateless projection — the semi-structured path stays
+    inside whole-stage codegen, no Python in the loop — and malformed
+    documents surface as NULL structs (count them; don't crash the
+    job), the PERMISSIVE contract of the corpus ingest paths."""
+    parsed = F.from_json(F.col(col), schema)
+    fields = [f.split()[0] for f in schema.split(",")]
+    return events.select(
+        "*", *[parsed.getField(f).alias(f"p_{f}") for f in fields])
+
+
+def props_stats(events: DataFrame, schema: str = "k INT",
+                col: str = "props") -> DataFrame:
+    """Per-event-type stats over an extracted JSON property: row
+    count, non-null parse count (malformed/missing -> NULL, never an
+    error), exact integer sum, and the derived mean — the
+    smoke-you-run-first on any semi-structured column at ingest."""
+    fields = [f.split()[0] for f in schema.split(",")]
+    f0 = f"p_{fields[0]}"
+    parsed = parse_props(events, schema, col)
+    return (parsed.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.count(F.col(f0)).alias("n_parsed"),
+                 F.sum(F.col(f0).cast("long")).alias("sum_v"))
+            .select("event_type", "n", "n_parsed", "sum_v",
+                    (F.col("sum_v").cast("double")
+                     / F.col("n_parsed")).alias("mean_v"))
+            .orderBy("event_type"))

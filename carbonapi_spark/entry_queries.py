@@ -6814,6 +6814,32 @@ JOIN (SELECT i, cov FROM __cov WHERE i = j) di ON di.i = c.i
 JOIN (SELECT j, cov FROM __cov WHERE i = j) dj ON dj.j = c.j""")
 
 
+def _q_props_stats(spark, sf_dir):
+    """Semi-structured JSON column processing: parse events.props
+    ('{"k": 69}') with from_json — JVM-side, whole-stage codegen,
+    malformed rows -> NULL not error — and aggregate the extracted
+    integer per event type.  Sum/count are exact; the mean is one IEEE
+    division of exact operands (raw double, bit-identical cross-engine)."""
+    from carbonapi_spark.datapipe.events import props_stats
+    from carbonapi_spark.sources.testdata import read_events
+    return props_stats(read_events(spark, sf_dir))
+
+
+_register("props_stats", _q_props_stats, """
+SELECT event_type,
+       count(*) AS n,
+       count(TRY_CAST(json_extract(props, '$.k') AS BIGINT)) AS n_parsed,
+       CAST(sum(TRY_CAST(json_extract(props, '$.k') AS BIGINT))
+            AS BIGINT) AS sum_v,
+       CAST(sum(TRY_CAST(json_extract(props, '$.k') AS BIGINT))
+            AS DOUBLE)
+           / count(TRY_CAST(json_extract(props, '$.k') AS BIGINT))
+           AS mean_v
+FROM events
+GROUP BY event_type
+""".strip())
+
+
 # ---------------------------------------------------------------------------
 # Driver-visibility ordering. The correctness driver checks at most the first
 # 50 catalog entries per round.  Rotation policy: the prefix lists ONLY the
@@ -6877,7 +6903,10 @@ _DRIVER_PREFIX = [
     # (unigram_fertility, registered latest-r8, is left past the cap —
     # it shares the unigram_pieces chain end-to-end; lead the r9
     # rotation with it, the round-7 bpe_fertility lesson)
-    "bpe_token_count",
+    # (bpe_token_count rotated out latest-r8: r04-green; its BPE merge
+    # chain is in-prefix four ways — bpe_merges, bpe_fertility,
+    # wordpiece_merges, wordpiece_encode — displaced by the JSON-props op)
+    "props_stats",               # NEW r8 (latest): semi-structured JSON
     # (ngram_jaccard rotated out late-r8: r05-green, whitespace-pin-only
     # r8 diff; the shingle chain is in-prefix via split_leakage's full
     # MinHash pair pipeline)

@@ -3862,3 +3862,19 @@ def test_asof_join_matches_pandas_merge_asof(spark):
                 gv = got[eid]
                 assert (gv is None and pd.isna(wv)) or gv == wv, (
                     direction, tol, eid, gv, wv)
+
+
+def test_props_parse_malformed_is_null(spark):
+    """from_json PERMISSIVE contract: malformed / missing JSON yields
+    NULL fields, never an error; stats count parses separately."""
+    from carbonapi_spark.datapipe.events import parse_props, props_stats
+    ev = spark.createDataFrame(
+        [(1, "click", '{"k": 3}'), (2, "click", "{broken"),
+         (3, "view", None), (4, "view", '{"other": 1}')],
+        "event_id long, event_type string, props string")
+    p = {r["event_id"]: r["p_k"] for r in parse_props(ev).collect()}
+    assert p == {1: 3, 2: None, 3: None, 4: None}
+    s = {r["event_type"]: (r["n"], r["n_parsed"], r["sum_v"])
+         for r in props_stats(ev).collect()}
+    assert s["click"] == (2, 1, 3)
+    assert s["view"] == (2, 0, None)
