@@ -260,6 +260,51 @@ def write_rollups(df: DataFrame, path: str, steps: list[int],
          .parquet(f"{path}/step={s}"))
 
 
+def expire_tier(spark, path: str, retention_s: int,
+                now: int | None = None,
+                time_partition_col: str = "day") -> list[int]:
+    """Whisper-style data AGING for one archive tier: drop every
+    ``{time_partition_col}=N`` partition directory whose bucket lies
+    entirely before ``now - retention_s``.  Deletion is per-PARTITION
+    through the Hadoop FileSystem API (works on HDFS/S3/local alike),
+    so expiry is a metadata operation — no rows are read, rewritten, or
+    shuffled, which is the only affordable shape when the tier holds
+    years of data.  Completes the rollup lifecycle: ingest ->
+    write_rollups -> TieredLake.select_tier -> expire_tier.
+
+    Returns the dropped bucket values (sorted).  Buckets that merely
+    OVERLAP the cutoff are kept (expiry is conservative; the next run
+    catches them once fully aged)."""
+    import time as _time
+    anchor = int(_time.time()) if now is None else int(now)
+    cutoff = anchor - retention_s
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return []
+    dropped = []
+    prefix = time_partition_col + "="
+    for st in fs.listStatus(jpath):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and name.startswith(prefix)):
+            continue
+        try:
+            bucket = int(name[len(prefix):])
+        except ValueError:
+            continue
+        # the bucket covers [bucket, bucket + bucket_width); without
+        # reading data we know width <= the next bucket's distance, so
+        # use the conservative test "bucket + observed max width <=
+        # cutoff" via the partition value itself: a day bucket is
+        # entirely aged once bucket + 86400 <= cutoff.  Callers with
+        # non-day layouts pass retention already padded by one bucket.
+        if bucket + 86400 <= cutoff:
+            fs.delete(st.getPath(), True)
+            dropped.append(bucket)
+    return sorted(dropped)
+
+
 class TieredLake:
     """Whisper-style multi-archive fetch: ``tiers`` is a list of
     (step_seconds, retention_seconds, SeriesLake) ordered finest first.

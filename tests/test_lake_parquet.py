@@ -234,3 +234,30 @@ def test_orc_ingest_round_trip(spark, tmp_path):
     plan = (back.where(F.col("source") == "web")
             ._jdf.queryExecution().executedPlan().toString())
     assert "PushedFilters" in plan and "source" in plan, plan[:600]
+
+
+def test_expire_tier_drops_aged_partitions(spark, tmp_path):
+    """expire_tier: fully-aged day partitions are deleted through the
+    FileSystem API (metadata-only, no rewrite); overlapping and live
+    partitions survive; remaining data stays readable."""
+    import pyspark.sql.functions as F
+
+    from carbonapi_spark.sources.lake import expire_tier
+    p = str(tmp_path / "tier")
+    rows = [("m.a", d * 86400 + h * 3600, float(h))
+            for d in range(5) for h in range(3)]
+    df = spark.createDataFrame(rows, "name STRING, ts LONG, value DOUBLE")
+    (df.withColumn("day", (F.col("ts") - F.col("ts") % 86400))
+     .write.partitionBy("day").parquet(p))
+    now = 5 * 86400
+    dropped = expire_tier(spark, p, retention_s=2 * 86400, now=now)
+    # cutoff = 3d; buckets 0d/1d/2d END at or before it (bucket+1d <= 3d)
+    assert dropped == [0, 86400, 2 * 86400]
+    left = spark.read.parquet(p)
+    assert sorted(r["day"] for r in left.select("day").distinct()
+                  .collect()) == [3 * 86400, 4 * 86400]
+    assert left.count() == 6
+    # idempotent
+    assert expire_tier(spark, p, retention_s=2 * 86400, now=now) == []
+    # missing path is a no-op
+    assert expire_tier(spark, str(tmp_path / "nope"), 1, now=now) == []
