@@ -230,6 +230,20 @@ def hll_estimate(regs: DataFrame,
                       F.round(est, 3).alias("est_distinct"))
 
 
+def hll_merge(regs: DataFrame,
+              group_cols: tuple[str, ...] = ()) -> DataFrame:
+    """LOSSLESS union-max merge of HLL register tables down to
+    ``group_cols`` (drop finer keys — days into months, shards into a
+    corpus, rounds into a lifetime): ``max`` is idempotent, commutative
+    and associative, so merging per-day sketches gives BIT-IDENTICAL
+    registers (and therefore the identical estimate) to one pass over
+    the raw union — the mergeable-aggregate property that lets 100 TB
+    distinct-counts be maintained incrementally instead of rescanned.
+    Pinned by the hll_merge_rollup oracle and a merge==direct pytest."""
+    return (regs.groupBy(*group_cols, "reg")
+            .agg(F.max("mrho").alias("mrho")))
+
+
 def hll_distinct(df: DataFrame, value_col: str,
                  group_cols: tuple[str, ...] = (),
                  b: int = 12) -> DataFrame:

@@ -6814,6 +6814,74 @@ JOIN (SELECT i, cov FROM __cov WHERE i = j) di ON di.i = c.i
 JOIN (SELECT j, cov FROM __cov WHERE i = j) dj ON dj.j = c.j""")
 
 
+def _q_hll_merge_rollup(spark, sf_dir):
+    """Mergeable-sketch algebra on the scoreboard: per-DAY HyperLogLog
+    register tables over event user_ids are union-max-merged into one
+    overall sketch, whose estimate must equal the direct one-pass
+    estimate BIT-FOR-BIT (max is idempotent/commutative/associative) —
+    the property that lets a 100 TB lake maintain distinct-counts
+    incrementally per partition instead of rescanning.  Both rows ride
+    in the output so the equality is driver-visible."""
+    from carbonapi_spark.datapipe.sketch import (
+        hll_distinct, hll_estimate, hll_merge, hll_registers)
+    from carbonapi_spark.sources.testdata import epoch_seconds, read_events
+    ev = read_events(spark, sf_dir)
+    sec = epoch_seconds(ev)
+    ev = ev.select("user_id", (sec - sec % 86400).alias("day"))
+    daily = hll_registers(ev, "user_id", ("day",))
+    merged = hll_estimate(hll_merge(daily), ()) \
+        .select(F.lit("merged-daily").alias("scope"),
+                "registers_used", "est_distinct")
+    direct = hll_distinct(ev, "user_id") \
+        .select(F.lit("direct").alias("scope"),
+                "registers_used", "est_distinct")
+    return merged.unionByName(direct)
+
+
+def _hll_merge_oracle() -> str:
+    """The merge is lossless, so BOTH scopes replay from ONE register
+    table computed over distinct user_ids — Spark earning the same two
+    rows via different plans (per-day sketches max-merged vs a direct
+    pass) IS the losslessness proof."""
+    from carbonapi_spark.datapipe.sketch import _hll_alpha
+    from carbonapi_spark.oracle_xxh64 import xxh64_ctes
+    m = 4096
+    num_const = repr(_hll_alpha(m) * m * m * float(1 << 51))
+    return f"""
+WITH __val AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS t
+               FROM events),
+{xxh64_ctes('__val', 't', 'h64', '__xh')},
+__u AS (SELECT ((h64 % 4611686018427387904) + 4611686018427387904)
+               % 4611686018427387904 AS u
+        FROM __xh),
+__r AS (SELECT u % {m} AS reg,
+               CASE WHEN u // {m} > 0
+                    THEN 51 - length(bin(u // {m}))
+                    ELSE 51 END AS rho
+        FROM __u),
+__m AS (SELECT reg, max(rho) AS mrho FROM __r GROUP BY reg),
+__a AS (SELECT count(*) AS registers_used,
+               sum(1::BIGINT << (51 - mrho)) AS s,
+               {m} - count(*) AS zeros
+        FROM __m),
+__e AS (SELECT registers_used, zeros,
+               {num_const}
+               / CAST(s + zeros * (1::BIGINT << 51) AS DOUBLE) AS eraw
+        FROM __a),
+__f AS (SELECT registers_used,
+               round(CASE WHEN eraw <= {2.5 * m} AND zeros > 0
+                          THEN {m} * ln({float(m)} / CAST(zeros AS DOUBLE))
+                          ELSE eraw END, 3) AS est_distinct
+        FROM __e)
+SELECT 'merged-daily' AS scope, registers_used, est_distinct FROM __f
+UNION ALL
+SELECT 'direct' AS scope, registers_used, est_distinct FROM __f
+""".strip()
+
+
+_register("hll_merge_rollup", _q_hll_merge_rollup, _hll_merge_oracle())
+
+
 def _q_props_stats(spark, sf_dir):
     """Semi-structured JSON column processing: parse events.props
     ('{"k": 69}') with from_json — JVM-side, whole-stage codegen,
@@ -6890,9 +6958,11 @@ _DRIVER_PREFIX = [
     # by split_leakage — displaced by the two new vector-algebra entries)
     "embed_project",             # NEW r8 (latest): fixed-point JL projection
     "embed_covariance",          # NEW r8 (latest): one-pass exact covariance
-    # (embed_correlation, registered latest-r8, left past the cap — it
-    # is a broadcast finish over embed_covariance's exact chain; r9
-    # rotation candidate alongside unigram_fertility)
+    # (embed_correlation, hll_merge_rollup, props_stats-siblings
+    # registered latest-r8 and left past the cap: each is an exact
+    # finish/algebra over an in-prefix or long-green chain
+    # (embed_covariance, hll_distinct); r9 rotation candidates
+    # alongside unigram_fertility)
     # (simhash_pairs rotated out late-r8: r04-green, whitespace-pin-only
     # r8 diff; the sketch chain is re-verified via simhash in-prefix and
     # the band self-join shape via split_leakage's pair pipeline)

@@ -3878,3 +3878,28 @@ def test_props_parse_malformed_is_null(spark):
          for r in props_stats(ev).collect()}
     assert s["click"] == (2, 1, 3)
     assert s["view"] == (2, 0, None)
+
+
+def test_hll_merge_is_lossless(spark):
+    """Union-max merge of shard register tables must give EXACTLY the
+    direct one-pass sketch — max is idempotent/commutative/associative
+    — at any sharding."""
+    import random
+
+    import pyspark.sql.functions as F
+
+    from carbonapi_spark.datapipe.sketch import (
+        hll_distinct, hll_estimate, hll_merge, hll_registers)
+    rng = random.Random(5)
+    rows = [(rng.randint(0, 9), rng.randint(0, 5000)) for _ in range(4000)]
+    df = spark.createDataFrame(rows, "shard int, v long")
+    direct = hll_distinct(df, "v").collect()[0]
+    sharded = hll_registers(df, "v", ("shard",))
+    merged = hll_estimate(hll_merge(sharded), ()).collect()[0]
+    assert merged["registers_used"] == direct["registers_used"]
+    assert merged["est_distinct"] == direct["est_distinct"]
+    # partitioning-invariant too
+    merged2 = hll_estimate(
+        hll_merge(hll_registers(df.repartition(13), "v", ("shard",))),
+        ()).collect()[0]
+    assert merged2["est_distinct"] == direct["est_distinct"]
