@@ -6814,6 +6814,53 @@ JOIN (SELECT i, cov FROM __cov WHERE i = j) di ON di.i = c.i
 JOIN (SELECT j, cov FROM __cov WHERE i = j) dj ON dj.j = c.j""")
 
 
+def _q_ab_test(spark, sf_dir):
+    """A/B experiment readout: deterministic hash-parity arm
+    assignment (xxhash64 of salt||user — the reproducible-bucketing
+    recipe), conversion = >=1 purchase event, two-proportion pooled z.
+    Exact integer counts; cvr/z are fixed closed-form IEEE expressions
+    over them (raw doubles, bit-identical cross-engine)."""
+    from carbonapi_spark.datapipe.events import ab_test
+    from carbonapi_spark.sources.testdata import read_events
+    return ab_test(read_events(spark, sf_dir))
+
+
+def _ab_test_oracle() -> str:
+    from carbonapi_spark.oracle_xxh64 import xxh64_ctes
+    return f"""
+WITH __usr AS (SELECT DISTINCT user_id,
+                      'exp1' || CAST(user_id AS VARCHAR) AS t
+               FROM events),
+{xxh64_ctes('__usr', 't', 'h64', '__xh')},
+__arm AS (SELECT user_id, CAST(((h64 % 2) + 2) % 2 AS INT) AS arm
+          FROM __xh),
+__conv AS (SELECT user_id,
+                  max(CASE WHEN event_type = 'purchase'
+                           THEN 1 ELSE 0 END) AS c
+           FROM events GROUP BY 1),
+__a AS (SELECT arm, count(*) AS n_users,
+               CAST(sum(c) AS BIGINT) AS n_converted
+        FROM __arm JOIN __conv USING (user_id) GROUP BY arm),
+__t AS (SELECT CAST(sum(n_users) AS BIGINT) AS tn,
+               CAST(sum(n_converted) AS BIGINT) AS tc FROM __a)
+SELECT arm, n_users, n_converted, cvr,
+       CASE WHEN se > 0 THEN num / se END AS z
+FROM (SELECT a.arm, a.n_users, a.n_converted,
+             CAST(a.n_converted AS DOUBLE) / a.n_users AS cvr,
+             CAST(a.n_converted AS DOUBLE) / a.n_users
+             - CAST(o.n_converted AS DOUBLE) / o.n_users AS num,
+             sqrt((CAST(t.tc AS DOUBLE) / t.tn)
+                  * (CAST(1 AS DOUBLE) - CAST(t.tc AS DOUBLE) / t.tn)
+                  * (CAST(1 AS DOUBLE) / a.n_users
+                     + CAST(1 AS DOUBLE) / o.n_users)) AS se
+      FROM __a a JOIN __a o ON a.arm != o.arm, __t t)
+ORDER BY arm
+""".strip()
+
+
+_register("ab_test", _q_ab_test, _ab_test_oracle())
+
+
 def _q_hll_merge_rollup(spark, sf_dir):
     """Mergeable-sketch algebra on the scoreboard: per-DAY HyperLogLog
     register tables over event user_ids are union-max-merged into one

@@ -3903,3 +3903,41 @@ def test_hll_merge_is_lossless(spark):
         hll_merge(hll_registers(df.repartition(13), "v", ("shard",))),
         ()).collect()[0]
     assert merged2["est_distinct"] == direct["est_distinct"]
+
+
+def test_ab_test_z_formula(spark):
+    """Non-degenerate A/B readout: the z statistic must match the
+    hand-computed pooled two-proportion formula, arms must be
+    deterministic, and the degenerate (all-convert) case yields NULL z
+    (the sf0.01 driver shape)."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    from carbonapi_spark.datapipe.events import ab_test
+    # craft events: 40 users, conversion depends on user id
+    rows = []
+    for u in range(40):
+        rows.append((u * 2, u, "view"))
+        if u % 3 == 0:
+            rows.append((u * 2 + 1, u, "purchase"))
+    ev = spark.createDataFrame(rows,
+                               "event_id long, user_id long, "
+                               "event_type string")
+    out = {r["arm"]: r for r in ab_test(ev).collect()}
+    assert set(out) == {0, 1}
+    n0, c0 = out[0]["n_users"], out[0]["n_converted"]
+    n1, c1 = out[1]["n_users"], out[1]["n_converted"]
+    assert n0 + n1 == 40 and c0 + c1 == 14
+    p = (c0 + c1) / (n0 + n1)
+    se = math.sqrt(p * (1 - p) * (1 / n0 + 1 / n1))
+    import pytest as _pt
+    assert out[0]["z"] == _pt.approx((c0 / n0 - c1 / n1) / se, rel=1e-12)
+    assert out[1]["z"] == _pt.approx(-out[0]["z"], rel=1e-12)
+    # deterministic across runs / partitionings
+    again = {r["arm"]: r for r in ab_test(ev.repartition(7)).collect()}
+    assert again[0]["n_users"] == n0 and again[0]["z"] == out[0]["z"]
+    # degenerate: everyone converts -> z NULL
+    allc = ev.withColumn("event_type", F.lit("purchase"))
+    for r in ab_test(allc).collect():
+        assert r["z"] is None and r["cvr"] == 1.0
