@@ -7101,7 +7101,10 @@ _DRIVER_PREFIX = [
     "bt_ranking",                # NEW r8 (late): Bradley-Terry MM fit
     "core_numbers",              # NEW r8 (late): k-core decomposition
     "corpus_diff",               # NEW r8 (late): snapshot diff audit
-    "asof_nearest",              # NEW r8 (late): nearest-direction asof
+    # (asof_nearest rotated out latest-r8 in favor of ab_test: the
+    # merge-union time-join machinery is in-prefix twice via asof_join
+    # and window_join, and its single-exchange shape is plan-pinned)
+    "ab_test",                   # NEW r8 (latest): hash-bucketed A/B readout
     "script_profile",            # NEW r8 (late): writing-script router
     "window_join",               # NEW r8 (late): kdb-wj trailing stats
 ]
