@@ -589,3 +589,62 @@ def ab_test(events: DataFrame, conversion_type: str = "purchase",
                       / F.col("n_users")).alias("cvr"),
                      z.alias("z"))
             .orderBy("arm"))
+
+
+def cuped_adjusted_lift(events: DataFrame, split_sec: int,
+                        metric_type: str = "click",
+                        salt: str = "exp1",
+                        user_col: str = "user_id",
+                        sec_col: str = "sec") -> DataFrame:
+    """CUPED variance reduction (Deng, Xu, Kohavi & Walker, WSDM 2013):
+    per-user PRE-period activity predicts POST-period activity, so
+    regressing it out (theta = cov(x, y) / var(x), y' = y - theta (x -
+    x_bar)) shrinks the metric variance without biasing the treatment
+    contrast.  Arms are the :func:`ab_test` hash-parity assignment.
+
+    Metrics are integer event COUNTS (x = pre-period ``metric_type``
+    events, y = post-period), so every moment (sum x, sum y, sum x^2,
+    sum xy) is an exact int64 — theta and the adjusted means are fixed
+    closed-form IEEE expressions over exact integers, bit-identical in
+    any engine.  theta pools BOTH arms (the standard recipe: the
+    covariate predates assignment, so pooling is unbiased).
+
+    Returns one row per arm: (arm, n_users, mean_y, mean_y_adj, theta).
+    Scale shape: one user-keyed aggregation of the event stream, one
+    4-moment global aggregation (broadcast back), one 2-row finish.
+    """
+    arm = (F.pmod(F.xxhash64(F.concat(F.lit(salt),
+                                      F.col(user_col).cast("string"))),
+                  F.lit(2)).cast("int"))
+    is_m = (F.col("event_type") == metric_type).cast("long")
+    pre = F.sum(F.when(F.col(sec_col) < split_sec, is_m)
+                .otherwise(F.lit(0))).alias("x")
+    post = F.sum(F.when(F.col(sec_col) >= split_sec, is_m)
+                 .otherwise(F.lit(0))).alias("y")
+    per_user = (events.groupBy(F.col(user_col)).agg(pre, post)
+                .select(arm.alias("arm"), "x", "y"))
+    mom = (per_user.agg(F.count(F.lit(1)).alias("n"),
+                        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+                        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+                        F.sum(F.col("x") * F.col("y")).alias("sxy")))
+    # theta = (n*sxy - sx*sy) / (n*sxx - sx^2); sums fit int64 at any
+    # realistic per-user count; the products are exact-int doubles
+    num = (F.col("n").cast("double") * F.col("sxy")
+           - F.col("sx").cast("double") * F.col("sy"))
+    den = (F.col("n").cast("double") * F.col("sxx")
+           - F.col("sx").cast("double") * F.col("sx"))
+    theta = F.when(den > 0, num / den).otherwise(F.lit(0.0))
+    xbar = F.col("sx").cast("double") / F.col("n")
+    stats = mom.select(theta.alias("theta"), xbar.alias("xbar"))
+    arms = (per_user.groupBy("arm")
+            .agg(F.count(F.lit(1)).alias("n_users"),
+                 F.sum("y").alias("__sy"), F.sum("x").alias("__sxa")))
+    mean_y = F.col("__sy").cast("double") / F.col("n_users")
+    mean_y_adj = (mean_y
+                  - F.col("theta")
+                  * (F.col("__sxa").cast("double") / F.col("n_users")
+                     - F.col("xbar")))
+    return (arms.join(F.broadcast(stats))
+            .select("arm", "n_users", mean_y.alias("mean_y"),
+                    mean_y_adj.alias("mean_y_adj"), "theta")
+            .orderBy("arm"))

@@ -6861,6 +6861,73 @@ ORDER BY arm
 _register("ab_test", _q_ab_test, _ab_test_oracle())
 
 
+_CUPED_SPLIT = 1705363200  # mid-January: pre/post covariate boundary
+
+
+def _q_cuped(spark, sf_dir):
+    """CUPED variance reduction (Deng et al. 2013): pre-period click
+    counts regressed out of post-period click counts, theta pooled over
+    both hash-assigned arms.  All four moments are exact int64 sums of
+    integer per-user counts; theta and the adjusted means are fixed
+    IEEE finishes — bit-identical cross-engine."""
+    from carbonapi_spark.datapipe.events import cuped_adjusted_lift
+    from carbonapi_spark.sources.testdata import epoch_seconds, read_events
+    ev = read_events(spark, sf_dir)
+    ev = ev.select("user_id", "event_type",
+                   epoch_seconds(ev).alias("sec"))
+    return cuped_adjusted_lift(ev, split_sec=_CUPED_SPLIT)
+
+
+def _cuped_oracle() -> str:
+    from carbonapi_spark.oracle_xxh64 import xxh64_ctes
+    s = _CUPED_SPLIT
+    return f"""
+WITH __usr AS (SELECT DISTINCT user_id,
+                      'exp1' || CAST(user_id AS VARCHAR) AS t
+               FROM events),
+{xxh64_ctes('__usr', 't', 'h64', '__xh')},
+__arm AS (SELECT user_id, CAST(((h64 % 2) + 2) % 2 AS INT) AS arm
+          FROM __xh),
+__xy AS (SELECT user_id,
+                CAST(sum(CASE WHEN floor(epoch(ts)) < {s}
+                               AND event_type = 'click'
+                              THEN 1 ELSE 0 END) AS BIGINT) AS x,
+                CAST(sum(CASE WHEN floor(epoch(ts)) >= {s}
+                               AND event_type = 'click'
+                              THEN 1 ELSE 0 END) AS BIGINT) AS y
+         FROM events GROUP BY 1),
+__mom AS (SELECT count(*) AS n,
+                 CAST(sum(x) AS BIGINT) AS sx,
+                 CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x * x) AS BIGINT) AS sxx,
+                 CAST(sum(x * y) AS BIGINT) AS sxy
+          FROM __xy),
+__st AS (SELECT CASE WHEN CAST(n AS DOUBLE) * sxx
+                          - CAST(sx AS DOUBLE) * sx > 0
+                     THEN (CAST(n AS DOUBLE) * sxy
+                           - CAST(sx AS DOUBLE) * sy)
+                          / (CAST(n AS DOUBLE) * sxx
+                             - CAST(sx AS DOUBLE) * sx)
+                     ELSE 0.0 END AS theta,
+                CAST(sx AS DOUBLE) / n AS xbar
+         FROM __mom),
+__a AS (SELECT a.arm, count(*) AS n_users,
+               CAST(sum(u.y) AS BIGINT) AS sy,
+               CAST(sum(u.x) AS BIGINT) AS sxa
+        FROM __xy u JOIN __arm a USING (user_id) GROUP BY 1)
+SELECT arm, n_users,
+       CAST(sy AS DOUBLE) / n_users AS mean_y,
+       CAST(sy AS DOUBLE) / n_users
+       - theta * (CAST(sxa AS DOUBLE) / n_users - xbar) AS mean_y_adj,
+       theta
+FROM __a, __st
+ORDER BY arm
+""".strip()
+
+
+_register("cuped_lift", _q_cuped, _cuped_oracle())
+
+
 def _q_hll_merge_rollup(spark, sf_dir):
     """Mergeable-sketch algebra on the scoreboard: per-DAY HyperLogLog
     register tables over event user_ids are union-max-merged into one

@@ -3941,3 +3941,49 @@ def test_ab_test_z_formula(spark):
     allc = ev.withColumn("event_type", F.lit("purchase"))
     for r in ab_test(allc).collect():
         assert r["z"] is None and r["cvr"] == 1.0
+
+
+def test_cuped_matches_numpy_and_reduces_variance(spark):
+    """CUPED theta must equal the numpy least-squares slope of post on
+    pre; adjusting by it must shrink the per-user metric variance when
+    pre and post are correlated."""
+    import random
+
+    import numpy as np
+    import pytest as _pt
+
+    from carbonapi_spark.datapipe.events import cuped_adjusted_lift
+    rng = random.Random(13)
+    rows = []
+    for u in range(200):
+        base = rng.randint(0, 10)          # user propensity
+        pre = base + rng.randint(0, 2)     # correlated pre metric
+        post = base + rng.randint(0, 3)
+        for i in range(pre):
+            rows.append((u * 100 + i, u, "click", 10))
+        for i in range(post):
+            rows.append((u * 100 + 50 + i, u, "click", 200))
+        rows.append((u * 100 + 99, u, "view", 10))  # keeps user present
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, sec long")
+    out = {r["arm"]: r for r in
+           cuped_adjusted_lift(ev, split_sec=100).collect()}
+    # numpy reference over the same per-user counts
+    from collections import Counter
+    xs, ys = Counter(), Counter()
+    for _e, u, t, s in rows:
+        if t == "click":
+            (xs if s < 100 else ys)[u] += 1
+    users = sorted({u for _e, u, _t, _s in rows})
+    x = np.array([xs[u] for u in users], dtype=float)
+    y = np.array([ys[u] for u in users], dtype=float)
+    theta = float(np.cov(x, y, bias=True)[0, 1] / np.var(x))
+    got_theta = next(iter(out.values()))["theta"]
+    assert got_theta == _pt.approx(theta, rel=1e-9)
+    # variance reduction on the adjusted metric
+    adj = y - theta * (x - x.mean())
+    assert np.var(adj) < np.var(y)
+    # adjusted grand mean is preserved (weighted by arm sizes)
+    tot = sum(out[a]["mean_y_adj"] * out[a]["n_users"] for a in out) \
+        / sum(out[a]["n_users"] for a in out)
+    assert tot == _pt.approx(float(y.mean()), rel=1e-9)
