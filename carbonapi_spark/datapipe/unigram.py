@@ -137,62 +137,75 @@ def viterbi_expr(word: Column, vocab: dict[str, int | float],
         x for p, s in vocab.items()
         for x in (F.lit(p), F.lit(int(s)).cast("long") if objective == "mdl"
                   else F.lit(float(s)))])
-    state_t = _STATE_T if objective == "mdl" else \
-        "struct<np:int,score:double,pstr:string>"
-    null_s = F.lit(None).cast(state_t)
+    # The DP state is stored as an ORDER KEY struct so "pick the better
+    # candidate" is plain struct comparison: Spark orders structs
+    # lexicographically by field, so key = (np, -score, pstr) for the
+    # MDL objective / (-score, np, pstr) for logprob makes the argmax
+    # exactly F.least(...), which also SKIPS null candidates.  HOF
+    # bodies are interpreted (no codegen, no common-subexpression
+    # elimination), so the previous explicit when-chain comparator
+    # re-evaluated each candidate subtree at every one of its ~7
+    # references — measured 22.7 s for unigram_pieces at sf0.1; the
+    # least() form evaluates each candidate once.
+    sc_t = "bigint" if objective == "mdl" else "double"
+    if objective == "mdl":
+        key_t = f"struct<np:int,nscore:{sc_t},pstr:string>"
+    else:
+        key_t = f"struct<nscore:{sc_t},np:int,pstr:string>"
+    null_k = F.lit(None).cast(key_t)
 
-    def _better(cand: Column, best: Column) -> Column:
-        cn, cs, cp = (cand.getField("np"), cand.getField("score"),
-                      cand.getField("pstr"))
-        bn, bs, bp = (best.getField("np"), best.getField("score"),
-                      best.getField("pstr"))
+    def _key(np: Column, nscore: Column, pstr: Column) -> Column:
         if objective == "mdl":
-            return ((cn < bn)
-                    | ((cn == bn) & (cs > bs))
-                    | ((cn == bn) & (cs == bs) & (cp < bp)))
-        return ((cs > bs)
-                | ((cs == bs) & (cn < bn))
-                | ((cs == bs) & (cn == bn) & (cp < bp)))
+            return F.struct(np.alias("np"), nscore.alias("nscore"),
+                            pstr.alias("pstr"))
+        return F.struct(nscore.alias("nscore"), np.alias("np"),
+                        pstr.alias("pstr"))
 
-    zero = F.struct(F.lit(0).alias("np"),
-                    (F.lit(0).cast("long") if objective == "mdl"
-                     else F.lit(0.0)).alias("score"),
-                    F.lit(SEP).alias("pstr"))
+    zero = _key(F.lit(0),
+                F.lit(0).cast("long") if objective == "mdl"
+                else F.lit(0.0), F.lit(SEP))
 
     def step(acc: Column, i: Column) -> Column:
-        # acc.p{l} = DP state for the first (i - l) characters
-        best: Column | None = None
+        # acc.p{l} = DP order-key for the first (i - l) characters
+        cands = []
         for l in range(1, max_piece_len + 1):
             prev = acc.getField(f"p{l}")
             piece = word.substr(i - (l - 1), F.lit(l))
             sc = F.try_element_at(scores, piece)
-            cand = F.when(
+            cands.append(F.when(
                 (i >= F.lit(l)) & sc.isNotNull() & prev.isNotNull(),
-                F.struct(
-                    (prev.getField("np") + 1).alias("np"),
-                    (prev.getField("score") + sc).alias("score"),
-                    F.concat(prev.getField("pstr"), piece,
-                             F.lit(SEP)).alias("pstr"))).otherwise(null_s)
-            if best is None:
-                best = cand
-            else:
-                best = (F.when(best.isNull(), cand)
-                        .when(cand.isNull(), best)
-                        .when(_better(cand, best), cand)
-                        .otherwise(best))
+                _key(prev.getField("np") + 1,
+                     prev.getField("nscore") - sc,
+                     F.concat(prev.getField("pstr"), piece,
+                              F.lit(SEP)))).otherwise(null_k))
+        best = cands[0] if len(cands) == 1 else F.least(*cands)
         shifted = [best.alias("p1")]
         for l in range(2, max_piece_len + 1):
             shifted.append(acc.getField(f"p{l - 1}").alias(f"p{l}"))
         return F.struct(*shifted)
 
+    state_t = _STATE_T if objective == "mdl" else \
+        "struct<np:int,score:double,pstr:string>"
+
+    def finish(acc: Column) -> Column:
+        # acc is a bound lambda variable here: repeated getField reads
+        # are cheap; unpacking OUTSIDE the aggregate would re-execute
+        # the whole fold once per field reference (interpreted HOFs)
+        k = acc.getField("p1")
+        return F.when(k.isNotNull(), F.struct(
+            k.getField("np").alias("np"),
+            (-k.getField("nscore")).alias("score"),
+            k.getField("pstr").alias("pstr"))).otherwise(
+            F.lit(None).cast(state_t))
+
     init = F.struct(zero.alias("p1"),
-                    *[null_s.alias(f"p{l}")
+                    *[null_k.alias(f"p{l}")
                       for l in range(2, max_piece_len + 1)])
     folded = F.aggregate(F.sequence(F.lit(1), F.length(word)), init,
-                         step, lambda acc: acc.getField("p1"))
+                         step, finish)
     return F.when((F.length(word) >= 1)
                   & (F.length(word) <= max_word_len),
-                  folded).otherwise(null_s)
+                  folded).otherwise(F.lit(None).cast(state_t))
 
 
 def pieces_of(pstr: Column) -> Column:
