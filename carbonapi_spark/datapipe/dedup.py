@@ -914,3 +914,50 @@ def split_leakage(df: DataFrame, val: float = 0.1, test: float = 0.1,
     return (verified.select("id_a", "id_b", "jaccard",
                             sa.alias("split_a"), sb.alias("split_b"))
             .where(F.col("split_a") != F.col("split_b")))
+
+
+def fuzzy_pairs(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id", max_dist: int = 3,
+                key_len: int = 32, prefix: int = 4,
+                max_block: int = 1000) -> DataFrame:
+    """Blocked Levenshtein record linkage: near-identical records by
+    EDIT DISTANCE over a normalized fixed-length key — the classic
+    fuzzy-matching complement to token-set dedup (MinHash sees bags of
+    shingles; edit distance sees transpositions/typos in short keys,
+    the entity-resolution workhorse).
+
+    Key = first ``key_len`` chars of the lowercased alphanumeric-only
+    text (ASCII class, so JVM/UTF-16 vs codepoint semantics and the
+    engines' ``levenshtein`` implementations agree exactly).  Blocking
+    (Newcombe-style) bounds the quadratic: candidates must share the
+    ``prefix``-char block AND a length band of width ``max_dist + 1``
+    — the standard recall/cost trade (a typo inside the prefix or a
+    band-straddling pair is missed; multi-pass blocking on different
+    keys is the production recipe).  Inside a block the pair join is
+    capped at ``max_block`` rows per block by ascending id — the same
+    hot-bucket bound as the LSH band join, so one degenerate block
+    (e.g. the all-empty key) can never go quadratic at lake scale.
+    Levenshtein runs ONLY on same-block candidate pairs, JVM-side
+    (``F.levenshtein`` is codegen, no Python).
+
+    Returns (id_a, id_b, dist), id_a < id_b, dist <= max_dist."""
+    key = F.substring(
+        F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", ""),
+        1, key_len)
+    blk = F.concat_ws(
+        "|", F.substring(F.col("__k"), 1, prefix),
+        F.floor(F.length("__k") / (max_dist + 1)).cast("string"))
+    keyed = (df.select(F.col(id_col).alias("__id"), key.alias("__k"))
+             .select("__id", "__k", blk.alias("__b")))
+    w = Window.partitionBy("__b").orderBy("__id")
+    capped = (keyed.withColumn("__rn", F.row_number().over(w))
+              .where(F.col("__rn") <= max_block).drop("__rn"))
+    a = capped.select(F.col("__id").alias("id_a"),
+                      F.col("__k").alias("__ka"), "__b")
+    b = capped.select(F.col("__id").alias("id_b"),
+                      F.col("__k").alias("__kb"), "__b")
+    return (a.join(b, "__b")
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b",
+                    F.levenshtein("__ka", "__kb").alias("dist"))
+            .where(F.col("dist") <= max_dist))

@@ -7022,6 +7022,44 @@ GROUP BY event_type
 """.strip())
 
 
+def _q_fuzzy_pairs(spark, sf_dir):
+    """Blocked Levenshtein record linkage: near-identical documents by
+    edit distance over a 200-char normalized alnum key, candidates
+    bounded by (4-char prefix, length band) blocking with the LSH-style
+    per-block cap.  Levenshtein is JVM codegen on candidate pairs only;
+    the key is ASCII-only so both engines' edit distance agrees
+    char-for-char."""
+    from carbonapi_spark.datapipe.dedup import fuzzy_pairs
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return fuzzy_pairs(docs, max_dist=5, key_len=200)
+
+
+def _fuzzy_pairs_oracle(max_dist: int = 5, key_len: int = 200,
+                        prefix: int = 4, max_block: int = 1000) -> str:
+    return f"""
+WITH __k AS (
+  SELECT doc_id AS id,
+         substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'),
+                1, {key_len}) AS k
+  FROM documents),
+__b AS (SELECT id, k,
+               substr(k, 1, {prefix}) || '|'
+               || CAST(floor(length(k) / {max_dist + 1}) AS VARCHAR) AS b
+        FROM __k),
+__c AS (SELECT id, k, b,
+               row_number() OVER (PARTITION BY b ORDER BY id) AS rn
+        FROM __b)
+SELECT a.id AS id_a, x.id AS id_b,
+       CAST(levenshtein(a.k, x.k) AS INT) AS dist
+FROM __c a JOIN __c x USING (b)
+WHERE a.id < x.id AND a.rn <= {max_block} AND x.rn <= {max_block}
+  AND levenshtein(a.k, x.k) <= {max_dist}
+""".strip()
+
+
+_register("fuzzy_pairs", _q_fuzzy_pairs, _fuzzy_pairs_oracle())
+
+
 # ---------------------------------------------------------------------------
 # Driver-visibility ordering. The correctness driver checks at most the first
 # 50 catalog entries per round.  Rotation policy: the prefix lists ONLY the

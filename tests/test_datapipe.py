@@ -3987,3 +3987,32 @@ def test_cuped_matches_numpy_and_reduces_variance(spark):
     tot = sum(out[a]["mean_y_adj"] * out[a]["n_users"] for a in out) \
         / sum(out[a]["n_users"] for a in out)
     assert tot == _pt.approx(float(y.mean()), rel=1e-9)
+
+
+def test_fuzzy_pairs_levenshtein_linkage(spark):
+    from carbonapi_spark.datapipe.dedup import fuzzy_pairs
+    rows = [
+        (1, "The quick brown fox jumps over the lazy dog"),
+        (2, "The quick brown fox jumps over the lazy dgo"),   # transposition
+        (3, "The quick brown fox jumps over the hazy dog!"),  # 1 substitution
+        (4, "Completely unrelated text about spark engines"),
+        (5, "THE QUICK-BROWN FOX jumps over the lazy dog"),   # case/punct only
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = {(r["id_a"], r["id_b"]): r["dist"]
+           for r in fuzzy_pairs(df, max_dist=3, key_len=64).collect()}
+    # normalization makes 1 and 5 identical
+    assert out[(1, 5)] == 0
+    assert out[(1, 2)] == 2       # transposed 'go' -> 'og' = 2 edits
+    assert out[(1, 3)] == 1       # lazy -> hazy, same length band
+    assert all(4 not in p for p in out)  # different block, never compared
+
+
+def test_fuzzy_pairs_block_cap_bounds_join(spark):
+    from carbonapi_spark.datapipe.dedup import fuzzy_pairs
+    # 12 identical docs, cap the block at 4 -> C(4,2)=6 pairs, not C(12,2)
+    df = spark.createDataFrame([(i, "same text") for i in range(12)],
+                               "doc_id LONG, text STRING")
+    out = fuzzy_pairs(df, max_dist=1, key_len=32, max_block=4).collect()
+    assert len(out) == 6
+    assert {r["dist"] for r in out} == {0}
