@@ -648,3 +648,235 @@ def cuped_adjusted_lift(events: DataFrame, split_sec: int,
             .select("arm", "n_users", mean_y.alias("mean_y"),
                     mean_y_adj.alias("mean_y_adj"), "theta")
             .orderBy("arm"))
+
+
+def kaplan_meier(events: DataFrame, period_s: int = 86400,
+                 user_col: str = "user_id",
+                 ts_col: str = "sec") -> DataFrame:
+    """Kaplan-Meier survival curve of user lifetime (Kaplan & Meier
+    1958) — the churn readout: S(t) = P(user still active after t
+    periods), with right-censoring for users still alive at the end of
+    the observation window.
+
+    Lifetime = floor((last - first) / period).  A user whose last event
+    falls within one period of the corpus end is CENSORED at their
+    current lifetime (they may yet return); everyone else died at
+    theirs.  Estimator: S(t) = prod_{u <= t} (1 - d_u / n_u) with
+    d_u deaths at lifetime u and n_u = at-risk (everyone whose death or
+    censoring time is >= u).
+
+    Replay exactness: each factor (1 - d/n) is one IEEE divide of exact
+    integers; S(t) is a SEQUENTIAL product over factors sorted by
+    lifetime — Spark's ``F.aggregate`` and DuckDB's ``list_reduce``
+    fold the identical sequence left-to-right, so the bits match with
+    NO intermediate rounding (the asof/BLEU fold recipe).  Only the
+    final output is rounded to 6.
+
+    Scale shape: one user-keyed aggregation (the only event-sized
+    shuffle), then everything is (observation span / period)-sized: the
+    lifetime table, the cumulative risk window, and the factor array
+    that is sort_array'd and folded per output row (O(T^2) on T = a few
+    hundred periods at most — constant-bounded by calendar time, not by
+    corpus size).  Returns (period, at_risk, deaths, censored,
+    survival) ordered by period."""
+    from pyspark.sql.window import Window
+    sec = F.col(ts_col)
+    per_user = events.groupBy(user_col).agg(F.min(sec).alias("__first"),
+                                            F.max(sec).alias("__last"))
+    end = per_user.agg(F.max("__last").alias("__end"))
+    life = (per_user.crossJoin(F.broadcast(end))
+            .select(F.floor((F.col("__last") - F.col("__first"))
+                            / F.lit(period_s)).cast("long").alias("period"),
+                    ((F.col("__end") - F.col("__last")) < F.lit(period_s))
+                    .cast("long").alias("__c")))
+    counts = life.groupBy("period").agg(
+        (F.count(F.lit(1)) - F.sum("__c")).alias("deaths"),
+        F.sum("__c").alias("censored"))
+    # at-risk: total minus everyone who exited at an earlier lifetime —
+    # a cumulative window over the period-sized table (bounded by
+    # calendar span / period, never by users)
+    risked = counts.select(
+        "period", "deaths", "censored",
+        (F.sum(F.col("deaths") + F.col("censored")).over(
+            Window.orderBy("period").rowsBetween(
+                Window.currentRow, Window.unboundedFollowing)))
+        .alias("at_risk"))
+    factor = (F.lit(1.0) - F.col("deaths").cast("double")
+              / F.col("at_risk").cast("double"))
+    facs = risked.agg(F.sort_array(F.collect_list(
+        F.struct(F.col("period").alias("t"), factor.alias("f"))))
+        .alias("__fs"))
+    surv = F.aggregate(
+        F.filter(F.col("__fs"), lambda s: s["t"] <= F.col("period")),
+        F.lit(1.0), lambda acc, s: acc * s["f"])
+    return (risked.crossJoin(F.broadcast(facs))
+            .select("period", "at_risk", "deaths", "censored",
+                    F.round(surv, 6).alias("survival"))
+            .orderBy("period"))
+
+
+def mad_outliers(events: DataFrame, k: float = 3.0,
+                 group_col: str = "event_type",
+                 val_col: str = "value") -> DataFrame:
+    """Robust per-group outlier detection: median absolute deviation
+    (the Hampel filter) — the metric-anomaly readout that a mean/stdev
+    z-score cannot give you when the outliers themselves inflate the
+    stdev.
+
+    Median is POSITIONAL (the lower median: the value at sorted row
+    floor((n+1)/2)) rather than an engine ``median()``/``percentile``
+    call — interpolation conventions differ across engines, a row pick
+    cannot.  MAD is the same positional median over |v - med|, and the
+    flag is |v - med| > k * MAD; every comparison is IEEE arithmetic
+    on exact parquet doubles, so there is no rounding anywhere.
+
+    Scale shape: two per-group sort windows (each one shuffle on the
+    group key, sorts parallel per group) + one broadcast of the
+    group-sized median tables back; output is group-sized.  Skewed
+    single-group corpora would need the two-level bucketed rank
+    (roc_auc's recipe); groups here are metric names — naturally
+    many."""
+    from pyspark.sql.window import Window
+    g = F.col(group_col)
+    v = F.col(val_col).cast("double")
+    base = events.select(g.alias("__g"), v.alias("__v"))
+    w = Window.partitionBy("__g").orderBy("__v")
+
+    def _median(df: DataFrame, out: str) -> DataFrame:
+        ranked = df.select(
+            "__g", "__v",
+            F.row_number().over(w).alias("__rn"),
+            F.count(F.lit(1)).over(Window.partitionBy("__g")).alias("__n"))
+        return (ranked
+                .where(F.col("__rn") == F.floor((F.col("__n") + 1) / 2))
+                .select("__g", F.col("__v").alias(out),
+                        F.col("__n").alias(out + "_n")))
+
+    med = _median(base, "median")
+    dev = (base.join(F.broadcast(med), "__g")
+           .select("__g", F.abs(F.col("__v") - F.col("median"))
+                   .alias("__v")))
+    mad = _median(dev, "mad").select("__g", "mad")
+    flagged = (base.join(F.broadcast(med), "__g")
+               .join(F.broadcast(mad), "__g")
+               .groupBy("__g")
+               .agg(F.sum((F.abs(F.col("__v") - F.col("median"))
+                           > F.lit(float(k)) * F.col("mad"))
+                          .cast("long")).alias("n_outliers")))
+    return (med.join(mad, "__g").join(flagged, "__g")
+            .select(F.col("__g").alias(group_col),
+                    F.col("median_n").alias("n"), "median", "mad",
+                    "n_outliers")
+            .orderBy(group_col))
+
+
+MARKOV_SCALE = 1_000_000
+
+
+def markov_transition_counts(events: DataFrame, touch_types: list[str],
+                             conversion_type: str,
+                             user_col: str = "user_id",
+                             type_col: str = "event_type",
+                             ts_col: str = "sec",
+                             order_col: str = "event_id") -> DataFrame:
+    """Per-user journey transition counts for Markov attribution:
+    START -> touches (in time order, truncated at the FIRST conversion)
+    -> CONV / NULL terminal.  One filtered event scan + one user-keyed
+    shuffle; the pair explode is per-user-path-sized and collapses
+    map-side into the (states^2)-bounded count table."""
+    keep = list(touch_types) + [conversion_type]
+    arr = (events.where(F.col(type_col).isin(*keep))
+           .groupBy(user_col)
+           .agg(F.sort_array(F.collect_list(F.struct(
+               F.col(ts_col).cast("long").alias("ts"),
+               F.col(order_col).cast("long").alias("oid"),
+               F.col(type_col).alias("ty")))).alias("__a")))
+    types = F.transform(F.col("__a"), lambda e: e["ty"])
+    cut = F.array_position(types, conversion_type)
+    path = F.when(cut > 0, F.slice(types, 1, (cut - 1).cast("int"))) \
+        .otherwise(types)
+    term = F.when(cut > 0, F.lit("CONV")).otherwise(F.lit("NULL"))
+    states = F.concat(F.array(F.lit("START")), path, F.array(term))
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size(states) - 1),
+        lambda i: F.struct(F.element_at(states, i).alias("s"),
+                           F.element_at(states, i + 1).alias("t")))
+    return (arr.select(F.explode(pairs).alias("__p"))
+            .select(F.col("__p.s").alias("s"), F.col("__p.t").alias("t"))
+            .groupBy("s", "t").agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def markov_attribution(events: DataFrame, touch_types: list[str],
+                       conversion_type: str, n_iter: int = 16,
+                       user_col: str = "user_id",
+                       type_col: str = "event_type",
+                       ts_col: str = "sec",
+                       order_col: str = "event_id") -> DataFrame:
+    """Markov-chain attribution by REMOVAL EFFECT (Anderl et al. 2016
+    'Mapping the customer journey'): channel credit = how much the
+    journey-level conversion probability drops when the channel is
+    removed (its visits redirected to the NULL absorber) — the
+    data-driven alternative to last/first-touch heuristics (which are
+    also implemented, ``attribution_models``).
+
+    Absorption probabilities run in INTEGER FIXED-POINT (micro units):
+    per-edge contribution (cnt * p_t) div out_s, summed exactly,
+    ``n_iter`` truncated-horizon iterations (journeys here are short;
+    the horizon is part of the estimator's definition, so both engines
+    compute the identical number).  Each removal run zeroes the
+    removed channel's INCOMING value — p(removed) := 0 — the standard
+    redirect-to-NULL.  share = (V - V_c) / sum_d (V - V_d) is a single
+    IEEE division of exact integers.
+
+    Scale shape: the corpus-sized work is
+    :func:`markov_transition_counts` (one scan, one user shuffle); the
+    chain itself is a (touch-count + 3)^2 matrix — collected and
+    iterated driver-side in exact ints, the k-means/PCA bounded-driver
+    -hop economy, replayed verbatim by the unrolled SQL oracle.
+    Returns (channel, conv_drop_micro, removal_effect, share) ordered
+    by channel."""
+    spark = events.sparkSession
+    rows = markov_transition_counts(
+        events, touch_types, conversion_type, user_col, type_col,
+        ts_col, order_col).collect()
+    cnt: dict[tuple[str, str], int] = {(r["s"], r["t"]): r["cnt"]
+                                       for r in rows}
+    out: dict[str, int] = {}
+    for (s, _), c in cnt.items():
+        out[s] = out.get(s, 0) + c
+    trans = sorted(cnt)  # deterministic edge order (sum is exact anyway)
+
+    def absorb(drop: str | None) -> int:
+        p = {s: 0 for s in
+             set(out) | {t for _, t in trans} | {"CONV", "NULL"}}
+        p["CONV"] = MARKOV_SCALE
+        for _ in range(n_iter):
+            nxt = dict(p)
+            for s in out:
+                acc = 0
+                for (a, t), c in cnt.items():
+                    if a != s:
+                        continue
+                    pt = 0 if t == drop else p[t]
+                    acc += (c * pt) // out[s]
+                nxt[s] = acc
+            nxt["CONV"] = MARKOV_SCALE
+            nxt["NULL"] = 0
+            p = nxt
+        return p.get("START", 0)
+
+    v = absorb(None)
+    drops = {c: v - absorb(c) for c in touch_types}
+    tot = sum(drops.values())
+    out_rows = [(c, drops[c],
+                 (float(drops[c]) / float(v)) if v > 0 else 0.0,
+                 (float(drops[c]) / float(tot)) if tot > 0 else 0.0)
+                for c in sorted(touch_types)]
+    df = spark.createDataFrame(
+        out_rows, "channel STRING, conv_drop_micro LONG, "
+                  "removal_effect DOUBLE, share DOUBLE")
+    return df.select("channel", "conv_drop_micro",
+                     F.round(F.col("removal_effect"), 6)
+                     .alias("removal_effect"),
+                     F.round(F.col("share"), 6).alias("share")) \
+        .orderBy("channel")

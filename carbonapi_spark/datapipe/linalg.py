@@ -214,3 +214,70 @@ def pca_project(vecs: DataFrame, components: list[list[float]],
             lambda s, i: s + F.element_at(c, i + 1)
             * F.element_at(F.col(vec_col), i + 1).cast("double")))
     return vecs.select(id_col, pc.alias("pc"))
+
+
+def pca_power_top(vecs: DataFrame, vec_col: str = "embedding",
+                  n_iter: int = 12, scale: int = 1_000_000) -> DataFrame:
+    """Dominant principal component via INTEGER FIXED-POINT power
+    iteration over the exact one-pass covariance — the SQL-replayable
+    companion to :func:`pca_components` (whose numpy ``eigh`` cannot be
+    replayed by an external engine).
+
+    The covariance is quantized to micro units ON THE JVM
+    (``F.round`` = HALF_UP = DuckDB's convention) and collected — a
+    dim^2-bounded table, the same driver hop as the k-means centroid
+    collect; the corpus-sized work is entirely inside
+    :func:`covariance_matrix`.  Each iteration is then exact int64
+    arithmetic: u = Cm v; q = max(1, max|u| div scale); v' = u div q
+    (both engines' integer division truncates toward zero, verified
+    -7//2 == -7 div 2 == -3).  No floating point touches the
+    trajectory, so the unrolled SQL replay is bit-exact by
+    construction.  The eigenvalue estimate max|u| / max|v| / scale and
+    the unit-free loadings v/scale are single IEEE divisions of exact
+    operands — identical bits cross-engine, rounded at 6 dp for
+    output.
+
+    Sign is pinned: the largest-|.| loading (lowest dimension on ties)
+    is made positive, removing the eigenvector's sign ambiguity.
+    Returns (d, loading_micro, loading, eigenvalue) for every
+    dimension, ordered by d."""
+    spark = vecs.sparkSession
+    rows = (covariance_matrix(vecs, vec_col)
+            .select("i", "j",
+                    F.round(F.col("cov") * scale).cast("long").alias("cm"))
+            .collect())
+    cm: dict[tuple[int, int], int] = {}
+    dim = 0
+    for r in rows:
+        cm[(r["i"], r["j"])] = cm[(r["j"], r["i"])] = r["cm"]
+        dim = max(dim, r["j"] + 1)
+    if dim == 0:
+        return spark.createDataFrame(
+            [], "d INT, loading_micro LONG, loading DOUBLE, eigenvalue DOUBLE")
+
+    def trunc_div(a: int, b: int) -> int:
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    v = [scale] * dim
+    m = scale
+    vmax = scale
+    for _ in range(n_iter):
+        vmax = max(abs(x) for x in v)
+        u = [sum(cm.get((i, j), 0) * v[j] for j in range(dim))
+             for i in range(dim)]
+        m = max(abs(x) for x in u)
+        q = max(m // scale, 1)
+        v = [trunc_div(x, q) for x in u]
+    # sign pin: lowest-index max-|.| coordinate positive
+    top = max(range(dim), key=lambda i: (abs(v[i]), -i))
+    if v[top] < 0:
+        v = [-x for x in v]
+    lam = (float(m) / float(vmax)) / float(scale) if vmax > 0 else 0.0
+    out = spark.createDataFrame(
+        [(i, v[i], lam) for i in range(dim)],
+        "d INT, loading_micro LONG, eigenvalue DOUBLE")
+    return out.select(
+        "d", "loading_micro",
+        F.round(F.col("loading_micro") / float(scale), 6).alias("loading"),
+        F.round(F.col("eigenvalue"), 6).alias("eigenvalue")).orderBy("d")

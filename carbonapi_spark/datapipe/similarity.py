@@ -1104,3 +1104,56 @@ def margin_topk(corpus: DataFrame, query: DataFrame, k: int = 10,
             .join(F.broadcast(ay), "cand_id")
             .select("query_id", "cand_id", "cos_sim",
                     margin.alias("margin")))
+
+
+def k_center_select(vecs: DataFrame, k: int = 8,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Greedy k-center / farthest-point coreset selection (Gonzalez
+    1985, the 2-approximation): pick the point farthest from everything
+    picked so far, k times — the diversity-first data-selection
+    complement to quality ranking (SemDeDup prunes redundancy;
+    k-center SELECTS the spanning skeleton, e.g. seed docs for
+    annotation or a coverage-maximizing eval slice).
+
+    Each of the k steps is ONE stateless corpus pass: squared-L2 to
+    the already-picked centers (broadcast as literals into a zip_with
+    fold — whole-stage codegen, no Python, no join) min-combined with
+    ``F.least``, then a TakeOrdered(1) argmax with lowest-id
+    tie-break.  No corpus-sized state is ever persisted between steps;
+    the driver holds only the k picked vectors (the MMR/k-means
+    bounded-driver-hop economy).
+
+    Replay exactness: the fold is the identical sequential left-fold
+    both engines run ((0+t1)+t2)..., min/argmax compare those exact
+    bits, ties break on id — so the whole greedy trajectory replays in
+    SQL with no rounding anywhere.  Returns (rank, id, dist2) where
+    dist2 is the coverage radius at selection time (decreasing; the
+    k-center objective curve)."""
+    spark = vecs.sparkSession
+    base = vecs.select(F.col(id_col).alias("__id"),
+                       F.col(vec_col).cast("array<double>").alias("__v"))
+    seed = base.orderBy("__id").limit(1).collect()
+    if not seed:
+        return spark.createDataFrame(
+            [], f"rank INT, {id_col} LONG, dist2 DOUBLE")
+    picked = [(1, seed[0]["__id"], 0.0)]
+    center_vecs = [seed[0]["__v"]]
+    for step in range(2, k + 1):
+        dists = [
+            F.aggregate(
+                F.zip_with(F.col("__v"),
+                           F.array(*[F.lit(float(x)) for x in c]),
+                           lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0), lambda acc, x: acc + x)
+            for c in center_vecs]
+        mind = F.least(*dists) if len(dists) > 1 else dists[0]
+        nxt = (base.where(~F.col("__id").isin([p[1] for p in picked]))
+               .select("__id", "__v", mind.alias("__d"))
+               .orderBy(F.desc("__d"), "__id").limit(1).collect())
+        if not nxt:
+            break
+        picked.append((step, nxt[0]["__id"], nxt[0]["__d"]))
+        center_vecs.append(nxt[0]["__v"])
+    return spark.createDataFrame(
+        picked, f"rank INT, {id_col} LONG, dist2 DOUBLE")

@@ -1461,3 +1461,98 @@ def script_profile(df: DataFrame, text_col: str = "text",
         *[c.cast("long").alias(f"n_{name}") for name, c in counts],
         F.when(best["c"] > 0, best["s"]).otherwise(F.lit("none"))
         .alias("dominant"))
+
+
+LOWER_AZ = "abcdefghijklmnopqrstuvwxyz"
+
+
+def textrank_keywords(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", k: int = 20,
+                      window: int = 2, n_iter: int = 10,
+                      damping_pct: int = 85, min_count: int = 3,
+                      min_len: int = 4) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004):
+    PageRank over the word co-occurrence graph — words voting for the
+    words they appear next to — the unsupervised keyphrase baseline for
+    corpus exploration and topic labeling.
+
+    Graph: lowercase alpha-only tokens (``translate`` deletion test, no
+    regex class to disagree about) of length >= ``min_len``; an edge
+    joins words co-occurring within ``window`` positions, weighted by
+    co-occurrence count; words below ``min_count`` total occurrences
+    are dropped (bounds the graph at the heavy vocabulary).  Update:
+    WS(i) = (1-d) + d * sum_j w_ji / wdeg_j * WS(j), ``n_iter`` rounds.
+
+    INTEGER FIXED-POINT power iteration: ranks live in exact micro
+    units (1e6), each edge contributes (rank_j * w_ji) div wdeg_j and
+    the damping mix is (85 * sum) div 100 — every step is int64
+    arithmetic, so the trajectory replays bit-for-bit in SQL with no
+    rounding recipe at all (stronger than pagerank's per-iteration
+    6-dp rounding: there is no floating point anywhere).
+
+    Scale shape: edges come from per-doc array transforms (zero joins,
+    one explode), collapse map-side into the (vocab x window)-bounded
+    weight table; each iteration is one vocab-sized join + aggregation
+    with the lineage cut per round (the pagerank recipe, including the
+    small-graph single-partition collapse).  Returns the top ``k``
+    (word, rank_micro, rank), rank DESC, word ASC."""
+    toks = F.filter(
+        tokens(F.lower(F.col(text_col))),
+        lambda t: (F.length(t) >= min_len)
+        & (F.length(F.translate(t, LOWER_AZ, "")) == 0))
+    arr = df.select(toks.alias("__a"))
+    pair_cols = []
+    for off in range(1, window + 1):
+        pairs = F.when(
+            F.size("__a") > off,
+            F.transform(F.sequence(F.lit(1), F.size("__a") - off),
+                        lambda i: F.struct(
+                            F.element_at("__a", i).alias("x"),
+                            F.element_at("__a", i + off).alias("y")))
+        ).otherwise(F.array())
+        pair_cols.append(pairs)
+    expl = (arr.select(F.explode(F.flatten(F.array(*pair_cols)))
+                       .alias("__p"))
+            .select(F.col("__p.x").alias("x"), F.col("__p.y").alias("y"))
+            .where(F.col("x") != F.col("y"))
+            .select(F.least("x", "y").alias("a"),
+                    F.greatest("x", "y").alias("b")))
+    wts = expl.groupBy("a", "b").agg(F.count(F.lit(1)).alias("w"))
+    vocab = (df.select(F.explode(toks).alias("word"))
+             .groupBy("word").agg(F.count(F.lit(1)).alias("__n"))
+             .where(F.col("__n") >= min_count)
+             .select("word"))
+    wts = (wts.join(vocab.withColumnRenamed("word", "a"), "a")
+           .join(vocab.withColumnRenamed("word", "b"), "b"))
+    und = (wts.select(F.col("a").alias("src"), F.col("b").alias("dst"), "w")
+           .unionByName(wts.select(F.col("b").alias("src"),
+                                   F.col("a").alias("dst"), "w")))
+    # the whole edge pipeline (explode + two vocab joins) must run
+    # exactly once: deg, the node count, and every iteration read it
+    und = und.localCheckpoint()
+    deg = und.groupBy("src").agg(F.sum("w").alias("wdeg"))
+    n_nodes = deg.count()
+    if n_nodes == 0:
+        return df.sparkSession.createDataFrame(
+            [], "word STRING, rank_micro LONG, rank DOUBLE")
+    if n_nodes < 100_000:
+        und = und.coalesce(1).localCheckpoint()
+        deg = deg.coalesce(1)
+    edges = (und.join(deg, "src")
+             .select("src", "dst", "w", "wdeg").localCheckpoint())
+    base = (100 - damping_pct) * 10_000
+    rank = deg.select(F.col("src").alias("word"),
+                      F.lit(1_000_000).cast("long").alias("r")) \
+        .localCheckpoint()
+    for _ in range(n_iter):
+        contrib = (edges.join(rank, edges["src"] == rank["word"])
+                   .select(F.col("dst").alias("word"),
+                           F.expr("(r * w) div wdeg").alias("__c"))
+                   .groupBy("word").agg(F.sum("__c").alias("__s")))
+        rank = contrib.select(
+            "word",
+            (F.lit(base) + F.expr(f"({damping_pct} * __s) div 100"))
+            .cast("long").alias("r")).localCheckpoint()
+    return (rank.orderBy(F.desc("r"), "word").limit(k)
+            .select("word", F.col("r").alias("rank_micro"),
+                    F.round(F.col("r") / 1e6, 6).alias("rank")))

@@ -7060,6 +7060,422 @@ WHERE a.id < x.id AND a.rn <= {max_block} AND x.rn <= {max_block}
 _register("fuzzy_pairs", _q_fuzzy_pairs, _fuzzy_pairs_oracle())
 
 
+def _q_kaplan_meier(spark, sf_dir):
+    """Kaplan-Meier user-churn survival curve, daily periods with
+    right-censoring in the final period.  Each factor is one IEEE
+    divide of exact integers and S(t) folds the factor sequence in
+    sorted order on both engines — bit-exact with no intermediate
+    rounding."""
+    from carbonapi_spark.datapipe.events import kaplan_meier
+    from carbonapi_spark.sources.testdata import epoch_seconds, read_events
+    ev = read_events(spark, sf_dir)
+    return kaplan_meier(ev.select("user_id",
+                                  epoch_seconds(ev).alias("sec")))
+
+
+def _kaplan_meier_oracle(period_s: int = 86400) -> str:
+    return f"""
+WITH __u AS (SELECT user_id,
+                    min(floor(epoch(ts))) AS f, max(floor(epoch(ts))) AS l
+             FROM events GROUP BY user_id),
+__e AS (SELECT max(l) AS e FROM __u),
+__life AS (SELECT CAST(floor((l - f) / {period_s}) AS BIGINT) AS period,
+                  CASE WHEN e - l < {period_s} THEN 1 ELSE 0 END AS c
+           FROM __u, __e),
+__cnt AS (SELECT period,
+                 count(*) - sum(c) AS deaths, sum(c) AS censored
+          FROM __life GROUP BY period),
+__rk AS (SELECT period, deaths, censored,
+                sum(deaths + censored) OVER (ORDER BY period
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                    AS at_risk
+         FROM __cnt),
+__fs AS (SELECT list_sort(list(struct_pack(
+                    t := period,
+                    f := 1.0 - CAST(deaths AS DOUBLE)
+                               / CAST(at_risk AS DOUBLE)))) AS fs
+         FROM __rk)
+SELECT period, CAST(at_risk AS BIGINT) AS at_risk,
+       CAST(deaths AS BIGINT) AS deaths,
+       CAST(censored AS BIGINT) AS censored,
+       round(list_reduce(
+           list_prepend(1.0, list_transform(
+               list_filter(fs, s -> s.t <= period), s -> s.f)),
+           (acc, x) -> acc * x), 6) AS survival
+FROM __rk, __fs
+ORDER BY period
+""".strip()
+
+
+_register("kaplan_meier", _q_kaplan_meier, _kaplan_meier_oracle())
+
+
+def _q_textrank(spark, sf_dir):
+    """TextRank keyword extraction: integer fixed-point PageRank over
+    the word co-occurrence graph.  Every step is int64 arithmetic
+    (micro-unit ranks, div damping mix), so the 10-iteration trajectory
+    replays bit-for-bit with no floating point anywhere."""
+    from carbonapi_spark.datapipe.text import textrank_keywords
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textrank_keywords(docs, k=20)
+
+
+def _textrank_oracle(k: int = 20, window: int = 2, n_iter: int = 10,
+                     damping_pct: int = 85, min_count: int = 3,
+                     min_len: int = 4) -> str:
+    az = "abcdefghijklmnopqrstuvwxyz"
+    base = (100 - damping_pct) * 10_000
+    pair_lists = ",\n      ".join(
+        f"list_transform(range(greatest(len(a) - {off}, 0)),"
+        f" i -> struct_pack(x := a[i + 1], y := a[i + {off + 1}]))"
+        for off in range(1, window + 1))
+    ctes = [f"""
+__tok AS (
+  SELECT list_filter(
+           list_filter(string_split_regex(lower(text),
+                                          '[ \\t\\n\\x0B\\f\\r]+'),
+                       x -> x != ''),
+           t -> length(t) >= {min_len}
+                AND length(translate(t, '{az}', '')) = 0) AS a
+  FROM documents),
+__p AS (SELECT unnest(list_concat(
+      {pair_lists})) AS p
+  FROM __tok),
+__cp AS (SELECT least(p.x, p.y) AS a, greatest(p.x, p.y) AS b
+         FROM __p WHERE p.x != p.y),
+__w AS (SELECT a, b, count(*) AS w FROM __cp GROUP BY 1, 2),
+__v AS (SELECT t AS word
+        FROM (SELECT unnest(a) AS t FROM __tok)
+        GROUP BY t HAVING count(*) >= {min_count}),
+__wv AS (SELECT __w.a, __w.b, __w.w FROM __w
+         JOIN __v va ON __w.a = va.word
+         JOIN __v vb ON __w.b = vb.word),
+__und AS (SELECT a AS src, b AS dst, w FROM __wv
+          UNION ALL SELECT b AS src, a AS dst, w FROM __wv),
+__deg AS (SELECT src, sum(w) AS wdeg FROM __und GROUP BY src),
+__e AS MATERIALIZED (SELECT src, dst, w, wdeg
+                     FROM __und JOIN __deg USING (src)),
+__r0 AS (SELECT src AS word, CAST(1000000 AS BIGINT) AS r FROM __deg)""".strip()]
+    for i in range(1, n_iter + 1):
+        ctes.append(f"""
+__r{i} AS MATERIALIZED (
+  SELECT e.dst AS word,
+         CAST({base} + ({damping_pct}
+              * sum((r.r * e.w) // e.wdeg)) // 100 AS BIGINT) AS r
+  FROM __e e JOIN __r{i - 1} r ON e.src = r.word
+  GROUP BY e.dst)""".strip())
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT word, r AS rank_micro, round(r / 1000000.0, 6) AS rank
+FROM __r{n_iter} ORDER BY r DESC, word LIMIT {k}""")
+
+
+_register("textrank", _q_textrank, _textrank_oracle())
+
+
+def _q_pca_power(spark, sf_dir):
+    """Dominant principal component by integer fixed-point power
+    iteration over the exact one-pass covariance: the corpus-sized work
+    is the covariance scan; the iteration is int64 arithmetic on the
+    dim^2 table (collected like the k-means centroids), replayed
+    bit-for-bit by the unrolled SQL below."""
+    from carbonapi_spark.datapipe.linalg import pca_power_top
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return pca_power_top(emb)
+
+
+def _pca_power_oracle(n_iter: int = 12) -> str:
+    ctes = [_COV_CTES, """
+__cmq AS (SELECT i, j, CAST(round(cov * 1000000) AS BIGINT) AS cm
+          FROM __cov),
+__cmf AS MATERIALIZED (
+  SELECT i, j, cm FROM __cmq
+  UNION ALL SELECT j AS i, i AS j, cm FROM __cmq WHERE i != j),
+__pv0 AS (SELECT DISTINCT i AS d, CAST(1000000 AS BIGINT) AS v
+          FROM __cmf)""".strip()]
+    for t in range(1, n_iter + 1):
+        ctes.append(f"""
+__pu{t} AS MATERIALIZED (
+  SELECT m.i AS d, sum(m.cm * x.v) AS u
+  FROM __cmf m JOIN __pv{t - 1} x ON m.j = x.d GROUP BY m.i),
+__pm{t} AS (SELECT max(abs(u)) AS m FROM __pu{t}),
+__pv{t} AS MATERIALIZED (
+  SELECT d, CAST(u // greatest(m // 1000000, 1) AS BIGINT) AS v
+  FROM __pu{t}, __pm{t})""".strip())
+    return ("WITH " + ",\n".join(ctes) + f""",
+__sgn AS (SELECT CASE WHEN v < 0 THEN -1 ELSE 1 END AS s
+          FROM __pv{n_iter} ORDER BY abs(v) DESC, d LIMIT 1),
+__lam AS (SELECT CASE WHEN vm > 0
+                      THEN (CAST(m AS DOUBLE) / vm) / 1000000.0
+                      ELSE 0.0 END AS lam
+          FROM __pm{n_iter},
+               (SELECT max(abs(v)) AS vm FROM __pv{n_iter - 1}))
+SELECT CAST(d AS INT) AS d, CAST(v * s AS BIGINT) AS loading_micro,
+       round(CAST(v * s AS DOUBLE) / 1000000.0, 6) AS loading,
+       round(lam, 6) AS eigenvalue
+FROM __pv{n_iter}, __sgn, __lam ORDER BY d""")
+
+
+_register("pca_power", _q_pca_power, _pca_power_oracle())
+
+
+def _q_mad_outliers(spark, sf_dir):
+    """Hampel/MAD robust outlier counts per event_type.  Medians are
+    POSITIONAL row picks (lower median), never an engine median() —
+    interpolation conventions differ, a row pick cannot; all other
+    arithmetic is IEEE on exact parquet doubles, no rounding."""
+    from carbonapi_spark.datapipe.events import mad_outliers
+    from carbonapi_spark.sources.testdata import read_events
+    return mad_outliers(read_events(spark, sf_dir))
+
+
+def _q_stream_anomaly_replay(spark, sf_dir):
+    """Streaming EWMA-threshold anomaly flags on the scoreboard: the
+    events slice (ordered, one availableNow batch) runs through the
+    applyInPandasWithState kernel; all state arithmetic is truncating
+    int64, so the batch SQL struct-fold replays the flag set exactly."""
+    import tempfile
+
+    from carbonapi_spark.streaming.stateful import stream_ewma_anomaly
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (spark.readStream.schema(schema)
+              .option("pathGlobFilter", "events.parquet")
+              .parquet(sf_dir)
+              .where(F.col("event_id") < 8000)
+              .select(F.col("event_type").alias("key"),
+                      F.col("event_id").alias("oid"),
+                      F.round(F.col("value") * 1_000_000).cast("long")
+                      .alias("x_micro")))
+    out = stream_ewma_anomaly(stream)
+    rows: list = []
+
+    def sink(bdf, _bid):
+        rows.extend(bdf.collect())
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        with tempfile.TemporaryDirectory() as ckpt:
+            q = (out.writeStream.foreachBatch(sink)
+                 .option("checkpointLocation", ckpt)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    return spark.createDataFrame(
+        [(r["key"], r["oid"], r["x_micro"], r["dev_micro"])
+         for r in rows] or [],
+        "key STRING, oid LONG, x_micro LONG, dev_micro LONG")
+
+
+# Two DuckDB list_reduce hazards shape this fold (both probed on
+# 1.0.0, captured in tests/test_oracle_folds.py):
+#   1. The struct accumulator is mutated FIELD-BY-FIELD in textual
+#      order — a later field reading acc.e sees the UPDATED e.  The
+#      field order (fl, m, e, n) is chosen so every expression needs
+#      only values that are still pre-update under that model, which
+#      makes the fold correct under BOTH sequential-mutation and
+#      all-from-old-acc semantics.
+#   2. Accumulating a LIST OF STRUCTS inside the struct accumulator
+#      silently corrupts the appended elements (zeroed structs, lost
+#      prefix).  Flags therefore accumulate in a PACKED STRING
+#      ('oid:dev;'), the same accumulator type as the proven BPE fold,
+#      parsed back out after the fold.
+_STREAM_ANOM_ORACLE = """
+WITH __s AS (SELECT event_type AS key, event_id AS oid,
+                    CAST(round(value * 1000000) AS BIGINT) AS x
+             FROM events WHERE event_id < 8000),
+__a AS (SELECT key, list_sort(list(struct_pack(oid := oid, x := x)))
+               AS rows
+        FROM __s GROUP BY key),
+__f AS (SELECT key,
+  list_reduce(
+    list_prepend(
+      struct_pack(oid := CAST(0 AS BIGINT), x := CAST(0 AS BIGINT),
+                  fl := '', m := CAST(0 AS BIGINT),
+                  e := CAST(0 AS BIGINT), n := CAST(0 AS BIGINT)),
+      list_transform(rows, r -> struct_pack(
+          oid := r.oid, x := r.x, fl := '',
+          m := CAST(0 AS BIGINT), e := CAST(0 AS BIGINT),
+          n := CAST(0 AS BIGINT)))),
+    (acc, r) -> CASE WHEN acc.n = 0 THEN struct_pack(
+        oid := r.oid, x := r.x, fl := acc.fl,
+        m := CAST(0 AS BIGINT), e := r.x, n := CAST(1 AS BIGINT))
+      ELSE struct_pack(
+        oid := r.oid, x := r.x,
+        fl := CASE WHEN acc.n >= 50 AND acc.m > 0
+                        AND abs(r.x - acc.e) > 4 * acc.m
+                   THEN acc.fl || CAST(r.oid AS VARCHAR) || ':'
+                        || CAST(abs(r.x - acc.e) AS VARCHAR) || ';'
+                   ELSE acc.fl END,
+        m := acc.m + (abs(r.x - acc.e) - acc.m) // 8,
+        e := acc.e + (r.x - acc.e) // 8,
+        n := acc.n + 1) END) AS st
+  FROM __a),
+__u AS (SELECT key,
+               CAST(string_split(t, ':')[1] AS BIGINT) AS oid,
+               CAST(string_split(t, ':')[2] AS BIGINT) AS dev_micro
+        FROM (SELECT key, unnest(list_filter(
+                  string_split(st.fl, ';'), p -> p != '')) AS t
+              FROM __f))
+SELECT u.key, u.oid, s.x AS x_micro, u.dev_micro
+FROM __u u JOIN __s s ON s.oid = u.oid
+""".strip()
+
+
+_register("stream_anomaly_replay", _q_stream_anomaly_replay,
+          _STREAM_ANOM_ORACLE)
+
+
+def _q_markov_attribution(spark, sf_dir):
+    """Markov removal-effect attribution over user journeys
+    (view/click touches, purchase conversion): integer fixed-point
+    absorption probabilities, truncated at 16 iterations — the whole
+    chain replays bit-for-bit as unrolled SQL."""
+    from carbonapi_spark.datapipe.events import markov_attribution
+    from carbonapi_spark.sources.testdata import epoch_seconds, read_events
+    ev = read_events(spark, sf_dir)
+    ev = ev.select("user_id", "event_id", "event_type",
+                   epoch_seconds(ev).alias("sec"))
+    return markov_attribution(ev, ["click", "view"], "purchase")
+
+
+def _markov_oracle(touches: tuple = ("click", "view"),
+                   conv: str = "purchase", n_iter: int = 16) -> str:
+    keep = ", ".join(f"'{t}'" for t in sorted(set(touches) | {conv}))
+    ctes = [f"""
+__ej AS (SELECT user_id,
+                list_sort(list(struct_pack(
+                    ts := CAST(floor(epoch(ts)) AS BIGINT),
+                    oid := event_id, ty := event_type))) AS a
+         FROM events WHERE event_type IN ({keep})
+         GROUP BY user_id),
+__stt AS (SELECT list_concat(list_concat(
+                ['START'],
+                CASE WHEN cut > 0 THEN types[1:cut - 1] ELSE types END),
+                [CASE WHEN cut > 0 THEN 'CONV' ELSE 'NULL' END])
+                AS states
+          FROM (SELECT list_transform(a, e -> e.ty) AS types,
+                       coalesce(list_position(
+                           list_transform(a, e -> e.ty), '{conv}'), 0)
+                           AS cut
+                FROM __ej)),
+__prs AS (SELECT unnest(list_transform(range(len(states) - 1),
+                 i -> struct_pack(s := states[i + 1],
+                                  t := states[i + 2]))) AS p
+          FROM __stt),
+__tc AS MATERIALIZED (SELECT p.s AS s, p.t AS t, count(*) AS cnt
+                      FROM __prs GROUP BY 1, 2),
+__out AS (SELECT s, sum(cnt) AS o FROM __tc GROUP BY s),
+__sts AS (SELECT DISTINCT s FROM (SELECT s FROM __tc
+                                  UNION ALL SELECT t AS s FROM __tc))""".strip()]
+    variants = [("none", None)] + [(f"c{i}", t)
+                                   for i, t in enumerate(sorted(touches))]
+    for vn, drop in variants:
+        ctes.append(f"""
+__p{vn}0 AS (SELECT s, CAST(CASE WHEN s = 'CONV' THEN 1000000
+                                 ELSE 0 END AS BIGINT) AS p
+             FROM __sts)""".strip())
+        for i in range(1, n_iter + 1):
+            pt = "p.p" if drop is None else \
+                f"CASE WHEN e.t = '{drop}' THEN 0 ELSE p.p END"
+            ctes.append(f"""
+__q{vn}{i} AS (SELECT e.s, sum((e.cnt * {pt}) // o.o) AS v
+               FROM __tc e JOIN __out o USING (s)
+               JOIN __p{vn}{i - 1} p ON p.s = e.t
+               GROUP BY e.s),
+__p{vn}{i} AS MATERIALIZED (
+  SELECT __sts.s,
+         CAST(CASE WHEN __sts.s = 'CONV' THEN 1000000
+                   WHEN __sts.s = 'NULL' THEN 0
+                   ELSE coalesce(v, 0) END AS BIGINT) AS p
+  FROM __sts LEFT JOIN __q{vn}{i} ON __q{vn}{i}.s = __sts.s)""".strip())
+    drops_sql = "\nUNION ALL\n".join(
+        f"SELECT '{t}' AS channel, "
+        f"(SELECT p FROM __pnone{n_iter} WHERE s = 'START')"
+        f" - (SELECT p FROM __pc{i}{n_iter} WHERE s = 'START') AS d"
+        for i, t in enumerate(sorted(touches)))
+    return ("WITH " + ",\n".join(ctes) + f""",
+__dr AS ({drops_sql}),
+__tt AS (SELECT sum(d) AS t FROM __dr),
+__vv AS (SELECT p AS v FROM __pnone{n_iter} WHERE s = 'START')
+SELECT channel, CAST(d AS BIGINT) AS conv_drop_micro,
+       round(CASE WHEN v > 0 THEN CAST(d AS DOUBLE) / v
+                  ELSE 0.0 END, 6) AS removal_effect,
+       round(CASE WHEN t > 0 THEN CAST(d AS DOUBLE) / t
+                  ELSE 0.0 END, 6) AS share
+FROM __dr, __tt, __vv ORDER BY channel""")
+
+
+_register("markov_attribution", _q_markov_attribution, _markov_oracle())
+
+
+def _q_k_center(spark, sf_dir):
+    """Greedy k-center (Gonzalez farthest-point) coreset over the
+    embeddings table: k stateless corpus passes, centers broadcast as
+    literals, exact sequential-fold distances, lowest-id tie-break —
+    the whole greedy trajectory replays in SQL with no rounding."""
+    from carbonapi_spark.datapipe.similarity import k_center_select
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return k_center_select(emb, k=8)
+
+
+def _k_center_oracle(k: int = 8) -> str:
+    d2 = ("list_reduce(list_prepend(0.0, list_transform(range(len(e.v)),"
+          " i -> (e.v[i + 1] - c.v[i + 1]) * (e.v[i + 1] - c.v[i + 1]))),"
+          " (x, y) -> x + y)")
+    ctes = ["""
+__ee AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v
+                      FROM embeddings),
+__ks1 AS MATERIALIZED (SELECT 1 AS rank, vec_id, 0.0 AS dist2
+                       FROM __ee ORDER BY vec_id LIMIT 1)""".strip()]
+    for t in range(2, k + 1):
+        ctes.append(f"""
+__kd{t} AS (
+  SELECT e.vec_id, min({d2}) AS mind
+  FROM __ee e
+  JOIN __ee c ON c.vec_id IN (SELECT vec_id FROM __ks{t - 1})
+  WHERE e.vec_id NOT IN (SELECT vec_id FROM __ks{t - 1})
+  GROUP BY e.vec_id),
+__kp{t} AS (SELECT {t} AS rank, vec_id, mind AS dist2 FROM __kd{t}
+            ORDER BY mind DESC, vec_id LIMIT 1),
+__ks{t} AS MATERIALIZED (SELECT * FROM __ks{t - 1}
+                         UNION ALL SELECT * FROM __kp{t})""".strip())
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT CAST(rank AS INT) AS rank, vec_id, dist2 FROM __ks{k}""")
+
+
+_register("k_center", _q_k_center, _k_center_oracle())
+
+
+_register("mad_outliers", _q_mad_outliers, """
+WITH __b AS (SELECT event_type AS g, CAST(value AS DOUBLE) AS v
+             FROM events),
+__r1 AS (SELECT g, v,
+                row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+                count(*) OVER (PARTITION BY g) AS n
+         FROM __b),
+__med AS (SELECT g, v AS median, n FROM __r1
+          WHERE rn = floor((n + 1) / 2)),
+__d AS (SELECT b.g, abs(b.v - m.median) AS v
+        FROM __b b JOIN __med m USING (g)),
+__r2 AS (SELECT g, v,
+                row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+                count(*) OVER (PARTITION BY g) AS n
+         FROM __d),
+__mad AS (SELECT g, v AS mad FROM __r2
+          WHERE rn = floor((n + 1) / 2)),
+__f AS (SELECT b.g,
+               sum(CASE WHEN abs(b.v - m.median) > 3.0 * d.mad
+                        THEN 1 ELSE 0 END) AS n_outliers
+        FROM __b b JOIN __med m USING (g) JOIN __mad d USING (g)
+        GROUP BY b.g)
+SELECT m.g AS event_type, CAST(m.n AS BIGINT) AS n, m.median, d.mad,
+       CAST(f.n_outliers AS BIGINT) AS n_outliers
+FROM __med m JOIN __mad d USING (g) JOIN __f f USING (g)
+ORDER BY 1
+""".strip())
+
+
 # ---------------------------------------------------------------------------
 # Driver-visibility ordering. The correctness driver checks at most the first
 # 50 catalog entries per round.  Rotation policy: the prefix lists ONLY the
@@ -7094,16 +7510,16 @@ _DRIVER_PREFIX = [
     "funnel_conv",   # one-pass K-step state machine (was a join chain)
     "ann_quality",   # truth-driven eval output (zero-hit queries kept)
     "rrf_fuse",      # hard candidate cap before the rank window
-    "mmr_rerank",    # shares the capped-candidate path
+    # (mmr_rerank rotated out latest-r8: r07-green; its r8 diff is the
+    # candidate cap shared with rrf_fuse, which stays in-prefix)
     # oracle/expression text changed in r8 (ce7783e pinned the whitespace
-    # class on BOTH engines at 28 shared regex sites) — re-verify, oldest
-    # driver row first; the entries left past the cap (dedup_stats,
-    # heavy_hitters/trigrams, hll_distinct, html_strip, kn_bigram_ppl,
-    # minhash x3, pmi_top, ppl_quantile_buckets, quantile_cutoffs,
-    # source_kl, stream_hll_replay, zipf_fit, bigram_ppl, bm25_topk,
-    # corpus_pipeline) are all r07-green and changed only in lockstep
-    # oracle text — each later-r8 op displaced one of them
-    "doc_quality",
+    # class on BOTH engines at 28 shared regex sites): every such entry
+    # is r07-or-earlier green and changed only in lockstep oracle text;
+    # the seam itself (the pinned split class) is exercised by the dozen
+    # tokenizing entries above (kn_trigram_ppl, readability,
+    # wordpiece_*, bpe_*), so no dedicated representative holds a slot —
+    # doc_quality/quality_lr/gopher_rules rotated out latest-r8 for the
+    # five new never-verified ops below
     # (lang_scores + simhash rotated out latest-r8: r06/r04-green,
     # whitespace-pin-only r8 diffs; the shared seam stays driver-covered
     # by doc_quality/gopher_rules/quality_lr and the xxh64 sketch chain
@@ -7121,10 +7537,11 @@ _DRIVER_PREFIX = [
     # (token_count rotated out latest-r8: r04-green, whitespace-pin-only
     # r8 diff; bpe_token_count and doc_quality in-prefix carry the same
     # token-explode seam — displaced by the new unigram trainer)
-    "unigram_pieces",            # NEW r8 (latest): unigram-LM tokenizer
-    # (unigram_fertility, registered latest-r8, is left past the cap —
-    # it shares the unigram_pieces chain end-to-end; lead the r9
-    # rotation with it, the round-7 bpe_fertility lesson)
+    # (unigram_pieces rotated out latest-r8 for unigram_fertility: the
+    # fertility report CHAINS train + Viterbi encode + the per-doc join,
+    # so one row verifies the whole unigram matrix end-to-end — the
+    # round-7 bpe_fertility lesson applied at registration time)
+    "unigram_fertility",         # NEW r8 (latest): whole unigram-LM matrix
     # (bpe_token_count rotated out latest-r8: r04-green; its BPE merge
     # chain is in-prefix four ways — bpe_merges, bpe_fertility,
     # wordpiece_merges, wordpiece_encode — displaced by the JSON-props op)
@@ -7142,7 +7559,6 @@ _DRIVER_PREFIX = [
     # r8 diff; the portable-regex-projection seam is in-prefix via
     # doc_quality/gopher_rules — displaced by the stream-stream join)
     "stream_join_replay",        # NEW r8 (latest): watermarked interval join
-    "quality_lr",                                              # r05
     # (c4_rules rotated out late-r8: r06-green, whitespace-pin-only r8
     # diff — gopher_rules stays as the rule-family + shared-seam
     # representative)
@@ -7162,7 +7578,6 @@ _DRIVER_PREFIX = [
     # (dedup_keep_best rotated out late-r8: r06-green,
     # whitespace-pin-only r8 diff; the CC chain is in-prefix via
     # label_prop/split_leakage)
-    "gopher_rules",
     # (ngram_novelty rotated out late-r8: r06-green, zero r8 diffs; the
     # shingle-explode + reference anti-join chain stays covered by the
     # older ngram_jaccard in-prefix)
@@ -7190,7 +7605,8 @@ _DRIVER_PREFIX = [
     # (quality_calibration rotated out late-r8: its sigmoid-rounding
     # seam is covered by quality_lr, its logit path by quality_auc +
     # budget_select, all three in-prefix)
-    "wordpiece_encode",          # NEW r8 (late): WordPiece inference
+    # (wordpiece_encode rotated out latest-r8: wordpiece_fertility
+    # in-prefix chains the same greedy longest-match inference per type)
     "stream_attribution_replay",  # NEW r8 (late): stateful attribution
     "label_prop",                # NEW r8 (late): LPA communities
     "stream_funnel_replay",      # NEW r8 (late): live-funnel kernel
@@ -7212,6 +7628,16 @@ _DRIVER_PREFIX = [
     "ab_test",                   # NEW r8 (latest): hash-bucketed A/B readout
     "script_profile",            # NEW r8 (late): writing-script router
     "window_join",               # NEW r8 (late): kdb-wj trailing stats
+    # ---- latest-r8 wave 2: never-verified, riskiest cross-engine seams
+    # first (kaplan_meier, k_center, mad_outliers + the covered-chain
+    # finishers embed_correlation, cuped_lift, hll_merge_rollup,
+    # asof_nearest stay past the cap -> lead the r9 rotation)
+    "stream_anomaly_replay",     # NEW r8: EWMA anomaly kernel; its oracle
+                                 # dodges two DuckDB list_reduce hazards
+    "fuzzy_pairs",               # NEW r8: threshold-levenshtein parity
+    "pca_power",                 # NEW r8: int fixed-point power iteration
+    "markov_attribution",        # NEW r8: journey fold + int absorption
+    "textrank",                  # NEW r8: translate()-gate + int pagerank
 ]
 # The driver checks at most _DRIVER_CAP rows per round; test_entry.py pins
 # len(_DRIVER_PREFIX) <= cap so additions can never silently evict entries

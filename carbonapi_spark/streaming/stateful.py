@@ -589,3 +589,80 @@ def stream_cms_counters(docs: DataFrame, text_col: str = "text",
     return (obs.groupBy("depth", "bucket")
             .applyInPandasWithState(fn, CMS_OUT, CMS_STATE,
                                     "update", GroupStateTimeout.NoTimeout))
+
+
+ANOM_OUT = "key STRING, oid LONG, x_micro LONG, dev_micro LONG"
+ANOM_STATE = "e LONG, m LONG, n LONG"
+
+
+def _trunc_div(a: int, b: int) -> int:
+    """Truncate-toward-zero integer division — Spark's ``div`` and
+    DuckDB's ``//`` convention (Python's ``//`` floors instead, which
+    diverges on negatives)."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+def stream_ewma_anomaly(rows: DataFrame, key_col: str = "key",
+                        order_col: str = "oid",
+                        val_col: str = "x_micro",
+                        alpha_den: int = 8, k: int = 4,
+                        warmup: int = 50) -> DataFrame:
+    """Streaming anomaly detection: per-key EWMA level + EWMA absolute
+    deviation in INTEGER FIXED-POINT, flagging points whose deviation
+    from the current level exceeds ``k`` x the deviation estimate —
+    the self-tuning threshold monitor (a robust streaming cousin of
+    holtWintersAberration; the reference's aberration functions are
+    batch-only).
+
+    State per key is three int64s: level ``e``, mean-abs-deviation
+    ``m``, count ``n``.  Per point IN ORDER: flag if n >= warmup and
+    m > 0 and |x - e| > k*m, THEN e += (x-e) div alpha_den,
+    m += (|x-e| - m) div alpha_den (deviation measured against the
+    pre-update level).  All arithmetic is truncating int64, so an
+    ordered batch replay (SQL struct fold) reproduces the flag set
+    bit-for-bit.  The recurrence is inherently sequential per key —
+    the per-row loop below is the operator's true data dependency, not
+    an implementation shortcut; keys stream in parallel.
+
+    Feed discipline: within a micro-batch the kernel sorts by
+    ``order_col``; ACROSS batches the caller must feed in key-time
+    order (the stream_join/sessionize replay contract) or flags become
+    arrival-order-dependent."""
+
+    def fn(key, pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            e, m, n = state.get
+        else:
+            e, m, n = 0, 0, 0
+        # one global sort over the whole micro-batch: the iterator can
+        # deliver several Arrow chunks per key (one per upstream
+        # partition) and per-chunk sorting would interleave the
+        # recurrence out of time order
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks).sort_values(order_col)
+            oids, xs, devs = [], [], []
+            for oid, x in zip(pdf[order_col].astype("int64"),
+                              pdf[val_col].astype("int64")):
+                x = int(x)
+                if n == 0:
+                    e, m, n = x, 0, 1
+                    continue
+                dev = abs(x - e)
+                if n >= warmup and m > 0 and dev > k * m:
+                    oids.append(int(oid))
+                    xs.append(x)
+                    devs.append(dev)
+                e += _trunc_div(x - e, alpha_den)
+                m += _trunc_div(dev - m, alpha_den)
+                n += 1
+            if oids:
+                yield pd.DataFrame({"key": key[0], "oid": oids,
+                                    "x_micro": xs, "dev_micro": devs})
+        state.update((e, m, n))
+
+    return (rows.groupBy(key_col)
+            .applyInPandasWithState(fn, ANOM_OUT, ANOM_STATE, "append",
+                                    GroupStateTimeout.NoTimeout))

@@ -4016,3 +4016,134 @@ def test_fuzzy_pairs_block_cap_bounds_join(spark):
     out = fuzzy_pairs(df, max_dist=1, key_len=32, max_block=4).collect()
     assert len(out) == 6
     assert {r["dist"] for r in out} == {0}
+
+
+def test_kaplan_meier_textbook(spark):
+    from carbonapi_spark.datapipe.events import kaplan_meier
+    # 4 users: lifetimes 0,1,1 days + one still-alive at the end (censored)
+    day = 86400
+    rows = []
+    rows += [(1, 0), (1, 10)]                # lifetime 0, dies
+    rows += [(2, 0), (2, day + 10)]          # lifetime 1, dies
+    rows += [(3, 0), (3, day + 20)]          # lifetime 1, dies
+    rows += [(4, 0), (4, 3 * day)]           # last event at corpus end: censored
+    df = spark.createDataFrame(rows, "user_id LONG, sec LONG")
+    out = {r["period"]: r for r in kaplan_meier(df).collect()}
+    # period 0: at risk 4, 1 death -> S = 3/4
+    assert out[0]["at_risk"] == 4 and out[0]["deaths"] == 1
+    assert abs(out[0]["survival"] - 0.75) < 1e-9
+    # period 1: at risk 3, 2 deaths -> S = 0.75 * 1/3 = 0.25
+    assert out[1]["at_risk"] == 3 and out[1]["deaths"] == 2
+    assert abs(out[1]["survival"] - 0.25) < 1e-9
+    # period 3: the censored survivor; no deaths -> S stays 0.25
+    assert out[3]["censored"] == 1 and out[3]["deaths"] == 0
+    assert abs(out[3]["survival"] - 0.25) < 1e-9
+
+
+def test_mad_outliers_flags_spike(spark):
+    from carbonapi_spark.datapipe.events import mad_outliers
+    vals = [10.0, 11.0, 9.0, 10.5, 9.5, 10.2, 9.8, 1000.0]
+    df = spark.createDataFrame([("m", v) for v in vals],
+                               "event_type STRING, value DOUBLE")
+    row = mad_outliers(df, k=3.0).collect()[0]
+    assert row["n"] == 8
+    assert row["median"] == 10.0  # lower median of 8 sorted values
+    assert row["n_outliers"] == 1  # only the 1000.0 spike
+
+
+def test_k_center_picks_spread_points(spark):
+    from carbonapi_spark.datapipe.similarity import k_center_select
+    # three tight clusters at (0,0), (10,0), (0,10) + seed noise
+    pts = [(0, [0.0, 0.0]), (1, [0.1, 0.0]), (2, [0.0, 0.1]),
+           (10, [10.0, 0.0]), (11, [10.1, 0.0]),
+           (20, [0.0, 10.0]), (21, [0.0, 10.1])]
+    df = spark.createDataFrame(pts, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    out = k_center_select(df, k=3).collect()
+    picked = [r["vec_id"] for r in out]
+    assert picked[0] == 0                      # lowest-id seed
+    assert {p // 10 for p in picked} == {0, 1, 2}  # one per cluster
+    d2 = [r["dist2"] for r in out]
+    assert d2[0] == 0.0 and d2[1] >= d2[2] > 0  # radius non-increasing
+
+
+def test_markov_attribution_removal_effect(spark):
+    from carbonapi_spark.datapipe.events import markov_attribution
+    # channel A always converts, channel B never does
+    rows = []
+    eid = 0
+    for u in range(10):
+        rows.append((u, eid, "A", 0 + u)); eid += 1
+        rows.append((u, eid, "buy", 100 + u)); eid += 1
+    for u in range(10, 20):
+        rows.append((u, eid, "B", 0 + u)); eid += 1
+    df = spark.createDataFrame(
+        rows, "user_id LONG, event_id LONG, event_type STRING, sec LONG")
+    out = {r["channel"]: r for r in
+           markov_attribution(df, ["A", "B"], "buy").collect()}
+    assert out["A"]["share"] == 1.0
+    assert out["B"]["share"] == 0.0
+    assert out["A"]["removal_effect"] == 1.0  # removing A kills all conversions
+
+
+def test_textrank_ranks_hub_word(spark):
+    from carbonapi_spark.datapipe.text import textrank_keywords
+    docs = [(i, "spark engine spark cluster spark planner memory")
+            for i in range(3)]
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+    out = textrank_keywords(df, k=5, min_count=2, min_len=4)
+    rows = out.collect()
+    assert rows[0]["word"] == "spark"  # the co-occurrence hub
+    assert rows[0]["rank_micro"] > rows[-1]["rank_micro"]
+
+
+def test_pca_power_matches_numpy_eigh(spark):
+    import numpy as np
+    from carbonapi_spark.datapipe.linalg import pca_power_top
+    rng = np.random.RandomState(7)
+    # anisotropic cloud: dominant direction along (1, 1, 0)/sqrt(2)
+    base = rng.randn(400, 3) * np.array([0.1, 0.1, 0.05])
+    t = rng.randn(400, 1) * 2.0
+    pts = base + t * np.array([[1.0, 1.0, 0.0]]) / np.sqrt(2)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(pts)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>")
+    out = pca_power_top(df).collect()
+    v = np.array([r["loading"] for r in out])
+    v = v / np.linalg.norm(v)
+    cov = np.cov(pts.T, bias=True)
+    w, vecs = np.linalg.eigh(cov)
+    top = vecs[:, np.argmax(w)]
+    assert abs(abs(float(v @ top)) - 1.0) < 1e-3
+    lam = out[0]["eigenvalue"]
+    assert abs(lam - w.max()) / w.max() < 0.05
+
+
+def test_stream_ewma_anomaly_state_across_runs(spark, tmp_path):
+    """The EWMA anomaly kernel carries (level, deviation, count) across
+    checkpointed runs: a spike in the SECOND run is flagged against
+    state learned in the first; steady values never flag."""
+    import json
+    from carbonapi_spark.streaming.stateful import stream_ewma_anomaly
+    src, out, ck = tmp_path / "src", tmp_path / "out", tmp_path / "ck"
+    src.mkdir()
+
+    def stream():
+        s = (spark.readStream
+             .schema("key STRING, oid LONG, x_micro LONG").json(str(src)))
+        return stream_ewma_anomaly(s, warmup=10)
+
+    # run 1: 60 steady points oscillating +-8 around 1000
+    pts = [{"key": "m", "oid": i, "x_micro": 1000 + (i % 2) * 16 - 8}
+           for i in range(60)]
+    (src / "a.json").write_text("\n".join(json.dumps(p) for p in pts))
+    _run_stream(stream, src, out, ck)
+    # run 2: one huge spike then steady again
+    pts2 = [{"key": "m", "oid": 60, "x_micro": 50000}] + \
+        [{"key": "m", "oid": 61 + i, "x_micro": 1000} for i in range(3)]
+    (src / "b.json").write_text("\n".join(json.dumps(p) for p in pts2))
+    _run_stream(stream, src, out, ck)
+
+    rows = spark.read.parquet(str(out)).collect()
+    flagged = sorted(r["oid"] for r in rows)
+    assert 60 in flagged                  # the spike, against run-1 state
+    assert all(o >= 60 for o in flagged)  # steady run-1 points never flag
