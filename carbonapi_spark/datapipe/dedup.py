@@ -940,7 +940,7 @@ def fuzzy_pairs(df: DataFrame, text_col: str = "text",
     Levenshtein runs ONLY on same-block candidate pairs, JVM-side
     (``F.levenshtein`` is codegen, no Python) and THRESHOLD-BOUNDED:
     the banded DP visits O(len * max_dist) cells instead of O(len^2)
-    and bails out early — 24x on the sf0.1 bench (37.1 -> 1.6 s) with
+    and bails out early — 29x on the sf0.1 bench (37.1 -> 1.3 s warm) with
     an identical result set (the oracle's unbounded
     ``levenshtein() <= max_dist`` filter proves the equivalence every
     round).
