@@ -632,6 +632,14 @@ def stream_ewma_anomaly(rows: DataFrame, key_col: str = "key",
 
     def fn(key, pdfs: Iterator[pd.DataFrame],
            state: GroupState) -> Iterator[pd.DataFrame]:
+        # self-contained closure: referencing the module-level helper
+        # would make cloudpickle serialize it BY MODULE REFERENCE and
+        # the worker (which need not have the repo on sys.path) would
+        # die with ModuleNotFoundError
+        def trunc_div(a: int, b: int) -> int:
+            q = abs(a) // abs(b)
+            return q if (a >= 0) == (b >= 0) else -q
+
         if state.exists:
             e, m, n = state.get
         else:
@@ -655,8 +663,8 @@ def stream_ewma_anomaly(rows: DataFrame, key_col: str = "key",
                     oids.append(int(oid))
                     xs.append(x)
                     devs.append(dev)
-                e += _trunc_div(x - e, alpha_den)
-                m += _trunc_div(dev - m, alpha_den)
+                e += trunc_div(x - e, alpha_den)
+                m += trunc_div(dev - m, alpha_den)
                 n += 1
             if oids:
                 yield pd.DataFrame({"key": key[0], "oid": oids,
