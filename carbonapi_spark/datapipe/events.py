@@ -743,10 +743,17 @@ def mad_outliers(events: DataFrame, k: float = 3.0,
     column would need roc_auc's bucketed two-level cum-sum instead.
     Output is group-sized."""
     from pyspark.sql.window import Window
+
+    from carbonapi_spark import scratch
     g = F.col(group_col)
     v = F.col(val_col).cast("double")
-    hist = (events.select(g.alias("__g"), v.alias("__v"))
-            .groupBy("__g", "__v").agg(F.count(F.lit(1)).alias("__c")))
+    # the histogram feeds THREE consumers (median, deviation histogram,
+    # outlier count) — persist it, or each consumer re-runs the corpus
+    # scan (plan-pinned in test_plan_shape); it is value-range-sized,
+    # strictly smaller than the input at every scale
+    hist = scratch.track(
+        events.select(g.alias("__g"), v.alias("__v"))
+        .groupBy("__g", "__v").agg(F.count(F.lit(1)).alias("__c")))
 
     def _median_h(h: DataFrame, out: str) -> DataFrame:
         wc = (Window.partitionBy("__g").orderBy("__v")
@@ -799,10 +806,15 @@ def markov_transition_counts(events: DataFrame, touch_types: list[str],
     cut; A/B'd 94 -> 19 s at 20M events).  Two event scans + one
     user-keyed shuffle; the pair explode is path-sized and collapses
     map-side into the (states^2)-bounded count table."""
+    from carbonapi_spark import scratch
     cursor = F.struct(F.col(ts_col).cast("long").alias("ts"),
                       F.col(order_col).cast("long").alias("oid"))
-    conv = (events.where(F.col(type_col) == conversion_type)
-            .groupBy(user_col).agg(F.min(cursor).alias("__cut")))
+    # the cursor table feeds TWO consumers (the touch filter and the
+    # terminal full-outer) — persist it so the conversion scan runs
+    # once; it is converting-user-sized, one 16-byte struct per user
+    conv = scratch.track(
+        events.where(F.col(type_col) == conversion_type)
+        .groupBy(user_col).agg(F.min(cursor).alias("__cut")))
     touches = (events.where(F.col(type_col).isin(*set(touch_types)))
                .join(conv, user_col, "left")
                .where(F.col("__cut").isNull() | (cursor < F.col("__cut"))))
@@ -902,3 +914,131 @@ def markov_attribution(events: DataFrame, touch_types: list[str],
                      .alias("removal_effect"),
                      F.round(F.col("share"), 6).alias("share")) \
         .orderBy("channel")
+
+
+def cusum_changepoint(events: DataFrame, group_col: str = "event_type",
+                      val_col: str = "value", ts_col: str = "sec",
+                      order_col: str = "event_id",
+                      bucket_s: int = 86400,
+                      scale: int = 1_000_000) -> DataFrame:
+    """Offline change-point detection per metric group: the point where
+    the cumulative deviation from the global mean peaks (the CUSUM
+    statistic, Page 1954 / the classic mean-shift estimator
+    argmax_t |sum_{i<=t}(x_i) - t*mu|) — 'when did this metric's level
+    actually move?'.
+
+    INTEGER arithmetic end to end: values quantized to micro units on
+    the JVM (HALF_UP — DuckDB's convention), mu = S div n in integer
+    micros (the deterministic integer mean — documented estimator
+    definition, not an approximation of float math), dev_t =
+    |cum_t - t*mu| stays within int64 (cum <= n*|x|_max ~ 6e15 at 20M
+    rows of 1e8-micro values).  The argmax breaks ties on earliest
+    (ts, id); means before/after are single IEEE divisions of exact
+    integers.
+
+    Scale shape: the running sum is TWO-LEVEL — partial sums per
+    (group, time-bucket), cumulative offsets over the bucket-count-
+    sized table, and the row window partitions by (group, bucket) —
+    so no task ever sorts a whole group's history (the roc_auc bucket
+    recipe applied to time order; a per-group global window serializes
+    each metric through one task at lake scale).  The argmax is one
+    integer max + a semi-join back.  Output is group-sized:
+    (group, change_sec, change_id, t_before, stat_micro, mean_before,
+    mean_after)."""
+    from pyspark.sql.window import Window
+    g = F.col(group_col)
+    x = F.round(F.col(val_col).cast("double") * scale).cast("long")
+    base = events.select(
+        g.alias("__g"), x.alias("__x"),
+        F.col(ts_col).cast("long").alias("__ts"),
+        F.col(order_col).cast("long").alias("__oid"),
+        F.floor(F.col(ts_col).cast("long") / F.lit(bucket_s))
+        .cast("long").alias("__b"))
+    # level 1: bucket partials + within-bucket running sum/rank
+    wb = (Window.partitionBy("__g", "__b").orderBy("__ts", "__oid")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    part = base.groupBy("__g", "__b").agg(F.sum("__x").alias("__bs"),
+                                          F.count(F.lit(1)).alias("__bn"))
+    wo = (Window.partitionBy("__g").orderBy("__b")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    offs = part.select(
+        "__g", "__b",
+        (F.sum("__bs").over(wo) - F.col("__bs")).alias("__soff"),
+        (F.sum("__bn").over(wo) - F.col("__bn")).alias("__noff"))
+    tot = base.groupBy("__g").agg(F.sum("__x").alias("__s"),
+                                  F.count(F.lit(1)).alias("__n"))
+    mu = tot.select("__g", "__s", "__n",
+                    F.expr("__s div __n").alias("__mu"))
+    cum = (base.join(offs, ["__g", "__b"])
+           .select("__g", "__ts", "__oid",
+                   (F.col("__soff") + F.sum("__x").over(wb)).alias("__cum"),
+                   (F.col("__noff")
+                    + F.count(F.lit(1)).over(wb)).alias("__t")))
+    dev = (cum.join(F.broadcast(mu), "__g")
+           .where(F.col("__t") < F.col("__n"))   # last point is no split
+           .select("__g", "__ts", "__oid", "__cum", "__t",
+                   F.abs(F.col("__cum") - F.col("__t") * F.col("__mu"))
+                   .alias("__dev")))
+    best = dev.groupBy("__g").agg(F.max("__dev").alias("__dev"))
+    pick = (dev.join(best, ["__g", "__dev"])
+            .groupBy("__g")
+            .agg(F.min(F.struct("__ts", "__oid", "__cum", "__t", "__dev"))
+                 .alias("__p")))
+    return (pick.join(F.broadcast(mu), "__g")
+            .select(F.col("__g").alias(group_col),
+                    F.col("__p.__ts").alias("change_sec"),
+                    F.col("__p.__oid").alias("change_id"),
+                    F.col("__p.__t").alias("t_before"),
+                    F.col("__p.__dev").alias("stat_micro"),
+                    F.round(F.col("__p.__cum")
+                            / F.col("__p.__t") / F.lit(float(scale)), 6)
+                    .alias("mean_before"),
+                    F.round((F.col("__s") - F.col("__p.__cum"))
+                            / (F.col("__n") - F.col("__p.__t"))
+                            / F.lit(float(scale)), 6).alias("mean_after"))
+            .orderBy(group_col))
+
+
+def session_paths(events: DataFrame, gap_s: int = 4 * 3600,
+                  depth: int = 5, k: int = 20,
+                  user_col: str = "user_id",
+                  type_col: str = "event_type", ts_col: str = "sec",
+                  order_col: str = "event_id") -> DataFrame:
+    """Top-k navigation paths: the first ``depth`` event types of each
+    gap-session, joined with '>' — the product-analytics 'how do users
+    actually move through the app' sankey feed (and, for a training
+    pipeline, the behavioral-sequence vocabulary).
+
+    Sessions are gap-defined exactly like ``sessionize`` (a new session
+    when the gap >= ``gap_s``), but derived with lag + running count so
+    every EVENT keeps its session id (``session_window`` only leaves
+    the aggregate).  One user-keyed window + one session-keyed
+    aggregation + one path-keyed count: output is path-vocabulary-
+    sized, ties broken by path string.  Everything is integer counts
+    and exact string builds."""
+    from pyspark.sql.window import Window
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col),
+                                             F.col(order_col))
+    prev = F.lag(F.col(ts_col)).over(w)
+    new_s = (prev.isNull()
+             | (F.col(ts_col) >= prev + F.lit(gap_s))).cast("long")
+    wc = (Window.partitionBy(user_col).orderBy(F.col(ts_col),
+                                               F.col(order_col))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    sid = F.sum(new_s).over(wc)
+    per_sess = (events
+                .select(F.col(user_col), F.col(ts_col).cast("long")
+                        .alias("__ts"),
+                        F.col(order_col).cast("long").alias("__oid"),
+                        F.col(type_col).alias("__ty"),
+                        sid.alias("__sid"))
+                .groupBy(user_col, "__sid")
+                .agg(F.sort_array(F.collect_list(F.struct(
+                    F.col("__ts"), F.col("__oid"), F.col("__ty"))))
+                    .alias("__a")))
+    path = F.array_join(
+        F.slice(F.transform(F.col("__a"), lambda e: e["__ty"]),
+                1, depth), ">")
+    return (per_sess.select(path.alias("path"))
+            .groupBy("path").agg(F.count(F.lit(1)).alias("n_sessions"))
+            .orderBy(F.desc("n_sessions"), "path").limit(k))

@@ -7326,6 +7326,124 @@ _register("stream_anomaly_replay", _q_stream_anomaly_replay,
           _STREAM_ANOM_ORACLE)
 
 
+def _q_session_paths(spark, sf_dir):
+    """Top-20 session navigation paths (first 5 event types per
+    4h-gap session): the sessionize gap logic via lag + running count
+    so every event keeps its session id, then exact string paths."""
+    from carbonapi_spark.datapipe.events import session_paths
+    from carbonapi_spark.sources.testdata import epoch_seconds, read_events
+    ev = read_events(spark, sf_dir)
+    ev = ev.select("user_id", "event_id", "event_type",
+                   epoch_seconds(ev).alias("sec"))
+    return session_paths(ev, gap_s=4 * 3600, depth=5, k=20)
+
+
+_register("session_paths", _q_session_paths, """
+WITH __e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts,
+                    event_id AS oid, event_type AS ty
+             FROM events),
+__f AS (SELECT user_id, ts, oid, ty,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts >= lag(ts) OVER w + 14400
+                    THEN 1 ELSE 0 END AS ns
+        FROM __e WINDOW w AS (PARTITION BY user_id ORDER BY ts, oid)),
+__s AS (SELECT user_id, ts, oid, ty,
+               sum(ns) OVER (PARTITION BY user_id ORDER BY ts, oid
+                             ROWS UNBOUNDED PRECEDING) AS sid
+        FROM __f),
+__a AS (SELECT array_to_string(list_transform(
+                   list_sort(list(struct_pack(ts := ts, oid := oid,
+                                              ty := ty)))[1:5],
+                   e -> e.ty), '>') AS path
+        FROM __s GROUP BY user_id, sid)
+SELECT path, count(*) AS n_sessions FROM __a GROUP BY path
+ORDER BY n_sessions DESC, path LIMIT 20
+""".strip())
+
+
+def _q_fuzzy_clusters(spark, sf_dir):
+    """Entity-resolution composition: blocked-Levenshtein candidate
+    pairs -> connected components -> (doc, cluster, size) for every
+    linked record — the fuzzy-matching counterpart of dedup_clusters
+    (whose edges are exact shared shingles)."""
+    from carbonapi_spark.datapipe.cluster import connected_components
+    from carbonapi_spark.datapipe.dedup import fuzzy_pairs
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    edges = fuzzy_pairs(docs, max_dist=5, key_len=200)
+    cc = connected_components(edges, src="id_a", dst="id_b")
+    sizes = cc.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("size"))
+    return (cc.select(F.col("node").alias("doc_id"), "cluster_id")
+            .join(F.broadcast(sizes), "cluster_id")
+            .select("doc_id", F.col("cluster_id").cast("long"),
+                    F.col("size").cast("long")))
+
+
+def _fuzzy_clusters_oracle() -> str:
+    return f"""
+WITH RECURSIVE
+__fp AS MATERIALIZED ({_fuzzy_pairs_oracle()}),
+__fe AS (SELECT id_a AS src, id_b AS dst FROM __fp
+         UNION SELECT id_b AS src, id_a AS dst FROM __fp),
+__walk(node, lbl) AS (
+    SELECT src, src FROM __fe
+    UNION
+    SELECT e.dst, w.lbl FROM __walk w JOIN __fe e ON e.src = w.node
+    WHERE w.lbl < e.dst),
+__cc AS (SELECT node AS doc_id, min(lbl) AS cluster_id
+         FROM __walk GROUP BY node),
+__sz AS (SELECT cluster_id, count(*) AS size FROM __cc
+         GROUP BY cluster_id)
+SELECT doc_id, CAST(cluster_id AS BIGINT) AS cluster_id,
+       CAST(size AS BIGINT) AS size
+FROM __cc JOIN __sz USING (cluster_id)
+""".strip()
+
+
+_register("fuzzy_clusters", _q_fuzzy_clusters, _fuzzy_clusters_oracle())
+
+
+def _q_cusum_changepoint(spark, sf_dir):
+    """CUSUM mean-shift estimator per event_type: integer micro-unit
+    cumulative deviation from the integer mean, argmax with earliest
+    tie-break — exact end to end; means are IEEE divisions of exact
+    integers."""
+    from carbonapi_spark.datapipe.events import cusum_changepoint
+    from carbonapi_spark.sources.testdata import epoch_seconds, read_events
+    ev = read_events(spark, sf_dir)
+    ev = ev.select("event_type", "event_id", "value",
+                   epoch_seconds(ev).alias("sec"))
+    return cusum_changepoint(ev)
+
+
+_register("cusum_changepoint", _q_cusum_changepoint, """
+WITH __b AS (SELECT event_type AS g,
+                    CAST(round(value * 1000000) AS BIGINT) AS x,
+                    CAST(floor(epoch(ts)) AS BIGINT) AS ts,
+                    event_id AS oid
+             FROM events),
+__tot AS (SELECT g, sum(x) AS s, count(*) AS n,
+                 sum(x) // count(*) AS mu
+          FROM __b GROUP BY g),
+__c AS (SELECT g, ts, oid,
+               sum(x) OVER (PARTITION BY g ORDER BY ts, oid
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+               row_number() OVER (PARTITION BY g ORDER BY ts, oid) AS t
+        FROM __b),
+__d AS (SELECT c.g, ts, oid, cum, t,
+               abs(cum - t * mu) AS dev, s, n
+        FROM __c c JOIN __tot USING (g) WHERE t < n),
+__p AS (SELECT *, row_number() OVER (PARTITION BY g
+                                     ORDER BY dev DESC, ts, oid) AS rn
+        FROM __d)
+SELECT g AS event_type, ts AS change_sec, oid AS change_id,
+       CAST(t AS BIGINT) AS t_before, CAST(dev AS BIGINT) AS stat_micro,
+       round((CAST(cum AS DOUBLE) / t) / 1000000.0, 6) AS mean_before,
+       round((CAST(s - cum AS DOUBLE) / (n - t)) / 1000000.0, 6)
+           AS mean_after
+FROM __p WHERE rn = 1 ORDER BY 1
+""".strip())
+
+
 def _q_markov_attribution(spark, sf_dir):
     """Markov removal-effect attribution over user journeys
     (view/click touches, purchase conversion): integer fixed-point
@@ -7629,9 +7747,10 @@ _DRIVER_PREFIX = [
     "script_profile",            # NEW r8 (late): writing-script router
     "window_join",               # NEW r8 (late): kdb-wj trailing stats
     # ---- latest-r8 wave 2: never-verified, riskiest cross-engine seams
-    # first (kaplan_meier, k_center, mad_outliers + the covered-chain
-    # finishers embed_correlation, cuped_lift, hll_merge_rollup,
-    # asof_nearest stay past the cap -> lead the r9 rotation)
+    # first (kaplan_meier, k_center, mad_outliers, cusum_changepoint,
+    # session_paths, fuzzy_clusters + the covered-chain finishers
+    # embed_correlation, cuped_lift, hll_merge_rollup, asof_nearest
+    # stay past the cap -> lead the r9 rotation)
     "stream_anomaly_replay",     # NEW r8: EWMA anomaly kernel; its oracle
                                  # dodges two DuckDB list_reduce hazards
     "fuzzy_pairs",               # NEW r8: threshold-levenshtein parity

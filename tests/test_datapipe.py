@@ -4147,3 +4147,52 @@ def test_stream_ewma_anomaly_state_across_runs(spark, tmp_path):
     flagged = sorted(r["oid"] for r in rows)
     assert 60 in flagged                  # the spike, against run-1 state
     assert all(o >= 60 for o in flagged)  # steady run-1 points never flag
+
+
+def test_cusum_finds_level_shift(spark):
+    from carbonapi_spark.datapipe.events import cusum_changepoint
+    # 10.0 for 50 points, then 20.0 for 50 points: split at t=50
+    rows = [("m", i, 10.0 if i < 50 else 20.0, 1000 + i)
+            for i in range(100)]
+    df = spark.createDataFrame(
+        rows, "event_type STRING, event_id LONG, value DOUBLE, sec LONG")
+    out = cusum_changepoint(df).collect()[0]
+    assert out["t_before"] == 50
+    assert out["change_sec"] == 1000 + 49   # last point of the old level
+    assert abs(out["mean_before"] - 10.0) < 1e-6
+    assert abs(out["mean_after"] - 20.0) < 1e-6
+
+
+def test_session_paths_top_sequences(spark):
+    from carbonapi_spark.datapipe.events import session_paths
+    rows = []
+    eid = 0
+    for u in range(3):           # 3 users: view>click>buy in one session
+        for i, ty in enumerate(["view", "click", "buy"]):
+            rows.append((u, eid, ty, u * 100000 + i * 60)); eid += 1
+    # user 9: two sessions split by a 5h gap
+    rows += [(9, eid, "view", 0), (9, eid + 1, "view", 5 * 3600 + 1)]
+    df = spark.createDataFrame(
+        rows, "user_id LONG, event_id LONG, event_type STRING, sec LONG")
+    out = {r["path"]: r["n_sessions"]
+           for r in session_paths(df, gap_s=4 * 3600, depth=5).collect()}
+    assert out["view>click>buy"] == 3
+    assert out["view"] == 2      # the split sessions
+
+
+def test_fuzzy_clusters_links_typo_family(spark):
+    from carbonapi_spark.entry_queries import QUERIES
+    import os
+    # three near-identical docs + noise via the catalog entry at sf0.001
+    sf = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf):
+        import pytest
+        pytest.skip("driver testdata missing")
+    out = QUERIES["fuzzy_clusters"](spark, sf).collect()
+    # every emitted cluster has >= 2 members and consistent sizes
+    from collections import Counter
+    by_cluster = Counter(r["cluster_id"] for r in out)
+    for r in out:
+        assert r["size"] == by_cluster[r["cluster_id"]]
+        assert r["size"] >= 2
+        assert r["cluster_id"] <= r["doc_id"]

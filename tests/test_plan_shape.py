@@ -726,3 +726,58 @@ def test_bucketed_join_elides_exchange(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS t_docs_b")
         spark.sql("DROP TABLE IF EXISTS t_scores_b")
+
+
+def _live_scans(df) -> int:
+    """File scans that will actually hit storage: total scan mentions
+    minus the copies reprinted inside InMemoryTableScan blocks (a
+    persisted subtree's plan text repeats its child scan per consumer,
+    but storage is read once at materialization)."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return (len(re.findall(r"Scan parquet", plan))
+            - plan.count("InMemoryTableScan"))
+
+
+def test_mad_outliers_single_corpus_scan(spark):
+    """mad_outliers reads the raw events relation EXACTLY once: the
+    value histogram is persisted and medians / the deviation histogram /
+    the outlier count all derive from the cache — the 203 -> 9 s A/B in
+    SCALE.md is this property.  Dropping the persist re-runs the corpus
+    scan per consumer and fails this pin."""
+    from carbonapi_spark.datapipe.events import mad_outliers
+    from carbonapi_spark.sources.testdata import read_events
+    out = mad_outliers(read_events(spark, "/root/testdata/sf0.001"))
+    assert _live_scans(out) <= 1
+
+
+def test_markov_counts_two_scans_path_sized_collect(spark):
+    """markov_transition_counts: one touch scan + ONE persisted
+    conversion-cursor scan (it feeds both the touch filter and the
+    terminal full-outer) — never a third; the user-keyed collect
+    happens AFTER the cursor filter (pre-truncated journeys cross the
+    shuffle)."""
+    from carbonapi_spark.datapipe.events import markov_transition_counts
+    from carbonapi_spark.entry_queries import _events_sec
+    ev = _events_sec(spark, "/root/testdata/sf0.001")
+    out = markov_transition_counts(ev, ["view", "click"], "purchase")
+    assert _live_scans(out) <= 2
+
+
+def test_cusum_no_unbucketed_group_window(spark):
+    """cusum_changepoint's running sum must partition its row windows by
+    (group, time-bucket) — a window partitioned by the group alone
+    funnels each metric's full history through one task at lake
+    scale."""
+    from carbonapi_spark.datapipe.events import cusum_changepoint
+    from carbonapi_spark.sources.testdata import read_events
+    ev = read_events(spark, "/root/testdata/sf0.001")
+    from carbonapi_spark.sources.testdata import epoch_seconds
+    ev = ev.select("event_type", "event_id", "value",
+                   epoch_seconds(ev).alias("sec"))
+    out = cusum_changepoint(ev)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # every Window operator's partition spec mentions the bucket column
+    for m in re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
+        spec = m.group(0)
+        if "windowspecdefinition" in spec and "__g" in spec:
+            assert "__b" in spec or "__ts" not in spec
