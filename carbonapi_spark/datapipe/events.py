@@ -743,17 +743,16 @@ def mad_outliers(events: DataFrame, k: float = 3.0,
     column would need roc_auc's bucketed two-level cum-sum instead.
     Output is group-sized."""
     from pyspark.sql.window import Window
-
-    from carbonapi_spark import scratch
     g = F.col(group_col)
     v = F.col(val_col).cast("double")
     # the histogram feeds THREE consumers (median, deviation histogram,
-    # outlier count) — persist it, or each consumer re-runs the corpus
-    # scan (plan-pinned in test_plan_shape); it is value-range-sized,
-    # strictly smaller than the input at every scale
-    hist = scratch.track(
-        events.select(g.alias("__g"), v.alias("__v"))
-        .groupBy("__g", "__v").agg(F.count(F.lit(1)).alias("__c")))
+    # outlier count) inside ONE action: Spark's ReuseExchange dedupes
+    # the identical exchange subtree at runtime, so the corpus scan and
+    # histogram aggregation run once WITHOUT a persist barrier (A/B:
+    # persisting cost +1.5 s at 20M from the forced materialization;
+    # the runtime reuse is pinned post-execution in test_plan_shape)
+    hist = (events.select(g.alias("__g"), v.alias("__v"))
+            .groupBy("__g", "__v").agg(F.count(F.lit(1)).alias("__c")))
 
     def _median_h(h: DataFrame, out: str) -> DataFrame:
         wc = (Window.partitionBy("__g").orderBy("__v")

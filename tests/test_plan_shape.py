@@ -738,16 +738,19 @@ def _live_scans(df) -> int:
             - plan.count("InMemoryTableScan"))
 
 
-def test_mad_outliers_single_corpus_scan(spark):
-    """mad_outliers reads the raw events relation EXACTLY once: the
-    value histogram is persisted and medians / the deviation histogram /
-    the outlier count all derive from the cache — the 203 -> 9 s A/B in
-    SCALE.md is this property.  Dropping the persist re-runs the corpus
-    scan per consumer and fails this pin."""
+def test_mad_outliers_histogram_exchange_reused(spark):
+    """mad_outliers computes the value histogram ONCE for its three
+    consumers: all in one action, so ReuseExchange dedupes the
+    identical exchange subtrees at runtime (no persist barrier — A/B'd
+    cheaper in SCALE.md).  The pin reads the POST-EXECUTION adaptive
+    plan: a refactor that breaks subtree identity (and silently
+    re-scans the corpus per consumer) loses the ReusedExchange nodes."""
     from carbonapi_spark.datapipe.events import mad_outliers
     from carbonapi_spark.sources.testdata import read_events
     out = mad_outliers(read_events(spark, "/root/testdata/sf0.001"))
-    assert _live_scans(out) <= 1
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ReusedExchange") >= 2
 
 
 def test_markov_counts_two_scans_path_sized_collect(spark):
