@@ -7326,6 +7326,116 @@ _register("stream_anomaly_replay", _q_stream_anomaly_replay,
           _STREAM_ANOM_ORACLE)
 
 
+def _q_stream_cusum_replay(spark, sf_dir):
+    """Online CUSUM drift flags on the scoreboard: the ordered events
+    slice through the stream_cusum kernel (warmup-learned integer mean,
+    integer slack/threshold); the batch SQL struct-fold replays the
+    flag set bit-for-bit."""
+    import tempfile
+
+    from carbonapi_spark.streaming.stateful import stream_cusum
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (spark.readStream.schema(schema)
+              .option("pathGlobFilter", "events.parquet")
+              .parquet(sf_dir)
+              .where(F.col("event_id") < 8000)
+              .select(F.col("event_type").alias("key"),
+                      F.col("event_id").alias("oid"),
+                      F.round(F.col("value") * 1_000_000).cast("long")
+                      .alias("x_micro")))
+    out = stream_cusum(stream)
+    rows: list = []
+
+    def sink(bdf, _bid):
+        rows.extend(bdf.collect())
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        with tempfile.TemporaryDirectory() as ckpt:
+            q = (out.writeStream.foreachBatch(sink)
+                 .option("checkpointLocation", ckpt)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    return spark.createDataFrame(
+        [(r["key"], r["oid"], r["x_micro"], r["sp"], r["sn"])
+         for r in rows] or [],
+        "key STRING, oid LONG, x_micro LONG, sp LONG, sn LONG")
+
+
+def _stream_cusum_oracle(warmup: int = 50, slack_den: int = 20,
+                         h_mult: int = 8) -> str:
+    # The (sp, sn) pair is COUPLED through the flag condition, so it
+    # cannot live in two struct fields: under list_reduce's sequential
+    # field mutation (see _STREAM_ANOM_ORACLE) the sn field would
+    # recompute the flag against the already-updated sp — probed: 3 of
+    # 5291 flags diverged exactly that way.  The pair is packed into
+    # ONE 'sp:sn' string field instead, making its update atomic; fl
+    # reads acc.st before st updates (textual order), mu/n stay scalar
+    # (nothing reads them after they mutate), so the fold is correct
+    # under both evaluation models.
+    asp = "CAST(string_split(acc.st, ':')[1] AS BIGINT)"
+    asn = "CAST(string_split(acc.st, ':')[2] AS BIGINT)"
+    kappa = f"(abs(acc.mu) // {slack_den})"
+    spc = (f"greatest(CAST(0 AS BIGINT), {asp}"
+           f" + (r.x - acc.mu - {kappa}))")
+    snc = (f"greatest(CAST(0 AS BIGINT), {asn}"
+           f" + (acc.mu - r.x - {kappa}))")
+    flag = (f"({kappa} * {h_mult} > 0 AND ({spc} > {kappa} * {h_mult}"
+            f" OR {snc} > {kappa} * {h_mult}))")
+    zero_fields = ("fl := '', st := '0:0', mu := CAST(0 AS BIGINT),"
+                   " n := CAST(0 AS BIGINT)")
+    return f"""
+WITH __s AS (SELECT event_type AS key, event_id AS oid,
+                    CAST(round(value * 1000000) AS BIGINT) AS x
+             FROM events WHERE event_id < 8000),
+__a AS (SELECT key, list_sort(list(struct_pack(oid := oid, x := x)))
+               AS rows
+        FROM __s GROUP BY key),
+__f AS (SELECT key,
+  list_reduce(
+    list_prepend(
+      struct_pack(oid := CAST(0 AS BIGINT), x := CAST(0 AS BIGINT),
+                  {zero_fields}),
+      list_transform(rows, r -> struct_pack(
+          oid := r.oid, x := r.x, {zero_fields}))),
+    (acc, r) -> CASE WHEN acc.n < {warmup} THEN struct_pack(
+        oid := r.oid, x := r.x, fl := acc.fl, st := acc.st,
+        mu := CASE WHEN acc.n + 1 = {warmup}
+                   THEN (acc.mu + r.x) // {warmup}
+                   ELSE acc.mu + r.x END,
+        n := acc.n + 1)
+      ELSE struct_pack(
+        oid := r.oid, x := r.x,
+        fl := CASE WHEN {flag}
+                   THEN acc.fl || CAST(r.oid AS VARCHAR) || ':'
+                        || CAST({spc} AS VARCHAR) || ':'
+                        || CAST({snc} AS VARCHAR) || ';'
+                   ELSE acc.fl END,
+        st := CASE WHEN {flag} THEN '0:0'
+                   ELSE CAST({spc} AS VARCHAR) || ':'
+                        || CAST({snc} AS VARCHAR) END,
+        mu := acc.mu,
+        n := acc.n + 1) END) AS st
+  FROM __a),
+__u AS (SELECT key,
+               CAST(string_split(t, ':')[1] AS BIGINT) AS oid,
+               CAST(string_split(t, ':')[2] AS BIGINT) AS sp,
+               CAST(string_split(t, ':')[3] AS BIGINT) AS sn
+        FROM (SELECT key, unnest(list_filter(
+                  string_split(st.fl, ';'), p -> p != '')) AS t
+              FROM __f))
+SELECT u.key, u.oid, s.x AS x_micro, u.sp, u.sn
+FROM __u u JOIN __s s ON s.oid = u.oid
+""".strip()
+
+
+_register("stream_cusum_replay", _q_stream_cusum_replay,
+          _stream_cusum_oracle())
+
+
 def _q_session_paths(spark, sf_dir):
     """Top-20 session navigation paths (first 5 event types per
     4h-gap session): the sessionize gap logic via lag + running count

@@ -674,3 +674,76 @@ def stream_ewma_anomaly(rows: DataFrame, key_col: str = "key",
     return (rows.groupBy(key_col)
             .applyInPandasWithState(fn, ANOM_OUT, ANOM_STATE, "append",
                                     GroupStateTimeout.NoTimeout))
+
+
+CUSUM_OUT = "key STRING, oid LONG, x_micro LONG, sp LONG, sn LONG"
+CUSUM_STATE = "sp LONG, sn LONG, mu LONG, n LONG"
+
+
+def stream_cusum(rows: DataFrame, key_col: str = "key",
+                 order_col: str = "oid", val_col: str = "x_micro",
+                 mu_micro: int | None = None, slack_den: int = 20,
+                 h_mult: int = 8, warmup: int = 50) -> DataFrame:
+    """Online tabular CUSUM drift detector (Page 1954): per key, the
+    one-sided cumulative sums
+    s+ <- max(0, s+ + (x - mu - kappa)) and
+    s- <- max(0, s- + (mu - x - kappa)) flag a PERSISTENT level shift
+    the moment either exceeds h — the classic small-shift complement to
+    :func:`stream_ewma_anomaly` (which fires on single spikes and
+    adapts to drifts instead of flagging them).
+
+    All integer fixed-point: mu is either the caller's reference level
+    or learned as the exact integer mean of the first ``warmup`` points
+    (sum div n — the deterministic estimator); kappa = mu div
+    ``slack_den`` (the allowed slack) and h = kappa * ``h_mult``.  The
+    recurrence is max/add on int64, so an ordered batch replay (the
+    string-accumulator struct fold, same recipe as the anomaly oracle)
+    reproduces the flag set bit-for-bit.  On a flag both sums reset
+    (restart detection — standard practice).  State is four int64s per
+    key; the per-key loop is the recurrence's true data dependency,
+    keys stream in parallel."""
+
+    def fn(key, pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            sp, sn, mu, n = state.get
+        else:
+            sp, sn, mu, n = 0, 0, 0, 0
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks).sort_values(order_col)
+            oids, xs, sps, sns = [], [], [], []
+            for oid, x in zip(pdf[order_col].astype("int64"),
+                              pdf[val_col].astype("int64")):
+                x = int(x)
+                if n < warmup and mu_micro is None:
+                    # exact running integer mean over the warmup prefix:
+                    # carry the SUM in mu until the boundary, then fix
+                    mu = mu + x
+                    n += 1
+                    if n == warmup:
+                        q = abs(mu) // warmup
+                        mu = q if mu >= 0 else -q
+                    continue
+                if mu_micro is not None and n < warmup:
+                    mu = mu_micro
+                    n = warmup
+                kappa = abs(mu) // slack_den
+                h = kappa * h_mult
+                sp = max(0, sp + (x - mu - kappa))
+                sn = max(0, sn + (mu - x - kappa))
+                n += 1
+                if h > 0 and (sp > h or sn > h):
+                    oids.append(int(oid))
+                    xs.append(x)
+                    sps.append(sp)
+                    sns.append(sn)
+                    sp, sn = 0, 0
+            if oids:
+                yield pd.DataFrame({"key": key[0], "oid": oids,
+                                    "x_micro": xs, "sp": sps, "sn": sns})
+        state.update((sp, sn, mu, n))
+
+    return (rows.groupBy(key_col)
+            .applyInPandasWithState(fn, CUSUM_OUT, CUSUM_STATE, "append",
+                                    GroupStateTimeout.NoTimeout))

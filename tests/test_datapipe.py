@@ -4196,3 +4196,33 @@ def test_fuzzy_clusters_links_typo_family(spark):
         assert r["size"] == by_cluster[r["cluster_id"]]
         assert r["size"] >= 2
         assert r["cluster_id"] <= r["doc_id"]
+
+
+def test_stream_cusum_flags_persistent_shift(spark, tmp_path):
+    """CUSUM flags a persistent small shift (that the EWMA spike
+    detector adapts to); state (including the warmup-learned mean)
+    survives a checkpointed restart."""
+    import json
+    from carbonapi_spark.streaming.stateful import stream_cusum
+    src, out, ck = tmp_path / "src", tmp_path / "out", tmp_path / "ck"
+    src.mkdir()
+
+    def stream():
+        s = (spark.readStream
+             .schema("key STRING, oid LONG, x_micro LONG").json(str(src)))
+        return stream_cusum(s, warmup=20)
+
+    # run 1: 30 points at level ~1000 (mean learned over first 20)
+    pts = [{"key": "m", "oid": i, "x_micro": 1000} for i in range(30)]
+    (src / "a.json").write_text("\n".join(json.dumps(p) for p in pts))
+    _run_stream(stream, src, out, ck)
+    assert not any((out).glob("*.parquet")) or \
+        spark.read.parquet(str(out)).count() == 0
+    # run 2: sustained +15% shift: kappa=50, h=400 ->
+    # each point adds 150-50=100 to s+, flags at the 5th point
+    pts2 = [{"key": "m", "oid": 30 + i, "x_micro": 1150} for i in range(8)]
+    (src / "b.json").write_text("\n".join(json.dumps(p) for p in pts2))
+    _run_stream(stream, src, out, ck)
+    rows = spark.read.parquet(str(out)).collect()
+    assert [r["oid"] for r in rows] == [34]
+    assert rows[0]["sp"] == 500

@@ -82,3 +82,26 @@ def test_trunc_division_convention_matches():
     assert duckdb.sql(
         "SELECT CAST(-15 AS BIGINT) // CAST(8 AS BIGINT)").fetchone()[0] == -1
     assert (-15) // 8 == -2  # python floors: the documented trap
+
+
+def test_coupled_fields_must_be_packed():
+    """Third hazard (found by stream_cusum): two struct fields COUPLED
+    through a shared condition cannot be updated separately — under
+    sequential mutation the second field re-evaluates the condition
+    against the first field's NEW value.  The fix is packing the
+    coupled pair into one atomically-updated field; this probe pins the
+    behavior that motivates it."""
+    out = duckdb.sql("""
+      SELECT list_reduce(
+        [struct_pack(a := 1, b := 1, x := 0),
+         struct_pack(a := 0, b := 0, x := 5)],
+        (acc, r) -> struct_pack(
+            a := CASE WHEN acc.a + acc.b > 1 THEN 0 ELSE acc.a + r.x END,
+            b := CASE WHEN acc.a + acc.b > 1 THEN 0 ELSE acc.b + r.x END,
+            x := r.x))
+    """).fetchone()[0]
+    # old-acc semantics: condition 1+1>1 true for BOTH -> (0, 0).
+    # sequential mutation: a := 0 first, then b's condition re-reads
+    # a=0 -> 0+1>1 false -> b := 1+5 = 6.  Either way the engine picked
+    # one; the packed-field recipe is correct under both.
+    assert (out["a"], out["b"]) in ((0, 0), (0, 6))
