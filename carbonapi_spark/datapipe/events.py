@@ -1041,3 +1041,63 @@ def session_paths(events: DataFrame, gap_s: int = 4 * 3600,
     return (per_sess.select(path.alias("path"))
             .groupBy("path").agg(F.count(F.lit(1)).alias("n_sessions"))
             .orderBy(F.desc("n_sessions"), "path").limit(k))
+
+
+def trimmed_stats(events: DataFrame, lo_num: int = 1, hi_num: int = 19,
+                  den: int = 20, group_col: str = "event_type",
+                  val_col: str = "value",
+                  scale: int = 1_000_000) -> DataFrame:
+    """Per-group trimmed + winsorized means (the robust-location pair:
+    trimming DROPS the tails, winsorizing CLAMPS them) with positional
+    quantile cutoffs — the outlier-resistant aggregate for metric
+    rollups where a handful of wild points poison the plain mean.
+
+    Cutoffs are POSITIONAL: q_lo = the value at sorted row
+    ceil(lo_num/den * n) computed in pure integers ((lo_num*n + den-1)
+    div den), so no engine quantile-interpolation convention is
+    involved.  Values are micro-quantized on the JVM; every sum is
+    exact int64 over the ONE-PASS per-group value histogram (the
+    mad_outliers machinery — nothing downstream of the histogram sees
+    corpus-sized data), and each mean is a single IEEE division of
+    exact integers.  Returns (group, n, q_lo, q_hi, trimmed_mean,
+    winsorized_mean)."""
+    from pyspark.sql.window import Window
+    g = F.col(group_col)
+    x = F.round(F.col(val_col).cast("double") * scale).cast("long")
+    hist = (events.select(g.alias("__g"), x.alias("__v"))
+            .groupBy("__g", "__v").agg(F.count(F.lit(1)).alias("__c")))
+    wc = (Window.partitionBy("__g").orderBy("__v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    ranked = hist.select(
+        "__g", "__v", "__c",
+        F.sum("__c").over(wc).alias("__cum"),
+        F.sum("__c").over(Window.partitionBy("__g")).alias("__n"))
+
+    def _cut(num: int, out: str) -> DataFrame:
+        tgt = F.expr(f"({num} * __n + {den - 1}) div {den}")
+        return (ranked.where(F.col("__cum") >= tgt)
+                .groupBy("__g").agg(F.min("__v").alias(out)))
+
+    lo = _cut(lo_num, "__lo")
+    hi = _cut(hi_num, "__hi")
+    j = (ranked.join(F.broadcast(lo), "__g").join(F.broadcast(hi), "__g"))
+    mid = F.col("__v").between(F.col("__lo"), F.col("__hi"))
+    clamped = F.greatest(F.least(F.col("__v"), F.col("__hi")),
+                         F.col("__lo"))
+    agg = j.groupBy("__g").agg(
+        F.max("__n").alias("n"),
+        F.max("__lo").alias("__lo"), F.max("__hi").alias("__hi"),
+        F.sum(F.when(mid, F.col("__v") * F.col("__c"))
+              .otherwise(F.lit(0))).alias("__ts"),
+        F.sum(F.when(mid, F.col("__c")).otherwise(F.lit(0))).alias("__tn"),
+        F.sum(clamped * F.col("__c")).alias("__ws"))
+    sc = float(scale)
+    return (agg.select(
+        F.col("__g").alias(group_col), "n",
+        F.round(F.col("__lo") / sc, 6).alias("q_lo"),
+        F.round(F.col("__hi") / sc, 6).alias("q_hi"),
+        F.round(F.col("__ts") / F.col("__tn") / sc, 6)
+        .alias("trimmed_mean"),
+        F.round(F.col("__ws") / F.col("n") / sc, 6)
+        .alias("winsorized_mean"))
+        .orderBy(group_col))

@@ -7326,6 +7326,45 @@ _register("stream_anomaly_replay", _q_stream_anomaly_replay,
           _STREAM_ANOM_ORACLE)
 
 
+def _q_trimmed_stats(spark, sf_dir):
+    """Per-type trimmed + winsorized means with positional integer
+    quantile cutoffs over the one-pass value histogram — exact int64
+    sums, one IEEE division per mean."""
+    from carbonapi_spark.datapipe.events import trimmed_stats
+    from carbonapi_spark.sources.testdata import read_events
+    return trimmed_stats(read_events(spark, sf_dir))
+
+
+_register("trimmed_stats", _q_trimmed_stats, """
+WITH __h AS (SELECT event_type AS g,
+                    CAST(round(value * 1000000) AS BIGINT) AS v,
+                    count(*) AS c
+             FROM events GROUP BY 1, 2),
+__r AS (SELECT g, v, c,
+               sum(c) OVER (PARTITION BY g ORDER BY v
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+               sum(c) OVER (PARTITION BY g) AS n
+        FROM __h),
+__lo AS (SELECT g, min(v) AS lo FROM __r
+         WHERE cum >= (1 * n + 19) // 20 GROUP BY g),
+__hi AS (SELECT g, min(v) AS hi FROM __r
+         WHERE cum >= (19 * n + 19) // 20 GROUP BY g),
+__a AS (SELECT r.g, max(n) AS n, max(lo) AS lo, max(hi) AS hi,
+               sum(CASE WHEN v BETWEEN lo AND hi THEN v * c
+                        ELSE 0 END) AS ts,
+               sum(CASE WHEN v BETWEEN lo AND hi THEN c ELSE 0 END) AS tn,
+               sum(greatest(least(v, hi), lo) * c) AS ws
+        FROM __r r JOIN __lo USING (g) JOIN __hi USING (g)
+        GROUP BY r.g)
+SELECT g AS event_type, CAST(n AS BIGINT) AS n,
+       round(CAST(lo AS DOUBLE) / 1000000.0, 6) AS q_lo,
+       round(CAST(hi AS DOUBLE) / 1000000.0, 6) AS q_hi,
+       round(CAST(ts AS DOUBLE) / tn / 1000000.0, 6) AS trimmed_mean,
+       round(CAST(ws AS DOUBLE) / n / 1000000.0, 6) AS winsorized_mean
+FROM __a ORDER BY 1
+""".strip())
+
+
 def _q_stream_cusum_replay(spark, sf_dir):
     """Online CUSUM drift flags on the scoreboard: the ordered events
     slice through the stream_cusum kernel (warmup-learned integer mean,

@@ -4226,3 +4226,18 @@ def test_stream_cusum_flags_persistent_shift(spark, tmp_path):
     rows = spark.read.parquet(str(out)).collect()
     assert [r["oid"] for r in rows] == [34]
     assert rows[0]["sp"] == 500
+
+
+def test_trimmed_stats_drops_tails(spark):
+    from carbonapi_spark.datapipe.events import trimmed_stats
+    # 18 values of 10.0 + extremes 0.0 and 1000.0 (n=20: cut 1 each side)
+    vals = [10.0] * 18 + [0.0, 1000.0]
+    df = spark.createDataFrame([("m", v) for v in vals],
+                               "event_type STRING, value DOUBLE")
+    row = trimmed_stats(df).collect()[0]
+    assert row["n"] == 20
+    assert row["q_lo"] == 0.0 and row["q_hi"] == 10.0
+    # trimmed keeps [0..10] values: 18x10 + 0 -> 180/19
+    assert abs(row["trimmed_mean"] - 180 / 19) < 1e-6
+    # winsorized clamps 1000 -> 10: (18*10 + 0 + 10)/20 = 9.5
+    assert abs(row["winsorized_mean"] - 9.5) < 1e-6
