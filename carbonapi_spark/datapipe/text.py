@@ -1556,3 +1556,54 @@ def textrank_keywords(df: DataFrame, text_col: str = "text",
     return (rank.orderBy(F.desc("r"), "word").limit(k)
             .select("word", F.col("r").alias("rank_micro"),
                     F.round(F.col("r") / 1e6, 6).alias("rank")))
+
+
+def isotonic_calibration(df: DataFrame, score_col: str, label_col: str,
+                         n_bins: int = 10) -> DataFrame:
+    """Monotone (isotonic) calibration of a score against binary labels
+    via pool-adjacent-violators over equal-width score bins — the
+    post-hoc calibrator that turns a well-RANKED quality score into a
+    usable probability (``calibration_curve`` only DIAGNOSES
+    miscalibration; this fits the monotone correction).
+
+    PAV runs on the bin table (one corpus-sized keyed aggregation, then
+    ``n_bins`` rows on the driver — the k-means economy) with EXACT
+    INTEGER violation tests: pool p/n is 'greater than' q/m iff
+    p*m > q*n, so no float ever decides a merge and the fit replays
+    bit-for-bit (the isotonic solution is unique, so the oracle's
+    repeated-leftmost-merge and the stack PAV below land on identical
+    blocks).  Returns per input bin: (bin, n, pos, raw_rate, iso_rate)
+    — iso_rate is its pooled block's rate, non-decreasing in bin."""
+    bin_ = F.least(F.floor(F.col(score_col) * n_bins),
+                   F.lit(n_bins - 1)).cast("int")
+    counts = (df.groupBy(bin_.alias("bin"))
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.sum(F.col(label_col).cast("long")).alias("pos"))
+              .collect())
+    rows = sorted((r["bin"], int(r["n"]), int(r["pos"])) for r in counts)
+    # stack PAV: pools carry (n, pos, [bins]); merge while the previous
+    # pool's rate exceeds the new one's (non-decreasing fit)
+    stack: list[list] = []
+    for b, n, pos in rows:
+        stack.append([n, pos, [b]])
+        while len(stack) >= 2 and \
+                stack[-2][1] * stack[-1][0] > stack[-1][1] * stack[-2][0]:
+            n2, p2, b2 = stack.pop()
+            stack[-1][0] += n2
+            stack[-1][1] += p2
+            stack[-1][2].extend(b2)
+    out = []
+    raw = {b: (n, pos) for b, n, pos in rows}
+    for n, pos, bs in stack:
+        for b in bs:
+            rn, rp = raw[b]
+            out.append((b, rn, rp, float(rp) / float(rn),
+                        float(pos) / float(n)))
+    spark = df.sparkSession
+    res = spark.createDataFrame(
+        sorted(out), "bin INT, n LONG, pos LONG, raw_rate DOUBLE, "
+                     "iso_rate DOUBLE")
+    return res.select("bin", "n", "pos",
+                      F.round("raw_rate", 6).alias("raw_rate"),
+                      F.round("iso_rate", 6).alias("iso_rate")) \
+        .orderBy("bin")

@@ -7326,6 +7326,68 @@ _register("stream_anomaly_replay", _q_stream_anomaly_replay,
           _STREAM_ANOM_ORACLE)
 
 
+def _q_isotonic(spark, sf_dir):
+    """Isotonic (PAV) calibration of the LR quality score against the
+    'spark'-mention label: exact integer violation tests (p*m > q*n),
+    bin-table-sized driver PAV, unique-solution replay via the oracle's
+    repeated-leftmost-merge."""
+    from carbonapi_spark.datapipe.text import (isotonic_calibration,
+                                               score_quality_lr, word_set)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = score_quality_lr(docs, _LR_WEIGHTS, _LR_BIAS)
+    labeled = scored.join(
+        docs.select("doc_id",
+                    F.array_contains(word_set(F.col("text")), "spark")
+                    .cast("int").alias("__y")), "doc_id")
+    return isotonic_calibration(labeled, "lr_score", "__y")
+
+
+def _isotonic_oracle(n_bins: int = 10) -> str:
+    ctes = [f"""{_lr_logit_ctes()},
+__lab AS (
+  SELECT s.doc_id, {_LR_SCORE_SQL} AS p,
+         CASE WHEN list_contains(list_distinct(list_filter(
+                  string_split_regex(lower(d.text),
+                                     '[ \\t\\n\\x0B\\f\\r]+'),
+                  x -> x != '')), 'spark')
+              THEN 1 ELSE 0 END AS y
+  FROM __zm s JOIN documents d USING (doc_id)),
+__cnt AS MATERIALIZED (
+  SELECT CAST(least(floor(p * {n_bins}), {n_bins - 1}) AS INT) AS bin,
+         count(*) AS n, sum(y) AS pos
+  FROM __lab GROUP BY 1),
+__ib0 AS (SELECT bin AS lo, bin AS hi, n, pos FROM __cnt)""".strip()]
+    for t in range(1, n_bins):
+        ctes.append(f"""
+__iv{t} AS (SELECT lo AS v FROM (
+    SELECT lo, n, pos, lead(n) OVER w AS ln, lead(pos) OVER w AS lp
+    FROM __ib{t - 1} WINDOW w AS (ORDER BY lo))
+  WHERE lp IS NOT NULL AND pos * ln > lp * n
+  ORDER BY lo LIMIT 1),
+__ib{t} AS MATERIALIZED (
+  SELECT CASE WHEN v IS NOT NULL AND lo = v THEN lo ELSE lo END AS lo,
+         CASE WHEN v IS NOT NULL AND lo = v THEN nhi ELSE hi END AS hi,
+         CASE WHEN v IS NOT NULL AND lo = v THEN n + ln ELSE n END AS n,
+         CASE WHEN v IS NOT NULL AND lo = v THEN pos + lp
+              ELSE pos END AS pos
+  FROM (SELECT lo, hi, n, pos,
+               lead(hi) OVER w AS nhi, lead(n) OVER w AS ln,
+               lead(pos) OVER w AS lp, lag(lo) OVER w AS plo
+        FROM __ib{t - 1} WINDOW w AS (ORDER BY lo))
+       LEFT JOIN __iv{t} ON TRUE
+  WHERE plo IS NULL OR v IS NULL OR plo != v)""".strip())
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT c.bin, CAST(c.n AS BIGINT) AS n, CAST(c.pos AS BIGINT) AS pos,
+       round(CAST(c.pos AS DOUBLE) / c.n, 6) AS raw_rate,
+       round(CAST(b.pos AS DOUBLE) / b.n, 6) AS iso_rate
+FROM __cnt c JOIN __ib{n_bins - 1} b
+     ON c.bin BETWEEN b.lo AND b.hi
+ORDER BY c.bin""")
+
+
+_register("isotonic_calibration", _q_isotonic, _isotonic_oracle())
+
+
 def _q_trimmed_stats(spark, sf_dir):
     """Per-type trimmed + winsorized means with positional integer
     quantile cutoffs over the one-pass value histogram — exact int64

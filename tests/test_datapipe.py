@@ -4280,3 +4280,19 @@ def test_cov_arrow_quantization_matches_jvm_round(spark):
     mine = (t + np.where(np.abs(p - t) >= 0.5, np.sign(p), 0.0)) \
         .astype(np.int64)
     assert jvm == list(mine)
+
+
+def test_isotonic_calibration_pools_violators(spark):
+    from carbonapi_spark.datapipe.text import isotonic_calibration
+    # bins 0/1/2 rates 0.2, 0.8, 0.4 -> bins 1,2 pool to 6/10 = 0.6
+    rows = ([(0.05, 1)] * 2 + [(0.05, 0)] * 8
+            + [(0.15, 1)] * 4 + [(0.15, 0)] * 1
+            + [(0.25, 1)] * 2 + [(0.25, 0)] * 3)
+    df = spark.createDataFrame(rows, "s DOUBLE, y INT")
+    out = {r["bin"]: r for r in
+           isotonic_calibration(df, "s", "y").collect()}
+    assert out[0]["iso_rate"] == 0.2
+    assert out[1]["iso_rate"] == 0.6 and out[2]["iso_rate"] == 0.6
+    assert out[1]["raw_rate"] == 0.8 and out[2]["raw_rate"] == 0.4
+    rates = [out[b]["iso_rate"] for b in sorted(out)]
+    assert rates == sorted(rates)  # monotone by construction

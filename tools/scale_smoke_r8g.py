@@ -146,6 +146,33 @@ def main():
 
     case("stream_ewma_anomaly_8M", stream_anom)
 
+    def stream_cusum_case():
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from carbonapi_spark.streaming.stateful import stream_cusum
+        src = (spark.readStream.schema(ev.schema)
+               .option("maxFilesPerTrigger", "16").parquet(EVENTS)
+               .where(F.col("event_id") < 8_000_000)
+               .select(F.col("event_type").alias("key"),
+                       F.col("event_id").alias("oid"),
+                       (F.col("sec") % 100_000).alias("x_micro")))
+        out = stream_cusum(src)
+        n = [0]
+
+        def sink(bdf, _bid):
+            n[0] += bdf.count()
+
+        with tempfile.TemporaryDirectory() as ckpt:
+            q = (out.writeStream.foreachBatch(sink)
+                 .option("checkpointLocation", ckpt)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination()
+        return n[0]
+
+    case("stream_cusum_8M", stream_cusum_case)
+
 
 if __name__ == "__main__":
     main()
