@@ -7326,6 +7326,85 @@ _register("stream_anomaly_replay", _q_stream_anomaly_replay,
           _STREAM_ANOM_ORACLE)
 
 
+def _q_dedup_agreement(spark, sf_dir):
+    """Cross-detector dedup audit: pairwise set agreement (counts +
+    Jaccard) between the MinHash-verified, SimHash, and fuzzy-
+    Levenshtein near-dup pair sets — the 'are my detectors seeing the
+    same duplicates?' report that decides which families need a second
+    pass.  Pair sets are k-bounded by their own machinery; the
+    intersections are three id-pair joins; the output is 3 rows of
+    exact integers + one IEEE division each."""
+    from carbonapi_spark import scratch
+    from carbonapi_spark.datapipe.dedup import (fuzzy_pairs,
+                                                jaccard_verify,
+                                                minhash_lsh_candidates,
+                                                simhash_pairs)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    m = scratch.track(
+        jaccard_verify(docs, minhash_lsh_candidates(
+            docs, num_hashes=16, bands=4, ngram=2), ngram=2,
+            threshold=0.2).select("id_a", "id_b"))
+    s = scratch.track(
+        simhash_pairs(docs, bits=64, bands=4, max_hamming=3)
+        .select("id_a", "id_b"))
+    f = scratch.track(fuzzy_pairs(docs, max_dist=5, key_len=200)
+                      .select("id_a", "id_b"))
+    sets = [("fuzzy", f), ("minhash", m), ("simhash", s)]
+    rows = []
+    for x in range(len(sets)):
+        for y in range(x + 1, len(sets)):
+            na, a = sets[x]
+            nb, b = sets[y]
+            ca, cb = a.count(), b.count()
+            inter = a.join(b, ["id_a", "id_b"]).count()
+            union = ca + cb - inter
+            rows.append((na, nb, ca, cb, inter,
+                         (float(inter) / float(union)) if union else 0.0))
+    return (spark.createDataFrame(
+        rows, "method_a STRING, method_b STRING, n_a LONG, n_b LONG, "
+              "n_both LONG, jaccard DOUBLE")
+        .select("method_a", "method_b", "n_a", "n_b", "n_both",
+                F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("method_a", "method_b"))
+
+
+def _dedup_agreement_oracle() -> str:
+    m = ORACLES["minhash_dedup"]
+    s = ORACLES["simhash_pairs"]
+    f = ORACLES["fuzzy_pairs"]
+    return f"""
+WITH __pm AS MATERIALIZED (SELECT id_a, id_b FROM ({m})),
+__ps AS MATERIALIZED (SELECT id_a, id_b FROM ({s})),
+__pf AS MATERIALIZED (SELECT id_a, id_b FROM ({f})),
+__cm AS (SELECT count(*) AS c FROM __pm),
+__cs AS (SELECT count(*) AS c FROM __ps),
+__cf AS (SELECT count(*) AS c FROM __pf),
+__i_fm AS (SELECT count(*) AS c FROM __pf JOIN __pm USING (id_a, id_b)),
+__i_fs AS (SELECT count(*) AS c FROM __pf JOIN __ps USING (id_a, id_b)),
+__i_ms AS (SELECT count(*) AS c FROM __pm JOIN __ps USING (id_a, id_b)),
+__out AS (
+  SELECT 'fuzzy' AS method_a, 'minhash' AS method_b,
+         __cf.c AS n_a, __cm.c AS n_b, __i_fm.c AS n_both
+  FROM __cf, __cm, __i_fm
+  UNION ALL
+  SELECT 'fuzzy', 'simhash', __cf.c, __cs.c, __i_fs.c
+  FROM __cf, __cs, __i_fs
+  UNION ALL
+  SELECT 'minhash', 'simhash', __cm.c, __cs.c, __i_ms.c
+  FROM __cm, __cs, __i_ms)
+SELECT method_a, method_b, CAST(n_a AS BIGINT) AS n_a,
+       CAST(n_b AS BIGINT) AS n_b, CAST(n_both AS BIGINT) AS n_both,
+       round(CASE WHEN n_a + n_b - n_both > 0
+                  THEN CAST(n_both AS DOUBLE) / (n_a + n_b - n_both)
+                  ELSE 0.0 END, 6) AS jaccard
+FROM __out ORDER BY method_a, method_b
+""".strip()
+
+
+_register("dedup_agreement", _q_dedup_agreement,
+          _dedup_agreement_oracle())
+
+
 def _q_isotonic(spark, sf_dir):
     """Isotonic (PAV) calibration of the LR quality score against the
     'spark'-mention label: exact integer violation tests (p*m > q*n),
