@@ -346,3 +346,39 @@ def pca_power_top(vecs: DataFrame, vec_col: str = "embedding",
         "d", "loading_micro",
         F.round(F.col("loading_micro") / float(scale), 6).alias("loading"),
         F.round(F.col("eigenvalue"), 6).alias("eigenvalue")).orderBy("d")
+
+
+def pca_extremes(vecs: DataFrame, k: int = 10, id_col: str = "vec_id",
+                 vec_col: str = "embedding", n_iter: int = 12,
+                 scale: int = 1_000_000) -> DataFrame:
+    """The ends of the dominant principal axis: project every vector
+    onto :func:`pca_power_top`'s loadings and return the k most-
+    positive and k most-negative documents — the 'what does this
+    direction MEAN' readout (inspect the extremes, name the axis) and
+    a bias/cluster probe over embedding corpora.
+
+    The projection folds x_d * loading_micro_d sequentially by
+    dimension (identical left-fold both engines, exact int-valued
+    literals) with ONE division by the scale — a stateless zero-shuffle
+    codegen pass over the corpus; selection is two TakeOrdered(k) on
+    the raw (deterministic-bits) projection with id tie-break.
+    Returns (side, id, proj), 2k rows."""
+    rows = pca_power_top(vecs, vec_col, n_iter, scale).collect()
+    lm = [float(r["loading_micro"]) for r in
+          sorted(rows, key=lambda r: r["d"])]
+    if not lm:
+        return vecs.sparkSession.createDataFrame(
+            [], f"side STRING, {id_col} LONG, proj DOUBLE")
+    lit = F.array(*[F.lit(x) for x in lm])
+    proj = (F.aggregate(
+        F.zip_with(F.col(vec_col).cast("array<double>"), lit,
+                   lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x) / float(scale))
+    base = vecs.select(F.col(id_col), proj.alias("__p"))
+    hi = (base.orderBy(F.desc("__p"), id_col).limit(k)
+          .select(F.lit("high").alias("side"), id_col,
+                  F.round("__p", 6).alias("proj")))
+    lo = (base.orderBy(F.asc("__p"), id_col).limit(k)
+          .select(F.lit("low").alias("side"), id_col,
+                  F.round("__p", 6).alias("proj")))
+    return hi.unionByName(lo)

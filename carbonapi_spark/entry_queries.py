@@ -7183,7 +7183,10 @@ def _q_pca_power(spark, sf_dir):
     return pca_power_top(emb)
 
 
-def _pca_power_oracle(n_iter: int = 12) -> str:
+def _pca_power_ctes(n_iter: int = 12) -> str:
+    """The full covariance -> quantize -> 12-iteration integer power
+    trajectory as a WITH body (shared by pca_power and pca_extremes);
+    ends with __pv{n}, __pm{n}, __sgn, __lam defined."""
     ctes = [_COV_CTES, """
 __cmq AS (SELECT i, j, CAST(round(cov * 1000000) AS BIGINT) AS cm
           FROM __cov),
@@ -7201,14 +7204,18 @@ __pm{t} AS (SELECT max(abs(u)) AS m FROM __pu{t}),
 __pv{t} AS MATERIALIZED (
   SELECT d, CAST(u // greatest(m // 1000000, 1) AS BIGINT) AS v
   FROM __pu{t}, __pm{t})""".strip())
-    return ("WITH " + ",\n".join(ctes) + f""",
+    return (",\n".join(ctes) + f""",
 __sgn AS (SELECT CASE WHEN v < 0 THEN -1 ELSE 1 END AS s
           FROM __pv{n_iter} ORDER BY abs(v) DESC, d LIMIT 1),
 __lam AS (SELECT CASE WHEN vm > 0
                       THEN (CAST(m AS DOUBLE) / vm) / 1000000.0
                       ELSE 0.0 END AS lam
           FROM __pm{n_iter},
-               (SELECT max(abs(v)) AS vm FROM __pv{n_iter - 1}))
+               (SELECT max(abs(v)) AS vm FROM __pv{n_iter - 1}))""")
+
+
+def _pca_power_oracle(n_iter: int = 12) -> str:
+    return ("WITH " + _pca_power_ctes(n_iter) + f"""
 SELECT CAST(d AS INT) AS d, CAST(v * s AS BIGINT) AS loading_micro,
        round(CAST(v * s AS DOUBLE) / 1000000.0, 6) AS loading,
        round(lam, 6) AS eigenvalue
@@ -7216,6 +7223,39 @@ FROM __pv{n_iter}, __sgn, __lam ORDER BY d""")
 
 
 _register("pca_power", _q_pca_power, _pca_power_oracle())
+
+
+def _q_pca_extremes(spark, sf_dir):
+    """The two ends of the dominant principal axis: sequential-fold
+    projections onto the integer power-iteration loadings, two
+    TakeOrdered(k) selections on deterministic bits — the whole
+    covariance -> eigenvector -> projection chain replays in SQL."""
+    from carbonapi_spark.datapipe.linalg import pca_extremes
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return pca_extremes(emb, k=10)
+
+
+def _pca_extremes_oracle(k: int = 10, n_iter: int = 12) -> str:
+    return ("WITH " + _pca_power_ctes(n_iter) + f""",
+__pl AS (SELECT list_transform(list_sort(list(struct_pack(
+                    d := d, v := CAST(v * s AS DOUBLE)))),
+                e -> e.v) AS pl
+         FROM __pv{n_iter}, __sgn),
+__prj AS (SELECT vec_id,
+                 list_reduce(list_prepend(0.0,
+                     list_transform(range(len(v)),
+                                    i -> v[i + 1] * pl[i + 1])),
+                     (a, b) -> a + b) / 1000000.0 AS proj
+          FROM (SELECT vec_id, embedding::DOUBLE[] AS v
+                FROM embeddings), __pl),
+__hi AS (SELECT 'high' AS side, vec_id, round(proj, 6) AS proj
+         FROM __prj ORDER BY proj DESC, vec_id LIMIT {k}),
+__lo AS (SELECT 'low' AS side, vec_id, round(proj, 6) AS proj
+         FROM __prj ORDER BY proj ASC, vec_id LIMIT {k})
+SELECT * FROM __hi UNION ALL SELECT * FROM __lo""")
+
+
+_register("pca_extremes", _q_pca_extremes, _pca_extremes_oracle())
 
 
 def _q_mad_outliers(spark, sf_dir):

@@ -4296,3 +4296,21 @@ def test_isotonic_calibration_pools_violators(spark):
     assert out[1]["raw_rate"] == 0.8 and out[2]["raw_rate"] == 0.4
     rates = [out[b]["iso_rate"] for b in sorted(out)]
     assert rates == sorted(rates)  # monotone by construction
+
+
+def test_pca_extremes_finds_axis_ends(spark):
+    import numpy as np
+    from carbonapi_spark.datapipe.linalg import pca_extremes
+    rng = np.random.RandomState(3)
+    t = np.linspace(-2, 2, 100)
+    pts = (t[:, None] * np.array([[1.0, 0.0, 0.0]])
+           + rng.randn(100, 3) * 0.01)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in r]) for i, r in enumerate(pts)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>")
+    out = pca_extremes(df, k=3).collect()
+    hi = {r["vec_id"] for r in out if r["side"] == "high"}
+    lo = {r["vec_id"] for r in out if r["side"] == "low"}
+    # the dominant axis is dim 0 = the t ramp: extremes are the ends
+    assert hi == {97, 98, 99} and lo == {0, 1, 2} or \
+        hi == {0, 1, 2} and lo == {97, 98, 99}  # sign pin decides which
