@@ -8077,10 +8077,12 @@ _DRIVER_PREFIX = [
     "script_profile",            # NEW r8 (late): writing-script router
     "window_join",               # NEW r8 (late): kdb-wj trailing stats
     # ---- latest-r8 wave 2: never-verified, riskiest cross-engine seams
-    # first (kaplan_meier, k_center, mad_outliers, cusum_changepoint,
-    # session_paths, fuzzy_clusters + the covered-chain finishers
-    # embed_correlation, cuped_lift, hll_merge_rollup, asof_nearest
-    # stay past the cap -> lead the r9 rotation)
+    # first.  Past the cap (lead the r9 rotation, never driver-verified):
+    # kaplan_meier, k_center, mad_outliers, cusum_changepoint,
+    # session_paths, fuzzy_clusters, trimmed_stats, stream_cusum_replay,
+    # isotonic_calibration, dedup_agreement, pca_extremes + the
+    # covered-chain finishers embed_correlation, cuped_lift,
+    # hll_merge_rollup, asof_nearest
     "stream_anomaly_replay",     # NEW r8: EWMA anomaly kernel; its oracle
                                  # dodges two DuckDB list_reduce hazards
     "fuzzy_pairs",               # NEW r8: threshold-levenshtein parity

@@ -8,8 +8,14 @@ kernel sees one Arrow batch per key per trigger.
 
 The reference has no streaming machinery at all (its carbon daemons are
 separate ingestion processes), so these extend the engine the way a
-training-data pipeline needs: dedup on an unbounded document stream, and
-counter->rate conversion that remembers the previous sample per series.
+training-data pipeline needs: stream dedup (exact + MinHash + semantic),
+counter->rate conversion, sessionization, attribution, funnels, source
+quotas, CMS/HLL sketch maintenance, and the EWMA-anomaly / CUSUM-drift
+monitors.  Every kernel keeps integer (or integer-quantized) state so an
+ordered batch replay reproduces its output bit-for-bit — the catalog's
+stream_*_replay entries are exactly those replays, and
+tests/test_oracle_folds.py pins the three DuckDB list_reduce hazards the
+replay oracles are written to dodge.
 """
 
 from __future__ import annotations
