@@ -1101,3 +1101,73 @@ def trimmed_stats(events: DataFrame, lo_num: int = 1, hi_num: int = 19,
         F.round(F.col("__ws") / F.col("n") / sc, 6)
         .alias("winsorized_mean"))
         .orderBy(group_col))
+
+
+def key_skew_report(df: DataFrame, key_col: str,
+                    top_k: int = 10) -> DataFrame:
+    """One-row skew diagnostic for a join/groupBy key — the measurement
+    behind every 100 TB join-strategy decision (broadcast? salt? AQE
+    skew hints?): row/key counts, positional median and p99 key
+    frequency, the share held by the top ``top_k`` keys, and the Gini
+    coefficient of the frequency distribution.
+
+    Everything derives from the key-frequency table and its
+    FREQUENCY-OF-FREQUENCY histogram: the quantiles are positional
+    picks over the cumulative key counts (no interpolation
+    conventions), the Gini's rank-weighted sum folds per distinct
+    frequency block in closed form (c * k * (2*start + k - 1) / 2 —
+    exact integers; ties are rank-averaged BY BLOCK, making the
+    statistic order-free), and only the final ratios touch floating
+    point.  Shapes: one key-keyed aggregation (the only input-sized
+    shuffle), then everything is distinct-frequency-sized.
+
+    Returns (key_col, n_rows, n_keys, max_cnt, p50_cnt, p99_cnt,
+    top{k}_share, gini)."""
+    from pyspark.sql.window import Window
+    freq = (df.groupBy(F.col(key_col).alias("__k"))
+            .agg(F.count(F.lit(1)).alias("__c")))
+    hist = freq.groupBy("__c").agg(F.count(F.lit(1)).alias("__kn"))
+    wc = (Window.orderBy("__c")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    ranked = hist.select(
+        "__c", "__kn",
+        F.sum("__kn").over(wc).alias("__cum"),
+        F.sum("__kn").over(Window.partitionBy()).alias("__nk"))
+
+    def _pos(num: int, den: int, out: str) -> DataFrame:
+        tgt = F.expr(f"({num} * __nk + {den - 1}) div {den}")
+        return (ranked.where(F.col("__cum") >= tgt)
+                .agg(F.min("__c").alias(out)))
+
+    # rank-weighted sum for Gini: keys sorted by frequency ascending;
+    # a block of __kn keys at frequency __c occupies ranks
+    # (start+1 .. start+__kn) where start = cum - __kn
+    riw = ranked.select(
+        (F.col("__c")
+         * F.col("__kn") * (2 * (F.col("__cum") - F.col("__kn"))
+                            + F.col("__kn") + 1)).alias("__rw"),
+        (F.col("__c") * F.col("__kn")).alias("__tot"), "__nk")
+    sums = riw.agg(F.sum("__rw").alias("__rw"),
+                   F.sum("__tot").alias("__n"),
+                   F.max("__nk").alias("__nk"),
+                   )
+    top = (freq.orderBy(F.desc("__c"), "__k").limit(top_k)
+           .agg(F.sum("__c").alias("__topc")))
+    mx = freq.agg(F.max("__c").alias("max_cnt"))
+    p50 = _pos(1, 2, "p50_cnt")
+    p99 = _pos(99, 100, "p99_cnt")
+    # gini = (2 * sum_i(i * x_i) / (n_keys * total)) - (n_keys + 1)/n_keys
+    # with __rw = 2 * sum(i * x_i) already (the block formula doubles)
+    gini = (F.col("__rw") / (F.col("__nk").cast("double")
+                             * F.col("__n").cast("double"))
+            - (F.col("__nk") + 1) / F.col("__nk").cast("double"))
+    return (sums.crossJoin(F.broadcast(mx)).crossJoin(F.broadcast(p50))
+            .crossJoin(F.broadcast(p99)).crossJoin(F.broadcast(top))
+            .select(F.lit(key_col).alias("key_col"),
+                    F.col("__n").alias("n_rows"),
+                    F.col("__nk").alias("n_keys"),
+                    "max_cnt", "p50_cnt", "p99_cnt",
+                    F.round(F.col("__topc")
+                            / F.col("__n").cast("double"), 6)
+                    .alias("top_share"),
+                    F.round(gini, 6).alias("gini")))

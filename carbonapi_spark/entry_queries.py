@@ -7366,6 +7366,44 @@ _register("stream_anomaly_replay", _q_stream_anomaly_replay,
           _STREAM_ANOM_ORACLE)
 
 
+def _q_key_skew(spark, sf_dir):
+    """Join-key skew diagnostic for events.user_id: positional
+    frequency quantiles, top-10 share, and an exact closed-form Gini
+    over the frequency-of-frequency histogram."""
+    from carbonapi_spark.datapipe.events import key_skew_report
+    from carbonapi_spark.sources.testdata import read_events
+    return key_skew_report(read_events(spark, sf_dir), "user_id")
+
+
+_register("key_skew", _q_key_skew, """
+WITH __f AS (SELECT user_id AS k, count(*) AS c FROM events GROUP BY 1),
+__h AS (SELECT c, count(*) AS kn FROM __f GROUP BY c),
+__r AS (SELECT c, kn,
+               sum(kn) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING) AS cum,
+               sum(kn) OVER () AS nk
+        FROM __h),
+__sums AS (SELECT sum(c * kn * (2 * (cum - kn) + kn + 1)) AS rw,
+                  sum(c * kn) AS n, max(nk) AS nk
+           FROM __r),
+__mx AS (SELECT max(c) AS max_cnt FROM __f),
+__p50 AS (SELECT min(c) AS p50_cnt FROM __r
+          WHERE cum >= (1 * nk + 1) // 2),
+__p99 AS (SELECT min(c) AS p99_cnt FROM __r
+          WHERE cum >= (99 * nk + 99) // 100),
+__tp AS (SELECT sum(c) AS topc FROM
+         (SELECT c FROM __f ORDER BY c DESC, k LIMIT 10))
+SELECT 'user_id' AS key_col, CAST(n AS BIGINT) AS n_rows,
+       CAST(nk AS BIGINT) AS n_keys, CAST(max_cnt AS BIGINT) AS max_cnt,
+       CAST(p50_cnt AS BIGINT) AS p50_cnt,
+       CAST(p99_cnt AS BIGINT) AS p99_cnt,
+       round(CAST(topc AS DOUBLE) / CAST(n AS DOUBLE), 6) AS top_share,
+       round(CAST(rw AS DOUBLE)
+             / (CAST(nk AS DOUBLE) * CAST(n AS DOUBLE))
+             - CAST(nk + 1 AS DOUBLE) / CAST(nk AS DOUBLE), 6) AS gini
+FROM __sums, __mx, __p50, __p99, __tp
+""".strip())
+
+
 def _q_dedup_agreement(spark, sf_dir):
     """Cross-detector dedup audit: pairwise set agreement (counts +
     Jaccard) between the MinHash-verified, SimHash, and fuzzy-

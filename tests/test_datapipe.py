@@ -4314,3 +4314,26 @@ def test_pca_extremes_finds_axis_ends(spark):
     # the dominant axis is dim 0 = the t ramp: extremes are the ends
     assert hi == {97, 98, 99} and lo == {0, 1, 2} or \
         hi == {0, 1, 2} and lo == {97, 98, 99}  # sign pin decides which
+
+
+def test_key_skew_report_textbook(spark):
+    from carbonapi_spark.datapipe.events import key_skew_report
+    # 4 keys with frequencies 1, 1, 2, 4 -> known Gini
+    rows = [("a",)] + [("b",)] + [("c",)] * 2 + [("d",)] * 4
+    df = spark.createDataFrame(rows, "k STRING")
+    out = key_skew_report(df, "k", top_k=2).collect()[0]
+    assert out["n_rows"] == 8 and out["n_keys"] == 4
+    assert out["max_cnt"] == 4
+    assert out["p50_cnt"] == 1      # 2nd of 4 sorted freqs (1,1,2,4)
+    assert out["p99_cnt"] == 4
+    assert out["top_share"] == 0.75  # (4 + 2) / 8
+    # Gini: sorted x=(1,1,2,4), 2*sum(i*x_i)=2*(1+2+6+16)=50;
+    # 50/(4*8) - 5/4 = 1.5625 - 1.25 = 0.3125
+    assert abs(out["gini"] - 0.3125) < 1e-9
+
+
+def test_key_skew_uniform_gini_near_zero(spark):
+    from carbonapi_spark.datapipe.events import key_skew_report
+    df = spark.createDataFrame([(i % 10,) for i in range(100)], "k LONG")
+    out = key_skew_report(df, "k").collect()[0]
+    assert out["gini"] == 0.0 and out["max_cnt"] == 10
