@@ -1,16 +1,17 @@
 """Event-sequence analytics over the events table: ordered funnels,
-cohort retention, and transition counts.
+cohort retention, transition counts, single-/multi-touch attribution
+(heuristic + Markov removal-effect), A/B + CUPED readouts, RFM and
+rolling-active-user segmentation, session paths, survival
+(Kaplan-Meier), robust statistics (MAD outliers, trimmed/winsorized
+means), CUSUM change-points, as-of / trailing-window joins, and the
+join-key skew diagnostic.
 
-The events side of the engine (sessionize, per-user streams) extended
-with the three classic product-analytics queries.  All three are pure
-DataFrame algebra — windows keyed by user and small keyed aggregations —
-and every quantity is an exact integer or a 6-dp-rounded ratio, so each
-op carries an exact SQL oracle.
-
-Scale shape: everything shuffles at most once per stage on ``user_id``
-(the natural partitioner for event streams); the funnel folds its whole
-K-step state machine in ONE event scan + one user shuffle; outputs are
-step-/cohort-/type-pair-sized, never event-sized.
+Every quantity is an exact integer, a deterministic fixed-point value,
+or a single IEEE division of exact operands — so each op carries an
+exact SQL oracle.  Scale shape: event-sized work shuffles at most once
+per stage on ``user_id`` (the stream's natural partitioner) or reduces
+immediately to a value-histogram / states^2 / group-sized table;
+outputs are never event-sized.
 """
 
 from __future__ import annotations
