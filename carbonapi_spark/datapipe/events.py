@@ -1172,3 +1172,57 @@ def key_skew_report(df: DataFrame, key_col: str,
                             / F.col("__n").cast("double"), 6)
                     .alias("top_share"),
                     F.round(gini, 6).alias("gini")))
+
+
+def time_to_convert(events: DataFrame, conversion_type: str,
+                    touch_types: list[str],
+                    user_col: str = "user_id",
+                    type_col: str = "event_type",
+                    ts_col: str = "sec") -> DataFrame:
+    """Latency from a channel's FIRST touch to the user's FIRST
+    conversion at or after it — the time-to-convert distribution per
+    channel (the attribution family's 'how long does each channel take
+    to pay off' companion).
+
+    Two user-keyed aggregations (first touch per channel, first
+    conversion) + one join; latencies are exact integer seconds and
+    the p50/p90 are POSITIONAL picks over the per-channel latency
+    histogram (the value-histogram recipe — no engine quantile
+    interpolation, nothing downstream is user-sized).  Returns
+    (channel, n_converted, p50_s, p90_s, mean_s) with mean one IEEE
+    division of exact integers."""
+    from pyspark.sql.window import Window
+    sec = F.col(ts_col).cast("long")
+    touches = (events.where(F.col(type_col).isin(*set(touch_types)))
+               .groupBy(user_col, F.col(type_col).alias("channel"))
+               .agg(F.min(sec).alias("__t")))
+    conv = (events.where(F.col(type_col) == conversion_type)
+            .groupBy(user_col).agg(F.min(sec).alias("__cv")))
+    lat = (touches.join(conv, user_col)
+           .where(F.col("__cv") >= F.col("__t"))
+           .select("channel", (F.col("__cv") - F.col("__t"))
+                   .alias("__l")))
+    hist = (lat.groupBy("channel", "__l")
+            .agg(F.count(F.lit(1)).alias("__c")))
+    wc = (Window.partitionBy("channel").orderBy("__l")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    ranked = hist.select(
+        "channel", "__l", "__c",
+        F.sum("__c").over(wc).alias("__cum"),
+        F.sum("__c").over(Window.partitionBy("channel")).alias("__n"),
+        (F.col("__l") * F.col("__c")).alias("__lc"))
+
+    def _pos(num: int, den: int, out: str) -> DataFrame:
+        tgt = F.expr(f"({num} * __n + {den - 1}) div {den}")
+        return (ranked.where(F.col("__cum") >= tgt)
+                .groupBy("channel").agg(F.min("__l").alias(out)))
+
+    tot = ranked.groupBy("channel").agg(
+        F.max("__n").alias("n_converted"), F.sum("__lc").alias("__sum"))
+    return (tot.join(_pos(1, 2, "p50_s"), "channel")
+            .join(_pos(9, 10, "p90_s"), "channel")
+            .select("channel", "n_converted", "p50_s", "p90_s",
+                    F.round(F.col("__sum")
+                            / F.col("n_converted").cast("double"), 6)
+                    .alias("mean_s"))
+            .orderBy("channel"))

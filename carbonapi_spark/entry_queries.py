@@ -7366,6 +7366,48 @@ _register("stream_anomaly_replay", _q_stream_anomaly_replay,
           _STREAM_ANOM_ORACLE)
 
 
+def _q_time_to_convert(spark, sf_dir):
+    """Per-channel first-touch -> first-conversion latency: exact
+    integer seconds, positional p50/p90 over the per-channel latency
+    histogram, one IEEE division for the mean."""
+    from carbonapi_spark.datapipe.events import time_to_convert
+    from carbonapi_spark.sources.testdata import epoch_seconds, read_events
+    ev = read_events(spark, sf_dir)
+    ev = ev.select("user_id", "event_type", epoch_seconds(ev).alias("sec"))
+    return time_to_convert(ev, "purchase", ["view", "click"])
+
+
+_register("time_to_convert", _q_time_to_convert, """
+WITH __t AS (SELECT user_id, event_type AS channel,
+                    min(CAST(floor(epoch(ts)) AS BIGINT)) AS t
+             FROM events WHERE event_type IN ('click', 'view')
+             GROUP BY 1, 2),
+__cv AS (SELECT user_id, min(CAST(floor(epoch(ts)) AS BIGINT)) AS cv
+         FROM events WHERE event_type = 'purchase' GROUP BY 1),
+__l AS (SELECT channel, cv - t AS l
+        FROM __t JOIN __cv USING (user_id) WHERE cv >= t),
+__h AS (SELECT channel, l, count(*) AS c FROM __l GROUP BY 1, 2),
+__r AS (SELECT channel, l, c,
+               sum(c) OVER (PARTITION BY channel ORDER BY l
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+               sum(c) OVER (PARTITION BY channel) AS n,
+               l * c AS lc
+        FROM __h),
+__p50 AS (SELECT channel, min(l) AS p50_s FROM __r
+          WHERE cum >= (1 * n + 1) // 2 GROUP BY channel),
+__p90 AS (SELECT channel, min(l) AS p90_s FROM __r
+          WHERE cum >= (9 * n + 9) // 10 GROUP BY channel),
+__tot AS (SELECT channel, max(n) AS n_converted, sum(lc) AS s
+          FROM __r GROUP BY channel)
+SELECT t.channel, CAST(n_converted AS BIGINT) AS n_converted,
+       p50_s, p90_s,
+       round(CAST(s AS DOUBLE) / CAST(n_converted AS DOUBLE), 6)
+           AS mean_s
+FROM __tot t JOIN __p50 USING (channel) JOIN __p90 USING (channel)
+ORDER BY channel
+""".strip())
+
+
 def _q_key_skew(spark, sf_dir):
     """Join-key skew diagnostic for events.user_id: positional
     frequency quantiles, top-10 share, and an exact closed-form Gini

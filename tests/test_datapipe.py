@@ -4337,3 +4337,21 @@ def test_key_skew_uniform_gini_near_zero(spark):
     df = spark.createDataFrame([(i % 10,) for i in range(100)], "k LONG")
     out = key_skew_report(df, "k").collect()[0]
     assert out["gini"] == 0.0 and out["max_cnt"] == 10
+
+
+def test_time_to_convert_latency_quantiles(spark):
+    from carbonapi_spark.datapipe.events import time_to_convert
+    rows = []
+    # 3 users touch 'ad' at t=0 and convert at 10, 20, 100
+    for u, cv in ((1, 10), (2, 20), (3, 100)):
+        rows += [(u, "ad", 0), (u, "buy", cv)]
+    rows += [(4, "ad", 50)]              # touches, never converts
+    rows += [(5, "buy", 5), (5, "ad", 9)]  # converts BEFORE the touch
+    df = spark.createDataFrame(rows, "user_id LONG, event_type STRING, "
+                                     "sec LONG")
+    out = time_to_convert(df, "buy", ["ad"]).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_converted"] == 3
+    assert r["p50_s"] == 20 and r["p90_s"] == 100
+    assert abs(r["mean_s"] - 130 / 3) < 1e-6
