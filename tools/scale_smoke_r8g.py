@@ -108,6 +108,14 @@ def main():
          lambda: len(mad_outliers(evv, group_col="event_type",
                                   val_col="value").collect()))
 
+    from carbonapi_spark.datapipe.events import (key_skew_report,
+                                                  time_to_convert)
+    case("key_skew_20M",
+         lambda: len(key_skew_report(ev, "user_id").collect()))
+    case("time_to_convert_20M",
+         lambda: len(time_to_convert(
+             ev, "purchase", ["view", "click", "other"]).collect()))
+
     from carbonapi_spark.datapipe.text import textrank_keywords
     case("textrank_500k",
          lambda: len(textrank_keywords(docs, k=20).collect()))
