@@ -195,6 +195,16 @@ def covariance_matrix(vecs: DataFrame, vec_col: str = "embedding",
                                         F.count(F.lit(1)).alias("n")))
         sums = (vecs.select(F.posexplode(moments).alias("i", "m"))
                 .groupBy("i").agg(F.sum("m").alias("sm")))
+    return cov_finish(prods, sums, ddof)
+
+
+def cov_finish(prods: DataFrame, sums: DataFrame,
+               ddof: int = 0) -> DataFrame:
+    """The covariance finish over the integer partial tables
+    (prods: (i, j, sq, n); sums: (i, sm)) — factored out so the
+    STREAMING maintenance path (stream_cov_replay: partials summed by a
+    streaming aggregation across micro-batches) finishes with the
+    byte-identical expression tree as the batch operator."""
     si = sums.select(F.col("i").alias("i"), F.col("sm").alias("smi"))
     sj = sums.select(F.col("i").alias("j"), F.col("sm").alias("smj"))
     scale = float(COV_SCALE)

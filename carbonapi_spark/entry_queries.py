@@ -7366,6 +7366,53 @@ _register("stream_anomaly_replay", _q_stream_anomaly_replay,
           _STREAM_ANOM_ORACLE)
 
 
+def _q_stream_cov_replay(spark, sf_dir):
+    """Streaming covariance maintenance: the Arrow integer partials are
+    a MERGEABLE SKETCH (order-independent int64 sums), so a streaming
+    aggregation maintains them across micro-batches and the finish is
+    the byte-identical expression tree as the batch operator — replayed
+    here against the batch oracle."""
+    import tempfile
+
+    from carbonapi_spark.datapipe.linalg import (_cov_partials_arrow,
+                                                 cov_finish)
+    schema = spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema
+    stream = (spark.readStream.schema(schema)
+              .option("pathGlobFilter", "embeddings.parquet")
+              .parquet(sf_dir))
+    partials = _cov_partials_arrow(stream, "embedding")
+    agg = partials.groupBy("i", "j").agg(F.sum("sq").alias("sq"),
+                                         F.sum("n").alias("n"))
+    state: list = []
+
+    def sink(bdf, _bid):
+        state.clear()
+        state.extend(bdf.collect())
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        with tempfile.TemporaryDirectory() as ckpt:
+            q = (agg.writeStream.outputMode("complete")
+                 .foreachBatch(sink)
+                 .option("checkpointLocation", ckpt)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    prods = spark.createDataFrame(
+        [(r["i"], r["j"], r["sq"], r["n"]) for r in state if r["j"] >= 0]
+        or [], "i INT, j INT, sq LONG, n LONG")
+    sums = spark.createDataFrame(
+        [(r["i"], r["sq"]) for r in state if r["j"] == -1] or [],
+        "i INT, sm LONG")
+    return cov_finish(prods, sums)
+
+
+_register("stream_cov_replay", _q_stream_cov_replay,
+          "WITH " + _COV_CTES + "\nSELECT i, j, cov FROM __cov")
+
+
 def _q_time_to_convert(spark, sf_dir):
     """Per-channel first-touch -> first-conversion latency: exact
     integer seconds, positional p50/p90 over the per-channel latency

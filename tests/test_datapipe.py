@@ -4355,3 +4355,58 @@ def test_time_to_convert_latency_quantiles(spark):
     assert r["n_converted"] == 3
     assert r["p50_s"] == 20 and r["p90_s"] == 100
     assert abs(r["mean_s"] - 130 / 3) < 1e-6
+
+
+def test_stream_covariance_grows_across_runs(spark, tmp_path):
+    """The integer covariance partials are a mergeable sketch: two
+    checkpointed availableNow runs over disjoint halves must finish at
+    EXACTLY the batch covariance of the union."""
+    import json
+    from carbonapi_spark.datapipe.linalg import (_cov_partials_arrow,
+                                                 cov_finish,
+                                                 covariance_matrix)
+    src, ck = tmp_path / "src", tmp_path / "ck"
+    src.mkdir()
+    import numpy as np
+    rng = np.random.RandomState(5)
+    pts = rng.randn(80, 4) * 0.4
+    half = [pts[:40], pts[40:]]
+    state: list = []
+
+    def run():
+        s = (spark.readStream
+             .schema("vec_id LONG, embedding ARRAY<DOUBLE>")
+             .json(str(src)))
+        agg = (_cov_partials_arrow(s, "embedding")
+               .groupBy("i", "j").agg(F.sum("sq").alias("sq"),
+                                      F.sum("n").alias("n")))
+
+        def sink(bdf, _bid):
+            state.clear()
+            state.extend(bdf.collect())
+
+        q = (agg.writeStream.outputMode("complete").foreachBatch(sink)
+             .option("checkpointLocation", str(ck))
+             .trigger(availableNow=True).start())
+        assert q.awaitTermination(180)
+
+    from pyspark.sql import functions as F
+    for fn, chunk in zip(("a.json", "b.json"), half):
+        (src / fn).write_text("\n".join(
+            json.dumps({"vec_id": i, "embedding": list(map(float, r))})
+            for i, r in enumerate(chunk)))
+        run()
+    prods = spark.createDataFrame(
+        [(r["i"], r["j"], r["sq"], r["n"]) for r in state if r["j"] >= 0],
+        "i INT, j INT, sq LONG, n LONG")
+    sums = spark.createDataFrame(
+        [(r["i"], r["sq"]) for r in state if r["j"] == -1],
+        "i INT, sm LONG")
+    streamed = {(r["i"], r["j"]): r["cov"]
+                for r in cov_finish(prods, sums).collect()}
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in r]) for i, r in enumerate(pts)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>")
+    batch = {(r["i"], r["j"]): r["cov"]
+             for r in covariance_matrix(df).collect()}
+    assert streamed == batch
