@@ -270,16 +270,15 @@ def wordpiece_train(df: DataFrame, n_merges: int = 10,
     (score DESC, lhs ASC, rhs ASC).  Word universe and merge fold are
     shared with BPE (printable-ASCII types, non-overlapping
     left-to-right).  Returns (step, lhs, rhs, merged, pair_count,
-    score) with score rounded to 6 for display only (the argmax uses
-    the raw double)."""
+    score); the score is the raw IEEE double — never rounded, so it
+    carries no rounding-convention seam across engines."""
     spark = df.sparkSession
     schema = ("step INT, lhs STRING, rhs STRING, merged STRING, "
               "pair_count LONG, score DOUBLE")
     rows = _local_type_table(df, text_col, local)
     if rows is not None:
-        out = spark.createDataFrame(
+        return spark.createDataFrame(
             _train_local(rows, n_merges, scored=True) or [], schema)
-        return out.withColumn("score", F.round("score", 6))
     words = (word_counts(df, text_col)
              .select("word", "cnt", _sym_init(F.col("word")).alias("sym")))
     words = words.localCheckpoint()
@@ -318,11 +317,10 @@ def wordpiece_train(df: DataFrame, n_merges: int = 10,
                            _merge_step(left, right))
         words = words.select("word", "cnt",
                              fold.alias("sym")).localCheckpoint()
-    out = spark.createDataFrame(merges or [], schema)
-    # JVM HALF_UP rounding (= DuckDB's), NOT python round (half-even):
-    # a dyadic score like 1/128 sits exactly on a 6-dp boundary and the
-    # two conventions split there
-    return out.withColumn("score", F.round("score", 6))
+    # score stays the RAW double of one exact-int multiply + divide —
+    # bit-identical in any IEEE engine; rounding it would re-introduce a
+    # HALF_UP-vs-HALF_EVEN convention seam on dyadic boundary values
+    return spark.createDataFrame(merges or [], schema)
 
 
 def _wp_pieces(token: Column, vocab: list[str]) -> Column:

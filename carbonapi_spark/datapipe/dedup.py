@@ -721,8 +721,9 @@ def lsh_candidate_quality(docs: DataFrame, text_col: str = "text",
     (no pow/libm), so the whole report replays bit-for-bit cross-engine:
     bin = (inter * bins) div union (clamped), s = (bin + 0.5) / bins,
     s^r and (1-s^r)^b expanded as repeated multiplication; the driver-
-    side merging is pure int arithmetic, every float op stays engine-
-    side (HALF_UP rounding parity).
+    side merging is pure int arithmetic, and both rates ship as RAW
+    doubles (identical op order in the SQL replay — no rounding
+    convention in play).
 
     Returns one row per non-empty bin:
     (bin, n_pairs, n_candidates, capture_rate, theory_capture)."""
@@ -792,9 +793,9 @@ def lsh_candidate_quality(docs: DataFrame, text_col: str = "text",
     q_b = reduce(lambda acc, _: acc * q, range(bands - 1), q)
     return g.select(
         "bin", "n_pairs", "n_candidates",
-        F.round(F.col("n_candidates").cast("double") / F.col("n_pairs"), 6)
+        (F.col("n_candidates").cast("double") / F.col("n_pairs"))
         .alias("capture_rate"),
-        F.round(F.lit(1.0) - q_b, 6).alias("theory_capture"))
+        (F.lit(1.0) - q_b).alias("theory_capture"))
 
 
 def write_band_index(df: DataFrame, path: str, text_col: str = "text",

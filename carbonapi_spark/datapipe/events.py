@@ -319,8 +319,8 @@ def active_users(events: DataFrame, windows: tuple[int, ...] = (1, 7, 28),
     aggs = [F.sum((F.col("__m") < w).cast("long")).alias(f"au{w}d")
             for w in ws]
     out = m.groupBy("day").agg(*aggs)
-    stick = F.round(F.col(f"au{ws[0]}d").cast("double")
-                    / F.col(f"au{wmax}d"), 6)
+    stick = (F.col(f"au{ws[0]}d").cast("double")
+             / F.col(f"au{wmax}d"))
     return out.withColumn("stickiness", stick)
 
 

@@ -1347,8 +1347,9 @@ def roc_auc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
     come from a 64-row table.  With micro-logit scores the distinct
     table is corpus-sized, so a global-window rank would funnel the
     whole corpus through one task at lake scale.  Returns one row
-    (n_pos, n_neg, auc), auc rounded to 6; degenerate single-class
-    inputs yield NULL auc."""
+    (n_pos, n_neg, auc); auc is the raw double of the single final
+    division (exact-int numerator and denominator, so it replays
+    bit-for-bit); degenerate single-class inputs yield NULL auc."""
     from pyspark.sql.window import Window
 
     from carbonapi_spark import scratch
@@ -1386,10 +1387,10 @@ def roc_auc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
                      F.sum("__pos").alias("n_pos"),
                      (F.sum("__cnt") - F.sum("__pos")).alias("n_neg"))
     auc = F.when((F.col("n_pos") > 0) & (F.col("n_neg") > 0),
-                 F.round((F.col("__s2")
-                          - F.col("n_pos") * (F.col("n_pos") + 1))
-                         .cast("double")
-                         / (2 * F.col("n_pos") * F.col("n_neg")), 6))
+                 (F.col("__s2")
+                  - F.col("n_pos") * (F.col("n_pos") + 1))
+                 .cast("double")
+                 / (2 * F.col("n_pos") * F.col("n_neg")))
     return agg.select("n_pos", "n_neg", auc.alias("auc"))
 
 

@@ -499,6 +499,40 @@ _BPE_TOKS_SQL = r"""
  WHERE NOT regexp_matches(word, '[^!-~]'))""".strip()
 
 
+def _sym_init_sql(col: str) -> str:
+    """Boundary-WRAPPED symbol encoding: every symbol individually
+    wrapped in unit separators (``\\x1f c \\x1f\\x1f c \\x1f``...), so
+    adjacent-pair occurrences of a merge pattern are character-disjoint
+    and one merge step is ONE plain ``replace()`` (see
+    ``_merge_step_sql``).  The char split is range+substr — the exact
+    construct the driver-green unigram oracles use — replacing
+    ``string_split(x, '')``, which (with ``list_reduce``) was the
+    DuckDB-version-sensitive seam behind the r07–r09 bpe/wordpiece
+    driver hash failures (local 1.0.0 agreed with Spark; the driver's
+    DuckDB did not)."""
+    sep = "chr(31)"
+    return (f"{sep} || array_to_string(list_transform("
+            f"range(1, length({col}) + 1), i -> substr({col}, i, 1)), "
+            f"{sep} || {sep}) || {sep}")
+
+
+def _merge_step_sql(sym: str, lhs: str, rhs: str) -> str:
+    """One non-overlapping left-to-right BPE merge as ONE ``replace``.
+
+    Under the wrapped encoding a pattern occurrence
+    ``\\x1f l \\x1f\\x1f r \\x1f`` can only align on whole-symbol
+    boundaries (symbols never contain the separator), and two
+    occurrences never share characters — adjacent pairs share a SYMBOL
+    only when lhs == rhs, where leftmost-non-overlapping global replace
+    pairs a run greedily from the left exactly like the sequential fold
+    (property-pinned against ``bpe._py_merge`` in
+    tests/test_cross_engine_text.py).  ``replace`` has had identical
+    semantics in every DuckDB release, unlike ``list_reduce``."""
+    sep = "chr(31)"
+    return (f"replace({sym}, {sep} || {lhs} || {sep} || {sep} || {rhs}"
+            f" || {sep}, {sep} || {lhs} || {rhs} || {sep})")
+
+
 def _minhash_pair_ctes(where: str = "") -> str:
     """CTE chain ending at ``__pairs`` (DISTINCT id_a < id_b candidate
     pairs): the banded-LSH replay shared by the batch (minhash_dedup),
@@ -690,8 +724,8 @@ __grp AS (SELECT bin, count(*) AS n_pairs, sum(caught) AS n_candidates
 __th AS (SELECT *, (bin + 0.5) / 10.0 AS s FROM __grp),
 __th2 AS (SELECT *, 1.0 - s * s * s * s AS q FROM __th)
 SELECT bin, n_pairs, n_candidates,
-       round(CAST(n_candidates AS DOUBLE) / n_pairs, 6) AS capture_rate,
-       round(1.0 - q * q * q * q, 6) AS theory_capture
+       CAST(n_candidates AS DOUBLE) / n_pairs AS capture_rate,
+       1.0 - q * q * q * q AS theory_capture
 FROM __th2
 """.strip())
 
@@ -3223,8 +3257,8 @@ __r AS (SELECT cnt, pos,
                + cnt - 1 AS r2
         FROM __g)
 SELECT sum(pos) AS n_pos, sum(cnt) - sum(pos) AS n_neg,
-       round(CAST(sum(pos * r2) - sum(pos) * (sum(pos) + 1) AS DOUBLE)
-             / (2 * sum(pos) * (sum(cnt) - sum(pos))), 6) AS auc
+       CAST(sum(pos * r2) - sum(pos) * (sum(pos) + 1) AS DOUBLE)
+           / (2 * sum(pos) * (sum(cnt) - sum(pos))) AS auc
 FROM __r
 """.strip()
 
@@ -4057,10 +4091,7 @@ def _bpe_oracle(n_merges: int = 12) -> str:
     sep = "chr(31)"
     ctes = [f"""
 __w1 AS MATERIALIZED (
-  SELECT word, cnt,
-         {sep} || array_to_string(list_filter(string_split(word, ''),
-                                              c -> c != ''), {sep})
-               || {sep} AS sym
+  SELECT word, cnt, {_sym_init_sql('word')} AS sym
   FROM (SELECT tok AS word, count(*) AS cnt
         FROM {_BPE_TOKS_SQL} GROUP BY 1))""".strip()]
     for i in range(1, n_merges + 1):
@@ -4080,14 +4111,7 @@ __b{i} AS MATERIALIZED (SELECT lhs, rhs, n FROM __p{i}
                         ORDER BY n DESC, lhs, rhs LIMIT 1),
 __w{i + 1} AS MATERIALIZED (
   SELECT word, cnt,
-         list_reduce(
-           list_prepend({sep}, list_filter(string_split(sym, {sep}),
-                                           x -> x != '')),
-           (acc, x) -> CASE
-             WHEN ends_with(acc, {sep} || b.lhs || {sep}) AND x = b.rhs
-             THEN substr(acc, 1, length(acc) - length(b.lhs) - 1)
-                  || b.lhs || b.rhs || {sep}
-             ELSE acc || x || {sep} END) AS sym
+         {_merge_step_sql('sym', 'b.lhs', 'b.rhs')} AS sym
   FROM __w{i}, __b{i} b)""".strip())
     finals = "\nUNION ALL\n".join(
         f"SELECT {i} AS step, lhs, rhs, lhs || rhs AS merged, "
@@ -4098,6 +4122,24 @@ __w{i + 1} AS MATERIALIZED (
 
 
 _register("bpe_merges", _q_bpe_merges, _bpe_oracle())
+
+
+def _q_bpe_word_counts(spark, sf_dir):
+    """The ONE corpus pass of BPE/WordPiece training in isolation —
+    (word, cnt) over the printable-ASCII type universe, pure strings
+    and exact integers.  A driver-facing BISECTION entry: if this row
+    is green while a tokenizer entry fails, the divergence lives in the
+    merge fold replay, not the token universe (and vice versa)."""
+    from carbonapi_spark.datapipe.bpe import word_counts
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return word_counts(docs)
+
+
+_register("bpe_word_counts", _q_bpe_word_counts, f"""
+SELECT tok AS word, count(*) AS cnt
+FROM {_BPE_TOKS_SQL}
+GROUP BY 1
+""".strip())
 
 
 def _q_wordpiece_merges(spark, sf_dir):
@@ -4116,10 +4158,7 @@ def _wordpiece_oracle(n_merges: int = 10) -> str:
     sep = "chr(31)"
     ctes = [f"""
 __w1 AS MATERIALIZED (
-  SELECT word, cnt,
-         {sep} || array_to_string(list_filter(string_split(word, ''),
-                                              c -> c != ''), {sep})
-               || {sep} AS sym
+  SELECT word, cnt, {_sym_init_sql('word')} AS sym
   FROM (SELECT tok AS word, count(*) AS cnt
         FROM {_BPE_TOKS_SQL} GROUP BY 1))""".strip()]
     for i in range(1, n_merges + 1):
@@ -4150,18 +4189,11 @@ __b{i} AS MATERIALIZED (
   ORDER BY sc DESC, p.lhs, p.rhs LIMIT 1),
 __w{i + 1} AS MATERIALIZED (
   SELECT word, cnt,
-         list_reduce(
-           list_prepend({sep}, list_filter(string_split(sym, {sep}),
-                                           x -> x != '')),
-           (acc, x) -> CASE
-             WHEN ends_with(acc, {sep} || b.lhs || {sep}) AND x = b.rhs
-             THEN substr(acc, 1, length(acc) - length(b.lhs) - 1)
-                  || b.lhs || b.rhs || {sep}
-             ELSE acc || x || {sep} END) AS sym
+         {_merge_step_sql('sym', 'b.lhs', 'b.rhs')} AS sym
   FROM __w{i}, __b{i} b)""".strip())
     finals = "\nUNION ALL\n".join(
         f"SELECT {i} AS step, lhs, rhs, lhs || rhs AS merged, "
-        f"n AS pair_count, round(sc, 6) AS score FROM __b{i}"
+        f"n AS pair_count, sc AS score FROM __b{i}"
         for i in range(1, n_merges + 1))
     return ("WITH " + ",\n".join(ctes) + "\n"
             + "SELECT CAST(step AS INT) AS step, lhs, rhs, merged, "
@@ -4197,34 +4229,40 @@ def _wordpiece_encode_oracle(n_merges: int = 8) -> str:
     sep = "chr(31)"
     train = _wordpiece_oracle(n_merges)
     chain = train[:train.rindex("SELECT CAST(step AS INT)")].rstrip()
+    assert chain.startswith("WITH ")
+    # the greedy per-word encode loop is a RECURSIVE CTE (stable in
+    # every DuckDB release), not a list_reduce fold: each iteration
+    # advances every unfinished word by one piece; finished words fall
+    # out of the working set (each consumes >= 1 char, so it
+    # terminates).  The vocab list is pre-sorted longest-first, making
+    # the FIRST prefix match the longest (two equal-length prefixes of
+    # one string are equal) — no fold needed to select it.
+    chain = "WITH RECURSIVE " + chain[len("WITH "):]
     vocab_union = "\nUNION ALL\n".join(
         f"SELECT lhs || rhs AS m FROM __b{i}"
         for i in range(1, n_merges + 1))
     rem = f"substr(acc, 1, instr(acc, {sep}) - 1)"
-    best = (f"list_reduce(list_prepend('', "
-            f"list_filter(v.vb, p -> substr({rem}, 1, length(p)) = p)), "
-            f"(a, x) -> CASE WHEN length(x) > length(a) "
-            f"THEN x ELSE a END)")
+    best = (f"coalesce(list_filter(v.vb, "
+            f"p -> substr({rem}, 1, length(p)) = p)[1], '')")
     piece = (f"CASE WHEN {best} = '' THEN substr({rem}, 1, 1) "
              f"ELSE {best} END")
-    rendered = (f"CASE WHEN length({rem}) = length(t.word) THEN {piece} "
+    rendered = (f"CASE WHEN length({rem}) = length(e.word) THEN {piece} "
                 f"ELSE '##' || {piece} END")
     rest = f"substr(acc, instr(acc, {sep}) + 1)"
     return chain + f""",
-__vocab AS MATERIALIZED (SELECT list(m) AS vb FROM ({vocab_union})),
+__vocab AS MATERIALIZED (
+  SELECT list(m ORDER BY length(m) DESC, m) AS vb FROM ({vocab_union})),
 __types AS MATERIALIZED (SELECT DISTINCT word FROM __w1),
-__enc AS (
-  SELECT t.word,
-         list_reduce(
-           list_prepend(t.word || {sep},
-                        list_transform(range(1, length(t.word) + 1),
-                                       j -> '')),
-           (acc, stp) -> CASE WHEN instr(acc, {sep}) = 1 THEN acc
-             ELSE substr({rem}, length({piece}) + 1) || {sep}
-                  || CASE WHEN {rest} = '' THEN {rendered}
-                          ELSE {rest} || {sep} || {rendered} END
-             END) AS acc
-  FROM __types t, __vocab v)
+__encr AS (
+  SELECT word, word || {sep} AS acc FROM __types
+  UNION ALL
+  SELECT e.word,
+         substr({rem}, length({piece}) + 1) || {sep}
+           || CASE WHEN {rest} = '' THEN {rendered}
+                   ELSE {rest} || {sep} || {rendered} END AS acc
+  FROM __encr e, __vocab v
+  WHERE instr(acc, {sep}) != 1),
+__enc AS (SELECT word, acc FROM __encr WHERE instr(acc, {sep}) = 1)
 SELECT word, replace(substr(acc, 2), {sep}, ' ') AS segmentation,
        CAST(len(string_split(substr(acc, 2), {sep})) AS BIGINT)
            AS n_pieces
@@ -4263,8 +4301,8 @@ def _q_wordpiece_fertility(spark, sf_dir):
             .agg(F.sum("__cnt").alias("n_tokens"),
                  F.sum(F.col("__cnt") * F.col("__np")).alias("n_pieces"))
             .select("doc_id", "n_tokens", "n_pieces",
-                    F.round(F.col("n_pieces") / F.col("n_tokens"), 6)
-                    .alias("fertility")))
+                    (F.col("n_pieces").cast("double")
+                     / F.col("n_tokens")).alias("fertility")))
 
 
 def _wordpiece_fertility_oracle(n_merges: int = 8) -> str:
@@ -4280,9 +4318,9 @@ __occ AS MATERIALIZED (
 SELECT o.doc_id, sum(o.cnt) AS n_tokens,
        sum(o.cnt * len(string_split(substr(e.acc, 2), {sep})))
            AS n_pieces,
-       round(CAST(sum(o.cnt * len(string_split(substr(e.acc, 2),
-                                               {sep}))) AS DOUBLE)
-             / sum(o.cnt), 6) AS fertility
+       CAST(sum(o.cnt * len(string_split(substr(e.acc, 2),
+                                         {sep}))) AS DOUBLE)
+           / sum(o.cnt) AS fertility
 FROM __occ o JOIN __enc e ON e.word = o.tok GROUP BY o.doc_id
 """
 
@@ -4320,8 +4358,8 @@ def _q_bpe_fertility(spark, sf_dir):
             .agg(F.sum("__cnt").alias("n_tokens"),
                  F.sum(F.col("__cnt") * F.col("__np")).alias("n_pieces"))
             .select("doc_id", "n_tokens", "n_pieces",
-                    F.round(F.col("n_pieces") / F.col("n_tokens"), 6)
-                    .alias("fertility")))
+                    (F.col("n_pieces").cast("double")
+                     / F.col("n_tokens")).alias("fertility")))
 
 
 def _bpe_fertility_oracle(n_merges: int = 12) -> str:
@@ -4336,15 +4374,7 @@ def _bpe_fertility_oracle(n_merges: int = 12) -> str:
     for i in range(1, n_merges + 1):
         folds.append(f"""
 __t{i} AS MATERIALIZED (
-  SELECT tok,
-         list_reduce(
-           list_prepend({sep}, list_filter(string_split(sym, {sep}),
-                                           x -> x != '')),
-           (acc, x) -> CASE
-             WHEN ends_with(acc, {sep} || b.lhs || {sep}) AND x = b.rhs
-             THEN substr(acc, 1, length(acc) - length(b.lhs) - 1)
-                  || b.lhs || b.rhs || {sep}
-             ELSE acc || x || {sep} END) AS sym
+  SELECT tok, {_merge_step_sql('sym', 'b.lhs', 'b.rhs')} AS sym
   FROM __t{i - 1}, __b{i} b)""".strip())
     return (chain + ",\n" + f"""
 __occ AS MATERIALIZED (
@@ -4352,18 +4382,15 @@ __occ AS MATERIALIZED (
   FROM {_BPE_TOKS_SQL}
   GROUP BY doc_id, tok),
 __t0 AS MATERIALIZED (
-  SELECT tok,
-         {sep} || array_to_string(list_filter(string_split(tok, ''),
-                                              c -> c != ''), {sep})
-               || {sep} AS sym
+  SELECT tok, {_sym_init_sql('tok')} AS sym
   FROM (SELECT DISTINCT tok FROM __occ)),
 """.strip() + "\n" + ",\n".join(folds) + f"""
 SELECT o.doc_id, sum(o.cnt) AS n_tokens,
        sum(o.cnt * len(list_filter(string_split(t.sym, {sep}),
                                    x -> x != ''))) AS n_pieces,
-       round(CAST(sum(o.cnt * len(list_filter(string_split(t.sym, {sep}),
-                                              x -> x != ''))) AS DOUBLE)
-             / sum(o.cnt), 6) AS fertility
+       CAST(sum(o.cnt * len(list_filter(string_split(t.sym, {sep}),
+                                        x -> x != ''))) AS DOUBLE)
+           / sum(o.cnt) AS fertility
 FROM __occ o JOIN __t{n_merges} t USING (tok) GROUP BY o.doc_id
 """)
 
@@ -4823,8 +4850,8 @@ SELECT d AS day,
        sum(CASE WHEN m < 1 THEN 1 ELSE 0 END) AS dau,
        sum(CASE WHEN m < 7 THEN 1 ELSE 0 END) AS wau,
        count(*) AS mau,
-       round(CAST(sum(CASE WHEN m < 1 THEN 1 ELSE 0 END) AS DOUBLE)
-             / count(*), 6) AS stickiness
+       CAST(sum(CASE WHEN m < 1 THEN 1 ELSE 0 END) AS DOUBLE)
+           / count(*) AS stickiness
 FROM __x GROUP BY d
 """.strip())
 
@@ -6614,8 +6641,8 @@ def _q_unigram_fertility(spark, sf_dir):
             .agg(F.sum("__cnt").alias("n_tokens"),
                  F.sum(F.col("__cnt") * F.col("__np")).alias("n_pieces"))
             .select("doc_id", "n_tokens", "n_pieces",
-                    F.round(F.col("n_pieces") / F.col("n_tokens"), 6)
-                    .alias("fertility")))
+                    (F.col("n_pieces").cast("double")
+                     / F.col("n_tokens")).alias("fertility")))
 
 
 def _unigram_fertility_oracle(iters: int = 2) -> str:
@@ -6632,8 +6659,7 @@ __occ AS (SELECT doc_id, tok AS token, count(*) AS cnt
 SELECT o.doc_id,
        CAST(sum(o.cnt) AS BIGINT) AS n_tokens,
        CAST(sum(o.cnt * s.np) AS BIGINT) AS n_pieces,
-       round(sum(o.cnt * s.np) / CAST(sum(o.cnt) AS DOUBLE), 6)
-           AS fertility
+       CAST(sum(o.cnt * s.np) AS DOUBLE) / sum(o.cnt) AS fertility
 FROM __occ o JOIN __sz s USING (token)
 GROUP BY o.doc_id""")
 
@@ -8060,162 +8086,46 @@ ORDER BY 1
 # fills the remaining first-50 slots; those are all green in
 # CORRECTNESS_r01.json ∪ CORRECTNESS_r02.json.  Keep this list well under 50.
 _DRIVER_PREFIX = [
-    # ---- round 8 rotation ----
-    # never driver-verified: the two r7 hash-fails (root-caused + hardened
-    # in ce7783e: codepoint-portable BPE universe, integer micro-logit AUC
-    # ranking), the r7 past-the-cap straggler, and the 8 new r8 entries
-    "bpe_merges", "quality_auc", "bpe_fertility",
-    "wordpiece_merges",        # WordPiece likelihood-merge training
-    "sq8_topk",                # FAISS SQ8 scalar-quantized ANN
-    "lsh_quality",             # empirical LSH S-curve eval
-    "stream_semantic_replay",  # ordered-feed streaming SemDeDup
-    "attribution",             # single-touch marketing attribution
-    "rfm_segments",            # RFM user segmentation (+approx mode)
-    "url_canonical",           # URL canonicalization identity keys
-    "domain_stats",            # per-registrable-domain crawl stats
-    "budget_select",           # token-budget greedy data selection
-    "js_drift",                # Jensen-Shannon mixture drift
-    "margin_topk",             # Artetxe-Schwenk margin mining rescore
-    "stream_quota_replay",     # streaming per-source token quota
-    "kn_trigram_ppl",          # two-level Kneser-Ney trigram buckets
-    "curriculum",              # round-robin curriculum training order
-    "hard_negatives",          # batched BM25 DPR negative mining
-    "split_leakage",           # cross-split near-dup audit
-    # Spark-side plan changed in r8 — re-verify
-    "funnel_conv",   # one-pass K-step state machine (was a join chain)
-    "ann_quality",   # truth-driven eval output (zero-hit queries kept)
-    "rrf_fuse",      # hard candidate cap before the rank window
-    # (mmr_rerank rotated out latest-r8: r07-green; its r8 diff is the
-    # candidate cap shared with rrf_fuse, which stays in-prefix)
-    # oracle/expression text changed in r8 (ce7783e pinned the whitespace
-    # class on BOTH engines at 28 shared regex sites): every such entry
-    # is r07-or-earlier green and changed only in lockstep oracle text;
-    # the seam itself (the pinned split class) is exercised by the dozen
-    # tokenizing entries above (kn_trigram_ppl, readability,
-    # wordpiece_*, bpe_*), so no dedicated representative holds a slot —
-    # doc_quality/quality_lr/gopher_rules rotated out latest-r8 for the
-    # five new never-verified ops below
-    # (lang_scores + simhash rotated out latest-r8: r06/r04-green,
-    # whitespace-pin-only r8 diffs; the shared seam stays driver-covered
-    # by doc_quality/gopher_rules/quality_lr and the xxh64 sketch chain
-    # by split_leakage — displaced by the two new vector-algebra entries)
-    "embed_project",             # NEW r8 (latest): fixed-point JL projection
-    "embed_covariance",          # NEW r8 (latest): one-pass exact covariance
-    # (embed_correlation, hll_merge_rollup, props_stats-siblings
-    # registered latest-r8 and left past the cap: each is an exact
-    # finish/algebra over an in-prefix or long-green chain
-    # (embed_covariance, hll_distinct); r9 rotation candidates
-    # alongside unigram_fertility)
-    # (simhash_pairs rotated out late-r8: r04-green, whitespace-pin-only
-    # r8 diff; the sketch chain is re-verified via simhash in-prefix and
-    # the band self-join shape via split_leakage's pair pipeline)
-    # (token_count rotated out latest-r8: r04-green, whitespace-pin-only
-    # r8 diff; bpe_token_count and doc_quality in-prefix carry the same
-    # token-explode seam — displaced by the new unigram trainer)
-    # (unigram_pieces rotated out latest-r8 for unigram_fertility: the
-    # fertility report CHAINS train + Viterbi encode + the per-doc join,
-    # so one row verifies the whole unigram matrix end-to-end — the
-    # round-7 bpe_fertility lesson applied at registration time)
-    "unigram_fertility",         # NEW r8 (latest): whole unigram-LM matrix
-    # (bpe_token_count rotated out latest-r8: r04-green; its BPE merge
-    # chain is in-prefix four ways — bpe_merges, bpe_fertility,
-    # wordpiece_merges, wordpiece_encode — displaced by the JSON-props op)
-    "props_stats",               # NEW r8 (latest): semi-structured JSON
-    # (ngram_jaccard rotated out late-r8: r05-green, whitespace-pin-only
-    # r8 diff; the shingle chain is in-prefix via split_leakage's full
-    # MinHash pair pipeline)
-    # (chunk_documents rotated out late-r8: r05-green, zero r8 diffs;
-    # the token-cumsum window-binning chain is re-verified in-prefix
-    # via pack_sequences, which shares it and DID change in r8)
-    # (pack_sequences rotated out late-r8: r05-green, whitespace-pin-
-    # only r8 diff; the token-cumsum family's hardest variant,
-    # budget_select's two-level bucketized cum-sum, is in-prefix)
-    # (redact_pii rotated out latest-r8: r05-green, whitespace-pin-only
-    # r8 diff; the portable-regex-projection seam is in-prefix via
-    # doc_quality/gopher_rules — displaced by the stream-stream join)
-    "stream_join_replay",        # NEW r8 (latest): watermarked interval join
-    # (c4_rules rotated out late-r8: r06-green, whitespace-pin-only r8
-    # diff — gopher_rules stays as the rule-family + shared-seam
-    # representative)
-    # (contamination rotated out late-r8: r06-green, zero r8 diffs;
-    # the cross-set n-gram audit is in-prefix via split_leakage and its
-    # surgical twin decontaminate was r07-green)
-    # (corpus_stats rotated out late-r8: r06-green + r07 driver row;
-    # one-agg projection family with no r8 changes)
-    # (dedup_clusters rotated out late-r8: r06-green, zero r8 diffs;
-    # the iterative-graph machinery is re-verified in-prefix via
-    # label_prop and the pair chain via split_leakage)
-    # (dsir_sample, fingerprints, rep_filters rotated out late-r8: all
-    # r06-green; their only r8 diff is the lockstep whitespace-class
-    # pin, a single shared seam driver-verified by the dozen in-prefix
-    # entries that carry the same class — token_count, gopher_rules,
-    # quality_lr, pack_sequences, bpe_token_count, doc_quality, ...)
-    # (dedup_keep_best rotated out late-r8: r06-green,
-    # whitespace-pin-only r8 diff; the CC chain is in-prefix via
-    # label_prop/split_leakage)
-    # (ngram_novelty rotated out late-r8: r06-green, zero r8 diffs; the
-    # shingle-explode + reference anti-join chain stays covered by the
-    # older ngram_jaccard in-prefix)
-    # (norm_dedup rotated out late-r8: r06-green + r07 driver row;
-    # exact-dedup family covered via stream_dedup history and the
-    # corpus_pipeline chain)
-    # (lang_id rotated out late-r8: r06-green; its marker-intersection
-    # chain is re-verified through lang_scores in-prefix)
-    # (hashed_vectors rotated out late-r8: r06-green; its feature
-    # explode is re-verified through dsir_sample's shared chain)
-    # (oov_rate rotated out late-r8: r06-green, zero r8 diffs; the
-    # token-explode + broadcast-vocab join is in-prefix via
-    # token_count and bpe_token_count)
-    # (stream_minhash_replay rotated out late-r8: r06-green, zero r8
-    # diffs; four newer stateful replays sit in-prefix —
-    # stream_semantic/quota/attribution/funnel — on the same
-    # availableNow machinery)
-    # (ppl_buckets rotated out late-r8: r06-green; the perplexity
-    # family's shared chain re-verified r07 via ppl_quantile_buckets
-    # and kn_bigram_ppl)
-    # (semantic_dedup rotated out late-r8: r06-green; its cell-bounded
-    # join family is re-verified via stream_semantic_replay in-prefix)
-    # (substr_dedup rotated out late-r8: r06+r07 driver-green, the
-    # freshest rows in the stale block — a never-verified entry wins)
-    # (quality_calibration rotated out late-r8: its sigmoid-rounding
-    # seam is covered by quality_lr, its logit path by quality_auc +
-    # budget_select, all three in-prefix)
-    # (wordpiece_encode rotated out latest-r8: wordpiece_fertility
-    # in-prefix chains the same greedy longest-match inference per type)
-    "stream_attribution_replay",  # NEW r8 (late): stateful attribution
-    "label_prop",                # NEW r8 (late): LPA communities
-    "stream_funnel_replay",      # NEW r8 (late): live-funnel kernel
-    "wordpiece_fertility",       # NEW r8 (late): tokenizer matrix
-    "readability",               # NEW r8 (late): Flesch/FK/TTR report
-    "active_users",              # NEW r8 (late): rolling DAU/WAU/MAU
-    "asof_join",                 # NEW r8 (late): point-in-time join
-    "triangles",                 # NEW r8 (late): clustering coefficients
-    "bloom_filter",              # NEW r8 (late): membership pre-filter
-    "stream_cms_replay",         # NEW r8 (late): 10th stateful replay
-    "judge_agreement",           # NEW r8 (late): Cohen's kappa
-    "bleu_eval",                 # NEW r8 (late): clipped n-gram report
-    "bt_ranking",                # NEW r8 (late): Bradley-Terry MM fit
-    "core_numbers",              # NEW r8 (late): k-core decomposition
-    "corpus_diff",               # NEW r8 (late): snapshot diff audit
-    # (asof_nearest rotated out latest-r8 in favor of ab_test: the
-    # merge-union time-join machinery is in-prefix twice via asof_join
-    # and window_join, and its single-exchange shape is plan-pinned)
-    "ab_test",                   # NEW r8 (latest): hash-bucketed A/B readout
-    "script_profile",            # NEW r8 (late): writing-script router
-    "window_join",               # NEW r8 (late): kdb-wj trailing stats
-    # ---- latest-r8 wave 2: never-verified, riskiest cross-engine seams
-    # first.  Past the cap (lead the r9 rotation, never driver-verified):
-    # kaplan_meier, k_center, mad_outliers, cusum_changepoint,
-    # session_paths, fuzzy_clusters, trimmed_stats, stream_cusum_replay,
-    # isotonic_calibration, dedup_agreement, pca_extremes + the
-    # covered-chain finishers embed_correlation, cuped_lift,
-    # hll_merge_rollup, asof_nearest
-    "stream_anomaly_replay",     # NEW r8: EWMA anomaly kernel; its oracle
-                                 # dodges two DuckDB list_reduce hazards
-    "fuzzy_pairs",               # NEW r8: threshold-levenshtein parity
-    "pca_power",                 # NEW r8: int fixed-point power iteration
-    "markov_attribution",        # NEW r8: journey fold + int absorption
-    "textrank",                  # NEW r8: translate()-gate + int pagerank
+    # ---- round 10 rotation ----
+    # Every entry below either (a) had its oracle/op rewritten this round
+    # (the r07-r09 hash-fail family: list_reduce + string_split(x,'')
+    # purged for replace()-based merges, round(x,6) purged from
+    # driver-facing doubles — all re-verified BIT-EXACT vs local DuckDB
+    # by tools/check_oracles.py + the strict raw-value pass), or (b) has
+    # never had a driver row (the 20-entry backlog VERDICT r9 lists).
+    # Everything green through r08 keeps registration order behind these.
+    "bpe_word_counts",       # NEW r10: token-universe BISECTION entry —
+                             # green here + red fold => fold-side cause
+    "bpe_merges",            # rewritten oracle: replace()-merge encoding
+    "wordpiece_merges",      # rewritten + un-rounded score
+    "bpe_fertility",         # rewritten fold chain + un-rounded ratio
+    "wordpiece_fertility",   # rewritten + un-rounded ratio
+    "wordpiece_encode",      # never-verified; recursive-CTE encode replay
+    "unigram_pieces",        # never-verified; Viterbi DP replay
+    "unigram_fertility",     # r08-green, but fertility un-rounded in
+                             # lockstep this round — needs a fresh row
+    "quality_auc",           # un-rounded single division of exact ints
+    "active_users",          # un-rounded stickiness
+    "lsh_quality",           # un-rounded capture/theory rates
+    # ---- the never-driver-verified backlog (registered r8) ----
+    "dedup_agreement",       # + r10 single-job finish (was 9 actions)
+    "asof_nearest",          # |gap|-ranked nearest as-of join
+    "cuped_lift",            # CUPED variance-reduced A/B lift
+    "cusum_changepoint",     # CUSUM mean-shift detection
+    "embed_correlation",     # exact covariance -> correlation finish
+    "fuzzy_clusters",        # blocked-Levenshtein CC clusters
+    "hll_merge_rollup",      # HLL sketch merge rollup
+    "isotonic_calibration",  # PAV isotonic regression
+    "k_center",              # greedy k-center coreset
+    "kaplan_meier",          # KM survival estimator
+    "key_skew",              # hot-key skew report
+    "mad_outliers",          # median-absolute-deviation outliers
+    "pca_extremes",          # PCA top-component extremes
+    "session_paths",         # sessionized top path report
+    "stream_cov_replay",     # streaming covariance sketch replay
+    "stream_cusum_replay",   # streaming CUSUM replay
+    "time_to_convert",       # per-channel conversion latency
+    "trimmed_stats",         # trimmed/winsorized moments
 ]
 # The driver checks at most _DRIVER_CAP rows per round; test_entry.py pins
 # len(_DRIVER_PREFIX) <= cap so additions can never silently evict entries

@@ -169,3 +169,51 @@ def test_bradley_terry_cross_engine_random_tables(spark):
         want = {r[0]: (r[1], r[2]) for r in con.execute(sql).fetchall()}
         con.close()
         assert got == want, f"seed {seed}: {got} != {want}"
+
+
+def test_replace_merge_equals_sequential_fold():
+    """The oracle's ONE-replace merge step (wrapped-symbol encoding,
+    entry_queries._merge_step_sql) must equal the sequential
+    left-to-right non-overlapping fold (bpe._py_merge, itself
+    property-pinned to the Spark fold) — including same-symbol runs
+    ('a a a a a a' pairs greedily from the left) and merged-token
+    boundaries (the merged symbol never re-matches as lhs or rhs).
+    Drives randomized symbol tables plus the adversarial run shapes
+    through DuckDB's replace()."""
+    import random
+
+    from carbonapi_spark.datapipe.bpe import _py_merge
+    from carbonapi_spark.entry_queries import _merge_step_sql
+
+    con = duckdb.connect()
+    sep = "\x1f"
+
+    def sql_merge(syms, left, right):
+        wrapped = "".join(sep + s + sep for s in syms)
+        # placeholder order in the rendered SQL: sym, lhs, rhs, lhs, rhs
+        expr = _merge_step_sql("?", "?", "?")
+        out = con.execute(f"SELECT {expr}",
+                          [wrapped, left, right, left, right]
+                          ).fetchone()[0]
+        return [s for s in out.split(sep) if s != ""]
+
+    cases = [
+        (["a"] * 6, "a", "a"),
+        (["a"] * 5, "a", "a"),
+        (["a", "b"] * 4, "a", "b"),
+        (["b", "a", "b", "a", "b"], "a", "b"),
+        (["l", "l", "r"], "l", "r"),
+        (["lr", "r", "l", "r"], "l", "r"),
+        (["x"], "x", "x"),
+        ([], "a", "b"),
+    ]
+    rng = random.Random(7)
+    alphabet = ["a", "b", "ab", "ba", "aa"]
+    for _ in range(200):
+        syms = [rng.choice(alphabet) for _ in range(rng.randrange(0, 12))]
+        left, right = rng.choice(alphabet), rng.choice(alphabet)
+        cases.append((syms, left, right))
+    for syms, left, right in cases:
+        assert sql_merge(syms, left, right) == _py_merge(syms, left, right), \
+            (syms, left, right)
+    con.close()

@@ -2797,7 +2797,7 @@ def test_roc_auc_matches_sklearn_free_reference(spark):
     for pairs in cases:
         df = spark.createDataFrame(pairs, "s double, y int")
         got = roc_auc(df, "s", "y").collect()[0]
-        assert got["auc"] == round(ref_auc(pairs), 6), pairs
+        assert got["auc"] == pytest.approx(ref_auc(pairs), abs=1e-12), pairs
     assert cases and ref_auc(cases[0]) == 1.0 and ref_auc(cases[1]) == 0.0
     # degenerate single-class -> NULL
     one = spark.createDataFrame([(0.5, 1), (0.9, 1)], "s double, y int")
@@ -2979,7 +2979,7 @@ def test_wordpiece_known_values(spark):
     assert (out[0]["lhs"], out[0]["rhs"]) == ("z", "q")
     assert out[0]["pair_count"] == 2 and out[0]["score"] == 0.5
     assert (out[1]["lhs"], out[1]["rhs"]) == ("x", "y")
-    assert out[1]["score"] == round(3 / 49, 6)
+    assert out[1]["score"] == 3 / 49
 
 
 def test_wordpiece_encode_greedy_longest_match(spark):
