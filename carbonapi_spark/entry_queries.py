@@ -7524,40 +7524,57 @@ def _q_dedup_agreement(spark, sf_dir):
     Jaccard) between the MinHash-verified, SimHash, and fuzzy-
     Levenshtein near-dup pair sets — the 'are my detectors seeing the
     same duplicates?' report that decides which families need a second
-    pass.  Pair sets are k-bounded by their own machinery; the
-    intersections are three id-pair joins; the output is 3 rows of
-    exact integers + one IEEE division each."""
-    from carbonapi_spark import scratch
+    pass.
+
+    ONE Spark job, not a driver loop: the three (distinct-by-
+    construction) pair sets are union-tagged, one keyed aggregation
+    flags each pair's detector membership, a 1-row aggregate sums every
+    per-detector count and pairwise intersection at once, and the 3
+    report rows explode from that row engine-side.  Each pair set is
+    scanned exactly once (no persists needed); the old shape paid 9
+    separate count/join actions (~5.9 s at sf0.1).  Jaccard is the raw
+    IEEE division of exact int64 counts."""
     from carbonapi_spark.datapipe.dedup import (fuzzy_pairs,
                                                 jaccard_verify,
                                                 minhash_lsh_candidates,
                                                 simhash_pairs)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    m = scratch.track(
-        jaccard_verify(docs, minhash_lsh_candidates(
-            docs, num_hashes=16, bands=4, ngram=2), ngram=2,
-            threshold=0.2).select("id_a", "id_b"))
-    s = scratch.track(
-        simhash_pairs(docs, bits=64, bands=4, max_hamming=3)
-        .select("id_a", "id_b"))
-    f = scratch.track(fuzzy_pairs(docs, max_dist=5, key_len=200)
-                      .select("id_a", "id_b"))
-    sets = [("fuzzy", f), ("minhash", m), ("simhash", s)]
-    rows = []
-    for x in range(len(sets)):
-        for y in range(x + 1, len(sets)):
-            na, a = sets[x]
-            nb, b = sets[y]
-            ca, cb = a.count(), b.count()
-            inter = a.join(b, ["id_a", "id_b"]).count()
-            union = ca + cb - inter
-            rows.append((na, nb, ca, cb, inter,
-                         (float(inter) / float(union)) if union else 0.0))
-    return (spark.createDataFrame(
-        rows, "method_a STRING, method_b STRING, n_a LONG, n_b LONG, "
-              "n_both LONG, jaccard DOUBLE")
+    m = jaccard_verify(docs, minhash_lsh_candidates(
+        docs, num_hashes=16, bands=4, ngram=2), ngram=2,
+        threshold=0.2).select("id_a", "id_b")
+    s = simhash_pairs(docs, bits=64, bands=4,
+                      max_hamming=3).select("id_a", "id_b")
+    f = fuzzy_pairs(docs, max_dist=5, key_len=200).select("id_a", "id_b")
+    tagged = (f.select(F.lit("f").alias("__t"), "id_a", "id_b")
+              .unionByName(m.select(F.lit("m").alias("__t"),
+                                    "id_a", "id_b"))
+              .unionByName(s.select(F.lit("s").alias("__t"),
+                                    "id_a", "id_b")))
+    per = tagged.groupBy("id_a", "id_b").agg(
+        *[F.max((F.col("__t") == t).cast("long")).alias(t)
+          for t in ("f", "m", "s")])
+    agg = per.agg(F.sum("f").alias("cf"), F.sum("m").alias("cm"),
+                  F.sum("s").alias("cs"),
+                  F.sum(F.col("f") * F.col("m")).alias("i_fm"),
+                  F.sum(F.col("f") * F.col("s")).alias("i_fs"),
+                  F.sum(F.col("m") * F.col("s")).alias("i_ms"))
+
+    def combo(a, b, ca, cb, i):
+        return F.struct(F.lit(a).alias("method_a"),
+                        F.lit(b).alias("method_b"),
+                        F.col(ca).alias("n_a"), F.col(cb).alias("n_b"),
+                        F.col(i).alias("n_both"))
+
+    uni = F.col("n_a") + F.col("n_b") - F.col("n_both")
+    jac = F.when(uni > 0, F.col("n_both").cast("double") / uni) \
+        .otherwise(F.lit(0.0))
+    return (agg.select(F.explode(F.array(
+        combo("fuzzy", "minhash", "cf", "cm", "i_fm"),
+        combo("fuzzy", "simhash", "cf", "cs", "i_fs"),
+        combo("minhash", "simhash", "cm", "cs", "i_ms"))).alias("r"))
+        .select("r.*")
         .select("method_a", "method_b", "n_a", "n_b", "n_both",
-                F.round("jaccard", 6).alias("jaccard"))
+                jac.alias("jaccard"))
         .orderBy("method_a", "method_b"))
 
 
@@ -7587,9 +7604,9 @@ __out AS (
   FROM __cm, __cs, __i_ms)
 SELECT method_a, method_b, CAST(n_a AS BIGINT) AS n_a,
        CAST(n_b AS BIGINT) AS n_b, CAST(n_both AS BIGINT) AS n_both,
-       round(CASE WHEN n_a + n_b - n_both > 0
-                  THEN CAST(n_both AS DOUBLE) / (n_a + n_b - n_both)
-                  ELSE 0.0 END, 6) AS jaccard
+       CASE WHEN n_a + n_b - n_both > 0
+            THEN CAST(n_both AS DOUBLE) / (n_a + n_b - n_both)
+            ELSE 0.0 END AS jaccard
 FROM __out ORDER BY method_a, method_b
 """.strip()
 
