@@ -668,10 +668,10 @@ def kaplan_meier(events: DataFrame, period_s: int = 86400,
 
     Replay exactness: each factor (1 - d/n) is one IEEE divide of exact
     integers; S(t) is a SEQUENTIAL product over factors sorted by
-    lifetime — Spark's ``F.aggregate`` and DuckDB's ``list_reduce``
-    fold the identical sequence left-to-right, so the bits match with
-    NO intermediate rounding (the asof/BLEU fold recipe).  Only the
-    final output is rounded to 6.
+    lifetime — Spark's ``F.aggregate`` folds left-to-right and the SQL
+    oracle walks the same ranked sequence with a recursive CTE, so the
+    bits match with NO rounding anywhere (survival ships as the raw
+    double of the fixed-order product chain).
 
     Scale shape: one user-keyed aggregation (the only event-sized
     shuffle), then everything is (observation span / period)-sized: the
@@ -712,7 +712,7 @@ def kaplan_meier(events: DataFrame, period_s: int = 86400,
         F.lit(1.0), lambda acc, s: acc * s["f"])
     return (risked.crossJoin(F.broadcast(facs))
             .select("period", "at_risk", "deaths", "censored",
-                    F.round(surv, 6).alias("survival"))
+                    surv.alias("survival"))
             .orderBy("period"))
 
 
@@ -990,12 +990,12 @@ def cusum_changepoint(events: DataFrame, group_col: str = "event_type",
                     F.col("__p.__oid").alias("change_id"),
                     F.col("__p.__t").alias("t_before"),
                     F.col("__p.__dev").alias("stat_micro"),
-                    F.round(F.col("__p.__cum")
-                            / F.col("__p.__t") / F.lit(float(scale)), 6)
+                    (F.col("__p.__cum")
+                     / F.col("__p.__t") / F.lit(float(scale)))
                     .alias("mean_before"),
-                    F.round((F.col("__s") - F.col("__p.__cum"))
-                            / (F.col("__n") - F.col("__p.__t"))
-                            / F.lit(float(scale)), 6).alias("mean_after"))
+                    ((F.col("__s") - F.col("__p.__cum"))
+                     / (F.col("__n") - F.col("__p.__t"))
+                     / F.lit(float(scale))).alias("mean_after"))
             .orderBy(group_col))
 
 
@@ -1095,12 +1095,10 @@ def trimmed_stats(events: DataFrame, lo_num: int = 1, hi_num: int = 19,
     sc = float(scale)
     return (agg.select(
         F.col("__g").alias(group_col), "n",
-        F.round(F.col("__lo") / sc, 6).alias("q_lo"),
-        F.round(F.col("__hi") / sc, 6).alias("q_hi"),
-        F.round(F.col("__ts") / F.col("__tn") / sc, 6)
-        .alias("trimmed_mean"),
-        F.round(F.col("__ws") / F.col("n") / sc, 6)
-        .alias("winsorized_mean"))
+        (F.col("__lo") / sc).alias("q_lo"),
+        (F.col("__hi") / sc).alias("q_hi"),
+        (F.col("__ts") / F.col("__tn") / sc).alias("trimmed_mean"),
+        (F.col("__ws") / F.col("n") / sc).alias("winsorized_mean"))
         .orderBy(group_col))
 
 
@@ -1123,7 +1121,8 @@ def key_skew_report(df: DataFrame, key_col: str,
     shuffle), then everything is distinct-frequency-sized.
 
     Returns (key_col, n_rows, n_keys, max_cnt, p50_cnt, p99_cnt,
-    top{k}_share, gini)."""
+    top_share, gini) — ``top_share`` is the row share held by the top
+    ``top_k`` keys."""
     from pyspark.sql.window import Window
     freq = (df.groupBy(F.col(key_col).alias("__k"))
             .agg(F.count(F.lit(1)).alias("__c")))
@@ -1168,10 +1167,9 @@ def key_skew_report(df: DataFrame, key_col: str,
                     F.col("__n").alias("n_rows"),
                     F.col("__nk").alias("n_keys"),
                     "max_cnt", "p50_cnt", "p99_cnt",
-                    F.round(F.col("__topc")
-                            / F.col("__n").cast("double"), 6)
+                    (F.col("__topc") / F.col("__n").cast("double"))
                     .alias("top_share"),
-                    F.round(gini, 6).alias("gini")))
+                    gini.alias("gini")))
 
 
 def time_to_convert(events: DataFrame, conversion_type: str,
@@ -1179,10 +1177,14 @@ def time_to_convert(events: DataFrame, conversion_type: str,
                     user_col: str = "user_id",
                     type_col: str = "event_type",
                     ts_col: str = "sec") -> DataFrame:
-    """Latency from a channel's FIRST touch to the user's FIRST
-    conversion at or after it — the time-to-convert distribution per
-    channel (the attribution family's 'how long does each channel take
-    to pay off' companion).
+    """Latency from a channel's FIRST touch to the user's FIRST-EVER
+    conversion — the time-to-convert distribution per channel (the
+    attribution family's 'how long does each channel take to pay off'
+    companion).  A (user, channel) whose first touch lands AFTER the
+    user's first conversion is dropped entirely — it is NOT re-matched
+    to a later re-conversion, mirroring first-conversion attribution
+    (re-converting users count only toward channels that touched them
+    before conversion #1).
 
     Two user-keyed aggregations (first touch per channel, first
     conversion) + one join; latencies are exact integer seconds and
@@ -1222,7 +1224,7 @@ def time_to_convert(events: DataFrame, conversion_type: str,
     return (tot.join(_pos(1, 2, "p50_s"), "channel")
             .join(_pos(9, 10, "p90_s"), "channel")
             .select("channel", "n_converted", "p50_s", "p90_s",
-                    F.round(F.col("__sum")
-                            / F.col("n_converted").cast("double"), 6)
+                    (F.col("__sum")
+                     / F.col("n_converted").cast("double"))
                     .alias("mean_s"))
             .orderBy("channel"))

@@ -107,41 +107,66 @@ def _cov_partials_arrow(vecs: DataFrame, vec_col: str) -> DataFrame:
     dim x dim int64 accumulator, emitting ONE partial row set per
     partition: (i, j, sq, n) pair rows + (i, -1, sm, 0) moment rows.
     Identical integer partials as the JVM HOF path — the sums are
-    order-independent by design, so the two paths are bit-equal."""
+    order-independent by design, so the two paths are bit-equal.
+
+    DIRTY-DATA TOLERANCE mirrors the JVM path exactly (parity-pinned
+    in tests/test_linalg.py): NULL (and empty) embeddings contribute
+    nothing — the HOF explode of a null array emits zero rows — and a
+    RAGGED row of length L contributes to pairs/moments with indices
+    < L only, with per-pair counts tracking how many rows actually
+    reached each (i, j).  The kernel therefore accumulates per length
+    group instead of one rectangular stack (which crashed outright on
+    None/ragged input)."""
     import numpy as np
     import pandas as pd
 
+    def q_half_away(p):
+        # exact binary half-away-from-zero: frac = p - trunc(p)
+        # is exact for |p| << 2^52, so the >= .5 test is the
+        # same comparison round() makes
+        t = np.trunc(p)
+        return (t + np.where(np.abs(p - t) >= 0.5,
+                             np.sign(p), 0.0)).astype(np.int64)
+
     def gen(batches):
         for pdf in batches:
-            if not len(pdf):
+            groups: dict = {}
+            for a in pdf[vec_col]:
+                if a is None:
+                    continue
+                v = np.asarray(a, dtype=np.float64)
+                if len(v):
+                    groups.setdefault(len(v), []).append(v)
+            if not groups:
                 continue
-            X = np.asarray([np.asarray(a, dtype=np.float64)
-                            for a in pdf[vec_col]])
-            n, d = X.shape
+            d = max(groups)
             acc = np.zeros((d, d), dtype=np.int64)
             mom = np.zeros(d, dtype=np.int64)
-
-            def q_half_away(p):
-                # exact binary half-away-from-zero: frac = p - trunc(p)
-                # is exact for |p| << 2^52, so the >= .5 test is the
-                # same comparison round() makes
-                t = np.trunc(p)
-                return (t + np.where(np.abs(p - t) >= 0.5,
-                                     np.sign(p), 0.0)).astype(np.int64)
-
+            npair = np.zeros((d, d), dtype=np.int64)
             step = 512
-            for s0 in range(0, n, step):
-                c = X[s0:s0 + step]
-                acc += q_half_away(
-                    np.einsum("ni,nj->nij", c, c) * COV_SCALE).sum(axis=0)
-                mom += q_half_away(c * COV_SCALE).sum(axis=0)
+            for dl, rows_l in groups.items():
+                X = np.stack(rows_l)
+                for s0 in range(0, len(X), step):
+                    c = X[s0:s0 + step]
+                    acc[:dl, :dl] += q_half_away(
+                        np.einsum("ni,nj->nij", c, c)
+                        * COV_SCALE).sum(axis=0)
+                    mom[:dl] += q_half_away(c * COV_SCALE).sum(axis=0)
+                npair[:dl, :dl] += len(X)
             iu, ju = np.triu_indices(d)
+            # pairs no row reached (ragged tails) never materialize in
+            # the JVM explode either — emit only n > 0
+            keep = npair[iu, ju] > 0
+            iu, ju = iu[keep], ju[keep]
+            mkeep = np.diag(npair) > 0
+            midx = np.arange(d)[mkeep]
             yield pd.DataFrame({
-                "i": np.concatenate([iu, np.arange(d)]).astype("int32"),
-                "j": np.concatenate([ju, np.full(d, -1)]).astype("int32"),
-                "sq": np.concatenate([acc[iu, ju], mom]),
-                "n": np.concatenate([np.full(len(iu), n), np.zeros(d)])
-                .astype("int64")})
+                "i": np.concatenate([iu, midx]).astype("int32"),
+                "j": np.concatenate([ju, np.full(len(midx), -1)])
+                .astype("int32"),
+                "sq": np.concatenate([acc[iu, ju], mom[mkeep]]),
+                "n": np.concatenate([npair[iu, ju],
+                                     np.zeros(len(midx))]).astype("int64")})
 
     return vecs.select(vec_col).mapInPandas(gen, "i INT, j INT, sq LONG, n LONG")
 

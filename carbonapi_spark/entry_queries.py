@@ -7100,8 +7100,14 @@ def _q_kaplan_meier(spark, sf_dir):
 
 
 def _kaplan_meier_oracle(period_s: int = 86400) -> str:
+    # cumulative survival product as a RECURSIVE CTE walking the
+    # period-ranked factor table — strictly sequential ((f1*f2)*f3)...,
+    # the exact order of the Spark fold (whose 1.0 init is a bitwise
+    # no-op), with no list_reduce (the DuckDB-version-sensitive
+    # construct purged from every driver-facing oracle in r10) and no
+    # output rounding (a fixed-order IEEE chain is bit-identical as-is)
     return f"""
-WITH __u AS (SELECT user_id,
+WITH RECURSIVE __u AS (SELECT user_id,
                     min(floor(epoch(ts))) AS f, max(floor(epoch(ts))) AS l
              FROM events GROUP BY user_id),
 __e AS (SELECT max(l) AS e FROM __u),
@@ -7116,20 +7122,22 @@ __rk AS (SELECT period, deaths, censored,
                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
                     AS at_risk
          FROM __cnt),
-__fs AS (SELECT list_sort(list(struct_pack(
-                    t := period,
-                    f := 1.0 - CAST(deaths AS DOUBLE)
-                               / CAST(at_risk AS DOUBLE)))) AS fs
-         FROM __rk)
-SELECT period, CAST(at_risk AS BIGINT) AS at_risk,
+__rf AS (SELECT period,
+                1.0 - CAST(deaths AS DOUBLE) / CAST(at_risk AS DOUBLE)
+                    AS f,
+                row_number() OVER (ORDER BY period) AS rn
+         FROM __rk),
+__sv AS (
+  SELECT rn, period, f AS s FROM __rf WHERE rn = 1
+  UNION ALL
+  SELECT r.rn, r.period, v.s * r.f AS s
+  FROM __sv v JOIN __rf r ON r.rn = v.rn + 1)
+SELECT k.period, CAST(at_risk AS BIGINT) AS at_risk,
        CAST(deaths AS BIGINT) AS deaths,
        CAST(censored AS BIGINT) AS censored,
-       round(list_reduce(
-           list_prepend(1.0, list_transform(
-               list_filter(fs, s -> s.t <= period), s -> s.f)),
-           (acc, x) -> acc * x), 6) AS survival
-FROM __rk, __fs
-ORDER BY period
+       v.s AS survival
+FROM __rk k JOIN __sv v USING (period)
+ORDER BY k.period
 """.strip()
 
 
@@ -7474,8 +7482,7 @@ __tot AS (SELECT channel, max(n) AS n_converted, sum(lc) AS s
           FROM __r GROUP BY channel)
 SELECT t.channel, CAST(n_converted AS BIGINT) AS n_converted,
        p50_s, p90_s,
-       round(CAST(s AS DOUBLE) / CAST(n_converted AS DOUBLE), 6)
-           AS mean_s
+       CAST(s AS DOUBLE) / CAST(n_converted AS DOUBLE) AS mean_s
 FROM __tot t JOIN __p50 USING (channel) JOIN __p90 USING (channel)
 ORDER BY channel
 """.strip())
@@ -7511,10 +7518,10 @@ SELECT 'user_id' AS key_col, CAST(n AS BIGINT) AS n_rows,
        CAST(nk AS BIGINT) AS n_keys, CAST(max_cnt AS BIGINT) AS max_cnt,
        CAST(p50_cnt AS BIGINT) AS p50_cnt,
        CAST(p99_cnt AS BIGINT) AS p99_cnt,
-       round(CAST(topc AS DOUBLE) / CAST(n AS DOUBLE), 6) AS top_share,
-       round(CAST(rw AS DOUBLE)
-             / (CAST(nk AS DOUBLE) * CAST(n AS DOUBLE))
-             - CAST(nk + 1 AS DOUBLE) / CAST(nk AS DOUBLE), 6) AS gini
+       CAST(topc AS DOUBLE) / CAST(n AS DOUBLE) AS top_share,
+       CAST(rw AS DOUBLE)
+           / (CAST(nk AS DOUBLE) * CAST(n AS DOUBLE))
+           - CAST(nk + 1 AS DOUBLE) / CAST(nk AS DOUBLE) AS gini
 FROM __sums, __mx, __p50, __p99, __tp
 """.strip())
 
@@ -7708,10 +7715,10 @@ __a AS (SELECT r.g, max(n) AS n, max(lo) AS lo, max(hi) AS hi,
         FROM __r r JOIN __lo USING (g) JOIN __hi USING (g)
         GROUP BY r.g)
 SELECT g AS event_type, CAST(n AS BIGINT) AS n,
-       round(CAST(lo AS DOUBLE) / 1000000.0, 6) AS q_lo,
-       round(CAST(hi AS DOUBLE) / 1000000.0, 6) AS q_hi,
-       round(CAST(ts AS DOUBLE) / tn / 1000000.0, 6) AS trimmed_mean,
-       round(CAST(ws AS DOUBLE) / n / 1000000.0, 6) AS winsorized_mean
+       CAST(lo AS DOUBLE) / 1000000.0 AS q_lo,
+       CAST(hi AS DOUBLE) / 1000000.0 AS q_hi,
+       CAST(ts AS DOUBLE) / tn / 1000000.0 AS trimmed_mean,
+       CAST(ws AS DOUBLE) / n / 1000000.0 AS winsorized_mean
 FROM __a ORDER BY 1
 """.strip())
 
@@ -7937,9 +7944,8 @@ __p AS (SELECT *, row_number() OVER (PARTITION BY g
         FROM __d)
 SELECT g AS event_type, ts AS change_sec, oid AS change_id,
        CAST(t AS BIGINT) AS t_before, CAST(dev AS BIGINT) AS stat_micro,
-       round((CAST(cum AS DOUBLE) / t) / 1000000.0, 6) AS mean_before,
-       round((CAST(s - cum AS DOUBLE) / (n - t)) / 1000000.0, 6)
-           AS mean_after
+       (CAST(cum AS DOUBLE) / t) / 1000000.0 AS mean_before,
+       (CAST(s - cum AS DOUBLE) / (n - t)) / 1000000.0 AS mean_after
 FROM __p WHERE rn = 1 ORDER BY 1
 """.strip())
 

@@ -80,6 +80,35 @@ def test_covariance_partition_invariant(spark):
     assert a == b   # exact equality: integer sums are order-independent
 
 
+def test_covariance_dirty_frame_paths_agree(spark):
+    """NULL and RAGGED embedding rows: the Arrow kernel (which used to
+    crash on a non-rectangular batch) must agree bit-for-bit with the
+    JVM HOF path's tolerance — nulls contribute nothing, a length-L row
+    contributes only to pairs/moments with indices < L, and per-pair
+    counts track actual contributors."""
+    rng = random.Random(5)
+    rows = []
+    for i in range(40):
+        if i % 9 == 0:
+            rows.append((i, None))
+        elif i % 7 == 0:
+            rows.append((i, [rng.uniform(-1, 1) for _ in range(3)]))
+        else:
+            rows.append((i, [rng.uniform(-1, 1) for _ in range(5)]))
+    df = spark.createDataFrame(rows,
+                               "vec_id long, embedding array<float>")
+    for reparted in (df, df.repartition(5)):
+        a = {(r["i"], r["j"]): r["cov"]
+             for r in covariance_matrix(reparted, arrow=True).collect()}
+        b = {(r["i"], r["j"]): r["cov"]
+             for r in covariance_matrix(reparted, arrow=False).collect()}
+        assert a == b and len(a) == 5 * 6 // 2
+    # all-null / empty partitions must not crash the kernel
+    empt = spark.createDataFrame([(0, None)],
+                                 "vec_id long, embedding array<float>")
+    assert covariance_matrix(empt, arrow=True).collect() == []
+
+
 def test_pca_components_match_numpy(spark):
     rng = random.Random(11)
     # anisotropic data: dim 0 dominates, dim 1 second
