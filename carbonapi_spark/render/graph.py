@@ -7,8 +7,16 @@ canvas + a stdlib-zlib PNG encoder, with text drawn from a small built-in
 stroke font (vector polylines, shared with the SVG path). Pixel parity
 with cairo is a non-goal; dimensions, series geometry, colors, decorators
 and the param surface (width/height/bgcolor/fgcolor/title/hideLegend/
-lineWidth/colorList/yMin/yMax/areaMode/logBase/drawNullAsZero —
-``picture_params.go:233-278``) follow the reference.
+lineWidth/colorList/yMin/yMax/areaMode/logBase/drawNullAsZero/yStep/
+minorY/majorGridLineColor/minorGridLineColor —
+``picture_params.go:233-301``) follow the reference.
+
+Deliberate deviations / non-goals (beyond pixel parity): ``minorY``
+defaults to 0 here (cairo defaults to 1 minor line between majors;
+our long-standing golden rasters pin the majors-only default) and the
+dual-axis family (``secondYAxis``/``*Left``/``*Right`` incl.
+``yLimitLeft/yLimitRight/yStepLeft/yStepRight``), ``yUnitSystem``,
+``yDivisors``, and template-file themes are not implemented.
 """
 
 from __future__ import annotations
@@ -277,6 +285,24 @@ class GraphParams:
         self.area_mode = get("areaMode", "none")
         self.y_min = float(get("yMin")) if get("yMin") else None
         self.y_max = float(get("yMax")) if get("yMax") else None
+        # yStep (cairo.go:1711-1718): override the computed tick step;
+        # the y-range then snaps outward to step multiples
+        # (yBottom = step*floor(min/step), yTop = step*ceil(max/step))
+        try:
+            self.y_step = float(get("yStep")) if get("yStep") else None
+        except ValueError:
+            self.y_step = None
+        if self.y_step is not None and self.y_step <= 0:
+            self.y_step = None
+        # minorY (cairo.go:2067-2110): N minor gridlines between each
+        # adjacent major pair.  Cairo defaults to 1; we default to 0
+        # (documented deviation — the golden rasters pin majors-only)
+        try:
+            self.minor_y = max(0, int(float(get("minorY", "0"))))
+        except ValueError:
+            self.minor_y = 0
+        self.major_grid_color = get("majorGridLineColor")
+        self.minor_grid_color = get("minorGridLineColor")
         cl = get("colorList")
         self.color_list = cl.split(",") if cl else DEFAULT_COLOR_LIST
         # picture_params.go:335-344: "e" -> e, else float, <1 -> off.
@@ -364,12 +390,26 @@ def _y_scale(gp: GraphParams, lo: float, hi: float, py0: float, py1: float):
                  for e in range(n_exp // stride + 1)]
         return sy, ticks
 
+    ticks = list(_nice_ticks(lo, hi))
+    if gp.y_step:
+        # cairo.go:1717-1718: snap the plotted range outward to yStep
+        # multiples and tick at every multiple (floatEpsilon-nudged so
+        # an exact-multiple bound doesn't grow an extra step)
+        eps = 1e-9
+        step = gp.y_step
+        lo = step * math.floor(lo / step + eps)
+        hi = step * math.ceil(hi / step - eps)
+        if hi <= lo:
+            hi = lo + step
+        n = int(round((hi - lo) / step))
+        ticks = [round(lo + k * step, 10) for k in range(n + 1)]
+
     def sy(v):
         if v is None:
             return None
         return py1 - (v - lo) / max(hi - lo, 1e-300) * (py1 - py0)
 
-    return sy, list(_nice_ticks(lo, hi))
+    return sy, ticks
 
 
 def render_png(series, opts_list, params: dict) -> bytes:
@@ -391,15 +431,25 @@ def render_png(series, opts_list, params: dict) -> bytes:
 
     sy, yticks = _y_scale(gp, lo, hi, py0, py1)
 
-    grid = tuple(min(255, c + 60) if sum(gp.bgcolor) < 384 else max(0, c - 60)
-                 for c in gp.bgcolor)
+    auto_grid = tuple(min(255, c + 60) if sum(gp.bgcolor) < 384
+                      else max(0, c - 60) for c in gp.bgcolor)
+    grid = parse_color(gp.major_grid_color, auto_grid)
+    minor_grid = parse_color(gp.minor_grid_color, auto_grid)
     if not gp.hide_axes:
-        for v in yticks:
+        for i, v in enumerate(yticks):
             y = sy(v)
             if y is None:
                 continue
             if not gp.hide_grid:
                 cv.line(px0, y, px1, y, grid, 1.0, 0.5)
+                # cairo.go:2067-2110: minorY thinner lines evenly spaced
+                # between this major line and the next
+                if gp.minor_y >= 1 and i < len(yticks) - 1:
+                    dist = (yticks[i + 1] - v) / (1 + gp.minor_y)
+                    for m in range(gp.minor_y):
+                        ym = sy(v + (1 + m) * dist)
+                        if ym is not None:
+                            cv.line(px0, ym, px1, ym, minor_grid, 1.0, 0.3)
             cv.text(_fmt_val(v), 2, y - 3, gp.fgcolor, 0.9)
         span = t1 - t0
         for ts in _nice_ticks(t0, t1, 6):
@@ -471,12 +521,21 @@ def render_svg(series, opts_list, params: dict) -> str:
          f'<rect width="100%" height="100%" fill="{rgb(gp.bgcolor)}"/>']
     fg = rgb(gp.fgcolor)
     if not gp.hide_axes:
-        for v in yticks:
+        for i, v in enumerate(yticks):
             y = sy(v)
             if y is None:
                 continue
             o.append(f'<line x1="{px0}" y1="{y:.1f}" x2="{px1}" y2="{y:.1f}" '
                      f'stroke="{fg}" stroke-opacity="0.25"/>')
+            if gp.minor_y >= 1 and i < len(yticks) - 1:
+                dist = (yticks[i + 1] - v) / (1 + gp.minor_y)
+                for m in range(gp.minor_y):
+                    ym = sy(v + (1 + m) * dist)
+                    if ym is None:
+                        continue
+                    o.append(f'<line x1="{px0}" y1="{ym:.1f}" x2="{px1}" '
+                             f'y2="{ym:.1f}" stroke="{fg}" '
+                             f'stroke-opacity="0.12"/>')
             o.append(f'<text x="2" y="{y + 3:.1f}" fill="{fg}" '
                      f'font-size="9" font-family="sans-serif">{_fmt_val(v)}</text>')
         span = t1 - t0

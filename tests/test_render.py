@@ -395,6 +395,40 @@ def test_render_png_log_base_and_null_as_zero(spark):
     assert dict(specs[0]["pts"])[1] == 0.0 and lo == 0.0
 
 
+def test_render_png_ystep_minory_grid_colors(spark):
+    """yStep snaps the y-range to step multiples and re-ticks
+    (cairo.go:1711-1718); minorY draws N extra gridlines per major gap
+    (cairo.go:2067-2110); major/minorGridLineColor recolor them
+    (picture_params.go:300-301) — each param must change the raster,
+    and omitting them must reproduce the default raster byte-for-byte."""
+    from carbonapi_spark.render.graph import (
+        GraphParams, _y_scale, render_png, render_svg)
+    lake = make_lake(spark, {"m.a": [1.0, 7.0, 3.0, 9.5]}, 1, 0)
+    series = collect_series(_frame(spark, lake, "m.a", 0, 4))
+    base = render_png(series, [{}], {})
+    assert render_png(series, [{}], {}) == base  # deterministic raster
+    ystep = render_png(series, [{}], {"yStep": ["2.5"]})
+    minor = render_png(series, [{}], {"minorY": ["2"]})
+    color = render_png(series, [{}], {"minorY": ["2"],
+                                      "minorGridLineColor": ["red"],
+                                      "majorGridLineColor": ["blue"]})
+    assert len({bytes(base), bytes(ystep), bytes(minor),
+                bytes(color)}) == 4
+    # SVG: minorY adds the extra gridline elements
+    s0 = render_svg(series, [{}], {})
+    s2 = render_svg(series, [{}], {"minorY": ["2"]})
+    assert s2.count("<line") > s0.count("<line")
+    # ticks land on yStep multiples and cover the snapped range
+    gp = GraphParams({"yStep": ["2.5"]})
+    sy, ticks = _y_scale(gp, 1.0, 9.5, 0, 100)
+    assert ticks == [0.0, 2.5, 5.0, 7.5, 10.0]
+    assert sy(0.0) == 100 and sy(10.0) == 0
+    # garbage / non-positive yStep and minorY fall back to defaults
+    assert GraphParams({"yStep": ["x"]}).y_step is None
+    assert GraphParams({"yStep": ["-1"]}).y_step is None
+    assert GraphParams({"minorY": ["x"]}).minor_y == 0
+
+
 def test_http_render_svg_no_data_golden(server):
     # mockbackend i503's query shape over a metric the backend doesn't
     # have: the SVG must be byte-stable (deterministic "no data" graph) —
