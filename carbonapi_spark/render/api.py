@@ -39,10 +39,15 @@ from carbonapi_spark.render.serialize import (
 
 
 class GraphiteAPI:
-    def __init__(self, spark, lake, cache_ttl: int = 60):
+    def __init__(self, spark, lake, cache_ttl: int = 60, cache=None):
+        """``cache`` selects the response-cache backend (anything with
+        get/put/ttl_for — e.g. ``MemcachedResponseCache`` around an
+        injected memcached client, cache/cache.go:60-111); default is
+        the in-process ``ExpireCache``."""
         self.spark = spark
         self.lake = lake
-        self.cache = ExpireCache(default_ttl=cache_ttl)
+        self.cache = cache if cache is not None \
+            else ExpireCache(default_ttl=cache_ttl)
 
     # ------------------------------------------------------------ render
     def render(self, params: dict) -> tuple[int, str, bytes]:

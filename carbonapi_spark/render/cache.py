@@ -1,20 +1,29 @@
-"""Response cache with TTL (reference cache/cache.go:22-111 in-memory
-expire-cache + the short-TTL-near-now policy of render_handler.go:45-66)."""
+"""Response caches with TTL (reference cache/cache.go:22-111: in-memory
+expire-cache, null cache, memcached; + the short-TTL-near-now policy of
+render_handler.go:45-66).
+
+Two backends behind one duck-typed contract (``get(key)``,
+``put(key, value, ttl)``, ``ttl_for(until_ts)``): the default in-process
+:class:`ExpireCache` and the out-of-process
+:class:`MemcachedResponseCache`, whose CLIENT is injected — the engine
+never owns the connection, the same config-gate as aliasByRedis
+(``functions/extras.py``).  ``GraphiteAPI(cache=...)`` selects the
+backend."""
 
 from __future__ import annotations
 
+import hashlib
+import pickle
 import threading
 import time
 
 
-class ExpireCache:
-    def __init__(self, default_ttl: int = 60, short_ttl: int = 10,
-                 max_entries: int = 4096):
-        self._data: dict[str, tuple[float, object]] = {}
-        self._lock = threading.Lock()
-        self.default_ttl = default_ttl
-        self.short_ttl = short_ttl
-        self.max_entries = max_entries
+class _TtlPolicy:
+    """render_handler.go:45-66: short TTL for query windows touching
+    'now' (their tail is still mutating), full TTL for history."""
+
+    default_ttl = 60
+    short_ttl = 10
 
     def ttl_for(self, until_ts: int, now: float | None = None) -> int:
         """Short TTL for queries whose window touches 'now' (their tail is
@@ -22,6 +31,16 @@ class ExpireCache:
         now = now or time.time()
         return self.short_ttl if until_ts >= now - 2 * self.default_ttl \
             else self.default_ttl
+
+
+class ExpireCache(_TtlPolicy):
+    def __init__(self, default_ttl: int = 60, short_ttl: int = 10,
+                 max_entries: int = 4096):
+        self._data: dict[str, tuple[float, object]] = {}
+        self._lock = threading.Lock()
+        self.default_ttl = default_ttl
+        self.short_ttl = short_ttl
+        self.max_entries = max_entries
 
     def get(self, key: str):
         with self._lock:
@@ -44,3 +63,54 @@ class ExpireCache:
                 while len(self._data) >= self.max_entries:
                     self._data.pop(next(iter(self._data)))
             self._data[key] = (time.time() + (ttl or self.default_ttl), value)
+
+
+class MemcachedResponseCache(_TtlPolicy):
+    """Memcached-backed response cache (cache/cache.go:60-111
+    ``MemcachedCache``): keys are sha256-hex of the canonical request
+    key under a deployment ``prefix`` (raw render keys contain
+    characters memcached forbids and can exceed its 250-byte key
+    limit); values are pickled response tuples; expiration is delegated
+    to the server.
+
+    The client is INJECTED, never constructed here (the aliasByRedis
+    config gate): anything exposing ``get(key) -> bytes | None`` and
+    ``set(key, value, expire=seconds)`` — e.g. ``pymemcache``'s or
+    ``python-memcached``'s client.  Every server/network error is a
+    cache MISS, never a request failure (the reference translates all
+    errors to ErrNotFound and caps Get at 50 ms; a blocking Python
+    client should carry its own socket timeout); misses-by-error are
+    counted on ``errors`` the way the reference counts ``timeouts``."""
+
+    def __init__(self, client, prefix: str = "capi:",
+                 default_ttl: int = 60, short_ttl: int = 10):
+        self._client = client
+        self._prefix = prefix
+        self.default_ttl = default_ttl
+        self.short_ttl = short_ttl
+        self.errors = 0
+
+    def _key(self, key: str) -> str:
+        return self._prefix + hashlib.sha256(key.encode()).hexdigest()
+
+    def get(self, key: str):
+        try:
+            blob = self._client.get(self._key(key))
+        except Exception:
+            self.errors += 1
+            return None
+        if blob is None:
+            return None
+        try:
+            return pickle.loads(blob)
+        except Exception:
+            self.errors += 1
+            return None
+
+    def put(self, key: str, value, ttl: int | None = None) -> None:
+        try:
+            self._client.set(self._key(key),
+                             pickle.dumps(value, protocol=4),
+                             expire=int(ttl or self.default_ttl))
+        except Exception:
+            self.errors += 1

@@ -526,3 +526,72 @@ def test_http_render_png(server):
         data = resp.read()
     from carbonapi_spark.render.graph import decode_png_size
     assert decode_png_size(data) == (500, 200)
+
+
+def test_memcached_response_cache_contract(spark):
+    """cache/cache.go:60-111 parity with an injected FAKE client (no
+    memcached in this container): sha256-hex prefixed keys within
+    memcached's 250-byte/charset limits, pickle roundtrip, server
+    errors counted and degraded to misses, and the backend actually
+    serving a GraphiteAPI render from cache."""
+    import time
+
+    from carbonapi_spark.render.api import GraphiteAPI
+    from carbonapi_spark.render.cache import MemcachedResponseCache
+
+    class FakeClient:
+        def __init__(self):
+            self.store = {}
+            self.fail = False
+
+        def get(self, key):
+            if self.fail:
+                raise ConnectionError("server gone")
+            item = self.store.get(key)
+            if item is None or item[0] < time.time():
+                return None
+            return item[1]
+
+        def set(self, key, value, expire=0):
+            if self.fail:
+                raise ConnectionError("server gone")
+            assert isinstance(value, bytes)
+            self.store[key] = (time.time() + expire, value)
+
+    fc = FakeClient()
+    mc = MemcachedResponseCache(fc, prefix="capi:", default_ttl=60)
+    long_key = "render|" + "x" * 4000 + "|\n\t spaces"  # hostile raw key
+    assert mc.get(long_key) is None
+    mc.put(long_key, (200, "application/json", b"[]"), ttl=30)
+    assert mc.get(long_key) == (200, "application/json", b"[]")
+    (stored_key,) = fc.store
+    assert stored_key.startswith("capi:") and len(stored_key) <= 250
+    assert all(c in "0123456789abcdef" for c in stored_key[5:])
+    # TTL policy shared with the in-process backend
+    assert mc.ttl_for(0) == 60 and mc.ttl_for(int(time.time())) == 10
+    # a dead server degrades every op to a counted miss, never an error
+    fc.fail = True
+    assert mc.get(long_key) is None
+    mc.put("k2", (200, "t", b""))
+    assert mc.errors == 2
+    fc.fail = False
+    # corrupt payload is a miss too
+    fc.store[stored_key] = (time.time() + 60, b"\x80not-a-pickle")
+    assert mc.get(long_key) is None and mc.errors == 3
+
+    # end-to-end: second render served from the injected backend
+    lake = make_lake(spark, {"m.a": [1.0, 2.0]}, 1, 0)
+    api = GraphiteAPI(spark, lake, cache=MemcachedResponseCache(FakeClient()))
+    params = {"target": ["m.a"], "from": ["0"], "until": ["2"],
+              "format": ["json"]}
+    first = api.render(params)
+    assert first[0] == 200
+    probe = {"n": 0}
+    orig = api.cache.get
+
+    def counting_get(key):
+        probe["n"] += 1
+        return orig(key)
+
+    api.cache.get = counting_get
+    assert api.render(params) == first and probe["n"] == 1
