@@ -784,3 +784,18 @@ def test_cusum_no_unbucketed_group_window(spark):
         spec = m.group(0)
         if "windowspecdefinition" in spec and "__g" in spec:
             assert "__b" in spec or "__ts" not in spec
+
+
+def test_dedup_agreement_is_one_job(spark):
+    """dedup_agreement must stay a SINGLE declarative plan: building the
+    DataFrame may run at most one bookkeeping job (a detector's
+    plan-size probe), never the old 9-action driver loop of per-pair
+    count()/join().count() finishes, and one collect yields all 3
+    report rows."""
+    from carbonapi_spark.entry_queries import QUERIES
+    st = spark.sparkContext.statusTracker()
+    before = len(st.getJobIdsForGroup(None) or [])
+    df = QUERIES["dedup_agreement"](spark, "/root/testdata/sf0.001")
+    built = len(st.getJobIdsForGroup(None) or [])
+    assert built - before <= 1
+    assert len(df.collect()) == 3
