@@ -1601,10 +1601,10 @@ def isotonic_calibration(df: DataFrame, score_col: str, label_col: str,
             out.append((b, rn, rp, float(rp) / float(rn),
                         float(pos) / float(n)))
     spark = df.sparkSession
+    # rates ship RAW: each is one IEEE division of exact int64 counts
+    # (bit-identical cross-engine); rounding would reintroduce the
+    # convention seam on dyadic boundaries like pos/n = 1/128
     res = spark.createDataFrame(
         sorted(out), "bin INT, n LONG, pos LONG, raw_rate DOUBLE, "
                      "iso_rate DOUBLE")
-    return res.select("bin", "n", "pos",
-                      F.round("raw_rate", 6).alias("raw_rate"),
-                      F.round("iso_rate", 6).alias("iso_rate")) \
-        .orderBy("bin")
+    return res.orderBy("bin")

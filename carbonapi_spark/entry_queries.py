@@ -7674,8 +7674,8 @@ __ib{t} AS MATERIALIZED (
   WHERE plo IS NULL OR v IS NULL OR plo != v)""".strip())
     return ("WITH " + ",\n".join(ctes) + f"""
 SELECT c.bin, CAST(c.n AS BIGINT) AS n, CAST(c.pos AS BIGINT) AS pos,
-       round(CAST(c.pos AS DOUBLE) / c.n, 6) AS raw_rate,
-       round(CAST(b.pos AS DOUBLE) / b.n, 6) AS iso_rate
+       CAST(c.pos AS DOUBLE) / c.n AS raw_rate,
+       CAST(b.pos AS DOUBLE) / b.n AS iso_rate
 FROM __cnt c JOIN __ib{n_bins - 1} b
      ON c.bin BETWEEN b.lo AND b.hi
 ORDER BY c.bin""")
