@@ -2,7 +2,15 @@
 on Spark and its oracle_sql() on DuckDB at sf0.01, compare row count,
 column names, and order-insensitive values.
 
-Usage: python tools/check_oracles.py [sf_dir] [query ...]
+Usage: python tools/check_oracles.py [--strict] [sf_dir] [query ...]
+
+--strict compares doubles BIT-EXACTLY (no 6-dp tolerance) and reports
+any value sitting exactly on a 6-dp half boundary (where HALF_UP and
+HALF_EVEN rounding conventions diverge) — the driver-grade gate: a
+query green here can only hash-fail on the driver through an
+engine-VERSION behavior difference, never through float slack the 6-dp
+mode would hide.  Run it on every entry whose oracle or op changed
+before rotating it into the driver prefix (the r10 workflow).
 """
 
 from __future__ import annotations
@@ -19,6 +27,20 @@ from pyspark.sql import SparkSession
 from carbonapi_spark.entry_queries import ORACLES, QUERIES
 from carbonapi_spark.sources.testdata import TABLES
 
+STRICT = "--strict" in sys.argv
+
+
+def boundary_values(rows) -> list:
+    """Doubles exactly on a 6-dp half boundary (v * 2e6 an odd int)."""
+    hits = []
+    for r in rows:
+        for v in r:
+            if isinstance(v, float) and math.isfinite(v):
+                y = v * 2e6
+                if y == int(y) and int(y) % 2 == 1:
+                    hits.append(v)
+    return hits[:3]
+
 
 def normalize(rows):
     """rows: tuples already in sorted-column order."""
@@ -27,7 +49,10 @@ def normalize(rows):
         vals = []
         for v in r:
             if isinstance(v, float):
-                v = None if math.isnan(v) else round(v, 6)
+                if STRICT:
+                    v = None if math.isnan(v) else v
+                else:
+                    v = None if math.isnan(v) else round(v, 6)
             vals.append(v)
         out.append(tuple(vals))
     out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
@@ -35,9 +60,10 @@ def normalize(rows):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 and os.path.isdir(sys.argv[1]) \
+    args = [a for a in sys.argv[1:] if a != "--strict"]
+    sf_dir = args[0] if args and os.path.isdir(args[0]) \
         else "/root/testdata/sf0.01"
-    only = set(a for a in sys.argv[1:] if not os.path.isdir(a))
+    only = set(a for a in args if not os.path.isdir(a))
 
     # Chaos knobs (CHECK_MASTER / CHECK_SHUFFLE / CHECK_SPLIT_MB /
     # CHECK_ARROW_BATCH): replay the catalog under a deliberately
@@ -111,7 +137,14 @@ def main():
             print(f"FAIL {name}: {len(bad)} mismatched rows; first: {bad[0]}")
             failures += 1
             continue
-        print(f"ok   {name}: {len(sn)} rows match")
+        note = ""
+        if STRICT:
+            bv = boundary_values(sn)
+            if bv:
+                note = f"  [WARN: 6-dp half-boundary values {bv} — " \
+                       f"rounding-convention-sensitive if ever rounded]"
+        print(f"ok   {name}: {len(sn)} rows match"
+              + (" (bit-exact)" if STRICT else "") + note)
 
     print(f"\n{'ALL OK' if failures == 0 else f'{failures} FAILURES'}")
     sys.exit(1 if failures else 0)
