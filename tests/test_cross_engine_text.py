@@ -217,3 +217,24 @@ def test_replace_merge_equals_sequential_fold():
         assert sql_merge(syms, left, right) == _py_merge(syms, left, right), \
             (syms, left, right)
     con.close()
+
+
+def test_wordpiece_encode_cross_engine(spark, docs, ddb):
+    """The recursive-CTE encode replay (r10: list_reduce purged) must
+    reproduce Spark's greedy longest-match segmentation per word TYPE on
+    the hostile corpus — training chain included."""
+    from carbonapi_spark.datapipe.bpe import (_wp_pieces, word_counts,
+                                              wordpiece_train)
+    from carbonapi_spark import entry_queries
+
+    vocab = [r["merged"]
+             for r in wordpiece_train(docs, n_merges=4).collect()]
+    types = word_counts(docs).select("word")
+    got = {r["word"]: (r["segmentation"], r["n_pieces"]) for r in
+           types.select("word", F.array_join(
+               _wp_pieces(F.col("word"), vocab), " ").alias("segmentation"),
+               F.size(_wp_pieces(F.col("word"), vocab)).cast("long")
+               .alias("n_pieces")).collect()}
+    want = {r[0]: (r[1], r[2]) for r in
+            ddb.execute(entry_queries._wordpiece_encode_oracle(4)).fetchall()}
+    assert got == want and len(got) > 0
