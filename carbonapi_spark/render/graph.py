@@ -8,15 +8,15 @@ stroke font (vector polylines, shared with the SVG path). Pixel parity
 with cairo is a non-goal; dimensions, series geometry, colors, decorators
 and the param surface (width/height/bgcolor/fgcolor/title/hideLegend/
 lineWidth/colorList/yMin/yMax/areaMode/logBase/drawNullAsZero/yStep/
-minorY/majorGridLineColor/minorGridLineColor —
+minorY/majorGridLineColor/minorGridLineColor/hideYAxis/yUnitSystem —
 ``picture_params.go:233-301``) follow the reference.
 
 Deliberate deviations / non-goals (beyond pixel parity): ``minorY``
 defaults to 0 here (cairo defaults to 1 minor line between majors;
 our long-standing golden rasters pin the majors-only default) and the
 dual-axis family (``secondYAxis``/``*Left``/``*Right`` incl.
-``yLimitLeft/yLimitRight/yStepLeft/yStepRight``), ``yUnitSystem``,
-``yDivisors``, and template-file themes are not implemented.
+``yLimitLeft/yLimitRight/yStepLeft/yStepRight``), ``yDivisors``, and
+template-file themes are not implemented.
 """
 
 from __future__ import annotations
@@ -244,8 +244,17 @@ def _nice_ticks(lo: float, hi: float, n: int = 5) -> list[float]:
     return out
 
 
-def _fmt_val(v: float) -> str:
-    for unit, scale in (("T", 1e12), ("G", 1e9), ("M", 1e6), ("K", 1e3)):
+# cairo.go:76-90 unitSystems: prefix ladders for y-label formatting
+_UNIT_SYSTEMS = {
+    "si": [("P", 1e15), ("T", 1e12), ("G", 1e9), ("M", 1e6), ("K", 1e3)],
+    "binary": [("Pi", 1024.0 ** 5), ("Ti", 1024.0 ** 4),
+               ("Gi", 1024.0 ** 3), ("Mi", 1024.0 ** 2), ("Ki", 1024.0)],
+    "none": [],
+}
+
+
+def _fmt_val(v: float, unit_system: str = "si") -> str:
+    for unit, scale in _UNIT_SYSTEMS.get(unit_system, _UNIT_SYSTEMS["si"]):
         if abs(v) >= scale:
             return f"{v / scale:.4g}{unit}"
     if v == int(v):
@@ -280,7 +289,11 @@ class GraphParams:
         self.title = get("title")
         self.hide_legend = get("hideLegend") in ("1", "true", "True")
         self.hide_axes = get("hideAxes") in ("1", "true", "True")
+        self.hide_y_axis = get("hideYAxis") in ("1", "true", "True")
         self.hide_grid = get("hideGrid") in ("1", "true", "True")
+        # cairo.go:72-90: y-label prefix ladder — si (K/M/G/T/P, 1000),
+        # binary (Ki/Mi/Gi/Ti/Pi, 1024), none (raw numbers)
+        self.y_unit_system = get("yUnitSystem", "si")
         self.line_width = float(get("lineWidth", "1.2"))
         self.area_mode = get("areaMode", "none")
         self.y_min = float(get("yMin")) if get("yMin") else None
@@ -450,7 +463,9 @@ def render_png(series, opts_list, params: dict) -> bytes:
                         ym = sy(v + (1 + m) * dist)
                         if ym is not None:
                             cv.line(px0, ym, px1, ym, minor_grid, 1.0, 0.3)
-            cv.text(_fmt_val(v), 2, y - 3, gp.fgcolor, 0.9)
+            if not gp.hide_y_axis:  # hideYAxis: grid stays, labels go
+                cv.text(_fmt_val(v, gp.y_unit_system), 2, y - 3,
+                        gp.fgcolor, 0.9)
         span = t1 - t0
         for ts in _nice_ticks(t0, t1, 6):
             x = sx(ts)
@@ -536,8 +551,10 @@ def render_svg(series, opts_list, params: dict) -> str:
                     o.append(f'<line x1="{px0}" y1="{ym:.1f}" x2="{px1}" '
                              f'y2="{ym:.1f}" stroke="{fg}" '
                              f'stroke-opacity="0.12"/>')
-            o.append(f'<text x="2" y="{y + 3:.1f}" fill="{fg}" '
-                     f'font-size="9" font-family="sans-serif">{_fmt_val(v)}</text>')
+            if not gp.hide_y_axis:
+                o.append(f'<text x="2" y="{y + 3:.1f}" fill="{fg}" '
+                         f'font-size="9" font-family="sans-serif">'
+                         f'{_fmt_val(v, gp.y_unit_system)}</text>')
         span = t1 - t0
         for ts in _nice_ticks(t0, t1, 6):
             x = sx(ts)

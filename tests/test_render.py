@@ -595,3 +595,24 @@ def test_memcached_response_cache_contract(spark):
 
     api.cache.get = counting_get
     assert api.render(params) == first and probe["n"] == 1
+
+
+def test_render_png_yunitsystem_and_hideyaxis(spark):
+    """yUnitSystem picks the label prefix ladder (cairo.go:72-90:
+    si=1000 K/M/G, binary=1024 Ki/Mi/Gi, none=raw); hideYAxis drops the
+    labels but keeps grid + frame (picture_params.go:250)."""
+    from carbonapi_spark.render.graph import _fmt_val, render_png
+    assert _fmt_val(2048.0, "si") == "2.048K"
+    assert _fmt_val(2048.0, "binary") == "2Ki"
+    assert _fmt_val(1536.0, "binary") == "1.5Ki"
+    assert _fmt_val(2048.0, "none") == "2048"
+    assert _fmt_val(0.5, "binary") == "0.5"
+    lake = make_lake(spark, {"m.a": [1000.0, 4096.0, 2500.0]}, 1, 0)
+    series = collect_series(_frame(spark, lake, "m.a", 0, 3))
+    base = render_png(series, [{}], {})
+    binu = render_png(series, [{}], {"yUnitSystem": ["binary"]})
+    rawu = render_png(series, [{}], {"yUnitSystem": ["none"]})
+    hidden = render_png(series, [{}], {"hideYAxis": ["true"]})
+    assert len({bytes(base), bytes(binu), bytes(rawu), bytes(hidden)}) == 4
+    # unknown system falls back to si == default bytes
+    assert render_png(series, [{}], {"yUnitSystem": ["bogus"]}) == base
