@@ -7764,68 +7764,61 @@ def _q_stream_cusum_replay(spark, sf_dir):
 
 def _stream_cusum_oracle(warmup: int = 50, slack_den: int = 20,
                          h_mult: int = 8) -> str:
-    # The (sp, sn) pair is COUPLED through the flag condition, so it
-    # cannot live in two struct fields: under list_reduce's sequential
-    # field mutation (see _STREAM_ANOM_ORACLE) the sn field would
-    # recompute the flag against the already-updated sp — probed: 3 of
-    # 5291 flags diverged exactly that way.  The pair is packed into
-    # ONE 'sp:sn' string field instead, making its update atomic; fl
-    # reads acc.st before st updates (textual order), mu/n stay scalar
-    # (nothing reads them after they mutate), so the fold is correct
-    # under both evaluation models.
-    asp = "CAST(string_split(acc.st, ':')[1] AS BIGINT)"
-    asn = "CAST(string_split(acc.st, ':')[2] AS BIGINT)"
-    kappa = f"(abs(acc.mu) // {slack_den})"
-    spc = (f"greatest(CAST(0 AS BIGINT), {asp}"
-           f" + (r.x - acc.mu - {kappa}))")
-    snc = (f"greatest(CAST(0 AS BIGINT), {asn}"
-           f" + (acc.mu - r.x - {kappa}))")
+    # RECURSIVE-CTE state walk, one row per (key, step) — NOT a
+    # list_reduce fold: folding the 5 per-key event lists in one query
+    # CONTAMINATED state across rows on DuckDB 1.0 (probed at sf0.001:
+    # click and signup produced byte-identical flag lists despite
+    # different warmup means; each key folded alone was correct).  The
+    # recursion advances every key one event per iteration with
+    # explicit scalar state columns, so there is no lambda-evaluation
+    # model to disagree about; a flagging step also carries the flag
+    # triple in dedicated columns (no string accumulator to corrupt).
+    # Semantics match streaming/stateful.py stream_cusum exactly: mu =
+    # trunc-toward-zero integer mean of the warmup prefix, kappa =
+    # abs(mu) div slack_den, h = kappa * h_mult, reset on flag.
+    kappa = f"(abs(s.mu) // {slack_den})"
+    spc = (f"greatest(CAST(0 AS BIGINT), s.sp"
+           f" + (r.x - s.mu - {kappa}))")
+    snc = (f"greatest(CAST(0 AS BIGINT), s.sn"
+           f" + (s.mu - r.x - {kappa}))")
     flag = (f"({kappa} * {h_mult} > 0 AND ({spc} > {kappa} * {h_mult}"
             f" OR {snc} > {kappa} * {h_mult}))")
-    zero_fields = ("fl := '', st := '0:0', mu := CAST(0 AS BIGINT),"
-                   " n := CAST(0 AS BIGINT)")
     return f"""
-WITH __s AS (SELECT event_type AS key, event_id AS oid,
-                    CAST(round(value * 1000000) AS BIGINT) AS x
-             FROM events WHERE event_id < 8000),
-__a AS (SELECT key, list_sort(list(struct_pack(oid := oid, x := x)))
-               AS rows
-        FROM __s GROUP BY key),
-__f AS (SELECT key,
-  list_reduce(
-    list_prepend(
-      struct_pack(oid := CAST(0 AS BIGINT), x := CAST(0 AS BIGINT),
-                  {zero_fields}),
-      list_transform(rows, r -> struct_pack(
-          oid := r.oid, x := r.x, {zero_fields}))),
-    (acc, r) -> CASE WHEN acc.n < {warmup} THEN struct_pack(
-        oid := r.oid, x := r.x, fl := acc.fl, st := acc.st,
-        mu := CASE WHEN acc.n + 1 = {warmup}
-                   THEN (acc.mu + r.x) // {warmup}
-                   ELSE acc.mu + r.x END,
-        n := acc.n + 1)
-      ELSE struct_pack(
-        oid := r.oid, x := r.x,
-        fl := CASE WHEN {flag}
-                   THEN acc.fl || CAST(r.oid AS VARCHAR) || ':'
-                        || CAST({spc} AS VARCHAR) || ':'
-                        || CAST({snc} AS VARCHAR) || ';'
-                   ELSE acc.fl END,
-        st := CASE WHEN {flag} THEN '0:0'
-                   ELSE CAST({spc} AS VARCHAR) || ':'
-                        || CAST({snc} AS VARCHAR) END,
-        mu := acc.mu,
-        n := acc.n + 1) END) AS st
-  FROM __a),
-__u AS (SELECT key,
-               CAST(string_split(t, ':')[1] AS BIGINT) AS oid,
-               CAST(string_split(t, ':')[2] AS BIGINT) AS sp,
-               CAST(string_split(t, ':')[3] AS BIGINT) AS sn
-        FROM (SELECT key, unnest(list_filter(
-                  string_split(st.fl, ';'), p -> p != '')) AS t
-              FROM __f))
-SELECT u.key, u.oid, s.x AS x_micro, u.sp, u.sn
-FROM __u u JOIN __s s ON s.oid = u.oid
+WITH RECURSIVE __s AS (
+    SELECT event_type AS key, event_id AS oid,
+           CAST(round(value * 1000000) AS BIGINT) AS x
+    FROM events WHERE event_id < 8000),
+__r AS (SELECT key, oid, x,
+               row_number() OVER (PARTITION BY key ORDER BY oid) AS rn
+        FROM __s),
+__w AS (
+  SELECT key, CAST(0 AS BIGINT) AS rn,
+         CAST(0 AS BIGINT) AS sp, CAST(0 AS BIGINT) AS sn,
+         CAST(0 AS BIGINT) AS mu, CAST(0 AS BIGINT) AS n,
+         CAST(NULL AS BIGINT) AS f_oid, CAST(NULL AS BIGINT) AS f_x,
+         CAST(NULL AS BIGINT) AS f_sp, CAST(NULL AS BIGINT) AS f_sn
+  FROM (SELECT DISTINCT key FROM __r)
+  UNION ALL
+  SELECT r.key, r.rn,
+         CASE WHEN s.n < {warmup} THEN s.sp
+              WHEN {flag} THEN CAST(0 AS BIGINT) ELSE {spc} END,
+         CASE WHEN s.n < {warmup} THEN s.sn
+              WHEN {flag} THEN CAST(0 AS BIGINT) ELSE {snc} END,
+         CASE WHEN s.n < {warmup} THEN
+                CASE WHEN s.n + 1 = {warmup} THEN
+                       CASE WHEN s.mu + r.x >= 0
+                            THEN (s.mu + r.x) // {warmup}
+                            ELSE -((-(s.mu + r.x)) // {warmup}) END
+                     ELSE s.mu + r.x END
+              ELSE s.mu END,
+         s.n + 1,
+         CASE WHEN s.n >= {warmup} AND {flag} THEN r.oid END,
+         CASE WHEN s.n >= {warmup} AND {flag} THEN r.x END,
+         CASE WHEN s.n >= {warmup} AND {flag} THEN {spc} END,
+         CASE WHEN s.n >= {warmup} AND {flag} THEN {snc} END
+  FROM __w s JOIN __r r ON r.key = s.key AND r.rn = s.rn + 1)
+SELECT key, f_oid AS oid, f_x AS x_micro, f_sp AS sp, f_sn AS sn
+FROM __w WHERE f_oid IS NOT NULL
 """.strip()
 
 
