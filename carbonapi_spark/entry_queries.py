@@ -7354,45 +7354,45 @@ def _q_stream_anomaly_replay(spark, sf_dir):
 #      prefix).  Flags therefore accumulate in a PACKED STRING
 #      ('oid:dev;'), the same accumulator type as the proven BPE fold,
 #      parsed back out after the fold.
+# RECURSIVE-CTE state walk (not a list_reduce fold): the struct-
+# accumulator multi-row fold this replaced is the construct that
+# CORRUPTED cross-row state in stream_cusum_replay's oracle on DuckDB
+# 1.0 (probed at sf0.001) — this one happened to match at both bench
+# scales, but it is one data change away from the same silent
+# corruption, so the class is purged.  Division semantics: DuckDB's
+# ``//`` truncates toward zero (probed: -7 // 2 = -3), exactly the
+# kernel's trunc_div.
 _STREAM_ANOM_ORACLE = """
-WITH __s AS (SELECT event_type AS key, event_id AS oid,
-                    CAST(round(value * 1000000) AS BIGINT) AS x
-             FROM events WHERE event_id < 8000),
-__a AS (SELECT key, list_sort(list(struct_pack(oid := oid, x := x)))
-               AS rows
-        FROM __s GROUP BY key),
-__f AS (SELECT key,
-  list_reduce(
-    list_prepend(
-      struct_pack(oid := CAST(0 AS BIGINT), x := CAST(0 AS BIGINT),
-                  fl := '', m := CAST(0 AS BIGINT),
-                  e := CAST(0 AS BIGINT), n := CAST(0 AS BIGINT)),
-      list_transform(rows, r -> struct_pack(
-          oid := r.oid, x := r.x, fl := '',
-          m := CAST(0 AS BIGINT), e := CAST(0 AS BIGINT),
-          n := CAST(0 AS BIGINT)))),
-    (acc, r) -> CASE WHEN acc.n = 0 THEN struct_pack(
-        oid := r.oid, x := r.x, fl := acc.fl,
-        m := CAST(0 AS BIGINT), e := r.x, n := CAST(1 AS BIGINT))
-      ELSE struct_pack(
-        oid := r.oid, x := r.x,
-        fl := CASE WHEN acc.n >= 50 AND acc.m > 0
-                        AND abs(r.x - acc.e) > 4 * acc.m
-                   THEN acc.fl || CAST(r.oid AS VARCHAR) || ':'
-                        || CAST(abs(r.x - acc.e) AS VARCHAR) || ';'
-                   ELSE acc.fl END,
-        m := acc.m + (abs(r.x - acc.e) - acc.m) // 8,
-        e := acc.e + (r.x - acc.e) // 8,
-        n := acc.n + 1) END) AS st
-  FROM __a),
-__u AS (SELECT key,
-               CAST(string_split(t, ':')[1] AS BIGINT) AS oid,
-               CAST(string_split(t, ':')[2] AS BIGINT) AS dev_micro
-        FROM (SELECT key, unnest(list_filter(
-                  string_split(st.fl, ';'), p -> p != '')) AS t
-              FROM __f))
-SELECT u.key, u.oid, s.x AS x_micro, u.dev_micro
-FROM __u u JOIN __s s ON s.oid = u.oid
+WITH RECURSIVE __s AS (
+    SELECT event_type AS key, event_id AS oid,
+           CAST(round(value * 1000000) AS BIGINT) AS x
+    FROM events WHERE event_id < 8000),
+__r AS (SELECT key, oid, x,
+               row_number() OVER (PARTITION BY key ORDER BY oid) AS rn
+        FROM __s),
+__w AS (
+  SELECT key, CAST(0 AS BIGINT) AS rn, CAST(0 AS BIGINT) AS e,
+         CAST(0 AS BIGINT) AS m, CAST(0 AS BIGINT) AS n,
+         CAST(NULL AS BIGINT) AS f_oid, CAST(NULL AS BIGINT) AS f_x,
+         CAST(NULL AS BIGINT) AS f_dev
+  FROM (SELECT DISTINCT key FROM __r)
+  UNION ALL
+  SELECT r.key, r.rn,
+         CASE WHEN s.n = 0 THEN r.x
+              ELSE s.e + (r.x - s.e) // 8 END,
+         CASE WHEN s.n = 0 THEN CAST(0 AS BIGINT)
+              ELSE s.m + (abs(r.x - s.e) - s.m) // 8 END,
+         s.n + 1,
+         CASE WHEN s.n >= 50 AND s.m > 0
+                   AND abs(r.x - s.e) > 4 * s.m THEN r.oid END,
+         CASE WHEN s.n >= 50 AND s.m > 0
+                   AND abs(r.x - s.e) > 4 * s.m THEN r.x END,
+         CASE WHEN s.n >= 50 AND s.m > 0
+                   AND abs(r.x - s.e) > 4 * s.m
+              THEN abs(r.x - s.e) END
+  FROM __w s JOIN __r r ON r.key = s.key AND r.rn = s.rn + 1)
+SELECT key, f_oid AS oid, f_x AS x_micro, f_dev AS dev_micro
+FROM __w WHERE f_oid IS NOT NULL
 """.strip()
 
 
