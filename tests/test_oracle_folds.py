@@ -1,9 +1,23 @@
-"""Regression probes for the DuckDB list_reduce hazards that shape the
-stream_anomaly_replay oracle (entry_queries._STREAM_ANOM_ORACLE).
+"""Regression probes for the DuckDB list_reduce hazards that shaped the
+streaming-replay oracles.
 
-If either probe changes behavior on a driver-side DuckDB upgrade, the
-oracle-fold recipe ('field order (fl, m, e, n)' + 'flags as packed
-string') must be re-audited — these tests pin the observed semantics."""
+If a probe changes behavior on a driver-side DuckDB upgrade, any
+remaining fold recipe must be re-audited — these tests pin the observed
+semantics.
+
+FOURTH HAZARD (r10, terminal for struct folds): a struct-accumulator
+``list_reduce`` folding SEVERAL rows' lists in one query corrupted
+state ACROSS rows — at sf0.001 the old stream_cusum_replay oracle gave
+two different keys byte-identical flag lists despite different warmup
+means, while each key folded alone was correct.  It did not reproduce
+on synthetic in-memory data (same fold, same lengths — the trigger is
+somewhere in the parquet-scan vector layout), so there is no minimal
+probe here; the mitigation is structural: NO oracle folds structs over
+multiple rows anymore (stream_cusum_replay and stream_anomaly_replay
+replay their recurrences as recursive-CTE state walks, the BPE family
+as replace() chains), and the remaining list_reduce uses are
+scalar-accumulator folds (xxh64 packing, dot products) verified
+bit-exact at sf0.001 AND sf0.01 by tools/check_oracles.py --strict."""
 
 import duckdb
 
