@@ -8139,7 +8139,10 @@ _DRIVER_PREFIX = [
     "pca_extremes",          # PCA top-component extremes
     "session_paths",         # sessionized top path report
     "stream_cov_replay",     # streaming covariance sketch replay
-    "stream_cusum_replay",   # streaming CUSUM replay
+    "stream_cusum_replay",   # streaming CUSUM replay; r10 oracle is a
+                             # recursive-CTE walk (struct fold purged)
+    "stream_anomaly_replay",  # r8-green, but its oracle was rewritten
+                             # in lockstep (same fold purge) — fresh row
     "time_to_convert",       # per-channel conversion latency
     "trimmed_stats",         # trimmed/winsorized moments
 ]
