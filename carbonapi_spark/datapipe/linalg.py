@@ -56,35 +56,40 @@ def jl_signs(in_dim: int, out_dim: int, seed: int = 42) -> list[list[int]]:
 
 def random_projection(vecs: DataFrame, out_dim: int = 16,
                       id_col: str = "vec_id",
-                      vec_col: str = "embedding") -> DataFrame:
+                      vec_col: str = "embedding",
+                      arrow: bool = True) -> DataFrame:
     """Fixed-point JL random projection (Achlioptas 2003 ±1 variant):
     ``out_j = sum_i q_i * s(i,j) / (SCALE * sqrt(out_dim))`` where
     ``q_i = round(v_i * SCALE)`` and the ±1 signs come from
-    :func:`jl_signs` (seed 42), riding as a nested array literal.  The
-    inner reduction is an INTEGER sum — exact and order-independent —
-    so the projection replays bit-for-bit in SQL.  The 0-dp
-    quantization round is seam-free across engines (X.5 is exactly
-    representable in double, unlike the fractional-dp grid).
+    :func:`jl_signs` (seed 42).  The inner reduction is an INTEGER
+    sum — exact and order-independent — so the projection replays
+    bit-for-bit in SQL.  The 0-dp quantization round is seam-free
+    across engines (X.5 is exactly representable in double, unlike the
+    fractional-dp grid).
+
+    Two bit-identical physical paths (the covariance-kernel duality):
+    the default Arrow kernel quantizes with the binary half-away rule
+    (== both engines' round(), pinned by test_cov_arrow_quantization)
+    and computes ONE int64 matmul per batch (r10: 4.2 -> ~1 s on the
+    sf0.1 bench entry); ``arrow=False`` keeps the pure-JVM HOF fold,
+    the oracle's replay shape.  Both emit partial sums over the first
+    ``len(v)`` coordinates for a short row, NULL for a row longer than
+    the sign matrix, and NULL values for a NULL embedding — pinned
+    equal on dirty frames in tests/test_linalg.py.
 
     Returns exploded rows (id, odim, value), one row per output
     dimension (array-valued results don't hash portably across
     engines; exploded doubles do)."""
-    in_dim = len(vecs.select(vec_col).first()[0])
+    # dimensionality probe skips NULL/empty rows (a dirty first row
+    # used to crash the old len(first()) probe)
+    probe = (vecs.select(vec_col)
+             .where(F.size(F.col(vec_col)) > 0).first())
+    if probe is None:
+        raise ValueError(
+            "random_projection: no non-empty embedding row to derive "
+            "the input dimensionality from")
+    in_dim = len(probe[0])
     signs = jl_signs(in_dim, out_dim)
-    sign_lit = F.array(*[
-        F.array(*[F.lit(s).cast("long") for s in row]) for row in signs])
-    q = F.transform(F.col(vec_col),
-                    lambda v: F.round(v.cast("double")
-                                      * PROJ_SCALE).cast("long"))
-    dim_idx = F.explode(F.sequence(F.lit(0), F.lit(out_dim - 1)))
-    rows = vecs.select(F.col(id_col), q.alias("__q"),
-                       dim_idx.alias("odim"))
-    acc = F.aggregate(
-        F.sequence(F.lit(0), F.size("__q") - 1),
-        F.lit(0).cast("long"),
-        lambda s, i: s + F.element_at(F.col("__q"), i + 1)
-        * F.element_at(F.element_at(sign_lit, i + 1),
-                       F.col("odim") + 1))
     # DIVIDE by the denominator (not multiply by its reciprocal —
     # x/d != x*(1/d) in IEEE, probed: 6th-dp flips) and emit the RAW
     # double: the integer numerator and the denominator are
@@ -94,9 +99,85 @@ def random_projection(vecs: DataFrame, out_dim: int = 16,
     # round-of-binary-value disagree on grid-boundary quotients, and
     # F.round strips -0.0 while SQL round keeps it — both probed).
     den = PROJ_SCALE * math.sqrt(out_dim)
+    if arrow:
+        return _proj_rows_arrow(vecs, id_col, vec_col, signs, out_dim,
+                                den)
+    sign_lit = F.array(*[
+        F.array(*[F.lit(s).cast("long") for s in row]) for row in signs])
+    q = F.transform(F.col(vec_col),
+                    lambda v: F.round(v.cast("double")
+                                      * PROJ_SCALE).cast("long"))
+    # validity gate BEFORE the fold: under ANSI element_at an empty
+    # array (sequence(0,-1) descends to index -1+1) or a row longer
+    # than the sign matrix would THROW mid-query instead of yielding a
+    # null — gate to null so one dirty row can't kill a 100 TB stage
+    valid = (F.col(vec_col).isNotNull()
+             & (F.size(F.col(vec_col)) > 0)
+             & (F.size(F.col(vec_col)) <= in_dim))
+    dim_idx = F.explode(F.sequence(F.lit(0), F.lit(out_dim - 1)))
+    rows = vecs.select(F.col(id_col), F.when(valid, q).alias("__q"),
+                       dim_idx.alias("odim"))
+    acc = F.aggregate(
+        F.sequence(F.lit(0), F.size("__q") - 1),
+        F.lit(0).cast("long"),
+        lambda s, i: s + F.element_at(F.col("__q"), i + 1)
+        * F.element_at(F.element_at(sign_lit, i + 1),
+                       F.col("odim") + 1))
     return rows.select(
         id_col, F.col("odim").cast("int").alias("odim"),
         (acc.cast("double") / F.lit(den)).alias("value"))
+
+
+def _proj_rows_arrow(vecs: DataFrame, id_col: str, vec_col: str,
+                     signs, out_dim: int, den: float) -> DataFrame:
+    """Arrow fast path of :func:`random_projection`: per batch, one
+    half-away int64 quantization + one int64 matmul against the sign
+    matrix — identical integers as the JVM fold (order-independent
+    sums), same dirty-row tolerance (see random_projection)."""
+    import numpy as np
+    import pandas as pd
+
+    S = np.array(signs, dtype=np.int64)          # in_dim x out_dim
+    in_dim = S.shape[0]
+
+    def q_half_away(p):
+        t = np.trunc(p)
+        return (t + np.where(np.abs(p - t) >= 0.5,
+                             np.sign(p), 0.0)).astype(np.int64)
+
+    def gen(batches):
+        for pdf in batches:
+            ids_all, out_rows = [], []
+            for rid, a in zip(pdf[id_col], pdf[vec_col]):
+                ids_all.append(rid)
+                if a is None:
+                    out_rows.append(None)
+                    continue
+                v = np.asarray(a, dtype=np.float64)
+                if len(v) > in_dim or len(v) == 0:
+                    # beyond the sign matrix the JVM fold hits a null
+                    # sign; on an empty array its sequence(0, -1)
+                    # descends into a null element_at — null either way
+                    out_rows.append(None)
+                    continue
+                acc = q_half_away(v * PROJ_SCALE) @ S[:len(v)]
+                out_rows.append(acc.astype(np.float64) / den)
+            if not ids_all:
+                continue
+            n = len(ids_all)
+            vals = np.concatenate(
+                [r if r is not None else np.full(out_dim, np.nan)
+                 for r in out_rows])
+            mask = np.repeat([r is None for r in out_rows], out_dim)
+            col = pd.Series(vals)
+            col[mask] = None
+            yield pd.DataFrame({
+                id_col: np.repeat(np.asarray(ids_all), out_dim),
+                "odim": np.tile(np.arange(out_dim, dtype=np.int32), n),
+                "value": col})
+
+    return vecs.select(id_col, vec_col).mapInPandas(
+        gen, f"{id_col} LONG, odim INT, value DOUBLE")
 
 
 def _cov_partials_arrow(vecs: DataFrame, vec_col: str) -> DataFrame:

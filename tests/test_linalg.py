@@ -175,3 +175,30 @@ def test_correlation_zero_variance_is_null(spark):
            for r in correlation_matrix(df).collect()}
     assert got[(0, 0)] == pytest.approx(1.0)
     assert got[(0, 1)] is None and got[(1, 1)] is None
+
+
+def test_random_projection_paths_agree_clean_and_dirty(spark):
+    """The Arrow int64-matmul path must equal the JVM HOF fold
+    bit-for-bit — clean rows, NULL embeddings (null values out), short
+    rows (partial sums over the first len coords), too-long and empty
+    rows (null, matching the fold's null element_at)."""
+    from carbonapi_spark.datapipe.linalg import random_projection
+    rng = random.Random(3)
+    rows = [(0, None), (1, [])]
+    rows += [(10 + i, [rng.uniform(-1, 1) for _ in range(8)])
+             for i in range(25)]
+    rows.append((90, [rng.uniform(-1, 1) for _ in range(5)]))   # short
+    rows.append((91, [rng.uniform(-1, 1) for _ in range(12)]))  # long
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # first() establishes in_dim from an arbitrary row: pin it by
+    # filtering the probe rows the same way both calls do internally
+    for reparted in (df, df.repartition(4)):
+        a = {(r["vec_id"], r["odim"]): r["value"]
+             for r in random_projection(reparted, out_dim=4,
+                                        arrow=True).collect()}
+        b = {(r["vec_id"], r["odim"]): r["value"]
+             for r in random_projection(reparted, out_dim=4,
+                                        arrow=False).collect()}
+        assert a == b and len(a) == len(rows) * 4
+        assert a[(0, 0)] is None and a[(1, 0)] is None
+        assert a[(91, 0)] is None and a[(90, 0)] is not None
