@@ -176,8 +176,9 @@ def _proj_rows_arrow(vecs: DataFrame, id_col: str, vec_col: str,
                 "odim": np.tile(np.arange(out_dim, dtype=np.int32), n),
                 "value": col})
 
+    id_type = vecs.schema[id_col].dataType.simpleString()
     return vecs.select(id_col, vec_col).mapInPandas(
-        gen, f"{id_col} LONG, odim INT, value DOUBLE")
+        gen, f"{id_col} {id_type}, odim INT, value DOUBLE")
 
 
 def _cov_partials_arrow(vecs: DataFrame, vec_col: str) -> DataFrame:
