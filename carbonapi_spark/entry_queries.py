@@ -5694,7 +5694,7 @@ SELECT 0 AS n, CAST(sum(len(cand)) AS BIGINT) AS matches,
 UNION ALL
 {body})
 SELECT n, matches, total,
-       CASE WHEN total > 0 THEN round(CAST(matches AS DOUBLE) / total, 6)
+       CASE WHEN total > 0 THEN CAST(matches AS DOUBLE) / total
             ELSE CAST(0.0 AS DOUBLE) END AS precision
 FROM __n
 """.strip()
@@ -8143,6 +8143,8 @@ _DRIVER_PREFIX = [
                              # recursive-CTE walk (struct fold purged)
     "stream_anomaly_replay",  # r8-green, but its oracle was rewritten
                              # in lockstep (same fold purge) — fresh row
+    "bleu_eval",             # r8-green; r10 Arrow clipping kernel +
+                             # un-rounded precision (lockstep oracle)
     "time_to_convert",       # per-channel conversion latency
     "trimmed_stats",         # trimmed/winsorized moments
 ]

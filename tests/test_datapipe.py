@@ -3625,12 +3625,13 @@ def test_bleu_report_clipping_and_short_arrays(spark):
         [(["the"] * 7, ["the", "cat", "is", "on", "the", "mat"]),
          (["a", "b"], ["a", "b", "c", "d", "e"])],
         "cand array<string>, ref array<string>")
-    b = {r["n"]: (r["matches"], r["total"], r["precision"])
-         for r in bleu_report(pairs).collect()}
-    assert b[0] == (9, 11, 0.818182)
-    assert b[1] == (4, 9, round(4 / 9, 6))
-    assert b[2] == (1, 7, round(1 / 7, 6))
-    assert b[3] == (0, 5, 0.0) and b[4] == (0, 4, 0.0)
+    for arrow in (True, False):   # both physical paths, same integers
+        b = {r["n"]: (r["matches"], r["total"], r["precision"])
+             for r in bleu_report(pairs, arrow=arrow).collect()}
+        assert b[0] == (9, 11, 9 / 11)
+        assert b[1] == (4, 9, 4 / 9)
+        assert b[2] == (1, 7, 1 / 7)
+        assert b[3] == (0, 5, 0.0) and b[4] == (0, 4, 0.0)
 
 
 def test_bradley_terry_closed_form(spark):
