@@ -90,12 +90,14 @@ class GraphiteAPI:
 
         graph_keys = ()
         if fmt in ("png", "svg"):
+            # allowlist = exactly what GraphParams consumes (one shared
+            # tuple — r10 bug: locally-added params like minorY were
+            # missing here, so the cache served rasters rendered under
+            # DIFFERENT graph settings)
+            from carbonapi_spark.render.graph import GRAPH_PARAM_KEYS
             graph_keys = tuple(sorted(
                 (k, v) for k, v in params.items()
-                if k in ("width", "height", "bgcolor", "fgcolor", "title",
-                         "hideLegend", "hideAxes", "hideGrid", "lineWidth",
-                         "areaMode", "yMin", "yMax", "colorList",
-                         "logBase", "drawNullAsZero")))
+                if k in GRAPH_PARAM_KEYS))
         # key on the targets in request order: every format's body depends on
         # it (series order in json/csv, color/stack/legend order in png/svg),
         # so a sorted key could serve a permuted request the wrong body

@@ -272,6 +272,19 @@ def _fmt_ts(ts: int, span: int) -> str:
     return d.strftime("%Y/%m")
 
 
+# Every query-string key GraphParams consumes — THE source of truth for
+# the render response-cache key (api.py): a param missing here would let
+# the cache serve a raster rendered under different settings.
+# tests/test_render.py pins this list against GraphParams.__init__.
+GRAPH_PARAM_KEYS = (
+    "width", "height", "bgcolor", "fgcolor", "title", "hideLegend",
+    "hideAxes", "hideYAxis", "hideGrid", "lineWidth", "areaMode",
+    "yMin", "yMax", "yStep", "minorY", "majorGridLineColor",
+    "minorGridLineColor", "colorList", "logBase", "drawNullAsZero",
+    "yUnitSystem",
+)
+
+
 class GraphParams:
     """format=png/svg render params (picture_params.go:233-296 subset)."""
 

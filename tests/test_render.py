@@ -616,3 +616,32 @@ def test_render_png_yunitsystem_and_hideyaxis(spark):
     assert len({bytes(base), bytes(binu), bytes(rawu), bytes(hidden)}) == 4
     # unknown system falls back to si == default bytes
     assert render_png(series, [{}], {"yUnitSystem": ["bogus"]}) == base
+
+
+def test_graph_param_keys_track_graphparams():
+    """GRAPH_PARAM_KEYS (the render cache-key allowlist) must cover
+    every query-string key GraphParams.__init__ reads — a param missing
+    from it makes the response cache serve rasters rendered under
+    different settings (the r10 minorY bug)."""
+    import inspect
+    import re
+
+    from carbonapi_spark.render.graph import GRAPH_PARAM_KEYS, GraphParams
+    src = inspect.getsource(GraphParams.__init__)
+    read = set(re.findall(r'get\("([A-Za-z]+)"', src))
+    assert read == set(GRAPH_PARAM_KEYS), (
+        read - set(GRAPH_PARAM_KEYS), set(GRAPH_PARAM_KEYS) - read)
+
+
+def test_http_render_cache_varies_on_graph_params(server):
+    """Two PNG requests differing only in a graph param must not share
+    a cache entry."""
+    _, base = _get(f"{server}/render?target=web.host1.cpu"
+                   "&from=0&until=4&format=png")
+    _, minor = _get(f"{server}/render?target=web.host1.cpu"
+                    "&from=0&until=4&format=png&minorY=3"
+                    "&minorGridLineColor=red")
+    _, again = _get(f"{server}/render?target=web.host1.cpu"
+                    "&from=0&until=4&format=png")
+    assert base != minor          # param reaches the raster
+    assert base == again          # identical request still cache-stable
