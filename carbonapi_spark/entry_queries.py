@@ -723,7 +723,7 @@ __grp AS (SELECT bin, count(*) AS n_pairs, sum(caught) AS n_candidates
           FROM __bt GROUP BY bin),
 __th AS (SELECT *, (bin + 0.5) / 10.0 AS s FROM __grp),
 __th2 AS (SELECT *, 1.0 - s * s * s * s AS q FROM __th)
-SELECT bin, n_pairs, n_candidates,
+SELECT bin, n_pairs, CAST(n_candidates AS BIGINT) AS n_candidates,
        CAST(n_candidates AS DOUBLE) / n_pairs AS capture_rate,
        1.0 - q * q * q * q AS theory_capture
 FROM __th2
@@ -1404,7 +1404,8 @@ FROM (SELECT name, ts, value, lag(value) OVER ({W_SERIES}) AS prev FROM dense)
 
 _g("is_non_null", "isNonNull(events.error)",
    "SELECT 'isNonNull(events.error)' AS name, ts, "
-   "round(CASE WHEN value IS NOT NULL THEN 1.0 ELSE 0.0 END, 6) AS value FROM dense",
+   "CAST(CASE WHEN value IS NOT NULL THEN 1 ELSE 0 END AS DOUBLE) "
+   "AS value FROM dense",
    "name = 'events.error'")
 
 _g("scale_to_seconds", "scaleToSeconds(events.click, 60)",
@@ -2742,7 +2743,7 @@ __grid AS (SELECT d.doc_id, g.i
            FROM (SELECT DISTINCT doc_id FROM documents) d,
                 (SELECT unnest(range({dim})) AS i) g)
 SELECT g.doc_id, CAST(g.i AS BIGINT) AS dim_idx,
-       coalesce(w, 0.0) AS value
+       CAST(coalesce(w, 0.0) AS DOUBLE) AS value
 FROM __grid g
 LEFT JOIN __pb ON __pb.doc_id = g.doc_id AND __pb.b = g.i
 """.strip()
@@ -3256,7 +3257,8 @@ __r AS (SELECT cnt, pos,
                                    AND CURRENT ROW) - cnt + 1)
                + cnt - 1 AS r2
         FROM __g)
-SELECT sum(pos) AS n_pos, sum(cnt) - sum(pos) AS n_neg,
+SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+       CAST(sum(cnt) - sum(pos) AS BIGINT) AS n_neg,
        CAST(sum(pos * r2) - sum(pos) * (sum(pos) + 1) AS DOUBLE)
            / (2 * sum(pos) * (sum(cnt) - sum(pos))) AS auc
 FROM __r
@@ -4116,9 +4118,16 @@ __w{i + 1} AS MATERIALIZED (
     finals = "\nUNION ALL\n".join(
         f"SELECT {i} AS step, lhs, rhs, lhs || rhs AS merged, "
         f"n AS pair_count FROM __b{i}" for i in range(1, n_merges + 1))
+    # CAST: DuckDB sum(BIGINT) is HUGEINT (int128); uncast it survives
+    # fetchall() comparison (Python ints both sides) but converts to
+    # float64 under .df()/decimal128 under .arrow() — the r07-r10
+    # driver hash failures' root cause (0/43 green oracles shipped a
+    # HUGEINT column; 7/7 red ones did).  Every aggregate the driver
+    # hashes must leave the query as BIGINT or DOUBLE.
     return ("WITH " + ",\n".join(ctes) + "\n"
             + f"SELECT CAST(step AS INT) AS step, lhs, rhs, merged, "
-              f"pair_count FROM ({finals}) ORDER BY step")
+              f"CAST(pair_count AS BIGINT) AS pair_count "
+              f"FROM ({finals}) ORDER BY step")
 
 
 _register("bpe_merges", _q_bpe_merges, _bpe_oracle())
@@ -4195,9 +4204,11 @@ __w{i + 1} AS MATERIALIZED (
         f"SELECT {i} AS step, lhs, rhs, lhs || rhs AS merged, "
         f"n AS pair_count, sc AS score FROM __b{i}"
         for i in range(1, n_merges + 1))
+    # CAST(pair_count): HUGEINT -> BIGINT, see _bpe_oracle
     return ("WITH " + ",\n".join(ctes) + "\n"
             + "SELECT CAST(step AS INT) AS step, lhs, rhs, merged, "
-              "pair_count, score FROM ({}) ORDER BY step".format(finals))
+              "CAST(pair_count AS BIGINT) AS pair_count, score "
+              "FROM ({}) ORDER BY step".format(finals))
 
 
 _register("wordpiece_merges", _q_wordpiece_merges, _wordpiece_oracle())
@@ -4315,9 +4326,9 @@ __occ AS MATERIALIZED (
   SELECT doc_id, tok, count(*) AS cnt
   FROM {_BPE_TOKS_SQL}
   GROUP BY doc_id, tok)
-SELECT o.doc_id, sum(o.cnt) AS n_tokens,
-       sum(o.cnt * len(string_split(substr(e.acc, 2), {sep})))
-           AS n_pieces,
+SELECT o.doc_id, CAST(sum(o.cnt) AS BIGINT) AS n_tokens,
+       CAST(sum(o.cnt * len(string_split(substr(e.acc, 2), {sep})))
+            AS BIGINT) AS n_pieces,
        CAST(sum(o.cnt * len(string_split(substr(e.acc, 2),
                                          {sep}))) AS DOUBLE)
            / sum(o.cnt) AS fertility
@@ -4385,9 +4396,10 @@ __t0 AS MATERIALIZED (
   SELECT tok, {_sym_init_sql('tok')} AS sym
   FROM (SELECT DISTINCT tok FROM __occ)),
 """.strip() + "\n" + ",\n".join(folds) + f"""
-SELECT o.doc_id, sum(o.cnt) AS n_tokens,
-       sum(o.cnt * len(list_filter(string_split(t.sym, {sep}),
-                                   x -> x != ''))) AS n_pieces,
+SELECT o.doc_id, CAST(sum(o.cnt) AS BIGINT) AS n_tokens,
+       CAST(sum(o.cnt * len(list_filter(string_split(t.sym, {sep}),
+                                        x -> x != ''))) AS BIGINT)
+           AS n_pieces,
        CAST(sum(o.cnt * len(list_filter(string_split(t.sym, {sep}),
                                         x -> x != ''))) AS DOUBLE)
            / sum(o.cnt) AS fertility
@@ -4847,8 +4859,8 @@ __x AS (SELECT p.user_id, p.day + g.o AS d, min(g.o) AS m
         WHERE p.day + g.o <= b.hi
         GROUP BY p.user_id, p.day + g.o)
 SELECT d AS day,
-       sum(CASE WHEN m < 1 THEN 1 ELSE 0 END) AS dau,
-       sum(CASE WHEN m < 7 THEN 1 ELSE 0 END) AS wau,
+       CAST(sum(CASE WHEN m < 1 THEN 1 ELSE 0 END) AS BIGINT) AS dau,
+       CAST(sum(CASE WHEN m < 7 THEN 1 ELSE 0 END) AS BIGINT) AS wau,
        count(*) AS mau,
        CAST(sum(CASE WHEN m < 1 THEN 1 ELSE 0 END) AS DOUBLE)
            / count(*) AS stickiness
@@ -8094,6 +8106,44 @@ ORDER BY 1
 
 
 # ---------------------------------------------------------------------------
+# Round-11 driver-hash-divergence experiment (VERDICT r10 "What's wrong" #1).
+# New root cause identified this round: every one of the 7 never-driver-green
+# oracles — and ONLY those — left an uncast DuckDB sum() in its output.
+# DuckDB types sum(BIGINT) as HUGEINT (int128); .fetchall() yields Python
+# ints (so tools/check_oracles.py is bit-exact locally), but the pandas /
+# Arrow conversion the driver hashes through yields float64 / decimal128 —
+# "3.0" where Spark ships int64 "3".  The 7 oracles above now CAST to
+# BIGINT.  The three probes below separate the remaining hypotheses in one
+# driver round:
+#   * hugeint_probe — trivially-equal values on a FRESH name, oracle
+#     deliberately uncast (HUGEINT out).  RED confirms the type-conversion
+#     mechanism on a name with no history; GREEN kills it.
+#   * bpe_merges_v2 / quality_auc_v2 — byte-identical clones of the FIXED
+#     entries under fresh names.  If the driver serves name-keyed stale
+#     verdicts (VERDICT hypothesis (a)), the old names stay red while the
+#     clones go green; if staleness is false both go green together.
+
+
+def _q_hugeint_probe(spark, sf_dir):
+    """Per-region nation-key checksum — values are single-digit exact
+    ints; the ONLY thing this entry tests is the oracle-side output
+    TYPE (the SQL leaves sum() uncast => HUGEINT)."""
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return (nation.groupBy(F.col("n_regionkey").cast("long")
+                           .alias("region_key"))
+            .agg(F.sum("n_nationkey").alias("key_sum")))
+
+
+_register("hugeint_probe", _q_hugeint_probe, """
+SELECT CAST(n_regionkey AS BIGINT) AS region_key,
+       sum(n_nationkey) AS key_sum
+FROM nation GROUP BY 1
+""".strip())
+
+_register("bpe_merges_v2", _q_bpe_merges, _bpe_oracle())
+_register("quality_auc_v2", _q_quality_auc, _quality_auc_oracle())
+
+# ---------------------------------------------------------------------------
 # Driver-visibility ordering. The correctness driver checks at most the first
 # 50 catalog entries per round.  Rotation policy: the prefix lists ONLY the
 # queries that need a (re-)verified driver row this round — queries that have
@@ -8102,51 +8152,27 @@ ORDER BY 1
 # fills the remaining first-50 slots; those are all green in
 # CORRECTNESS_r01.json ∪ CORRECTNESS_r02.json.  Keep this list well under 50.
 _DRIVER_PREFIX = [
-    # ---- round 10 rotation ----
-    # Every entry below either (a) had its oracle/op rewritten this round
-    # (the r07-r09 hash-fail family: list_reduce + string_split(x,'')
-    # purged for replace()-based merges, round(x,6) purged from
-    # driver-facing doubles — all re-verified BIT-EXACT vs local DuckDB
-    # by tools/check_oracles.py + the strict raw-value pass), or (b) has
-    # never had a driver row (the 20-entry backlog VERDICT r9 lists).
-    # Everything green through r08 keeps registration order behind these.
-    "bpe_word_counts",       # NEW r10: token-universe BISECTION entry —
-                             # green here + red fold => fold-side cause
-    "bpe_merges",            # rewritten oracle: replace()-merge encoding
-    "wordpiece_merges",      # rewritten + un-rounded score
-    "bpe_fertility",         # rewritten fold chain + un-rounded ratio
-    "wordpiece_fertility",   # rewritten + un-rounded ratio
-    "wordpiece_encode",      # never-verified; recursive-CTE encode replay
-    "unigram_pieces",        # never-verified; Viterbi DP replay
-    "unigram_fertility",     # r08-green, but fertility un-rounded in
-                             # lockstep this round — needs a fresh row
-    "quality_auc",           # un-rounded single division of exact ints
-    "active_users",          # un-rounded stickiness
-    "lsh_quality",           # un-rounded capture/theory rates
-    # ---- the never-driver-verified backlog (registered r8) ----
-    "dedup_agreement",       # + r10 single-job finish (was 9 actions)
-    "asof_nearest",          # |gap|-ranked nearest as-of join
-    "cuped_lift",            # CUPED variance-reduced A/B lift
-    "cusum_changepoint",     # CUSUM mean-shift detection
-    "embed_correlation",     # exact covariance -> correlation finish
-    "fuzzy_clusters",        # blocked-Levenshtein CC clusters
-    "hll_merge_rollup",      # HLL sketch merge rollup
-    "isotonic_calibration",  # PAV isotonic regression
-    "k_center",              # greedy k-center coreset
-    "kaplan_meier",          # KM survival estimator
-    "key_skew",              # hot-key skew report
-    "mad_outliers",          # median-absolute-deviation outliers
-    "pca_extremes",          # PCA top-component extremes
-    "session_paths",         # sessionized top path report
-    "stream_cov_replay",     # streaming covariance sketch replay
-    "stream_cusum_replay",   # streaming CUSUM replay; r10 oracle is a
-                             # recursive-CTE walk (struct fold purged)
-    "stream_anomaly_replay",  # r8-green, but its oracle was rewritten
-                             # in lockstep (same fold purge) — fresh row
-    "bleu_eval",             # r8-green; r10 Arrow clipping kernel +
-                             # un-rounded precision (lockstep oracle)
-    "time_to_convert",       # per-channel conversion latency
-    "trimmed_stats",         # trimmed/winsorized moments
+    # ---- round 11 rotation ----
+    # The 7 r07-r10 hash-fail entries, re-verified --strict at sf0.001 +
+    # sf0.01 + chaos knobs after the HUGEINT->BIGINT oracle casts (the
+    # newly-diagnosed root cause: 7/7 red oracles shipped an uncast
+    # DuckDB sum() = HUGEINT output column, 0/43 green ones did; pandas
+    # renders HUGEINT as float64, Spark ships int64).
+    "bpe_merges",            # CAST(pair_count AS BIGINT)
+    "wordpiece_merges",      # CAST(pair_count AS BIGINT)
+    "bpe_fertility",         # CAST(n_tokens/n_pieces AS BIGINT)
+    "wordpiece_fertility",   # CAST(n_tokens/n_pieces AS BIGINT)
+    "quality_auc",           # CAST(n_pos/n_neg AS BIGINT)
+    "active_users",          # CAST(dau/wau AS BIGINT)
+    "lsh_quality",           # CAST(n_candidates AS BIGINT)
+    # ---- the three-way experiment probes (see their registration) ----
+    "hugeint_probe",         # EXPECTED RED if the HUGEINT diagnosis is
+                             # right: trivially-equal values, uncast sum
+    "bpe_merges_v2",         # fixed entry under a FRESH name: separates
+    "quality_auc_v2",        # name-keyed staleness from the type bug
+    # ---- normalized in lockstep (DECIMAL -> DOUBLE, same class) ----
+    "is_non_null",           # CASE cast to DOUBLE (was DECIMAL(2,1))
+    "hashed_vectors",        # value cast to DOUBLE (was DECIMAL(38,1))
 ]
 # The driver checks at most _DRIVER_CAP rows per round; test_entry.py pins
 # len(_DRIVER_PREFIX) <= cap so additions can never silently evict entries
