@@ -36,6 +36,12 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 # fixed-point scales (contract constants, see module docstring)
 PROJ_SCALE = 10**6
+# coordinates whose quantization q = round(v * PROJ_SCALE) would leave
+# the exactly-representable int64 range null the row on both projection
+# paths (beyond it, JVM double->long saturates while numpy wraps —
+# different garbage, no parity); 2^62/SCALE leaves the accumulating
+# matmul headroom too
+MAX_COORD = 2.0**62 / PROJ_SCALE
 COV_SCALE = 10**9
 
 
@@ -110,10 +116,20 @@ def random_projection(vecs: DataFrame, out_dim: int = 16,
     # validity gate BEFORE the fold: under ANSI element_at an empty
     # array (sequence(0,-1) descends to index -1+1) or a row longer
     # than the sign matrix would THROW mid-query instead of yielding a
-    # null — gate to null so one dirty row can't kill a 100 TB stage
+    # null — gate to null so one dirty row can't kill a 100 TB stage.
+    # Non-finite or int64-overflowing coordinates also null the row:
+    # (long)NaN and numpy's .astype(int64) disagree on the garbage they
+    # produce, so the contract is an explicit null on BOTH paths, not
+    # whichever sentinel the engine picks (a null array element lands
+    # here too — isnan(null) is null, so the conjunction un-trues)
+    xd = lambda x: x.cast("double")  # noqa: E731
+    clean = F.forall(F.col(vec_col),
+                     lambda x: ~F.isnan(xd(x))
+                     & (F.abs(xd(x)) <= F.lit(MAX_COORD)))
     valid = (F.col(vec_col).isNotNull()
              & (F.size(F.col(vec_col)) > 0)
-             & (F.size(F.col(vec_col)) <= in_dim))
+             & (F.size(F.col(vec_col)) <= in_dim)
+             & clean)
     dim_idx = F.explode(F.sequence(F.lit(0), F.lit(out_dim - 1)))
     rows = vecs.select(F.col(id_col), F.when(valid, q).alias("__q"),
                        dim_idx.alias("odim"))
@@ -158,6 +174,14 @@ def _proj_rows_arrow(vecs: DataFrame, id_col: str, vec_col: str,
                     # beyond the sign matrix the JVM fold hits a null
                     # sign; on an empty array its sequence(0, -1)
                     # descends into a null element_at — null either way
+                    out_rows.append(None)
+                    continue
+                if not np.all(np.isfinite(v)) \
+                        or np.any(np.abs(v) > MAX_COORD):
+                    # NaN/Inf/overflow coords: .astype(int64) would emit
+                    # an undefined sentinel (INT64_MIN) and a garbage
+                    # finite output — null the row like the JVM gate
+                    # (null array elements arrive here as NaN)
                     out_rows.append(None)
                     continue
                 acc = q_half_away(v * PROJ_SCALE) @ S[:len(v)]

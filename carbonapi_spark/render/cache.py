@@ -13,7 +13,7 @@ backend."""
 from __future__ import annotations
 
 import hashlib
-import pickle
+import struct
 import threading
 import time
 
@@ -70,8 +70,14 @@ class MemcachedResponseCache(_TtlPolicy):
     ``MemcachedCache``): keys are sha256-hex of the canonical request
     key under a deployment ``prefix`` (raw render keys contain
     characters memcached forbids and can exceed its 250-byte key
-    limit); values are pickled response tuples; expiration is delegated
-    to the server.
+    limit); values are NON-EXECUTABLE framed response tuples —
+    status/content-type header + raw body bytes, the same
+    raw-bytes-only policy as the reference (cache/cache.go stores the
+    serialized response body, never an object graph).  Memcached is
+    typically unauthenticated plaintext, so a deserializer that can
+    execute code (pickle) would hand anyone who can reach or spoof the
+    server arbitrary code execution in the API process; expiration is
+    delegated to the server.
 
     The client is INJECTED, never constructed here (the aliasByRedis
     config gate): anything exposing ``get(key) -> bytes | None`` and
@@ -90,6 +96,30 @@ class MemcachedResponseCache(_TtlPolicy):
         self.short_ttl = short_ttl
         self.errors = 0
 
+    # frame: magic 'C1' | status u16 | ctype-len u16 | ctype utf-8 | body
+    _MAGIC = b"C1"
+    _HDR = struct.Struct(">HH")
+
+    @classmethod
+    def _encode(cls, value) -> bytes:
+        status, ctype, body = value
+        ct = str(ctype).encode("utf-8")
+        if not isinstance(body, (bytes, bytearray)):
+            raise TypeError("response body must be bytes")
+        return cls._MAGIC + cls._HDR.pack(int(status), len(ct)) + ct + body
+
+    @classmethod
+    def _decode(cls, blob: bytes):
+        if not blob.startswith(cls._MAGIC):
+            raise ValueError("bad magic")
+        off = len(cls._MAGIC)
+        status, ct_len = cls._HDR.unpack_from(blob, off)
+        off += cls._HDR.size
+        if off + ct_len > len(blob):
+            raise ValueError("truncated frame")
+        ctype = blob[off:off + ct_len].decode("utf-8")
+        return status, ctype, bytes(blob[off + ct_len:])
+
     def _key(self, key: str) -> str:
         return self._prefix + hashlib.sha256(key.encode()).hexdigest()
 
@@ -102,15 +132,16 @@ class MemcachedResponseCache(_TtlPolicy):
         if blob is None:
             return None
         try:
-            return pickle.loads(blob)
+            return self._decode(blob)
         except Exception:
+            # malformed/foreign blob (including anything an attacker
+            # planted): a MISS, never an error or an object load
             self.errors += 1
             return None
 
     def put(self, key: str, value, ttl: int | None = None) -> None:
         try:
-            self._client.set(self._key(key),
-                             pickle.dumps(value, protocol=4),
+            self._client.set(self._key(key), self._encode(value),
                              expire=int(ttl or self.default_ttl))
         except Exception:
             self.errors += 1

@@ -318,14 +318,17 @@ class GraphParams:
             self.y_step = float(get("yStep")) if get("yStep") else None
         except ValueError:
             self.y_step = None
-        if self.y_step is not None and self.y_step <= 0:
+        if self.y_step is not None and (self.y_step <= 0
+                                        or not math.isfinite(self.y_step)):
             self.y_step = None
         # minorY (cairo.go:2067-2110): N minor gridlines between each
         # adjacent major pair.  Cairo defaults to 1; we default to 0
         # (documented deviation — the golden rasters pin majors-only)
         try:
-            self.minor_y = max(0, int(float(get("minorY", "0"))))
-        except ValueError:
+            # cap: minorY is request-controlled; uncapped it draws
+            # millions of lines per major gap (single-request DoS)
+            self.minor_y = min(max(0, int(float(get("minorY", "0")))), 20)
+        except (ValueError, OverflowError):  # minorY=inf overflows int()
             self.minor_y = 0
         self.major_grid_color = get("majorGridLineColor")
         self.minor_grid_color = get("minorGridLineColor")
@@ -417,10 +420,13 @@ def _y_scale(gp: GraphParams, lo: float, hi: float, py0: float, py1: float):
         return sy, ticks
 
     ticks = list(_nice_ticks(lo, hi))
-    if gp.y_step:
+    if gp.y_step and (hi - lo) / gp.y_step <= 1e3:
         # cairo.go:1717-1718: snap the plotted range outward to yStep
         # multiples and tick at every multiple (floatEpsilon-nudged so
-        # an exact-multiple bound doesn't grow an extra step)
+        # an exact-multiple bound doesn't grow an extra step).  A step
+        # tiny relative to the range (yStep=1e-6 over [0, 1e12]) would
+        # allocate ~1e18 ticks from one request — past ~1e3 ticks the
+        # param is ignored and the _nice_ticks fallback stands.
         eps = 1e-9
         step = gp.y_step
         lo = step * math.floor(lo / step + eps)
@@ -553,17 +559,21 @@ def render_svg(series, opts_list, params: dict) -> str:
             y = sy(v)
             if y is None:
                 continue
-            o.append(f'<line x1="{px0}" y1="{y:.1f}" x2="{px1}" y2="{y:.1f}" '
-                     f'stroke="{fg}" stroke-opacity="0.25"/>')
-            if gp.minor_y >= 1 and i < len(yticks) - 1:
-                dist = (yticks[i + 1] - v) / (1 + gp.minor_y)
-                for m in range(gp.minor_y):
-                    ym = sy(v + (1 + m) * dist)
-                    if ym is None:
-                        continue
-                    o.append(f'<line x1="{px0}" y1="{ym:.1f}" x2="{px1}" '
-                             f'y2="{ym:.1f}" stroke="{fg}" '
-                             f'stroke-opacity="0.12"/>')
+            # hideGrid gates major AND minor gridlines — same as the
+            # PNG path (labels and the axis frame stay)
+            if not gp.hide_grid:
+                o.append(f'<line x1="{px0}" y1="{y:.1f}" x2="{px1}" '
+                         f'y2="{y:.1f}" stroke="{fg}" '
+                         f'stroke-opacity="0.25"/>')
+                if gp.minor_y >= 1 and i < len(yticks) - 1:
+                    dist = (yticks[i + 1] - v) / (1 + gp.minor_y)
+                    for m in range(gp.minor_y):
+                        ym = sy(v + (1 + m) * dist)
+                        if ym is None:
+                            continue
+                        o.append(f'<line x1="{px0}" y1="{ym:.1f}" '
+                                 f'x2="{px1}" y2="{ym:.1f}" stroke="{fg}" '
+                                 f'stroke-opacity="0.12"/>')
             if not gp.hide_y_axis:
                 o.append(f'<text x="2" y="{y + 3:.1f}" fill="{fg}" '
                          f'font-size="9" font-family="sans-serif">'

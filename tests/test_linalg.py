@@ -189,6 +189,11 @@ def test_random_projection_paths_agree_clean_and_dirty(spark):
              for i in range(25)]
     rows.append((90, [rng.uniform(-1, 1) for _ in range(5)]))   # short
     rows.append((91, [rng.uniform(-1, 1) for _ in range(12)]))  # long
+    rows.append((92, [float("nan")] + [0.5] * 7))               # NaN
+    rows.append((93, [float("inf")] + [0.5] * 7))               # +Inf
+    rows.append((94, [-float("inf")] + [0.5] * 7))              # -Inf
+    rows.append((95, [1e30] + [0.5] * 7))       # finite int64 overflow
+    rows.append((96, [0.5] * 3 + [None] + [0.5] * 4))  # null element
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     # first() establishes in_dim from an arbitrary row: pin it by
     # filtering the probe rows the same way both calls do internally
@@ -202,3 +207,7 @@ def test_random_projection_paths_agree_clean_and_dirty(spark):
         assert a == b and len(a) == len(rows) * 4
         assert a[(0, 0)] is None and a[(1, 0)] is None
         assert a[(91, 0)] is None and a[(90, 0)] is not None
+        # non-finite / overflowing / null-element rows: explicit null on
+        # BOTH paths (never an engine-specific int64 garbage sentinel)
+        for rid in (92, 93, 94, 95, 96):
+            assert a[(rid, 0)] is None, rid

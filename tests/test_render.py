@@ -427,6 +427,25 @@ def test_render_png_ystep_minory_grid_colors(spark):
     assert GraphParams({"yStep": ["x"]}).y_step is None
     assert GraphParams({"yStep": ["-1"]}).y_step is None
     assert GraphParams({"minorY": ["x"]}).minor_y == 0
+    # DoS clamps: a request must not be able to allocate unbounded
+    # ticks (yStep=1e-6 over a wide range => _nice_ticks fallback) or
+    # draw millions of minor lines (minorY capped at 20)
+    gp_tiny = GraphParams({"yStep": ["0.000001"]})
+    _, t2 = _y_scale(gp_tiny, 0.0, 1e12, 0, 100)
+    assert len(t2) <= 1001
+    assert GraphParams({"minorY": ["10000000"]}).minor_y == 20
+    assert GraphParams({"minorY": ["inf"]}).minor_y == 0
+    assert GraphParams({"yStep": ["inf"]}).y_step is None
+    assert GraphParams({"yStep": ["nan"]}).y_step is None
+    # hideGrid suppresses major AND minor gridlines in SVG too (labels
+    # and the axis frame stay) — parity with the PNG path
+    s_hidden = render_svg(series, [{}],
+                          {"minorY": ["2"], "hideGrid": ["1"]})
+    assert s_hidden.count("<line") < s0.count("<line")
+    # the gridline strokes (major 0.25, minor 0.12) are gone; the
+    # series path's own stroke-opacity stays
+    assert 'stroke-opacity="0.25"' not in s_hidden
+    assert 'stroke-opacity="0.12"' not in s_hidden
 
 
 def test_http_render_svg_no_data_golden(server):
@@ -531,9 +550,11 @@ def test_http_render_png(server):
 def test_memcached_response_cache_contract(spark):
     """cache/cache.go:60-111 parity with an injected FAKE client (no
     memcached in this container): sha256-hex prefixed keys within
-    memcached's 250-byte/charset limits, pickle roundtrip, server
-    errors counted and degraded to misses, and the backend actually
-    serving a GraphiteAPI render from cache."""
+    memcached's 250-byte/charset limits, non-executable frame
+    roundtrip, server errors counted and degraded to misses, planted
+    pickle payloads NEVER deserialized (memcached is unauthenticated
+    plaintext — an executable encoding would be RCE-by-cache-spoof),
+    and the backend actually serving a GraphiteAPI render from cache."""
     import time
 
     from carbonapi_spark.render.api import GraphiteAPI
@@ -578,6 +599,15 @@ def test_memcached_response_cache_contract(spark):
     # corrupt payload is a miss too
     fc.store[stored_key] = (time.time() + 60, b"\x80not-a-pickle")
     assert mc.get(long_key) is None and mc.errors == 3
+    # a planted PICKLE payload (the cache-spoof attack) is never
+    # deserialized: a VALID pickled response tuple must read as a MISS
+    # — if the backend still ran pickle.loads it would round-trip here
+    import pickle
+
+    fc.store[stored_key] = (
+        time.time() + 60, pickle.dumps((200, "application/json", b"[]")))
+    assert mc.get(long_key) is None and mc.errors == 4, \
+        "cache blob was pickle-deserialized"
 
     # end-to-end: second render served from the injected backend
     lake = make_lake(spark, {"m.a": [1.0, 2.0]}, 1, 0)
