@@ -8,15 +8,20 @@ stroke font (vector polylines, shared with the SVG path). Pixel parity
 with cairo is a non-goal; dimensions, series geometry, colors, decorators
 and the param surface (width/height/bgcolor/fgcolor/title/hideLegend/
 lineWidth/colorList/yMin/yMax/areaMode/logBase/drawNullAsZero/yStep/
-minorY/majorGridLineColor/minorGridLineColor/hideYAxis/yUnitSystem —
+minorY/majorGridLineColor/minorGridLineColor/hideYAxis/yUnitSystem,
+the dual-axis family secondYAxis + yMinLeft/Right + yMaxLeft/Right +
+yLimitLeft/Right + yStepLeft/Right (``setupTwoYAxes``,
+``cairo.go:1302-1586``), and ``yDivisors`` —
 ``picture_params.go:233-301``) follow the reference.
 
 Deliberate deviations / non-goals (beyond pixel parity): ``minorY``
 defaults to 0 here (cairo defaults to 1 minor line between majors;
-our long-standing golden rasters pin the majors-only default) and the
-dual-axis family (``secondYAxis``/``*Left``/``*Right`` incl.
-``yLimitLeft/yLimitRight/yStepLeft/yStepRight``), ``yDivisors``, and
-template-file themes are not implemented.
+our long-standing golden rasters pin the majors-only default);
+``yDivisors`` only switches the step selector to the reference
+algorithm when EXPLICITLY provided (the default ticks stay on the
+golden-pinned _nice_ticks ladder); ``logBase`` is ignored on the
+dual-axis path (the reference panics on log+dual with non-positive
+mins); ``vtitleRight`` and template-file themes are not implemented.
 """
 
 from __future__ import annotations
@@ -281,7 +286,8 @@ GRAPH_PARAM_KEYS = (
     "hideAxes", "hideYAxis", "hideGrid", "lineWidth", "areaMode",
     "yMin", "yMax", "yStep", "minorY", "majorGridLineColor",
     "minorGridLineColor", "colorList", "logBase", "drawNullAsZero",
-    "yUnitSystem",
+    "yUnitSystem", "yMinLeft", "yMinRight", "yMaxLeft", "yMaxRight",
+    "yLimitLeft", "yLimitRight", "yStepLeft", "yStepRight", "yDivisors",
 )
 
 
@@ -332,6 +338,43 @@ class GraphParams:
             self.minor_y = 0
         self.major_grid_color = get("majorGridLineColor")
         self.minor_grid_color = get("minorGridLineColor")
+
+        # dual-axis family (picture_params.go:281-291, consumed by
+        # setupTwoYAxes cairo.go:1302-1586): per-side range overrides,
+        # per-side tick steps, and the yLimit* hard caps.  All NaN
+        # ("unset") by default in the reference; None here.
+        def fget(name, positive=False):
+            raw = get(name)
+            if not raw:
+                return None
+            try:
+                v = float(raw)
+            except ValueError:
+                return None
+            if not math.isfinite(v) or (positive and v <= 0):
+                return None
+            return v
+
+        self.y_min_left = fget("yMinLeft")
+        self.y_min_right = fget("yMinRight")
+        self.y_max_left = fget("yMaxLeft")
+        self.y_max_right = fget("yMaxRight")
+        self.y_limit_left = fget("yLimitLeft")
+        self.y_limit_right = fget("yLimitRight")
+        self.y_step_left = fget("yStepLeft", positive=True)
+        self.y_step_right = fget("yStepRight", positive=True)
+        # yDivisors (picture_params.go:291, default 4,5,6): candidate
+        # label counts the step selector scores against the pretty-value
+        # ladder (setupYAxis cairo.go:1697-1717).  Capped like minorY —
+        # the list length only adds candidates, never ticks.
+        self.y_divisors = None
+        if get("yDivisors"):
+            try:
+                ds = [float(x) for x in get("yDivisors").split(",")]
+                ds = [d for d in ds if math.isfinite(d) and d > 0]
+                self.y_divisors = ds[:16] or None
+            except ValueError:
+                self.y_divisors = None
         cl = get("colorList")
         self.color_list = cl.split(",") if cl else DEFAULT_COLOR_LIST
         # picture_params.go:335-344: "e" -> e, else float, <1 -> off.
@@ -362,6 +405,7 @@ def _series_geometry(series, opts_list, gp: GraphParams):
         infinite = bool(opts.get("drawAsInfinite"))
         stacked = bool(opts.get("stacked")) or gp.area_mode in ("all", "stacked")
         dashed = float(opts.get("dashed", 0.0))
+        right = bool(opts.get("secondYAxis"))
         pts = []
         for j, v in enumerate(s.values):
             ts = s.start + j * s.step
@@ -371,16 +415,17 @@ def _series_geometry(series, opts_list, gp: GraphParams):
                 else:
                     pts.append((ts, None))
                     continue
-            base = stacked_base.get(ts, 0.0) if stacked else 0.0
+            base = stacked_base.get((right, ts), 0.0) if stacked else 0.0
             y = v + base
             if stacked:
-                stacked_base[ts] = y
+                stacked_base[(right, ts)] = y
             pts.append((ts, y))
             if not infinite:
                 lo, hi = min(lo, y, base), max(hi, y, base)
         specs.append({"name": s.name, "pts": pts, "color": color,
                       "alpha": alpha, "width": lwidth, "infinite": infinite,
-                      "stacked": stacked, "dashed": dashed, "step": s.step})
+                      "stacked": stacked, "dashed": dashed, "step": s.step,
+                      "right": right})
         t0 = s.start if t0 is None else min(t0, s.start)
         t1 = s.stop if t1 is None else max(t1, s.stop)
     if not math.isfinite(lo):
@@ -420,6 +465,20 @@ def _y_scale(gp: GraphParams, lo: float, hi: float, py0: float, py1: float):
         return sy, ticks
 
     ticks = list(_nice_ticks(lo, hi))
+    if gp.y_divisors and not gp.y_step:
+        # explicit yDivisors: reference step selection (the default
+        # _nice_ticks ladder stays when the param is absent — the
+        # long-standing golden rasters pin it)
+        step = _graphite_step(hi - lo if hi > lo else 1.0,
+                              gp.y_unit_system, gp.y_divisors)
+        lo2 = step * math.floor(lo / step + 1e-9)
+        hi2 = step * math.ceil(hi / step - 1e-9)
+        if hi2 <= lo2:
+            hi2 = lo2 + step
+        n = int(round((hi2 - lo2) / step))
+        if n <= 1e3:
+            lo, hi = lo2, hi2
+            ticks = [round(lo + k * step, 10) for k in range(n + 1)]
     if gp.y_step and (hi - lo) / gp.y_step <= 1e3:
         # cairo.go:1717-1718: snap the plotted range outward to yStep
         # multiples and tick at every multiple (floatEpsilon-nudged so
@@ -444,13 +503,105 @@ def _y_scale(gp: GraphParams, lo: float, hi: float, py0: float, py1: float):
     return sy, ticks
 
 
+# setupYAxis cairo.go:1697-1717 prettyValues: the step selector scores
+# range/divisor quotients against this ladder and keeps the closest
+_PRETTY_VALUES = (0.1, 0.2, 0.25, 0.5, 1.0, 1.2, 1.25, 1.5, 2.0, 2.25, 2.5)
+
+
+def _graphite_step(variance: float, unit_system: str,
+                   divisors) -> float:
+    """The reference's y-step selection (setupYAxis cairo.go:1680-1717 /
+    setupTwoYAxes:1436-1496): scale the range down by its order factor
+    (power of 10, or of 2 under yUnitSystem=binary), score
+    ``variance / d`` for each candidate divisor against the
+    pretty-value ladder, and return the winner scaled back up."""
+    if not (math.isfinite(variance) and variance > 0):
+        variance = 1.0
+    if unit_system == "binary":
+        factor = 2.0 ** math.floor(math.log2(variance))
+    else:
+        factor = 10.0 ** math.floor(math.log10(variance))
+    v = variance / factor
+    best_p, best_diff = 1.0, math.inf
+    for d in divisors:
+        q = v / d
+        p = min(_PRETTY_VALUES, key=lambda pv: abs(q - pv))
+        diff = abs(q - p)
+        if diff < best_diff:
+            best_p, best_diff = p, diff
+    return best_p * factor
+
+
+def _dual_axis_scales(gp: GraphParams, specs, py0, py1):
+    """setupTwoYAxes (cairo.go:1302-1586): independent linear scales for
+    the left and right series populations.  Per side: data range →
+    yMin/yMax overrides → yLimit cap → step (explicit yStep{L,R} beats
+    the divisor selection) → bounds snapped outward to step multiples →
+    ticks at every multiple.  Returns ((syL, ticksL, rangeL),
+    (syR, ticksR, rangeR)).  logBase is ignored on this path (the
+    reference panics on log+dual with non-positive mins; single-axis
+    log rendering stays on _y_scale) — documented deviation."""
+    divisors = gp.y_divisors or [4.0, 5.0, 6.0]
+    out = []
+    for right in (False, True):
+        lo, hi = math.inf, -math.inf
+        for sp in specs:
+            if sp["right"] != right or sp["infinite"]:
+                continue
+            for _, y in sp["pts"]:
+                if y is not None:
+                    lo, hi = min(lo, y), max(hi, y)
+        if not math.isfinite(lo):
+            lo, hi = 0.0, 1.0
+        y_max = gp.y_max_right if right else gp.y_max_left
+        y_min = gp.y_min_right if right else gp.y_min_left
+        y_lim = gp.y_limit_right if right else gp.y_limit_left
+        y_stp = gp.y_step_right if right else gp.y_step_left
+        if y_max is not None:
+            hi = y_max
+        if y_lim is not None and y_lim < hi:
+            hi = y_lim
+        if y_min is not None:
+            lo = y_min
+        if hi <= lo:
+            hi = lo + 1
+        step = y_stp if y_stp is not None else \
+            _graphite_step(hi - lo, gp.y_unit_system, divisors)
+        if (hi - lo) / step > 1e3:  # same request-DoS clamp as yStep
+            step = _graphite_step(hi - lo, gp.y_unit_system, divisors)
+        bottom = step * math.floor(lo / step + 1e-9)
+        top = step * math.ceil(hi / step - 1e-9)
+        # the explicit overrides re-assert AFTER snapping
+        # (cairo.go:1517-1528)
+        if y_max is not None:
+            top = y_max
+        if y_min is not None:
+            bottom = y_min
+        if top <= bottom:
+            top = bottom + step
+        n = max(1, int(math.ceil((top - bottom) / step - 1e-9)))
+        ticks = [round(bottom + k * step, 10) for k in range(n + 1)
+                 if bottom + k * step <= top + 1e-9 * step]
+
+        def make_sy(b, t):
+            def sy(v):
+                if v is None:
+                    return None
+                return py1 - (v - b) / max(t - b, 1e-300) * (py1 - py0)
+            return sy
+
+        out.append((make_sy(bottom, top), ticks, (bottom, top)))
+    return out[0], out[1]
+
+
 def render_png(series, opts_list, params: dict) -> bytes:
     gp = GraphParams(params)
     cv = Canvas(gp.width, gp.height, gp.bgcolor)
     specs, lo, hi, t0, t1 = _series_geometry(series, opts_list, gp)
 
+    dual = any(sp["right"] for sp in specs)
     ml = 1 if gp.hide_axes else 44
-    mr = 6
+    mr = 44 if dual and not gp.hide_axes else 6  # right-axis label gutter
     mt = 16 if gp.title else 6
     legend_rows = 0 if gp.hide_legend or gp.width < 200 else \
         min(len(specs), max(1, (gp.height // 5) // 10))
@@ -461,7 +612,14 @@ def render_png(series, opts_list, params: dict) -> bytes:
     def sx(ts):
         return px0 + (ts - t0) / max(t1 - t0, 1) * (px1 - px0)
 
-    sy, yticks = _y_scale(gp, lo, hi, py0, py1)
+    if dual:
+        # setupTwoYAxes: independent scales; gridlines follow the LEFT
+        # labels (drawGridLines cairo.go:2041-2048)
+        (sy, yticks, rng_l), (sy_r, yticks_r, rng_r) = \
+            _dual_axis_scales(gp, specs, py0, py1)
+    else:
+        sy, yticks = _y_scale(gp, lo, hi, py0, py1)
+        sy_r, yticks_r, rng_l, rng_r = None, (), (lo, hi), None
 
     auto_grid = tuple(min(255, c + 60) if sum(gp.bgcolor) < 384
                       else max(0, c - 60) for c in gp.bgcolor)
@@ -485,6 +643,14 @@ def render_png(series, opts_list, params: dict) -> bytes:
             if not gp.hide_y_axis:  # hideYAxis: grid stays, labels go
                 cv.text(_fmt_val(v, gp.y_unit_system), 2, y - 3,
                         gp.fgcolor, 0.9)
+        if dual and not gp.hide_y_axis:
+            # right-axis labels in the right gutter (drawYAxis
+            # cairo.go:1954-1963), on the right scale
+            for v in yticks_r:
+                y = sy_r(v)
+                if y is not None:
+                    cv.text(_fmt_val(v, gp.y_unit_system), px1 + 3, y - 3,
+                            gp.fgcolor, 0.9)
         span = t1 - t0
         for ts in _nice_ticks(t0, t1, 6):
             x = sx(ts)
@@ -493,8 +659,12 @@ def render_png(series, opts_list, params: dict) -> bytes:
             cv.text(_fmt_ts(int(ts), span), x - 14, py1 + 4, gp.fgcolor, 0.9)
         cv.line(px0, py0, px0, py1, gp.fgcolor, 1.0)
         cv.line(px0, py1, px1, py1, gp.fgcolor, 1.0)
+        if dual:
+            cv.line(px1, py0, px1, py1, gp.fgcolor, 1.0)
 
     for sp in specs:
+        ssy = sy_r if (dual and sp["right"]) else sy
+        blo, bhi = rng_r if (dual and sp["right"]) else rng_l
         prev = None
         for k, (ts, y) in enumerate(sp["pts"]):
             if y is None:
@@ -504,12 +674,12 @@ def render_png(series, opts_list, params: dict) -> bytes:
             if sp["infinite"]:
                 cv.line(x, py0, x, py1, sp["color"], sp["width"], sp["alpha"])
                 continue
-            yy = sy(y)
+            yy = ssy(y)
             if yy is None:  # non-positive value on a log scale
                 prev = None
                 continue
             if sp["stacked"] or gp.area_mode == "first" and sp is specs[0]:
-                base_y = sy(0.0 if lo <= 0 <= hi else lo)
+                base_y = ssy(0.0 if blo <= 0 <= bhi else blo)
                 cv.vfill(x, py1 if base_y is None else base_y, yy,
                          sp["color"], 0.35 * sp["alpha"])
             if prev is not None:
@@ -533,7 +703,8 @@ def render_png(series, opts_list, params: dict) -> bytes:
 def render_svg(series, opts_list, params: dict) -> str:
     gp = GraphParams(params)
     specs, lo, hi, t0, t1 = _series_geometry(series, opts_list, gp)
-    ml, mr, mt = 44, 8, (20 if gp.title else 8)
+    dual = any(sp["right"] for sp in specs)
+    ml, mr, mt = 44, (44 if dual else 8), (20 if gp.title else 8)
     legend_rows = 0 if gp.hide_legend else min(len(specs), 8)
     mb = 18 + 12 * legend_rows
     px0, px1, py0, py1 = ml, gp.width - mr, mt, gp.height - mb
@@ -541,7 +712,12 @@ def render_svg(series, opts_list, params: dict) -> str:
     def sx(ts):
         return px0 + (ts - t0) / max(t1 - t0, 1) * (px1 - px0)
 
-    sy, yticks = _y_scale(gp, lo, hi, py0, py1)
+    if dual:
+        (sy, yticks, rng_l), (sy_r, yticks_r, rng_r) = \
+            _dual_axis_scales(gp, specs, py0, py1)
+    else:
+        sy, yticks = _y_scale(gp, lo, hi, py0, py1)
+        sy_r, yticks_r, rng_l, rng_r = None, (), (lo, hi), None
 
     def rgb(c):
         return f"rgb({c[0]},{c[1]},{c[2]})"
@@ -578,6 +754,14 @@ def render_svg(series, opts_list, params: dict) -> str:
                 o.append(f'<text x="2" y="{y + 3:.1f}" fill="{fg}" '
                          f'font-size="9" font-family="sans-serif">'
                          f'{_fmt_val(v, gp.y_unit_system)}</text>')
+        if dual and not gp.hide_y_axis:
+            for v in yticks_r:
+                y = sy_r(v)
+                if y is None:
+                    continue
+                o.append(f'<text x="{px1 + 3}" y="{y + 3:.1f}" fill="{fg}" '
+                         f'font-size="9" font-family="sans-serif">'
+                         f'{_fmt_val(v, gp.y_unit_system)}</text>')
         span = t1 - t0
         for ts in _nice_ticks(t0, t1, 6):
             x = sx(ts)
@@ -586,10 +770,15 @@ def render_svg(series, opts_list, params: dict) -> str:
                      f'{_fmt_ts(int(ts), span)}</text>')
         o.append(f'<path d="M{px0} {py0}V{py1}H{px1}" fill="none" '
                  f'stroke="{fg}"/>')
+        if dual:
+            o.append(f'<path d="M{px1} {py0}V{py1}" fill="none" '
+                     f'stroke="{fg}"/>')
     for sp in specs:
+        ssy = sy_r if (dual and sp["right"]) else sy
+        blo, bhi = rng_r if (dual and sp["right"]) else rng_l
         segs, cur = [], []
         for ts, y in sp["pts"]:
-            yy = sy(y)
+            yy = ssy(y)
             if yy is None:  # gap, or non-positive value on a log scale
                 if cur:
                     segs.append(cur)
@@ -611,7 +800,7 @@ def render_svg(series, opts_list, params: dict) -> str:
             d = "M" + " L".join(f"{x:.1f} {y:.1f}" for x, y in seg)
             fill = "none"
             if sp["stacked"] or gp.area_mode in ("all", "stacked"):
-                base_y = sy(0.0 if lo <= 0 <= hi else lo)
+                base_y = ssy(0.0 if blo <= 0 <= bhi else blo)
                 if base_y is None:
                     base_y = py1
                 d += f" L{seg[-1][0]:.1f} {base_y:.1f} " \

@@ -675,3 +675,78 @@ def test_http_render_cache_varies_on_graph_params(server):
                     "&from=0&until=4&format=png")
     assert base != minor          # param reaches the raster
     assert base == again          # identical request still cache-stable
+
+
+def test_render_dual_axis_second_y(spark):
+    """secondYAxis(series) scales the tagged series against an
+    independent right axis (setupTwoYAxes cairo.go:1302-1586): the
+    right-side series must occupy the full plot height even when its
+    values are 1000x smaller than the left series', and the per-side
+    yMin/yMax/yLimit/yStep overrides must each change the raster."""
+    from carbonapi_spark.render.graph import (
+        GraphParams, _dual_axis_scales, _series_geometry, render_png,
+        render_svg)
+    lake = make_lake(spark, {"m.big": [0.0, 1000.0, 500.0, 900.0],
+                             "m.small": [0.0, 1.0, 0.5, 0.9]}, 1, 0)
+    frames = [_frame(spark, lake, "m.big", 0, 4),
+              _frame(spark, lake, "secondYAxis(m.small)", 0, 4)]
+    series, opts = [], []
+    for fr in frames:
+        got = collect_series(fr)
+        series.extend(got)
+        opts.extend([fr.graph_options or {}] * len(got))
+    assert opts[1].get("secondYAxis") is True
+    # geometry: the right tag reaches the spec
+    gp = GraphParams({})
+    specs, *_ = _series_geometry(series, opts, gp)
+    assert [sp["right"] for sp in specs] == [False, True]
+    # independent scales: each side's max maps to the plot top
+    (syl, tl, rl), (syr, tr, rr) = _dual_axis_scales(gp, specs, 0, 100)
+    assert rl[1] >= 1000.0 and rr[1] <= 1.5
+    assert abs(syl(rl[1]) - 0) < 1e-9 and abs(syr(rr[1]) - 0) < 1e-9
+    assert syr(1.0) < 15 < syl(1.0)  # 1.0 is near-top right, bottom left
+    # raster: dual-axis output differs from the one-axis render of the
+    # same data, and every per-side override changes it again
+    flat = render_png(series, [{}, {}], {})
+    base = render_png(series, opts, {})
+    variants = [render_png(series, opts, {k: [v]}) for k, v in [
+        ("yMaxRight", "2"), ("yMinRight", "-1"), ("yLimitRight", "0.7"),
+        ("yStepRight", "0.2"), ("yMaxLeft", "2000"), ("yStepLeft", "300"),
+        ("yLimitLeft", "600"), ("yMinLeft", "-500")]]
+    blobs = {bytes(flat), bytes(base), *(bytes(v) for v in variants)}
+    assert len(blobs) == 2 + len(variants)
+    # SVG: right-axis labels + right frame appear
+    s = render_svg(series, opts, {})
+    assert s.count("V") >= 1 and 'x="2"' in s
+    s_flat = render_svg(series, [{}, {}], {})
+    assert s != s_flat
+
+
+def test_render_ydivisors_step_selection(spark):
+    """yDivisors (picture_params.go:291, default 4,5,6) selects the
+    label step from the pretty-value ladder (setupYAxis
+    cairo.go:1680-1717); explicit yDivisors switches the single-axis
+    tick algorithm to the reference selector, absent it the golden
+    _nice_ticks default stands."""
+    from carbonapi_spark.render.graph import (
+        GraphParams, _graphite_step, _y_scale, render_png)
+    # range 10 over divisors 4,5,6: candidates 2.5, 2.0, 1.(6) ->
+    # pretty diffs 0, 0, ~0.17 -> step 2.5 (first minimal)
+    assert _graphite_step(10.0, "si", [4.0, 5.0, 6.0]) == 2.5
+    assert _graphite_step(10.0, "si", [5.0]) == 2.0
+    # binary unit system uses a power-of-2 order factor
+    assert _graphite_step(1024.0, "binary", [4.0]) == 256.0
+    gp = GraphParams({"yDivisors": ["5"]})
+    _, ticks = _y_scale(gp, 0.0, 10.0, 0, 100)
+    assert ticks == [0.0, 2.0, 4.0, 6.0, 8.0, 10.0]
+    # absent param: default ticks unchanged
+    gpd = GraphParams({})
+    assert gpd.y_divisors is None
+    # garbage is ignored, not an error
+    assert GraphParams({"yDivisors": ["x,y"]}).y_divisors is None
+    assert GraphParams({"yDivisors": ["0,-3"]}).y_divisors is None
+    lake = make_lake(spark, {"m.a": [1.0, 7.0, 3.0, 9.5]}, 1, 0)
+    series = collect_series(_frame(spark, lake, "m.a", 0, 4))
+    base = render_png(series, [{}], {})
+    div = render_png(series, [{}], {"yDivisors": ["3,4"]})
+    assert bytes(base) != bytes(div)
