@@ -206,6 +206,21 @@ class Canvas:
                 line = line + line
             self.polyline(line, color, width, alpha)
 
+    def vtext(self, s, x, y, color, size=1.0, width=1.0, alpha=1.0,
+              up=True):
+        """Vertical text for axis titles (drawVTitle cairo.go): glyph
+        strokes rotated 90° about the anchor — ``up=True`` reads
+        bottom-to-top starting at (x, y) (the reference's left vtitle,
+        rotation 270°), ``up=False`` top-to-bottom (right vtitle)."""
+        for line in text_strokes(s, 0, 0, size):
+            if up:
+                pts = [(x + py, y - px) for px, py in line]
+            else:
+                pts = [(x - py, y + px) for px, py in line]
+            if len(pts) == 1:
+                pts = pts + pts
+            self.polyline(pts, color, width, alpha)
+
 
 def encode_png(arr: np.ndarray) -> bytes:
     """8-bit RGB PNG, filter 0 scanlines, one zlib IDAT (RFC 2083)."""
@@ -288,6 +303,7 @@ GRAPH_PARAM_KEYS = (
     "minorGridLineColor", "colorList", "logBase", "drawNullAsZero",
     "yUnitSystem", "yMinLeft", "yMinRight", "yMaxLeft", "yMaxRight",
     "yLimitLeft", "yLimitRight", "yStepLeft", "yStepRight", "yDivisors",
+    "vtitle", "vtitleRight",
 )
 
 
@@ -306,6 +322,11 @@ class GraphParams:
         self.bgcolor = parse_color(get("bgcolor", "black"), (0, 0, 0))
         self.fgcolor = parse_color(get("fgcolor", "white"), (255, 255, 255))
         self.title = get("title")
+        # vtitle/vtitleRight (picture_params.go:255-256): rotated axis
+        # titles; the right one renders only with a secondYAxis series
+        # (drawVTitle gate, cairo.go:1149-1153)
+        self.vtitle = get("vtitle")
+        self.vtitle_right = get("vtitleRight")
         self.hide_legend = get("hideLegend") in ("1", "true", "True")
         self.hide_axes = get("hideAxes") in ("1", "true", "True")
         self.hide_y_axis = get("hideYAxis") in ("1", "true", "True")
@@ -600,8 +621,10 @@ def render_png(series, opts_list, params: dict) -> bytes:
     specs, lo, hi, t0, t1 = _series_geometry(series, opts_list, gp)
 
     dual = any(sp["right"] for sp in specs)
-    ml = 1 if gp.hide_axes else 44
-    mr = 44 if dual and not gp.hide_axes else 6  # right-axis label gutter
+    ml = 1 if gp.hide_axes else (44 + (10 if gp.vtitle else 0))
+    # right-axis label gutter; + title column when vtitleRight renders
+    mr = (44 + (10 if gp.vtitle_right else 0)) \
+        if dual and not gp.hide_axes else 6
     mt = 16 if gp.title else 6
     legend_rows = 0 if gp.hide_legend or gp.width < 200 else \
         min(len(specs), max(1, (gp.height // 5) // 10))
@@ -641,8 +664,16 @@ def render_png(series, opts_list, params: dict) -> bytes:
                         if ym is not None:
                             cv.line(px0, ym, px1, ym, minor_grid, 1.0, 0.3)
             if not gp.hide_y_axis:  # hideYAxis: grid stays, labels go
-                cv.text(_fmt_val(v, gp.y_unit_system), 2, y - 3,
-                        gp.fgcolor, 0.9)
+                cv.text(_fmt_val(v, gp.y_unit_system),
+                        12 if gp.vtitle else 2, y - 3, gp.fgcolor, 0.9)
+        if gp.vtitle:
+            cv.vtext(gp.vtitle, 2,
+                     (py0 + py1 + text_width(gp.vtitle, 0.9)) / 2,
+                     gp.fgcolor, 0.9)
+        if dual and gp.vtitle_right:
+            cv.vtext(gp.vtitle_right, gp.width - 2,
+                     (py0 + py1 - text_width(gp.vtitle_right, 0.9)) / 2,
+                     gp.fgcolor, 0.9, up=False)
         if dual and not gp.hide_y_axis:
             # right-axis labels in the right gutter (drawYAxis
             # cairo.go:1954-1963), on the right scale
@@ -704,7 +735,9 @@ def render_svg(series, opts_list, params: dict) -> str:
     gp = GraphParams(params)
     specs, lo, hi, t0, t1 = _series_geometry(series, opts_list, gp)
     dual = any(sp["right"] for sp in specs)
-    ml, mr, mt = 44, (44 if dual else 8), (20 if gp.title else 8)
+    ml = 44 + (10 if gp.vtitle else 0)
+    mr = (44 + (10 if gp.vtitle_right else 0)) if dual else 8
+    mt = 20 if gp.title else 8
     legend_rows = 0 if gp.hide_legend else min(len(specs), 8)
     mb = 18 + 12 * legend_rows
     px0, px1, py0, py1 = ml, gp.width - mr, mt, gp.height - mb
@@ -751,7 +784,8 @@ def render_svg(series, opts_list, params: dict) -> str:
                                  f'x2="{px1}" y2="{ym:.1f}" stroke="{fg}" '
                                  f'stroke-opacity="0.12"/>')
             if not gp.hide_y_axis:
-                o.append(f'<text x="2" y="{y + 3:.1f}" fill="{fg}" '
+                o.append(f'<text x="{12 if gp.vtitle else 2}" '
+                         f'y="{y + 3:.1f}" fill="{fg}" '
                          f'font-size="9" font-family="sans-serif">'
                          f'{_fmt_val(v, gp.y_unit_system)}</text>')
         if dual and not gp.hide_y_axis:
@@ -773,6 +807,21 @@ def render_svg(series, opts_list, params: dict) -> str:
         if dual:
             o.append(f'<path d="M{px1} {py0}V{py1}" fill="none" '
                      f'stroke="{fg}"/>')
+        if gp.vtitle:
+            cy = (py0 + py1) / 2
+            o.append(f'<text x="10" y="{cy:.1f}" fill="{fg}" '
+                     f'font-size="10" text-anchor="middle" '
+                     f'font-family="sans-serif" '
+                     f'transform="rotate(-90 10 {cy:.1f})">'
+                     f'{esc(gp.vtitle)}</text>')
+        if dual and gp.vtitle_right:
+            cy = (py0 + py1) / 2
+            rx = gp.width - 6
+            o.append(f'<text x="{rx}" y="{cy:.1f}" fill="{fg}" '
+                     f'font-size="10" text-anchor="middle" '
+                     f'font-family="sans-serif" '
+                     f'transform="rotate(90 {rx} {cy:.1f})">'
+                     f'{esc(gp.vtitle_right)}</text>')
     for sp in specs:
         ssy = sy_r if (dual and sp["right"]) else sy
         blo, bhi = rng_r if (dual and sp["right"]) else rng_l

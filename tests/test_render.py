@@ -750,3 +750,33 @@ def test_render_ydivisors_step_selection(spark):
     base = render_png(series, [{}], {})
     div = render_png(series, [{}], {"yDivisors": ["3,4"]})
     assert bytes(base) != bytes(div)
+
+
+def test_render_vtitle_axis_titles(spark):
+    """vtitle / vtitleRight (picture_params.go:255-256, drawVTitle):
+    rotated axis titles; the right one renders only alongside a
+    secondYAxis series (cairo.go:1149-1153)."""
+    from carbonapi_spark.render.graph import render_png, render_svg
+    lake = make_lake(spark, {"m.big": [0.0, 1000.0, 500.0],
+                             "m.small": [0.0, 1.0, 0.5]}, 1, 0)
+    frames = [_frame(spark, lake, "m.big", 0, 3),
+              _frame(spark, lake, "secondYAxis(m.small)", 0, 3)]
+    series, opts = [], []
+    for fr in frames:
+        got = collect_series(fr)
+        series.extend(got)
+        opts.extend([fr.graph_options or {}] * len(got))
+    base = render_png(series, opts, {})
+    vt = render_png(series, opts, {"vtitle": ["reqs"]})
+    vtr = render_png(series, opts, {"vtitle": ["reqs"],
+                                    "vtitleRight": ["ratio"]})
+    assert len({bytes(base), bytes(vt), bytes(vtr)}) == 3
+    # single-axis: vtitleRight is gated on secondYAxis presence
+    one = collect_series(frames[0])
+    a = render_png(one, [{}], {"vtitleRight": ["ratio"]})
+    b = render_png(one, [{}], {})
+    assert bytes(a) == bytes(b)
+    s = render_svg(series, opts, {"vtitle": ["reqs"],
+                                  "vtitleRight": ["ratio"]})
+    assert 'rotate(-90' in s and 'rotate(90' in s
+    assert ">reqs</text>" in s and ">ratio</text>" in s
