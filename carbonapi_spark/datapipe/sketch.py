@@ -341,3 +341,87 @@ def bloom_probe(df: DataFrame, bloom: DataFrame, key_col: str = "key",
     out = out.withColumn(flag_col, hit)
     return out.drop("__h", *[c for i in range(k)
                              for c in (f"__p{i}", f"__wi{i}", f"__w{i}")])
+
+
+# --------------------------------------------------------------- HDR quantiles
+# HdrHistogram-style quantile sketch (Tene, hdrhistogram.org; same
+# log-bucketed family as DDSketch, Masson et al. VLDB'19) — the mergeable
+# quantile companion to the CMS/HLL/Bloom sketches above.  Values are fixed
+# at ``scale_pow2`` binary fractional digits (multiplying a double by 2**k
+# only shifts the exponent, so the fix is EXACT), then bucketed to
+# ``precision_bits`` significant bits: bucket lower bound =
+# (v >> s) << s with s = max(bit_length(v) - p, 0).  Everything after the
+# one fixed-point multiply is integer arithmetic — bit_length is
+# length(bin(v)) in both Spark and DuckDB — so the sketch replays
+# bit-for-bit across engines (no log/pow libm calls, the lesson of
+# lsh_quality's expanded-multiplication theory curve).
+#
+# Guarantees: bucket_lo <= true value < bucket_lo * (1 + 2^(1-p)), so any
+# quantile read from the sketch lower-bounds the true quantile with
+# relative error < 2^(1-p) (~1.6% at p=7).  Buckets with equal (group,
+# bucket_lo) merge by ADDING counts — the bucketing is pointwise, so
+# sketches built per-shard/per-partition/per-day and merged are IDENTICAL
+# to the sketch built in one pass (hdr_merge == hdr_buckets on the union).
+#
+# Scale: the per-row work is one map-side-combined hash aggregation; the
+# bucket table is bounded by the VALUE RANGE, not the row count — at most
+# (64 - p + 1) * 2^(p-1) + 2^p rows per group (~7.4k at p=7) for any input,
+# so the quantile-extraction window runs on a sketch-sized table no matter
+# how many trillion rows were folded in.  No counterpart in the reference
+# (metrics engine); corpus/telemetry-pipeline surface.
+
+
+def hdr_buckets(df: DataFrame, value_col: str = "value",
+                by: tuple = (), precision_bits: int = 7,
+                scale_pow2: int = 20) -> DataFrame:
+    """Build the bucket table: one row per (by..., bucket_lo) with its
+    count.  Null and negative values are dropped (the sketch covers
+    non-negative reals; track signs in a separate sketch if needed)."""
+    scale = float(1 << scale_pow2)
+    d = (df.where(F.col(value_col).isNotNull()
+                  & (F.col(value_col) >= 0))
+         .select(*by, F.floor(F.col(value_col) * F.lit(scale))
+                 .cast("long").alias("__v")))
+    sh = F.greatest(F.length(F.bin(F.col("__v")))
+                    - F.lit(precision_bits), F.lit(0))
+    d = d.withColumn("__sh", sh)
+    lb = F.expr("shiftleft(shiftright(__v, __sh), __sh)")
+    return (d.select(*by, lb.alias("bucket_lo"))
+            .groupBy(*by, "bucket_lo")
+            .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def hdr_merge(buckets: DataFrame, by: tuple = ()) -> DataFrame:
+    """Merge sketches by summing counts per (by..., bucket_lo): drop any
+    finer grouping columns and re-aggregate.  Exactly equals the sketch
+    built in one pass over the union (pointwise bucketing)."""
+    return (buckets.groupBy(*by, "bucket_lo")
+            .agg(F.sum("cnt").alias("cnt")))
+
+
+def hdr_quantiles(buckets: DataFrame, qs=(0.5, 0.9, 0.99),
+                  by: tuple = (), scale_pow2: int = 20) -> DataFrame:
+    """Read quantiles from a bucket table: for each q, the smallest
+    bucket lower bound whose cumulative count reaches ceil(q * n) —
+    the standard lower-bound quantile convention.  Returns
+    (by..., q, est, n); est = bucket_lo / 2**scale_pow2 (an exact
+    power-of-two division).  The cumulative window runs on the
+    sketch-sized bucket table (bounded by value range, never row
+    count), so a per-group single-reducer sort is safe at any scale."""
+    from pyspark.sql.window import Window
+    w_cum = (Window.partitionBy(*by).orderBy("bucket_lo")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_all = Window.partitionBy(*by)
+    c = (buckets
+         .withColumn("__cum", F.sum("cnt").over(w_cum))
+         .withColumn("__n", F.sum("cnt").over(w_all)))
+    e = c.select(*by, "bucket_lo", "__cum", "__n",
+                 F.explode(F.array(*[F.lit(float(q)) for q in qs]))
+                 .alias("q"))
+    hit = e.where(F.col("__cum") >= F.ceil(F.col("q") * F.col("__n")))
+    return (hit.groupBy(*by, "q")
+            .agg(F.min("bucket_lo").alias("__lb"),
+                 F.min("__n").alias("n"))
+            .select(*by, "q",
+                    (F.col("__lb") / F.lit(float(1 << scale_pow2)))
+                    .alias("est"), "n"))

@@ -753,3 +753,55 @@ def stream_cusum(rows: DataFrame, key_col: str = "key",
     return (rows.groupBy(key_col)
             .applyInPandasWithState(fn, CUSUM_OUT, CUSUM_STATE, "append",
                                     GroupStateTimeout.NoTimeout))
+
+
+HDR_OUT = "grp STRING, bucket_lo LONG, cnt LONG"
+HDR_STATE = "cnt LONG"
+
+
+def stream_hdr_buckets(rows: DataFrame, value_col: str,
+                       group_col: str, precision_bits: int = 7,
+                       scale_pow2: int = 20) -> DataFrame:
+    """Streaming HDR-histogram quantile sketch: maintain the
+    (group, bucket_lo) -> count table statefully over an unbounded
+    value stream, emitting the running count whenever a bucket grows
+    (update semantics).  The stateful twin of
+    ``datapipe.sketch.hdr_buckets``.
+
+    Bucket assignment is the batch operator's exact integer math
+    (power-of-two fixed-point, bit_length via length(bin(v)), shifts)
+    computed JVM-side BEFORE the stateful exchange, so the Python
+    kernel only adds row counts.  Counts merge by ADDITION —
+    commutative and associative — so with exactly-once micro-batch
+    delivery the final streamed bucket table is IDENTICAL to the batch
+    sketch over the same rows regardless of arrival order, batch
+    split, or restarts (checkpointed state), and so are the quantiles
+    read from it: the replay entry checks that bit-for-bit against the
+    batch oracle.  State is ONE int64 per non-empty bucket, bounded by
+    the VALUE RANGE (~7.4k buckets/group at p=7) — never by row
+    count."""
+
+    def fn(key, pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        add = sum(len(pdf) for pdf in pdfs)
+        if add:
+            cur = (state.get[0] if state.exists else 0) + add
+            state.update((cur,))
+            yield pd.DataFrame({"grp": [key[0]], "bucket_lo": [key[1]],
+                                "cnt": [cur]})
+
+    scale = float(1 << scale_pow2)
+    obs = (rows.where(F.col(value_col).isNotNull()
+                      & (F.col(value_col) >= 0))
+           .select(F.col(group_col).cast("string").alias("grp"),
+                   F.floor(F.col(value_col) * F.lit(scale))
+                   .cast("long").alias("__v")))
+    obs = obs.withColumn(
+        "__sh", F.greatest(F.length(F.bin(F.col("__v")))
+                           - F.lit(precision_bits), F.lit(0)))
+    obs = obs.select(
+        "grp", F.expr("shiftleft(shiftright(__v, __sh), __sh)")
+        .alias("bucket_lo"))
+    return (obs.groupBy("grp", "bucket_lo")
+            .applyInPandasWithState(fn, HDR_OUT, HDR_STATE,
+                                    "update", GroupStateTimeout.NoTimeout))
