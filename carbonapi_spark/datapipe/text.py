@@ -1325,7 +1325,8 @@ def pmi_top(df: DataFrame, text_col: str = "text", min_count: int = 5,
             .limit(k))
 
 
-def roc_auc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
+def roc_auc(df: DataFrame, score_col: str, label_col: str,
+            ints: bool = False) -> DataFrame:
     """Exact ROC-AUC of a score against binary labels via the
     Mann-Whitney rank statistic — the classifier-quality companion to
     ``score_quality_lr`` (is the quality score actually separating the
@@ -1386,6 +1387,15 @@ def roc_auc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
     agg = ranked.agg(F.sum(F.col("__pos") * F.col("__r2")).alias("__s2"),
                      F.sum("__pos").alias("n_pos"),
                      (F.sum("__cnt") - F.sum("__pos")).alias("n_neg"))
+    if ints:
+        # Integer-only finish (driver-hash experiment variant): the
+        # Mann-Whitney numerator and denominator BEFORE the one IEEE
+        # division, both exact int64 — auc == mw_num / mw_den.
+        return agg.select(
+            "n_pos", "n_neg",
+            (F.col("__s2") - F.col("n_pos") * (F.col("n_pos") + 1))
+            .alias("mw_num"),
+            (2 * F.col("n_pos") * F.col("n_neg")).alias("mw_den"))
     auc = F.when((F.col("n_pos") > 0) & (F.col("n_neg") > 0),
                  (F.col("__s2")
                   - F.col("n_pos") * (F.col("n_pos") + 1))

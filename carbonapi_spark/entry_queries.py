@@ -3239,7 +3239,21 @@ def _q_quality_auc(spark, sf_dir):
     return roc_auc(labeled, "logit_micro", "__y")
 
 
-def _quality_auc_oracle() -> str:
+def _quality_auc_oracle(ints: bool = False) -> str:
+    if ints:
+        finish = """
+SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+       CAST(sum(cnt) - sum(pos) AS BIGINT) AS n_neg,
+       CAST(sum(pos * r2) - sum(pos) * (sum(pos) + 1) AS BIGINT) AS mw_num,
+       CAST(2 * sum(pos) * (sum(cnt) - sum(pos)) AS BIGINT) AS mw_den
+FROM __r""".strip()
+    else:
+        finish = """
+SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+       CAST(sum(cnt) - sum(pos) AS BIGINT) AS n_neg,
+       CAST(sum(pos * r2) - sum(pos) * (sum(pos) + 1) AS DOUBLE)
+           / (2 * sum(pos) * (sum(cnt) - sum(pos))) AS auc
+FROM __r""".strip()
     return f"""
 WITH {_lr_logit_ctes()},
 __sc AS (
@@ -3257,11 +3271,7 @@ __r AS (SELECT cnt, pos,
                                    AND CURRENT ROW) - cnt + 1)
                + cnt - 1 AS r2
         FROM __g)
-SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
-       CAST(sum(cnt) - sum(pos) AS BIGINT) AS n_neg,
-       CAST(sum(pos * r2) - sum(pos) * (sum(pos) + 1) AS DOUBLE)
-           / (2 * sum(pos) * (sum(cnt) - sum(pos))) AS auc
-FROM __r
+{finish}
 """.strip()
 
 
@@ -8143,6 +8153,242 @@ FROM nation GROUP BY 1
 _register("bpe_merges_v2", _q_bpe_merges, _bpe_oracle())
 _register("quality_auc_v2", _q_quality_auc, _quality_auc_oracle())
 
+# Full fresh-name coverage of the formerly-red set (VERDICT r10 next-round
+# #1 asked for ALL seven under fresh names, not a 2-entry sample): the
+# remaining 5 clones, byte-identical by construction — same query callables,
+# oracle text read back from the registry.  If the driver keys any state by
+# entry name, every semantic in the red set still earns a green row this
+# round; if the HUGEINT cast was the whole story, old and _v2 names go green
+# together.
+_register("wordpiece_merges_v2", _q_wordpiece_merges, _wordpiece_oracle())
+_register("bpe_fertility_v2", _q_bpe_fertility, _bpe_fertility_oracle(8))
+_register("wordpiece_fertility_v2", _q_wordpiece_fertility,
+          _wordpiece_fertility_oracle(8))
+_register("active_users_v2", _q_active_users, ORACLES["active_users"])
+_register("lsh_quality_v2", _q_lsh_quality, ORACLES["lsh_quality"])
+
+
+# ---------------------------------------------------------------------------
+# Int-only / step-bisection siblings (VERDICT r10 next-round #2): if BOTH
+# hypotheses fail on the driver (old names red AND _v2 clones red AND
+# hugeint_probe green), these rows localize the divergence — int variants
+# green + double variants red ⇒ the driver hashes doubles differently;
+# step1 red ⇒ the very first BPE fold iteration diverges.  All probe
+# outputs are exact BIGINT/VARCHAR (no doubles anywhere).
+
+
+def _q_quality_auc_ints(spark, sf_dir):
+    """quality_auc with the one IEEE division removed: Mann-Whitney
+    numerator/denominator as exact int64 (auc == mw_num / mw_den)."""
+    from carbonapi_spark.datapipe.text import quality_logit_micro, \
+        roc_auc, word_set
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = quality_logit_micro(docs, _LR_WEIGHTS, _LR_BIAS)
+    labeled = scored.join(
+        docs.select("doc_id",
+                    F.array_contains(word_set(F.col("text")), "spark")
+                    .cast("int").alias("__y")), "doc_id")
+    return roc_auc(labeled, "logit_micro", "__y", ints=True)
+
+
+_register("quality_auc_ints", _q_quality_auc_ints,
+          _quality_auc_oracle(ints=True))
+
+
+def _q_active_users_ints(spark, sf_dir):
+    """active_users without the stickiness double — day/dau/wau/mau
+    only, all exact counts."""
+    return _q_active_users(spark, sf_dir).select("day", "dau", "wau",
+                                                 "mau")
+
+
+_register("active_users_ints", _q_active_users_ints,
+          f"SELECT day, dau, wau, mau FROM ({ORACLES['active_users']}) __au")
+
+
+def _q_lsh_quality_ints(spark, sf_dir):
+    """lsh_quality without the two rate doubles — per-decile pair and
+    candidate counts only."""
+    return _q_lsh_quality(spark, sf_dir).select("bin", "n_pairs",
+                                                "n_candidates")
+
+
+_register("lsh_quality_ints", _q_lsh_quality_ints,
+          f"SELECT bin, n_pairs, n_candidates "
+          f"FROM ({ORACLES['lsh_quality']}) __lq")
+
+
+def _q_bpe_merge_step1(spark, sf_dir):
+    """The single FIRST BPE merge — the top pair of the initial
+    symbol-pair count table.  Red here means the very first fold
+    iteration diverges on the driver box."""
+    from carbonapi_spark.datapipe.bpe import bpe_train
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bpe_train(docs, n_merges=1)
+
+
+_register("bpe_merge_step1", _q_bpe_merge_step1, _bpe_oracle(1))
+
+
+def _q_bpe_merges_8(spark, sf_dir):
+    """bpe_merges at the 8-merge depth ``wordpiece_encode`` (r10 GREEN)
+    already replayed for wordpiece — isolates merge count from ranking
+    rule."""
+    from carbonapi_spark.datapipe.bpe import bpe_train
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bpe_train(docs, n_merges=8)
+
+
+_register("bpe_merges_8", _q_bpe_merges_8, _bpe_oracle(8))
+
+
+def _q_wordpiece_merges_ints(spark, sf_dir):
+    """wordpiece_merges without the likelihood-score double column (the
+    ranking still uses it internally; only the OUTPUT drops it)."""
+    return _q_wordpiece_merges(spark, sf_dir).select(
+        "step", "lhs", "rhs", "merged", "pair_count")
+
+
+_register("wordpiece_merges_ints", _q_wordpiece_merges_ints,
+          f"SELECT step, lhs, rhs, merged, pair_count "
+          f"FROM ({_wordpiece_oracle()}) __wm")
+
+
+def _q_bpe_fertility_ints(spark, sf_dir):
+    """bpe_fertility without the fertility double — exact per-document
+    token and piece counts."""
+    return _q_bpe_fertility(spark, sf_dir).select("doc_id", "n_tokens",
+                                                  "n_pieces")
+
+
+_register("bpe_fertility_ints", _q_bpe_fertility_ints,
+          f"SELECT doc_id, n_tokens, n_pieces "
+          f"FROM ({_bpe_fertility_oracle(8)}) __bf")
+
+
+# ---------------------------------------------------------------------------
+# HDR-histogram quantile sketch (datapipe/sketch.py): the mergeable
+# quantile companion to CMS/HLL/Bloom.  All bucket math is integer
+# (bit_length via length(bin(v)), shifts) after one EXACT power-of-two
+# fixed-point multiply, so the sketch replays bit-for-bit in DuckDB.
+
+_HDR_BUCKET_CTES = """
+__hv AS (SELECT event_type,
+                CAST(floor(value * 1048576.0) AS BIGINT) AS v
+         FROM events WHERE value IS NOT NULL AND value >= 0),
+__hb AS (SELECT event_type,
+                (v >> greatest(length(bin(v)) - 7, 0))
+                  << greatest(length(bin(v)) - 7, 0) AS lb,
+                count(*) AS cnt
+         FROM __hv GROUP BY 1, 2)
+""".strip()
+
+
+def _q_hdr_quantiles(spark, sf_dir):
+    """Per-event-type p50/p90/p99 of value read from the HDR sketch —
+    one map-side-combined hash agg builds the bucket table (bounded by
+    VALUE RANGE, not row count), then a sketch-sized cumulative
+    window."""
+    from carbonapi_spark.datapipe.sketch import hdr_buckets, hdr_quantiles
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    b = hdr_buckets(ev, "value", by=("event_type",))
+    return hdr_quantiles(b, qs=(0.5, 0.9, 0.99), by=("event_type",))
+
+
+_register("hdr_quantiles", _q_hdr_quantiles, f"""
+WITH {_HDR_BUCKET_CTES},
+__hc AS (SELECT event_type, lb, cnt,
+                sum(cnt) OVER (PARTITION BY event_type ORDER BY lb) AS cum,
+                sum(cnt) OVER (PARTITION BY event_type) AS n
+         FROM __hb),
+__hq AS (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE]) AS q)
+SELECT c.event_type, q.q AS q, min(c.lb) / 1048576.0 AS est,
+       CAST(min(c.n) AS BIGINT) AS n
+FROM __hc c, __hq q
+WHERE c.cum >= ceil(q.q * c.n)
+GROUP BY 1, 2
+""".strip())
+
+
+def _q_hdr_merge_rollup(spark, sf_dir):
+    """Sketch MERGEABILITY on the scoreboard: per-event-type sketches
+    merged by adding bucket counts, then global p50/p90/p99/p999 read
+    from the merged sketch.  The oracle builds the global sketch
+    directly from raw values — pointwise bucketing makes merge ==
+    one-pass, so the two derivations must agree bit-for-bit (the same
+    shard-then-merge contract hll_merge_rollup pins for HLL)."""
+    from carbonapi_spark.datapipe.sketch import (hdr_buckets, hdr_merge,
+                                                 hdr_quantiles)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    per_type = hdr_buckets(ev, "value", by=("event_type",))
+    return hdr_quantiles(hdr_merge(per_type),
+                         qs=(0.5, 0.9, 0.99, 0.999))
+
+
+_register("hdr_merge_rollup", _q_hdr_merge_rollup, f"""
+WITH {_HDR_BUCKET_CTES},
+__hm AS (SELECT lb, sum(cnt) AS cnt FROM __hb GROUP BY lb),
+__hc AS (SELECT lb, cnt,
+                sum(cnt) OVER (ORDER BY lb) AS cum,
+                sum(cnt) OVER () AS n
+         FROM __hm),
+__hq AS (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE,
+                        0.999::DOUBLE]) AS q)
+SELECT q.q AS q, min(c.lb) / 1048576.0 AS est,
+       CAST(min(c.n) AS BIGINT) AS n
+FROM __hc c, __hq q
+WHERE c.cum >= ceil(q.q * c.n)
+GROUP BY 1
+""".strip())
+
+
+def _q_stream_hdr_replay(spark, sf_dir):
+    """Streaming HDR sketch on the driver scoreboard via the
+    availableNow replay pattern: events stream through
+    ``stream_hdr_buckets``'s stateful count kernel, the sink gathers
+    the final bucket table, and ``hdr_quantiles`` reads per-type
+    p50/p90/p99 from it.  Bucket counts merge by addition —
+    commutative/associative — so the streamed sketch equals the batch
+    sketch bit-for-bit and the oracle is the SAME SQL as
+    ``hdr_quantiles``."""
+    import tempfile
+
+    from carbonapi_spark.datapipe.sketch import hdr_quantiles
+    from carbonapi_spark.streaming.stateful import stream_hdr_buckets
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (spark.readStream.schema(schema)
+              .option("pathGlobFilter", "events.parquet")
+              .parquet(sf_dir))
+    out = stream_hdr_buckets(stream, "value", "event_type")
+    final: dict = {}
+
+    def sink(bdf, _bid):
+        for r in bdf.collect():
+            k = (r["grp"], r["bucket_lo"])
+            # running totals only grow; keep the latest (= max)
+            final[k] = max(final.get(k, 0), r["cnt"])
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        with tempfile.TemporaryDirectory() as ckpt:
+            q = (out.writeStream.outputMode("update")
+                 .foreachBatch(sink)
+                 .option("checkpointLocation", ckpt)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    buckets = spark.createDataFrame(
+        [(g, lb, c) for (g, lb), c in sorted(final.items())] or [],
+        "event_type STRING, bucket_lo LONG, cnt LONG")
+    return hdr_quantiles(buckets, qs=(0.5, 0.9, 0.99),
+                         by=("event_type",))
+
+
+_register("stream_hdr_replay", _q_stream_hdr_replay,
+          ORACLES["hdr_quantiles"])
+
 # ---------------------------------------------------------------------------
 # Driver-visibility ordering. The correctness driver checks at most the first
 # 50 catalog entries per round.  Rotation policy: the prefix lists ONLY the
@@ -8170,6 +8416,26 @@ _DRIVER_PREFIX = [
                              # right: trivially-equal values, uncast sum
     "bpe_merges_v2",         # fixed entry under a FRESH name: separates
     "quality_auc_v2",        # name-keyed staleness from the type bug
+    # ---- remaining fresh-name clones: ALL 7 red semantics get a
+    # ---- history-free row this round (VERDICT r10 #1) ----
+    "wordpiece_merges_v2",
+    "bpe_fertility_v2",
+    "wordpiece_fertility_v2",
+    "active_users_v2",
+    "lsh_quality_v2",
+    # ---- int-only / step-bisection probes (VERDICT r10 #2): localize
+    # ---- the divergence if both hypotheses fail ----
+    "quality_auc_ints",      # Mann-Whitney num/den as BIGINT, no division
+    "active_users_ints",     # day/dau/wau/mau, no stickiness double
+    "lsh_quality_ints",      # counts only, no rate doubles
+    "bpe_merge_step1",       # the very first fold iteration alone
+    "bpe_merges_8",          # merge depth wordpiece_encode proved green
+    "wordpiece_merges_ints", # ranking unchanged, score column dropped
+    "bpe_fertility_ints",    # exact counts, no fertility double
+    # ---- new round-11 operators ----
+    "hdr_quantiles",         # HDR quantile sketch, integer bucket math
+    "hdr_merge_rollup",      # shard-then-merge == one-pass contract
+    "stream_hdr_replay",     # streamed sketch == batch sketch, bit-exact
     # ---- normalized in lockstep (DECIMAL -> DOUBLE, same class) ----
     "is_non_null",           # CASE cast to DOUBLE (was DECIMAL(2,1))
     "hashed_vectors",        # value cast to DOUBLE (was DECIMAL(38,1))
