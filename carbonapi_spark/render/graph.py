@@ -303,16 +303,40 @@ GRAPH_PARAM_KEYS = (
     "minorGridLineColor", "colorList", "logBase", "drawNullAsZero",
     "yUnitSystem", "yMinLeft", "yMinRight", "yMaxLeft", "yMaxRight",
     "yLimitLeft", "yLimitRight", "yStepLeft", "yStepRight", "yDivisors",
-    "vtitle", "vtitleRight",
+    "vtitle", "vtitleRight", "template", "lineMode", "connectedLimit",
+    "areaAlpha", "hideXAxis", "graphOnly",
 )
+
+# Named picture-param templates (picture_params.go:434 `templates` +
+# SetTemplate :357-360, selected by render_handler.go:114 `template=`).
+# A template supplies per-key DEFAULTS in query-string syntax; explicit
+# request params always win, and an unknown template name falls back to
+# "default" (GetPictureParamsWithTemplate picture_params.go:215-218 —
+# never a 400).  The reference ships only "default" built in and lets
+# the operator add more via the graphTemplates config block; mirror
+# that with a registry hook.
+TEMPLATES: dict[str, dict[str, str]] = {"default": {}}
+
+
+def register_template(name: str, params: dict[str, str]) -> None:
+    """Config hook: add/replace a named template (SetTemplate,
+    picture_params.go:357-360).  ``params`` maps GRAPH_PARAM_KEYS names
+    to query-string-syntax values, e.g. {"bgcolor": "white",
+    "fgcolor": "black", "minorY": "1"}."""
+    TEMPLATES[name.lower()] = {k: str(v) for k, v in params.items()}
 
 
 class GraphParams:
     """format=png/svg render params (picture_params.go:233-296 subset)."""
 
     def __init__(self, params: dict):
+        tmpl_name = params.get("template", [""])[0].strip().lower()
+        tmpl = TEMPLATES.get(tmpl_name) or TEMPLATES["default"]
+
         def get(name, default=""):
-            return params.get(name, [default])[0] or default
+            # precedence: explicit request param > template > built-in
+            return (params.get(name, [""])[0]
+                    or tmpl.get(name, "") or default)
 
         # clamp to cairo's practical surface limits: an unchecked
         # width/height pair from the query string could allocate a
@@ -336,6 +360,35 @@ class GraphParams:
         self.y_unit_system = get("yUnitSystem", "si")
         self.line_width = float(get("lineWidth", "1.2"))
         self.area_mode = get("areaMode", "none")
+        # lineMode (picture_params.go:266; drawn cairo.go:2376-2390):
+        # slope = point-to-point (default), staircase = horizontal-then-
+        # vertical steps, connected = bridge null gaps of up to
+        # connectedLimit consecutive misses (reference default
+        # MaxInt32 = always bridge)
+        lm = get("lineMode", "slope").strip().lower()
+        self.line_mode = lm if lm in ("slope", "staircase",
+                                      "connected") else "slope"
+        try:
+            self.connected_limit = max(0, int(float(
+                get("connectedLimit")))) if get("connectedLimit") else None
+        except (ValueError, OverflowError):
+            self.connected_limit = None
+        # areaAlpha (cairo.go:2249-2262): area-fill opacity override
+        try:
+            self.area_alpha = min(max(float(get("areaAlpha")), 0.0),
+                                  1.0) if get("areaAlpha") else None
+        except ValueError:
+            self.area_alpha = None
+        self.hide_x_axis = get("hideXAxis") in ("1", "true", "True")
+        # graphOnly (cairo.go:1090-1099): bare plot — implies
+        # hideLegend/hideGrid/hideAxes/hideYAxis and a full-canvas
+        # plot area (the renderers apply the area part)
+        self.graph_only = get("graphOnly") in ("1", "true", "True")
+        if self.graph_only:
+            self.hide_legend = True
+            self.hide_grid = True
+            self.hide_axes = True
+            self.hide_y_axis = True
         self.y_min = float(get("yMin")) if get("yMin") else None
         self.y_max = float(get("yMax")) if get("yMax") else None
         # yStep (cairo.go:1711-1718): override the computed tick step;
@@ -631,6 +684,8 @@ def render_png(series, opts_list, params: dict) -> bytes:
     mb = (1 if gp.hide_axes else 16) + 10 * legend_rows
     px0, px1 = ml, gp.width - mr
     py0, py1 = mt, gp.height - mb
+    if gp.graph_only:  # cairo.go:1095-1098: plot area = full canvas
+        px0, px1, py0, py1 = 0, gp.width, 0, gp.height
 
     def sx(ts):
         return px0 + (ts - t0) / max(t1 - t0, 1) * (px1 - px0)
@@ -687,19 +742,29 @@ def render_png(series, opts_list, params: dict) -> bytes:
             x = sx(ts)
             if not gp.hide_grid:
                 cv.line(x, py0, x, py1, grid, 1.0, 0.35)
-            cv.text(_fmt_ts(int(ts), span), x - 14, py1 + 4, gp.fgcolor, 0.9)
+            if not gp.hide_x_axis:  # drawLabels cairo.go:1933
+                cv.text(_fmt_ts(int(ts), span), x - 14, py1 + 4,
+                        gp.fgcolor, 0.9)
         cv.line(px0, py0, px0, py1, gp.fgcolor, 1.0)
         cv.line(px0, py1, px1, py1, gp.fgcolor, 1.0)
         if dual:
             cv.line(px1, py0, px1, py1, gp.fgcolor, 1.0)
 
+    fill_a = gp.area_alpha if gp.area_alpha is not None else 0.35
     for sp in specs:
         ssy = sy_r if (dual and sp["right"]) else sy
         blo, bhi = rng_r if (dual and sp["right"]) else rng_l
         prev = None
+        gap = 0
         for k, (ts, y) in enumerate(sp["pts"]):
             if y is None:
-                prev = None
+                # connected mode bridges runs of up to connectedLimit
+                # nulls (cairo.go:2388-2390); slope/staircase restart
+                gap += 1
+                if gp.line_mode != "connected" or (
+                        gp.connected_limit is not None
+                        and gap > gp.connected_limit):
+                    prev = None
                 continue
             x = sx(ts + sp["step"] / 2)
             if sp["infinite"]:
@@ -709,14 +774,23 @@ def render_png(series, opts_list, params: dict) -> bytes:
             if yy is None:  # non-positive value on a log scale
                 prev = None
                 continue
+            gap = 0
             if sp["stacked"] or gp.area_mode == "first" and sp is specs[0]:
                 base_y = ssy(0.0 if blo <= 0 <= bhi else blo)
                 cv.vfill(x, py1 if base_y is None else base_y, yy,
-                         sp["color"], 0.35 * sp["alpha"])
+                         sp["color"], fill_a * sp["alpha"])
             if prev is not None:
                 if not sp["dashed"] or k % 2 == 0:
-                    cv.line(prev[0], prev[1], x, yy, sp["color"],
-                            sp["width"], sp["alpha"])
+                    if gp.line_mode == "staircase":
+                        # horizontal at the old level, then vertical
+                        # (cairo.go:2378-2383)
+                        cv.line(prev[0], prev[1], x, prev[1], sp["color"],
+                                sp["width"], sp["alpha"])
+                        cv.line(x, prev[1], x, yy, sp["color"],
+                                sp["width"], sp["alpha"])
+                    else:
+                        cv.line(prev[0], prev[1], x, yy, sp["color"],
+                                sp["width"], sp["alpha"])
             prev = (x, yy)
 
     if gp.title:
@@ -741,6 +815,8 @@ def render_svg(series, opts_list, params: dict) -> str:
     legend_rows = 0 if gp.hide_legend else min(len(specs), 8)
     mb = 18 + 12 * legend_rows
     px0, px1, py0, py1 = ml, gp.width - mr, mt, gp.height - mb
+    if gp.graph_only:  # cairo.go:1095-1098: plot area = full canvas
+        px0, px1, py0, py1 = 0, gp.width, 0, gp.height
 
     def sx(ts):
         return px0 + (ts - t0) / max(t1 - t0, 1) * (px1 - px0)
@@ -797,11 +873,13 @@ def render_svg(series, opts_list, params: dict) -> str:
                          f'font-size="9" font-family="sans-serif">'
                          f'{_fmt_val(v, gp.y_unit_system)}</text>')
         span = t1 - t0
-        for ts in _nice_ticks(t0, t1, 6):
-            x = sx(ts)
-            o.append(f'<text x="{x - 14:.1f}" y="{py1 + 12}" fill="{fg}" '
-                     f'font-size="9" font-family="sans-serif">'
-                     f'{_fmt_ts(int(ts), span)}</text>')
+        if not gp.hide_x_axis:  # drawLabels cairo.go:1933
+            for ts in _nice_ticks(t0, t1, 6):
+                x = sx(ts)
+                o.append(f'<text x="{x - 14:.1f}" y="{py1 + 12}" '
+                         f'fill="{fg}" font-size="9" '
+                         f'font-family="sans-serif">'
+                         f'{_fmt_ts(int(ts), span)}</text>')
         o.append(f'<path d="M{px0} {py0}V{py1}H{px1}" fill="none" '
                  f'stroke="{fg}"/>')
         if dual:
@@ -822,17 +900,26 @@ def render_svg(series, opts_list, params: dict) -> str:
                      f'font-family="sans-serif" '
                      f'transform="rotate(90 {rx} {cy:.1f})">'
                      f'{esc(gp.vtitle_right)}</text>')
+    fill_a = gp.area_alpha if gp.area_alpha is not None else 0.35
     for sp in specs:
         ssy = sy_r if (dual and sp["right"]) else sy
         blo, bhi = rng_r if (dual and sp["right"]) else rng_l
-        segs, cur = [], []
+        segs, cur, gap = [], [], 0
         for ts, y in sp["pts"]:
             yy = ssy(y)
             if yy is None:  # gap, or non-positive value on a log scale
-                if cur:
-                    segs.append(cur)
-                cur = []
+                # connected mode bridges runs of up to connectedLimit
+                # nulls (cairo.go:2388-2390); slope/staircase restart
+                gap += 1
+                bridge = (y is None and gp.line_mode == "connected"
+                          and (gp.connected_limit is None
+                               or gap <= gp.connected_limit))
+                if not bridge:
+                    if cur:
+                        segs.append(cur)
+                    cur = []
                 continue
+            gap = 0
             x = sx(ts + sp["step"] / 2)
             if sp["infinite"]:
                 o.append(f'<line x1="{x:.1f}" y1="{py0}" x2="{x:.1f}" '
@@ -846,7 +933,16 @@ def render_svg(series, opts_list, params: dict) -> str:
         dash = f' stroke-dasharray="{sp["dashed"]},{sp["dashed"]}"' \
             if sp["dashed"] else ""
         for seg in segs:
-            d = "M" + " L".join(f"{x:.1f} {y:.1f}" for x, y in seg)
+            if gp.line_mode == "staircase" and len(seg) > 1:
+                # horizontal at the old level, then vertical
+                # (cairo.go:2378-2383)
+                parts = [f"M{seg[0][0]:.1f} {seg[0][1]:.1f}"]
+                for (_, ya), (xb, yb) in zip(seg, seg[1:]):
+                    parts.append(f"L{xb:.1f} {ya:.1f}")
+                    parts.append(f"L{xb:.1f} {yb:.1f}")
+                d = " ".join(parts)
+            else:
+                d = "M" + " L".join(f"{x:.1f} {y:.1f}" for x, y in seg)
             fill = "none"
             if sp["stacked"] or gp.area_mode in ("all", "stacked"):
                 base_y = ssy(0.0 if blo <= 0 <= bhi else blo)
@@ -855,7 +951,8 @@ def render_svg(series, opts_list, params: dict) -> str:
                 d += f" L{seg[-1][0]:.1f} {base_y:.1f} " \
                      f"L{seg[0][0]:.1f} {base_y:.1f} Z"
                 fill = rgb(sp["color"])
-            o.append(f'<path d="{d}" fill="{fill}" fill-opacity="0.35" '
+            o.append(f'<path d="{d}" fill="{fill}" '
+                     f'fill-opacity="{fill_a}" '
                      f'stroke="{rgb(sp["color"])}" '
                      f'stroke-width="{sp["width"]}" '
                      f'stroke-opacity="{sp["alpha"]}"{dash}/>')

@@ -780,3 +780,101 @@ def test_render_vtitle_axis_titles(spark):
                                   "vtitleRight": ["ratio"]})
     assert 'rotate(-90' in s and 'rotate(90' in s
     assert ">reqs</text>" in s and ">ratio</text>" in s
+
+
+def test_graph_params_template_registry():
+    """template= selects a registered param base (templates map
+    picture_params.go:434, SetTemplate :357-360, render_handler.go:114):
+    template values act as defaults, explicit request params win, and an
+    unknown name falls back to "default" (never a 400)."""
+    from carbonapi_spark.render.graph import (GraphParams, TEMPLATES,
+                                              register_template)
+    register_template("ops", {"bgcolor": "white", "fgcolor": "black",
+                              "width": 400, "minorY": "2"})
+    try:
+        gp = GraphParams({"template": ["ops"]})
+        assert gp.width == 400
+        assert gp.bgcolor == (255, 255, 255)
+        assert gp.fgcolor == (0, 0, 0)
+        assert gp.minor_y == 2
+        # explicit request param overrides the template
+        gp2 = GraphParams({"template": ["ops"], "width": ["500"],
+                           "bgcolor": ["blue"]})
+        assert gp2.width == 500
+        assert gp2.bgcolor != (255, 255, 255)
+        assert gp2.fgcolor == (0, 0, 0)   # untouched keys keep template
+        # unknown template -> default base (reference fallback, no error)
+        gp3 = GraphParams({"template": ["no-such-template"]})
+        assert gp3.width == 330
+        assert gp3.bgcolor == (0, 0, 0)
+        # no template param at all -> identical to today's defaults
+        gp4 = GraphParams({})
+        assert (gp4.width, gp4.bgcolor) == (330, (0, 0, 0))
+    finally:
+        TEMPLATES.pop("ops", None)
+
+
+def test_render_line_modes_and_connected_limit(spark):
+    """lineMode=slope/staircase/connected (picture_params.go:266,
+    cairo.go:2376-2390): staircase draws horizontal-then-vertical
+    steps; connected bridges null gaps up to connectedLimit
+    consecutive misses (reference default MaxInt32 = always)."""
+    from carbonapi_spark.render.graph import GraphParams, render_png, \
+        render_svg
+    lake = make_lake(spark, {"m.gap": [1.0, None, None, 5.0, 2.0]}, 1, 0)
+    series = collect_series(_frame(spark, lake, "m.gap", 0, 5))
+    slope = render_png(series, [{}], {})
+    stair = render_png(series, [{}], {"lineMode": ["staircase"]})
+    conn = render_png(series, [{}], {"lineMode": ["connected"]})
+    lim1 = render_png(series, [{}], {"lineMode": ["connected"],
+                                     "connectedLimit": ["1"]})
+    # staircase adds step corners and connected bridges the 2-null gap,
+    # so each differs from slope; connectedLimit=1 cannot bridge a
+    # 2-gap, so it draws exactly the slope strokes
+    assert len({bytes(slope), bytes(stair), bytes(conn)}) == 3
+    assert bytes(lim1) == bytes(slope)
+    s = render_svg(series, [{}], {"lineMode": ["staircase"]})
+    assert "L" in s
+    sc = render_svg(series, [{}], {"lineMode": ["connected"]})
+    # connected: one unbroken path crosses the gap (a single M command
+    # in the series path vs two for slope)
+    ss = render_svg(series, [{}], {})
+    def path_moves(svg):
+        return [p.count("M") for p in svg.split("\n")
+                if p.startswith("<path") and "stroke-width" in p]
+    assert sum(path_moves(sc)) < sum(path_moves(ss))
+    # bogus lineMode falls back to slope
+    assert GraphParams({"lineMode": ["zigzag"]}).line_mode == "slope"
+
+
+def test_render_area_alpha_hide_x_axis_graph_only(spark):
+    """areaAlpha (cairo.go:2249), hideXAxis (drawLabels
+    cairo.go:1933), graphOnly (cairo.go:1090-1099: bare full-canvas
+    plot, implies hideLegend/hideGrid/hideAxes/hideYAxis)."""
+    from carbonapi_spark.render.graph import GraphParams, render_png, \
+        render_svg
+    lake = make_lake(spark, {"m.a": [1.0, 4.0, 2.0, 5.0]}, 1, 0)
+    series = collect_series(_frame(spark, lake, "m.a", 0, 4))
+    base = render_png(series, [{}], {"areaMode": ["all"]})
+    faint = render_png(series, [{}], {"areaMode": ["all"],
+                                      "areaAlpha": ["0.1"]})
+    solid = render_png(series, [{}], {"areaMode": ["all"],
+                                      "areaAlpha": ["1"]})
+    assert len({bytes(base), bytes(faint), bytes(solid)}) == 3
+    assert 'fill-opacity="0.1"' in render_svg(
+        series, [{}], {"areaMode": ["all"], "areaAlpha": ["0.1"]})
+    # hideXAxis drops the time labels but keeps the y labels
+    nox = render_png(series, [{}], {"hideXAxis": ["1"]})
+    assert bytes(nox) != bytes(render_png(series, [{}], {}))
+    sx_off = render_svg(series, [{}], {"hideXAxis": ["1"]})
+    assert "01/01" not in sx_off or True  # labels format varies; pin count
+    sx_on = render_svg(series, [{}], {})
+    assert sx_off.count("<text") < sx_on.count("<text")
+    # graphOnly: no text at all, plot area fills the canvas
+    gp = GraphParams({"graphOnly": ["1"]})
+    assert gp.hide_legend and gp.hide_grid and gp.hide_axes \
+        and gp.hide_y_axis
+    sg = render_svg(series, [{}], {"graphOnly": ["1"]})
+    assert "<text" not in sg
+    pg = render_png(series, [{}], {"graphOnly": ["1"]})
+    assert bytes(pg) != bytes(render_png(series, [{}], {}))
