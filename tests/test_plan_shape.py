@@ -799,3 +799,27 @@ def test_dedup_agreement_is_one_job(spark):
     built = len(st.getJobIdsForGroup(None) or [])
     assert built - before <= 1
     assert len(df.collect()) == 3
+
+
+def test_hdr_sketch_shuffle_budget(spark):
+    """hdr_buckets: the per-row work is ONE map-side-combined hash
+    aggregation (one exchange over bucket-count partial rows, never the
+    raw value stream); hdr_quantiles adds exchanges only over the
+    already-bucketed sketch table (bounded by value range).  A refactor
+    that shuffles the raw rows twice fails here."""
+    from pyspark.sql import functions as F
+
+    from carbonapi_spark.datapipe.sketch import hdr_buckets, hdr_quantiles
+
+    df = (spark.range(5000)
+          .select((F.col("id") % 7).cast("string").alias("g"),
+                  (F.col("id") * 0.37 + 0.01).alias("value")))
+    b = hdr_buckets(df, "value", by=("g",))
+    assert _df_exchanges(b) == 1
+    plan = (b._jdf.queryExecution().executedPlan().toString())
+    # partial_count before the exchange = map-side combine on the scan
+    assert "partial_count" in plan
+    q = hdr_quantiles(b, qs=(0.5, 0.9), by=("g",))
+    # bucket agg exchange + window partitioning + final groupBy: every
+    # post-bucket exchange moves sketch-sized data only
+    assert _df_exchanges(q) <= 4
