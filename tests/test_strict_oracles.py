@@ -34,3 +34,22 @@ def test_full_catalog_strict_bit_exact_at_sf0001():
     assert proc.returncode == 0, (
         f"strict oracle replay failed at {SF_DIR}:\n{tail}\n{proc.stderr[-2000:]}")
     assert "ALL OK" in proc.stdout
+
+
+@pytest.mark.strict_oracles
+def test_full_catalog_pandas_path_at_sf0001():
+    """The pandas/Arrow-path replica (tools/check_oracles_pandas.py):
+    catches the value-RENDERING class the fetchall gate can't — DuckDB
+    HUGEINT -> float64, DECIMAL residues, any cell whose string form
+    diverges between engines (the r07-r10 driver hash failures' root
+    cause).  `hugeint_probe` is expected to fail and is excluded by
+    the tool itself."""
+    proc = subprocess.run(
+        [sys.executable,
+         os.path.join(REPO, "tools", "check_oracles_pandas.py"), SF_DIR],
+        capture_output=True, text=True, timeout=3600, cwd=REPO)
+    tail = "\n".join(proc.stdout.splitlines()[-25:])
+    assert proc.returncode == 0, (
+        f"pandas-path oracle replay failed at {SF_DIR}:\n{tail}\n"
+        f"{proc.stderr[-2000:]}")
+    assert "ALL OK" in proc.stdout
