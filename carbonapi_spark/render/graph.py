@@ -304,7 +304,9 @@ GRAPH_PARAM_KEYS = (
     "yUnitSystem", "yMinLeft", "yMinRight", "yMaxLeft", "yMaxRight",
     "yLimitLeft", "yLimitRight", "yStepLeft", "yStepRight", "yDivisors",
     "vtitle", "vtitleRight", "template", "lineMode", "connectedLimit",
-    "areaAlpha", "hideXAxis", "graphOnly",
+    "areaAlpha", "hideXAxis", "graphOnly", "fontSize", "margin",
+    "uniqueLegend", "rightWidth", "rightColor", "rightDashed",
+    "leftWidth", "leftColor", "leftDashed",
 )
 
 # Named picture-param templates (picture_params.go:434 `templates` +
@@ -383,6 +385,25 @@ class GraphParams:
         # graphOnly (cairo.go:1090-1099): bare plot — implies
         # hideLegend/hideGrid/hideAxes/hideYAxis and a full-canvas
         # plot area (the renderers apply the area part)
+        # fontSize (picture_params.go:246, default 10): scales every
+        # text draw; clamp keeps a request from exploding the raster
+        try:
+            self.font_scale = min(max(float(get("fontSize", "10")),
+                                      4.0), 40.0) / 10.0
+        except ValueError:
+            self.font_scale = 1.0
+        # margin (picture_params.go:238, default 10 in cairo): EXTRA
+        # padding around the plot area.  Deviation: our default is 0 —
+        # the long-standing golden rasters pin the current layout, so
+        # margin only adds when explicitly requested.
+        try:
+            self.margin = min(max(int(float(get("margin", "0"))), 0),
+                              200)
+        except (ValueError, OverflowError):
+            self.margin = 0
+        # uniqueLegend (picture_params.go:274): drop duplicate series
+        # names from the legend
+        self.unique_legend = get("uniqueLegend") in ("1", "true", "True")
         self.graph_only = get("graphOnly") in ("1", "true", "True")
         if self.graph_only:
             self.hide_legend = True
@@ -437,6 +458,15 @@ class GraphParams:
         self.y_limit_right = fget("yLimitRight")
         self.y_step_left = fget("yStepLeft", positive=True)
         self.y_step_right = fget("yStepRight", positive=True)
+        # per-side series style overrides (picture_params.go:293-301,
+        # applied cairo.go:939-966): only on explicit request — the
+        # decorator/lineWidth defaults stand otherwise
+        self.right_width = fget("rightWidth", positive=True)
+        self.left_width = fget("leftWidth", positive=True)
+        self.right_color = get("rightColor")
+        self.left_color = get("leftColor")
+        self.right_dashed = get("rightDashed") in ("1", "true", "True")
+        self.left_dashed = get("leftDashed") in ("1", "true", "True")
         # yDivisors (picture_params.go:291, default 4,5,6): candidate
         # label counts the step selector scores against the pretty-value
         # ladder (setupYAxis cairo.go:1697-1717).  Capped like minorY —
@@ -502,6 +532,20 @@ def _series_geometry(series, opts_list, gp: GraphParams):
                       "right": right})
         t0 = s.start if t0 is None else min(t0, s.start)
         t1 = s.stop if t1 is None else max(t1, s.stop)
+    if any(sp["right"] for sp in specs):
+        # rightWidth/rightColor/rightDashed + left* (cairo.go:939-966):
+        # explicit per-side overrides beat the per-series decorators
+        for sp in specs:
+            side = "right" if sp["right"] else "left"
+            w = gp.right_width if side == "right" else gp.left_width
+            if w is not None:
+                sp["width"] = w
+            c = gp.right_color if side == "right" else gp.left_color
+            if c:
+                sp["color"] = parse_color(c, sp["color"])
+            dashed = gp.right_dashed if side == "right" else gp.left_dashed
+            if dashed and not sp["dashed"]:
+                sp["dashed"] = 2.5
     if not math.isfinite(lo):
         lo, hi = 0.0, 1.0
     if lo == hi:
@@ -679,11 +723,18 @@ def render_png(series, opts_list, params: dict) -> bytes:
     mr = (44 + (10 if gp.vtitle_right else 0)) \
         if dual and not gp.hide_axes else 6
     mt = 16 if gp.title else 6
+    legend_specs = specs
+    if gp.unique_legend:  # picture_params.go:274
+        seen: set = set()
+        legend_specs = [sp for sp in specs
+                        if not (sp["name"] in seen
+                                or seen.add(sp["name"]))]
     legend_rows = 0 if gp.hide_legend or gp.width < 200 else \
-        min(len(specs), max(1, (gp.height // 5) // 10))
+        min(len(legend_specs), max(1, (gp.height // 5) // 10))
     mb = (1 if gp.hide_axes else 16) + 10 * legend_rows
-    px0, px1 = ml, gp.width - mr
-    py0, py1 = mt, gp.height - mb
+    m = gp.margin
+    px0, px1 = ml + m, gp.width - mr - m
+    py0, py1 = mt + m, gp.height - mb - m
     if gp.graph_only:  # cairo.go:1095-1098: plot area = full canvas
         px0, px1, py0, py1 = 0, gp.width, 0, gp.height
 
@@ -720,15 +771,16 @@ def render_png(series, opts_list, params: dict) -> bytes:
                             cv.line(px0, ym, px1, ym, minor_grid, 1.0, 0.3)
             if not gp.hide_y_axis:  # hideYAxis: grid stays, labels go
                 cv.text(_fmt_val(v, gp.y_unit_system),
-                        12 if gp.vtitle else 2, y - 3, gp.fgcolor, 0.9)
+                        12 if gp.vtitle else 2, y - 3, gp.fgcolor,
+                        0.9 * gp.font_scale)
         if gp.vtitle:
             cv.vtext(gp.vtitle, 2,
                      (py0 + py1 + text_width(gp.vtitle, 0.9)) / 2,
-                     gp.fgcolor, 0.9)
+                     gp.fgcolor, 0.9 * gp.font_scale)
         if dual and gp.vtitle_right:
             cv.vtext(gp.vtitle_right, gp.width - 2,
                      (py0 + py1 - text_width(gp.vtitle_right, 0.9)) / 2,
-                     gp.fgcolor, 0.9, up=False)
+                     gp.fgcolor, 0.9 * gp.font_scale, up=False)
         if dual and not gp.hide_y_axis:
             # right-axis labels in the right gutter (drawYAxis
             # cairo.go:1954-1963), on the right scale
@@ -736,7 +788,7 @@ def render_png(series, opts_list, params: dict) -> bytes:
                 y = sy_r(v)
                 if y is not None:
                     cv.text(_fmt_val(v, gp.y_unit_system), px1 + 3, y - 3,
-                            gp.fgcolor, 0.9)
+                            gp.fgcolor, 0.9 * gp.font_scale)
         span = t1 - t0
         for ts in _nice_ticks(t0, t1, 6):
             x = sx(ts)
@@ -744,7 +796,7 @@ def render_png(series, opts_list, params: dict) -> bytes:
                 cv.line(x, py0, x, py1, grid, 1.0, 0.35)
             if not gp.hide_x_axis:  # drawLabels cairo.go:1933
                 cv.text(_fmt_ts(int(ts), span), x - 14, py1 + 4,
-                        gp.fgcolor, 0.9)
+                        gp.fgcolor, 0.9 * gp.font_scale)
         cv.line(px0, py0, px0, py1, gp.fgcolor, 1.0)
         cv.line(px0, py1, px1, py1, gp.fgcolor, 1.0)
         if dual:
@@ -795,13 +847,14 @@ def render_png(series, opts_list, params: dict) -> bytes:
 
     if gp.title:
         cv.text(gp.title, max(2, (gp.width - text_width(gp.title, 1.2)) / 2),
-                3, gp.fgcolor, 1.2)
+                3, gp.fgcolor, 1.2 * gp.font_scale)
     for r in range(legend_rows):
-        sp = specs[r]
+        sp = legend_specs[r]
         y = py1 + (0 if gp.hide_axes else 14) + 3 + 10 * r
         cv.rect(px0, y + 2, px0 + 8, y + 7, sp["color"])
         label = sp["name"][: max(4, (gp.width - px0 - 16) // 6)]
-        cv.text(label, px0 + 12, y, gp.fgcolor, 0.9)
+        cv.text(label, px0 + 12, y, gp.fgcolor,
+                0.9 * gp.font_scale)
     return encode_png(cv.a)
 
 
@@ -812,9 +865,17 @@ def render_svg(series, opts_list, params: dict) -> str:
     ml = 44 + (10 if gp.vtitle else 0)
     mr = (44 + (10 if gp.vtitle_right else 0)) if dual else 8
     mt = 20 if gp.title else 8
-    legend_rows = 0 if gp.hide_legend else min(len(specs), 8)
+    legend_specs = specs
+    if gp.unique_legend:  # picture_params.go:274
+        seen: set = set()
+        legend_specs = [sp for sp in specs
+                        if not (sp["name"] in seen
+                                or seen.add(sp["name"]))]
+    legend_rows = 0 if gp.hide_legend else min(len(legend_specs), 8)
     mb = 18 + 12 * legend_rows
-    px0, px1, py0, py1 = ml, gp.width - mr, mt, gp.height - mb
+    m = gp.margin
+    px0, px1, py0, py1 = ml + m, gp.width - mr - m, mt + m, \
+        gp.height - mb - m
     if gp.graph_only:  # cairo.go:1095-1098: plot area = full canvas
         px0, px1, py0, py1 = 0, gp.width, 0, gp.height
 
@@ -827,6 +888,10 @@ def render_svg(series, opts_list, params: dict) -> str:
     else:
         sy, yticks = _y_scale(gp, lo, hi, py0, py1)
         sy_r, yticks_r, rng_l, rng_r = None, (), (lo, hi), None
+
+    fs9 = f"{9 * gp.font_scale:.4g}"
+    fs10 = f"{10 * gp.font_scale:.4g}"
+    fs12 = f"{12 * gp.font_scale:.4g}"
 
     def rgb(c):
         return f"rgb({c[0]},{c[1]},{c[2]})"
@@ -862,7 +927,7 @@ def render_svg(series, opts_list, params: dict) -> str:
             if not gp.hide_y_axis:
                 o.append(f'<text x="{12 if gp.vtitle else 2}" '
                          f'y="{y + 3:.1f}" fill="{fg}" '
-                         f'font-size="9" font-family="sans-serif">'
+                         f'font-size="{fs9}" font-family="sans-serif">'
                          f'{_fmt_val(v, gp.y_unit_system)}</text>')
         if dual and not gp.hide_y_axis:
             for v in yticks_r:
@@ -870,14 +935,14 @@ def render_svg(series, opts_list, params: dict) -> str:
                 if y is None:
                     continue
                 o.append(f'<text x="{px1 + 3}" y="{y + 3:.1f}" fill="{fg}" '
-                         f'font-size="9" font-family="sans-serif">'
+                         f'font-size="{fs9}" font-family="sans-serif">'
                          f'{_fmt_val(v, gp.y_unit_system)}</text>')
         span = t1 - t0
         if not gp.hide_x_axis:  # drawLabels cairo.go:1933
             for ts in _nice_ticks(t0, t1, 6):
                 x = sx(ts)
                 o.append(f'<text x="{x - 14:.1f}" y="{py1 + 12}" '
-                         f'fill="{fg}" font-size="9" '
+                         f'fill="{fg}" font-size="{fs9}" '
                          f'font-family="sans-serif">'
                          f'{_fmt_ts(int(ts), span)}</text>')
         o.append(f'<path d="M{px0} {py0}V{py1}H{px1}" fill="none" '
@@ -888,7 +953,7 @@ def render_svg(series, opts_list, params: dict) -> str:
         if gp.vtitle:
             cy = (py0 + py1) / 2
             o.append(f'<text x="10" y="{cy:.1f}" fill="{fg}" '
-                     f'font-size="10" text-anchor="middle" '
+                     f'font-size="{fs10}" text-anchor="middle" '
                      f'font-family="sans-serif" '
                      f'transform="rotate(-90 10 {cy:.1f})">'
                      f'{esc(gp.vtitle)}</text>')
@@ -896,7 +961,7 @@ def render_svg(series, opts_list, params: dict) -> str:
             cy = (py0 + py1) / 2
             rx = gp.width - 6
             o.append(f'<text x="{rx}" y="{cy:.1f}" fill="{fg}" '
-                     f'font-size="10" text-anchor="middle" '
+                     f'font-size="{fs10}" text-anchor="middle" '
                      f'font-family="sans-serif" '
                      f'transform="rotate(90 {rx} {cy:.1f})">'
                      f'{esc(gp.vtitle_right)}</text>')
@@ -957,15 +1022,15 @@ def render_svg(series, opts_list, params: dict) -> str:
                      f'stroke-width="{sp["width"]}" '
                      f'stroke-opacity="{sp["alpha"]}"{dash}/>')
     if gp.title:
-        o.append(f'<text x="{gp.width / 2}" y="14" fill="{fg}" font-size="12" '
+        o.append(f'<text x="{gp.width / 2}" y="14" fill="{fg}" font-size="{fs12}" '
                  f'text-anchor="middle" font-family="sans-serif">'
                  f'{esc(gp.title)}</text>')
     for r in range(legend_rows):
-        sp = specs[r]
+        sp = legend_specs[r]
         y = py1 + 24 + 12 * r
         o.append(f'<rect x="{px0}" y="{y - 8}" width="9" height="9" '
                  f'fill="{rgb(sp["color"])}"/>')
-        o.append(f'<text x="{px0 + 13}" y="{y}" fill="{fg}" font-size="9" '
+        o.append(f'<text x="{px0 + 13}" y="{y}" fill="{fg}" font-size="{fs9}" '
                  f'font-family="sans-serif">{esc(sp["name"])}</text>')
     o.append("</svg>")
     return "\n".join(o)

@@ -878,3 +878,44 @@ def test_render_area_alpha_hide_x_axis_graph_only(spark):
     assert "<text" not in sg
     pg = render_png(series, [{}], {"graphOnly": ["1"]})
     assert bytes(pg) != bytes(render_png(series, [{}], {}))
+
+
+def test_render_font_margin_unique_legend_side_styles(spark):
+    """fontSize (picture_params.go:246), margin (:238, extra padding —
+    documented deviation: default 0 keeps the golden layout),
+    uniqueLegend (:274), and the dual-axis per-side style overrides
+    rightWidth/rightColor/rightDashed + left* (:293-301, applied
+    cairo.go:939-966)."""
+    from carbonapi_spark.render.graph import GraphParams, render_png, \
+        render_svg
+    lake = make_lake(spark, {"m.a": [1.0, 4.0, 2.0, 5.0],
+                             "m.b": [2.0, 1.0, 3.0, 0.5]}, 1, 0)
+    series = collect_series(_frame(spark, lake, "m.*", 0, 4))
+    base = render_png(series, [{}, {}], {})
+    big = render_png(series, [{}, {}], {"fontSize": ["16"]})
+    pad = render_png(series, [{}, {}], {"margin": ["30"]})
+    assert len({bytes(base), bytes(big), bytes(pad)}) == 3
+    # default font scale leaves the SVG font sizes at the golden values
+    assert 'font-size="9"' in render_svg(series, [{}, {}], {})
+    assert 'font-size="14.4"' in render_svg(series, [{}, {}],
+                                            {"fontSize": ["16"]})
+    # fontSize clamps, garbage falls back
+    assert GraphParams({"fontSize": ["9999"]}).font_scale == 4.0
+    assert GraphParams({"fontSize": ["x"]}).font_scale == 1.0
+    # uniqueLegend: duplicate names render one legend row
+    dup = [series[0], series[0]]
+    two = render_svg(dup, [{}, {}], {})
+    one = render_svg(dup, [{}, {}], {"uniqueLegend": ["1"]})
+    assert two.count("<rect") == one.count("<rect") + 1
+    # side styles only apply on the dual-axis path and change the raster
+    dual_opts = [{}, {"secondYAxis": True}]
+    d_base = render_png(series, dual_opts, {})
+    variants = [render_png(series, dual_opts, {k: [v]}) for k, v in [
+        ("rightColor", "gold"), ("rightWidth", "3"),
+        ("rightDashed", "1"), ("leftColor", "pink"),
+        ("leftWidth", "4"), ("leftDashed", "1")]]
+    assert len({bytes(d_base), *(bytes(v) for v in variants)}) == 7
+    # absent the dual tag, the side params are inert (reference gates
+    # them on secondYAxis)
+    flat = render_png(series, [{}, {}], {"rightColor": ["gold"]})
+    assert bytes(flat) == bytes(base)
