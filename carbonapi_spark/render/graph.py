@@ -282,9 +282,9 @@ def _fmt_val(v: float, unit_system: str = "si") -> str:
     return f"{v:.4g}"
 
 
-def _fmt_ts(ts: int, span: int) -> str:
+def _fmt_ts(ts: int, span: int, tzinfo=None) -> str:
     import datetime as dt
-    d = dt.datetime.fromtimestamp(ts, dt.timezone.utc)
+    d = dt.datetime.fromtimestamp(ts, tzinfo or dt.timezone.utc)
     if span <= 2 * 86400:
         return d.strftime("%H:%M")
     if span <= 120 * 86400:
@@ -306,7 +306,7 @@ GRAPH_PARAM_KEYS = (
     "vtitle", "vtitleRight", "template", "lineMode", "connectedLimit",
     "areaAlpha", "hideXAxis", "graphOnly", "fontSize", "margin",
     "uniqueLegend", "rightWidth", "rightColor", "rightDashed",
-    "leftWidth", "leftColor", "leftDashed",
+    "leftWidth", "leftColor", "leftDashed", "tz", "pixelRatio",
 )
 
 # Named picture-param templates (picture_params.go:434 `templates` +
@@ -345,6 +345,20 @@ class GraphParams:
         # multi-GB canvas (one request OOMing the render server)
         self.width = min(max(int(float(get("width", "330"))), 1), 8192)
         self.height = min(max(int(float(get("height", "250"))), 1), 8192)
+        # pixelRatio (cairo.go:991-997 device scale): scale the surface
+        # and every size-bearing default; clamped so a request can't
+        # explode the canvas beyond the width/height caps
+        try:
+            pr = float(get("pixelRatio", "1"))
+        except ValueError:
+            pr = 1.0
+        self.pixel_ratio = min(max(pr, 0.25), 4.0) \
+            if math.isfinite(pr) else 1.0
+        if self.pixel_ratio != 1.0:
+            self.width = min(max(int(self.width * self.pixel_ratio),
+                                 1), 8192)
+            self.height = min(max(int(self.height * self.pixel_ratio),
+                                  1), 8192)
         self.bgcolor = parse_color(get("bgcolor", "black"), (0, 0, 0))
         self.fgcolor = parse_color(get("fgcolor", "white"), (255, 255, 255))
         self.title = get("title")
@@ -360,7 +374,8 @@ class GraphParams:
         # cairo.go:72-90: y-label prefix ladder — si (K/M/G/T/P, 1000),
         # binary (Ki/Mi/Gi/Ti/Pi, 1024), none (raw numbers)
         self.y_unit_system = get("yUnitSystem", "si")
-        self.line_width = float(get("lineWidth", "1.2"))
+        self.line_width = float(get("lineWidth", "1.2")) \
+            * self.pixel_ratio
         self.area_mode = get("areaMode", "none")
         # lineMode (picture_params.go:266; drawn cairo.go:2376-2390):
         # slope = point-to-point (default), staircase = horizontal-then-
@@ -392,6 +407,7 @@ class GraphParams:
                                       4.0), 40.0) / 10.0
         except ValueError:
             self.font_scale = 1.0
+        self.font_scale *= self.pixel_ratio
         # margin (picture_params.go:238, default 10 in cairo): EXTRA
         # padding around the plot area.  Deviation: our default is 0 —
         # the long-standing golden rasters pin the current layout, so
@@ -404,6 +420,15 @@ class GraphParams:
         # uniqueLegend (picture_params.go:274): drop duplicate series
         # names from the legend
         self.unique_legend = get("uniqueLegend") in ("1", "true", "True")
+        # tz (picture_params.go:259): timezone for x-axis labels; an
+        # unknown name silently falls back to UTC
+        self.tzinfo = None
+        if get("tz"):
+            try:
+                from zoneinfo import ZoneInfo
+                self.tzinfo = ZoneInfo(get("tz").strip())
+            except Exception:  # noqa: BLE001
+                self.tzinfo = None
         self.graph_only = get("graphOnly") in ("1", "true", "True")
         if self.graph_only:
             self.hide_legend = True
@@ -795,8 +820,8 @@ def render_png(series, opts_list, params: dict) -> bytes:
             if not gp.hide_grid:
                 cv.line(x, py0, x, py1, grid, 1.0, 0.35)
             if not gp.hide_x_axis:  # drawLabels cairo.go:1933
-                cv.text(_fmt_ts(int(ts), span), x - 14, py1 + 4,
-                        gp.fgcolor, 0.9 * gp.font_scale)
+                cv.text(_fmt_ts(int(ts), span, gp.tzinfo), x - 14,
+                        py1 + 4, gp.fgcolor, 0.9 * gp.font_scale)
         cv.line(px0, py0, px0, py1, gp.fgcolor, 1.0)
         cv.line(px0, py1, px1, py1, gp.fgcolor, 1.0)
         if dual:
@@ -944,7 +969,7 @@ def render_svg(series, opts_list, params: dict) -> str:
                 o.append(f'<text x="{x - 14:.1f}" y="{py1 + 12}" '
                          f'fill="{fg}" font-size="{fs9}" '
                          f'font-family="sans-serif">'
-                         f'{_fmt_ts(int(ts), span)}</text>')
+                         f'{_fmt_ts(int(ts), span, gp.tzinfo)}</text>')
         o.append(f'<path d="M{px0} {py0}V{py1}H{px1}" fill="none" '
                  f'stroke="{fg}"/>')
         if dual:

@@ -919,3 +919,30 @@ def test_render_font_margin_unique_legend_side_styles(spark):
     # them on secondYAxis)
     flat = render_png(series, [{}, {}], {"rightColor": ["gold"]})
     assert bytes(flat) == bytes(base)
+
+
+def test_render_tz_and_pixel_ratio(spark):
+    """tz (picture_params.go:259) shifts the x-axis time labels;
+    pixelRatio (cairo.go:991-997) scales the surface and every
+    size-bearing default.  Unknown tz silently falls back to UTC;
+    pixelRatio clamps to [0.25, 4]."""
+    from carbonapi_spark.render.graph import GraphParams, render_png, \
+        render_svg
+    lake = make_lake(spark, {"m.a": [1.0, 4.0, 2.0, 5.0]}, 3600, 0)
+    series = collect_series(_frame(spark, lake, "m.a", 0, 14400))
+    base = render_svg(series, [{}], {})
+    ny = render_svg(series, [{}], {"tz": ["America/New_York"]})
+    assert base != ny and "19:00" in ny and "00:00" in base
+    assert render_svg(series, [{}], {"tz": ["No/Such_Zone"]}) == base
+    assert bytes(render_png(series, [{}], {"tz": ["America/New_York"]})) \
+        != bytes(render_png(series, [{}], {}))
+    gp = GraphParams({"pixelRatio": ["2"]})
+    assert (gp.width, gp.height) == (660, 500)
+    assert gp.font_scale == 2.0 and abs(gp.line_width - 2.4) < 1e-9
+    assert GraphParams({"pixelRatio": ["999"]}).pixel_ratio == 4.0
+    assert GraphParams({"pixelRatio": ["nan"]}).pixel_ratio == 1.0
+    # a 2x render really is a bigger PNG raster
+    import struct
+    png = bytes(render_png(series, [{}], {"pixelRatio": ["2"]}))
+    w, h = struct.unpack(">II", png[16:24])
+    assert (w, h) == (660, 500)
