@@ -21,7 +21,13 @@ our long-standing golden rasters pin the majors-only default);
 algorithm when EXPLICITLY provided (the default ticks stay on the
 golden-pinned _nice_ticks ladder); ``logBase`` is ignored on the
 dual-axis path (the reference panics on log+dual with non-positive
-mins); ``vtitleRight`` and template-file themes are not implemented.
+mins); ``margin`` defaults to 0 extra padding (cairo: 10 — the golden
+layout stands, margin only adds on request); ``fontName``/``fontBold``
+/``fontItalic`` are accepted-and-ignored (single built-in stroke
+font); ``pieMode``/``graphType=pie`` are accepted-and-ignored exactly
+like the reference (cairo.go stores pieMode but has no pie drawing
+path); ``xMin``/``xMax``/``xStep``/``xFormat`` are not implemented
+(x range always follows the fetched [from, until)).
 """
 
 from __future__ import annotations
