@@ -346,20 +346,32 @@ class GraphParams:
             return (params.get(name, [""])[0]
                     or tmpl.get(name, "") or default)
 
+        def num(name, default, lo=None, hi=None, as_int=False):
+            """Parse-or-default: the reference's param getters fall
+            back to the default on garbage (getFloat/getInt,
+            picture_params.go) — a malformed value must render the
+            default graph, never 500."""
+            try:
+                v = float(get(name, str(default)))
+            except (ValueError, OverflowError):
+                v = float(default)
+            if not math.isfinite(v):
+                v = float(default)
+            if lo is not None:
+                v = max(v, lo)
+            if hi is not None:
+                v = min(v, hi)
+            return int(v) if as_int else v
+
         # clamp to cairo's practical surface limits: an unchecked
         # width/height pair from the query string could allocate a
         # multi-GB canvas (one request OOMing the render server)
-        self.width = min(max(int(float(get("width", "330"))), 1), 8192)
-        self.height = min(max(int(float(get("height", "250"))), 1), 8192)
+        self.width = num("width", 330, 1, 8192, as_int=True)
+        self.height = num("height", 250, 1, 8192, as_int=True)
         # pixelRatio (cairo.go:991-997 device scale): scale the surface
         # and every size-bearing default; clamped so a request can't
         # explode the canvas beyond the width/height caps
-        try:
-            pr = float(get("pixelRatio", "1"))
-        except ValueError:
-            pr = 1.0
-        self.pixel_ratio = min(max(pr, 0.25), 4.0) \
-            if math.isfinite(pr) else 1.0
+        self.pixel_ratio = num("pixelRatio", 1.0, 0.25, 4.0)
         if self.pixel_ratio != 1.0:
             self.width = min(max(int(self.width * self.pixel_ratio),
                                  1), 8192)
@@ -380,7 +392,7 @@ class GraphParams:
         # cairo.go:72-90: y-label prefix ladder — si (K/M/G/T/P, 1000),
         # binary (Ki/Mi/Gi/Ti/Pi, 1024), none (raw numbers)
         self.y_unit_system = get("yUnitSystem", "si")
-        self.line_width = float(get("lineWidth", "1.2")) \
+        self.line_width = num("lineWidth", 1.2, 0.0, 100.0) \
             * self.pixel_ratio
         self.area_mode = get("areaMode", "none")
         # lineMode (picture_params.go:266; drawn cairo.go:2376-2390):
@@ -408,21 +420,13 @@ class GraphParams:
         # plot area (the renderers apply the area part)
         # fontSize (picture_params.go:246, default 10): scales every
         # text draw; clamp keeps a request from exploding the raster
-        try:
-            self.font_scale = min(max(float(get("fontSize", "10")),
-                                      4.0), 40.0) / 10.0
-        except ValueError:
-            self.font_scale = 1.0
-        self.font_scale *= self.pixel_ratio
+        self.font_scale = num("fontSize", 10.0, 4.0, 40.0) / 10.0 \
+            * self.pixel_ratio
         # margin (picture_params.go:238, default 10 in cairo): EXTRA
         # padding around the plot area.  Deviation: our default is 0 —
         # the long-standing golden rasters pin the current layout, so
         # margin only adds when explicitly requested.
-        try:
-            self.margin = min(max(int(float(get("margin", "0"))), 0),
-                              200)
-        except (ValueError, OverflowError):
-            self.margin = 0
+        self.margin = num("margin", 0, 0, 200, as_int=True)
         # uniqueLegend (picture_params.go:274): drop duplicate series
         # names from the legend
         self.unique_legend = get("uniqueLegend") in ("1", "true", "True")
@@ -441,8 +445,22 @@ class GraphParams:
             self.hide_grid = True
             self.hide_axes = True
             self.hide_y_axis = True
-        self.y_min = float(get("yMin")) if get("yMin") else None
-        self.y_max = float(get("yMax")) if get("yMax") else None
+        def opt_num(name):
+            """Optional float: absent OR malformed/non-finite -> None
+            (reference getFloat semantics — garbage never 500s)."""
+            raw = get(name)
+            if not raw:
+                return None
+            try:
+                v = float(raw)
+            except (ValueError, OverflowError):
+                return None
+            if not math.isfinite(v):
+                return None
+            return min(max(v, -1e30), 1e30)
+
+        self.y_min = opt_num("yMin")
+        self.y_max = opt_num("yMax")
         # yStep (cairo.go:1711-1718): override the computed tick step;
         # the y-range then snaps outward to step multiples
         # (yBottom = step*floor(min/step), yTop = step*ceil(max/step))
@@ -585,6 +603,13 @@ def _series_geometry(series, opts_list, gp: GraphParams):
         lo = gp.y_min
     if gp.y_max is not None:
         hi = gp.y_max
+    if not (hi > lo):
+        # reversed/degenerate yMin/yMax overrides (yMin=5&yMax=5, or a
+        # yMin above the data): widen instead of feeding the tick
+        # generator a zero/negative span (pre-r11 this 500'd).  The pad
+        # is proportional so it survives float granularity at any
+        # magnitude.
+        hi = lo + max(1.0, abs(lo) * 1e-9)
     return specs, lo, hi, (t0 or 0), (t1 or 1)
 
 

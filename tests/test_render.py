@@ -658,7 +658,7 @@ def test_graph_param_keys_track_graphparams():
 
     from carbonapi_spark.render.graph import GRAPH_PARAM_KEYS, GraphParams
     src = inspect.getsource(GraphParams.__init__)
-    read = set(re.findall(r'get\("([A-Za-z]+)"', src))
+    read = set(re.findall(r'(?:get|num|opt_num|fget)\("([A-Za-z]+)"', src))
     assert read == set(GRAPH_PARAM_KEYS), (
         read - set(GRAPH_PARAM_KEYS), set(GRAPH_PARAM_KEYS) - read)
 
@@ -946,3 +946,28 @@ def test_render_tz_and_pixel_ratio(spark):
     png = bytes(render_png(series, [{}], {"pixelRatio": ["2"]}))
     w, h = struct.unpack(">II", png[16:24])
     assert (w, h) == (660, 500)
+
+
+def test_http_render_param_fuzz_never_500(server):
+    """Request-facing contract: ANY garbage in the graph-param surface
+    renders the default graph or 400s — never a 500 (the reference's
+    getFloat/getInt param getters fall back to defaults on parse
+    errors).  Deterministic fuzz over every GRAPH_PARAM_KEYS key with
+    adversarial values."""
+    import random
+
+    from carbonapi_spark.render.graph import GRAPH_PARAM_KEYS
+    nasty = ["", "x", "-1", "1e308", "-1e308", "nan", "inf", "-inf",
+             "99999999999999999999", "0.0001", "1,2,3", "true", "0x10",
+             "1e-320", " 5 ", "()", "%00", "中文", "1;2"]
+    rng = random.Random(11)
+    for _ in range(60):
+        keys = rng.sample(GRAPH_PARAM_KEYS, rng.randint(1, 4))
+        qs = "&".join(f"{k}={urllib.parse.quote(rng.choice(nasty))}"
+                      for k in keys)
+        code, body = _get_no_raise(
+            f"{server}/render?target=web.host1.cpu&from=0&until=4"
+            f"&format=png&{qs}")
+        assert code in (200, 400), (qs, code, body[:200])
+        if code == 200:
+            assert body[:8] == b"\x89PNG\r\n\x1a\n", qs
