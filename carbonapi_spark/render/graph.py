@@ -288,9 +288,16 @@ def _fmt_val(v: float, unit_system: str = "si") -> str:
     return f"{v:.4g}"
 
 
-def _fmt_ts(ts: int, span: int, tzinfo=None) -> str:
+def _fmt_ts(ts: int, span: int, tzinfo=None, fmt: str = "") -> str:
     import datetime as dt
     d = dt.datetime.fromtimestamp(ts, tzinfo or dt.timezone.utc)
+    if fmt:
+        # xFormat (picture_params.go:292, drawXAxis cairo.go:2017-2021):
+        # explicit strftime pattern beats the span-derived default
+        try:
+            return d.strftime(fmt)
+        except (ValueError, OverflowError):
+            pass
     if span <= 2 * 86400:
         return d.strftime("%H:%M")
     if span <= 120 * 86400:
@@ -313,6 +320,7 @@ GRAPH_PARAM_KEYS = (
     "areaAlpha", "hideXAxis", "graphOnly", "fontSize", "margin",
     "uniqueLegend", "rightWidth", "rightColor", "rightDashed",
     "leftWidth", "leftColor", "leftDashed", "tz", "pixelRatio",
+    "xFormat",
 )
 
 # Named picture-param templates (picture_params.go:434 `templates` +
@@ -430,6 +438,9 @@ class GraphParams:
         # uniqueLegend (picture_params.go:274): drop duplicate series
         # names from the legend
         self.unique_legend = get("uniqueLegend") in ("1", "true", "True")
+        # xFormat (picture_params.go:292): explicit strftime pattern
+        # for the x-axis labels; length-capped, bad patterns fall back
+        self.x_format = get("xFormat")[:64]
         # tz (picture_params.go:259): timezone for x-axis labels; an
         # unknown name silently falls back to UTC
         self.tzinfo = None
@@ -851,7 +862,8 @@ def render_png(series, opts_list, params: dict) -> bytes:
             if not gp.hide_grid:
                 cv.line(x, py0, x, py1, grid, 1.0, 0.35)
             if not gp.hide_x_axis:  # drawLabels cairo.go:1933
-                cv.text(_fmt_ts(int(ts), span, gp.tzinfo), x - 14,
+                cv.text(_fmt_ts(int(ts), span, gp.tzinfo,
+                                gp.x_format), x - 14,
                         py1 + 4, gp.fgcolor, 0.9 * gp.font_scale)
         cv.line(px0, py0, px0, py1, gp.fgcolor, 1.0)
         cv.line(px0, py1, px1, py1, gp.fgcolor, 1.0)
@@ -1000,7 +1012,8 @@ def render_svg(series, opts_list, params: dict) -> str:
                 o.append(f'<text x="{x - 14:.1f}" y="{py1 + 12}" '
                          f'fill="{fg}" font-size="{fs9}" '
                          f'font-family="sans-serif">'
-                         f'{_fmt_ts(int(ts), span, gp.tzinfo)}</text>')
+                         f'{_fmt_ts(int(ts), span, gp.tzinfo, gp.x_format)}'
+                         f'</text>')
         o.append(f'<path d="M{px0} {py0}V{py1}H{px1}" fill="none" '
                  f'stroke="{fg}"/>')
         if dual:

@@ -971,3 +971,16 @@ def test_http_render_param_fuzz_never_500(server):
         assert code in (200, 400), (qs, code, body[:200])
         if code == 200:
             assert body[:8] == b"\x89PNG\r\n\x1a\n", qs
+
+
+def test_render_x_format(spark):
+    """xFormat (picture_params.go:292, drawXAxis cairo.go:2017-2021):
+    explicit strftime pattern for x labels; garbage patterns fall back
+    to the span default instead of erroring."""
+    from carbonapi_spark.render.graph import render_svg
+    lake = make_lake(spark, {"m.a": [1.0, 4.0, 2.0, 5.0]}, 3600, 0)
+    series = collect_series(_frame(spark, lake, "m.a", 0, 14400))
+    base = render_svg(series, [{}], {})
+    custom = render_svg(series, [{}], {"xFormat": ["%Hh"]})
+    assert "00h" in custom and "00h" not in base
+    assert render_svg(series, [{}], {"xFormat": ["%"]}) is not None
