@@ -26,8 +26,9 @@ layout stands, margin only adds on request); ``fontName``/``fontBold``
 /``fontItalic`` are accepted-and-ignored (single built-in stroke
 font); ``pieMode``/``graphType=pie`` are accepted-and-ignored exactly
 like the reference (cairo.go stores pieMode but has no pie drawing
-path); ``xMin``/``xMax``/``xStep``/``xFormat`` are not implemented
-(x range always follows the fetched [from, until)).
+path); ``xMin``/``xMax``/``xStep`` are not implemented (the x
+range always follows the fetched [from, until); ``xFormat`` IS
+honored for label formatting).
 """
 
 from __future__ import annotations
