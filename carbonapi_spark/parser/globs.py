@@ -37,7 +37,16 @@ def glob_to_regex(pattern: str, anchored: bool = True) -> str:
                 out.append(re.escape(pattern[i:j + 1]))
                 i = j
             else:
-                out.append(pattern[i:j + 1])
+                cls = pattern[i:j + 1]
+                try:
+                    re.compile(cls)
+                except re.error:
+                    # invalid class (e.g. '[z-a]' reversed range): treat
+                    # as literal brackets like the other malformed-class
+                    # branches — an un-compilable fragment would otherwise
+                    # blow up INSIDE the Spark job (a request-surface 500)
+                    cls = re.escape(cls)
+                out.append(cls)
                 i = j
         elif c == "{":
             j = pattern.find("}", i + 1)

@@ -193,3 +193,21 @@ def test_expand_braces():
     assert expand_braces("a.{b,c") is None              # unbalanced
     assert expand_braces("{a,b}.{c,d}") == ["a.c", "a.d", "b.c", "b.d"]
     assert expand_braces("{a,b}", limit=1) is None      # over limit
+
+
+def test_glob_invalid_char_class_is_literal():
+    """A malformed character class ('[z-a]' reversed range) must not
+    emit an un-compilable regex — that detonates inside the Spark job
+    and turns /metrics/find into a 500.  Like the unterminated-'['
+    and empty-class branches, it degrades to literal brackets."""
+    import re
+
+    from carbonapi_spark.parser.globs import glob_matches, glob_to_regex
+    for pat in ("[z-a]", "a.[9-0].b", "web.[z-a]*.cpu"):
+        rx = glob_to_regex(pat)
+        re.compile(rx)   # must compile (the Java \z form is JVM-only)
+        assert not glob_matches(pat, "anything")
+    assert glob_matches("[z-a]", "[z-a]")   # literal-bracket fallback
+    # valid classes still work as classes
+    assert glob_matches("web.[ab].cpu", "web.a.cpu")
+    assert not glob_matches("web.[ab].cpu", "web.c.cpu")
