@@ -984,3 +984,21 @@ def test_render_x_format(spark):
     custom = render_svg(series, [{}], {"xFormat": ["%Hh"]})
     assert "00h" in custom and "00h" not in base
     assert render_svg(series, [{}], {"xFormat": ["%"]}) is not None
+
+
+def test_http_metadata_param_fuzz_never_500(server):
+    """Bad globs/params on /metrics/find, /metrics/expand and the tag
+    endpoints return an empty result or 400 — never a 500.  Includes
+    the '[z-a]' reversed-range class that used to detonate inside the
+    Spark RLIKE job."""
+    nasty = ["[z-a]", "[", "{a", "a}b", "**{", "{,}", "\\\\", "%ff",
+             "a" * 2000, "..", "*.*.*.*.*", "[9-0]*"]
+    for g in nasty:
+        q = urllib.parse.quote(g)
+        for url in (f"{server}/metrics/find?query={q}",
+                    f"{server}/metrics/expand?query={q}",
+                    f"{server}/tags/autoComplete/tags?tagPrefix={q}",
+                    f"{server}/tags/autoComplete/values?tag=host"
+                    f"&valuePrefix={q}"):
+            code, body = _get_no_raise(url)
+            assert code in (200, 400), (url, code, body[:200])
