@@ -238,25 +238,41 @@ class GraphiteAPI:
 
             def _handle(self, params):
                 parsed = urllib.parse.urlparse(self.path)
+                # the reference registers every route with and without a
+                # trailing slash (init.go:15-36)
+                path = parsed.path.rstrip("/") or "/"
                 try:
-                    if parsed.path == "/render":
+                    if path == "/render":
                         code, ctype, body = api.render(params)
-                    elif parsed.path in ("/metrics/find", "/metrics/find/"):
+                    elif path == "/metrics/find":
                         code, ctype, body = api.metrics_find(params)
-                    elif parsed.path in ("/metrics/expand", "/metrics/expand/"):
+                    elif path == "/metrics/expand":
                         code, ctype, body = api.metrics_expand(params)
-                    elif parsed.path == "/tags/autoComplete/tags":
+                    elif path == "/tags/autoComplete/tags":
                         code, ctype, body = api.tags_autocomplete(params, False)
-                    elif parsed.path == "/tags/autoComplete/values":
+                    elif path == "/tags/autoComplete/values":
                         code, ctype, body = api.tags_autocomplete(params, True)
-                    elif parsed.path == "/functions":
+                    elif path == "/functions":
                         code, ctype, body = api.functions(params)
-                    elif parsed.path in ("/info", "/info/"):
+                    elif path == "/info":
                         code, ctype, body = api.info(params)
-                    elif parsed.path == "/lb_check":
+                    elif path == "/lb_check":
                         code, ctype, body = 200, "text/plain", b"Ok\n"
-                    elif parsed.path == "/version":
+                    elif path == "/version":
                         code, ctype, body = 200, "text/plain", b"carbonapi_spark 0.1"
+                    elif path == "/":
+                        # usage_handler.go:7-21
+                        code, ctype, body = 200, "text/plain", (
+                            b"supported requests:\n"
+                            b"    /functions/\n"
+                            b"    /info/?target=\n"
+                            b"    /lb_check/\n"
+                            b"    /metrics/find/?query=\n"
+                            b"    /metrics/expand/?query=\n"
+                            b"    /render/?target=\n"
+                            b"    /tags/autoComplete/tags/\n"
+                            b"    /tags/autoComplete/values/\n"
+                            b"    /version/\n")
                     else:
                         code, ctype, body = 404, "text/plain", b"not found"
                 except (ParseError, EvalError) as exc:

@@ -1002,3 +1002,22 @@ def test_http_metadata_param_fuzz_never_500(server):
                     f"&valuePrefix={q}"):
             code, body = _get_no_raise(url)
             assert code in (200, 400), (url, code, body[:200])
+
+
+def test_http_trailing_slash_and_usage(server):
+    """The reference registers every route with and without a trailing
+    slash (init.go:15-36) and serves a usage page at /
+    (usage_handler.go)."""
+    code, body = _get(f"{server}/render/?target=web.host1.cpu"
+                      "&from=0&until=4&format=json")
+    assert code == 200 and json.loads(body)[0]["target"] == "web.host1.cpu"
+    code, _ = _get(f"{server}/metrics/find/?query=web.*")
+    assert code == 200
+    code, _ = _get(f"{server}/functions/")
+    assert code == 200
+    code, _ = _get(f"{server}/version/")
+    assert code == 200
+    code, body = _get(f"{server}/")
+    assert code == 200 and b"supported requests" in body
+    code, _ = _get_no_raise(f"{server}/nope")
+    assert code == 404
