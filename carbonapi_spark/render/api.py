@@ -106,7 +106,13 @@ class GraphiteAPI:
         ctx = render_context(self.spark, self.lake, from_p, until_p, tz=tz)
         cached = self.cache.get(cache_key) if use_cache else None
         if cached is not None:
-            return cached
+            # cache-hit marker (render_handler.go:241): the TTL the
+            # entry was stored under
+            code, ctype, body = cached[:3]
+            ttl = (cache_timeout if cache_timeout >= 0
+                   else self.cache.ttl_for(ctx.until_ts))
+            return code, ctype, body, \
+                {"X-Carbonapi-Request-Cached": str(ttl)}
 
         series = []
         opts_list = []  # per-series graph options (format=png/svg only)
@@ -241,9 +247,12 @@ class GraphiteAPI:
                 # the reference registers every route with and without a
                 # trailing slash (init.go:15-36)
                 path = parsed.path.rstrip("/") or "/"
+                extra_headers = {}
                 try:
                     if path == "/render":
-                        code, ctype, body = api.render(params)
+                        resp = api.render(params)
+                        code, ctype, body = resp[:3]
+                        extra_headers = resp[3] if len(resp) > 3 else {}
                     elif path == "/metrics/find":
                         code, ctype, body = api.metrics_find(params)
                     elif path == "/metrics/expand":
@@ -275,6 +284,7 @@ class GraphiteAPI:
                             b"    /version/\n")
                     else:
                         code, ctype, body = 404, "text/plain", b"not found"
+
                 except (ParseError, EvalError) as exc:
                     # bad target / unknown function / bad function argument
                     # -> client error, like the reference's render_handler
@@ -294,6 +304,8 @@ class GraphiteAPI:
                 self.send_response(code)
                 self.send_header("Content-Type", ctype)
                 self.send_header("Content-Length", str(len(body)))
+                for k, v in extra_headers.items():
+                    self.send_header(k, v)
                 self.end_headers()
                 self.wfile.write(body)
 

@@ -1021,3 +1021,17 @@ def test_http_trailing_slash_and_usage(server):
     assert code == 200 and b"supported requests" in body
     code, _ = _get_no_raise(f"{server}/nope")
     assert code == 404
+
+
+def test_http_cache_hit_header(server):
+    """A response served from the render cache carries
+    X-Carbonapi-Request-Cached with the entry's TTL
+    (render_handler.go:241); the first (miss) response does not."""
+    url = (f"{server}/render?target=web.host1.cpu&from=0&until=4"
+           "&format=json&cacheTimeout=55")
+    with urllib.request.urlopen(url, timeout=60) as r1:
+        assert r1.headers.get("X-Carbonapi-Request-Cached") is None
+        r1.read()
+    with urllib.request.urlopen(url, timeout=60) as r2:
+        assert r2.headers.get("X-Carbonapi-Request-Cached") == "55"
+        r2.read()
