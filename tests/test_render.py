@@ -1035,3 +1035,29 @@ def test_http_cache_hit_header(server):
     with urllib.request.urlopen(url, timeout=60) as r2:
         assert r2.headers.get("X-Carbonapi-Request-Cached") == "55"
         r2.read()
+
+
+def test_http_concurrent_requests(server):
+    """ThreadingHTTPServer + one shared SparkSession: 16 mixed
+    requests in flight stay isolated (scratch tracking is
+    thread-local) and every response is correct-by-content."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    urls = [
+        (f"{server}/render?target=sumSeries(web.*.cpu)&from=0&until=4"
+         "&format=json&noCache=1", b'"target": "sumSeries(web.*.cpu)"'),
+        (f"{server}/render?target=web.host2.cpu&from=0&until=4"
+         "&format=csv&noCache=1", b'"web.host2.cpu"'),
+        (f"{server}/metrics/find?query=web.*", b'"web.host1"'),
+        (f"{server}/render?target=web.host1.cpu&from=0&until=4"
+         "&format=png&noCache=1", b"\x89PNG"),
+    ] * 4
+
+    def fetch(pair):
+        url, marker = pair
+        code, body = _get(url)
+        return code, marker in body
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        results = list(ex.map(fetch, urls))
+    assert all(code == 200 and ok for code, ok in results), results
