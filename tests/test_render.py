@@ -624,7 +624,10 @@ def test_memcached_response_cache_contract(spark):
         return orig(key)
 
     api.cache.get = counting_get
-    assert api.render(params) == first and probe["n"] == 1
+    second = api.render(params)
+    assert second[:3] == first[:3] and probe["n"] == 1
+    # the hit carries the cache marker header (render_handler.go:241)
+    assert second[3]["X-Carbonapi-Request-Cached"]
 
 
 def test_render_png_yunitsystem_and_hideyaxis(spark):
@@ -1027,8 +1030,10 @@ def test_http_cache_hit_header(server):
     """A response served from the render cache carries
     X-Carbonapi-Request-Cached with the entry's TTL
     (render_handler.go:241); the first (miss) response does not."""
+    # maxDataPoints=97 keys a cache slot no other test touches (the
+    # module-scoped server shares one response cache across tests)
     url = (f"{server}/render?target=web.host1.cpu&from=0&until=4"
-           "&format=json&cacheTimeout=55")
+           "&format=json&maxDataPoints=97&cacheTimeout=55")
     with urllib.request.urlopen(url, timeout=60) as r1:
         assert r1.headers.get("X-Carbonapi-Request-Cached") is None
         r1.read()
