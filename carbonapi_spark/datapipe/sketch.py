@@ -376,10 +376,20 @@ def hdr_buckets(df: DataFrame, value_col: str = "value",
                 scale_pow2: int = 20) -> DataFrame:
     """Build the bucket table: one row per (by..., bucket_lo) with its
     count.  Null and negative values are dropped (the sketch covers
-    non-negative reals; track signs in a separate sketch if needed)."""
+    non-negative reals; track signs in a separate sketch if needed).
+
+    Supported value range: [0, 2**(63 - scale_pow2)) — ~8.8e12 at the
+    default scale_pow2=20.  Values at or above that bound would
+    overflow the int64 fixed-point representation (Spark's non-ANSI
+    double->long cast clamps silently, mis-bucketing them), so they
+    are dropped here, mirrored by the same WHERE bound in the SQL
+    oracles.  Lower scale_pow2 to widen the range at coarser absolute
+    resolution."""
     scale = float(1 << scale_pow2)
+    bound = float(1 << (63 - scale_pow2))
     d = (df.where(F.col(value_col).isNotNull()
-                  & (F.col(value_col) >= 0))
+                  & (F.col(value_col) >= 0)
+                  & (F.col(value_col) < F.lit(bound)))
          .select(*by, F.floor(F.col(value_col) * F.lit(scale))
                  .cast("long").alias("__v")))
     sh = F.greatest(F.length(F.bin(F.col("__v")))

@@ -8116,155 +8116,13 @@ ORDER BY 1
 
 
 # ---------------------------------------------------------------------------
-# Round-11 driver-hash-divergence experiment (VERDICT r10 "What's wrong" #1).
-# New root cause identified this round: every one of the 7 never-driver-green
-# oracles — and ONLY those — left an uncast DuckDB sum() in its output.
-# DuckDB types sum(BIGINT) as HUGEINT (int128); .fetchall() yields Python
-# ints (so tools/check_oracles.py is bit-exact locally), but the pandas /
-# Arrow conversion the driver hashes through yields float64 / decimal128 —
-# "3.0" where Spark ships int64 "3".  The 7 oracles above now CAST to
-# BIGINT.  The three probes below separate the remaining hypotheses in one
-# driver round:
-#   * hugeint_probe — trivially-equal values on a FRESH name, oracle
-#     deliberately uncast (HUGEINT out).  RED confirms the type-conversion
-#     mechanism on a name with no history; GREEN kills it.
-#   * bpe_merges_v2 / quality_auc_v2 — byte-identical clones of the FIXED
-#     entries under fresh names.  If the driver serves name-keyed stale
-#     verdicts (VERDICT hypothesis (a)), the old names stay red while the
-#     clones go green; if staleness is false both go green together.
-
-
-def _q_hugeint_probe(spark, sf_dir):
-    """Per-region nation-key checksum — values are single-digit exact
-    ints; the ONLY thing this entry tests is the oracle-side output
-    TYPE (the SQL leaves sum() uncast => HUGEINT)."""
-    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
-    return (nation.groupBy(F.col("n_regionkey").cast("long")
-                           .alias("region_key"))
-            .agg(F.sum("n_nationkey").alias("key_sum")))
-
-
-_register("hugeint_probe", _q_hugeint_probe, """
-SELECT CAST(n_regionkey AS BIGINT) AS region_key,
-       sum(n_nationkey) AS key_sum
-FROM nation GROUP BY 1
-""".strip())
-
-_register("bpe_merges_v2", _q_bpe_merges, _bpe_oracle())
-_register("quality_auc_v2", _q_quality_auc, _quality_auc_oracle())
-
-# Full fresh-name coverage of the formerly-red set (VERDICT r10 next-round
-# #1 asked for ALL seven under fresh names, not a 2-entry sample): the
-# remaining 5 clones, byte-identical by construction — same query callables,
-# oracle text read back from the registry.  If the driver keys any state by
-# entry name, every semantic in the red set still earns a green row this
-# round; if the HUGEINT cast was the whole story, old and _v2 names go green
-# together.
-_register("wordpiece_merges_v2", _q_wordpiece_merges, _wordpiece_oracle())
-_register("bpe_fertility_v2", _q_bpe_fertility, _bpe_fertility_oracle(8))
-_register("wordpiece_fertility_v2", _q_wordpiece_fertility,
-          _wordpiece_fertility_oracle(8))
-_register("active_users_v2", _q_active_users, ORACLES["active_users"])
-_register("lsh_quality_v2", _q_lsh_quality, ORACLES["lsh_quality"])
-
-
-# ---------------------------------------------------------------------------
-# Int-only / step-bisection siblings (VERDICT r10 next-round #2): if BOTH
-# hypotheses fail on the driver (old names red AND _v2 clones red AND
-# hugeint_probe green), these rows localize the divergence — int variants
-# green + double variants red ⇒ the driver hashes doubles differently;
-# step1 red ⇒ the very first BPE fold iteration diverges.  All probe
-# outputs are exact BIGINT/VARCHAR (no doubles anywhere).
-
-
-def _q_quality_auc_ints(spark, sf_dir):
-    """quality_auc with the one IEEE division removed: Mann-Whitney
-    numerator/denominator as exact int64 (auc == mw_num / mw_den)."""
-    from carbonapi_spark.datapipe.text import quality_logit_micro, \
-        roc_auc, word_set
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    scored = quality_logit_micro(docs, _LR_WEIGHTS, _LR_BIAS)
-    labeled = scored.join(
-        docs.select("doc_id",
-                    F.array_contains(word_set(F.col("text")), "spark")
-                    .cast("int").alias("__y")), "doc_id")
-    return roc_auc(labeled, "logit_micro", "__y", ints=True)
-
-
-_register("quality_auc_ints", _q_quality_auc_ints,
-          _quality_auc_oracle(ints=True))
-
-
-def _q_active_users_ints(spark, sf_dir):
-    """active_users without the stickiness double — day/dau/wau/mau
-    only, all exact counts."""
-    return _q_active_users(spark, sf_dir).select("day", "dau", "wau",
-                                                 "mau")
-
-
-_register("active_users_ints", _q_active_users_ints,
-          f"SELECT day, dau, wau, mau FROM ({ORACLES['active_users']}) __au")
-
-
-def _q_lsh_quality_ints(spark, sf_dir):
-    """lsh_quality without the two rate doubles — per-decile pair and
-    candidate counts only."""
-    return _q_lsh_quality(spark, sf_dir).select("bin", "n_pairs",
-                                                "n_candidates")
-
-
-_register("lsh_quality_ints", _q_lsh_quality_ints,
-          f"SELECT bin, n_pairs, n_candidates "
-          f"FROM ({ORACLES['lsh_quality']}) __lq")
-
-
-def _q_bpe_merge_step1(spark, sf_dir):
-    """The single FIRST BPE merge — the top pair of the initial
-    symbol-pair count table.  Red here means the very first fold
-    iteration diverges on the driver box."""
-    from carbonapi_spark.datapipe.bpe import bpe_train
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return bpe_train(docs, n_merges=1)
-
-
-_register("bpe_merge_step1", _q_bpe_merge_step1, _bpe_oracle(1))
-
-
-def _q_bpe_merges_8(spark, sf_dir):
-    """bpe_merges at the 8-merge depth ``wordpiece_encode`` (r10 GREEN)
-    already replayed for wordpiece — isolates merge count from ranking
-    rule."""
-    from carbonapi_spark.datapipe.bpe import bpe_train
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return bpe_train(docs, n_merges=8)
-
-
-_register("bpe_merges_8", _q_bpe_merges_8, _bpe_oracle(8))
-
-
-def _q_wordpiece_merges_ints(spark, sf_dir):
-    """wordpiece_merges without the likelihood-score double column (the
-    ranking still uses it internally; only the OUTPUT drops it)."""
-    return _q_wordpiece_merges(spark, sf_dir).select(
-        "step", "lhs", "rhs", "merged", "pair_count")
-
-
-_register("wordpiece_merges_ints", _q_wordpiece_merges_ints,
-          f"SELECT step, lhs, rhs, merged, pair_count "
-          f"FROM ({_wordpiece_oracle()}) __wm")
-
-
-def _q_bpe_fertility_ints(spark, sf_dir):
-    """bpe_fertility without the fertility double — exact per-document
-    token and piece counts."""
-    return _q_bpe_fertility(spark, sf_dir).select("doc_id", "n_tokens",
-                                                  "n_pieces")
-
-
-_register("bpe_fertility_ints", _q_bpe_fertility_ints,
-          f"SELECT doc_id, n_tokens, n_pieces "
-          f"FROM ({_bpe_fertility_oracle(8)}) __bf")
-
+# NOTE (r12): the round-11 driver-hash-divergence experiment scaffolding
+# (hugeint_probe + 14 _v2/_ints/step1 clones) lived here through r11; the
+# HUGEINT root cause is confirmed on both sides of the seam (driver rows in
+# CORRECTNESS_r11.json + the pandas-path replica gate), so the probes were
+# retired in r12.  The mechanism and the standing oracle-type rules are
+# documented in SCALE.md "Round-11 findings" and enforced by
+# tests/test_oracle_types.py.  History: commit 465285e.
 
 # ---------------------------------------------------------------------------
 # HDR-histogram quantile sketch (datapipe/sketch.py): the mergeable
@@ -8275,7 +8133,8 @@ _register("bpe_fertility_ints", _q_bpe_fertility_ints,
 _HDR_BUCKET_CTES = """
 __hv AS (SELECT event_type,
                 CAST(floor(value * 1048576.0) AS BIGINT) AS v
-         FROM events WHERE value IS NOT NULL AND value >= 0),
+         FROM events WHERE value IS NOT NULL AND value >= 0
+           AND value < 8796093022208.0),
 __hb AS (SELECT event_type,
                 (v >> greatest(length(bin(v)) - 7, 0))
                   << greatest(length(bin(v)) - 7, 0) AS lb,
@@ -8398,47 +8257,72 @@ _register("stream_hdr_replay", _q_stream_hdr_replay,
 # fills the remaining first-50 slots; those are all green in
 # CORRECTNESS_r01.json ∪ CORRECTNESS_r02.json.  Keep this list well under 50.
 _DRIVER_PREFIX = [
-    # ---- round 11 rotation ----
-    # The 7 r07-r10 hash-fail entries, re-verified --strict at sf0.001 +
-    # sf0.01 + chaos knobs after the HUGEINT->BIGINT oracle casts (the
-    # newly-diagnosed root cause: 7/7 red oracles shipped an uncast
-    # DuckDB sum() = HUGEINT output column, 0/43 green ones did; pandas
-    # renders HUGEINT as float64, Spark ships int64).
-    "bpe_merges",            # CAST(pair_count AS BIGINT)
-    "wordpiece_merges",      # CAST(pair_count AS BIGINT)
-    "bpe_fertility",         # CAST(n_tokens/n_pieces AS BIGINT)
-    "wordpiece_fertility",   # CAST(n_tokens/n_pieces AS BIGINT)
-    "quality_auc",           # CAST(n_pos/n_neg AS BIGINT)
-    "active_users",          # CAST(dau/wau AS BIGINT)
-    "lsh_quality",           # CAST(n_candidates AS BIGINT)
-    # ---- the three-way experiment probes (see their registration) ----
-    "hugeint_probe",         # EXPECTED RED if the HUGEINT diagnosis is
-                             # right: trivially-equal values, uncast sum
-    "bpe_merges_v2",         # fixed entry under a FRESH name: separates
-    "quality_auc_v2",        # name-keyed staleness from the type bug
-    # ---- remaining fresh-name clones: ALL 7 red semantics get a
-    # ---- history-free row this round (VERDICT r10 #1) ----
-    "wordpiece_merges_v2",
-    "bpe_fertility_v2",
-    "wordpiece_fertility_v2",
-    "active_users_v2",
-    "lsh_quality_v2",
-    # ---- int-only / step-bisection probes (VERDICT r10 #2): localize
-    # ---- the divergence if both hypotheses fail ----
-    "quality_auc_ints",      # Mann-Whitney num/den as BIGINT, no division
-    "active_users_ints",     # day/dau/wau/mau, no stickiness double
-    "lsh_quality_ints",      # counts only, no rate doubles
-    "bpe_merge_step1",       # the very first fold iteration alone
-    "bpe_merges_8",          # merge depth wordpiece_encode proved green
-    "wordpiece_merges_ints", # ranking unchanged, score column dropped
-    "bpe_fertility_ints",    # exact counts, no fertility double
-    # ---- new round-11 operators ----
-    "hdr_quantiles",         # HDR quantile sketch, integer bucket math
-    "hdr_merge_rollup",      # shard-then-merge == one-pass contract
-    "stream_hdr_replay",     # streamed sketch == batch sketch, bit-exact
-    # ---- normalized in lockstep (DECIMAL -> DOUBLE, same class) ----
-    "is_non_null",           # CASE cast to DOUBLE (was DECIMAL(2,1))
-    "hashed_vectors",        # value cast to DOUBLE (was DECIMAL(38,1))
+    # ---- round 12: must-verify (plan/oracle changed this round) ----
+    # The HDR sketch family gained the int64 fixed-point range guard
+    # (values >= 2^(63-scale_pow2) dropped, mirrored in the SQL CTEs —
+    # ADVICE r11): the plans AND oracles changed, so all three need a
+    # fresh driver row.
+    "hdr_quantiles",
+    "hdr_merge_rollup",
+    "stream_hdr_replay",
+    # ---- round 12: staleness rotation (VERDICT r11 #2) ----
+    # The HUGEINT episode proved the local gate can silently diverge
+    # from the driver's pandas/Arrow hash path for a whole entry class,
+    # so driver-row freshness is itself a correctness signal.  Standing
+    # policy: after must-verify entries, fill the prefix with the
+    # longest-unverified greens, oldest first, as computed by
+    # `python tools/rotation.py` from the CORRECTNESS_r*.json history.
+    # This batch: the 47 oldest (all last green r04-r05), re-validated
+    # locally this round with tools/check_oracles.py --strict AND
+    # tools/check_oracles_pandas.py at sf0.001 + sf0.01 before
+    # rotation (the documented workflow in SCALE.md).
+    "stdev",
+    "highest_average",
+    "sort_limit",
+    "maximum_above",
+    "grep_filter",
+    "remove_above_value",
+    "divide_series",
+    "time_shift",
+    "dedup_exact",
+    "token_count",
+    "doc_quality",
+    "lang_scores",
+    "ann_topk",
+    "simhash",
+    "simhash_pairs",
+    "offset",
+    "moving_median",
+    "diff_series_lists",
+    "reduce_series",
+    "to_upper",
+    "alias_literal",
+    "alias_by_metric",
+    "lsh_topk",
+    "ivf_topk",
+    "as_percent_total",
+    "ngram_jaccard",
+    "stddev_series",
+    "range_series",
+    "median_series",
+    "last_series",
+    "summarize_align_from",
+    "smart_summarize",
+    "moving_max",
+    "pearson",
+    "linear_regression",
+    "n_percentile",
+    "aggregate_line",
+    "integral_by_interval",
+    "as_percent_nodes",
+    "as_percent_missing",
+    "weighted_average",
+    "join_and",
+    "join_sub",
+    "unique_group",
+    "most_deviant",
+    "tukey_above",
+    "time_stack",
 ]
 # The driver checks at most _DRIVER_CAP rows per round; test_entry.py pins
 # len(_DRIVER_PREFIX) <= cap so additions can never silently evict entries

@@ -9,6 +9,7 @@ feeds a pushed-down RLIKE predicate on the Parquet ``name`` column.
 from __future__ import annotations
 
 import re
+import warnings
 
 _META = set(".^$+()|\\")
 
@@ -37,15 +38,31 @@ def glob_to_regex(pattern: str, anchored: bool = True) -> str:
                 out.append(re.escape(pattern[i:j + 1]))
                 i = j
             else:
-                cls = pattern[i:j + 1]
+                # Java's class grammar is a SUPERSET of Python's: '&&'
+                # is set intersection and a bare '[' opens a nested
+                # class, so a fragment that merely compiles under re
+                # (e.g. '[a-b&&[c]') can still throw
+                # PatternSyntaxException inside Spark rlike — a
+                # request-surface 500.  In glob classes both chars are
+                # plain members, so escape them (legal and literal in
+                # BOTH engines) before validating.
+                inner = (pattern[i + 1:j]
+                         .replace("&", "\\&").replace("[", "\\["))
+                cls = "[" + inner + "]"
                 try:
-                    re.compile(cls)
-                except re.error:
-                    # invalid class (e.g. '[z-a]' reversed range): treat
-                    # as literal brackets like the other malformed-class
-                    # branches — an un-compilable fragment would otherwise
-                    # blow up INSIDE the Spark job (a request-surface 500)
-                    cls = re.escape(cls)
+                    # warnings-as-errors: re emits FutureWarning on
+                    # fragments whose semantics will change (nested-set
+                    # syntax) — treat those as malformed too
+                    with warnings.catch_warnings():
+                        warnings.simplefilter("error")
+                        re.compile(cls)
+                except (re.error, Warning):
+                    # invalid class (e.g. '[z-a]' reversed range — also
+                    # illegal in Java): treat as literal brackets like
+                    # the other malformed-class branches — an
+                    # un-compilable fragment would otherwise blow up
+                    # INSIDE the Spark job (a request-surface 500)
+                    cls = re.escape(pattern[i:j + 1])
                 out.append(cls)
                 i = j
         elif c == "{":

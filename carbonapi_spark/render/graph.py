@@ -26,9 +26,13 @@ layout stands, margin only adds on request); ``fontName``/``fontBold``
 /``fontItalic`` are accepted-and-ignored (single built-in stroke
 font); ``pieMode``/``graphType=pie`` are accepted-and-ignored exactly
 like the reference (cairo.go stores pieMode but has no pie drawing
-path); ``xMin``/``xMax``/``xStep`` are not implemented (the x
-range always follows the fetched [from, until); ``xFormat`` IS
-honored for label formatting).
+path); ``xMin``/``xMax``/``xStep`` ARE implemented here — epoch-second
+x-window clip + forced x-tick stride — which is a deviation in the
+user's favor: the reference parses them into its param struct
+(picture_params.go:271-273, cairo.go:431-434) but never consumes them
+(``area.xmin`` at cairo.go:1576 is an unrelated internal layout
+coordinate), i.e. it accepts-then-ignores; ``xFormat`` IS honored for
+label formatting.
 """
 
 from __future__ import annotations
@@ -291,7 +295,12 @@ def _fmt_val(v: float, unit_system: str = "si") -> str:
 
 def _fmt_ts(ts: int, span: int, tzinfo=None, fmt: str = "") -> str:
     import datetime as dt
-    d = dt.datetime.fromtimestamp(ts, tzinfo or dt.timezone.utc)
+    try:
+        d = dt.datetime.fromtimestamp(ts, tzinfo or dt.timezone.utc)
+    except (ValueError, OverflowError, OSError):
+        # out-of-time_t-range tick (possible via extreme xMin/xMax):
+        # label degrades to the raw epoch value, never a 500
+        return str(int(ts))
     if fmt:
         # xFormat (picture_params.go:292, drawXAxis cairo.go:2017-2021):
         # explicit strftime pattern beats the span-derived default
@@ -321,7 +330,7 @@ GRAPH_PARAM_KEYS = (
     "areaAlpha", "hideXAxis", "graphOnly", "fontSize", "margin",
     "uniqueLegend", "rightWidth", "rightColor", "rightDashed",
     "leftWidth", "leftColor", "leftDashed", "tz", "pixelRatio",
-    "xFormat",
+    "xFormat", "xMin", "xMax", "xStep",
 )
 
 # Named picture-param templates (picture_params.go:434 `templates` +
@@ -473,6 +482,26 @@ class GraphParams:
 
         self.y_min = opt_num("yMin")
         self.y_max = opt_num("yMax")
+        # xMin/xMax/xStep (picture_params.go:271-273): epoch-second
+        # x-window clip + forced x major-tick stride.  DEVIATION,
+        # documented in the module docstring: the reference PARSES
+        # these into its param struct (cairo.go:431-434,956-958) but
+        # never consumes them — `area.xmin` at cairo.go:1576 is an
+        # unrelated internal layout coordinate.  Rather than silently
+        # ignore a geometry param, we implement the documented
+        # graphite-web-style meaning: clip the rendered time window to
+        # [xMin, xMax] and draw x ticks every xStep seconds.
+        def epoch(name):
+            # clamp to a fromtimestamp-representable window (year
+            # 1902..2242) — opt_num's ±1e30 envelope overflows time_t
+            v = opt_num(name)
+            return None if v is None else min(max(v, -(2.0 ** 31)),
+                                              2.0 ** 33)
+
+        self.x_min = epoch("xMin")
+        self.x_max = epoch("xMax")
+        xs = opt_num("xStep")
+        self.x_step = xs if xs is not None and xs > 0 else None
         # yStep (cairo.go:1711-1718): override the computed tick step;
         # the y-range then snaps outward to step multiples
         # (yBottom = step*floor(min/step), yTop = step*ceil(max/step))
@@ -554,11 +583,38 @@ class GraphParams:
         self.draw_null_as_zero = get("drawNullAsZero") in ("1", "true", "True")
 
 
+def _x_tick_values(gp: GraphParams, t0: float, t1: float) -> list[float]:
+    """x major-tick positions: every ``xStep`` seconds when forced,
+    else the golden-pinned _nice_ticks ladder.  The forced step is
+    count-capped (max ~24 ticks) by raising it to an integer multiple
+    — a request-controlled stride must not draw unbounded labels (the
+    yStep/minorY tick-DoS lesson, r10)."""
+    if not gp.x_step:
+        return _nice_ticks(t0, t1, 6)
+    step = gp.x_step
+    span = max(t1 - t0, 0.0)
+    mult = math.ceil(span / (step * 24))
+    if mult > 1:
+        step *= mult
+    first = math.ceil(t0 / step) * step
+    out = []
+    t = first
+    while t <= t1 + 1e-9 * max(span, 1.0):
+        out.append(round(t, 10))
+        t += step
+    return out
+
+
 def _series_geometry(series, opts_list, gp: GraphParams):
     """Per-series draw specs + global [lo, hi] y-range and time range."""
     specs = []
     lo, hi = math.inf, -math.inf
     t0, t1 = None, None
+    # xMin/xMax clip window: points outside it are dropped BEFORE the
+    # y-range scan, so the crop re-scales y to the visible data too
+    xw_lo, xw_hi = gp.x_min, gp.x_max
+    if xw_lo is not None and xw_hi is not None and xw_hi <= xw_lo:
+        xw_hi = None  # degenerate/reversed window: keep the lower clip
     # stack by timestamp, not sample index: series may have different
     # start/step after per-target consolidation (the reference stacks by time)
     stacked_base: dict[int, float] = {}
@@ -574,6 +630,9 @@ def _series_geometry(series, opts_list, gp: GraphParams):
         pts = []
         for j, v in enumerate(s.values):
             ts = s.start + j * s.step
+            if (xw_lo is not None and ts < xw_lo) or \
+                    (xw_hi is not None and ts > xw_hi):
+                continue
             if v is None or (isinstance(v, float) and math.isnan(v)):
                 if gp.draw_null_as_zero:  # cairo.go:2328
                     v = 0.0
@@ -622,7 +681,15 @@ def _series_geometry(series, opts_list, gp: GraphParams):
         # is proportional so it survives float granularity at any
         # magnitude.
         hi = lo + max(1.0, abs(lo) * 1e-9)
-    return specs, lo, hi, (t0 or 0), (t1 or 1)
+    t0, t1 = (t0 or 0), (t1 or 1)
+    # explicit x window wins over the fetched [from, until) extent
+    if xw_lo is not None:
+        t0 = xw_lo
+    if xw_hi is not None:
+        t1 = xw_hi
+    if t1 <= t0:
+        t1 = t0 + 1
+    return specs, lo, hi, t0, t1
 
 
 def _y_scale(gp: GraphParams, lo: float, hi: float, py0: float, py1: float):
@@ -800,7 +867,11 @@ def render_png(series, opts_list, params: dict) -> bytes:
     legend_rows = 0 if gp.hide_legend or gp.width < 200 else \
         min(len(legend_specs), max(1, (gp.height // 5) // 10))
     mb = (1 if gp.hide_axes else 16) + 10 * legend_rows
-    m = gp.margin
+    # clamp margin against the CANVAS, not just [0,200]: a large margin
+    # on a small canvas would invert the plot rect (px0 > px1) and
+    # render a mirrored/garbage raster (ADVICE r11)
+    m = min(gp.margin, max(0, (gp.width - ml - mr - 1) // 2),
+            max(0, (gp.height - mt - mb - 1) // 2))
     px0, px1 = ml + m, gp.width - mr - m
     py0, py1 = mt + m, gp.height - mb - m
     if gp.graph_only:  # cairo.go:1095-1098: plot area = full canvas
@@ -858,7 +929,7 @@ def render_png(series, opts_list, params: dict) -> bytes:
                     cv.text(_fmt_val(v, gp.y_unit_system), px1 + 3, y - 3,
                             gp.fgcolor, 0.9 * gp.font_scale)
         span = t1 - t0
-        for ts in _nice_ticks(t0, t1, 6):
+        for ts in _x_tick_values(gp, t0, t1):
             x = sx(ts)
             if not gp.hide_grid:
                 cv.line(x, py0, x, py1, grid, 1.0, 0.35)
@@ -942,7 +1013,9 @@ def render_svg(series, opts_list, params: dict) -> str:
                                 or seen.add(sp["name"]))]
     legend_rows = 0 if gp.hide_legend else min(len(legend_specs), 8)
     mb = 18 + 12 * legend_rows
-    m = gp.margin
+    # same non-degenerate clamp as render_png (ADVICE r11)
+    m = min(gp.margin, max(0, (gp.width - ml - mr - 1) // 2),
+            max(0, (gp.height - mt - mb - 1) // 2))
     px0, px1, py0, py1 = ml + m, gp.width - mr - m, mt + m, \
         gp.height - mb - m
     if gp.graph_only:  # cairo.go:1095-1098: plot area = full canvas
@@ -1008,7 +1081,7 @@ def render_svg(series, opts_list, params: dict) -> str:
                          f'{_fmt_val(v, gp.y_unit_system)}</text>')
         span = t1 - t0
         if not gp.hide_x_axis:  # drawLabels cairo.go:1933
-            for ts in _nice_ticks(t0, t1, 6):
+            for ts in _x_tick_values(gp, t0, t1):
                 x = sx(ts)
                 o.append(f'<text x="{x - 14:.1f}" y="{py1 + 12}" '
                          f'fill="{fg}" font-size="{fs9}" '

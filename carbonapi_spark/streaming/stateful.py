@@ -791,8 +791,11 @@ def stream_hdr_buckets(rows: DataFrame, value_col: str,
                                 "cnt": [cur]})
 
     scale = float(1 << scale_pow2)
+    # same int64 fixed-point range guard as the batch hdr_buckets
+    bound = float(1 << (63 - scale_pow2))
     obs = (rows.where(F.col(value_col).isNotNull()
-                      & (F.col(value_col) >= 0))
+                      & (F.col(value_col) >= 0)
+                      & (F.col(value_col) < F.lit(bound)))
            .select(F.col(group_col).cast("string").alias("grp"),
                    F.floor(F.col(value_col) * F.lit(scale))
                    .cast("long").alias("__v")))

@@ -87,6 +87,21 @@ def test_nulls_and_negatives_dropped(spark):
     assert b.agg(F.sum("cnt")).collect()[0][0] == 2
 
 
+def test_overflow_range_guard(spark):
+    """Values >= 2^(63-scale_pow2) would overflow the int64 fixed
+    point (Spark's non-ANSI double->long cast clamps silently, DuckDB
+    raises) — the guard drops them, mirrored in the SQL oracles."""
+    bound = float(1 << (63 - SCALE_POW2))
+    df = spark.createDataFrame(
+        [(1.0,), (bound,), (bound * 2,), (1e300,), (bound - 1e6,)],
+        "value DOUBLE")
+    b = hdr_buckets(df, "value").collect()
+    # only 1.0 and bound-1e6 survive; every kept bucket_lo is a valid
+    # (non-clamped) fixed-point long
+    assert sum(r["cnt"] for r in b) == 2
+    assert all(0 <= r["bucket_lo"] < (1 << 63) - 1 for r in b)
+
+
 def test_grouped_quantiles_shape(spark):
     df = spark.createDataFrame(
         [("a", float(i)) for i in range(1, 101)]

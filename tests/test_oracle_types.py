@@ -16,10 +16,10 @@ an uncast aggregate (HUGEINT), a DECIMAL literal residue, a FLOAT
 narrow, or an exotic nested type fails HERE, at pytest time, instead of
 as a driver hash mismatch one round later.
 
-The one intentional exception is ``hugeint_probe`` — the round-11
-experiment entry whose WHOLE PURPOSE is shipping a HUGEINT to the
-driver (trivially-equal values, so any driver red on it isolates the
-type-conversion mechanism from value bugs).
+(The round-11 ``hugeint_probe`` diagnostic — an oracle deliberately
+shipping HUGEINT to confirm the mechanism on the driver — was retired
+in r12 after CORRECTNESS_r11 confirmed it red-by-design; no exceptions
+remain.)
 """
 
 import os
@@ -38,9 +38,6 @@ TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
 SAFE_TYPES = {"BIGINT", "INTEGER", "SMALLINT", "TINYINT", "DOUBLE",
               "VARCHAR", "BOOLEAN", "DATE", "TIMESTAMP"}
 
-INTENTIONAL_EXCEPTIONS = {"hugeint_probe"}
-
-
 @pytest.fixture(scope="module")
 def con():
     c = duckdb.connect()
@@ -53,8 +50,6 @@ def con():
 def test_every_oracle_output_schema_is_driver_hash_safe(con):
     offenders = {}
     for name, sql in ORACLES.items():
-        if name in INTENTIONAL_EXCEPTIONS:
-            continue
         desc = con.execute("DESCRIBE " + sql).fetchall()
         bad = [f"{col}:{typ}" for col, typ, *_ in desc
                if typ not in SAFE_TYPES]
@@ -64,11 +59,3 @@ def test_every_oracle_output_schema_is_driver_hash_safe(con):
         "oracle output columns with driver-hash-unsafe DuckDB types "
         "(CAST aggregates to BIGINT, decimals to DOUBLE): "
         f"{offenders}")
-
-
-def test_hugeint_probe_is_actually_hugeint(con):
-    """The probe only works if its oracle really ships a HUGEINT — pin
-    it so a well-meaning cleanup can't silently defuse the experiment."""
-    desc = con.execute("DESCRIBE " + ORACLES["hugeint_probe"]).fetchall()
-    types = {col: typ for col, typ, *_ in desc}
-    assert types.get("key_sum") == "HUGEINT", types

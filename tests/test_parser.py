@@ -211,3 +211,46 @@ def test_glob_invalid_char_class_is_literal():
     # valid classes still work as classes
     assert glob_matches("web.[ab].cpu", "web.a.cpu")
     assert not glob_matches("web.[ab].cpu", "web.c.cpu")
+
+
+def test_glob_java_only_class_syntax_sanitized():
+    """Java's class grammar is a superset of Python's: '&&' (set
+    intersection) and a bare '[' (nested class) compile under re but
+    throw PatternSyntaxException inside Spark rlike (ADVICE r11).
+    The translator must escape both so the emitted regex is legal —
+    and means the same literal members — in BOTH engines."""
+    import re
+
+    from carbonapi_spark.parser.globs import glob_matches, glob_to_regex
+    for pat in ("web.[a-b&&[c].cpu", "[a&&b]", "[[]", "[[:alpha:]]",
+                "[a-b&&[c]", "[&]", "x.[a[b].y"):
+        rx = glob_to_regex(pat)
+        re.compile(rx)
+        assert "&&" not in rx and "[[" not in rx.replace("\\[", ""), rx
+    # the escapes are literal members, same as glob semantics
+    assert glob_matches("[a&&b]", "a")
+    assert glob_matches("[a&&b]", "&")
+    assert glob_matches("[a&&b]", "b")
+    assert not glob_matches("[a&&b]", "c")
+    assert glob_matches("x.[a[b].y", "x.[.y")
+    assert glob_matches("x.[a[b].y", "x.a.y")
+
+
+def test_glob_java_only_class_runs_under_spark_rlike(spark):
+    """End-to-end pin: the sanitized class regexes execute under the
+    ACTUAL Java engine (Spark rlike) without PatternSyntaxException —
+    the seam the Python-side re.compile gate cannot see."""
+    from pyspark.sql import functions as F
+
+    from carbonapi_spark.parser.globs import glob_to_java_regex
+    df = spark.createDataFrame(
+        [("web.a.cpu",), ("web.&.cpu",), ("web.[.cpu",)], "name STRING")
+    for pat, want in (("web.[a-b&&[c].cpu", {"web.a.cpu", "web.&.cpu",
+                                             "web.[.cpu"}),
+                      ("web.[a&&b].cpu", {"web.a.cpu", "web.&.cpu"}),
+                      ("web.[z-a].cpu", set()),
+                      ("web.[[].cpu", {"web.[.cpu"})):
+        got = {r["name"] for r in
+               df.where(F.col("name").rlike(glob_to_java_regex(pat)))
+               .collect()}
+        assert got == want, (pat, got)

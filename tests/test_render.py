@@ -651,6 +651,51 @@ def test_render_png_yunitsystem_and_hideyaxis(spark):
     assert render_png(series, [{}], {"yUnitSystem": ["bogus"]}) == base
 
 
+def test_render_x_min_max_step(spark):
+    """xMin/xMax/xStep (picture_params.go:271-273): epoch-second
+    x-window clip + forced x-tick stride.  Documented deviation in the
+    user's favor: the reference parses these into its param struct but
+    never consumes them (cairo.go:431-434 is only the field decl;
+    area.xmin at :1576 is an internal layout coordinate) — here they
+    visibly crop the plot / change the tick grid."""
+    import re as _re
+
+    from carbonapi_spark.render.graph import render_png, render_svg
+    lake = make_lake(spark, {"m.a": [1.0, 4.0, 2.0, 5.0, 3.0]}, 3600, 0)
+    series = collect_series(_frame(spark, lake, "m.a", 0, 18000))
+
+    def path_points(svg):
+        d = _re.search(r'<path d="M([0-9. L-]+)" fill="none"', svg)
+        assert d, "series path missing"
+        return [seg.strip() for seg in d.group(1).split("L")]
+
+    base = render_svg(series, [{}], {})
+    crop = render_svg(series, [{}], {"xMin": ["3600"], "xMax": ["10800"]})
+    assert len(path_points(base)) == 5
+    # only ts 3600/7200/10800 survive the clip
+    assert len(path_points(crop)) == 3
+    # the raster visibly crops too
+    assert bytes(render_png(series, [{}], {})) != \
+        bytes(render_png(series, [{}],
+                         {"xMin": ["3600"], "xMax": ["10800"]}))
+
+    def x_labels(svg):
+        return _re.findall(r'y="2\d\d" [^>]*font-size', svg)
+
+    # xStep forces the tick stride: 7200 s over [0, 14400) -> 3 ticks
+    stepped = render_svg(series, [{}], {"xStep": ["7200"]})
+    assert stepped != base
+    # tick-DoS clamp: a tiny stride is raised, never unbounded labels
+    tiny = render_svg(series, [{}], {"xStep": ["0.001"]})
+    assert tiny.count("font-size") < 60
+    # degenerate/reversed windows never 500 (garbage-param contract)
+    for qp in ({"xMin": ["9999999"], "xMax": ["0"]},
+               {"xMin": ["nan"]}, {"xStep": ["-5"]}, {"xStep": ["0"]},
+               {"xMin": ["7200"], "xMax": ["7200"]}):
+        assert render_png(series, [{}], qp) is not None
+        assert render_svg(series, [{}], qp) is not None
+
+
 def test_graph_param_keys_track_graphparams():
     """GRAPH_PARAM_KEYS (the render cache-key allowlist) must cover
     every query-string key GraphParams.__init__ reads — a param missing
@@ -661,7 +706,8 @@ def test_graph_param_keys_track_graphparams():
 
     from carbonapi_spark.render.graph import GRAPH_PARAM_KEYS, GraphParams
     src = inspect.getsource(GraphParams.__init__)
-    read = set(re.findall(r'(?:get|num|opt_num|fget)\("([A-Za-z]+)"', src))
+    read = set(re.findall(r'(?:get|num|opt_num|fget|epoch)\("([A-Za-z]+)"',
+                          src))
     assert read == set(GRAPH_PARAM_KEYS), (
         read - set(GRAPH_PARAM_KEYS), set(GRAPH_PARAM_KEYS) - read)
 
@@ -910,6 +956,17 @@ def test_render_font_margin_unique_legend_side_styles(spark):
     two = render_svg(dup, [{}, {}], {})
     one = render_svg(dup, [{}, {}], {"uniqueLegend": ["1"]})
     assert two.count("<rect") == one.count("<rect") + 1
+    # margin=200 on the default 330x250 canvas would invert the plot
+    # rect (px0 > px1) without the canvas clamp (ADVICE r11): the
+    # series polyline must still run left-to-right, not mirrored
+    import re as _re
+    svg_pad = render_svg(series, [{}, {}], {"margin": ["200"]})
+    d = _re.search(r'<path d="M([0-9. L-]+)" fill="none"', svg_pad)
+    assert d, "series path missing under huge margin"
+    px = [float(seg.strip().split()[0]) for seg in d.group(1).split("L")]
+    assert len(px) > 1 and px == sorted(px), \
+        "mirrored x axis under huge margin"
+    assert render_png(series, [{}, {}], {"margin": ["200"]}) is not None
     # side styles only apply on the dual-axis path and change the raster
     dual_opts = [{}, {"secondYAxis": True}]
     d_base = render_png(series, dual_opts, {})
@@ -995,7 +1052,12 @@ def test_http_metadata_param_fuzz_never_500(server):
     the '[z-a]' reversed-range class that used to detonate inside the
     Spark RLIKE job."""
     nasty = ["[z-a]", "[", "{a", "a}b", "**{", "{,}", "\\\\", "%ff",
-             "a" * 2000, "..", "*.*.*.*.*", "[9-0]*"]
+             "a" * 2000, "..", "*.*.*.*.*", "[9-0]*",
+             # Java-only class syntax that Python's re accepts: '&&'
+             # set intersection / nested '[' — must not detonate
+             # inside the Spark rlike job (ADVICE r11)
+             "web.[a-b&&[c].cpu", "[a&&b]", "[[]", "[[:alpha:]]",
+             "[a-b&&[c]"]
     for g in nasty:
         q = urllib.parse.quote(g)
         for url in (f"{server}/metrics/find?query={q}",

@@ -42,8 +42,7 @@ def test_full_catalog_pandas_path_at_sf0001():
     catches the value-RENDERING class the fetchall gate can't — DuckDB
     HUGEINT -> float64, DECIMAL residues, any cell whose string form
     diverges between engines (the r07-r10 driver hash failures' root
-    cause).  `hugeint_probe` is expected to fail and is excluded by
-    the tool itself."""
+    cause)."""
     proc = subprocess.run(
         [sys.executable,
          os.path.join(REPO, "tools", "check_oracles_pandas.py"), SF_DIR],

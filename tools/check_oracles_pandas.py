@@ -15,8 +15,7 @@ comparison the way the driver plausibly hashes it:
     compare.
 
 A catalog entry green HERE is green under both the fetchall and the
-pandas/Arrow rendering of its oracle; `hugeint_probe` is EXPECTED to
-fail (its whole purpose is shipping an uncast HUGEINT to the driver).
+pandas/Arrow rendering of its oracle.
 
 Usage: python tools/check_oracles_pandas.py [sf_dir] [query ...]
 """
@@ -38,7 +37,9 @@ from pyspark.sql import SparkSession
 from carbonapi_spark.entry_queries import ORACLES, QUERIES
 from carbonapi_spark.sources.testdata import TABLES
 
-EXPECTED_FAIL = {"hugeint_probe"}
+# r11's hugeint_probe diagnostic lived here until r12; no expected
+# failures remain — every catalog entry must replay exactly.
+EXPECTED_FAIL: set = set()
 
 
 def canon(v):
