@@ -539,6 +539,77 @@ def ivfpq_encode(df: DataFrame, codebooks: list[list[list[float]]],
                            f"{_pq_code_sql('__rv', codebooks)} as {code_col}")
 
 
+def ivfpq_encode_arrow(df: DataFrame, codebooks: list[list[list[float]]],
+                       centroids: list[list[float]],
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       cell_col: str = "cell", code_col: str = "codes",
+                       l2_cells: bool = False, residual: bool = False,
+                       chunk: int = 4096) -> DataFrame:
+    """Vectorized (Arrow/numpy) twin of :func:`ivfpq_encode` — same
+    output contract (1-based cell and codes, ties to the lowest index;
+    ``tests/test_ann_arrow.py`` pins row-for-row equality against the
+    SQL path over all four l2_cells x residual combinations).
+
+    Why it exists: encoding is a dense numerical kernel — m*ksub*dsub
+    (~16k at PQ8x8/dim 64) multiply-adds per row.  The SQL path spends
+    that in per-codeword ``zip_with`` folds (one small-array allocation
+    per codeword per row), which is the right shape for the
+    oracle-replayable catalog entries but ~2 orders of magnitude off
+    what the arithmetic costs; here the whole batch is three numpy
+    matmuls (cell scores, residual gather, per-subspace distances), so
+    ingest-time index builds at the 100 TB scale stay compute-bound
+    instead of interpreter-bound.  Measured: see SCALE.md "Round-12
+    findings" (tools/scale_smoke_ann.py).
+
+    Numeric caveat: numpy reduces sums pairwise/SIMD while the SQL fold
+    is sequential, so an argmin can differ when two codewords are within
+    float-rounding of each other — impossible for trained codebooks
+    short of duplicate codewords (the equality test runs at dim 16 where
+    margins are tightest)."""
+    import numpy as np
+    import pandas as pd
+
+    from carbonapi_spark.datapipe import spread
+
+    C = np.asarray(centroids, dtype=np.float64)          # k x dim
+    CB = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
+    dsub = CB[0].shape[1]
+    cnorm = (C * C).sum(axis=1)
+    cbnorm = [(cb * cb).sum(axis=1) for cb in CB]        # ksub each
+    id_dt = df.schema[id_col].dataType.simpleString()
+    schema = f"`{id_col}` {id_dt}, `{cell_col}` int, `{code_col}` array<int>"
+
+    def encode(batches):
+        for pdf in batches:
+            n = len(pdf)
+            for lo in range(0, n, chunk):
+                part = pdf.iloc[lo:lo + chunk]
+                X = np.array([np.asarray(v, dtype=np.float64)
+                              for v in part[vec_col]])
+                scores = X @ C.T
+                if l2_cells:
+                    scores = 2.0 * scores - cnorm
+                cell = scores.argmax(axis=1)             # first max, like
+                R = X - C[cell] if residual else X       # array_position
+                codes = np.empty((len(X), len(CB)), dtype=np.int32)
+                for j, cb in enumerate(CB):
+                    sub = R[:, j * dsub:(j + 1) * dsub]
+                    # argmin ||sub-cw||^2 == argmin |cw|^2 - 2 sub.cw
+                    # (|sub|^2 is per-row constant): BLAS matmul instead
+                    # of an n x ksub x dsub broadcast temp
+                    d = cbnorm[j] - 2.0 * (sub @ cb.T)
+                    codes[:, j] = d.argmin(axis=1) + 1   # first min
+                yield pd.DataFrame({
+                    id_col: part[id_col].to_numpy(),
+                    cell_col: (cell + 1).astype(np.int32),
+                    code_col: list(codes)})
+
+    src = spread(df, min_bytes=256 << 10)
+    return src.select(F.col(id_col),
+                      F.col(vec_col).cast("array<double>").alias(vec_col)) \
+        .mapInPandas(encode, schema)
+
+
 def ivfpq_topk(corpus: DataFrame, query: DataFrame, k: int = 10,
                id_col: str = "vec_id", vec_col: str = "embedding",
                dim: int = 64, n_centroids: int = 16, nprobe: int = 2,
@@ -801,7 +872,8 @@ def write_ann_index(df: DataFrame, path: str,
                     centroids: list[list[float]],
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     l2_cells: bool = False,
-                    residual: bool = False) -> None:
+                    residual: bool = False,
+                    encoder: str = "sql") -> None:
     """Persist the IVFADC index as a partitioned Parquet layout:
 
       {path}/codes/cell=N/...   (id, codes)  — partitioned BY CELL, so a
@@ -813,10 +885,13 @@ def write_ann_index(df: DataFrame, path: str,
 
     The ``write_training_shards`` analog for the ANN family: encode once
     at ingest, then every query batch probes the durable artifact without
-    touching raw embeddings."""
+    touching raw embeddings.  ``encoder="arrow"`` routes the encode pass
+    through :func:`ivfpq_encode_arrow` (identical codes, numpy-batched —
+    the ingest-scale path; "sql" stays the oracle-replayable default)."""
     spark = df.sparkSession
-    codes = ivfpq_encode(df, codebooks, centroids, id_col, vec_col,
-                         l2_cells=l2_cells, residual=residual)
+    enc = ivfpq_encode_arrow if encoder == "arrow" else ivfpq_encode
+    codes = enc(df, codebooks, centroids, id_col, vec_col,
+                l2_cells=l2_cells, residual=residual)
     codes.write.mode("overwrite").partitionBy("cell") \
         .parquet(f"{path}/codes")
     spark.createDataFrame(

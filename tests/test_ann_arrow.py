@@ -1,0 +1,86 @@
+"""ivfpq_encode_arrow == ivfpq_encode, row for row.
+
+The Arrow encoder is the ingest-scale path (numpy matmuls instead of
+per-codeword zip_with folds); its whole contract is that it produces THE
+SAME index — 1-based cell and codes, ties to the lowest index — so a
+lake built with either encoder probes identically.  Pinned here over all
+four l2_cells x residual combinations at dim 16 (small dims = tightest
+argmin margins), plus the write_ann_index(encoder="arrow") round trip.
+"""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from carbonapi_spark.datapipe.similarity import (
+    ann_index_topk, ivf_centroids, ivfpq_encode, ivfpq_encode_arrow,
+    pq_codebooks, write_ann_index)
+
+DIM, M, KSUB, K_CELLS, N = 16, 4, 8, 6, 300
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rng = random.Random(7)
+    rows = [(i, [round(rng.uniform(-1, 1), 6) for _ in range(DIM)])
+            for i in range(N)]
+    return spark.createDataFrame(rows, "vec_id BIGINT, "
+                                       "embedding ARRAY<DOUBLE>")
+
+
+def _centroids(l2):
+    if not l2:
+        return ivf_centroids(DIM, K_CELLS, seed=43)
+    # off-sphere centroids so the l2 scoring branch actually differs
+    rng = random.Random(11)
+    return [[round(rng.uniform(-1.5, 1.5), 6) for _ in range(DIM)]
+            for _ in range(K_CELLS)]
+
+
+@pytest.mark.parametrize("l2_cells", [False, True])
+@pytest.mark.parametrize("residual", [False, True])
+def test_arrow_encoder_matches_sql(vecs, l2_cells, residual):
+    cbs = pq_codebooks(DIM, M, KSUB, seed=44)
+    cents = _centroids(l2_cells)
+    want = {r["vec_id"]: (r["cell"], list(r["codes"]))
+            for r in ivfpq_encode(vecs, cbs, cents, l2_cells=l2_cells,
+                                  residual=residual).collect()}
+    got = {r["vec_id"]: (r["cell"], list(r["codes"]))
+           for r in ivfpq_encode_arrow(vecs, cbs, cents,
+                                       l2_cells=l2_cells,
+                                       residual=residual).collect()}
+    assert got == want
+
+
+def test_arrow_encoder_chunking(vecs):
+    """Internal chunk boundaries must not change the output."""
+    cbs = pq_codebooks(DIM, M, KSUB, seed=44)
+    cents = _centroids(False)
+    big = {r["vec_id"]: (r["cell"], list(r["codes"]))
+           for r in ivfpq_encode_arrow(vecs, cbs, cents).collect()}
+    small = {r["vec_id"]: (r["cell"], list(r["codes"]))
+             for r in ivfpq_encode_arrow(vecs, cbs, cents,
+                                         chunk=17).collect()}
+    assert small == big
+
+
+def test_write_ann_index_arrow_round_trip(vecs, spark, tmp_path):
+    """An index built with encoder="arrow" is byte-for-byte probe-
+    compatible: same codes table as the SQL build, same top-k."""
+    cbs = pq_codebooks(DIM, M, KSUB, seed=44)
+    cents = _centroids(True)
+    p_sql, p_arw = str(tmp_path / "sql"), str(tmp_path / "arrow")
+    write_ann_index(vecs, p_sql, cbs, cents, l2_cells=True, residual=True)
+    write_ann_index(vecs, p_arw, cbs, cents, l2_cells=True, residual=True,
+                    encoder="arrow")
+    read = lambda p: {r["vec_id"]: (r["cell"], list(r["codes"]))
+                      for r in spark.read.parquet(f"{p}/codes").collect()}
+    assert read(p_arw) == read(p_sql)
+
+    query = vecs.where(F.col("vec_id") % 97 == 3)
+    topk = lambda p: {(r["query_id"], r["neighbor_id"])
+                      for r in ann_index_topk(spark, p, query, k=5,
+                                              nprobe=2, refine=20,
+                                              corpus=vecs).collect()}
+    assert topk(p_arw) == topk(p_sql)

@@ -2,7 +2,12 @@
 on Spark and its oracle_sql() on DuckDB at sf0.01, compare row count,
 column names, and order-insensitive values.
 
-Usage: python tools/check_oracles.py [--strict] [sf_dir] [query ...]
+Usage: python tools/check_oracles.py [--strict] [--prefix-only]
+                                     [sf_dir] [query ...]
+
+--prefix-only restricts the run to the _DRIVER_PREFIX entries — the
+rows the driver will actually verify next round (the chaos-knob
+validation step in tools/round_gate.sh).
 
 --strict compares doubles BIT-EXACTLY (no 6-dp tolerance) and reports
 any value sitting exactly on a 6-dp half boundary (where HALF_UP and
@@ -24,10 +29,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import duckdb
 from pyspark.sql import SparkSession
 
-from carbonapi_spark.entry_queries import ORACLES, QUERIES
+from carbonapi_spark.entry_queries import _DRIVER_PREFIX, ORACLES, QUERIES
 from carbonapi_spark.sources.testdata import TABLES
 
 STRICT = "--strict" in sys.argv
+PREFIX_ONLY = "--prefix-only" in sys.argv
 
 
 def boundary_values(rows) -> list:
@@ -60,10 +66,13 @@ def normalize(rows):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if a != "--strict"]
+    args = [a for a in sys.argv[1:]
+            if a not in ("--strict", "--prefix-only")]
     sf_dir = args[0] if args and os.path.isdir(args[0]) \
         else "/root/testdata/sf0.01"
     only = set(a for a in args if not os.path.isdir(a))
+    if PREFIX_ONLY:
+        only |= set(_DRIVER_PREFIX)
 
     # Chaos knobs (CHECK_MASTER / CHECK_SHUFFLE / CHECK_SPLIT_MB /
     # CHECK_ARROW_BATCH): replay the catalog under a deliberately
