@@ -316,7 +316,11 @@ def pq_train(sample: list[list[float]], m: int = 8, ksub: int = 16,
         sub = x[:, j * dsub:(j + 1) * dsub]
         cb = sub[rng.choice(n, size=ksub, replace=n < ksub)].copy()
         for _ in range(iters):
-            d2 = ((sub[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+            # argmin ||sub-cw||^2 == argmin |cw|^2 - 2 sub.cw (|sub|^2
+            # is per-row constant): BLAS matmul instead of an
+            # n x ksub x dsub broadcast temp (measured 88s -> ~8s for
+            # the 20k x 256-codeword training in scale_smoke_ann)
+            d2 = (cb * cb).sum(axis=1) - 2.0 * (sub @ cb.T)
             assign = d2.argmin(axis=1)
             for c in range(ksub):
                 mask = assign == c
