@@ -505,7 +505,8 @@ def ivfpq_encode(df: DataFrame, codebooks: list[list[list[float]]],
                  centroids: list[list[float]], id_col: str = "vec_id",
                  vec_col: str = "embedding", cell_col: str = "cell",
                  code_col: str = "codes", l2_cells: bool = False,
-                 residual: bool = False) -> DataFrame:
+                 residual: bool = False,
+                 keep_vec: bool = False) -> DataFrame:
     """(id, cell, codes): the persisted IVFADC index table — coarse cell
     assignment (argmax cell score, ties to the lowest cell; dot for
     spherical cells, ``2 e.c - |c|^2`` for trained Voronoi centroids via
@@ -523,24 +524,28 @@ def ivfpq_encode(df: DataFrame, codebooks: list[list[list[float]]],
     from carbonapi_spark.datapipe import spread
     df = spread(df, min_bytes=256 << 10)  # cell-dot + argmin HOFs
     v = f"cast({vec_col} as array<double>)"
+    keep = [f"{v} as {vec_col}"] if keep_vec else []
     cell_dots = _cell_score_sql(v, centroids, l2=l2_cells)
     if not residual:
         return (df.selectExpr(id_col, f"{cell_dots} as __d",
-                              f"{_pq_code_sql(v, codebooks)} as {code_col}")
+                              f"{_pq_code_sql(v, codebooks)} as {code_col}",
+                              *keep)
                 .withColumn(cell_col,
                             F.array_position(F.col("__d"),
                                              F.array_max("__d"))
                             .cast("int"))
-                .select(id_col, cell_col, code_col))
+                .select(id_col, cell_col, code_col,
+                        *([vec_col] if keep_vec else [])))
     base = (df.selectExpr(id_col, f"{v} as __v", f"{cell_dots} as __d")
             .withColumn(cell_col,
                         F.array_position(F.col("__d"), F.array_max("__d"))
                         .cast("int"))
-            .selectExpr(id_col, cell_col,
+            .selectExpr(id_col, cell_col, "__v",
                         f"zip_with(__v, element_at({_cb_sql(centroids)}, "
                         f"{cell_col}), (x, y) -> x - y) as __rv"))
     return base.selectExpr(id_col, cell_col,
-                           f"{_pq_code_sql('__rv', codebooks)} as {code_col}")
+                           f"{_pq_code_sql('__rv', codebooks)} as {code_col}",
+                           *([f"__v as {vec_col}"] if keep_vec else []))
 
 
 def ivfpq_encode_arrow(df: DataFrame, codebooks: list[list[list[float]]],
@@ -548,7 +553,8 @@ def ivfpq_encode_arrow(df: DataFrame, codebooks: list[list[list[float]]],
                        id_col: str = "vec_id", vec_col: str = "embedding",
                        cell_col: str = "cell", code_col: str = "codes",
                        l2_cells: bool = False, residual: bool = False,
-                       chunk: int = 4096) -> DataFrame:
+                       chunk: int = 4096,
+                       keep_vec: bool = False) -> DataFrame:
     """Vectorized (Arrow/numpy) twin of :func:`ivfpq_encode` — same
     output contract (1-based cell and codes, ties to the lowest index;
     ``tests/test_ann_arrow.py`` pins row-for-row equality against the
@@ -582,6 +588,8 @@ def ivfpq_encode_arrow(df: DataFrame, codebooks: list[list[list[float]]],
     cbnorm = [(cb * cb).sum(axis=1) for cb in CB]        # ksub each
     id_dt = df.schema[id_col].dataType.simpleString()
     schema = f"`{id_col}` {id_dt}, `{cell_col}` int, `{code_col}` array<int>"
+    if keep_vec:
+        schema += f", `{vec_col}` array<double>"
 
     def encode(batches):
         for pdf in batches:
@@ -603,10 +611,12 @@ def ivfpq_encode_arrow(df: DataFrame, codebooks: list[list[list[float]]],
                     # of an n x ksub x dsub broadcast temp
                     d = cbnorm[j] - 2.0 * (sub @ cb.T)
                     codes[:, j] = d.argmin(axis=1) + 1   # first min
-                yield pd.DataFrame({
-                    id_col: part[id_col].to_numpy(),
-                    cell_col: (cell + 1).astype(np.int32),
-                    code_col: list(codes)})
+                out = {id_col: part[id_col].to_numpy(),
+                       cell_col: (cell + 1).astype(np.int32),
+                       code_col: list(codes)}
+                if keep_vec:
+                    out[vec_col] = list(X)
+                yield pd.DataFrame(out)
 
     src = spread(df, min_bytes=256 << 10)
     return src.select(F.col(id_col),
@@ -877,7 +887,8 @@ def write_ann_index(df: DataFrame, path: str,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     l2_cells: bool = False,
                     residual: bool = False,
-                    encoder: str = "sql") -> None:
+                    encoder: str = "sql",
+                    store_vectors: bool = False) -> None:
     """Persist the IVFADC index as a partitioned Parquet layout:
 
       {path}/codes/cell=N/...   (id, codes)  — partitioned BY CELL, so a
@@ -891,11 +902,20 @@ def write_ann_index(df: DataFrame, path: str,
     at ingest, then every query batch probes the durable artifact without
     touching raw embeddings.  ``encoder="arrow"`` routes the encode pass
     through :func:`ivfpq_encode_arrow` (identical codes, numpy-batched —
-    the ingest-scale path; "sql" stays the oracle-replayable default)."""
+    the ingest-scale path; "sql" stays the oracle-replayable default).
+
+    ``store_vectors=True`` rides the raw vectors along in the codes
+    table (FAISS keeps vectors in the IVF lists for IVFFlat/Refine for
+    the same reason): the exact-rerank stage then reads ONLY the probed
+    ``cell=`` partitions instead of re-scanning the full embedding
+    corpus — at 100 TB that turns refine from a second corpus pass into
+    a ~nprobe/n_centroids partition-pruned read, and parquet column
+    pruning keeps pure-ADC probes reading just (id, codes)."""
     spark = df.sparkSession
     enc = ivfpq_encode_arrow if encoder == "arrow" else ivfpq_encode
     codes = enc(df, codebooks, centroids, id_col, vec_col,
-                l2_cells=l2_cells, residual=residual)
+                l2_cells=l2_cells, residual=residual,
+                keep_vec=store_vectors)
     codes.write.mode("overwrite").partitionBy("cell") \
         .parquet(f"{path}/codes")
     spark.createDataFrame(
@@ -940,12 +960,17 @@ def ann_index_topk(spark, path: str, query: DataFrame, k: int = 10,
     ``cell IN (...)`` predicate — STATIC Parquet partition pruning (the
     plan shows PartitionFilters; only the probed cell directories are
     read), which at 100 TB is the difference between scanning the whole
-    index and ~nprobe/n_centroids of it.  ``refine=`` needs ``corpus``
-    (raw vectors) for the exact rerank of the ADC top-``refine``."""
-    if refine is not None and corpus is None:
-        raise ValueError("refine= needs corpus= (raw vectors) for the "
-                         "exact rerank stage")
+    index and ~nprobe/n_centroids of it.  ``refine=`` needs raw vectors
+    for the exact rerank of the ADC top-``refine``: either ``corpus=``
+    (full embedding table — a second scan) or an index built with
+    ``store_vectors=True``, whose rerank reads only the probed
+    partitions (preferred; ``corpus=`` then overrides if given)."""
     codes, cents, cbs, l2_cells, residual = read_ann_index(spark, path)
+    if refine is not None and corpus is None \
+            and vec_col not in codes.columns:
+        raise ValueError("refine= needs corpus= (raw vectors), or an "
+                         "index built with store_vectors=True, for the "
+                         "exact rerank stage")
     dim = len(cents[0])
     v = f"cast({vec_col} as array<double>)"
     scores = _cell_score_sql(v, cents, l2=l2_cells)
@@ -961,6 +986,10 @@ def ann_index_topk(spark, path: str, query: DataFrame, k: int = 10,
                   .distinct().collect())
     cells = sorted(r["cell"] for r in probe_rows)
     pruned = codes.where(F.col("cell").isin(cells))
+    if refine is not None and corpus is None:
+        # stored-vector rerank: candidates can only come from probed
+        # cells, so the vector gather inherits the partition pruning
+        corpus = pruned.select(id_col, vec_col)
     return ivfpq_topk(corpus, query, k=k, id_col=id_col, vec_col=vec_col,
                       dim=dim, nprobe=nprobe, codebooks=cbs,
                       codes=pruned, refine=refine, centroids=(
@@ -1007,10 +1036,11 @@ def append_ann_index(df: DataFrame, path: str, id_col: str = "vec_id",
     Quantizer drift is the operator's trade-off, exactly as with any
     IVF index — retrain + rewrite when recall decays."""
     spark = df.sparkSession
-    _codes, centroids, codebooks, l2_cells, residual = \
+    codes, centroids, codebooks, l2_cells, residual = \
         read_ann_index(spark, path)
     delta = ivfpq_encode(df, codebooks, centroids, id_col, vec_col,
-                         l2_cells=l2_cells, residual=residual)
+                         l2_cells=l2_cells, residual=residual,
+                         keep_vec=vec_col in codes.columns)
     delta.write.mode("append").partitionBy("cell") \
         .parquet(f"{path}/codes")
 

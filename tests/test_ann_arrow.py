@@ -84,3 +84,43 @@ def test_write_ann_index_arrow_round_trip(vecs, spark, tmp_path):
                                               nprobe=2, refine=20,
                                               corpus=vecs).collect()}
     assert topk(p_arw) == topk(p_sql)
+
+
+def test_store_vectors_refine_without_corpus(vecs, spark, tmp_path):
+    """store_vectors=True rides raw vectors in the cell partitions;
+    refine then needs no corpus= and returns the same top-k as the
+    full-corpus rerank (candidates only ever come from probed cells).
+    Both encoders produce the same stored-vector layout."""
+    cbs = pq_codebooks(DIM, M, KSUB, seed=44)
+    cents = _centroids(True)
+    p_sql, p_arw = str(tmp_path / "sv_sql"), str(tmp_path / "sv_arw")
+    write_ann_index(vecs, p_sql, cbs, cents, l2_cells=True, residual=True,
+                    store_vectors=True)
+    write_ann_index(vecs, p_arw, cbs, cents, l2_cells=True, residual=True,
+                    store_vectors=True, encoder="arrow")
+    rows = {r["vec_id"]: (r["cell"], list(r["codes"]),
+                          tuple(round(x, 9) for x in r["embedding"]))
+            for r in spark.read.parquet(f"{p_sql}/codes").collect()}
+    rows_a = {r["vec_id"]: (r["cell"], list(r["codes"]),
+                            tuple(round(x, 9) for x in r["embedding"]))
+              for r in spark.read.parquet(f"{p_arw}/codes").collect()}
+    assert rows_a == rows
+
+    query = vecs.where(F.col("vec_id") % 97 == 3)
+    stored = {(r["query_id"], r["neighbor_id"])
+              for r in ann_index_topk(spark, p_sql, query, k=5, nprobe=2,
+                                      refine=20).collect()}
+    full = {(r["query_id"], r["neighbor_id"])
+            for r in ann_index_topk(spark, p_sql, query, k=5, nprobe=2,
+                                    refine=20, corpus=vecs).collect()}
+    assert stored == full
+
+
+def test_refine_without_vectors_still_errors(vecs, spark, tmp_path):
+    cbs = pq_codebooks(DIM, M, KSUB, seed=44)
+    cents = _centroids(False)
+    p = str(tmp_path / "no_vec")
+    write_ann_index(vecs, p, cbs, cents)
+    query = vecs.where(F.col("vec_id") % 97 == 3)
+    with pytest.raises(ValueError, match="store_vectors"):
+        ann_index_topk(spark, p, query, k=5, nprobe=2, refine=20)

@@ -32,7 +32,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 N = int(os.environ.get("SMOKE_ANN_N", 10_000_000))
 DIM = 64
-TRUE_CLUSTERS = 200          # ground-truth structure in the data
+TRUE_CLUSTERS = 200          # coarse ground-truth structure
+FINE_CLUSTERS = 20_000       # fine subclusters (real embedding corpora
+                             # are hierarchical: local manifolds inside
+                             # topical clusters — i.i.d. ball noise
+                             # makes all neighbors equidistant, which
+                             # no sublinear method can rank)
 N_CENTROIDS = 64             # index coarse quantizer (deliberate mismatch)
 M, KSUB = 8, 256             # PQ8x8: 8 subspaces x 256 codewords = 8 B/vec
 K = 10
@@ -60,19 +65,26 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
     shutil.rmtree(WORK, ignore_errors=True)
 
-    # ---- corpus: 200 hash-derandomized cluster centers in [-1,1]^64,
-    # noise at 0.25x center scale; written to Parquet so every later
-    # stage reads a real on-disk table, not the generator expression.
+    # ---- corpus: hierarchical hash-derandomized structure — 200
+    # coarse centers in [-1,1]^64, 20k fine subcluster offsets (scale
+    # 0.35 * 0.9^i) nested inside them, per-vector noise (0.1 * 0.87^i,
+    # below the fine-offset scale so true neighbors = same subcluster).
+    # Written to Parquet so every later stage reads a real on-disk
+    # table, not the generator expression.
     t = time.time()
+    fine = f"(id % {FINE_CLUSTERS})"
+    coarse = f"({fine} % {TRUE_CLUSTERS})"
+    u = "(pmod(xxhash64({k}, {i}), 2000) / 1000.0D - 1.0D)"
     gen = spark.range(N).select(
         F.col("id").alias("vec_id"),
         F.expr(
-            f"transform(sequence(0, {DIM - 1}), i -> "
-            f"round((pmod(xxhash64(id % {TRUE_CLUSTERS}, i), 2000)"
-            f" / 1000.0D - 1.0D)"
-            f" + 0.6D * pow(0.87D, i)"
-            f" * (pmod(xxhash64(id, i), 2000) / 1000.0D - 1.0D),"
-            f" 6))"
+            f"transform(sequence(0, {DIM - 1}), i -> round("
+            + u.format(k=coarse, i="i")
+            + " + 0.35D * pow(0.9D, i) * "
+            + u.format(k=fine, i=f"i + {DIM}")
+            + " + 0.1D * pow(0.87D, i) * "
+            + u.format(k="id", i=f"i + {2 * DIM}")
+            + ", 6))"
         ).alias("embedding"))
     gen.repartition(64).write.mode("overwrite").parquet(f"{WORK}/corpus")
     corpus = spark.read.parquet(f"{WORK}/corpus")
@@ -128,7 +140,8 @@ def main():
     # FAISS IVFADC).
     t = time.time()
     write_ann_index(corpus, f"{WORK}/index", cbs, cents,
-                    l2_cells=True, residual=True, encoder="arrow")
+                    l2_cells=True, residual=True, encoder="arrow",
+                    store_vectors=True)
     t_build = time.time() - t
     codes = spark.read.parquet(f"{WORK}/index/codes")
     emit(case="index_build", sec=round(t_build, 2),
@@ -189,13 +202,21 @@ def main():
         t = time.time()
         got = {(r["query_id"], r["neighbor_id"])
                for r in ann_index_topk(spark, f"{WORK}/index", query,
-                                       k=K, nprobe=nprobe, refine=REFINE,
-                                       corpus=corpus).collect()}
+                                       k=K, nprobe=nprobe,
+                                       refine=REFINE).collect()}
         sec = time.time() - t
         emit(case=f"ivfadc_nprobe_{nprobe}", sec=round(sec, 2),
              nprobe=nprobe, recall_at_10=round(len(got & truth)
                                                / max(len(truth), 1), 4),
              speedup_vs_brute=round(t_brute / sec, 2))
+
+    # ---- stored-vector vs full-corpus rerank at nprobe=4: the
+    # store_vectors layout turns refine's vector gather into a
+    # partition-pruned read instead of a second corpus scan.
+    t = time.time()
+    ann_index_topk(spark, f"{WORK}/index", query, k=K, nprobe=4,
+                   refine=REFINE, corpus=corpus).collect()
+    emit(case="refine_via_corpus_scan", sec=round(time.time() - t, 2))
 
     # ---- refine sweep at nprobe=4: with cluster-shaped corpora the
     # true top-10 sit inside one cell, so rerank depth — not nprobe —
@@ -204,8 +225,8 @@ def main():
         t = time.time()
         got = {(r["query_id"], r["neighbor_id"])
                for r in ann_index_topk(spark, f"{WORK}/index", query,
-                                       k=K, nprobe=4, refine=refine,
-                                       corpus=corpus).collect()}
+                                       k=K, nprobe=4,
+                                       refine=refine).collect()}
         emit(case=f"ivfadc_refine_{refine}", sec=round(time.time() - t, 2),
              refine=refine, recall_at_10=round(len(got & truth)
                                                / max(len(truth), 1), 4))
