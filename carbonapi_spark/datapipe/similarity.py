@@ -167,6 +167,52 @@ def kmeans_centroids(vecs: DataFrame, k: int = 8, iters: int = 2,
     return cents
 
 
+def kmeans_train_sample(sample: list[list[float]], k: int = 64,
+                        iters: int = 10, seed: int = 43,
+                        round_dp: int = 6) -> list[list[float]]:
+    """Driver-side Lloyd k-means over a sample — the coarse-quantizer
+    sibling of :func:`pq_train` (FAISS trains IVF coarse quantizers on
+    an in-memory sample for the same reason: the quantizer is
+    model-sized; only assignment runs over the full corpus).  Use
+    :func:`kmeans_centroids` when training must scan the whole corpus
+    declaratively; use this for deployments where the coarse quantizer
+    needs k in the hundreds-to-thousands (the ~sqrt(N) rule) and a
+    sample is statistically plenty.
+
+    Same conventions as the distributed trainer: argmin L2 via
+    ``|c|^2 - 2 x.c`` (ties to the lowest cell), empty cells keep their
+    centroid, coordinates rounded to ``round_dp`` per iteration.
+
+    Init is farthest-point (greedy k-center) from a seeded start:
+    deterministic, and immune to the random-init failure where two
+    seeds land in one blob and a far blob gets none (Lloyd cannot
+    recover from that — the merged centroid is a local optimum)."""
+    import numpy as np
+    x = np.asarray(sample, dtype=np.float64)
+    n = len(x)
+    if n == 0:
+        raise ValueError("kmeans_train_sample needs a non-empty sample")
+    rng = np.random.default_rng(seed)
+    first = int(rng.integers(n))
+    chosen = [first]
+    dmin = ((x - x[first]) ** 2).sum(axis=1)
+    for _ in range(min(k, n) - 1):
+        nxt = int(dmin.argmax())
+        chosen.append(nxt)
+        dmin = np.minimum(dmin, ((x - x[nxt]) ** 2).sum(axis=1))
+    while len(chosen) < k:          # k > n: duplicate seeds, like FAISS
+        chosen.append(chosen[len(chosen) % n])
+    cb = np.round(x[chosen], round_dp)
+    for _ in range(iters):
+        d = (cb * cb).sum(axis=1) - 2.0 * (x @ cb.T)
+        assign = d.argmin(axis=1)
+        for c in range(k):
+            mask = assign == c
+            if mask.any():
+                cb[c] = np.round(x[mask].mean(axis=0), round_dp)
+    return cb.tolist()
+
+
 def ivf_topk(corpus: DataFrame, query: DataFrame, k: int = 10,
              id_col: str = "vec_id", vec_col: str = "embedding",
              dim: int = 64, n_centroids: int = 16, nprobe: int = 2,
@@ -916,8 +962,12 @@ def write_ann_index(df: DataFrame, path: str,
     codes = enc(df, codebooks, centroids, id_col, vec_col,
                 l2_cells=l2_cells, residual=residual,
                 keep_vec=store_vectors)
-    codes.write.mode("overwrite").partitionBy("cell") \
-        .parquet(f"{path}/codes")
+    # co-locate each cell before the partitioned write: without this
+    # every write task emits a file into every cell= directory
+    # (n_tasks x n_cells small files — metadata death at lake scale);
+    # with it each cell lands in exactly one shuffle partition
+    codes.repartition(F.col("cell")).write.mode("overwrite") \
+        .partitionBy("cell").parquet(f"{path}/codes")
     spark.createDataFrame(
         [(i + 1, c, l2_cells, residual) for i, c in enumerate(centroids)],
         "cell INT, emb ARRAY<DOUBLE>, l2 BOOLEAN, residual BOOLEAN") \

@@ -116,6 +116,23 @@ def test_store_vectors_refine_without_corpus(vecs, spark, tmp_path):
     assert stored == full
 
 
+def test_kmeans_train_sample_deterministic_and_clusters():
+    """Driver-side coarse-quantizer training: deterministic for a fixed
+    (sample, k, seed), and on well-separated blobs it recovers one
+    centroid per blob (the property the IVF cell layout depends on)."""
+    import numpy as np
+    from carbonapi_spark.datapipe.similarity import kmeans_train_sample
+    rng = np.random.default_rng(5)
+    blobs = np.array([[0.0, 0.0], [10.0, 0.0], [0.0, 10.0], [10.0, 10.0]])
+    x = (blobs[rng.integers(0, 4, 400)]
+         + 0.1 * rng.standard_normal((400, 2))).tolist()
+    a = kmeans_train_sample(x, k=4, iters=10, seed=43)
+    b = kmeans_train_sample(x, k=4, iters=10, seed=43)
+    assert a == b
+    got = sorted((round(cx), round(cy)) for cx, cy in a)
+    assert got == [(0, 0), (0, 10), (10, 0), (10, 10)]
+
+
 def test_refine_without_vectors_still_errors(vecs, spark, tmp_path):
     cbs = pq_codebooks(DIM, M, KSUB, seed=44)
     cents = _centroids(False)

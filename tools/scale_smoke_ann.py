@@ -38,7 +38,12 @@ FINE_CLUSTERS = 20_000       # fine subclusters (real embedding corpora
                              # topical clusters — i.i.d. ball noise
                              # makes all neighbors equidistant, which
                              # no sublinear method can rank)
-N_CENTROIDS = 64             # index coarse quantizer (deliberate mismatch)
+N_CENTROIDS = 256            # coarse quantizer: the ~sqrt(N)/40 rule —
+                             # too few cells leaves multiple coarse
+                             # clusters per cell and PQ spends its
+                             # codewords on the inter-cluster modes
+                             # instead of the fine structure (measured:
+                             # 64 cells at 10M collapsed recall to 0.06)
 M, KSUB = 8, 256             # PQ8x8: 8 subspaces x 256 codewords = 8 B/vec
 K = 10
 N_QUERIES = 32
@@ -55,7 +60,7 @@ def main():
     from pyspark.sql import SparkSession, functions as F
 
     from carbonapi_spark.datapipe.similarity import (
-        ann_index_topk, brute_force_topk, kmeans_centroids, pq_train,
+        ann_index_topk, brute_force_topk, kmeans_train_sample, pq_train,
         write_ann_index)
 
     spark = (SparkSession.builder.master("local[32]")
@@ -90,19 +95,25 @@ def main():
     corpus = spark.read.parquet(f"{WORK}/corpus")
     emit(case="corpus_gen", sec=round(time.time() - t, 2), rows=N, dim=DIM)
 
-    # ---- training: coarse quantizer on a 1% (cap 100k) sample, PQ
-    # codebooks on a 20k driver sample — model-sized driver state only.
+    # ---- training: one collected 100k sample feeds both the coarse
+    # quantizer (kmeans_train_sample — FAISS practice; the distributed
+    # kmeans_centroids is the full-corpus alternative) and the PQ
+    # codebooks — model-sized driver state only.
     t = time.time()
-    sample = (corpus.where(F.pmod(F.xxhash64("vec_id"), F.lit(101)) == 0)
-              .limit(100_000))
-    cents = kmeans_centroids(sample, k=N_CENTROIDS, iters=3)
+    sample = [list(r["embedding"]) for r in
+              (corpus.where(F.pmod(F.xxhash64("vec_id"), F.lit(101)) == 0)
+               .limit(100_000).collect())]
+    cents = kmeans_train_sample(sample, k=N_CENTROIDS, iters=10)
     t_kmeans = time.time() - t
     t = time.time()
-    pq_sample = [list(r["embedding"]) for r in
-                 (corpus.where(F.pmod(F.xxhash64("vec_id"),
-                                      F.lit(499)) == 0)
-                  .limit(20_000).collect())]
-    cbs = pq_train(pq_sample, m=M, ksub=KSUB, iters=12)
+    # PQ codebooks train on RESIDUALS — the quantity they encode under
+    # residual=True (FAISS IVFADC trains exactly this way)
+    import numpy as np
+    X = np.asarray(sample[:20_000], dtype=np.float64)
+    C = np.asarray(cents, dtype=np.float64)
+    d = (C * C).sum(axis=1) - 2.0 * (X @ C.T)
+    res = X - C[d.argmin(axis=1)]
+    cbs = pq_train(res.tolist(), m=M, ksub=KSUB, iters=12)
     t_pq = time.time() - t
     emit(case="train", sec=round(t_kmeans + t_pq, 2),
          kmeans_sec=round(t_kmeans, 2), pq_sec=round(t_pq, 2),
