@@ -1,18 +1,24 @@
 """ANN-family scale smoke (VERDICT r11 next-round #5): the HDR-smoke
-treatment for IVF/PQ/IVFADC. 10M synthetic 64-dim vectors (200 true
-clusters, hash-derandomized) through the REAL deployment path:
+treatment for IVF/PQ/IVFADC. 10M synthetic 64-dim vectors — 20k fine
+subclusters nested in 200 coarse clusters with a decaying noise
+spectrum (hash-derandomized; i.i.d. ball noise makes all neighbors
+equidistant, which no sublinear method can rank) — through the REAL
+deployment path:
 
   * corpus generation -> Parquet (the index never sees the generator),
-  * kmeans_centroids coarse quantizer on a 100k sample (3 iterations),
-  * pq_train codebooks on a 20k driver sample (Jegou TPAMI 2011: train
-    small, encode big),
-  * write_ann_index -> durable cell-partitioned IVFADC artifact,
-  * nprobe sweep {1,2,4,8,16} via ann_index_topk(refine=100): probe
-    latency + recall@10 vs brute_force_topk ground truth on 32 queries,
-  * partition-pruning evidence: PartitionFilters in the probe-side scan
-    plan + inputFiles() count pruned vs full,
-  * cell imbalance factor from the index itself (expected ADC scan cost
-    per probe is n * sum(frac_i^2) / balanced).
+  * kmeans_train_sample 256-cell coarse quantizer + pq_train PQ8x8
+    codebooks trained on RESIDUALS, both from one 100k driver sample
+    (Jegou TPAMI 2011 / FAISS practice: train small, encode big),
+  * write_ann_index(encoder="arrow", store_vectors=True) -> durable
+    cell-partitioned IVFADC artifact, one file per cell,
+  * SQL-vs-Arrow encoder head-to-head on a warm 100k slice,
+  * nprobe sweep {1,2,4,8,16} + refine sweep {50,200,500} via
+    ann_index_topk: probe latency + recall@10 vs brute_force_topk
+    ground truth on 32 queries,
+  * partition-pruning evidence: PartitionFilters in the probe-side
+    scan plan + input_file_name() distinct counts pruned vs full,
+  * cell imbalance factor from the index itself (expected ADC scan
+    cost per probe is n * sum(frac_i^2) / balanced).
 
 Usage: python tools/scale_smoke_ann.py            (N=10M, ~minutes)
        SMOKE_ANN_N=2000000 python tools/scale_smoke_ann.py   (quick)
