@@ -61,6 +61,77 @@ def brute_force_topk(corpus: DataFrame, query: DataFrame, k: int = 10,
             .where(F.col("__rk") <= k).drop("__rk"))
 
 
+def brute_force_topk_arrow(corpus: DataFrame, query: DataFrame,
+                           k: int = 10, id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           chunk: int = 8192) -> DataFrame:
+    """Vectorized twin of :func:`brute_force_topk` — same output
+    contract (query_id, neighbor_id, cos_sim rounded to 6 dp, self
+    excluded, exact top-k with ties to the lowest neighbor_id).
+
+    Exact kNN is the ground-truth kernel every ANN evaluation needs
+    (recall@k has no meaning without it), and the SQL fold path pays
+    ~3 array-fold evaluations per (corpus row x query); here each
+    corpus batch is ONE numpy matmul against the collected query
+    matrix, a per-batch top-k preselection (argpartition) shrinks the
+    shuffle to k rows per (query, batch), and a final window takes the
+    exact global top-k.  The query side must be collect-small (it is
+    broadcast in the SQL twin for the same reason).  Measured: see
+    SCALE.md "Round-12 findings"."""
+    import numpy as np
+    import pandas as pd
+
+    from carbonapi_spark.datapipe import spread
+
+    qrows = (query.select(F.col(id_col), _as_double(F.col(vec_col))
+                          .alias("__qv")).collect())
+    if not qrows:
+        return (query.sparkSession.createDataFrame(
+            [], f"query_id {query.schema[id_col].dataType.simpleString()},"
+                f" neighbor_id {corpus.schema[id_col].dataType.simpleString()},"
+                f" cos_sim double"))
+    qids = np.array([r[id_col] for r in qrows])
+    Q = np.array([np.asarray(r["__qv"], dtype=np.float64) for r in qrows])
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
+    id_dt = corpus.schema[id_col].dataType.simpleString()
+    q_dt = query.schema[id_col].dataType.simpleString()
+    schema = (f"`query_id` {q_dt}, `neighbor_id` {id_dt}, "
+              f"`cos_sim` double")
+    kk = k + 1  # self may occupy one slot before the final filter
+
+    def scan(batches):
+        for pdf in batches:
+            for lo in range(0, len(pdf), chunk):
+                part = pdf.iloc[lo:lo + chunk]
+                ids = part[id_col].to_numpy()
+                X = np.array([np.asarray(v, dtype=np.float64)
+                              for v in part[vec_col]])
+                Xn = X / np.maximum(np.linalg.norm(X, axis=1,
+                                                   keepdims=True), 1e-300)
+                sims = Xn @ Qn.T                       # n x |Q|
+                top = min(kk, len(ids))
+                sel = np.argpartition(-sims, top - 1, axis=0)[:top]
+                out_q, out_n, out_s = [], [], []
+                for j in range(len(qids)):
+                    rows = sel[:, j]
+                    out_q.extend([qids[j]] * len(rows))
+                    out_n.extend(ids[rows])
+                    out_s.extend(np.round(sims[rows, j], 6))
+                yield pd.DataFrame({"query_id": out_q,
+                                    "neighbor_id": out_n,
+                                    "cos_sim": out_s})
+
+    cand = (spread(corpus, min_bytes=256 << 10)
+            .select(F.col(id_col),
+                    F.col(vec_col).cast("array<double>").alias(vec_col))
+            .mapInPandas(scan, schema)
+            .where(F.col("neighbor_id") != F.col("query_id")))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(),
+                                               F.col("neighbor_id"))
+    return (cand.withColumn("__rk", F.row_number().over(w))
+            .where(F.col("__rk") <= k).drop("__rk"))
+
+
 def hyperplane_signature(vec: Column, planes: list[list[float]]) -> Column:
     """Random-hyperplane LSH signature: bit i = sign(dot(vec, plane_i))."""
     bits = [F.when(dot(_as_double(vec), F.array(*[F.lit(p) for p in plane])) > 0,

@@ -14,8 +14,9 @@ import pytest
 from pyspark.sql import functions as F
 
 from carbonapi_spark.datapipe.similarity import (
-    ann_index_topk, ivf_centroids, ivfpq_encode, ivfpq_encode_arrow,
-    pq_codebooks, write_ann_index)
+    ann_index_topk, brute_force_topk, brute_force_topk_arrow,
+    ivf_centroids, ivfpq_encode, ivfpq_encode_arrow, pq_codebooks,
+    write_ann_index)
 
 DIM, M, KSUB, K_CELLS, N = 16, 4, 8, 6, 300
 
@@ -114,6 +115,23 @@ def test_store_vectors_refine_without_corpus(vecs, spark, tmp_path):
             for r in ann_index_topk(spark, p_sql, query, k=5, nprobe=2,
                                     refine=20, corpus=vecs).collect()}
     assert stored == full
+
+
+def test_brute_force_arrow_matches_sql(vecs):
+    """The exact-kNN ground-truth kernel must be EXACT: the Arrow twin
+    returns the same (query_id, neighbor_id, cos_sim) rows as the SQL
+    fold path, values included."""
+    query = vecs.where(F.col("vec_id") % 41 == 5)
+    want = {(r["query_id"], r["neighbor_id"], r["cos_sim"])
+            for r in brute_force_topk(vecs, query, k=7).collect()}
+    got = {(r["query_id"], r["neighbor_id"], r["cos_sim"])
+           for r in brute_force_topk_arrow(vecs, query, k=7).collect()}
+    assert got == want
+    # chunk boundaries must not change the result either
+    got17 = {(r["query_id"], r["neighbor_id"], r["cos_sim"])
+             for r in brute_force_topk_arrow(vecs, query, k=7,
+                                             chunk=17).collect()}
+    assert got17 == want
 
 
 def test_kmeans_train_sample_deterministic_and_clusters():

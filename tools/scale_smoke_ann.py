@@ -185,13 +185,23 @@ def main():
         "vec_id BIGINT, embedding ARRAY<DOUBLE>")
     nq = query.count()
 
-    # ---- ground truth: exact brute-force cosine top-10.
+    # ---- ground truth: exact brute-force cosine top-10 via the Arrow
+    # kernel (pinned row+value-identical to the SQL twin in
+    # tests/test_ann_arrow.py).  SMOKE_ANN_SQL_BRUTE=1 also times the
+    # SQL fold path for the twin head-to-head (10 extra minutes at
+    # 10M; measured once: 587s vs the Arrow kernel below).
+    from carbonapi_spark.datapipe.similarity import brute_force_topk_arrow
     t = time.time()
     truth = {(r["query_id"], r["neighbor_id"])
-             for r in brute_force_topk(corpus, query, k=K).collect()}
+             for r in brute_force_topk_arrow(corpus, query,
+                                             k=K).collect()}
     t_brute = time.time() - t
-    emit(case="brute_force", sec=round(t_brute, 2), queries=nq,
+    emit(case="brute_force_arrow", sec=round(t_brute, 2), queries=nq,
          pairs=len(truth))
+    if os.environ.get("SMOKE_ANN_SQL_BRUTE"):
+        t = time.time()
+        brute_force_topk(corpus, query, k=K).count()
+        emit(case="brute_force_sql", sec=round(time.time() - t, 2))
 
     # ---- partition-pruning evidence at nprobe=4: the probed scan's
     # plan must carry PartitionFilters on cell, and inputFiles() must
