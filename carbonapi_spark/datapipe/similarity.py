@@ -1144,7 +1144,8 @@ def ivf_cell_stats(corpus: DataFrame, id_col: str = "vec_id",
 
 
 def append_ann_index(df: DataFrame, path: str, id_col: str = "vec_id",
-                     vec_col: str = "embedding") -> None:
+                     vec_col: str = "embedding",
+                     encoder: str = "sql") -> None:
     """Add new vectors to an existing :func:`write_ann_index` layout
     WITHOUT rebuilding: encode the delta with the index's own stored
     centroids/codebooks (quantizers are frozen at build time — FAISS's
@@ -1159,11 +1160,12 @@ def append_ann_index(df: DataFrame, path: str, id_col: str = "vec_id",
     spark = df.sparkSession
     codes, centroids, codebooks, l2_cells, residual = \
         read_ann_index(spark, path)
-    delta = ivfpq_encode(df, codebooks, centroids, id_col, vec_col,
-                         l2_cells=l2_cells, residual=residual,
-                         keep_vec=vec_col in codes.columns)
-    delta.write.mode("append").partitionBy("cell") \
-        .parquet(f"{path}/codes")
+    enc = ivfpq_encode_arrow if encoder == "arrow" else ivfpq_encode
+    delta = enc(df, codebooks, centroids, id_col, vec_col,
+                l2_cells=l2_cells, residual=residual,
+                keep_vec=vec_col in codes.columns)
+    delta.repartition(F.col("cell")).write.mode("append") \
+        .partitionBy("cell").parquet(f"{path}/codes")
 
 
 def sq8_ranges(vecs: DataFrame, dim: int = 64,
