@@ -741,6 +741,44 @@ def ivfpq_encode_arrow(df: DataFrame, codebooks: list[list[list[float]]],
         .mapInPandas(encode, schema)
 
 
+def _driver_probe_tables(query: DataFrame, cents: list[list[float]],
+                         cbs: list[list[list[float]]], nprobe: int,
+                         id_col: str, vec_col: str, l2: bool,
+                         residual: bool, dsub: int) -> DataFrame:
+    """(query_id, __cell, __dtab) probe rows computed driver-side in
+    numpy — the ``query_tables="driver"`` path of :func:`ivfpq_topk`.
+    Cell ranking matches the SQL path's convention (score desc, ties to
+    the lowest cell index: stable argsort on the negated scores)."""
+    import numpy as np
+    spark = query.sparkSession
+    rows = query.select(F.col(id_col).alias("q"),
+                        F.col(vec_col).cast("array<double>")
+                        .alias("v")).collect()
+    C = np.asarray(cents, dtype=np.float64)
+    CB = [np.asarray(cb, dtype=np.float64) for cb in cbs]
+    cn = (C * C).sum(axis=1)
+
+    def dtab_for(vec):
+        return [((vec[j * dsub:(j + 1) * dsub] - CB[j]) ** 2)
+                .sum(axis=1).tolist() for j in range(len(CB))]
+
+    out = []
+    for r in rows:
+        x = np.asarray(r["v"], dtype=np.float64)
+        s = C @ x
+        if l2:
+            s = 2.0 * s - cn
+        order = np.argsort(-s, kind="stable")[:nprobe]
+        shared = None if residual else dtab_for(x)
+        for cell0 in order:
+            dtab = dtab_for(x - C[cell0]) if residual else shared
+            out.append((r["q"], int(cell0) + 1, dtab))
+    q_dt = query.schema[id_col].dataType.simpleString()
+    return spark.createDataFrame(
+        out, f"`query_id` {q_dt}, `__cell` int, "
+             f"`__dtab` array<array<double>>")
+
+
 def ivfpq_topk(corpus: DataFrame, query: DataFrame, k: int = 10,
                id_col: str = "vec_id", vec_col: str = "embedding",
                dim: int = 64, n_centroids: int = 16, nprobe: int = 2,
@@ -750,7 +788,8 @@ def ivfpq_topk(corpus: DataFrame, query: DataFrame, k: int = 10,
                codes: DataFrame | None = None, cell_col: str = "cell",
                code_col: str = "codes", refine: int | None = None,
                centroids: list[list[float]] | None = None,
-               residual: bool = False) -> DataFrame:
+               residual: bool = False,
+               query_tables: str = "sql") -> DataFrame:
     """IVFADC — the FAISS ``IVFx,PQy`` composition (Jegou et al., TPAMI
     2011, sec. V): a coarse spherical quantizer (``ivf_centroids``)
     bounds the scan to the ~n*nprobe/n_centroids codes in the probed
@@ -803,7 +842,18 @@ def ivfpq_topk(corpus: DataFrame, query: DataFrame, k: int = 10,
     cell_dots = _cell_score_sql(qv, cents, l2=l2_cells)
     wq = Window.partitionBy("query_id").orderBy(F.col("__dot").desc(),
                                                 F.col("__pos"))
-    if residual:
+    if query_tables == "driver":
+        # deployment fast path: the query batch is tiny (it is collected
+        # for partition pruning anyway), so probe cells + ADC distance
+        # tables are computed in numpy and joined as DATA — the "sql"
+        # default instead inlines n_centroids*dim + m*ksub*dsub literal
+        # expressions, whose parse+codegen costs ~10s of fixed latency
+        # per probe batch at (256 cells, PQ8x8). Values can differ from
+        # the SQL fold in the last ulp (numpy sum order), so catalog
+        # oracle entries keep the default.
+        q = _driver_probe_tables(query, cents, cbs, nprobe, id_col,
+                                 vec_col, l2_cells, residual, dsub)
+    elif residual:
         # probe cells FIRST, then one distance table per (query, cell)
         # from the matching residual — computed once per probe row
         q0 = (query.selectExpr(f"{id_col} as query_id", f"{qv} as __qv",
@@ -1073,7 +1123,8 @@ def ann_index_topk(spark, path: str, query: DataFrame, k: int = 10,
                    nprobe: int = 2, refine: int | None = None,
                    corpus: DataFrame | None = None,
                    id_col: str = "vec_id",
-                   vec_col: str = "embedding") -> DataFrame:
+                   vec_col: str = "embedding",
+                   query_tables: str = "sql") -> DataFrame:
     """Probe a durable :func:`write_ann_index` artifact.
 
     The query batch is small by definition, so its probe cells are
@@ -1093,19 +1144,36 @@ def ann_index_topk(spark, path: str, query: DataFrame, k: int = 10,
                          "index built with store_vectors=True, for the "
                          "exact rerank stage")
     dim = len(cents[0])
-    v = f"cast({vec_col} as array<double>)"
-    scores = _cell_score_sql(v, cents, l2=l2_cells)
-    probe_rows = (query.selectExpr(f"{id_col} as query_id",
-                                   f"{scores} as __d")
-                  .select("query_id",
-                          F.posexplode("__d").alias("__pos", "__s"))
-                  .withColumn("__rk", F.row_number().over(
-                      Window.partitionBy("query_id")
-                      .orderBy(F.col("__s").desc(), F.col("__pos"))))
-                  .where(F.col("__rk") <= nprobe)
-                  .select((F.col("__pos") + 1).cast("int").alias("cell"))
-                  .distinct().collect())
-    cells = sorted(r["cell"] for r in probe_rows)
+    if query_tables == "driver":
+        # same cell ranking, computed in numpy from the collected query
+        # batch — skips parsing an n_centroids*dim-literal expression
+        import numpy as np
+        C = np.asarray(cents, dtype=np.float64)
+        cn = (C * C).sum(axis=1)
+        cells_set = set()
+        for r in query.select(F.col(vec_col).cast("array<double>")
+                              .alias("v")).collect():
+            s = C @ np.asarray(r["v"], dtype=np.float64)
+            if l2_cells:
+                s = 2.0 * s - cn
+            for cell0 in np.argsort(-s, kind="stable")[:nprobe]:
+                cells_set.add(int(cell0) + 1)
+        cells = sorted(cells_set)
+    else:
+        v = f"cast({vec_col} as array<double>)"
+        scores = _cell_score_sql(v, cents, l2=l2_cells)
+        probe_rows = (query.selectExpr(f"{id_col} as query_id",
+                                       f"{scores} as __d")
+                      .select("query_id",
+                              F.posexplode("__d").alias("__pos", "__s"))
+                      .withColumn("__rk", F.row_number().over(
+                          Window.partitionBy("query_id")
+                          .orderBy(F.col("__s").desc(), F.col("__pos"))))
+                      .where(F.col("__rk") <= nprobe)
+                      .select((F.col("__pos") + 1).cast("int")
+                              .alias("cell"))
+                      .distinct().collect())
+        cells = sorted(r["cell"] for r in probe_rows)
     pruned = codes.where(F.col("cell").isin(cells))
     if refine is not None and corpus is None:
         # stored-vector rerank: candidates can only come from probed
@@ -1115,7 +1183,8 @@ def ann_index_topk(spark, path: str, query: DataFrame, k: int = 10,
                       dim=dim, nprobe=nprobe, codebooks=cbs,
                       codes=pruned, refine=refine, centroids=(
                           cents if l2_cells else None),
-                      n_centroids=len(cents), residual=residual)
+                      n_centroids=len(cents), residual=residual,
+                      query_tables=query_tables)
 
 
 def ivf_cell_stats(corpus: DataFrame, id_col: str = "vec_id",

@@ -117,6 +117,26 @@ def test_store_vectors_refine_without_corpus(vecs, spark, tmp_path):
     assert stored == full
 
 
+@pytest.mark.parametrize("residual", [False, True])
+def test_driver_probe_tables_match_sql(vecs, spark, tmp_path, residual):
+    """query_tables="driver" (numpy probe cells + ADC distance tables
+    joined as data) returns the same top-k as the literal-SQL default,
+    with and without residual coding and with refine."""
+    cbs = pq_codebooks(DIM, M, KSUB, seed=44)
+    cents = _centroids(True)
+    p = str(tmp_path / "qt")
+    write_ann_index(vecs, p, cbs, cents, l2_cells=True, residual=residual,
+                    store_vectors=True)
+    query = vecs.where(F.col("vec_id") % 97 == 3)
+    run = lambda qt, refine: {(r["query_id"], r["neighbor_id"])
+                              for r in ann_index_topk(
+                                  spark, p, query, k=5, nprobe=2,
+                                  refine=refine,
+                                  query_tables=qt).collect()}
+    assert run("driver", None) == run("sql", None)
+    assert run("driver", 20) == run("sql", 20)
+
+
 def test_brute_force_arrow_matches_sql(vecs):
     """The exact-kNN ground-truth kernel must be EXACT: the Arrow twin
     returns the same (query_id, neighbor_id, cos_sim) rows as the SQL

@@ -222,27 +222,37 @@ def main():
 
     # ---- warmup probe (index read + plan compile) so sweep timings
     # compare probe work, not first-touch overhead.
-    ann_index_topk(spark, f"{WORK}/index", query, k=K, nprobe=1).collect()
+    ann_index_topk(spark, f"{WORK}/index", query, k=K, nprobe=1,
+                   query_tables="driver").collect()
 
     # ---- nprobe sweep: durable-index probe with exact top-200 refine.
     for nprobe in NPROBES:
         t = time.time()
         got = {(r["query_id"], r["neighbor_id"])
                for r in ann_index_topk(spark, f"{WORK}/index", query,
-                                       k=K, nprobe=nprobe,
-                                       refine=REFINE).collect()}
+                                       k=K, nprobe=nprobe, refine=REFINE,
+                                       query_tables="driver").collect()}
         sec = time.time() - t
         emit(case=f"ivfadc_nprobe_{nprobe}", sec=round(sec, 2),
              nprobe=nprobe, recall_at_10=round(len(got & truth)
                                                / max(len(truth), 1), 4),
              speedup_vs_brute=round(t_brute / sec, 2))
 
+    # ---- literal-SQL query tables at nprobe=2 for contrast: the
+    # default path inlines n_centroids*dim + m*ksub*dsub literals,
+    # whose parse+codegen is fixed latency per probe batch.
+    t = time.time()
+    ann_index_topk(spark, f"{WORK}/index", query, k=K, nprobe=2,
+                   refine=REFINE).collect()
+    emit(case="probe_sql_tables_nprobe_2", sec=round(time.time() - t, 2))
+
     # ---- stored-vector vs full-corpus rerank at nprobe=4: the
     # store_vectors layout turns refine's vector gather into a
     # partition-pruned read instead of a second corpus scan.
     t = time.time()
     ann_index_topk(spark, f"{WORK}/index", query, k=K, nprobe=4,
-                   refine=REFINE, corpus=corpus).collect()
+                   refine=REFINE, corpus=corpus,
+                   query_tables="driver").collect()
     emit(case="refine_via_corpus_scan", sec=round(time.time() - t, 2))
 
     # ---- refine sweep at nprobe=4: with cluster-shaped corpora the
@@ -252,8 +262,8 @@ def main():
         t = time.time()
         got = {(r["query_id"], r["neighbor_id"])
                for r in ann_index_topk(spark, f"{WORK}/index", query,
-                                       k=K, nprobe=4,
-                                       refine=refine).collect()}
+                                       k=K, nprobe=4, refine=refine,
+                                       query_tables="driver").collect()}
         emit(case=f"ivfadc_refine_{refine}", sec=round(time.time() - t, 2),
              refine=refine, recall_at_10=round(len(got & truth)
                                                / max(len(truth), 1), 4))
@@ -263,7 +273,8 @@ def main():
     t = time.time()
     adc = {(r["query_id"], r["neighbor_id"])
            for r in ann_index_topk(spark, f"{WORK}/index", query,
-                                   k=K, nprobe=8).collect()}
+                                   k=K, nprobe=8,
+                                   query_tables="driver").collect()}
     emit(case="adc_only_nprobe_8", sec=round(time.time() - t, 2),
          recall_at_10=round(len(adc & truth) / max(len(truth), 1), 4))
 
