@@ -1237,6 +1237,35 @@ def append_ann_index(df: DataFrame, path: str, id_col: str = "vec_id",
         .partitionBy("cell").parquet(f"{path}/codes")
 
 
+def stream_append_ann_index(stream_df: DataFrame, path: str,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            encoder: str = "sql",
+                            checkpoint_dir: str | None = None):
+    """Streaming twin of :func:`append_ann_index`: a ``foreachBatch``
+    sink that encodes each micro-batch of new vectors with the index's
+    frozen quantizers and appends into the cell partitions — "ingest is
+    a stream" for the ANN family, like ``stream_minhash``'s relationship
+    to the batch band index.
+
+    Delivery is the foreachBatch contract: exactly-once under normal
+    operation, at-least-once across failure replays (an epoch retried
+    after a partial append can duplicate ids — dedupe at probe time or
+    compact the cell partitions; the quantizers being frozen means a
+    replayed row re-encodes identically, so duplicates are exact and
+    trivially collapsible).  Returns the started StreamingQuery
+    (availableNow trigger — the repo's replay-exact test convention)."""
+    def _sink(batch_df: DataFrame, _epoch: int) -> None:
+        if batch_df.isEmpty():
+            return
+        append_ann_index(batch_df, path, id_col, vec_col, encoder=encoder)
+
+    w = stream_df.writeStream.foreachBatch(_sink)
+    if checkpoint_dir is not None:
+        w = w.option("checkpointLocation", checkpoint_dir)
+    return w.trigger(availableNow=True).start()
+
+
 def sq8_ranges(vecs: DataFrame, dim: int = 64,
                vec_col: str = "embedding") -> list[tuple[float, float]]:
     """Per-dimension (min, max) training for 8-bit scalar quantization

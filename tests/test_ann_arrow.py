@@ -171,6 +171,37 @@ def test_kmeans_train_sample_deterministic_and_clusters():
     assert got == [(0, 0), (0, 10), (10, 0), (10, 10)]
 
 
+def test_stream_append_ann_index_equals_batch_build(vecs, spark,
+                                                    tmp_path):
+    """Building on half the corpus, then streaming the other half in
+    two micro-batches through stream_append_ann_index, equals the
+    one-shot full build — codes table and probe results both."""
+    from carbonapi_spark.datapipe.similarity import stream_append_ann_index
+    cbs = pq_codebooks(DIM, M, KSUB, seed=44)
+    cents = _centroids(True)
+    full, grown = str(tmp_path / "full"), str(tmp_path / "grown")
+    write_ann_index(vecs, full, cbs, cents, l2_cells=True, residual=True)
+    first = vecs.where(F.col("vec_id") < N // 2)
+    rest = vecs.where(F.col("vec_id") >= N // 2)
+    write_ann_index(first, grown, cbs, cents, l2_cells=True,
+                    residual=True)
+    src = str(tmp_path / "src")
+    rest.repartition(2).write.mode("overwrite").parquet(src)
+    stream = (spark.readStream.schema(rest.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = stream_append_ann_index(stream, grown,
+                                checkpoint_dir=str(tmp_path / "ckpt"))
+    q.awaitTermination()
+    read = lambda p: {r["vec_id"]: (r["cell"], list(r["codes"]))
+                      for r in spark.read.parquet(f"{p}/codes").collect()}
+    assert read(grown) == read(full)
+    query = vecs.where(F.col("vec_id") % 97 == 3)
+    topk = lambda p: {(r["query_id"], r["neighbor_id"])
+                      for r in ann_index_topk(spark, p, query, k=5,
+                                              nprobe=2).collect()}
+    assert topk(grown) == topk(full)
+
+
 def test_refine_without_vectors_still_errors(vecs, spark, tmp_path):
     cbs = pq_codebooks(DIM, M, KSUB, seed=44)
     cents = _centroids(False)
