@@ -73,11 +73,22 @@ def brute_force_topk_arrow(corpus: DataFrame, query: DataFrame,
     (recall@k has no meaning without it), and the SQL fold path pays
     ~3 array-fold evaluations per (corpus row x query); here each
     corpus batch is ONE numpy matmul against the collected query
-    matrix, a per-batch top-k preselection (argpartition) shrinks the
-    shuffle to k rows per (query, batch), and a final window takes the
-    exact global top-k.  The query side must be collect-small (it is
-    broadcast in the SQL twin for the same reason).  Measured: see
-    SCALE.md "Round-12 findings"."""
+    matrix, a per-batch top-k preselection shrinks the shuffle to
+    ~k rows per (query, batch), and a final window takes the exact
+    global top-k.  Preselection thresholds on the ROUNDED similarity
+    and keeps every row tying the k-th value, so boundary ties resolve
+    in the global window exactly like the SQL twin (ties to the lowest
+    neighbor_id) even when a chunk holds duplicate vectors.  The query
+    side must be collect-small (it is broadcast in the SQL twin for
+    the same reason).
+
+    Degenerate-input caveat: corpus rows with NULL or zero-norm
+    embeddings are omitted here, while the SQL twin carries them with
+    NULL cos_sim (ranked last) — results differ only when fewer than
+    ``k`` well-defined candidates exist.  Values are the same 6-dp
+    rounding of sums whose order differs between numpy and the SQL
+    fold, so a last-ulp boundary flip is possible in principle.
+    Measured: see SCALE.md "Round-12 findings"."""
     import numpy as np
     import pandas as pd
 
@@ -101,22 +112,31 @@ def brute_force_topk_arrow(corpus: DataFrame, query: DataFrame,
 
     def scan(batches):
         for pdf in batches:
+            # omit NULL embeddings (SQL twin: NULL cos_sim, ranked last)
+            pdf = pdf[pdf[vec_col].notna()]
             for lo in range(0, len(pdf), chunk):
                 part = pdf.iloc[lo:lo + chunk]
                 ids = part[id_col].to_numpy()
                 X = np.array([np.asarray(v, dtype=np.float64)
                               for v in part[vec_col]])
-                Xn = X / np.maximum(np.linalg.norm(X, axis=1,
-                                                   keepdims=True), 1e-300)
-                sims = Xn @ Qn.T                       # n x |Q|
+                norms = np.linalg.norm(X, axis=1, keepdims=True)
+                finite = norms[:, 0] > 0
+                if not finite.all():   # zero-norm: see docstring caveat
+                    X, ids, norms = X[finite], ids[finite], norms[finite]
+                if not len(ids):
+                    continue
+                rsims = np.round((X / norms) @ Qn.T, 6)  # n x |Q|
                 top = min(kk, len(ids))
-                sel = np.argpartition(-sims, top - 1, axis=0)[:top]
+                kth = np.partition(rsims, len(ids) - top,
+                                   axis=0)[len(ids) - top]
                 out_q, out_n, out_s = [], [], []
                 for j in range(len(qids)):
-                    rows = sel[:, j]
+                    # >= kth keeps every boundary tie; the global window
+                    # then breaks them by neighbor_id like the SQL twin
+                    rows = np.nonzero(rsims[:, j] >= kth[j])[0]
                     out_q.extend([qids[j]] * len(rows))
                     out_n.extend(ids[rows])
-                    out_s.extend(np.round(sims[rows, j], 6))
+                    out_s.extend(rsims[rows, j])
                 yield pd.DataFrame({"query_id": out_q,
                                     "neighbor_id": out_n,
                                     "cos_sim": out_s})
@@ -710,6 +730,19 @@ def ivfpq_encode_arrow(df: DataFrame, codebooks: list[list[list[float]]],
 
     def encode(batches):
         for pdf in batches:
+            # NULL embeddings: the SQL path emits cell=NULL and
+            # codes=[0]*m (its argmin fold keeps the (inf, 0) init
+            # struct under null comparisons) — match it instead of
+            # crashing the whole job on one row
+            nulls = pdf[pdf[vec_col].isna()]
+            if len(nulls):
+                out = {id_col: nulls[id_col].to_numpy(),
+                       cell_col: [None] * len(nulls),
+                       code_col: [[0] * len(CB)] * len(nulls)}
+                if keep_vec:
+                    out[vec_col] = [None] * len(nulls)
+                yield pd.DataFrame(out)
+                pdf = pdf[pdf[vec_col].notna()]
             n = len(pdf)
             for lo in range(0, n, chunk):
                 part = pdf.iloc[lo:lo + chunk]
@@ -741,16 +774,16 @@ def ivfpq_encode_arrow(df: DataFrame, codebooks: list[list[list[float]]],
         .mapInPandas(encode, schema)
 
 
-def _driver_probe_tables(query: DataFrame, cents: list[list[float]],
-                         cbs: list[list[list[float]]], nprobe: int,
-                         id_col: str, vec_col: str, l2: bool,
-                         residual: bool, dsub: int) -> DataFrame:
-    """(query_id, __cell, __dtab) probe rows computed driver-side in
-    numpy — the ``query_tables="driver"`` path of :func:`ivfpq_topk`.
-    Cell ranking matches the SQL path's convention (score desc, ties to
-    the lowest cell index: stable argsort on the negated scores)."""
+def _driver_probe_rows(query: DataFrame, cents: list[list[float]],
+                       cbs: list[list[list[float]]], nprobe: int,
+                       id_col: str, vec_col: str, l2: bool,
+                       residual: bool, dsub: int) -> list[tuple]:
+    """(query_id, cell, dtab) probe rows computed driver-side in numpy
+    — ONE query collect serves both partition pruning and the ADC
+    distance tables.  Cell ranking matches the SQL path's convention
+    (score desc, ties to the lowest cell index: stable argsort on the
+    negated scores)."""
     import numpy as np
-    spark = query.sparkSession
     rows = query.select(F.col(id_col).alias("q"),
                         F.col(vec_col).cast("array<double>")
                         .alias("v")).collect()
@@ -773,10 +806,27 @@ def _driver_probe_tables(query: DataFrame, cents: list[list[float]],
         for cell0 in order:
             dtab = dtab_for(x - C[cell0]) if residual else shared
             out.append((r["q"], int(cell0) + 1, dtab))
+    return out
+
+
+def _probe_rows_df(spark, query: DataFrame, id_col: str,
+                   rows: list[tuple]) -> DataFrame:
     q_dt = query.schema[id_col].dataType.simpleString()
     return spark.createDataFrame(
-        out, f"`query_id` {q_dt}, `__cell` int, "
-             f"`__dtab` array<array<double>>")
+        rows, f"`query_id` {q_dt}, `__cell` int, "
+              f"`__dtab` array<array<double>>")
+
+
+def _driver_probe_tables(query: DataFrame, cents: list[list[float]],
+                         cbs: list[list[list[float]]], nprobe: int,
+                         id_col: str, vec_col: str, l2: bool,
+                         residual: bool, dsub: int) -> DataFrame:
+    """DataFrame form of :func:`_driver_probe_rows` — the
+    ``query_tables="driver"`` path of :func:`ivfpq_topk`."""
+    return _probe_rows_df(
+        query.sparkSession, query, id_col,
+        _driver_probe_rows(query, cents, cbs, nprobe, id_col, vec_col,
+                           l2, residual, dsub))
 
 
 def ivfpq_topk(corpus: DataFrame, query: DataFrame, k: int = 10,
@@ -789,7 +839,8 @@ def ivfpq_topk(corpus: DataFrame, query: DataFrame, k: int = 10,
                code_col: str = "codes", refine: int | None = None,
                centroids: list[list[float]] | None = None,
                residual: bool = False,
-               query_tables: str = "sql") -> DataFrame:
+               query_tables: str = "sql",
+               probe_tables: DataFrame | None = None) -> DataFrame:
     """IVFADC — the FAISS ``IVFx,PQy`` composition (Jegou et al., TPAMI
     2011, sec. V): a coarse spherical quantizer (``ivf_centroids``)
     bounds the scan to the ~n*nprobe/n_centroids codes in the probed
@@ -839,10 +890,14 @@ def ivfpq_topk(corpus: DataFrame, query: DataFrame, k: int = 10,
                           residual=residual)
              .withColumnRenamed(id_col, "neighbor_id"))
     qv = f"cast({vec_col} as array<double>)"
-    cell_dots = _cell_score_sql(qv, cents, l2=l2_cells)
-    wq = Window.partitionBy("query_id").orderBy(F.col("__dot").desc(),
-                                                F.col("__pos"))
-    if query_tables == "driver":
+    if query_tables != "driver":
+        # only the SQL branches pay these literal-heavy constructions
+        cell_dots = _cell_score_sql(qv, cents, l2=l2_cells)
+        wq = Window.partitionBy("query_id").orderBy(F.col("__dot").desc(),
+                                                    F.col("__pos"))
+    if probe_tables is not None:
+        q = probe_tables  # precomputed (query_id, __cell, __dtab) rows
+    elif query_tables == "driver":
         # deployment fast path: the query batch is tiny (it is collected
         # for partition pruning anyway), so probe cells + ADC distance
         # tables are computed in numpy and joined as DATA — the "sql"
@@ -1144,21 +1199,16 @@ def ann_index_topk(spark, path: str, query: DataFrame, k: int = 10,
                          "index built with store_vectors=True, for the "
                          "exact rerank stage")
     dim = len(cents[0])
+    probe_df = None
     if query_tables == "driver":
-        # same cell ranking, computed in numpy from the collected query
-        # batch — skips parsing an n_centroids*dim-literal expression
-        import numpy as np
-        C = np.asarray(cents, dtype=np.float64)
-        cn = (C * C).sum(axis=1)
-        cells_set = set()
-        for r in query.select(F.col(vec_col).cast("array<double>")
-                              .alias("v")).collect():
-            s = C @ np.asarray(r["v"], dtype=np.float64)
-            if l2_cells:
-                s = 2.0 * s - cn
-            for cell0 in np.argsort(-s, kind="stable")[:nprobe]:
-                cells_set.add(int(cell0) + 1)
-        cells = sorted(cells_set)
+        # ONE query collect serves both the pruning cell set and the
+        # ADC probe tables (and skips parsing the n_centroids*dim- and
+        # m*ksub*dsub-literal expressions of the SQL path)
+        dsub = len(cbs[0][0])
+        rows = _driver_probe_rows(query, cents, cbs, nprobe, id_col,
+                                  vec_col, l2_cells, residual, dsub)
+        cells = sorted({cell for _q, cell, _d in rows})
+        probe_df = _probe_rows_df(spark, query, id_col, rows)
     else:
         v = f"cast({vec_col} as array<double>)"
         scores = _cell_score_sql(v, cents, l2=l2_cells)
@@ -1184,7 +1234,7 @@ def ann_index_topk(spark, path: str, query: DataFrame, k: int = 10,
                       codes=pruned, refine=refine, centroids=(
                           cents if l2_cells else None),
                       n_centroids=len(cents), residual=residual,
-                      query_tables=query_tables)
+                      query_tables=query_tables, probe_tables=probe_df)
 
 
 def ivf_cell_stats(corpus: DataFrame, id_col: str = "vec_id",
@@ -1254,11 +1304,26 @@ def stream_append_ann_index(stream_df: DataFrame, path: str,
     compact the cell partitions; the quantizers being frozen means a
     replayed row re-encodes identically, so duplicates are exact and
     trivially collapsible).  Returns the started StreamingQuery
-    (availableNow trigger — the repo's replay-exact test convention)."""
+    (availableNow trigger — the repo's replay-exact test convention).
+
+    The frozen quantizers are read ONCE at start and captured in the
+    sink closure — a long-lived stream must not pay a codes-schema
+    read plus two parquet collects per micro-batch for model-sized
+    constants."""
+    spark = stream_df.sparkSession
+    codes, centroids, codebooks, l2_cells, residual = \
+        read_ann_index(spark, path)
+    keep_vec = vec_col in codes.columns
+    enc = ivfpq_encode_arrow if encoder == "arrow" else ivfpq_encode
+
     def _sink(batch_df: DataFrame, _epoch: int) -> None:
         if batch_df.isEmpty():
             return
-        append_ann_index(batch_df, path, id_col, vec_col, encoder=encoder)
+        delta = enc(batch_df, codebooks, centroids, id_col, vec_col,
+                    l2_cells=l2_cells, residual=residual,
+                    keep_vec=keep_vec)
+        delta.repartition(F.col("cell")).write.mode("append") \
+            .partitionBy("cell").parquet(f"{path}/codes")
 
     w = stream_df.writeStream.foreachBatch(_sink)
     if checkpoint_dir is not None:

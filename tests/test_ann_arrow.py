@@ -137,21 +137,79 @@ def test_driver_probe_tables_match_sql(vecs, spark, tmp_path, residual):
     assert run("driver", 20) == run("sql", 20)
 
 
+def _pairs(df):
+    return {(r["query_id"], r["neighbor_id"]): r["cos_sim"]
+            for r in df.collect()}
+
+
 def test_brute_force_arrow_matches_sql(vecs):
-    """The exact-kNN ground-truth kernel must be EXACT: the Arrow twin
-    returns the same (query_id, neighbor_id, cos_sim) rows as the SQL
-    fold path, values included."""
+    """The exact-kNN ground-truth kernel: the Arrow twin returns the
+    same (query_id, neighbor_id) pairs as the SQL fold path, with
+    values equal to within one 6-dp ulp (numpy sums pairwise, the SQL
+    fold sequentially — a last-bit difference can straddle a rounding
+    boundary on some BLAS builds, so exact float equality would be a
+    platform pin, not a contract)."""
     query = vecs.where(F.col("vec_id") % 41 == 5)
-    want = {(r["query_id"], r["neighbor_id"], r["cos_sim"])
-            for r in brute_force_topk(vecs, query, k=7).collect()}
-    got = {(r["query_id"], r["neighbor_id"], r["cos_sim"])
-           for r in brute_force_topk_arrow(vecs, query, k=7).collect()}
-    assert got == want
-    # chunk boundaries must not change the result either
-    got17 = {(r["query_id"], r["neighbor_id"], r["cos_sim"])
-             for r in brute_force_topk_arrow(vecs, query, k=7,
-                                             chunk=17).collect()}
-    assert got17 == want
+    want = _pairs(brute_force_topk(vecs, query, k=7))
+    for chunk in (4096, 17):   # chunk boundaries must not matter
+        got = _pairs(brute_force_topk_arrow(vecs, query, k=7,
+                                            chunk=chunk))
+        assert got.keys() == want.keys()
+        assert all(abs(got[p] - want[p]) <= 1.000001e-6 for p in want)
+
+
+def test_brute_force_arrow_tie_break_on_duplicates(spark):
+    """15 duplicate vectors nearest the query, k=10: the preselection
+    must keep ALL boundary ties so the global window resolves them to
+    the lowest neighbor_ids, exactly like the SQL twin."""
+    import random
+    rng = random.Random(9)
+    target = [round(rng.uniform(-1, 1), 6) for _ in range(DIM)]
+    far = [[round(rng.uniform(-1, 1), 6) for _ in range(DIM)]
+           for _ in range(30)]
+    rows = [(i, list(target)) for i in range(15)]          # duplicates
+    rows += [(100 + i, v) for i, v in enumerate(far)]
+    rows += [(999, list(target))]                          # the query
+    df = spark.createDataFrame(rows, "vec_id BIGINT, "
+                                     "embedding ARRAY<DOUBLE>")
+    query = df.where(F.col("vec_id") == 999)
+    want = _pairs(brute_force_topk(df, query, k=10))
+    got = _pairs(brute_force_topk_arrow(df, query, k=10, chunk=7))
+    assert got.keys() == want.keys()
+    # the ten duplicates with the LOWEST ids win
+    assert {n for _, n in got} >= set(range(10))
+
+
+def test_arrow_kernels_handle_null_embeddings(spark):
+    """One NULL embedding must not abort a 10M-row job: the Arrow
+    encoder emits the SQL path's exact (cell=NULL, codes=[0]*m) rows,
+    and the Arrow brute-force kernel omits null/zero rows (the SQL twin
+    ranks them last with NULL cos_sim — see docstring caveat)."""
+    import random
+    rng = random.Random(3)
+    rows = [(i, [round(rng.uniform(-1, 1), 6) for _ in range(DIM)])
+            for i in range(40)]
+    rows += [(98, None), (99, [0.0] * DIM)]
+    df = spark.createDataFrame(rows, "vec_id BIGINT, "
+                                     "embedding ARRAY<DOUBLE>")
+    cbs = pq_codebooks(DIM, M, KSUB, seed=44)
+    cents = _centroids(True)
+    for residual in (False, True):
+        want = {r["vec_id"]: (r["cell"],
+                              None if r["codes"] is None
+                              else list(r["codes"]))
+                for r in ivfpq_encode(df, cbs, cents, l2_cells=True,
+                                      residual=residual).collect()}
+        got = {r["vec_id"]: (r["cell"],
+                             None if r["codes"] is None
+                             else list(r["codes"]))
+               for r in ivfpq_encode_arrow(df, cbs, cents, l2_cells=True,
+                                           residual=residual).collect()}
+        assert got == want
+        assert want[98][0] is None
+    query = df.where(F.col("vec_id") == 5)
+    got = _pairs(brute_force_topk_arrow(df, query, k=7))
+    assert len(got) == 7 and all(n not in (98, 99) for _, n in got)
 
 
 def test_kmeans_train_sample_deterministic_and_clusters():
