@@ -872,6 +872,12 @@ def ivfpq_topk(corpus: DataFrame, query: DataFrame, k: int = 10,
     recall gain over raw-vector coding: see SCALE.md / the
     ``pq_ivf_residual`` catalog entry.
 
+    ``query_tables="driver"`` computes probe cells + ADC distance
+    tables in numpy and joins them as data (see the branch comment);
+    ``probe_tables=`` supplies those rows precomputed — the
+    ``ann_index_topk`` pass-through that lets one query collect serve
+    both partition pruning and the probe.
+
     Deterministic for fixed seeds — the DuckDB oracle replays cell
     assignment, encoding, probe ranking, and ADC bit-for-bit."""
     cbs = codebooks if codebooks is not None else pq_codebooks(
