@@ -82,13 +82,16 @@ def brute_force_topk_arrow(corpus: DataFrame, query: DataFrame,
     side must be collect-small (it is broadcast in the SQL twin for
     the same reason).
 
-    Degenerate-input caveat: corpus rows with NULL or zero-norm
-    embeddings are omitted here, while the SQL twin carries them with
-    NULL cos_sim (ranked last) — results differ only when fewer than
-    ``k`` well-defined candidates exist.  Values are the same 6-dp
-    rounding of sums whose order differs between numpy and the SQL
-    fold, so a last-ulp boundary flip is possible in principle.
-    Measured: see SCALE.md "Round-12 findings"."""
+    Degenerate-input caveat: rows with NULL or zero-norm embeddings
+    are omitted here on BOTH sides — corpus rows (the SQL twin carries
+    them with NULL cos_sim, ranked last; results differ only when fewer
+    than ``k`` well-defined candidates exist) and query rows (the SQL
+    twin emits k all-NULL-sim rows per degenerate query; emitting them
+    here would make the per-chunk kth threshold 0.0 and shuffle the
+    ENTIRE corpus per such query, so they are dropped instead).  Values
+    are the same 6-dp rounding of sums whose order differs between
+    numpy and the SQL fold, so a last-ulp boundary flip is possible in
+    principle.  Measured: see SCALE.md "Round-12 findings"."""
     import numpy as np
     import pandas as pd
 
@@ -96,14 +99,27 @@ def brute_force_topk_arrow(corpus: DataFrame, query: DataFrame,
 
     qrows = (query.select(F.col(id_col), _as_double(F.col(vec_col))
                           .alias("__qv")).collect())
-    if not qrows:
+    # drop NULL / zero-norm / non-finite query vectors up front
+    # (docstring caveat): a zero-norm row would zero its kth threshold
+    # and emit every corpus row in every chunk — an unbounded shuffle
+    # at 10M scale.
+    qids_l, qvecs = [], []
+    for r in qrows:
+        if r["__qv"] is None or any(v is None for v in r["__qv"]):
+            continue
+        v = np.asarray(r["__qv"], dtype=np.float64)
+        nrm = float(np.linalg.norm(v))
+        if nrm > 0.0 and math.isfinite(nrm):
+            qids_l.append(r[id_col])
+            qvecs.append(v)
+    if not qvecs:
         return (query.sparkSession.createDataFrame(
             [], f"query_id {query.schema[id_col].dataType.simpleString()},"
                 f" neighbor_id {corpus.schema[id_col].dataType.simpleString()},"
                 f" cos_sim double"))
-    qids = np.array([r[id_col] for r in qrows])
-    Q = np.array([np.asarray(r["__qv"], dtype=np.float64) for r in qrows])
-    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
+    qids = np.array(qids_l)
+    Q = np.array(qvecs)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
     id_dt = corpus.schema[id_col].dataType.simpleString()
     q_dt = query.schema[id_col].dataType.simpleString()
     schema = (f"`query_id` {q_dt}, `neighbor_id` {id_dt}, "
@@ -782,7 +798,9 @@ def _driver_probe_rows(query: DataFrame, cents: list[list[float]],
     — ONE query collect serves both partition pruning and the ADC
     distance tables.  Cell ranking matches the SQL path's convention
     (score desc, ties to the lowest cell index: stable argsort on the
-    negated scores)."""
+    negated scores).  NULL query embeddings are skipped, matching the
+    SQL probe path where ``posexplode`` of a NULL score array emits no
+    rows for that query."""
     import numpy as np
     rows = query.select(F.col(id_col).alias("q"),
                         F.col(vec_col).cast("array<double>")
@@ -797,6 +815,8 @@ def _driver_probe_rows(query: DataFrame, cents: list[list[float]],
 
     out = []
     for r in rows:
+        if r["v"] is None:   # SQL path drops NULL-embedding queries
+            continue
         x = np.asarray(r["v"], dtype=np.float64)
         s = C @ x
         if l2:
@@ -879,7 +899,15 @@ def ivfpq_topk(corpus: DataFrame, query: DataFrame, k: int = 10,
     both partition pruning and the probe.
 
     Deterministic for fixed seeds — the DuckDB oracle replays cell
-    assignment, encoding, probe ranking, and ADC bit-for-bit."""
+    assignment, encoding, probe ranking, and ADC bit-for-bit.
+
+    NULL-embedding queries are dropped up front on EVERY path (ADVICE
+    r12): before this guard the SQL path emitted k junk rows per such
+    query (all-NULL distance tables rank by ``asc`` nulls-first, so the
+    k lowest neighbor_ids in the probed cells came back with NULL
+    adc_dist) and the driver path crashed on ``np.asarray(None)``;
+    neither is an answer anyone wants."""
+    query = query.where(F.col(vec_col).isNotNull())
     cbs = codebooks if codebooks is not None else pq_codebooks(
         dim, m, ksub, seed)
     dsub = len(cbs[0][0])
@@ -1197,7 +1225,13 @@ def ann_index_topk(spark, path: str, query: DataFrame, k: int = 10,
     for the exact rerank of the ADC top-``refine``: either ``corpus=``
     (full embedding table — a second scan) or an index built with
     ``store_vectors=True``, whose rerank reads only the probed
-    partitions (preferred; ``corpus=`` then overrides if given)."""
+    partitions (preferred; ``corpus=`` then overrides if given).
+
+    NULL-embedding queries are dropped up front (ADVICE r12, same
+    guard as :func:`ivfpq_topk`) — on the SQL path they would widen
+    the pruning cell set with junk cells picked by NULL-score
+    tie-break."""
+    query = query.where(F.col(vec_col).isNotNull())
     codes, cents, cbs, l2_cells, residual = read_ann_index(spark, path)
     if refine is not None and corpus is None \
             and vec_col not in codes.columns:
@@ -1297,7 +1331,8 @@ def stream_append_ann_index(stream_df: DataFrame, path: str,
                             id_col: str = "vec_id",
                             vec_col: str = "embedding",
                             encoder: str = "sql",
-                            checkpoint_dir: str | None = None):
+                            checkpoint_dir: str | None = None,
+                            trigger: dict | None = None):
     """Streaming twin of :func:`append_ann_index`: a ``foreachBatch``
     sink that encodes each micro-batch of new vectors with the index's
     frozen quantizers and appends into the cell partitions — "ingest is
@@ -1309,13 +1344,16 @@ def stream_append_ann_index(stream_df: DataFrame, path: str,
     after a partial append can duplicate ids — dedupe at probe time or
     compact the cell partitions; the quantizers being frozen means a
     replayed row re-encodes identically, so duplicates are exact and
-    trivially collapsible).  Returns the started StreamingQuery
-    (availableNow trigger — the repo's replay-exact test convention).
+    trivially collapsible).  Returns the started StreamingQuery.
 
-    The frozen quantizers are read ONCE at start and captured in the
-    sink closure — a long-lived stream must not pay a codes-schema
-    read plus two parquet collects per micro-batch for model-sized
-    constants."""
+    ``trigger`` is passed through to ``writeStream.trigger`` verbatim
+    (e.g. ``{"processingTime": "30 seconds"}`` for continuous ingest,
+    ``{"once": True}``); the default ``{"availableNow": True}`` drains
+    available input and stops — the repo's replay-exact test
+    convention.  The frozen quantizers are read ONCE at start and
+    captured in the sink closure — a long-lived (processingTime)
+    stream must not pay a codes-schema read plus two parquet collects
+    per micro-batch for model-sized constants."""
     spark = stream_df.sparkSession
     codes, centroids, codebooks, l2_cells, residual = \
         read_ann_index(spark, path)
@@ -1334,7 +1372,7 @@ def stream_append_ann_index(stream_df: DataFrame, path: str,
     w = stream_df.writeStream.foreachBatch(_sink)
     if checkpoint_dir is not None:
         w = w.option("checkpointLocation", checkpoint_dir)
-    return w.trigger(availableNow=True).start()
+    return w.trigger(**(trigger or {"availableNow": True})).start()
 
 
 def sq8_ranges(vecs: DataFrame, dim: int = 64,

@@ -260,6 +260,66 @@ def test_stream_append_ann_index_equals_batch_build(vecs, spark,
     assert topk(grown) == topk(full)
 
 
+def test_brute_force_arrow_drops_degenerate_queries(vecs, spark):
+    """ADVICE r12: a NULL or zero-norm QUERY vector must neither crash
+    the kernel (np.asarray(None)) nor zero the per-chunk kth threshold
+    (which would emit the ENTIRE corpus for that query — an unbounded
+    shuffle at 10M scale).  Degenerate queries are dropped up front;
+    the well-defined queries in the same batch are unaffected."""
+    good = vecs.where(F.col("vec_id") % 41 == 5)
+    bad = spark.createDataFrame([(901, None), (902, [0.0] * DIM)],
+                                "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    got = _pairs(brute_force_topk_arrow(vecs, good.unionAll(bad), k=7))
+    want = _pairs(brute_force_topk_arrow(vecs, good, k=7))
+    assert got == want                      # degenerates emit nothing
+    only_bad = brute_force_topk_arrow(vecs, bad, k=7)
+    assert only_bad.count() == 0            # and an all-bad set is empty
+
+
+def test_driver_probe_rows_skip_null_query(vecs, spark, tmp_path):
+    """ADVICE r12: a NULL query embedding must not crash the
+    query_tables="driver" path (np.asarray(None) @ C).  Investigating
+    showed the SQL path was ALSO wrong — it emitted k junk rows per
+    NULL query (all-NULL distance tables rank nulls-first under asc) —
+    so both paths now drop NULL-embedding queries up front and agree."""
+    cbs = pq_codebooks(DIM, M, KSUB, seed=44)
+    cents = _centroids(True)
+    p = str(tmp_path / "nullq")
+    write_ann_index(vecs, p, cbs, cents, l2_cells=True)
+    good = vecs.where(F.col("vec_id") % 97 == 3)
+    bad = spark.createDataFrame([(903, None)],
+                                "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    run = lambda q, qt: {(r["query_id"], r["neighbor_id"])
+                         for r in ann_index_topk(
+                             spark, p, q, k=5, nprobe=2,
+                             query_tables=qt).collect()}
+    mixed = good.unionAll(bad)
+    assert run(mixed, "driver") == run(mixed, "sql") == run(good, "sql")
+
+
+def test_stream_append_trigger_param(vecs, spark, tmp_path):
+    """ADVICE r12: the trigger is a parameter now — {"once": True}
+    processes one batch and stops, producing the same grown index as
+    the default availableNow drain does over a single-file source."""
+    from carbonapi_spark.datapipe.similarity import stream_append_ann_index
+    cbs = pq_codebooks(DIM, M, KSUB, seed=44)
+    cents = _centroids(True)
+    grown = str(tmp_path / "grown_once")
+    first = vecs.where(F.col("vec_id") < N // 2)
+    rest = vecs.where(F.col("vec_id") >= N // 2)
+    write_ann_index(first, grown, cbs, cents, l2_cells=True)
+    src = str(tmp_path / "src_once")
+    rest.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(rest.schema).parquet(src)
+    q = stream_append_ann_index(stream, grown,
+                                checkpoint_dir=str(tmp_path / "ck1"),
+                                trigger={"once": True})
+    q.awaitTermination()
+    got = {r["vec_id"] for r in
+           spark.read.parquet(f"{grown}/codes").collect()}
+    assert got == {r["vec_id"] for r in vecs.collect()}
+
+
 def test_refine_without_vectors_still_errors(vecs, spark, tmp_path):
     cbs = pq_codebooks(DIM, M, KSUB, seed=44)
     cents = _centroids(False)
