@@ -798,9 +798,9 @@ def _driver_probe_rows(query: DataFrame, cents: list[list[float]],
     — ONE query collect serves both partition pruning and the ADC
     distance tables.  Cell ranking matches the SQL path's convention
     (score desc, ties to the lowest cell index: stable argsort on the
-    negated scores).  NULL query embeddings are skipped, matching the
-    SQL probe path where ``posexplode`` of a NULL score array emits no
-    rows for that query."""
+    negated scores).  NULL query embeddings are skipped — the callers
+    (:func:`ivfpq_topk` / :func:`ann_index_topk`) also filter them on
+    the SQL path, so both paths agree on dropping such queries."""
     import numpy as np
     rows = query.select(F.col(id_col).alias("q"),
                         F.col(vec_col).cast("array<double>")
@@ -815,7 +815,7 @@ def _driver_probe_rows(query: DataFrame, cents: list[list[float]],
 
     out = []
     for r in rows:
-        if r["v"] is None:   # SQL path drops NULL-embedding queries
+        if r["v"] is None:   # NULL-embedding queries are dropped
             continue
         x = np.asarray(r["v"], dtype=np.float64)
         s = C @ x
