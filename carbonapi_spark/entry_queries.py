@@ -8257,72 +8257,72 @@ _register("stream_hdr_replay", _q_stream_hdr_replay,
 # fills the remaining first-50 slots; those are all green in
 # CORRECTNESS_r01.json ∪ CORRECTNESS_r02.json.  Keep this list well under 50.
 _DRIVER_PREFIX = [
-    # ---- round 12: must-verify (plan/oracle changed this round) ----
-    # The HDR sketch family gained the int64 fixed-point range guard
-    # (values >= 2^(63-scale_pow2) dropped, mirrored in the SQL CTEs —
-    # ADVICE r11): the plans AND oracles changed, so all three need a
-    # fresh driver row.
-    "hdr_quantiles",
-    "hdr_merge_rollup",
-    "stream_hdr_replay",
-    # ---- round 12: staleness rotation (VERDICT r11 #2) ----
-    # The HUGEINT episode proved the local gate can silently diverge
-    # from the driver's pandas/Arrow hash path for a whole entry class,
-    # so driver-row freshness is itself a correctness signal.  Standing
-    # policy: after must-verify entries, fill the prefix with the
-    # longest-unverified greens, oldest first, as computed by
-    # `python tools/rotation.py` from the CORRECTNESS_r*.json history.
-    # This batch: the 47 oldest (all last green r04-r05), re-validated
-    # locally this round with tools/check_oracles.py --strict AND
-    # tools/check_oracles_pandas.py at sf0.001 + sf0.01 before
-    # rotation (the documented workflow in SCALE.md).
-    "stdev",
-    "highest_average",
-    "sort_limit",
-    "maximum_above",
-    "grep_filter",
-    "remove_above_value",
-    "divide_series",
-    "time_shift",
-    "dedup_exact",
-    "token_count",
-    "doc_quality",
-    "lang_scores",
-    "ann_topk",
-    "simhash",
-    "simhash_pairs",
-    "offset",
-    "moving_median",
-    "diff_series_lists",
-    "reduce_series",
-    "to_upper",
-    "alias_literal",
-    "alias_by_metric",
-    "lsh_topk",
-    "ivf_topk",
-    "as_percent_total",
-    "ngram_jaccard",
-    "stddev_series",
-    "range_series",
-    "median_series",
-    "last_series",
-    "summarize_align_from",
-    "smart_summarize",
-    "moving_max",
-    "pearson",
-    "linear_regression",
-    "n_percentile",
-    "aggregate_line",
-    "integral_by_interval",
-    "as_percent_nodes",
-    "as_percent_missing",
-    "weighted_average",
-    "join_and",
-    "join_sub",
-    "unique_group",
-    "most_deviant",
-    "tukey_above",
-    "time_stack",
+    # ---- round 13: must-verify (TRANSITIVE engine-code change) ----
+    # VERDICT r12 "What's wrong" #2: similarity.py absorbed ~445
+    # changed lines in r12 (query_tables/probe_tables branches,
+    # store_vectors, encoder refactors) and the r13 NULL-query guard
+    # changed the ivfpq_topk/ann_index_topk plans again, yet these
+    # entries' last driver rows date from r05-r09.  Standing policy
+    # (now codified in tools/rotation.py --changed): an entry is
+    # must-verify when ANY module in its transitive engine-dependency
+    # closure changed, not just when its own plan/oracle text did.
+    "pq_adc_topk",
+    "pq_rerank",
+    "pq_ivf_topk",
+    "pq_ivf_refine",
+    "ivf_kmeans_topk",
+    "pq_ivf_residual",
+    "ivf_cell_stats",
+    "ann_quality",
+    "margin_topk",
+    # found by the new tool, missed by the hand-made r12 list: these
+    # two also import rewritten similarity.py kernels (last rows r09)
+    "sq8_topk",
+    "rrf_fuse",
+    # ---- round 13: staleness rotation (VERDICT r12 #2) ----
+    # Next-oldest greens from `python tools/rotation.py` (the r05-r06
+    # block), re-validated locally this round with
+    # tools/check_oracles.py --strict AND tools/check_oracles_pandas.py
+    # at sf0.001 + sf0.01 before rotation (the SCALE.md workflow).
+    "slo_1d",
+    "ewma_alpha",
+    "ema",
+    "holt_winters",
+    "ks_test",
+    "series_by_tag",
+    "per_second",
+    "delay",
+    "group_by_tags",
+    "shard_assignment",
+    "pack_sequences",
+    "stratified_sample",
+    "quality_lr",
+    "bpe_token_count",
+    "chunk_documents",
+    "redact_pii",
+    "sessionize",
+    "stream_minhash_replay",
+    "square_root",
+    "logarithm",
+    "min_max",
+    "changed",
+    "remove_below_percentile",
+    "average_outside_percentile",
+    "filter_series",
+    "sort_by_name_rev",
+    "interpolate_all",
+    "group_union",
+    "remove_zero_series",
+    "count_values",
+    "lang_id",
+    "polyfit_linear",
+    "hw_bands",
+    "low_pass",
+    "fingerprints",
+    "semantic_dedup",
+    "dsir_sample",
+    "c4_rules",
+    "temperature_mix",
 ]
 # The driver checks at most _DRIVER_CAP rows per round; test_entry.py pins
 # len(_DRIVER_PREFIX) <= cap so additions can never silently evict entries
