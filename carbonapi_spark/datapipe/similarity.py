@@ -1213,8 +1213,17 @@ def ann_index_topk(spark, path: str, query: DataFrame, k: int = 10,
                    corpus: DataFrame | None = None,
                    id_col: str = "vec_id",
                    vec_col: str = "embedding",
-                   query_tables: str = "sql") -> DataFrame:
+                   query_tables: str = "sql",
+                   dedupe: bool = False) -> DataFrame:
     """Probe a durable :func:`write_ann_index` artifact.
+
+    ``dedupe=True`` collapses duplicate ids in the probed cells before
+    ranking — the probe-side answer to at-least-once replay duplicates
+    from :func:`stream_append_ann_index` (without it a duplicated id
+    occupies two of the top-k slots).  It reads only the pruned cells,
+    so the dedupe shuffle is probe-sized, not index-sized; run
+    :func:`compact_ann_index` to remove the duplicates durably instead
+    of per-probe.
 
     The query batch is small by definition, so its probe cells are
     computed DRIVER-SIDE and applied to the codes scan as a literal
@@ -1265,6 +1274,8 @@ def ann_index_topk(spark, path: str, query: DataFrame, k: int = 10,
                       .distinct().collect())
         cells = sorted(r["cell"] for r in probe_rows)
     pruned = codes.where(F.col("cell").isin(cells))
+    if dedupe:
+        pruned = pruned.dropDuplicates([id_col])
     if refine is not None and corpus is None:
         # stored-vector rerank: candidates can only come from probed
         # cells, so the vector gather inherits the partition pruning
@@ -1325,6 +1336,60 @@ def append_ann_index(df: DataFrame, path: str, id_col: str = "vec_id",
                 keep_vec=vec_col in codes.columns)
     delta.repartition(F.col("cell")).write.mode("append") \
         .partitionBy("cell").parquet(f"{path}/codes")
+
+
+def compact_ann_index(spark, path: str, id_col: str = "vec_id") -> dict:
+    """Compact the codes table of a :func:`write_ann_index` artifact:
+    collapse the exact duplicates an at-least-once replay can leave
+    behind (the :func:`stream_append_ann_index` failure mode) and merge
+    per-append small files back to ONE file per cell, preserving the
+    ``cell=`` partitioning that serves probe-time pruning.
+
+    Duplicates are exact by construction — the quantizers are frozen,
+    so a replayed row re-encodes to the identical (cell, codes[,
+    vector]) — which makes ``dropDuplicates([id])`` lossless: id ->
+    cell is a function of the frozen quantizers, so all copies of an id
+    live in the same cell and carry the same payload.
+
+    The rewrite lands at ``{path}/codes.compacting`` first, then swaps
+    in with two filesystem renames (old codes parked at
+    ``codes.precompact`` until the new directory is in place, then
+    removed) — a failure leaves either the old or the new directory
+    readable at ``{path}/codes``, never a partial mix.  NOT safe to run
+    concurrently with appends or probes: single-writer maintenance,
+    like Parquet compaction generally.  Returns row/file counts
+    before/after (files counted via ``input_file_name()`` — the
+    fragmentation metric appends accumulate)."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    HPath = jvm.org.apache.hadoop.fs.Path
+    codes_dir = HPath(f"{path}/codes")
+    fs = codes_dir.getFileSystem(hconf)
+
+    codes = spark.read.parquet(f"{path}/codes")
+    n_before = codes.count()
+    f_before = (codes.select(F.input_file_name().alias("f"))
+                .distinct().count())
+    deduped = codes.dropDuplicates([id_col])
+    # one shuffle partition per cell -> exactly one file per cell
+    (deduped.repartition(F.col("cell")).write.mode("overwrite")
+     .partitionBy("cell").parquet(f"{path}/codes.compacting"))
+
+    pre = HPath(f"{path}/codes.precompact")
+    tmp = HPath(f"{path}/codes.compacting")
+    if not fs.rename(codes_dir, pre):
+        raise IOError(f"compact_ann_index: could not park {codes_dir}")
+    if not fs.rename(tmp, codes_dir):
+        # roll back so the artifact stays readable
+        fs.rename(pre, codes_dir)
+        raise IOError(f"compact_ann_index: could not swap in {tmp}")
+    fs.delete(pre, True)
+
+    after = spark.read.parquet(f"{path}/codes")
+    return {"rows_before": n_before, "rows_after": after.count(),
+            "files_before": f_before,
+            "files_after": (after.select(F.input_file_name().alias("f"))
+                            .distinct().count())}
 
 
 def stream_append_ann_index(stream_df: DataFrame, path: str,

@@ -2014,6 +2014,50 @@ WHERE rk <= 10
 """.strip())
 
 
+def _q_ann_compact_probe(spark, sf_dir):
+    """Durable-index maintenance end-to-end (VERDICT r12 #3): build the
+    IVFADC artifact over part of the embeddings table, append an epoch,
+    append the SAME epoch again (the documented at-least-once replay
+    duplication of stream_append_ann_index), run compact_ann_index,
+    then probe.  Compaction must be invisible to query semantics: the
+    result equals the clean single-copy probe, which is exactly what
+    the oracle replays (same seeds/params as pq_ivf_topk — the full
+    corpus is write+epoch, and compaction collapses the duplicates)."""
+    import tempfile
+
+    from carbonapi_spark.datapipe.similarity import (
+        ann_index_topk, append_ann_index, compact_ann_index,
+        ivf_centroids, pq_codebooks, write_ann_index)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = ivf_centroids(64, 8, 43)
+    cbs = pq_codebooks(64, 8, 16, 44)
+    epoch = emb.where(F.col("vec_id") % 3 == 0)
+    with tempfile.TemporaryDirectory() as tmp:
+        p = f"{tmp}/ann"
+        write_ann_index(emb.where(F.col("vec_id") % 3 != 0), p, cbs,
+                        cents)
+        append_ann_index(epoch, p)
+        append_ann_index(epoch, p)      # the replayed epoch
+        stats = compact_ann_index(spark, p)
+        assert stats["rows_after"] < stats["rows_before"]
+        out = ann_index_topk(spark, p, emb.where(F.col("vec_id") < 5),
+                             k=10, nprobe=3)
+        rows = out.collect()
+        schema = out.schema
+    return spark.createDataFrame(rows, schema)
+
+
+_register("ann_compact_probe", _q_ann_compact_probe, f"""
+WITH {_ivfpq_ctes()}
+SELECT query_id, neighbor_id, adc_dist
+FROM (SELECT query_id, neighbor_id, adc_dist,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adc_dist, neighbor_id) AS rk
+      FROM adc)
+WHERE rk <= 10
+""".strip())
+
+
 def _q_semantic_dedup(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023): coarse embedding clusters bound the
     quadratic cosine comparison to within-cell pairs; a vector is dropped
@@ -8279,6 +8323,9 @@ _DRIVER_PREFIX = [
     # two also import rewritten similarity.py kernels (last rows r09)
     "sq8_topk",
     "rrf_fuse",
+    # NEW this round (always must-verify): compaction of replayed
+    # at-least-once appends, probed end-to-end
+    "ann_compact_probe",
     # ---- round 13: staleness rotation (VERDICT r12 #2) ----
     # Next-oldest greens from `python tools/rotation.py` (the r05-r06
     # block), re-validated locally this round with
@@ -8322,7 +8369,6 @@ _DRIVER_PREFIX = [
     "semantic_dedup",
     "dsir_sample",
     "c4_rules",
-    "temperature_mix",
 ]
 # The driver checks at most _DRIVER_CAP rows per round; test_entry.py pins
 # len(_DRIVER_PREFIX) <= cap so additions can never silently evict entries

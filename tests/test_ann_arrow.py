@@ -320,6 +320,49 @@ def test_stream_append_trigger_param(vecs, spark, tmp_path):
     assert got == {r["vec_id"] for r in vecs.collect()}
 
 
+def test_compact_ann_index_after_replayed_epoch(vecs, spark, tmp_path):
+    """VERDICT r12 #3: inject a replayed epoch (the documented
+    at-least-once duplication of stream_append_ann_index), then prove
+    (a) duplicates corrupt the raw top-k, (b) probe-side dedupe=True
+    restores it, (c) compact_ann_index removes the duplicates durably
+    (probe results identical pre/post), and (d) compaction leaves ONE
+    file per cell with the cell= pruning layout intact."""
+    from carbonapi_spark.datapipe.similarity import (append_ann_index,
+                                                     compact_ann_index)
+    cbs = pq_codebooks(DIM, M, KSUB, seed=44)
+    cents = _centroids(True)
+    p = str(tmp_path / "dup")
+    first = vecs.where(F.col("vec_id") < N // 2)
+    epoch = vecs.where(F.col("vec_id") >= N // 2)
+    write_ann_index(first, p, cbs, cents, l2_cells=True,
+                    store_vectors=True)
+    append_ann_index(epoch, p)
+    query = vecs.where(F.col("vec_id") % 97 == 3)
+    topk = lambda **kw: {(r["query_id"], r["neighbor_id"])
+                         for r in ann_index_topk(spark, p, query, k=5,
+                                                 nprobe=2, **kw).collect()}
+    clean = topk()
+    append_ann_index(epoch, p)            # the replayed epoch
+    rows = lambda: [(r["query_id"], r["neighbor_id"]) for r in
+                    ann_index_topk(spark, p, query, k=5,
+                                   nprobe=2).collect()]
+    dup_rows = rows()
+    assert len(dup_rows) != len(set(dup_rows)) or set(dup_rows) != clean
+    assert topk(dedupe=True) == clean     # probe-side fix
+    assert topk(dedupe=True, refine=20) == topk(refine=20, dedupe=True)
+
+    stats = compact_ann_index(spark, p)
+    assert stats["rows_after"] == N       # every vector exactly once
+    assert stats["rows_before"] > stats["rows_after"]
+    assert stats["files_after"] <= len(cents)
+    assert stats["files_after"] < stats["files_before"]
+    assert topk() == clean                # identical pre/post compaction
+    # pruning layout intact: a one-cell read touches exactly one file
+    one = (spark.read.parquet(f"{p}/codes").where(F.col("cell") == 1)
+           .select(F.input_file_name().alias("f")).distinct().count())
+    assert one == 1
+
+
 def test_refine_without_vectors_still_errors(vecs, spark, tmp_path):
     cbs = pq_codebooks(DIM, M, KSUB, seed=44)
     cents = _centroids(False)
