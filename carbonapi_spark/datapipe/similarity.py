@@ -40,11 +40,27 @@ def _as_double(col: Column) -> Column:
 
 
 def brute_force_topk(corpus: DataFrame, query: DataFrame, k: int = 10,
-                     id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     method: str = "auto") -> DataFrame:
     """Exact top-k cosine neighbors for every query vector.
 
     Broadcast the query side; the corpus is scanned once. Output:
-    (query_id, neighbor_id, cos_sim), excluding self-matches."""
+    (query_id, neighbor_id, cos_sim), excluding self-matches.
+
+    ``method`` (VERDICT r12 #4): ``"auto"`` (the default) routes to
+    :func:`brute_force_topk_arrow` — the vectorized kernel dominates
+    the SQL HOF fold at every measured size (13.0 s vs 587 s at
+    10M x 32d, ~3 array-fold evaluations per (row x query) replaced by
+    one numpy matmul per batch; SCALE.md r12) and is pinned
+    pair-identical including tie-breaks.  ``"sql"`` keeps the HOF fold
+    — the bit-replayable oracle twin (numpy sums pairwise, the fold
+    sequentially, so a 6-dp last-ulp flip is possible between the two;
+    catalog oracle entries pass method="sql" for that reason).
+    ``"arrow"`` forces the vectorized kernel explicitly."""
+    if method not in ("auto", "sql", "arrow"):
+        raise ValueError(f"method must be auto|sql|arrow, got {method!r}")
+    if method != "sql":
+        return brute_force_topk_arrow(corpus, query, k, id_col, vec_col)
     from carbonapi_spark.datapipe import spread
     corpus = spread(corpus, min_bytes=256 << 10)  # HOF dots: heavy/row
     q = query.select(F.col(id_col).alias("query_id"),
@@ -1336,6 +1352,49 @@ def append_ann_index(df: DataFrame, path: str, id_col: str = "vec_id",
                 keep_vec=vec_col in codes.columns)
     delta.repartition(F.col("cell")).write.mode("append") \
         .partitionBy("cell").parquet(f"{path}/codes")
+
+
+def ann_auto_topk(corpus: DataFrame, query: DataFrame, k: int = 10,
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  index_path: str | None = None,
+                  crossover: int = 4_000_000, nprobe: int = 2,
+                  refine: int | None = None,
+                  dedupe: bool = False) -> DataFrame:
+    """Top-k cosine neighbors routed through the measured
+    exact-vs-index crossover (VERDICT r12 #4): the vectorized exact
+    kernel below ``crossover`` corpus rows, the durable IVFADC probe
+    above it.  Output contract is uniform either way: (query_id,
+    neighbor_id, cos_sim) ranked descending — the index route forces a
+    ``refine`` exact rerank (default ``10*k``) so callers never see
+    compressed-domain distances.
+
+    The default crossover derives from the r12 10M x 32d measurements
+    (SCALE.md): exact-arrow scans at ~1.3 s per 1M rows (13.0 s at
+    10M), the tuned probe+refine reads ~nprobe/n_cells of the index
+    plus a fixed probe floor (5.2 s at 10M, nprobe=2/256) — linear
+    break-even lands near 4M rows.  It is a parameter because the real
+    crossover moves with dim, nprobe, and cell count.
+
+    Without ``index_path`` the route is ALWAYS exact, regardless of
+    size: any in-memory index must first encode the corpus — a full
+    scan costing more than the exact scan it would replace.  Build the
+    artifact once with :func:`write_ann_index` to unlock the sublinear
+    route."""
+    if index_path is None:
+        return brute_force_topk_arrow(corpus, query, k, id_col, vec_col)
+    n = corpus.count()
+    if n < crossover:
+        return brute_force_topk_arrow(corpus, query, k, id_col, vec_col)
+    spark = corpus.sparkSession
+    # prefer the stored-vector rerank (reads only probed cells); fall
+    # back to the full-corpus gather when the index lacks vectors
+    stored = vec_col in spark.read.parquet(
+        f"{index_path}/codes").schema.fieldNames()
+    return ann_index_topk(spark, index_path, query, k=k,
+                          nprobe=nprobe, refine=refine or 10 * k,
+                          corpus=None if stored else corpus,
+                          id_col=id_col, vec_col=vec_col,
+                          query_tables="driver", dedupe=dedupe)
 
 
 def compact_ann_index(spark, path: str, id_col: str = "vec_id") -> dict:

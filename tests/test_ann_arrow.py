@@ -150,7 +150,7 @@ def test_brute_force_arrow_matches_sql(vecs):
     boundary on some BLAS builds, so exact float equality would be a
     platform pin, not a contract)."""
     query = vecs.where(F.col("vec_id") % 41 == 5)
-    want = _pairs(brute_force_topk(vecs, query, k=7))
+    want = _pairs(brute_force_topk(vecs, query, k=7, method="sql"))
     for chunk in (4096, 17):   # chunk boundaries must not matter
         got = _pairs(brute_force_topk_arrow(vecs, query, k=7,
                                             chunk=chunk))
@@ -173,7 +173,7 @@ def test_brute_force_arrow_tie_break_on_duplicates(spark):
     df = spark.createDataFrame(rows, "vec_id BIGINT, "
                                      "embedding ARRAY<DOUBLE>")
     query = df.where(F.col("vec_id") == 999)
-    want = _pairs(brute_force_topk(df, query, k=10))
+    want = _pairs(brute_force_topk(df, query, k=10, method="sql"))
     got = _pairs(brute_force_topk_arrow(df, query, k=10, chunk=7))
     assert got.keys() == want.keys()
     # the ten duplicates with the LOWEST ids win
@@ -361,6 +361,36 @@ def test_compact_ann_index_after_replayed_epoch(vecs, spark, tmp_path):
     one = (spark.read.parquet(f"{p}/codes").where(F.col("cell") == 1)
            .select(F.input_file_name().alias("f")).distinct().count())
     assert one == 1
+
+
+def test_ann_auto_topk_crossover_routing(vecs, spark, tmp_path):
+    """VERDICT r12 #4: ann_auto_topk routes by the measured crossover —
+    exact vectorized kernel below it (and always without an index),
+    driver-tables index probe + exact refine above it — with the SAME
+    (query_id, neighbor_id, cos_sim) contract on both routes."""
+    from carbonapi_spark.datapipe.similarity import ann_auto_topk
+    cbs = pq_codebooks(DIM, M, KSUB, seed=44)
+    cents = _centroids(True)
+    p = str(tmp_path / "auto")
+    write_ann_index(vecs, p, cbs, cents, l2_cells=True,
+                    store_vectors=True)
+    query = vecs.where(F.col("vec_id") % 97 == 3)
+
+    below = ann_auto_topk(vecs, query, k=5, index_path=p,
+                          crossover=10**9)
+    exact = brute_force_topk_arrow(vecs, query, k=5)
+    assert _pairs(below) == _pairs(exact)
+
+    above = ann_auto_topk(vecs, query, k=5, index_path=p, crossover=0,
+                          nprobe=2, refine=20)
+    want = ann_index_topk(spark, p, query, k=5, nprobe=2, refine=20,
+                          query_tables="driver")
+    assert _pairs(above) == _pairs(want)
+    assert below.columns == above.columns == ["query_id", "neighbor_id",
+                                              "cos_sim"]
+    # no index artifact -> exact, regardless of size
+    noidx = ann_auto_topk(vecs, query, k=5)
+    assert _pairs(noidx) == _pairs(exact)
 
 
 def test_refine_without_vectors_still_errors(vecs, spark, tmp_path):
