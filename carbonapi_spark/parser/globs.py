@@ -45,8 +45,13 @@ def glob_to_regex(pattern: str, anchored: bool = True) -> str:
                 # PatternSyntaxException inside Spark rlike — a
                 # request-surface 500.  In glob classes both chars are
                 # plain members, so escape them (legal and literal in
-                # BOTH engines) before validating.
-                inner = (pattern[i + 1:j]
+                # BOTH engines) before validating.  Backslash first,
+                # for the same reason (found by the r13 tri-engine
+                # property fuzz): '[\0]' is an octal NUL escape in
+                # Python re and RE2 but an ILLEGAL octal sequence in
+                # Java (which demands digits after \0) — and fnmatch
+                # glob semantics make '\' a literal member anyway.
+                inner = (pattern[i + 1:j].replace("\\", "\\\\")
                          .replace("&", "\\&").replace("[", "\\["))
                 cls = "[" + inner + "]"
                 try:
