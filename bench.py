@@ -15,6 +15,93 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+MOVER_THRESHOLD = 1.3   # the ratio the round-over-round review flags
+
+
+def _mover_verdicts(times: dict, spread: dict):
+    """Per-mover attribution (VERDICT r12 #8): compare this run against
+    the newest committed BENCH_r*.json and classify every >1.3x mover —
+    ``within_spread`` (the recorded pass spread of THIS run covers the
+    move: host noise), ``exceeds_spread_changed_code`` (the entry's
+    transitive engine deps changed since that baseline was committed —
+    attributable), or ``exceeds_spread_unexplained`` (investigate).
+    Returns ({name: verdict_row}, baseline_filename) — empty when no
+    baseline exists or attribution plumbing fails (bench still runs).
+    Caveat: an edit to an entry's OWN definition inside
+    entry_queries.py is not attributed (the import-graph map covers
+    engine modules only) — entry-local edits are must-verify prefix
+    material anyway, so they arrive with fresh driver rows."""
+    import glob
+    import re
+    import subprocess
+    here = os.path.dirname(os.path.abspath(__file__))
+    benches = sorted(
+        glob.glob(os.path.join(here, "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)))
+    if not benches:
+        return {}, None
+    base_path = benches[-1]
+    # the driver's BENCH_r*.json wraps the summary only (per-query map
+    # lives in a truncated stdout tail) — the reliable per-query
+    # baseline is BENCH_DETAIL.json AS COMMITTED alongside that round's
+    # BENCH file, read via git show at that commit
+    try:
+        sha = subprocess.run(
+            ["git", "log", "-1", "--format=%H", "--",
+             os.path.basename(base_path)],
+            cwd=here, capture_output=True, text=True, timeout=30
+        ).stdout.strip()
+        blob = subprocess.run(
+            ["git", "show", f"{sha}:BENCH_DETAIL.json"],
+            cwd=here, capture_output=True, text=True, timeout=30
+        ).stdout if sha else ""
+        base = json.loads(blob) if blob else {}
+        prev = base.get("queries", {})
+        prev_spread = base.get("spread", {})
+    except Exception:
+        return {}, None
+    if not prev:
+        return {}, None
+    changed_entries = None
+    try:
+        files = subprocess.run(
+            ["git", "diff", "--name-only", sha, "HEAD", "--",
+             "carbonapi_spark"],
+            cwd=here, capture_output=True, text=True, timeout=30
+        ).stdout.split() if sha else []
+        if files:
+            sys.path.insert(0, os.path.join(here, "tools"))
+            from rotation import entries_for_changed
+            changed_entries = set(entries_for_changed(files))
+        else:
+            changed_entries = set()
+    except Exception:
+        pass   # attribution degrades to spread-only, never breaks bench
+    out = {}
+    for name, now in times.items():
+        then = prev.get(name)
+        if not then:
+            continue
+        ratio = now / then
+        if ratio <= MOVER_THRESHOLD:
+            continue
+        # a mover inside EITHER run's recorded pass spread is host
+        # noise (the baseline min can be a lucky pass just as this
+        # round's can be an unlucky one)
+        sp = max(spread.get(name, 0.0), prev_spread.get(name, 0.0))
+        if ratio - 1.0 <= sp:
+            verdict = "within_spread"
+        elif changed_entries is None:
+            verdict = "exceeds_spread_no_attribution"
+        elif name in changed_entries:
+            verdict = "exceeds_spread_changed_code"
+        else:
+            verdict = "exceeds_spread_unexplained"
+        out[name] = {"prev": then, "now": now, "ratio": round(ratio, 2),
+                     "spread": sp, "verdict": verdict}
+    return out, os.path.basename(base_path)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -102,6 +189,7 @@ def main() -> None:
     # not a regression
     spread = {n: round((max(ps) - min(ps)) / max(min(ps), 1e-9), 3)
               for n, ps in passes.items()}
+    movers, movers_baseline = _mover_verdicts(times, spread)
 
     total = round(sum(times.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -126,7 +214,9 @@ def main() -> None:
                                "BENCH_DETAIL.json")
     with open(detail_path, "w") as f:
         json.dump({**summary, "queries": times, "passes": passes,
-                   "spread": spread}, f, indent=1, sort_keys=True)
+                   "spread": spread, "movers": movers,
+                   "movers_baseline": movers_baseline},
+                  f, indent=1, sort_keys=True)
     print(json.dumps({"queries": times}))
     print(json.dumps(summary))
     spark.stop()
