@@ -1413,12 +1413,15 @@ def compact_ann_index(spark, path: str, id_col: str = "vec_id") -> dict:
     The rewrite lands at ``{path}/codes.compacting`` first, then swaps
     in with two filesystem renames (old codes parked at
     ``codes.precompact`` until the new directory is in place, then
-    removed) — a failure leaves either the old or the new directory
-    readable at ``{path}/codes``, never a partial mix.  NOT safe to run
-    concurrently with appends or probes: single-writer maintenance,
-    like Parquet compaction generally.  Returns row/file counts
-    before/after (files counted via ``input_file_name()`` — the
-    fragmentation metric appends accumulate)."""
+    removed).  No state ever mixes old and new files; a crash BETWEEN
+    the two renames leaves ``codes`` briefly absent with the old data
+    intact at ``codes.precompact`` (rename it back to recover) — the
+    full transactional story needs a table format (Delta/Iceberg) and
+    is out of scope.  NOT safe to run concurrently with appends or
+    probes: single-writer maintenance, like Parquet compaction
+    generally.  Returns row/file counts before/after (files counted
+    via ``input_file_name()`` — the fragmentation metric appends
+    accumulate)."""
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
     HPath = jvm.org.apache.hadoop.fs.Path
