@@ -1379,7 +1379,15 @@ def ann_auto_topk(corpus: DataFrame, query: DataFrame, k: int = 10,
     size: any in-memory index must first encode the corpus — a full
     scan costing more than the exact scan it would replace.  Build the
     artifact once with :func:`write_ann_index` to unlock the sublinear
-    route."""
+    route.
+
+    Degenerate (NULL / zero-norm) queries are dropped up front so both
+    routes agree — the exact kernel omits them anyway, and the index
+    route would otherwise rank their candidates by NULL cosine."""
+    v = _as_double(F.col(vec_col))
+    nz = F.aggregate(F.transform(v, lambda x: x * x),
+                     F.lit(0.0), lambda a, x: a + x) > 0
+    query = query.where(F.col(vec_col).isNotNull() & nz)
     if index_path is None:
         return brute_force_topk_arrow(corpus, query, k, id_col, vec_col)
     n = corpus.count()

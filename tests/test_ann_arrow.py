@@ -391,6 +391,15 @@ def test_ann_auto_topk_crossover_routing(vecs, spark, tmp_path):
     # no index artifact -> exact, regardless of size
     noidx = ann_auto_topk(vecs, query, k=5)
     assert _pairs(noidx) == _pairs(exact)
+    # degenerate queries are dropped on BOTH routes (uniform contract)
+    bad = spark.createDataFrame([(904, None), (905, [0.0] * DIM)],
+                                "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    mixed = query.unionAll(bad)
+    assert _pairs(ann_auto_topk(vecs, mixed, k=5, index_path=p,
+                                crossover=10**9)) == _pairs(below)
+    assert _pairs(ann_auto_topk(vecs, mixed, k=5, index_path=p,
+                                crossover=0, nprobe=2,
+                                refine=20)) == _pairs(above)
 
 
 def test_refine_without_vectors_still_errors(vecs, spark, tmp_path):
