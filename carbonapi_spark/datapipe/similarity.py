@@ -1357,7 +1357,7 @@ def append_ann_index(df: DataFrame, path: str, id_col: str = "vec_id",
 def ann_auto_topk(corpus: DataFrame, query: DataFrame, k: int = 10,
                   id_col: str = "vec_id", vec_col: str = "embedding",
                   index_path: str | None = None,
-                  crossover: int = 4_000_000, nprobe: int = 2,
+                  crossover: int = 6_000_000, nprobe: int = 2,
                   refine: int | None = None,
                   dedupe: bool = False) -> DataFrame:
     """Top-k cosine neighbors routed through the measured
@@ -1368,12 +1368,15 @@ def ann_auto_topk(corpus: DataFrame, query: DataFrame, k: int = 10,
     ``refine`` exact rerank (default ``10*k``) so callers never see
     compressed-domain distances.
 
-    The default crossover derives from the r12 10M x 32d measurements
-    (SCALE.md): exact-arrow scans at ~1.3 s per 1M rows (13.0 s at
-    10M), the tuned probe+refine reads ~nprobe/n_cells of the index
-    plus a fixed probe floor (5.2 s at 10M, nprobe=2/256) — linear
-    break-even lands near 4M rows.  It is a parameter because the real
-    crossover moves with dim, nprobe, and cell count.
+    The default crossover is MEASURED (tools/scale_smoke_crossover.py,
+    r13, 64d / 256 cells / nprobe=2 / refine=200, warm min-of-2): the
+    exact kernel wins through 4M rows (7.9 s vs 10.7 s — the probe's
+    fixed floor dominates small corpora), the index wins at 8M (4.6 s
+    vs 5.9 s) and by 2.5x at 10M (r12's tuned numbers); 6M is the
+    measured bracket's midpoint, and near the boundary both routes are
+    within ~1.4x of each other, so the exact cut barely matters.  It
+    is a parameter because the real crossover moves with dim, nprobe,
+    and cell count.
 
     Without ``index_path`` the route is ALWAYS exact, regardless of
     size: any in-memory index must first encode the corpus — a full

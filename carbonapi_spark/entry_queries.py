@@ -401,7 +401,9 @@ def _q_ann_topk(spark, sf_dir):
     from carbonapi_spark.datapipe.similarity import brute_force_topk
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     query = emb.where(F.col("vec_id") < 5)
-    return brute_force_topk(emb, query, k=10)
+    # method="sql": the HOF fold is the oracle-replayable twin (the
+    # arrow default sums pairwise — a 6-dp last-ulp flip is possible)
+    return brute_force_topk(emb, query, k=10, method="sql")
 
 
 _register("ann_topk", _q_ann_topk, """
@@ -4474,7 +4476,8 @@ def _q_rrf_fuse(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     lex = bm25_topk(docs, "hash join order", k=25)
-    dense = (brute_force_topk(emb, emb.where(F.col("vec_id") == 0), k=25)
+    dense = (brute_force_topk(emb, emb.where(F.col("vec_id") == 0), k=25,
+                              method="sql")   # oracle-replayable twin
              .select(F.col("neighbor_id").alias("doc_id"),
                      F.col("cos_sim").alias("score")))
     return rrf_fuse([lex, dense], k=60, n=15)
