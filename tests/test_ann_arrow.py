@@ -320,6 +320,41 @@ def test_stream_append_trigger_param(vecs, spark, tmp_path):
     assert got == {r["vec_id"] for r in vecs.collect()}
 
 
+def test_stream_append_processing_time_trigger(vecs, spark, tmp_path):
+    """The long-lived mode the trigger param exists for: a
+    processingTime stream keeps running across micro-batches (no
+    drain-and-stop), appends land incrementally, and the query is
+    still active until we stop it."""
+    import time
+    from carbonapi_spark.datapipe.similarity import stream_append_ann_index
+    cbs = pq_codebooks(DIM, M, KSUB, seed=44)
+    cents = _centroids(True)
+    grown = str(tmp_path / "grown_pt")
+    first = vecs.where(F.col("vec_id") < N // 2)
+    rest = vecs.where(F.col("vec_id") >= N // 2)
+    write_ann_index(first, grown, cbs, cents, l2_cells=True)
+    src = str(tmp_path / "src_pt")
+    rest.repartition(2).write.mode("overwrite").parquet(src)
+    stream = (spark.readStream.schema(rest.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = stream_append_ann_index(
+        stream, grown, checkpoint_dir=str(tmp_path / "ck_pt"),
+        trigger={"processingTime": "1 seconds"})
+    try:
+        want = {r["vec_id"] for r in vecs.collect()}
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            got = {r["vec_id"] for r in
+                   spark.read.parquet(f"{grown}/codes").collect()}
+            if got == want:
+                break
+            time.sleep(1)
+        assert got == want
+        assert q.isActive          # long-lived: did NOT drain-and-stop
+    finally:
+        q.stop()
+
+
 def test_compact_ann_index_after_replayed_epoch(vecs, spark, tmp_path):
     """VERDICT r12 #3: inject a replayed epoch (the documented
     at-least-once duplication of stream_append_ann_index), then prove
