@@ -90,6 +90,9 @@ _SEEN_GLOBS = [
     # Python re / RE2 but ILLEGAL in Java (demands digits after \0) —
     # class backslashes are now escaped to literal members
     "[\\0]", "a.[x\\0].b", "[\\1]", "[\\d]",
+    # unicode literals and class members must agree across all three
+    # engines too (Java/RE2 both match on code points here)
+    "café.*", "metr¡c.?", "[αβ]x", "日本.{a,b}",
 ]
 
 _class_frag = st.text(alphabet="abz09&-^!\\[].,*", max_size=6)
