@@ -1408,7 +1408,8 @@ def ann_auto_topk(corpus: DataFrame, query: DataFrame, k: int = 10,
                           query_tables="driver", dedupe=dedupe)
 
 
-def compact_ann_index(spark, path: str, id_col: str = "vec_id") -> dict:
+def compact_ann_index(spark, path: str, id_col: str = "vec_id",
+                      fragmented_only: bool = False) -> dict:
     """Compact the codes table of a :func:`write_ann_index` artifact:
     collapse the exact duplicates an at-least-once replay can leave
     behind (the :func:`stream_append_ann_index` failure mode) and merge
@@ -1421,18 +1422,28 @@ def compact_ann_index(spark, path: str, id_col: str = "vec_id") -> dict:
     cell is a function of the frozen quantizers, so all copies of an id
     live in the same cell and carry the same payload.
 
-    The rewrite lands at ``{path}/codes.compacting`` first, then swaps
-    in with two filesystem renames (old codes parked at
-    ``codes.precompact`` until the new directory is in place, then
+    ``fragmented_only=True`` is the lake-scale mode: only cells holding
+    MORE THAN ONE file are rewritten (appends always create new files,
+    so a one-file cell can hold no duplicates), via a staged write +
+    dynamic partition overwrite — untouched cells keep their original
+    files byte-for-byte, and the rewrite cost scales with the
+    fragmented fraction instead of the index size.  A crash mid-commit
+    can leave a MIX of compacted and uncompacted cells; each cell is
+    individually old-or-new, and since dedupe is idempotent a retry
+    simply finishes the job.
+
+    The default full rewrite lands at ``{path}/codes.compacting``
+    first, then swaps in with two filesystem renames (old codes parked
+    at ``codes.precompact`` until the new directory is in place, then
     removed).  No state ever mixes old and new files; a crash BETWEEN
     the two renames leaves ``codes`` briefly absent with the old data
     intact at ``codes.precompact`` (rename it back to recover) — the
     full transactional story needs a table format (Delta/Iceberg) and
-    is out of scope.  NOT safe to run concurrently with appends or
-    probes: single-writer maintenance, like Parquet compaction
-    generally.  Returns row/file counts before/after (files counted
-    via ``input_file_name()`` — the fragmentation metric appends
-    accumulate)."""
+    is out of scope.  NEITHER mode is safe to run concurrently with
+    appends or probes: single-writer maintenance, like Parquet
+    compaction generally.  Returns row/file counts before/after (files
+    counted via ``input_file_name()`` — the fragmentation metric
+    appends accumulate) plus ``cells_rewritten``."""
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
     HPath = jvm.org.apache.hadoop.fs.Path
@@ -1443,26 +1454,64 @@ def compact_ann_index(spark, path: str, id_col: str = "vec_id") -> dict:
     n_before = codes.count()
     f_before = (codes.select(F.input_file_name().alias("f"))
                 .distinct().count())
-    deduped = codes.dropDuplicates([id_col])
-    # one shuffle partition per cell -> exactly one file per cell
-    (deduped.repartition(F.col("cell")).write.mode("overwrite")
-     .partitionBy("cell").parquet(f"{path}/codes.compacting"))
+    n_cells = codes.select("cell").distinct().count()
 
-    pre = HPath(f"{path}/codes.precompact")
-    tmp = HPath(f"{path}/codes.compacting")
-    if not fs.rename(codes_dir, pre):
-        raise IOError(f"compact_ann_index: could not park {codes_dir}")
-    if not fs.rename(tmp, codes_dir):
-        # roll back so the artifact stays readable
-        fs.rename(pre, codes_dir)
-        raise IOError(f"compact_ann_index: could not swap in {tmp}")
-    fs.delete(pre, True)
+    if fragmented_only:
+        frag = [r["cell"] for r in
+                (codes.select("cell", F.input_file_name().alias("f"))
+                 .groupBy("cell")
+                 .agg(F.countDistinct("f").alias("nf"))
+                 .where(F.col("nf") > 1).select("cell").collect())]
+        if not frag:
+            return {"rows_before": n_before, "rows_after": n_before,
+                    "files_before": f_before, "files_after": f_before,
+                    "cells_rewritten": 0}
+        # Spark refuses to overwrite a path it is reading, so the
+        # fragmented cells stage through codes.compacting first; the
+        # staged read then dynamic-partition-overwrites ONLY those
+        # cell= directories.  Cost: two writes of the fragmented
+        # fraction, zero touches of everything else.
+        stage = f"{path}/codes.compacting"
+        (codes.where(F.col("cell").isin(frag))
+         .dropDuplicates([id_col])
+         .repartition(F.col("cell")).write.mode("overwrite")
+         .partitionBy("cell").parquet(stage))
+        old = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
+                             "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+                       "dynamic")
+        try:
+            (spark.read.parquet(stage)
+             .repartition(F.col("cell")).write.mode("overwrite")
+             .partitionBy("cell").parquet(f"{path}/codes"))
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+                           old)
+        fs.delete(HPath(stage), True)
+        rewritten = len(frag)
+    else:
+        deduped = codes.dropDuplicates([id_col])
+        # one shuffle partition per cell -> exactly one file per cell
+        (deduped.repartition(F.col("cell")).write.mode("overwrite")
+         .partitionBy("cell").parquet(f"{path}/codes.compacting"))
+
+        pre = HPath(f"{path}/codes.precompact")
+        tmp = HPath(f"{path}/codes.compacting")
+        if not fs.rename(codes_dir, pre):
+            raise IOError(f"compact_ann_index: could not park {codes_dir}")
+        if not fs.rename(tmp, codes_dir):
+            # roll back so the artifact stays readable
+            fs.rename(pre, codes_dir)
+            raise IOError(f"compact_ann_index: could not swap in {tmp}")
+        fs.delete(pre, True)
+        rewritten = n_cells
 
     after = spark.read.parquet(f"{path}/codes")
     return {"rows_before": n_before, "rows_after": after.count(),
             "files_before": f_before,
             "files_after": (after.select(F.input_file_name().alias("f"))
-                            .distinct().count())}
+                            .distinct().count()),
+            "cells_rewritten": rewritten}
 
 
 def stream_append_ann_index(stream_df: DataFrame, path: str,

@@ -437,6 +437,54 @@ def test_ann_auto_topk_crossover_routing(vecs, spark, tmp_path):
                                 refine=20)) == _pairs(above)
 
 
+def test_compact_fragmented_only_rewrites_touched_cells(vecs, spark,
+                                                        tmp_path):
+    """Lake-scale selective compaction: a tiny replayed delta fragments
+    only the cells it lands in; fragmented_only=True must rewrite
+    EXACTLY those (untouched cells keep their original files
+    byte-for-byte), collapse the duplicates, and leave probe results
+    identical."""
+    from carbonapi_spark.datapipe.similarity import (append_ann_index,
+                                                     compact_ann_index)
+    cbs = pq_codebooks(DIM, M, KSUB, seed=44)
+    cents = _centroids(True)
+    p = str(tmp_path / "frag")
+    first = vecs.where(F.col("vec_id") < N - 10)
+    tiny = vecs.where(F.col("vec_id") >= N - 10)
+    write_ann_index(first, p, cbs, cents, l2_cells=True,
+                    store_vectors=True)
+    append_ann_index(tiny, p)
+    append_ann_index(tiny, p)            # the replayed epoch
+    files = lambda: {r["cell"]: set(r["fs"]) for r in
+                     (spark.read.parquet(f"{p}/codes")
+                      .select("cell", F.input_file_name().alias("f"))
+                      .groupBy("cell")
+                      .agg(F.collect_set("f").alias("fs")).collect())}
+    before = files()
+    frag_cells = {c for c, fs in before.items() if len(fs) > 1}
+    assert 0 < len(frag_cells) < len(before)   # tiny delta: few cells
+    query = vecs.where(F.col("vec_id") % 97 == 3)
+    topk = lambda: {(r["query_id"], r["neighbor_id"])
+                    for r in ann_index_topk(spark, p, query, k=5,
+                                            nprobe=2,
+                                            dedupe=True).collect()}
+    clean = topk()
+    stats = compact_ann_index(spark, p, fragmented_only=True)
+    assert stats["cells_rewritten"] == len(frag_cells)
+    assert stats["rows_after"] == N
+    after = files()
+    for c in before:
+        if c in frag_cells:
+            assert len(after[c]) == 1
+        else:                     # untouched cells: the SAME files
+            assert after[c] == before[c], c
+    assert topk() == clean
+    # idempotent: a second selective pass is a no-op
+    again = compact_ann_index(spark, p, fragmented_only=True)
+    assert again["cells_rewritten"] == 0
+    assert again["files_after"] == stats["files_after"]
+
+
 def test_refine_without_vectors_still_errors(vecs, spark, tmp_path):
     cbs = pq_codebooks(DIM, M, KSUB, seed=44)
     cents = _centroids(False)
