@@ -849,6 +849,25 @@ def append_band_index(df: DataFrame, path: str, text_col: str = "text",
      .parquet(f"{path}/bands"))
 
 
+def compact_band_index(spark, path: str,
+                       fragmented_only: bool = False) -> dict:
+    """Compact a :func:`write_band_index` artifact: collapse the exact
+    (band, key, doc_id) duplicates a retried ``append_band_index`` job
+    leaves behind and merge per-append small files back to one per
+    (band, bucket) partition, preserving the probe-time pruning layout.
+    Duplicates are exact by construction (band parameters are frozen in
+    ``{path}/stats``, so a replayed document re-bands identically), and
+    they are not merely cosmetic: inflated bucket populations can push
+    a bucket past the probe's ``max_bucket`` truncation cap, changing
+    candidate sets.  Same modes/caveats as the shared kernel
+    (:func:`carbonapi_spark.datapipe.maintenance.compact_partitioned`);
+    ``fragmented_only=True`` rewrites only >1-file partitions."""
+    from carbonapi_spark.datapipe.maintenance import compact_partitioned
+    return compact_partitioned(spark, f"{path}/bands",
+                               ["band", "key", "doc_id"],
+                               ["band", "bucket"], fragmented_only)
+
+
 def probe_band_index(spark, path: str, new_docs: DataFrame,
                      text_col: str = "text", id_col: str = "doc_id",
                      max_bucket: int = 2000) -> DataFrame:

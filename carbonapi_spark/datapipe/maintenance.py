@@ -1,0 +1,120 @@
+"""Durable-index maintenance: compaction for the partitioned Parquet
+index layouts (ANN cells, MinHash bands, BM25 postings).
+
+All three durable indexes share the same operational exposure: their
+``append_*`` twins run in retried batch jobs (and, for ANN, a
+foreachBatch streaming sink), so an epoch replayed after a partial
+append leaves EXACT duplicate rows behind, and every append adds one
+file per touched partition — bounded per batch, cumulative over
+thousands.  Duplicates are exact by construction in every case (the
+quantizers / band parameters / tokenization are frozen at build time,
+so a replayed row re-derives identically), which makes key-based
+``dropDuplicates`` lossless.
+
+``compact_partitioned`` is the shared kernel; the per-index wrappers
+(:func:`carbonapi_spark.datapipe.similarity.compact_ann_index`,
+:func:`carbonapi_spark.datapipe.dedup.compact_band_index`,
+:func:`carbonapi_spark.datapipe.retrieval.compact_text_index`) add the
+index-specific keys and side tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _hpath(spark, path: str):
+    p = spark._jvm.org.apache.hadoop.fs.Path(path)
+    return p, p.getFileSystem(spark._jsc.hadoopConfiguration())
+
+
+def compact_partitioned(spark, table_path: str, key_cols: list[str],
+                        partition_cols: list[str],
+                        fragmented_only: bool = False) -> dict:
+    """Dedupe-and-defragment one partitioned Parquet table.
+
+    Full mode (default): dropDuplicates(key_cols), repartition by the
+    partition columns (one shuffle partition per combo -> exactly one
+    file per partition directory), write to ``<table>.compacting``,
+    swap in with two renames (old data parked at ``<table>.precompact``
+    until the new directory is in place).  No state ever mixes old and
+    new files; a crash between the renames leaves the table briefly
+    absent with the old data intact at the parked path.
+
+    ``fragmented_only=True`` is the lake-scale mode: only partition
+    combos holding MORE THAN ONE file are rewritten (appends always
+    create new files, so a one-file partition holds no append
+    duplicates), via a staged write + dynamic partition overwrite —
+    untouched partitions keep their files byte-for-byte and cost
+    scales with the fragmented fraction.  A crash mid-commit leaves
+    each partition individually old-or-new; dedupe is idempotent, so a
+    retry finishes the job.
+
+    NEITHER mode is safe concurrently with appends or probes
+    (single-writer maintenance).  Returns row/file counts
+    before/after + ``partitions_rewritten``."""
+    df = spark.read.parquet(table_path)
+    n_before = df.count()
+    f_before = df.select(F.input_file_name().alias("f")) \
+        .distinct().count()
+    pcols = [F.col(c) for c in partition_cols]
+    n_parts = df.select(*partition_cols).distinct().count()
+
+    if fragmented_only:
+        frag = (df.select(*partition_cols,
+                          F.input_file_name().alias("f"))
+                .groupBy(*partition_cols)
+                .agg(F.countDistinct("f").alias("nf"))
+                .where(F.col("nf") > 1)
+                .select(*partition_cols).collect())
+        if not frag:
+            return {"rows_before": n_before, "rows_after": n_before,
+                    "files_before": f_before, "files_after": f_before,
+                    "partitions_rewritten": 0}
+        cond = F.struct(*pcols).isin(
+            *[F.struct(*[F.lit(r[c]) for c in partition_cols])
+              for r in frag])
+        # Spark refuses to overwrite a path it is reading, so the
+        # fragmented partitions stage through .compacting first; the
+        # staged read then dynamic-partition-overwrites ONLY them.
+        stage = f"{table_path}.compacting"
+        (df.where(cond).dropDuplicates(key_cols)
+         .repartition(*pcols).write.mode("overwrite")
+         .partitionBy(*partition_cols).parquet(stage))
+        old = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
+                             "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+                       "dynamic")
+        try:
+            (spark.read.parquet(stage)
+             .repartition(*pcols).write.mode("overwrite")
+             .partitionBy(*partition_cols).parquet(table_path))
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+                           old)
+        sp, fs = _hpath(spark, stage)
+        fs.delete(sp, True)
+        rewritten = len(frag)
+    else:
+        tmp = f"{table_path}.compacting"
+        (df.dropDuplicates(key_cols)
+         .repartition(*pcols).write.mode("overwrite")
+         .partitionBy(*partition_cols).parquet(tmp))
+        table_p, fs = _hpath(spark, table_path)
+        pre_p, _ = _hpath(spark, f"{table_path}.precompact")
+        tmp_p, _ = _hpath(spark, tmp)
+        if not fs.rename(table_p, pre_p):
+            raise IOError(f"compact_partitioned: could not park "
+                          f"{table_path}")
+        if not fs.rename(tmp_p, table_p):
+            fs.rename(pre_p, table_p)   # stay readable
+            raise IOError(f"compact_partitioned: could not swap in {tmp}")
+        fs.delete(pre_p, True)
+        rewritten = n_parts
+
+    after = spark.read.parquet(table_path)
+    return {"rows_before": n_before, "rows_after": after.count(),
+            "files_before": f_before,
+            "files_after": (after.select(F.input_file_name().alias("f"))
+                            .distinct().count()),
+            "partitions_rewritten": rewritten}

@@ -307,6 +307,49 @@ def append_text_index(df: DataFrame, path: str, text_col: str = "text",
     merged.coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
 
 
+def compact_text_index(spark, path: str,
+                       fragmented_only: bool = False) -> dict:
+    """Compact a :func:`write_text_index` artifact after a replayed
+    ``append_text_index`` — the one durable index where replay
+    duplicates CORRUPT scores, not just inflate storage: duplicate
+    postings double a term's accumulated tf contribution, duplicate
+    doclens rows skew nothing by themselves but the replayed stats
+    rewrite double-counts n_docs/sum_dl, shifting idf and avgdl for
+    every query.  Three repairs in one pass: postings deduped on
+    (doc_id, term) per bucket partition via the shared kernel
+    (``fragmented_only=True`` rewrites only >1-file buckets), doclens
+    deduped on doc_id (rewrite-in-place via staged parquet — it is
+    unpartitioned and append-fragmented), and stats recomputed FROM the
+    deduped doclens (the ground truth the merged totals drifted from).
+    Single-writer maintenance, same caveats as the kernel."""
+    from carbonapi_spark.datapipe.maintenance import (_hpath,
+                                                      compact_partitioned)
+    stats = compact_partitioned(spark, f"{path}/postings",
+                                ["doc_id", "term"], ["bucket"],
+                                fragmented_only)
+    lens = spark.read.parquet(f"{path}/doclens") \
+        .dropDuplicates(["doc_id"])
+    stage = f"{path}/doclens.compacting"
+    lens.coalesce(1).write.mode("overwrite").parquet(stage)
+    lens_p, fs = _hpath(spark, f"{path}/doclens")
+    pre_p, _ = _hpath(spark, f"{path}/doclens.precompact")
+    stage_p, _ = _hpath(spark, stage)
+    if not fs.rename(lens_p, pre_p):
+        raise IOError(f"compact_text_index: could not park {lens_p}")
+    if not fs.rename(stage_p, lens_p):
+        fs.rename(pre_p, lens_p)
+        raise IOError(f"compact_text_index: could not swap in {stage}")
+    fs.delete(pre_p, True)
+    n_buckets = spark.read.parquet(f"{path}/stats") \
+        .collect()[0]["n_buckets"]
+    fresh = spark.read.parquet(f"{path}/doclens")
+    (fresh.agg(F.count(F.lit(1)).alias("n_docs"),
+               F.sum("dl").alias("sum_dl"))
+     .withColumn("n_buckets", F.lit(n_buckets))
+     .coalesce(1).write.mode("overwrite").parquet(f"{path}/stats"))
+    return stats
+
+
 def ranking_metrics(results: DataFrame, truth: DataFrame, k: int = 10,
                     query_col: str = "query_id",
                     id_col: str = "neighbor_id",

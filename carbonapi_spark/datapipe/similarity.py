@@ -1443,75 +1443,16 @@ def compact_ann_index(spark, path: str, id_col: str = "vec_id",
     appends or probes: single-writer maintenance, like Parquet
     compaction generally.  Returns row/file counts before/after (files
     counted via ``input_file_name()`` — the fragmentation metric
-    appends accumulate) plus ``cells_rewritten``."""
-    jvm = spark._jvm
-    hconf = spark._jsc.hadoopConfiguration()
-    HPath = jvm.org.apache.hadoop.fs.Path
-    codes_dir = HPath(f"{path}/codes")
-    fs = codes_dir.getFileSystem(hconf)
+    appends accumulate) plus ``cells_rewritten``.
 
-    codes = spark.read.parquet(f"{path}/codes")
-    n_before = codes.count()
-    f_before = (codes.select(F.input_file_name().alias("f"))
-                .distinct().count())
-    n_cells = codes.select("cell").distinct().count()
-
-    if fragmented_only:
-        frag = [r["cell"] for r in
-                (codes.select("cell", F.input_file_name().alias("f"))
-                 .groupBy("cell")
-                 .agg(F.countDistinct("f").alias("nf"))
-                 .where(F.col("nf") > 1).select("cell").collect())]
-        if not frag:
-            return {"rows_before": n_before, "rows_after": n_before,
-                    "files_before": f_before, "files_after": f_before,
-                    "cells_rewritten": 0}
-        # Spark refuses to overwrite a path it is reading, so the
-        # fragmented cells stage through codes.compacting first; the
-        # staged read then dynamic-partition-overwrites ONLY those
-        # cell= directories.  Cost: two writes of the fragmented
-        # fraction, zero touches of everything else.
-        stage = f"{path}/codes.compacting"
-        (codes.where(F.col("cell").isin(frag))
-         .dropDuplicates([id_col])
-         .repartition(F.col("cell")).write.mode("overwrite")
-         .partitionBy("cell").parquet(stage))
-        old = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
-                             "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode",
-                       "dynamic")
-        try:
-            (spark.read.parquet(stage)
-             .repartition(F.col("cell")).write.mode("overwrite")
-             .partitionBy("cell").parquet(f"{path}/codes"))
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode",
-                           old)
-        fs.delete(HPath(stage), True)
-        rewritten = len(frag)
-    else:
-        deduped = codes.dropDuplicates([id_col])
-        # one shuffle partition per cell -> exactly one file per cell
-        (deduped.repartition(F.col("cell")).write.mode("overwrite")
-         .partitionBy("cell").parquet(f"{path}/codes.compacting"))
-
-        pre = HPath(f"{path}/codes.precompact")
-        tmp = HPath(f"{path}/codes.compacting")
-        if not fs.rename(codes_dir, pre):
-            raise IOError(f"compact_ann_index: could not park {codes_dir}")
-        if not fs.rename(tmp, codes_dir):
-            # roll back so the artifact stays readable
-            fs.rename(pre, codes_dir)
-            raise IOError(f"compact_ann_index: could not swap in {tmp}")
-        fs.delete(pre, True)
-        rewritten = n_cells
-
-    after = spark.read.parquet(f"{path}/codes")
-    return {"rows_before": n_before, "rows_after": after.count(),
-            "files_before": f_before,
-            "files_after": (after.select(F.input_file_name().alias("f"))
-                            .distinct().count()),
-            "cells_rewritten": rewritten}
+    Delegates to :func:`carbonapi_spark.datapipe.maintenance.
+    compact_partitioned` — the shared kernel behind the band-index and
+    text-index compactors."""
+    from carbonapi_spark.datapipe.maintenance import compact_partitioned
+    stats = compact_partitioned(spark, f"{path}/codes", [id_col],
+                                ["cell"], fragmented_only)
+    stats["cells_rewritten"] = stats.pop("partitions_rewritten")
+    return stats
 
 
 def stream_append_ann_index(stream_df: DataFrame, path: str,

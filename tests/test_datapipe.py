@@ -2711,6 +2711,70 @@ def test_text_index_append_equals_full_build(spark, tmp_path):
     assert g == w and len(g) > 0
 
 
+def test_text_index_compaction_repairs_replayed_append(spark, tmp_path):
+    """A REPLAYED append_text_index corrupts BM25 scores (duplicate
+    postings double tf contributions; the stats rewrite double-counts
+    n_docs/sum_dl, shifting idf/avgdl for every query).
+    compact_text_index must restore exactly the clean grown index's
+    answers, and a fragmented_only pass must be idempotent."""
+    from carbonapi_spark.datapipe.retrieval import (
+        append_text_index, bm25_query_index, compact_text_index,
+        write_text_index)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    half = docs.where(F.col("doc_id") % 2 == 0)
+    rest = docs.where(F.col("doc_id") % 2 == 1)
+    p = str(tmp_path / "tix_dup")
+    write_text_index(half, p, n_buckets=16)
+    append_text_index(rest, p)
+    ask = lambda: [(r["doc_id"], r["score"]) for r in
+                   bm25_query_index(spark, p, "hash join order",
+                                    k=15).collect()]
+    clean = ask()
+    append_text_index(rest, p)              # the replayed epoch
+    corrupted = ask()
+    assert corrupted != clean                # replay visibly corrupts
+    stats = compact_text_index(spark, p)
+    assert stats["rows_after"] < stats["rows_before"]
+    assert ask() == clean                    # scores fully repaired
+    again = compact_text_index(spark, p, fragmented_only=True)
+    assert again["partitions_rewritten"] == 0
+    assert ask() == clean
+
+
+def test_band_index_compaction_after_replayed_append(spark, tmp_path):
+    """A replayed append_band_index duplicates (band, key, doc_id)
+    rows — inflating bucket populations toward the probe's max_bucket
+    truncation cap.  compact_band_index removes them (probe results
+    identical to the clean grown index) and defragments to one file
+    per (band, bucket)."""
+    from carbonapi_spark.datapipe.dedup import (append_band_index,
+                                                compact_band_index,
+                                                probe_band_index,
+                                                write_band_index)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus = docs.where(F.col("doc_id") % 5 != 4)
+    delta = docs.where(F.col("doc_id") % 5 == 4)
+    probe_batch = docs.where(F.col("doc_id") % 7 == 3)
+    p = str(tmp_path / "band_dup")
+    write_band_index(corpus, p, num_hashes=16, bands=4, ngram=2)
+    append_band_index(delta, p)
+    ask = lambda: sorted(map(tuple, probe_band_index(
+        spark, p, probe_batch).collect()))
+    clean = ask()
+    append_band_index(delta, p)             # the replayed epoch
+    rows_dup = spark.read.parquet(f"{p}/bands").count()
+    stats = compact_band_index(spark, p)
+    assert stats["rows_before"] == rows_dup
+    assert stats["rows_after"] < stats["rows_before"]
+    assert ask() == clean
+    # one file per (band, bucket) partition after the full rewrite
+    per = (spark.read.parquet(f"{p}/bands")
+           .select("band", "bucket", F.input_file_name().alias("f"))
+           .groupBy("band", "bucket")
+           .agg(F.countDistinct("f").alias("nf")).collect())
+    assert all(r["nf"] == 1 for r in per)
+
+
 def test_ranking_metrics_known_values(spark):
     import math
     from carbonapi_spark.datapipe.retrieval import ranking_metrics
