@@ -110,6 +110,9 @@ def compact_partitioned(spark, table_path: str, key_cols: list[str],
             fs.rename(pre_p, table_p)   # stay readable
             raise IOError(f"compact_partitioned: could not swap in {tmp}")
         fs.delete(pre_p, True)
+        # the rename swap bypasses Spark's write path, so any cached
+        # file listing for the table still names the old files
+        spark.catalog.refreshByPath(table_path)
         rewritten = n_parts
 
     after = spark.read.parquet(table_path)

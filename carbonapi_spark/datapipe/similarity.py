@@ -1455,6 +1455,72 @@ def compact_ann_index(spark, path: str, id_col: str = "vec_id",
     return stats
 
 
+def delete_from_ann_index(spark, path: str, ids, id_col: str = "vec_id",
+                          vec_col: str = "embedding") -> dict:
+    """Delete vectors from a :func:`write_ann_index` artifact by id —
+    the other half of index maintenance next to compaction (retention
+    expiry, takedown/right-to-erasure, bad-ingest rollback).
+
+    One column-pruned pass over (id, cell) locates the affected cells
+    (deletion requests arrive as bare ids, so the id -> cell lookup
+    cannot be partition-pruned; the scan reads two columns of the
+    codes table and nothing else).  Only those cells are then
+    rewritten — anti-joined against the (broadcast) delete set — via a
+    staged write + dynamic partition overwrite, so untouched cells
+    keep their files byte-for-byte; a cell whose every row is deleted
+    is removed outright (dynamic overwrite only replaces partitions
+    present in the written data, so emptied cells need the explicit
+    directory delete).  Same single-writer caveat as
+    :func:`compact_ann_index`.  Returns
+    {"rows_deleted", "cells_rewritten", "cells_emptied"}."""
+    from carbonapi_spark.datapipe.maintenance import _hpath
+    codes = spark.read.parquet(f"{path}/codes")
+    if isinstance(ids, (list, tuple, set)):
+        id_dt = codes.schema[id_col].dataType.simpleString()
+        ids_df = spark.createDataFrame([(i,) for i in sorted(ids)],
+                                       f"`{id_col}` {id_dt}")
+    else:
+        ids_df = ids.select(id_col)
+    hit = codes.join(F.broadcast(ids_df), id_col)
+    per_cell = {r["cell"]: r["n"] for r in
+                hit.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+                .collect()}
+    if not per_cell:
+        return {"rows_deleted": 0, "cells_rewritten": 0,
+                "cells_emptied": 0}
+    cells = sorted(per_cell)
+    keep = (codes.where(F.col("cell").isin(cells))
+            .join(F.broadcast(ids_df), id_col, "left_anti"))
+    kept_cells = {r["cell"] for r in
+                  keep.select("cell").distinct().collect()}
+    stage = f"{path}/codes.deleting"
+    (keep.repartition(F.col("cell")).write.mode("overwrite")
+     .partitionBy("cell").parquet(stage))
+    old = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
+                         "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        if kept_cells:
+            (spark.read.parquet(stage)
+             .repartition(F.col("cell")).write.mode("overwrite")
+             .partitionBy("cell").parquet(f"{path}/codes"))
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+    sp, fs = _hpath(spark, stage)
+    fs.delete(sp, True)
+    emptied = [c for c in cells if c not in kept_cells]
+    for c in emptied:
+        dp, _ = _hpath(spark, f"{path}/codes/cell={c}")
+        fs.delete(dp, True)
+    # the raw directory deletes bypass Spark's write path, so its
+    # file-status cache still lists the removed files — refresh, or the
+    # next probe dies with FAILED_READ_FILE.FILE_NOT_EXIST
+    spark.catalog.refreshByPath(f"{path}/codes")
+    return {"rows_deleted": int(sum(per_cell.values())),
+            "cells_rewritten": len(kept_cells & set(cells)),
+            "cells_emptied": len(emptied)}
+
+
 def stream_append_ann_index(stream_df: DataFrame, path: str,
                             id_col: str = "vec_id",
                             vec_col: str = "embedding",

@@ -485,6 +485,60 @@ def test_compact_fragmented_only_rewrites_touched_cells(vecs, spark,
     assert again["files_after"] == stats["files_after"]
 
 
+def test_delete_from_ann_index(vecs, spark, tmp_path):
+    """Deletion by id: only affected cells are rewritten (untouched
+    cells keep their files byte-for-byte), probes equal an index built
+    WITHOUT the deleted vectors (frozen quantizers make the remaining
+    assignments identical), and a fully-emptied cell's directory is
+    removed outright."""
+    from carbonapi_spark.datapipe.similarity import delete_from_ann_index
+    cbs = pq_codebooks(DIM, M, KSUB, seed=44)
+    cents = _centroids(True)
+    p, p_ref = str(tmp_path / "del"), str(tmp_path / "del_ref")
+    write_ann_index(vecs, p, cbs, cents, l2_cells=True,
+                    store_vectors=True)
+    # delete a handful of spread ids + every member of one cell
+    codes = spark.read.parquet(f"{p}/codes")
+    a_cell = codes.select("cell").first()["cell"]
+    cell_ids = {r["vec_id"] for r in
+                codes.where(F.col("cell") == a_cell).collect()}
+    spread_ids = {3, 77, 141}
+    doomed = cell_ids | spread_ids
+    files = lambda: {r["cell"]: set(r["fs"]) for r in
+                     (spark.read.parquet(f"{p}/codes")
+                      .select("cell", F.input_file_name().alias("f"))
+                      .groupBy("cell")
+                      .agg(F.collect_set("f").alias("fs")).collect())}
+    before = files()
+    touched = {r["cell"] for r in codes.where(
+        F.col("vec_id").isin([int(i) for i in doomed])).select("cell")
+        .distinct().collect()}            # computed BEFORE the delete
+    stats = delete_from_ann_index(spark, p, doomed)
+    assert stats["rows_deleted"] == len(doomed)
+    assert stats["cells_emptied"] >= 1
+    after = files()
+    assert a_cell not in after                 # emptied cell is gone
+    for c in before:
+        if c not in touched:
+            assert after[c] == before[c], c    # untouched: same files
+    left = {r["vec_id"] for r in
+            spark.read.parquet(f"{p}/codes").collect()}
+    assert left == {r["vec_id"] for r in vecs.collect()} - doomed
+    # probe equality vs an index built without the deleted vectors
+    survivors = vecs.where(~F.col("vec_id").isin(
+        [int(i) for i in doomed]))
+    write_ann_index(survivors, p_ref, cbs, cents, l2_cells=True,
+                    store_vectors=True)
+    query = vecs.where(F.col("vec_id") % 97 == 3)
+    topk = lambda path: {(r["query_id"], r["neighbor_id"])
+                         for r in ann_index_topk(spark, path, query,
+                                                 k=5, nprobe=3,
+                                                 refine=20).collect()}
+    assert topk(p) == topk(p_ref)
+    deleted_as_neighbors = {n for _, n in topk(p)} & doomed
+    assert not deleted_as_neighbors
+
+
 def test_refine_without_vectors_still_errors(vecs, spark, tmp_path):
     cbs = pq_codebooks(DIM, M, KSUB, seed=44)
     cents = _centroids(False)
