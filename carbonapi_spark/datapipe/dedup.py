@@ -868,6 +868,26 @@ def compact_band_index(spark, path: str,
                                ["band", "bucket"], fragmented_only)
 
 
+def delete_from_band_index(spark, path: str, doc_ids,
+                           id_col: str = "doc_id") -> dict:
+    """Delete documents from a ``write_band_index`` layout — a removed
+    document must stop surfacing as a near-dup candidate for future
+    deltas.  A document's band rows spread across all ``bands`` and
+    arbitrary buckets, so this is an honest full filtered rewrite
+    (``delete_rows_partitioned``, doubling as defragmentation); the
+    ``stats`` table is parameter-only and unaffected."""
+    from carbonapi_spark.datapipe.maintenance import delete_rows_partitioned
+    if isinstance(doc_ids, (list, tuple, set)):
+        dt = spark.read.parquet(f"{path}/bands") \
+            .schema["doc_id"].dataType.simpleString()
+        ids_df = spark.createDataFrame([(i,) for i in sorted(doc_ids)],
+                                       f"doc_id {dt}")
+    else:
+        ids_df = doc_ids.select(F.col(id_col).alias("doc_id"))
+    return delete_rows_partitioned(spark, f"{path}/bands", ids_df,
+                                   ["doc_id"], ["band", "bucket"])
+
+
 def probe_band_index(spark, path: str, new_docs: DataFrame,
                      text_col: str = "text", id_col: str = "doc_id",
                      max_bucket: int = 2000) -> DataFrame:

@@ -28,6 +28,44 @@ def _hpath(spark, path: str):
     return p, p.getFileSystem(spark._jsc.hadoopConfiguration())
 
 
+def delete_rows_partitioned(spark, table_path: str, ids_df,
+                            join_cols: list[str],
+                            partition_cols: list[str]) -> dict:
+    """Full-table filtered rewrite: drop every row matching ``ids_df``
+    on ``join_cols`` (anti-join, broadcast — delete sets are small by
+    nature), rewritten through the same staged-write + rename-swap as
+    the full compaction mode (one file per partition afterward — a
+    deletion pass doubles as a defragmentation pass).
+
+    This is deliberately NOT selective: in a term- or band-partitioned
+    layout a document's rows spread across most partitions, so there is
+    no partition-pruned deletion to have — unlike the ANN index, where
+    id -> cell is a function and :func:`carbonapi_spark.datapipe.
+    similarity.delete_from_ann_index` rewrites only affected cells.
+    Same single-writer caveat.  Returns {"rows_deleted",
+    "rows_after"}."""
+    df = spark.read.parquet(table_path)
+    n_before = df.count()
+    keep = df.join(F.broadcast(ids_df), join_cols, "left_anti")
+    tmp = f"{table_path}.deleting"
+    pcols = [F.col(c) for c in partition_cols]
+    (keep.repartition(*pcols).write.mode("overwrite")
+     .partitionBy(*partition_cols).parquet(tmp))
+    table_p, fs = _hpath(spark, table_path)
+    pre_p, _ = _hpath(spark, f"{table_path}.predelete")
+    tmp_p, _ = _hpath(spark, tmp)
+    if not fs.rename(table_p, pre_p):
+        raise IOError(f"delete_rows_partitioned: could not park "
+                      f"{table_path}")
+    if not fs.rename(tmp_p, table_p):
+        fs.rename(pre_p, table_p)
+        raise IOError(f"delete_rows_partitioned: could not swap in {tmp}")
+    fs.delete(pre_p, True)
+    spark.catalog.refreshByPath(table_path)
+    n_after = spark.read.parquet(table_path).count()
+    return {"rows_deleted": n_before - n_after, "rows_after": n_after}
+
+
 def compact_partitioned(spark, table_path: str, key_cols: list[str],
                         partition_cols: list[str],
                         fragmented_only: bool = False) -> dict:

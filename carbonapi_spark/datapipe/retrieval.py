@@ -350,6 +350,50 @@ def compact_text_index(spark, path: str,
     return stats
 
 
+def delete_from_text_index(spark, path: str, doc_ids,
+                           id_col: str = "doc_id") -> dict:
+    """Delete documents from a ``write_text_index`` layout (takedown /
+    retention — the BM25 sibling of ``delete_from_ann_index``).  A
+    document's postings spread across most term-hash buckets, so this
+    is an honest full filtered rewrite (``delete_rows_partitioned``,
+    which doubles as defragmentation), plus the doclens anti-join and a
+    stats recompute from the surviving doclens so idf/avgdl reflect the
+    deletion."""
+    from carbonapi_spark.datapipe.maintenance import (
+        _hpath, delete_rows_partitioned)
+    if isinstance(doc_ids, (list, tuple, set)):
+        dt = spark.read.parquet(f"{path}/doclens") \
+            .schema["doc_id"].dataType.simpleString()
+        ids_df = spark.createDataFrame([(i,) for i in sorted(doc_ids)],
+                                       f"doc_id {dt}")
+    else:
+        ids_df = doc_ids.select(F.col(id_col).alias("doc_id"))
+    stats = delete_rows_partitioned(spark, f"{path}/postings", ids_df,
+                                    ["doc_id"], ["bucket"])
+    lens = (spark.read.parquet(f"{path}/doclens")
+            .join(F.broadcast(ids_df), "doc_id", "left_anti"))
+    stage = f"{path}/doclens.deleting"
+    lens.coalesce(1).write.mode("overwrite").parquet(stage)
+    lens_p, fs = _hpath(spark, f"{path}/doclens")
+    pre_p, _ = _hpath(spark, f"{path}/doclens.predelete")
+    stage_p, _ = _hpath(spark, stage)
+    if not fs.rename(lens_p, pre_p):
+        raise IOError(f"delete_from_text_index: could not park {lens_p}")
+    if not fs.rename(stage_p, lens_p):
+        fs.rename(pre_p, lens_p)
+        raise IOError(f"delete_from_text_index: could not swap in {stage}")
+    fs.delete(pre_p, True)
+    spark.catalog.refreshByPath(f"{path}/doclens")
+    n_buckets = spark.read.parquet(f"{path}/stats") \
+        .collect()[0]["n_buckets"]
+    (spark.read.parquet(f"{path}/doclens")
+     .agg(F.count(F.lit(1)).alias("n_docs"),
+          F.sum("dl").alias("sum_dl"))
+     .withColumn("n_buckets", F.lit(n_buckets))
+     .coalesce(1).write.mode("overwrite").parquet(f"{path}/stats"))
+    return stats
+
+
 def ranking_metrics(results: DataFrame, truth: DataFrame, k: int = 10,
                     query_col: str = "query_id",
                     id_col: str = "neighbor_id",

@@ -2775,6 +2775,65 @@ def test_band_index_compaction_after_replayed_append(spark, tmp_path):
     assert all(r["nf"] == 1 for r in per)
 
 
+def test_text_index_deletion_equals_rebuild(spark, tmp_path):
+    """delete_from_text_index: BM25 answers over the edited index equal
+    a one-shot build WITHOUT the deleted documents (postings, doclens,
+    and stats — idf/avgdl — all repaired), and deleted docs never
+    surface in results."""
+    from carbonapi_spark.datapipe.retrieval import (
+        bm25_query_index, delete_from_text_index, write_text_index)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    p, p_ref = str(tmp_path / "tix"), str(tmp_path / "tix_ref")
+    write_text_index(docs, p, n_buckets=16)
+    doomed = {r["doc_id"] for r in
+              bm25_query_index(spark, p, "hash join order",
+                               k=3).collect()}
+    assert doomed
+    stats = delete_from_text_index(spark, p, doomed)
+    assert stats["rows_deleted"] > 0
+    write_text_index(docs.where(~F.col("doc_id").isin(
+        [int(i) for i in doomed])), p_ref, n_buckets=16)
+    ask = lambda path: [(r["doc_id"], r["score"]) for r in
+                        bm25_query_index(spark, path, "hash join order",
+                                         k=15).collect()]
+    got = ask(p)
+    assert got == ask(p_ref) and got
+    assert not ({d for d, _ in got} & doomed)
+
+
+def test_band_index_deletion_stops_candidates(spark, tmp_path):
+    """delete_from_band_index: a deleted document stops pairing with
+    future deltas; probes equal an index built without it."""
+    from carbonapi_spark.datapipe.dedup import (delete_from_band_index,
+                                                probe_band_index,
+                                                write_band_index)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus = docs.where(F.col("doc_id") % 5 != 4)
+    delta = docs.where(F.col("doc_id") % 5 == 4)
+    p, p_ref = str(tmp_path / "bix"), str(tmp_path / "bix_ref")
+    write_band_index(corpus, p, num_hashes=16, bands=4, ngram=2)
+    clean = probe_band_index(spark, p, delta).collect()
+    doomed = {int(r["id_a"]) for r in clean} | \
+             {int(r["id_b"]) for r in clean if r["id_b"] not in
+              {x["doc_id"] for x in delta.select("doc_id").collect()}}
+    doomed = {d for d in doomed
+              if d not in {r["doc_id"] for r in
+                           delta.select("doc_id").collect()}}
+    assert doomed                        # some indexed docs paired
+    stats = delete_from_band_index(spark, p, doomed)
+    assert stats["rows_deleted"] > 0
+    write_band_index(corpus.where(~F.col("doc_id").isin(
+        [int(i) for i in doomed])), p_ref, num_hashes=16, bands=4,
+        ngram=2)
+    got = sorted(map(tuple, probe_band_index(spark, p,
+                                             delta).collect()))
+    want = sorted(map(tuple, probe_band_index(spark, p_ref,
+                                              delta).collect()))
+    assert got == want
+    ids_in_pairs = {i for t in got for i in (t[0], t[1])}
+    assert not (ids_in_pairs & doomed)
+
+
 def test_ranking_metrics_known_values(spark):
     import math
     from carbonapi_spark.datapipe.retrieval import ranking_metrics
