@@ -88,6 +88,16 @@ def compact_partitioned(spark, table_path: str, key_cols: list[str],
     each partition individually old-or-new; dedupe is idempotent, so a
     retry finishes the job.
 
+    Cost model, stated honestly: the rewrite is TWO shuffles of the
+    rewritten rows — ``dropDuplicates`` hashes by key, then the
+    partition-column repartition restores locality for the one-file-
+    per-partition write (Spark has no partition-local distinct to fuse
+    them; duplicates do co-reside per partition, so a mapPartitions
+    dedupe could save a shuffle at the price of leaving the
+    declarative/AQE path — not taken).  Full mode therefore moves the
+    table twice; ``fragmented_only`` moves only the fragmented
+    fraction twice, which is why it is the lake-scale default choice.
+
     NEITHER mode is safe concurrently with appends or probes
     (single-writer maintenance).  Returns row/file counts
     before/after + ``partitions_rewritten``."""
