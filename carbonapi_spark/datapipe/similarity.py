@@ -1470,7 +1470,11 @@ def delete_from_ann_index(spark, path: str, ids, id_col: str = "vec_id",
     keep their files byte-for-byte; a cell whose every row is deleted
     is removed outright (dynamic overwrite only replaces partitions
     present in the written data, so emptied cells need the explicit
-    directory delete).  Same single-writer caveat as
+    directory delete).  The selectivity pays off for SMALL delete sets
+    (few affected cells — the common takedown shape); a large
+    scattered batch hashes into every cell and degrades to a full
+    rewrite (measured at 10M: a 100k-id batch touched all 256 cells —
+    SCALE.md r13).  Same single-writer caveat as
     :func:`compact_ann_index`.  Returns
     {"rows_deleted", "cells_rewritten", "cells_emptied"}."""
     from carbonapi_spark.datapipe.maintenance import _hpath
