@@ -40,17 +40,27 @@ def _mover_verdicts(times: dict, spread: dict):
         key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)))
     if not benches:
         return {}, None
-    base_path = benches[-1]
     # the driver's BENCH_r*.json wraps the summary only (per-query map
     # lives in a truncated stdout tail) — the reliable per-query
     # baseline is BENCH_DETAIL.json AS COMMITTED alongside that round's
-    # BENCH file, read via git show at that commit
+    # BENCH file, read via git show at that commit.  The newest BENCH
+    # file may be UNCOMMITTED (the driver writes it before the round's
+    # wrap-up commit) — walk newest-first and take the first one that
+    # actually resolves to a commit, so attribution falls back to the
+    # last committed baseline instead of silently disabling itself.
     try:
-        sha = subprocess.run(
-            ["git", "log", "-1", "--format=%H", "--",
-             os.path.basename(base_path)],
-            cwd=here, capture_output=True, text=True, timeout=30
-        ).stdout.strip()
+        sha, base_path = "", None
+        for cand in reversed(benches):
+            sha = subprocess.run(
+                ["git", "log", "-1", "--format=%H", "--",
+                 os.path.basename(cand)],
+                cwd=here, capture_output=True, text=True, timeout=30
+            ).stdout.strip()
+            if sha:
+                base_path = cand
+                break
+        if base_path is None:
+            return {}, None
         blob = subprocess.run(
             ["git", "show", f"{sha}:BENCH_DETAIL.json"],
             cwd=here, capture_output=True, text=True, timeout=30

@@ -28,6 +28,24 @@ def _hpath(spark, path: str):
     return p, p.getFileSystem(spark._jsc.hadoopConfiguration())
 
 
+def _ensure_readable(spark, path: str, schema) -> None:
+    """A ``partitionBy`` write of ZERO rows leaves a directory with no
+    data files (just _SUCCESS), which ``spark.read.parquet`` rejects
+    with UNABLE_TO_INFER_SCHEMA — so a deletion that removes every row
+    would brick the table.  Drop one empty schema-bearing parquet file
+    (partition columns become ordinary all-NULL-typed columns) so the
+    emptied table stays readable.  Appending into an emptied table
+    resumes the partitioned layout only after a rebuild — documented on
+    the per-index delete wrappers."""
+    p, fs = _hpath(spark, path)
+    it = fs.listFiles(p, True)
+    while it.hasNext():
+        if it.next().getPath().getName().endswith(".parquet"):
+            return
+    spark.createDataFrame([], schema).coalesce(1) \
+        .write.mode("append").parquet(path)
+
+
 def delete_rows_partitioned(spark, table_path: str, ids_df,
                             join_cols: list[str],
                             partition_cols: list[str]) -> dict:
@@ -51,6 +69,7 @@ def delete_rows_partitioned(spark, table_path: str, ids_df,
     pcols = [F.col(c) for c in partition_cols]
     (keep.repartition(*pcols).write.mode("overwrite")
      .partitionBy(*partition_cols).parquet(tmp))
+    _ensure_readable(spark, tmp, df.schema)
     table_p, fs = _hpath(spark, table_path)
     pre_p, _ = _hpath(spark, f"{table_path}.predelete")
     tmp_p, _ = _hpath(spark, tmp)

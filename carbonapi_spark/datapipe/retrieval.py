@@ -135,6 +135,13 @@ def bm25_query_index(spark: SparkSession, path: str, query: str,
     stats_row = spark.read.parquet(f"{path}/stats").collect()[0]
     n_docs, sum_dl = stats_row["n_docs"], stats_row["sum_dl"]
     n_buckets = stats_row["n_buckets"]
+    if not n_docs:
+        # a fully-deleted index (delete_from_text_index of every doc)
+        # matches nothing; without this guard avgdl would divide by
+        # zero (ADVICE r13 #5)
+        id_t = spark.read.parquet(f"{path}/doclens") \
+            .schema["doc_id"].dataType.simpleString()
+        return spark.createDataFrame([], f"doc_id {id_t}, score DOUBLE")
     # bucket the query terms with the SAME engine hash that bucketed the
     # postings (a len(qterms)-row local job — trivial, and immune to any
     # drift between a Python xxh64 and Spark's)
@@ -340,11 +347,16 @@ def compact_text_index(spark, path: str,
         fs.rename(pre_p, lens_p)
         raise IOError(f"compact_text_index: could not swap in {stage}")
     fs.delete(pre_p, True)
+    # invalidate any cached plan/Dataset over the swapped directory —
+    # without this a pre-compaction reader can fail with
+    # FAILED_READ_FILE.FILE_NOT_EXIST (same staleness
+    # delete_from_text_index already guards against)
+    spark.catalog.refreshByPath(f"{path}/doclens")
     n_buckets = spark.read.parquet(f"{path}/stats") \
         .collect()[0]["n_buckets"]
     fresh = spark.read.parquet(f"{path}/doclens")
     (fresh.agg(F.count(F.lit(1)).alias("n_docs"),
-               F.sum("dl").alias("sum_dl"))
+               F.coalesce(F.sum("dl"), F.lit(0)).alias("sum_dl"))
      .withColumn("n_buckets", F.lit(n_buckets))
      .coalesce(1).write.mode("overwrite").parquet(f"{path}/stats"))
     return stats
@@ -386,9 +398,12 @@ def delete_from_text_index(spark, path: str, doc_ids,
     spark.catalog.refreshByPath(f"{path}/doclens")
     n_buckets = spark.read.parquet(f"{path}/stats") \
         .collect()[0]["n_buckets"]
+    # SUM over zero rows is NULL — coalesce so deleting EVERY document
+    # leaves (0, 0), which bm25_query_index treats as match-nothing
+    # instead of crashing on float(None) (ADVICE r13 #5)
     (spark.read.parquet(f"{path}/doclens")
      .agg(F.count(F.lit(1)).alias("n_docs"),
-          F.sum("dl").alias("sum_dl"))
+          F.coalesce(F.sum("dl"), F.lit(0)).alias("sum_dl"))
      .withColumn("n_buckets", F.lit(n_buckets))
      .coalesce(1).write.mode("overwrite").parquet(f"{path}/stats"))
     return stats

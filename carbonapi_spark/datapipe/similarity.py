@@ -1359,7 +1359,8 @@ def ann_auto_topk(corpus: DataFrame, query: DataFrame, k: int = 10,
                   index_path: str | None = None,
                   crossover: int = 6_000_000, nprobe: int = 2,
                   refine: int | None = None,
-                  dedupe: bool = False) -> DataFrame:
+                  dedupe: bool = False,
+                  n: int | None = None) -> DataFrame:
     """Top-k cosine neighbors routed through the measured
     exact-vs-index crossover (VERDICT r12 #4): the vectorized exact
     kernel below ``crossover`` corpus rows, the durable IVFADC probe
@@ -1384,16 +1385,27 @@ def ann_auto_topk(corpus: DataFrame, query: DataFrame, k: int = 10,
     artifact once with :func:`write_ann_index` to unlock the sublinear
     route.
 
-    Degenerate (NULL / zero-norm) queries are dropped up front so both
-    routes agree — the exact kernel omits them anyway, and the index
-    route would otherwise rank their candidates by NULL cosine."""
+    Degenerate (NULL / zero-norm / non-finite) queries are dropped up
+    front so both routes agree — the exact kernel omits them anyway
+    (NaN/Inf norms fail its finite check), and the index route would
+    otherwise rank their candidates by NULL or garbage cosine; note
+    Spark SQL evaluates ``NaN > 0`` as TRUE, so the finiteness check is
+    explicit, not implied by the positivity one.
+
+    ``n=`` is the caller's corpus-size hint: when supplied, the routing
+    decision costs ZERO Spark jobs; when omitted (and an index exists),
+    it falls back to one ``corpus.count()`` — at lake scale prefer
+    passing the row count you already track at ingest."""
     v = _as_double(F.col(vec_col))
-    nz = F.aggregate(F.transform(v, lambda x: x * x),
-                     F.lit(0.0), lambda a, x: a + x) > 0
-    query = query.where(F.col(vec_col).isNotNull() & nz)
+    sumsq = F.aggregate(F.transform(v, lambda x: x * x),
+                        F.lit(0.0), lambda a, x: a + x)
+    finite_pos = ((sumsq > 0) & ~F.isnan(sumsq)
+                  & (sumsq < F.lit(float("inf"))))
+    query = query.where(F.col(vec_col).isNotNull() & finite_pos)
     if index_path is None:
         return brute_force_topk_arrow(corpus, query, k, id_col, vec_col)
-    n = corpus.count()
+    if n is None:
+        n = corpus.count()
     if n < crossover:
         return brute_force_topk_arrow(corpus, query, k, id_col, vec_col)
     spark = corpus.sparkSession
@@ -1516,6 +1528,12 @@ def delete_from_ann_index(spark, path: str, ids, id_col: str = "vec_id",
     for c in emptied:
         dp, _ = _hpath(spark, f"{path}/codes/cell={c}")
         fs.delete(dp, True)
+    # deleting EVERY vector removes every cell directory; leave a
+    # schema-bearing empty file so the table stays readable
+    # (probes then return no candidates instead of
+    # UNABLE_TO_INFER_SCHEMA)
+    from carbonapi_spark.datapipe.maintenance import _ensure_readable
+    _ensure_readable(spark, f"{path}/codes", codes.schema)
     # the raw directory deletes bypass Spark's write path, so its
     # file-status cache still lists the removed files — refresh, or the
     # next probe dies with FAILED_READ_FILE.FILE_NOT_EXIST

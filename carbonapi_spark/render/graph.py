@@ -801,11 +801,13 @@ def _dual_axis_scales(gp: GraphParams, specs, py0, py1):
     the divisor selection) → bounds snapped outward to step multiples →
     ticks at every multiple.  Returns ((syL, ticksL, rangeL),
     (syR, ticksR, rangeR)).  logBase renders each side on its own log
-    scale via :func:`_log_scale` (r13; previously silently ignored here
-    — and the reference PANICS on log+dual, cairo.go setupTwoYAxes
-    having no log branch, so any defined behavior is a deviation;
-    per-side log is graphite-web's getYCoord semantics and the useful
-    one)."""
+    scale via :func:`_log_scale`, with explicit yMin/yMax overrides
+    re-asserted AFTER the power-of-base snap, exactly as the reference
+    does (setupTwoYAxes has a log branch that snaps both sides' bounds
+    to powers and then re-applies the overrides, cairo.go:1506-1528; it
+    panics only when a side's minimum is <= 0, cairo.go:1514 — our
+    deviation is rendering that degenerate case via _log_scale's
+    positive-floor fallback instead of panicking)."""
     divisors = gp.y_divisors or [4.0, 5.0, 6.0]
     out = []
     for right in (False, True):
@@ -831,7 +833,32 @@ def _dual_axis_scales(gp: GraphParams, specs, py0, py1):
         if hi <= lo:
             hi = lo + 1
         if gp.log_base:
-            out.append(_log_scale(gp.log_base, lo, hi, py0, py1))
+            sy, ticks, (lo_b, hi_b) = _log_scale(
+                gp.log_base, lo, hi, py0, py1)
+            # explicit overrides re-assert AFTER the power-of-base
+            # snap, same as the linear branch (cairo.go:1517-1528
+            # applies yMax/yMin last on the log path too)
+            if y_min is not None and y_min > 0:
+                lo_b = y_min
+            if y_max is not None and y_max > 0:
+                hi_b = y_max
+            if (y_min is not None or y_max is not None) and hi_b > lo_b:
+                b = gp.log_base
+                l_lo = math.log(lo_b, b)
+                l_hi = math.log(hi_b, b)
+
+                def sy(v, _l_lo=l_lo, _l_hi=l_hi, _b=b):
+                    if v is None or v <= 0:
+                        return None
+                    rel = (math.log(v, _b) - _l_lo) / \
+                        max(_l_hi - _l_lo, 1e-300)
+                    return py1 - rel * (py1 - py0)
+
+                ticks = [t for t in ticks
+                         if lo_b * (1 - 1e-12) <= t <= hi_b * (1 + 1e-12)]
+                if not ticks:
+                    ticks = [lo_b, hi_b]
+            out.append((sy, ticks, (lo_b, hi_b)))
             continue
         step = y_stp if y_stp is not None else \
             _graphite_step(hi - lo, gp.y_unit_system, divisors)

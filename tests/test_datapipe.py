@@ -2741,6 +2741,56 @@ def test_text_index_compaction_repairs_replayed_append(spark, tmp_path):
     assert ask() == clean
 
 
+def test_text_index_compaction_refreshes_cached_doclens(spark, tmp_path):
+    """ADVICE r13 #4: compact_text_index swaps doclens via filesystem
+    renames; a Dataset planned BEFORE the swap holds the old file
+    listing and, without refreshByPath, can fail with
+    FAILED_READ_FILE.FILE_NOT_EXIST afterward.  The compactor now
+    refreshes the path (matching delete_from_text_index), so the
+    cached plan re-resolves and answers correctly.  (refreshByPath
+    recaches CACHED plans only — an uncached pre-swap Dataset still
+    holds its old file listing; that is Spark's documented contract,
+    not something the compactor can fix.)"""
+    from carbonapi_spark.datapipe.retrieval import (
+        append_text_index, compact_text_index, write_text_index)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    half = docs.where(F.col("doc_id") % 2 == 0)
+    rest = docs.where(F.col("doc_id") % 2 == 1)
+    p = str(tmp_path / "tix_stale")
+    write_text_index(half, p, n_buckets=16)
+    append_text_index(rest, p)
+    append_text_index(rest, p)               # replay -> duplicates
+    stale = spark.read.parquet(f"{p}/doclens").cache()
+    try:
+        n_dup = stale.count()                # listing + data now cached
+        compact_text_index(spark, p)
+        n_clean = stale.count()              # must not FAILED_READ_FILE
+    finally:
+        stale.unpersist()
+    assert n_clean < n_dup
+    assert n_clean == docs.count()
+
+
+def test_text_index_delete_everything_safe(spark, tmp_path):
+    """ADVICE r13 #5: deleting EVERY document used to write n_docs=0 /
+    sum_dl=NULL stats, after which bm25_query_index crashed on
+    float(None).  Stats must land as (0, 0) and querying the emptied
+    index must return an empty frame with the normal schema."""
+    from carbonapi_spark.datapipe.retrieval import (
+        bm25_query_index, delete_from_text_index, write_text_index)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    p = str(tmp_path / "tix_empty")
+    write_text_index(docs, p, n_buckets=16)
+    stats = delete_from_text_index(
+        spark, p, {r["doc_id"] for r in docs.select("doc_id").collect()})
+    assert stats["rows_deleted"] > 0
+    row = spark.read.parquet(f"{p}/stats").collect()[0]
+    assert row["n_docs"] == 0 and row["sum_dl"] == 0
+    got = bm25_query_index(spark, p, "hash join order", k=15)
+    assert got.count() == 0
+    assert got.columns == ["doc_id", "score"]
+
+
 def test_band_index_compaction_after_replayed_append(spark, tmp_path):
     """A replayed append_band_index duplicates (band, key, doc_id)
     rows — inflating bucket populations toward the probe's max_bucket

@@ -775,9 +775,10 @@ def test_render_dual_axis_log_base(spark):
     """logBase + secondYAxis (VERDICT r12 missing #1): each side gets
     its own log scale (bounds snapped to powers of the base, same
     mapping as the single-axis branch) instead of the former silent
-    linear fallback — the reference PANICS on this combination
-    (cairo.go setupTwoYAxes has no log branch), so defined per-side log
-    is the deliberate improvement, now raster-pinned."""
+    linear fallback — matching the reference's setupTwoYAxes log branch
+    (cairo.go:1506-1512); it panics only when a side's minimum is <= 0
+    (cairo.go:1514), where we render via the positive-floor fallback
+    instead.  Raster-pinned."""
     from carbonapi_spark.render.graph import (
         GraphParams, _dual_axis_scales, _series_geometry, render_png)
     lake = make_lake(spark, {"m.big": [1.0, 100.0, 10000.0],
@@ -806,6 +807,47 @@ def test_render_dual_axis_log_base(spark):
     log_flat = render_png(series, [{}, {}], {"logBase": ["10"]})
     assert log_dual[:8] == b"\x89PNG\r\n\x1a\n"
     assert len({bytes(lin_dual), bytes(log_dual), bytes(log_flat)}) == 3
+
+
+def test_render_dual_axis_log_honors_explicit_overrides(spark):
+    """ADVICE r13 #2: explicit yMin/yMax{Left,Right} must survive the
+    dual-log power-of-base snap — the reference re-applies the
+    overrides AFTER its log snap (cairo.go:1517-1528), and the linear
+    dual branch here already did; the log branch used to return the
+    snapped bounds unconditionally."""
+    from carbonapi_spark.render.graph import (
+        GraphParams, _dual_axis_scales, _series_geometry, render_png)
+    lake = make_lake(spark, {"m.big": [1.0, 100.0, 10000.0],
+                             "m.small": [0.001, 0.1, 10.0]}, 1, 0)
+    frames = [_frame(spark, lake, "m.big", 0, 3),
+              _frame(spark, lake, "secondYAxis(m.small)", 0, 3)]
+    series, opts = [], []
+    for fr in frames:
+        got = collect_series(fr)
+        series.extend(got)
+        opts.extend([fr.graph_options or {}] * len(got))
+    gp = GraphParams({"logBase": ["10"], "yMaxLeft": ["5000"],
+                      "yMinLeft": ["3"], "yMaxRight": ["7"]})
+    specs, *_ = _series_geometry(series, opts, gp)
+    (syl, tl, rl), (syr, tr, rr) = _dual_axis_scales(gp, specs, 0, 100)
+    # overrides are exact, not snapped to powers of 10
+    assert rl == (3.0, 5000.0)
+    assert rr[1] == 7.0 and rr[0] == 0.001  # unset min keeps the snap
+    # mapper range matches the overridden bounds exactly
+    assert abs(syl(3.0) - 100.0) < 1e-9 and abs(syl(5000.0) - 0.0) < 1e-9
+    assert abs(syr(7.0) - 0.0) < 1e-9
+    # still logarithmic inside the clamped range
+    assert abs((syl(10.0) - syl(100.0)) - (syl(100.0) - syl(1000.0))) < 1e-9
+    # ticks outside the clamped range are dropped
+    assert all(3.0 * (1 - 1e-12) <= t <= 5000.0 * (1 + 1e-12) for t in tl)
+    assert all(t <= 7.0 * (1 + 1e-12) for t in tr)
+    # raster differs from the unconstrained dual-log render
+    base = render_png(series, opts, {"logBase": ["10"]})
+    clamped = render_png(series, opts, {"logBase": ["10"],
+                                        "yMaxLeft": ["5000"],
+                                        "yMinLeft": ["3"]})
+    assert clamped[:8] == b"\x89PNG\r\n\x1a\n"
+    assert bytes(base) != bytes(clamped)
 
 
 def test_render_ydivisors_step_selection(spark):
