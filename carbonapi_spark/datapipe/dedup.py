@@ -837,8 +837,12 @@ def append_band_index(df: DataFrame, path: str, text_col: str = "text",
     """Fold a delta batch into a durable band index: the delta is
     banded with the INDEX'S OWN stored parameters and appended into the
     same (band, bucket) layout — the grown index equals a one-shot
-    build over corpus+delta (same rows, same partitions)."""
+    build over corpus+delta (same rows, same partitions).  Refuses
+    loudly while a ``_MAINTENANCE`` marker is present."""
+    from carbonapi_spark.datapipe.maintenance import (
+        assert_not_under_maintenance)
     spark = df.sparkSession
+    assert_not_under_maintenance(spark, path, "append_band_index")
     st = spark.read.parquet(f"{path}/stats").collect()[0]
     idx = minhash_band_index(df, text_col, id_col, st["num_hashes"],
                              st["bands"], st["ngram"], st["seed"])
@@ -862,10 +866,12 @@ def compact_band_index(spark, path: str,
     candidate sets.  Same modes/caveats as the shared kernel
     (:func:`carbonapi_spark.datapipe.maintenance.compact_partitioned`);
     ``fragmented_only=True`` rewrites only >1-file partitions."""
-    from carbonapi_spark.datapipe.maintenance import compact_partitioned
-    return compact_partitioned(spark, f"{path}/bands",
-                               ["band", "key", "doc_id"],
-                               ["band", "bucket"], fragmented_only)
+    from carbonapi_spark.datapipe.maintenance import (compact_partitioned,
+                                                      maintenance_lock)
+    with maintenance_lock(spark, path, "compact_band_index"):
+        return compact_partitioned(spark, f"{path}/bands",
+                                   ["band", "key", "doc_id"],
+                                   ["band", "bucket"], fragmented_only)
 
 
 def delete_from_band_index(spark, path: str, doc_ids,
@@ -876,7 +882,8 @@ def delete_from_band_index(spark, path: str, doc_ids,
     arbitrary buckets, so this is an honest full filtered rewrite
     (``delete_rows_partitioned``, doubling as defragmentation); the
     ``stats`` table is parameter-only and unaffected."""
-    from carbonapi_spark.datapipe.maintenance import delete_rows_partitioned
+    from carbonapi_spark.datapipe.maintenance import (
+        delete_rows_partitioned, maintenance_lock)
     if isinstance(doc_ids, (list, tuple, set)):
         dt = spark.read.parquet(f"{path}/bands") \
             .schema["doc_id"].dataType.simpleString()
@@ -884,8 +891,9 @@ def delete_from_band_index(spark, path: str, doc_ids,
                                        f"doc_id {dt}")
     else:
         ids_df = doc_ids.select(F.col(id_col).alias("doc_id"))
-    return delete_rows_partitioned(spark, f"{path}/bands", ids_df,
-                                   ["doc_id"], ["band", "bucket"])
+    with maintenance_lock(spark, path, "delete_from_band_index"):
+        return delete_rows_partitioned(spark, f"{path}/bands", ids_df,
+                                       ["doc_id"], ["band", "bucket"])
 
 
 def probe_band_index(spark, path: str, new_docs: DataFrame,

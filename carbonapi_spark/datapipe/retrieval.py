@@ -288,8 +288,12 @@ def append_text_index(df: DataFrame, path: str, text_col: str = "text",
     the 1-row stats table is rewritten with merged totals — the lexical
     sibling of ``append_ann_index``.  BM25 probes over the grown index
     equal a one-shot build over the union (idf/avgdl are pure functions
-    of the merged postings and stats; pytest pins it)."""
+    of the merged postings and stats; pytest pins it).  Refuses loudly
+    while a ``_MAINTENANCE`` marker is present."""
+    from carbonapi_spark.datapipe.maintenance import (
+        assert_not_under_maintenance)
     spark = df.sparkSession
+    assert_not_under_maintenance(spark, path, "append_text_index")
     stats_row = spark.read.parquet(f"{path}/stats").collect()[0]
     n_buckets = stats_row["n_buckets"]
     tf = (df.select(F.col(id_col).alias("doc_id"),
@@ -330,35 +334,38 @@ def compact_text_index(spark, path: str,
     deduped doclens (the ground truth the merged totals drifted from).
     Single-writer maintenance, same caveats as the kernel."""
     from carbonapi_spark.datapipe.maintenance import (_hpath,
-                                                      compact_partitioned)
-    stats = compact_partitioned(spark, f"{path}/postings",
-                                ["doc_id", "term"], ["bucket"],
-                                fragmented_only)
-    lens = spark.read.parquet(f"{path}/doclens") \
-        .dropDuplicates(["doc_id"])
-    stage = f"{path}/doclens.compacting"
-    lens.coalesce(1).write.mode("overwrite").parquet(stage)
-    lens_p, fs = _hpath(spark, f"{path}/doclens")
-    pre_p, _ = _hpath(spark, f"{path}/doclens.precompact")
-    stage_p, _ = _hpath(spark, stage)
-    if not fs.rename(lens_p, pre_p):
-        raise IOError(f"compact_text_index: could not park {lens_p}")
-    if not fs.rename(stage_p, lens_p):
-        fs.rename(pre_p, lens_p)
-        raise IOError(f"compact_text_index: could not swap in {stage}")
-    fs.delete(pre_p, True)
-    # invalidate any cached plan/Dataset over the swapped directory —
-    # without this a pre-compaction reader can fail with
-    # FAILED_READ_FILE.FILE_NOT_EXIST (same staleness
-    # delete_from_text_index already guards against)
-    spark.catalog.refreshByPath(f"{path}/doclens")
-    n_buckets = spark.read.parquet(f"{path}/stats") \
-        .collect()[0]["n_buckets"]
-    fresh = spark.read.parquet(f"{path}/doclens")
-    (fresh.agg(F.count(F.lit(1)).alias("n_docs"),
-               F.coalesce(F.sum("dl"), F.lit(0)).alias("sum_dl"))
-     .withColumn("n_buckets", F.lit(n_buckets))
-     .coalesce(1).write.mode("overwrite").parquet(f"{path}/stats"))
+                                                      compact_partitioned,
+                                                      maintenance_lock)
+    with maintenance_lock(spark, path, "compact_text_index"):
+        stats = compact_partitioned(spark, f"{path}/postings",
+                                    ["doc_id", "term"], ["bucket"],
+                                    fragmented_only)
+        lens = spark.read.parquet(f"{path}/doclens") \
+            .dropDuplicates(["doc_id"])
+        stage = f"{path}/doclens.compacting"
+        lens.coalesce(1).write.mode("overwrite").parquet(stage)
+        lens_p, fs = _hpath(spark, f"{path}/doclens")
+        pre_p, _ = _hpath(spark, f"{path}/doclens.precompact")
+        stage_p, _ = _hpath(spark, stage)
+        if not fs.rename(lens_p, pre_p):
+            raise IOError(f"compact_text_index: could not park {lens_p}")
+        if not fs.rename(stage_p, lens_p):
+            fs.rename(pre_p, lens_p)
+            raise IOError(
+                f"compact_text_index: could not swap in {stage}")
+        fs.delete(pre_p, True)
+        # invalidate any cached plan/Dataset over the swapped directory
+        # — without this a pre-compaction reader can fail with
+        # FAILED_READ_FILE.FILE_NOT_EXIST (same staleness
+        # delete_from_text_index already guards against)
+        spark.catalog.refreshByPath(f"{path}/doclens")
+        n_buckets = spark.read.parquet(f"{path}/stats") \
+            .collect()[0]["n_buckets"]
+        fresh = spark.read.parquet(f"{path}/doclens")
+        (fresh.agg(F.count(F.lit(1)).alias("n_docs"),
+                   F.coalesce(F.sum("dl"), F.lit(0)).alias("sum_dl"))
+         .withColumn("n_buckets", F.lit(n_buckets))
+         .coalesce(1).write.mode("overwrite").parquet(f"{path}/stats"))
     return stats
 
 
@@ -372,7 +379,7 @@ def delete_from_text_index(spark, path: str, doc_ids,
     stats recompute from the surviving doclens so idf/avgdl reflect the
     deletion."""
     from carbonapi_spark.datapipe.maintenance import (
-        _hpath, delete_rows_partitioned)
+        _hpath, delete_rows_partitioned, maintenance_lock)
     if isinstance(doc_ids, (list, tuple, set)):
         dt = spark.read.parquet(f"{path}/doclens") \
             .schema["doc_id"].dataType.simpleString()
@@ -380,32 +387,36 @@ def delete_from_text_index(spark, path: str, doc_ids,
                                        f"doc_id {dt}")
     else:
         ids_df = doc_ids.select(F.col(id_col).alias("doc_id"))
-    stats = delete_rows_partitioned(spark, f"{path}/postings", ids_df,
-                                    ["doc_id"], ["bucket"])
-    lens = (spark.read.parquet(f"{path}/doclens")
-            .join(F.broadcast(ids_df), "doc_id", "left_anti"))
-    stage = f"{path}/doclens.deleting"
-    lens.coalesce(1).write.mode("overwrite").parquet(stage)
-    lens_p, fs = _hpath(spark, f"{path}/doclens")
-    pre_p, _ = _hpath(spark, f"{path}/doclens.predelete")
-    stage_p, _ = _hpath(spark, stage)
-    if not fs.rename(lens_p, pre_p):
-        raise IOError(f"delete_from_text_index: could not park {lens_p}")
-    if not fs.rename(stage_p, lens_p):
-        fs.rename(pre_p, lens_p)
-        raise IOError(f"delete_from_text_index: could not swap in {stage}")
-    fs.delete(pre_p, True)
-    spark.catalog.refreshByPath(f"{path}/doclens")
-    n_buckets = spark.read.parquet(f"{path}/stats") \
-        .collect()[0]["n_buckets"]
-    # SUM over zero rows is NULL — coalesce so deleting EVERY document
-    # leaves (0, 0), which bm25_query_index treats as match-nothing
-    # instead of crashing on float(None) (ADVICE r13 #5)
-    (spark.read.parquet(f"{path}/doclens")
-     .agg(F.count(F.lit(1)).alias("n_docs"),
-          F.coalesce(F.sum("dl"), F.lit(0)).alias("sum_dl"))
-     .withColumn("n_buckets", F.lit(n_buckets))
-     .coalesce(1).write.mode("overwrite").parquet(f"{path}/stats"))
+    with maintenance_lock(spark, path, "delete_from_text_index"):
+        stats = delete_rows_partitioned(spark, f"{path}/postings",
+                                        ids_df, ["doc_id"], ["bucket"])
+        lens = (spark.read.parquet(f"{path}/doclens")
+                .join(F.broadcast(ids_df), "doc_id", "left_anti"))
+        stage = f"{path}/doclens.deleting"
+        lens.coalesce(1).write.mode("overwrite").parquet(stage)
+        lens_p, fs = _hpath(spark, f"{path}/doclens")
+        pre_p, _ = _hpath(spark, f"{path}/doclens.predelete")
+        stage_p, _ = _hpath(spark, stage)
+        if not fs.rename(lens_p, pre_p):
+            raise IOError(
+                f"delete_from_text_index: could not park {lens_p}")
+        if not fs.rename(stage_p, lens_p):
+            fs.rename(pre_p, lens_p)
+            raise IOError(
+                f"delete_from_text_index: could not swap in {stage}")
+        fs.delete(pre_p, True)
+        spark.catalog.refreshByPath(f"{path}/doclens")
+        n_buckets = spark.read.parquet(f"{path}/stats") \
+            .collect()[0]["n_buckets"]
+        # SUM over zero rows is NULL — coalesce so deleting EVERY
+        # document leaves (0, 0), which bm25_query_index treats as
+        # match-nothing instead of crashing on float(None) (ADVICE
+        # r13 #5)
+        (spark.read.parquet(f"{path}/doclens")
+         .agg(F.count(F.lit(1)).alias("n_docs"),
+              F.coalesce(F.sum("dl"), F.lit(0)).alias("sum_dl"))
+         .withColumn("n_buckets", F.lit(n_buckets))
+         .coalesce(1).write.mode("overwrite").parquet(f"{path}/stats"))
     return stats
 
 

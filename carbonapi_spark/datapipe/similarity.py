@@ -1342,8 +1342,13 @@ def append_ann_index(df: DataFrame, path: str, id_col: str = "vec_id",
     grows in place, and probe-time partition pruning is untouched
     because appends land inside the same ``cell=`` directories.
     Quantizer drift is the operator's trade-off, exactly as with any
-    IVF index — retrain + rewrite when recall decays."""
+    IVF index — retrain + rewrite when recall decays.  Refuses loudly
+    while a ``_MAINTENANCE`` marker is present (a compaction/deletion
+    rename-swap would lose the appended rows silently)."""
+    from carbonapi_spark.datapipe.maintenance import (
+        assert_not_under_maintenance)
     spark = df.sparkSession
+    assert_not_under_maintenance(spark, path, "append_ann_index")
     codes, centroids, codebooks, l2_cells, residual = \
         read_ann_index(spark, path)
     enc = ivfpq_encode_arrow if encoder == "arrow" else ivfpq_encode
@@ -1360,7 +1365,8 @@ def ann_auto_topk(corpus: DataFrame, query: DataFrame, k: int = 10,
                   crossover: int = 6_000_000, nprobe: int = 2,
                   refine: int | None = None,
                   dedupe: bool = False,
-                  n: int | None = None) -> DataFrame:
+                  n: int | None = None,
+                  exact_method: str = "arrow") -> DataFrame:
     """Top-k cosine neighbors routed through the measured
     exact-vs-index crossover (VERDICT r12 #4): the vectorized exact
     kernel below ``crossover`` corpus rows, the durable IVFADC probe
@@ -1395,7 +1401,12 @@ def ann_auto_topk(corpus: DataFrame, query: DataFrame, k: int = 10,
     ``n=`` is the caller's corpus-size hint: when supplied, the routing
     decision costs ZERO Spark jobs; when omitted (and an index exists),
     it falls back to one ``corpus.count()`` — at lake scale prefer
-    passing the row count you already track at ingest."""
+    passing the row count you already track at ingest.
+
+    ``exact_method`` is forwarded to :func:`brute_force_topk` on the
+    exact route ("arrow" = the vectorized kernel, "sql" = the HOF fold
+    oracle twin — catalog entries use it for bit-replayability, same
+    as ann_topk)."""
     v = _as_double(F.col(vec_col))
     sumsq = F.aggregate(F.transform(v, lambda x: x * x),
                         F.lit(0.0), lambda a, x: a + x)
@@ -1403,11 +1414,13 @@ def ann_auto_topk(corpus: DataFrame, query: DataFrame, k: int = 10,
                   & (sumsq < F.lit(float("inf"))))
     query = query.where(F.col(vec_col).isNotNull() & finite_pos)
     if index_path is None:
-        return brute_force_topk_arrow(corpus, query, k, id_col, vec_col)
+        return brute_force_topk(corpus, query, k, id_col, vec_col,
+                                method=exact_method)
     if n is None:
         n = corpus.count()
     if n < crossover:
-        return brute_force_topk_arrow(corpus, query, k, id_col, vec_col)
+        return brute_force_topk(corpus, query, k, id_col, vec_col,
+                                method=exact_method)
     spark = corpus.sparkSession
     # prefer the stored-vector rerank (reads only probed cells); fall
     # back to the full-corpus gather when the index lacks vectors
@@ -1453,16 +1466,21 @@ def compact_ann_index(spark, path: str, id_col: str = "vec_id",
     full transactional story needs a table format (Delta/Iceberg) and
     is out of scope.  NEITHER mode is safe to run concurrently with
     appends or probes: single-writer maintenance, like Parquet
-    compaction generally.  Returns row/file counts before/after (files
+    compaction generally — ENFORCED since r14 by the ``_MAINTENANCE``
+    marker (:func:`carbonapi_spark.datapipe.maintenance.
+    maintenance_lock`): concurrent appends fail loudly instead of
+    losing rows.  Returns row/file counts before/after (files
     counted via ``input_file_name()`` — the fragmentation metric
     appends accumulate) plus ``cells_rewritten``.
 
     Delegates to :func:`carbonapi_spark.datapipe.maintenance.
     compact_partitioned` — the shared kernel behind the band-index and
     text-index compactors."""
-    from carbonapi_spark.datapipe.maintenance import compact_partitioned
-    stats = compact_partitioned(spark, f"{path}/codes", [id_col],
-                                ["cell"], fragmented_only)
+    from carbonapi_spark.datapipe.maintenance import (compact_partitioned,
+                                                      maintenance_lock)
+    with maintenance_lock(spark, path, "compact_ann_index"):
+        stats = compact_partitioned(spark, f"{path}/codes", [id_col],
+                                    ["cell"], fragmented_only)
     stats["cells_rewritten"] = stats.pop("partitions_rewritten")
     return stats
 
@@ -1489,7 +1507,8 @@ def delete_from_ann_index(spark, path: str, ids, id_col: str = "vec_id",
     SCALE.md r13).  Same single-writer caveat as
     :func:`compact_ann_index`.  Returns
     {"rows_deleted", "cells_rewritten", "cells_emptied"}."""
-    from carbonapi_spark.datapipe.maintenance import _hpath
+    from carbonapi_spark.datapipe.maintenance import (_hpath,
+                                                      maintenance_lock)
     codes = spark.read.parquet(f"{path}/codes")
     if isinstance(ids, (list, tuple, set)):
         id_dt = codes.schema[id_col].dataType.simpleString()
@@ -1497,6 +1516,14 @@ def delete_from_ann_index(spark, path: str, ids, id_col: str = "vec_id",
                                        f"`{id_col}` {id_dt}")
     else:
         ids_df = ids.select(id_col)
+    with maintenance_lock(spark, path, "delete_from_ann_index"):
+        return _delete_from_ann_index_locked(spark, path, codes,
+                                             ids_df, id_col)
+
+
+def _delete_from_ann_index_locked(spark, path, codes, ids_df,
+                                  id_col) -> dict:
+    from carbonapi_spark.datapipe.maintenance import _hpath
     hit = codes.join(F.broadcast(ids_df), id_col)
     per_cell = {r["cell"]: r["n"] for r in
                 hit.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
@@ -1579,6 +1606,13 @@ def stream_append_ann_index(stream_df: DataFrame, path: str,
     def _sink(batch_df: DataFrame, _epoch: int) -> None:
         if batch_df.isEmpty():
             return
+        # per-epoch maintenance check: failing the epoch fails the
+        # query LOUDLY; the checkpoint replays it after the compaction
+        # finishes instead of appending into a mid-swap index
+        from carbonapi_spark.datapipe.maintenance import (
+            assert_not_under_maintenance)
+        assert_not_under_maintenance(batch_df.sparkSession, path,
+                                     "stream_append_ann_index")
         delta = enc(batch_df, codebooks, centroids, id_col, vec_col,
                     l2_cells=l2_cells, residual=residual,
                     keep_vec=keep_vec)

@@ -1925,13 +1925,16 @@ def _q_pq_ivf_refine(spark, sf_dir):
 
 
 def _ivfpq_ctes(n_cent: int = 8, nprobe: int = 3, m: int = 8,
-                ksub: int = 16, dsub: int = 8) -> str:
+                ksub: int = 16, dsub: int = 8,
+                cand_where: str = "") -> str:
     """Cell-pruned variant of ``_pq_sql_ctes``: same encode + distance
     tables, but the adc join is keyed by the coarse cell (corpus argmax
     cell vs each query's top-``nprobe`` probe cells). Margin safety
     inherited from the ivf_topk + pq oracles (same seeds 43/44: min
     cell-argmax gap 1.46e-5, probe-rank gap 1.55e-4, code-argmin gap
-    1.7e-5)."""
+    1.7e-5).  ``cand_where`` filters the CANDIDATE side only (the
+    ann_delete_probe oracle: deleted ids stop being neighbors while
+    the query set is untouched)."""
     from carbonapi_spark.datapipe.similarity import (ivf_centroids,
                                                      pq_codebooks)
     cents = ivf_centroids(m * dsub, n_cent, 43)
@@ -1962,7 +1965,7 @@ vd AS (SELECT vec_id, v,
        FROM v),
 c AS (SELECT vec_id AS neighbor_id, v AS cv,
              list_indexof(ds, list_aggregate(ds, 'max')) AS cell,
-             {code_cols} FROM vd),
+             {code_cols} FROM vd {cand_where}),
 qc AS (SELECT query_id, pos AS cell
        FROM (SELECT vec_id AS query_id, unnest(ds) AS d,
                     unnest(range(1, {n_cent + 1})) AS pos
@@ -2057,6 +2060,118 @@ FROM (SELECT query_id, neighbor_id, adc_dist,
                                 ORDER BY adc_dist, neighbor_id) AS rk
       FROM adc)
 WHERE rk <= 10
+""".strip())
+
+
+def _q_ann_delete_probe(spark, sf_dir):
+    """Durable-index deletion end-to-end (VERDICT r13 #2b): build the
+    IVFADC artifact over the full embeddings table, delete a known id
+    set by id (vec_id % 17 == 9 — disjoint from the probe queries),
+    then probe.  Deletion must equal an index built WITHOUT those ids:
+    the oracle replays the same encode + cell-pruned ADC with the
+    deleted ids filtered from the CANDIDATE side only (same seeds and
+    params as ann_compact_probe)."""
+    import tempfile
+
+    from carbonapi_spark.datapipe.similarity import (
+        ann_index_topk, delete_from_ann_index, ivf_centroids,
+        pq_codebooks, write_ann_index)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = ivf_centroids(64, 8, 43)
+    cbs = pq_codebooks(64, 8, 16, 44)
+    with tempfile.TemporaryDirectory() as tmp:
+        p = f"{tmp}/ann"
+        write_ann_index(emb, p, cbs, cents)
+        doomed = emb.where(F.col("vec_id") % 17 == 9) \
+            .select("vec_id")
+        stats = delete_from_ann_index(spark, p, doomed)
+        assert stats["rows_deleted"] > 0
+        out = ann_index_topk(spark, p, emb.where(F.col("vec_id") < 5),
+                             k=10, nprobe=3)
+        rows = out.collect()
+        schema = out.schema
+    return spark.createDataFrame(rows, schema)
+
+
+_register("ann_delete_probe", _q_ann_delete_probe, f"""
+WITH {_ivfpq_ctes(cand_where="WHERE vec_id % 17 != 9")}
+SELECT query_id, neighbor_id, adc_dist
+FROM (SELECT query_id, neighbor_id, adc_dist,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adc_dist, neighbor_id) AS rk
+      FROM adc)
+WHERE rk <= 10
+""".strip())
+
+
+def _q_ann_auto_route(spark, sf_dir):
+    """The exact-vs-index routing seam (VERDICT r13 #2a): ONE durable
+    artifact, BOTH ann_auto_topk routes pinned in one result — the
+    below-crossover call routes to the exact kernel (crossover above
+    corpus size; exact_method="sql" is the bit-replayable fold, same
+    as ann_topk), the above-crossover call routes to the index probe
+    with exact refine (crossover=0 plus an ``n=`` hint, pinning the
+    zero-job hint routing too).  The two legs are tagged and unioned;
+    the oracle replays each leg independently."""
+    import tempfile
+
+    from carbonapi_spark.datapipe.similarity import (
+        ann_auto_topk, ivf_centroids, pq_codebooks, write_ann_index)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = ivf_centroids(64, 8, 43)
+    cbs = pq_codebooks(64, 8, 16, 44)
+    query = emb.where(F.col("vec_id") < 5)
+    with tempfile.TemporaryDirectory() as tmp:
+        p = f"{tmp}/ann"
+        write_ann_index(emb, p, cbs, cents, store_vectors=True)
+        exact = ann_auto_topk(emb, query, k=10, index_path=p,
+                              crossover=10 ** 9, exact_method="sql") \
+            .withColumn("route", F.lit("exact"))
+        probe = ann_auto_topk(emb, query, k=10, index_path=p,
+                              crossover=0, nprobe=3, refine=40, n=1) \
+            .withColumn("route", F.lit("index"))
+        out = exact.unionAll(probe)
+        rows = out.collect()
+        schema = out.schema
+    return spark.createDataFrame(rows, schema)
+
+
+_ANN_REFINE_COS = """round(CASE WHEN sqrt(list_dot_product(qv, qv))
+                         * sqrt(list_dot_product(cv, cv)) > 0
+                    THEN list_dot_product(qv, cv)
+                         / (sqrt(list_dot_product(qv, qv))
+                            * sqrt(list_dot_product(cv, cv))) END, 6)"""
+
+_register("ann_auto_route", _q_ann_auto_route, f"""
+WITH {_ivfpq_ctes()},
+exact AS (
+  SELECT query_id, neighbor_id,
+         round(list_dot_product(qv.v, cv.v)
+               / (sqrt(list_dot_product(qv.v, qv.v))
+                  * sqrt(list_dot_product(cv.v, cv.v))), 6) AS cos_sim
+  FROM (SELECT vec_id AS query_id, v FROM v WHERE vec_id < 5) qv
+  JOIN (SELECT vec_id AS neighbor_id, v FROM v) cv
+    ON neighbor_id != query_id
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY cos_sim DESC, neighbor_id) <= 10),
+cand AS (SELECT query_id, neighbor_id, cv, qv
+         FROM (SELECT query_id, neighbor_id, cv, qv,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY adc_dist, neighbor_id) AS rk
+               FROM adc)
+         WHERE rk <= 40),
+refined AS (
+  SELECT query_id, neighbor_id, cos_sim
+  FROM (SELECT query_id, neighbor_id,
+               {_ANN_REFINE_COS} AS cos_sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY {_ANN_REFINE_COS} DESC,
+                                           neighbor_id) AS rk
+        FROM cand)
+  WHERE rk <= 10)
+SELECT query_id, neighbor_id, cos_sim, 'exact' AS route FROM exact
+UNION ALL
+SELECT query_id, neighbor_id, cos_sim, 'index' AS route FROM refined
 """.strip())
 
 
@@ -4020,6 +4135,42 @@ __cand AS (
 
 
 _register("bm25_topk", _q_bm25_topk,
+          _bm25_ctes(25) + "\nSELECT doc_id, score FROM __cand")
+
+
+def _q_text_compact_probe(spark, sf_dir):
+    """BM25 corruption-repair end-to-end (VERDICT r13 #2c, the one
+    index where a replayed append CORRUPTS answers rather than just
+    inflating storage: duplicate postings double tf, the doubled
+    stats shift idf/avgdl for every query).  Build on half the
+    documents, append the rest, append the SAME delta again (the
+    at-least-once replay), compact_text_index, then query — the
+    result must equal clean single-copy BM25 over the union, which is
+    exactly what the oracle computes (the scoring the reference
+    delegates to its backends, zipper/types/interface.go:29-30, is
+    owned here)."""
+    import tempfile
+
+    from carbonapi_spark.datapipe.retrieval import (
+        append_text_index, bm25_query_index, compact_text_index,
+        write_text_index)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    with tempfile.TemporaryDirectory() as tmp:
+        p = f"{tmp}/tix"
+        write_text_index(docs.where(F.col("doc_id") % 2 == 0), p,
+                         n_buckets=16)
+        delta = docs.where(F.col("doc_id") % 2 == 1)
+        append_text_index(delta, p)
+        append_text_index(delta, p)     # the replayed epoch
+        stats = compact_text_index(spark, p)
+        assert stats["rows_after"] < stats["rows_before"]
+        out = bm25_query_index(spark, p, "hash join order", k=25)
+        rows = out.collect()
+        schema = out.schema
+    return spark.createDataFrame(rows, schema)
+
+
+_register("text_compact_probe", _q_text_compact_probe,
           _bm25_ctes(25) + "\nSELECT doc_id, score FROM __cand")
 
 

@@ -260,6 +260,44 @@ def test_stream_append_ann_index_equals_batch_build(vecs, spark,
     assert topk(grown) == topk(full)
 
 
+def test_ann_appends_refuse_under_maintenance_marker(vecs, spark,
+                                                     tmp_path):
+    """VERDICT r13 #5: both ANN append paths fail LOUDLY while a
+    ``_MAINTENANCE`` marker is present — the batch append raises
+    immediately, and a streaming epoch fails its query (the checkpoint
+    replays it after maintenance) instead of appending into a mid-swap
+    index."""
+    import pytest
+
+    from carbonapi_spark.datapipe.maintenance import maintenance_lock
+    from carbonapi_spark.datapipe.similarity import (
+        append_ann_index, stream_append_ann_index)
+    cbs = pq_codebooks(DIM, M, KSUB, seed=44)
+    cents = _centroids(True)
+    p = str(tmp_path / "locked")
+    first = vecs.where(F.col("vec_id") < N // 2)
+    rest = vecs.where(F.col("vec_id") >= N // 2)
+    write_ann_index(first, p, cbs, cents, l2_cells=True)
+    src = str(tmp_path / "src")
+    rest.coalesce(1).write.mode("overwrite").parquet(src)
+    with maintenance_lock(spark, p, "staged-compaction"):
+        with pytest.raises(IOError, match="under maintenance"):
+            append_ann_index(rest, p)
+        stream = spark.readStream.schema(rest.schema).parquet(src)
+        q = stream_append_ann_index(stream, p,
+                                    checkpoint_dir=str(tmp_path / "ck"))
+        with pytest.raises(Exception, match="under maintenance"):
+            q.awaitTermination()
+    # marker released: the replayed epoch lands via a fresh query
+    stream = spark.readStream.schema(rest.schema).parquet(src)
+    q = stream_append_ann_index(stream, p,
+                                checkpoint_dir=str(tmp_path / "ck"))
+    q.awaitTermination()
+    got = {r["vec_id"] for r in
+           spark.read.parquet(f"{p}/codes").collect()}
+    assert got == {r["vec_id"] for r in vecs.collect()}
+
+
 def test_brute_force_arrow_drops_degenerate_queries(vecs, spark):
     """ADVICE r12: a NULL or zero-norm QUERY vector must neither crash
     the kernel (np.asarray(None)) nor zero the per-chunk kth threshold

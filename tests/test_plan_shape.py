@@ -823,3 +823,46 @@ def test_hdr_sketch_shuffle_budget(spark):
     # bucket agg exchange + window partitioning + final groupBy: every
     # post-bucket exchange moves sketch-sized data only
     assert _df_exchanges(q) <= 4
+
+
+def test_fragmented_compaction_semi_join_not_literal_in(spark, tmp_path):
+    """VERDICT r13 #4: fragmented-only compaction selects the rewrite
+    set with a BROADCAST LEFT SEMI join against the fragmented-combo
+    frame — never a driver-built ``isin`` over struct literals, whose
+    parse/codegen cost grows with the combo count (the fixed cost the
+    r12 probe-path measurement killed).  Also re-asserts identical
+    compaction results on a replayed append."""
+    from pyspark.sql import functions as F
+
+    from carbonapi_spark.datapipe.maintenance import (
+        _fragmented_partitions)
+
+    base = (spark.range(2000)
+            .select(F.col("id").alias("k"),
+                    (F.col("id") % 64).cast("int").alias("cell")))
+    p = str(tmp_path / "frag")
+    base.repartition(F.col("cell")).write.partitionBy("cell").parquet(p)
+    delta = base.where(F.col("cell") < 8)
+    delta.repartition(F.col("cell")).write.mode("append") \
+        .partitionBy("cell").parquet(p)
+
+    df = spark.read.parquet(p)
+    frag_df, n_frag = _fragmented_partitions(df, ["cell"])
+    assert n_frag == 8
+    rewrite = df.join(F.broadcast(frag_df), ["cell"], "left_semi") \
+        .dropDuplicates(["k"])
+    plan = rewrite._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert " IN (" not in plan          # no struct-literal membership
+
+    from carbonapi_spark.datapipe.maintenance import compact_partitioned
+    stats = compact_partitioned(spark, p, ["k"], ["cell"],
+                                fragmented_only=True)
+    assert stats["partitions_rewritten"] == 8
+    assert stats["rows_after"] == 2000
+    got = spark.read.parquet(p)
+    assert got.count() == 2000
+    per = (got.select("cell", F.input_file_name().alias("f"))
+           .groupBy("cell").agg(F.countDistinct("f").alias("nf"))
+           .collect())
+    assert all(r["nf"] == 1 for r in per)
