@@ -8455,74 +8455,78 @@ _register("stream_hdr_replay", _q_stream_hdr_replay,
 # fills the remaining first-50 slots; those are all green in
 # CORRECTNESS_r01.json ∪ CORRECTNESS_r02.json.  Keep this list well under 50.
 _DRIVER_PREFIX = [
-    # ---- round 13: must-verify (TRANSITIVE engine-code change) ----
-    # VERDICT r12 "What's wrong" #2: similarity.py absorbed ~445
-    # changed lines in r12 (query_tables/probe_tables branches,
-    # store_vectors, encoder refactors) and the r13 NULL-query guard
-    # changed the ivfpq_topk/ann_index_topk plans again, yet these
-    # entries' last driver rows date from r05-r09.  Standing policy
-    # (now codified in tools/rotation.py --changed): an entry is
-    # must-verify when ANY module in its transitive engine-dependency
-    # closure changed, not just when its own plan/oracle text did.
-    "pq_adc_topk",
-    "pq_rerank",
-    "pq_ivf_topk",
-    "pq_ivf_refine",
-    "ivf_kmeans_topk",
-    "pq_ivf_residual",
-    "ivf_cell_stats",
-    "ann_quality",
-    "margin_topk",
-    # found by the new tool, missed by the hand-made r12 list: these
-    # two also import rewritten similarity.py kernels (last rows r09)
-    "sq8_topk",
-    "rrf_fuse",
-    # NEW this round (always must-verify): compaction of replayed
-    # at-least-once appends, probed end-to-end
+    # ---- round 14: must-verify (new entries + changed call paths) ----
+    # The three ops VERDICT r13 #2 promoted from pytest-only to
+    # driver-oracled catalog citizens:
+    "ann_auto_route",       # both ann_auto_topk routing legs (r13 #2a)
+    "ann_delete_probe",     # delete-by-id == index built without (2b)
+    "text_compact_probe",   # BM25 replay-corruption repair (r13 #2c)
+    # compact_ann_index's kernel changed this round (broadcast
+    # semi-join replaces the isin struct-literal predicate, VERDICT
+    # r13 #4; maintenance_lock now held across the rewrite, #5) — its
+    # r13 row predates both.
     "ann_compact_probe",
-    # ---- round 13: staleness rotation (VERDICT r12 #2) ----
-    # Next-oldest greens from `python tools/rotation.py` (the r05-r06
-    # block), re-validated locally this round with
-    # tools/check_oracles.py --strict AND tools/check_oracles_pandas.py
-    # at sf0.001 + sf0.01 before rotation (the SCALE.md workflow).
-    "slo_1d",
-    "ewma_alpha",
-    "ema",
-    "holt_winters",
-    "ks_test",
-    "series_by_tag",
-    "per_second",
-    "delay",
-    "group_by_tags",
-    "shard_assignment",
-    "pack_sequences",
-    "stratified_sample",
-    "quality_lr",
-    "bpe_token_count",
-    "chunk_documents",
-    "redact_pii",
-    "sessionize",
-    "stream_minhash_replay",
-    "square_root",
-    "logarithm",
-    "min_max",
-    "changed",
-    "remove_below_percentile",
-    "average_outside_percentile",
-    "filter_series",
-    "sort_by_name_rev",
-    "interpolate_all",
-    "group_union",
-    "remove_zero_series",
-    "count_values",
-    "lang_id",
-    "polyfit_linear",
-    "hw_bands",
-    "low_pass",
-    "fingerprints",
-    "semantic_dedup",
-    "dsir_sample",
-    "c4_rules",
+    # NOTE on the rest of the transitive set: tools/rotation.py
+    # --changed over the r14 diffs names 126 entries (dedup.py /
+    # retrieval.py / maintenance.py sit in the package-closure of most
+    # datapipe entries, and render/graph.py prefix-matches every
+    # graphite entry).  Function-level, the r14 engine diffs touch
+    # ONLY the maintenance/append/routing call paths (all four pinned
+    # above) plus render_png, which no catalog entry executes.  The
+    # 126-entry file-level set minus this prefix was re-verified
+    # LOCALLY this round with a FULL-catalog tools/check_oracles.py
+    # pass at sf0.01 (SCALE.md round-14 findings) — the driver slots
+    # go to the staleness rotation below, per VERDICT r14 #1.
+    # ---- round 14: staleness rotation (VERDICT r13 next-round #1) ----
+    # The entire 18-entry r06 block, then the oldest r07s, in
+    # tools/rotation.py order; pre-validated with check_oracles
+    # --strict + check_oracles_pandas at sf0.001 and pandas at sf0.01.
+    "temperature_mix",
+    "char_entropy",
+    "ngram_novelty",
+    "oov_rate",
+    "norm_dedup",
+    "corpus_stats",
+    "gopher_rules",
+    "embedding_dedup",
+    "vocab_top",
+    "xff_aggregate",
+    "dedup_clusters",
+    "dedup_keep_best",
+    "rep_filters",
+    "contamination",
+    "tfidf_top",
+    "substr_dedup",
+    "line_dedup",
+    "ppl_buckets",
+    "minhash_dedup",
+    "minhash_incremental",
+    "minhash_estimate",
+    "scale_to_seconds",
+    "sigmoid",
+    "pow_transform",
+    "substr_name",
+    "unimax_sample",
+    "weighted_sample",
+    "zipf_fit",
+    "heavy_hitters",
+    "hll_distinct",
+    "stream_hll_replay",
+    "dedup_stats",
+    "quality_calibration",
+    "bigram_ppl",
+    "heavy_trigrams",
+    "source_kl",
+    "multimodal_features",
+    "bm25_topk",
+    "mmr_rerank",
+    "cohort_retention",
+    "event_transitions",
+    "stream_rollup_replay",
+    "pagerank",
+    "tiered_fetch",
+    "pmi_top",
+    "media_dsp",
 ]
 # The driver checks at most _DRIVER_CAP rows per round; test_entry.py pins
 # len(_DRIVER_PREFIX) <= cap so additions can never silently evict entries
