@@ -197,9 +197,29 @@ def main() -> None:
     # noise bound per query: (max - min) / min across its timed passes —
     # a round-over-round mover inside its own recorded spread is noise,
     # not a regression
-    spread = {n: round((max(ps) - min(ps)) / max(min(ps), 1e-9), 3)
-              for n, ps in passes.items()}
+    def respread():
+        return {n: round((max(ps) - min(ps)) / max(min(ps), 1e-9), 3)
+                for n, ps in passes.items()}
+
+    spread = respread()
     movers, movers_baseline = _mover_verdicts(times, spread)
+
+    # Escalation guard (VERDICT r13 #3): a sub-second entry outside the
+    # top-30 is timed with only 2 passes, so its recorded spread is an
+    # n=2 estimate — too weak to escalate a 1.4x move on (both r13
+    # escalations re-measured as host noise).  Before recording any
+    # exceeds_spread_* verdict, give the flagged entries up to 3
+    # confirmation passes (re-min + re-spread) and reclassify; a mover
+    # that survives 5 timed passes is evidence, not noise.
+    for _ in range(3):
+        flagged = [n for n, v in movers.items()
+                   if v["verdict"].startswith("exceeds_spread")]
+        if not flagged:
+            break
+        for name in flagged:
+            timed(name, QUERIES[name])
+        spread = respread()
+        movers, movers_baseline = _mover_verdicts(times, spread)
 
     total = round(sum(times.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -216,6 +236,7 @@ def main() -> None:
         # before round 12 the top-30 had only 2 timed passes
         "methodology": {"warmup_passes": 1, "timed_passes": 2,
                         "extra_passes_top_n": 30,
+                        "mover_confirmation_passes": 3,
                         "aggregation": "min"},
     }
     # per-query detail goes to a file + an EARLY stdout line; the compact
