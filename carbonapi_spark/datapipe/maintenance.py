@@ -158,7 +158,8 @@ def _fragmented_partitions(df, partition_cols: list[str]):
 
 def compact_partitioned(spark, table_path: str, key_cols: list[str],
                         partition_cols: list[str],
-                        fragmented_only: bool = False) -> dict:
+                        fragmented_only: bool = False,
+                        extra_df=None) -> dict:
     """Dedupe-and-defragment one partitioned Parquet table.
 
     Full mode (default): dropDuplicates(key_cols), repartition by the
@@ -192,16 +193,32 @@ def compact_partitioned(spark, table_path: str, key_cols: list[str],
     (single-writer maintenance — the per-index wrappers hold a
     :func:`maintenance_lock`, and every append twin refuses while its
     marker is present).  Returns row/file counts
-    before/after + ``partitions_rewritten``."""
+    before/after + ``partitions_rewritten``.
+
+    ``extra_df`` folds a side table into the partitioned layout in the
+    same pass (the L0-delta fold: ``partition_cols`` are ordinary
+    columns there).  In ``fragmented_only`` mode every partition combo
+    PRESENT in ``extra_df`` counts as fragmented — its rows have to be
+    merged into the combo's directory, so that combo must be rewritten
+    whether or not the main table fragmented it.  The CALLER removes
+    the side table after this returns; a crash in between leaves the
+    folded rows in both places — exact duplicates that a probe-side
+    dedupe hides and a retry (idempotent dedupe) removes durably."""
     df = spark.read.parquet(table_path)
-    n_before = df.count()
+    if extra_df is not None:
+        extra_df = extra_df.select(*df.columns)
+    n_before = df.count() + (extra_df.count() if extra_df is not None
+                             else 0)
     f_before = df.select(F.input_file_name().alias("f")) \
         .distinct().count()
     pcols = [F.col(c) for c in partition_cols]
-    n_parts = df.select(*partition_cols).distinct().count()
 
     if fragmented_only:
         frag_df, n_frag = _fragmented_partitions(df, partition_cols)
+        if extra_df is not None:
+            frag_df = (frag_df.union(
+                extra_df.select(*partition_cols)).distinct())
+            n_frag = frag_df.count()
         if n_frag == 0:
             return {"rows_before": n_before, "rows_after": n_before,
                     "files_before": f_before, "files_after": f_before,
@@ -210,7 +227,11 @@ def compact_partitioned(spark, table_path: str, key_cols: list[str],
         # fragmented partitions stage through .compacting first; the
         # staged read then dynamic-partition-overwrites ONLY them.
         stage = f"{table_path}.compacting"
-        (df.join(F.broadcast(frag_df), partition_cols, "left_semi")
+        to_stage = df.join(F.broadcast(frag_df), partition_cols,
+                           "left_semi")
+        if extra_df is not None:
+            to_stage = to_stage.unionByName(extra_df)
+        (to_stage
          .dropDuplicates(key_cols)
          .repartition(*pcols).write.mode("overwrite")
          .partitionBy(*partition_cols).parquet(stage))
@@ -230,7 +251,8 @@ def compact_partitioned(spark, table_path: str, key_cols: list[str],
         rewritten = n_frag
     else:
         tmp = f"{table_path}.compacting"
-        (df.dropDuplicates(key_cols)
+        full = (df if extra_df is None else df.unionByName(extra_df))
+        (full.dropDuplicates(key_cols)
          .repartition(*pcols).write.mode("overwrite")
          .partitionBy(*partition_cols).parquet(tmp))
         table_p, fs = _hpath(spark, table_path)
@@ -246,9 +268,12 @@ def compact_partitioned(spark, table_path: str, key_cols: list[str],
         # the rename swap bypasses Spark's write path, so any cached
         # file listing for the table still names the old files
         spark.catalog.refreshByPath(table_path)
-        rewritten = n_parts
+        rewritten = None   # filled from the post-swap read below (the
+        # pre-swap plans' file listings are stale after the renames)
 
     after = spark.read.parquet(table_path)
+    if rewritten is None:
+        rewritten = after.select(*partition_cols).distinct().count()
     return {"rows_before": n_before, "rows_after": after.count(),
             "files_before": f_before,
             "files_after": (after.select(F.input_file_name().alias("f"))

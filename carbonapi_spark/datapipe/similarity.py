@@ -1224,6 +1224,27 @@ def read_ann_index(spark, path: str):
     return codes, centroids, codebooks, l2_cells, residual
 
 
+def _l0_delta(spark, path: str):
+    """The index's L0 side table (``{path}/codes_l0``), or None.
+
+    ``l0=True`` appends land here UNPARTITIONED, one file per batch —
+    the LSM-style answer to streaming-append fragmentation: a
+    cell-partitioned append writes one file into EVERY touched cell
+    per micro-batch (measured in SCALE.md r14: a 2 s-tick stream
+    fragments all 256 cells each batch — ~43k files/cell/day), while
+    an L0 batch is exactly ONE file regardless of cell spread.  The
+    ``cell`` assignment rides along as an ordinary column, so probes
+    filter it with a pushed-down predicate instead of partition
+    pruning — the right trade for a table that is delta-sized by
+    contract (compaction folds it into the cell layout and removes
+    it; an absent directory is the normal steady state)."""
+    from carbonapi_spark.datapipe.maintenance import _hpath
+    p, fs = _hpath(spark, f"{path}/codes_l0")
+    if fs.exists(p):
+        return spark.read.parquet(f"{path}/codes_l0")
+    return None
+
+
 def ann_index_topk(spark, path: str, query: DataFrame, k: int = 10,
                    nprobe: int = 2, refine: int | None = None,
                    corpus: DataFrame | None = None,
@@ -1290,6 +1311,15 @@ def ann_index_topk(spark, path: str, query: DataFrame, k: int = 10,
                       .distinct().collect())
         cells = sorted(r["cell"] for r in probe_rows)
     pruned = codes.where(F.col("cell").isin(cells))
+    l0 = _l0_delta(spark, path)
+    if l0 is not None:
+        # L0 rows carry cell as an ordinary column: the same isin
+        # filter is a pushed-down parquet predicate rather than
+        # partition pruning — fine for a delta-sized table, and the
+        # union keeps every downstream stage (dedupe, ADC scoring,
+        # stored-vector rerank) oblivious to where a row lives
+        pruned = pruned.unionByName(
+            l0.where(F.col("cell").isin(cells)).select(*pruned.columns))
     if dedupe:
         pruned = pruned.dropDuplicates([id_col])
     if refine is not None and corpus is None:
@@ -1331,7 +1361,7 @@ def ivf_cell_stats(corpus: DataFrame, id_col: str = "vec_id",
 
 def append_ann_index(df: DataFrame, path: str, id_col: str = "vec_id",
                      vec_col: str = "embedding",
-                     encoder: str = "sql") -> None:
+                     encoder: str = "sql", l0: bool = False) -> None:
     """Add new vectors to an existing :func:`write_ann_index` layout
     WITHOUT rebuilding: encode the delta with the index's own stored
     centroids/codebooks (quantizers are frozen at build time — FAISS's
@@ -1344,7 +1374,18 @@ def append_ann_index(df: DataFrame, path: str, id_col: str = "vec_id",
     Quantizer drift is the operator's trade-off, exactly as with any
     IVF index — retrain + rewrite when recall decays.  Refuses loudly
     while a ``_MAINTENANCE`` marker is present (a compaction/deletion
-    rename-swap would lose the appended rows silently)."""
+    rename-swap would lose the appended rows silently).
+
+    ``l0=True`` appends into the UNPARTITIONED ``codes_l0`` side table
+    instead — ONE file per append regardless of how many cells the
+    delta touches (a cell-partitioned append writes a file into every
+    touched cell, which for frequent small deltas fragments the whole
+    index: SCALE.md r14 measured a 2 s-tick stream adding 256
+    files/batch).  Probes read main ∪ L0 transparently
+    (:func:`_l0_delta`); :func:`compact_ann_index` folds L0 into the
+    cell layout and removes it.  The trade: L0 rows are not
+    partition-pruned at probe time, so keep L0 delta-sized and fold on
+    a schedule."""
     from carbonapi_spark.datapipe.maintenance import (
         assert_not_under_maintenance)
     spark = df.sparkSession
@@ -1355,8 +1396,12 @@ def append_ann_index(df: DataFrame, path: str, id_col: str = "vec_id",
     delta = enc(df, codebooks, centroids, id_col, vec_col,
                 l2_cells=l2_cells, residual=residual,
                 keep_vec=vec_col in codes.columns)
-    delta.repartition(F.col("cell")).write.mode("append") \
-        .partitionBy("cell").parquet(f"{path}/codes")
+    if l0:
+        delta.coalesce(1).write.mode("append") \
+            .parquet(f"{path}/codes_l0")
+    else:
+        delta.repartition(F.col("cell")).write.mode("append") \
+            .partitionBy("cell").parquet(f"{path}/codes")
 
 
 def ann_auto_topk(corpus: DataFrame, query: DataFrame, k: int = 10,
@@ -1473,14 +1518,33 @@ def compact_ann_index(spark, path: str, id_col: str = "vec_id",
     counted via ``input_file_name()`` — the fragmentation metric
     appends accumulate) plus ``cells_rewritten``.
 
+    When an L0 side table exists (``l0=True`` appends —
+    :func:`_l0_delta`), the same pass FOLDS it into the cell layout
+    and removes it: in ``fragmented_only`` mode every cell present in
+    L0 is rewritten (its rows must merge into that cell's directory),
+    plus whatever the main table fragmented.  A crash between the fold
+    commit and the L0 removal leaves the folded rows in both places —
+    exact duplicates that ``dedupe=True`` probes hide and a retry
+    removes durably.  ``l0_rows_folded`` is reported when a fold
+    happened.
+
     Delegates to :func:`carbonapi_spark.datapipe.maintenance.
     compact_partitioned` — the shared kernel behind the band-index and
     text-index compactors."""
-    from carbonapi_spark.datapipe.maintenance import (compact_partitioned,
+    from carbonapi_spark.datapipe.maintenance import (_hpath,
+                                                      compact_partitioned,
                                                       maintenance_lock)
     with maintenance_lock(spark, path, "compact_ann_index"):
+        l0 = _l0_delta(spark, path)
+        n_l0 = l0.count() if l0 is not None else 0
         stats = compact_partitioned(spark, f"{path}/codes", [id_col],
-                                    ["cell"], fragmented_only)
+                                    ["cell"], fragmented_only,
+                                    extra_df=l0)
+        if l0 is not None:
+            lp, fs = _hpath(spark, f"{path}/codes_l0")
+            fs.delete(lp, True)
+            spark.catalog.refreshByPath(f"{path}/codes_l0")
+            stats["l0_rows_folded"] = n_l0
     stats["cells_rewritten"] = stats.pop("partitions_rewritten")
     return stats
 
@@ -1524,12 +1588,13 @@ def delete_from_ann_index(spark, path: str, ids, id_col: str = "vec_id",
 def _delete_from_ann_index_locked(spark, path, codes, ids_df,
                                   id_col) -> dict:
     from carbonapi_spark.datapipe.maintenance import _hpath
+    l0_deleted = _delete_from_l0(spark, path, ids_df, id_col)
     hit = codes.join(F.broadcast(ids_df), id_col)
     per_cell = {r["cell"]: r["n"] for r in
                 hit.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
                 .collect()}
     if not per_cell:
-        return {"rows_deleted": 0, "cells_rewritten": 0,
+        return {"rows_deleted": l0_deleted, "cells_rewritten": 0,
                 "cells_emptied": 0}
     cells = sorted(per_cell)
     keep = (codes.where(F.col("cell").isin(cells))
@@ -1565,9 +1630,42 @@ def _delete_from_ann_index_locked(spark, path, codes, ids_df,
     # file-status cache still lists the removed files — refresh, or the
     # next probe dies with FAILED_READ_FILE.FILE_NOT_EXIST
     spark.catalog.refreshByPath(f"{path}/codes")
-    return {"rows_deleted": int(sum(per_cell.values())),
+    return {"rows_deleted": int(sum(per_cell.values())) + l0_deleted,
             "cells_rewritten": len(kept_cells & set(cells)),
             "cells_emptied": len(emptied)}
+
+
+def _delete_from_l0(spark, path, ids_df, id_col) -> int:
+    """Drop ``ids_df`` rows from the L0 side table, if one exists.
+    L0 is delta-sized by contract, so this is a plain full rewrite
+    through a rename swap; an L0 emptied entirely is REMOVED (an
+    absent ``codes_l0`` is the normal steady state, so no
+    schema-bearing placeholder is needed).  Returns rows deleted."""
+    from carbonapi_spark.datapipe.maintenance import _hpath
+    l0 = _l0_delta(spark, path)
+    if l0 is None:
+        return 0
+    n_hit = l0.join(F.broadcast(ids_df), id_col).count()
+    if n_hit == 0:
+        return 0
+    lp, fs = _hpath(spark, f"{path}/codes_l0")
+    keep = l0.join(F.broadcast(ids_df), id_col, "left_anti")
+    if keep.isEmpty():
+        fs.delete(lp, True)
+        spark.catalog.refreshByPath(f"{path}/codes_l0")
+        return n_hit
+    stage = f"{path}/codes_l0.deleting"
+    keep.coalesce(1).write.mode("overwrite").parquet(stage)
+    sp, _ = _hpath(spark, stage)
+    pre, _ = _hpath(spark, f"{path}/codes_l0.predelete")
+    if not fs.rename(lp, pre):
+        raise IOError(f"_delete_from_l0: could not park {path}/codes_l0")
+    if not fs.rename(sp, lp):
+        fs.rename(pre, lp)
+        raise IOError(f"_delete_from_l0: could not swap in {stage}")
+    fs.delete(pre, True)
+    spark.catalog.refreshByPath(f"{path}/codes_l0")
+    return n_hit
 
 
 def stream_append_ann_index(stream_df: DataFrame, path: str,
@@ -1575,7 +1673,8 @@ def stream_append_ann_index(stream_df: DataFrame, path: str,
                             vec_col: str = "embedding",
                             encoder: str = "sql",
                             checkpoint_dir: str | None = None,
-                            trigger: dict | None = None):
+                            trigger: dict | None = None,
+                            l0: bool = False):
     """Streaming twin of :func:`append_ann_index`: a ``foreachBatch``
     sink that encodes each micro-batch of new vectors with the index's
     frozen quantizers and appends into the cell partitions — "ingest is
@@ -1596,7 +1695,18 @@ def stream_append_ann_index(stream_df: DataFrame, path: str,
     convention.  The frozen quantizers are read ONCE at start and
     captured in the sink closure — a long-lived (processingTime)
     stream must not pay a codes-schema read plus two parquet collects
-    per micro-batch for model-sized constants."""
+    per micro-batch for model-sized constants.
+
+    ``l0=True`` is the continuous-ingest default to prefer: each epoch
+    writes ONE file into the unpartitioned ``codes_l0`` side table
+    instead of one file into EVERY touched cell (a processingTime
+    stream otherwise fragments all n_centroids cells every tick —
+    SCALE.md r14 measured 256 files/batch at 2 s ticks, with the only
+    remedy a full-index rewrite).  Probes union L0 in transparently;
+    :func:`compact_ann_index` folds it into the cell layout.  Replay
+    semantics are unchanged: a retried epoch duplicates exact rows in
+    L0 exactly as it would in the cell partitions, and the same
+    probe-time ``dedupe=`` / compaction answers apply."""
     spark = stream_df.sparkSession
     codes, centroids, codebooks, l2_cells, residual = \
         read_ann_index(spark, path)
@@ -1616,8 +1726,12 @@ def stream_append_ann_index(stream_df: DataFrame, path: str,
         delta = enc(batch_df, codebooks, centroids, id_col, vec_col,
                     l2_cells=l2_cells, residual=residual,
                     keep_vec=keep_vec)
-        delta.repartition(F.col("cell")).write.mode("append") \
-            .partitionBy("cell").parquet(f"{path}/codes")
+        if l0:
+            delta.coalesce(1).write.mode("append") \
+                .parquet(f"{path}/codes_l0")
+        else:
+            delta.repartition(F.col("cell")).write.mode("append") \
+                .partitionBy("cell").parquet(f"{path}/codes")
 
     w = stream_df.writeStream.foreachBatch(_sink)
     if checkpoint_dir is not None:

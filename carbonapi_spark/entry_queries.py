@@ -2063,6 +2063,57 @@ WHERE rk <= 10
 """.strip())
 
 
+def _q_ann_l0_probe(spark, sf_dir):
+    """L0 delta-table probe (r14): build the IVFADC artifact over 2/3
+    of the embeddings table, land the remaining third as TWO
+    ``l0=True`` appends — the streaming-ingest layout: each append is
+    ONE unpartitioned file in ``codes_l0``, the main cell layout
+    byte-untouched — then probe THROUGH the main ∪ L0 union read.
+    The result must equal the clean full-corpus probe (exactly what
+    the oracle replays: L0 residency is a layout detail, invisible to
+    query semantics), and folding L0 in via ``compact_ann_index``
+    must not change a row (asserted inline, bit-for-bit)."""
+    import tempfile
+
+    from carbonapi_spark.datapipe.similarity import (
+        ann_index_topk, append_ann_index, compact_ann_index,
+        ivf_centroids, pq_codebooks, write_ann_index)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = ivf_centroids(64, 8, 43)
+    cbs = pq_codebooks(64, 8, 16, 44)
+    delta = emb.where(F.col("vec_id") % 3 == 0)
+    with tempfile.TemporaryDirectory() as tmp:
+        p = f"{tmp}/ann"
+        write_ann_index(emb.where(F.col("vec_id") % 3 != 0), p, cbs,
+                        cents)
+        append_ann_index(delta.where(F.col("vec_id") % 2 == 0), p,
+                         l0=True)
+        append_ann_index(delta.where(F.col("vec_id") % 2 == 1), p,
+                         l0=True)
+        probe = lambda: ann_index_topk(
+            spark, p, emb.where(F.col("vec_id") < 5), k=10, nprobe=3)
+        out = probe()
+        rows = out.collect()
+        schema = out.schema
+        # the fold is invisible: same rows after compaction removes L0
+        stats = compact_ann_index(spark, p, fragmented_only=True)
+        assert stats["l0_rows_folded"] > 0
+        assert sorted(map(tuple, probe().collect())) == \
+            sorted(map(tuple, rows))
+    return spark.createDataFrame(rows, schema)
+
+
+_register("ann_l0_probe", _q_ann_l0_probe, f"""
+WITH {_ivfpq_ctes()}
+SELECT query_id, neighbor_id, adc_dist
+FROM (SELECT query_id, neighbor_id, adc_dist,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adc_dist, neighbor_id) AS rk
+      FROM adc)
+WHERE rk <= 10
+""".strip())
+
+
 def _q_ann_delete_probe(spark, sf_dir):
     """Durable-index deletion end-to-end (VERDICT r13 #2b): build the
     IVFADC artifact over the full embeddings table, delete a known id
@@ -8461,6 +8512,9 @@ _DRIVER_PREFIX = [
     "ann_auto_route",       # both ann_auto_topk routing legs (r13 #2a)
     "ann_delete_probe",     # delete-by-id == index built without (2b)
     "text_compact_probe",   # BM25 replay-corruption repair (r13 #2c)
+    "ann_l0_probe",         # NEW r14: probe through the L0 union read;
+    # fold asserted row-identical inline (media_dsp yielded its slot
+    # to stay under the cap — rotates in r15)
     # compact_ann_index's kernel changed this round (broadcast
     # semi-join replaces the isin struct-literal predicate, VERDICT
     # r13 #4; maintenance_lock now held across the rewrite, #5) — its
@@ -8526,7 +8580,6 @@ _DRIVER_PREFIX = [
     "pagerank",
     "tiered_fetch",
     "pmi_top",
-    "media_dsp",
 ]
 # The driver checks at most _DRIVER_CAP rows per round; test_entry.py pins
 # len(_DRIVER_PREFIX) <= cap so additions can never silently evict entries

@@ -647,3 +647,150 @@ def test_refine_without_vectors_still_errors(vecs, spark, tmp_path):
     query = vecs.where(F.col("vec_id") % 97 == 3)
     with pytest.raises(ValueError, match="store_vectors"):
         ann_index_topk(spark, p, query, k=5, nprobe=2, refine=20)
+
+
+def _file_set(spark, path):
+    return {r["f"] for r in spark.read.parquet(path)
+            .select(F.input_file_name().alias("f")).distinct().collect()}
+
+
+def test_l0_append_probe_equals_cell_append(vecs, spark, tmp_path):
+    """r14 L0 delta: append_ann_index(l0=True) lands the delta in the
+    UNPARTITIONED codes_l0 side table — one file per append, the main
+    cell layout byte-untouched — and probes read main ∪ L0
+    transparently, equal to the classic cell-partitioned append."""
+    from carbonapi_spark.datapipe.similarity import append_ann_index
+    cbs = pq_codebooks(DIM, M, KSUB, seed=44)
+    cents = _centroids(True)
+    p_l0, p_cell = str(tmp_path / "l0"), str(tmp_path / "cell")
+    first = vecs.where(F.col("vec_id") < N // 2)
+    d1 = vecs.where((F.col("vec_id") >= N // 2)
+                    & (F.col("vec_id") < 3 * N // 4))
+    d2 = vecs.where(F.col("vec_id") >= 3 * N // 4)
+    for p in (p_l0, p_cell):
+        write_ann_index(first, p, cbs, cents, l2_cells=True,
+                        residual=True, store_vectors=True)
+    main_before = _file_set(spark, f"{p_l0}/codes")
+    append_ann_index(d1, p_l0, l0=True)
+    append_ann_index(d2, p_l0, l0=True)
+    append_ann_index(d1, p_cell)
+    append_ann_index(d2, p_cell)
+    # main table byte-untouched; exactly one L0 file per append
+    assert _file_set(spark, f"{p_l0}/codes") == main_before
+    assert len(_file_set(spark, f"{p_l0}/codes_l0")) == 2
+    query = vecs.where(F.col("vec_id") % 97 == 3)
+    topk = lambda p, **kw: {(r["query_id"], r["neighbor_id"])
+                            for r in ann_index_topk(spark, p, query, k=5,
+                                                    nprobe=2,
+                                                    **kw).collect()}
+    assert topk(p_l0) == topk(p_cell)
+    # stored-vector refine reads L0 vectors through the same union
+    assert topk(p_l0, refine=20) == topk(p_cell, refine=20)
+    # driver probe-tables path sees the same union
+    assert topk(p_l0, query_tables="driver") == topk(p_cell)
+
+
+def test_stream_append_l0_one_file_per_batch(vecs, spark, tmp_path):
+    """r14 L0 delta, streaming: each micro-batch writes ONE file into
+    codes_l0 instead of one per touched cell (the fragmentation mode
+    SCALE.md r14 measured: 256 files/batch at 2 s ticks)."""
+    from carbonapi_spark.datapipe.similarity import stream_append_ann_index
+    cbs = pq_codebooks(DIM, M, KSUB, seed=44)
+    cents = _centroids(True)
+    full, grown = str(tmp_path / "full"), str(tmp_path / "grown")
+    write_ann_index(vecs, full, cbs, cents, l2_cells=True)
+    first = vecs.where(F.col("vec_id") < N // 2)
+    rest = vecs.where(F.col("vec_id") >= N // 2)
+    write_ann_index(first, grown, cbs, cents, l2_cells=True)
+    main_before = _file_set(spark, f"{grown}/codes")
+    src = str(tmp_path / "src")
+    rest.repartition(2).write.mode("overwrite").parquet(src)
+    stream = (spark.readStream.schema(rest.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = stream_append_ann_index(stream, grown, l0=True,
+                                checkpoint_dir=str(tmp_path / "ckpt"))
+    q.awaitTermination()
+    assert _file_set(spark, f"{grown}/codes") == main_before
+    assert len(_file_set(spark, f"{grown}/codes_l0")) == 2
+    query = vecs.where(F.col("vec_id") % 97 == 3)
+    topk = lambda p: {(r["query_id"], r["neighbor_id"])
+                      for r in ann_index_topk(spark, p, query, k=5,
+                                              nprobe=2).collect()}
+    assert topk(grown) == topk(full)
+
+
+@pytest.mark.parametrize("fragmented_only", [False, True])
+def test_compact_folds_l0(vecs, spark, tmp_path, fragmented_only):
+    """r14 L0 fold: compaction merges codes_l0 into the cell layout and
+    removes it; probe results identical pre/post; in fragmented_only
+    mode the cells rewritten are exactly those PRESENT in L0 (the main
+    table was one file per cell, so it fragmented nothing itself)."""
+    from carbonapi_spark.datapipe.similarity import (append_ann_index,
+                                                     compact_ann_index)
+    cbs = pq_codebooks(DIM, M, KSUB, seed=44)
+    cents = _centroids(True)
+    p = str(tmp_path / f"fold{int(fragmented_only)}")
+    first = vecs.where(F.col("vec_id") < N // 2)
+    delta = vecs.where(F.col("vec_id") >= N // 2)
+    write_ann_index(first, p, cbs, cents, l2_cells=True,
+                    store_vectors=True)
+    append_ann_index(delta, p, l0=True)
+    l0_cells = {r["cell"] for r in spark.read
+                .parquet(f"{p}/codes_l0").select("cell")
+                .distinct().collect()}
+    query = vecs.where(F.col("vec_id") % 97 == 3)
+    topk = lambda **kw: {(r["query_id"], r["neighbor_id"])
+                         for r in ann_index_topk(spark, p, query, k=5,
+                                                 nprobe=2, **kw).collect()}
+    before = topk()
+    before_refine = topk(refine=20)
+    stats = compact_ann_index(spark, p, fragmented_only=fragmented_only)
+    from carbonapi_spark.datapipe.maintenance import _hpath
+    lp, fs = _hpath(spark, f"{p}/codes_l0")
+    assert not fs.exists(lp)                   # folded and removed
+    assert stats["l0_rows_folded"] == delta.count()
+    assert stats["rows_after"] == N
+    if fragmented_only:
+        assert stats["cells_rewritten"] == len(l0_cells)
+    assert topk() == before
+    assert topk(refine=20) == before_refine
+    # every cell one file, pruning layout intact
+    nf = (spark.read.parquet(f"{p}/codes")
+          .select("cell", F.input_file_name().alias("f"))
+          .groupBy("cell").agg(F.countDistinct("f").alias("nf"))
+          .agg(F.max("nf").alias("mx")).collect()[0]["mx"])
+    assert nf == 1
+
+
+def test_delete_from_ann_index_covers_l0(vecs, spark, tmp_path):
+    """r14: deletion reaches L0 rows too — ids living in the side table
+    disappear from probes and count toward rows_deleted; an L0 emptied
+    entirely is removed outright (absent = the steady state)."""
+    from carbonapi_spark.datapipe.maintenance import _hpath
+    from carbonapi_spark.datapipe.similarity import (append_ann_index,
+                                                     delete_from_ann_index)
+    cbs = pq_codebooks(DIM, M, KSUB, seed=44)
+    cents = _centroids(True)
+    p = str(tmp_path / "dell0")
+    first = vecs.where(F.col("vec_id") < N // 2)
+    delta = vecs.where(F.col("vec_id") >= N // 2)
+    write_ann_index(first, p, cbs, cents, l2_cells=True)
+    append_ann_index(delta, p, l0=True)
+    # one main id + two L0 ids
+    victims = [3, N // 2 + 1, N - 1]
+    stats = delete_from_ann_index(spark, p, victims)
+    assert stats["rows_deleted"] == 3
+    left = {r["vec_id"] for r in spark.read
+            .parquet(f"{p}/codes_l0").collect()}
+    assert left == {r["vec_id"] for r in delta.collect()} \
+        - {N // 2 + 1, N - 1}
+    query = vecs.where(F.col("vec_id") % 97 == 3)
+    got = {r["neighbor_id"]
+           for r in ann_index_topk(spark, p, query, k=5,
+                                   nprobe=K_CELLS).collect()}
+    assert not got & set(victims)
+    # deleting every remaining L0 id removes the side table
+    stats2 = delete_from_ann_index(spark, p, sorted(left))
+    assert stats2["rows_deleted"] == len(left)
+    lp, fs = _hpath(spark, f"{p}/codes_l0")
+    assert not fs.exists(lp)
