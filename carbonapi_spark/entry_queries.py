@@ -664,6 +664,52 @@ WHERE id_a % 5 = 4 OR id_b % 5 = 4
 """.strip())
 
 
+def _q_band_compact_probe(spark, sf_dir):
+    """Durable band-index maintenance end-to-end (r14; completes the
+    compaction matrix — every durable index now has a driver row:
+    ANN ``ann_compact_probe``, BM25 ``text_compact_probe``, and this):
+    build the MinHash band index over 4/5 of the documents
+    (``write_band_index``), append the even half of the remaining
+    fifth TWICE (the at-least-once replay duplication — inflated
+    bucket populations are what pushes a bucket past the probe's
+    ``max_bucket`` truncation cap), run ``compact_band_index``, then
+    probe with the odd half.  Compaction must be invisible to probe
+    semantics: the result equals the clean single-copy incremental
+    candidates, and since epoch ∪ probe is exactly the ``% 5 == 4``
+    slice, the oracle is the batch pair replay restricted to
+    probe-involving pairs (same restriction rule as
+    ``minhash_incremental``)."""
+    import tempfile
+
+    from carbonapi_spark.datapipe.dedup import (
+        append_band_index, compact_band_index, probe_band_index,
+        write_band_index)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.where(F.col("doc_id") % 5 != 4)
+    epoch = docs.where((F.col("doc_id") % 5 == 4)
+                       & (F.col("doc_id") % 2 == 0))
+    probe = docs.where((F.col("doc_id") % 5 == 4)
+                       & (F.col("doc_id") % 2 == 1))
+    with tempfile.TemporaryDirectory() as tmp:
+        p = f"{tmp}/bands"
+        write_band_index(corpus, p, num_hashes=16, bands=4, ngram=2)
+        append_band_index(epoch, p)
+        append_band_index(epoch, p)     # the replayed epoch
+        stats = compact_band_index(spark, p)
+        assert stats["rows_after"] < stats["rows_before"]
+        out = probe_band_index(spark, p, probe)
+        rows = out.collect()
+        schema = out.schema
+    return spark.createDataFrame(rows, schema)
+
+
+_register("band_compact_probe", _q_band_compact_probe, f"""
+WITH {_minhash_pair_ctes()}
+SELECT id_a, id_b FROM __pairs
+WHERE (id_a % 5 = 4 AND id_a % 2 = 1) OR (id_b % 5 = 4 AND id_b % 2 = 1)
+""".strip())
+
+
 def _q_minhash_estimate(spark, sf_dir):
     """Signature-agreement Jaccard estimation (Broder 1997) over the LSH
     candidates: rank near-dups from K component comparisons per pair
@@ -8513,8 +8559,11 @@ _DRIVER_PREFIX = [
     "ann_delete_probe",     # delete-by-id == index built without (2b)
     "text_compact_probe",   # BM25 replay-corruption repair (r13 #2c)
     "ann_l0_probe",         # NEW r14: probe through the L0 union read;
-    # fold asserted row-identical inline (media_dsp yielded its slot
-    # to stay under the cap — rotates in r15)
+    # fold asserted row-identical inline
+    "band_compact_probe",   # NEW r14: band-index replay + compaction
+    # repair — completes the per-index compaction matrix
+    # (media_dsp and pmi_top yielded their slots to stay under the
+    # cap — they rotate in r15)
     # compact_ann_index's kernel changed this round (broadcast
     # semi-join replaces the isin struct-literal predicate, VERDICT
     # r13 #4; maintenance_lock now held across the rewrite, #5) — its
@@ -8579,7 +8628,6 @@ _DRIVER_PREFIX = [
     "stream_rollup_replay",
     "pagerank",
     "tiered_fetch",
-    "pmi_top",
 ]
 # The driver checks at most _DRIVER_CAP rows per round; test_entry.py pins
 # len(_DRIVER_PREFIX) <= cap so additions can never silently evict entries

@@ -22,6 +22,13 @@ certifies the LIVE operational loop the docstrings promise:
 
 Usage: python tools/scale_smoke_stream_live.py       (N=10M total)
        SMOKE_ANN_N=2000000 python tools/scale_smoke_stream_live.py
+       SMOKE_ANN_L0=1 ...     stream into the L0 delta table instead
+                              of the cell partitions (r14): main stays
+                              one file per cell, each batch is ONE L0
+                              file, and the pause compaction FOLDS L0
+       SMOKE_REUSE=1 ...      keep {WORK}/corpus from a previous run
+                              (skips the ~400 s corpus gen; the index
+                              and stream state are always rebuilt)
 Prints one JSON line per case; recorded in SCALE.md ("Round-14
 findings").
 """
@@ -48,6 +55,8 @@ NPROBE = 4
 PHASE_FILES = 4          # files per traffic phase (2 phases)
 TICK = "2 seconds"
 WORK = os.environ.get("SMOKE_ANN_DIR", "/tmp/ann_stream_live_smoke")
+L0 = os.environ.get("SMOKE_ANN_L0") == "1"
+REUSE = os.environ.get("SMOKE_REUSE") == "1"
 
 
 def emit(**kw):
@@ -66,29 +75,36 @@ def main():
              .config("spark.driver.memory", "16g")
              .config("spark.ui.enabled", "false").getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
-    shutil.rmtree(WORK, ignore_errors=True)
-
-    # same hierarchical hash-derandomized corpus as scale_smoke_ann.py
-    t = time.time()
-    fine = f"(id % {FINE_CLUSTERS})"
-    coarse = f"({fine} % {TRUE_CLUSTERS})"
-    u = "(pmod(xxhash64({k}, {i}), 2000) / 1000.0D - 1.0D)"
-    gen = spark.range(N).select(
-        F.col("id").alias("vec_id"),
-        F.expr(
-            f"transform(sequence(0, {DIM - 1}), i -> round("
-            + u.format(k=coarse, i="i")
-            + " + 0.35D * pow(0.9D, i) * "
-            + u.format(k=fine, i=f"i + {DIM}")
-            + " + 0.1D * pow(0.87D, i) * "
-            + u.format(k="id", i=f"i + {2 * DIM}")
-            + ", 6))"
-        ).alias("embedding"))
-    gen.repartition(64).write.mode("overwrite").parquet(f"{WORK}/corpus")
-    corpus = spark.read.parquet(f"{WORK}/corpus")
+    if REUSE and os.path.isdir(f"{WORK}/corpus"):
+        for sub in ("index", "ckpt", "live_src", "staged"):
+            shutil.rmtree(f"{WORK}/{sub}", ignore_errors=True)
+        corpus = spark.read.parquet(f"{WORK}/corpus")
+        emit(case="corpus_gen", sec=0.0, rows=N, reused=True)
+    else:
+        shutil.rmtree(WORK, ignore_errors=True)
+        # same hierarchical hash-derandomized corpus as
+        # scale_smoke_ann.py
+        t = time.time()
+        fine = f"(id % {FINE_CLUSTERS})"
+        coarse = f"({fine} % {TRUE_CLUSTERS})"
+        u = "(pmod(xxhash64({k}, {i}), 2000) / 1000.0D - 1.0D)"
+        gen = spark.range(N).select(
+            F.col("id").alias("vec_id"),
+            F.expr(
+                f"transform(sequence(0, {DIM - 1}), i -> round("
+                + u.format(k=coarse, i="i")
+                + " + 0.35D * pow(0.9D, i) * "
+                + u.format(k=fine, i=f"i + {DIM}")
+                + " + 0.1D * pow(0.87D, i) * "
+                + u.format(k="id", i=f"i + {2 * DIM}")
+                + ", 6))"
+            ).alias("embedding"))
+        gen.repartition(64).write.mode("overwrite") \
+            .parquet(f"{WORK}/corpus")
+        corpus = spark.read.parquet(f"{WORK}/corpus")
+        emit(case="corpus_gen", sec=round(time.time() - t, 2), rows=N)
     base = corpus.where(F.col("vec_id") < N - DELTA)
     delta = corpus.where(F.col("vec_id") >= N - DELTA)
-    emit(case="corpus_gen", sec=round(time.time() - t, 2), rows=N)
 
     t = time.time()
     sample = [list(r["embedding"]) for r in
@@ -111,13 +127,25 @@ def main():
 
     codes = lambda: spark.read.parquet(f"{WORK}/index/codes")
 
+    def l0_df():
+        if os.path.isdir(f"{WORK}/index/codes_l0"):
+            return spark.read.parquet(f"{WORK}/index/codes_l0")
+        return None
+
+    def total_rows():
+        l0 = l0_df()
+        return codes().count() + (l0.count() if l0 is not None else 0)
+
     def files_per_cell():
         rows = (codes()
                 .select("cell", F.input_file_name().alias("f"))
                 .groupBy("cell").agg(F.countDistinct("f").alias("nf"))
                 .agg(F.sum("nf").alias("total"), F.max("nf").alias("mx"))
                 .collect()[0])
-        return int(rows["total"]), int(rows["mx"])
+        l0 = l0_df()
+        n_l0 = (l0.select(F.input_file_name().alias("f"))
+                .distinct().count() if l0 is not None else 0)
+        return int(rows["total"]), int(rows["mx"]), n_l0
 
     # stage the delta as 2*PHASE_FILES single-file batches to feed in
     half = DELTA // (2 * PHASE_FILES)
@@ -142,14 +170,15 @@ def main():
     q = stream_append_ann_index(stream, f"{WORK}/index",
                                 encoder="arrow",
                                 checkpoint_dir=f"{WORK}/ckpt",
-                                trigger={"processingTime": TICK})
+                                trigger={"processingTime": TICK},
+                                l0=L0)
 
     def drain_to(target_rows: int, timeout: float = 600.0) -> float:
         t0 = time.time()
         while time.time() - t0 < timeout:
             if not q.isActive:
                 raise RuntimeError(f"stream died: {q.exception()}")
-            if codes().count() >= target_rows:
+            if total_rows() >= target_rows:
                 return time.time() - t0
             time.sleep(1.0)
         raise TimeoutError(f"target {target_rows} not reached")
@@ -160,10 +189,11 @@ def main():
         feed(i)
         time.sleep(1.0)
     sec1 = drain_to(N - DELTA + PHASE_FILES * half)
-    tot1, mx1 = files_per_cell()
+    tot1, mx1, l01 = files_per_cell()
     emit(case="live_phase1", sec=round(time.time() - t, 2),
          absorbed_sec=round(sec1, 2), files_total=tot1,
-         files_max_per_cell=mx1, stream_active=q.isActive)
+         files_max_per_cell=mx1, l0_files=l01, l0=L0,
+         stream_active=q.isActive)
 
     # ---- traffic pause: stream stays up (empty ticks), compact
     time.sleep(4.0)          # a couple of guaranteed-empty ticks
@@ -172,9 +202,9 @@ def main():
     stats = compact_ann_index(spark, f"{WORK}/index",
                               fragmented_only=True)
     t_cmp = time.time() - t
-    tot2, mx2 = files_per_cell()
+    tot2, mx2, l02 = files_per_cell()
     emit(case="midstream_compact", sec=round(t_cmp, 2), **stats,
-         files_total=tot2, files_max_per_cell=mx2,
+         files_total=tot2, files_max_per_cell=mx2, l0_files=l02,
          stream_active=q.isActive)
 
     # ---- traffic phase 2: same stream absorbs more files after
@@ -183,15 +213,20 @@ def main():
         feed(i)
         time.sleep(1.0)
     sec2 = drain_to(N)
-    tot3, mx3 = files_per_cell()
+    tot3, mx3, l03 = files_per_cell()
     emit(case="live_phase2", sec=round(time.time() - t, 2),
          absorbed_sec=round(sec2, 2), files_total=tot3,
-         files_max_per_cell=mx3, stream_active=q.isActive)
+         files_max_per_cell=mx3, l0_files=l03, stream_active=q.isActive)
     q.stop()
 
     # ---- verdict: nothing lost across the maintenance window
-    n_rows = codes().count()
-    n_distinct = codes().select("vec_id").distinct().count()
+    # (in L0 mode phase 2 lives in codes_l0 — count the union, which
+    # is exactly what probes read)
+    n_rows = total_rows()
+    l0 = l0_df()
+    union = codes().select("vec_id") if l0 is None else \
+        codes().select("vec_id").union(l0.select("vec_id"))
+    n_distinct = union.distinct().count()
     qrows = (delta.where(F.pmod(F.xxhash64("vec_id"), F.lit(512)) == 7)
              .limit(N_QUERIES).collect())
     query = spark.createDataFrame(
