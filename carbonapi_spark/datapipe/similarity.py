@@ -1238,11 +1238,19 @@ def _l0_delta(spark, path: str):
     pruning — the right trade for a table that is delta-sized by
     contract (compaction folds it into the cell layout and removes
     it; an absent directory is the normal steady state)."""
+    from pyspark.errors import AnalysisException
+
     from carbonapi_spark.datapipe.maintenance import _hpath
     p, fs = _hpath(spark, f"{path}/codes_l0")
-    if fs.exists(p):
+    if not fs.exists(p):
+        return None
+    try:
         return spark.read.parquet(f"{path}/codes_l0")
-    return None
+    except AnalysisException:
+        # the very FIRST l0 append creates the directory before its
+        # parquet commits land (only _temporary inside) — a probe in
+        # that window must see "no L0 yet", not UNABLE_TO_INFER_SCHEMA
+        return None
 
 
 def ann_index_topk(spark, path: str, query: DataFrame, k: int = 10,

@@ -794,3 +794,21 @@ def test_delete_from_ann_index_covers_l0(vecs, spark, tmp_path):
     assert stats2["rows_deleted"] == len(left)
     lp, fs = _hpath(spark, f"{p}/codes_l0")
     assert not fs.exists(lp)
+
+
+def test_l0_first_append_window_is_invisible(vecs, spark, tmp_path):
+    """The very first l0 append creates codes_l0 before its parquet
+    commits land; a probe in that window must see \"no L0 yet\" (the
+    directory exists but holds no data files), not
+    UNABLE_TO_INFER_SCHEMA — caught live by the r14 streaming smoke."""
+    import os
+
+    from carbonapi_spark.datapipe.similarity import _l0_delta
+    cbs = pq_codebooks(DIM, M, KSUB, seed=44)
+    cents = _centroids(True)
+    p = str(tmp_path / "window")
+    write_ann_index(vecs, p, cbs, cents, l2_cells=True)
+    os.makedirs(f"{p}/codes_l0/_temporary", exist_ok=True)
+    assert _l0_delta(spark, p) is None
+    query = vecs.where(F.col("vec_id") % 97 == 3)
+    assert ann_index_topk(spark, p, query, k=5, nprobe=2).count() > 0

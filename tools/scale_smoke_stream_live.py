@@ -128,9 +128,10 @@ def main():
     codes = lambda: spark.read.parquet(f"{WORK}/index/codes")
 
     def l0_df():
-        if os.path.isdir(f"{WORK}/index/codes_l0"):
-            return spark.read.parquet(f"{WORK}/index/codes_l0")
-        return None
+        # the engine helper tolerates the first-append in-flight
+        # window (dir exists, no committed parquet yet)
+        from carbonapi_spark.datapipe.similarity import _l0_delta
+        return _l0_delta(spark, f"{WORK}/index")
 
     def total_rows():
         l0 = l0_df()
