@@ -1405,7 +1405,12 @@ def append_ann_index(df: DataFrame, path: str, id_col: str = "vec_id",
                 l2_cells=l2_cells, residual=residual,
                 keep_vec=vec_col in codes.columns)
     if l0:
-        delta.coalesce(1).write.mode("append") \
+        # repartition(1), NOT coalesce(1): coalesce collapses the
+        # whole chain into one task, serializing the encode matmuls
+        # (measured ~1.8x slower batch absorb at 10M — SCALE.md r14);
+        # the shuffle boundary keeps the encode at input parallelism
+        # and only the single write task is serial
+        delta.repartition(1).write.mode("append") \
             .parquet(f"{path}/codes_l0")
     else:
         delta.repartition(F.col("cell")).write.mode("append") \
@@ -1735,7 +1740,9 @@ def stream_append_ann_index(stream_df: DataFrame, path: str,
                     l2_cells=l2_cells, residual=residual,
                     keep_vec=keep_vec)
         if l0:
-            delta.coalesce(1).write.mode("append") \
+            # repartition(1), not coalesce(1) — same reason as
+            # append_ann_index: keep the per-epoch encode parallel
+            delta.repartition(1).write.mode("append") \
                 .parquet(f"{path}/codes_l0")
         else:
             delta.repartition(F.col("cell")).write.mode("append") \
