@@ -2160,6 +2160,59 @@ WHERE rk <= 10
 """.strip())
 
 
+def _q_stream_ann_replay(spark, sf_dir):
+    """Streaming ANN ingest pinned in the driver (r14): build the
+    IVFADC artifact over 2/3 of the embeddings table, stream the
+    remaining third in through ``stream_append_ann_index(l0=True)``
+    as an availableNow drain over a two-file source
+    (maxFilesPerTrigger=1 — two real foreachBatch epochs, each ONE
+    file in ``codes_l0``), then probe THROUGH the live L0 union.
+    Streaming residency must be invisible to query semantics: the
+    result equals the clean full-corpus probe, which is what the
+    oracle replays (same seeds/params as ann_compact_probe).  The
+    streaming sibling of ``ann_l0_probe`` the way
+    ``stream_minhash_replay`` twins ``minhash_incremental``."""
+    import tempfile
+
+    from carbonapi_spark.datapipe.similarity import (
+        ann_index_topk, ivf_centroids, pq_codebooks,
+        stream_append_ann_index, write_ann_index)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = ivf_centroids(64, 8, 43)
+    cbs = pq_codebooks(64, 8, 16, 44)
+    delta = emb.where(F.col("vec_id") % 3 == 0)
+    with tempfile.TemporaryDirectory() as tmp:
+        p = f"{tmp}/ann"
+        write_ann_index(emb.where(F.col("vec_id") % 3 != 0), p, cbs,
+                        cents)
+        src = f"{tmp}/src"
+        delta.repartition(2).write.mode("overwrite").parquet(src)
+        stream = (spark.readStream.schema(delta.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        q = stream_append_ann_index(stream, p, l0=True,
+                                    checkpoint_dir=f"{tmp}/ckpt")
+        q.awaitTermination()
+        n_l0 = (spark.read.parquet(f"{p}/codes_l0")
+                .select(F.input_file_name()).distinct().count())
+        assert n_l0 == 2        # one L0 file per epoch, no cell spray
+        out = ann_index_topk(spark, p, emb.where(F.col("vec_id") < 5),
+                             k=10, nprobe=3)
+        rows = out.collect()
+        schema = out.schema
+    return spark.createDataFrame(rows, schema)
+
+
+_register("stream_ann_replay", _q_stream_ann_replay, f"""
+WITH {_ivfpq_ctes()}
+SELECT query_id, neighbor_id, adc_dist
+FROM (SELECT query_id, neighbor_id, adc_dist,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adc_dist, neighbor_id) AS rk
+      FROM adc)
+WHERE rk <= 10
+""".strip())
+
+
 def _q_ann_delete_probe(spark, sf_dir):
     """Durable-index deletion end-to-end (VERDICT r13 #2b): build the
     IVFADC artifact over the full embeddings table, delete a known id
@@ -8562,8 +8615,10 @@ _DRIVER_PREFIX = [
     # fold asserted row-identical inline
     "band_compact_probe",   # NEW r14: band-index replay + compaction
     # repair — completes the per-index compaction matrix
-    # (media_dsp and pmi_top yielded their slots to stay under the
-    # cap — they rotate in r15)
+    "stream_ann_replay",    # NEW r14: streaming L0 ingest (two real
+    # foreachBatch epochs) probed through the live union
+    # (media_dsp, pmi_top and tiered_fetch yielded their slots to
+    # stay under the cap — they rotate in r15)
     # compact_ann_index's kernel changed this round (broadcast
     # semi-join replaces the isin struct-literal predicate, VERDICT
     # r13 #4; maintenance_lock now held across the rewrite, #5) — its
@@ -8627,7 +8682,6 @@ _DRIVER_PREFIX = [
     "event_transitions",
     "stream_rollup_replay",
     "pagerank",
-    "tiered_fetch",
 ]
 # The driver checks at most _DRIVER_CAP rows per round; test_entry.py pins
 # len(_DRIVER_PREFIX) <= cap so additions can never silently evict entries
