@@ -49,23 +49,28 @@ def _mover_verdicts(times: dict, spread: dict):
     # actually resolves to a commit, so attribution falls back to the
     # last committed baseline instead of silently disabling itself.
     try:
-        sha, base_path = "", None
+        sha, base_path, base = "", None, {}
         for cand in reversed(benches):
-            sha = subprocess.run(
+            s = subprocess.run(
                 ["git", "log", "-1", "--format=%H", "--",
                  os.path.basename(cand)],
                 cwd=here, capture_output=True, text=True, timeout=30
             ).stdout.strip()
-            if sha:
-                base_path = cand
-                break
+            if not s:
+                continue   # uncommitted BENCH file (mid-wrap-up re-run)
+            blob = subprocess.run(
+                ["git", "show", f"{s}:BENCH_DETAIL.json"],
+                cwd=here, capture_output=True, text=True, timeout=30
+            ).stdout
+            if not blob:
+                # that round's commit lacks a BENCH_DETAIL — keep
+                # walking to an older committed baseline instead of
+                # silently disabling attribution one step deeper
+                continue
+            sha, base_path, base = s, cand, json.loads(blob)
+            break
         if base_path is None:
             return {}, None
-        blob = subprocess.run(
-            ["git", "show", f"{sha}:BENCH_DETAIL.json"],
-            cwd=here, capture_output=True, text=True, timeout=30
-        ).stdout if sha else ""
-        base = json.loads(blob) if blob else {}
         prev = base.get("queries", {})
         prev_spread = base.get("spread", {})
     except Exception:

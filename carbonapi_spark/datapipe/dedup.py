@@ -881,7 +881,12 @@ def delete_from_band_index(spark, path: str, doc_ids,
     deltas.  A document's band rows spread across all ``bands`` and
     arbitrary buckets, so this is an honest full filtered rewrite
     (``delete_rows_partitioned``, doubling as defragmentation); the
-    ``stats`` table is parameter-only and unaffected."""
+    ``stats`` table is parameter-only and unaffected.
+
+    Deleting EVERY document leaves the bands table as a single
+    schema-bearing empty placeholder (probes return no candidates);
+    appends into an emptied index resume the (band, bucket) layout
+    only after a rebuild."""
     from carbonapi_spark.datapipe.maintenance import (
         delete_rows_partitioned, maintenance_lock)
     if isinstance(doc_ids, (list, tuple, set)):

@@ -40,27 +40,38 @@ def maintenance_lock(spark, index_path: str, op: str):
     underscore keeps Spark's parquet reader from treating it as data
     (same convention as _SUCCESS).  ``fs.create(overwrite=False)`` is
     the mutual-exclusion primitive — a second maintenance op on the
-    same artifact raises instead of interleaving.  A crash leaves the
+    same artifact raises instead of interleaving.  A FAILED run —
+    crash or ANY exception out of the locked block — leaves the
     marker behind by design: the artifact may be mid-swap, so the
     operator must inspect (codes.precompact etc.) and remove the
     marker by hand — an append proceeding blindly is the worse
-    failure."""
+    failure.  Only a successful exit removes the marker."""
     mp, fs = _hpath(spark, f"{index_path}/_MAINTENANCE")
     try:
         out = fs.create(mp, False)
-    except Exception:
+    except Exception as e:
+        if fs.exists(mp):
+            raise IOError(
+                f"{op}: {index_path} is already under maintenance "
+                f"({index_path}/_MAINTENANCE exists — concurrent "
+                f"maintenance, or a crashed run; inspect and remove "
+                f"the marker to proceed)")
+        # an unrelated create failure (bad path, permissions, fs down)
+        # is NOT contention — report it as itself instead of telling
+        # the operator to remove a marker that does not exist
         raise IOError(
-            f"{op}: {index_path} is already under maintenance "
-            f"({index_path}/_MAINTENANCE exists — concurrent "
-            f"maintenance, or a crashed run; inspect and remove the "
-            f"marker to proceed)")
+            f"{op}: could not create the maintenance marker at "
+            f"{index_path}/_MAINTENANCE: {e}") from e
     out.write(bytearray(
         f"op={op} pid={os.getpid()} path={index_path}\n".encode()))
     out.close()
-    try:
-        yield
-    finally:
-        fs.delete(mp, False)
+    # no finally-cleanup: an exception out of the locked op must LEAVE
+    # the marker (the artifact may be mid-swap — the documented
+    # contract, which a finally would silently break for every
+    # Python-level failure, reopening the lost-append window against a
+    # possibly-inconsistent index)
+    yield
+    fs.delete(mp, False)
 
 
 def assert_not_under_maintenance(spark, index_path: str,
@@ -79,6 +90,28 @@ def assert_not_under_maintenance(spark, index_path: str,
             f"compaction/deletion rename-swap lose data silently; "
             f"retry after the maintenance op finishes (or remove the "
             f"marker if it was left by a crash).")
+
+
+def swap_in(spark, live: str, stage: str, parked: str, op: str) -> None:
+    """The shared two-rename swap protocol (one implementation for the
+    five places that used to hand-roll it): park ``live`` at
+    ``parked``, move ``stage`` into place, delete the parked copy,
+    refresh Spark's file-status cache for ``live``.  A failed second
+    rename rolls the park back so the table stays readable; a crash
+    BETWEEN the renames leaves ``live`` briefly absent with the old
+    data intact at ``parked`` (rename it back to recover)."""
+    live_p, fs = _hpath(spark, live)
+    stage_p, _ = _hpath(spark, stage)
+    parked_p, _ = _hpath(spark, parked)
+    if not fs.rename(live_p, parked_p):
+        raise IOError(f"{op}: could not park {live}")
+    if not fs.rename(stage_p, live_p):
+        fs.rename(parked_p, live_p)   # roll back: stay readable
+        raise IOError(f"{op}: could not swap in {stage}")
+    fs.delete(parked_p, True)
+    # the renames bypass Spark's write path, so any cached file
+    # listing for the table still names the old files
+    spark.catalog.refreshByPath(live)
 
 
 def _ensure_readable(spark, path: str, schema) -> None:
@@ -123,17 +156,8 @@ def delete_rows_partitioned(spark, table_path: str, ids_df,
     (keep.repartition(*pcols).write.mode("overwrite")
      .partitionBy(*partition_cols).parquet(tmp))
     _ensure_readable(spark, tmp, df.schema)
-    table_p, fs = _hpath(spark, table_path)
-    pre_p, _ = _hpath(spark, f"{table_path}.predelete")
-    tmp_p, _ = _hpath(spark, tmp)
-    if not fs.rename(table_p, pre_p):
-        raise IOError(f"delete_rows_partitioned: could not park "
-                      f"{table_path}")
-    if not fs.rename(tmp_p, table_p):
-        fs.rename(pre_p, table_p)
-        raise IOError(f"delete_rows_partitioned: could not swap in {tmp}")
-    fs.delete(pre_p, True)
-    spark.catalog.refreshByPath(table_path)
+    swap_in(spark, table_path, tmp, f"{table_path}.predelete",
+            "delete_rows_partitioned")
     n_after = spark.read.parquet(table_path).count()
     return {"rows_deleted": n_before - n_after, "rows_after": n_after}
 
@@ -255,19 +279,12 @@ def compact_partitioned(spark, table_path: str, key_cols: list[str],
         (full.dropDuplicates(key_cols)
          .repartition(*pcols).write.mode("overwrite")
          .partitionBy(*partition_cols).parquet(tmp))
-        table_p, fs = _hpath(spark, table_path)
-        pre_p, _ = _hpath(spark, f"{table_path}.precompact")
-        tmp_p, _ = _hpath(spark, tmp)
-        if not fs.rename(table_p, pre_p):
-            raise IOError(f"compact_partitioned: could not park "
-                          f"{table_path}")
-        if not fs.rename(tmp_p, table_p):
-            fs.rename(pre_p, table_p)   # stay readable
-            raise IOError(f"compact_partitioned: could not swap in {tmp}")
-        fs.delete(pre_p, True)
-        # the rename swap bypasses Spark's write path, so any cached
-        # file listing for the table still names the old files
-        spark.catalog.refreshByPath(table_path)
+        # compacting an EMPTIED table (post delete-everything) writes a
+        # file-less tmp dir; swapping that in would re-brick the table
+        # the deletion path's placeholder kept readable
+        _ensure_readable(spark, tmp, df.schema)
+        swap_in(spark, table_path, tmp, f"{table_path}.precompact",
+                "compact_partitioned")
         rewritten = None   # filled from the post-swap read below (the
         # pre-swap plans' file listings are stale after the renames)
 

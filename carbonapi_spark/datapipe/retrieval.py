@@ -333,9 +333,9 @@ def compact_text_index(spark, path: str,
     unpartitioned and append-fragmented), and stats recomputed FROM the
     deduped doclens (the ground truth the merged totals drifted from).
     Single-writer maintenance, same caveats as the kernel."""
-    from carbonapi_spark.datapipe.maintenance import (_hpath,
-                                                      compact_partitioned,
-                                                      maintenance_lock)
+    from carbonapi_spark.datapipe.maintenance import (compact_partitioned,
+                                                      maintenance_lock,
+                                                      swap_in)
     with maintenance_lock(spark, path, "compact_text_index"):
         stats = compact_partitioned(spark, f"{path}/postings",
                                     ["doc_id", "term"], ["bucket"],
@@ -344,21 +344,8 @@ def compact_text_index(spark, path: str,
             .dropDuplicates(["doc_id"])
         stage = f"{path}/doclens.compacting"
         lens.coalesce(1).write.mode("overwrite").parquet(stage)
-        lens_p, fs = _hpath(spark, f"{path}/doclens")
-        pre_p, _ = _hpath(spark, f"{path}/doclens.precompact")
-        stage_p, _ = _hpath(spark, stage)
-        if not fs.rename(lens_p, pre_p):
-            raise IOError(f"compact_text_index: could not park {lens_p}")
-        if not fs.rename(stage_p, lens_p):
-            fs.rename(pre_p, lens_p)
-            raise IOError(
-                f"compact_text_index: could not swap in {stage}")
-        fs.delete(pre_p, True)
-        # invalidate any cached plan/Dataset over the swapped directory
-        # — without this a pre-compaction reader can fail with
-        # FAILED_READ_FILE.FILE_NOT_EXIST (same staleness
-        # delete_from_text_index already guards against)
-        spark.catalog.refreshByPath(f"{path}/doclens")
+        swap_in(spark, f"{path}/doclens", stage,
+                f"{path}/doclens.precompact", "compact_text_index")
         n_buckets = spark.read.parquet(f"{path}/stats") \
             .collect()[0]["n_buckets"]
         fresh = spark.read.parquet(f"{path}/doclens")
@@ -377,9 +364,14 @@ def delete_from_text_index(spark, path: str, doc_ids,
     is an honest full filtered rewrite (``delete_rows_partitioned``,
     which doubles as defragmentation), plus the doclens anti-join and a
     stats recompute from the surviving doclens so idf/avgdl reflect the
-    deletion."""
+    deletion.
+
+    Deleting EVERY document leaves the postings table as a single
+    schema-bearing empty placeholder (probes return no matches; stats
+    become (0, 0)); appends into an emptied index resume the
+    partitioned layout only after a rebuild."""
     from carbonapi_spark.datapipe.maintenance import (
-        _hpath, delete_rows_partitioned, maintenance_lock)
+        delete_rows_partitioned, maintenance_lock, swap_in)
     if isinstance(doc_ids, (list, tuple, set)):
         dt = spark.read.parquet(f"{path}/doclens") \
             .schema["doc_id"].dataType.simpleString()
@@ -394,18 +386,8 @@ def delete_from_text_index(spark, path: str, doc_ids,
                 .join(F.broadcast(ids_df), "doc_id", "left_anti"))
         stage = f"{path}/doclens.deleting"
         lens.coalesce(1).write.mode("overwrite").parquet(stage)
-        lens_p, fs = _hpath(spark, f"{path}/doclens")
-        pre_p, _ = _hpath(spark, f"{path}/doclens.predelete")
-        stage_p, _ = _hpath(spark, stage)
-        if not fs.rename(lens_p, pre_p):
-            raise IOError(
-                f"delete_from_text_index: could not park {lens_p}")
-        if not fs.rename(stage_p, lens_p):
-            fs.rename(pre_p, lens_p)
-            raise IOError(
-                f"delete_from_text_index: could not swap in {stage}")
-        fs.delete(pre_p, True)
-        spark.catalog.refreshByPath(f"{path}/doclens")
+        swap_in(spark, f"{path}/doclens", stage,
+                f"{path}/doclens.predelete", "delete_from_text_index")
         n_buckets = spark.read.parquet(f"{path}/stats") \
             .collect()[0]["n_buckets"]
         # SUM over zero rows is NULL — coalesce so deleting EVERY

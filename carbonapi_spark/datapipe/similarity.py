@@ -1583,17 +1583,27 @@ def delete_from_ann_index(spark, path: str, ids, id_col: str = "vec_id",
     rewrite (measured at 10M: a 100k-id batch touched all 256 cells —
     SCALE.md r13).  Same single-writer caveat as
     :func:`compact_ann_index`.  Returns
-    {"rows_deleted", "cells_rewritten", "cells_emptied"}."""
+    {"rows_deleted", "cells_rewritten", "cells_emptied"}.
+
+    Deleting EVERY vector leaves the codes table as a single
+    schema-bearing empty placeholder (probes return no candidates);
+    appends into an emptied index resume the ``cell=`` layout only
+    after a rebuild."""
     from carbonapi_spark.datapipe.maintenance import (_hpath,
                                                       maintenance_lock)
-    codes = spark.read.parquet(f"{path}/codes")
-    if isinstance(ids, (list, tuple, set)):
-        id_dt = codes.schema[id_col].dataType.simpleString()
-        ids_df = spark.createDataFrame([(i,) for i in sorted(ids)],
-                                       f"`{id_col}` {id_dt}")
-    else:
-        ids_df = ids.select(id_col)
     with maintenance_lock(spark, path, "delete_from_ann_index"):
+        # the codes read must happen INSIDE the lock: its eager file
+        # listing pins the rewrite's input, so a read taken before the
+        # marker was up would let an append committing in between be
+        # silently erased by the cell rewrite — the exact lost-append
+        # the lock exists to prevent
+        codes = spark.read.parquet(f"{path}/codes")
+        if isinstance(ids, (list, tuple, set)):
+            id_dt = codes.schema[id_col].dataType.simpleString()
+            ids_df = spark.createDataFrame([(i,) for i in sorted(ids)],
+                                           f"`{id_col}` {id_dt}")
+        else:
+            ids_df = ids.select(id_col)
         return _delete_from_ann_index_locked(spark, path, codes,
                                              ids_df, id_col)
 
@@ -1667,17 +1677,11 @@ def _delete_from_l0(spark, path, ids_df, id_col) -> int:
         fs.delete(lp, True)
         spark.catalog.refreshByPath(f"{path}/codes_l0")
         return n_hit
+    from carbonapi_spark.datapipe.maintenance import swap_in
     stage = f"{path}/codes_l0.deleting"
     keep.coalesce(1).write.mode("overwrite").parquet(stage)
-    sp, _ = _hpath(spark, stage)
-    pre, _ = _hpath(spark, f"{path}/codes_l0.predelete")
-    if not fs.rename(lp, pre):
-        raise IOError(f"_delete_from_l0: could not park {path}/codes_l0")
-    if not fs.rename(sp, lp):
-        fs.rename(pre, lp)
-        raise IOError(f"_delete_from_l0: could not swap in {stage}")
-    fs.delete(pre, True)
-    spark.catalog.refreshByPath(f"{path}/codes_l0")
+    swap_in(spark, f"{path}/codes_l0", stage,
+            f"{path}/codes_l0.predelete", "_delete_from_l0")
     return n_hit
 
 

@@ -842,7 +842,14 @@ def _dual_axis_scales(gp: GraphParams, specs, py0, py1):
                 lo_b = y_min
             if y_max is not None and y_max > 0:
                 hi_b = y_max
-            if (y_min is not None or y_max is not None) and hi_b > lo_b:
+            if hi_b <= lo_b:
+                # inverted/degenerate overrides get the same defined
+                # fallback as the linear branch (top = bottom + step):
+                # one decade above the floor, so sy/ticks/range stay
+                # mutually consistent instead of mixing a snapped
+                # mapper with an inverted reported range
+                hi_b = lo_b * gp.log_base
+            if y_min is not None or y_max is not None:
                 b = gp.log_base
                 l_lo = math.log(lo_b, b)
                 l_hi = math.log(hi_b, b)

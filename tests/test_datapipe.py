@@ -4638,3 +4638,52 @@ def test_maintenance_lock_covers_ann_and_band_appends(spark, tmp_path):
         with pytest.raises(IOError, match="under maintenance"):
             append_band_index(delta, p)
     append_band_index(delta, p)   # marker released
+
+
+def test_compact_emptied_index_stays_readable(spark, tmp_path):
+    """r14 review (reproduced): full-mode compaction of an EMPTIED
+    table (post delete-everything) used to swap in a file-less
+    directory, re-bricking the table the deletion placeholder had
+    kept readable — compact now stages through _ensure_readable."""
+    from carbonapi_spark.datapipe.retrieval import (
+        bm25_query_index, compact_text_index, delete_from_text_index,
+        write_text_index)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    some = docs.where(F.col("doc_id") % 10 == 0)
+    p = str(tmp_path / "tix_empty")
+    write_text_index(some, p, n_buckets=8)
+    delete_from_text_index(spark, p,
+                           [r["doc_id"] for r in
+                            some.select("doc_id").collect()])
+    stats = compact_text_index(spark, p)          # full mode
+    assert stats["rows_after"] == 0
+    # table still readable, probes still defined
+    assert spark.read.parquet(f"{p}/postings").count() == 0
+    assert bm25_query_index(spark, p, "anything").count() == 0
+
+
+def test_maintenance_lock_failure_leaves_marker(spark, tmp_path):
+    """r14 review: an exception out of the locked block must LEAVE the
+    _MAINTENANCE marker (the artifact may be mid-swap — the documented
+    operator-inspection contract), and an unrelated marker-create
+    failure must not masquerade as 'already under maintenance'."""
+    import os
+
+    import pytest
+
+    from carbonapi_spark.datapipe.maintenance import maintenance_lock
+    p = str(tmp_path / "locked_art")
+    os.makedirs(p)
+    with pytest.raises(RuntimeError, match="mid-swap boom"):
+        with maintenance_lock(spark, p, "failing-op"):
+            raise RuntimeError("mid-swap boom")
+    assert os.path.exists(f"{p}/_MAINTENANCE")    # left for inspection
+    # and while it lingers, the contended error names the marker
+    with pytest.raises(IOError, match="already under maintenance"):
+        with maintenance_lock(spark, p, "second-op"):
+            pass
+    os.remove(f"{p}/_MAINTENANCE")
+    # clean run removes the marker on success
+    with maintenance_lock(spark, p, "ok-op"):
+        pass
+    assert not os.path.exists(f"{p}/_MAINTENANCE")

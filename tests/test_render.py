@@ -1207,3 +1207,35 @@ def test_http_concurrent_requests(server):
     with ThreadPoolExecutor(max_workers=8) as ex:
         results = list(ex.map(fetch, urls))
     assert all(code == 200 and ok for code, ok in results), results
+
+
+def test_render_dual_axis_log_inverted_overrides_defined(spark):
+    """r14 review: yMin > yMax on a dual-log side must get the same
+    DEFINED fallback as the linear branch (top = bottom + step; here
+    one decade above the floor) — previously the inverted bounds were
+    returned with a mapper built on the snapped range, so the raster
+    clipped against (100, 10) while plotting on 100..1000."""
+    from carbonapi_spark.render.graph import (
+        GraphParams, _dual_axis_scales, _series_geometry, render_png)
+    lake = make_lake(spark, {"m.big": [100.0, 300.0, 900.0],
+                             "m.small": [0.001, 0.1, 10.0]}, 1, 0)
+    frames = [_frame(spark, lake, "m.big", 0, 3),
+              _frame(spark, lake, "secondYAxis(m.small)", 0, 3)]
+    series, opts = [], []
+    for fr in frames:
+        got = collect_series(fr)
+        series.extend(got)
+        opts.extend([fr.graph_options or {}] * len(got))
+    gp = GraphParams({"logBase": ["10"], "yMinLeft": ["100"],
+                      "yMaxLeft": ["10"]})
+    specs, *_ = _series_geometry(series, opts, gp)
+    (syl, tl, rl), _ = _dual_axis_scales(gp, specs, 0, 100)
+    assert rl == (100.0, 1000.0)       # floor kept, one decade up
+    assert abs(syl(100.0) - 100.0) < 1e-9
+    assert abs(syl(1000.0) - 0.0) < 1e-9
+    assert all(100.0 * (1 - 1e-12) <= t <= 1000.0 * (1 + 1e-12)
+               for t in tl)
+    png = render_png(series, opts, {"logBase": ["10"],
+                                    "yMinLeft": ["100"],
+                                    "yMaxLeft": ["10"]})
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
