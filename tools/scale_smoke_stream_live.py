@@ -52,7 +52,9 @@ K = 10
 N_QUERIES = 32
 REFINE = 200
 NPROBE = 4
-PHASE_FILES = 4          # files per traffic phase (2 phases)
+PHASE_FILES = int(os.environ.get("SMOKE_PHASE_FILES", 4))
+# files per traffic phase (2 phases); raise for a soak run (e.g.
+# SMOKE_PHASE_FILES=10 -> 20 batches through one live stream)
 TICK = "2 seconds"
 WORK = os.environ.get("SMOKE_ANN_DIR", "/tmp/ann_stream_live_smoke")
 L0 = os.environ.get("SMOKE_ANN_L0") == "1"
