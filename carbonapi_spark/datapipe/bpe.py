@@ -38,6 +38,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from carbonapi_spark.datapipe import local_df as _local_df
+
 from carbonapi_spark.datapipe.text import tokens
 
 SEP = "\x1f"
@@ -200,7 +202,7 @@ def bpe_train(df: DataFrame, n_merges: int = 20,
         # aggregation collects the vocab-sized type table, the merge
         # loop runs locally — identical semantics, none of the
         # 2-jobs-per-merge fixed overhead
-        return spark.createDataFrame(
+        return _local_df(spark, 
             _train_local(rows, n_merges, scored=False) or [], schema)
     words = (word_counts(df, text_col)
              .select("word", "cnt", _sym_init(F.col("word")).alias("sym")))
@@ -228,7 +230,7 @@ def bpe_train(df: DataFrame, n_merges: int = 20,
                            _merge_step(left, right))
         words = words.select("word", "cnt",
                              fold.alias("sym")).localCheckpoint()
-    return spark.createDataFrame(merges or [], schema)
+    return _local_df(spark, merges or [], schema)
 
 
 def bpe_encode(df: DataFrame, merges: list[tuple[str, str]],
@@ -277,7 +279,7 @@ def wordpiece_train(df: DataFrame, n_merges: int = 10,
               "pair_count LONG, score DOUBLE")
     rows = _local_type_table(df, text_col, local)
     if rows is not None:
-        return spark.createDataFrame(
+        return _local_df(spark, 
             _train_local(rows, n_merges, scored=True) or [], schema)
     words = (word_counts(df, text_col)
              .select("word", "cnt", _sym_init(F.col("word")).alias("sym")))
@@ -320,7 +322,7 @@ def wordpiece_train(df: DataFrame, n_merges: int = 10,
     # score stays the RAW double of one exact-int multiply + divide —
     # bit-identical in any IEEE engine; rounding it would re-introduce a
     # HALF_UP-vs-HALF_EVEN convention seam on dyadic boundary values
-    return spark.createDataFrame(merges or [], schema)
+    return _local_df(spark, merges or [], schema)
 
 
 def _wp_pieces(token: Column, vocab: list[str]) -> Column:

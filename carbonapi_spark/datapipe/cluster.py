@@ -22,6 +22,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from carbonapi_spark.datapipe import local_df as _local_df
+
 __all__ = ["connected_components", "core_numbers", "dedup_clusters",
            "dedup_keep_best", "label_propagation", "pagerank",
            "triangle_count"]
@@ -74,7 +76,7 @@ def _finish_local(spark, rows) -> DataFrame:
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
     labels = [(n, find(n)) for n in parent]
-    return spark.createDataFrame(labels or [], "node LONG, cluster_id LONG")
+    return _local_df(spark, labels or [], "node LONG, cluster_id LONG")
 
 
 def connected_components(edges: DataFrame, src: str = "src",
@@ -227,7 +229,7 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
     n_nodes = deg.count()
     if n_nodes == 0:
-        return edges.sparkSession.createDataFrame([], "node LONG, pr DOUBLE")
+        return _local_df(edges.sparkSession, [], "node LONG, pr DOUBLE")
     if n_nodes < 100_000:
         und = und.coalesce(1).localCheckpoint()
         deg = deg.coalesce(1)

@@ -18,6 +18,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
+from carbonapi_spark.datapipe import (combo_repartition, local_df,
+                                      read_small_table)
+
 from carbonapi_spark.datapipe.text import tokens, _poly_hash
 
 # 31-bit Mersenne prime: keeps (a*h + b) inside int64 under ANSI mode
@@ -784,8 +787,8 @@ def lsh_candidate_quality(docs: DataFrame, text_col: str = "text",
         np0, nc0 = got.get(0, (0, 0))
         got[0] = (np0 + rest, nc0)
     spark = docs.sparkSession
-    g = spark.createDataFrame(
-        sorted((b, np, nc) for b, (np, nc) in got.items()),
+    g = local_df(
+        spark, sorted((b, np, nc) for b, (np, nc) in got.items()),
         "bin LONG, n_pairs LONG, n_candidates LONG")
     s = (F.col("bin") + F.lit(0.5)) / F.lit(float(bins))
     s_r = reduce(lambda acc, _: acc * s, range(rows - 1), s)
@@ -819,14 +822,14 @@ def write_band_index(df: DataFrame, path: str, text_col: str = "text",
     bytes, never the corpus."""
     idx = minhash_band_index(df, text_col, id_col, num_hashes, bands,
                              ngram, seed)
-    (idx.withColumn("bucket",
-                    F.pmod(F.xxhash64("key"), F.lit(n_buckets))
-                    .cast("int"))
+    bucketed = idx.withColumn(
+        "bucket", F.pmod(F.xxhash64("key"), F.lit(n_buckets)).cast("int"))
+    (combo_repartition(bucketed, ["band", "bucket"], bands * n_buckets)
      .write.mode("overwrite").partitionBy("band", "bucket")
      .parquet(f"{path}/bands"))
     spark = df.sparkSession
-    (spark.createDataFrame(
-        [(num_hashes, bands, ngram, seed, n_buckets)],
+    (local_df(
+        spark, [(num_hashes, bands, ngram, seed, n_buckets)],
         "num_hashes INT, bands INT, ngram INT, seed INT, "
         "n_buckets INT")
      .write.mode("overwrite").parquet(f"{path}/stats"))
@@ -843,12 +846,14 @@ def append_band_index(df: DataFrame, path: str, text_col: str = "text",
         assert_not_under_maintenance)
     spark = df.sparkSession
     assert_not_under_maintenance(spark, path, "append_band_index")
-    st = spark.read.parquet(f"{path}/stats").collect()[0]
+    st = read_small_table(spark, f"{path}/stats")[0]
     idx = minhash_band_index(df, text_col, id_col, st["num_hashes"],
                              st["bands"], st["ngram"], st["seed"])
-    (idx.withColumn("bucket",
-                    F.pmod(F.xxhash64("key"), F.lit(st["n_buckets"]))
-                    .cast("int"))
+    bucketed = idx.withColumn(
+        "bucket",
+        F.pmod(F.xxhash64("key"), F.lit(st["n_buckets"])).cast("int"))
+    (combo_repartition(bucketed, ["band", "bucket"],
+                       st["bands"] * st["n_buckets"])
      .write.mode("append").partitionBy("band", "bucket")
      .parquet(f"{path}/bands"))
 
@@ -892,8 +897,8 @@ def delete_from_band_index(spark, path: str, doc_ids,
     if isinstance(doc_ids, (list, tuple, set)):
         dt = spark.read.parquet(f"{path}/bands") \
             .schema["doc_id"].dataType.simpleString()
-        ids_df = spark.createDataFrame([(i,) for i in sorted(doc_ids)],
-                                       f"doc_id {dt}")
+        ids_df = local_df(spark, [(i,) for i in sorted(doc_ids)],
+                          f"doc_id {dt}")
     else:
         ids_df = doc_ids.select(F.col(id_col).alias("doc_id"))
     with maintenance_lock(spark, path, "delete_from_band_index"):
@@ -914,7 +919,7 @@ def probe_band_index(spark, path: str, new_docs: DataFrame,
     Pruning on coarse buckets over-reads only hash-colliding keys; the
     (band, key) equi-join inside discards them, so the result equals
     the un-pruned probe exactly."""
-    st = spark.read.parquet(f"{path}/stats").collect()[0]
+    st = read_small_table(spark, f"{path}/stats")[0]
     delta_idx = minhash_band_index(new_docs, text_col, id_col,
                                    st["num_hashes"], st["bands"],
                                    st["ngram"], st["seed"])

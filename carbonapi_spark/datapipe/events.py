@@ -18,6 +18,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from carbonapi_spark.datapipe import local_df as _local_df
+
 
 def funnel(events: DataFrame, steps: list[str],
            within_s: int | None = None, user_col: str = "user_id",
@@ -56,7 +58,7 @@ def funnel(events: DataFrame, steps: list[str],
     rows = [(i + 1, steps[i], counts[i],
              round(counts[i] / base, 6) if base else 0.0)
             for i in range(len(steps))]
-    return events.sparkSession.createDataFrame(
+    return _local_df(events.sparkSession, 
         rows, "step INT, event_type STRING, n_users LONG, "
               "conversion DOUBLE")
 
@@ -906,7 +908,7 @@ def markov_attribution(events: DataFrame, touch_types: list[str],
                  (float(drops[c]) / float(v)) if v > 0 else 0.0,
                  (float(drops[c]) / float(tot)) if tot > 0 else 0.0)
                 for c in sorted(touch_types)]
-    df = spark.createDataFrame(
+    df = _local_df(spark, 
         out_rows, "channel STRING, conv_drop_micro LONG, "
                   "removal_effect DOUBLE, share DOUBLE")
     return df.select("channel", "conv_drop_micro",

@@ -34,6 +34,8 @@ import math
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from carbonapi_spark.datapipe import local_df as _local_df
+
 # fixed-point scales (contract constants, see module docstring)
 PROJ_SCALE = 10**6
 # coordinates whose quantization q = round(v * PROJ_SCALE) would leave
@@ -458,7 +460,7 @@ def pca_power_top(vecs: DataFrame, vec_col: str = "embedding",
         cm[(r["i"], r["j"])] = cm[(r["j"], r["i"])] = r["cm"]
         dim = max(dim, r["j"] + 1)
     if dim == 0:
-        return spark.createDataFrame(
+        return _local_df(spark, 
             [], "d INT, loading_micro LONG, loading DOUBLE, eigenvalue DOUBLE")
 
     def trunc_div(a: int, b: int) -> int:
@@ -480,7 +482,7 @@ def pca_power_top(vecs: DataFrame, vec_col: str = "embedding",
     if v[top] < 0:
         v = [-x for x in v]
     lam = (float(m) / float(vmax)) / float(scale) if vmax > 0 else 0.0
-    out = spark.createDataFrame(
+    out = _local_df(spark, 
         [(i, v[i], lam) for i in range(dim)],
         "d INT, loading_micro LONG, eigenvalue DOUBLE")
     return out.select(
@@ -508,7 +510,7 @@ def pca_extremes(vecs: DataFrame, k: int = 10, id_col: str = "vec_id",
     lm = [float(r["loading_micro"]) for r in
           sorted(rows, key=lambda r: r["d"])]
     if not lm:
-        return vecs.sparkSession.createDataFrame(
+        return _local_df(vecs.sparkSession, 
             [], f"side STRING, {id_col} LONG, proj DOUBLE")
     lit = F.array(*[F.lit(x) for x in lm])
     proj = (F.aggregate(

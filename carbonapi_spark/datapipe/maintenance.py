@@ -128,7 +128,8 @@ def _ensure_readable(spark, path: str, schema) -> None:
     while it.hasNext():
         if it.next().getPath().getName().endswith(".parquet"):
             return
-    spark.createDataFrame([], schema).coalesce(1) \
+    from carbonapi_spark.datapipe import local_df
+    local_df(spark, [], schema).coalesce(1) \
         .write.mode("append").parquet(path)
 
 
@@ -152,8 +153,10 @@ def delete_rows_partitioned(spark, table_path: str, ids_df,
     n_before = df.count()
     keep = df.join(F.broadcast(ids_df), join_cols, "left_anti")
     tmp = f"{table_path}.deleting"
-    pcols = [F.col(c) for c in partition_cols]
-    (keep.repartition(*pcols).write.mode("overwrite")
+    from carbonapi_spark.datapipe import combo_repartition
+    (combo_repartition(keep, partition_cols,
+                       df.sparkSession.sparkContext.defaultParallelism)
+     .write.mode("overwrite")
      .partitionBy(*partition_cols).parquet(tmp))
     _ensure_readable(spark, tmp, df.schema)
     swap_in(spark, table_path, tmp, f"{table_path}.predelete",
@@ -162,28 +165,90 @@ def delete_rows_partitioned(spark, table_path: str, ids_df,
     return {"rows_deleted": n_before - n_after, "rows_after": n_after}
 
 
-def _fragmented_partitions(df, partition_cols: list[str]):
-    """(frag_df, n_frag): the partition combos of ``df`` holding more
-    than one data file.  Selection joins back as a BROADCAST LEFT SEMI
-    (combo count is bounded by the index layout — 256 cells / band x
-    bucket grids), NOT as a driver-built ``isin`` over struct literals:
-    the r12 probe-path measurements showed SQL-literal predicates carry
-    a real per-query fixed cost (parse + codegen grows with the literal
-    count), while a broadcast semi-join is identical semantics with no
-    literal codegen at any combo count."""
-    frag_df = (df.select(*partition_cols,
-                         F.input_file_name().alias("f"))
-               .groupBy(*partition_cols)
-               .agg(F.countDistinct("f").alias("nf"))
-               .where(F.col("nf") > 1)
-               .select(*partition_cols))
-    return frag_df, frag_df.count()
+def _per_partition_stats(df, partition_cols: list[str]):
+    """ONE pass over the table: per-partition-combo (rows, files).
+    Every count the kernel needs — rows_before, files_before, the
+    fragmented combo set, partitions_rewritten — derives from this
+    single aggregate (r14 §2.4: the old shape paid 3-5 separate
+    full-table count jobs per compaction; at lake scale each one is a
+    full scan).  The collect is bounded by the partition-combo count,
+    which is bounded by the index layout (256 cells / band x bucket
+    grids) — the same bound the broadcast-semi-join design already
+    relies on."""
+    return (df.select(*partition_cols, F.input_file_name().alias("__f"))
+            .groupBy(*partition_cols)
+            .agg(F.count(F.lit(1)).alias("__n"),
+                 F.countDistinct("__f").alias("__nf"))
+            .collect())
+
+
+def _combo_df(spark, combos, df, partition_cols: list[str]):
+    """Driver-known partition combos -> broadcastable DataFrame with
+    ``df``'s partition-column types (an Arrow local relation — NOT a
+    driver-built ``isin`` over struct literals: the r12 probe-path
+    measurements showed SQL-literal predicates carry a real per-query
+    fixed cost, while a broadcast semi-join against a local relation is
+    identical semantics with no literal codegen at any combo count)."""
+    from carbonapi_spark.datapipe import local_df
+    ddl = ", ".join(
+        f"`{c}` {df.schema[c].dataType.simpleString()}"
+        for c in partition_cols)
+    return local_df(spark, combos, ddl)
+
+
+def overwrite_partition_dirs(spark, table_path: str, stage: str,
+                             partition_cols: list[str]) -> list[str]:
+    """Commit a staged partitioned write by MOVING each staged
+    partition directory into place (delete live dir + rename staged
+    dir), replacing the old second Spark job that re-read the stage and
+    re-shuffled it through dynamic partition overwrite — the staged
+    rows were being written TWICE (r14 §2.4).  Renames are per-combo
+    filesystem metadata ops, bounded by the index layout, and the crash
+    semantics are the same partition-level old-or-new that dynamic
+    overwrite's commit already had (it too deletes matching partition
+    dirs before renaming staged files in); a crash mid-commit leaves
+    the remaining staged combos under ``stage`` for inspection, and a
+    retried idempotent compaction finishes the job.  Returns the
+    relative partition paths moved."""
+    sp, fs = _hpath(spark, stage)
+    depth = len(partition_cols)
+
+    def _leaves(p, d):
+        if d == 0:
+            yield p
+            return
+        for st in fs.listStatus(p):
+            if st.isDirectory():
+                yield from _leaves(st.getPath(), d - 1)
+
+    moved = []
+    for leaf in _leaves(sp, depth):
+        parts = []
+        q = leaf
+        for _ in range(depth):
+            parts.append(q.getName())
+            q = q.getParent()
+        rel = "/".join(reversed(parts))
+        live_p, _ = _hpath(spark, f"{table_path}/{rel}")
+        parent = live_p.getParent()
+        if not fs.exists(parent):
+            fs.mkdirs(parent)
+        if fs.exists(live_p):
+            fs.delete(live_p, True)
+        if not fs.rename(leaf, live_p):
+            raise IOError(f"overwrite_partition_dirs: could not move "
+                          f"{stage}/{rel} into {table_path}")
+        moved.append(rel)
+    fs.delete(sp, True)
+    # the renames bypass Spark's write path — cached listings are stale
+    spark.catalog.refreshByPath(table_path)
+    return moved
 
 
 def compact_partitioned(spark, table_path: str, key_cols: list[str],
                         partition_cols: list[str],
                         fragmented_only: bool = False,
-                        extra_df=None) -> dict:
+                        extra_df=None, extra_rows: int | None = None) -> dict:
     """Dedupe-and-defragment one partitioned Parquet table.
 
     Full mode (default): dropDuplicates(key_cols), repartition by the
@@ -227,57 +292,65 @@ def compact_partitioned(spark, table_path: str, key_cols: list[str],
     whether or not the main table fragmented it.  The CALLER removes
     the side table after this returns; a crash in between leaves the
     folded rows in both places — exact duplicates that a probe-side
-    dedupe hides and a retry (idempotent dedupe) removes durably."""
+    dedupe hides and a retry (idempotent dedupe) removes durably.
+    ``extra_rows`` lets a caller that already counted ``extra_df``
+    skip the recount.
+
+    Job accounting (r14): every count this function reports derives
+    from ONE per-partition aggregate pass before the rewrite and one
+    after (:func:`_per_partition_stats`) — the old shape paid 3-5
+    separate full-table jobs (count, file-distinct, frag-groupBy,
+    post-count, post-distinct x2), each a full scan at lake scale."""
     df = spark.read.parquet(table_path)
     if extra_df is not None:
         extra_df = extra_df.select(*df.columns)
-    n_before = df.count() + (extra_df.count() if extra_df is not None
-                             else 0)
-    f_before = df.select(F.input_file_name().alias("f")) \
-        .distinct().count()
-    pcols = [F.col(c) for c in partition_cols]
+    per = _per_partition_stats(df, partition_cols)
+    n_main = sum(r["__n"] for r in per)
+    f_before = sum(r["__nf"] for r in per)
+    if extra_df is None:
+        n_extra = 0
+    else:
+        n_extra = extra_rows if extra_rows is not None \
+            else extra_df.count()
+    n_before = n_main + n_extra
 
     if fragmented_only:
-        frag_df, n_frag = _fragmented_partitions(df, partition_cols)
+        combos = {tuple(r[c] for c in partition_cols)
+                  for r in per if r["__nf"] > 1}
         if extra_df is not None:
-            frag_df = (frag_df.union(
-                extra_df.select(*partition_cols)).distinct())
-            n_frag = frag_df.count()
+            combos |= {tuple(r) for r in
+                       extra_df.select(*partition_cols)
+                       .distinct().collect()}
+        n_frag = len(combos)
         if n_frag == 0:
             return {"rows_before": n_before, "rows_after": n_before,
                     "files_before": f_before, "files_after": f_before,
                     "partitions_rewritten": 0}
         # Spark refuses to overwrite a path it is reading, so the
         # fragmented partitions stage through .compacting first; the
-        # staged read then dynamic-partition-overwrites ONLY them.
+        # staged partition dirs are then MOVED into place (no second
+        # Spark write of the staged rows).
         stage = f"{table_path}.compacting"
+        frag_df = _combo_df(spark, sorted(combos), df, partition_cols)
         to_stage = df.join(F.broadcast(frag_df), partition_cols,
                            "left_semi")
         if extra_df is not None:
             to_stage = to_stage.unionByName(extra_df)
-        (to_stage
-         .dropDuplicates(key_cols)
-         .repartition(*pcols).write.mode("overwrite")
+        from carbonapi_spark.datapipe import combo_repartition
+        (combo_repartition(to_stage.dropDuplicates(key_cols),
+                           partition_cols, n_frag)
+         .write.mode("overwrite")
          .partitionBy(*partition_cols).parquet(stage))
-        old = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
-                             "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode",
-                       "dynamic")
-        try:
-            (spark.read.parquet(stage)
-             .repartition(*pcols).write.mode("overwrite")
-             .partitionBy(*partition_cols).parquet(table_path))
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode",
-                           old)
-        sp, fs = _hpath(spark, stage)
-        fs.delete(sp, True)
+        overwrite_partition_dirs(spark, table_path, stage,
+                                 partition_cols)
         rewritten = n_frag
     else:
         tmp = f"{table_path}.compacting"
         full = (df if extra_df is None else df.unionByName(extra_df))
-        (full.dropDuplicates(key_cols)
-         .repartition(*pcols).write.mode("overwrite")
+        from carbonapi_spark.datapipe import combo_repartition
+        (combo_repartition(full.dropDuplicates(key_cols),
+                           partition_cols, max(1, len(per)))
+         .write.mode("overwrite")
          .partitionBy(*partition_cols).parquet(tmp))
         # compacting an EMPTIED table (post delete-everything) writes a
         # file-less tmp dir; swapping that in would re-brick the table
@@ -285,14 +358,15 @@ def compact_partitioned(spark, table_path: str, key_cols: list[str],
         _ensure_readable(spark, tmp, df.schema)
         swap_in(spark, table_path, tmp, f"{table_path}.precompact",
                 "compact_partitioned")
-        rewritten = None   # filled from the post-swap read below (the
+        rewritten = None   # filled from the post-swap stats below (the
         # pre-swap plans' file listings are stale after the renames)
 
-    after = spark.read.parquet(table_path)
+    per_after = _per_partition_stats(spark.read.parquet(table_path),
+                                     partition_cols)
     if rewritten is None:
-        rewritten = after.select(*partition_cols).distinct().count()
-    return {"rows_before": n_before, "rows_after": after.count(),
+        rewritten = len(per_after)
+    return {"rows_before": n_before,
+            "rows_after": sum(r["__n"] for r in per_after),
             "files_before": f_before,
-            "files_after": (after.select(F.input_file_name().alias("f"))
-                            .distinct().count()),
+            "files_after": sum(r["__nf"] for r in per_after),
             "partitions_rewritten": rewritten}

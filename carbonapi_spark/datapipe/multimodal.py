@@ -29,6 +29,8 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
+
+from carbonapi_spark.datapipe import local_df as _local_df
 from pyspark.sql.types import (
     ArrayType, BinaryType, DoubleType, IntegerType, LongType, StringType,
     StructField, StructType,
@@ -395,7 +397,7 @@ def synth_media(spark, n: int = 32) -> DataFrame:
             payload = bytes((i * 7 + j) % 251 for j in range(64 + i))
             mime = "video/x-fake"
         rows.append((i, kind, mime, payload, (8, 6, 4000, 16000)))
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return _local_df(spark, rows, MEDIA_SCHEMA)
 
 
 MEDIA_DSP_SCHEMA = StructType([

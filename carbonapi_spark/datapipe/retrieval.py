@@ -20,6 +20,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from carbonapi_spark.datapipe import (combo_repartition, local_df,
+                                      read_small_table)
+
 from carbonapi_spark.datapipe.text import token_count, tokens
 
 
@@ -107,18 +110,25 @@ def write_text_index(df: DataFrame, path: str, text_col: str = "text",
                     .alias("term"))
           .groupBy("doc_id", "term")
           .agg(F.count(F.lit(1)).alias("tf")))
-    (tf.withColumn("bucket",
-                   F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
+    bucketed = tf.withColumn(
+        "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
+    (combo_repartition(bucketed, ["bucket"], n_buckets)
      .write.mode("overwrite").partitionBy("bucket")
      .parquet(f"{path}/postings"))
+    # the stats totals ride the doclens write job as observed metrics
+    # (guide §2.4: the old separate agg was one more full corpus pass)
+    from pyspark.sql import Observation
+    obs = Observation()
     lengths = df.select(F.col(id_col).alias("doc_id"),
                         token_count(F.col(text_col)).cast("long")
-                        .alias("dl"))
+                        .alias("dl")) \
+        .observe(obs, F.count(F.lit(1)).alias("n"),
+                 F.sum("dl").alias("s"))
     lengths.write.mode("overwrite").parquet(f"{path}/doclens")
-    (lengths.agg(F.count(F.lit(1)).alias("n_docs"),
-                 F.sum("dl").alias("sum_dl"))
-     .withColumn("n_buckets", F.lit(n_buckets))
-     .write.mode("overwrite").parquet(f"{path}/stats"))
+    got = obs.get
+    local_df(df.sparkSession, [(got["n"], got["s"], n_buckets)],
+             "n_docs LONG, sum_dl LONG, n_buckets INT") \
+        .coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
 
 
 def bm25_query_index(spark: SparkSession, path: str, query: str,
@@ -132,7 +142,7 @@ def bm25_query_index(spark: SparkSession, path: str, query: str,
     qterms = _query_terms(query)
     if not qterms:
         raise ValueError("empty query")
-    stats_row = spark.read.parquet(f"{path}/stats").collect()[0]
+    stats_row = read_small_table(spark, f"{path}/stats")[0]
     n_docs, sum_dl = stats_row["n_docs"], stats_row["sum_dl"]
     n_buckets = stats_row["n_buckets"]
     if not n_docs:
@@ -141,13 +151,13 @@ def bm25_query_index(spark: SparkSession, path: str, query: str,
         # zero (ADVICE r13 #5)
         id_t = spark.read.parquet(f"{path}/doclens") \
             .schema["doc_id"].dataType.simpleString()
-        return spark.createDataFrame([], f"doc_id {id_t}, score DOUBLE")
+        return local_df(spark, [], f"doc_id {id_t}, score DOUBLE")
     # bucket the query terms with the SAME engine hash that bucketed the
     # postings (a len(qterms)-row local job — trivial, and immune to any
     # drift between a Python xxh64 and Spark's)
     buckets = sorted({r["b"] for r in
-                      spark.createDataFrame([(t,) for t in qterms],
-                                            "term string")
+                      local_df(spark, [(t,) for t in qterms],
+                               "term string")
                       .select(F.pmod(F.xxhash64("term"),
                                      F.lit(n_buckets)).cast("int")
                               .alias("b")).collect()})
@@ -234,8 +244,8 @@ def mmr_rerank(candidates: DataFrame, vectors: DataFrame, n: int = 10,
         chosen.append(best[0])
         selected.append((rank, best[0], best[1]))
     spark = candidates.sparkSession
-    return spark.createDataFrame(
-        selected or [], "rank INT, doc_id LONG, mmr_score DOUBLE")
+    return local_df(
+        spark, selected or [], "rank INT, doc_id LONG, mmr_score DOUBLE")
 
 
 def rrf_fuse(rankings: list[DataFrame], k: int = 60, n: int = 10,
@@ -294,26 +304,32 @@ def append_text_index(df: DataFrame, path: str, text_col: str = "text",
         assert_not_under_maintenance)
     spark = df.sparkSession
     assert_not_under_maintenance(spark, path, "append_text_index")
-    stats_row = spark.read.parquet(f"{path}/stats").collect()[0]
+    stats_row = read_small_table(spark, f"{path}/stats")[0]
     n_buckets = stats_row["n_buckets"]
     tf = (df.select(F.col(id_col).alias("doc_id"),
                     F.explode(tokens(F.lower(F.col(text_col))))
                     .alias("term"))
           .groupBy("doc_id", "term")
           .agg(F.count(F.lit(1)).alias("tf")))
-    (tf.withColumn("bucket",
-                   F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
+    bucketed = tf.withColumn(
+        "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
+    (combo_repartition(bucketed, ["bucket"], n_buckets)
      .write.mode("append").partitionBy("bucket")
      .parquet(f"{path}/postings"))
+    # delta totals ride the doclens append job as observed metrics
+    # (guide §2.4: the old separate agg re-ran the tokenize pass)
+    from pyspark.sql import Observation
+    obs = Observation()
     lengths = df.select(F.col(id_col).alias("doc_id"),
                         token_count(F.col(text_col)).cast("long")
-                        .alias("dl"))
+                        .alias("dl")) \
+        .observe(obs, F.count(F.lit(1)).alias("n"),
+                 F.sum("dl").alias("s"))
     lengths.write.mode("append").parquet(f"{path}/doclens")
-    delta = lengths.agg(F.count(F.lit(1)).alias("n"),
-                        F.sum("dl").alias("s")).collect()[0]
-    merged = spark.createDataFrame(
-        [(stats_row["n_docs"] + delta["n"],
-          stats_row["sum_dl"] + (delta["s"] or 0), n_buckets)],
+    delta = obs.get
+    merged = local_df(
+        spark, [(stats_row["n_docs"] + delta["n"],
+                 stats_row["sum_dl"] + (delta["s"] or 0), n_buckets)],
         "n_docs LONG, sum_dl LONG, n_buckets INT")
     merged.coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
 
@@ -340,19 +356,25 @@ def compact_text_index(spark, path: str,
         stats = compact_partitioned(spark, f"{path}/postings",
                                     ["doc_id", "term"], ["bucket"],
                                     fragmented_only)
+        from pyspark.sql import Observation
+        obs = Observation()
+        # the recomputed stats ride the doclens rewrite job as observed
+        # metrics (r14: the old shape re-read the swapped-in doclens
+        # for one more aggregation pass)
         lens = spark.read.parquet(f"{path}/doclens") \
-            .dropDuplicates(["doc_id"])
+            .dropDuplicates(["doc_id"]) \
+            .observe(obs, F.count(F.lit(1)).alias("n"),
+                     F.coalesce(F.sum("dl"), F.lit(0)).alias("s"))
         stage = f"{path}/doclens.compacting"
         lens.coalesce(1).write.mode("overwrite").parquet(stage)
         swap_in(spark, f"{path}/doclens", stage,
                 f"{path}/doclens.precompact", "compact_text_index")
-        n_buckets = spark.read.parquet(f"{path}/stats") \
-            .collect()[0]["n_buckets"]
-        fresh = spark.read.parquet(f"{path}/doclens")
-        (fresh.agg(F.count(F.lit(1)).alias("n_docs"),
-                   F.coalesce(F.sum("dl"), F.lit(0)).alias("sum_dl"))
-         .withColumn("n_buckets", F.lit(n_buckets))
-         .coalesce(1).write.mode("overwrite").parquet(f"{path}/stats"))
+        n_buckets = read_small_table(
+            spark, f"{path}/stats")[0]["n_buckets"]
+        got = obs.get
+        local_df(spark, [(got["n"], got["s"], n_buckets)],
+                 "n_docs LONG, sum_dl LONG, n_buckets INT") \
+            .coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
     return stats
 
 
@@ -375,30 +397,34 @@ def delete_from_text_index(spark, path: str, doc_ids,
     if isinstance(doc_ids, (list, tuple, set)):
         dt = spark.read.parquet(f"{path}/doclens") \
             .schema["doc_id"].dataType.simpleString()
-        ids_df = spark.createDataFrame([(i,) for i in sorted(doc_ids)],
-                                       f"doc_id {dt}")
+        ids_df = local_df(spark, [(i,) for i in sorted(doc_ids)],
+                          f"doc_id {dt}")
     else:
         ids_df = doc_ids.select(F.col(id_col).alias("doc_id"))
     with maintenance_lock(spark, path, "delete_from_text_index"):
         stats = delete_rows_partitioned(spark, f"{path}/postings",
                                         ids_df, ["doc_id"], ["bucket"])
+        from pyspark.sql import Observation
+        obs = Observation()
+        # SUM over zero rows is NULL — coalesce so deleting EVERY
+        # document leaves (0, 0), which bm25_query_index treats as
+        # match-nothing instead of crashing on float(None) (ADVICE
+        # r13 #5); the totals ride the doclens rewrite job as observed
+        # metrics (r14: one fewer pass over the survivors)
         lens = (spark.read.parquet(f"{path}/doclens")
-                .join(F.broadcast(ids_df), "doc_id", "left_anti"))
+                .join(F.broadcast(ids_df), "doc_id", "left_anti")
+                .observe(obs, F.count(F.lit(1)).alias("n"),
+                         F.coalesce(F.sum("dl"), F.lit(0)).alias("s")))
         stage = f"{path}/doclens.deleting"
         lens.coalesce(1).write.mode("overwrite").parquet(stage)
         swap_in(spark, f"{path}/doclens", stage,
                 f"{path}/doclens.predelete", "delete_from_text_index")
-        n_buckets = spark.read.parquet(f"{path}/stats") \
-            .collect()[0]["n_buckets"]
-        # SUM over zero rows is NULL — coalesce so deleting EVERY
-        # document leaves (0, 0), which bm25_query_index treats as
-        # match-nothing instead of crashing on float(None) (ADVICE
-        # r13 #5)
-        (spark.read.parquet(f"{path}/doclens")
-         .agg(F.count(F.lit(1)).alias("n_docs"),
-              F.coalesce(F.sum("dl"), F.lit(0)).alias("sum_dl"))
-         .withColumn("n_buckets", F.lit(n_buckets))
-         .coalesce(1).write.mode("overwrite").parquet(f"{path}/stats"))
+        n_buckets = read_small_table(
+            spark, f"{path}/stats")[0]["n_buckets"]
+        got = obs.get
+        local_df(spark, [(got["n"], got["s"], n_buckets)],
+                 "n_docs LONG, sum_dl LONG, n_buckets INT") \
+            .coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
     return stats
 
 
@@ -472,7 +498,7 @@ def bm25_batch(df: DataFrame, queries: list[tuple[int, str]],
         raise ValueError("empty query batch")
     vocab = sorted({t for _, t in pairs})
     spark = df.sparkSession
-    qt = spark.createDataFrame(pairs, "query_id INT, __t STRING")
+    qt = local_df(spark, pairs, "query_id INT, __t STRING")
     lengths = df.select(F.col(id_col),
                         token_count(F.col(text_col)).cast("long")
                         .alias("__dl"))

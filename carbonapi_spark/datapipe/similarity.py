@@ -14,6 +14,8 @@ import math
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
+from carbonapi_spark.datapipe import combo_repartition, local_df
+
 
 def dot(a: Column, b: Column) -> Column:
     # Deliberately the HOF form. Expanding literal-weight dots into a
@@ -129,10 +131,11 @@ def brute_force_topk_arrow(corpus: DataFrame, query: DataFrame,
             qids_l.append(r[id_col])
             qvecs.append(v)
     if not qvecs:
-        return (query.sparkSession.createDataFrame(
+        return local_df(
+            query.sparkSession,
             [], f"query_id {query.schema[id_col].dataType.simpleString()},"
                 f" neighbor_id {corpus.schema[id_col].dataType.simpleString()},"
-                f" cos_sim double"))
+                f" cos_sim double")
     qids = np.array(qids_l)
     Q = np.array(qvecs)
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
@@ -848,9 +851,9 @@ def _driver_probe_rows(query: DataFrame, cents: list[list[float]],
 def _probe_rows_df(spark, query: DataFrame, id_col: str,
                    rows: list[tuple]) -> DataFrame:
     q_dt = query.schema[id_col].dataType.simpleString()
-    return spark.createDataFrame(
-        rows, f"`query_id` {q_dt}, `__cell` int, "
-              f"`__dtab` array<array<double>>")
+    return local_df(
+        spark, rows, f"`query_id` {q_dt}, `__cell` int, "
+                     f"`__dtab` array<array<double>>")
 
 
 def _driver_probe_tables(query: DataFrame, cents: list[list[float]],
@@ -1192,16 +1195,19 @@ def write_ann_index(df: DataFrame, path: str,
     # every write task emits a file into every cell= directory
     # (n_tasks x n_cells small files — metadata death at lake scale);
     # with it each cell lands in exactly one shuffle partition
-    codes.repartition(F.col("cell")).write.mode("overwrite") \
+    combo_repartition(codes, ["cell"], len(centroids)) \
+        .write.mode("overwrite") \
         .partitionBy("cell").parquet(f"{path}/codes")
-    spark.createDataFrame(
-        [(i + 1, c, l2_cells, residual) for i, c in enumerate(centroids)],
-        "cell INT, emb ARRAY<DOUBLE>, l2 BOOLEAN, residual BOOLEAN") \
+    local_df(spark,
+             [(i + 1, c, l2_cells, residual)
+              for i, c in enumerate(centroids)],
+             "cell INT, emb ARRAY<DOUBLE>, l2 BOOLEAN, residual BOOLEAN") \
         .coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
-    spark.createDataFrame(
-        [(j, cw, list(map(float, codebooks[j][cw])))
-         for j in range(len(codebooks)) for cw in range(len(codebooks[j]))],
-        "m INT, code INT, sub ARRAY<DOUBLE>") \
+    local_df(spark,
+             [(j, cw, list(map(float, codebooks[j][cw])))
+              for j in range(len(codebooks))
+              for cw in range(len(codebooks[j]))],
+             "m INT, code INT, sub ARRAY<DOUBLE>") \
         .coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
 
 
@@ -1209,14 +1215,15 @@ def read_ann_index(spark, path: str):
     """(codes DataFrame, centroids, codebooks, l2_cells, residual) from
     :func:`write_ann_index`'s layout. Centroids/codebooks are
     model-sized (k x dim, m x ksub x dsub) — driver lists by design."""
+    from carbonapi_spark.datapipe import read_small_table
     codes = spark.read.parquet(f"{path}/codes")
-    crows = spark.read.parquet(f"{path}/centroids").collect()
+    crows = read_small_table(spark, f"{path}/centroids")
     crows.sort(key=lambda r: r["cell"])
     centroids = [list(r["emb"]) for r in crows]
     l2_cells = bool(crows[0]["l2"]) if crows else False
     residual = bool(crows[0]["residual"]) if crows \
-        and "residual" in crows[0].__fields__ else False
-    brows = spark.read.parquet(f"{path}/codebooks").collect()
+        and "residual" in crows[0] else False
+    brows = read_small_table(spark, f"{path}/codebooks")
     mmax = max((r["m"] for r in brows), default=-1)
     codebooks: list[list[list[float]]] = [[] for _ in range(mmax + 1)]
     for r in sorted(brows, key=lambda r: (r["m"], r["code"])):
@@ -1413,7 +1420,8 @@ def append_ann_index(df: DataFrame, path: str, id_col: str = "vec_id",
         delta.repartition(1).write.mode("append") \
             .parquet(f"{path}/codes_l0")
     else:
-        delta.repartition(F.col("cell")).write.mode("append") \
+        combo_repartition(delta, ["cell"], len(centroids)) \
+            .write.mode("append") \
             .partitionBy("cell").parquet(f"{path}/codes")
 
 
@@ -1552,7 +1560,7 @@ def compact_ann_index(spark, path: str, id_col: str = "vec_id",
         n_l0 = l0.count() if l0 is not None else 0
         stats = compact_partitioned(spark, f"{path}/codes", [id_col],
                                     ["cell"], fragmented_only,
-                                    extra_df=l0)
+                                    extra_df=l0, extra_rows=n_l0)
         if l0 is not None:
             lp, fs = _hpath(spark, f"{path}/codes_l0")
             fs.delete(lp, True)
@@ -1600,8 +1608,8 @@ def delete_from_ann_index(spark, path: str, ids, id_col: str = "vec_id",
         codes = spark.read.parquet(f"{path}/codes")
         if isinstance(ids, (list, tuple, set)):
             id_dt = codes.schema[id_col].dataType.simpleString()
-            ids_df = spark.createDataFrame([(i,) for i in sorted(ids)],
-                                           f"`{id_col}` {id_dt}")
+            ids_df = local_df(spark, [(i,) for i in sorted(ids)],
+                              f"`{id_col}` {id_dt}")
         else:
             ids_df = ids.select(id_col)
         return _delete_from_ann_index_locked(spark, path, codes,
@@ -1622,23 +1630,21 @@ def _delete_from_ann_index_locked(spark, path, codes, ids_df,
     cells = sorted(per_cell)
     keep = (codes.where(F.col("cell").isin(cells))
             .join(F.broadcast(ids_df), id_col, "left_anti"))
-    kept_cells = {r["cell"] for r in
-                  keep.select("cell").distinct().collect()}
     stage = f"{path}/codes.deleting"
-    (keep.repartition(F.col("cell")).write.mode("overwrite")
+    (combo_repartition(keep, ["cell"], len(cells))
+     .write.mode("overwrite")
      .partitionBy("cell").parquet(stage))
-    old = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
-                         "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        if kept_cells:
-            (spark.read.parquet(stage)
-             .repartition(F.col("cell")).write.mode("overwrite")
-             .partitionBy("cell").parquet(f"{path}/codes"))
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
-    sp, fs = _hpath(spark, stage)
-    fs.delete(sp, True)
+    # commit by MOVING the staged cell dirs into place (r14: the old
+    # shape re-read the stage and re-shuffled it through a second
+    # dynamic-partition-overwrite Spark write, and paid one more job
+    # for a distinct() just to learn which cells survived — the staged
+    # directory listing already knows)
+    from carbonapi_spark.datapipe.maintenance import (
+        _ensure_readable, overwrite_partition_dirs)
+    moved = overwrite_partition_dirs(spark, f"{path}/codes", stage,
+                                     ["cell"])
+    kept_cells = {int(rel.split("=", 1)[1]) for rel in moved}
+    _, fs = _hpath(spark, stage)
     emptied = [c for c in cells if c not in kept_cells]
     for c in emptied:
         dp, _ = _hpath(spark, f"{path}/codes/cell={c}")
@@ -1647,7 +1653,6 @@ def _delete_from_ann_index_locked(spark, path, codes, ids_df,
     # schema-bearing empty file so the table stays readable
     # (probes then return no candidates instead of
     # UNABLE_TO_INFER_SCHEMA)
-    from carbonapi_spark.datapipe.maintenance import _ensure_readable
     _ensure_readable(spark, f"{path}/codes", codes.schema)
     # the raw directory deletes bypass Spark's write path, so its
     # file-status cache still lists the removed files — refresh, or the
@@ -1957,8 +1962,8 @@ def k_center_select(vecs: DataFrame, k: int = 8,
                        F.col(vec_col).cast("array<double>").alias("__v"))
     seed = base.orderBy("__id").limit(1).collect()
     if not seed:
-        return spark.createDataFrame(
-            [], f"rank INT, {id_col} LONG, dist2 DOUBLE")
+        return local_df(spark, [],
+                        f"rank INT, {id_col} LONG, dist2 DOUBLE")
     picked = [(1, seed[0]["__id"], 0.0)]
     center_vecs = [seed[0]["__v"]]
     for step in range(2, k + 1):
@@ -1977,5 +1982,5 @@ def k_center_select(vecs: DataFrame, k: int = 8,
             break
         picked.append((step, nxt[0]["__id"], nxt[0]["__d"]))
         center_vecs.append(nxt[0]["__v"])
-    return spark.createDataFrame(
-        picked, f"rank INT, {id_col} LONG, dist2 DOUBLE")
+    return local_df(spark, picked,
+                    f"rank INT, {id_col} LONG, dist2 DOUBLE")

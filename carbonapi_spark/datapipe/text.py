@@ -10,6 +10,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from carbonapi_spark.datapipe import local_df as _local_df
+
 # A tiny per-language marker lexicon for the n-gram/stopword heuristic.
 # Deterministic and SQL-expressible (same lists are inlined in the DuckDB
 # oracle), which matters more here than linguistic perfection.
@@ -692,7 +694,7 @@ def quality_logit_micro(df: DataFrame, weights: dict[str, float],
     so ranking (and Mann-Whitney AUC) over ``logit_micro`` is the
     ranking over the score with a portable tie structure."""
     spark = df.sparkSession
-    w = spark.createDataFrame(
+    w = _local_df(spark, 
         [(t, int(round(v * LR_SCALE))) for t, v in sorted(weights.items())],
         "term STRING, __w LONG")
     toks = df.select(F.col(id_col),
@@ -1544,7 +1546,7 @@ def textrank_keywords(df: DataFrame, text_col: str = "text",
     deg = und.groupBy("src").agg(F.sum("w").alias("wdeg"))
     n_nodes = deg.count()
     if n_nodes == 0:
-        return df.sparkSession.createDataFrame(
+        return _local_df(df.sparkSession, 
             [], "word STRING, rank_micro LONG, rank DOUBLE")
     if n_nodes < 100_000:
         und = und.coalesce(1).localCheckpoint()
@@ -1614,7 +1616,7 @@ def isotonic_calibration(df: DataFrame, score_col: str, label_col: str,
     # rates ship RAW: each is one IEEE division of exact int64 counts
     # (bit-identical cross-engine); rounding would reintroduce the
     # convention seam on dyadic boundaries like pos/n = 1/128
-    res = spark.createDataFrame(
+    res = _local_df(spark, 
         sorted(out), "bin INT, n LONG, pos LONG, raw_rate DOUBLE, "
                      "iso_rate DOUBLE")
     return res.orderBy("bin")

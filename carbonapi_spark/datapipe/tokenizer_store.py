@@ -25,6 +25,8 @@ import json
 
 from pyspark.sql import SparkSession
 
+from carbonapi_spark.datapipe import local_df as _local_df
+
 KINDS = ("bpe", "wordpiece", "unigram")
 
 
@@ -37,7 +39,7 @@ def write_bpe(spark: SparkSession, path: str,
     if kind not in ("bpe", "wordpiece"):
         raise ValueError(f"merge-list kinds are bpe|wordpiece, got {kind!r}")
     _write_meta(spark, path, kind, params)
-    spark.createDataFrame(
+    _local_df(spark, 
         [(i + 1, l, r) for i, (l, r) in enumerate(merges)],
         "ord INT, lhs STRING, rhs STRING") \
         .coalesce(1).write.mode("overwrite").parquet(f"{path}/vocab")
@@ -50,7 +52,7 @@ def write_unigram(spark: SparkSession, path: str,
     the count trainer or float log-probs from the EM trainer — the
     dtype rides in the score column either way)."""
     _write_meta(spark, path, "unigram", params)
-    spark.createDataFrame(
+    _local_df(spark, 
         sorted(((p, float(s)) for p, s in vocab.items())),
         "piece STRING, score DOUBLE") \
         .coalesce(1).write.mode("overwrite").parquet(f"{path}/vocab")
@@ -58,7 +60,7 @@ def write_unigram(spark: SparkSession, path: str,
 
 def _write_meta(spark: SparkSession, path: str, kind: str,
                 params: dict | None) -> None:
-    spark.createDataFrame(
+    _local_df(spark, 
         [(kind, json.dumps(params or {}, sort_keys=True))],
         "kind STRING, params STRING") \
         .coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")

@@ -50,6 +50,8 @@ from __future__ import annotations
 import math
 
 from pyspark.sql import Column, DataFrame, functions as F
+
+from carbonapi_spark.datapipe import local_df as _local_df
 from pyspark.sql.window import Window
 
 from carbonapi_spark.datapipe.bpe import SEP, ascii_word, word_counts
@@ -249,7 +251,7 @@ def unigram_count_vocab(df: DataFrame, iters: int = 2,
     for _ in range(iters):
         usage = _usage(segment_types(words, vocab, max_piece_len))
         singles = sorted(p for p in vocab if len(p) == 1)
-        sdf = spark.createDataFrame([(p,) for p in singles],
+        sdf = _local_df(spark, [(p,) for p in singles],
                                     "piece string")
         kept = (sdf.join(usage, "piece", "left")
                 .select("piece",
@@ -292,7 +294,7 @@ def unigram_count_train(df: DataFrame, iters: int = 2,
                                 keep_multi, max_piece_len)
     final_multi = sorted(((p, s) for p, s in vocab.items() if len(p) > 1),
                          key=lambda kv: (-kv[1], kv[0]))
-    return df.sparkSession.createDataFrame(
+    return _local_df(df.sparkSession, 
         [(i + 1, p, s) for i, (p, s) in enumerate(final_multi)],
         "rank int, piece string, usage long")
 

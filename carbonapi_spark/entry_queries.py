@@ -12,6 +12,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from carbonapi_spark.datapipe import local_df as _local_df
+
 from carbonapi_spark.evaluator import EvalContext, eval_target
 from carbonapi_spark.model.series import NAME, TS, VALUE
 from carbonapi_spark.sources.testdata import (
@@ -700,7 +702,7 @@ def _q_band_compact_probe(spark, sf_dir):
         out = probe_band_index(spark, p, probe)
         rows = out.collect()
         schema = out.schema
-    return spark.createDataFrame(rows, schema)
+    return _local_df(spark, rows, schema)
 
 
 _register("band_compact_probe", _q_band_compact_probe, f"""
@@ -823,7 +825,7 @@ def _q_stream_minhash_replay(spark, sf_dir):
             q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
-    return spark.createDataFrame(sorted(rows) or [],
+    return _local_df(spark, sorted(rows) or [],
                                  "id_a LONG, id_b LONG")
 
 
@@ -2095,7 +2097,7 @@ def _q_ann_compact_probe(spark, sf_dir):
                              k=10, nprobe=3)
         rows = out.collect()
         schema = out.schema
-    return spark.createDataFrame(rows, schema)
+    return _local_df(spark, rows, schema)
 
 
 _register("ann_compact_probe", _q_ann_compact_probe, f"""
@@ -2146,7 +2148,7 @@ def _q_ann_l0_probe(spark, sf_dir):
         assert stats["l0_rows_folded"] > 0
         assert sorted(map(tuple, probe().collect())) == \
             sorted(map(tuple, rows))
-    return spark.createDataFrame(rows, schema)
+    return _local_df(spark, rows, schema)
 
 
 _register("ann_l0_probe", _q_ann_l0_probe, f"""
@@ -2199,7 +2201,7 @@ def _q_stream_ann_replay(spark, sf_dir):
                              k=10, nprobe=3)
         rows = out.collect()
         schema = out.schema
-    return spark.createDataFrame(rows, schema)
+    return _local_df(spark, rows, schema)
 
 
 _register("stream_ann_replay", _q_stream_ann_replay, f"""
@@ -2240,7 +2242,7 @@ def _q_ann_delete_probe(spark, sf_dir):
                              k=10, nprobe=3)
         rows = out.collect()
         schema = out.schema
-    return spark.createDataFrame(rows, schema)
+    return _local_df(spark, rows, schema)
 
 
 _register("ann_delete_probe", _q_ann_delete_probe, f"""
@@ -2283,7 +2285,7 @@ def _q_ann_auto_route(spark, sf_dir):
         out = exact.unionAll(probe)
         rows = out.collect()
         schema = out.schema
-    return spark.createDataFrame(rows, schema)
+    return _local_df(spark, rows, schema)
 
 
 _ANN_REFINE_COS = """round(CASE WHEN sqrt(list_dot_product(qv, qv))
@@ -2409,7 +2411,7 @@ def _q_stream_semantic_replay(spark, sf_dir):
             q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
-    return spark.createDataFrame(sorted(rows) or [],
+    return _local_df(spark, sorted(rows) or [],
                                  "vec_id LONG, keep BOOLEAN")
 
 
@@ -2905,7 +2907,7 @@ def _q_stream_cms_replay(spark, sf_dir):
             q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
-    return spark.createDataFrame(
+    return _local_df(spark, 
         [(dep, b, c) for (dep, b), c in sorted(final.items())] or [],
         "depth int, bucket int, cnt long")
 
@@ -2971,7 +2973,7 @@ def _q_stream_hll_replay(spark, sf_dir):
             q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
-    regs = spark.createDataFrame(
+    regs = _local_df(spark, 
         [(g, r, m) for (g, r), m in sorted(final.items())] or [],
         "lang string, reg int, mrho int")
     return hll_estimate(regs, ("lang",))
@@ -4317,7 +4319,7 @@ def _q_text_compact_probe(spark, sf_dir):
         out = bm25_query_index(spark, p, "hash join order", k=25)
         rows = out.collect()
         schema = out.schema
-    return spark.createDataFrame(rows, schema)
+    return _local_df(spark, rows, schema)
 
 
 _register("text_compact_probe", _q_text_compact_probe,
@@ -5035,7 +5037,7 @@ def _q_stream_attribution_replay(spark, sf_dir):
             q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
-    return spark.createDataFrame(
+    return _local_df(spark, 
         sorted(counts.items()) or [], "channel STRING, n_conversions LONG")
 
 
@@ -5096,7 +5098,7 @@ def _q_stream_funnel_replay(spark, sf_dir):
             q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
-    return spark.createDataFrame(
+    return _local_df(spark, 
         sorted(rows) or [],
         "user_id LONG, t_start LONG, t_complete LONG")
 
@@ -5155,7 +5157,7 @@ def _q_stream_quota_replay(spark, sf_dir):
             q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
-    return spark.createDataFrame(
+    return _local_df(spark, 
         sorted(rows) or [],
         "source STRING, doc_id LONG, n_tokens LONG, cum_tokens LONG")
 
@@ -5480,7 +5482,7 @@ def _q_stream_rollup_replay(spark, sf_dir):
         rows = (spark.read.parquet(f"{tmp}/roll/step=86400")
                 .select("name", "ts",
                         F.round("value", 6).alias("value")).collect())
-    return spark.createDataFrame(rows, "name STRING, ts LONG, "
+    return _local_df(spark, rows, "name STRING, ts LONG, "
                                        "value DOUBLE")
 
 
@@ -5753,7 +5755,7 @@ def _q_tiered_fetch(spark, sf_dir):
         rows = (frame.df
                 .select(NAME, TS, F.round(VALUE, 6).alias(VALUE))
                 .collect())
-    return spark.createDataFrame(rows, "name STRING, ts LONG, "
+    return _local_df(spark, rows, "name STRING, ts LONG, "
                                        "value DOUBLE")
 
 
@@ -6320,7 +6322,7 @@ def _q_stream_dedup_replay(spark, sf_dir):
             q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
-    return spark.createDataFrame([(h,) for h in sorted(rows)] or [],
+    return _local_df(spark, [(h,) for h in sorted(rows)] or [],
                                  "h LONG")
 
 
@@ -6379,7 +6381,7 @@ def _q_stream_sessionize_replay(spark, sf_dir):
             q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
-    return spark.createDataFrame(
+    return _local_df(spark, 
         [(r["user_id"], r["session_start"], r["session_end"],
           r["n_events"], r["sum_value"]) for r in rows] or [],
         "user_id LONG, session_start LONG, session_end LONG, "
@@ -6449,7 +6451,7 @@ def _q_stream_per_second_replay(spark, sf_dir):
             q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
-    return spark.createDataFrame(
+    return _local_df(spark, 
         [(r["name"], r["ts"], r["value"]) for r in rows] or [],
         "name STRING, ts LONG, value DOUBLE")
 
@@ -6602,7 +6604,7 @@ def _q_jsonl_ingest(spark, sf_dir):
         # materialize before the TemporaryDirectory vanishes
         rows = (clean.select("doc_id", "lang", "source").distinct()
                 .collect())
-    return spark.createDataFrame(rows, "doc_id LONG, lang STRING, "
+    return _local_df(spark, rows, "doc_id LONG, lang STRING, "
                                        "source STRING")
 
 
@@ -7092,7 +7094,7 @@ def _q_stream_join_replay(spark, sf_dir):
             q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
-    return spark.createDataFrame(
+    return _local_df(spark, 
         sorted(rows) or [],
         "user_id LONG, p_id LONG, v_id LONG, psec LONG, vsec LONG, "
         "view_value DOUBLE")
@@ -7705,7 +7707,7 @@ def _q_stream_anomaly_replay(spark, sf_dir):
             q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
-    return spark.createDataFrame(
+    return _local_df(spark, 
         [(r["key"], r["oid"], r["x_micro"], r["dev_micro"])
          for r in rows] or [],
         "key STRING, oid LONG, x_micro LONG, dev_micro LONG")
@@ -7804,10 +7806,10 @@ def _q_stream_cov_replay(spark, sf_dir):
             q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
-    prods = spark.createDataFrame(
+    prods = _local_df(spark, 
         [(r["i"], r["j"], r["sq"], r["n"]) for r in state if r["j"] >= 0]
         or [], "i INT, j INT, sq LONG, n LONG")
-    sums = spark.createDataFrame(
+    sums = _local_df(spark, 
         [(r["i"], r["sq"]) for r in state if r["j"] == -1] or [],
         "i INT, sm LONG")
     return cov_finish(prods, sums)
@@ -8126,7 +8128,7 @@ def _q_stream_cusum_replay(spark, sf_dir):
             q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
-    return spark.createDataFrame(
+    return _local_df(spark, 
         [(r["key"], r["oid"], r["x_micro"], r["sp"], r["sn"])
          for r in rows] or [],
         "key STRING, oid LONG, x_micro LONG, sp LONG, sn LONG")
@@ -8586,7 +8588,7 @@ def _q_stream_hdr_replay(spark, sf_dir):
             q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
-    buckets = spark.createDataFrame(
+    buckets = _local_df(spark, 
         [(g, lb, c) for (g, lb), c in sorted(final.items())] or [],
         "event_type STRING, bucket_lo LONG, cnt LONG")
     return hdr_quantiles(buckets, qs=(0.5, 0.9, 0.99),

@@ -7,6 +7,8 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import functions as F
+
+from carbonapi_spark.datapipe import local_df as _local_df
 from pyspark.sql.window import Window
 
 from carbonapi_spark.evaluator import EvalError, eval_expr
@@ -308,7 +310,7 @@ def graphite_web(ctx, exp, f, u):
     client = _require_client(ctx, "graphiteWeb")
     target = exp.args[0].to_string()
     rows, step = client(target, f, u)
-    df = ctx.spark.createDataFrame(
+    df = _local_df(ctx.spark, 
         [(n, n, int(t), None if v is None else float(v))
          for n, t, v in rows], SERIES_SCHEMA)
     return SeriesFrame(df, int(step), f, u)
@@ -413,7 +415,7 @@ def time_shift_by_metric(ctx, exp, f, u):
     rows = []
     for mv, off in offsets.items():
         rows.append((mv, off))
-    off_df = ctx.spark.createDataFrame(rows, "ver STRING, off BIGINT")
+    off_df = _local_df(ctx.spark, rows, "ver STRING, off BIGINT")
 
     base = F.split_part(F.col(NAME), F.lit(";"), F.lit(1))
     parts = F.split(base, "\\.")
@@ -463,7 +465,7 @@ def alias_query(ctx, exp, f, u):
         lasts = {r["__q"]: r[VALUE] for r in rows}
     mapping = [(n, new_name % lasts.get(i, float("nan")))
                for i, n in enumerate(names)]
-    map_df = ctx.spark.createDataFrame(mapping, "name STRING, __new STRING")
+    map_df = _local_df(ctx.spark, mapping, "name STRING, __new STRING")
     df = (frame.df.join(F.broadcast(map_df), NAME)
           .withColumn(NAME, F.col("__new")).drop("__new"))
     return frame.with_df(df)

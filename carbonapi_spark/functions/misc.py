@@ -5,6 +5,8 @@ map/reduce structural ops, meta setters, legend decorators (SURVEY §2.3/2.4/
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+
+from carbonapi_spark.datapipe import local_df as _local_df
 from pyspark.sql.window import Window
 
 from carbonapi_spark.evaluator import eval_expr
@@ -115,7 +117,7 @@ def vertical_line(ctx, exp, f, u):
     ts_str = exp.get_string(0)
     label = exp.get_string(1, ts_str)
     ts = date_param_to_epoch(ts_str, u, ctx.tz, ctx.now)
-    df = ctx.spark.createDataFrame([(label, label, int(ts), 1.0)],
+    df = _local_df(ctx.spark, [(label, label, int(ts), 1.0)],
                                    "name STRING, ord STRING, ts BIGINT, value DOUBLE")
     return SeriesFrame(df, 1, ts, ts + 1, dense=True)
 

@@ -4,6 +4,8 @@ randomWalk, identity — generated distributed via ``spark.range`` spines."""
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+
+from carbonapi_spark.datapipe import local_df as _local_df
 from pyspark.sql.window import Window
 
 from carbonapi_spark.functions import register
@@ -26,7 +28,7 @@ def constant_line(ctx, exp, f, u):
     name = float_str(value)
     mid = f + (u - f) // 2
     rows = [(name, name, int(t), float(value)) for t in (f, mid, u)]
-    df = ctx.spark.createDataFrame(rows, "name STRING, ord STRING, ts BIGINT, value DOUBLE")
+    df = _local_df(ctx.spark, rows, "name STRING, ord STRING, ts BIGINT, value DOUBLE")
     return SeriesFrame(df, max((u - f) // 2, 1), f, u + 1, dense=True)
 
 

@@ -31,6 +31,8 @@ from dataclasses import dataclass, replace
 
 from pyspark.sql import DataFrame, functions as F
 
+from carbonapi_spark.datapipe import local_df as _local_df
+
 from carbonapi_spark.model.consolidation import agg_column
 
 NAME, ORD, TS, VALUE = "name", "ord", "ts", "value"
@@ -63,13 +65,13 @@ class SeriesFrame:
     # ------------------------------------------------------------------
     @staticmethod
     def empty(spark, step: int = 60, start: int = 0, stop: int = 0) -> "SeriesFrame":
-        return SeriesFrame(spark.createDataFrame([], SERIES_SCHEMA), step, start, stop)
+        return SeriesFrame(_local_df(spark, [], SERIES_SCHEMA), step, start, stop)
 
     @staticmethod
     def from_points(spark, rows, step: int, start: int, stop: int,
                     **meta) -> "SeriesFrame":
         """Test fixture builder — the MakeMetricData analog (types.go:802)."""
-        df = spark.createDataFrame(
+        df = _local_df(spark, 
             [(n, n, int(t), None if v is None or (isinstance(v, float) and math.isnan(v)) else float(v))
              for (n, t, v) in rows],
             SERIES_SCHEMA,

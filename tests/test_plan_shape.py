@@ -834,8 +834,8 @@ def test_fragmented_compaction_semi_join_not_literal_in(spark, tmp_path):
     compaction results on a replayed append."""
     from pyspark.sql import functions as F
 
-    from carbonapi_spark.datapipe.maintenance import (
-        _fragmented_partitions)
+    from carbonapi_spark.datapipe.maintenance import (_combo_df,
+                                                      _per_partition_stats)
 
     base = (spark.range(2000)
             .select(F.col("id").alias("k"),
@@ -847,8 +847,12 @@ def test_fragmented_compaction_semi_join_not_literal_in(spark, tmp_path):
         .partitionBy("cell").parquet(p)
 
     df = spark.read.parquet(p)
-    frag_df, n_frag = _fragmented_partitions(df, ["cell"])
-    assert n_frag == 8
+    # r14: the ONE per-partition stats pass feeds rows/files/frag combos
+    per = _per_partition_stats(df, ["cell"])
+    assert sum(r["__n"] for r in per) == 2256   # 2000 base + 256 delta
+    combos = sorted({(r["cell"],) for r in per if r["__nf"] > 1})
+    assert len(combos) == 8
+    frag_df = _combo_df(spark, combos, df, ["cell"])
     rewrite = df.join(F.broadcast(frag_df), ["cell"], "left_semi") \
         .dropDuplicates(["k"])
     plan = rewrite._jdf.queryExecution().executedPlan().toString()
