@@ -550,7 +550,8 @@ def minhash_incremental_candidates(new_docs: DataFrame, index: DataFrame,
                                    id_col: str = "doc_id",
                                    num_hashes: int = 16, bands: int = 4,
                                    ngram: int = 3, seed: int = 42,
-                                   max_bucket: int = 2000) -> DataFrame:
+                                   max_bucket: int = 2000,
+                                   new_idx: DataFrame | None = None) -> DataFrame:
     """Incremental near-dup candidates: a delta batch against an existing
     corpus index (``minhash_band_index``), WITHOUT re-processing the
     corpus — the daily-update shape of a production dedup pipeline.
@@ -572,10 +573,14 @@ def minhash_incremental_candidates(new_docs: DataFrame, index: DataFrame,
     from carbonapi_spark import scratch
     # new_idx feeds the broadcast key probe AND the members union —
     # persist so the delta's shingle+minhash+banding pipeline runs once
-    # (the docstring's "only the delta is shingled" economy)
-    new_idx = scratch.track(
-        minhash_band_index(new_docs, text_col, id_col, num_hashes,
-                           bands, ngram, seed))
+    # (the docstring's "only the delta is shingled" economy); a caller
+    # that already banded the delta (probe_band_index derives its
+    # partition-pruning keys from it) passes it in via ``new_idx=`` so
+    # the pipeline is not built twice (r14)
+    if new_idx is None:
+        new_idx = scratch.track(
+            minhash_band_index(new_docs, text_col, id_col, num_hashes,
+                               bands, ngram, seed))
     touched = index.join(
         F.broadcast(new_idx.select("band", "key").distinct()),
         ["band", "key"], "left_semi")
@@ -919,10 +924,17 @@ def probe_band_index(spark, path: str, new_docs: DataFrame,
     Pruning on coarse buckets over-reads only hash-colliding keys; the
     (band, key) equi-join inside discards them, so the result equals
     the un-pruned probe exactly."""
+    from carbonapi_spark import scratch
     st = read_small_table(spark, f"{path}/stats")[0]
-    delta_idx = minhash_band_index(new_docs, text_col, id_col,
-                                   st["num_hashes"], st["bands"],
-                                   st["ngram"], st["seed"])
+    # the banded delta feeds the pruning-key collect below AND the
+    # incremental-candidate join — persist it (request-scoped) and pass
+    # it through ``new_idx=`` so the delta's shingle+minhash+banding
+    # pipeline is built and executed ONCE, not twice (r14; at lake
+    # scale that pipeline is the whole per-batch encode cost)
+    delta_idx = scratch.track(
+        minhash_band_index(new_docs, text_col, id_col,
+                           st["num_hashes"], st["bands"],
+                           st["ngram"], st["seed"]))
     tb = (delta_idx.select(
         "band",
         F.pmod(F.xxhash64("key"), F.lit(st["n_buckets"])).cast("int")
@@ -938,7 +950,7 @@ def probe_band_index(spark, path: str, new_docs: DataFrame,
     return minhash_incremental_candidates(
         new_docs, idx.select("band", "key", "doc_id"), text_col,
         id_col, st["num_hashes"], st["bands"], st["ngram"], st["seed"],
-        max_bucket)
+        max_bucket, new_idx=delta_idx)
 
 
 def split_leakage(df: DataFrame, val: float = 0.1, test: float = 0.1,

@@ -244,12 +244,18 @@ def bradley_terry(matches: DataFrame, winner_col: str = "winner",
            .unionByName(und.select(F.col("j").alias("i"),
                                    F.col("i").alias("j"), "wij"))
            .groupBy("i", "j").agg(F.sum("wij").alias("nij")))
+    # pairs/wins derive from und's stored blocks with pair-sized work,
+    # so the count gate and the single post-gate checkpoint replace the
+    # old checkpoint-count-recheckpoint sequence (r14: two eager jobs
+    # fewer; values unchanged — only recompute shape)
     pairs = (und.join(tot, ["i", "j"])
-             .select("i", "j", "wij", "nij").localCheckpoint())
+             .select("i", "j", "wij", "nij"))
     wins = pairs.groupBy("i").agg(F.sum("wij").alias("wins"))
     n_items = wins.count()
     if n_items < 100_000:
-        pairs = pairs.coalesce(1).localCheckpoint()
+        pairs = pairs.coalesce(1)
+    pairs = pairs.localCheckpoint()
+    wins = pairs.groupBy("i").agg(F.sum("wij").alias("wins"))
     p = wins.select(F.col("i").alias("item"),
                     F.lit(1.0).alias("p")).localCheckpoint()
     for it in range(n_iter):
