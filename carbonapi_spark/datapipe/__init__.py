@@ -188,6 +188,29 @@ def read_small_table(spark, path: str) -> list[dict]:
     return [r.asDict() for r in spark.read.parquet(p).collect()]
 
 
+def pin(df: DataFrame) -> DataFrame:
+    """Materialize-once + TRUNCATE THE PLAN: a lazy ``localCheckpoint``.
+
+    ``persist()`` caches row output but keeps the full logical plan —
+    every downstream reference re-analyzes the whole subtree and pays
+    CacheManager subtree-matching at planning time.  For the heavily
+    re-referenced derived tables in the LM/scoring pipelines that
+    driver-side planning cost DOMINATES at bench scale (measured r14:
+    kn_trigram_ppl spent 0.95 s in jobs and 4+ s in planning; the
+    "before" plan carried 16 copies of the corpus scan), and at lake
+    scale the duplicated subtrees are full corpus passes.  A local
+    checkpoint replaces the plan with a ``LogicalRDD`` — downstream
+    plans become tiny and the subtree executes exactly once.
+
+    Lazy (``eager=False``) so materialization rides the first action
+    that needs it instead of adding a barrier job.  Trade-off (same as
+    the iterative graph kernels' use): checkpointed blocks skip the
+    CacheManager (no release bookkeeping — freed by the ContextCleaner
+    when the request drops its references) and lose lineage-based
+    fault recovery, acceptable for request-scoped intermediates."""
+    return df.localCheckpoint(eager=False)
+
+
 def track_if_large(df: DataFrame, gate_df: DataFrame,
                    min_bytes: int = 64 << 20) -> DataFrame:
     """Persist ``df`` through the request-scoped scratch registry ONLY

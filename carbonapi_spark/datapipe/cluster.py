@@ -222,38 +222,57 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     # pipeline (often a full similarity computation) must run exactly
     # once — deg, the node count, and every iteration read the stored
     # blocks
-    und = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-           .unionByName(edges.select(F.col(dst).alias("a"),
-                                     F.col(src).alias("b")))
-           .localCheckpoint())
+    # double the edge list in ONE pass: the union shape scanned the
+    # upstream pair pipeline once per branch BEFORE the checkpoint could
+    # materialize (measured r14: the deg.count() materialization paid the
+    # full similarity computation twice); exploding both directions from
+    # a single scan halves that
+    und = (edges.select(F.explode(F.array(
+               F.struct(F.col(src).alias("a"), F.col(dst).alias("b")),
+               F.struct(F.col(dst).alias("a"), F.col(src).alias("b"))))
+           .alias("__e")).select("__e.a", "__e.b")
+           .localCheckpoint(eager=False))   # materializes at deg.count()
     deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
     n_nodes = deg.count()
     if n_nodes == 0:
         return _local_df(edges.sparkSession, [], "node LONG, pr DOUBLE")
-    if n_nodes < 100_000:
-        und = und.coalesce(1).localCheckpoint()
+    small = n_nodes < 100_000
+    if small:
+        und = und.coalesce(1).localCheckpoint(eager=False)
         deg = deg.coalesce(1)
-    deg = deg.localCheckpoint()
+    deg = deg.localCheckpoint(eager=False)
     # both seeds stay UNROUNDED doubles: IEEE division gives the same
     # bits in any engine, and only the per-iteration update is rounded
     pr0 = 1.0 / n_nodes
     base = (1.0 - damping) / n_nodes
     pr = deg.select(F.col("a").alias("node"),
-                    F.lit(pr0).alias("pr"), "deg").localCheckpoint()
+                    F.lit(pr0).alias("pr"), "deg").localCheckpoint(eager=False)
     for i in range(n_iter):
-        contrib = (und.join(pr, und["a"] == pr["node"])
+        # Small graphs: broadcast the node-sized rank/degree tables
+        # (bounded by the 100k gate) so each round is BroadcastHashJoin
+        # -> complete-mode agg -> BroadcastHashJoin over the ONE-partition
+        # edge list: the agg's ClusteredDistribution is satisfied by
+        # SinglePartition, so the round has ZERO exchanges and the r14
+        # 48-job AQE stage cascade collapses to one broadcast build per
+        # round.  BHJ streams the edge side in its stored order, so the
+        # per-node double summation order — and the rounded trajectory —
+        # is bit-identical to the exchange plan it replaces.
+        prj = F.broadcast(pr) if small else pr
+        contrib = (und.join(prj, und["a"] == prj["node"])
                    .select(F.col("b").alias("node"),
                            (F.col("pr") / F.col("deg")).alias("__c"))
                    .groupBy("node").agg(F.sum("__c").alias("__s")))
-        pr = (contrib.join(deg, contrib["node"] == deg["a"])
+        degj = F.broadcast(deg) if small else deg
+        pr = (contrib.join(degj, contrib["node"] == degj["a"])
               .select("node",
                       F.round(F.lit(base) + F.lit(damping) * F.col("__s"),
                               6).alias("pr"),
                       "deg"))
-        # cut every 2nd round: plan depth stays bounded at two
-        # iterations while halving the eager-job count
-        if i % 2 == 1 or i == n_iter - 1:
-            pr = pr.localCheckpoint()
+        # LAZY cut EVERY round: the plan is truncated to one iteration
+        # immediately (LogicalRDD), while materialization rides the next
+        # round's broadcast build / the final action instead of one eager
+        # driver-blocking job per 2 rounds (r14)
+        pr = pr.localCheckpoint(eager=False)
     return pr.select("node", "pr")
 
 
@@ -279,22 +298,36 @@ def label_propagation(edges: DataFrame, src: str = "src",
     every second round.  Small graphs collapse to one partition.
     Returns (node, label)."""
     from carbonapi_spark.datapipe import _plan_size_bytes
-    und = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-           .unionByName(edges.select(F.col(dst).alias("a"),
-                                     F.col(src).alias("b"))))
+    # one-pass doubling (see pagerank) — the upstream pair pipeline is
+    # scanned once, not once per union branch
+    und = (edges.select(F.explode(F.array(
+               F.struct(F.col(src).alias("a"), F.col(dst).alias("b")),
+               F.struct(F.col(dst).alias("a"), F.col(src).alias("b"))))
+           .alias("__e")).select("__e.a", "__e.b"))
     # small-graph collapse gated on the free Catalyst size estimate of
     # the EDGE input (the bpe_train/track_if_large convention) — an
     # exact nodes.count() action here would be a full extra
     # shuffle-side pass before any iteration starts
     est = _plan_size_bytes(edges)
-    if est is not None and est < (64 << 20):
+    small = est is not None and est < (64 << 20)
+    if small:
         und = und.coalesce(1)
+    # und stays EAGER: the first round's join stage and the seed's
+    # distinct stage both scan it and can launch concurrently — a lazy
+    # mark would let them race-recompute the upstream pair pipeline
     und = und.localCheckpoint()
     nodes = und.select("a").distinct()
     lab = nodes.select(F.col("a").alias("node"),
-                       F.col("a").alias("lab")).localCheckpoint()
+                       F.col("a").alias("lab")).localCheckpoint(eager=False)
     for i in range(n_iter):
-        cnt = (und.join(lab, und["a"] == lab["node"])
+        # small graphs: broadcast the node-sized label table so each
+        # round is BHJ + complete-mode aggs over the ONE-partition edge
+        # list — SinglePartition satisfies the aggs' distribution, so
+        # the round plans with ZERO exchanges (the pagerank r14 recipe;
+        # integer counts and min-struct are order-free, so any plan
+        # shape gives identical labels)
+        labj = F.broadcast(lab) if small else lab
+        cnt = (und.join(labj, und["a"] == labj["node"])
                .groupBy(F.col("b"), F.col("lab"))
                .agg(F.count(F.lit(1)).alias("__c")))
         best = F.min(F.struct((-F.col("__c")).alias("nc"),
@@ -302,8 +335,9 @@ def label_propagation(edges: DataFrame, src: str = "src",
         lab = (cnt.groupBy("b").agg(best.alias("__m"))
                .select(F.col("b").alias("node"),
                        F.col("__m.l").alias("lab")))
-        if i % 2 == 1 or i == n_iter - 1:
-            lab = lab.localCheckpoint()
+        # lazy cut every round — plan truncated now, materialization
+        # rides the final action (r14)
+        lab = lab.localCheckpoint(eager=False)
     return lab.select("node", F.col("lab").alias("label"))
 
 
@@ -395,12 +429,19 @@ def core_numbers(edges: DataFrame, src: str = "src", dst: str = "dst",
     lineage cut every other round.  Returns (node, core)."""
     from pyspark.sql.window import Window
 
-    und = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-           .unionByName(edges.select(F.col(dst).alias("a"),
-                                     F.col(src).alias("b")))
-           .localCheckpoint())
+    # one-pass doubling (see pagerank) — the upstream pair pipeline is
+    # scanned once, not once per union branch
+    und = (edges.select(F.explode(F.array(
+               F.struct(F.col(src).alias("a"), F.col(dst).alias("b")),
+               F.struct(F.col(dst).alias("a"), F.col(src).alias("b"))))
+           .alias("__e")).select("__e.a", "__e.b"))
+    # NOTE r14: the pagerank-style single-partition collapse + broadcast
+    # loop was tried here and MEASURED SLOWER (3.02 -> 3.46 s at sf0.1):
+    # each round's histogram + window + max-agg chain serializes onto one
+    # core, costing more than the exchanges it removes.  Kept parallel.
+    und = und.localCheckpoint()  # eager: round joins + degree agg both scan it
     c = und.groupBy("a").agg(F.count(F.lit(1)).alias("c")) \
-        .select(F.col("a").alias("node"), "c").localCheckpoint()
+        .select(F.col("a").alias("node"), "c").localCheckpoint(eager=False)
     for t in range(n_iter):
         nb = (und.join(c, und["b"] == c["node"])
               .select(F.col("a"), F.col("c").alias("__cv")))
@@ -418,6 +459,7 @@ def core_numbers(edges: DataFrame, src: str = "src", dst: str = "dst",
                                       F.sum("__k").over(w)).alias("__h"))
              .groupBy("a").agg(F.max("__h").alias("c"))
              .select(F.col("a").alias("node"), "c"))
-        if t % 2 == 1 or t == n_iter - 1:
-            c = c.localCheckpoint()
+        # lazy cut every round — plan truncated now, materialization
+        # rides the final action (r14)
+        c = c.localCheckpoint(eager=False)
     return c.select("node", F.col("c").alias("core"))

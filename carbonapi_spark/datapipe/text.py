@@ -285,9 +285,12 @@ def perplexity_buckets(df: DataFrame, text_col: str = "text",
     no global sort), then applied map-side exactly like an explicit
     ``thresholds=`` list.  Mutually exclusive with ``thresholds``."""
     from pyspark.sql.window import Window
-    from carbonapi_spark.datapipe import spread
+    from carbonapi_spark.datapipe import pin, spread
     df = spread(df)
-    lm = unigram_logprob_table(df, text_col, alpha)
+    # the vocab-sized LM table feeds the OOV-floor aggregate AND the
+    # scoring broadcast — persist it (request-scoped) so the token
+    # explode + count agg underneath runs once, not once per reference
+    lm = pin(unigram_logprob_table(df, text_col, alpha))
     # OOV floor: scoring a doc against an LM trained elsewhere must
     # PENALIZE unknown tokens, not skip them (avg ignores nulls — that
     # would reward garbage). One tiny agg over the vocab-sized lm table,
@@ -296,20 +299,17 @@ def perplexity_buckets(df: DataFrame, text_col: str = "text",
     toks = (df.select(F.col(id_col),
                       F.explode_outer(tokens(F.lower(F.col(text_col))))
                       .alias("term")))
-    from carbonapi_spark.datapipe import track_if_large
-    # scored feeds BOTH the corpus-worst aggregate and the final select —
-    # at lake scale persist the (one row per doc) table so the scoring
-    # pipeline (corpus explode + LM join) runs once, not twice; at bench
-    # scale recomputation is cheaper than the persist barrier (the gate's
-    # docstring has the A/B numbers)
-    scored = track_if_large(
+    # scored feeds the corpus-worst aggregate, the final select, and (in
+    # threshold_qs mode) the quantile + bucketing passes — persist the
+    # (one row per doc) table so the scoring pipeline (corpus explode +
+    # LM join) runs once, not once per reference (2-4x before r14)
+    scored = pin(
         toks.join(F.broadcast(lm), "term", "left")
         .crossJoin(F.broadcast(floor))
         .groupBy(id_col)
         .agg((-F.avg(F.when(F.col("term").isNull(), F.lit(None))
                      .otherwise(F.coalesce("logp", F.col("__oov")))))
-             .alias("__h")),
-        gate_df=df)
+             .alias("__h")))
     worst = scored.agg(F.max("__h").alias("__worst"))
     scored = (scored.crossJoin(F.broadcast(worst))
               .select(id_col,
@@ -371,31 +371,48 @@ def bigram_perplexity_buckets(df: DataFrame, text_col: str = "text",
           .select(id_col, "g",
                   F.substring_index("g", " ", 1).alias("__w1"),
                   F.substring_index("g", " ", -1).alias("__w2")))
-    cnt_bi = bi.groupBy("g").agg(F.count(F.lit(1)).alias("__nb"))
+    from carbonapi_spark.datapipe import bcast_if_small, pin
+    # cnt_bi feeds its own broadcast plus the cnt_w1 derivation, tf feeds
+    # its broadcast plus tot, and scored feeds the corpus-worst aggregate
+    # plus the join-back — persist all three (request-scoped) so the two
+    # corpus explodes (bigram stream, token stream) run once each instead
+    # of once per reference (the r14 "before" plan scanned the corpus 22
+    # times).  All three tables are sublinear in the corpus.
+    cnt_bi = pin(
+        bi.groupBy("g").agg(F.count(F.lit(1)).alias("__nb")))
     cnt_w1 = (cnt_bi.groupBy(F.substring_index("g", " ", 1).alias("__w1"))
               .agg(F.sum("__nb").alias("__nw")))
-    tf = (df.select(F.explode(tokens(F.lower(F.col(text_col))))
-                    .alias("__w2"))
-          .groupBy("__w2").agg(F.count(F.lit(1)).alias("__n")))
+    tf = pin(
+        df.select(F.explode(tokens(F.lower(F.col(text_col))))
+                  .alias("__w2"))
+        .groupBy("__w2").agg(F.count(F.lit(1)).alias("__n")))
     tot = tf.agg(F.sum("__n").alias("__total"),
                  F.count(F.lit(1)).alias("__vocab"))
     p_bi = ((F.coalesce("__nb", F.lit(0)) + F.lit(alpha))
             / (F.coalesce("__nw", F.lit(0)) + F.lit(alpha) * F.col("__vocab")))
     p_uni = ((F.coalesce("__n", F.lit(0)) + F.lit(alpha))
              / (F.col("__total") + F.lit(alpha) * F.col("__vocab")))
-    from carbonapi_spark.datapipe import bcast_if_small, track_if_large
-    # scored feeds BOTH the corpus-worst aggregate and the join-back —
-    # size-gated persist, same reasoning as perplexity_buckets
-    scored = track_if_large(
-        bi.join(bcast_if_small(cnt_bi, df), "g", "left")
-        .join(bcast_if_small(cnt_w1, df), "__w1", "left")
-        .join(bcast_if_small(tf, df), "__w2", "left")
-        .crossJoin(F.broadcast(tot))
+    # Every factor of the mixture is determined by g alone (w1/w2 are
+    # substrings of g), so the model tables PRE-JOIN into ONE score
+    # table keyed by g — one broadcast hash join on the corpus stream
+    # instead of three.  The pre-joins stay LEFT joins with the same
+    # coalesce defaults, so the restructure is value-identical even for
+    # a w1/w2 somehow absent from the derived tables; every g observed
+    # in the stream is in cnt_bi by construction, so keying on g loses
+    # no rows.  (r14; oracle-verified.)
+    score_g = (cnt_bi
+               .withColumn("__w1", F.substring_index("g", " ", 1))
+               .withColumn("__w2", F.substring_index("g", " ", -1))
+               .join(cnt_w1, "__w1", "left")
+               .join(tf, "__w2", "left")
+               .crossJoin(F.broadcast(tot))
+               .select("g", (F.lit(lam) * p_bi
+                             + F.lit(1.0 - lam) * p_uni).alias("__p")))
+    scored = pin(
+        bi.select(id_col, "g")
+        .join(bcast_if_small(score_g, df), "g")
         .groupBy(id_col)
-        .agg((-F.avg(F.log(F.lit(lam) * p_bi
-                           + F.lit(1.0 - lam) * p_uni)))
-             .alias("__h")),
-        gate_df=df)
+        .agg((-F.avg(F.log(F.col("__p")))).alias("__h")))
     worst = scored.agg(F.max("__h").alias("__worst"))
     scored = (df.select(id_col).join(scored, id_col, "left")
               .crossJoin(F.broadcast(worst))
@@ -443,15 +460,20 @@ def kn_bigram_perplexity_buckets(df: DataFrame, text_col: str = "text",
     corpus-worst entropy.  Returns (doc_id, cross_entropy, bucket)."""
     from pyspark.sql.window import Window
 
-    from carbonapi_spark.datapipe import (bcast_if_small, spread,
-                                          track_if_large)
+    from carbonapi_spark.datapipe import bcast_if_small, pin, spread
     df = spread(df)
     bi = (df.select(F.col(id_col),
                     F.explode(word_ngrams(F.col(text_col), 2)).alias("g"))
           .select(id_col, "g",
                   F.substring_index("g", " ", 1).alias("__w1"),
                   F.substring_index("g", " ", -1).alias("__w2")))
-    cnt_bi = bi.groupBy("g").agg(F.count(F.lit(1)).alias("__nb"))
+    # cnt_bi is PINNED (lazy localCheckpoint — materialize once AND
+    # truncate the plan): it feeds three derived aggregations plus the
+    # model join; without it every reference re-ran the corpus explode +
+    # hash agg underneath (the r14 "before" plan scanned the corpus 22
+    # times, and the duplicated planning alone dominated bench latency).
+    cnt_bi = pin(
+        bi.groupBy("g").agg(F.count(F.lit(1)).alias("__nb")))
     # the three derived tables — aggregations of cnt_bi, NOT the corpus
     left = (cnt_bi.groupBy(F.substring_index("g", " ", 1).alias("__w1"))
             .agg(F.sum("__nb").alias("__nw"),
@@ -462,14 +484,27 @@ def kn_bigram_perplexity_buckets(df: DataFrame, text_col: str = "text",
     pc = F.col("__n1r") / F.col("__types")
     p = (F.greatest(F.col("__nb") - F.lit(d), F.lit(0.0)) / F.col("__nw")
          + F.lit(d) * F.col("__n1l") / F.col("__nw") * pc)
-    scored = track_if_large(
-        bi.join(bcast_if_small(cnt_bi, df), "g")
-        .join(bcast_if_small(left, df), "__w1")
-        .join(bcast_if_small(cont, df), "__w2")
-        .crossJoin(F.broadcast(tot))
+    # Every factor of p is determined by g ALONE (w1/w2 are substrings
+    # of g; each derived table has exactly one row per key), so the four
+    # model tables PRE-JOIN into ONE score table keyed by g — the corpus
+    # stream then takes a single broadcast hash join instead of four.
+    # All joins are the same inner equi-joins as before, just reordered
+    # around the bigram-type-sized side, and p is the same expression —
+    # values are bit-identical (oracle-verified).  r14: this collapsed
+    # the 4-broadcast scoring chain (each build its own driver-blocking
+    # job) into one.
+    score_g = (cnt_bi
+               .withColumn("__w1", F.substring_index("g", " ", 1))
+               .withColumn("__w2", F.substring_index("g", " ", -1))
+               .join(left, "__w1")
+               .join(cont, "__w2")
+               .crossJoin(F.broadcast(tot))
+               .select("g", p.alias("__p")))
+    scored = pin(
+        bi.select(id_col, "g")
+        .join(bcast_if_small(score_g, df), "g")
         .groupBy(id_col)
-        .agg((-F.avg(F.log(p))).alias("__h")),
-        gate_df=df)
+        .agg((-F.avg(F.log(F.col("__p")))).alias("__h")))
     worst = scored.agg(F.max("__h").alias("__worst"))
     scored = (df.select(id_col).join(scored, id_col, "left")
               .crossJoin(F.broadcast(worst))
@@ -520,8 +555,7 @@ def kn_trigram_perplexity_buckets(df: DataFrame, text_col: str = "text",
     corpus-worst entropy.  Returns (doc_id, cross_entropy, bucket)."""
     from pyspark.sql.window import Window
 
-    from carbonapi_spark.datapipe import (bcast_if_small, spread,
-                                          track_if_large)
+    from carbonapi_spark.datapipe import bcast_if_small, pin, spread
     df = spread(df)
     tri = (df.select(F.col(id_col),
                      F.explode(word_ngrams(F.col(text_col), 3)).alias("g"))
@@ -531,13 +565,23 @@ def kn_trigram_perplexity_buckets(df: DataFrame, text_col: str = "text",
                                      " ", 1).alias("__w2"),
                    F.substring_index("g", " ", -1).alias("__w3"),
                    F.substring_index("g", " ", -2).alias("__b23")))
-    cnt_tri = tri.groupBy("g").agg(F.count(F.lit(1)).alias("__nt"))
+    # cnt_tri feeds FIVE derived aggregations plus the scoring join (and
+    # mid, derived from it, feeds three of those plus the join) — and
+    # scored feeds the corpus-worst aggregate plus the join-back.
+    # Persist all three through the request-scoped scratch registry:
+    # without it each reference re-ran the corpus explode + agg beneath
+    # it (the r14 "before" plan scanned the corpus 16 times); with it
+    # the pipeline is exactly two corpus passes.  cnt_tri/mid are
+    # n-gram-type-sized, scored is one row per doc — all sublinear.
+    cnt_tri = pin(
+        tri.groupBy("g").agg(F.count(F.lit(1)).alias("__nt")))
     # derived tables — aggregations of cnt_tri, NOT the corpus
     hi = (cnt_tri.groupBy(F.substring_index("g", " ", 2).alias("__b12"))
           .agg(F.sum("__nt").alias("__c12"),
                F.count(F.lit(1)).alias("__n1h")))  # c(w1w2.), N1+(w1w2,.)
-    mid = (cnt_tri.groupBy(F.substring_index("g", " ", -2).alias("__b23"))
-           .agg(F.count(F.lit(1)).alias("__a23")))  # N1+(.w2w3)
+    mid = pin(
+        cnt_tri.groupBy(F.substring_index("g", " ", -2).alias("__b23"))
+        .agg(F.count(F.lit(1)).alias("__a23")))  # N1+(.w2w3)
     w2t = (mid.groupBy(F.substring_index("__b23", " ", 1).alias("__w2"))
            .agg(F.sum("__a23").alias("__d2"),       # N1+(.w2.)
                 F.count(F.lit(1)).alias("__t2")))   # T(w2)
@@ -550,17 +594,33 @@ def kn_trigram_perplexity_buckets(df: DataFrame, text_col: str = "text",
              + F.lit(d) * F.col("__t2") / F.col("__d2") * pc)
     p_tri = (F.greatest(F.col("__nt") - F.lit(d), F.lit(0.0))
              / F.col("__c12")
-             + F.lit(d) * F.col("__n1h") / F.col("__c12") * p_mid)
-    scored = track_if_large(
-        tri.join(bcast_if_small(cnt_tri, df), "g")
-        .join(bcast_if_small(hi, df), "__b12")
-        .join(bcast_if_small(mid, df), "__b23")
-        .join(bcast_if_small(w2t, df), "__w2")
-        .join(bcast_if_small(uni, df), "__w3")
-        .crossJoin(F.broadcast(tot))
+             + F.lit(d) * F.col("__n1h") / F.col("__c12") * F.col("__pm"))
+    # Every factor of p_tri is determined by g alone (b12/b23/w2/w3 are
+    # substrings of g; every derived table has one row per key), so the
+    # five model tables PRE-JOIN into ONE score table keyed by g and the
+    # corpus stream takes a single broadcast hash join instead of five —
+    # the same inner equi-joins, reordered around the n-gram-type-sized
+    # side; p_mid/p_tri are the same expressions, so values are
+    # bit-identical (oracle-verified).  r14: collapsed the 5-broadcast
+    # scoring chain (each build its own driver-blocking job) into one.
+    pm = (mid
+          .withColumn("__w2", F.substring_index("__b23", " ", 1))
+          .withColumn("__w3", F.substring_index("__b23", " ", -1))
+          .join(w2t, "__w2")
+          .join(uni, "__w3")
+          .crossJoin(F.broadcast(tot))
+          .select("__b23", p_mid.alias("__pm")))
+    score_g = (cnt_tri
+               .withColumn("__b12", F.substring_index("g", " ", 2))
+               .withColumn("__b23", F.substring_index("g", " ", -2))
+               .join(hi, "__b12")
+               .join(pm, "__b23")
+               .select("g", p_tri.alias("__p")))
+    scored = pin(
+        tri.select(id_col, "g")
+        .join(bcast_if_small(score_g, df), "g")
         .groupBy(id_col)
-        .agg((-F.avg(F.log(p_tri))).alias("__h")),
-        gate_df=df)
+        .agg((-F.avg(F.log(F.col("__p")))).alias("__h")))
     worst = scored.agg(F.max("__h").alias("__worst"))
     scored = (df.select(id_col).join(scored, id_col, "left")
               .crossJoin(F.broadcast(worst))
@@ -1542,30 +1602,39 @@ def textrank_keywords(df: DataFrame, text_col: str = "text",
                                    F.col("a").alias("dst"), "w")))
     # the whole edge pipeline (explode + two vocab joins) must run
     # exactly once: deg, the node count, and every iteration read it
-    und = und.localCheckpoint()
+    # (lazy mark — deg.count() right below materializes it)
+    und = und.localCheckpoint(eager=False)
     deg = und.groupBy("src").agg(F.sum("w").alias("wdeg"))
     n_nodes = deg.count()
     if n_nodes == 0:
         return _local_df(df.sparkSession, 
             [], "word STRING, rank_micro LONG, rank DOUBLE")
-    if n_nodes < 100_000:
-        und = und.coalesce(1).localCheckpoint()
+    small = n_nodes < 100_000
+    if small:
+        und = und.coalesce(1).localCheckpoint(eager=False)
         deg = deg.coalesce(1)
     edges = (und.join(deg, "src")
-             .select("src", "dst", "w", "wdeg").localCheckpoint())
+             .select("src", "dst", "w", "wdeg")
+             .localCheckpoint(eager=False))
     base = (100 - damping_pct) * 10_000
     rank = deg.select(F.col("src").alias("word"),
                       F.lit(1_000_000).cast("long").alias("r")) \
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     for _ in range(n_iter):
-        contrib = (edges.join(rank, edges["src"] == rank["word"])
+        # small graphs: broadcast the vocab-sized rank table — BHJ +
+        # exchange-free agg over the one-partition edge list (the
+        # pagerank r14 recipe; all-integer, order-free)
+        rankj = F.broadcast(rank) if small else rank
+        contrib = (edges.join(rankj, edges["src"] == rankj["word"])
                    .select(F.col("dst").alias("word"),
                            F.expr("(r * w) div wdeg").alias("__c"))
                    .groupBy("word").agg(F.sum("__c").alias("__s")))
+        # lazy cut every round — plan truncated now, materialization of
+        # the whole chain rides the single final action (r14)
         rank = contrib.select(
             "word",
             (F.lit(base) + F.expr(f"({damping_pct} * __s) div 100"))
-            .cast("long").alias("r")).localCheckpoint()
+            .cast("long").alias("r")).localCheckpoint(eager=False)
     return (rank.orderBy(F.desc("r"), "word").limit(k)
             .select("word", F.col("r").alias("rank_micro"),
                     F.round(F.col("r") / 1e6, 6).alias("rank")))
