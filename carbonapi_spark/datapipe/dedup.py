@@ -840,13 +840,47 @@ def write_band_index(df: DataFrame, path: str, text_col: str = "text",
      .write.mode("overwrite").parquet(f"{path}/stats"))
 
 
+def _band_l0(spark, path: str):
+    """The band index's L0 side table (``{path}/bands_l0``), or None —
+    the MinHash twin of the ANN ``codes_l0`` design (see
+    :func:`carbonapi_spark.datapipe.similarity._l0_delta`): ``l0=True``
+    appends land here UNPARTITIONED, one file per batch, instead of
+    fragmenting every touched (band, bucket) directory (measured r14:
+    a 500-doc delta touches all 256 combos, so each partitioned append
+    paid ~0.9 s of many-file write overhead for 0.17 s of data).
+    ``band``/``bucket`` ride along as ordinary columns, so probes
+    filter L0 with a pushed-down predicate; compaction folds it into
+    the partitioned layout and removes it."""
+    from pyspark.errors import AnalysisException
+
+    from carbonapi_spark.datapipe.maintenance import _hpath
+    p, fs = _hpath(spark, f"{path}/bands_l0")
+    if not fs.exists(p):
+        return None
+    try:
+        return spark.read.parquet(f"{path}/bands_l0")
+    except AnalysisException:
+        # first-append window: directory exists, no commits yet
+        return None
+
+
 def append_band_index(df: DataFrame, path: str, text_col: str = "text",
-                      id_col: str = "doc_id") -> None:
+                      id_col: str = "doc_id", l0: bool = False) -> None:
     """Fold a delta batch into a durable band index: the delta is
     banded with the INDEX'S OWN stored parameters and appended into the
     same (band, bucket) layout — the grown index equals a one-shot
     build over corpus+delta (same rows, same partitions).  Refuses
-    loudly while a ``_MAINTENANCE`` marker is present."""
+    loudly while a ``_MAINTENANCE`` marker is present.
+
+    ``l0=True`` appends into the UNPARTITIONED ``bands_l0`` side table
+    instead — ONE file per append regardless of how many (band,
+    bucket) combos the delta touches (a small delta's keys spread
+    across essentially all of them, so every partitioned append
+    fragments the whole grid).  Probes read main ∪ L0 transparently
+    (:func:`_band_l0`); :func:`compact_band_index` folds L0 into the
+    partitioned layout and removes it.  Same trade as the ANN twin:
+    L0 rows are not partition-pruned at probe time, so keep L0
+    delta-sized and fold on a schedule."""
     from carbonapi_spark.datapipe.maintenance import (
         assert_not_under_maintenance)
     spark = df.sparkSession
@@ -857,6 +891,13 @@ def append_band_index(df: DataFrame, path: str, text_col: str = "text",
     bucketed = idx.withColumn(
         "bucket",
         F.pmod(F.xxhash64("key"), F.lit(st["n_buckets"])).cast("int"))
+    if l0:
+        # repartition(1), NOT coalesce(1): keep the banding/minhash
+        # pipeline at input parallelism; only the single write task is
+        # serial (the ANN L0 lesson — SCALE.md r14)
+        bucketed.repartition(1).write.mode("append") \
+            .parquet(f"{path}/bands_l0")
+        return
     (combo_repartition(bucketed, ["band", "bucket"],
                        st["bands"] * st["n_buckets"])
      .write.mode("append").partitionBy("band", "bucket")
@@ -876,12 +917,24 @@ def compact_band_index(spark, path: str,
     candidate sets.  Same modes/caveats as the shared kernel
     (:func:`carbonapi_spark.datapipe.maintenance.compact_partitioned`);
     ``fragmented_only=True`` rewrites only >1-file partitions."""
-    from carbonapi_spark.datapipe.maintenance import (compact_partitioned,
-                                                      maintenance_lock)
+    from carbonapi_spark.datapipe.maintenance import (_hpath,
+                                                      compact_partitioned,
+                                                      maintenance_lock,
+                                                      table_row_count)
     with maintenance_lock(spark, path, "compact_band_index"):
-        return compact_partitioned(spark, f"{path}/bands",
-                                   ["band", "key", "doc_id"],
-                                   ["band", "bucket"], fragmented_only)
+        l0 = _band_l0(spark, path)
+        n_l0 = (table_row_count(spark, f"{path}/bands_l0", l0)
+                if l0 is not None else 0)
+        stats = compact_partitioned(spark, f"{path}/bands",
+                                    ["band", "key", "doc_id"],
+                                    ["band", "bucket"], fragmented_only,
+                                    extra_df=l0, extra_rows=n_l0)
+        if l0 is not None:
+            lp, fs = _hpath(spark, f"{path}/bands_l0")
+            fs.delete(lp, True)
+            spark.catalog.refreshByPath(f"{path}/bands_l0")
+            stats["l0_rows_folded"] = n_l0
+        return stats
 
 
 def delete_from_band_index(spark, path: str, doc_ids,
@@ -907,8 +960,36 @@ def delete_from_band_index(spark, path: str, doc_ids,
     else:
         ids_df = doc_ids.select(F.col(id_col).alias("doc_id"))
     with maintenance_lock(spark, path, "delete_from_band_index"):
-        return delete_rows_partitioned(spark, f"{path}/bands", ids_df,
-                                       ["doc_id"], ["band", "bucket"])
+        n_l0 = _delete_from_band_l0(spark, path, ids_df)
+        stats = delete_rows_partitioned(spark, f"{path}/bands", ids_df,
+                                        ["doc_id"], ["band", "bucket"])
+        stats["rows_deleted"] += n_l0
+        return stats
+
+
+def _delete_from_band_l0(spark, path: str, ids_df) -> int:
+    """Drop ``ids_df`` docs from the band L0 side table, if present —
+    the band twin of the ANN ``_delete_from_l0`` (delta-sized by
+    contract: plain rewrite through a rename swap; an emptied L0 is
+    removed outright).  Returns rows deleted."""
+    from carbonapi_spark.datapipe.maintenance import _hpath, swap_in
+    l0 = _band_l0(spark, path)
+    if l0 is None:
+        return 0
+    n_hit = l0.join(F.broadcast(ids_df), "doc_id").count()
+    if n_hit == 0:
+        return 0
+    lp, fs = _hpath(spark, f"{path}/bands_l0")
+    keep = l0.join(F.broadcast(ids_df), "doc_id", "left_anti")
+    if keep.isEmpty():
+        fs.delete(lp, True)
+        spark.catalog.refreshByPath(f"{path}/bands_l0")
+        return n_hit
+    stage = f"{path}/bands_l0.deleting"
+    keep.coalesce(1).write.mode("overwrite").parquet(stage)
+    swap_in(spark, f"{path}/bands_l0", stage,
+            f"{path}/bands_l0.predelete", "_delete_from_band_l0")
+    return n_hit
 
 
 def probe_band_index(spark, path: str, new_docs: DataFrame,
@@ -941,14 +1022,31 @@ def probe_band_index(spark, path: str, new_docs: DataFrame,
         .alias("bucket")).distinct().collect())
     pairs_lit = [(int(r["band"]), int(r["bucket"])) for r in tb]
     idx = spark.read.parquet(f"{path}/bands")
-    if pairs_lit:
+    n_combos = st["bands"] * st["n_buckets"]
+    if not pairs_lit:
+        idx = idx.where(F.lit(False))
+    elif len(pairs_lit) < n_combos:
+        # a vacuous predicate (delta touches every combo) would prune
+        # nothing and still pay per-row evaluation of a combo-count
+        # literal list — skip it (r14)
         cond = F.struct(F.col("band"), F.col("bucket")).isin(
             *[F.struct(F.lit(b), F.lit(k)) for b, k in pairs_lit])
         idx = idx.where(cond)
-    else:
-        idx = idx.where(F.lit(False))
+    idx = idx.select("band", "key", "doc_id")
+    l0 = _band_l0(spark, path)
+    if l0 is not None:
+        # L0 rows carry band/bucket as ordinary columns — the same
+        # combo restriction arrives as a pushed-down parquet predicate
+        if not pairs_lit:
+            l0 = l0.where(F.lit(False))
+        elif len(pairs_lit) < n_combos:
+            l0 = l0.where(
+                F.struct(F.col("band"), F.col("bucket")).isin(
+                    *[F.struct(F.lit(b), F.lit(k))
+                      for b, k in pairs_lit]))
+        idx = idx.unionByName(l0.select("band", "key", "doc_id"))
     return minhash_incremental_candidates(
-        new_docs, idx.select("band", "key", "doc_id"), text_col,
+        new_docs, idx, text_col,
         id_col, st["num_hashes"], st["bands"], st["ngram"], st["seed"],
         max_bucket, new_idx=delta_idx)
 

@@ -150,7 +150,9 @@ def delete_rows_partitioned(spark, table_path: str, ids_df,
     Same single-writer caveat.  Returns {"rows_deleted",
     "rows_after"}."""
     df = spark.read.parquet(table_path)
-    n_before = df.count()
+    n_before = sum(r["__n"] for r in
+                   _partition_stats(spark, table_path, df,
+                                    partition_cols))
     keep = df.join(F.broadcast(ids_df), join_cols, "left_anti")
     tmp = f"{table_path}.deleting"
     from carbonapi_spark.datapipe import combo_repartition
@@ -161,7 +163,10 @@ def delete_rows_partitioned(spark, table_path: str, ids_df,
     _ensure_readable(spark, tmp, df.schema)
     swap_in(spark, table_path, tmp, f"{table_path}.predelete",
             "delete_rows_partitioned")
-    n_after = spark.read.parquet(table_path).count()
+    n_after = sum(r["__n"] for r in
+                  _partition_stats(spark, table_path,
+                                   spark.read.parquet(table_path),
+                                   partition_cols))
     return {"rows_deleted": n_before - n_after, "rows_after": n_after}
 
 
@@ -180,6 +185,124 @@ def _per_partition_stats(df, partition_cols: list[str]):
             .agg(F.count(F.lit(1)).alias("__n"),
                  F.countDistinct("__f").alias("__nf"))
             .collect())
+
+
+_PART_VALUE_PARSERS = {
+    "tinyint": int, "smallint": int, "int": int, "bigint": int,
+    "string": None,   # filled below (urllib unquote)
+    "boolean": lambda v: v == "true",
+}
+
+
+def _footer_partition_stats(root: str, df, partition_cols: list[str]):
+    """Metadata-only `_per_partition_stats`: per-combo (rows, files)
+    from a directory walk + parquet FOOTER row counts — zero data
+    reads, zero Spark jobs (the manifest economy of Iceberg-style
+    formats, guide §6; measured r14: 0.04 s for a 769-file layout vs
+    1.1-1.3 s for the aggregate scan, and at lake scale the scan is a
+    full pass over the index while footers stay proportional to the
+    FILE count).  Returns None (caller falls back to the scan) when
+    the layout does not match expectations: non-key=value directories,
+    a Hive default (NULL) partition, an unparseable value type, or a
+    non-empty data file at the wrong depth.  Zero-row files are
+    skipped entirely — the aggregate pass never saw them either (no
+    rows => no group), so the two paths report identical numbers."""
+    import os as _os
+    from urllib.parse import unquote
+
+    import pyarrow.parquet as pq
+    parsers = []
+    for c in partition_cols:
+        t = df.schema[c].dataType.simpleString()
+        if t == "string":
+            parsers.append(unquote)
+        elif t in _PART_VALUE_PARSERS and _PART_VALUE_PARSERS[t]:
+            parsers.append(_PART_VALUE_PARSERS[t])
+        else:
+            return None
+    depth = len(partition_cols)
+    stats: dict = {}
+    for dirpath, _dirs, files in _os.walk(root):
+        pfs = [f for f in files if f.endswith(".parquet")]
+        if not pfs:
+            continue
+        rel = _os.path.relpath(dirpath, root)
+        parts = [] if rel == "." else rel.split(_os.sep)
+        combo = None
+        if len(parts) == depth:
+            vals = []
+            for seg, col, parse in zip(parts, partition_cols, parsers):
+                if "=" not in seg:
+                    break
+                k, v = seg.split("=", 1)
+                if k != col or v == "__HIVE_DEFAULT_PARTITION__":
+                    break
+                try:
+                    vals.append(parse(v))
+                except ValueError:
+                    break
+            else:
+                combo = tuple(vals)
+        for f in pfs:
+            try:
+                n = pq.read_metadata(_os.path.join(dirpath, f)).num_rows
+            except Exception:
+                return None
+            if n == 0:
+                continue
+            if combo is None:
+                return None   # real data outside the layout: scan instead
+            ent = stats.setdefault(combo, [0, 0])
+            ent[0] += n
+            ent[1] += 1
+    return [dict(zip(partition_cols, combo)) | {"__n": n, "__nf": nf}
+            for combo, (n, nf) in sorted(stats.items())]
+
+
+def _local_root(path: str):
+    """Local filesystem directory for ``path``, or None (remote)."""
+    p = str(path)
+    if p.startswith("file:"):
+        p = p[5:]
+    if "://" not in p and p.startswith("/"):
+        import os as _os
+        return p if _os.path.isdir(p) else None
+    return None
+
+
+def _partition_stats(spark, table_path: str, df,
+                     partition_cols: list[str]):
+    """Per-combo (rows, files) for a partitioned table: parquet-footer
+    metadata on local paths, the one-pass aggregate scan otherwise."""
+    root = _local_root(table_path)
+    if root is not None:
+        try:
+            per = _footer_partition_stats(root, df, partition_cols)
+            if per is not None:
+                return per
+        except Exception:
+            pass
+    return _per_partition_stats(df, partition_cols)
+
+
+def table_row_count(spark, path: str, df=None) -> int:
+    """Row count of a FLAT (unpartitioned) parquet table from footer
+    metadata when local — zero Spark jobs — else ``count()``.  Exact
+    either way (a parquet footer's num_rows is authoritative)."""
+    root = _local_root(path)
+    if root is not None:
+        try:
+            import os as _os
+
+            import pyarrow.parquet as pq
+            return sum(
+                pq.read_metadata(_os.path.join(dp, f)).num_rows
+                for dp, _d, fs in _os.walk(root)
+                for f in fs if f.endswith(".parquet"))
+        except Exception:
+            pass
+    return (df if df is not None
+            else spark.read.parquet(path)).count()
 
 
 def _combo_df(spark, combos, df, partition_cols: list[str]):
@@ -304,7 +427,7 @@ def compact_partitioned(spark, table_path: str, key_cols: list[str],
     df = spark.read.parquet(table_path)
     if extra_df is not None:
         extra_df = extra_df.select(*df.columns)
-    per = _per_partition_stats(df, partition_cols)
+    per = _partition_stats(spark, table_path, df, partition_cols)
     n_main = sum(r["__n"] for r in per)
     f_before = sum(r["__nf"] for r in per)
     if extra_df is None:
@@ -361,8 +484,9 @@ def compact_partitioned(spark, table_path: str, key_cols: list[str],
         rewritten = None   # filled from the post-swap stats below (the
         # pre-swap plans' file listings are stale after the renames)
 
-    per_after = _per_partition_stats(spark.read.parquet(table_path),
-                                     partition_cols)
+    per_after = _partition_stats(spark, table_path,
+                                 spark.read.parquet(table_path),
+                                 partition_cols)
     if rewritten is None:
         rewritten = len(per_after)
     return {"rows_before": n_before,

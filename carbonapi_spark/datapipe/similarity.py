@@ -1554,10 +1554,12 @@ def compact_ann_index(spark, path: str, id_col: str = "vec_id",
     text-index compactors."""
     from carbonapi_spark.datapipe.maintenance import (_hpath,
                                                       compact_partitioned,
-                                                      maintenance_lock)
+                                                      maintenance_lock,
+                                                      table_row_count)
     with maintenance_lock(spark, path, "compact_ann_index"):
         l0 = _l0_delta(spark, path)
-        n_l0 = l0.count() if l0 is not None else 0
+        n_l0 = (table_row_count(spark, f"{path}/codes_l0", l0)
+                if l0 is not None else 0)
         stats = compact_partitioned(spark, f"{path}/codes", [id_col],
                                     ["cell"], fragmented_only,
                                     extra_df=l0, extra_rows=n_l0)

@@ -695,8 +695,12 @@ def _q_band_compact_probe(spark, sf_dir):
     with tempfile.TemporaryDirectory() as tmp:
         p = f"{tmp}/bands"
         write_band_index(corpus, p, num_hashes=16, bands=4, ngram=2)
-        append_band_index(epoch, p)
-        append_band_index(epoch, p)     # the replayed epoch
+        # L0 appends (r14): one flat file per batch instead of one
+        # file into each of the 256 touched (band, bucket) dirs —
+        # compaction folds the L0 side table into the layout, and the
+        # probe result is pinned identical by the oracle either way
+        append_band_index(epoch, p, l0=True)
+        append_band_index(epoch, p, l0=True)     # the replayed epoch
         stats = compact_band_index(spark, p)
         assert stats["rows_after"] < stats["rows_before"]
         out = probe_band_index(spark, p, probe)

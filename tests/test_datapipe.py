@@ -2791,6 +2791,57 @@ def test_text_index_delete_everything_safe(spark, tmp_path):
     assert got.columns == ["doc_id", "score"]
 
 
+def test_band_l0_append_probe_and_compact_fold(spark, tmp_path):
+    """l0=True band appends: one flat file per batch (no partitioned
+    fragmentation), probes read main ∪ L0 identically to cell appends
+    (including replay-duplicate bucket inflation), compaction folds L0
+    into the (band, bucket) layout and removes it, and deletion covers
+    L0 rows."""
+    import os
+
+    from carbonapi_spark.datapipe.dedup import (append_band_index,
+                                                compact_band_index,
+                                                delete_from_band_index,
+                                                probe_band_index,
+                                                write_band_index)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus = docs.where(F.col("doc_id") % 5 != 4)
+    delta = docs.where(F.col("doc_id") % 5 == 4)
+    probe_batch = docs.where(F.col("doc_id") % 7 == 3)
+    p, p_ref = str(tmp_path / "b_l0"), str(tmp_path / "b_ref")
+    for q in (p, p_ref):
+        write_band_index(corpus, q, num_hashes=16, bands=4, ngram=2)
+    append_band_index(delta, p, l0=True)
+    append_band_index(delta, p, l0=True)        # replayed epoch
+    append_band_index(delta, p_ref)
+    append_band_index(delta, p_ref)             # replayed epoch
+    # one file per L0 batch, partitioned layout untouched
+    l0_files = [f for f in os.listdir(f"{p}/bands_l0")
+                if f.endswith(".parquet")]
+    assert len(l0_files) == 2
+    ask = lambda q: sorted(map(tuple, probe_band_index(
+        spark, q, probe_batch).collect()))
+    # pre-compaction probes equal the cell-append twin exactly
+    # (duplicate inflation included)
+    assert ask(p) == ask(p_ref)
+    stats = compact_band_index(spark, p)
+    assert stats["l0_rows_folded"] > 0
+    assert stats["rows_after"] < stats["rows_before"]
+    assert not os.path.exists(f"{p}/bands_l0")
+    ref_stats = compact_band_index(spark, p_ref)
+    assert stats["rows_after"] == ref_stats["rows_after"]
+    assert ask(p) == ask(p_ref)
+    # deletion with a fresh L0 present covers both tables
+    append_band_index(delta, p, l0=True)
+    doomed = [int(r["doc_id"]) for r in
+              delta.select("doc_id").limit(3).collect()]
+    del_stats = delete_from_band_index(spark, p, doomed)
+    assert del_stats["rows_deleted"] > 0
+    survivors = {int(r["id_a"]) for r in probe_band_index(
+        spark, p, probe_batch).collect()}
+    assert not (survivors & set(doomed))
+
+
 def test_band_index_compaction_after_replayed_append(spark, tmp_path):
     """A replayed append_band_index duplicates (band, key, doc_id)
     rows — inflating bucket populations toward the probe's max_bucket

@@ -73,9 +73,9 @@ def band_probe(spark, sf_dir):
         t.mark("write_band_index")
         t.phases["files_after_write"] = count_files(p)
         t.mark("_")
-        append_band_index(epoch, p)
+        append_band_index(epoch, p, l0=True)
         t.mark("append_1")
-        append_band_index(epoch, p)
+        append_band_index(epoch, p, l0=True)
         t.mark("append_2")
         t.phases["files_after_appends"] = count_files(p)
         t.mark("_")
