@@ -188,6 +188,22 @@ def read_small_table(spark, path: str) -> list[dict]:
     return [r.asDict() for r in spark.read.parquet(p).collect()]
 
 
+def sql_dlit(v: float) -> str:
+    """Exact Spark-SQL DOUBLE literal for ``v``: repr round-trips the
+    IEEE value and the 'D' suffix stops the parser reading a bare
+    decimal as DECIMAL.  Lets hot driver loops build constant-heavy
+    expressions as ONE ``F.expr`` parse instead of a py4j round-trip
+    per ``F.lit`` (measured r14: ~0.4 s per viterbi_expr build, ~2.4 s
+    of cumulative k_center distance-expression builds)."""
+    import math as _math
+    v = float(v)
+    if _math.isnan(v):
+        return "cast('NaN' as double)"
+    if _math.isinf(v):
+        return f"cast('{'-' if v < 0 else ''}Infinity' as double)"
+    return repr(v) + "D"
+
+
 def pin(df: DataFrame) -> DataFrame:
     """Materialize-once + TRUNCATE THE PLAN: a lazy ``localCheckpoint``.
 

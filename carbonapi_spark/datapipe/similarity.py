@@ -1968,15 +1968,20 @@ def k_center_select(vecs: DataFrame, k: int = 8,
                         f"rank INT, {id_col} LONG, dist2 DOUBLE")
     picked = [(1, seed[0]["__id"], 0.0)]
     center_vecs = [seed[0]["__v"]]
+    from carbonapi_spark.datapipe import sql_dlit
     for step in range(2, k + 1):
+        # one F.expr parse per step instead of dim x centers F.lit
+        # py4j calls (r14: the Column-builder form spent ~2.4 s of
+        # driver time across the k steps); the SQL is the identical
+        # zip_with/aggregate fold with exact double literals
         dists = [
-            F.aggregate(
-                F.zip_with(F.col("__v"),
-                           F.array(*[F.lit(float(x)) for x in c]),
-                           lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0), lambda acc, x: acc + x)
+            "aggregate(zip_with(__v, array("
+            + ",".join(sql_dlit(x) for x in c)
+            + "), (x, y) -> (x - y) * (x - y)), 0.0D, "
+            "(acc, x) -> acc + x)"
             for c in center_vecs]
-        mind = F.least(*dists) if len(dists) > 1 else dists[0]
+        mind = F.expr(dists[0] if len(dists) == 1
+                      else "least(" + ",".join(dists) + ")")
         nxt = (base.where(~F.col("__id").isin([p[1] for p in picked]))
                .select("__id", "__v", mind.alias("__d"))
                .orderBy(F.desc("__d"), "__id").limit(1).collect())

@@ -106,7 +106,69 @@ def _null_state() -> Column:
     return F.lit(None).cast(_STATE_T)
 
 
-def viterbi_expr(word: Column, vocab: dict[str, int | float],
+def _sql_str(s: str) -> str:
+    """Spark-SQL single-quoted string literal (backslash escapes on)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _viterbi_sql(col: str, vocab: dict[str, int | float],
+                 max_word_len: int, max_piece_len: int,
+                 objective: str) -> Column:
+    """The SQL-string twin of the Column-builder below: ONE
+    ``F.expr`` parse round-trip instead of ~200 py4j Column calls
+    (~0.4 s of driver time per invocation at r14 — paid once per
+    training round plus once at encode, so 3x per fertility entry).
+    Takes a bare column NAME; semantics are pinned identical to the
+    Column path by ``test_viterbi_sql_path_matches_column_path``."""
+    from carbonapi_spark.datapipe import sql_dlit
+    mdl = objective == "mdl"
+    lit = (lambda s: f"{int(s)}L") if mdl else sql_dlit
+    scores = "map(" + ",".join(
+        f"{_sql_str(p)},{lit(s)}" for p, s in vocab.items()) + ")"
+    sc_t = "bigint" if mdl else "double"
+    key_t = (f"struct<np:int,nscore:{sc_t},pstr:string>" if mdl
+             else f"struct<nscore:{sc_t},np:int,pstr:string>")
+    null_k = f"cast(null as {key_t})"
+
+    def key(np, nscore, pstr):
+        if mdl:
+            return (f"named_struct('np',{np},'nscore',{nscore},"
+                    f"'pstr',{pstr})")
+        return (f"named_struct('nscore',{nscore},'np',{np},"
+                f"'pstr',{pstr})")
+
+    sep = _sql_str(SEP)
+    zero = key("0", "cast(0 as long)" if mdl else "0.0D", sep)
+    cands = []
+    for l in range(1, max_piece_len + 1):
+        piece = f"substr({col}, i - {l - 1}, {l})"
+        prev = f"acc.p{l}"
+        cands.append(
+            f"if(i >= {l} and try_element_at({scores},{piece}) is not "
+            f"null and {prev} is not null, "
+            + key(f"{prev}.np + 1",
+                  f"{prev}.nscore - try_element_at({scores},{piece})",
+                  f"concat({prev}.pstr, {piece}, {sep})")
+            + f", {null_k})")
+    best = cands[0] if len(cands) == 1 else \
+        "least(" + ",".join(cands) + ")"
+    shifted = [f"'p1', {best}"] + [
+        f"'p{l}', acc.p{l - 1}" for l in range(2, max_piece_len + 1)]
+    step = "named_struct(" + ",".join(shifted) + ")"
+    state_t = _STATE_T if mdl else "struct<np:int,score:double,pstr:string>"
+    finish = (f"if(acc.p1 is not null, named_struct("
+              f"'np', acc.p1.np, 'score', -acc.p1.nscore, "
+              f"'pstr', acc.p1.pstr), cast(null as {state_t}))")
+    init = "named_struct('p1', " + zero + "," + ",".join(
+        f"'p{l}', {null_k}" for l in range(2, max_piece_len + 1)) + ")"
+    folded = (f"aggregate(sequence(1, length({col})), {init}, "
+              f"(acc, i) -> {step}, acc -> {finish})")
+    return F.expr(
+        f"if(length({col}) >= 1 and length({col}) <= {max_word_len}, "
+        f"{folded}, cast(null as {state_t}))")
+
+
+def viterbi_expr(word: Column | str, vocab: dict[str, int | float],
                  max_word_len: int = MAX_WORD_LEN,
                  max_piece_len: int = MAX_PIECE_LEN,
                  objective: str = "mdl") -> Column:
@@ -135,6 +197,10 @@ def viterbi_expr(word: Column, vocab: dict[str, int | float],
     """
     if objective not in ("mdl", "logprob"):
         raise ValueError(f"unknown objective {objective!r}")
+    if isinstance(word, str):
+        # bare column name: the one-parse SQL path (internal callers)
+        return _viterbi_sql(f"`{word}`", vocab, max_word_len,
+                            max_piece_len, objective)
     scores = F.create_map(*[
         x for p, s in vocab.items()
         for x in (F.lit(p), F.lit(int(s)).cast("long") if objective == "mdl"
@@ -219,7 +285,7 @@ def segment_types(words: DataFrame, vocab: dict[str, int | float],
                   max_piece_len: int = MAX_PIECE_LEN,
                   objective: str = "mdl") -> DataFrame:
     """Viterbi-segment the type table: (word, cnt, np, score, pstr)."""
-    v = viterbi_expr(F.col("word"), vocab, max_piece_len=max_piece_len,
+    v = viterbi_expr("word", vocab, max_piece_len=max_piece_len,
                      objective=objective)
     return words.select(
         "word", "cnt",
@@ -239,12 +305,20 @@ def _usage(seg: DataFrame) -> DataFrame:
 def unigram_count_vocab(df: DataFrame, iters: int = 2,
                         text_col: str = "text",
                         n_multi: int = 48, keep_multi: int = 24,
-                        max_piece_len: int = MAX_PIECE_LEN) -> dict:
+                        max_piece_len: int = MAX_PIECE_LEN,
+                        words: DataFrame | None = None) -> dict:
     """The integer-exact training loop (see :func:`unigram_count_train`)
     returning the FULL final vocabulary dict (singles + surviving
     multis, piece -> usage) — the form :func:`unigram_encode` and the
-    fertility report consume."""
-    words = word_types(df, text_col).localCheckpoint()
+    fertility report consume.
+
+    Pass a precomputed ``words`` (word, cnt) type table — the
+    :func:`word_types` output, or any aggregation provably equal to it
+    — to share one corpus tokenize pass with a caller that already
+    built a per-doc occurrence table (the fertility entries derive
+    both from a single pinned explode; r14)."""
+    words = (words if words is not None
+             else word_types(df, text_col)).localCheckpoint()
     vocab = {r["piece"]: int(r["score"])
              for r in seed_pieces(words, max_piece_len, n_multi).collect()}
     spark = df.sparkSession
@@ -328,7 +402,7 @@ def unigram_encode(df: DataFrame, vocab: dict[str, int | float],
            .select(F.col(id_col), F.lower(F.col("token")).alias("token")))
     if via_types:
         types = tok.select("token").distinct()
-        v = viterbi_expr(F.col("token"), vocab,
+        v = viterbi_expr("token", vocab,
                          max_piece_len=max_piece_len, objective=objective)
         seg = types.select("token",
                            pieces_of(v.getField("pstr")).alias("pieces"),
@@ -339,7 +413,7 @@ def unigram_encode(df: DataFrame, vocab: dict[str, int | float],
         # table would OOM a forced broadcast
         return tok.join(seg, "token").select(id_col, "token",
                                              "pieces", "np")
-    v = viterbi_expr(F.col("token"), vocab, max_piece_len=max_piece_len,
+    v = viterbi_expr("token", vocab, max_piece_len=max_piece_len,
                      objective=objective)
     return tok.select(id_col, "token",
                       pieces_of(v.getField("pstr")).alias("pieces"),

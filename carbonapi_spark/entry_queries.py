@@ -6995,21 +6995,29 @@ def _q_unigram_fertility(spark, sf_dir):
     TYPE table once via the Viterbi fold, join piece counts onto
     per-doc occurrence counts.  The corpus never runs through the
     encode fold (the via_types strategy)."""
+    from carbonapi_spark.datapipe import pin
     from carbonapi_spark.datapipe.bpe import ascii_word as _aw
     from carbonapi_spark.datapipe.text import tokens as _tok
     from carbonapi_spark.datapipe.unigram import (
         MAX_WORD_LEN, unigram_count_vocab, viterbi_expr)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    vocab = unigram_count_vocab(docs, iters=2)
-    occ = (docs.select("doc_id",
-                       F.explode(_tok(F.col("text"))).alias("token"))
-           .where(_aw(F.col("token")))
-           .select("doc_id", F.lower(F.col("token")).alias("token"))
-           .where(F.length("token") <= MAX_WORD_LEN)
-           .groupBy("doc_id", "token")
-           .agg(F.count(F.lit(1)).alias("__cnt")))
+    # ONE corpus tokenize pass (r14): occ is pinned and feeds the
+    # training word-type table (sum over docs of per-doc counts ==
+    # word_types' corpus counts, same ascii/lower/length filters), the
+    # distinct type list, and the final fertility join — previously
+    # the explode ran three times (train + types + join)
+    occ = pin(docs.select("doc_id",
+                          F.explode(_tok(F.col("text"))).alias("token"))
+              .where(_aw(F.col("token")))
+              .select("doc_id", F.lower(F.col("token")).alias("token"))
+              .where(F.length("token") <= MAX_WORD_LEN)
+              .groupBy("doc_id", "token")
+              .agg(F.count(F.lit(1)).alias("__cnt")))
+    words = (occ.groupBy(F.col("token").alias("word"))
+             .agg(F.sum("__cnt").alias("cnt")))
+    vocab = unigram_count_vocab(docs, iters=2, words=words)
     types = occ.select(F.col("token").alias("t")).distinct()
-    v = viterbi_expr(F.col("t"), vocab)
+    v = viterbi_expr("t", vocab)
     sizes = types.select(F.col("t").alias("token"),
                          v.getField("np").alias("__np"))
     return (occ.join(F.broadcast(sizes), "token")

@@ -72,6 +72,29 @@ def test_viterbi_expr_matches_python_logprob(spark):
         assert got[w][0] == __import__("pytest").approx(exp[0], abs=1e-12)
 
 
+def test_viterbi_sql_path_matches_column_path(spark):
+    """viterbi_expr(<name>) — the one-parse SQL fast path (r14) — is
+    bit-identical to viterbi_expr(F.col(<name>)) for both objectives,
+    including words with quote/backslash characters in the vocab."""
+    rng = random.Random(10)
+    words = ["".join(rng.choice("ab'c\\d") for _ in range(rng.randint(1, 16)))
+             for _ in range(200)] + ["", "a" * 17]
+    df = spark.createDataFrame([(w,) for w in words], "word string")
+    for objective, vocab in (
+            ("mdl", {**{c: rng.randint(1, 50) for c in "ab'c\\d"},
+                     "ab": 99, "'c": 77, "\\d": 55, "c\\d": 44}),
+            ("logprob", {**{c: math.log(rng.uniform(0.01, 0.2))
+                            for c in "ab'c\\d"},
+                         "ab": math.log(0.17), "b'": math.log(0.13)})):
+        vc = viterbi_expr(F.col("word"), vocab, objective=objective)
+        vs = viterbi_expr("word", vocab, objective=objective)
+        got_c = [tuple(r) for r in
+                 df.select("word", vc.alias("s")).collect()]
+        got_s = [tuple(r) for r in
+                 df.select("word", vs.alias("s")).collect()]
+        assert got_c == got_s
+
+
 def test_viterbi_nulls(spark):
     df = spark.createDataFrame(
         [("a" * 17,), ("axz",), ("aa",)], "word string")
