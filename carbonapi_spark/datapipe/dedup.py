@@ -829,15 +829,18 @@ def write_band_index(df: DataFrame, path: str, text_col: str = "text",
                              ngram, seed)
     bucketed = idx.withColumn(
         "bucket", F.pmod(F.xxhash64("key"), F.lit(n_buckets)).cast("int"))
-    (combo_repartition(bucketed, ["band", "bucket"], bands * n_buckets)
-     .write.mode("overwrite").partitionBy("band", "bucket")
-     .parquet(f"{path}/bands"))
     spark = df.sparkSession
-    (local_df(
-        spark, [(num_hashes, bands, ngram, seed, n_buckets)],
-        "num_hashes INT, bands INT, ngram INT, seed INT, "
-        "n_buckets INT")
-     .write.mode("overwrite").parquet(f"{path}/stats"))
+    from carbonapi_spark.datapipe import overlap_jobs
+    overlap_jobs(
+        lambda: (combo_repartition(bucketed, ["band", "bucket"],
+                                   bands * n_buckets)
+                 .write.mode("overwrite").partitionBy("band", "bucket")
+                 .parquet(f"{path}/bands")),
+        lambda: (local_df(
+            spark, [(num_hashes, bands, ngram, seed, n_buckets)],
+            "num_hashes INT, bands INT, ngram INT, seed INT, "
+            "n_buckets INT")
+            .write.mode("overwrite").parquet(f"{path}/stats")))
 
 
 def _band_l0(spark, path: str):

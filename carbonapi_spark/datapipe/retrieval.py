@@ -112,23 +112,32 @@ def write_text_index(df: DataFrame, path: str, text_col: str = "text",
           .agg(F.count(F.lit(1)).alias("tf")))
     bucketed = tf.withColumn(
         "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
-    (combo_repartition(bucketed, ["bucket"], n_buckets)
-     .write.mode("overwrite").partitionBy("bucket")
-     .parquet(f"{path}/postings"))
     # the stats totals ride the doclens write job as observed metrics
-    # (guide §2.4: the old separate agg was one more full corpus pass)
+    # (guide §2.4: the old separate agg was one more full corpus pass);
+    # the independent postings write overlaps the doclens+stats chain
+    # from a second driver thread (guide §2.6)
     from pyspark.sql import Observation
+
+    from carbonapi_spark.datapipe import overlap_jobs
     obs = Observation()
     lengths = df.select(F.col(id_col).alias("doc_id"),
                         token_count(F.col(text_col)).cast("long")
                         .alias("dl")) \
         .observe(obs, F.count(F.lit(1)).alias("n"),
                  F.sum("dl").alias("s"))
-    lengths.write.mode("overwrite").parquet(f"{path}/doclens")
-    got = obs.get
-    local_df(df.sparkSession, [(got["n"], got["s"], n_buckets)],
-             "n_docs LONG, sum_dl LONG, n_buckets INT") \
-        .coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
+
+    def _doclens_then_stats():
+        lengths.write.mode("overwrite").parquet(f"{path}/doclens")
+        got = obs.get
+        local_df(df.sparkSession, [(got["n"], got["s"], n_buckets)],
+                 "n_docs LONG, sum_dl LONG, n_buckets INT") \
+            .coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
+
+    overlap_jobs(
+        lambda: (combo_repartition(bucketed, ["bucket"], n_buckets)
+                 .write.mode("overwrite").partitionBy("bucket")
+                 .parquet(f"{path}/postings")),
+        _doclens_then_stats)
 
 
 def bm25_query_index(spark: SparkSession, path: str, query: str,
@@ -313,25 +322,35 @@ def append_text_index(df: DataFrame, path: str, text_col: str = "text",
           .agg(F.count(F.lit(1)).alias("tf")))
     bucketed = tf.withColumn(
         "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
-    (combo_repartition(bucketed, ["bucket"], n_buckets)
-     .write.mode("append").partitionBy("bucket")
-     .parquet(f"{path}/postings"))
     # delta totals ride the doclens append job as observed metrics
-    # (guide §2.4: the old separate agg re-ran the tokenize pass)
+    # (guide §2.4: the old separate agg re-ran the tokenize pass); the
+    # independent postings append overlaps the doclens+stats chain
+    # from a second driver thread (guide §2.6)
     from pyspark.sql import Observation
+
+    from carbonapi_spark.datapipe import overlap_jobs
     obs = Observation()
     lengths = df.select(F.col(id_col).alias("doc_id"),
                         token_count(F.col(text_col)).cast("long")
                         .alias("dl")) \
         .observe(obs, F.count(F.lit(1)).alias("n"),
                  F.sum("dl").alias("s"))
-    lengths.write.mode("append").parquet(f"{path}/doclens")
-    delta = obs.get
-    merged = local_df(
-        spark, [(stats_row["n_docs"] + delta["n"],
-                 stats_row["sum_dl"] + (delta["s"] or 0), n_buckets)],
-        "n_docs LONG, sum_dl LONG, n_buckets INT")
-    merged.coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
+
+    def _doclens_then_stats():
+        lengths.write.mode("append").parquet(f"{path}/doclens")
+        delta = obs.get
+        merged = local_df(
+            spark, [(stats_row["n_docs"] + delta["n"],
+                     stats_row["sum_dl"] + (delta["s"] or 0), n_buckets)],
+            "n_docs LONG, sum_dl LONG, n_buckets INT")
+        merged.coalesce(1).write.mode("overwrite") \
+            .parquet(f"{path}/stats")
+
+    overlap_jobs(
+        lambda: (combo_repartition(bucketed, ["bucket"], n_buckets)
+                 .write.mode("append").partitionBy("bucket")
+                 .parquet(f"{path}/postings")),
+        _doclens_then_stats)
 
 
 def compact_text_index(spark, path: str,

@@ -1195,20 +1195,26 @@ def write_ann_index(df: DataFrame, path: str,
     # every write task emits a file into every cell= directory
     # (n_tasks x n_cells small files — metadata death at lake scale);
     # with it each cell lands in exactly one shuffle partition
-    combo_repartition(codes, ["cell"], len(centroids)) \
-        .write.mode("overwrite") \
-        .partitionBy("cell").parquet(f"{path}/codes")
-    local_df(spark,
-             [(i + 1, c, l2_cells, residual)
-              for i, c in enumerate(centroids)],
-             "cell INT, emb ARRAY<DOUBLE>, l2 BOOLEAN, residual BOOLEAN") \
-        .coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
-    local_df(spark,
-             [(j, cw, list(map(float, codebooks[j][cw])))
-              for j in range(len(codebooks))
-              for cw in range(len(codebooks[j]))],
-             "m INT, code INT, sub ARRAY<DOUBLE>") \
-        .coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+    from carbonapi_spark.datapipe import overlap_jobs
+    overlap_jobs(
+        lambda: combo_repartition(codes, ["cell"], len(centroids))
+        .write.mode("overwrite")
+        .partitionBy("cell").parquet(f"{path}/codes"),
+        lambda: local_df(
+            spark,
+            [(i + 1, c, l2_cells, residual)
+             for i, c in enumerate(centroids)],
+            "cell INT, emb ARRAY<DOUBLE>, l2 BOOLEAN, residual BOOLEAN")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(f"{path}/centroids"),
+        lambda: local_df(
+            spark,
+            [(j, cw, list(map(float, codebooks[j][cw])))
+             for j in range(len(codebooks))
+             for cw in range(len(codebooks[j]))],
+            "m INT, code INT, sub ARRAY<DOUBLE>")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(f"{path}/codebooks"))
 
 
 def read_ann_index(spark, path: str):

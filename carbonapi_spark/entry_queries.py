@@ -2198,8 +2198,11 @@ def _q_stream_ann_replay(spark, sf_dir):
         q = stream_append_ann_index(stream, p, l0=True,
                                     checkpoint_dir=f"{tmp}/ckpt")
         q.awaitTermination()
-        n_l0 = (spark.read.parquet(f"{p}/codes_l0")
-                .select(F.input_file_name()).distinct().count())
+        # file count via driver listing — zero Spark jobs (r14; the
+        # old input_file_name().distinct().count() was a full job)
+        import os as _os
+        n_l0 = sum(1 for f in _os.listdir(f"{p}/codes_l0")
+                   if f.endswith(".parquet"))
         assert n_l0 == 2        # one L0 file per epoch, no cell spray
         out = ann_index_topk(spark, p, emb.where(F.col("vec_id") < 5),
                              k=10, nprobe=3)
