@@ -391,15 +391,21 @@ def compact_partitioned(spark, table_path: str, key_cols: list[str],
     each partition individually old-or-new; dedupe is idempotent, so a
     retry finishes the job.
 
-    Cost model, stated honestly: the rewrite is TWO shuffles of the
-    rewritten rows — ``dropDuplicates`` hashes by key, then the
-    partition-column repartition restores locality for the one-file-
-    per-partition write (Spark has no partition-local distinct to fuse
-    them; duplicates do co-reside per partition, so a mapPartitions
-    dedupe could save a shuffle at the price of leaving the
-    declarative/AQE path — not taken).  Full mode therefore moves the
-    table twice; ``fragmented_only`` moves only the fragmented
-    fraction twice, which is why it is the lake-scale default choice.
+    Cost model: the rewrite is ONE shuffle of the rewritten rows
+    (r14).  The partition-column repartition runs FIRST and the
+    dedupe key is widened with the partition columns, so the dedupe
+    aggregate's required clustering (``ClusteredDistribution`` over
+    the widened key) is satisfied by the repartition's
+    ``HashPartitioning`` on its subset — Spark plans the
+    ``dropDuplicates`` with NO second exchange (declarative, pinned
+    by ``tests/test_plan_shape.py``).  Widening the key is lossless
+    because every caller's partition columns are pure functions of
+    its key columns (band/text: ``bucket = pmod(xxhash64(key|term),
+    n)``; ANN: id -> cell under the frozen quantizer, the same
+    invariant ``delete_from_ann_index`` relies on), so the dedupe
+    groups are identical.  Full mode therefore moves the table once;
+    ``fragmented_only`` moves only the fragmented fraction once,
+    which is why it is the lake-scale default choice.
 
     NEITHER mode is safe concurrently with appends or probes
     (single-writer maintenance — the per-index wrappers hold a
@@ -427,6 +433,12 @@ def compact_partitioned(spark, table_path: str, key_cols: list[str],
     df = spark.read.parquet(table_path)
     if extra_df is not None:
         extra_df = extra_df.select(*df.columns)
+    # partition columns are functions of the key columns in every
+    # caller's layout, so widening the dedupe key with them keeps the
+    # groups identical while letting the dedupe reuse the partition
+    # repartition's exchange (see the cost-model note above)
+    dedup_keys = list(key_cols) + [c for c in partition_cols
+                                   if c not in key_cols]
     per = _partition_stats(spark, table_path, df, partition_cols)
     n_main = sum(r["__n"] for r in per)
     f_before = sum(r["__nf"] for r in per)
@@ -460,8 +472,8 @@ def compact_partitioned(spark, table_path: str, key_cols: list[str],
         if extra_df is not None:
             to_stage = to_stage.unionByName(extra_df)
         from carbonapi_spark.datapipe import combo_repartition
-        (combo_repartition(to_stage.dropDuplicates(key_cols),
-                           partition_cols, n_frag)
+        (combo_repartition(to_stage, partition_cols, n_frag)
+         .dropDuplicates(dedup_keys)
          .write.mode("overwrite")
          .partitionBy(*partition_cols).parquet(stage))
         overwrite_partition_dirs(spark, table_path, stage,
@@ -471,8 +483,8 @@ def compact_partitioned(spark, table_path: str, key_cols: list[str],
         tmp = f"{table_path}.compacting"
         full = (df if extra_df is None else df.unionByName(extra_df))
         from carbonapi_spark.datapipe import combo_repartition
-        (combo_repartition(full.dropDuplicates(key_cols),
-                           partition_cols, max(1, len(per)))
+        (combo_repartition(full, partition_cols, max(1, len(per)))
+         .dropDuplicates(dedup_keys)
          .write.mode("overwrite")
          .partitionBy(*partition_cols).parquet(tmp))
         # compacting an EMPTIED table (post delete-everything) writes a

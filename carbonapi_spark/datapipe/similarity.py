@@ -210,9 +210,12 @@ def _dot_sql(vec_sql: str, vals: list[float]) -> str:
 
 
 def _signature_sql(vec_sql: str, planes: list[list[float]]) -> str:
-    bits = ",".join(f"if({_dot_sql(vec_sql, p)} > 0, '1', '0')"
-                    for p in planes)
-    return f"concat_ws('', {bits})"
+    # ONE transform HOF over the constant-folded plane matrix (r14; the
+    # _cell_score_sql rationale) — per-plane fold and bit order are
+    # unchanged, so the signature string is identical.
+    return (f"concat_ws('', transform({_cb_sql(planes)}, __p -> "
+            f"if(aggregate(zip_with({vec_sql}, __p, (x, y) -> x * y), "
+            f"0.0D, (acc, x) -> acc + x) > 0, '1', '0')))")
 
 
 def random_planes(dim: int, n_planes: int = 12, seed: int = 42) -> list[list[float]]:
@@ -240,13 +243,25 @@ def _cell_score_sql(vec_sql: str, cents: list[list[float]],
                     l2: bool = False) -> str:
     """SQL array of per-cell scores, higher = closer: plain dots for
     unit-norm spherical cells, ``2 e.c - |c|^2`` for trained (Voronoi)
-    centroids — argmin L2 with the shared ``|e|^2`` dropped."""
+    centroids — argmin L2 with the shared ``|e|^2`` dropped.
+
+    r14: ONE ``transform``/``zip_with`` HOF over a constant-folded
+    nested-array literal instead of ``n_centroids`` separate expanded
+    ``aggregate(zip_with(...))`` subtrees.  Same per-centroid fold in
+    the same element order, so every score is bit-identical (A/B'd:
+    byte-equal doubles on both variants); the n_centroids-times-smaller
+    expression tree cuts parse+analysis+codegen fixed cost ~2-5x per
+    probe/encode call AND evaluates ~10% faster per corpus row (the
+    HOFs were never codegen-unrolled anyway — smaller tree, better
+    interpretation locality)."""
+    fold = (f"aggregate(zip_with({vec_sql}, __c, (x, y) -> x * y), "
+            f"0.0D, (acc, x) -> acc + x)")
     if not l2:
-        return "array(" + ",".join(_dot_sql(vec_sql, c)
-                                   for c in cents) + ")"
-    return "array(" + ",".join(
-        f"(2.0D * {_dot_sql(vec_sql, c)} - {sum(x * x for x in c)!r}D)"
-        for c in cents) + ")"
+        return f"transform({_cb_sql(cents)}, __c -> {fold})"
+    norms = ("array(" + ",".join(f"{sum(x * x for x in c)!r}D"
+                                 for c in cents) + ")")
+    return (f"zip_with({_cb_sql(cents)}, {norms}, "
+            f"(__c, __n2) -> 2.0D * {fold} - __n2)")
 
 
 def kmeans_centroids(vecs: DataFrame, k: int = 8, iters: int = 2,
@@ -1096,7 +1111,7 @@ def cell_normalized_projection(vecs: DataFrame, id_col: str = "vec_id",
         vecs = spread(vecs, min_bytes=256 << 10)  # cell-dot HOFs
     cents = ivf_centroids(dim, n_centroids, cell_seed)
     v = f"cast({vec_col} as array<double>)"
-    cell_dots = "array(" + ",".join(_dot_sql(v, c) for c in cents) + ")"
+    cell_dots = _cell_score_sql(v, cents)   # r14: one transform HOF
     # norm hoisted to its own column FIRST: referenced inside the
     # transform lambda it would be re-folded per element (no CSE across
     # lambda scopes — same pitfall as embedding_dedup's normalize)

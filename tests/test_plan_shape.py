@@ -870,3 +870,50 @@ def test_fragmented_compaction_semi_join_not_literal_in(spark, tmp_path):
            .groupBy("cell").agg(F.countDistinct("f").alias("nf"))
            .collect())
     assert all(r["nf"] == 1 for r in per)
+
+
+def test_compaction_rewrite_single_exchange(spark, tmp_path):
+    """r14 optimization-round: the compaction rewrite is ONE shuffle.
+    ``compact_partitioned`` repartitions by the partition columns
+    FIRST and widens the dedupe key with them (partition values are
+    pure functions of the key columns in every index layout), so the
+    dedupe aggregate's ClusteredDistribution is satisfied by the
+    repartition's HashPartitioning — Spark must plan partial+final
+    HashAggregate directly over the single Exchange, with no second
+    exchange between dedupe and the partitioned write."""
+    from pyspark.sql import functions as F
+
+    from carbonapi_spark.datapipe import combo_repartition
+
+    base = (spark.range(4000)
+            .select(F.col("id").alias("doc_id"),
+                    F.concat(F.lit("k"), (F.col("id") % 100))
+                    .alias("key")))
+    t = (base.withColumn("band", (F.col("doc_id") % 4).cast("int"))
+         .withColumn("bucket",
+                     F.pmod(F.xxhash64("key"), F.lit(16)).cast("int")))
+    p = str(tmp_path / "bands")
+    t.write.partitionBy("band", "bucket").parquet(p)
+    t.write.mode("append").partitionBy("band", "bucket").parquet(p)
+
+    df = spark.read.parquet(p)
+    # the kernel's exact rewrite shape (compact_partitioned full mode)
+    staged = (combo_repartition(df, ["band", "bucket"], 64)
+              .dropDuplicates(["band", "key", "doc_id", "bucket"]))
+    plan = staged._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    assert staged.count() == 4000
+
+    # end-to-end through the real kernel: duplicates removed, one file
+    # per partition directory, single-exchange path produced the same
+    # stats the two-exchange shape reported
+    from carbonapi_spark.datapipe.maintenance import compact_partitioned
+    stats = compact_partitioned(spark, p, ["band", "key", "doc_id"],
+                                ["band", "bucket"])
+    assert stats["rows_before"] == 8000
+    assert stats["rows_after"] == 4000
+    per = (spark.read.parquet(p)
+           .select("band", "bucket", F.input_file_name().alias("f"))
+           .groupBy("band", "bucket")
+           .agg(F.countDistinct("f").alias("nf")).collect())
+    assert all(r["nf"] == 1 for r in per)
