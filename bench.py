@@ -254,6 +254,28 @@ def main() -> None:
                    "movers_baseline": movers_baseline},
                   f, indent=1, sort_keys=True)
     print(json.dumps({"queries": times}))
+    # The driver stores only the last ~2 KB of stdout, so the single
+    # ~7 KB queries line above truncates to unparseable JSON and the
+    # round-over-round PERF per-query map came back EMPTY (r13, r14).
+    # Measurement-reporting fix (r15, no timing change): re-emit the
+    # same map as SMALL chunk lines — each a complete, independently
+    # parseable {"queries": {...}} object well under 1 KB — sorted
+    # ASCENDING by runtime so the heaviest entries (the ones that
+    # dominate totals and attributions) sit in the LAST chunks, inside
+    # whatever tail survives.  The compact summary stays the last line.
+    chunk: dict[str, float] = {}
+    chunks: list[dict[str, float]] = []
+    for name in sorted(times, key=times.get):
+        chunk[name] = times[name]
+        if len(json.dumps(chunk, separators=(",", ":"))) > 600:
+            chunks.append(chunk)
+            chunk = {}
+    if chunk:
+        chunks.append(chunk)
+    for i, part in enumerate(chunks):
+        print(json.dumps(
+            {"queries_part": i + 1, "queries_parts": len(chunks),
+             "queries": part}, separators=(",", ":")))
     print(json.dumps(summary))
     spark.stop()
 
