@@ -438,12 +438,30 @@ def core_numbers(edges: DataFrame, src: str = "src", dst: str = "dst",
     # NOTE r14: the pagerank-style single-partition collapse + broadcast
     # loop was tried here and MEASURED SLOWER (3.02 -> 3.46 s at sf0.1):
     # each round's histogram + window + max-agg chain serializes onto one
-    # core, costing more than the exchanges it removes.  Kept parallel.
+    # core, costing more than the exchanges it removes.  r15 keeps the
+    # chain PARALLEL and removes the per-round EDGE-SIZED exchange
+    # instead: on small graphs (exact node-count gate below, the
+    # pagerank convention) the node-sized score table is BROADCAST, so
+    # the round's join streams the stored edge blocks with no shuffle
+    # of either side; the only exchanges left carry the post-partial-
+    # agg histogram (distinct (node, value) pairs), never the edge
+    # list.  (Hash-partitioning the edge list by ``a`` once was tried:
+    # an AQE-mode localCheckpoint does not propagate outputPartitioning
+    # into LogicalRDD, so later rounds cannot see it, and re-running
+    # the repartition per round IS the edge-sized shuffle back again.)
+    # Counts/least/max are exact integer ops, so any physical shape
+    # gives identical cores.
     und = und.localCheckpoint()  # eager: round joins + degree agg both scan it
-    c = und.groupBy("a").agg(F.count(F.lit(1)).alias("c")) \
-        .select(F.col("a").alias("node"), "c").localCheckpoint(eager=False)
+    deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("c"))
+    # exact node count for the gate (the pagerank convention: the
+    # Catalyst estimate of a derived pair pipeline is join-inflated by
+    # orders of magnitude); one cheap agg job over the cached blocks
+    small = deg.count() < 100_000
+    c = deg.select(F.col("a").alias("node"), "c") \
+        .localCheckpoint(eager=False)
     for t in range(n_iter):
-        nb = (und.join(c, und["b"] == c["node"])
+        cj = F.broadcast(c) if small else c
+        nb = (und.join(cj, und["b"] == cj["node"])
               .select(F.col("a"), F.col("c").alias("__cv")))
         # H-index via the VALUE HISTOGRAM, not a per-neighbor rank: a
         # map-side-combined (node, value) count collapses the window's
