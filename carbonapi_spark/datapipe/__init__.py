@@ -233,6 +233,49 @@ def sql_dlit(v: float) -> str:
     return repr(v) + "D"
 
 
+_EXPR_CACHE: dict = {}
+_EXPR_CACHE_MAX = 256
+
+
+def expr_cached(s: str):
+    """``F.expr(s)`` with the PARSED expression memoized per py4j
+    gateway (VERDICT r14 #1, the 'prepared-plan registry': construction
+    caching only — never data).  The constant-heavy probe expressions
+    (centroid matrices, PQ codebooks, viterbi folds) are deterministic
+    functions of frozen index parameters, so the same SQL text is
+    re-parsed on every probe call: ~0.2-0.4 s per ANN probe at bench
+    scale (measured r15, tools/opt_probe_profile.py).  An unresolved
+    parsed expression carries no data, no plan state and no column
+    bindings — reusing the Column object across DataFrames is exactly
+    what a repeated ``selectExpr`` produces, so plans are byte-identical.
+    Keyed on the live gateway (a restarted JVM invalidates cached
+    JavaObjects); FIFO-capped so pathological literal churn (per-step
+    k_center distances over unbounded inputs) cannot grow it without
+    bound."""
+    from pyspark import SparkContext
+    sc = SparkContext._active_spark_context
+    gw = getattr(sc, "_gateway", None) if sc is not None else None
+    if gw is None:
+        return F.expr(s)
+    key = (id(gw), s)
+    col = _EXPR_CACHE.get(key)
+    if col is None:
+        col = F.expr(s)
+        if len(_EXPR_CACHE) >= _EXPR_CACHE_MAX:
+            _EXPR_CACHE.pop(next(iter(_EXPR_CACHE)))
+        _EXPR_CACHE[key] = col
+    return col
+
+
+def selectx(df: DataFrame, *exprs: str) -> DataFrame:
+    """``df.selectExpr(*exprs)`` through :func:`expr_cached` — the
+    drop-in for hot constant-heavy projection sites.  ``selectExpr``
+    is definitionally ``select(expr(e) for e)``, aliases included, so
+    the unresolved plan is identical; only the redundant re-parse of
+    an already-seen expression string is skipped."""
+    return df.select(*[expr_cached(e) for e in exprs])
+
+
 def pin(df: DataFrame) -> DataFrame:
     """Materialize-once + TRUNCATE THE PLAN: a lazy ``localCheckpoint``.
 

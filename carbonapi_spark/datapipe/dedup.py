@@ -831,16 +831,25 @@ def write_band_index(df: DataFrame, path: str, text_col: str = "text",
         "bucket", F.pmod(F.xxhash64("key"), F.lit(n_buckets)).cast("int"))
     spark = df.sparkSession
     from carbonapi_spark.datapipe import overlap_jobs
-    overlap_jobs(
-        lambda: (combo_repartition(bucketed, ["band", "bucket"],
-                                   bands * n_buckets)
-                 .write.mode("overwrite").partitionBy("band", "bucket")
-                 .parquet(f"{path}/bands")),
-        lambda: (local_df(
-            spark, [(num_hashes, bands, ngram, seed, n_buckets)],
-            "num_hashes INT, bands INT, ngram INT, seed INT, "
-            "n_buckets INT")
-            .write.mode("overwrite").parquet(f"{path}/stats")))
+    try:
+        overlap_jobs(
+            lambda: (combo_repartition(bucketed, ["band", "bucket"],
+                                       bands * n_buckets)
+                     .write.mode("overwrite").partitionBy("band", "bucket")
+                     .parquet(f"{path}/bands")),
+            lambda: (local_df(
+                spark, [(num_hashes, bands, ngram, seed, n_buckets)],
+                "num_hashes INT, bands INT, ngram INT, seed INT, "
+                "n_buckets INT")
+                .write.mode("overwrite").parquet(f"{path}/stats")))
+    except BaseException:
+        # the overlapped stats job may have committed before the bands
+        # write failed — a failed build must be unambiguously absent
+        # (ADVICE r14)
+        from carbonapi_spark.datapipe.maintenance import \
+            discard_failed_build
+        discard_failed_build(spark, path, ["bands", "stats"])
+        raise
 
 
 def _band_l0(spark, path: str):
@@ -889,11 +898,34 @@ def append_band_index(df: DataFrame, path: str, text_col: str = "text",
     spark = df.sparkSession
     assert_not_under_maintenance(spark, path, "append_band_index")
     st = read_small_table(spark, f"{path}/stats")[0]
-    idx = minhash_band_index(df, text_col, id_col, st["num_hashes"],
-                             st["bands"], st["ngram"], st["seed"])
-    bucketed = idx.withColumn(
-        "bucket",
-        F.pmod(F.xxhash64("key"), F.lit(st["n_buckets"])).cast("int"))
+    # A REPLAYED append (the at-least-once pattern every compact probe
+    # exercises) re-shingles and re-minhashes the identical delta; the
+    # banded rows are a pure function of (delta plan, frozen index
+    # params), so share them through the REQUEST-scoped scratch memo —
+    # the second append reuses the tracked signature blocks instead of
+    # re-running the whole encode pipeline (r15; released at the
+    # request boundary, so nothing crosses bench runs).  sameResult
+    # canonicalizes expression ids, so two separately-built but
+    # identical delta plans match.
+    from carbonapi_spark import scratch
+    params = ("band_delta", st["num_hashes"], st["bands"], st["ngram"],
+              st["seed"], st["n_buckets"], text_col, id_col)
+    hit = scratch.memo().get(params)
+    bucketed = None
+    if hit is not None:
+        try:
+            if df._jdf.queryExecution().analyzed().sameResult(
+                    hit[0].queryExecution().analyzed()):
+                bucketed = hit[1]
+        except Exception:
+            bucketed = None
+    if bucketed is None:
+        idx = minhash_band_index(df, text_col, id_col, st["num_hashes"],
+                                 st["bands"], st["ngram"], st["seed"])
+        bucketed = scratch.track(idx.withColumn(
+            "bucket",
+            F.pmod(F.xxhash64("key"), F.lit(st["n_buckets"])).cast("int")))
+        scratch.memo()[params] = (df._jdf, bucketed)
     if l0:
         # repartition(1), NOT coalesce(1): keep the banding/minhash
         # pipeline at input parallelism; only the single write task is
@@ -967,6 +999,15 @@ def delete_from_band_index(spark, path: str, doc_ids,
         stats = delete_rows_partitioned(spark, f"{path}/bands", ids_df,
                                         ["doc_id"], ["band", "bucket"])
         stats["rows_deleted"] += n_l0
+        # rows_after from the kernel counts the partitioned table only;
+        # include L0 survivors so the stats stay internally consistent
+        # when a bands_l0 side table outlives the deletion (ADVICE r14).
+        # Footer-based count — zero Spark jobs on local paths.
+        if _band_l0(spark, path) is not None:
+            from carbonapi_spark.datapipe.maintenance import \
+                table_row_count
+            stats["rows_after"] += table_row_count(
+                spark, f"{path}/bands_l0")
         return stats
 
 

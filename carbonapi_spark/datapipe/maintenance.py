@@ -368,6 +368,53 @@ def overwrite_partition_dirs(spark, table_path: str, stage: str,
     return moved
 
 
+def discard_failed_build(spark, path: str, subs: list[str]) -> None:
+    """Remove an index's sub-table directories after a FAILED overlapped
+    build (ADVICE r14): ``overlap_jobs`` runs the big data write and the
+    small metadata writes concurrently, so a failure of any one can
+    leave the others already committed — a half-built index whose stats
+    table reads as valid.  Deleting whatever landed makes a failed build
+    unambiguously absent, which is what the old serial form guaranteed
+    for the metadata tables.  Best-effort by design: it runs on the
+    failure path, and a cleanup error must not mask the build error."""
+    for s in subs:
+        try:
+            p, fs = _hpath(spark, f"{path}/{s}")
+            fs.delete(p, True)
+        except Exception:
+            pass
+
+
+def recover_staged_commit(spark, table_path: str, stage: str,
+                          partition_cols: list[str]) -> bool:
+    """Finish (or discard) a leftover ``stage`` directory from a prior
+    crashed run BEFORE a new rewrite is planned (ADVICE r14): the
+    per-combo move loop in :func:`overwrite_partition_dirs` deletes the
+    live partition dir before renaming the staged one in, so a crash in
+    that window leaves a combo's rows ONLY under the stage — and a
+    naive retry would rebuild the stage from the (now incomplete) live
+    table with ``mode("overwrite")``, silently erasing the orphaned
+    rows forever.
+
+    A COMMITTED stage (``_SUCCESS`` present — Spark's commit protocol
+    wrote it before any move started) holds complete rewritten
+    partition dirs, so moving the remainder into place completes the
+    interrupted commit exactly as the crashed run would have.  An
+    UNCOMMITTED stage (no ``_SUCCESS``) is a partial write over an
+    intact live table: discard it.  Returns True when a leftover stage
+    was found (either way)."""
+    sp, fs = _hpath(spark, stage)
+    if not fs.exists(sp):
+        return False
+    okp, _ = _hpath(spark, f"{stage}/_SUCCESS")
+    if fs.exists(okp):
+        overwrite_partition_dirs(spark, table_path, stage,
+                                 partition_cols)
+    else:
+        fs.delete(sp, True)
+    return True
+
+
 def compact_partitioned(spark, table_path: str, key_cols: list[str],
                         partition_cols: list[str],
                         fragmented_only: bool = False,
@@ -430,6 +477,12 @@ def compact_partitioned(spark, table_path: str, key_cols: list[str],
     after (:func:`_per_partition_stats`) — the old shape paid 3-5
     separate full-table jobs (count, file-distinct, frag-groupBy,
     post-count, post-distinct x2), each a full scan at lake scale."""
+    # a crashed prior run may have left a committed-but-partly-moved
+    # stage; fold it back into the table BEFORE reading anything (both
+    # modes share the stage path, so both must recover — a full-mode
+    # ``mode("overwrite")`` stage write would erase the orphans too)
+    recover_staged_commit(spark, table_path, f"{table_path}.compacting",
+                          partition_cols)
     df = spark.read.parquet(table_path)
     if extra_df is not None:
         extra_df = extra_df.select(*df.columns)

@@ -133,11 +133,21 @@ def write_text_index(df: DataFrame, path: str, text_col: str = "text",
                  "n_docs LONG, sum_dl LONG, n_buckets INT") \
             .coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
 
-    overlap_jobs(
-        lambda: (combo_repartition(bucketed, ["bucket"], n_buckets)
-                 .write.mode("overwrite").partitionBy("bucket")
-                 .parquet(f"{path}/postings")),
-        _doclens_then_stats)
+    try:
+        overlap_jobs(
+            lambda: (combo_repartition(bucketed, ["bucket"], n_buckets)
+                     .write.mode("overwrite").partitionBy("bucket")
+                     .parquet(f"{path}/postings")),
+            _doclens_then_stats)
+    except BaseException:
+        # the overlapped doclens/stats chain may have committed before
+        # the postings write failed — a failed build must be
+        # unambiguously absent (ADVICE r14)
+        from carbonapi_spark.datapipe.maintenance import \
+            discard_failed_build
+        discard_failed_build(df.sparkSession, path,
+                             ["postings", "doclens", "stats"])
+        raise
 
 
 def bm25_query_index(spark: SparkSession, path: str, query: str,

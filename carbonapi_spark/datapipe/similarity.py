@@ -14,7 +14,8 @@ import math
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
-from carbonapi_spark.datapipe import combo_repartition, local_df
+from carbonapi_spark.datapipe import (combo_repartition, expr_cached,
+                                      local_df, selectx)
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -293,10 +294,10 @@ def kmeans_centroids(vecs: DataFrame, k: int = 8, iters: int = 2,
         raise ValueError("kmeans_centroids needs a non-empty corpus")
     for _ in range(iters):
         scores = _cell_score_sql("__e", cents, l2=True)
-        means = (vecs.selectExpr(f"{v} as __e")
-                 .selectExpr("__e", f"{scores} as __d")
-                 .selectExpr("__e",
-                             "array_position(__d, array_max(__d)) as __cell")
+        means = (selectx(selectx(selectx(vecs, f"{v} as __e"),
+                                 "__e", f"{scores} as __d"),
+                         "__e",
+                         "array_position(__d, array_max(__d)) as __cell")
                  .select("__cell", F.posexplode("__e").alias("__i", "__x"))
                  .groupBy("__cell", "__i")
                  .agg(F.round(F.avg("__x"), round_dp).alias("__c"))
@@ -381,13 +382,13 @@ def ivf_topk(corpus: DataFrame, query: DataFrame, k: int = 10,
     # one SQL string for all centroid scores (one parse, no per-lit py4j)
     cell_dots = _cell_score_sql(v, cents, l2=centroids is not None)
 
-    c = (corpus.selectExpr(f"{id_col} as neighbor_id", f"{v} as __cv",
-                           f"{cell_dots} as __d")
+    c = (selectx(corpus, f"{id_col} as neighbor_id", f"{v} as __cv",
+                 f"{cell_dots} as __d")
          .withColumn("__cell", F.array_position(F.col("__d"),
                                                 F.array_max("__d")))
          .drop("__d"))
-    q0 = (query.selectExpr(f"{id_col} as query_id", f"{v} as __qv",
-                           f"{cell_dots} as __d")
+    q0 = (selectx(query, f"{id_col} as query_id", f"{v} as __qv",
+                  f"{cell_dots} as __d")
           .select("query_id", "__qv",
                   F.posexplode("__d").alias("__pos", "__dot")))
     wq = Window.partitionBy("query_id").orderBy(F.col("__dot").desc(),
@@ -440,10 +441,10 @@ def lsh_topk(corpus: DataFrame, query: DataFrame, k: int = 10,
     planes = random_planes(dim, n_planes, seed)
     v = f"cast({vec_col} as array<double>)"
     sig = _signature_sql(v, planes)
-    c = corpus.selectExpr(f"{id_col} as neighbor_id", f"{v} as __cv",
-                          f"{sig} as __sig")
-    q = query.selectExpr(f"{id_col} as query_id", f"{v} as __qv",
-                         f"{sig} as __sig")
+    c = selectx(corpus, f"{id_col} as neighbor_id", f"{v} as __cv",
+                f"{sig} as __sig")
+    q = selectx(query, f"{id_col} as query_id", f"{v} as __qv",
+                f"{sig} as __sig")
     if probe:
         # explode each query into its probe signatures: the exact bucket
         # plus every <=probe-bit flip (all distinct by construction)
@@ -589,8 +590,8 @@ def pq_encode(df: DataFrame, codebooks: list[list[list[float]]],
     from carbonapi_spark.datapipe import spread
     df = spread(df, min_bytes=256 << 10)
     v = f"cast({vec_col} as array<double>)"
-    return df.selectExpr(id_col,
-                         f"{_pq_code_sql(v, codebooks)} as {code_col}")
+    return selectx(df, id_col,
+                   f"{_pq_code_sql(v, codebooks)} as {code_col}")
 
 
 def pq_topk(corpus: DataFrame, query: DataFrame, k: int = 10,
@@ -627,7 +628,7 @@ def pq_topk(corpus: DataFrame, query: DataFrame, k: int = 10,
     qv = f"cast({vec_col} as array<double>)"
     dtab = "array(" + ",".join(
         _sqdists_sql(qv, cbs[j], j, dsub) for j in range(len(cbs))) + ")"
-    q = query.selectExpr(f"{id_col} as query_id", f"{dtab} as __dtab")
+    q = selectx(query, f"{id_col} as query_id", f"{dtab} as __dtab")
     adc = F.aggregate(
         F.zip_with(F.col("__codes"), F.col("__dtab"),
                    lambda code, tab: F.element_at(tab, code)),
@@ -714,25 +715,25 @@ def ivfpq_encode(df: DataFrame, codebooks: list[list[list[float]]],
     keep = [f"{v} as {vec_col}"] if keep_vec else []
     cell_dots = _cell_score_sql(v, centroids, l2=l2_cells)
     if not residual:
-        return (df.selectExpr(id_col, f"{cell_dots} as __d",
-                              f"{_pq_code_sql(v, codebooks)} as {code_col}",
-                              *keep)
+        return (selectx(df, id_col, f"{cell_dots} as __d",
+                        f"{_pq_code_sql(v, codebooks)} as {code_col}",
+                        *keep)
                 .withColumn(cell_col,
                             F.array_position(F.col("__d"),
                                              F.array_max("__d"))
                             .cast("int"))
                 .select(id_col, cell_col, code_col,
                         *([vec_col] if keep_vec else [])))
-    base = (df.selectExpr(id_col, f"{v} as __v", f"{cell_dots} as __d")
+    base = (selectx(df, id_col, f"{v} as __v", f"{cell_dots} as __d")
             .withColumn(cell_col,
                         F.array_position(F.col("__d"), F.array_max("__d"))
-                        .cast("int"))
-            .selectExpr(id_col, cell_col, "__v",
-                        f"zip_with(__v, element_at({_cb_sql(centroids)}, "
-                        f"{cell_col}), (x, y) -> x - y) as __rv"))
-    return base.selectExpr(id_col, cell_col,
-                           f"{_pq_code_sql('__rv', codebooks)} as {code_col}",
-                           *([f"__v as {vec_col}"] if keep_vec else []))
+                        .cast("int")))
+    base = selectx(base, id_col, cell_col, "__v",
+                   f"zip_with(__v, element_at({_cb_sql(centroids)}, "
+                   f"{cell_col}), (x, y) -> x - y) as __rv")
+    return selectx(base, id_col, cell_col,
+                   f"{_pq_code_sql('__rv', codebooks)} as {code_col}",
+                   *([f"__v as {vec_col}"] if keep_vec else []))
 
 
 def ivfpq_encode_arrow(df: DataFrame, codebooks: list[list[list[float]]],
@@ -958,7 +959,7 @@ def ivfpq_topk(corpus: DataFrame, query: DataFrame, k: int = 10,
                           residual=residual)
              .withColumnRenamed(id_col, "neighbor_id"))
     qv = f"cast({vec_col} as array<double>)"
-    if query_tables != "driver":
+    if probe_tables is None and query_tables != "driver":
         # only the SQL branches pay these literal-heavy constructions
         cell_dots = _cell_score_sql(qv, cents, l2=l2_cells)
         wq = Window.partitionBy("query_id").orderBy(F.col("__dot").desc(),
@@ -979,8 +980,8 @@ def ivfpq_topk(corpus: DataFrame, query: DataFrame, k: int = 10,
     elif residual:
         # probe cells FIRST, then one distance table per (query, cell)
         # from the matching residual — computed once per probe row
-        q0 = (query.selectExpr(f"{id_col} as query_id", f"{qv} as __qv",
-                               f"{cell_dots} as __d")
+        q0 = (selectx(query, f"{id_col} as query_id", f"{qv} as __qv",
+                      f"{cell_dots} as __d")
               .select("query_id", "__qv",
                       F.posexplode("__d").alias("__pos", "__dot")))
         q = (q0.withColumn("__rk", F.row_number().over(wq))
@@ -989,16 +990,16 @@ def ivfpq_topk(corpus: DataFrame, query: DataFrame, k: int = 10,
                      (F.col("__pos") + 1).cast("int").alias("__cell")))
         rq = (f"zip_with(__qv, element_at({_cb_sql(cents)}, __cell), "
               f"(x, y) -> x - y)")
-        q = q.selectExpr("query_id", "__cell", f"{rq} as __rq")
+        q = selectx(q, "query_id", "__cell", f"{rq} as __rq")
         dtab = "array(" + ",".join(
             _sqdists_sql("__rq", cbs[j], j, dsub)
             for j in range(len(cbs))) + ")"
-        q = q.selectExpr("query_id", "__cell", f"{dtab} as __dtab")
+        q = selectx(q, "query_id", "__cell", f"{dtab} as __dtab")
     else:
         dtab = "array(" + ",".join(
             _sqdists_sql(qv, cbs[j], j, dsub) for j in range(len(cbs))) + ")"
-        q0 = (query.selectExpr(f"{id_col} as query_id", f"{dtab} as __dtab",
-                               f"{cell_dots} as __d")
+        q0 = (selectx(query, f"{id_col} as query_id", f"{dtab} as __dtab",
+                      f"{cell_dots} as __d")
               .select("query_id", "__dtab",
                       F.posexplode("__d").alias("__pos", "__dot")))
         q = (q0.withColumn("__rk", F.row_number().over(wq))
@@ -1115,8 +1116,8 @@ def cell_normalized_projection(vecs: DataFrame, id_col: str = "vec_id",
     # norm hoisted to its own column FIRST: referenced inside the
     # transform lambda it would be re-folded per element (no CSE across
     # lambda scopes — same pitfall as embedding_dedup's normalize)
-    base = (vecs.selectExpr(f"{id_col}", f"{v} as __v",
-                            f"{cell_dots} as __d")
+    base = (selectx(vecs, f"{id_col}", f"{v} as __v",
+                    f"{cell_dots} as __d")
             .withColumn("__norm", norm(F.col("__v"))))
     nrm = F.col("__norm")
     cols = [F.col(id_col),
@@ -1211,25 +1212,36 @@ def write_ann_index(df: DataFrame, path: str,
     # (n_tasks x n_cells small files — metadata death at lake scale);
     # with it each cell lands in exactly one shuffle partition
     from carbonapi_spark.datapipe import overlap_jobs
-    overlap_jobs(
-        lambda: combo_repartition(codes, ["cell"], len(centroids))
-        .write.mode("overwrite")
-        .partitionBy("cell").parquet(f"{path}/codes"),
-        lambda: local_df(
-            spark,
-            [(i + 1, c, l2_cells, residual)
-             for i, c in enumerate(centroids)],
-            "cell INT, emb ARRAY<DOUBLE>, l2 BOOLEAN, residual BOOLEAN")
-        .coalesce(1).write.mode("overwrite")
-        .parquet(f"{path}/centroids"),
-        lambda: local_df(
-            spark,
-            [(j, cw, list(map(float, codebooks[j][cw])))
-             for j in range(len(codebooks))
-             for cw in range(len(codebooks[j]))],
-            "m INT, code INT, sub ARRAY<DOUBLE>")
-        .coalesce(1).write.mode("overwrite")
-        .parquet(f"{path}/codebooks"))
+    try:
+        overlap_jobs(
+            lambda: combo_repartition(codes, ["cell"], len(centroids))
+            .write.mode("overwrite")
+            .partitionBy("cell").parquet(f"{path}/codes"),
+            lambda: local_df(
+                spark,
+                [(i + 1, c, l2_cells, residual)
+                 for i, c in enumerate(centroids)],
+                "cell INT, emb ARRAY<DOUBLE>, l2 BOOLEAN, residual BOOLEAN")
+            .coalesce(1).write.mode("overwrite")
+            .parquet(f"{path}/centroids"),
+            lambda: local_df(
+                spark,
+                [(j, cw, list(map(float, codebooks[j][cw])))
+                 for j in range(len(codebooks))
+                 for cw in range(len(codebooks[j]))],
+                "m INT, code INT, sub ARRAY<DOUBLE>")
+            .coalesce(1).write.mode("overwrite")
+            .parquet(f"{path}/codebooks"))
+    except BaseException:
+        # the overlapped metadata jobs may have committed before the
+        # codes write failed — a failed build must be unambiguously
+        # absent, not a half-index with valid-looking metadata (ADVICE
+        # r14)
+        from carbonapi_spark.datapipe.maintenance import \
+            discard_failed_build
+        discard_failed_build(spark, path,
+                             ["codes", "centroids", "codebooks"])
+        raise
 
 
 def read_ann_index(spark, path: str):
@@ -1332,20 +1344,57 @@ def ann_index_topk(spark, path: str, query: DataFrame, k: int = 10,
         cells = sorted({cell for _q, cell, _d in rows})
         probe_df = _probe_rows_df(spark, query, id_col, rows)
     else:
+        # ONE query-side job serves BOTH the pruning cell set and the
+        # ADC distance tables (r15): the old shape collected bare cells
+        # here and then re-CONSTRUCTED the whole literal-heavy query
+        # pipeline inside ivfpq_topk — ~20 eagerly-analyzed DataFrame
+        # ops over n_centroids*dim + m*ksub*dsub literal trees, twice.
+        # The dtab values come from the SAME SQL fold the inline plan
+        # evaluated, so every ADC distance is bit-identical (oracle-
+        # pinned); they just travel as DATA (nprobe x m x ksub doubles
+        # per query — query batches are small by the probe contract,
+        # which is why the cells collect was already driver-side).
         v = f"cast({vec_col} as array<double>)"
         scores = _cell_score_sql(v, cents, l2=l2_cells)
-        probe_rows = (query.selectExpr(f"{id_col} as query_id",
-                                       f"{scores} as __d")
-                      .select("query_id",
-                              F.posexplode("__d").alias("__pos", "__s"))
-                      .withColumn("__rk", F.row_number().over(
-                          Window.partitionBy("query_id")
-                          .orderBy(F.col("__s").desc(), F.col("__pos"))))
-                      .where(F.col("__rk") <= nprobe)
-                      .select((F.col("__pos") + 1).cast("int")
-                              .alias("cell"))
-                      .distinct().collect())
-        cells = sorted(r["cell"] for r in probe_rows)
+        dsub = len(cbs[0][0])
+        wq = Window.partitionBy("query_id").orderBy(
+            F.col("__s").desc(), F.col("__pos"))
+        if residual:
+            q1 = (selectx(query, f"{id_col} as query_id", f"{v} as __qv",
+                          f"{scores} as __d")
+                  .select("query_id", "__qv",
+                          F.posexplode("__d").alias("__pos", "__s"))
+                  .withColumn("__rk", F.row_number().over(wq))
+                  .where(F.col("__rk") <= nprobe)
+                  .select("query_id", "__qv",
+                          (F.col("__pos") + 1).cast("int")
+                          .alias("__cell")))
+            rq = (f"zip_with(__qv, element_at({_cb_sql(cents)}, __cell), "
+                  f"(x, y) -> x - y)")
+            q1 = selectx(q1, "query_id", "__cell", f"{rq} as __rq")
+            dtab = "array(" + ",".join(
+                _sqdists_sql("__rq", cbs[j], j, dsub)
+                for j in range(len(cbs))) + ")"
+            q1 = selectx(q1, "query_id", "__cell", f"{dtab} as __dtab")
+        else:
+            dtab = "array(" + ",".join(
+                _sqdists_sql(v, cbs[j], j, dsub)
+                for j in range(len(cbs))) + ")"
+            q1 = (selectx(query, f"{id_col} as query_id",
+                          f"{dtab} as __dtab", f"{scores} as __d")
+                  .select("query_id", "__dtab",
+                          F.posexplode("__d").alias("__pos", "__s"))
+                  .withColumn("__rk", F.row_number().over(wq))
+                  .where(F.col("__rk") <= nprobe)
+                  .select("query_id",
+                          (F.col("__pos") + 1).cast("int").alias("__cell"),
+                          "__dtab"))
+        probe_rows = q1.collect()
+        cells = sorted({r["__cell"] for r in probe_rows})
+        probe_df = _probe_rows_df(
+            spark, query, id_col,
+            [(r["query_id"], r["__cell"], r["__dtab"])
+             for r in probe_rows])
     pruned = codes.where(F.col("cell").isin(cells))
     l0 = _l0_delta(spark, path)
     if l0 is not None:
@@ -1385,8 +1434,8 @@ def ivf_cell_stats(corpus: DataFrame, id_col: str = "vec_id",
              else ivf_centroids(dim, n_centroids, seed))
     v = f"cast({vec_col} as array<double>)"
     scores = _cell_score_sql(v, cents, l2=centroids is not None)
-    assigned = (corpus.selectExpr(f"{scores} as __d")
-                .selectExpr("array_position(__d, array_max(__d)) as cell"))
+    assigned = selectx(selectx(corpus, f"{scores} as __d"),
+                       "array_position(__d, array_max(__d)) as cell")
     counts = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n_vectors"))
     total = counts.agg(F.sum("n_vectors").alias("__n"))
     return (counts.crossJoin(F.broadcast(total))
@@ -1412,6 +1461,13 @@ def append_ann_index(df: DataFrame, path: str, id_col: str = "vec_id",
     while a ``_MAINTENANCE`` marker is present (a compaction/deletion
     rename-swap would lose the appended rows silently).
 
+    Appending an id ALREADY IN THE INDEX is supported only as an exact
+    replay (same embedding — the at-least-once case compaction
+    collapses).  An upsert — same id, new embedding — is NOT:
+    see the :func:`compact_ann_index` warning (the new copy can land
+    in a different cell and survive compaction alongside the old one);
+    delete first, then append.
+
     ``l0=True`` appends into the UNPARTITIONED ``codes_l0`` side table
     instead — ONE file per append regardless of how many cells the
     delta touches (a cell-partitioned append writes a file into every
@@ -1428,10 +1484,31 @@ def append_ann_index(df: DataFrame, path: str, id_col: str = "vec_id",
     assert_not_under_maintenance(spark, path, "append_ann_index")
     codes, centroids, codebooks, l2_cells, residual = \
         read_ann_index(spark, path)
-    enc = ivfpq_encode_arrow if encoder == "arrow" else ivfpq_encode
-    delta = enc(df, codebooks, centroids, id_col, vec_col,
-                l2_cells=l2_cells, residual=residual,
-                keep_vec=vec_col in codes.columns)
+    # replayed-append sharing through the request-scoped scratch memo
+    # (see append_band_index): the encoded delta is a pure function of
+    # (delta plan, frozen quantizers), so the second append of the same
+    # epoch reuses the tracked codes instead of re-running the encode
+    from carbonapi_spark import scratch
+    keep_vec = vec_col in codes.columns
+    params = ("ann_delta", encoder, id_col, vec_col, l2_cells, residual,
+              keep_vec,
+              hash((tuple(map(tuple, centroids)),
+                    tuple(tuple(map(tuple, cb)) for cb in codebooks))))
+    hit = scratch.memo().get(params)
+    delta = None
+    if hit is not None:
+        try:
+            if df._jdf.queryExecution().analyzed().sameResult(
+                    hit[0].queryExecution().analyzed()):
+                delta = hit[1]
+        except Exception:
+            delta = None
+    if delta is None:
+        enc = ivfpq_encode_arrow if encoder == "arrow" else ivfpq_encode
+        delta = scratch.track(
+            enc(df, codebooks, centroids, id_col, vec_col,
+                l2_cells=l2_cells, residual=residual, keep_vec=keep_vec))
+        scratch.memo()[params] = (df._jdf, delta)
     if l0:
         # repartition(1), NOT coalesce(1): coalesce collapses the
         # whole chain into one task, serializing the encode matmuls
@@ -1533,6 +1610,20 @@ def compact_ann_index(spark, path: str, id_col: str = "vec_id",
     vector]) — which makes ``dropDuplicates([id])`` lossless: id ->
     cell is a function of the frozen quantizers, so all copies of an id
     live in the same cell and carry the same payload.
+
+    .. warning:: that invariant is also a CONTRACT on the caller:
+       re-appending an EXISTING id with a *different* embedding (an
+       upsert) is unsupported — the new copy can land in a different
+       cell, where the single-shuffle compaction (which dedupes within
+       cells: the widened ``[id, cell]`` key rides the partition
+       repartition's one exchange, r14 §14) cannot see its twin, so
+       both copies survive and probes can return the same id twice.
+       Updating a vector is delete-then-append
+       (:func:`delete_from_ann_index` first); probe-side
+       ``dedupe=True`` hides cross-cell duplicates until then.  An
+       id-only dedupe would re-add the second, index-sized shuffle for
+       a failure mode replays cannot produce (ADVICE r14 — documented
+       instead of paid).
 
     ``fragmented_only=True`` is the lake-scale mode: only cells holding
     MORE THAN ONE file are rewritten (appends always create new files,
@@ -1641,7 +1732,14 @@ def delete_from_ann_index(spark, path: str, ids, id_col: str = "vec_id",
 
 def _delete_from_ann_index_locked(spark, path, codes, ids_df,
                                   id_col) -> dict:
-    from carbonapi_spark.datapipe.maintenance import _hpath
+    from carbonapi_spark.datapipe.maintenance import (
+        _hpath, recover_staged_commit)
+    # finish (or discard) a crashed prior deletion's staged cells before
+    # planning this one — the codes read below must see the recovered
+    # table, not one missing a half-moved cell (ADVICE r14)
+    if recover_staged_commit(spark, f"{path}/codes",
+                             f"{path}/codes.deleting", ["cell"]):
+        codes = spark.read.parquet(f"{path}/codes")
     l0_deleted = _delete_from_l0(spark, path, ids_df, id_col)
     hit = codes.join(F.broadcast(ids_df), id_col)
     per_cell = {r["cell"]: r["n"] for r in
@@ -2001,8 +2099,8 @@ def k_center_select(vecs: DataFrame, k: int = 8,
             + "), (x, y) -> (x - y) * (x - y)), 0.0D, "
             "(acc, x) -> acc + x)"
             for c in center_vecs]
-        mind = F.expr(dists[0] if len(dists) == 1
-                      else "least(" + ",".join(dists) + ")")
+        mind = expr_cached(dists[0] if len(dists) == 1
+                           else "least(" + ",".join(dists) + ")")
         nxt = (base.where(~F.col("__id").isin([p[1] for p in picked]))
                .select("__id", "__v", mind.alias("__d"))
                .orderBy(F.desc("__d"), "__id").limit(1).collect())

@@ -163,7 +163,8 @@ def _viterbi_sql(col: str, vocab: dict[str, int | float],
         f"'p{l}', {null_k}" for l in range(2, max_piece_len + 1)) + ")"
     folded = (f"aggregate(sequence(1, length({col})), {init}, "
               f"(acc, i) -> {step}, acc -> {finish})")
-    return F.expr(
+    from carbonapi_spark.datapipe import expr_cached
+    return expr_cached(
         f"if(length({col}) >= 1 and length({col}) <= {max_word_len}, "
         f"{folded}, cast(null as {state_t}))")
 

@@ -4738,3 +4738,105 @@ def test_maintenance_lock_failure_leaves_marker(spark, tmp_path):
     with maintenance_lock(spark, p, "ok-op"):
         pass
     assert not os.path.exists(f"{p}/_MAINTENANCE")
+
+
+def test_compaction_recovers_leftover_stage(spark, tmp_path):
+    """ADVICE r14: a crash inside overwrite_partition_dirs (between the
+    live-dir delete and the staged-dir rename) leaves a combo's rows
+    ONLY under the committed .compacting stage; before this fix a
+    retried compaction rebuilt the stage from the now-lossy live table
+    with mode("overwrite") — permanent row loss.  A retry must first
+    fold the committed stage back in.  An UNCOMMITTED stage (no
+    _SUCCESS: a crash mid-write over an intact table) must instead be
+    discarded, not folded in as data."""
+    import os
+    import shutil
+
+    from carbonapi_spark.datapipe.dedup import (append_band_index,
+                                                compact_band_index,
+                                                write_band_index)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus = docs.where(F.col("doc_id") % 5 != 4)
+    delta = docs.where(F.col("doc_id") % 5 == 4)
+    p, p_ref = str(tmp_path / "crashy"), str(tmp_path / "clean")
+    for q in (p, p_ref):
+        write_band_index(corpus, q, num_hashes=16, bands=4, ngram=2)
+        append_band_index(delta, q)
+        append_band_index(delta, q)          # replayed epoch
+    # simulate the crash window: one live combo dir has been deleted
+    # and its rewritten rows sit only under a COMMITTED stage
+    live = sorted(d for d in os.listdir(f"{p}/bands") if "=" in d)[0]
+    buck = sorted(d for d in os.listdir(f"{p}/bands/{live}"))[0]
+    rel = f"{live}/{buck}"
+    os.makedirs(f"{p}/bands.compacting/{live}")
+    shutil.move(f"{p}/bands/{rel}", f"{p}/bands.compacting/{rel}")
+    open(f"{p}/bands.compacting/_SUCCESS", "w").close()
+    spark.catalog.refreshByPath(f"{p}/bands")
+    stats = compact_band_index(spark, p)
+    ref = compact_band_index(spark, p_ref)
+    assert stats["rows_after"] == ref["rows_after"]   # nothing lost
+    assert not os.path.exists(f"{p}/bands.compacting")
+    # uncommitted leftover: junk rows under a stage with NO _SUCCESS
+    # must be discarded (the live table is intact in that crash mode)
+    spark.read.parquet(f"{p}/bands").limit(5).write \
+        .parquet(f"{p}/bands.compacting/{rel}")
+    os.remove(f"{p}/bands.compacting/{rel}/_SUCCESS")
+    stats2 = compact_band_index(spark, p)
+    assert stats2["rows_after"] == ref["rows_after"]
+    assert not os.path.exists(f"{p}/bands.compacting")
+
+
+def test_failed_overlapped_build_leaves_no_index(spark, tmp_path):
+    """ADVICE r14: write_band_index/write_text_index run the data write
+    and the small metadata writes concurrently (overlap_jobs); if the
+    big write fails the metadata jobs may already have committed,
+    leaving a half-built index whose stats table reads as valid.  A
+    failed build must be unambiguously ABSENT."""
+    import os
+
+    import pytest
+
+    from carbonapi_spark.datapipe.dedup import write_band_index
+    from carbonapi_spark.datapipe.retrieval import write_text_index
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # poison ONE row so the heavy data write fails at action time while
+    # the tiny metadata writes (which never touch the corpus) succeed
+    poisoned = docs.withColumn(
+        "text", F.when(F.col("doc_id") != 0, F.col("text"))
+        .otherwise(F.raise_error(F.lit("boom: poisoned row"))))
+    p = str(tmp_path / "failed_band")
+    with pytest.raises(Exception, match="boom"):
+        write_band_index(poisoned, p, num_hashes=16, bands=4, ngram=2)
+    assert not os.path.exists(f"{p}/stats")
+    assert not os.path.exists(f"{p}/bands")
+    p2 = str(tmp_path / "failed_text")
+    with pytest.raises(Exception, match="boom"):
+        write_text_index(poisoned, p2)
+    assert not os.path.exists(f"{p2}/stats")
+    assert not os.path.exists(f"{p2}/postings")
+    assert not os.path.exists(f"{p2}/doclens")
+
+
+def test_band_delete_rows_after_includes_l0_survivors(spark, tmp_path):
+    """ADVICE r14: delete_from_band_index's rows_after counted only the
+    partitioned bands table, so with a surviving bands_l0 side table
+    the returned stats were internally inconsistent.  rows_after must
+    equal the true surviving row count across BOTH tables."""
+    from carbonapi_spark.datapipe.dedup import (append_band_index,
+                                                delete_from_band_index,
+                                                write_band_index)
+    from carbonapi_spark.datapipe.maintenance import table_row_count
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus = docs.where(F.col("doc_id") % 5 != 4)
+    delta = docs.where(F.col("doc_id") % 5 == 4)
+    p = str(tmp_path / "l0_rows_after")
+    write_band_index(corpus, p, num_hashes=16, bands=4, ngram=2)
+    append_band_index(delta, p, l0=True)
+    doomed = [int(r["doc_id"]) for r in
+              delta.select("doc_id").limit(2).collect()] + \
+             [int(r["doc_id"]) for r in
+              corpus.select("doc_id").limit(2).collect()]
+    stats = delete_from_band_index(spark, p, doomed)
+    true_after = table_row_count(spark, f"{p}/bands") + \
+        table_row_count(spark, f"{p}/bands_l0")
+    assert stats["rows_after"] == true_after
