@@ -1293,6 +1293,65 @@ def _l0_delta(spark, path: str):
         return None
 
 
+def _build_probe_rows(spark, query: DataFrame, cents, cbs, nprobe: int,
+                      id_col: str, vec_col: str, l2_cells: bool,
+                      residual: bool):
+    """The SQL-fold query-side routing job of :func:`ann_index_topk`:
+    ONE collect serves BOTH the pruning cell set and the ADC distance
+    tables (r15) — the old shape collected bare cells and then
+    re-CONSTRUCTED the whole literal-heavy query pipeline inside
+    ivfpq_topk (~20 eagerly-analyzed DataFrame ops over
+    n_centroids*dim + m*ksub*dsub literal trees, twice).  The dtab
+    values come from the SAME SQL fold the inline plan evaluated, so
+    every ADC distance is bit-identical (oracle-pinned); they just
+    travel as DATA (nprobe x m x ksub doubles per query — query
+    batches are small by the probe contract, which is why the cells
+    collect was already driver-side).  Returns (rows, cells,
+    probe_df)."""
+    v = f"cast({vec_col} as array<double>)"
+    scores = _cell_score_sql(v, cents, l2=l2_cells)
+    dsub = len(cbs[0][0])
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("__s").desc(), F.col("__pos"))
+    if residual:
+        q1 = (selectx(query, f"{id_col} as query_id", f"{v} as __qv",
+                      f"{scores} as __d")
+              .select("query_id", "__qv",
+                      F.posexplode("__d").alias("__pos", "__s"))
+              .withColumn("__rk", F.row_number().over(wq))
+              .where(F.col("__rk") <= nprobe)
+              .select("query_id", "__qv",
+                      (F.col("__pos") + 1).cast("int")
+                      .alias("__cell")))
+        rq = (f"zip_with(__qv, element_at({_cb_sql(cents)}, __cell), "
+              f"(x, y) -> x - y)")
+        q1 = selectx(q1, "query_id", "__cell", f"{rq} as __rq")
+        dtab = "array(" + ",".join(
+            _sqdists_sql("__rq", cbs[j], j, dsub)
+            for j in range(len(cbs))) + ")"
+        q1 = selectx(q1, "query_id", "__cell", f"{dtab} as __dtab")
+    else:
+        dtab = "array(" + ",".join(
+            _sqdists_sql(v, cbs[j], j, dsub)
+            for j in range(len(cbs))) + ")"
+        q1 = (selectx(query, f"{id_col} as query_id",
+                      f"{dtab} as __dtab", f"{scores} as __d")
+              .select("query_id", "__dtab",
+                      F.posexplode("__d").alias("__pos", "__s"))
+              .withColumn("__rk", F.row_number().over(wq))
+              .where(F.col("__rk") <= nprobe)
+              .select("query_id",
+                      (F.col("__pos") + 1).cast("int").alias("__cell"),
+                      "__dtab"))
+    probe_rows = q1.collect()
+    cells = sorted({r["__cell"] for r in probe_rows})
+    probe_df = _probe_rows_df(
+        spark, query, id_col,
+        [(r["query_id"], r["__cell"], r["__dtab"])
+         for r in probe_rows])
+    return probe_rows, cells, probe_df
+
+
 def ann_index_topk(spark, path: str, query: DataFrame, k: int = 10,
                    nprobe: int = 2, refine: int | None = None,
                    corpus: DataFrame | None = None,
@@ -1354,47 +1413,38 @@ def ann_index_topk(spark, path: str, query: DataFrame, k: int = 10,
         # pinned); they just travel as DATA (nprobe x m x ksub doubles
         # per query — query batches are small by the probe contract,
         # which is why the cells collect was already driver-side).
-        v = f"cast({vec_col} as array<double>)"
-        scores = _cell_score_sql(v, cents, l2=l2_cells)
-        dsub = len(cbs[0][0])
-        wq = Window.partitionBy("query_id").orderBy(
-            F.col("__s").desc(), F.col("__pos"))
-        if residual:
-            q1 = (selectx(query, f"{id_col} as query_id", f"{v} as __qv",
-                          f"{scores} as __d")
-                  .select("query_id", "__qv",
-                          F.posexplode("__d").alias("__pos", "__s"))
-                  .withColumn("__rk", F.row_number().over(wq))
-                  .where(F.col("__rk") <= nprobe)
-                  .select("query_id", "__qv",
-                          (F.col("__pos") + 1).cast("int")
-                          .alias("__cell")))
-            rq = (f"zip_with(__qv, element_at({_cb_sql(cents)}, __cell), "
-                  f"(x, y) -> x - y)")
-            q1 = selectx(q1, "query_id", "__cell", f"{rq} as __rq")
-            dtab = "array(" + ",".join(
-                _sqdists_sql("__rq", cbs[j], j, dsub)
-                for j in range(len(cbs))) + ")"
-            q1 = selectx(q1, "query_id", "__cell", f"{dtab} as __dtab")
-        else:
-            dtab = "array(" + ",".join(
-                _sqdists_sql(v, cbs[j], j, dsub)
-                for j in range(len(cbs))) + ")"
-            q1 = (selectx(query, f"{id_col} as query_id",
-                          f"{dtab} as __dtab", f"{scores} as __d")
-                  .select("query_id", "__dtab",
-                          F.posexplode("__d").alias("__pos", "__s"))
-                  .withColumn("__rk", F.row_number().over(wq))
-                  .where(F.col("__rk") <= nprobe)
-                  .select("query_id",
-                          (F.col("__pos") + 1).cast("int").alias("__cell"),
-                          "__dtab"))
-        probe_rows = q1.collect()
-        cells = sorted({r["__cell"] for r in probe_rows})
-        probe_df = _probe_rows_df(
-            spark, query, id_col,
-            [(r["query_id"], r["__cell"], r["__dtab"])
-             for r in probe_rows])
+        # The probe rows are a pure function of (query plan, frozen
+        # quantizers, nprobe) — the codes table plays no part — so a
+        # REPEATED probe within one request (ann_l0_probe probes the
+        # same query before and after compaction) reuses them through
+        # the request-scoped scratch memo instead of re-running the
+        # routing job (r15; released at the request boundary, nothing
+        # crosses bench runs).
+        from carbonapi_spark import scratch
+        memo_key = ("ann_probe_rows", id_col, vec_col, nprobe,
+                    l2_cells, residual,
+                    hash((tuple(map(tuple, cents)),
+                          tuple(tuple(map(tuple, cb)) for cb in cbs))))
+        hit = scratch.memo().get(memo_key)
+        if hit is not None:
+            try:
+                if not query._jdf.queryExecution().analyzed().sameResult(
+                        hit[0].queryExecution().analyzed()):
+                    hit = None
+            except Exception:
+                hit = None
+        if hit is not None:
+            probe_rows = hit[1]
+            cells = sorted({r["__cell"] for r in probe_rows})
+            probe_df = _probe_rows_df(
+                spark, query, id_col,
+                [(r["query_id"], r["__cell"], r["__dtab"])
+                 for r in probe_rows])
+        if probe_df is None:
+            probe_rows, cells, probe_df = _build_probe_rows(
+                spark, query, cents, cbs, nprobe, id_col, vec_col,
+                l2_cells, residual)
+            scratch.memo()[memo_key] = (query._jdf, probe_rows)
     pruned = codes.where(F.col("cell").isin(cells))
     l0 = _l0_delta(spark, path)
     if l0 is not None:

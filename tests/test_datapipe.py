@@ -4840,3 +4840,42 @@ def test_band_delete_rows_after_includes_l0_survivors(spark, tmp_path):
     true_after = table_row_count(spark, f"{p}/bands") + \
         table_row_count(spark, f"{p}/bands_l0")
     assert stats["rows_after"] == true_after
+
+
+def test_ann_probe_rows_memo_within_request(spark, tmp_path):
+    """r15: a REPEATED ann_index_topk probe with the same query inside
+    one request (the ann_l0_probe pre/post-compaction shape) reuses the
+    collected query-side probe rows through the request-scoped memo —
+    results identical, and scratch.release() drops the memo so nothing
+    crosses the request boundary."""
+    from carbonapi_spark import scratch
+    from carbonapi_spark.datapipe.similarity import (ann_index_topk,
+                                                     ivf_centroids,
+                                                     pq_codebooks,
+                                                     write_ann_index)
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = ivf_centroids(64, 8, 43)
+    cbs = pq_codebooks(64, 8, 16, 44)
+    p = str(tmp_path / "ann")
+    write_ann_index(emb.where(F.col("vec_id") % 3 != 0), p, cbs, cents)
+    scratch.release()
+    query = emb.where(F.col("vec_id") < 5)
+    first = sorted(map(tuple,
+                       ann_index_topk(spark, p, query, k=10,
+                                      nprobe=3).collect()))
+    memo_after_first = [k for k in scratch.memo()
+                        if k[0] == "ann_probe_rows"]
+    assert memo_after_first, "probe rows should be memoized"
+    # a fresh-but-identical query plan must hit via sameResult
+    again = sorted(map(tuple,
+                       ann_index_topk(spark, p,
+                                      emb.where(F.col("vec_id") < 5),
+                                      k=10, nprobe=3).collect()))
+    assert again == first
+    # a DIFFERENT query must not reuse the old rows
+    other = ann_index_topk(spark, p, emb.where(F.col("vec_id") >= 1990),
+                           k=10, nprobe=3).collect()
+    assert {r["query_id"] for r in other}.isdisjoint(
+        {t[0] for t in first})
+    scratch.release()
+    assert not scratch.memo(), "release() must clear the memo"
