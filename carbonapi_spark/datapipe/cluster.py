@@ -297,26 +297,30 @@ def label_propagation(edges: DataFrame, src: str = "src",
     per-node window), with lineage cut by eager ``localCheckpoint``
     every second round.  Small graphs collapse to one partition.
     Returns (node, label)."""
-    from carbonapi_spark.datapipe import _plan_size_bytes
     # one-pass doubling (see pagerank) — the upstream pair pipeline is
     # scanned once, not once per union branch
     und = (edges.select(F.explode(F.array(
                F.struct(F.col(src).alias("a"), F.col(dst).alias("b")),
                F.struct(F.col(dst).alias("a"), F.col(src).alias("b"))))
            .alias("__e")).select("__e.a", "__e.b"))
-    # small-graph collapse gated on the free Catalyst size estimate of
-    # the EDGE input (the bpe_train/track_if_large convention) — an
-    # exact nodes.count() action here would be a full extra
-    # shuffle-side pass before any iteration starts
-    est = _plan_size_bytes(edges)
-    small = est is not None and est < (64 << 20)
-    if small:
-        und = und.coalesce(1)
     # und stays EAGER: the first round's join stage and the seed's
     # distinct stage both scan it and can launch concurrently — a lazy
     # mark would let them race-recompute the upstream pair pipeline
     und = und.localCheckpoint()
-    nodes = und.select("a").distinct()
+    # EXACT node-count gate (r15, the pagerank/core_numbers convention):
+    # the old Catalyst-estimate gate never fired on derived pair
+    # pipelines — the estimate of a join tree is inflated ~1000x
+    # (measured 22 GB for a 600 KB input), so every bench-scale round
+    # ran SortMergeJoin + 4 shuffle exchanges (captured in
+    # plans/r15/label_prop_round.txt pre-fix).  The count is one agg
+    # job over the ALREADY-CHECKPOINTED edge blocks, and the distinct
+    # node table it materializes (lazy checkpoint) seeds the labels, so
+    # the extra pass the old comment feared is not paid.  Labels are
+    # exact integer ops with order-free ties — identical any shape.
+    nodes = und.select("a").distinct().localCheckpoint(eager=False)
+    small = nodes.count() < 100_000
+    if small:
+        und = und.coalesce(1).localCheckpoint(eager=False)
     lab = nodes.select(F.col("a").alias("node"),
                        F.col("a").alias("lab")).localCheckpoint(eager=False)
     for i in range(n_iter):
