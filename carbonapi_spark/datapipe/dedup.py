@@ -1166,15 +1166,68 @@ def fuzzy_pairs(df: DataFrame, text_col: str = "text",
         F.floor(F.length("__k") / (max_dist + 1)).cast("string"))
     keyed = (df.select(F.col(id_col).alias("__id"), key.alias("__k"))
              .select("__id", "__k", blk.alias("__b")))
+    # NUMBERED repartition by block BEFORE the window (r15, guide
+    # §2.5): the downstream stage's cost is CPU (banded Levenshtein
+    # over up to max_block^2/2 pairs per block, evaluated as the BHJ's
+    # non-equi condition in the STREAM-side stage), but AQE coalesces
+    # post-shuffle partitions by BYTES — the capped keys are tiny, so
+    # the whole quadratic stage collapsed onto ~7 tasks of a 32-core
+    # host (measured at the 10x corpus: 20.4 s warm, straggler tail).
+    # REPARTITION_BY_NUM is exempt from AQE coalescing and SATISFIES
+    # the window's clustering requirement, so it replaces (not adds to)
+    # the window's ENSURE_REQUIREMENTS exchange; placed after the
+    # window it is statically redundant and Catalyst removes it, which
+    # is how the coalescing snuck back.  Blocks stay whole — pair
+    # semantics and results unchanged (oracle replays the exact pair
+    # set).  n clamps to defaultParallelism (scale-adaptive: at lake
+    # scale this equals or exceeds the shuffle default).
+    n = max(1, keyed.sparkSession.sparkContext.defaultParallelism)
+    keyed = keyed.repartition(n, F.col("__b"))
     w = Window.partitionBy("__b").orderBy("__id")
     capped = (keyed.withColumn("__rn", F.row_number().over(w))
               .where(F.col("__rn") <= max_block).drop("__rn"))
-    a = capped.select(F.col("__id").alias("id_a"),
-                      F.col("__k").alias("__ka"), "__b")
-    b = capped.select(F.col("__id").alias("id_b"),
-                      F.col("__k").alias("__kb"), "__b")
-    return (a.join(b, "__b")
-            .where(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b",
+    # GRID (triangle-join) decomposition of each block's pair space
+    # (r15; the "curse of the last reducer" answer, same family as
+    # triangle_count's degree orientation): a capped hot block still
+    # put max_block^2/2 banded-DP comparisons in ONE task — a serial
+    # floor no partition count can split (measured at the 10x corpus:
+    # ~40 equally-hot 499,500-pair blocks, 20.4 s wall on 32 cores;
+    # numbered repartition alone only reached ~11 s because the
+    # per-block floor remained).  Rows split into G deterministic
+    # id-hash groups; the LEFT side of the pair join carries a row
+    # into cells (g, v) for v >= g, the RIGHT side into cells (u, g)
+    # for u <= g, so an unordered pair with groups (gi, gj) meets in
+    # EXACTLY one (min, max) cell — diagonal cells additionally filter
+    # id_l < id_r to drop self-pairs and mirror-order duplicates.  The
+    # pair SET is bit-identical (ids normalized with least/greatest,
+    # Levenshtein is symmetric; equivalence pinned by test + oracle);
+    # what changes is only that a block's quadratic work now lands in
+    # G(G+1)/2 independently-hashed tasks of ~(max_block/G)^2 pairs.
+    # Replication cost: each tiny (id, key, block) row fans out
+    # (G+1)/2 ways per side through one exchange — bounded and
+    # scale-independent.
+    G = 8
+    grp = F.pmod(F.xxhash64("__id"), F.lit(G)).cast("int")
+    capped = capped.withColumn("__g", grp)
+    a = capped.select(F.col("__id").alias("__idl"),
+                      F.col("__k").alias("__ka"), "__b",
+                      F.col("__g").alias("__u"),
+                      F.explode(F.sequence(F.col("__g"), F.lit(G - 1)))
+                      .alias("__v"))
+    b = capped.select(F.col("__id").alias("__idr"),
+                      F.col("__k").alias("__kb"), "__b",
+                      F.explode(F.sequence(F.lit(0), F.col("__g")))
+                      .alias("__u"),
+                      F.col("__g").alias("__v"))
+    # the probe side must be partitioned BY CELL or the broadcast hash
+    # join evaluates every block's whole grid inside that block's
+    # partition and the decomposition buys nothing; numbered again so
+    # AQE cannot fold the tiny-bytes/huge-CPU stage
+    a = a.repartition(n, F.col("__b"), F.col("__u"), F.col("__v"))
+    return (a.join(b, ["__b", "__u", "__v"])
+            .where((F.col("__u") < F.col("__v"))
+                   | (F.col("__idl") < F.col("__idr")))
+            .select(F.least("__idl", "__idr").alias("id_a"),
+                    F.greatest("__idl", "__idr").alias("id_b"),
                     F.levenshtein("__ka", "__kb", max_dist).alias("dist"))
             .where(F.col("dist") >= 0))
