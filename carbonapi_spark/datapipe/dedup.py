@@ -987,8 +987,9 @@ def delete_from_band_index(spark, path: str, doc_ids,
     only after a rebuild."""
     from carbonapi_spark.datapipe.maintenance import (
         delete_rows_partitioned, maintenance_lock)
+    from carbonapi_spark.datapipe.maintenance import read_index_table
     if isinstance(doc_ids, (list, tuple, set)):
-        dt = spark.read.parquet(f"{path}/bands") \
+        dt = read_index_table(spark, f"{path}/bands") \
             .schema["doc_id"].dataType.simpleString()
         ids_df = local_df(spark, [(i,) for i in sorted(doc_ids)],
                           f"doc_id {dt}")
@@ -1065,7 +1066,8 @@ def probe_band_index(spark, path: str, new_docs: DataFrame,
         F.pmod(F.xxhash64("key"), F.lit(st["n_buckets"])).cast("int")
         .alias("bucket")).distinct().collect())
     pairs_lit = [(int(r["band"]), int(r["bucket"])) for r in tb]
-    idx = spark.read.parquet(f"{path}/bands")
+    from carbonapi_spark.datapipe.maintenance import read_index_table
+    idx = read_index_table(spark, f"{path}/bands")
     n_combos = st["bands"] * st["n_buckets"]
     if not pairs_lit:
         idx = idx.where(F.lit(False))

@@ -180,7 +180,8 @@ def bm25_query_index(spark: SparkSession, path: str, query: str,
                       .select(F.pmod(F.xxhash64("term"),
                                      F.lit(n_buckets)).cast("int")
                               .alias("b")).collect()})
-    tf = (spark.read.parquet(f"{path}/postings")
+    from carbonapi_spark.datapipe.maintenance import read_index_table
+    tf = (read_index_table(spark, f"{path}/postings")
           .where(F.col("bucket").isin(buckets)
                  & F.col("term").isin(qterms)))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))

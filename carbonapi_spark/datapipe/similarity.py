@@ -1249,7 +1249,8 @@ def read_ann_index(spark, path: str):
     :func:`write_ann_index`'s layout. Centroids/codebooks are
     model-sized (k x dim, m x ksub x dsub) — driver lists by design."""
     from carbonapi_spark.datapipe import read_small_table
-    codes = spark.read.parquet(f"{path}/codes")
+    from carbonapi_spark.datapipe.maintenance import read_index_table
+    codes = read_index_table(spark, f"{path}/codes")
     crows = read_small_table(spark, f"{path}/centroids")
     crows.sort(key=lambda r: r["cell"])
     centroids = [list(r["emb"]) for r in crows]
@@ -1638,8 +1639,9 @@ def ann_auto_topk(corpus: DataFrame, query: DataFrame, k: int = 10,
     spark = corpus.sparkSession
     # prefer the stored-vector rerank (reads only probed cells); fall
     # back to the full-corpus gather when the index lacks vectors
-    stored = vec_col in spark.read.parquet(
-        f"{index_path}/codes").schema.fieldNames()
+    from carbonapi_spark.datapipe.maintenance import read_index_table
+    stored = vec_col in read_index_table(
+        spark, f"{index_path}/codes").schema.fieldNames()
     return ann_index_topk(spark, index_path, query, k=k,
                           nprobe=nprobe, refine=refine or 10 * k,
                           corpus=None if stored else corpus,
@@ -1769,7 +1771,9 @@ def delete_from_ann_index(spark, path: str, ids, id_col: str = "vec_id",
         # marker was up would let an append committing in between be
         # silently erased by the cell rewrite — the exact lost-append
         # the lock exists to prevent
-        codes = spark.read.parquet(f"{path}/codes")
+        from carbonapi_spark.datapipe.maintenance import \
+            read_index_table
+        codes = read_index_table(spark, f"{path}/codes")
         if isinstance(ids, (list, tuple, set)):
             id_dt = codes.schema[id_col].dataType.simpleString()
             ids_df = local_df(spark, [(i,) for i in sorted(ids)],
@@ -1789,7 +1793,8 @@ def _delete_from_ann_index_locked(spark, path, codes, ids_df,
     # table, not one missing a half-moved cell (ADVICE r14)
     if recover_staged_commit(spark, f"{path}/codes",
                              f"{path}/codes.deleting", ["cell"]):
-        codes = spark.read.parquet(f"{path}/codes")
+        from carbonapi_spark.datapipe.maintenance import read_index_table
+        codes = read_index_table(spark, f"{path}/codes")
     l0_deleted = _delete_from_l0(spark, path, ids_df, id_col)
     hit = codes.join(F.broadcast(ids_df), id_col)
     per_cell = {r["cell"]: r["n"] for r in

@@ -4879,3 +4879,59 @@ def test_ann_probe_rows_memo_within_request(spark, tmp_path):
         {t[0] for t in first})
     scratch.release()
     assert not scratch.memo(), "release() must clear the memo"
+
+
+def test_read_index_table_matches_default_read_and_restores_conf(
+        spark, tmp_path):
+    """r15: read_index_table lists a bounded partition grid on the
+    driver (no distributed listing job past the parallel-discovery
+    threshold) — same rows, same schema, and the session conf is
+    restored afterward, including on error."""
+    from carbonapi_spark.datapipe.maintenance import read_index_table
+    p = str(tmp_path / "grid")
+    (spark.range(200)
+     .select((F.col("id") % 40).alias("cell"), F.col("id").alias("v"))
+     .write.partitionBy("cell").parquet(p))
+    key = "spark.sql.sources.parallelPartitionDiscovery.threshold"
+    before = spark.conf.get(key)
+    got = read_index_table(spark, p)
+    assert spark.conf.get(key) == before, "threshold must be restored"
+    ref = spark.read.parquet(p)
+    assert got.schema == ref.schema
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, ref.collect()))
+    with pytest.raises(Exception):
+        read_index_table(spark, str(tmp_path / "grid_missing_subdir"))
+    assert spark.conf.get(key) == before, \
+        "threshold must be restored on error too"
+
+
+def test_partition_stats_lazy_df_footer_and_fallback(spark, tmp_path):
+    """r15: _partition_stats accepts a ZERO-ARG CALLABLE df (with the
+    schema passed separately) so the footer path never constructs the
+    DataFrame; the distributed fallback still works by materializing
+    the callable."""
+    from carbonapi_spark.datapipe import maintenance as M
+    p = str(tmp_path / "t")
+    df = (spark.range(60)
+          .select((F.col("id") % 6).alias("k"), F.col("id").alias("v")))
+    df.write.partitionBy("k").parquet(p)
+    ref = M._partition_stats(spark, p, spark.read.parquet(p), ["k"])
+    built = []
+
+    def mk():
+        built.append(1)
+        return spark.read.parquet(p)
+
+    lazy = M._partition_stats(spark, p, mk, ["k"],
+                              schema=spark.read.parquet(p).schema)
+    assert sorted((r["k"], r["__n"], r["__nf"]) for r in lazy) == \
+        sorted((r["k"], r["__n"], r["__nf"]) for r in ref)
+    assert not built, "footer path must not construct the DataFrame"
+    # force the distributed fallback (simulate a remote path: the local
+    # root check fails for a nonexistent dir string, so call the scan
+    # branch directly through a callable)
+    per = M._per_partition_stats(mk(), ["k"])
+    assert built, "fallback materializes the callable"
+    assert sorted((r["k"], r["__n"]) for r in per) == \
+        sorted((r["k"], r["__n"]) for r in ref)
