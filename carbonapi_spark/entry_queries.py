@@ -8622,83 +8622,70 @@ _register("stream_hdr_replay", _q_stream_hdr_replay,
 # fills the remaining first-50 slots; those are all green in
 # CORRECTNESS_r01.json ∪ CORRECTNESS_r02.json.  Keep this list well under 50.
 _DRIVER_PREFIX = [
-    # ---- round 14: must-verify (new entries + changed call paths) ----
-    # The three ops VERDICT r13 #2 promoted from pytest-only to
-    # driver-oracled catalog citizens:
-    "ann_auto_route",       # both ann_auto_topk routing legs (r13 #2a)
-    "ann_delete_probe",     # delete-by-id == index built without (2b)
-    "text_compact_probe",   # BM25 replay-corruption repair (r13 #2c)
-    "ann_l0_probe",         # NEW r14: probe through the L0 union read;
-    # fold asserted row-identical inline
-    "band_compact_probe",   # NEW r14: band-index replay + compaction
-    # repair — completes the per-index compaction matrix
-    "stream_ann_replay",    # NEW r14: streaming L0 ingest (two real
-    # foreachBatch epochs) probed through the live union
-    # (media_dsp, pmi_top and tiered_fetch yielded their slots to
-    # stay under the cap — they rotate in r15)
-    # compact_ann_index's kernel changed this round (broadcast
-    # semi-join replaces the isin struct-literal predicate, VERDICT
-    # r13 #4; maintenance_lock now held across the rewrite, #5) — its
-    # r13 row predates both.
+    # ---- round 15: must-verify (call paths changed this round) ----
+    # The seven durable-index probes ride every r15 engine change
+    # (expr cache, request-scoped memos, driver-side grid listing,
+    # lazy post-rewrite stats — OPTIMIZATION_r15.md §1/§2/§8):
+    "band_compact_probe",
+    "ann_l0_probe",
     "ann_compact_probe",
-    # NOTE on the rest of the transitive set: tools/rotation.py
-    # --changed over the r14 diffs names 126 entries (dedup.py /
-    # retrieval.py / maintenance.py sit in the package-closure of most
-    # datapipe entries, and render/graph.py prefix-matches every
-    # graphite entry).  Function-level, the r14 engine diffs touch
-    # ONLY the maintenance/append/routing call paths (all four pinned
-    # above) plus render_png, which no catalog entry executes.  The
-    # 126-entry file-level set minus this prefix was re-verified
-    # LOCALLY this round with a FULL-catalog tools/check_oracles.py
-    # pass at sf0.01 (SCALE.md round-14 findings) — the driver slots
-    # go to the staleness rotation below, per VERDICT r14 #1.
-    # ---- round 14: staleness rotation (VERDICT r13 next-round #1) ----
-    # The entire 18-entry r06 block, then the oldest r07s, in
-    # tools/rotation.py order; pre-validated with check_oracles
-    # --strict + check_oracles_pandas at sf0.001 and pandas at sf0.01.
-    "temperature_mix",
-    "char_entropy",
-    "ngram_novelty",
-    "oov_rate",
-    "norm_dedup",
-    "corpus_stats",
-    "gopher_rules",
-    "embedding_dedup",
-    "vocab_top",
-    "xff_aggregate",
-    "dedup_clusters",
-    "dedup_keep_best",
-    "rep_filters",
-    "contamination",
-    "tfidf_top",
-    "substr_dedup",
-    "line_dedup",
-    "ppl_buckets",
-    "minhash_dedup",
-    "minhash_incremental",
-    "minhash_estimate",
-    "scale_to_seconds",
-    "sigmoid",
-    "pow_transform",
-    "substr_name",
-    "unimax_sample",
-    "weighted_sample",
-    "zipf_fit",
-    "heavy_hitters",
-    "hll_distinct",
-    "stream_hll_replay",
-    "dedup_stats",
-    "quality_calibration",
-    "bigram_ppl",
-    "heavy_trigrams",
-    "source_kl",
-    "multimodal_features",
+    "ann_delete_probe",
+    "ann_auto_route",
+    "text_compact_probe",
+    "stream_ann_replay",
+    # plan-changed by the triangle-grid pair decomposition (§7):
+    "fuzzy_pairs",
+    "dedup_agreement",
+    "fuzzy_clusters",
+    # per-round plan changed by the broadcast-round work (§3/§4):
+    "core_numbers",
+    "label_prop",
+    # postings read goes through read_index_table now (§8):
     "bm25_topk",
-    "mmr_rerank",
-    "cohort_retention",
-    "event_transitions",
-    "stream_rollup_replay",
-    "pagerank",
+    # ---- round 15: slots owed from r14 (yielded to stay under cap) --
+    "tiered_fetch",
+    "pmi_top",
+    "media_dsp",
+    # ---- round 15: staleness rotation (tools/rotation.py order) ----
+    # The remaining r07 block, then the oldest r09s; the three LM
+    # movers VERDICT r14 #4 wanted driver numbers for
+    # (ppl_quantile_buckets, kn_bigram_ppl, decontaminate) are in the
+    # r07 block and land rows this round.  Pre-validated with the
+    # round-gate chaos-knob strict pass at sf0.01.
+    "split_assign",
+    "code_detect",
+    "norm_unicode",
+    "html_strip",
+    "source_cap",
+    "stream_dedup_replay",
+    "stream_sessionize_replay",
+    "stream_per_second_replay",
+    "quantile_cutoffs",
+    "ppl_quantile_buckets",
+    "jsonl_ingest",
+    "kn_bigram_ppl",
+    "decontaminate",
+    "corpus_pipeline",
+    "split_leakage",
+    "stream_semantic_replay",
+    "bloom_filter",
+    "stream_cms_replay",
+    "budget_select",
+    "js_drift",
+    "hard_negatives",
+    "funnel_conv",
+    "attribution",
+    "stream_attribution_replay",
+    "stream_funnel_replay",
+    "stream_quota_replay",
+    "rfm_segments",
+    "window_join",
+    "asof_join",
+    "url_canonical",
+    "domain_stats",
+    "triangles",
+    "corpus_diff",
+    "readability",
 ]
 # The driver checks at most _DRIVER_CAP rows per round; test_entry.py pins
 # len(_DRIVER_PREFIX) <= cap so additions can never silently evict entries
